@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Column profiling.
+  *
+  * Computes the reference's per-column profile — min / max / avg / median /
+  * distinct-count / count / top-1 value (reference:
+  * plugins/extractors/bigquery/bigquery.go:386-411).
+  *
+  * The reference runs ONE aggregation query and one goroutine PER COLUMN
+  * (bigquery.go:237-254). Spark-first reformulation: a single
+  * multi-aggregate pass computes every column's stats in ONE scan — strictly
+  * better at any scale (N columns = 1 table scan, not N).
+  *
+  * At 100 TB use the default approximate variants: `approx_count_distinct`
+  * (HLL++, fixed-size sketch, partial-aggregable) and `percentile_approx`
+  * (KLL-style, mergeable). The exact variants exist for oracle-checked
+  * correctness runs at small SF.
+  */
+object ColumnProfiler {
+
+  /** One row with `<col>_min/_max/_avg/_med/_unique/_count` per input column. */
+  def profile(df: DataFrame, cols: Seq[String],
+              exactMedian: Boolean = false,
+              exactDistinct: Boolean = false): DataFrame = {
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      val med =
+        if (exactMedian) expr(s"percentile(`$c`, 0.5)")
+        else percentile_approx(col(c), lit(0.5), lit(10000))
+      val uniq =
+        if (exactDistinct) countDistinct(col(c))
+        else approx_count_distinct(col(c))
+      Seq(
+        min(col(c)).as(s"${c}_min"),
+        max(col(c)).as(s"${c}_max"),
+        avg(col(c)).as(s"${c}_avg"),
+        med.as(s"${c}_med"),
+        uniq.as(s"${c}_unique"),
+        count(col(c)).as(s"${c}_count"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Most frequent value of a column — APPROX_TOP_COUNT(c, 1) analogue
+    * (reference: bigquery.go:394). Deterministic tie-break on the value.
+    * groupBy + count is partial-aggregated map-side, so the shuffle carries
+    * only (distinct value, count) pairs.
+    */
+  def top1(df: DataFrame, c: String): DataFrame =
+    df.groupBy(col(c).cast("string").as("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("value"))
+      .limit(1)
+
+  /** First-N-rows preview (reference: bigquery.go:280-337, default cap 30).
+    * Ordered for determinism — the reference relies on source order.
+    */
+  def preview(df: DataFrame, orderCols: Seq[String], n: Int = 30): DataFrame =
+    df.orderBy(orderCols.map(col): _*).limit(n)
+}

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Exact dedup is a hash-groupBy: the md5 fingerprint is computed map-side,
+  * so the shuffle carries (digest, id) pairs only — at 100 TB the shuffle
+  * volume is ~50 bytes/doc regardless of document size.
+  *
+  * Near-dup follows the standard MinHash + LSH banding pipeline:
+  * shingle → k minhashes → b bands → band-hash bucket groupBy →
+  * in-bucket pair expansion → exact Jaccard verification on candidates
+  * only. Pair expansion happens INSIDE the bucket group (collect_set +
+  * higher-order-function combinations), so there is no self-join at all —
+  * one shuffle keyed by band hash, and bucket blowup is capped by
+  * `maxBucketSize` (boilerplate buckets are dropped, the standard
+  * large-corpus practice).
+  */
+object Dedup {
+
+  /** Exact dedup: lowest-id row per canonical fingerprint. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(TextAnalysis.fingerprint(col(textCol)).as("fp"), col(idCol))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Word n-gram shingles of a text column (pure expressions, codegen'd). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(text)
+    filter(
+      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")),
+      s => length(s) > 0)
+  }
+
+  /** k MinHash values per row. Hash family: xxhash64(seed_i, shingle) —
+    * one 64-bit hash per (band index, shingle), min-reduced per doc.
+    * Emits `id, signature: array<long>`. Rows with no shingles are dropped
+    * (they cannot collide meaningfully).
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 64, shingleLen: Int = 3): DataFrame = {
+    // explode shingles to rows, then k min-aggregates in ONE groupBy pass:
+    // the shingle expression is evaluated once per doc (not k times — an
+    // array-expression formulation gets inlined k× by CollapseProject),
+    // and map-side partial aggregation shrinks the shuffle to k longs/doc.
+    val exploded = df.select(col(idCol).as("id"),
+      explode(array_distinct(shingles(col(textCol), shingleLen))).as("sh"))
+    val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+    exploded.groupBy(col("id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"h$i")): _*).as("signature"))
+  }
+
+  /** LSH banding: one (band_id, band_hash) bucket key per band. */
+  def lshBuckets(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val r = k / bands
+    val bandHashes = array((0 until bands).map { b =>
+      xxhash64(lit(b), slice(col("signature"), b * r + 1, r))
+    }: _*)
+    sigs.select(col("id"), posexplode(bandHashes).as(Seq("band_id", "band_hash")))
+  }
+
+  /** Candidate pairs (a < b) from LSH buckets, expanded inside the bucket
+    * group — no self-join. Buckets larger than `maxBucketSize` are dropped
+    * (degenerate boilerplate).
+    */
+  def candidatePairs(buckets: DataFrame, maxBucketSize: Int = 1000): DataFrame = {
+    val grouped = buckets
+      .groupBy(col("band_id"), col("band_hash"))
+      .agg(sort_array(collect_set(col("id"))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucketSize)
+    grouped
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard over the shingle sets of candidate pairs only. */
+  def verifyJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
+                    textCol: String, shingleLen: Int = 3,
+                    threshold: Double = 0.8): DataFrame = {
+    val sets = docs.select(col(idCol).as("vid"),
+      array_distinct(shingles(col(textCol), shingleLen)).as("sset"))
+    val sa = sets.select(col("vid").as("a"), col("sset").as("sa"))
+    val sb = sets.select(col("vid").as("b"), col("sset").as("sb"))
+    pairs.join(sa, Seq("a")).join(sb, Seq("b"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("uni", size(array_union(col("sa"), col("sb"))))
+      .withColumn("jaccard", when(col("uni") === 0, lit(0.0))
+        .otherwise(col("inter").cast("double") / col("uni")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline → (a, b, jaccard) above threshold. */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+                 k: Int = 64, bands: Int = 16, shingleLen: Int = 3,
+                 threshold: Double = 0.8): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, k, shingleLen)
+    val pairs = candidatePairs(lshBuckets(sigs, k, bands))
+    verifyJaccard(pairs, df, idCol, textCol, shingleLen, threshold)
+  }
+
+  /** 64-bit SimHash over the token stream. Each (doc, token) casts 64
+    * ±1 bit votes (Scala-side constant masks — stays in codegen); per-doc
+    * per-bit sums' signs assemble the hash. Map-side partial aggregation
+    * keeps the shuffle at 64 longs per doc.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df
+      .select(col(idCol).as("id"), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = tok.select(col("id"), posexplode(array((0 until 64).map { b =>
+      when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, lit(1)).otherwise(lit(-1))
+    }: _*)).as(Seq("bit", "vote")))
+    // constant mask lookup indexed by bit position — shift-by-column without
+    // leaving codegen (sum of distinct powers == the signed 64-bit value)
+    val maskLookup = array((0 until 64).map(b => lit(1L << b)): _*)
+    votes.groupBy(col("id"), col("bit"))
+      .agg(sum(col("vote")).as("v"))
+      .withColumn("bitval", when(col("v") > 0,
+        element_at(maskLookup, col("bit") + 1)).otherwise(lit(0L)))
+      .groupBy(col("id"))
+      .agg(sum(col("bitval")).as("simhash"))
+  }
+
+  /** Hamming distance between two simhash values (for near-dup banding on
+    * the 64-bit hash).
+    */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+}

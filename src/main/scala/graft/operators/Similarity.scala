@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — broadcast the (small) query set,
+  * stream the corpus once, rank per query. No shuffle of the corpus at all:
+  * the only shuffle is the per-query top-k window over (|Q| · k) candidate
+  * rows. This is the exact-answer path and scales to any corpus size as a
+  * single map-side pass when |Q| is broadcast-able.
+  *
+  * Scale path: IVF-style partition pruning — assign every vector to its
+  * nearest of C centroids (map-side, centroids broadcast), bucket the
+  * corpus by centroid id, and probe only `nprobe` buckets per query. At
+  * 100 TB this turns a full scan into reading ~nprobe/C of the data; the
+  * centroid assignment doubles as a physical partitioning key for parquet
+  * layout.
+  *
+  * All vector math is `zip_with`/`aggregate` higher-order expressions over
+  * `array<double>` — codegen'd, no UDFs, no serialization cliffs.
+  */
+object Similarity {
+
+  /** Dot product of two array<double> columns (sequential fold — bitwise
+    * deterministic for a given element order).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for every query row, the k nearest corpus
+    * rows (excluding identical ids). Query side MUST be small — it is
+    * broadcast. Ties broken by candidate id for determinism.
+    *
+    * Returns (q_id, c_id, rank, sim).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("c_id"),
+      col(vecCol).cast("array<double>").as("c_vec"))
+    val q = queries.select(col(idCol).as("q_id"),
+      col(vecCol).cast("array<double>").as("q_vec"))
+    val scored = c.join(broadcast(q), col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"),
+        cosine(col("q_vec"), col("c_vec")).as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(desc("sim"), asc("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("rank"), round(col("sim"), 4).as("sim"))
+  }
+
+  /** Assign each vector to its nearest centroid (IVF coarse quantizer).
+    * Centroids are a Scala-side list (broadcast as literals) — at real
+    * scale they come from a sampled k-means; here any deterministic
+    * codebook works. Adds `centroid_id`.
+    */
+  def assignCentroids(df: DataFrame, vecCol: String,
+                      centroids: Seq[Seq[Double]]): DataFrame = {
+    val cents = array(centroids.map(c => array(c.map(lit): _*)): _*)
+    val v = col(vecCol).cast("array<double>")
+    // argmin over squared L2 distance, computed as one expression tree
+    val dists = transform(cents, c =>
+      aggregate(zip_with(v, c, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x))
+    df.withColumn("centroid_id",
+      array_position(dists, array_min(dists)).cast("int") - 1)
+  }
+
+  /** IVF-pruned top-k: probe only the query's `nprobe` nearest centroid
+    * buckets instead of the full corpus. Approximate (recall < 1 when the
+    * true neighbor lives in an unprobed bucket) but reads ~nprobe/C of the
+    * data.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, centroids: Seq[Seq[Double]],
+              nprobe: Int = 2): DataFrame = {
+    val c = assignCentroids(
+      corpus.select(col(idCol).as("c_id"), col(vecCol).cast("array<double>").as("c_vec")),
+      "c_vec", centroids)
+    // per-query probe list: ids of the nprobe nearest centroids
+    val cents = array(centroids.map(cc => array(cc.map(lit): _*)): _*)
+    val qv = col("q_vec")
+    val qdists = transform(cents, cc =>
+      aggregate(zip_with(qv, cc, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x))
+    val probes = slice(transform(array_sort(
+      zip_with(qdists, sequence(lit(0), lit(centroids.size - 1)),
+        (d, i) => struct(d.as("d"), i.as("i")))),
+      s => s.getField("i")), 1, nprobe)
+    val q = queries
+      .select(col(idCol).as("q_id"), col(vecCol).cast("array<double>").as("q_vec"))
+      .withColumn("probe_ids", probes)
+    val scored = c.join(broadcast(q),
+        array_contains(col("probe_ids"), col("centroid_id")) &&
+          col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"), cosine(col("q_vec"), col("c_vec")).as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("rank"), round(col("sim"), 4).as("sim"))
+  }
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting.
+  *
+  * Everything here is built from codegen'd `org.apache.spark.sql.functions`
+  * (split / regexp / higher-order array functions) — no Scala UDFs — so the
+  * whole pipeline stays inside WholeStageCodegen and scales linearly with
+  * input splits: no shuffles, pure map-side column work.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization; empty string → empty array. */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  /** Token count (whitespace tokenizer). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A BPE-ish subword proxy count: each word contributes ceil(len/4)
+    * subword pieces, approximating byte-pair token inflation without a
+    * vocab. Pure expression, stays in codegen.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc + ceil(length(t) / lit(4.0)).cast("long"))
+
+  val defaultStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "to", "and", "in", "is", "it", "on", "for")
+
+  /** Stopword ratio over whitespace tokens, null-safe for empty docs. */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = defaultStopwords): Column = {
+    val toks = tokens(text)
+    val stops = size(filter(toks, t => lower(t).isInCollection(stopwords)))
+    when(size(toks) === 0, lit(0.0)).otherwise(stops.cast("double") / size(toks))
+  }
+
+  /** Punctuation character ratio. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      length(regexp_replace(text, "[^.,;:!?'\"()-]", "")).cast("double") / length(text))
+
+  /** Mean token length, null-safe. */
+  def meanTokenLength(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+  }
+
+  /** Canonical-form document fingerprint: md5 of whitespace-collapsed,
+    * lower-cased text. Identical logical content → identical fingerprint;
+    * the standard first-pass exact-dedup key at 100 TB (hash is computed
+    * map-side; the dedup groupBy shuffles only the 32-char digest + id).
+    */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** Marker-token language scores. Returns one count column per language of
+    * how many tokens hit that language's marker list. Argmax of the scores
+    * is the predicted language — an n-gram-free heuristic langid that is
+    * fully codegen'd (no UDF) and expressible in ANSI SQL for oracles.
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is", "a"),
+    "fr" -> Seq("le", "la", "et", "les", "de"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "los", "que", "y", "es"))
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      lang -> size(filter(toks, t => lower(t).isInCollection(markers)))
+    }
+  }
+
+  /** Full quality-score projection over a text column. */
+  def qualityColumns(text: Column): Seq[(String, Column)] = Seq(
+    "n_tokens" -> tokenCount(text),
+    "mean_token_len" -> round(meanTokenLength(text), 4),
+    "stopword_ratio" -> round(stopwordRatio(text), 4),
+    "punct_ratio" -> round(punctRatio(text), 4))
+
+  /** Apply quality columns to a DataFrame, keeping `keep` columns. */
+  def quality(df: DataFrame, textCol: String, keep: Seq[String]): DataFrame = {
+    val base = df.select((keep :+ textCol).map(col): _*)
+    qualityColumns(col(textCol)).foldLeft(base) {
+      case (d, (name, c)) => d.withColumn(name, c)
+    }.drop(textCol)
+  }
+}
