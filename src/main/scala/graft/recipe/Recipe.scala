@@ -1,0 +1,123 @@
+package graft.recipe
+
+import scala.jdk.CollectionConverters._
+import org.yaml.snakeyaml.Yaml
+
+/** Recipe model + YAML reader.
+  *
+  * A recipe names one source, zero-or-more processors, and one-or-more sinks
+  * (reference: recipe/recipe.go:4-19). Recipe files are templates over YAML:
+  * `{{ .var }}` placeholders fill from env vars prefixed `METEOR_` /
+  * `GRAFT_` and an optional var map, with explicit vars winning conflicts
+  * (reference: recipe/envs.go:12-35, recipe/reader.go:56-92). The version
+  * must be `v1beta1` (recipe/reader.go:80-84); recipe name defaults to file
+  * name (recipe/reader.go:74-78).
+  */
+case class PluginSpec(name: String, config: Map[String, Any] = Map.empty)
+
+case class Recipe(
+    name: String,
+    version: String,
+    source: PluginSpec,
+    processors: Seq[PluginSpec] = Nil,
+    sinks: Seq[PluginSpec] = Nil)
+
+case class RecipeParseException(message: String) extends RuntimeException(message)
+
+object RecipeReader {
+  val SupportedVersion = "v1beta1"
+  private val EnvPrefixes = Seq("METEOR_", "GRAFT_")
+  private val VarPattern = "\\{\\{\\s*\\.?([A-Za-z0-9_]+)\\s*\\}\\}".r
+
+  /** env-var data: METEOR_FOO_BAR → foo_bar (reference: recipe/envs.go:55-69). */
+  def envVars(env: Map[String, String] = sys.env): Map[String, String] =
+    env.flatMap { case (k, v) =>
+      EnvPrefixes.collectFirst {
+        case p if k.startsWith(p) => k.stripPrefix(p).toLowerCase -> v
+      }
+    }
+
+  /** Render `{{ .var }}` placeholders; explicit vars win over env
+    * (recipe/envs.go:27-33). Unknown vars render empty (Go template
+    * missingkey default renders "<no value>"; we choose empty + error on
+    * strict).
+    */
+  def render(template: String, vars: Map[String, String],
+             env: Map[String, String] = sys.env): String = {
+    val data = envVars(env) ++ vars
+    VarPattern.replaceAllIn(template, m =>
+      scala.util.matching.Regex.quoteReplacement(data.getOrElse(m.group(1), "")))
+  }
+
+  private def asScala(v: Any): Any = v match {
+    case m: java.util.Map[_, _] =>
+      m.asScala.map { case (k, vv) => k.toString -> asScala(vv) }.toMap
+    case l: java.util.List[_] => l.asScala.map(asScala).toSeq
+    case other => other
+  }
+
+  private def toSpec(v: Any, where: String): PluginSpec = v match {
+    case m: Map[_, _] =>
+      val mm = m.asInstanceOf[Map[String, Any]]
+      val name = mm.getOrElse("name",
+        throw RecipeParseException(s"$where: missing plugin name")).toString
+      val config = mm.get("config") match {
+        case Some(c: Map[_, _]) => c.asInstanceOf[Map[String, Any]]
+        case _ => Map.empty[String, Any]
+      }
+      PluginSpec(name, config)
+    case other => throw RecipeParseException(s"$where: expected mapping, got $other")
+  }
+
+  /** Parse a rendered YAML recipe string. */
+  def parse(yamlText: String, defaultName: String = ""): Recipe = {
+    val root = asScala(new Yaml().load[Object](yamlText)) match {
+      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+      case _ => throw RecipeParseException("recipe is not a YAML mapping")
+    }
+    val version = root.getOrElse("version",
+      throw RecipeParseException("missing version")).toString
+    if (version != SupportedVersion)
+      throw RecipeParseException(
+        s"unsupported version: $version (supported: $SupportedVersion)")
+    val source = toSpec(root.getOrElse("source",
+      throw RecipeParseException("missing source")), "source")
+    val processors = root.get("processors") match {
+      case Some(l: Seq[_]) => l.zipWithIndex.map { case (p, i) => toSpec(p, s"processors[$i]") }
+      case _ => Nil
+    }
+    val sinks = root.get("sinks") match {
+      case Some(l: Seq[_]) => l.zipWithIndex.map { case (p, i) => toSpec(p, s"sinks[$i]") }
+      case _ => Nil
+    }
+    if (sinks.isEmpty) throw RecipeParseException("at least one sink is required")
+    val name = root.get("name").map(_.toString).filter(_.nonEmpty).getOrElse(defaultName)
+    Recipe(name, version, source, processors, sinks)
+  }
+
+  /** Read + render + parse a recipe file; name defaults to the file name.
+    * Directory reads skip unparseable files with a warning
+    * (recipe/reader.go:94-112).
+    */
+  def read(path: java.nio.file.Path, vars: Map[String, String] = Map.empty): Seq[Recipe] = {
+    import java.nio.file.Files
+    if (Files.isDirectory(path)) {
+      Files.list(path).iterator().asScala.toSeq.sortBy(_.toString)
+        .filter(p => p.toString.endsWith(".yaml") || p.toString.endsWith(".yml"))
+        .flatMap { p =>
+          try Some(readOne(p, vars))
+          catch {
+            case e: Exception =>
+              System.err.println(s"[recipe] skipping $p: ${e.getMessage}")
+              None
+          }
+        }
+    } else Seq(readOne(path, vars))
+  }
+
+  private def readOne(path: java.nio.file.Path, vars: Map[String, String]): Recipe = {
+    val raw = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+    val base = path.getFileName.toString.replaceAll("\\.(yaml|yml)$", "")
+    parse(render(raw, vars), base)
+  }
+}

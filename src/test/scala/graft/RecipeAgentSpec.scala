@@ -1,0 +1,257 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.agent.{Agent, Retrier}
+import graft.plugins._
+import graft.recipe._
+
+class RecipeSpec extends SparkSpec {
+
+  test("parse recipe with source, processors, sinks") {
+    val r = RecipeReader.parse(
+      """name: sample
+        |version: v1beta1
+        |source:
+        |  name: csv
+        |  config:
+        |    path: /tmp/x.csv
+        |processors:
+        |  - name: enrich
+        |    config: {team: data}
+        |sinks:
+        |  - name: console
+        |""".stripMargin)
+    assert(r.name == "sample")
+    assert(r.source == PluginSpec("csv", Map("path" -> "/tmp/x.csv")))
+    assert(r.processors.head.config("team") == "data")
+    assert(r.sinks.map(_.name) == Seq("console"))
+  }
+
+  test("version must be v1beta1") {
+    val e = intercept[RecipeParseException](RecipeReader.parse(
+      "name: x\nversion: v2\nsource: {name: csv}\nsinks: [{name: console}]"))
+    assert(e.getMessage.contains("unsupported version"))
+  }
+
+  test("at least one sink required") {
+    intercept[RecipeParseException](RecipeReader.parse(
+      "name: x\nversion: v1beta1\nsource: {name: csv}"))
+  }
+
+  test("template vars fill from env prefix and explicit vars win") {
+    val env = Map("METEOR_SRC_PATH" -> "/from/env", "OTHER" -> "ignored")
+    assert(RecipeReader.render("path: {{ .src_path }}", Map.empty, env) ==
+      "path: /from/env")
+    assert(RecipeReader.render("path: {{ .src_path }}",
+      Map("src_path" -> "/explicit"), env) == "path: /explicit")
+  }
+
+  test("recipe name defaults to file name") {
+    val dir = Files.createTempDirectory("recipes")
+    Files.writeString(dir.resolve("my-recipe.yaml"),
+      "version: v1beta1\nsource: {name: csv, config: {path: /tmp}}\nsinks: [{name: console}]")
+    Files.writeString(dir.resolve("broken.yaml"), "version: v1beta1\n:::bad")
+    val rs = RecipeReader.read(dir) // directory read skips the broken file
+    assert(rs.map(_.name) == Seq("my-recipe"))
+  }
+}
+
+class RetrierSpec extends SparkSpec {
+  test("retries retryable errors with backoff, rethrows permanent") {
+    var calls = 0
+    val out = Retrier.retry(maxRetries = 3, initialIntervalMs = 1L) {
+      calls += 1
+      if (calls < 3) throw new RetryableException("boom")
+      "ok"
+    }
+    assert(out == "ok" && calls == 3)
+
+    intercept[RuntimeException] {
+      Retrier.retry(maxRetries = 3, initialIntervalMs = 1L) {
+        throw new RuntimeException("permanent")
+      }
+    }
+
+    var calls2 = 0
+    intercept[RetryableException] {
+      Retrier.retry(maxRetries = 2, initialIntervalMs = 1L) {
+        calls2 += 1; throw new RetryableException("always")
+      }
+    }
+    assert(calls2 == 3) // initial + 2 retries
+  }
+}
+
+class AgentSpec extends SparkSpec {
+
+  private def writeCsv(dir: java.nio.file.Path): Unit = {
+    Files.writeString(dir.resolve("users.csv"), "id,name\n1,alice\n2,bob\n")
+    Files.writeString(dir.resolve("orders.csv"), "oid,amount,ts\n10,5.0,2024\n")
+  }
+
+  test("end-to-end recipe: csv -> enrich -> ndjson file (SURVEY §7.2 spine)") {
+    val dir = Files.createTempDirectory("csvsrc")
+    writeCsv(dir)
+    val out = Files.createTempDirectory("sinkout").resolve("assets.ndjson")
+    val recipe = RecipeReader.parse(
+      s"""name: spine
+         |version: v1beta1
+         |source:
+         |  name: csv
+         |  config: {path: $dir}
+         |processors:
+         |  - name: enrich
+         |    config: {fieldA: valueA, team: data-eng}
+         |sinks:
+         |  - name: file
+         |    config: {path: $out, format: ndjson}
+         |""".stripMargin)
+    val result = new Agent(spark).run(recipe)
+    assert(result.success, result.error)
+    assert(result.recordCount == 2) // one Table asset per csv file
+    val lines = scala.jdk.CollectionConverters.CollectionHasAsScala(
+      Files.readAllLines(out)).asScala.toSeq
+    assert(lines.size == 2)
+    assert(lines.head.contains(""""name":"orders.csv""""))
+    // attributes is a JSON-string facet, so its keys appear escaped
+    assert(lines.head.contains("""\"fieldA\":\"valueA\""""))
+    assert(lines.head.contains("""\"team\":\"data-eng\""""))
+    // header row became the schema facet
+    assert(lines.head.contains(""""name":"oid""""))
+    assert(lines(1).contains(""""name":"users.csv""""))
+  }
+
+  test("multi-sink fan-out from one cached pass; sink error isolated") {
+    val dir = Files.createTempDirectory("csvsrc2")
+    writeCsv(dir)
+    val out = Files.createTempDirectory("sinkout2").resolve("a.ndjson")
+    val recipe = RecipeReader.parse(
+      s"""name: fanout
+         |version: v1beta1
+         |source: {name: csv, config: {path: $dir}}
+         |sinks:
+         |  - name: file
+         |    config: {path: $out, format: ndjson}
+         |  - name: file
+         |    config: {path: /dev/null/sub/b.ndjson, format: ndjson}
+         |""".stripMargin)
+    val result = new Agent(spark, maxRetries = 0).run(recipe)
+    assert(result.success) // default stop_on_sink_error=false swallows
+    assert(result.sinkCounts("file[0]") == 2L)
+    assert(result.sinkCounts("file[1]") == -1L)
+  }
+
+  test("validate reports unknown plugins and bad config without executing") {
+    val recipe = RecipeReader.parse(
+      """name: lint
+        |version: v1beta1
+        |source: {name: nosuch}
+        |sinks:
+        |  - name: file
+        |    config: {format: xml}
+        |""".stripMargin)
+    val errs = new Agent(spark).validate(recipe)
+    assert(errs.exists(_.key == "source/nosuch"))
+    assert(errs.exists(e => e.key.contains("sink/file") && e.message.contains("unsupported format")))
+    assert(errs.exists(e => e.key.contains("sink/file/path")))
+  }
+
+  test("parquet extractor profiles columns and previews rows") {
+    val recipe = RecipeReader.parse(
+      s"""name: pq
+         |version: v1beta1
+         |source:
+         |  name: parquet
+         |  config:
+         |    path: /root/testdata/sf0.001/nation.parquet
+         |    include_column_profile: true
+         |    max_preview_rows: 5
+         |sinks: [{name: console}]
+         |""".stripMargin)
+    val agent = new Agent(spark)
+    val extracted = graft.plugins.Registries.extractors.get("parquet")
+      .extract(spark, recipe.source.config)
+    val asset = extracted.collect()(0)
+    val res = asset.getAs[org.apache.spark.sql.Row]("resource")
+    assert(res.getAs[String]("urn") == "parquet::local/default/nation")
+    val profile = asset.getAs[org.apache.spark.sql.Row]("profile")
+    assert(profile.getAs[Long]("totalRows") == 25L)
+    val schema = asset.getSeq[org.apache.spark.sql.Row](asset.fieldIndex("schema"))
+    assert(schema.map(_.getAs[String]("name")).toSeq == Seq("n_nationkey", "n_name", "n_regionkey"))
+    val prev = asset.getAs[org.apache.spark.sql.Row]("preview")
+    assert(prev.getAs[String]("rows").contains("ALGERIA") ||
+      prev.getAs[String]("rows").length > 2)
+  }
+}
+
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private case class FakePoster(failFirst: Int) extends graft.sinks.HttpPoster {
+    var calls = 0
+    val bodies = scala.collection.mutable.ArrayBuffer[String]()
+    def post(url: String, method: String, headers: Map[String, String], body: String): Int = {
+      calls += 1
+      if (calls <= failFirst) 503 else { bodies += body; 200 }
+    }
+  }
+
+  test("http sink posts each record; 5xx is retryable") {
+    val df = Seq(("u1", 1), ("u2", 2)).toDF("urn", "v")
+    val poster = FakePoster(failFirst = 1)
+    val sink = new graft.sinks.HttpSink(poster)
+    val n = Retrier.retry(maxRetries = 2, initialIntervalMs = 1L) {
+      sink.sink(df, Map("url" -> "http://x/api"))
+    }
+    assert(n == 2L)
+    assert(poster.bodies.exists(_.contains("u1")))
+  }
+
+  test("kafka payload extracts dotted key_path") {
+    val df = Seq((("urn:t1", "t1"), 5)).toDF("resource", "v")
+      .select(org.apache.spark.sql.functions.struct(
+        org.apache.spark.sql.functions.col("resource._1").as("urn"),
+        org.apache.spark.sql.functions.col("resource._2").as("name")).as("resource"),
+        org.apache.spark.sql.functions.col("v"))
+    val out = graft.sinks.KafkaSink.payload(df, Some("resource.urn")).collect()(0)
+    assert(out.getAs[String]("key") == "urn:t1")
+    assert(out.getAs[String]("value").contains(""""v":5"""))
+  }
+
+  test("yaml file sink writes a parseable list") {
+    val df = Seq(("a", 1), ("b", 2)).toDF("name", "v")
+    val out = Files.createTempDirectory("yamlout").resolve("x.yaml")
+    val n = graft.sinks.FileSink.sink(df,
+      Map("path" -> out.toString, "format" -> "yaml"))
+    assert(n == 2)
+    val loaded = new org.yaml.snakeyaml.Yaml()
+      .load[java.util.List[Object]](Files.readString(out))
+    assert(loaded.size() == 2)
+  }
+}
+
+class SchemaFormatsSpec extends SparkSpec {
+  import org.apache.spark.sql.types._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("name", StringType, nullable = true),
+    StructField("score", DoubleType, nullable = true)))
+
+  test("JSON-Schema draft 2020-12 output") {
+    val js = graft.sinks.SchemaFormats.toJsonSchema(schema, "urn:t1", "desc")
+    assert(js.contains(""""$schema": "https://json-schema.org/draft/2020-12/schema""""))
+    assert(js.contains(""""id": {"type": "number"}"""))
+    assert(js.contains(""""name": {"type": ["string", "null"]}"""))
+  }
+
+  test("Avro record schema output") {
+    val av = graft.sinks.SchemaFormats.toAvroSchema(schema, "t1")
+    assert(av.contains(""""type": "record""""))
+    assert(av.contains("""{"name": "id", "type": "long"}"""))
+    assert(av.contains("""{"name": "score", "type": ["null", "double"]}"""))
+    // must be valid Avro per the bundled avro library
+    new org.apache.avro.Schema.Parser().parse(av)
+  }
+}
