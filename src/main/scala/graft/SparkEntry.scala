@@ -155,6 +155,30 @@ object SparkEntry {
         col("event_type"), col("n"), col("value_sum"))
       .orderBy(col("bucket"), col("event_type"))
 
+  private def asofAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    AsofJoin.asof(purchases, clicks, "user_id", "ts", "ts",
+        rightCols = Seq("event_id", "value"), prefix = "prior_")
+      .select(col("event_id"), col("user_id"), col("prior_event_id"),
+        round(col("prior_value"), 2).as("prior_value"))
+      .orderBy(col("event_id"))
+  }
+
+  private def sessionWindowRollup(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.sessionWindows(
+        t(s, dir, "events").select(col("ts"), col("user_id"), col("value")),
+        "30 minutes", "2 hours")
+      .select(
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("s_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("s_end"),
+        col("user_id"), col("n_events"),
+        round(col("value_sum"), 2).as("value_sum"))
+      .orderBy(col("user_id"), col("s_start"))
+
   private def sqlConditions(s: SparkSession, dir: String): DataFrame = {
     // synthesize a query-log from parts, then run the distributed parser
     val log = t(s, dir, "part").select(concat(
@@ -215,6 +239,56 @@ object SparkEntry {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"),
+        array_distinct(Dedup.shingles(col("text"), 3)).as("ss"),
+        TextAnalysis.tokenCount(col("text")).as("ntok"))
+      .filter(col("ntok") >= 3)
+    val a = d.select(col("doc_id").as("a"), col("ss").as("sa"))
+    val b = d.select(col("doc_id").as("b"), col("ss").as("sb"))
+    a.join(b, col("b") === col("a") + 1)
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .select(col("a"), col("b"),
+        round(col("inter").cast("double") /
+          (size(col("sa")) + size(col("sb")) - col("inter")), 4).as("jaccard"))
+      .orderBy(col("a"))
+  }
+
+  private def embedNearDup(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").filter(col("vec_id") < 300)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val a = e.select(col("vec_id").as("a"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("b"), col("v").as("vb"))
+    a.join(b, col("a") < col("b"))
+      .select(col("a"), col("b"),
+        Similarity.fastCosine(col("va"), col("vb")).as("sim"))
+      .filter(col("sim") >= 0.35)
+      .select(col("a"), col("b"), round(col("sim"), 4).as("sim"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  private def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    // deterministic codebook: the first 8 vectors (a real pipeline would
+    // k-means a sample); collected once on the driver, broadcast as literals
+    val centroids = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, centroids, nprobe = 2)
+      .withColumnRenamed("rank", "rnk")
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  private def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.extractFeatures(
+        t(s, dir, "documents"), "doc_id", "text")
+      .select(col("media_id"), col("byte_len"), col("format"),
+        col("width"), col("height"), col("channels"),
+        round(aggregate(col("features"), lit(0.0d), (acc, x) => acc + x), 4).as("feat_sum"))
+      .orderBy(col("media_id"))
+
   private def multimodalMeta(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"),
@@ -243,6 +317,8 @@ object SparkEntry {
     "q_sessionize" -> (sessionize _),
     "q_time_buckets" -> (timeBuckets _),
     "q_sql_conditions" -> (sqlConditions _),
+    "q_asof_attribution" -> (asofAttribution _),
+    "q_session_window" -> (sessionWindowRollup _),
     "d_dedup_exact" -> (dedupExact _),
     "d_token_counts" -> (tokenCounts _),
     "d_quality" -> (qualityScores _),
@@ -250,8 +326,12 @@ object SparkEntry {
     "d_lang_scores" -> (langScores _),
     "d_minhash_pairs" -> (minhashPairs _),
     "d_simhash" -> (simhashes _),
+    "d_ngram_jaccard" -> (ngramJaccard _),
     "s_ann_bruteforce" -> (annBruteForce _),
-    "m_multimodal_meta" -> (multimodalMeta _))
+    "s_ann_ivf" -> (annIvf _),
+    "s_embed_neardup" -> (embedNearDup _),
+    "m_multimodal_meta" -> (multimodalMeta _),
+    "m_multimodal_features" -> (multimodalFeatures _))
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -361,6 +441,27 @@ object SparkEntry {
         | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts))
         |SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_asof_attribution" ->
+      """SELECT p.event_id, p.user_id, c.event_id AS prior_event_id,
+        | round(c.value, 2) AS prior_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q_session_window" ->
+      """WITH g AS (
+        | SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |        OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |       THEN 1 ELSE 0 END AS new_s
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, ts, value,
+        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+        |      FROM g)
+        |SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+        |       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS s_end,
+        |       user_id, count(*) AS n_events, round(sum(value),2) AS value_sum
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
     "q_time_buckets" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
         | event_type, count(*) AS n, round(sum(value),2) AS value_sum
@@ -419,6 +520,30 @@ object SparkEntry {
         |      FROM s)
         |SELECT q_id, c_id, rnk, round(sim,4) AS sim FROM r
         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "d_ngram_jaccard" ->
+      """WITH sh AS (
+        | SELECT doc_id,
+        |  list_distinct(list_transform(range(1, len(tk)-1),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS ss
+        | FROM (SELECT doc_id,
+        |   list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0) AS tk
+        |  FROM documents)
+        | WHERE len(tk) >= 3)
+        |SELECT a.doc_id AS a, b.doc_id AS b,
+        | round(CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) /
+        |   (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))), 4) AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        |ORDER BY a""".stripMargin,
+    "s_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id < 300)
+        |SELECT a.vec_id AS a, b.vec_id AS b,
+        | round(list_dot_product(a.v, b.v) /
+        |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) /
+        |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+        |ORDER BY a, b""".stripMargin,
     "m_multimodal_meta" ->
       """SELECT doc_id, strlen(text) AS byte_len,
         | 64 + n_chars % 512 AS fake_width,

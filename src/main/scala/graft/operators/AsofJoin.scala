@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** As-of (point-in-time) join: for every left row, the single most recent
+  * right row with the same key and `rightTs <= leftTs`.
+  *
+  * Spark has no native as-of join, and the naive formulation — an
+  * inequality join followed by a per-left-row top-1 — explodes into a
+  * range join (O(|L|·|R|) per key) before pruning. This implementation is
+  * the scalable single-shuffle pattern instead: tag both sides, union,
+  * and take `last(right payload, ignoreNulls)` over a window partitioned
+  * by key and ordered by (ts, tag). Each key group is sorted once; memory
+  * is O(1) per row beyond the sort (the running "most recent right row"),
+  * and the only shuffle is the window's hash partition by key — the same
+  * cost as a plain equi-join on the key, regardless of how many right rows
+  * precede each left row.
+  *
+  * Ties (`rightTs == leftTs`): the right row sorts first (tag 0 < tag 1),
+  * so an exactly-simultaneous right row IS matched — same semantics as
+  * DuckDB's `ASOF LEFT JOIN ... ON l.ts >= r.ts`. The right payload rides
+  * in ONE struct column so all matched fields come from the same right row
+  * (per-column `last(ignoreNulls)` could mix rows when right columns hold
+  * nulls). Left rows with no preceding right row keep null matched fields
+  * (left-outer semantics).
+  */
+object AsofJoin {
+
+  /** @param left       probe side (every row survives)
+    * @param right      candidate side (most recent row per left row attaches)
+    * @param keyCol     equi-join key present on both sides
+    * @param leftTsCol  event-time column on `left`
+    * @param rightTsCol event-time column on `right`
+    * @param rightCols  right columns to attach (default: all but key/ts)
+    * @param prefix     prefix for attached right columns
+    */
+  def asof(left: DataFrame, right: DataFrame, keyCol: String,
+           leftTsCol: String, rightTsCol: String,
+           rightCols: Seq[String] = Nil, prefix: String = "asof_"): DataFrame = {
+    val rCols =
+      if (rightCols.nonEmpty) rightCols
+      else right.columns.filterNot(c => c == keyCol || c == rightTsCol).toSeq
+    val lCols = left.columns.toSeq
+
+    val probes = left.select(
+      col(keyCol).as("__k"), col(leftTsCol).cast("timestamp").as("__t"),
+      lit(1).as("__tag"),
+      struct(lCols.map(col): _*).as("__l"),
+      lit(null).cast(right.select(rCols.map(col): _*).schema).as("__r"))
+    val cands = right.select(
+      col(keyCol).as("__k"), col(rightTsCol).cast("timestamp").as("__t"),
+      lit(0).as("__tag"),
+      lit(null).cast(left.select(lCols.map(col): _*).schema).as("__l"),
+      struct(rCols.map(col): _*).as("__r"))
+
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    probes.unionByName(cands)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select(lCols.map(c => col(s"__l.$c").as(c)) ++
+        rCols.map(c => col(s"__m.$c").as(s"$prefix$c")): _*)
+  }
+}

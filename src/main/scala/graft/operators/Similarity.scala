@@ -34,7 +34,15 @@ object Similarity {
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
 
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    try_divide(dot(a, b), norm(a) * norm(b))
+
+  /** Native codegen'd cosine (graft.functions.CosineSimilarity) — identical
+    * result to `cosine` (same sequential accumulation order) but runs as a
+    * primitive loop inside whole-stage codegen instead of interpreted
+    * higher-order lambdas. Requires VectorFunctions.register(spark).
+    */
+  def fastCosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosine_sim(a, b)
 
   /** Brute-force cosine top-k: for every query row, the k nearest corpus
     * rows (excluding identical ids). Query side MUST be small — it is
@@ -50,7 +58,7 @@ object Similarity {
       col(vecCol).cast("array<double>").as("q_vec"))
     val scored = c.join(broadcast(q), col("c_id") =!= col("q_id"))
       .select(col("q_id"), col("c_id"),
-        cosine(col("q_vec"), col("c_vec")).as("sim"))
+        fastCosine(col("q_vec"), col("c_vec")).as("sim"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(desc("sim"), asc("c_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -102,7 +110,7 @@ object Similarity {
     val scored = c.join(broadcast(q),
         array_contains(col("probe_ids"), col("centroid_id")) &&
           col("c_id") =!= col("q_id"))
-      .select(col("q_id"), col("c_id"), cosine(col("q_vec"), col("c_vec")).as("sim"))
+      .select(col("q_id"), col("c_id"), fastCosine(col("q_vec"), col("c_vec")).as("sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("c_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

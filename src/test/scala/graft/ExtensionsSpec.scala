@@ -1,0 +1,181 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.functions.VectorFunctions
+import graft.multimodal.Multimodal
+import graft.operators.Similarity
+import graft.streaming.EventStream
+
+class VectorKernelSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native cosine kernel matches the higher-order-function formulation") {
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (Array(0.0, 0.0), Array(0.0, 0.0)), // zero norm → null
+      (Array(1.0, 0.0), Array(1.0, 0.0))
+    ).toDF("a", "b")
+    val rows = df.select(
+      VectorFunctions.cosine_sim(col("a"), col("b")).as("fast"),
+      Similarity.cosine(col("a"), col("b")).as("hof")).collect()
+    assert(rows(0).getDouble(0) == rows(0).getDouble(1)) // bitwise equal
+    assert(rows(1).isNullAt(0))
+    assert(rows(2).getDouble(0) == 1.0)
+  }
+
+  test("length mismatch yields null; l2_squared computes distance") {
+    val df = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0))).toDF("a", "b")
+    assert(df.select(VectorFunctions.cosine_sim(col("a"), col("b")))
+      .collect()(0).isNullAt(0))
+    val d = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+      .select(VectorFunctions.l2_squared(col("a"), col("b"))).collect()(0).getDouble(0)
+    assert(d == 8.0)
+  }
+
+  test("kernel is registered for SQL use") {
+    VectorFunctions.register(spark)
+    val out = spark.sql(
+      "SELECT cosine_similarity(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c")
+      .collect()(0).getDouble(0)
+    assert(out == 1.0)
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("binary payload plumbing: schema, determinism, batch decode") {
+    val df = Seq((1L, "hello world"), (2L, "hello world"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val out = Multimodal.extractFeatures(df, "doc_id", "text")
+    assert(out.schema.fieldNames.toSeq == Seq(
+      "media_id", "byte_len", "format", "width", "height", "channels", "features"))
+    assert(out.schema("features").dataType.simpleString == "array<float>")
+    val rows = out.orderBy("media_id").collect()
+    // identical bytes → identical fake decode (deterministic stub)
+    assert(rows(0).getAs[Long]("byte_len") == 11L)
+    assert(rows(0).getAs[Int]("width") == rows(1).getAs[Int]("width"))
+    assert(rows(0).getSeq[Float](6) == rows(1).getSeq[Float](6))
+    assert(rows(0).getAs[Int]("width") != rows(2).getAs[Int]("width") ||
+      rows(0).getAs[Int]("height") != rows(2).getAs[Int]("height"))
+    // dims stay in the stub's declared envelope
+    assert(rows.forall(r => r.getAs[Int]("width") >= 64 && r.getAs[Int]("width") < 576))
+  }
+}
+
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.AsofJoin
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asof join attaches most recent right row; ties match; no-match is null") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "p1"),
+      (1L, ts("2024-01-01 12:00:00"), "p2"),
+      (2L, ts("2024-01-01 09:00:00"), "p3") // before any right row
+    ).toDF("k", "ts", "name")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:30:00"), 100.0),
+      (1L, ts("2024-01-01 12:00:00"), 200.0), // exact tie with p2
+      (2L, ts("2024-01-01 11:00:00"), 300.0)
+    ).toDF("k", "ts", "v")
+    val out = AsofJoin.asof(left, right, "k", "ts", "ts")
+      .orderBy("name").collect()
+    assert(out(0).getAs[Double]("asof_v") == 100.0) // p1 ← 09:30 row
+    assert(out(1).getAs[Double]("asof_v") == 200.0) // p2 ← tie matches
+    assert(out(2).isNullAt(out(2).fieldIndex("asof_v"))) // p3 ← nothing before
+  }
+
+  test("right payload columns come from the same matched row") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("k", "ts")
+    // most recent right row has a NULL payload field — a per-column
+    // last(ignoreNulls) would resurrect 'a' from the older row
+    val right = Seq(
+      (1L, ts("2024-01-01 08:00:00"), Option("old"), Option(1.0)),
+      (1L, ts("2024-01-01 09:00:00"), None: Option[String], Option(2.0))
+    ).toDF("k", "ts", "tag", "v")
+    val out = AsofJoin.asof(left, right, "k", "ts", "ts").collect()(0)
+    assert(out.isNullAt(out.fieldIndex("asof_tag")))
+    assert(out.getAs[Double]("asof_v") == 2.0)
+  }
+}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("watermarked windowed rollup over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val q = EventStream.windowedRollup(events, "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("rollup")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(
+        (ts("2024-01-01 00:10:00"), "click", 1.0),
+        (ts("2024-01-01 00:40:00"), "click", 2.0),
+        (ts("2024-01-01 01:10:00"), "view", 5.0))
+      q.processAllAvailable()
+      val out = spark.table("rollup")
+        .select(col("window.start").cast("string").as("w"), col("event_type"), col("n"), col("value_sum"))
+        .orderBy("w", "event_type").collect()
+      assert(out.length == 2)
+      assert(out(0).getAs[Long]("n") == 2L && out(0).getAs[Double]("value_sum") == 3.0)
+      assert(out(1).getAs[String]("event_type") == "view")
+    } finally q.stop()
+  }
+
+  test("session windows close on gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val events = mem.toDF().toDF("ts", "user_id", "value")
+    val q = EventStream.sessionWindows(events, "30 minutes", "2 hours")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(
+        (ts("2024-01-01 00:00:00"), 1L, 1.0),
+        (ts("2024-01-01 00:10:00"), 1L, 1.0),
+        (ts("2024-01-01 02:00:00"), 1L, 1.0)) // gap > 30min → second session
+      q.processAllAvailable()
+      val out = spark.table("sessions").collect()
+      assert(out.length == 2)
+      assert(out.map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionizer emits closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.Event]
+    val q = EventStream.statefulSessions(mem.toDS(),
+        gapMs = 30 * 60 * 1000, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("stateful")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        EventStream.Event(1L, ts("2024-01-01 00:00:00"), 1.0),
+        EventStream.Event(1L, ts("2024-01-01 00:10:00"), 2.0),
+        EventStream.Event(1L, ts("2024-01-01 01:00:00"), 7.0))
+      q.processAllAvailable()
+      val out = spark.table("stateful").collect()
+      // first session (2 events, sum 3.0) closed by the in-batch gap
+      assert(out.length == 1)
+      assert(out(0).getAs[Long]("n_events") == 2L)
+      assert(out(0).getAs[Double]("value_sum") == 3.0)
+      // another user's late-hour event advances the watermark past
+      // 01:00 + gap → user 1's open session closes via event-time timeout
+      mem.addData(EventStream.Event(2L, ts("2024-01-01 10:00:00"), 4.0))
+      q.processAllAvailable()
+      val out2 = spark.table("stateful").orderBy("user_id", "n_events").collect()
+      assert(out2.length == 2)
+      assert(out2(0).getAs[Long]("n_events") == 1L)
+      assert(out2(0).getAs[Double]("value_sum") == 7.0)
+    } finally q.stop()
+  }
+}
