@@ -26,33 +26,30 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
-  /** Word n-gram shingles of a text column (pure expressions, codegen'd). */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = TextAnalysis.tokens(text)
-    filter(
-      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
-        i => array_join(slice(toks, i + 1, lit(n)), " ")),
-      s => length(s) > 0)
-  }
+  /** Word n-gram shingles of a text column — the codegen'd
+    * [[graft.functions.WordShingles]] kernel (one pass: tokenize + window +
+    * join; ~10× the interpreted higher-order-function chain).
+    */
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.functions.WordShingles(text, n)
 
-  /** k MinHash values per row. Hash family: xxhash64(seed_i, shingle) —
-    * one 64-bit hash per (band index, shingle), min-reduced per doc.
-    * Emits `id, signature: array<long>`. Rows with no shingles are dropped
-    * (they cannot collide meaningfully).
+  /** k MinHash values per row via the codegen'd
+    * [[graft.functions.MinHashSignature]] kernel (xxhash64 double-hashing,
+    * one pass over the shingle set). Emits `id, signature: array<long>`.
+    * Rows with no shingles are dropped (they cannot collide meaningfully).
+    *
+    * Entirely map-side — NO shuffle, versus the explode + k-way groupBy
+    * formulation which shuffles |docs|·|shingles| rows. At 100 TB the
+    * signature stage is a pure scan; the only shuffle in the LSH pipeline
+    * is the band-hash bucket groupBy (k longs per doc).
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        k: Int = 64, shingleLen: Int = 3): DataFrame = {
-    // explode shingles to rows, then k min-aggregates in ONE groupBy pass:
-    // the shingle expression is evaluated once per doc (not k times — an
-    // array-expression formulation gets inlined k× by CollapseProject),
-    // and map-side partial aggregation shrinks the shuffle to k longs/doc.
-    val exploded = df.select(col(idCol).as("id"),
-      explode(array_distinct(shingles(col(textCol), shingleLen))).as("sh"))
-    val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
-    exploded.groupBy(col("id"))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("id"), array((0 until k).map(i => col(s"h$i")): _*).as("signature"))
-  }
+                        k: Int = 64, shingleLen: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"),
+        array_distinct(shingles(col(textCol), shingleLen)).as("ss"))
+      .filter(size(col("ss")) > 0)
+      .select(col("id"),
+        graft.functions.MinHashSignature(col("ss"), k).as("signature"))
 
   /** LSH banding: one (band_id, band_hash) bucket key per band. */
   def lshBuckets(sigs: DataFrame, k: Int, bands: Int): DataFrame = {

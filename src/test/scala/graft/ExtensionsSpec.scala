@@ -66,6 +66,32 @@ class MultimodalSpec extends SparkSpec {
   }
 }
 
+class ShingleKernelSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.TextAnalysis
+
+  test("shingle kernel matches the expression formulation on edge cases") {
+    val df = Seq(
+      "the quick brown fox jumps",
+      "one two",     // fewer tokens than n → one short shingle
+      "solo",        // single token
+      "",            // empty → empty array
+      "  spaced\t tokens \n here  "
+    ).toDF("text")
+    // reference formulation (the interpreted HOF chain this kernel replaced)
+    val toks = TextAnalysis.tokens(col("text"))
+    val ref = filter(
+      transform(sequence(lit(0), greatest(size(toks) - 3, lit(0))),
+        i => array_join(slice(toks, i + 1, lit(3)), " ")),
+      s => length(s) > 0)
+    val rows = df.select(
+      graft.functions.WordShingles(col("text"), 3).as("fast"), ref.as("ref")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+    }
+  }
+}
+
 class AsofJoinSpec extends SparkSpec {
   import spark.implicits._
   import graft.operators.AsofJoin
