@@ -108,9 +108,30 @@ object ParquetExtractor extends Extractor {
   }
 }
 
+/** Full extractor roster (reference: plugins/extractors/populate.go:4-29,
+  * all 26, plus our parquet extractor).
+  */
 object Populate {
   def register(r: Registry[Extractor]): Unit = {
     r.register(CsvExtractor)
     r.register(ParquetExtractor)
+    Dialects.all.foreach(d => r.register(new JdbcIntrospectionExtractor(d)))
+    r.register(MongoExtractor)
+    r.register(CassandraExtractor)
+    r.register(CouchExtractor)
+    r.register(ElasticExtractor)
+    r.register(KafkaExtractor)
+    r.register(GcsExtractor)
+    r.register(BigtableExtractor)
+    r.register(RedshiftExtractor)
+    r.register(BigQueryExtractor)
+    r.register(GithubExtractor)
+    r.register(ShieldExtractor)
+    r.register(GrafanaExtractor)
+    r.register(SupersetExtractor)
+    r.register(RedashExtractor)
+    r.register(TableauExtractor)
+    r.register(MetabaseExtractor)
+    r.register(OptimusExtractor)
   }
 }

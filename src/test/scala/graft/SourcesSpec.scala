@@ -1,0 +1,173 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+
+import graft.model._
+import graft.plugins.Registries
+import graft.sources._
+
+/** Extractor-family tests with fixture clients (the offline analogue of the
+  * reference's dockertest integration suites).
+  */
+class JdbcFamilySpec extends SparkSpec {
+
+  private class FixtureRunner extends QueryRunner {
+    val log = scala.collection.mutable.ArrayBuffer[String]()
+    override def run(sql: String): Seq[Map[String, String]] = {
+      log += sql
+      if (sql == "SHOW DATABASES")
+        Seq("mysql", "shop", "information_schema").map(n => Map("name" -> n))
+      else if (sql.startsWith("SHOW TABLES"))
+        Seq(Map("name" -> "orders"), Map("name" -> "users"))
+      else // columns query
+        Seq(
+          Map("column_name" -> "id", "data_type" -> "bigint",
+            "is_nullable" -> "NO", "length" -> "0"),
+          Map("column_name" -> "name", "data_type" -> "varchar",
+            "is_nullable" -> "YES", "length" -> "255",
+            "column_comment" -> "display name"))
+    }
+  }
+
+  test("mysql introspection: system DBs excluded, schema facet populated") {
+    val runner = new FixtureRunner
+    val ex = new JdbcIntrospectionExtractor(Dialects.mysql)
+    val out = ex.extract(spark,
+      Map("runner" -> runner, "identifier" -> "db-host")).collect()
+    // 1 surviving db × 2 tables; mysql + information_schema excluded
+    assert(out.length == 2)
+    val r = out.map(_.getAs[Row]("resource")).map(_.getAs[String]("urn")).sorted
+    assert(r.head == "mysql::db-host/shop/orders")
+    assert(!runner.log.exists(_.contains("information_schema.columns WHERE table_name = 'x' AND table_schema = 'mysql'")))
+    val schema = out(0).getSeq[Row](out(0).fieldIndex("schema"))
+    assert(schema.map(_.getAs[String]("name")) == Seq("id", "name"))
+    assert(schema(1).getAs[Boolean]("isNullable"))
+    assert(schema(1).getAs[Long]("length") == 255L)
+  }
+
+  test("all eight dialects registered with distinct discovery SQL") {
+    assert(Dialects.all.map(_.service).toSet.size == 8)
+    Registries.populate()
+    Dialects.all.foreach(d => assert(Registries.extractors.contains(d.service)))
+  }
+}
+
+class CatalogFamilySpec extends SparkSpec {
+
+  test("mongodb: system dbs/collections excluded, collections sorted, row counts kept") {
+    val client = new MongoCatalog {
+      def listDatabases() = Seq("admin", "app")
+      def listCollectionNames(db: String) = Seq("zeta", "alpha", "system.views")
+      def estimatedDocumentCount(db: String, c: String) = 42L
+    }
+    val out = MongoExtractor.extract(spark, Map("client" -> client)).collect()
+    assert(out.length == 2)
+    val names = out.map(_.getAs[Row]("resource").getAs[String]("name"))
+    assert(names.toSeq == Seq("alpha", "zeta")) // sorted (mongodb.go:115)
+    assert(out(0).getAs[Row]("profile").getAs[Long]("totalRows") == 42L)
+  }
+
+  test("kafka: partitions counted per topic, internal topics skipped") {
+    val client = new KafkaAdmin {
+      def topicPartitions() = Seq(
+        ("orders", 0), ("orders", 1), ("orders", 2),
+        ("__consumer_offsets", 0), ("clicks", 0))
+    }
+    val out = KafkaExtractor.extract(spark,
+      Map("client" -> client, "broker" -> "b:9092")).collect()
+    assert(out.length == 2)
+    val byName = out.map(r =>
+      r.getAs[Row]("resource").getAs[String]("name") ->
+        r.getAs[Row]("profile").getAs[Long]("numberOfPartitions")).toMap
+    assert(byName == Map("orders" -> 3L, "clicks" -> 1L))
+  }
+
+  test("gcs: blob listing behind extract_blob flag") {
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val client = new ObjectStoreClient {
+      def buckets() = Seq(("data-lake", "EU", "STANDARD", t0))
+      def blobs(b: String) = Seq(("part-0.parquet", 1024L, t0))
+    }
+    val without = GcsExtractor.extract(spark,
+      Map("client" -> client, "project_id" -> "p")).collect()(0)
+    assert(without.getSeq[Row](without.fieldIndex("blobs")).isEmpty)
+    val withBlobs = GcsExtractor.extract(spark,
+      Map("client" -> client, "project_id" -> "p", "extract_blob" -> "true")).collect()(0)
+    val blobs = withBlobs.getSeq[Row](withBlobs.fieldIndex("blobs"))
+    assert(blobs.map(_.getAs[String]("name")) == Seq("part-0.parquet"))
+    assert(blobs(0).getAs[Long]("size") == 1024L)
+  }
+}
+
+class RestFamilySpec extends SparkSpec {
+
+  test("metabase: chart upstreams parsed from card SQL, dashboard lineage deduped") {
+    val client = new MetabaseClient {
+      def dashboards() = Seq(MetabaseDashboard("7", "Revenue", Seq(
+        MetabaseCard("1", "by region",
+          "SELECT * FROM shop.orders o JOIN shop.customers c ON o.cid = c.id"),
+        MetabaseCard("2", "totals", "select sum(x) from shop.orders"))))
+    }
+    val out = MetabaseExtractor.extract(spark,
+      Map("client" -> client, "identifier" -> "mb", "database_host" -> "pg")).collect()(0)
+    val charts = out.getSeq[Row](out.fieldIndex("charts"))
+    assert(charts.length == 2)
+    val chart1Ups = charts(0).getAs[Row]("lineage").getSeq[Row](0).map(_.getAs[String]("urn"))
+    assert(chart1Ups == Seq("table::pg/shop/orders", "table::pg/shop/customers"))
+    // dashboard upstreams: union of charts, orders deduped across cards
+    val dashUps = out.getAs[Row]("lineage").getSeq[Row](0).map(_.getAs[String]("urn"))
+    assert(dashUps == Seq("table::pg/shop/orders", "table::pg/shop/customers"))
+  }
+
+  test("optimus: bigquery:// dependency URNs remapped, destination is downstream") {
+    assert(OptimusExtractor.remapUrn("bigquery://proj:ds.tbl") == "bigquery::proj/ds/tbl")
+    val client = new OptimusClient {
+      def projects() = Seq("p1")
+      def namespaces(p: String) = Seq("ns")
+      def jobs(p: String, ns: String) = Seq(OptimusJob("daily-agg",
+        owner = "team@x", dependencies = Seq("bigquery://p:raw.events"),
+        destination = "bigquery://p:mart.daily"))
+    }
+    val out = OptimusExtractor.extract(spark,
+      Map("client" -> client, "host" -> "opt")).collect()(0)
+    assert(out.getAs[Row]("resource").getAs[String]("urn") == "optimus::opt/p1.ns.daily-agg")
+    val lin = out.getAs[Row]("lineage")
+    assert(lin.getSeq[Row](0).map(_.getAs[String]("urn")) == Seq("bigquery::p/raw/events"))
+    assert(lin.getSeq[Row](1).map(_.getAs[String]("urn")) == Seq("bigquery::p/mart/daily"))
+  }
+
+  test("bigquery: preview sanitized, profile in one pass, partition key kept") {
+    import spark.implicits._
+    val client = new BigQueryCatalog {
+      def datasets() = Seq("sales")
+      def tables(ds: String) = Seq("orders")
+      def tableInfo(ds: String, t: String) = (Map("env" -> "prod"), "order_date")
+      def loadTable(s: org.apache.spark.sql.SparkSession, ds: String, t: String) =
+        Seq((1L, " ", 10.0), (2L, "ok", 20.0)).toDF("id", "note", "amount")
+    }
+    val out = BigQueryExtractor.extract(spark, Map(
+      "client" -> client, "project_id" -> "p",
+      "include_column_profile" -> "true", "max_preview_rows" -> "10")).collect()(0)
+    val profile = out.getAs[Row]("profile")
+    assert(profile.getAs[Long]("totalRows") == 2L)
+    assert(profile.getAs[String]("partitionKey") == "order_date")
+    val preview = out.getAs[Row]("preview")
+    assert(preview.getAs[String]("rows").contains("\"null\"")) // NBSP scrubbed
+    val cols = out.getSeq[Row](out.fieldIndex("schema"))
+    val amount = cols.find(_.getAs[String]("name") == "amount").get
+    assert(amount.getAs[Row]("profile").getAs[Long]("count") == 2L)
+  }
+
+  test("registry lists the full 27-extractor roster") {
+    Registries.populate()
+    val names = Registries.extractors.list.map(_.name).toSet
+    val expected = Set(
+      "csv", "parquet", "mysql", "mariadb", "postgres", "mssql", "oracle",
+      "clickhouse", "presto", "snowflake", "mongodb", "cassandra", "couchdb",
+      "elastic", "kafka", "gcs", "bigtable", "redshift", "bigquery", "github",
+      "shield", "grafana", "metabase", "superset", "redash", "tableau", "optimus")
+    assert(expected.subsetOf(names), s"missing: ${expected -- names}")
+  }
+}
