@@ -168,6 +168,25 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  private def rangeJoinClicks(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    // clicks in the hour strictly before each purchase, then left-outer
+    // semantics restored by joining the rollup back onto all purchases
+    val pairs = RangeJoin.withinInterval(purchases, clicks, "user_id",
+      "ts", "ts", lowerOffsetMs = -3600000L, upperOffsetMs = 0L)
+    val rollup = pairs.groupBy(col("event_id"))
+      .agg(count(lit(1)).as("nc"), sum(col("r_value")).as("cv"))
+    purchases.join(rollup, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("nc"), lit(0L)).as("n_clicks"),
+        round(coalesce(col("cv"), lit(0.0)), 2).as("click_value"))
+      .orderBy(col("event_id"))
+  }
+
   private def sessionWindowRollup(s: SparkSession, dir: String): DataFrame =
     graft.streaming.EventStream.sessionWindows(
         t(s, dir, "events").select(col("ts"), col("user_id"), col("value")),
@@ -318,6 +337,7 @@ object SparkEntry {
     "q_time_buckets" -> (timeBuckets _),
     "q_sql_conditions" -> (sqlConditions _),
     "q_asof_attribution" -> (asofAttribution _),
+    "q_range_join" -> (rangeJoinClicks _),
     "q_session_window" -> (sessionWindowRollup _),
     "d_dedup_exact" -> (dedupExact _),
     "d_token_counts" -> (tokenCounts _),
@@ -448,6 +468,14 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+    "q_range_join" ->
+      """SELECT p.event_id, p.user_id, count(c.ts) AS n_clicks,
+        | round(coalesce(sum(c.value), 0), 2) AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = p.user_id
+        |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+        |GROUP BY p.event_id, p.user_id ORDER BY p.event_id""".stripMargin,
     "q_session_window" ->
       """WITH g AS (
         | SELECT user_id, ts, value,

@@ -130,6 +130,43 @@ class AsofJoinSpec extends SparkSpec {
   }
 }
 
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.RangeJoin
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("bucketed interval join matches exact window, no duplicate pairs") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "p1"),
+      (2L, ts("2024-01-01 10:30:00"), "p2")
+    ).toDF("k", "ts", "name")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 1.0),  // exactly lower bound → included
+      (1L, ts("2024-01-01 09:59:59"), 2.0),  // inside
+      (1L, ts("2024-01-01 10:00:00"), 4.0),  // == left ts → excluded (upper exclusive)
+      (1L, ts("2024-01-01 08:59:59"), 8.0),  // before window
+      (2L, ts("2024-01-01 10:15:00"), 16.0)  // other key, inside its window
+    ).toDF("k", "ts", "v")
+    val out = RangeJoin.withinInterval(left, right, "k", "ts", "ts",
+        lowerOffsetMs = -3600000L, upperOffsetMs = 0L)
+      .groupBy("name").agg(sum("r_v").as("s"), count(lit(1)).as("n"))
+      .orderBy("name").collect()
+    assert(out(0).getAs[Double]("s") == 3.0 && out(0).getAs[Long]("n") == 2L)
+    assert(out(1).getAs[Double]("s") == 16.0 && out(1).getAs[Long]("n") == 1L)
+  }
+
+  test("window spanning many buckets still produces each pair once") {
+    val left = Seq((1L, ts("2024-01-01 12:00:00"))).toDF("k", "ts")
+    val right = (0 until 12).map(h =>
+      (1L, ts(f"2024-01-01 $h%02d:30:00"), 1.0)).toDF("k", "ts", "v")
+    // 6-hour lookback over 1-hour buckets → probes 7 buckets
+    val out = RangeJoin.withinInterval(left, right, "k", "ts", "ts",
+      lowerOffsetMs = -6L * 3600000L, upperOffsetMs = 0L).collect()
+    assert(out.length == 6) // 06:30 .. 11:30
+  }
+}
+
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
