@@ -9,10 +9,9 @@ import org.apache.spark.sql.functions._
   * counts, pairwise co-occurrence ("join") counts, and condition sets.
   *
   * Scale notes: `usageCounts` is a partial-aggregated groupBy (shuffle
-  * carries one row per distinct entity). `coOccurrence` is a key-equi
-  * self-join — at 100 TB the join key (e.g. query id / order id) has small
-  * per-key cardinality so the self-join fans out k² per group with tiny k;
-  * skewed hot keys are handled by AQE skew-join splitting.
+  * carries one row per distinct entity). `coOccurrence` shuffles once —
+  * distinct entities collected per group, pairs expanded inside the group
+  * — instead of a double-shuffled self-join; degenerate groups are capped.
   */
 object UsageStats {
 
@@ -23,14 +22,24 @@ object UsageStats {
   /** Pairwise co-occurrence of `entity` values sharing the same `groupKey`
     * (stats.go:77-115 — pairwise joined-tables counts). Emits each unordered
     * pair once (a < b).
+    *
+    * One shuffle, not a self-join: collect each group's distinct entities
+    * (sorted, map-side partial agg) and expand the a<b pairs inside the
+    * group with array expressions. A self-join would shuffle the table
+    * twice and re-hash every group; here group size k expands to k(k−1)/2
+    * pairs inline, and `maxGroupSize` caps degenerate groups (same guard
+    * as LSH bucket blowup).
     */
-  def coOccurrence(df: DataFrame, groupKey: String, entity: String): DataFrame = {
-    val a = df.select(col(groupKey).as("k"), col(entity).as("a")).distinct()
-    val b = df.select(col(groupKey).as("k"), col(entity).as("b")).distinct()
-    a.join(b, a("k") === b("k") && a("a") < b("b"))
-      .groupBy(col("a"), col("b"))
+  def coOccurrence(df: DataFrame, groupKey: String, entity: String,
+                   maxGroupSize: Int = 10000): DataFrame =
+    df.groupBy(col(groupKey))
+      .agg(sort_array(collect_set(col(entity))).as("es"))
+      .filter(size(col("es")).between(2, maxGroupSize))
+      .select(explode(flatten(transform(col("es"), (x, i) =>
+        transform(slice(col("es"), i + 2, size(col("es"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("pair_count"))
-  }
 
   /** Distinct condition set per entity (stats.go:117-129 → collect_set),
     * sorted for deterministic output.
