@@ -66,4 +66,57 @@ object SchemaFormats {
     }.mkString(", ")
     s"""{"type": "record", "name": "${jsonEscape(name)}", "fields": [$fields]}"""
   }
+
+  // --- column-facet variants: asset schemas carry source-native type NAMES
+  // (e.g. "varchar", "bigint"), not Spark DataTypes ---
+
+  private def nameToJsonSchemaType(t: String): String = {
+    val n = t.toLowerCase
+    if (n.startsWith("array")) "array"
+    else if (n.startsWith("struct") || n.startsWith("map")) "object"
+    else if (n.contains("bool")) "boolean"
+    else if (Seq("int", "long", "short", "byte", "float", "double", "decimal",
+      "numeric", "real", "number").exists(n.contains)) "number"
+    else "string"
+  }
+
+  private def nameToAvroType(t: String): String = {
+    val n = t.toLowerCase
+    if (n.startsWith("array")) "array"
+    else if (n.startsWith("struct") || n.startsWith("map")) "record"
+    else if (n.contains("bool")) "boolean"
+    else if (n.contains("bigint") || n == "long") "long"
+    else if (n.contains("int") || n.contains("short") || n.contains("byte")) "int"
+    else if (n == "float" || n == "real") "float"
+    else if (Seq("double", "decimal", "numeric", "number").exists(n.contains)) "double"
+    else if (n.contains("binary") || n.contains("blob") || n.contains("bytes")) "bytes"
+    else "string"
+  }
+
+  /** JSON-Schema document from a column facet:
+    * (name, source type name, nullable) triples.
+    */
+  def columnsToJsonSchema(cols: Seq[(String, String, Boolean)], id: String,
+                          description: String = ""): String = {
+    val props = cols.map { case (name, t, nullable) =>
+      val jt =
+        if (nullable) s"""["${nameToJsonSchemaType(t)}", "null"]"""
+        else s""""${nameToJsonSchemaType(t)}""""
+      s""""${jsonEscape(name)}": {"type": $jt}"""
+    }.mkString(", ")
+    s"""{"$$schema": "https://json-schema.org/draft/2020-12/schema", """ +
+      s""""$$id": "${jsonEscape(id)}", "description": "${jsonEscape(description)}", """ +
+      s""""type": "object", "properties": {$props}}"""
+  }
+
+  /** Avro record schema document from a column facet. */
+  def columnsToAvroSchema(cols: Seq[(String, String, Boolean)], name: String): String = {
+    val fields = cols.map { case (n, t, nullable) =>
+      val at =
+        if (nullable) s"""["null", "${nameToAvroType(t)}"]"""
+        else s""""${nameToAvroType(t)}""""
+      s"""{"name": "${jsonEscape(n)}", "type": $at}"""
+    }.mkString(", ")
+    s"""{"type": "record", "name": "${jsonEscape(name)}", "fields": [$fields]}"""
+  }
 }

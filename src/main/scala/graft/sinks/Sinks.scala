@@ -255,14 +255,16 @@ class StencilSink(poster: HttpPoster = JdkHttpPoster) extends SinkPlugin {
     val format = config.getOrElse("format", "json").toString
     var n = 0L
     // schema documents are built from each asset's column facet
-    val rows = df.select(col("resource.urn"), to_json(col("schema")).as("cols"))
+    val rows = df.select(col("resource.urn"),
+        col("schema.name"), col("schema.dataType"), col("schema.isNullable"))
       .collect()
     rows.foreach { r =>
       val urn = r.getString(0).replace("/", ".").replace("::", ".")
-      val cols = r.getString(1)
+      val cols = r.getSeq[String](1)
+        .lazyZip(r.getSeq[String](2)).lazyZip(r.getSeq[Boolean](3)).toSeq
       val body =
-        if (format == "avro") s"""{"schema": "avro", "columns": $cols}"""
-        else s"""{"schema": "json", "columns": $cols}"""
+        if (format == "avro") SchemaFormats.columnsToAvroSchema(cols, urn)
+        else SchemaFormats.columnsToJsonSchema(cols, urn)
       val code = poster.post(s"$host/v1beta1/namespaces/$ns/schemas/$urn",
         "POST", Map("Content-Type" -> "application/json"), body)
       if (code >= 500) throw new RetryableException(s"stencil: server error $code")

@@ -254,4 +254,34 @@ class SchemaFormatsSpec extends SparkSpec {
     // must be valid Avro per the bundled avro library
     new org.apache.avro.Schema.Parser().parse(av)
   }
+
+  test("stencil sink posts a JSON-Schema document per table asset") {
+    import spark.implicits._
+    val asset = graft.model.TableAsset(
+      resource = graft.model.Resource(urn = "mysql::h/shop/orders",
+        name = "orders", service = "mysql", `type` = "table"),
+      schema = Seq(
+        graft.model.ColumnDef(name = "id", dataType = "bigint", isNullable = false),
+        graft.model.ColumnDef(name = "note", dataType = "varchar", isNullable = true)))
+    val df = Seq(asset).toDS().toDF()
+    val posts = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val poster = new graft.sinks.HttpPoster {
+      def post(url: String, method: String, headers: Map[String, String],
+               body: String): Int = { posts += ((url, body)); 200 }
+    }
+    val n = new graft.sinks.StencilSink(poster).sink(df,
+      Map("host" -> "http://st", "namespace_id" -> "ns"))
+    assert(n == 1L)
+    val (url, body) = posts(0)
+    assert(url == "http://st/v1beta1/namespaces/ns/schemas/mysql.h.shop.orders")
+    assert(body.contains(""""id": {"type": "number"}"""))
+    assert(body.contains(""""note": {"type": ["string", "null"]}"""))
+  }
+
+  test("stencil avro format emits parseable Avro from the column facet") {
+    val cols = Seq(("id", "bigint", false), ("name", "varchar", true))
+    val av = graft.sinks.SchemaFormats.columnsToAvroSchema(cols, "orders")
+    new org.apache.avro.Schema.Parser().parse(av)
+    assert(av.contains("""{"name": "id", "type": "long"}"""))
+  }
 }
