@@ -54,9 +54,11 @@ object TextAnalysis {
     * lower-cased text. Identical logical content → identical fingerprint;
     * the standard first-pass exact-dedup key at 100 TB (hash is computed
     * map-side; the dedup groupBy shuffles only the 32-char digest + id).
+    * Canonicalization runs as the one-pass
+    * [[graft.functions.CanonicalizeText]] kernel rather than a regex.
     */
   def fingerprint(text: Column): Column =
-    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+    md5(graft.functions.CanonicalizeText(text))
 
   /** Marker-token language scores. Returns one count column per language of
     * how many tokens hit that language's marker list. Argmax of the scores

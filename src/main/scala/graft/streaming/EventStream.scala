@@ -35,6 +35,17 @@ object EventStream {
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
 
+  /** Streaming exact dedup: first occurrence per key wins; state for a key
+    * is dropped once the watermark passes its event time (bounded state).
+    * The streaming counterpart of batch `Dedup.exact` — dedup a 100 TB
+    * ingest stream by content fingerprint with the fingerprint computed
+    * map-side (`TextAnalysis.fingerprint`) before this operator.
+    */
+  def streamingDedup(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                     watermark: String = "1 hour"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(count: Long, sum: Double, lastTs: Long)
   case class SessionOut(user_id: Long, n_events: Long, value_sum: Double)

@@ -130,6 +130,49 @@ class AsofJoinSpec extends SparkSpec {
   }
 }
 
+class CanonicalizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("canonicalize kernel matches the regex formulation bit-for-bit") {
+    val df = Seq(
+      "  Hello\t\tWorld \r\n",
+      "already canonical",
+      "MiXeDCase\f\fhere",
+      "",
+      "   \t  "
+    ).toDF("text")
+    val rows = df.select(
+      graft.functions.CanonicalizeText(col("text")).as("fast"),
+      lower(regexp_replace(trim(col("text")), "\\s+", " ")).as("ref")).collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1), r))
+  }
+}
+
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Skew
+
+  test("salted join equals the plain join") {
+    val big = (1 to 500).map(i => (i % 3, i)).toDF("k", "v")   // hot keys 0,1,2
+    val small = Seq((0, "a"), (1, "b"), (9, "z")).toDF("k", "tag")
+    val expected = big.join(small, Seq("k")).orderBy("v").collect()
+    val got = Skew.saltedJoin(big, small, Seq("k"), salt = 8)
+      .orderBy("v").collect()
+    assert(got.length == expected.length)
+    assert(got.map(_.toSeq).toSeq == expected.map(_.toSeq).toSeq)
+  }
+
+  test("salted two-phase distinct sets equal direct collect_set") {
+    val df = (1 to 300).map(i => (i % 2, s"v${i % 7}")).toDF("k", "v")
+    val got = Skew.saltedDistinctSets(df, "k", "v", salt = 4)
+      .orderBy("k").collect()
+    val direct = df.groupBy("k")
+      .agg(array_sort(collect_set(col("v"))).as("values"))
+      .orderBy("k").collect()
+    assert(got.map(_.getSeq[String](1)).toSeq == direct.map(_.getSeq[String](1)).toSeq)
+  }
+}
+
 class RangeJoinSpec extends SparkSpec {
   import spark.implicits._
   import graft.operators.RangeJoin
@@ -210,6 +253,26 @@ class StreamingSpec extends SparkSpec {
       val out = spark.table("sessions").collect()
       assert(out.length == 2)
       assert(out.map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("streaming dedup keeps first occurrence, drops in-stream repeats") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val events = mem.toDF().toDF("ts", "fp", "doc_id")
+    val q = EventStream.streamingDedup(events, Seq("fp"), "ts", "1 hour")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        (ts("2024-01-01 00:00:00"), "aaa", 1L),
+        (ts("2024-01-01 00:05:00"), "aaa", 2L), // dup within watermark
+        (ts("2024-01-01 00:10:00"), "bbb", 3L))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 00:20:00"), "aaa", 4L)) // still within watermark
+      q.processAllAvailable()
+      val out = spark.table("dedup").orderBy("doc_id").collect()
+      assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 3L))
     } finally q.stop()
   }
 
