@@ -70,15 +70,17 @@ object Similarity {
     * Centroids are a Scala-side list (broadcast as literals) — at real
     * scale they come from a sampled k-means; here any deterministic
     * codebook works. Adds `centroid_id`.
+    *
+    * Distances run through the codegen'd L2 kernel, one expression per
+    * centroid (C is small by construction) — the interpreted
+    * `transform(zip_with(...))` formulation paid per-element lambda
+    * dispatch × C × dims for every corpus row.
     */
   def assignCentroids(df: DataFrame, vecCol: String,
                       centroids: Seq[Seq[Double]]): DataFrame = {
-    val cents = array(centroids.map(c => array(c.map(lit): _*)): _*)
     val v = col(vecCol).cast("array<double>")
-    // argmin over squared L2 distance, computed as one expression tree
-    val dists = transform(cents, c =>
-      aggregate(zip_with(v, c, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x))
+    val dists = array(centroids.map(c =>
+      graft.functions.VectorFunctions.l2_squared(v, array(c.map(lit): _*))): _*)
     df.withColumn("centroid_id",
       array_position(dists, array_min(dists)).cast("int") - 1)
   }
@@ -95,11 +97,9 @@ object Similarity {
       corpus.select(col(idCol).as("c_id"), col(vecCol).cast("array<double>").as("c_vec")),
       "c_vec", centroids)
     // per-query probe list: ids of the nprobe nearest centroids
-    val cents = array(centroids.map(cc => array(cc.map(lit): _*)): _*)
     val qv = col("q_vec")
-    val qdists = transform(cents, cc =>
-      aggregate(zip_with(qv, cc, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x))
+    val qdists = array(centroids.map(cc =>
+      graft.functions.VectorFunctions.l2_squared(qv, array(cc.map(lit): _*))): _*)
     val probes = slice(transform(array_sort(
       zip_with(qdists, sequence(lit(0), lit(centroids.size - 1)),
         (d, i) => struct(d.as("d"), i.as("i")))),
