@@ -461,6 +461,23 @@ object SparkEntry {
         | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts))
         |SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the regex grammar is shared verbatim with the Spark side (SqlParse);
+    // RE2 and Java agree on this pattern (verified: identical extractions)
+    "q_sql_conditions" -> {
+      val pat = graft.functions.SqlParse.filterPattern.replace("'", "''")
+      s"""WITH logs AS (
+         | SELECT 'SELECT * FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey WHERE p_brand = ''' || p_brand || ''' AND p_size > ' || p_size AS sql
+         | FROM part),
+         |cleaned AS (
+         | SELECT regexp_replace(trim(regexp_replace(regexp_replace(sql,
+         |   '(--[^\\n]*)|(/\\*[\\w\\W]*?\\*/)', ' ', 'g'), '\\s+', ' ', 'g')),
+         |   ';', '', 'g') AS sql FROM logs),
+         |conds AS (
+         | SELECT unnest(regexp_extract_all(sql, '$pat', 0)) AS condition
+         | FROM cleaned)
+         |SELECT condition, count(*) AS n FROM conds
+         |GROUP BY condition ORDER BY n DESC, condition""".stripMargin
+    },
     "q_asof_attribution" ->
       """SELECT p.event_id, p.user_id, c.event_id AS prior_event_id,
         | round(c.value, 2) AS prior_value
