@@ -130,6 +130,28 @@ class AsofJoinSpec extends SparkSpec {
   }
 }
 
+class IvfLayoutSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Similarity
+
+  test("centroid assignment doubles as a pruned physical layout") {
+    val vecs = (0 until 100).map(i =>
+      (i.toLong, Array(i % 4 * 10.0, 1.0))).toDF("vec_id", "embedding")
+    val centroids = Seq(Seq(0.0, 1.0), Seq(10.0, 1.0), Seq(20.0, 1.0), Seq(30.0, 1.0))
+    val dir = java.nio.file.Files.createTempDirectory("ivf").resolve("t").toString
+    Similarity.assignCentroids(vecs, "embedding", centroids)
+      .write.partitionBy("centroid_id").parquet(dir)
+
+    val probe = spark.read.parquet(dir).filter(col("centroid_id") === 2)
+    // the probe must read ONE partition directory, not scan-and-filter
+    val scan = probe.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters"))
+    assert(scan.contains("centroid_id"), scan)
+    assert(probe.count() == 25)
+    assert(probe.select("vec_id").as[Long].collect().forall(_ % 4 == 2))
+  }
+}
+
 class CanonicalizeSpec extends SparkSpec {
   import spark.implicits._
 
