@@ -104,28 +104,18 @@ object Dedup {
     verifyJaccard(pairs, df, idCol, textCol, shingleLen, threshold)
   }
 
-  /** 64-bit SimHash over the token stream. Each (doc, token) casts 64
-    * ±1 bit votes (Scala-side constant masks — stays in codegen); per-doc
-    * per-bit sums' signs assemble the hash. Map-side partial aggregation
-    * keeps the shuffle at 64 longs per doc.
+  /** 64-bit SimHash per document via the codegen'd
+    * [[graft.functions.SimHash64]] kernel: each token's xxhash64 casts ±1
+    * votes on all 64 bit positions, signs assemble the hash — one map-side
+    * pass, NO shuffle (the relational explode + double-groupBy version
+    * materialized 64·|tokens| vote rows per doc and shuffled twice).
+    * Docs with no tokens are dropped, matching the explode semantics.
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df
-      .select(col(idCol).as("id"), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val votes = tok.select(col("id"), posexplode(array((0 until 64).map { b =>
-      when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, lit(1)).otherwise(lit(-1))
-    }: _*)).as(Seq("bit", "vote")))
-    // constant mask lookup indexed by bit position — shift-by-column without
-    // leaving codegen (sum of distinct powers == the signed 64-bit value)
-    val maskLookup = array((0 until 64).map(b => lit(1L << b)): _*)
-    votes.groupBy(col("id"), col("bit"))
-      .agg(sum(col("vote")).as("v"))
-      .withColumn("bitval", when(col("v") > 0,
-        element_at(maskLookup, col("bit") + 1)).otherwise(lit(0L)))
-      .groupBy(col("id"))
-      .agg(sum(col("bitval")).as("simhash"))
-  }
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        graft.functions.WordShingles(col(textCol), 1).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("id"), graft.functions.SimHash64(col("toks")).as("simhash"))
 
   /** Hamming distance between two simhash values (for near-dup banding on
     * the 64-bit hash).
