@@ -155,6 +155,17 @@ object SparkEntry {
         col("event_type"), col("n"), col("value_sum"))
       .orderBy(col("bucket"), col("event_type"))
 
+  private def jsonAttributes(s: SparkSession, dir: String): DataFrame =
+    // dynamic JSON attributes (the reference's google.protobuf.Struct →
+    // JSON-string mapping, SURVEY §1.2): extract + aggregate a typed field
+    t(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n"), sum(col("k")).as("k_sum"),
+        round(avg(col("k")), 4).as("k_avg"))
+      .orderBy(col("event_type"))
+
   private def asofAttribution(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
     val purchases = ev.filter(col("event_type") === "purchase")
@@ -338,6 +349,7 @@ object SparkEntry {
     "q_sql_conditions" -> (sqlConditions _),
     "q_asof_attribution" -> (asofAttribution _),
     "q_range_join" -> (rangeJoinClicks _),
+    "q_json_attributes" -> (jsonAttributes _),
     "q_session_window" -> (sessionWindowRollup _),
     "d_dedup_exact" -> (dedupExact _),
     "d_token_counts" -> (tokenCounts _),
@@ -485,6 +497,13 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+    "q_json_attributes" ->
+      """SELECT event_type, count(k) AS n, sum(k) AS k_sum,
+        | round(avg(k), 4) AS k_avg
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_range_join" ->
       """SELECT p.event_id, p.user_id, count(c.ts) AS n_clicks,
         | round(coalesce(sum(c.value), 0), 2) AS click_value

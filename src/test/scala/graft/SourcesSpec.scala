@@ -101,6 +101,55 @@ class CatalogFamilySpec extends SparkSpec {
   }
 }
 
+class AuditLogUsageSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+  private val now = lit("2024-01-10 00:00:00").cast("timestamp")
+
+  private def log = Seq(
+    (ts("2024-01-09 10:00:00"), "DONE",
+      "SELECT * FROM a JOIN b ON a.id = b.id WHERE a.x > 5", Seq("p.d.a", "p.d.b")),
+    (ts("2024-01-09 11:00:00"), "DONE",
+      "SELECT * FROM a WHERE a.x > 5", Seq("p.d.a")),
+    (ts("2024-01-09 12:00:00"), "RUNNING",
+      "SELECT * FROM a", Seq("p.d.a")),                       // not DONE → excluded
+    (ts("2023-12-01 00:00:00"), "DONE",
+      "SELECT * FROM a", Seq("p.d.a"))                        // outside window
+  ).toDF("ts", "state", "sql", "referenced_tables")
+
+  test("usage counts respect state + lookback window") {
+    val completed = graft.sources.AuditLogUsage.completedInWindow(log, now, 7)
+    val usage = graft.sources.AuditLogUsage.usageCounts(completed)
+      .orderBy("table_urn").collect()
+    assert(usage.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("p.d.a", 2L), ("p.d.b", 1L)))
+  }
+
+  test("join stats pair tables with their parsed ON conditions") {
+    val completed = graft.sources.AuditLogUsage.completedInWindow(log, now, 7)
+    val joins = graft.sources.AuditLogUsage.joinStats(completed).collect()
+    assert(joins.length == 1)
+    assert(joins(0).getAs[String]("a") == "p.d.a")
+    assert(joins(0).getAs[String]("b") == "p.d.b")
+    assert(joins(0).getAs[Long]("join_count") == 1L)
+    assert(joins(0).getSeq[String](3).exists(_.contains("a.id = b.id")))
+  }
+
+  test("full table profile merges usage, joins, filters") {
+    val out = graft.sources.AuditLogUsage.tableProfiles(log, now, 7)
+      .orderBy("table_urn").collect()
+    assert(out.length == 2)
+    val a = out(0)
+    assert(a.getAs[String]("table_urn") == "p.d.a")
+    assert(a.getAs[Long]("usage_count") == 2L)
+    assert(a.getSeq[org.apache.spark.sql.Row](a.fieldIndex("joins")).head
+      .getAs[String]("urn") == "p.d.b")
+    assert(a.getSeq[String](a.fieldIndex("filters")).exists(_.contains("a.x > 5")))
+  }
+}
+
 class RestFamilySpec extends SparkSpec {
 
   test("metabase: chart upstreams parsed from card SQL, dashboard lineage deduped") {
