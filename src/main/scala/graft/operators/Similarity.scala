@@ -52,13 +52,19 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
+    import graft.functions.VectorFunctions.{dot_product, vector_norm}
+    // norms computed ONCE per corpus/query row, not per (q, c) pair — the
+    // fused cosine kernel would redo the corpus-side norm |Q| times
     val c = corpus.select(col(idCol).as("c_id"),
-      col(vecCol).cast("array<double>").as("c_vec"))
+        col(vecCol).cast("array<double>").as("c_vec"))
+      .withColumn("c_norm", vector_norm(col("c_vec")))
     val q = queries.select(col(idCol).as("q_id"),
-      col(vecCol).cast("array<double>").as("q_vec"))
+        col(vecCol).cast("array<double>").as("q_vec"))
+      .withColumn("q_norm", vector_norm(col("q_vec")))
     val scored = c.join(broadcast(q), col("c_id") =!= col("q_id"))
       .select(col("q_id"), col("c_id"),
-        fastCosine(col("q_vec"), col("c_vec")).as("sim"))
+        try_divide(dot_product(col("q_vec"), col("c_vec")),
+          col("q_norm") * col("c_norm")).as("sim"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(desc("sim"), asc("c_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -107,10 +113,15 @@ object Similarity {
     val q = queries
       .select(col(idCol).as("q_id"), col(vecCol).cast("array<double>").as("q_vec"))
       .withColumn("probe_ids", probes)
-    val scored = c.join(broadcast(q),
+    val scored = c.withColumn("c_norm",
+        graft.functions.VectorFunctions.vector_norm(col("c_vec")))
+      .join(broadcast(q.withColumn("q_norm",
+        graft.functions.VectorFunctions.vector_norm(col("q_vec")))),
         array_contains(col("probe_ids"), col("centroid_id")) &&
           col("c_id") =!= col("q_id"))
-      .select(col("q_id"), col("c_id"), fastCosine(col("q_vec"), col("c_vec")).as("sim"))
+      .select(col("q_id"), col("c_id"),
+        try_divide(graft.functions.VectorFunctions.dot_product(col("q_vec"), col("c_vec")),
+          col("q_norm") * col("c_norm")).as("sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("c_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -13,9 +13,13 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokenization; empty string → empty array. */
+  /** Whitespace tokenization; empty string → empty array. Runs as the
+    * compiled [[graft.functions.WordShingles]] kernel with n=1 (identical
+    * semantics to `filter(split(trim(text), "\\s+"), _.length > 0)`, but
+    * without the interpreted filter lambda per token).
+    */
   def tokens(text: Column): Column =
-    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+    graft.functions.WordShingles(text, 1)
 
   /** Token count (whitespace tokenizer). */
   def tokenCount(text: Column): Column = size(tokens(text))
