@@ -22,6 +22,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
 
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case lit: org.apache.spark.sql.catalyst.expressions.Literal if lit.foldable =>
+      lit.eval(null).toString.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal integer argument, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("cosine_similarity"),
@@ -33,5 +40,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("l2_squared",
         "_FUNC_(a, b) - squared L2 distance of two array<double> vectors"),
       (exprs: Seq[Expression]) => L2Squared(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      info("dot_product", "_FUNC_(a, b) - dot product of two array<double> vectors"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vector_norm"),
+      info("vector_norm", "_FUNC_(a) - Euclidean norm of an array<double> vector"),
+      (exprs: Seq[Expression]) => VectorNorm(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      info("word_shingles", "_FUNC_(text, n) - word n-gram shingles of a string"),
+      (exprs: Seq[Expression]) =>
+        WordShingles(exprs(0), intArg(exprs(1), "word_shingles"))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      info("minhash_signature",
+        "_FUNC_(shingles, k) - k-value MinHash signature of an array<string>"),
+      (exprs: Seq[Expression]) =>
+        MinHashSignature(exprs(0), intArg(exprs(1), "minhash_signature"))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info("simhash64", "_FUNC_(tokens) - 64-bit SimHash of an array<string>"),
+      (exprs: Seq[Expression]) => SimHash64(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("canonicalize_text"),
+      info("canonicalize_text",
+        "_FUNC_(text) - trim + collapse whitespace + lowercase canonical form"),
+      (exprs: Seq[Expression]) => CanonicalizeText(exprs(0))))
   }
 }

@@ -250,11 +250,27 @@ object VectorFunctions {
   def vector_norm(a: Column): Column =
     ColumnBridge.column(VectorNorm(ColumnBridge.expression(a)))
 
-  /** Register `cosine_similarity` / `l2_squared` for SQL + expr() use. */
+  /** Register every graft kernel for SQL + expr() use on a live session
+    * (temp functions; `GraftExtensions` is the build-time equivalent).
+    */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    def lit2int(e: Expression): Int = e.eval(null).toString.toInt
+    val fr = spark.sessionState.functionRegistry
+    fr.createOrReplaceTempFunction(
       "cosine_similarity", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    fr.createOrReplaceTempFunction(
       "l2_squared", exprs => L2Squared(exprs(0), exprs(1)), "built-in")
+    fr.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    fr.createOrReplaceTempFunction(
+      "vector_norm", exprs => VectorNorm(exprs(0)), "built-in")
+    fr.createOrReplaceTempFunction(
+      "word_shingles", exprs => WordShingles(exprs(0), lit2int(exprs(1))), "built-in")
+    fr.createOrReplaceTempFunction(
+      "minhash_signature", exprs => MinHashSignature(exprs(0), lit2int(exprs(1))), "built-in")
+    fr.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs(0)), "built-in")
+    fr.createOrReplaceTempFunction(
+      "canonicalize_text", exprs => CanonicalizeText(exprs(0)), "built-in")
   }
 }

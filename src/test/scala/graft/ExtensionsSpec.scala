@@ -35,12 +35,26 @@ class VectorKernelSpec extends SparkSpec {
     assert(d == 8.0)
   }
 
-  test("kernel is registered for SQL use") {
+  test("kernels are registered for SQL use") {
     VectorFunctions.register(spark)
-    val out = spark.sql(
-      "SELECT cosine_similarity(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c")
-      .collect()(0).getDouble(0)
-    assert(out == 1.0)
+    val r = spark.sql(
+      """SELECT
+        | cosine_similarity(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c,
+        | dot_product(array(2.0d, 3.0d), array(4.0d, 5.0d)) AS d,
+        | vector_norm(array(3.0d, 4.0d)) AS n,
+        | word_shingles('a b c d', 3) AS sh,
+        | size(minhash_signature(array('x', 'y'), 16)) AS mh,
+        | simhash64(array('tok')) AS sim,
+        | canonicalize_text('  A   b ') AS canon""".stripMargin).collect()(0)
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) == 23.0)
+    assert(r.getDouble(2) == 5.0)
+    assert(r.getSeq[String](3) == Seq("a b c", "b c d"))
+    assert(r.getInt(4) == 16)
+    assert(r.getString(6) == "a b")
+    // build-time injection path constructs without error
+    new graft.functions.GraftExtensions().apply(
+      new org.apache.spark.sql.SparkSessionExtensions)
   }
 }
 
