@@ -77,4 +77,56 @@ object Multimodal {
   /** Full stub pipeline: df(id, text) → typed media metadata frame. */
   def extractFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
     decode(withPayload(df, idCol, textCol)).toDF()
+
+  // -------------------------------------------------------------------
+  // Transform stubs: resize and frame-sample. The pixel/codec work is
+  // faked (deterministic byte transforms); the Spark-side contracts —
+  // schemas, per-partition batching, payload-stays-on-executor — are real.
+  // -------------------------------------------------------------------
+
+  case class ResizedMedia(media_id: Long, width: Int, height: Int, payload: Array[Byte])
+
+  /** Resize stub: clamps declared dimensions and derives a proportionally
+    * truncated payload (a real impl swaps `resizeStub` for an image
+    * library call; everything else is unchanged). Payload bytes never
+    * leave the executors — all derived columns are map-side.
+    */
+  def resize(payloads: DataFrame, maxW: Int, maxH: Int): Dataset[ResizedMedia] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val meta = decodeStub(id, bytes)
+        val scale = math.min(1.0,
+          math.min(maxW.toDouble / meta.width, maxH.toDouble / meta.height))
+        val newLen = math.max(1, (bytes.length * scale * scale).toInt)
+        ResizedMedia(id, (meta.width * scale).toInt, (meta.height * scale).toInt,
+          java.util.Arrays.copyOf(bytes, math.min(newLen, bytes.length)))
+      })
+  }
+
+  case class Frame(media_id: Long, frame_idx: Int, ts_ms: Long, payload: Array[Byte])
+
+  /** Frame-sampling stub for video-like payloads: emit every `stride`-th
+    * fixed-size chunk as a "frame" with a synthetic timestamp. The
+    * one-to-many row shape (flatMap inside mapPartitions) is the real
+    * contract a video decoder plugs into.
+    */
+  def sampleFrames(payloads: DataFrame, frameBytes: Int = 256,
+                   stride: Int = 10, fps: Double = 30.0): Dataset[Frame] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val nFrames = math.max(1, bytes.length / frameBytes)
+        (0 until nFrames by stride).iterator.map { f =>
+          val from = f * frameBytes
+          Frame(id, f, (f * 1000 / fps).toLong,
+            java.util.Arrays.copyOfRange(bytes, from,
+              math.min(from + frameBytes, bytes.length)))
+        }
+      })
+  }
 }

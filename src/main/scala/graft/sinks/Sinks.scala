@@ -196,13 +196,28 @@ class CompassSink(poster: HttpPoster = JdkHttpPoster) extends SinkPlugin {
     */
   def payload(df: DataFrame, labelTemplates: Map[String, String]): DataFrame = {
     val full = to_json(struct(df.columns.map(col): _*))
+    // label templates resolve against the PROPERTIES facet: attributes is
+    // a JSON-string column (queried with get_json_object), labels a map
+    // (sink.go:222-300); non-$ values are literals
     val labelCols = labelTemplates.toSeq.sortBy(_._1).map { case (k, tpl) =>
-      val v =
-        if (tpl.startsWith("$")) get_json_object(full, "$." + tpl.stripPrefix("$"))
-        else lit(tpl)
+      val v = tpl match {
+        case t if t.startsWith("$properties.attributes.") =>
+          get_json_object(col("properties.attributes"),
+            "$." + t.stripPrefix("$properties.attributes."))
+        case t if t.startsWith("$properties.labels.") =>
+          element_at(col("properties.labels"), t.stripPrefix("$properties.labels."))
+        case t if t.startsWith("$") =>
+          get_json_object(full, "$." + t.stripPrefix("$"))
+        case t => lit(t)
+      }
       struct(lit(k).as("key"), v.as("value"))
     }
-    val base = df.select(
+    val labels =
+      if (labelCols.isEmpty) Nil
+      else Seq(map_from_entries(array(labelCols: _*)).as("labels"))
+    // labels are computed in the SAME projection — they reference the
+    // asset columns, which no longer exist after this select
+    df.select(Seq(
       col("resource.urn").as("urn"),
       col("resource.type").as("type"),
       col("resource.name").as("name"),
@@ -212,9 +227,7 @@ class CompassSink(poster: HttpPoster = JdkHttpPoster) extends SinkPlugin {
       when(col("lineage").isNotNull, col("lineage.upstreams.urn"))
         .otherwise(array().cast("array<string>")).as("upstreams"),
       when(col("lineage").isNotNull, col("lineage.downstreams.urn"))
-        .otherwise(array().cast("array<string>")).as("downstreams"))
-    if (labelCols.isEmpty) base
-    else base.withColumn("labels", map_from_entries(array(labelCols: _*)))
+        .otherwise(array().cast("array<string>")).as("downstreams")) ++ labels: _*)
   }
 
   def sink(df: DataFrame, config: Map[String, Any]): Long = {

@@ -78,6 +78,20 @@ class MultimodalSpec extends SparkSpec {
     // dims stay in the stub's declared envelope
     assert(rows.forall(r => r.getAs[Int]("width") >= 64 && r.getAs[Int]("width") < 576))
   }
+
+  test("resize clamps dimensions; frame sampling emits strided chunks") {
+    val df = Seq((1L, "x" * 4000)).toDF("doc_id", "text")
+    val payloads = Multimodal.withPayload(df, "doc_id", "text")
+    val resized = Multimodal.resize(payloads, 32, 32).collect()(0)
+    assert(resized.width <= 32 && resized.height <= 32)
+    assert(resized.payload.length <= 4000)
+    val frames = Multimodal.sampleFrames(payloads, frameBytes = 256, stride = 5)
+      .collect()
+    // 4000/256 = 15 chunks, strided by 5 → frames 0, 5, 10
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 5, 10))
+    assert(frames.forall(_.payload.length <= 256))
+    assert(frames(1).ts_ms == (5 * 1000 / 30.0).toLong)
+  }
 }
 
 class ShingleKernelSpec extends SparkSpec {

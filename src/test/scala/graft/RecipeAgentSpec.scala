@@ -255,6 +255,32 @@ class SchemaFormatsSpec extends SparkSpec {
     new org.apache.avro.Schema.Parser().parse(av)
   }
 
+  test("compass sink PATCHes payload with lineage and templated labels") {
+    import spark.implicits._
+    val asset = graft.model.TableAsset(
+      resource = graft.model.Resource(urn = "mysql::h/shop/orders",
+        name = "orders", service = "mysql", `type` = "table"),
+      lineage = Some(graft.model.Lineage(
+        upstreams = Seq(graft.model.Resource(urn = "up::1", name = "up", service = "x")))),
+      properties = graft.model.Properties(attributes = """{"team": "data-eng"}"""))
+    val df = Seq(asset).toDS().toDF()
+    val posts = scala.collection.mutable.ArrayBuffer[(String, String, String)]()
+    val poster = new graft.sinks.HttpPoster {
+      def post(url: String, method: String, headers: Map[String, String],
+               body: String): Int = { posts += ((url, method, body)); 200 }
+    }
+    val n = new graft.sinks.CompassSink(poster).sink(df, Map(
+      "host" -> "http://compass",
+      "labels" -> Map("team" -> "$properties.attributes.team", "env" -> "prod")))
+    assert(n == 1L)
+    val (url, method, body) = posts(0)
+    assert(url == "http://compass/v1beta1/assets" && method == "PATCH")
+    assert(body.contains(""""urn":"mysql::h/shop/orders""""))
+    assert(body.contains(""""upstreams":["up::1"]"""))
+    assert(body.contains(""""team":"data-eng""""))  // templated from attributes
+    assert(body.contains(""""env":"prod""""))       // literal label
+  }
+
   test("stencil sink posts a JSON-Schema document per table asset") {
     import spark.implicits._
     val asset = graft.model.TableAsset(
