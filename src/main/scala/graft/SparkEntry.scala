@@ -261,6 +261,10 @@ object SparkEntry {
     Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("id"))
 
+  private def simhashNearDups(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDup(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+      .orderBy(col("a"), col("b"))
+
   private def annBruteForce(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
@@ -358,6 +362,7 @@ object SparkEntry {
     "d_lang_scores" -> (langScores _),
     "d_minhash_pairs" -> (minhashPairs _),
     "d_simhash" -> (simhashes _),
+    "d_simhash_neardup" -> (simhashNearDups _),
     "d_ngram_jaccard" -> (ngramJaccard _),
     "s_ann_bruteforce" -> (annBruteForce _),
     "s_ann_ivf" -> (annIvf _),

@@ -100,6 +100,13 @@ class DedupSpec extends SparkSpec {
     assert(!keys.exists { case (a, b) => a == 2L || b == 2L })
   }
 
+  test("simhash near-dup banding finds exact dups, excludes unrelated") {
+    val pairs = Dedup.simhashNearDup(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(pairs.contains((0L, 3L))) // identical text -> hamming 0
+    assert(!pairs.exists { case (a, b) => a == 2L || b == 2L })
+  }
+
   test("simhash: near-dups have small hamming distance, unrelated large") {
     val hashes = Dedup.simhash(docs, "doc_id", "text")
       .orderBy("id").collect().map(_.getAs[Long]("simhash"))
