@@ -109,6 +109,38 @@ class Agent(
     }
   }
 
+  /** Continuous recipe run over a STREAMING frame: processors apply to
+    * the unbounded frame; each micro-batch fans out to every sink via
+    * foreachBatch (persist + N writes, same shape as the batch path).
+    * The reference has no event-time engine — this is the Spark-native
+    * "continuous recipe" extension (SURVEY.md §2.5): same plugins, one
+    * more execution mode. Returns the handle; caller owns lifecycle.
+    */
+  def runStreaming(stream: org.apache.spark.sql.DataFrame,
+                   processorSpecs: Seq[PluginSpec],
+                   sinkSpecs: Seq[PluginSpec],
+                   queryName: String = "graft-recipe"):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    val processed = processorSpecs.foldLeft(stream) { (df, spec) =>
+      Registries.processors.get(spec.name).process(df, spec.config)
+    }
+    processed.writeStream
+      .queryName(queryName)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.persist(StorageLevel.MEMORY_AND_DISK)
+        try sinkSpecs.foreach { spec =>
+          val sinkPlugin = Registries.sinks.get(spec.name)
+          try Retrier.retry(maxRetries, retryInitialMs) {
+            sinkPlugin.sink(batch, spec.config)
+          } catch {
+            case e: Exception if !stopOnSinkError =>
+              System.err.println(s"[agent] sink ${spec.name} failed: ${e.getMessage}")
+          }
+        } finally { batch.unpersist(); () }
+      }
+      .start()
+  }
+
   /** Run recipes concurrently (reference: agent/agent.go:94-113). Spark
     * schedules the jobs onto the shared executor pool.
     */

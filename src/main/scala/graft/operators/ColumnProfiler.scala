@@ -59,4 +59,20 @@ object ColumnProfiler {
     */
   def preview(df: DataFrame, orderCols: Seq[String], n: Int = 30): DataFrame =
     df.orderBy(orderCols.map(col): _*).limit(n)
+
+  /** Mergeable distinct-count sketches (Apache DataSketches HLL via
+    * Spark's hll_sketch_agg): one binary sketch per group, unioned later
+    * with `mergeSketches` — the 100 TB pattern for incremental distinct
+    * counts (per-partition/day sketches persisted once, rollups merge
+    * sketches instead of rescanning data).
+    */
+  def distinctSketches(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(hll_sketch_agg(col(valueCol)).as("sketch"),
+        count(lit(1)).as("n_rows"))
+
+  /** Union per-group sketches into one estimate (sketch-merge rollup). */
+  def mergeSketches(sketches: DataFrame): DataFrame =
+    sketches.agg(
+      hll_sketch_estimate(hll_union_agg(col("sketch"))).as("distinct_estimate"))
 }

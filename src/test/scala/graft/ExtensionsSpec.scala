@@ -158,6 +158,56 @@ class AsofJoinSpec extends SparkSpec {
   }
 }
 
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.ColumnProfiler
+
+  test("HLL sketches merge to the global distinct count") {
+    val df = (1 to 5000).map(i => (i % 7, s"user${i % 400}")).toDF("g", "u")
+    val sketches = ColumnProfiler.distinctSketches(df, "g", "u")
+    assert(sketches.count() == 7)
+    val est = ColumnProfiler.mergeSketches(sketches)
+      .collect()(0).getLong(0)
+    // HLL estimate of 400 exact distincts: generous 5% tolerance
+    assert(math.abs(est - 400L) <= 20, s"estimate $est")
+  }
+}
+
+class StreamingAgentSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+  test("streaming recipe: processors + sink fan-out per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    graft.plugins.Registries.populate()
+    val out = java.nio.file.Files.createTempDirectory("stream-sink")
+      .resolve("out.ndjson").toString
+    val mem = MemoryStream[(Long, String)]
+    val agent = new graft.agent.Agent(spark)
+    val assetStream = mem.toDF().toDF("id", "name")
+      .withColumn("properties", struct(
+        array().cast("array<string>").as("tags"),
+        map().cast("map<string,string>").as("labels"),
+        lit("{}").as("attributes")))
+    val q = agent.runStreaming(
+      assetStream,
+      processorSpecs = Seq(graft.recipe.PluginSpec("enrich",
+        Map("env" -> "test"))),
+      sinkSpecs = Seq(graft.recipe.PluginSpec("file",
+        Map("path" -> out, "format" -> "ndjson", "overwrite" -> "false"))))
+    try {
+      mem.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      mem.addData((3L, "c"))
+      q.processAllAvailable()
+      val lines = scala.io.Source.fromFile(out).getLines().toSeq
+      assert(lines.length == 3)
+      // attributes is a JSON string field, so its quotes arrive escaped
+      assert(lines.forall(_.contains("""\"env\":\"test\"""")))
+    } finally q.stop()
+  }
+}
+
 class IvfLayoutSpec extends SparkSpec {
   import spark.implicits._
   import graft.operators.Similarity
