@@ -252,6 +252,24 @@ object SparkEntry {
     scored.drop("text").orderBy(col("doc_id"))
   }
 
+  private def langPredict(s: SparkSession, dir: String): DataFrame = {
+    // argmax over the marker-token scores with deterministic tie-break on
+    // language code; ties at score 0 mean "unknown"
+    val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val scored = TextAnalysis.langScores(col("text")).foldLeft(base) {
+      case (d, (lang, c)) => d.withColumn(s"s_$lang", c)
+    }
+    val langs = TextAnalysis.langMarkers.keys.toSeq.sorted
+    val best = langs.map(l => struct(col(s"s_$l").as("score"), lit(l).as("lang")))
+      .reduce((a, b) => when(b.getField("score") > a.getField("score"), b).otherwise(a))
+    scored
+      .withColumn("best", best)
+      .select(col("doc_id"),
+        when(col("best.score") > 0, col("best.lang")).otherwise(lit("und")).as("lang"),
+        col("best.score").as("score"))
+      .orderBy(col("doc_id"))
+  }
+
   private def minhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
         k = 64, bands = 16, shingleLen = 3, threshold = 0.5)
@@ -360,6 +378,7 @@ object SparkEntry {
     "d_quality" -> (qualityScores _),
     "d_fingerprint" -> (fingerprints _),
     "d_lang_scores" -> (langScores _),
+    "d_lang_predict" -> (langPredict _),
     "d_minhash_pairs" -> (minhashPairs _),
     "d_simhash" -> (simhashes _),
     "d_simhash_neardup" -> (simhashNearDups _),
@@ -576,6 +595,25 @@ object SparkEntry {
         | len(list_filter(tk, x -> x IN ('el','los','que','y','es'))) AS score_es,
         | len(list_filter(tk, x -> x IN ('le','la','et','les','de'))) AS score_fr
         |FROM toks ORDER BY doc_id""".stripMargin,
+    "d_lang_predict" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |  list_transform(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0), x -> lower(x)) AS tk
+        | FROM documents),
+        |sc AS (SELECT doc_id,
+        | len(list_filter(tk, x -> x IN ('der','die','und','das','ist'))) AS s_de,
+        | len(list_filter(tk, x -> x IN ('the','and','of','is','a'))) AS s_en,
+        | len(list_filter(tk, x -> x IN ('el','los','que','y','es'))) AS s_es,
+        | len(list_filter(tk, x -> x IN ('le','la','et','les','de'))) AS s_fr
+        |FROM toks)
+        |SELECT doc_id,
+        | CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+        |      WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |      WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |      WHEN s_es >= s_fr THEN 'es'
+        |      ELSE 'fr' END AS lang,
+        | greatest(s_de, s_en, s_es, s_fr) AS score
+        |FROM sc ORDER BY doc_id""".stripMargin,
     "s_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
         |           FROM embeddings WHERE vec_id < 10),

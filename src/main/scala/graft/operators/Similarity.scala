@@ -72,6 +72,21 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("rank"), round(col("sim"), 4).as("sim"))
   }
 
+  /** L2-normalize an embedding column in place (unit vectors). The
+    * ingest-time optimization for similarity search at corpus scale:
+    * normalize ONCE when vectors land, and every later cosine becomes a
+    * bare dot product — brute-force scans drop the per-pair norm work
+    * entirely. Zero vectors stay zero (null-safe division would poison
+    * downstream dots).
+    */
+  def normalized(df: DataFrame, vecCol: String): DataFrame = {
+    import graft.functions.VectorFunctions.vector_norm
+    val v = col(vecCol).cast("array<double>")
+    val n = vector_norm(v)
+    df.withColumn(vecCol,
+      when(n === 0.0, v).otherwise(transform(v, x => x / n)))
+  }
+
   /** Assign each vector to its nearest centroid (IVF coarse quantizer).
     * Centroids are a Scala-side list (broadcast as literals) — at real
     * scale they come from a sampled k-means; here any deterministic

@@ -116,6 +116,29 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class NormalizeSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("normalized vectors make cosine a bare dot product; zero stays zero") {
+    val df = Seq((1L, Array(3.0, 4.0)), (2L, Array(0.0, 0.0))).toDF("id", "v")
+    val out = Similarity.normalized(df, "v").orderBy("id").collect()
+    val u = out(0).getSeq[Double](1)
+    assert(math.abs(math.sqrt(u.map(x => x * x).sum) - 1.0) < 1e-12)
+    assert(u == Seq(0.6, 0.8))
+    assert(out(1).getSeq[Double](1) == Seq(0.0, 0.0))
+    // cosine(a, b) == dot(normalized a, normalized b)
+    val pairs = Seq((Array(1.0, 2.0, 2.0), Array(2.0, 1.0, 2.0))).toDF("a", "b")
+    val r = pairs.select(
+      graft.functions.VectorFunctions.cosine_sim(col("a"), col("b")).as("c"),
+      graft.functions.VectorFunctions.dot_product(
+        transform(col("a"), x => x / graft.functions.VectorFunctions.vector_norm(col("a"))),
+        transform(col("b"), x => x / graft.functions.VectorFunctions.vector_norm(col("b")))).as("d"))
+      .collect()(0)
+    assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+  }
+}
+
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
