@@ -179,6 +179,27 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  private def asofForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    // time-to-conversion: for each click, the NEXT purchase by that user
+    AsofJoin.asof(clicks, purchases, "user_id", "ts", "ts",
+        rightCols = Seq("event_id", "value"), prefix = "next_",
+        direction = "forward")
+      .select(col("event_id"), col("user_id"), col("next_event_id"),
+        round(col("next_value"), 2).as("next_value"))
+      .orderBy(col("event_id"))
+  }
+
+  private def sketchDistinct(s: SparkSession, dir: String): DataFrame =
+    // mergeable-HLL rollup: per-type sketches unioned to one global
+    // distinct-user estimate (rows-only: sketch internals aren't SQL)
+    ColumnProfiler.mergeSketches(
+      ColumnProfiler.distinctSketches(t(s, dir, "events"), "event_type", "user_id"))
+
   private def rangeJoinClicks(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
     val purchases = ev.filter(col("event_type") === "purchase")
@@ -370,8 +391,10 @@ object SparkEntry {
     "q_time_buckets" -> (timeBuckets _),
     "q_sql_conditions" -> (sqlConditions _),
     "q_asof_attribution" -> (asofAttribution _),
+    "q_asof_forward" -> (asofForward _),
     "q_range_join" -> (rangeJoinClicks _),
     "q_json_attributes" -> (jsonAttributes _),
+    "q_sketch_distinct" -> (sketchDistinct _),
     "q_session_window" -> (sessionWindowRollup _),
     "d_dedup_exact" -> (dedupExact _),
     "d_token_counts" -> (tokenCounts _),
@@ -521,6 +544,13 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+    "q_asof_forward" ->
+      """SELECT c.event_id, c.user_id, p.event_id AS next_event_id,
+        | round(p.value, 2) AS next_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts <= p.ts
+        |ORDER BY c.event_id""".stripMargin,
     "q_json_attributes" ->
       """SELECT event_type, count(k) AS n, sum(k) AS k_sum,
         | round(avg(k), 4) AS k_avg

@@ -35,10 +35,15 @@ object AsofJoin {
     * @param rightTsCol event-time column on `right`
     * @param rightCols  right columns to attach (default: all but key/ts)
     * @param prefix     prefix for attached right columns
+    * @param direction  "backward" (most recent right row at-or-before, the
+    *                   default) or "forward" (nearest right row at-or-after)
     */
   def asof(left: DataFrame, right: DataFrame, keyCol: String,
            leftTsCol: String, rightTsCol: String,
-           rightCols: Seq[String] = Nil, prefix: String = "asof_"): DataFrame = {
+           rightCols: Seq[String] = Nil, prefix: String = "asof_",
+           direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     val rCols =
       if (rightCols.nonEmpty) rightCols
       else right.columns.filterNot(c => c == keyCol || c == rightTsCol).toSeq
@@ -55,8 +60,11 @@ object AsofJoin {
       lit(null).cast(left.select(lCols.map(col): _*).schema).as("__l"),
       struct(rCols.map(col): _*).as("__r"))
 
+    // forward scans time in reverse: the running "last right row seen"
+    // becomes the nearest FOLLOWING one; tag order keeps ties matched
+    val tsOrder = if (direction == "backward") col("__t").asc else col("__t").desc
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t"), col("__tag"))
+      .orderBy(tsOrder, col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     probes.unionByName(cands)

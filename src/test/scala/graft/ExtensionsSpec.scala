@@ -144,6 +144,22 @@ class AsofJoinSpec extends SparkSpec {
     assert(out(2).isNullAt(out(2).fieldIndex("asof_v"))) // p3 ← nothing before
   }
 
+  test("forward direction matches the nearest following right row") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "c1"),
+      (1L, ts("2024-01-01 13:00:00"), "c2") // after all right rows
+    ).toDF("k", "ts", "name")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 1.0),  // before → never matched forward
+      (1L, ts("2024-01-01 10:00:00"), 2.0),  // tie → matched
+      (1L, ts("2024-01-01 12:00:00"), 4.0)
+    ).toDF("k", "ts", "v")
+    val out = AsofJoin.asof(left, right, "k", "ts", "ts",
+        direction = "forward").orderBy("name").collect()
+    assert(out(0).getAs[Double]("asof_v") == 2.0) // c1 ← tie at 10:00
+    assert(out(1).isNullAt(out(1).fieldIndex("asof_v"))) // c2 ← nothing after
+  }
+
   test("right payload columns come from the same matched row") {
     val left = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("k", "ts")
     // most recent right row has a NULL payload field — a per-column
