@@ -22,9 +22,19 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object ShingleKernel {
   def compute(text: UTF8String, n: Int): ArrayData = {
-    val trimmed = text.toString.trim
-    if (trimmed.isEmpty) return new GenericArrayData(Array.empty[Any])
-    val toks = trimmed.split("\\s+")
+    // trim SPACES only — Spark's trim()/DuckDB's trim() don't touch
+    // control chars or \t\r\n, and Java String.trim (which strips
+    // everything <= U+0020) would silently change tokens on scraped text
+    val s = text.toString
+    var i0 = 0
+    var i1 = s.length - 1
+    while (i0 <= i1 && s.charAt(i0) == ' ') i0 += 1
+    while (i1 >= i0 && s.charAt(i1) == ' ') i1 -= 1
+    if (i0 > i1) return new GenericArrayData(Array.empty[Any])
+    // leading non-space whitespace leaves an empty first token after the
+    // regex split — filtered, matching filter(split(...), len > 0)
+    val toks = s.substring(i0, i1 + 1).split("\\s+").filter(_.nonEmpty)
+    if (toks.isEmpty) return new GenericArrayData(Array.empty[Any])
     val m = math.max(toks.length - n, 0) + 1
     val out = new Array[Any](m)
     var i = 0

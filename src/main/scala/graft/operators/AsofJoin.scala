@@ -61,10 +61,12 @@ object AsofJoin {
       struct(rCols.map(col): _*).as("__r"))
 
     // forward scans time in reverse: the running "last right row seen"
-    // becomes the nearest FOLLOWING one; tag order keeps ties matched
+    // becomes the nearest FOLLOWING one; tag order keeps ties matched.
+    // The trailing __r sort makes the choice among right rows with
+    // IDENTICAL (key, ts) deterministic (partition sort order isn't).
     val tsOrder = if (direction == "backward") col("__t").asc else col("__t").desc
     val w = Window.partitionBy(col("__k"))
-      .orderBy(tsOrder, col("__tag"))
+      .orderBy(tsOrder, col("__tag"), col("__r").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     probes.unionByName(cands)

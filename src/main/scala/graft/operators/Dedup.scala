@@ -71,9 +71,7 @@ object Dedup {
       .agg(sort_array(collect_set(col("id"))).as("ids"))
       .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucketSize)
     grouped
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))),
-          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(explode(ArrayPairs.pairStructs(col("ids"))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
   }

@@ -81,10 +81,14 @@ object Similarity {
     */
   def normalized(df: DataFrame, vecCol: String): DataFrame = {
     import graft.functions.VectorFunctions.vector_norm
-    val v = col(vecCol).cast("array<double>")
-    val n = vector_norm(v)
-    df.withColumn(vecCol,
-      when(n === 0.0, v).otherwise(transform(v, x => x / n)))
+    // norm into its own column first: referencing vector_norm inside the
+    // transform lambda would re-evaluate the O(d) norm per ELEMENT
+    df.withColumn("__norm", vector_norm(col(vecCol).cast("array<double>")))
+      .withColumn(vecCol,
+        when(col("__norm") === 0.0, col(vecCol).cast("array<double>"))
+          .otherwise(transform(col(vecCol).cast("array<double>"),
+            x => x / col("__norm"))))
+      .drop("__norm")
   }
 
   /** Assign each vector to its nearest centroid (IVF coarse quantizer).

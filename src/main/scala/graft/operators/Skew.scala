@@ -21,14 +21,18 @@ object Skew {
 
   /** Inner equi-join with the big side salted over `salt` buckets.
     * Result equals `big.join(small, keys)` row-for-row.
+    *
+    * The salt is `rand()`-based, not a row hash: a hot key's rows are
+    * often exact duplicates (the classic skew case), and a content hash
+    * would send all of them to ONE salt bucket — defeating the spread.
+    * Join output is invariant to which salt each row draws (the small
+    * side carries every salt), so rand's per-task-retry nondeterminism
+    * cannot change results.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  salt: Int = 16): DataFrame = {
     require(salt > 1, "salt must be > 1")
-    // deterministic per-row salt: hash of the full row spreads a hot key's
-    // rows uniformly without relying on rand()'s task-retry semantics
-    val b = big.withColumn("__salt",
-      pmod(xxhash64(big.columns.map(col).toSeq: _*), lit(salt)))
+    val b = big.withColumn("__salt", floor(rand(42) * salt).cast("long"))
     val s = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(salt - 1L))))
     b.join(s, keys :+ "__salt").drop("__salt")

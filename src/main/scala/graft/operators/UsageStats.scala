@@ -27,17 +27,16 @@ object UsageStats {
     * (sorted, map-side partial agg) and expand the a<b pairs inside the
     * group with array expressions. A self-join would shuffle the table
     * twice and re-hash every group; here group size k expands to k(k−1)/2
-    * pairs inline, and `maxGroupSize` caps degenerate groups (same guard
-    * as LSH bucket blowup).
+    * pairs inline. `maxGroupSize` (off by default — dropping a group
+    * silently undercounts) can cap degenerate groups on pathological
+    * corpora, like the LSH bucket guard.
     */
   def coOccurrence(df: DataFrame, groupKey: String, entity: String,
-                   maxGroupSize: Int = 10000): DataFrame =
+                   maxGroupSize: Int = Int.MaxValue): DataFrame =
     df.groupBy(col(groupKey))
       .agg(sort_array(collect_set(col(entity))).as("es"))
       .filter(size(col("es")).between(2, maxGroupSize))
-      .select(explode(flatten(transform(col("es"), (x, i) =>
-        transform(slice(col("es"), i + 2, size(col("es"))),
-          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(explode(ArrayPairs.pairStructs(col("es"))).as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("pair_count"))
 

@@ -70,10 +70,15 @@ object SchemaFormats {
   // --- column-facet variants: asset schemas carry source-native type NAMES
   // (e.g. "varchar", "bigint"), not Spark DataTypes ---
 
+  // binary checks must precede numeric ones: "bytes" contains "byte"
+  private def isBinaryName(n: String): Boolean =
+    n.contains("binary") || n.contains("blob") || n.contains("bytes")
+
   private def nameToJsonSchemaType(t: String): String = {
     val n = t.toLowerCase
     if (n.startsWith("array")) "array"
     else if (n.startsWith("struct") || n.startsWith("map")) "object"
+    else if (isBinaryName(n)) "string"
     else if (n.contains("bool")) "boolean"
     else if (Seq("int", "long", "short", "byte", "float", "double", "decimal",
       "numeric", "real", "number").exists(n.contains)) "number"
@@ -84,12 +89,12 @@ object SchemaFormats {
     val n = t.toLowerCase
     if (n.startsWith("array")) "array"
     else if (n.startsWith("struct") || n.startsWith("map")) "record"
+    else if (isBinaryName(n)) "bytes"
     else if (n.contains("bool")) "boolean"
     else if (n.contains("bigint") || n == "long") "long"
     else if (n.contains("int") || n.contains("short") || n.contains("byte")) "int"
     else if (n == "float" || n == "real") "float"
     else if (Seq("double", "decimal", "numeric", "number").exists(n.contains)) "double"
-    else if (n.contains("binary") || n.contains("blob") || n.contains("bytes")) "bytes"
     else "string"
   }
 

@@ -50,9 +50,8 @@ object AuditLogUsage {
       .select(SqlParse.joinConditionsCol(col("sql")).as("join_conds"),
         sort_array(array_distinct(col("referenced_tables"))).as("ts"))
       .filter(size(col("ts")) >= 2)
-      .select(col("join_conds"), explode(flatten(transform(col("ts"), (x, i) =>
-        transform(slice(col("ts"), i + 2, size(col("ts"))),
-          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("join_conds"),
+        explode(graft.operators.ArrayPairs.pairStructs(col("ts"))).as("p"))
     pairs.groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("join_count"),
         array_sort(array_distinct(flatten(collect_list(col("join_conds")))))

@@ -17,7 +17,7 @@ object KernelProperties extends Properties("kernels") {
   private val genText: Gen[String] = Gen.listOf(Gen.frequency(
     6 -> Gen.alphaNumChar,
     2 -> Gen.oneOf(wsChars),
-    1 -> Gen.oneOf('É', 'ß', 'Ω', '.', ',', '\''))).map(_.mkString)
+    1 -> Gen.oneOf('É', 'ß', 'Ω', '.', ',', '\'', '\u0001'))).map(_.mkString)
 
   /** plain-Java model of trim-spaces → collapse \s+ → lowercase */
   private def canonModel(s: String): String = {
@@ -29,9 +29,12 @@ object KernelProperties extends Properties("kernels") {
     CanonicalizeKernel.compute(UTF8String.fromString(s)).toString == canonModel(s)
   }
 
-  /** plain-Java model of the shingle semantics */
+  /** plain-Java model of the shingle semantics (trim strips SPACES only,
+    * like Spark's trim() — not Java String.trim's <= U+0020 sweep)
+    */
   private def shingleModel(s: String, n: Int): Seq[String] = {
-    val toks = s.trim.split("\\s+").filter(_.nonEmpty)
+    val spaceTrimmed = s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+    val toks = spaceTrimmed.split("\\s+").filter(_.nonEmpty)
     if (toks.isEmpty) Nil
     else (0 to math.max(toks.length - n, 0)).map(i =>
       toks.slice(i, math.min(i + n, toks.length)).mkString(" "))
