@@ -291,6 +291,13 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  private def trainSplit(s: SparkSession, dir: String): DataFrame =
+    Splits.withSplit(t(s, dir, "documents"), "doc_id", trainPct = 80, validPct = 10)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 4).as("avg_chars"))
+      .orderBy(col("split"))
+
   private def minhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
         k = 64, bands = 16, shingleLen = 3, threshold = 0.5)
@@ -402,6 +409,7 @@ object SparkEntry {
     "d_fingerprint" -> (fingerprints _),
     "d_lang_scores" -> (langScores _),
     "d_lang_predict" -> (langPredict _),
+    "d_train_split" -> (trainSplit _),
     "d_minhash_pairs" -> (minhashPairs _),
     "d_simhash" -> (simhashes _),
     "d_simhash_neardup" -> (simhashNearDups _),
@@ -625,6 +633,16 @@ object SparkEntry {
         | len(list_filter(tk, x -> x IN ('el','los','que','y','es'))) AS score_es,
         | len(list_filter(tk, x -> x IN ('le','la','et','les','de'))) AS score_fr
         |FROM toks ORDER BY doc_id""".stripMargin,
+    "d_train_split" ->
+      """WITH b AS (
+        | SELECT n_chars,
+        |  CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+        | FROM documents)
+        |SELECT CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'valid'
+        |            ELSE 'test' END AS split,
+        | count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+        |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
     "d_lang_predict" ->
       """WITH toks AS (
         | SELECT doc_id,

@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting for training pipelines.
+  *
+  * Split membership derives from a hash of a KEY, not from `rand()` or row
+  * position: the assignment is reproducible across runs, engines, and
+  * repartitions, new data lands in stable splits without reshuffling old
+  * rows, and grouping the hash by an entity key (user, document source)
+  * keeps whole entities inside one split — the standard guard against
+  * train/test leakage. md5 is the hash (not xxhash64) so the exact same
+  * assignment is computable in any engine with an md5 function.
+  */
+object Splits {
+
+  /** Stable bucket in [0, buckets) from the md5 of the key's string form. */
+  def hashBucket(key: Column, buckets: Int = 100): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("bigint") % buckets
+
+  /** Adds a `split` column: train / valid / test by stable hash bucket.
+    * `keyCol` should be the LEAKAGE boundary (e.g. user id, not row id) —
+    * every row sharing the key lands in the same split.
+    */
+  def withSplit(df: DataFrame, keyCol: String,
+                trainPct: Int = 80, validPct: Int = 10,
+                bucketsOf: Int = 100): DataFrame = {
+    require(trainPct + validPct < bucketsOf, "train+valid must leave room for test")
+    val b = hashBucket(col(keyCol), bucketsOf)
+    df.withColumn("split",
+      when(b < trainPct, lit("train"))
+        .when(b < trainPct + validPct, lit("valid"))
+        .otherwise(lit("test")))
+  }
+}

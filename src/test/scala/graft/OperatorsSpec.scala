@@ -116,6 +116,26 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class SplitsSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("hash splits are stable, exhaustive, and group-stable by key") {
+    val df = (1 to 2000).map(i => (i.toLong, i % 50)).toDF("row_id", "user_id")
+    val out = Splits.withSplit(df, "user_id", trainPct = 80, validPct = 10)
+    // same key -> same split, always
+    assert(out.groupBy("user_id")
+      .agg(countDistinct(col("split")).as("n")).filter(col("n") > 1).count() == 0)
+    // assignment is a pure function: rerun matches exactly
+    val again = Splits.withSplit(df, "user_id", trainPct = 80, validPct = 10)
+    assert(out.select("row_id", "split").except(again.select("row_id", "split")).count() == 0)
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "valid", "test"))
+    assert(counts("train") > counts("valid") && counts("train") > counts("test"))
+  }
+}
+
 class NormalizeSpec extends SparkSpec {
   import spark.implicits._
   import org.apache.spark.sql.functions._
