@@ -10,9 +10,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen warmup on the smallest SF so the first measured query
-    // doesn't absorb one-time classloading + compiler cost
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // steady-state warmup: run EVERY query once at the smallest SF so the
+    // timed runs measure engine cost, not first-use classloading and
+    // whole-stage-codegen (janino) compilation — the generated code is
+    // SF-independent, so the codegen cache carries over to the target SF
+    val warmDir = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    }
     // deterministic name order so per-query timings compare across rounds
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

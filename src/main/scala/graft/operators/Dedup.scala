@@ -80,8 +80,16 @@ object Dedup {
   def verifyJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
                     textCol: String, shingleLen: Int = 3,
                     threshold: Double = 0.8): DataFrame = {
-    val sets = docs.select(col(idCol).as("vid"),
-      array_distinct(shingles(col(textCol), shingleLen)).as("sset"))
+    // LSH candidates are a sliver of the corpus: semi-join docs down to
+    // the ids that appear in a pair BEFORE shingling, so the (expensive)
+    // shingle sets are built only for candidates — not for every doc,
+    // twice, as a plain two-sided join against the full corpus would
+    val candidateIds = pairs
+      .select(explode(array(col("a"), col("b"))).as("cid")).distinct()
+    val sets = docs
+      .join(candidateIds, col(idCol) === col("cid"), "leftsemi")
+      .select(col(idCol).as("vid"),
+        array_distinct(shingles(col(textCol), shingleLen)).as("sset"))
     val sa = sets.select(col("vid").as("a"), col("sset").as("sa"))
     val sb = sets.select(col("vid").as("b"), col("sset").as("sb"))
     pairs.join(sa, Seq("a")).join(sb, Seq("b"))
@@ -98,7 +106,10 @@ object Dedup {
                  k: Int = 64, bands: Int = 16, shingleLen: Int = 3,
                  threshold: Double = 0.8): DataFrame = {
     val sigs = minhashSignatures(df, idCol, textCol, k, shingleLen)
-    val pairs = candidatePairs(lshBuckets(sigs, k, bands))
+    // candidate pairs are consumed three times by the verify stage (id
+    // prefilter + both join sides); localCheckpoint materializes the
+    // (small) pair set once so the signature pipeline isn't re-run per use
+    val pairs = candidatePairs(lshBuckets(sigs, k, bands)).localCheckpoint()
     verifyJaccard(pairs, df, idCol, textCol, shingleLen, threshold)
   }
 
