@@ -291,6 +291,16 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  private def qualityFilter(s: SparkSession, dir: String): DataFrame =
+    // the pipeline gate: docs surviving the quality thresholds (the rows a
+    // training run would actually keep)
+    TextAnalysis.quality(t(s, dir, "documents"), "text", Seq("doc_id"))
+      .filter(col("n_tokens") >= 25 &&
+        col("stopword_ratio") <= 0.1 && col("punct_ratio") <= 0.2 &&
+        col("mean_token_len").between(2.0, 12.0))
+      .select(col("doc_id"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+
   private def trainSplit(s: SparkSession, dir: String): DataFrame =
     Splits.withSplit(t(s, dir, "documents"), "doc_id", trainPct = 80, validPct = 10)
       .groupBy(col("split"))
@@ -410,6 +420,7 @@ object SparkEntry {
     "d_lang_scores" -> (langScores _),
     "d_lang_predict" -> (langPredict _),
     "d_train_split" -> (trainSplit _),
+    "d_quality_filter" -> (qualityFilter _),
     "d_minhash_pairs" -> (minhashPairs _),
     "d_simhash" -> (simhashes _),
     "d_simhash_neardup" -> (simhashNearDups _),
@@ -633,6 +644,24 @@ object SparkEntry {
         | len(list_filter(tk, x -> x IN ('el','los','que','y','es'))) AS score_es,
         | len(list_filter(tk, x -> x IN ('le','la','et','les','de'))) AS score_fr
         |FROM toks ORDER BY doc_id""".stripMargin,
+    "d_quality_filter" ->
+      """WITH toks AS (
+        | SELECT doc_id, text,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0) AS tk
+        | FROM documents),
+        |q AS (SELECT doc_id,
+        | len(tk) AS n_tokens,
+        | round(CASE WHEN len(tk)=0 THEN 0.0
+        |   ELSE CAST(len(replace(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ', '')) AS DOUBLE)/len(tk) END, 4) AS mean_token_len,
+        | round(CASE WHEN len(tk)=0 THEN 0.0
+        |   ELSE CAST(len(list_filter(tk, x -> lower(x) IN ('the','a','an','of','to','and','in','is','it','on','for'))) AS DOUBLE)/len(tk) END, 4) AS stopword_ratio,
+        | round(CASE WHEN len(text)=0 THEN 0.0
+        |   ELSE CAST(len(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE)/len(text) END, 4) AS punct_ratio
+        |FROM toks)
+        |SELECT doc_id, n_tokens FROM q
+        |WHERE n_tokens >= 25 AND stopword_ratio <= 0.1 AND punct_ratio <= 0.2
+        |  AND mean_token_len BETWEEN 2.0 AND 12.0
+        |ORDER BY doc_id""".stripMargin,
     "d_train_split" ->
       """WITH b AS (
         | SELECT n_chars,
