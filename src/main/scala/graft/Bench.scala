@@ -1,6 +1,19 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, sum, xxhash64}
+
 object Bench {
+  /** Projection-forcing action: every output column feeds a hash that is
+    * summed to one row. Unlike `.count()` (under which Catalyst prunes
+    * unreferenced projections and drops final sorts), this executes every
+    * kernel in the query — map-side-only queries time their compute, not
+    * just the parquet scan.
+    */
+  private def checksum(df: DataFrame): Long = {
+    val row = df.agg(sum(xxhash64(df.columns.map(col): _*))).head()
+    if (row.isNullAt(0)) 0L else row.getLong(0)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -16,12 +29,12 @@ object Bench {
     // SF-independent, so the codegen cache carries over to the target SF
     val warmDir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      try checksum(fn(spark, warmDir)) catch { case _: Throwable => () }
     }
     // deterministic name order so per-query timings compare across rounds
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try checksum(fn(spark, sfDir)) catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

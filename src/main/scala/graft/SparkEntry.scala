@@ -48,8 +48,11 @@ object SparkEntry {
     val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
     val ord = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
     val li = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    // no broadcast hint on customer: at TPC-H scale it is multi-GB, and a
+    // forced broadcast would OOM — AQE's size-based planning broadcasts the
+    // filtered side automatically when it is actually small
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
       .orderBy(desc("revenue"), asc("l_orderkey"))
@@ -65,9 +68,12 @@ object SparkEntry {
         col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
     val li = t(s, dir, "lineitem")
     val supp = t(s, dir, "supplier")
+    // broadcast hints only on the bounded-size dims (nation=25, region=5
+    // rows at ANY scale factor); customer/supplier grow with SF, so their
+    // join strategy is left to AQE's size-based planning
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey") &&
+      .join(supp, li("l_suppkey") === supp("s_suppkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey") &&
         cust("c_nationkey") === supp("s_nationkey"))
       .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
       .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
@@ -358,6 +364,18 @@ object SparkEntry {
       .orderBy(col("a"), col("b"))
   }
 
+  private def embedNearDupBucketed(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    // same deterministic 8-vector codebook as annIvf; real pipelines sample
+    // k-means centroids — the blocking machinery is identical either way
+    val centroids = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    Similarity.nearDupByCentroid(emb.filter(col("vec_id") < 300),
+        "vec_id", "embedding", centroids, threshold = 0.35, nprobe = 4)
+      .orderBy(col("a"), col("b"))
+  }
+
   private def annIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     // deterministic codebook: the first 8 vectors (a real pipeline would
@@ -428,6 +446,7 @@ object SparkEntry {
     "s_ann_bruteforce" -> (annBruteForce _),
     "s_ann_ivf" -> (annIvf _),
     "s_embed_neardup" -> (embedNearDup _),
+    "s_embed_neardup_bucketed" -> (embedNearDupBucketed _),
     "m_multimodal_meta" -> (multimodalMeta _),
     "m_multimodal_features" -> (multimodalFeatures _))
 
@@ -537,7 +556,7 @@ object SparkEntry {
         |        OR date_diff('second', lag(ts) OVER w, ts) > 1800
         |       THEN 1 ELSE 0 END AS new_s
         | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts))
-        |SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
+        |SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
     // the regex grammar is shared verbatim with the Spark side (SqlParse);
     // RE2 and Java agree on this pattern (verified: identical extractions)
@@ -571,7 +590,7 @@ object SparkEntry {
         |  ON c.user_id = p.user_id AND c.ts <= p.ts
         |ORDER BY c.event_id""".stripMargin,
     "q_json_attributes" ->
-      """SELECT event_type, count(k) AS n, sum(k) AS k_sum,
+      """SELECT event_type, count(k) AS n, CAST(sum(k) AS BIGINT) AS k_sum,
         | round(avg(k), 4) AS k_avg
         |FROM (SELECT event_type,
         |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
@@ -611,9 +630,9 @@ object SparkEntry {
     "d_token_counts" ->
       """SELECT doc_id,
         | len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0)) AS n_tokens,
-        | list_sum(list_transform(
+        | CAST(list_sum(list_transform(
         |   list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0),
-        |   x -> CAST(ceil(len(x) / 4.0) AS BIGINT))) AS n_subwords
+        |   x -> CAST(ceil(len(x) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords
         |FROM documents ORDER BY doc_id""".stripMargin,
     "d_quality" ->
       """WITH toks AS (
@@ -719,6 +738,18 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
         |ORDER BY a""".stripMargin,
     "s_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id < 300)
+        |SELECT a.vec_id AS a, b.vec_id AS b,
+        | round(list_dot_product(a.v, b.v) /
+        |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) /
+        |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+        |ORDER BY a, b""".stripMargin,
+    // oracle = the exact all-pairs answer; the bucketed plan must reproduce
+    // it at this scale (recall achieved via nprobe=4 multi-probe blocking)
+    "s_embed_neardup_bucketed" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings WHERE vec_id < 300)
         |SELECT a.vec_id AS a, b.vec_id AS b,

@@ -52,7 +52,8 @@ class Agent(
     spark: SparkSession,
     stopOnSinkError: Boolean = false,
     maxRetries: Int = 5,
-    retryInitialMs: Long = 5000L) {
+    retryInitialMs: Long = 5000L,
+    monitor: Monitor = NoopMonitor) {
 
   Registries.populate()
 
@@ -72,41 +73,49 @@ class Agent(
 
   def run(recipe: Recipe): RunResult = {
     val t0 = System.nanoTime()
-    try {
-      val errors = validate(recipe)
-      if (errors.nonEmpty) throw new ConfigException(errors)
-
-      val extractor = Registries.extractors.get(recipe.source.name)
-      val extracted = extractor.extract(spark, recipe.source.config)
-      val processed = recipe.processors.foldLeft(extracted) { (df, spec) =>
-        Registries.processors.get(spec.name).process(df, spec.config)
-      }
-
-      // one pass materialized, N sink reads (agent/stream.go fan-out)
-      processed.persist(StorageLevel.MEMORY_AND_DISK)
+    val result =
       try {
-        val recordCount = processed.count()
-        val sinkCounts = recipe.sinks.zipWithIndex.map { case (spec, i) =>
-          val sinkPlugin = Registries.sinks.get(spec.name)
-          try {
-            val n = Retrier.retry(maxRetries, retryInitialMs) {
-              sinkPlugin.sink(processed, spec.config)
-            }
-            s"${spec.name}[$i]" -> n
-          } catch {
-            case e: Exception if !stopOnSinkError =>
-              System.err.println(s"[agent] sink ${spec.name} failed: ${e.getMessage}")
-              s"${spec.name}[$i]" -> -1L
-          } finally sinkPlugin.close()
-        }.toMap
-        RunResult(recipe, success = true, None,
-          (System.nanoTime() - t0) / 1000000L, recordCount, sinkCounts)
-      } finally processed.unpersist()
-    } catch {
-      case e: Exception =>
-        RunResult(recipe, success = false, Some(e.getMessage),
-          (System.nanoTime() - t0) / 1000000L, 0L)
-    }
+        val errors = validate(recipe)
+        if (errors.nonEmpty) throw new ConfigException(errors)
+
+        val extractor = Registries.extractors.get(recipe.source.name)
+        val extracted = extractor.extract(spark, recipe.source.config)
+        val processed = recipe.processors.foldLeft(extracted) { (df, spec) =>
+          Registries.processors.get(spec.name).process(df, spec.config)
+        }
+
+        // one pass materialized, N sink reads (agent/stream.go fan-out)
+        processed.persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val recordCount = processed.count()
+          val sinkCounts = recipe.sinks.zipWithIndex.map { case (spec, i) =>
+            val sinkPlugin = Registries.sinks.get(spec.name)
+            val entry =
+              try {
+                val n = Retrier.retry(maxRetries, retryInitialMs) {
+                  sinkPlugin.sink(processed, spec.config)
+                }
+                s"${spec.name}[$i]" -> n
+              } catch {
+                case e: Exception if !stopOnSinkError =>
+                  System.err.println(s"[agent] sink ${spec.name} failed: ${e.getMessage}")
+                  s"${spec.name}[$i]" -> -1L
+              } finally sinkPlugin.close()
+            // per-plugin metric, same call site as agent/agent.go:268
+            monitor.recordPlugin(recipe.name, spec.name, "sink", entry._2 >= 0L)
+            entry
+          }.toMap
+          RunResult(recipe, success = true, None,
+            (System.nanoTime() - t0) / 1000000L, recordCount, sinkCounts)
+        } finally processed.unpersist()
+      } catch {
+        case e: Exception =>
+          RunResult(recipe, success = false, Some(e.getMessage),
+            (System.nanoTime() - t0) / 1000000L, 0L)
+      }
+    // run-level metrics on both success and failure (agent/agent.go:289-297)
+    monitor.recordRun(result)
+    result
   }
 
   /** Continuous recipe run over a STREAMING frame: processors apply to

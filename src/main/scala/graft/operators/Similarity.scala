@@ -146,4 +146,50 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("c_id"), col("rank"), round(col("sim"), 4).as("sim"))
   }
+
+  /** Bucketed embedding near-dup: the scale path that replaces the all-pairs
+    * inequality join (a cartesian) with centroid blocking — the embedding
+    * analogue of [[Dedup.candidatePairs]].
+    *
+    * Pipeline: multi-assign every vector to its `nprobe` nearest centroids
+    * (map-side, centroids broadcast as literals — multi-probe so pairs that
+    * straddle a centroid boundary still co-bucket), ONE groupBy keyed by
+    * centroid id carrying ids only (vectors never ride the shuffle),
+    * in-bucket pair expansion with a `maxBucketSize` cap, then exact-cosine
+    * verification on the candidate pairs alone, vectors semi-joined down to
+    * candidates first. Approximate: recall < 1 when a qualifying pair shares
+    * no probed centroid; raise `nprobe` (or centroid count) to trade
+    * compute for recall.
+    */
+  def nearDupByCentroid(df: DataFrame, idCol: String, vecCol: String,
+                        centroids: Seq[Seq[Double]], threshold: Double,
+                        nprobe: Int = 2, maxBucketSize: Int = 100000): DataFrame = {
+    import graft.functions.VectorFunctions.{dot_product, l2_squared, vector_norm}
+    val e = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val vdists = array(centroids.map(c =>
+      l2_squared(col("v"), array(c.map(lit): _*))): _*)
+    val probeIds = slice(transform(array_sort(
+      zip_with(vdists, sequence(lit(0), lit(centroids.size - 1)),
+        (d, i) => struct(d.as("d"), i.as("i")))),
+      s => s.getField("i")), 1, nprobe)
+    val assigned = e.select(col("id"), explode(probeIds).as("bucket"))
+    val pairs = assigned.groupBy(col("bucket"))
+      .agg(sort_array(collect_set(col("id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+      .select(explode(ArrayPairs.pairStructs(col("ids"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
+    // exact-cosine verify on candidates only; norms once per vector
+    val candidateIds = pairs
+      .select(explode(array(col("a"), col("b"))).as("cid")).distinct()
+    val vecs = e.join(candidateIds, col("id") === col("cid"), "leftsemi")
+      .select(col("id"), col("v"), vector_norm(col("v")).as("n"))
+    val va = vecs.select(col("id").as("a"), col("v").as("va"), col("n").as("na"))
+    val vb = vecs.select(col("id").as("b"), col("v").as("vb"), col("n").as("nb"))
+    pairs.join(va, Seq("a")).join(vb, Seq("b"))
+      .withColumn("sim",
+        try_divide(dot_product(col("va"), col("vb")), col("na") * col("nb")))
+      .filter(col("sim") >= threshold)
+      .select(col("a"), col("b"), round(col("sim"), 4).as("sim"))
+  }
 }

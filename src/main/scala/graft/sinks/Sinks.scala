@@ -97,38 +97,72 @@ object JdkHttpPoster extends HttpPoster {
   }
 }
 
+/** Per-sink record batching (reference: agent/batch.go:10-48, default size 1
+  * at agent/agent.go:17; 0 = unbounded). Batches a driver-side JSON record
+  * iterator: size 1 keeps one-object-per-request bodies (the reference's
+  * default observable behavior), size N>1 posts a JSON array per request,
+  * size 0 posts everything in one request.
+  */
+private[sinks] object Batching {
+  def batches(df: DataFrame, batchSize: Int): Iterator[Seq[String]] = {
+    import scala.jdk.CollectionConverters._
+    val it = df.toJSON.toLocalIterator().asScala
+    if (batchSize == 0) { val all = it.toSeq; if (all.isEmpty) Iterator.empty else Iterator(all) }
+    else it.grouped(batchSize)
+  }
+
+  def body(batch: Seq[String], batchSize: Int): String =
+    if (batchSize == 1) batch.head else batch.mkString("[", ",", "]")
+
+  def size(config: Map[String, Any]): Int =
+    config.getOrElse("batch_size", 1).toString.toInt
+
+  def validateSize(config: Map[String, Any]): Seq[InvalidConfigError] =
+    try {
+      if (size(config) < 0)
+        Seq(InvalidConfigError("batch_size", "batch_size must be >= 0"))
+      else Nil
+    } catch {
+      case _: NumberFormatException =>
+        Seq(InvalidConfigError("batch_size", "batch_size must be an integer"))
+    }
+}
+
 class HttpSink(poster: HttpPoster = JdkHttpPoster) extends SinkPlugin {
   val info: PluginInfo = PluginInfo("http",
-    "POST each record as JSON to a URL",
+    "POST records as JSON to a URL (batch_size records per request, 0 = all)",
     sampleConfig =
       """url: http://host/api
         |method: POST
-        |success_code: 200""".stripMargin,
+        |success_code: 200
+        |batch_size: 1""".stripMargin,
     tags = Seq("sink"))
 
   override def validate(config: Map[String, Any]): Seq[InvalidConfigError] =
-    requireKeys(config, "url")
+    requireKeys(config, "url") ++ Batching.validateSize(config)
 
   /** reference: plugins/sinks/http/http.go:74-131 — JSON per record;
     * success_code default 200; 5xx raises a retryable error
-    * (http.go:123-128).
+    * (http.go:123-128). Batching per agent/batch.go: batch_size records per
+    * request (default 1 = the reference's per-record behavior).
     */
   def sink(df: DataFrame, config: Map[String, Any]): Long = {
     val url = config("url").toString
     val method = config.getOrElse("method", "POST").toString
     val successCode = config.getOrElse("success_code", 200).toString.toInt
+    val batchSize = Batching.size(config)
     val headers = config.get("headers") match {
       case Some(m: Map[_, _]) => m.map { case (k, v) => k.toString -> v.toString }
       case _ => Map("Content-Type" -> "application/json")
     }
     var n = 0L
-    df.toJSON.toLocalIterator().forEachRemaining { j =>
-      val code = poster.post(url, method, headers, j)
+    Batching.batches(df, batchSize).foreach { batch =>
+      val code = poster.post(url, method, headers, Batching.body(batch, batchSize))
       if (code >= 500)
         throw new RetryableException(s"http sink: server error $code")
       if (code != successCode)
         throw new RuntimeException(s"http sink: unexpected status $code (want $successCode)")
-      n += 1
+      n += batch.size
     }
     n
   }
@@ -165,14 +199,16 @@ object KafkaSink extends SinkPlugin {
 
   def sink(df: DataFrame, config: Map[String, Any]): Long = {
     val out = payload(df, config.get("key_path").map(_.toString))
-    val n = out.count()
     // this container has no kafka connector jars; the write call is the
     // real path on a cluster with spark-sql-kafka on the classpath
     out.write.format("kafka")
       .option("kafka.bootstrap.servers", config("brokers").toString)
       .option("topic", config("topic").toString)
       .save()
-    n
+    // ONE pass: the payload projection runs only inside the write. The
+    // returned count scans the agent-persisted input (cached, no payload
+    // recompute) — kafka writes exactly one message per input row.
+    df.count()
   }
 }
 
@@ -186,7 +222,7 @@ class CompassSink(poster: HttpPoster = JdkHttpPoster) extends SinkPlugin {
     tags = Seq("sink"))
 
   override def validate(config: Map[String, Any]): Seq[InvalidConfigError] =
-    requireKeys(config, "host")
+    requireKeys(config, "host") ++ Batching.validateSize(config)
 
   /** Compass payload: urn/type/name/service/description + data + labels,
     * upstreams/downstreams from the lineage facet (reference:
@@ -236,12 +272,13 @@ class CompassSink(poster: HttpPoster = JdkHttpPoster) extends SinkPlugin {
       case Some(m: Map[_, _]) => m.map { case (k, v) => k.toString -> v.toString }
       case _ => Map.empty[String, String]
     }
+    val batchSize = Batching.size(config)
     var n = 0L
-    payload(df, labels).toJSON.toLocalIterator().forEachRemaining { j =>
+    Batching.batches(payload(df, labels), batchSize).foreach { batch =>
       val code = poster.post(s"$host/v1beta1/assets", "PATCH",
-        Map("Content-Type" -> "application/json"), j)
+        Map("Content-Type" -> "application/json"), Batching.body(batch, batchSize))
       if (code >= 500) throw new RetryableException(s"compass: server error $code")
-      n += 1
+      n += batch.size
     }
     n
   }

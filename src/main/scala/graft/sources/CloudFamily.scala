@@ -218,17 +218,17 @@ object BigQueryExtractor extends Extractor {
       val df = client.loadTable(spark, ds, table)
       val totalRows = df.count()
 
-      // preview with NBSP→"null" sanitization (bigquery.go:315-318); the
-      // reference collects N rows then scrubs — same, via one limit job
+      // preview sanitization (bigquery.go:315-318): the reference serializes
+      // the preview rows to JSON and substring-replaces every \\u0000
+      // (unicode-NUL escape) with `null` — so embedded NULs anywhere inside a
+      // cell are scrubbed, not just whole-NUL cells. Jackson (toJSON) escapes
+      // control characters the same way, so the same post-serialize replace
+      // reproduces the semantics exactly.
       val preview =
         if (previewRows > 0) {
-          val sanitized = df.columns.foldLeft(df.limit(previewRows)) { (d, c) =>
-            if (d.schema(c).dataType.typeName == "string")
-              d.withColumn(c, when(col(c) === " ", lit("null")).otherwise(col(c)))
-            else d
-          }
+          val json = df.limit(previewRows).toJSON.collect().mkString("[", ",", "]")
           Some(Preview(fields = df.columns.toSeq,
-            rows = sanitized.toJSON.collect().mkString("[", ",", "]")))
+            rows = json.replace("\\u0000", "null")))
         } else None
 
       // ONE multi-aggregate profile pass for ALL columns — replaces the

@@ -61,13 +61,23 @@ class JdbcQueryRunner(url: String, user: String, password: String) extends Query
   * `tablesSql(db)` rows `name`; `columnsSql(db, table)` rows
   * `column_name, data_type, is_nullable, length, comment` (missing keys
   * default empty).
+  *
+  * Optional per-table facet queries:
+  *   - `grantsSql(db, table)` rows `grantee, privilege_types` (comma-joined)
+  *     → rolled into `properties.attributes` as
+  *     `{"grants":[{"user":…,"privilege_types":[…]}]}`
+  *     (reference: postgres.go:220-250, userPrivilegesInfo)
+  *   - `rowCountSql(table)` one row, one value → `profile.totalRows`
+  *     (reference: oracle.go:136-168, getTableMetadata)
   */
 case class Dialect(
     service: String,
     databasesSql: String,
     tablesSql: String => String,
     columnsSql: (String, String) => String,
-    excludedDbs: Set[String] = Set.empty)
+    excludedDbs: Set[String] = Set.empty,
+    grantsSql: Option[(String, String) => String] = None,
+    rowCountSql: Option[String => String] = None)
 
 object Dialects {
   /** reference mysql.go:28-33, :95-192 */
@@ -93,7 +103,14 @@ object Dialects {
     columnsSql = (db, t) =>
       s"""SELECT column_name, data_type, is_nullable, COALESCE(character_maximum_length, 0) AS length
          |FROM information_schema.columns WHERE table_name = '$t' ORDER BY column_name ASC""".stripMargin,
-    excludedDbs = Set("root", "postgres"))
+    excludedDbs = Set("root", "postgres"),
+    // userPrivilegesInfo rollup (postgres.go:220-224): privileges aggregated
+    // per grantee with string_agg, keyed to the table + catalog
+    grantsSql = Some((db, t) =>
+      s"""SELECT grantee, string_agg(privilege_type, ',') AS privilege_types
+         |FROM information_schema.role_table_grants
+         |WHERE table_name='$t' AND table_catalog='$db'
+         |GROUP BY grantee""".stripMargin))
 
   /** reference mssql/mssql.go:101-154 */
   val mssql: Dialect = Dialect(
@@ -113,7 +130,9 @@ object Dialects {
     tablesSql = db => "SELECT object_name AS name FROM user_objects WHERE object_type = 'TABLE'",
     columnsSql = (db, t) =>
       s"""SELECT column_name, data_type, nullable AS is_nullable, data_length AS length
-         |FROM user_tab_columns WHERE table_name = '$t'""".stripMargin)
+         |FROM user_tab_columns WHERE table_name = '$t'""".stripMargin,
+    // per-table row count into profile.totalRows (oracle.go:136-144)
+    rowCountSql = Some(t => s"select count(*) from $t"))
 
   /** reference clickhouse/clickhouse.go:90-111 */
   val clickhouse: Dialect = Dialect(
@@ -203,13 +222,44 @@ class JdbcIntrospectionExtractor(dialect: Dialect) extends Extractor {
               .contains(c.getOrElse("is_nullable", "yes").toLowerCase),
             length = c.getOrElse("length", "0").toDouble.toLong)
         }
+        // grants rollup → attributes JSON (postgres.go:226-250: one entry
+        // per grantee, privilege_types split back into a list)
+        val attributes = dialect.grantsSql.map { g =>
+          val grants = r.run(g(db, table)).map { row =>
+            val user = row.getOrElse("grantee", "")
+            val privs = row.getOrElse("privilege_types", "").split(",")
+              .filter(_.nonEmpty).map(p => s""""${jsonEscape(p)}"""").mkString(",")
+            s"""{"user":"${jsonEscape(user)}","privilege_types":[$privs]}"""
+          }.mkString(",")
+          s"""{"grants":[$grants]}"""
+        }
+        // per-table row count → profile.totalRows (oracle.go:136-168)
+        val profile = dialect.rowCountSql.map { rc =>
+          val count = r.run(rc(table)).headOption
+            .flatMap(_.values.headOption).map(_.toLong).getOrElse(0L)
+          TableProfile(totalRows = count)
+        }
         TableAsset(
           resource = Resource(
             urn = Urn.table(dialect.service, host, db, table),
             name = table, service = dialect.service, `type` = "table"),
-          schema = cols)
+          profile = profile,
+          schema = cols,
+          properties = attributes.map(a => Properties(attributes = a))
+            .getOrElse(Properties()))
       }
       assets.toDS().toDF()
     } finally r.close()
   }
+
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
 }

@@ -185,6 +185,79 @@ class AgentSpec extends SparkSpec {
   }
 }
 
+class EnrichSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def attrsOf(df: org.apache.spark.sql.DataFrame): String =
+    df.collect()(0).getAs[org.apache.spark.sql.Row]("properties")
+      .getAs[String]("attributes")
+
+  test("enrich sets with overwrite: re-enriched key has ONE entry, config wins") {
+    val asset = graft.model.TableAsset(
+      resource = graft.model.Resource(urn = "u", name = "n", service = "s"),
+      properties = graft.model.Properties(
+        attributes = """{"team":"old","keep":"x"}"""))
+    val df = Seq(asset).toDS().toDF()
+    val once = graft.processors.EnrichProcessor.process(df, Map("team" -> "new"))
+    assert(attrsOf(once) == """{"keep":"x","team":"new"}""")
+    // enriching the SAME key twice still yields exactly one entry
+    val twice = graft.processors.EnrichProcessor.process(once, Map("team" -> "newer"))
+    assert(attrsOf(twice) == """{"keep":"x","team":"newer"}""")
+  }
+
+  test("enrich handles empty/null/non-canonical attributes") {
+    val base = graft.model.TableAsset(
+      resource = graft.model.Resource(urn = "u", name = "n", service = "s"))
+    val df = Seq(base).toDS().toDF()
+    assert(attrsOf(graft.processors.EnrichProcessor.process(df, Map("a" -> "1")))
+      == """{"a":"1"}""")
+    // whitespace-y empty object must not produce malformed JSON
+    val odd = Seq(base.copy(properties = graft.model.Properties(attributes = "{ }")))
+      .toDS().toDF()
+    assert(attrsOf(graft.processors.EnrichProcessor.process(odd, Map("a" -> "1")))
+      == """{"a":"1"}""")
+  }
+}
+
+class MetricsSpec extends SparkSpec {
+  test("agent emits statsd run/runDuration/runRecordCount/runPlugin lines") {
+    val dir = Files.createTempDirectory("csvm")
+    Files.writeString(dir.resolve("users.csv"), "id,name\n1,alice\n")
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    val monitor = new graft.agent.StatsdMonitor(
+      new graft.agent.LineStatsdClient(lines += _), prefix = "meteor")
+    val recipe = RecipeReader.parse(
+      s"""name: metered
+         |version: v1beta1
+         |source: {name: csv, config: {path: $dir}}
+         |sinks: [{name: console}]
+         |""".stripMargin)
+    val result = new Agent(spark, monitor = monitor).run(recipe)
+    assert(result.success)
+    // metric-name grammar mirrors metrics/statsd.go:37-81
+    assert(lines.exists(_.matches(
+      """meteor\.runDuration,name=metered,success=true,extractor=csv:\d+\|ms""")))
+    assert(lines.contains("meteor.run,name=metered,success=true,extractor=csv:1|c"))
+    assert(lines.contains("meteor.runRecordCount,name=metered,success=true,extractor=csv:1|c"))
+    assert(lines.contains("meteor.runPlugin,recipe_name=metered,name=console,type=sink,success=true:1|c"))
+  }
+
+  test("failed run emits success=false series") {
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    val monitor = new graft.agent.StatsdMonitor(
+      new graft.agent.LineStatsdClient(lines += _))
+    val recipe = RecipeReader.parse(
+      """name: broken
+        |version: v1beta1
+        |source: {name: csv, config: {path: /nonexistent-dir-xyz}}
+        |sinks: [{name: console}]
+        |""".stripMargin)
+    val result = new Agent(spark, monitor = monitor).run(recipe)
+    assert(!result.success)
+    assert(lines.contains("meteor.run,name=broken,success=false,extractor=csv:1|c"))
+  }
+}
+
 class SinksSpec extends SparkSpec {
   import spark.implicits._
 
@@ -206,6 +279,30 @@ class SinksSpec extends SparkSpec {
     }
     assert(n == 2L)
     assert(poster.bodies.exists(_.contains("u1")))
+  }
+
+  test("http sink batches: request count = ceil(records/batch) (agent/batch.go)") {
+    val df = (1 to 5).map(i => (s"u$i", i)).toDF("urn", "v")
+    // batch_size 2 → 3 requests (2+2+1), array bodies
+    val p2 = FakePoster(failFirst = 0)
+    val n2 = new graft.sinks.HttpSink(p2).sink(df,
+      Map("url" -> "http://x/api", "batch_size" -> 2))
+    assert(n2 == 5L && p2.calls == 3)
+    assert(p2.bodies.head.startsWith("[") && p2.bodies.head.contains("u1"))
+    // batch_size 0 = unbounded → one request with everything
+    val p0 = FakePoster(failFirst = 0)
+    val n0 = new graft.sinks.HttpSink(p0).sink(df,
+      Map("url" -> "http://x/api", "batch_size" -> 0))
+    assert(n0 == 5L && p0.calls == 1)
+    assert(p0.bodies.head.contains("u1") && p0.bodies.head.contains("u5"))
+    // default batch_size 1 → one single-object request per record
+    val p1 = FakePoster(failFirst = 0)
+    val n1 = new graft.sinks.HttpSink(p1).sink(df, Map("url" -> "http://x/api"))
+    assert(n1 == 5L && p1.calls == 5)
+    assert(p1.bodies.forall(_.startsWith("{")))
+    // negative batch_size rejected at validation
+    assert(new graft.sinks.HttpSink(p1).validate(
+      Map("url" -> "u", "batch_size" -> -1)).nonEmpty)
   }
 
   test("kafka payload extracts dotted key_path") {

@@ -52,6 +52,42 @@ class JdbcFamilySpec extends SparkSpec {
     Registries.populate()
     Dialects.all.foreach(d => assert(Registries.extractors.contains(d.service)))
   }
+
+  test("postgres: grants rollup lands in properties.attributes (postgres.go:220-250)") {
+    val runner = new QueryRunner {
+      override def run(sql: String): Seq[Map[String, String]] =
+        if (sql.contains("pg_database")) Seq(Map("name" -> "shop"))
+        else if (sql.contains("information_schema.tables")) Seq(Map("name" -> "orders"))
+        else if (sql.contains("role_table_grants"))
+          Seq(
+            Map("grantee" -> "analyst", "privilege_types" -> "SELECT"),
+            Map("grantee" -> "writer", "privilege_types" -> "INSERT,UPDATE"))
+        else Seq(Map("column_name" -> "id", "data_type" -> "bigint",
+          "is_nullable" -> "NO", "length" -> "0"))
+    }
+    val out = new JdbcIntrospectionExtractor(Dialects.postgres)
+      .extract(spark, Map("runner" -> runner, "identifier" -> "pg-host")).collect()
+    assert(out.length == 1)
+    val attrs = out(0).getAs[Row]("properties").getAs[String]("attributes")
+    assert(attrs ==
+      """{"grants":[{"user":"analyst","privilege_types":["SELECT"]},""" +
+      """{"user":"writer","privilege_types":["INSERT","UPDATE"]}]}""")
+  }
+
+  test("oracle: per-table row count lands in profile.totalRows (oracle.go:136-168)") {
+    val runner = new QueryRunner {
+      override def run(sql: String): Seq[Map[String, String]] =
+        if (sql.contains("dual")) Seq(Map("name" -> "ORCL"))
+        else if (sql.contains("user_objects")) Seq(Map("name" -> "ORDERS"))
+        else if (sql.startsWith("select count(*)")) Seq(Map("count(*)" -> "4321"))
+        else Seq(Map("column_name" -> "ID", "data_type" -> "NUMBER",
+          "is_nullable" -> "N", "length" -> "22"))
+    }
+    val out = new JdbcIntrospectionExtractor(Dialects.oracle)
+      .extract(spark, Map("runner" -> runner, "identifier" -> "ora-host")).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Row]("profile").getAs[Long]("totalRows") == 4321L)
+  }
 }
 
 class CatalogFamilySpec extends SparkSpec {
@@ -194,7 +230,10 @@ class RestFamilySpec extends SparkSpec {
       def tables(ds: String) = Seq("orders")
       def tableInfo(ds: String, t: String) = (Map("env" -> "prod"), "order_date")
       def loadTable(s: org.apache.spark.sql.SparkSession, ds: String, t: String) =
-        Seq((1L, " ", 10.0), (2L, "ok", 20.0)).toDF("id", "note", "amount")
+        // one cell with an EMBEDDED unicode NUL: the reference scrubs the
+        // NUL escape inside the serialized JSON (bigquery.go:315-318),
+        // not just whole-NUL cells
+        Seq((1L, "bad\u0000byte", 10.0), (2L, "ok", 20.0)).toDF("id", "note", "amount")
     }
     val out = BigQueryExtractor.extract(spark, Map(
       "client" -> client, "project_id" -> "p",
@@ -203,7 +242,10 @@ class RestFamilySpec extends SparkSpec {
     assert(profile.getAs[Long]("totalRows") == 2L)
     assert(profile.getAs[String]("partitionKey") == "order_date")
     val preview = out.getAs[Row]("preview")
-    assert(preview.getAs[String]("rows").contains("\"null\"")) // NBSP scrubbed
+    val rows = preview.getAs[String]("rows")
+    // the serialized \u0000 escape is substring-replaced -> "badnullbyte"
+    assert(rows.contains("badnullbyte"), rows)
+    assert(!rows.contains("\\u0000"), rows)
     val cols = out.getSeq[Row](out.fieldIndex("schema"))
     val amount = cols.find(_.getAs[String]("name") == "amount").get
     assert(amount.getAs[Row]("profile").getAs[Long]("count") == 2L)
