@@ -47,7 +47,15 @@ object Main {
       recipes.foreach { r =>
         val errs = new LintOnlyAgent().validate(r)
         if (errs.isEmpty) println(s"OK  ${r.name}")
-        else { bad = true; errs.foreach(e => println(s"ERR ${r.name}: $e")) }
+        else {
+          bad = true
+          // line-located lint output (cmd/lint.go:145-178)
+          errs.foreach { e =>
+            val loc = RecipeReader.lintLine(r, e.key)
+              .map(l => s" on line: $l").getOrElse("")
+            println(s"ERR ${r.name}: $e$loc")
+          }
+        }
       }
       if (bad) sys.exit(1)
 
@@ -74,22 +82,24 @@ object Main {
       if (i.sampleConfig.nonEmpty) println(s"sample config:\n${i.sampleConfig.linesIterator.map("  " + _).mkString("\n")}")
 
     case "gen" :: source :: sinks :: Nil =>
-      // recipe generation from plugin sample configs
-      // (reference: generator/recipe.go:32-79)
       Registries.populate()
-      def indent(s: String, n: Int): String =
-        s.linesIterator.map(" " * n + _).mkString("\n")
-      val src = Registries.extractors.get(source).info
-      println(s"name: ${source}_recipe\nversion: v1beta1\nsource:\n  name: $source")
-      if (src.sampleConfig.nonEmpty)
-        println("  config:\n" + indent(src.sampleConfig, 4))
-      println("sinks:")
-      sinks.split(",").foreach { sk =>
-        val info = Registries.sinks.get(sk.trim).info
-        println(s"  - name: ${sk.trim}")
-        if (info.sampleConfig.nonEmpty)
-          println("    config:\n" + indent(info.sampleConfig, 6))
-      }
+      print(generateRecipe(s"${source}_recipe", source,
+        sinks.split(",").map(_.trim).toSeq, Nil))
+
+    case "new" :: "recipe" :: name :: rest =>
+      // `new recipe NAME [-e extractor] [-s sink,...] [-p proc,...]`:
+      // missing flags fall back to an interactive survey over the
+      // registered plugins (reference: cmd/new.go:31-102)
+      Registries.populate()
+      val flags = parseFlags(rest)
+      val extractor = flags.getOrElse("-e",
+        survey("Select extractor", Registries.extractors.list.map(_.name), multi = false).head)
+      val sinkList = flags.get("-s").map(_.split(",").map(_.trim).toSeq)
+        .getOrElse(survey("Select sink(s)", Registries.sinks.list.map(_.name), multi = true))
+      val procList = flags.get("-p").map(_.split(",").map(_.trim).toSeq)
+        .getOrElse(survey("Select processor(s)", Registries.processors.list.map(_.name),
+          multi = true, required = false))
+      print(generateRecipe(name, extractor, sinkList, procList))
 
     case _ =>
       println(
@@ -98,8 +108,66 @@ object Main {
           |  lint <recipe.yaml|dir>                   validate without executing
           |  list <extractors|processors|sinks>       list plugins
           |  info <extractor|processor|sink> <name>   plugin details
-          |  gen  <source> <sink[,sink...]>           generate a sample recipe""".stripMargin)
+          |  gen  <source> <sink[,sink...]>           generate a sample recipe
+          |  new recipe <name> [-e x] [-s a,b] [-p a,b]  bootstrap a recipe (survey when flags omitted)""".stripMargin)
       sys.exit(2)
+  }
+
+  /** Recipe YAML from plugin sample configs (reference:
+    * generator/recipe.go:31-79 — name + version + source/processors/sinks
+    * each with their registered sample config block).
+    */
+  def generateRecipe(name: String, source: String, sinks: Seq[String],
+                     processors: Seq[String]): String = {
+    def indent(s: String, n: Int): String =
+      s.linesIterator.map(" " * n + _).mkString("\n")
+    val sb = new StringBuilder
+    sb ++= s"name: $name\nversion: v1beta1\n"
+    val src = Registries.extractors.get(source).info
+    sb ++= s"source:\n  name: $source\n"
+    if (src.sampleConfig.nonEmpty)
+      sb ++= "  config:\n" + indent(src.sampleConfig, 4) + "\n"
+    if (processors.nonEmpty) {
+      sb ++= "processors:\n"
+      processors.foreach { p =>
+        val info = Registries.processors.get(p).info
+        sb ++= s"  - name: $p\n"
+        if (info.sampleConfig.nonEmpty)
+          sb ++= "    config:\n" + indent(info.sampleConfig, 6) + "\n"
+      }
+    }
+    sb ++= "sinks:\n"
+    sinks.foreach { sk =>
+      val info = Registries.sinks.get(sk).info
+      sb ++= s"  - name: $sk\n"
+      if (info.sampleConfig.nonEmpty)
+        sb ++= "    config:\n" + indent(info.sampleConfig, 6) + "\n"
+    }
+    sb.result()
+  }
+
+  /** Survey prompt (cmd/new.go:109-161 analogue, stdin/stderr instead of a
+    * TUI): prints the option list to stderr, reads a comma-separated
+    * selection from stdin. Empty input = all-optional none (or re-asks when
+    * required).
+    */
+  private def survey(message: String, options: Seq[String], multi: Boolean,
+                     required: Boolean = true): Seq[String] = {
+    while (true) {
+      System.err.println(s"$message ${if (multi) "(comma-separated)" else ""}:")
+      options.sorted.foreach(o => System.err.println(s"  - $o"))
+      val line = Option(scala.io.StdIn.readLine()).getOrElse("").trim
+      val picked = line.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val unknown = picked.filterNot(options.contains)
+      if (unknown.nonEmpty)
+        System.err.println(s"unknown: ${unknown.mkString(", ")}")
+      else if (picked.isEmpty && required)
+        System.err.println("a selection is required")
+      else if (!multi && picked.length > 1)
+        System.err.println("select exactly one")
+      else return picked
+    }
+    Nil
   }
 
   private def parseVars(args: List[String]): Map[String, String] =
@@ -107,6 +175,11 @@ object Main {
       case "--var" :: kv :: Nil if kv.contains("=") =>
         val Array(k, v) = kv.split("=", 2)
         k -> v
+    }.toMap
+
+  private def parseFlags(args: List[String]): Map[String, String] =
+    args.sliding(2, 2).collect {
+      case flag :: value :: Nil if flag.startsWith("-") => flag -> value
     }.toMap
 
   /** validate() needs no SparkSession; tiny shim to avoid creating one. */

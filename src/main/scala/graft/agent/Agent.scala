@@ -71,8 +71,25 @@ class Agent(
       recipe.sinks.flatMap(s => check("sink", s, Registries.sinks.get))
   }
 
+  /** Job-group id for a recipe's runs — the cancellation handle. */
+  private def jobGroup(recipeName: String): String = s"graft-run-$recipeName"
+
+  /** Graceful cancel (reference agent/agent.go:160-164: ctx cancellation
+    * force-closes the stream mid-run). Spark analogue: every run's jobs
+    * execute under a job group keyed by recipe name; cancelling the group
+    * interrupts the running tasks, the interrupted action raises, and the
+    * run reports failure — the same observable outcome as the reference's
+    * force-closed stream. Safe to call when no run is active (no-op).
+    */
+  def cancel(recipeName: String): Unit =
+    spark.sparkContext.cancelJobGroup(jobGroup(recipeName))
+
   def run(recipe: Recipe): RunResult = {
     val t0 = System.nanoTime()
+    // group is per-thread, so concurrent runMultiple recipes each get their
+    // own cancellable group; interruptOnCancel reaches blocked tasks too
+    spark.sparkContext.setJobGroup(jobGroup(recipe.name),
+      s"graft recipe ${recipe.name}", interruptOnCancel = true)
     val result =
       try {
         val errors = validate(recipe)
@@ -112,7 +129,7 @@ class Agent(
         case e: Exception =>
           RunResult(recipe, success = false, Some(e.getMessage),
             (System.nanoTime() - t0) / 1000000L, 0L)
-      }
+      } finally spark.sparkContext.clearJobGroup()
     // run-level metrics on both success and failure (agent/agent.go:289-297)
     monitor.recordRun(result)
     result

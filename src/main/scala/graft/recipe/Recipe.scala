@@ -20,7 +20,14 @@ case class Recipe(
     version: String,
     source: PluginSpec,
     processors: Seq[PluginSpec] = Nil,
-    sinks: Seq[PluginSpec] = Nil)
+    sinks: Seq[PluginSpec] = Nil,
+    /** YAML source positions for lint: `source`, `sinks[i]`,
+      * `processors[i]` (the plugin's `name` scalar line) and
+      * `<path>/config/<key>` (the config value line), 1-based — the
+      * reference keeps `yaml.Node` positions for the same purpose
+      * (recipe/node.go:10-25, printed at cmd/lint.go:145-178).
+      */
+    lines: Map[String, Int] = Map.empty)
 
 case class RecipeParseException(message: String) extends RuntimeException(message)
 
@@ -92,7 +99,80 @@ object RecipeReader {
     }
     if (sinks.isEmpty) throw RecipeParseException("at least one sink is required")
     val name = root.get("name").map(_.toString).filter(_.nonEmpty).getOrElse(defaultName)
-    Recipe(name, version, source, processors, sinks)
+    Recipe(name, version, source, processors, sinks, lineIndex(yamlText))
+  }
+
+  /** YAML line positions of every plugin block and config value — composed
+    * from the rendered recipe text (the reference also parses positions
+    * post-render, recipe/reader.go:56-92 + node.go).
+    */
+  private def lineIndex(yamlText: String): Map[String, Int] = {
+    import org.yaml.snakeyaml.nodes.{MappingNode, Node, ScalarNode, SequenceNode}
+    val out = scala.collection.mutable.Map[String, Int]()
+    def entries(m: MappingNode): Seq[(String, Node)] =
+      m.getValue.asScala.toSeq.collect {
+        case t if t.getKeyNode.isInstanceOf[ScalarNode] =>
+          t.getKeyNode.asInstanceOf[ScalarNode].getValue -> t.getValueNode
+      }
+    def plugin(path: String, n: Node): Unit = n match {
+      case m: MappingNode =>
+        entries(m).foreach {
+          case ("name", v) => out(path) = v.getStartMark.getLine + 1
+          case ("config", c: MappingNode) =>
+            entries(c).foreach { case (k, v) =>
+              out(s"$path/config/$k") = v.getStartMark.getLine + 1
+            }
+          case _ => ()
+        }
+      case _ => ()
+    }
+    try {
+      new Yaml().compose(new java.io.StringReader(yamlText)) match {
+        case m: MappingNode =>
+          entries(m).foreach {
+            case ("source", n) => plugin("source", n)
+            case ("processors", s: SequenceNode) =>
+              s.getValue.asScala.zipWithIndex.foreach {
+                case (n, i) => plugin(s"processors[$i]", n)
+              }
+            case ("sinks", s: SequenceNode) =>
+              s.getValue.asScala.zipWithIndex.foreach {
+                case (n, i) => plugin(s"sinks[$i]", n)
+              }
+            case _ => ()
+          }
+        case _ => ()
+      }
+    } catch { case _: Exception => () } // positions are best-effort
+    out.toMap
+  }
+
+  /** Resolve a validation-error key (`kind/plugin[/configKey]`, the shape
+    * `Agent.validate` emits) to the recipe line it came from — config-value
+    * line when the key exists, else the plugin's `name` line, else None
+    * (mirrors cmd/lint.go:145-178: config line if present, plugin line for
+    * not-found, plain message otherwise). Duplicate plugin names resolve to
+    * the first occurrence, same as the reference's findPluginByName.
+    */
+  def lintLine(recipe: Recipe, errKey: String): Option[Int] = {
+    val parts = errKey.split("/", 3)
+    if (parts.length < 2) return None
+    val (kind, pluginName) = (parts(0), parts(1))
+    val cfgKey = if (parts.length > 2) Some(parts(2)) else None
+    val path = kind match {
+      case "source" => if (recipe.source.name == pluginName) Some("source") else None
+      case "processor" => recipe.processors.indexWhere(_.name == pluginName) match {
+        case -1 => None; case i => Some(s"processors[$i]")
+      }
+      case "sink" => recipe.sinks.indexWhere(_.name == pluginName) match {
+        case -1 => None; case i => Some(s"sinks[$i]")
+      }
+      case _ => None
+    }
+    path.flatMap { p =>
+      cfgKey.flatMap(k => recipe.lines.get(s"$p/config/$k"))
+        .orElse(recipe.lines.get(p))
+    }
   }
 
   /** Read + render + parse a recipe file; name defaults to the file name.

@@ -226,10 +226,10 @@ class JdbcIntrospectionExtractor(dialect: Dialect) extends Extractor {
         // per grantee, privilege_types split back into a list)
         val attributes = dialect.grantsSql.map { g =>
           val grants = r.run(g(db, table)).map { row =>
-            val user = row.getOrElse("grantee", "")
+            val user = JsonText.str(row.getOrElse("grantee", ""))
             val privs = row.getOrElse("privilege_types", "").split(",")
-              .filter(_.nonEmpty).map(p => s""""${jsonEscape(p)}"""").mkString(",")
-            s"""{"user":"${jsonEscape(user)}","privilege_types":[$privs]}"""
+              .filter(_.nonEmpty).map(JsonText.str).mkString(",")
+            s"""{"user":$user,"privilege_types":[$privs]}"""
           }.mkString(",")
           s"""{"grants":[$grants]}"""
         }
@@ -251,15 +251,4 @@ class JdbcIntrospectionExtractor(dialect: Dialect) extends Extractor {
       assets.toDS().toDF()
     } finally r.close()
   }
-
-  private def jsonEscape(s: String): String =
-    s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
 }

@@ -142,7 +142,124 @@ abstract class DashboardServiceExtractor(service: String) extends Extractor {
 object GrafanaExtractor extends DashboardServiceExtractor("grafana")
 object SupersetExtractor extends DashboardServiceExtractor("superset")
 object RedashExtractor extends DashboardServiceExtractor("redash")
-object TableauExtractor extends DashboardServiceExtractor("tableau")
+
+/** Tableau Metadata-API walk (reference tableau/tableau.go:108-205): REST
+  * project list → GraphQL detailed workbooks per project (sheets + upstream
+  * tables, each table tagged with its POLYMORPHIC database object) →
+  * Dashboard asset per workbook with per-DB-flavor upstream table URNs
+  * (models.go:35-196, builder.go:10-78).
+  */
+case class TableauOwner(id: String = "", name: String = "", email: String = "")
+case class TableauSheet(id: String, name: String)
+/** `database` is the GraphQL union rendered as a string map — flavor is
+  * detected by key presence, matching builder.go:31-77's mapstructure
+  * decode order (hostName → server, provider → cloud file, filePath →
+  * local file, connectorUrl → web-data connector).
+  */
+case class TableauTable(
+    id: String, name: String, schema: String = "", fullName: String = "",
+    database: Map[String, String] = Map.empty)
+case class TableauWorkbook(
+    id: String, name: String, projectName: String = "", uri: String = "",
+    description: String = "", owner: TableauOwner = TableauOwner(),
+    sheets: Seq[TableauSheet] = Nil, upstreamTables: Seq[TableauTable] = Nil)
+
+trait TableauClient {
+  def projects(): Seq[String]
+  /** the GraphQL `workbooks` query filtered by project (client.go:139-228) */
+  def workbooks(projectName: String): Seq[TableauWorkbook]
+}
+
+object TableauExtractor extends Extractor {
+  val info: PluginInfo = PluginInfo("tableau",
+    "Extract Dashboard assets from Tableau workbooks; upstream table lineage from the Metadata API",
+    sampleConfig =
+      """host: https://server.tableau.com
+        |identifier: my-tableau
+        |sitename: testdev""".stripMargin,
+    tags = Seq("rest", "extractor", "dashboard"))
+
+  override def validate(config: Map[String, Any]): Seq[InvalidConfigError] =
+    if (config.contains("client")) Nil else requireKeys(config, "host")
+
+  /** connection-type → service remap (models.go:15-25). */
+  private val connectionTypeMap = Map("sqlserver" -> "mssql")
+  private def source(db: Map[String, String]): String = {
+    val ct = db.getOrElse("connectionType", "")
+    connectionTypeMap.getOrElse(ct, ct)
+  }
+
+  /** `project-id.schema.table1` (backticks/brackets stripped) → parts
+    * (models.go:93-105).
+    */
+  def parseBQFullName(fullName: String): Seq[String] =
+    fullName.replaceAll("[`\\[\\]]", "").split("\\.").toSeq
+
+  /** Per-flavor upstream resource (builder.go:24-77 + the CreateResource
+    * impls in models.go). Unknown database shapes yield None (reference
+    * logs and skips).
+    */
+  def upstreamResource(t: TableauTable): Option[Resource] = {
+    val db = t.database
+    val svc = source(db)
+    if (db.contains("hostName")) { // DatabaseServer (models.go:107-133)
+      val urn =
+        if (svc == "bigquery") {
+          val parts = parseBQFullName(t.fullName)
+          if (parts.length == 3) Urn.table(svc, parts(0), parts(1), parts(2))
+          else Urn.table(svc, parts.headOption.getOrElse(""), t.schema, t.name)
+        } else
+          Urn.table(svc, s"${db.getOrElse("hostName", "")}:${db.getOrElse("port", "0")}",
+            db.getOrElse("name", ""), t.name)
+      Some(Resource(urn = urn, name = "", service = svc, `type` = "table"))
+    } else if (db.contains("provider")) { // CloudFile (models.go:137-158)
+      Some(Resource(
+        urn = s"$svc::${db("provider")}/${db.getOrElse("name", "")}/${t.name}",
+        name = "", service = svc, `type` = "bucket"))
+    } else if (db.contains("filePath")) { // File (models.go:160-176)
+      Some(Resource(
+        urn = s"$svc::${db("filePath")}/${db.getOrElse("name", "")}/${t.name}",
+        name = "", service = svc, `type` = "bucket"))
+    } else if (db.contains("connectorUrl")) { // WebDataConnector (models.go:178-196)
+      Some(Resource(
+        urn = s"$svc::${db("connectorUrl")}/${db.getOrElse("name", "")}/${t.name}",
+        name = "", service = svc, `type` = "table"))
+    } else None
+  }
+
+  def extract(spark: SparkSession, config: Map[String, Any]): DataFrame = {
+    import spark.implicits._
+    val client = config.get("client") match {
+      case Some(c: TableauClient) => c
+      case _ => throw new ConfigException(Seq(InvalidConfigError("client",
+        "no TableauClient configured (offline container: inject via config key 'client')")))
+    }
+    val host = config.getOrElse("identifier", config.getOrElse("host", "tableau")).toString
+    val assets = for {
+      project <- client.projects()
+      wb <- client.workbooks(project)
+    } yield {
+      val upstreams = wb.upstreamTables.flatMap(upstreamResource)
+      val lineage = Some(Lineage(upstreams = upstreams))
+      val dashUrn = Urn.resource("tableau", host, s"workbook/${wb.id}")
+      DashboardAsset(
+        resource = Resource(urn = dashUrn, name = wb.name, service = "tableau",
+          `type` = "dashboard", description = wb.description),
+        charts = wb.sheets.map(sh => Chart(
+          urn = Urn.resource("tableau", host, s"sheet/${sh.id}"),
+          name = sh.name, source = "tableau")),
+        ownership = Some(Ownership(Seq(Owner(
+          urn = wb.owner.email, name = wb.owner.name, email = wb.owner.email)))),
+        lineage = lineage,
+        // workbook attributes facet (tableau.go:145-155), deterministic order
+        properties = Properties(attributes = JsonText.obj(Seq(
+          "id" -> wb.id, "name" -> wb.name, "project_name" -> wb.projectName,
+          "uri" -> wb.uri, "owner_id" -> wb.owner.id,
+          "owner_name" -> wb.owner.name, "owner_email" -> wb.owner.email))))
+    }
+    assets.toDS().toDF()
+  }
+}
 
 /** reference metabase/metabase.go — dashboards :105-142, cards :144-190,
   * lineage from card SQL :249-260. Cards carry raw SQL; upstream tables

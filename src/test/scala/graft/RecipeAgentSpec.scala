@@ -47,6 +47,45 @@ class RecipeSpec extends SparkSpec {
       Map("src_path" -> "/explicit"), env) == "path: /explicit")
   }
 
+  test("new-recipe generation round-trips through the parser (generator/recipe.go)") {
+    graft.plugins.Registries.populate()
+    val yaml = Main.generateRecipe("bootstrap", "csv",
+      sinks = Seq("console", "file"), processors = Seq("enrich"))
+    val r = RecipeReader.parse(yaml)
+    assert(r.name == "bootstrap")
+    assert(r.source.name == "csv")
+    assert(r.source.config.contains("path")) // csv sample config carried over
+    assert(r.processors.map(_.name) == Seq("enrich"))
+    assert(r.sinks.map(_.name) == Seq("console", "file"))
+    assert(r.sinks(1).config("format") == "ndjson")
+  }
+
+  test("lint errors resolve to YAML line numbers (cmd/lint.go:145-178)") {
+    val r = RecipeReader.parse(
+      """name: located
+        |version: v1beta1
+        |source:
+        |  name: nosuch
+        |processors:
+        |  - name: enrich
+        |    config: {team: data}
+        |sinks:
+        |  - name: file
+        |    config:
+        |      format: xml
+        |""".stripMargin)
+    // plugin block lines: the plugin's `name` scalar
+    assert(RecipeReader.lintLine(r, "source/nosuch") == Some(4))
+    assert(RecipeReader.lintLine(r, "processor/enrich") == Some(6))
+    assert(RecipeReader.lintLine(r, "sink/file") == Some(9))
+    // config-value line beats the plugin line when the key exists
+    assert(RecipeReader.lintLine(r, "sink/file/format") == Some(11))
+    assert(RecipeReader.lintLine(r, "processor/enrich/team") == Some(7))
+    // missing config key falls back to the plugin line; unknown plugin → None
+    assert(RecipeReader.lintLine(r, "sink/file/path") == Some(9))
+    assert(RecipeReader.lintLine(r, "sink/ghost/x") == None)
+  }
+
   test("recipe name defaults to file name") {
     val dir = Files.createTempDirectory("recipes")
     Files.writeString(dir.resolve("my-recipe.yaml"),
@@ -140,6 +179,42 @@ class AgentSpec extends SparkSpec {
     assert(result.success) // default stop_on_sink_error=false swallows
     assert(result.sinkCounts("file[0]") == 2L)
     assert(result.sinkCounts("file[1]") == -1L)
+  }
+
+  test("cancel interrupts a running recipe (agent/agent.go:160-179 analogue)") {
+    // slow extractor: each partition sleeps, so the persisted count() hangs
+    // long enough to cancel; registered once per JVM
+    try Registries.extractors.register(new graft.plugins.Extractor {
+      val info = graft.plugins.PluginInfo("slowtest", "sleepy fixture source")
+      def extract(s: org.apache.spark.sql.SparkSession,
+                  config: Map[String, Any]): org.apache.spark.sql.DataFrame = {
+        import s.implicits._
+        s.range(8).as[Long].mapPartitions { it =>
+          Thread.sleep(60000); it
+        }.toDF("id")
+      }
+    }) catch { case _: IllegalArgumentException => () }
+    val recipe = RecipeReader.parse(
+      """name: cancelme
+        |version: v1beta1
+        |source: {name: slowtest}
+        |sinks: [{name: console}]
+        |""".stripMargin)
+    val agent = new Agent(spark, maxRetries = 0)
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val running = Future(agent.run(recipe))
+    // poll-cancel until the run aborts (cancelJobGroup only hits jobs that
+    // have already started)
+    val deadline = System.nanoTime() + 60L * 1000000000L
+    while (!running.isCompleted && System.nanoTime() < deadline) {
+      agent.cancel("cancelme")
+      Thread.sleep(200)
+    }
+    val result = Await.result(running, 10.seconds)
+    assert(!result.success)
+    assert(result.error.nonEmpty)
   }
 
   test("validate reports unknown plugins and bad config without executing") {

@@ -251,6 +251,51 @@ class RestFamilySpec extends SparkSpec {
     assert(amount.getAs[Row]("profile").getAs[Long]("count") == 2L)
   }
 
+  test("tableau: metadata-API walk, per-DB-flavor upstream URNs (tableau.go:108-205)") {
+    val client = new TableauClient {
+      def projects() = Seq("Analytics")
+      def workbooks(p: String) = Seq(TableauWorkbook(
+        id = "wb1", name = "Sales", projectName = p, uri = "wb/sales",
+        description = "sales wb",
+        owner = TableauOwner("o1", "Ana Lyst", "ana@corp.com"),
+        sheets = Seq(TableauSheet("sh1", "Trend")),
+        upstreamTables = Seq(
+          // DatabaseServer with the sqlserver→mssql connection-type remap
+          TableauTable("t1", "orders", database = Map(
+            "hostName" -> "db.corp", "port" -> "1433", "name" -> "shop",
+            "connectionType" -> "sqlserver")),
+          // bigquery server flavor: URN from the parsed full name
+          TableauTable("t2", "invoice", schema = "ds", fullName = "`proj.dataset_a.invoice`",
+            database = Map("hostName" -> "bq", "connectionType" -> "bigquery")),
+          // bigquery fallback when full name is not 3 parts
+          TableauTable("t3", "events", schema = "raw", fullName = "projonly",
+            database = Map("hostName" -> "bq", "connectionType" -> "bigquery")),
+          // CloudFile flavor
+          TableauTable("t4", "blob", database = Map(
+            "provider" -> "gcs", "name" -> "bucket1", "connectionType" -> "gcs")),
+          // unknown database shape is skipped
+          TableauTable("t5", "mystery", database = Map("weird" -> "x"))))
+      )
+    }
+    val out = TableauExtractor.extract(spark,
+      Map("client" -> client, "identifier" -> "tb")).collect()(0)
+    assert(out.getAs[Row]("resource").getAs[String]("urn") == "tableau::tb/workbook/wb1")
+    val charts = out.getSeq[Row](out.fieldIndex("charts"))
+    assert(charts.map(_.getAs[String]("urn")) == Seq("tableau::tb/sheet/sh1"))
+    val ups = out.getAs[Row]("lineage").getSeq[Row](0)
+    assert(ups.map(_.getAs[String]("urn")) == Seq(
+      "mssql::db.corp:1433/shop/orders",
+      "bigquery::proj/dataset_a/invoice",
+      "bigquery::projonly/raw/events",
+      "gcs::gcs/bucket1/blob"))
+    assert(ups.map(_.getAs[String]("type")) == Seq("table", "table", "table", "bucket"))
+    val attrs = out.getAs[Row]("properties").getAs[String]("attributes")
+    assert(attrs.contains(""""project_name":"Analytics""""))
+    assert(attrs.contains(""""owner_email":"ana@corp.com""""))
+    val owner = out.getAs[Row]("ownership").getSeq[Row](0).head
+    assert(owner.getAs[String]("email") == "ana@corp.com")
+  }
+
   test("registry lists the full 27-extractor roster") {
     Registries.populate()
     val names = Registries.extractors.list.map(_.name).toSet
