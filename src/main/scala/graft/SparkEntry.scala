@@ -376,6 +376,14 @@ object SparkEntry {
       .orderBy(col("a"), col("b"))
   }
 
+  private def embedClusters(s: SparkSession, dir: String): DataFrame =
+    // pairs → dedup groups: connected components over the near-dup graph
+    // (transitive closure the pairwise output lacks); the pair set comes
+    // from the bucketed scale path, proven identical to all-pairs here
+    Dedup.connectedComponents(
+        embedNearDupBucketed(s, dir).select(col("a"), col("b")))
+      .orderBy(col("id"))
+
   private def annIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     // deterministic codebook: the first 8 vectors (a real pipeline would
@@ -447,6 +455,7 @@ object SparkEntry {
     "s_ann_ivf" -> (annIvf _),
     "s_embed_neardup" -> (embedNearDup _),
     "s_embed_neardup_bucketed" -> (embedNearDupBucketed _),
+    "s_embed_clusters" -> (embedClusters _),
     "m_multimodal_meta" -> (multimodalMeta _),
     "m_multimodal_features" -> (multimodalFeatures _))
 
@@ -747,6 +756,25 @@ object SparkEntry {
         |WHERE list_dot_product(a.v, b.v) /
         |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
         |ORDER BY a, b""".stripMargin,
+    // connected components over the near-dup graph: DuckDB's recursive CTE
+    // walks the transitive closure; cluster id = min reachable vec_id
+    "s_embed_clusters" ->
+      """WITH RECURSIVE
+        |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |       FROM embeddings WHERE vec_id < 300),
+        |pr AS (SELECT a.vec_id AS a, b.vec_id AS b
+        |       FROM ev a JOIN ev b ON a.vec_id < b.vec_id
+        |       WHERE list_dot_product(a.v, b.v) /
+        |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35),
+        |edges AS (SELECT a AS x, b AS y FROM pr UNION SELECT b, a FROM pr),
+        |walk(x, y) AS (
+        | SELECT x, y FROM edges
+        | UNION
+        | SELECT w.x, e.y FROM walk w JOIN edges e ON w.y = e.x),
+        |reach AS (SELECT x, y FROM walk
+        |          UNION SELECT DISTINCT x, x FROM edges)
+        |SELECT x AS id, min(y) AS cluster_id FROM reach
+        |GROUP BY x ORDER BY id""".stripMargin,
     // oracle = the exact all-pairs answer; the bucketed plan must reproduce
     // it at this scale (recall achieved via nprobe=4 multi-probe blocking)
     "s_embed_neardup_bucketed" ->

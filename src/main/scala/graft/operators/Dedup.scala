@@ -86,10 +86,13 @@ object Dedup {
     // twice, as a plain two-sided join against the full corpus would
     val candidateIds = pairs
       .select(explode(array(col("a"), col("b"))).as("cid")).distinct()
+    // consumed twice (both join sides below): checkpoint so the doc scan +
+    // shingling runs once, not once per side
     val sets = docs
       .join(candidateIds, col(idCol) === col("cid"), "leftsemi")
       .select(col(idCol).as("vid"),
         array_distinct(shingles(col(textCol), shingleLen)).as("sset"))
+      .localCheckpoint()
     val sa = sets.select(col("vid").as("a"), col("sset").as("sa"))
     val sb = sets.select(col("vid").as("b"), col("sset").as("sb"))
     pairs.join(sa, Seq("a")).join(sb, Seq("b"))
@@ -111,6 +114,57 @@ object Dedup {
     // (small) pair set once so the signature pipeline isn't re-run per use
     val pairs = candidatePairs(lshBuckets(sigs, k, bands)).localCheckpoint()
     verifyJaccard(pairs, df, idCol, textCol, shingleLen, threshold)
+  }
+
+  /** Connected components over an undirected pair set (`a`, `b` columns) —
+    * the clustering step that turns near-dup PAIRS into dedup GROUPS (every
+    * doc labeled with the smallest id reachable through any chain of
+    * near-dup relations; transitivity is exactly what pairwise output
+    * lacks).
+    *
+    * Iterative min-label propagation: each round every node takes the min
+    * of its own label and its neighbors' labels — one join + one groupBy
+    * per round, `localCheckpoint` per round to keep lineage flat, stop on
+    * fixpoint (or `maxIter`). Rounds needed = component diameter, which for
+    * near-dup clusters is small; for adversarial long-chain graphs at
+    * 100 TB the standard upgrade is large-star/small-star contraction
+    * (same join shape, fewer rounds).
+    *
+    * Returns (id, cluster_id) for every id appearing in a pair; singleton
+    * docs never enter a pair and keep themselves by definition.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a").as("x"), col("b").as("y"))
+      .union(pairs.select(col("b").as("x"), col("a").as("y")))
+      .localCheckpoint()
+    // seed = least(self, min neighbor): the first propagation round for free
+    var labels = edges.groupBy(col("x").as("id"))
+      .agg(min(col("y")).as("m"))
+      .select(col("id"), least(col("id"), col("m")).as("cluster_id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges.join(labels, edges("y") === labels("id"))
+        .groupBy(col("x")).agg(min(col("cluster_id")).as("nbr_min"))
+      val l1 = labels.join(nbrMin, col("id") === col("x"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("l1"))
+      // pointer jump (path halving): follow the label's own label so chains
+      // contract in O(log diameter) rounds instead of O(diameter)
+      val jump = l1.select(col("id").as("jid"), col("l1").as("l2"))
+      val updated = l1.join(jump, l1("l1") === jump("jid"), "left")
+        .select(col("id"), coalesce(col("l2"), col("l1")).as("cluster_id"))
+        .localCheckpoint()
+      val changed = updated
+        .join(labels.withColumnRenamed("cluster_id", "old"), Seq("id"))
+        .filter(col("cluster_id") =!= col("old")).limit(1).count()
+      labels = updated
+      converged = changed == 0L
+      i += 1
+    }
+    labels
   }
 
   /** 64-bit SimHash per document via the codegen'd

@@ -170,35 +170,50 @@ class HttpSink(poster: HttpPoster = JdkHttpPoster) extends SinkPlugin {
 
 object KafkaSink extends SinkPlugin {
   val info: PluginInfo = PluginInfo("kafka",
-    "Serialize records to a Kafka topic (key from a dotted key_path into the payload)",
+    "Serialize records to a Kafka topic (protobuf asset payload; key from a dotted key_path)",
     sampleConfig =
       """brokers: host:9092
         |topic: assets
-        |key_path: resource.urn""".stripMargin,
+        |key_path: resource.urn
+        |format: protobuf""".stripMargin,
     tags = Seq("sink"))
 
-  override def validate(config: Map[String, Any]): Seq[InvalidConfigError] =
-    requireKeys(config, "brokers", "topic")
+  override def validate(config: Map[String, Any]): Seq[InvalidConfigError] = {
+    val badFormat = config.get("format").map(_.toString)
+      .filter(f => f != "protobuf" && f != "json")
+      .map(f => InvalidConfigError("format", s"unsupported format: $f"))
+    requireKeys(config, "brokers", "topic") ++ badFormat
+  }
 
-  /** Build the (key, value) payload frame: value = full-record JSON, key =
-    * dotted-path field (reference: plugins/sinks/kafka/sink.go:121-197).
-    * Distributed column work — this is what `.write.format("kafka")`
-    * consumes.
+  /** Build the (key, value) payload frame (reference:
+    * plugins/sinks/kafka/sink.go:88-152). Value = the asset's protobuf
+    * bytes (`proto.Marshal`, sink.go:110-116) via [[AssetProto.tableBytes]]
+    * — per-row imperative encoding, so a typed `map` is the right tool;
+    * non-Table frames (and `format: json`) fall back to full-record JSON.
+    * Key = dotted-path field as UTF-8 (the reference's dynamic-proto key
+    * needs a top-level string field, which the Table message doesn't have;
+    * a plain string key is what partitioners consume anyway).
     */
-  def payload(df: DataFrame, keyPath: Option[String]): DataFrame = {
-    val value = to_json(struct(df.columns.map(col): _*)).as("value")
-    keyPath match {
-      case Some(p) =>
-        // dotted path into the JSON payload, same addressing as the
-        // reference's key_path
-        df.select(get_json_object(to_json(struct(df.columns.map(col): _*)),
-          "$." + p).as("key"), value)
-      case None => df.select(lit(null).cast("string").as("key"), value)
+  def payload(df: DataFrame, keyPath: Option[String],
+              format: String = "protobuf"): DataFrame = {
+    val all = struct(df.columns.map(col): _*)
+    val key = keyPath match {
+      case Some(p) => get_json_object(to_json(all), "$." + p)
+      case None => lit(null).cast("string")
     }
+    if (format == "protobuf" && AssetProto.isTableFrame(df.schema)) {
+      import org.apache.spark.sql.Encoders
+      val enc = Encoders.tuple(Encoders.STRING, Encoders.BINARY)
+      df.select(key.as("key"), all.as("asset"))
+        .map((r: Row) => (r.getString(0), AssetProto.tableBytes(r.getStruct(1))))(enc)
+        .toDF("key", "value")
+    } else
+      df.select(key.as("key"), to_json(all).as("value"))
   }
 
   def sink(df: DataFrame, config: Map[String, Any]): Long = {
-    val out = payload(df, config.get("key_path").map(_.toString))
+    val out = payload(df, config.get("key_path").map(_.toString),
+      config.getOrElse("format", "protobuf").toString)
     // this container has no kafka connector jars; the write call is the
     // real path on a cluster with spark-sql-kafka on the classpath
     out.write.format("kafka")

@@ -114,6 +114,33 @@ class DedupSpec extends SparkSpec {
     assert(ham(hashes(0), hashes(3)) == 0) // identical text
     assert(ham(hashes(0), hashes(1)) < ham(hashes(0), hashes(2)))
   }
+
+  test("connected components labels chains, triangles and isolated pairs") {
+    // components: chain 1-2-3-4 (diameter forces >1 round), triangle
+    // 10-11-12, isolated pair 20-21
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)).toDF("a", "b")
+    val labels = Dedup.connectedComponents(pairs).orderBy("id").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(labels == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("connected components of the minhash pair graph groups all dups") {
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+      k = 32, bands = 16, shingleLen = 2, threshold = 0.5)
+    val labels = Dedup.connectedComponents(pairs.select(col("a"), col("b")))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+    // docs 0/1/3 all collapse to cluster 0 (even if 1~3 was never a direct
+    // pair, transitivity through 0 joins them); doc 2 is a singleton
+    assert(labels.getOrElse(0L, -1L) == 0L)
+    assert(labels.getOrElse(3L, -1L) == 0L)
+    assert(!labels.contains(2L))
+  }
 }
 
 class SplitsSpec extends SparkSpec {

@@ -391,6 +391,80 @@ class SinksSpec extends SparkSpec {
     assert(out.getAs[String]("value").contains(""""v":5"""))
   }
 
+  test("kafka protobuf payload matches the generated descriptors (kafka/sink.go:110-116)") {
+    // minimal wire decoder: top-level (fieldNumber, payload) list
+    def decode(bytes: Array[Byte]): Seq[(Int, Either[Long, Array[Byte]])] = {
+      var i = 0
+      def varint(): Long = {
+        var v = 0L; var shift = 0
+        while ({ val b = bytes(i); i += 1; v |= (b & 0x7FL) << shift; shift += 7; (b & 0x80) != 0 }) ()
+        v
+      }
+      val out = scala.collection.mutable.ArrayBuffer[(Int, Either[Long, Array[Byte]])]()
+      while (i < bytes.length) {
+        val tag = varint(); val field = (tag >> 3).toInt
+        (tag & 7) match {
+          case 0 => out += field -> Left(varint())
+          case 1 => out += field -> Left(0L); i += 8
+          case 2 =>
+            val len = varint().toInt
+            out += field -> Right(bytes.slice(i, i + len)); i += len
+          case w => fail(s"unexpected wire type $w")
+        }
+      }
+      out.toSeq
+    }
+    def sub(fields: Seq[(Int, Either[Long, Array[Byte]])], n: Int): Array[Byte] =
+      fields.collectFirst { case (`n`, Right(b)) => b }.get
+
+    val asset = graft.model.TableAsset(
+      resource = graft.model.Resource(urn = "mysql::h/shop/orders",
+        name = "orders", service = "mysql", `type` = "table"),
+      profile = Some(graft.model.TableProfile(totalRows = 42L)),
+      schema = Seq(graft.model.ColumnDef(name = "id", dataType = "bigint",
+        isNullable = false, length = 8L)),
+      lineage = Some(graft.model.Lineage(
+        upstreams = Seq(graft.model.Resource(urn = "up::1", name = "up", service = "x")))),
+      properties = graft.model.Properties(
+        tags = Seq("pii"), labels = Map("env" -> "prod"),
+        attributes = """{"team":"data","score":2.5,"flag":true}"""))
+    val df = Seq(asset).toDS().toDF()
+    val out = graft.sinks.KafkaSink.payload(df, Some("resource.urn")).collect()(0)
+    assert(out.getAs[String]("key") == "mysql::h/shop/orders")
+    val top = decode(out.getAs[Array[Byte]]("value"))
+    // Table: resource=1 profile=21 schema=22 lineage=32 properties=33
+    assert(top.map(_._1).toSet == Set(1, 21, 22, 32, 33))
+    val res = decode(sub(top, 1))
+    assert(new String(sub(res, 1), "UTF-8") == "mysql::h/shop/orders")
+    assert(new String(sub(res, 3), "UTF-8") == "mysql")
+    assert(decode(sub(top, 21)).collectFirst { case (1, Left(v)) => v } == Some(42L))
+    // schema facet wraps columns=1; column name=1, data_type=3, length=5;
+    // is_nullable=false is omitted (proto3 zero value)
+    val col0 = decode(sub(decode(sub(top, 22)), 1))
+    assert(new String(sub(col0, 1), "UTF-8") == "id")
+    assert(new String(sub(col0, 3), "UTF-8") == "bigint")
+    assert(col0.collectFirst { case (5, Left(v)) => v } == Some(8L))
+    assert(!col0.exists(_._1 == 4))
+    // lineage upstreams=1 → Resource urn=1
+    val up = decode(sub(decode(sub(top, 32)), 1))
+    assert(new String(sub(up, 1), "UTF-8") == "up::1")
+    // properties: tags=1, labels entry=2 (key=1 value=2), attributes=3 is a
+    // google.protobuf.Struct with string/number/bool Values
+    val props = decode(sub(top, 33))
+    assert(new String(sub(props, 1), "UTF-8") == "pii")
+    val label = decode(sub(props, 2))
+    assert(new String(sub(label, 1), "UTF-8") == "env")
+    assert(new String(sub(label, 2), "UTF-8") == "prod")
+    val attrEntries = decode(sub(props, 3)).collect { case (1, Right(b)) => decode(b) }
+    val attrMap = attrEntries.map(e => new String(sub(e, 1), "UTF-8") -> decode(sub(e, 2))).toMap
+    assert(attrMap("team").exists { case (3, Right(b)) => new String(b, "UTF-8") == "data"; case _ => false })
+    assert(attrMap("flag").exists { case (4, Left(1L)) => true; case _ => false })
+    assert(attrMap.contains("score")) // number_value (fixed64)
+    // json format keeps the old behavior
+    val json = graft.sinks.KafkaSink.payload(df, Some("resource.urn"), "json").collect()(0)
+    assert(json.getAs[String]("value").contains(""""urn":"mysql::h/shop/orders""""))
+  }
+
   test("yaml file sink writes a parseable list") {
     val df = Seq(("a", 1), ("b", 2)).toDF("name", "v")
     val out = Files.createTempDirectory("yamlout").resolve("x.yaml")
