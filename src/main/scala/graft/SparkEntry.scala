@@ -314,6 +314,32 @@ object SparkEntry {
         round(avg(col("n_chars")), 4).as("avg_chars"))
       .orderBy(col("split"))
 
+  private def repetitionScores(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        round(TextAnalysis.repetitionRatio(col("text"), 3), 4).as("rep_ratio"))
+      .orderBy(col("doc_id"))
+
+  private def piiScrub(s: SparkSession, dir: String): DataFrame =
+    // PII redaction pass: the synthetic corpus has no PII, so plant
+    // deterministic email/URL/number fragments from doc_id, then scrub —
+    // both engines run the identical construct + scrub
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact u"), col("doc_id"), lit("@corp.example.com via"),
+          lit(" https://docs.example.com/p/"), col("doc_id"),
+          lit(" or call 555-0192-"), col("doc_id")).as("dirty"))
+      .select(Seq(col("doc_id"), TextAnalysis.scrubPii(col("dirty")).as("clean")) ++
+        TextAnalysis.piiCounts(col("dirty")).map { case (n, c) => c.as(n) }: _*)
+      .orderBy(col("doc_id"))
+
+  private def sampleStrataQuery(s: SparkSession, dir: String): DataFrame =
+    Splits.sampleStrata(t(s, dir, "documents"), "lang", "doc_id",
+        Map("en" -> 250, "de" -> 500))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"))
+
   private def minhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
         k = 64, bands = 16, shingleLen = 3, threshold = 0.5)
@@ -447,6 +473,9 @@ object SparkEntry {
     "d_lang_predict" -> (langPredict _),
     "d_train_split" -> (trainSplit _),
     "d_quality_filter" -> (qualityFilter _),
+    "d_repetition" -> (repetitionScores _),
+    "d_pii_scrub" -> (piiScrub _),
+    "d_sample_strata" -> (sampleStrataQuery _),
     "d_minhash_pairs" -> (minhashPairs _),
     "d_simhash" -> (simhashes _),
     "d_simhash_neardup" -> (simhashNearDups _),
@@ -700,6 +729,46 @@ object SparkEntry {
         |            ELSE 'test' END AS split,
         | count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
         |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
+    "d_repetition" ->
+      """WITH g AS (
+        | SELECT doc_id,
+        |  list_transform(range(1, len(tk)-1),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS grams
+        | FROM (SELECT doc_id,
+        |   list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0) AS tk
+        |  FROM documents))
+        |SELECT doc_id,
+        | round(CASE WHEN len(grams) = 0 THEN 0.0
+        |   ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)/len(grams) END, 4) AS rep_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
+    // DuckDB regexp_replace needs the 'g' flag to match Spark's replace-all
+    "d_pii_scrub" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  text || ' contact u' || doc_id || '@corp.example.com via' ||
+        |  ' https://docs.example.com/p/' || doc_id ||
+        |  ' or call 555-0192-' || doc_id AS dirty
+        | FROM documents)
+        |SELECT doc_id,
+        | regexp_replace(regexp_replace(regexp_replace(dirty,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   'https?://[^\s]+', '<URL>', 'g'),
+        |   '[0-9][0-9 ()+.-]{6,}[0-9]', '<NUMBER>', 'g') AS clean,
+        | len(regexp_extract_all(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        | len(regexp_extract_all(dirty, 'https?://[^\s]+')) AS n_urls,
+        | len(regexp_extract_all(dirty, '[0-9][0-9 ()+.-]{6,}[0-9]')) AS n_numbers
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // md5 hash-bucket sampling: same engine-portable bucket as d_train_split
+    "d_sample_strata" ->
+      """WITH b AS (
+        | SELECT lang,
+        |  CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS bucket
+        | FROM documents)
+        |SELECT lang, count(*) AS n_docs FROM b
+        |WHERE bucket < CASE WHEN lang = 'en' THEN 250
+        |                    WHEN lang = 'de' THEN 500
+        |                    ELSE 1000 END
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "d_lang_predict" ->
       """WITH toks AS (
         | SELECT doc_id,

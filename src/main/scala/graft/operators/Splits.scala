@@ -34,4 +34,22 @@ object Splits {
         .when(b < trainPct + validPct, lit("valid"))
         .otherwise(lit("test")))
   }
+
+  /** Deterministic per-stratum downsampling: keep a row iff its key's hash
+    * bucket falls under the stratum's per-mille rate. The corpus-rebalance
+    * step of a training pipeline (e.g. cap boilerplate-heavy languages)
+    * done WITHOUT `rand()`/`sampleBy`: the same row survives on every run,
+    * on any engine, under any partitioning — so pipelines are replayable
+    * and incremental ingests stay consistent. Strata missing from `permille`
+    * fall back to `defaultPermille`. Pure map-side filter, no shuffle.
+    */
+  def sampleStrata(df: DataFrame, strataCol: String, keyCol: String,
+                   permille: Map[String, Int],
+                   defaultPermille: Int = 1000): DataFrame = {
+    val rate = permille.foldLeft(lit(defaultPermille)) {
+      case (acc, (stratum, p)) =>
+        when(col(strataCol) === stratum, lit(p)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(keyCol), 1000) < rate)
+  }
 }

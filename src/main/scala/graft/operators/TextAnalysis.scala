@@ -82,6 +82,41 @@ object TextAnalysis {
     }
   }
 
+  /** Within-document repetition ratio: 1 − distinct n-grams / total
+    * n-grams (0 = no repetition). The standard boilerplate/spam signal a
+    * training pipeline filters on — a highly repetitive doc (navigation
+    * chrome, keyword stuffing) scores near 1. Pure map-side expression over
+    * the codegen'd shingle kernel; docs with fewer than `n` tokens score 0.
+    */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val grams = graft.functions.WordShingles(text, n)
+    when(size(grams) === 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams))
+  }
+
+  /** PII scrubbing: mask emails, URLs, and long digit runs (phone/account
+    * numbers) with typed placeholder tokens — the redaction pass a corpus
+    * takes before training. Chained `regexp_replace` stays in codegen;
+    * order matters (emails before generic digit runs so `a1@b.com` doesn't
+    * half-mask).
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val urlPattern = "https?://[^\\s]+"
+  val digitRunPattern = "[0-9][0-9 ()+.-]{6,}[0-9]"
+
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        urlPattern, "<URL>"),
+      digitRunPattern, "<NUMBER>")
+
+  /** Count of PII hits per category (observability for the scrub pass). */
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> size(regexp_extract_all(text, lit(emailPattern), lit(0))),
+    "n_urls" -> size(regexp_extract_all(text, lit(urlPattern), lit(0))),
+    "n_numbers" -> size(regexp_extract_all(text, lit(digitRunPattern), lit(0))))
+
   /** Full quality-score projection over a text column. */
   def qualityColumns(text: Column): Seq[(String, Column)] = Seq(
     "n_tokens" -> tokenCount(text),

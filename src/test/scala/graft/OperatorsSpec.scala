@@ -143,6 +143,56 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class TextPipelineSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+
+  test("repetition ratio flags boilerplate, zero for unique or short docs") {
+    val docs = Seq(
+      (1L, "buy now buy now buy now buy now buy now"), // heavy 3-gram repeats
+      (2L, "all tokens here are completely unique words"),
+      (3L, "too short")).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        TextAnalysis.repetitionRatio(col("text"), 3).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) > 0.5)
+    assert(out(2L) == 0.0)
+    assert(out(3L) == 0.0) // fewer than n tokens -> no grams -> 0
+  }
+
+  test("pii scrub masks emails, urls and digit runs; counts match") {
+    val df = Seq((1L,
+      "mail me at jo.doe+x@corp.example.org or see https://ex.com/a?b=1 tel 555 0192 777 end"))
+      .toDF("doc_id", "text")
+    val row = df.select(Seq(TextAnalysis.scrubPii(col("text")).as("clean")) ++
+        TextAnalysis.piiCounts(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .collect()(0)
+    val clean = row.getAs[String]("clean")
+    assert(clean.contains("<EMAIL>") && clean.contains("<URL>") && clean.contains("<NUMBER>"))
+    assert(!clean.contains("@") && !clean.contains("https://"))
+    assert(clean.endsWith("end"))
+    assert(row.getAs[Int]("n_emails") == 1)
+    assert(row.getAs[Int]("n_urls") == 1)
+    assert(row.getAs[Int]("n_numbers") == 1)
+  }
+
+  test("stratified sampling is deterministic and rate-proportional") {
+    val docs = (0L until 2000L).map(i =>
+      (i, if (i % 2 == 0) "en" else "rare")).toDF("doc_id", "lang")
+    val once = Splits.sampleStrata(docs, "lang", "doc_id", Map("en" -> 100))
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // en downsampled to ~10%, rare kept in full (default 1000 permille)
+    assert(once("rare") == 1000L)
+    assert(once("en") > 50L && once("en") < 200L)
+    // identical selection on re-run (hash, not rand)
+    val again = Splits.sampleStrata(docs, "lang", "doc_id", Map("en" -> 100))
+      .agg(org.apache.spark.sql.functions.sum("doc_id")).collect()(0).getLong(0)
+    val first = Splits.sampleStrata(docs, "lang", "doc_id", Map("en" -> 100))
+      .agg(org.apache.spark.sql.functions.sum("doc_id")).collect()(0).getLong(0)
+    assert(again == first)
+  }
+}
+
 class SplitsSpec extends SparkSpec {
   import spark.implicits._
   import org.apache.spark.sql.functions._
