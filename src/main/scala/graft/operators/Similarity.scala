@@ -173,17 +173,22 @@ object Similarity {
         (d, i) => struct(d.as("d"), i.as("i")))),
       s => s.getField("i")), 1, nprobe)
     val assigned = e.select(col("id"), explode(probeIds).as("bucket"))
+    // candidate pairs feed the verify join AND the id prefilter: checkpoint
+    // so the assignment+bucket pipeline runs once, not per consumer
     val pairs = assigned.groupBy(col("bucket"))
       .agg(sort_array(collect_set(col("id"))).as("ids"))
       .filter(size(col("ids")).between(2, maxBucketSize))
       .select(explode(ArrayPairs.pairStructs(col("ids"))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
-    // exact-cosine verify on candidates only; norms once per vector
+      .localCheckpoint()
+    // exact-cosine verify on candidates only; norms once per vector; the
+    // vector frame is consumed by both join sides → checkpoint it too
     val candidateIds = pairs
       .select(explode(array(col("a"), col("b"))).as("cid")).distinct()
     val vecs = e.join(candidateIds, col("id") === col("cid"), "leftsemi")
       .select(col("id"), col("v"), vector_norm(col("v")).as("n"))
+      .localCheckpoint()
     val va = vecs.select(col("id").as("a"), col("v").as("va"), col("n").as("na"))
     val vb = vecs.select(col("id").as("b"), col("v").as("vb"), col("n").as("nb"))
     pairs.join(va, Seq("a")).join(vb, Seq("b"))
