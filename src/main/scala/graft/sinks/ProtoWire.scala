@@ -15,7 +15,7 @@ import org.apache.spark.sql.Row
   * real cluster the drop-in upgrade is spark-protobuf's `to_protobuf` with
   * the compiled descriptor set; the bytes are identical.
   */
-private[sinks] object ProtoWire {
+private[graft] object ProtoWire {
   final val WireVarint = 0
   final val WireFixed64 = 1
   final val WireLen = 2

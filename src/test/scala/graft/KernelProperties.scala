@@ -76,4 +76,39 @@ object KernelProperties extends Properties("kernels") {
       val k = 16
       signature(a ++ b, k).lazyZip(signature(a, k)).forall(_ <= _)
     }
+
+  // --- protobuf wire framing (graft.sinks.ProtoWire) ---
+
+  private def decodeVarints(bytes: Array[Byte]): Seq[Long] = {
+    var i = 0
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    while (i < bytes.length) {
+      var v = 0L; var shift = 0; var more = true
+      while (more) {
+        val b = bytes(i); i += 1
+        v |= (b & 0x7FL) << shift; shift += 7; more = (b & 0x80) != 0
+      }
+      out += v
+    }
+    out.toSeq
+  }
+
+  property("varint round-trips any sequence of unsigned longs") =
+    forAll(Gen.listOf(Gen.chooseNum(0L, Long.MaxValue))) { vs =>
+      val bytes = graft.sinks.ProtoWire.bytesOf { out =>
+        vs.foreach(v => graft.sinks.ProtoWire.putVarint(out, v))
+      }
+      decodeVarints(bytes) == vs
+    }
+
+  property("proto3 zero values are omitted, non-zero fields framed with correct tags") =
+    forAll(Gen.chooseNum(1L, Long.MaxValue), Gen.choose(1, 500)) { (v, field) =>
+      import graft.sinks.ProtoWire._
+      val zero = bytesOf { out =>
+        putInt(out, field, 0L); putString(out, field, ""); putBool(out, field, false)
+        putDouble(out, field, 0.0)
+      }
+      val one = bytesOf(out => putInt(out, field, v))
+      zero.isEmpty && decodeVarints(one) == Seq((field.toLong << 3) | 0L, v)
+    }
 }

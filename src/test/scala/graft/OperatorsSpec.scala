@@ -193,6 +193,47 @@ class TextPipelineSpec extends SparkSpec {
   }
 }
 
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+
+  test("partitioned write prunes directories on filtered read") {
+    val dir = java.nio.file.Files.createTempDirectory("layout").resolve("docs").toString
+    val docs = Seq((1L, "en", "a"), (2L, "en", "b"), (3L, "de", "c"), (4L, "fr", "d"))
+      .toDF("doc_id", "lang", "text")
+    Layout.writePartitioned(docs, dir, Seq("lang"))
+    val read = spark.read.parquet(dir).filter(col("lang") === "en")
+    // the filter lands in PartitionFilters (directory pruning), NOT in the
+    // row-level data filters — pruned languages are zero I/O
+    val scan = read.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1").contains("lang"))
+    assert(read.count() == 2)
+  }
+
+  test("tables bucketed on the join key join with no exchange") {
+    val warehouse = spark.conf.getOption("spark.sql.warehouse.dir")
+    val docs = (0L until 100L).map(i => (i, s"text$i")).toDF("doc_id", "text")
+    val scores = (0L until 100L).map(i => (i, i * 0.5)).toDF("doc_id", "score")
+    Layout.writeBucketed(docs, "b_docs", "doc_id", 4, Seq("doc_id"))
+    Layout.writeBucketed(scores, "b_scores", "doc_id", 4, Seq("doc_id"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_docs").join(spark.table("b_scores"), "doc_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      // co-bucketed layout: the shuffle was paid at write time — the join
+      // plan has no Exchange on either side
+      assert(!plan.contains("Exchange"), plan)
+      assert(joined.count() == 100)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_docs")
+      spark.sql("DROP TABLE IF EXISTS b_scores")
+    }
+  }
+}
+
 class SplitsSpec extends SparkSpec {
   import spark.implicits._
   import org.apache.spark.sql.functions._
