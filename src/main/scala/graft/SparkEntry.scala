@@ -410,6 +410,18 @@ object SparkEntry {
         embedNearDupBucketed(s, dir).select(col("a"), col("b")))
       .orderBy(col("id"))
 
+  private def embedKeepers(s: SparkSession, dir: String): DataFrame = {
+    // canonical selection closing the dedup loop: per near-dup cluster keep
+    // the best-scoring member (here: largest vector norm, rounded so both
+    // engines rank identical values; ties break to smallest id)
+    val labels = embedClusters(s, dir)
+    val norms = t(s, dir, "embeddings").filter(col("vec_id") < 300)
+      .select(col("vec_id").as("id"),
+        round(graft.functions.VectorFunctions.vector_norm(
+          col("embedding").cast("array<double>")), 4).as("norm"))
+    Dedup.keepBest(labels, norms, "norm").orderBy(col("cluster_id"))
+  }
+
   private def annIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     // deterministic codebook: the first 8 vectors (a real pipeline would
@@ -485,6 +497,7 @@ object SparkEntry {
     "s_embed_neardup" -> (embedNearDup _),
     "s_embed_neardup_bucketed" -> (embedNearDupBucketed _),
     "s_embed_clusters" -> (embedClusters _),
+    "s_embed_keepers" -> (embedKeepers _),
     "m_multimodal_meta" -> (multimodalMeta _),
     "m_multimodal_features" -> (multimodalFeatures _))
 
@@ -844,6 +857,30 @@ object SparkEntry {
         |          UNION SELECT DISTINCT x, x FROM edges)
         |SELECT x AS id, min(y) AS cluster_id FROM reach
         |GROUP BY x ORDER BY id""".stripMargin,
+    // clusters + per-vector norm → windowed top-1 per cluster
+    "s_embed_keepers" ->
+      """WITH RECURSIVE
+        |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |       FROM embeddings WHERE vec_id < 300),
+        |pr AS (SELECT a.vec_id AS a, b.vec_id AS b
+        |       FROM ev a JOIN ev b ON a.vec_id < b.vec_id
+        |       WHERE list_dot_product(a.v, b.v) /
+        |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35),
+        |edges AS (SELECT a AS x, b AS y FROM pr UNION SELECT b, a FROM pr),
+        |walk(x, y) AS (
+        | SELECT x, y FROM edges
+        | UNION
+        | SELECT w.x, e.y FROM walk w JOIN edges e ON w.y = e.x),
+        |reach AS (SELECT x, y FROM walk
+        |          UNION SELECT DISTINCT x, x FROM edges),
+        |cl AS (SELECT x AS id, min(y) AS cluster_id FROM reach GROUP BY x),
+        |n AS (SELECT vec_id AS id, round(sqrt(list_dot_product(v, v)), 4) AS norm FROM ev),
+        |r AS (SELECT cl.cluster_id, cl.id, n.norm,
+        |        row_number() OVER (PARTITION BY cl.cluster_id
+        |          ORDER BY n.norm DESC, cl.id) AS rnk
+        |      FROM cl JOIN n ON cl.id = n.id)
+        |SELECT cluster_id, id AS keep_id, norm FROM r WHERE rnk = 1
+        |ORDER BY cluster_id""".stripMargin,
     // oracle = the exact all-pairs answer; the bucketed plan must reproduce
     // it at this scale (recall achieved via nprobe=4 multi-probe blocking)
     "s_embed_neardup_bucketed" ->

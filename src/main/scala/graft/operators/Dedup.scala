@@ -167,6 +167,23 @@ object Dedup {
     labels
   }
 
+  /** Canonical selection: given cluster labels (id, cluster_id) and a
+    * per-id score, keep the best-scoring member of every cluster (ties
+    * break to the smallest id — deterministic). The final step of fuzzy
+    * dedup: clusters → one kept representative each, everything else
+    * dropped. One windowed top-1 per cluster; `WindowGroupLimit` prunes
+    * map-side before the shuffle.
+    */
+  def keepBest(labels: DataFrame, scores: DataFrame, scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(desc(scoreCol), asc("id"))
+    labels.join(scores, Seq("id"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("cluster_id"), col("id").as("keep_id"), col(scoreCol))
+  }
+
   /** 64-bit SimHash per document via the codegen'd
     * [[graft.functions.SimHash64]] kernel: each token's xxhash64 casts ±1
     * votes on all 64 bit positions, signs assemble the hash — one map-side

@@ -46,6 +46,25 @@ object EventStream {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming corpus intake: the quality-gate + PII-scrub + fingerprint
+    * front door of a training pipeline, applied to an UNBOUNDED document
+    * stream. Pure map-side column kernels (graft.operators.TextAnalysis) —
+    * literally the same expressions as the batch path, which is the point:
+    * one logical definition, the engine supplies incremental execution.
+    * Chain [[streamingDedup]] on `fp` downstream for watermarked exact
+    * dedup of the intake.
+    */
+  def corpusIntake(docs: DataFrame, textCol: String = "text",
+                   minTokens: Int = 25, maxRepetition: Double = 0.5): DataFrame = {
+    import graft.operators.TextAnalysis
+    docs
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)))
+      .withColumn("rep_ratio", round(TextAnalysis.repetitionRatio(col(textCol)), 4))
+      .filter(col("n_tokens") >= minTokens && col("rep_ratio") <= maxRepetition)
+      .withColumn(textCol, TextAnalysis.scrubPii(col(textCol)))
+      .withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
+  }
+
   case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(count: Long, sum: Double, lastTs: Long)
   case class SessionOut(user_id: Long, n_events: Long, value_sum: Double)

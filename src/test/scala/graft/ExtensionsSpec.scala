@@ -372,6 +372,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming corpus intake gates quality and scrubs PII on the fly") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val good = (1 to 15).map(i => s"distinct$i").mkString(" ") +
+      " reach me at a@b.example.com please"
+    val short = "too short"
+    val loop = "spam spam " * 40 // repetition ratio ~1
+    val q = EventStream.corpusIntake(docs, minTokens = 10)
+      .writeStream.format("memory").queryName("intake")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((1L, good), (2L, short), (3L, loop))
+      q.processAllAvailable()
+      val out = spark.table("intake").collect()
+      assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L))
+      val text = out(0).getAs[String]("text")
+      assert(text.contains("<EMAIL>") && !text.contains("a@b.example.com"))
+      assert(out(0).getAs[String]("fp").length == 32) // md5 of the SCRUBBED text
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first occurrence, drops in-stream repeats") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String, Long)]

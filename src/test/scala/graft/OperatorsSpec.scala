@@ -130,6 +130,16 @@ class DedupSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("keepBest keeps the top-scoring member per cluster, ties to min id") {
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "cluster_id")
+    val scores = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (10L, 0.1), (11L, 0.1))
+      .toDF("id", "q")
+    val kept = Dedup.keepBest(labels, scores, "q").orderBy("cluster_id").collect()
+    assert(kept.map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("keep_id"))).toSeq ==
+      Seq((1L, 2L), (10L, 10L))) // 2 beats 3 on tie (smaller id), 0.9 beats 0.5
+  }
+
   test("connected components of the minhash pair graph groups all dups") {
     val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
       k = 32, bands = 16, shingleLen = 2, threshold = 0.5)
