@@ -13,7 +13,7 @@ import graft.recipe.RecipeReader
 object Main {
 
   private def session(): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft")
