@@ -236,6 +236,18 @@ object SparkEntry {
         round(col("value_sum"), 2).as("value_sum"))
       .orderBy(col("user_id"), col("s_start"))
 
+  private def skewJoinRollup(s: SparkSession, dir: String): DataFrame = {
+    // hot-key mitigation in the graded surface: the salted join must equal
+    // the plain join row-for-row — the oracle is the unsalted SQL join
+    val ev = t(s, dir, "events")
+    val dim = ev.select(col("user_id")).distinct()
+      .withColumn("tier", concat(lit("t"), pmod(col("user_id"), lit(3))))
+    Skew.saltedJoin(ev, dim, Seq("user_id"), salt = 8)
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("value_sum"))
+      .orderBy(col("tier"))
+  }
+
   private def sqlConditions(s: SparkSession, dir: String): DataFrame = {
     // synthesize a query-log from parts, then run the distributed parser
     val log = t(s, dir, "part").select(concat(
@@ -471,6 +483,7 @@ object SparkEntry {
     "q_sessionize" -> (sessionize _),
     "q_time_buckets" -> (timeBuckets _),
     "q_sql_conditions" -> (sqlConditions _),
+    "q_skew_join" -> (skewJoinRollup _),
     "q_asof_attribution" -> (asofAttribution _),
     "q_asof_forward" -> (asofForward _),
     "q_range_join" -> (rangeJoinClicks _),
@@ -626,6 +639,13 @@ object SparkEntry {
          |SELECT condition, count(*) AS n FROM conds
          |GROUP BY condition ORDER BY n DESC, condition""".stripMargin
     },
+    // oracle = the UNSALTED join: salting must not change a single row
+    "q_skew_join" ->
+      """WITH dim AS (SELECT DISTINCT user_id FROM events),
+        |d2 AS (SELECT user_id, 't' || CAST(user_id % 3 AS VARCHAR) AS tier FROM dim)
+        |SELECT tier, count(*) AS n, round(sum(value), 2) AS value_sum
+        |FROM events e JOIN d2 USING (user_id)
+        |GROUP BY tier ORDER BY tier""".stripMargin,
     "q_asof_attribution" ->
       """SELECT p.event_id, p.user_id, c.event_id AS prior_event_id,
         | round(c.value, 2) AS prior_value
