@@ -99,9 +99,11 @@ object SchemaFormats {
   }
 
   /** JSON-Schema document from a column facet:
-    * (name, source type name, nullable) triples.
+    * (name, source type name, nullable) triples. `id` is the reference's
+    * `urn + ".json"` and `title` the table name (stencil.go:120-133).
     */
   def columnsToJsonSchema(cols: Seq[(String, String, Boolean)], id: String,
+                          title: String = "",
                           description: String = ""): String = {
     val props = cols.map { case (name, t, nullable) =>
       val jt =
@@ -109,19 +111,27 @@ object SchemaFormats {
         else s""""${nameToJsonSchemaType(t)}""""
       s""""${jsonEscape(name)}": {"type": $jt}"""
     }.mkString(", ")
+    val titlePart =
+      if (title.nonEmpty) s""""title": "${jsonEscape(title)}", """ else ""
     s"""{"$$schema": "https://json-schema.org/draft/2020-12/schema", """ +
-      s""""$$id": "${jsonEscape(id)}", "description": "${jsonEscape(description)}", """ +
+      s""""$$id": "${jsonEscape(id)}", $titlePart""" +
+      s""""description": "${jsonEscape(description)}", """ +
       s""""type": "object", "properties": {$props}}"""
   }
 
-  /** Avro record schema document from a column facet. */
-  def columnsToAvroSchema(cols: Seq[(String, String, Boolean)], name: String): String = {
+  /** Avro record schema document from a column facet — record name = table
+    * name, namespace = the stencil namespace id (stencil.go:136-148).
+    */
+  def columnsToAvroSchema(cols: Seq[(String, String, Boolean)], name: String,
+                          namespace: String = ""): String = {
     val fields = cols.map { case (n, t, nullable) =>
       val at =
         if (nullable) s"""["null", "${nameToAvroType(t)}"]"""
         else s""""${nameToAvroType(t)}""""
       s"""{"name": "${jsonEscape(n)}", "type": $at}"""
     }.mkString(", ")
-    s"""{"type": "record", "name": "${jsonEscape(name)}", "fields": [$fields]}"""
+    val nsPart =
+      if (namespace.nonEmpty) s""""namespace": "${jsonEscape(namespace)}", """ else ""
+    s"""{"type": "record", $nsPart"name": "${jsonEscape(name)}", "fields": [$fields]}"""
   }
 }

@@ -158,10 +158,13 @@ class HttpSink(poster: HttpPoster = JdkHttpPoster) extends SinkPlugin {
     var n = 0L
     Batching.batches(df, batchSize).foreach { batch =>
       val code = poster.post(url, method, headers, Batching.body(batch, batchSize))
-      if (code >= 500)
-        throw new RetryableException(s"http sink: server error $code")
-      if (code != successCode)
+      // success check FIRST (http.go:110-112): a 5xx success_code counts
+      // as success, not as a retryable failure
+      if (code != successCode) {
+        if (code >= 500)
+          throw new RetryableException(s"http sink: server error $code")
         throw new RuntimeException(s"http sink: unexpected status $code (want $successCode)")
+      }
       n += batch.size
     }
     n
@@ -292,7 +295,11 @@ class CompassSink(poster: HttpPoster = JdkHttpPoster) extends SinkPlugin {
     Batching.batches(payload(df, labels), batchSize).foreach { batch =>
       val code = poster.post(s"$host/v1beta1/assets", "PATCH",
         Map("Content-Type" -> "application/json"), Batching.body(batch, batchSize))
-      if (code >= 500) throw new RetryableException(s"compass: server error $code")
+      // compass/sink.go:124-138: 200 = success, 5xx retryable, else permanent
+      if (code != 200) {
+        if (code >= 500) throw new RetryableException(s"compass: server error $code")
+        throw new RuntimeException(s"compass: unexpected status $code")
+      }
       n += batch.size
     }
     n
@@ -320,19 +327,33 @@ class StencilSink(poster: HttpPoster = JdkHttpPoster) extends SinkPlugin {
     val format = config.getOrElse("format", "json").toString
     var n = 0L
     // schema documents are built from each asset's column facet
-    val rows = df.select(col("resource.urn"),
+    val rows = df.select(col("resource.urn"), col("resource.name"),
         col("schema.name"), col("schema.dataType"), col("schema.isNullable"))
       .collect()
     rows.foreach { r =>
-      val urn = r.getString(0).replace("/", ".").replace("::", ".")
-      val cols = r.getSeq[String](1)
-        .lazyZip(r.getSeq[String](2)).lazyZip(r.getSeq[Boolean](3)).toSeq
+      val rawUrn = r.getString(0)
+      val tableName = r.getString(1)
+      // schema id = urn with ONLY '/' dotted — '::' stays (stencil.go:157)
+      val schemaId = rawUrn.replace("/", ".")
+      val cols = r.getSeq[String](2)
+        .lazyZip(r.getSeq[String](3)).lazyZip(r.getSeq[Boolean](4)).toSeq
+      // payloads mirror stencil.go:119-148: json $id = urn + ".json",
+      // title = table name; avro record name = table name, namespace = ns
       val body =
-        if (format == "avro") SchemaFormats.columnsToAvroSchema(cols, urn)
-        else SchemaFormats.columnsToJsonSchema(cols, urn)
-      val code = poster.post(s"$host/v1beta1/namespaces/$ns/schemas/$urn",
-        "POST", Map("Content-Type" -> "application/json"), body)
-      if (code >= 500) throw new RetryableException(s"stencil: server error $code")
+        if (format == "avro") SchemaFormats.columnsToAvroSchema(cols, tableName, ns)
+        else SchemaFormats.columnsToJsonSchema(cols, rawUrn + ".json", tableName)
+      // json schemas carry the compatibility header (stencil.go:164-166)
+      val headers = Map("Content-Type" -> "application/json") ++
+        (if (format == "json") Map("X-Compatibility" -> "COMPATIBILITY_UNSPECIFIED")
+         else Map.empty)
+      val code = poster.post(s"$host/v1beta1/namespaces/$ns/schemas/$schemaId",
+        "POST", headers, body)
+      // stencil.go:173-187: 201 Created = success, 5xx retryable, else
+      // permanent
+      if (code != 201) {
+        if (code >= 500) throw new RetryableException(s"stencil: server error $code")
+        throw new RuntimeException(s"stencil: unexpected status $code")
+      }
       n += 1
     }
     n

@@ -356,6 +356,24 @@ class SinksSpec extends SparkSpec {
     assert(poster.bodies.exists(_.contains("u1")))
   }
 
+  test("http sink: success_code is checked before the 5xx retry class (http.go:110-128)") {
+    val df = Seq(("u1", 1)).toDF("urn", "v")
+    // a 5xx success_code counts as success, not a retryable failure
+    val p503 = new graft.sinks.HttpPoster {
+      def post(url: String, method: String, headers: Map[String, String], body: String): Int = 503
+    }
+    assert(new graft.sinks.HttpSink(p503).sink(df,
+      Map("url" -> "http://x", "success_code" -> 503)) == 1L)
+    // non-5xx mismatch is a PERMANENT error (no RetryableException)
+    val p404 = new graft.sinks.HttpPoster {
+      def post(url: String, method: String, headers: Map[String, String], body: String): Int = 404
+    }
+    val e = intercept[RuntimeException] {
+      new graft.sinks.HttpSink(p404).sink(df, Map("url" -> "http://x"))
+    }
+    assert(!e.isInstanceOf[graft.plugins.RetryableException])
+  }
+
   test("http sink batches: request count = ceil(records/batch) (agent/batch.go)") {
     val df = (1 to 5).map(i => (s"u$i", i)).toDF("urn", "v")
     // batch_size 2 → 3 requests (2+2+1), array bodies
@@ -539,13 +557,16 @@ class SchemaFormatsSpec extends SparkSpec {
     val posts = scala.collection.mutable.ArrayBuffer[(String, String)]()
     val poster = new graft.sinks.HttpPoster {
       def post(url: String, method: String, headers: Map[String, String],
-               body: String): Int = { posts += ((url, body)); 200 }
+               body: String): Int = { posts += ((url, body)); 201 } // 201 Created = stencil success
     }
     val n = new graft.sinks.StencilSink(poster).sink(df,
       Map("host" -> "http://st", "namespace_id" -> "ns"))
     assert(n == 1L)
     val (url, body) = posts(0)
-    assert(url == "http://st/v1beta1/namespaces/ns/schemas/mysql.h.shop.orders")
+    // schemaID keeps '::' — only '/' is dotted (stencil.go:157)
+    assert(url == "http://st/v1beta1/namespaces/ns/schemas/mysql::h.shop.orders")
+    assert(body.contains(""""$id": "mysql::h/shop/orders.json""""))
+    assert(body.contains(""""title": "orders""""))
     assert(body.contains(""""id": {"type": "number"}"""))
     assert(body.contains(""""note": {"type": ["string", "null"]}"""))
   }
