@@ -352,6 +352,17 @@ object SparkEntry {
       .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"))
 
+  private def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    // steady-state ingest: docs >= 250 are the "new batch", fingerprints of
+    // docs < 250 the existing corpus index; survivors are batch docs whose
+    // content is new (in-batch dups also dropped, lowest id kept)
+    val docs = t(s, dir, "documents")
+    val corpus = docs.filter(col("doc_id") < 250)
+      .select(TextAnalysis.fingerprint(col("text")).as("fp"))
+    Dedup.incremental(docs.filter(col("doc_id") >= 250), corpus, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   private def minhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
         k = 64, bands = 16, shingleLen = 3, threshold = 0.5)
@@ -501,6 +512,7 @@ object SparkEntry {
     "d_repetition" -> (repetitionScores _),
     "d_pii_scrub" -> (piiScrub _),
     "d_sample_strata" -> (sampleStrataQuery _),
+    "d_dedup_incremental" -> (dedupIncremental _),
     "d_minhash_pairs" -> (minhashPairs _),
     "d_simhash" -> (simhashes _),
     "d_simhash_neardup" -> (simhashNearDups _),
@@ -762,6 +774,19 @@ object SparkEntry {
         |            ELSE 'test' END AS split,
         | count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
         |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
+    "d_dedup_incremental" ->
+      """WITH fp AS (
+        | SELECT doc_id,
+        |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        | FROM documents),
+        |corpus AS (SELECT DISTINCT fp FROM fp WHERE doc_id < 250),
+        |batch AS (SELECT * FROM fp WHERE doc_id >= 250),
+        |fresh AS (
+        | SELECT b.doc_id, b.fp,
+        |  row_number() OVER (PARTITION BY b.fp ORDER BY b.doc_id) AS rn
+        | FROM batch b WHERE NOT EXISTS (
+        |  SELECT 1 FROM corpus c WHERE c.fp = b.fp))
+        |SELECT doc_id, fp FROM fresh WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "d_repetition" ->
       """WITH g AS (
         | SELECT doc_id,

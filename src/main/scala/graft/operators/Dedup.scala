@@ -26,6 +26,25 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** Incremental dedup: drop new-batch docs whose canonical fingerprint
+    * already exists in the corpus — the steady-state ingest path (the full
+    * corpus is never rescanned; only its fingerprint column, which at
+    * 100 TB lives as its own parquet/bucketed table of ~50 B rows, joins
+    * against the batch). Anti-join on the map-side fingerprint; also drops
+    * in-batch duplicates (keep lowest id) so the surviving set is clean.
+    */
+  def incremental(newDocs: DataFrame, knownFingerprints: DataFrame,
+                  idCol: String, textCol: String): DataFrame = {
+    val fp = newDocs.select(col(idCol), col(textCol),
+      TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col(idCol))
+    fp.join(knownFingerprints.select(col("fp")), Seq("fp"), "left_anti")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("fp"))
+  }
+
   /** Word n-gram shingles of a text column — the codegen'd
     * [[graft.functions.WordShingles]] kernel (one pass: tokenize + window +
     * join; ~10× the interpreted higher-order-function chain).

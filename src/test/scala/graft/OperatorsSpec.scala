@@ -130,6 +130,19 @@ class DedupSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("incremental dedup drops known fingerprints and in-batch repeats") {
+    val corpus = docs.filter(col("doc_id") < 2)
+      .select(TextAnalysis.fingerprint(col("text")).as("fp"))
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again today"), // = doc 0
+      (11L, "genuinely new content that the corpus has never seen before"),
+      (12L, "genuinely new content that the corpus has never seen before"), // in-batch dup
+      (13L, "another fresh document entirely")).toDF("doc_id", "text")
+    val out = Dedup.incremental(batch, corpus, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(out == Seq(11L, 13L)) // 10 known, 12 loses to 11
+  }
+
   test("keepBest keeps the top-scoring member per cluster, ties to min id") {
     val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
       .toDF("id", "cluster_id")
