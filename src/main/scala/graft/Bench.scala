@@ -10,7 +10,7 @@ object Bench {
     * just the parquet scan.
     */
   private def checksum(df: DataFrame): Long = {
-    val row = df.agg(sum(xxhash64(df.columns.map(col): _*))).head()
+    val row = df.agg(sum(xxhash64(df.columns.toIndexedSeq.map(col): _*))).head()
     if (row.isNullAt(0)) 0L else row.getLong(0)
   }
 

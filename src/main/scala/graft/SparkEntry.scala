@@ -89,7 +89,7 @@ object SparkEntry {
     val rounded = p.columns.map { c =>
       if (c.endsWith("_avg") || c.endsWith("_med")) round(col(c), 4).as(c) else col(c)
     }
-    p.select(rounded: _*)
+    p.select(rounded.toIndexedSeq: _*)
   }
 
   private def top1ReturnFlag(s: SparkSession, dir: String): DataFrame =

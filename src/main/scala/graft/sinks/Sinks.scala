@@ -199,7 +199,7 @@ object KafkaSink extends SinkPlugin {
     */
   def payload(df: DataFrame, keyPath: Option[String],
               format: String = "protobuf"): DataFrame = {
-    val all = struct(df.columns.map(col): _*)
+    val all = struct(df.columns.toIndexedSeq.map(col): _*)
     val key = keyPath match {
       case Some(p) => get_json_object(to_json(all), "$." + p)
       case None => lit(null).cast("string")
@@ -249,7 +249,7 @@ class CompassSink(poster: HttpPoster = JdkHttpPoster) extends SinkPlugin {
     * (sink.go:222-300).
     */
   def payload(df: DataFrame, labelTemplates: Map[String, String]): DataFrame = {
-    val full = to_json(struct(df.columns.map(col): _*))
+    val full = to_json(struct(df.columns.toIndexedSeq.map(col): _*))
     // label templates resolve against the PROPERTIES facet: attributes is
     // a JSON-string column (queried with get_json_object), labels a map
     // (sink.go:222-300); non-$ values are literals
