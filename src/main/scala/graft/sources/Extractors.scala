@@ -40,7 +40,8 @@ object CsvExtractor extends Extractor {
       val df = spark.read.option("header", "true").csv(f.getPath)
       TableAsset(
         resource = Resource(
-          urn = f.getPath, name = f.getName, service = "csv", `type` = "table"),
+          // urn = bare file name, same as the reference (csv.go:116-122)
+          urn = f.getName, name = f.getName, service = "csv", `type` = "table"),
         schema = df.schema.fields.map(fd =>
           ColumnDef(name = fd.name, dataType = fd.dataType.simpleString,
             isNullable = fd.nullable)).toSeq)
