@@ -156,8 +156,10 @@ object Main {
     while (true) {
       System.err.println(s"$message ${if (multi) "(comma-separated)" else ""}:")
       options.sorted.foreach(o => System.err.println(s"  - $o"))
-      val line = Option(scala.io.StdIn.readLine()).getOrElse("").trim
-      val picked = line.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val raw = scala.io.StdIn.readLine()
+      if (raw == null) // stdin closed (non-interactive run): abort, don't spin
+        sys.error(s"$message: no input (use -e/-s/-p flags in non-interactive mode)")
+      val picked = raw.trim.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       val unknown = picked.filterNot(options.contains)
       if (unknown.nonEmpty)
         System.err.println(s"unknown: ${unknown.mkString(", ")}")

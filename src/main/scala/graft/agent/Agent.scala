@@ -114,12 +114,16 @@ class Agent(
                 }
                 s"${spec.name}[$i]" -> n
               } catch {
-                case e: Exception if !stopOnSinkError =>
+                case e: Exception =>
+                  // per-plugin failure metric fires even when the error
+                  // propagates (agent.go:268 records unconditionally)
+                  monitor.recordPlugin(recipe.name, spec.name, "sink", success = false)
+                  if (stopOnSinkError) throw e
                   System.err.println(s"[agent] sink ${spec.name} failed: ${e.getMessage}")
                   s"${spec.name}[$i]" -> -1L
               } finally sinkPlugin.close()
-            // per-plugin metric, same call site as agent/agent.go:268
-            monitor.recordPlugin(recipe.name, spec.name, "sink", entry._2 >= 0L)
+            if (entry._2 >= 0L)
+              monitor.recordPlugin(recipe.name, spec.name, "sink", success = true)
             entry
           }.toMap
           RunResult(recipe, success = true, None,

@@ -45,7 +45,11 @@ object LineStatsdClient {
     * metrics/statsd.go:90-103 resolves host:port the same way).
     */
   def udp(address: String): LineStatsdClient = {
-    val Array(host, port) = address.split(":", 2)
+    val parts = address.split(":", 2)
+    require(parts.length == 2 && parts(1).nonEmpty &&
+      parts(1).forall(_.isDigit),
+      s"statsd address must be host:port, got '$address'")
+    val Array(host, port) = parts
     val socket = new java.net.DatagramSocket()
     val target = new java.net.InetSocketAddress(host, port.toInt)
     new LineStatsdClient(line => {

@@ -287,8 +287,10 @@ object AssetProto {
       val i = r.fieldIndex(name)
       if (!r.isNullAt(i)) {
         val t = r.getTimestamp(i)
+        // proto Timestamp: seconds floor-divided so pre-1970 instants keep
+        // forward-counting nanos (truncation would round toward zero)
         putLen(out, field, bytesOf { e =>
-          putInt(e, 1, t.getTime / 1000L)
+          putInt(e, 1, Math.floorDiv(t.getTime, 1000L))
           putInt(e, 2, t.getNanos.toLong)
         })
       }
@@ -316,9 +318,25 @@ object AssetProto {
     opt(r, "timestamps").foreach(x => putLen(out, 34, timestampsBytes(x)))
   }
 
-  /** Is this frame a TableAsset frame (the shape `tableBytes` encodes)? */
+  /** Is this frame a TableAsset frame (the shape `tableBytes` encodes)?
+    * Field NAMES are not enough — TopicAsset also has resource/profile/
+    * schema/properties, but its `schema` is a TopicSchema STRUCT while a
+    * table's is the column ARRAY, and its profile has no `totalRows`. Check
+    * the discriminating types so topic/dashboard frames fall back to JSON
+    * instead of crashing the encoder mid-job.
+    */
   def isTableFrame(schema: org.apache.spark.sql.types.StructType): Boolean = {
-    val names = schema.fieldNames.toSet
-    Set("resource", "schema", "properties").subsetOf(names)
+    import org.apache.spark.sql.types.{ArrayType, StructType}
+    val byName = schema.fields.map(f => f.name -> f.dataType).toMap
+    def schemaIsColumnArray = byName.get("schema").exists {
+      case ArrayType(s: StructType, _) => s.fieldNames.contains("dataType")
+      case _ => false
+    }
+    def profileIsTableProfile = byName.get("profile").forall {
+      case s: StructType => s.fieldNames.contains("totalRows")
+      case _ => false
+    }
+    Set("resource", "schema", "properties").subsetOf(byName.keySet) &&
+      schemaIsColumnArray && profileIsTableProfile
   }
 }

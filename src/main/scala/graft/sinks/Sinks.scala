@@ -201,7 +201,15 @@ object KafkaSink extends SinkPlugin {
               format: String = "protobuf"): DataFrame = {
     val all = struct(df.columns.toIndexedSeq.map(col): _*)
     val key = keyPath match {
-      case Some(p) => get_json_object(to_json(all), "$." + p)
+      case Some(p) =>
+        // dotted paths into struct columns resolve directly — serializing
+        // the whole row to JSON per record just to read one field is pure
+        // overhead; the JSON route stays as the fallback for paths that
+        // aren't plain nested columns
+        try df.col(p).cast("string")
+        catch { case _: org.apache.spark.sql.AnalysisException =>
+          get_json_object(to_json(all), "$." + p)
+        }
       case None => lit(null).cast("string")
     }
     if (format == "protobuf" && AssetProto.isTableFrame(df.schema)) {

@@ -267,17 +267,32 @@ class EnrichSpec extends SparkSpec {
     df.collect()(0).getAs[org.apache.spark.sql.Row]("properties")
       .getAs[String]("attributes")
 
+  test("enrich preserves NESTED attribute values verbatim (e.g. grants rollup)") {
+    val asset = graft.model.TableAsset(
+      resource = graft.model.Resource(urn = "u", name = "n", service = "s"),
+      properties = graft.model.Properties(attributes =
+        """{"grants":[{"user":"analyst","privilege_types":["SELECT"]}],"n":5,"ok":true}"""))
+    val df = Seq(asset).toDS().toDF()
+    val out = attrsOf(graft.processors.EnrichProcessor.process(df, Map("team" -> "data")))
+    // nested array/object, number and boolean survive untouched; the new
+    // key lands at the end
+    assert(out ==
+      """{"grants":[{"user":"analyst","privilege_types":["SELECT"]}],"n":5,"ok":true,"team":"data"}""")
+  }
+
   test("enrich sets with overwrite: re-enriched key has ONE entry, config wins") {
     val asset = graft.model.TableAsset(
       resource = graft.model.Resource(urn = "u", name = "n", service = "s"),
       properties = graft.model.Properties(
         attributes = """{"team":"old","keep":"x"}"""))
     val df = Seq(asset).toDS().toDF()
+    // overwritten keys keep their original position (in-place map set,
+    // like the reference's customProps[key] = value)
     val once = graft.processors.EnrichProcessor.process(df, Map("team" -> "new"))
-    assert(attrsOf(once) == """{"keep":"x","team":"new"}""")
+    assert(attrsOf(once) == """{"team":"new","keep":"x"}""")
     // enriching the SAME key twice still yields exactly one entry
     val twice = graft.processors.EnrichProcessor.process(once, Map("team" -> "newer"))
-    assert(attrsOf(twice) == """{"keep":"x","team":"newer"}""")
+    assert(attrsOf(twice) == """{"team":"newer","keep":"x"}""")
   }
 
   test("enrich handles empty/null/non-canonical attributes") {
@@ -481,6 +496,18 @@ class SinksSpec extends SparkSpec {
     // json format keeps the old behavior
     val json = graft.sinks.KafkaSink.payload(df, Some("resource.urn"), "json").collect()(0)
     assert(json.getAs[String]("value").contains(""""urn":"mysql::h/shop/orders""""))
+  }
+
+  test("kafka protobuf path only engages for Table frames; topics fall back to JSON") {
+    val topic = graft.model.TopicAsset(
+      resource = graft.model.Resource(urn = "kafka::h/t1", name = "t1", service = "kafka"),
+      profile = Some(graft.model.TopicProfile(numberOfPartitions = 3)))
+    val df = Seq(topic).toDS().toDF()
+    assert(!graft.sinks.AssetProto.isTableFrame(df.schema))
+    // default (protobuf-preferring) payload must not crash on a topic frame
+    val out = graft.sinks.KafkaSink.payload(df, Some("resource.urn")).collect()(0)
+    assert(out.getAs[String]("key") == "kafka::h/t1")
+    assert(out.getAs[String]("value").contains(""""numberOfPartitions":3"""))
   }
 
   test("yaml file sink writes a parseable list") {
