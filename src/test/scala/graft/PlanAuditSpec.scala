@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Plan-shape regression guards for the scale claims in README: these
+  * assertions fail if a future edit re-introduces a cartesian product, an
+  * extra exchange, or un-pushed filters into the audited operators. The
+  * sf0.001 tables are real parquet, so pushdown shows up exactly as it
+  * would on a cluster.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+  private def exchanges(p: String): Int =
+    p.linesIterator.count(l => l.contains("Exchange hashpartitioning") ||
+      l.contains("Exchange rangepartitioning"))
+
+  test("bucketed embedding near-dup has no cartesian product") {
+    val p = plan(SparkEntry.queries("s_embed_neardup_bucketed")(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("as-of join: one hash exchange feeds the window (union+window, no range blowup)") {
+    val ev = Tables(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val p = plan(AsofJoin.asof(purchases, clicks, "user_id", "ts", "ts",
+      rightCols = Seq("event_id", "value"), prefix = "prior_"))
+    // event_type filter pushed to the parquet scan on both sides
+    assert(p.contains("PushedFilters") && p.contains("event_type"), p)
+    assert(exchanges(p) == 1, p)
+  }
+
+  test("minhash signature stage is shuffle-free (kernels are map-side)") {
+    val docs = Tables(spark, dir, "documents")
+    val p = plan(Dedup.minhashSignatures(docs, "doc_id", "text"))
+    assert(exchanges(p) == 0, p)
+  }
+
+  test("brute-force ANN broadcasts the query side; corpus is never shuffled before the join") {
+    val emb = Tables(spark, dir, "embeddings")
+    val p = plan(Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 3))
+    assert(p.contains("BroadcastExchange"), p)
+    // the only hash/range exchange is the per-query top-k window
+    assert(exchanges(p) <= 1, p)
+    // partial top-k pruning before the shuffle
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q1 pushes the shipdate filter and prunes columns at the scan") {
+    val p = plan(SparkEntry.queries("q1_pricing_summary")(spark, dir))
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"), p)
+    // only the 7 referenced columns are read, not the full lineitem schema
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_shipmode"), readSchema)
+    // partial aggregation happens before the single exchange
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("exact dedup shuffles digests, not documents") {
+    val docs = Tables(spark, dir, "documents")
+    val p = plan(Dedup.exact(docs, "doc_id", "text"))
+    // the text column is consumed map-side by the fingerprint; the exchange
+    // carries only (fp, id) — text never appears after the first project
+    val afterExchange = p.substring(0, p.indexOf("Exchange"))
+    assert(afterExchange.contains("partial_min") || p.contains("partial_min"), p)
+    assert(exchanges(p) == 1, p)
+  }
+}
