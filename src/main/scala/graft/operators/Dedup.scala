@@ -167,19 +167,20 @@ object Dedup {
       val nbrMin = edges.join(labels, edges("y") === labels("id"))
         .groupBy(col("x")).agg(min(col("cluster_id")).as("nbr_min"))
       val l1 = labels.join(nbrMin, col("id") === col("x"), "left")
-        .select(col("id"),
+        .select(col("id"), col("cluster_id").as("prev"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("l1"))
       // pointer jump (path halving): follow the label's own label so chains
       // contract in O(log diameter) rounds instead of O(diameter)
       val jump = l1.select(col("id").as("jid"), col("l1").as("l2"))
       val updated = l1.join(jump, l1("l1") === jump("jid"), "left")
-        .select(col("id"), coalesce(col("l2"), col("l1")).as("cluster_id"))
+        .select(col("id"), col("prev"),
+          coalesce(col("l2"), col("l1")).as("cluster_id"))
         .localCheckpoint()
+      // prev rode along, so convergence reads the checkpoint — no join
       val changed = updated
-        .join(labels.withColumnRenamed("cluster_id", "old"), Seq("id"))
-        .filter(col("cluster_id") =!= col("old")).limit(1).count()
-      labels = updated
+        .filter(col("cluster_id") =!= col("prev")).limit(1).count()
+      labels = updated.select(col("id"), col("cluster_id"))
       converged = changed == 0L
       i += 1
     }
