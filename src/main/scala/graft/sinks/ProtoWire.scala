@@ -318,6 +318,146 @@ object AssetProto {
     opt(r, "timestamps").foreach(x => putLen(out, 34, timestampsBytes(x)))
   }
 
+  /** v1beta1/topic.pb.go: resource=1 profile=21 schema=31 ownership=32
+    * lineage=33 properties=34; TopicProfile: throughput=1
+    * number_of_partitions=2; TopicSchema (facets/schema.pb.go:277-284):
+    * schema_url=1 format=2
+    */
+  def topicBytes(r: Row): Array[Byte] = bytesOf { out =>
+    opt(r, "resource").foreach(x => putLen(out, 1, resourceBytes(x)))
+    opt(r, "profile").foreach { p =>
+      putLen(out, 21, bytesOf { e =>
+        putString(e, 1, str(p, "throughput"))
+        putInt(e, 2, lng(p, "numberOfPartitions"))
+      })
+    }
+    opt(r, "schema").foreach { sc =>
+      putLen(out, 31, bytesOf { e =>
+        putString(e, 1, str(sc, "schemaUrl"))
+        putString(e, 2, str(sc, "format"))
+      })
+    }
+    opt(r, "ownership").foreach(x => putLen(out, 32, ownershipBytes(x)))
+    opt(r, "lineage").foreach(x => putLen(out, 33, lineageBytes(x)))
+    opt(r, "properties").foreach(x => putLen(out, 34, propertiesBytes(x)))
+  }
+
+  /** v1beta1/dashboard.pb.go Chart: urn=1 name=2 type=3 source=4
+    * description=5 url=6 lineage=32
+    */
+  def chartBytes(r: Row): Array[Byte] = bytesOf { out =>
+    putString(out, 1, str(r, "urn"))
+    putString(out, 2, str(r, "name"))
+    putString(out, 3, str(r, "type"))
+    putString(out, 4, str(r, "source"))
+    putString(out, 5, str(r, "description"))
+    putString(out, 6, str(r, "url"))
+    opt(r, "lineage").foreach(x => putLen(out, 32, lineageBytes(x)))
+  }
+
+  /** v1beta1/dashboard.pb.go: resource=1 charts=21 ownership=31
+    * properties=32 timestamps=33 lineage=34
+    */
+  def dashboardBytes(r: Row): Array[Byte] = bytesOf { out =>
+    opt(r, "resource").foreach(x => putLen(out, 1, resourceBytes(x)))
+    rows(r, "charts").foreach(c => putLen(out, 21, chartBytes(c)))
+    opt(r, "ownership").foreach(x => putLen(out, 31, ownershipBytes(x)))
+    opt(r, "properties").foreach(x => putLen(out, 32, propertiesBytes(x)))
+    opt(r, "timestamps").foreach(x => putLen(out, 33, timestampsBytes(x)))
+    opt(r, "lineage").foreach(x => putLen(out, 34, lineageBytes(x)))
+  }
+
+  /** v1beta1/job.pb.go: resource=1 ownership=31 lineage=32 properties=33
+    * timestamps=34
+    */
+  def jobBytes(r: Row): Array[Byte] = bytesOf { out =>
+    opt(r, "resource").foreach(x => putLen(out, 1, resourceBytes(x)))
+    opt(r, "ownership").foreach(x => putLen(out, 31, ownershipBytes(x)))
+    opt(r, "lineage").foreach(x => putLen(out, 32, lineageBytes(x)))
+    opt(r, "properties").foreach(x => putLen(out, 33, propertiesBytes(x)))
+    opt(r, "timestamps").foreach(x => putLen(out, 34, timestampsBytes(x)))
+  }
+
+  /** v1beta1/user.pb.go: resource=1 email=3 username=4 first_name=5
+    * last_name=6 full_name=7 status=10 memberships=22 properties=31;
+    * Membership: group_urn=1 role=2 (repeated)
+    */
+  def userBytes(r: Row): Array[Byte] = bytesOf { out =>
+    opt(r, "resource").foreach(x => putLen(out, 1, resourceBytes(x)))
+    putString(out, 3, str(r, "email"))
+    putString(out, 4, str(r, "username"))
+    putString(out, 5, str(r, "firstName"))
+    putString(out, 6, str(r, "lastName"))
+    putString(out, 7, str(r, "fullName"))
+    putString(out, 10, str(r, "status"))
+    rows(r, "memberships").foreach { m =>
+      putLen(out, 22, bytesOf { e =>
+        putString(e, 1, str(m, "groupUrn"))
+        strs(m, "roles").foreach(role => putString(e, 2, role))
+      })
+    }
+    opt(r, "properties").foreach(x => putLen(out, 31, propertiesBytes(x)))
+  }
+
+  /** v1beta1/bucket.pb.go: resource=1 description=4 location=5
+    * storage_type=6 blobs=7 ownership=31 properties=32 timestamps=33;
+    * Blob: urn=1 name=2 source=3 size=4 ownership=31 timestamps=33
+    */
+  def bucketBytes(r: Row): Array[Byte] = bytesOf { out =>
+    opt(r, "resource").foreach(x => putLen(out, 1, resourceBytes(x)))
+    putString(out, 4, str(r, "description"))
+    putString(out, 5, str(r, "location"))
+    putString(out, 6, str(r, "storageType"))
+    rows(r, "blobs").foreach { b =>
+      putLen(out, 7, bytesOf { e =>
+        putString(e, 1, str(b, "urn"))
+        putString(e, 2, str(b, "name"))
+        putString(e, 3, str(b, "source"))
+        putInt(e, 4, lng(b, "size"))
+        opt(b, "ownership").foreach(x => putLen(e, 31, ownershipBytes(x)))
+        opt(b, "timestamps").foreach(x => putLen(e, 33, timestampsBytes(x)))
+      })
+    }
+    opt(r, "ownership").foreach(x => putLen(out, 31, ownershipBytes(x)))
+    opt(r, "properties").foreach(x => putLen(out, 32, propertiesBytes(x)))
+    opt(r, "timestamps").foreach(x => putLen(out, 33, timestampsBytes(x)))
+  }
+
+  /** v1beta1/group.pb.go: resource=1 email=2 members=21 properties=31
+    * timestamps=32; GroupMember: urn=1 role=2
+    */
+  def groupBytes(r: Row): Array[Byte] = bytesOf { out =>
+    opt(r, "resource").foreach(x => putLen(out, 1, resourceBytes(x)))
+    putString(out, 2, str(r, "email"))
+    rows(r, "members").foreach { m =>
+      putLen(out, 21, bytesOf { e =>
+        putString(e, 1, str(m, "urn"))
+        putString(e, 2, str(m, "role"))
+      })
+    }
+    opt(r, "properties").foreach(x => putLen(out, 31, propertiesBytes(x)))
+    opt(r, "timestamps").foreach(x => putLen(out, 32, timestampsBytes(x)))
+  }
+
+  /** Pick the encoder for a frame by its discriminating fields — the Scala
+    * analogue of the reference's `proto.Marshal(value.(proto.Message))`
+    * working on any asset kind. None → the frame is not a known asset
+    * shape and the kafka sink falls back to JSON.
+    */
+  def encoderFor(schema: org.apache.spark.sql.types.StructType): Option[Row => Array[Byte]] = {
+    val names = schema.fieldNames.toSet
+    if (!names.contains("resource")) None
+    else if (isTableFrame(schema)) Some(tableBytes)
+    else if (names.contains("charts")) Some(dashboardBytes)
+    else if (names.contains("memberships") && names.contains("username")) Some(userBytes)
+    else if (names.contains("blobs")) Some(bucketBytes)
+    else if (names.contains("members") && names.contains("email")) Some(groupBytes)
+    else if (names.contains("schema") || names.contains("profile")) Some(topicBytes)
+    else if (names == Set("resource", "ownership", "lineage", "properties", "timestamps"))
+      Some(jobBytes)
+    else None
+  }
+
   /** Is this frame a TableAsset frame (the shape `tableBytes` encodes)?
     * Field NAMES are not enough — TopicAsset also has resource/profile/
     * schema/properties, but its `schema` is a TopicSchema STRUCT while a

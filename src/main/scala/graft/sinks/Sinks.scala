@@ -212,14 +212,18 @@ object KafkaSink extends SinkPlugin {
         }
       case None => lit(null).cast("string")
     }
-    if (format == "protobuf" && AssetProto.isTableFrame(df.schema)) {
-      import org.apache.spark.sql.Encoders
-      val enc = Encoders.tuple(Encoders.STRING, Encoders.BINARY)
-      df.select(key.as("key"), all.as("asset"))
-        .map((r: Row) => (r.getString(0), AssetProto.tableBytes(r.getStruct(1))))(enc)
-        .toDF("key", "value")
-    } else
-      df.select(key.as("key"), to_json(all).as("value"))
+    val protoEncoder =
+      if (format == "protobuf") AssetProto.encoderFor(df.schema) else None
+    protoEncoder match {
+      case Some(encode) =>
+        import org.apache.spark.sql.Encoders
+        val enc = Encoders.tuple(Encoders.STRING, Encoders.BINARY)
+        df.select(key.as("key"), all.as("asset"))
+          .map((r: Row) => (r.getString(0), encode(r.getStruct(1))))(enc)
+          .toDF("key", "value")
+      case None =>
+        df.select(key.as("key"), to_json(all).as("value"))
+    }
   }
 
   def sink(df: DataFrame, config: Map[String, Any]): Long = {

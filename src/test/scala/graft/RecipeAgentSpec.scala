@@ -498,16 +498,42 @@ class SinksSpec extends SparkSpec {
     assert(json.getAs[String]("value").contains(""""urn":"mysql::h/shop/orders""""))
   }
 
-  test("kafka protobuf path only engages for Table frames; topics fall back to JSON") {
+  test("kafka sink encodes every asset kind with its own proto descriptor") {
     val topic = graft.model.TopicAsset(
       resource = graft.model.Resource(urn = "kafka::h/t1", name = "t1", service = "kafka"),
       profile = Some(graft.model.TopicProfile(numberOfPartitions = 3)))
-    val df = Seq(topic).toDS().toDF()
-    assert(!graft.sinks.AssetProto.isTableFrame(df.schema))
-    // default (protobuf-preferring) payload must not crash on a topic frame
-    val out = graft.sinks.KafkaSink.payload(df, Some("resource.urn")).collect()(0)
+    val topicDf = Seq(topic).toDS().toDF()
+    // NOT the table encoder (TopicProfile has no totalRows) — its own
+    assert(!graft.sinks.AssetProto.isTableFrame(topicDf.schema))
+    val out = graft.sinks.KafkaSink.payload(topicDf, Some("resource.urn")).collect()(0)
     assert(out.getAs[String]("key") == "kafka::h/t1")
-    assert(out.getAs[String]("value").contains(""""numberOfPartitions":3"""))
+    val bytes = out.getAs[Array[Byte]]("value")
+    // Topic: resource=1 (LEN) … profile=21 (LEN) holding partitions=2 varint
+    assert((bytes(0) & 0xFF) == 0x0A) // tag field 1, wire 2
+    // tag(21, LEN) = 170 → two-byte varint AA 01; len 2; field2 varint 3
+    assert(bytes.containsSlice(Array[Byte](0xAA.toByte, 0x01, 0x02, 0x10, 0x03)))
+    // user / group / dashboard frames each resolve a distinct encoder
+    val userDf = Seq(graft.model.UserAsset(
+      resource = graft.model.Resource(urn = "u", name = "u", service = "shield"),
+      username = "jo", memberships = Seq(graft.model.Membership("g1", Seq("admin")))))
+      .toDS().toDF()
+    val groupDf = Seq(graft.model.GroupAsset(
+      resource = graft.model.Resource(urn = "g", name = "g", service = "shield"),
+      email = "g@x", members = Seq(graft.model.GroupMember("u1", "admin"))))
+      .toDS().toDF()
+    val dashDf = Seq(graft.model.DashboardAsset(
+      resource = graft.model.Resource(urn = "d", name = "d", service = "grafana"),
+      charts = Seq(graft.model.Chart(urn = "c1", name = "chart"))))
+      .toDS().toDF()
+    for (df <- Seq(userDf, groupDf, dashDf))
+      assert(graft.sinks.AssetProto.encoderFor(df.schema).isDefined, df.schema.fieldNames.toSeq)
+    assert(graft.sinks.KafkaSink.payload(userDf, None).collect()(0)
+      .getAs[Array[Byte]]("value").nonEmpty)
+    // unknown frames (no resource facet) still fall back to JSON
+    val plain = Seq(("a", 1)).toDF("x", "y")
+    assert(graft.sinks.AssetProto.encoderFor(plain.schema).isEmpty)
+    assert(graft.sinks.KafkaSink.payload(plain, None).collect()(0)
+      .getAs[String]("value").contains(""""x":"a""""))
   }
 
   test("yaml file sink writes a parseable list") {
