@@ -425,6 +425,16 @@ object SparkEntry {
       .orderBy(col("a"), col("b"))
   }
 
+  private def embedNearDupLsh(s: SparkSession, dir: String): DataFrame =
+    // codebook-free blocking path (sign-LSH); rows-only — the seeded
+    // Gaussian hyperplanes are not SQL-expressible, and LSH recall is
+    // probabilistic by design (the exact pair set is covered by
+    // s_embed_neardup / s_embed_neardup_bucketed oracles)
+    Similarity.nearDupBySignLsh(
+        t(s, dir, "embeddings").filter(col("vec_id") < 300),
+        "vec_id", "embedding", dims = 64, threshold = 0.35)
+      .orderBy(col("a"), col("b"))
+
   private def embedClusters(s: SparkSession, dir: String): DataFrame =
     // pairs → dedup groups: connected components over the near-dup graph
     // (transitive closure the pairwise output lacks); the pair set comes
@@ -521,6 +531,7 @@ object SparkEntry {
     "s_ann_ivf" -> (annIvf _),
     "s_embed_neardup" -> (embedNearDup _),
     "s_embed_neardup_bucketed" -> (embedNearDupBucketed _),
+    "s_embed_neardup_lsh" -> (embedNearDupLsh _),
     "s_embed_clusters" -> (embedClusters _),
     "s_embed_keepers" -> (embedKeepers _),
     "m_multimodal_meta" -> (multimodalMeta _),

@@ -147,6 +147,55 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("rank"), round(col("sim"), 4).as("sim"))
   }
 
+  /** Sign-LSH (random hyperplanes) near-dup: the codebook-free blocking
+    * alternative to [[nearDupByCentroid]] — no k-means/sample pass needed,
+    * which matters when the corpus has no stable centroid structure yet
+    * (cold start, streaming ingest). Each vector gets a k-bit signature
+    * (sign of the dot product with k seeded Gaussian hyperplanes, computed
+    * by the codegen'd dot kernel), the bits split into `bands`; vectors
+    * sharing any band bucket become candidates, verified with exact cosine.
+    * Recall is tunable: more bands (fewer bits each) → higher recall, more
+    * candidates. Same shuffle shape as the other blockers: map-side
+    * signatures, ONE bucket groupBy carrying ids only, capped buckets.
+    */
+  def nearDupBySignLsh(df: DataFrame, idCol: String, vecCol: String,
+                       dims: Int, threshold: Double, k: Int = 16,
+                       bands: Int = 8, seed: Long = 42L,
+                       maxBucketSize: Int = 100000): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    import graft.functions.VectorFunctions.{dot_product, vector_norm}
+    val rnd = new scala.util.Random(seed)
+    val planes = Seq.fill(k)(Seq.fill(dims)(rnd.nextGaussian()))
+    val e = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val bits = planes.map(p =>
+      (dot_product(col("v"), array(p.map(lit): _*)) >= 0).cast("int"))
+    val r = k / bands
+    val bandVals = (0 until bands).map { b =>
+      (0 until r).map(i => bits(b * r + i) * lit(1 << i)).reduce(_ + _)
+    }
+    val assigned = e.select(col("id"),
+      posexplode(array(bandVals: _*)).as(Seq("band_id", "band_val")))
+    val pairs = assigned.groupBy(col("band_id"), col("band_val"))
+      .agg(sort_array(collect_set(col("id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+      .select(explode(ArrayPairs.pairStructs(col("ids"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
+      .localCheckpoint()
+    val candidateIds = pairs
+      .select(explode(array(col("a"), col("b"))).as("cid")).distinct()
+    val vecs = e.join(candidateIds, col("id") === col("cid"), "leftsemi")
+      .select(col("id"), col("v"), vector_norm(col("v")).as("n"))
+      .localCheckpoint()
+    val va = vecs.select(col("id").as("a"), col("v").as("va"), col("n").as("na"))
+    val vb = vecs.select(col("id").as("b"), col("v").as("vb"), col("n").as("nb"))
+    pairs.join(va, Seq("a")).join(vb, Seq("b"))
+      .withColumn("sim",
+        try_divide(dot_product(col("va"), col("vb")), col("na") * col("nb")))
+      .filter(col("sim") >= threshold)
+      .select(col("a"), col("b"), round(col("sim"), 4).as("sim"))
+  }
+
   /** Bucketed embedding near-dup: the scale path that replaces the all-pairs
     * inequality join (a cartesian) with centroid blocking — the embedding
     * analogue of [[Dedup.candidatePairs]].

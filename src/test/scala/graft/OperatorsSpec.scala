@@ -318,6 +318,23 @@ class SimilaritySpec extends SparkSpec {
     assert(out(0).getAs[Int]("rank") == 1)
   }
 
+  test("sign-LSH finds exact and near duplicates, excludes orthogonal vectors") {
+    val dims = 8
+    val base = Seq(1.0, 0.2, -0.5, 0.8, 0.1, -0.3, 0.6, -0.9)
+    val near = base.updated(1, 0.25) // tiny perturbation, cosine ~1
+    val ortho = Seq(0.0, 1.0, 0.5, 0.0, -0.8, 0.3, 0.0, 0.4)
+    val df = Seq(
+      (1L, base), (2L, base), (3L, near), (10L, ortho))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.nearDupBySignLsh(df, "vec_id", "embedding",
+        dims = dims, threshold = 0.9, k = 16, bands = 8)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    // identical vectors share EVERY band — guaranteed recall for exact dups
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists { case (a, b) => a == 10L || b == 10L })
+  }
+
   test("ivf assigns nearest centroid and prunes probes") {
     val centroids = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0), Seq(0.0, 0.0, 1.0))
     val assigned = Similarity.assignCentroids(
