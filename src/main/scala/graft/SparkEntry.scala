@@ -368,6 +368,21 @@ object SparkEntry {
         k = 64, bands = 16, shingleLen = 3, threshold = 0.5)
       .orderBy(col("a"), col("b"))
 
+  private def dedupFuzzyPipeline(s: SparkSession, dir: String): DataFrame = {
+    // the full fuzzy-dedup pipeline in one query: MinHash-LSH candidate
+    // pairs → exact-Jaccard verify → connected components → keep the
+    // highest-quality member per cluster (rows-only: minhash buckets are
+    // xxhash64-based; every stage is oracle-checked individually elsewhere)
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+      k = 64, bands = 16, shingleLen = 3, threshold = 0.5)
+    val clusters = Dedup.connectedComponents(pairs.select(col("a"), col("b")))
+    val quality = docs.select(col("doc_id").as("id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    Dedup.keepBest(clusters, quality, "n_tokens")
+      .orderBy(col("cluster_id"))
+  }
+
   private def simhashes(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("id"))
@@ -524,6 +539,7 @@ object SparkEntry {
     "d_sample_strata" -> (sampleStrataQuery _),
     "d_dedup_incremental" -> (dedupIncremental _),
     "d_minhash_pairs" -> (minhashPairs _),
+    "d_dedup_fuzzy" -> (dedupFuzzyPipeline _),
     "d_simhash" -> (simhashes _),
     "d_simhash_neardup" -> (simhashNearDups _),
     "d_ngram_jaccard" -> (ngramJaccard _),
