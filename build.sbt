@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked output must bypass sbt's logger: the bench/verify mains print a
+// machine-parsed JSON line, and the default LoggedOutput strategy glues an
+// "[info] " prefix onto it (the round-3 bench artifact recorded
+// "parsed": null because of exactly this).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

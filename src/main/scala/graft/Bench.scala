@@ -1,18 +1,27 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, sum, xxhash64}
+import org.apache.spark.sql.functions.{col, count, expr, lit, xxhash64}
 
 object Bench {
-  /** Projection-forcing action: every output column feeds a hash that is
-    * summed to one row. Unlike `.count()` (under which Catalyst prunes
-    * unreferenced projections and drops final sorts), this executes every
-    * kernel in the query — map-side-only queries time their compute, not
-    * just the parquet scan.
+  /** Projection-forcing action: every output column feeds a hash folded to
+    * one row. Unlike `.count()` (under which Catalyst prunes unreferenced
+    * projections and drops final sorts), this executes every kernel in the
+    * query — map-side-only queries time their compute, not just the scan.
+    *
+    * The fold is `bit_xor`, NOT `sum`: xxhash64 values are uniform 64-bit,
+    * so summing them overflows a long almost immediately and Spark 4's
+    * default ANSI mode turns that into ARITHMETIC_OVERFLOW, aborting the
+    * job mid-checksum. XOR is closed under 64 bits, order-insensitive, and
+    * still forces every projection. Returns (checksum, rowCount).
     */
-  private def checksum(df: DataFrame): Long = {
-    val row = df.agg(sum(xxhash64(df.columns.toIndexedSeq.map(col): _*))).head()
-    if (row.isNullAt(0)) 0L else row.getLong(0)
+  private def checksum(df: DataFrame): (Long, Long) = {
+    val hashed = df.select(xxhash64(df.columns.toIndexedSeq.map(col): _*).as("h"))
+    val row = hashed.agg(expr("bit_xor(h)"), count(lit(1))).head()
+    (if (row.isNullAt(0)) 0L else row.getLong(0), row.getLong(1))
   }
+
+  private final case class QResult(
+      sec: Double, rows: Long, hash: Long, failed: Boolean, error: String)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -26,21 +35,50 @@ object Bench {
     // steady-state warmup: run EVERY query once at the smallest SF so the
     // timed runs measure engine cost, not first-use classloading and
     // whole-stage-codegen (janino) compilation — the generated code is
-    // SF-independent, so the codegen cache carries over to the target SF
+    // SF-independent, so the codegen cache carries over to the target SF.
+    // Warmup failures are loud (stderr) but non-fatal: the timed run below
+    // records them properly.
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try checksum(fn(spark, warmDir)) catch { case _: Throwable => () }
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try checksum(fn(spark, warmDir))
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] warmup FAILED for $name: ${e.getClass.getName}: ${e.getMessage}")
+      }
     }
     // deterministic name order so per-query timings compare across rounds
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try checksum(fn(spark, sfDir)) catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val r =
+        try {
+          val (h, n) = checksum(fn(spark, sfDir))
+          QResult((System.nanoTime() - t0) / 1e9, n, h, failed = false, error = "")
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] query FAILED: $name: ${e.getClass.getName}: ${e.getMessage}")
+            QResult((System.nanoTime() - t0) / 1e9, -1L, 0L,
+              failed = true, error = s"${e.getClass.getName}: ${e.getMessage}".take(200))
+        }
+      name -> r
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => "\\u%04x".format(c.toInt)
+        case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, r) => jstr(k) + ":" + r.sec }.mkString("{", ",", "}")
+    val rows = results.map { case (k, r) => jstr(k) + ":" + r.rows }.mkString("{", ",", "}")
+    val failedNames = results.collect { case (k, r) if r.failed => jstr(k) }.mkString("[", ",", "]")
+    val errs = results.collect { case (k, r) if r.failed => jstr(k) + ":" + jstr(r.error) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // total covers only succeeded queries — a time-to-abort is not a timing
+    val ok = results.filterNot(_._2.failed)
+    val total = ok.map(_._2.sec).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"failed":$failedNames,"errors":$errs,"n_ok":${ok.size},"n_failed":${results.size - ok.size},"sf":"$sfDir"}""")
     spark.stop()
+    // flag the run as a whole if any query failed (after the JSON line is out)
+    if (ok.size != results.size) sys.exit(1)
   }
 }
