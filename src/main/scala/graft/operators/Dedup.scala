@@ -153,6 +153,22 @@ object Dedup {
     * docs never enter a pair and keep themselves by definition.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val (labels, _, converged) = connectedComponentsWithStats(pairs, maxIter)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not reach a fixpoint within maxIter=$maxIter " +
+          "rounds — labels would be WRONG (docs mis-clustered, dedup would drop " +
+          "the wrong documents). Raise maxIter; pointer jumping needs only " +
+          "O(log diameter) rounds, so a graph that exhausts 20 is adversarial.")
+    labels
+  }
+
+  /** [[connectedComponents]] plus (rounds used, converged) — the loud
+    * variant: callers that want to proceed on a non-fixpoint exit must
+    * check the flag explicitly instead of silently consuming wrong labels.
+    */
+  def connectedComponentsWithStats(pairs: DataFrame,
+                                   maxIter: Int = 20): (DataFrame, Int, Boolean) = {
     val edges = pairs.select(col("a").as("x"), col("b").as("y"))
       .union(pairs.select(col("b").as("x"), col("a").as("y")))
       .localCheckpoint()
@@ -184,7 +200,7 @@ object Dedup {
       converged = changed == 0L
       i += 1
     }
-    labels
+    (labels, i, converged)
   }
 
   /** Canonical selection: given cluster labels (id, cluster_id) and a

@@ -110,6 +110,50 @@ object Similarity {
       array_position(dists, array_min(dists)).cast("int") - 1)
   }
 
+  /** Lloyd-refine an initial codebook against the corpus: assign every
+    * vector to its nearest centroid (map-side, centroids broadcast as
+    * literals), recompute each centroid as the member mean, repeat.
+    * Empty clusters keep their previous centroid. Deterministic given a
+    * deterministic `init` (no random restarts).
+    *
+    * Scale shape: the assign pass is a pure scan; the mean is a
+    * posexplode → groupBy (centroid_id, dim) with map-side partial
+    * aggregation, so the shuffle carries at most C·d·partitions cells, not
+    * rows — and only C·d doubles ever reach the driver. At 100 TB you run
+    * this on a small sample (`df.sample`) — the codebook only needs to
+    * capture the density structure, not see every row.
+    */
+  def kmeansRefine(df: DataFrame, vecCol: String, init: Seq[Seq[Double]],
+                   iters: Int = 5, spherical: Boolean = false): Seq[Seq[Double]] = {
+    def unit(v: Seq[Double]): Seq[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    // spherical (cosine-metric) k-means: members are assigned by direction
+    // only, so normalize them once up front and re-normalize every mean —
+    // L2-nearest among unit vectors IS cosine-nearest
+    val members =
+      if (spherical) normalized(df.select(col(vecCol).cast("array<double>").as("v")), "v")
+      else df.select(col(vecCol).cast("array<double>").as("v"))
+    var cents = if (spherical) init.map(unit) else init
+    for (_ <- 0 until iters) {
+      val assigned = assignCentroids(members, "v", cents)
+      val means = assigned
+        .select(col("centroid_id"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("centroid_id"), col("dim")).agg(avg(col("x")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      cents = cents.indices.map { i =>
+        val m = means.getOrElse(i, cents(i))
+        if (spherical) unit(m) else m
+      }
+    }
+    cents
+  }
+
   /** IVF-pruned top-k: probe only the query's `nprobe` nearest centroid
     * buckets instead of the full corpus. Approximate (recall < 1 when the
     * true neighbor lives in an unprobed bucket) but reads ~nprobe/C of the
@@ -118,20 +162,30 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, centroids: Seq[Seq[Double]],
               nprobe: Int = 2): DataFrame = {
-    val c = assignCentroids(
-      corpus.select(col(idCol).as("c_id"), col(vecCol).cast("array<double>").as("c_vec")),
-      "c_vec", centroids)
+    // the ranking metric is COSINE, so assignment must be by direction:
+    // assign/probe on unit vectors (L2-nearest among unit vectors is
+    // cosine-nearest). Pair with a spherical codebook ([[kmeansRefine]]
+    // with spherical=true) — unit centroids make the equivalence exact.
+    val corp = normalized(
+      corpus.select(col(idCol).as("c_id"), col(vecCol).cast("array<double>").as("c_vec"),
+        col(vecCol).cast("array<double>").as("c_unit")),
+      "c_unit")
+    val c = assignCentroids(corp, "c_unit", centroids).drop("c_unit")
     // per-query probe list: ids of the nprobe nearest centroids
-    val qv = col("q_vec")
+    val qv = col("q_unit")
     val qdists = array(centroids.map(cc =>
       graft.functions.VectorFunctions.l2_squared(qv, array(cc.map(lit): _*))): _*)
     val probes = slice(transform(array_sort(
       zip_with(qdists, sequence(lit(0), lit(centroids.size - 1)),
         (d, i) => struct(d.as("d"), i.as("i")))),
       s => s.getField("i")), 1, nprobe)
-    val q = queries
-      .select(col(idCol).as("q_id"), col(vecCol).cast("array<double>").as("q_vec"))
+    val q = normalized(
+        queries.select(col(idCol).as("q_id"),
+          col(vecCol).cast("array<double>").as("q_vec"),
+          col(vecCol).cast("array<double>").as("q_unit")),
+        "q_unit")
       .withColumn("probe_ids", probes)
+      .drop("q_unit")
     val scored = c.withColumn("c_norm",
         graft.functions.VectorFunctions.vector_norm(col("c_vec")))
       .join(broadcast(q.withColumn("q_norm",

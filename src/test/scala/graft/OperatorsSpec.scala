@@ -130,6 +130,28 @@ class DedupSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("connected components contracts a 2^k chain in O(log n) rounds") {
+    // worst-case diameter: a single path 0-1-2-...-255. Naive min-label
+    // propagation needs diameter rounds (255); pointer jumping (path
+    // halving) must land well inside O(log n).
+    val n = 256
+    val chain = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("a", "b")
+    val (labels, rounds, converged) = Dedup.connectedComponentsWithStats(chain, maxIter = 20)
+    assert(converged, s"chain of $n did not converge in 20 rounds")
+    assert(rounds <= 2 * (64 - java.lang.Long.numberOfLeadingZeros(n - 1L)) + 2,
+      s"pointer jumping took $rounds rounds for a $n-chain — O(log n) bound broken")
+    val out = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == n && out.values.forall(_ == 0L))
+  }
+
+  test("connected components throws loudly on non-fixpoint exit") {
+    val chain = (0L until 255L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 2)
+    }
+    assert(e.getMessage.contains("fixpoint"))
+  }
+
   test("incremental dedup drops known fingerprints and in-batch repeats") {
     val corpus = docs.filter(col("doc_id") < 2)
       .select(TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -346,6 +368,42 @@ class SimilaritySpec extends SparkSpec {
       "vec_id", "embedding", k = 2, centroids, nprobe = 1).collect()
     // with nprobe=1 only bucket 0 is probed → single candidate (id 1)
     assert(out.length == 1 && out(0).getAs[Long]("c_id") == 1L)
+  }
+}
+
+/** Recall gates for the approximate similarity paths, pinned against their
+  * exact twins on the driver's own sf0.01 testdata — a silent recall
+  * regression in IVF probing or sign-LSH banding fails CI here even though
+  * CORRECTNESS grades those queries rows-only.
+  */
+class RecallSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.01"
+
+  test("IVF top-k recall@5 >= 0.9 vs brute force at sf0.01") {
+    assume(new java.io.File(dir).isDirectory)
+    def topk(name: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(name)(spark, dir).collect()
+        .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("c_id"))
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val exact = topk("s_ann_bruteforce")
+    val ivf = topk("s_ann_ivf")
+    val recalls = exact.map { case (q, ids) =>
+      ivf.getOrElse(q, Set.empty).intersect(ids).size.toDouble / ids.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"IVF recall@5 regressed: $mean (per-query: $recalls)")
+  }
+
+  test("sign-LSH pair recall >= 0.95 vs the exact all-pairs oracle at sf0.01") {
+    assume(new java.io.File(dir).isDirectory)
+    def pairSet(name: String): Set[(Long, Long)] =
+      SparkEntry.queries(name)(spark, dir).collect()
+        .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    val exact = pairSet("s_embed_neardup")
+    val lsh = pairSet("s_embed_neardup_lsh")
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.95,
+      s"sign-LSH pair recall regressed: $recall (${lsh.intersect(exact).size}/${exact.size})")
   }
 }
 
