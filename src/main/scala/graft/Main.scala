@@ -28,9 +28,15 @@ object Main {
   def main(args: Array[String]): Unit = args.toList match {
     case "run" :: path :: rest =>
       val vars = parseVars(rest)
+      val cfg = agentConfig(rest)
       val spark = session()
+      if (cfg.logLevel.nonEmpty)
+        spark.sparkContext.setLogLevel(
+          if (cfg.logLevel.equalsIgnoreCase("info")) "WARN" // spark INFO is a firehose
+          else cfg.logLevel.toUpperCase)
+      val agent = graft.agent.AgentConfig.agentFor(spark, cfg)
       val results = RecipeReader.read(java.nio.file.Paths.get(path), vars)
-        .map(new Agent(spark).run)
+        .map(agent.run)
       results.foreach { r =>
         val status = if (r.success) "OK " else "ERR"
         println(f"$status ${r.recipe.name}%-24s records=${r.recordCount}%-8d " +
@@ -172,12 +178,38 @@ object Main {
     Nil
   }
 
-  private def parseVars(args: List[String]): Map[String, String] =
-    args.sliding(2, 2).collect {
-      case "--var" :: kv :: Nil if kv.contains("=") =>
-        val Array(k, v) = kv.split("=", 2)
-        k -> v
-    }.toMap
+  /** `--var` accepts either `k=v` (inline) or a path to a yaml var-file
+    * (the reference's only form, cmd/run.go:133 + recipe/envs.go:15-35).
+    * Precedence: inline k=v > var-file > `METEOR_`/`GRAFT_` env (the env
+    * fallback happens inside RecipeReader.render; file-beats-env matches
+    * envs.go:27-33).
+    */
+  private[graft] def parseVars(args: List[String]): Map[String, String] = {
+    val values = args.sliding(2, 2).collect {
+      case "--var" :: v :: Nil => v
+    }.toList
+    val (inline, files) = values.partition(_.contains("="))
+    val fromFiles = files.foldLeft(Map.empty[String, String]) { (acc, f) =>
+      acc ++ RecipeReader.loadVarFile(java.nio.file.Paths.get(f))
+    }
+    fromFiles ++ inline.map { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      k -> v
+    }
+  }
+
+  /** Agent config: `--config file.yaml` (explicit: must exist) or the
+    * default `./meteor.yaml` probe (missing is fine), env always winning
+    * (reference: cmd/run.go:60-66,134 + config/config.go:21-31).
+    */
+  private def agentConfig(args: List[String]): graft.agent.AgentConfig = {
+    val explicit = args.sliding(2, 2).collectFirst {
+      case "--config" :: p :: Nil => java.nio.file.Paths.get(p)
+    }
+    graft.agent.AgentConfig.load(
+      explicit.orElse(Some(java.nio.file.Paths.get("./meteor.yaml"))),
+      explicitFile = explicit.isDefined)
+  }
 
   private def parseFlags(args: List[String]): Map[String, String] =
     args.sliding(2, 2).collect {

@@ -56,6 +56,26 @@ object RecipeReader {
       scala.util.matching.Regex.quoteReplacement(data.getOrElse(m.group(1), "")))
   }
 
+  /** Load recipe variables from a yaml var-file (reference:
+    * recipe/envs.go:15-35 via `--var <path>`): a flat mapping whose keys are
+    * lowercased for case-insensitive lookup. File values WIN over `METEOR_`/
+    * `GRAFT_` env vars on conflict (envs.go:27-33 skips the env value when
+    * the key already came from yaml) — callers get that for free by passing
+    * the result as `vars` to [[render]], where explicit vars shadow env.
+    */
+  def loadVarFile(path: java.nio.file.Path): Map[String, String] = {
+    val raw = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+    asScala(new Yaml().load[Object](raw)) match {
+      case m: Map[_, _] =>
+        m.asInstanceOf[Map[String, Any]].map { case (k, v) =>
+          k.toLowerCase -> (if (v == null) "" else v.toString)
+        }
+      case null => Map.empty
+      case other =>
+        throw RecipeParseException(s"var file $path: expected a flat mapping, got $other")
+    }
+  }
+
   private def asScala(v: Any): Any = v match {
     case m: java.util.Map[_, _] =>
       m.asScala.map { case (k, vv) => k.toString -> asScala(vv) }.toMap
