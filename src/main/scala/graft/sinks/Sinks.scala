@@ -98,10 +98,13 @@ object JdkHttpPoster extends HttpPoster {
 }
 
 /** Per-sink record batching (reference: agent/batch.go:10-48, default size 1
-  * at agent/agent.go:17; 0 = unbounded). Batches a driver-side JSON record
-  * iterator: size 1 keeps one-object-per-request bodies (the reference's
-  * default observable behavior), size N>1 posts a JSON array per request,
-  * size 0 posts everything in one request.
+  * at agent/agent.go:17; 0 = unbounded). Chunks the driver-side JSON record
+  * iterator into the groups the agent would hand a reference sink's
+  * `Sink(ctx, batch)` call. The HTTP-family sinks still POST one request
+  * per record regardless of batch size (http.go:74-88 loops the batch;
+  * same at compass/sink.go:79-98 and stencil.go:87) — batch_size governs
+  * failure/retry granularity, never the wire shape. A JSON-array body
+  * would be a shape meteor-compatible receivers never see.
   */
 private[sinks] object Batching {
   def batches(df: DataFrame, batchSize: Int): Iterator[Seq[String]] = {
@@ -110,9 +113,6 @@ private[sinks] object Batching {
     if (batchSize == 0) { val all = it.toSeq; if (all.isEmpty) Iterator.empty else Iterator(all) }
     else it.grouped(batchSize)
   }
-
-  def body(batch: Seq[String], batchSize: Int): String =
-    if (batchSize == 1) batch.head else batch.mkString("[", ",", "]")
 
   def size(config: Map[String, Any]): Int =
     config.getOrElse("batch_size", 1).toString.toInt
@@ -157,15 +157,17 @@ class HttpSink(poster: HttpPoster = JdkHttpPoster) extends SinkPlugin {
     }
     var n = 0L
     Batching.batches(df, batchSize).foreach { batch =>
-      val code = poster.post(url, method, headers, Batching.body(batch, batchSize))
-      // success check FIRST (http.go:110-112): a 5xx success_code counts
-      // as success, not as a retryable failure
-      if (code != successCode) {
-        if (code >= 500)
-          throw new RetryableException(s"http sink: server error $code")
-        throw new RuntimeException(s"http sink: unexpected status $code (want $successCode)")
+      batch.foreach { record =>
+        val code = poster.post(url, method, headers, record)
+        // success check FIRST (http.go:110-112): a 5xx success_code counts
+        // as success, not as a retryable failure
+        if (code != successCode) {
+          if (code >= 500)
+            throw new RetryableException(s"http sink: server error $code")
+          throw new RuntimeException(s"http sink: unexpected status $code (want $successCode)")
+        }
+        n += 1
       }
-      n += batch.size
     }
     n
   }
@@ -229,16 +231,20 @@ object KafkaSink extends SinkPlugin {
   def sink(df: DataFrame, config: Map[String, Any]): Long = {
     val out = payload(df, config.get("key_path").map(_.toString),
       config.getOrElse("format", "protobuf").toString)
+    // ONE pass: Observation counts rows inside the write action itself —
+    // kafka writes exactly one message per input row, so this is the sunk
+    // record count with no second scan (a trailing df.count() would
+    // re-execute the whole upstream pipeline when the frame isn't the
+    // agent-persisted one)
+    val obs = org.apache.spark.sql.Observation()
     // this container has no kafka connector jars; the write call is the
     // real path on a cluster with spark-sql-kafka on the classpath
-    out.write.format("kafka")
+    out.observe(obs, count(lit(1)).as("n"))
+      .write.format("kafka")
       .option("kafka.bootstrap.servers", config("brokers").toString)
       .option("topic", config("topic").toString)
       .save()
-    // ONE pass: the payload projection runs only inside the write. The
-    // returned count scans the agent-persisted input (cached, no payload
-    // recompute) — kafka writes exactly one message per input row.
-    df.count()
+    obs.get("n").asInstanceOf[Long]
   }
 }
 
@@ -305,14 +311,16 @@ class CompassSink(poster: HttpPoster = JdkHttpPoster) extends SinkPlugin {
     val batchSize = Batching.size(config)
     var n = 0L
     Batching.batches(payload(df, labels), batchSize).foreach { batch =>
-      val code = poster.post(s"$host/v1beta1/assets", "PATCH",
-        Map("Content-Type" -> "application/json"), Batching.body(batch, batchSize))
-      // compass/sink.go:124-138: 200 = success, 5xx retryable, else permanent
-      if (code != 200) {
-        if (code >= 500) throw new RetryableException(s"compass: server error $code")
-        throw new RuntimeException(s"compass: unexpected status $code")
+      batch.foreach { record =>
+        val code = poster.post(s"$host/v1beta1/assets", "PATCH",
+          Map("Content-Type" -> "application/json"), record)
+        // compass/sink.go:124-138: 200 = success, 5xx retryable, else permanent
+        if (code != 200) {
+          if (code >= 500) throw new RetryableException(s"compass: server error $code")
+          throw new RuntimeException(s"compass: unexpected status $code")
+        }
+        n += 1
       }
-      n += batch.size
     }
     n
   }
@@ -338,11 +346,13 @@ class StencilSink(poster: HttpPoster = JdkHttpPoster) extends SinkPlugin {
     val ns = config("namespace_id").toString
     val format = config.getOrElse("format", "json").toString
     var n = 0L
-    // schema documents are built from each asset's column facet
+    // schema documents are built from each asset's column facet — streamed
+    // one partition at a time like every driver-side sink (never collect():
+    // a pathological asset count must not OOM the driver)
     val rows = df.select(col("resource.urn"), col("resource.name"),
         col("schema.name"), col("schema.dataType"), col("schema.isNullable"))
-      .collect()
-    rows.foreach { r =>
+      .toLocalIterator()
+    rows.forEachRemaining { r =>
       val rawUrn = r.getString(0)
       val tableName = r.getString(1)
       // schema id = urn with ONLY '/' dotted — '::' stays (stencil.go:157)

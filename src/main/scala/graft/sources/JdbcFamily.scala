@@ -79,16 +79,33 @@ case class Dialect(
     grantsSql: Option[(String, String) => String] = None,
     rowCountSql: Option[String => String] = None)
 
+/** Quoting for discovery SQL. Names discovered from one catalog query are
+  * interpolated into the next — they are data, not trusted SQL, so a
+  * hostile table name (`x'; drop ...`, `` a`b ``) must never change the
+  * query shape. Literals double embedded quotes; identifiers use each
+  * dialect's quote character with embedded occurrences doubled.
+  */
+private[sources] object Quote {
+  /** ANSI string literal. */
+  def lit(s: String): String = "'" + s.replace("'", "''") + "'"
+  /** Backtick identifier (mysql/mariadb). */
+  def tick(s: String): String = "`" + s.replace("`", "``") + "`"
+  /** Double-quoted identifier (ANSI: postgres/oracle/presto/snowflake). */
+  def ansi(s: String): String = "\"" + s.replace("\"", "\"\"") + "\""
+  /** Bracket identifier (mssql). */
+  def bracket(s: String): String = "[" + s.replace("]", "]]") + "]"
+}
+
 object Dialects {
   /** reference mysql.go:28-33, :95-192 */
   val mysql: Dialect = Dialect(
     service = "mysql",
     databasesSql = "SHOW DATABASES",
-    tablesSql = db => s"SHOW TABLES FROM `$db`",
+    tablesSql = db => s"SHOW TABLES FROM ${Quote.tick(db)}",
     columnsSql = (db, t) =>
       s"""SELECT COLUMN_NAME, COLUMN_COMMENT, DATA_TYPE, IS_NULLABLE, IFNULL(CHARACTER_MAXIMUM_LENGTH, 0) AS LENGTH
          |FROM information_schema.columns
-         |WHERE table_name = '$t' AND table_schema = '$db' ORDER BY COLUMN_NAME ASC""".stripMargin,
+         |WHERE table_name = ${Quote.lit(t)} AND table_schema = ${Quote.lit(db)} ORDER BY COLUMN_NAME ASC""".stripMargin,
     excludedDbs = Set("information_schema", "mysql", "performance_schema", "sys"))
 
   /** reference mariadb/mariadb.go:96-159 — identical shape to mysql */
@@ -102,14 +119,14 @@ object Dialects {
       s"SELECT table_name AS name FROM information_schema.tables WHERE table_schema = 'public' ORDER BY table_name",
     columnsSql = (db, t) =>
       s"""SELECT column_name, data_type, is_nullable, COALESCE(character_maximum_length, 0) AS length
-         |FROM information_schema.columns WHERE table_name = '$t' ORDER BY column_name ASC""".stripMargin,
+         |FROM information_schema.columns WHERE table_name = ${Quote.lit(t)} ORDER BY column_name ASC""".stripMargin,
     excludedDbs = Set("root", "postgres"),
     // userPrivilegesInfo rollup (postgres.go:220-224): privileges aggregated
     // per grantee with string_agg, keyed to the table + catalog
     grantsSql = Some((db, t) =>
       s"""SELECT grantee, string_agg(privilege_type, ',') AS privilege_types
          |FROM information_schema.role_table_grants
-         |WHERE table_name='$t' AND table_catalog='$db'
+         |WHERE table_name=${Quote.lit(t)} AND table_catalog=${Quote.lit(db)}
          |GROUP BY grantee""".stripMargin))
 
   /** reference mssql/mssql.go:101-154 */
@@ -117,10 +134,10 @@ object Dialects {
     service = "mssql",
     databasesSql = "SELECT name FROM sys.databases",
     tablesSql = db =>
-      s"SELECT TABLE_NAME AS name FROM $db.INFORMATION_SCHEMA.TABLES WHERE TABLE_TYPE = 'BASE TABLE'",
+      s"SELECT TABLE_NAME AS name FROM ${Quote.bracket(db)}.INFORMATION_SCHEMA.TABLES WHERE TABLE_TYPE = 'BASE TABLE'",
     columnsSql = (db, t) =>
       s"""SELECT COLUMN_NAME, DATA_TYPE, IS_NULLABLE, COALESCE(CHARACTER_MAXIMUM_LENGTH, 0) AS LENGTH
-         |FROM $db.INFORMATION_SCHEMA.COLUMNS WHERE TABLE_NAME = '$t'""".stripMargin,
+         |FROM ${Quote.bracket(db)}.INFORMATION_SCHEMA.COLUMNS WHERE TABLE_NAME = ${Quote.lit(t)}""".stripMargin,
     excludedDbs = Set("master", "tempdb", "model", "msdb"))
 
   /** reference oracle/oracle.go:97-168 */
@@ -130,17 +147,17 @@ object Dialects {
     tablesSql = db => "SELECT object_name AS name FROM user_objects WHERE object_type = 'TABLE'",
     columnsSql = (db, t) =>
       s"""SELECT column_name, data_type, nullable AS is_nullable, data_length AS length
-         |FROM user_tab_columns WHERE table_name = '$t'""".stripMargin,
+         |FROM user_tab_columns WHERE table_name = ${Quote.lit(t)}""".stripMargin,
     // per-table row count into profile.totalRows (oracle.go:136-144)
-    rowCountSql = Some(t => s"select count(*) from $t"))
+    rowCountSql = Some(t => s"select count(*) from ${Quote.ansi(t)}"))
 
   /** reference clickhouse/clickhouse.go:90-111 */
   val clickhouse: Dialect = Dialect(
     service = "clickhouse",
     databasesSql = "SELECT DISTINCT database AS name FROM system.tables WHERE database NOT LIKE 'system'",
-    tablesSql = db => s"SELECT name FROM system.tables WHERE database = '$db'",
+    tablesSql = db => s"SELECT name FROM system.tables WHERE database = ${Quote.lit(db)}",
     columnsSql = (db, t) =>
-      s"SELECT name AS column_name, type AS data_type FROM system.columns WHERE database = '$db' AND table = '$t'")
+      s"SELECT name AS column_name, type AS data_type FROM system.columns WHERE database = ${Quote.lit(db)} AND table = ${Quote.lit(t)}")
 
   /** reference presto/presto.go:113-190 — catalogs play the database role;
     * the per-schema loop is flattened into qualified table names.
@@ -149,12 +166,12 @@ object Dialects {
     service = "presto",
     databasesSql = "SHOW CATALOGS",
     tablesSql = catalog =>
-      s"""SELECT table_schema || '.' || table_name AS name FROM $catalog.information_schema.tables
+      s"""SELECT table_schema || '.' || table_name AS name FROM ${Quote.ansi(catalog)}.information_schema.tables
          |WHERE table_schema NOT IN ('information_schema')""".stripMargin,
     columnsSql = (catalog, t) => {
       val Array(schema, table) = t.split("\\.", 2)
-      s"""SELECT column_name, data_type, is_nullable FROM $catalog.information_schema.columns
-         |WHERE table_schema = '$schema' AND table_name = '$table' ORDER BY column_name""".stripMargin
+      s"""SELECT column_name, data_type, is_nullable FROM ${Quote.ansi(catalog)}.information_schema.columns
+         |WHERE table_schema = ${Quote.lit(schema)} AND table_name = ${Quote.lit(table)} ORDER BY column_name""".stripMargin
     },
     excludedDbs = Set("system"))
 
@@ -162,10 +179,10 @@ object Dialects {
   val snowflake: Dialect = Dialect(
     service = "snowflake",
     databasesSql = "SHOW DATABASES",
-    tablesSql = db => s"SHOW TABLES IN DATABASE $db",
+    tablesSql = db => s"SHOW TABLES IN DATABASE ${Quote.ansi(db)}",
     columnsSql = (db, t) =>
       s"""SELECT COLUMN_NAME, COMMENT, DATA_TYPE, IS_NULLABLE, COALESCE(CHARACTER_MAXIMUM_LENGTH, 0) AS LENGTH
-         |FROM $db.INFORMATION_SCHEMA.COLUMNS WHERE TABLE_NAME = '$t' ORDER BY COLUMN_NAME ASC""".stripMargin)
+         |FROM ${Quote.ansi(db)}.INFORMATION_SCHEMA.COLUMNS WHERE TABLE_NAME = ${Quote.lit(t)} ORDER BY COLUMN_NAME ASC""".stripMargin)
 
   val all: Seq[Dialect] =
     Seq(mysql, mariadb, postgres, mssql, oracle, clickhouse, presto, snowflake)

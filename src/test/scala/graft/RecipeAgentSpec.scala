@@ -389,27 +389,20 @@ class SinksSpec extends SparkSpec {
     assert(!e.isInstanceOf[graft.plugins.RetryableException])
   }
 
-  test("http sink batches: request count = ceil(records/batch) (agent/batch.go)") {
+  test("http sink posts ONE object per request at every batch_size (http.go:74-88)") {
+    // the reference loops the batch and POSTs each record individually —
+    // batch_size never changes the wire shape, only failure granularity
     val df = (1 to 5).map(i => (s"u$i", i)).toDF("urn", "v")
-    // batch_size 2 → 3 requests (2+2+1), array bodies
-    val p2 = FakePoster(failFirst = 0)
-    val n2 = new graft.sinks.HttpSink(p2).sink(df,
-      Map("url" -> "http://x/api", "batch_size" -> 2))
-    assert(n2 == 5L && p2.calls == 3)
-    assert(p2.bodies.head.startsWith("[") && p2.bodies.head.contains("u1"))
-    // batch_size 0 = unbounded → one request with everything
-    val p0 = FakePoster(failFirst = 0)
-    val n0 = new graft.sinks.HttpSink(p0).sink(df,
-      Map("url" -> "http://x/api", "batch_size" -> 0))
-    assert(n0 == 5L && p0.calls == 1)
-    assert(p0.bodies.head.contains("u1") && p0.bodies.head.contains("u5"))
-    // default batch_size 1 → one single-object request per record
-    val p1 = FakePoster(failFirst = 0)
-    val n1 = new graft.sinks.HttpSink(p1).sink(df, Map("url" -> "http://x/api"))
-    assert(n1 == 5L && p1.calls == 5)
-    assert(p1.bodies.forall(_.startsWith("{")))
+    for (bs <- Seq(0, 1, 2)) {
+      val p = FakePoster(failFirst = 0)
+      val n = new graft.sinks.HttpSink(p).sink(df,
+        Map("url" -> "http://x/api", "batch_size" -> bs))
+      assert(n == 5L && p.calls == 5, s"batch_size=$bs")
+      assert(p.bodies.forall(b => b.startsWith("{") && b.endsWith("}")), s"batch_size=$bs")
+      assert(p.bodies.exists(_.contains("u1")) && p.bodies.exists(_.contains("u5")))
+    }
     // negative batch_size rejected at validation
-    assert(new graft.sinks.HttpSink(p1).validate(
+    assert(new graft.sinks.HttpSink(FakePoster(0)).validate(
       Map("url" -> "u", "batch_size" -> -1)).nonEmpty)
   }
 

@@ -88,6 +88,23 @@ class JdbcFamilySpec extends SparkSpec {
     assert(out.length == 1)
     assert(out(0).getAs[Row]("profile").getAs[Long]("totalRows") == 4321L)
   }
+
+  test("discovery SQL quotes catalog-sourced names (hostile identifiers stay data)") {
+    // names come back from one catalog query and feed the next — a quote
+    // or identifier-delimiter in them must not change the query shape
+    assert(Dialects.mysql.tablesSql("a`b") == "SHOW TABLES FROM `a``b`")
+    assert(Dialects.mysql.columnsSql("d'b", "t'1; drop table x--")
+      .contains("table_name = 't''1; drop table x--' AND table_schema = 'd''b'"))
+    assert(Dialects.postgres.grantsSql.get("d'b", "t'1")
+      .contains("table_name='t''1' AND table_catalog='d''b'"))
+    assert(Dialects.oracle.rowCountSql.get("T\"X") == "select count(*) from \"T\"\"X\"")
+    assert(Dialects.mssql.tablesSql("d]b").contains("FROM [d]]b].INFORMATION_SCHEMA"))
+    assert(Dialects.presto.columnsSql("cat\"x", "s'1.t'2")
+      .contains("\"cat\"\"x\".information_schema.columns"))
+    assert(Dialects.snowflake.tablesSql("D\"B") == "SHOW TABLES IN DATABASE \"D\"\"B\"")
+    assert(Dialects.clickhouse.columnsSql("d'b", "t'1")
+      .contains("database = 'd''b' AND table = 't''1'"))
+  }
 }
 
 class CatalogFamilySpec extends SparkSpec {
