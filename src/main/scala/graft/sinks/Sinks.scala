@@ -237,12 +237,15 @@ object KafkaSink extends SinkPlugin {
     // re-execute the whole upstream pipeline when the frame isn't the
     // agent-persisted one)
     val obs = org.apache.spark.sql.Observation()
-    // this container has no kafka connector jars; the write call is the
-    // real path on a cluster with spark-sql-kafka on the classpath
+    // output_format is a test seam (same convention as the jdbc family's
+    // `runner` injection): this container has no kafka connector jars, so
+    // tests write "noop"; format("kafka") is the real path on a cluster
+    // with spark-sql-kafka on the classpath
     out.observe(obs, count(lit(1)).as("n"))
-      .write.format("kafka")
+      .write.format(config.getOrElse("output_format", "kafka").toString)
       .option("kafka.bootstrap.servers", config("brokers").toString)
       .option("topic", config("topic").toString)
+      .mode("append")
       .save()
     obs.get("n").asInstanceOf[Long]
   }

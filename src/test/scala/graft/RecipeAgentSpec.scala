@@ -529,6 +529,22 @@ class SinksSpec extends SparkSpec {
       .getAs[String]("value").contains(""""x":"a""""))
   }
 
+  test("kafka sink counts inside the write action: one upstream pass, count == rows") {
+    // standalone use (no agent persist): the Observation count must come
+    // from the write itself, not a second count() that re-runs the pipeline
+    val scans = spark.sparkContext.longAccumulator("upstream-scans")
+    val base = (1 to 7).map(i => (s"u$i", i)).toDF("x", "y")
+    import org.apache.spark.sql.Encoders
+    val traced = base.map { r =>
+      scans.add(1); (r.getString(0), r.getInt(1))
+    }(Encoders.tuple(Encoders.STRING, Encoders.scalaInt)).toDF("x", "y")
+    val n = graft.sinks.KafkaSink.sink(traced, Map(
+      "brokers" -> "b:9092", "topic" -> "t",
+      "format" -> "json", "output_format" -> "noop"))
+    assert(n == 7L)
+    assert(scans.value == 7L) // exactly one pass over the upstream
+  }
+
   test("yaml file sink writes a parseable list") {
     val df = Seq(("a", 1), ("b", 2)).toDF("name", "v")
     val out = Files.createTempDirectory("yamlout").resolve("x.yaml")
