@@ -144,10 +144,11 @@ object Dedup {
     * Iterative min-label propagation: each round every node takes the min
     * of its own label and its neighbors' labels — one join + one groupBy
     * per round, `localCheckpoint` per round to keep lineage flat, stop on
-    * fixpoint (or `maxIter`). Rounds needed = component diameter, which for
-    * near-dup clusters is small; for adversarial long-chain graphs at
-    * 100 TB the standard upgrade is large-star/small-star contraction
-    * (same join shape, fewer rounds).
+    * fixpoint (or `maxIter`). Pointer jumping contracts chains in
+    * O(log diameter) rounds; for adversarial graphs at 100 TB where even
+    * that is too many label-table joins, use
+    * [[connectedComponentsLargeSmallStar]] (edge-set contraction,
+    * diameter-independent O(log² n) rounds).
     *
     * Returns (id, cluster_id) for every id appearing in a pair; singleton
     * docs never enter a pair and keep themselves by definition.
@@ -201,6 +202,81 @@ object Dedup {
       i += 1
     }
     (labels, i, converged)
+  }
+
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14 — a public MapReduce-era algorithm) — the
+    * adversarial-diameter alternative to [[connectedComponents]]'s
+    * min-label propagation. Each round rewrites the EDGE set itself (no
+    * separate label table): large-star hangs every strictly-larger
+    * neighbor off the neighborhood minimum, small-star re-roots each
+    * node's smaller neighbors the same way; long chains contract
+    * geometrically, converging in O(log² n) rounds regardless of
+    * diameter, and the fixpoint is a forest of stars rooted at each
+    * component's minimum id.
+    *
+    * Per round: two groupBy+join passes over edges, `localCheckpoint` to
+    * keep lineage flat, convergence = edge-set signature (count +
+    * bit_xor(xxhash64)) unchanged. Same contract as
+    * [[connectedComponents]]: (a, b) pairs in, (id, cluster_id =
+    * component-min id) out, loud on non-fixpoint exit.
+    */
+  def connectedComponentsLargeSmallStar(pairs: DataFrame,
+                                        maxIter: Int = 30): DataFrame = {
+    var edges = pairs.select(least(col("a"), col("b")).as("x"),
+        greatest(col("a"), col("b")).as("y"))
+      .filter(col("x") =!= col("y")).distinct().localCheckpoint()
+    val nodes = pairs.select(col("a").as("id"))
+      .union(pairs.select(col("b").as("id"))).distinct().localCheckpoint()
+
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(x, y))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    // large-star: for each u, m = min(Γ(u) ∪ {u}); edges (v, m) ∀ v∈Γ(u), v>u
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("x").as("u"), col("y").as("v"))
+        .union(e.select(col("y").as("u"), col("x").as("v")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      sym.join(mins, "u").filter(col("v") > col("u"))
+        .select(least(col("v"), col("m")).as("x"),
+          greatest(col("v"), col("m")).as("y"))
+        .filter(col("x") =!= col("y")).distinct()
+    }
+    // small-star: key by the LARGER endpoint u (edges are canonical x<y);
+    // m = min(Γ⁻(u)); edges (v, m) ∀ v∈Γ⁻(u)\{m}, plus (u, m)
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("y").as("u")).agg(min(col("x")).as("m"))
+      e.join(mins, e("y") === mins("u"))
+        .select(least(col("x"), col("m")).as("x"),
+          greatest(col("x"), col("m")).as("y"))
+        .filter(col("x") =!= col("y"))
+        .union(mins.select(col("m").as("x"), col("u").as("y")))
+        .distinct()
+    }
+
+    var (prevN, prevH) = signature(edges)
+    var converged = edges.isEmpty
+    var i = 0
+    while (!converged && i < maxIter) {
+      edges = smallStar(largeStar(edges)).localCheckpoint()
+      val (n, h) = signature(edges)
+      converged = n == prevN && h == prevH
+      prevN = n; prevH = h
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"large-star/small-star did not reach a fixpoint within maxIter=$maxIter " +
+          "rounds — labels would be WRONG. The bound is O(log² n) rounds; raise maxIter.")
+    // fixpoint = stars rooted at component minima: every non-root appears
+    // as y with its root as x; roots (and any node that never entered an
+    // edge) label themselves
+    val roots = edges.groupBy(col("y").as("rid")).agg(min(col("x")).as("root"))
+    nodes.join(roots, nodes("id") === roots("rid"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("cluster_id"))
   }
 
   /** Canonical selection: given cluster labels (id, cluster_id) and a

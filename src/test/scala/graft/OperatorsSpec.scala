@@ -152,6 +152,29 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("fixpoint"))
   }
 
+  test("large-star/small-star CC matches min-label CC on chains, stars and random graphs") {
+    def labelsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+    // adversarial diameter: one long chain
+    val chain = (0L until 255L).map(i => (i, i + 1)).toDF("a", "b")
+    val chainLabels = labelsOf(Dedup.connectedComponentsLargeSmallStar(chain))
+    assert(chainLabels.size == 256 && chainLabels.values.forall(_ == 0L))
+    // mixed shapes + seeded random graph: must agree exactly with the
+    // min-label/pointer-jumping implementation
+    val rnd = new scala.util.Random(42)
+    val randomPairs = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+    val mixed = (randomPairs ++ Seq((500L, 501L), (600L, 601L), (601L, 602L)))
+      .toDF("a", "b")
+    assert(labelsOf(Dedup.connectedComponentsLargeSmallStar(mixed)) ==
+      labelsOf(Dedup.connectedComponents(mixed, maxIter = 30)))
+    // non-fixpoint exit is loud, same contract as the min-label variant
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponentsLargeSmallStar(chain, maxIter = 1)
+    }
+    assert(e.getMessage.contains("fixpoint"))
+  }
+
   test("incremental dedup drops known fingerprints and in-batch repeats") {
     val corpus = docs.filter(col("doc_id") < 2)
       .select(TextAnalysis.fingerprint(col("text")).as("fp"))
