@@ -473,13 +473,20 @@ object SparkEntry {
   private def annIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     // deterministic codebook: seed with the first 8 vectors, then Lloyd-
-    // refine against the corpus (at scale: against a sample) — raw seed
-    // vectors are a poor quantizer and cost recall; RecallSpec pins
-    // recall@5 >= 0.9 vs the brute-force oracle
-    val seed = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
-      .select(col("embedding").cast("array<double>"))
-      .collect().map(_.getSeq[Double](0).toSeq).toSeq
-    val centroids = Similarity.kmeansRefine(emb, "embedding", seed,
+    // refine on the DRIVER over a training set collected once (FAISS-style;
+    // one job instead of 2×iters distributed passes — the quantizer only
+    // needs density structure). The bench corpora are tiny, so the
+    // training set is the whole table; at real scale cap it with a
+    // deterministic hash-sample (`pmod(xxhash64(id), M) === 0` pushes to
+    // the scan) sized to ~100k rows — with 8 centroids the codebook
+    // saturates long before that. RecallSpec pins recall@5 >= 0.9 vs the
+    // brute-force oracle
+    val training = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .orderBy(col("vec_id"))
+      .collect().map(r => r.getAs[Long](0) -> r.getSeq[Double](1).toSeq)
+    val seed = training.takeWhile(_._1 < 8).map(_._2).toSeq
+    val centroids = Similarity.kmeansLocal(training.map(_._2).toSeq, seed,
       iters = 5, spherical = true)
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, centroids, nprobe = 3)

@@ -154,6 +154,54 @@ object Similarity {
     cents
   }
 
+  /** Driver-side Lloyd over an already-collected sample — the IVF codebook
+    * path for real corpora (FAISS-style practice): a coarse quantizer only
+    * needs the density structure, so train on a bounded deterministic
+    * sample collected ONCE instead of scanning the corpus per iteration
+    * ([[kmeansRefine]] costs 2 distributed passes × iters; this costs one
+    * collect job + O(sample × C × d × iters) driver arithmetic, which for
+    * a ≤10k sample and a ≤256-centroid codebook is microseconds-per-row).
+    * Same semantics as [[kmeansRefine]]: empty clusters keep their previous
+    * centroid; `spherical` normalizes members and means (cosine metric).
+    */
+  def kmeansLocal(samples: Seq[Seq[Double]], init: Seq[Seq[Double]],
+                  iters: Int = 5, spherical: Boolean = false): Seq[Seq[Double]] = {
+    def unit(v: Seq[Double]): Seq[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    val pts = (if (spherical) samples.map(unit) else samples).map(_.toArray)
+    var cents = (if (spherical) init.map(unit) else init).map(_.toArray)
+    if (pts.isEmpty) return init
+    val dim = pts.head.length
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(cents.size)(new Array[Double](dim))
+      val counts = new Array[Long](cents.size)
+      pts.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cents.size) {
+          var d = 0.0; var i = 0
+          val cent = cents(c)
+          while (i < dim) { val t = p(i) - cent(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = cents.indices.map { c =>
+        if (counts(c) == 0L) cents(c)
+        else {
+          val m = sums(c).map(_ / counts(c))
+          if (spherical) unit(m.toSeq).toArray else m
+        }
+      }
+    }
+    cents.map(_.toSeq)
+  }
+
   /** IVF-pruned top-k: probe only the query's `nprobe` nearest centroid
     * buckets instead of the full corpus. Approximate (recall < 1 when the
     * true neighbor lives in an unprobed bucket) but reads ~nprobe/C of the
