@@ -326,6 +326,25 @@ object SparkEntry {
         round(avg(col("n_chars")), 4).as("avg_chars"))
       .orderBy(col("split"))
 
+  private def decontaminateQuery(s: SparkSession, dir: String): DataFrame = {
+    // benchmark-leakage check: every 100th doc stands in for the eval set;
+    // training docs sharing any word 4-gram with it get flagged with their
+    // distinct-overlap count (the corpus-side scan never shuffles — eval
+    // grams broadcast)
+    val d = t(s, dir, "documents")
+    Dedup.decontaminate(
+        d.filter(col("doc_id") % 100 =!= 0), "doc_id", "text",
+        d.filter(col("doc_id") % 100 === 0), "text", n = 4)
+      .orderBy(col("doc_id"))
+  }
+
+  private def packSequencesQuery(s: SparkSession, dir: String): DataFrame =
+    // concat-and-chunk packing into 512-token bins across 8 shards — the
+    // batch-construction step of a pretraining pipeline
+    Splits.packSequences(t(s, dir, "documents"), "doc_id",
+        TextAnalysis.tokenCount(col("text")), budget = 512, shards = 8)
+      .orderBy(col("doc_id"))
+
   private def repetitionScores(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"),
@@ -548,6 +567,8 @@ object SparkEntry {
     "d_repetition" -> (repetitionScores _),
     "d_pii_scrub" -> (piiScrub _),
     "d_sample_strata" -> (sampleStrataQuery _),
+    "d_decontaminate" -> (decontaminateQuery _),
+    "d_pack_sequences" -> (packSequencesQuery _),
     "d_dedup_incremental" -> (dedupIncremental _),
     "d_minhash_pairs" -> (minhashPairs _),
     "d_dedup_fuzzy" -> (dedupFuzzyPipeline _),
@@ -865,6 +886,32 @@ object SparkEntry {
         |                    WHEN lang = 'de' THEN 500
         |                    ELSE 1000 END
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // eval-set decontamination: 4-gram overlap between each training doc
+    // (doc_id % 100 != 0) and the eval subset (doc_id % 100 = 0)
+    "d_decontaminate" ->
+      """WITH tk AS (
+        | SELECT doc_id,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0) AS tk
+        | FROM documents),
+        |g AS (
+        | SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk)-2),
+        |   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]))) AS gram
+        | FROM tk WHERE len(tk) >= 4),
+        |eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 100 = 0)
+        |SELECT g.doc_id AS doc_id, count(*) AS hits
+        |FROM g JOIN eg USING (gram)
+        |WHERE g.doc_id % 100 <> 0
+        |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
+    // concat-and-chunk packing: per-shard running token offset chunked
+    // every 512 tokens; bin = chunk of the doc's first token
+    "d_pack_sequences" ->
+      """WITH tk AS (
+        | SELECT doc_id, doc_id % 8 AS shard,
+        |  len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0)) AS tokens
+        | FROM documents)
+        |SELECT doc_id, shard, tokens,
+        | CAST(floor((sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id) - tokens) / 512.0) AS BIGINT) AS bin
+        |FROM tk ORDER BY doc_id""".stripMargin,
     "d_lang_predict" ->
       """WITH toks AS (
         | SELECT doc_id,

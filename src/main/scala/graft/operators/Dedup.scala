@@ -204,6 +204,33 @@ object Dedup {
     (labels, i, converged)
   }
 
+  /** Eval-set decontamination: find training documents sharing any word
+    * n-gram with a benchmark/eval document — the standard guard against
+    * test-set leakage into LLM training data (n-gram overlap flagging, à
+    * la the 8-gram checks in public LM training reports). Returns
+    * (id, hits) where hits = how many of the doc's DISTINCT n-grams occur
+    * anywhere in the eval set; callers anti-join flagged ids to drop, or
+    * threshold on hits.
+    *
+    * Scale shape: both sides shingle map-side (codegen'd
+    * [[graft.functions.WordShingles]]); the eval side — benchmarks are
+    * thousands of docs, the training corpus is the 100 TB side — collapses
+    * to a distinct gram set that BROADCASTS, so training grams are
+    * filtered in the scan stage and only matching (doc, gram) rows reach
+    * the per-doc count. No shuffle of the corpus, no join explosion
+    * (grams are distinct per side).
+    */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+                    evalDocs: DataFrame, evalTextCol: String,
+                    n: Int = 8): DataFrame = {
+    val evalGrams = evalDocs
+      .select(explode(array_distinct(shingles(col(evalTextCol), n))).as("gram"))
+      .distinct()
+    docs.select(col(idCol), explode(array_distinct(shingles(col(textCol), n))).as("gram"))
+      .join(broadcast(evalGrams), "gram")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("hits"))
+  }
+
   /** Connected components by alternating large-star / small-star
     * contraction (Kiveris et al., "Connected Components in MapReduce and
     * Beyond", SoCC'14 — a public MapReduce-era algorithm) — the

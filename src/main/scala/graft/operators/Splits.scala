@@ -52,4 +52,30 @@ object Splits {
     }
     df.filter(hashBucket(col(keyCol), 1000) < rate)
   }
+
+  /** Token-budget sequence packing, concat-and-chunk style: documents are
+    * laid out in a deterministic order into a per-shard token stream and
+    * the stream is chunked every `budget` tokens; each document's bin is
+    * the chunk its FIRST token lands in. This is the packing used to build
+    * fixed-length LLM pretraining batches from variable-length documents.
+    *
+    * Scale shape: a single global ordering would funnel the running sum
+    * through one window task, so packing parallelizes across `shards`
+    * deterministic shards (`id % shards` — engine-portable, no hash
+    * function dependency): one shuffle on shard, each shard's cumulative
+    * sum an independent window. Shards map 1:1 onto training workers, so
+    * per-shard streams are exactly what a sharded data loader consumes.
+    *
+    * Returns (id, shard, tokens, bin); deterministic given the id order.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: Column,
+                    budget: Long, shards: Int = 8): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col(idCol))
+    df.select(col(idCol), (col(idCol) % shards).as("shard"),
+        tokensCol.cast("bigint").as("tokens"))
+      .withColumn("bin",
+        floor((sum(col("tokens")).over(w) - col("tokens")) / budget))
+  }
 }

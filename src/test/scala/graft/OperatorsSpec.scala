@@ -152,6 +152,20 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("fixpoint"))
   }
 
+  test("decontamination flags docs sharing n-grams with the eval set") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated content with no overlap at all here"),
+      (3L, "quick brown fox jumps somewhere else entirely today")).toDF("id", "text")
+    val eval = Seq((100L, "we ask about the quick brown fox jumps question"))
+      .toDF("id", "text")
+    val out = Dedup.decontaminate(train, "id", "text", eval, "text", n = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 shares "the quick brown fox" + "quick brown fox jumps";
+    // doc 3 shares one; doc 2 is clean and absent
+    assert(out == Map(1L -> 2L, 3L -> 1L))
+  }
+
   test("large-star/small-star CC matches min-label CC on chains, stars and random graphs") {
     def labelsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
       df.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
@@ -319,6 +333,17 @@ class SplitsSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(counts.keySet == Set("train", "valid", "test"))
     assert(counts("train") > counts("valid") && counts("train") > counts("test"))
+  }
+
+  test("sequence packing chunks per-shard token streams at the budget") {
+    // shard 0 stream: 300+300+300 → bins 0,0,1; shard 1: 600+100 → 0,1
+    val docs = Seq((0L, 300L), (8L, 300L), (16L, 300L), (1L, 600L), (9L, 100L))
+      .toDF("id", "ntok")
+    val out = Splits.packSequences(docs, "id", col("ntok"), budget = 512, shards = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(out == Map(
+      0L -> (0L, 0L), 8L -> (0L, 0L), 16L -> (0L, 1L),
+      1L -> (1L, 0L), 9L -> (1L, 1L)))
   }
 }
 
