@@ -54,6 +54,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("decontamination broadcasts eval grams; the corpus side never pre-shuffles") {
+    val docs = Tables(spark, dir, "documents")
+    val p = plan(Dedup.decontaminate(
+      docs.filter(col("doc_id") % 100 =!= 0), "doc_id", "text",
+      docs.filter(col("doc_id") % 100 === 0), "text", n = 4))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    // exchanges: eval-side distinct + the per-doc hit count — the corpus
+    // gram stream itself joins map-side (2 would become 3+ if the join
+    // ever degraded to sort-merge)
+    assert(exchanges(p) <= 2, p)
+  }
+
+  test("sequence packing shuffles once on shard, then one window per shard") {
+    val docs = Tables(spark, dir, "documents")
+    val p = plan(Splits.packSequences(docs, "doc_id",
+      TextAnalysis.tokenCount(col("text")), budget = 512, shards = 8))
+    assert(exchanges(p) == 1, p) // hashpartitioning(shard) only — no global sort
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("q1 pushes the shipdate filter and prunes columns at the scan") {
     val p = plan(SparkEntry.queries("q1_pricing_summary")(spark, dir))
     assert(p.contains("PushedFilters") && p.contains("l_shipdate"), p)
