@@ -65,6 +65,32 @@ object EventStream {
       .withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
   }
 
+  /** Streaming decontamination: drop stream documents sharing any word
+    * n-gram with a STATIC eval/benchmark set — the streaming counterpart
+    * of [[graft.operators.Dedup.decontaminate]]. An exploded-gram
+    * semi-join can't express "doc has NO matching gram" on a stream
+    * without a stream-stream anti-join (unsupported) or per-doc state, so
+    * the eval grams — benchmark-sized, MB-scale by construction — collect
+    * ONCE into a broadcast set and the gate is a stateless per-row
+    * predicate: shingle map-side (codegen'd kernel), test membership.
+    * The set-membership lambda is a justified UDF (the set lives in a
+    * broadcast variable, unreachable from column expressions); for a
+    * larger eval side swap the set for a Bloom filter with the same
+    * might-contain ⇒ drop contract.
+    */
+  def streamingDecontaminate(docs: DataFrame, textCol: String,
+                             evalDocs: DataFrame, evalTextCol: String,
+                             n: Int = 8): DataFrame = {
+    import graft.operators.Dedup
+    val grams = evalDocs
+      .select(explode(array_distinct(Dedup.shingles(col(evalTextCol), n))).as("gram"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val bc = docs.sparkSession.sparkContext.broadcast(grams)
+    val contaminated = udf((gs: Seq[String]) =>
+      gs != null && gs.exists(bc.value.contains))
+    docs.filter(!contaminated(Dedup.shingles(col(textCol), n)))
+  }
+
   case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(count: Long, sum: Double, lastTs: Long)
   case class SessionOut(user_id: Long, n_events: Long, value_sum: Double)

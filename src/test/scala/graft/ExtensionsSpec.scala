@@ -331,6 +331,28 @@ class StreamingSpec extends SparkSpec {
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
+  test("streaming decontamination drops contaminated docs, passes clean ones") {
+    implicit val sqlCtx = spark.sqlContext
+    val eval = Seq((100L, "we ask about the quick brown fox jumps question"))
+      .toDF("id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = EventStream.streamingDecontaminate(docs, "text", eval, "text", n = 4)
+      .writeStream.format("memory").queryName("decon")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        (1L, "the quick brown fox jumps over the lazy dog"), // shares a 4-gram
+        (2L, "completely unrelated content with no overlap at all here"),
+        (3L, "short text"))                                  // < n tokens, clean
+      q.processAllAvailable()
+      mem.addData((4L, "we ask about the quick brown fox too")) // shares one
+      q.processAllAvailable()
+      val kept = spark.table("decon").select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(2L, 3L))
+    } finally q.stop()
+  }
+
   test("watermarked windowed rollup over a memory stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
