@@ -7,12 +7,15 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, and run decode / feature-extraction as a
   * per-partition batch transform.
   *
-  * The decode step is a STUB in this container (no image/audio codecs
-  * installed): `decodeStub` derives deterministic fake dimensions/features
-  * from the bytes themselves. Everything around it — the binary column,
-  * the metadata schema, the mapPartitions batch shape, the partition-count
-  * preservation — is the real 100 TB plumbing: a codec swap changes ONE
-  * function, not the pipeline.
+  * Decode is REAL for uncompressed formats — binary PPM (P6) images and
+  * PCM WAV audio parse with pure JVM byte arithmetic ([[decodePpm]],
+  * [[decodeWav]]), no codec library needed. Compressed formats (png/jpeg/
+  * mp3/...) fall back to [[decodeStub]] in this container (no codecs
+  * installed): deterministic fake dimensions/features from the bytes.
+  * Everything around the dispatch — the binary column, the metadata
+  * schema, the mapPartitions batch shape, the partition-count
+  * preservation — is the real 100 TB plumbing: adding a compressed codec
+  * changes ONE function, not the pipeline.
   *
   * Scale notes: mapPartitions keeps the decode batched per input split (no
   * per-row JVM boundary), media blobs never shuffle (all derived columns are
@@ -60,8 +63,106 @@ object Multimodal {
       features = feats)
   }
 
+  /** REAL decoder for binary PPM (P6) images — pure header + raster byte
+    * parse, no codec library. Features = normalized 8-bin luminance
+    * histogram of the pixels (BT.601 integer weights). `None` on anything
+    * malformed (caller falls back to the stub). 8-bit maxval only; 16-bit
+    * PPMs are rare enough to not pretend.
+    */
+  def decodePpm(id: Long, bytes: Array[Byte]): Option[MediaMeta] = {
+    var i = 0
+    def skipWs(): Unit = {
+      var done = false
+      while (!done && i < bytes.length) {
+        val c = bytes(i).toChar
+        if (c == '#') { while (i < bytes.length && bytes(i) != '\n') i += 1 }
+        else if (c.isWhitespace) i += 1
+        else done = true
+      }
+    }
+    def token(): String = {
+      skipWs(); val s = i
+      while (i < bytes.length && !bytes(i).toChar.isWhitespace) i += 1
+      new String(bytes, s, i - s, "US-ASCII")
+    }
+    try {
+      if (token() != "P6") return None
+      val w = token().toInt; val h = token().toInt; val maxv = token().toInt
+      i += 1 // exactly one whitespace byte separates header from raster
+      if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255 ||
+        bytes.length - i < w.toLong * h * 3) return None
+      val hist = new Array[Float](8)
+      val n = w * h
+      var p = i; var k = 0
+      while (k < n) {
+        val lum = ((bytes(p) & 0xFF) * 299 + (bytes(p + 1) & 0xFF) * 587 +
+          (bytes(p + 2) & 0xFF) * 114) / 1000
+        hist(math.min(7, lum * 8 / (maxv + 1))) += 1f
+        p += 3; k += 1
+      }
+      var q = 0; while (q < 8) { hist(q) /= n; q += 1 }
+      Some(MediaMeta(id, bytes.length.toLong, "ppm", w, h, 3, hist))
+    } catch { case _: NumberFormatException => None }
+  }
+
+  /** REAL decoder for PCM WAV audio — RIFF chunk walk + 16-bit
+    * little-endian samples, no codec library. One uniform MediaMeta schema
+    * across modalities: `width` carries the sample rate (Hz), `height` the
+    * per-channel frame count, `channels` the channel count. Features = RMS
+    * amplitude of 8 equal temporal segments, normalized to [0, 1] — the
+    * energy envelope a silence/clipping filter keys on. `None` on
+    * non-PCM / non-16-bit / malformed input.
+    */
+  def decodeWav(id: Long, bytes: Array[Byte]): Option[MediaMeta] = {
+    if (bytes.length < 44) return None
+    def u16(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+    def u32(o: Int): Long = u16(o).toLong | (u16(o + 2).toLong << 16)
+    def tag(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var o = 12
+    var channels = 0; var rate = 0L; var bits = 0
+    var dataOff = -1; var dataLen = 0L
+    while (o + 8 <= bytes.length) {
+      val id4 = tag(o); val len = u32(o + 4)
+      if (id4 == "fmt ") {
+        if (u16(o + 8) != 1) return None // PCM only
+        channels = u16(o + 10); rate = u32(o + 12); bits = u16(o + 22)
+      } else if (id4 == "data") { dataOff = o + 8; dataLen = len }
+      o += 8 + len.toInt + (len.toInt & 1) // chunks are 2-byte aligned
+    }
+    if (channels <= 0 || bits != 16 || dataOff < 0 || rate <= 0) return None
+    val nSamp = math.min(dataLen, (bytes.length - dataOff).toLong).toInt / 2
+    val frames = nSamp / channels
+    if (frames == 0) return None
+    val sumSq = new Array[Double](8)
+    val counts = new Array[Int](8)
+    var s = 0
+    while (s < nSamp) {
+      val v = u16(dataOff + 2 * s).toShort / 32768.0
+      val seg = math.min(7, s * 8 / nSamp)
+      sumSq(seg) += v * v; counts(seg) += 1
+      s += 1
+    }
+    val feats = Array.tabulate(8)(q =>
+      if (counts(q) == 0) 0f else math.sqrt(sumSq(q) / counts(q)).toFloat)
+    Some(MediaMeta(id, bytes.length.toLong, "wav", rate.toInt, frames, channels, feats))
+  }
+
+  /** Magic-byte dispatch: P6 raster → [[decodePpm]], RIFF/WAVE →
+    * [[decodeWav]] (both REAL, pure-JVM), anything else (compressed
+    * formats — the container has no codecs) → [[decodeStub]].
+    */
+  def decodeAuto(id: Long, bytes: Array[Byte]): MediaMeta =
+    if (bytes.length >= 2 && bytes(0) == 'P'.toByte && bytes(1) == '6'.toByte)
+      decodePpm(id, bytes).getOrElse(decodeStub(id, bytes))
+    else if (bytes.length >= 12 && bytes(0) == 'R'.toByte && bytes(1) == 'I'.toByte &&
+      bytes(2) == 'F'.toByte && bytes(3) == 'F'.toByte)
+      decodeWav(id, bytes).getOrElse(decodeStub(id, bytes))
+    else decodeStub(id, bytes)
+
   /** Batched per-partition decode: binary payloads → typed metadata +
-    * features. One decoder instantiation per partition, not per row.
+    * features. One decoder instantiation per partition, not per row;
+    * dispatch per payload via [[decodeAuto]].
     */
   def decode(payloads: DataFrame): Dataset[MediaMeta] = {
     val spark = payloads.sparkSession
@@ -69,8 +170,8 @@ object Multimodal {
     payloads.select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition setup would open the real codec once, here a no-op
-        it.map { case (id, bytes) => decodeStub(id, bytes) }
+        // per-partition setup would open stateful codecs once, here a no-op
+        it.map { case (id, bytes) => decodeAuto(id, bytes) }
       }
   }
 

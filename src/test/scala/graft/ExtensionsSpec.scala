@@ -79,6 +79,48 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(r => r.getAs[Int]("width") >= 64 && r.getAs[Int]("width") < 576))
   }
 
+  test("real PPM decode: header, dimensions, luminance histogram") {
+    // 2x2 P6: black, white, red, blue
+    val header = "P6\n2 2\n255\n".getBytes("US-ASCII")
+    val pixels = Array(0, 0, 0, 255, 255, 255, 255, 0, 0, 0, 0, 255).map(_.toByte)
+    val ppm = header ++ pixels
+    val m = Multimodal.decodeAuto(7L, ppm)
+    assert(m.format == "ppm" && m.width == 2 && m.height == 2 && m.channels == 3)
+    // luminance bins: black=0→b0, blue=29→b0, red=76→b2, white=255→b7
+    assert(m.features.toSeq == Seq(0.5f, 0f, 0.25f, 0f, 0f, 0f, 0f, 0.25f))
+    // comments and malformed input handled
+    val commented = ("P6\n# a comment\n2 2\n255\n").getBytes("US-ASCII") ++ pixels
+    assert(Multimodal.decodePpm(8L, commented).exists(_.width == 2))
+    assert(Multimodal.decodePpm(9L, "P6\n2 2\n255\n".getBytes("US-ASCII")).isEmpty) // truncated raster
+  }
+
+  test("real WAV decode: PCM samples, rate, frames, RMS envelope") {
+    def le16(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le32(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    // mono 16-bit PCM @8kHz, 8 samples at half amplitude
+    val samples = Array.fill(8)(16384).flatMap(le16)
+    val wav = "RIFF".getBytes ++ le32(36 + samples.length) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+      le32(16000) ++ le16(2) ++ le16(16) ++
+      "data".getBytes ++ le32(samples.length) ++ samples
+    val m = Multimodal.decodeAuto(5L, wav)
+    assert(m.format == "wav" && m.width == 8000 && m.height == 8 && m.channels == 1)
+    assert(m.features.forall(f => math.abs(f - 0.5f) < 1e-4))
+    // non-PCM falls back through None (caller stubs)
+    val bad = wav.clone(); bad(20) = 3 // fmt code 3 = float, unsupported
+    assert(Multimodal.decodeWav(5L, bad).isEmpty)
+  }
+
+  test("mixed-modality batch decode dispatches per payload") {
+    val ppm = ("P6\n1 1\n255\n".getBytes("US-ASCII") ++ Array(255, 255, 255).map(_.toByte))
+    val txt = "just some text bytes".getBytes("UTF-8")
+    val df = Seq((1L, ppm), (2L, txt)).toDF("media_id", "payload")
+    val rows = Multimodal.decode(df).collect().sortBy(_.media_id)
+    assert(rows(0).format == "ppm" && rows(0).width == 1)
+    assert(rows(1).format == "png" || rows(1).format == "jpeg") // stub fallback
+  }
+
   test("resize clamps dimensions; frame sampling emits strided chunks") {
     val df = Seq((1L, "x" * 4000)).toDF("doc_id", "text")
     val payloads = Multimodal.withPayload(df, "doc_id", "text")
