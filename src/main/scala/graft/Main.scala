@@ -87,10 +87,19 @@ object Main {
       if (i.tags.nonEmpty) println(s"tags: ${i.tags.mkString(", ")}")
       if (i.sampleConfig.nonEmpty) println(s"sample config:\n${i.sampleConfig.linesIterator.map("  " + _).mkString("\n")}")
 
-    case "gen" :: source :: sinks :: Nil =>
-      Registries.populate()
-      print(generateRecipe(s"${source}_recipe", source,
-        sinks.split(",").map(_.trim).toSeq, Nil))
+    // reference cmd/gen.go: expand a recipe template once per data entry
+    //   gen template.yaml --output dir --data data.yaml
+    case "gen" :: template :: rest =>
+      val flags = parseFlags(rest)
+      val outDir = flags.getOrElse("--output",
+        flags.getOrElse("-o", sys.error("gen: --output <dir> is required")))
+      val dataPath = flags.getOrElse("--data",
+        flags.getOrElse("-d", sys.error("gen: --data <file.yaml> is required")))
+      val written = RecipeReader.fromTemplate(
+        java.nio.file.Paths.get(template),
+        java.nio.file.Paths.get(outDir),
+        java.nio.file.Paths.get(dataPath))
+      written.foreach(p => println(s"generated $p"))
 
     case "new" :: "recipe" :: name :: rest =>
       // `new recipe NAME [-e extractor] [-s sink,...] [-p proc,...]`:

@@ -56,6 +56,46 @@ object RecipeReader {
       scala.util.matching.Regex.quoteReplacement(data.getOrElse(m.group(1), "")))
   }
 
+  /** `gen` template expansion (reference: recipe/generator.go:22-58 via
+    * `meteor gen template.yaml -o dir -d data.yaml`): the data file is a
+    * yaml LIST of `{FileName, Data: {...}}` entries; the template renders
+    * once per entry to `outputDir/<FileName>.yaml`, substituting
+    * `{{ .Data.<key> }}` placeholders (the form the reference's own
+    * template fixtures use); a missing `Data.name` defaults to FileName
+    * (generator.go:50-52). Returns the written paths.
+    */
+  def fromTemplate(templatePath: java.nio.file.Path,
+                   outputDir: java.nio.file.Path,
+                   dataPath: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val template = new String(java.nio.file.Files.readAllBytes(templatePath), "UTF-8")
+    val raw = new String(java.nio.file.Files.readAllBytes(dataPath), "UTF-8")
+    val entries = asScala(new Yaml().load[Object](raw)) match {
+      case l: Seq[_] => l.map {
+        case m: Map[_, _] =>
+          val e = m.asInstanceOf[Map[String, Any]]
+          val fileName = e.getOrElse("FileName",
+            throw RecipeParseException(s"template data entry missing FileName: $e")).toString
+          val data = e.get("Data") match {
+            case Some(d: Map[_, _]) => d.asInstanceOf[Map[String, Any]]
+            case _ => Map.empty[String, Any]
+          }
+          fileName -> (if (data.contains("name")) data else data + ("name" -> fileName))
+        case other => throw RecipeParseException(s"template data entry must be a mapping: $other")
+      }
+      case other => throw RecipeParseException(s"template data must be a yaml list, got $other")
+    }
+    java.nio.file.Files.createDirectories(outputDir)
+    val DataVar = """\{\{\s*\.Data\.(\w+)\s*\}\}""".r
+    entries.map { case (fileName, data) =>
+      val rendered = DataVar.replaceAllIn(template, m =>
+        scala.util.matching.Regex.quoteReplacement(
+          data.get(m.group(1)).map(_.toString).getOrElse("")))
+      val out = outputDir.resolve(fileName + ".yaml")
+      java.nio.file.Files.write(out, rendered.getBytes("UTF-8"))
+      out
+    }
+  }
+
   /** Load recipe variables from a yaml var-file (reference:
     * recipe/envs.go:15-35 via `--var <path>`): a flat mapping whose keys are
     * lowercased for case-insensitive lookup. File values WIN over `METEOR_`/

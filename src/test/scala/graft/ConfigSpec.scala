@@ -37,6 +37,38 @@ class ConfigSpec extends SparkSpec {
     assert(RecipeReader.render("x: {{ .other }}", vars, env) == "x: keep")
   }
 
+  test("gen template expansion: one recipe per data entry, name defaults to FileName") {
+    // mirrors the reference's own generator fixtures
+    // (recipe/testdata/generator/template.yaml + data-1-2.yaml)
+    val tpl = tmpYaml(
+      """name: {{ .Data.name }}
+        |version: v1beta1
+        |source:
+        |  name: csv
+        |  config:
+        |    path: {{ .Data.path }}
+        |sinks:
+        |  - name: console
+        |""".stripMargin)
+    val data = tmpYaml(
+      """- FileName: recipe-one
+        |  Data:
+        |    name: recipe-1
+        |    path: /a.csv
+        |- FileName: recipe-two
+        |  Data:
+        |    path: /b.csv
+        |""".stripMargin)
+    val outDir = Files.createTempDirectory("graft-gen")
+    val written = RecipeReader.fromTemplate(tpl, outDir, data)
+    assert(written.map(_.getFileName.toString) == Seq("recipe-one.yaml", "recipe-two.yaml"))
+    val r1 = RecipeReader.parse(Files.readString(written(0)))
+    assert(r1.name == "recipe-1" && r1.source.config("path") == "/a.csv")
+    // Data.name absent -> FileName (generator.go:50-52)
+    val r2 = RecipeReader.parse(Files.readString(written(1)))
+    assert(r2.name == "recipe-two" && r2.source.config("path") == "/b.csv")
+  }
+
   test("agent config: defaults when no file and no env") {
     val cfg = AgentConfig.load(None, env = Map.empty)
     assert(cfg.maxRetries == 5)
