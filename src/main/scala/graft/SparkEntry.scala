@@ -326,6 +326,26 @@ object SparkEntry {
         round(avg(col("n_chars")), 4).as("avg_chars"))
       .orderBy(col("split"))
 
+  private def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // classic tf-idf keyword extraction: top-3 terms per doc. One token
+    // explode feeds both tf and df; N arrives as a broadcast 1-row frame;
+    // ranking is on the ROUNDED score so both engines rank identical values
+    val docs = t(s, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+    val w = Window.partitionBy(col("doc_id")).orderBy(desc("score"), asc("term"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("term"), col("score"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
   private def decontaminateQuery(s: SparkSession, dir: String): DataFrame = {
     // benchmark-leakage check: every 100th doc stands in for the eval set;
     // training docs sharing any word 4-gram with it get flagged with their
@@ -567,6 +587,7 @@ object SparkEntry {
     "d_repetition" -> (repetitionScores _),
     "d_pii_scrub" -> (piiScrub _),
     "d_sample_strata" -> (sampleStrataQuery _),
+    "d_tfidf_terms" -> (tfidfTopTerms _),
     "d_decontaminate" -> (decontaminateQuery _),
     "d_pack_sequences" -> (packSequencesQuery _),
     "d_dedup_incremental" -> (dedupIncremental _),
@@ -886,6 +907,25 @@ object SparkEntry {
         |                    WHEN lang = 'de' THEN 500
         |                    ELSE 1000 END
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // tf-idf keyword extraction: rank on the ROUNDED score so both engines
+    // order identical 4-decimal values (ties break on term)
+    "d_tfidf_terms" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |  unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> len(x) > 0)) AS term
+        | FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |scored AS (
+        | SELECT tf.doc_id, tf.term,
+        |  round(tf.tf * ln(CAST(n_docs AS DOUBLE) / dfreq.df), 4) AS score
+        | FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, score,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk
+        | FROM scored)
+        |SELECT doc_id, rnk, term, score FROM r WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
     // eval-set decontamination: 4-gram overlap between each training doc
     // (doc_id % 100 != 0) and the eval subset (doc_id % 100 = 0)
     "d_decontaminate" ->
