@@ -335,7 +335,10 @@ object SparkEntry {
     val toks = docs.select(col("doc_id"),
       explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = toks.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // df = docs containing the term = tf's row count per term: derived from
+    // tf instead of a second explode+distinct, so the (doc_id, term)
+    // exchange is computed once and reused (ReusedExchange) by both branches
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
     val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
       .withColumn("score",
