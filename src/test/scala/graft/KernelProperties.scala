@@ -111,4 +111,47 @@ object KernelProperties extends Properties("kernels") {
       val one = bytesOf(out => putInt(out, field, v))
       zero.isEmpty && decodeVarints(one) == Seq((field.toLong << 3) | 0L, v)
     }
+
+  property("ppm decode: dims parsed, histogram sums to 1, truncation rejected") =
+    forAll(Gen.choose(1, 8), Gen.choose(1, 8), Gen.listOf(Gen.chooseNum(0, 255))) {
+      (w, h, noise) =>
+        val pixels = Array.tabulate(w * h * 3)(i =>
+          (noise.lift(i % math.max(noise.length, 1)).getOrElse(0) & 0xFF).toByte)
+        val bytes = s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ pixels
+        val m = graft.multimodal.Multimodal.decodePpm(1L, bytes)
+        val truncated = graft.multimodal.Multimodal.decodePpm(1L,
+          bytes.dropRight(1 + pixels.length))
+        m.exists(d => d.width == w && d.height == h &&
+          math.abs(d.features.sum - 1.0f) < 1e-4) && truncated.isEmpty
+    }
+
+  property("wav decode: frames = samples/channels, rms in [0,1]") =
+    forAll(Gen.choose(1, 2), Gen.nonEmptyListOf(Gen.chooseNum(-32768, 32767))) {
+      (channels, samples0) =>
+        // pad to a whole frame
+        val samples = samples0.take(64).padTo(channels, 0)
+        def le16(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+        def le32(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+          ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+        val data = samples.flatMap(le16).toArray
+        val wav = "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+          "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(channels) ++ le32(8000) ++
+          le32(8000 * channels * 2) ++ le16(channels * 2) ++ le16(16) ++
+          "data".getBytes ++ le32(data.length) ++ data
+        graft.multimodal.Multimodal.decodeWav(1L, wav).exists(d =>
+          d.channels == channels && d.height == samples.length / channels &&
+            d.width == 8000 && d.features.forall(f => f >= 0f && f <= 1.0001f))
+    }
+
+  property("kmeansLocal: k preserved, spherical centroids unit-norm, empty input = init") =
+    forAll(Gen.choose(1, 4), Gen.choose(2, 5),
+      Gen.listOf(Gen.listOfN(3, Gen.chooseNum(-5.0, 5.0)))) { (k, iters, pts0) =>
+      val pts = pts0.map(_.toSeq)
+      val init = Seq.tabulate(k)(i => Seq(i + 1.0, -i - 1.0, 0.5))
+      val out = graft.operators.Similarity.kmeansLocal(pts, init, iters, spherical = true)
+      val unitOk = out.forall { c =>
+        val n = math.sqrt(c.map(x => x * x).sum); math.abs(n - 1.0) < 1e-9 || n == 0.0
+      }
+      out.size == k && (if (pts.isEmpty) out == init else unitOk)
+    }
 }
