@@ -8,7 +8,8 @@ import graft.recipe.RecipeReader
 
 /** CLI — the reference's command surface (reference: cmd/root.go:65-74):
   * `run <recipe.yaml|dir>`, `lint <recipe>`, `list <extractors|processors|sinks>`,
-  * `info <type> <name>`, `gen <source> <sink,...>`.
+  * `info <type> <name>`, `gen <template> -o <dir> -d <data.yaml>`,
+  * `new recipe <name>`.
   */
 object Main {
 
@@ -31,9 +32,13 @@ object Main {
       val cfg = agentConfig(rest)
       val spark = session()
       if (cfg.logLevel.nonEmpty)
-        spark.sparkContext.setLogLevel(
-          if (cfg.logLevel.equalsIgnoreCase("info")) "WARN" // spark INFO is a firehose
-          else cfg.logLevel.toUpperCase)
+        // agent log levels map one tier down onto Spark's: Spark INFO is
+        // already a firehose and Spark DEBUG is unusable at any scale
+        spark.sparkContext.setLogLevel(cfg.logLevel.toLowerCase match {
+          case "debug" => "INFO"
+          case "info" => "WARN"
+          case other => other.toUpperCase
+        })
       val agent = graft.agent.AgentConfig.agentFor(spark, cfg)
       val results = RecipeReader.read(java.nio.file.Paths.get(path), vars)
         .map(agent.run)
@@ -119,11 +124,11 @@ object Main {
     case _ =>
       println(
         """usage: graft <command>
-          |  run  <recipe.yaml|dir> [--var k=v ...]   execute recipes
-          |  lint <recipe.yaml|dir>                   validate without executing
+          |  run  <recipe.yaml|dir> [--var k=v|file.yaml ...] [--config meteor.yaml]  execute recipes
+          |  lint <recipe.yaml|dir> [--var ...]       validate without executing
           |  list <extractors|processors|sinks>       list plugins
           |  info <extractor|processor|sink> <name>   plugin details
-          |  gen  <source> <sink[,sink...]>           generate a sample recipe
+          |  gen  <template.yaml> -o <dir> -d <data.yaml>  expand a recipe template per data entry
           |  new recipe <name> [-e x] [-s a,b] [-p a,b]  bootstrap a recipe (survey when flags omitted)""".stripMargin)
       sys.exit(2)
   }
@@ -203,7 +208,10 @@ object Main {
     }
     fromFiles ++ inline.map { kv =>
       val Array(k, v) = kv.split("=", 2)
-      k -> v
+      // same lowercasing as loadVarFile: template lookups are on the
+      // lowercased key, and an inline `--var SRC_PATH=x` must actually
+      // override a var-file's `src_path`
+      k.toLowerCase -> v
     }
   }
 

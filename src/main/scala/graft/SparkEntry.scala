@@ -515,15 +515,18 @@ object SparkEntry {
   private def annIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     // deterministic codebook: seed with the first 8 vectors, then Lloyd-
-    // refine on the DRIVER over a training set collected once (FAISS-style;
-    // one job instead of 2×iters distributed passes — the quantizer only
-    // needs density structure). The bench corpora are tiny, so the
-    // training set is the whole table; at real scale cap it with a
-    // deterministic hash-sample (`pmod(xxhash64(id), M) === 0` pushes to
-    // the scan) sized to ~100k rows — with 8 centroids the codebook
-    // saturates long before that. RecallSpec pins recall@5 >= 0.9 vs the
-    // brute-force oracle
+    // refine on the DRIVER over a training sample collected once
+    // (FAISS-style; one collect instead of 2×iters distributed passes —
+    // the quantizer only needs density structure). The sample is a
+    // deterministic hash-mod of the corpus sized to ~8k rows (a metadata
+    // count picks the modulus; the filter pushes to the scan), so the
+    // driver collect stays bounded at ANY corpus size — with 8 centroids
+    // the codebook saturates far below the cap. At bench SFs the modulus
+    // is 1, i.e. the whole (tiny) table trains, which RecallSpec pins at
+    // recall@5 >= 0.9 vs the brute-force oracle.
+    val mod = math.max(1L, emb.count() / 8192L)
     val training = emb
+      .filter(col("vec_id") < 8 || pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .orderBy(col("vec_id"))
       .collect().map(r => r.getAs[Long](0) -> r.getSeq[Double](1).toSeq)

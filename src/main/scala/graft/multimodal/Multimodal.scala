@@ -102,7 +102,10 @@ object Multimodal {
       }
       var q = 0; while (q < 8) { hist(q) /= n; q += 1 }
       Some(MediaMeta(id, bytes.length.toLong, "ppm", w, h, 3, hist))
-    } catch { case _: NumberFormatException => None }
+    } catch {
+      // decode NEVER kills a task — malformed headers fall back to the stub
+      case scala.util.control.NonFatal(_) => None
+    }
   }
 
   /** REAL decoder for PCM WAV audio — RIFF chunk walk + 16-bit
@@ -113,22 +116,27 @@ object Multimodal {
     * energy envelope a silence/clipping filter keys on. `None` on
     * non-PCM / non-16-bit / malformed input.
     */
-  def decodeWav(id: Long, bytes: Array[Byte]): Option[MediaMeta] = {
+  def decodeWav(id: Long, bytes: Array[Byte]): Option[MediaMeta] = try {
     if (bytes.length < 44) return None
     def u16(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
     def u32(o: Int): Long = u16(o).toLong | (u16(o + 2).toLong << 16)
     def tag(o: Int): String = new String(bytes, o, 4, "US-ASCII")
     if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
-    var o = 12
+    var o = 12L
     var channels = 0; var rate = 0L; var bits = 0
     var dataOff = -1; var dataLen = 0L
     while (o + 8 <= bytes.length) {
-      val id4 = tag(o); val len = u32(o + 4)
+      val id4 = tag(o.toInt); val len = u32(o.toInt + 4)
+      // a chunk body must fit the remaining bytes — a hostile/corrupt
+      // length (including >=2^31) rejects the file instead of walking o
+      // negative or reading past the array
+      if (len < 0 || o + 8 + len > bytes.length) return None
       if (id4 == "fmt ") {
-        if (u16(o + 8) != 1) return None // PCM only
-        channels = u16(o + 10); rate = u32(o + 12); bits = u16(o + 22)
-      } else if (id4 == "data") { dataOff = o + 8; dataLen = len }
-      o += 8 + len.toInt + (len.toInt & 1) // chunks are 2-byte aligned
+        if (len < 16) return None
+        if (u16(o.toInt + 8) != 1) return None // PCM only
+        channels = u16(o.toInt + 10); rate = u32(o.toInt + 12); bits = u16(o.toInt + 22)
+      } else if (id4 == "data") { dataOff = o.toInt + 8; dataLen = len }
+      o += 8 + len + (len & 1) // chunks are 2-byte aligned
     }
     if (channels <= 0 || bits != 16 || dataOff < 0 || rate <= 0) return None
     val nSamp = math.min(dataLen, (bytes.length - dataOff).toLong).toInt / 2
@@ -139,13 +147,17 @@ object Multimodal {
     var s = 0
     while (s < nSamp) {
       val v = u16(dataOff + 2 * s).toShort / 32768.0
-      val seg = math.min(7, s * 8 / nSamp)
+      val seg = math.min(7L, s.toLong * 8 / nSamp).toInt
       sumSq(seg) += v * v; counts(seg) += 1
       s += 1
     }
     val feats = Array.tabulate(8)(q =>
       if (counts(q) == 0) 0f else math.sqrt(sumSq(q) / counts(q)).toFloat)
     Some(MediaMeta(id, bytes.length.toLong, "wav", rate.toInt, frames, channels, feats))
+  } catch {
+    // decode NEVER kills a task: any malformed input falls through to the
+    // caller's stub path
+    case scala.util.control.NonFatal(_) => None
   }
 
   /** Magic-byte dispatch: P6 raster → [[decodePpm]], RIFF/WAVE →

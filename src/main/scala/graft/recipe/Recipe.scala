@@ -87,6 +87,12 @@ object RecipeReader {
     java.nio.file.Files.createDirectories(outputDir)
     val DataVar = """\{\{\s*\.Data\.(\w+)\s*\}\}""".r
     entries.map { case (fileName, data) =>
+      // FileName comes from the data file — it's data, not a path: a
+      // separator or '..' must not let an entry write outside --output
+      // (same rule as the jdbc family's catalog-name quoting)
+      if (fileName.isEmpty || fileName.contains('/') || fileName.contains('\\') ||
+        fileName.contains(".."))
+        throw RecipeParseException(s"template data FileName is not a plain name: '$fileName'")
       val rendered = DataVar.replaceAllIn(template, m =>
         scala.util.matching.Regex.quoteReplacement(
           data.get(m.group(1)).map(_.toString).getOrElse("")))

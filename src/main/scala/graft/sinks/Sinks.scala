@@ -102,16 +102,20 @@ object JdkHttpPoster extends HttpPoster {
   * iterator into the groups the agent would hand a reference sink's
   * `Sink(ctx, batch)` call. The HTTP-family sinks still POST one request
   * per record regardless of batch size (http.go:74-88 loops the batch;
-  * same at compass/sink.go:79-98 and stencil.go:87) — batch_size governs
-  * failure/retry granularity, never the wire shape. A JSON-array body
-  * would be a shape meteor-compatible receivers never see.
+  * same at compass/sink.go:79-98 and stencil.go:87) — batch_size is
+  * iteration chunking only, never the wire shape (a JSON-array body would
+  * be a shape meteor-compatible receivers never see). "Unbounded" (0)
+  * therefore caps at a bounded chunk: with per-record posting there is no
+  * observable difference, and buffering the whole frame driver-side would
+  * be the same OOM cliff `toLocalIterator` exists to avoid.
   */
 private[sinks] object Batching {
+  private val UnboundedChunk = 1024
+
   def batches(df: DataFrame, batchSize: Int): Iterator[Seq[String]] = {
     import scala.jdk.CollectionConverters._
     val it = df.toJSON.toLocalIterator().asScala
-    if (batchSize == 0) { val all = it.toSeq; if (all.isEmpty) Iterator.empty else Iterator(all) }
-    else it.grouped(batchSize)
+    it.grouped(if (batchSize == 0) UnboundedChunk else batchSize)
   }
 
   def size(config: Map[String, Any]): Int =

@@ -169,7 +169,14 @@ object Dialects {
       s"""SELECT table_schema || '.' || table_name AS name FROM ${Quote.ansi(catalog)}.information_schema.tables
          |WHERE table_schema NOT IN ('information_schema')""".stripMargin,
     columnsSql = (catalog, t) => {
-      val Array(schema, table) = t.split("\\.", 2)
+      // tablesSql emits "schema.table"; split at the FIRST dot (schema
+      // names with dots require quoting in presto and never appear raw in
+      // information_schema, while table names with dots do occur). A name
+      // with no dot at all degrades to the default schema, never a crash.
+      val (schema, table) = t.split("\\.", 2) match {
+        case Array(s, tb) => (s, tb)
+        case _ => ("default", t)
+      }
       s"""SELECT column_name, data_type, is_nullable FROM ${Quote.ansi(catalog)}.information_schema.columns
          |WHERE table_schema = ${Quote.lit(schema)} AND table_name = ${Quote.lit(table)} ORDER BY column_name""".stripMargin
     },

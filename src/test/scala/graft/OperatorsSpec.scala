@@ -351,6 +351,25 @@ class NormalizeSpec extends SparkSpec {
   import spark.implicits._
   import org.apache.spark.sql.functions._
 
+  test("distributed kmeansRefine matches driver-side kmeansLocal") {
+    // same Lloyd math, two execution strategies: the distributed variant
+    // (for corpora whose sample can't fit the driver) must land on the
+    // same centroids as the collected-sample path
+    val rnd = new scala.util.Random(7)
+    val pts = Seq.fill(60)(Seq.fill(4)(rnd.nextGaussian()))
+    val init = pts.take(3)
+    val df = pts.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    for (spherical <- Seq(false, true)) {
+      val dist = Similarity.kmeansRefine(df, "v", init, iters = 4, spherical = spherical)
+      val local = Similarity.kmeansLocal(pts, init, iters = 4, spherical = spherical)
+      assert(dist.size == local.size)
+      dist.lazyZip(local).foreach { (a, b) =>
+        a.lazyZip(b).foreach((x, y) => assert(math.abs(x - y) < 1e-9,
+          s"spherical=$spherical: $a vs $b"))
+      }
+    }
+  }
+
   test("normalized vectors make cosine a bare dot product; zero stays zero") {
     val df = Seq((1L, Array(3.0, 4.0)), (2L, Array(0.0, 0.0))).toDF("id", "v")
     val out = Similarity.normalized(df, "v").orderBy("id").collect()
