@@ -72,10 +72,11 @@ object Main {
 
     case "list" :: kind :: Nil =>
       Registries.populate()
+      // short aliases per the reference docs: list e / list s / list p
       val infos = kind match {
-        case "extractors" => Registries.extractors.list
-        case "processors" => Registries.processors.list
-        case "sinks" => Registries.sinks.list
+        case "extractors" | "e" => Registries.extractors.list
+        case "processors" | "p" => Registries.processors.list
+        case "sinks" | "s" => Registries.sinks.list
         case other => sys.error(s"unknown plugin kind: $other")
       }
       infos.foreach(i => println(f"${i.name}%-12s ${i.description}"))
@@ -91,6 +92,14 @@ object Main {
       println(s"${i.name}: ${i.description}")
       if (i.tags.nonEmpty) println(s"tags: ${i.tags.mkString(", ")}")
       if (i.sampleConfig.nonEmpty) println(s"sample config:\n${i.sampleConfig.linesIterator.map("  " + _).mkString("\n")}")
+
+    // docs alias (reference/docs/reference/commands.md): `gen recipe NAME
+    // -e x -s a,b [-p c]` = `new recipe`
+    case "gen" :: "recipe" :: name :: rest =>
+      main(("new" :: "recipe" :: name :: rest).toArray)
+
+    case "version" :: Nil =>
+      println("graft 0.1.0 (meteor v1beta1-compatible)")
 
     // reference cmd/gen.go: expand a recipe template once per data entry
     //   gen template.yaml --output dir --data data.yaml
