@@ -178,10 +178,22 @@ class DedupSpec extends SparkSpec {
     val rnd = new scala.util.Random(42)
     val randomPairs = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
       .filter { case (a, b) => a != b }
-    val mixed = (randomPairs ++ Seq((500L, 501L), (600L, 601L), (601L, 602L)))
-      .toDF("a", "b")
-    assert(labelsOf(Dedup.connectedComponentsLargeSmallStar(mixed)) ==
-      labelsOf(Dedup.connectedComponents(mixed, maxIter = 30)))
+    val allPairs = randomPairs ++ Seq((500L, 501L), (600L, 601L), (601L, 602L))
+    val mixed = allPairs.toDF("a", "b")
+    // independent plain-JVM union-find model: both Spark implementations
+    // must match IT, not merely each other
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    allPairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val model = parent.keys.map(k => k -> find(k)).toMap
+    assert(labelsOf(Dedup.connectedComponents(mixed, maxIter = 30)) == model)
+    assert(labelsOf(Dedup.connectedComponentsLargeSmallStar(mixed)) == model)
     // non-fixpoint exit is loud, same contract as the min-label variant
     val e = intercept[IllegalStateException] {
       Dedup.connectedComponentsLargeSmallStar(chain, maxIter = 1)
