@@ -473,6 +473,49 @@ class RecallSpec extends SparkSpec {
     assert(mean >= 0.9, s"IVF recall@5 regressed: $mean (per-query: $recalls)")
   }
 
+  test("minhash-LSH: precision exact, pair recall >= 0.95 vs all-pairs Jaccard at sf0.01") {
+    assume(new java.io.File(dir).isDirectory)
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, dir, "documents")
+    val sh = docs.select(col("doc_id"),
+        array_distinct(Dedup.shingles(col("text"), 3)).as("ss"))
+      .filter(size(col("ss")) > 0)
+    val a = sh.select(col("doc_id").as("a"), col("ss").as("sa"))
+    val b = sh.select(col("doc_id").as("b"), col("ss").as("sb"))
+    val exact = a.join(b, col("a") < col("b"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jac", col("inter").cast("double") /
+        (size(col("sa")) + size(col("sb")) - col("inter")))
+      .filter(col("jac") >= 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(docs, "doc_id", "text",
+        k = 64, bands = 16, shingleLen = 3, threshold = 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the verify stage makes precision exact by construction; banding only
+    // risks recall (a >=threshold pair sharing no band)
+    assert(lsh.subsetOf(exact), s"false positives survived verify: ${lsh.diff(exact)}")
+    val recall = if (exact.isEmpty) 1.0 else lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.95, s"minhash-LSH pair recall regressed: $recall")
+  }
+
+  test("simhash banding finds EXACTLY the brute-force hamming<=3 pairs at sf0.01") {
+    assume(new java.io.File(dir).isDirectory)
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, dir, "documents")
+    // 4x16-bit bands + hamming<=3: pigeonhole guarantees at least one
+    // intact band, so banding must be lossless, not just high-recall
+    val hashes = Dedup.simhash(docs, "doc_id", "text")
+    val ha = hashes.select(col("id").as("a"), col("simhash").as("sa"))
+    val hb = hashes.select(col("id").as("b"), col("simhash").as("sb"))
+    val brute = ha.join(hb, col("a") < col("b"))
+      .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 3)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Dedup.simhashNearDup(docs, "doc_id", "text", maxHamming = 3)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == brute,
+      s"banding lost/invented pairs: missing=${brute.diff(banded)} extra=${banded.diff(brute)}")
+  }
+
   test("sign-LSH pair recall >= 0.95 vs the exact all-pairs oracle at sf0.01") {
     assume(new java.io.File(dir).isDirectory)
     def pairSet(name: String): Set[(Long, Long)] =
