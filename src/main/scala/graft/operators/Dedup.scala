@@ -204,6 +204,46 @@ object Dedup {
     (labels, i, converged)
   }
 
+  /** One-call fuzzy dedup: MinHash-LSH candidates → exact-Jaccard verify
+    * (inside [[minhashLsh]]) → connected components → keep the best-scoring
+    * member per cluster. Returns the KEPT rows of `df` (winners plus all
+    * docs that never entered a near-dup pair) — i.e. the deduplicated
+    * corpus, ready to write.
+    *
+    * `ccAlgorithm`: "minlabel" (pointer-jumping label propagation — the
+    * default; rounds ~ O(log diameter)) or "largestar" (large-star/
+    * small-star edge contraction — diameter-independent, for adversarial
+    * duplicate chains). Both are loud on non-convergence and produce
+    * identical labels ([[graft]] DedupSpec pins them to a union-find
+    * model).
+    *
+    * `scoreCol` picks the cluster representative (highest wins, ties to
+    * smallest id); defaults to token count — keep the longest version of a
+    * duplicated document.
+    */
+  def fuzzyDedup(df: DataFrame, idCol: String, textCol: String,
+                 k: Int = 64, bands: Int = 16, shingleLen: Int = 3,
+                 threshold: Double = 0.8,
+                 scoreCol: Option[Column] = None,
+                 ccAlgorithm: String = "minlabel"): DataFrame = {
+    val pairs = minhashLsh(df, idCol, textCol, k, bands, shingleLen, threshold)
+      .select(col("a"), col("b"))
+    val clusters = ccAlgorithm match {
+      case "minlabel" => connectedComponents(pairs)
+      case "largestar" => connectedComponentsLargeSmallStar(pairs)
+      case other => throw new IllegalArgumentException(
+        s"unknown ccAlgorithm '$other' (minlabel | largestar)")
+    }
+    val score = scoreCol.getOrElse(TextAnalysis.tokenCount(col(textCol)))
+    val quality = df.select(col(idCol).as("id"), score.as("__score"))
+    val keepers = keepBest(clusters, quality, "__score")
+      .select(col("keep_id").as("__keep"))
+    // kept = winners ∪ never-paired docs = df minus (paired docs that lost)
+    val losers = clusters.join(keepers, clusters("id") === keepers("__keep"), "left_anti")
+      .select(col("id").as("__lose"))
+    df.join(losers, df(idCol) === col("__lose"), "left_anti")
+  }
+
   /** Eval-set decontamination: find training documents sharing any word
     * n-gram with a benchmark/eval document — the standard guard against
     * test-set leakage into LLM training data (n-gram overlap flagging, à

@@ -152,6 +152,25 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("fixpoint"))
   }
 
+  test("fuzzyDedup keeps one representative per near-dup cluster, both CC algorithms") {
+    val base = "the quick brown fox jumps over the lazy dog and keeps running far away"
+    val docs = Seq(
+      (1L, base),                                   // near-dup cluster {1,2,3}
+      (2L, base + " indeed"),                       // longest → the keeper
+      (3L, base.replace("lazy", "sleepy")),
+      (10L, "a completely different document about spark catalyst optimizer internals"),
+      (11L, "yet another unique text concerning duckdb oracle comparisons")).toDF("doc_id", "text")
+    for (alg <- Seq("minlabel", "largestar")) {
+      val kept = Dedup.fuzzyDedup(docs, "doc_id", "text",
+          threshold = 0.5, ccAlgorithm = alg)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(2L, 10L, 11L), s"ccAlgorithm=$alg: $kept")
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.fuzzyDedup(docs, "doc_id", "text", ccAlgorithm = "nope").collect()
+    }
+  }
+
   test("decontamination flags docs sharing n-grams with the eval set") {
     val train = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
