@@ -94,11 +94,14 @@ object Main {
       if (i.sampleConfig.nonEmpty) println(s"sample config:\n${i.sampleConfig.linesIterator.map("  " + _).mkString("\n")}")
 
     // docs alias (reference/docs/reference/commands.md): `gen recipe NAME
-    // -e x -s a,b [-p c]` = `new recipe`
-    case "gen" :: "recipe" :: name :: rest =>
+    // -e x -s a,b [-p c]` = `new recipe`. The guard keeps a flag from
+    // becoming the recipe name; a template file literally named `recipe`
+    // needs a path prefix (./recipe) to reach the template form.
+    case "gen" :: "recipe" :: name :: rest if !name.startsWith("-") =>
       main(("new" :: "recipe" :: name :: rest).toArray)
 
     case "version" :: Nil =>
+      // keep in lockstep with `ThisBuild / version` in build.sbt
       println("graft 0.1.0 (meteor v1beta1-compatible)")
 
     // reference cmd/gen.go: expand a recipe template once per data entry
@@ -135,10 +138,12 @@ object Main {
         """usage: graft <command>
           |  run  <recipe.yaml|dir> [--var k=v|file.yaml ...] [--config meteor.yaml]  execute recipes
           |  lint <recipe.yaml|dir> [--var ...]       validate without executing
-          |  list <extractors|processors|sinks>       list plugins
+          |  list <extractors|processors|sinks|e|p|s> list plugins
           |  info <extractor|processor|sink> <name>   plugin details
           |  gen  <template.yaml> -o <dir> -d <data.yaml>  expand a recipe template per data entry
-          |  new recipe <name> [-e x] [-s a,b] [-p a,b]  bootstrap a recipe (survey when flags omitted)""".stripMargin)
+          |  gen recipe <name> [-e x] [-s a,b]        alias of `new recipe`
+          |  new recipe <name> [-e x] [-s a,b] [-p a,b]  bootstrap a recipe (survey when flags omitted)
+          |  version                                  print the version""".stripMargin)
       sys.exit(2)
   }
 

@@ -226,16 +226,23 @@ object Dedup {
                  threshold: Double = 0.8,
                  scoreCol: Option[Column] = None,
                  ccAlgorithm: String = "minlabel"): DataFrame = {
+    // validate BEFORE the LSH stage runs — minhashLsh eagerly materializes
+    // the candidate pairs (localCheckpoint), which at scale is the bulk of
+    // the pipeline's cost; a typo'd algorithm name must fail in ms
+    require(ccAlgorithm == "minlabel" || ccAlgorithm == "largestar",
+      s"unknown ccAlgorithm '$ccAlgorithm' (minlabel | largestar)")
     val pairs = minhashLsh(df, idCol, textCol, k, bands, shingleLen, threshold)
       .select(col("a"), col("b"))
-    val clusters = ccAlgorithm match {
-      case "minlabel" => connectedComponents(pairs)
-      case "largestar" => connectedComponentsLargeSmallStar(pairs)
-      case other => throw new IllegalArgumentException(
-        s"unknown ccAlgorithm '$other' (minlabel | largestar)")
-    }
+    val clusters =
+      if (ccAlgorithm == "minlabel") connectedComponents(pairs)
+      else connectedComponentsLargeSmallStar(pairs)
     val score = scoreCol.getOrElse(TextAnalysis.tokenCount(col(textCol)))
-    val quality = df.select(col(idCol).as("id"), score.as("__score"))
+    // score only the clustered docs (a sliver of the corpus) — same
+    // semi-join-first rule as verifyJaccard: never tokenize 100 TB to pick
+    // winners among the few docs that actually entered a cluster
+    val quality = df
+      .join(clusters.select(col("id").as("__cid")), df(idCol) === col("__cid"), "left_semi")
+      .select(col(idCol).as("id"), score.as("__score"))
     val keepers = keepBest(clusters, quality, "__score")
       .select(col("keep_id").as("__keep"))
     // kept = winners ∪ never-paired docs = df minus (paired docs that lost)

@@ -501,20 +501,30 @@ class RecallSpec extends SparkSpec {
       .filter(size(col("ss")) > 0)
     val a = sh.select(col("doc_id").as("a"), col("ss").as("sa"))
     val b = sh.select(col("doc_id").as("b"), col("ss").as("sb"))
-    val exact = a.join(b, col("a") < col("b"))
+    val scored = a.join(b, col("a") < col("b"))
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jac", col("inter").cast("double") /
         (size(col("sa")) + size(col("sb")) - col("inter")))
       .filter(col("jac") >= 0.5)
-      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .select("a", "b", "jac").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = scored.keySet
     val lsh = Dedup.minhashLsh(docs, "doc_id", "text",
         k = 64, bands = 16, shingleLen = 3, threshold = 0.5)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // the verify stage makes precision exact by construction; banding only
     // risks recall (a >=threshold pair sharing no band)
     assert(lsh.subsetOf(exact), s"false positives survived verify: ${lsh.diff(exact)}")
+    // recall is an ALGORITHM property only where banding theory delivers
+    // it: with k=64/bands=16 (r=4), P(candidate) = 1-(1-s^4)^16 is ~0.99
+    // at s=0.7 but only ~0.64 at s=0.5 — so gate >=0.95 on the >=0.7
+    // pairs and keep a looser floor on the full >=threshold set
+    val strong = scored.filter(_._2 >= 0.7).keySet
+    val strongRecall =
+      if (strong.isEmpty) 1.0 else lsh.intersect(strong).size.toDouble / strong.size
+    assert(strongRecall >= 0.95, s"minhash-LSH recall on jac>=0.7 pairs: $strongRecall")
     val recall = if (exact.isEmpty) 1.0 else lsh.intersect(exact).size.toDouble / exact.size
-    assert(recall >= 0.95, s"minhash-LSH pair recall regressed: $recall")
+    assert(recall >= 0.6, s"minhash-LSH overall pair recall collapsed: $recall")
   }
 
   test("simhash banding finds EXACTLY the brute-force hamming<=3 pairs at sf0.01") {
@@ -522,14 +532,17 @@ class RecallSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val docs = Tables(spark, dir, "documents")
     // 4x16-bit bands + hamming<=3: pigeonhole guarantees at least one
-    // intact band, so banding must be lossless, not just high-recall
+    // intact band, so UNCAPPED banding must be lossless, not just
+    // high-recall (the production maxBucketSize cap is a separate,
+    // deliberate recall trade for degenerate corpora)
     val hashes = Dedup.simhash(docs, "doc_id", "text")
     val ha = hashes.select(col("id").as("a"), col("simhash").as("sa"))
     val hb = hashes.select(col("id").as("b"), col("simhash").as("sb"))
     val brute = ha.join(hb, col("a") < col("b"))
       .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 3)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val banded = Dedup.simhashNearDup(docs, "doc_id", "text", maxHamming = 3)
+    val banded = Dedup.simhashNearDup(docs, "doc_id", "text", maxHamming = 3,
+        maxBucketSize = Int.MaxValue)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(banded == brute,
       s"banding lost/invented pairs: missing=${brute.diff(banded)} extra=${banded.diff(brute)}")
