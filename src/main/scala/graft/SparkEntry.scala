@@ -368,6 +368,51 @@ object SparkEntry {
         TextAnalysis.tokenCount(col("text")), budget = 512, shards = 8)
       .orderBy(col("doc_id"))
 
+  private def boilerplateQuery(s: SparkSession, dir: String): DataFrame =
+    // C4-style cross-doc boilerplate detection: word 3-grams shared by >= 5
+    // distinct docs are template text; score each doc by its common fraction
+    Dedup.boilerplate(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, minDocs = 5)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
+  private def domainMixQuery(s: SparkSession, dir: String): DataFrame =
+    // temperature-weighted (α=0.5) domain mixing over the source column:
+    // the sampling weights a pretraining run would draw each domain at
+    Splits.domainMixture(t(s, dir, "documents"), "source",
+        TextAnalysis.tokenCount(col("text")), budgetDocs = 10000L)
+      .orderBy(col("domain"))
+
+  private def pivotEvents(s: SparkSession, dir: String): DataFrame =
+    // wide-format pivot: per user cohort, one column of summed value per
+    // event type. The value list is EXPLICIT, so no extra distinct-scan
+    // job runs before the pivot (and the plan is a single groupBy).
+    t(s, dir, "events")
+      .groupBy((col("user_id") % 10).as("cohort"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(round(sum(col("value")), 4))
+      .orderBy(col("cohort"))
+
+  private def rollupRevenue(s: SparkSession, dir: String): DataFrame =
+    // multi-granularity aggregation in one pass: region → nation → grand
+    // total via ROLLUP (Expand feeds one shuffle; no per-level re-scan).
+    // NULL grouping slots are coalesced to 'ALL' so both engines order
+    // the same sentinel rather than engine-specific NULL placement.
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("revenue"), col("n_orders"))
+      .orderBy(col("region"), col("nation"))
+
   private def repetitionScores(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"),
@@ -596,6 +641,10 @@ object SparkEntry {
     "d_tfidf_terms" -> (tfidfTopTerms _),
     "d_decontaminate" -> (decontaminateQuery _),
     "d_pack_sequences" -> (packSequencesQuery _),
+    "d_boilerplate" -> (boilerplateQuery _),
+    "d_domain_mix" -> (domainMixQuery _),
+    "q_pivot_events" -> (pivotEvents _),
+    "q_rollup_revenue" -> (rollupRevenue _),
     "d_dedup_incremental" -> (dedupIncremental _),
     "d_minhash_pairs" -> (minhashPairs _),
     "d_dedup_fuzzy" -> (dedupFuzzyPipeline _),
@@ -948,6 +997,59 @@ object SparkEntry {
         |FROM g JOIN eg USING (gram)
         |WHERE g.doc_id % 100 <> 0
         |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
+    // C4-style boilerplate: doc frequency of distinct word 3-grams; a doc's
+    // score is the fraction of its grams occurring in >= 5 distinct docs
+    "d_boilerplate" ->
+      """WITH tk AS (
+        | SELECT doc_id,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0) AS tk
+        | FROM documents),
+        |g AS (
+        | SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk)-1),
+        |   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS gram
+        | FROM tk WHERE len(tk) >= 3),
+        |c AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 5)
+        |SELECT g.doc_id AS doc_id, count(*) AS n_grams, count(c.gram) AS n_common,
+        | round(CAST(count(c.gram) AS DOUBLE) / count(*), 4) AS boilerplate_frac
+        |FROM g LEFT JOIN c USING (gram)
+        |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
+    // temperature-weighted (alpha=0.5 via sqrt, bit-identical across
+    // engines) domain mixture over token mass
+    "d_domain_mix" ->
+      """WITH per AS (
+        | SELECT source AS domain, count(*) AS n_docs,
+        |  CAST(sum(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0))) AS BIGINT) AS n_tokens
+        | FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM per),
+        |raw AS (
+        | SELECT domain, n_docs, n_tokens, tot_tokens,
+        |  sqrt(CAST(n_tokens AS DOUBLE) / tot_tokens) AS w_raw
+        | FROM per CROSS JOIN tot),
+        |z AS (SELECT sum(w_raw) AS z FROM raw)
+        |SELECT domain, n_docs, n_tokens,
+        | round(CAST(n_tokens AS DOUBLE) / tot_tokens, 4) AS p_raw,
+        | round(w_raw / z, 4) AS weight,
+        | CAST(round(10000 * w_raw / z, 0) AS BIGINT) AS budget_docs
+        |FROM raw CROSS JOIN z ORDER BY domain""".stripMargin,
+    // wide-format pivot: per user cohort, summed value per event type
+    "q_pivot_events" ->
+      """SELECT user_id % 10 AS cohort,
+        | round(sum(CASE WHEN event_type = 'click' THEN value END), 4) AS click,
+        | round(sum(CASE WHEN event_type = 'error' THEN value END), 4) AS error,
+        | round(sum(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase,
+        | round(sum(CASE WHEN event_type = 'signup' THEN value END), 4) AS signup,
+        | round(sum(CASE WHEN event_type = 'view' THEN value END), 4) AS view
+        |FROM events GROUP BY cohort ORDER BY cohort""".stripMargin,
+    // region → nation → grand-total rollup; NULL slots coalesced to 'ALL'
+    "q_rollup_revenue" ->
+      """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+        | round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY region, nation""".stripMargin,
     // concat-and-chunk packing: per-shard running token offset chunked
     // every 512 tokens; bin = chunk of the doc's first token
     "d_pack_sequences" ->

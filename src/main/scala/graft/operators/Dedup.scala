@@ -278,6 +278,42 @@ object Dedup {
       .groupBy(col(idCol)).agg(count(lit(1)).as("hits"))
   }
 
+  /** Cross-corpus boilerplate n-gram scoring — the C4-style pattern: word
+    * n-grams recurring across many DISTINCT documents are template text
+    * (headers, footers, licence blurbs), not content. Pass 1 computes each
+    * n-gram's document frequency (grams are distinct within a doc, so one
+    * `count(*)` groupBy IS the doc frequency); pass 2 re-shingles and
+    * scores every doc by the fraction of its distinct n-grams that are
+    * corpus-common. Callers threshold `boilerplate_frac` to drop template
+    * pages, or anti-join the common-gram set to strip the text itself.
+    *
+    * Scale shape: shingling is the map-side codegen'd
+    * [[graft.functions.WordShingles]] kernel in BOTH passes — recomputing
+    * it beats materializing the full (id, gram) explosion, which at
+    * 100 TB is ~30× the corpus. The wide ops are the gram-frequency
+    * groupBy (partial aggregation collapses per-partition repeats before
+    * the exchange) and the per-doc score groupBy keyed by id. The common
+    * set (df >= minDocs) is orders of magnitude smaller than the gram
+    * stream; its join back is left to AQE, which broadcasts it when it
+    * fits.
+    *
+    * Returns (id, n_grams, n_common, boilerplate_frac).
+    */
+  def boilerplate(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int = 3, minDocs: Long = 5): DataFrame = {
+    val grams = docs.select(col(idCol).as("id"),
+      explode(array_distinct(shingles(col(textCol), n))).as("gram"))
+    val common = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("gram"), lit(1).as("hit"))
+    grams.join(common, Seq("gram"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_common"))
+      .withColumn("boilerplate_frac",
+        round(col("n_common").cast("double") / col("n_grams"), 4))
+  }
+
   /** Connected components by alternating large-star / small-star
     * contraction (Kiveris et al., "Connected Components in MapReduce and
     * Beyond", SoCC'14 — a public MapReduce-era algorithm) — the

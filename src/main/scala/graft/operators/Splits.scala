@@ -53,6 +53,41 @@ object Splits {
     df.filter(hashBucket(col(keyCol), 1000) < rate)
   }
 
+  /** Temperature-weighted domain mixture — the corpus-composition step of
+    * a pretraining pipeline: given per-domain token masses p_i, sampling
+    * weights w_i ∝ p_i^α flatten the natural distribution so small
+    * domains are up-sampled (the multilingual/multi-source mixing rule
+    * from public LM training reports). α is fixed at 0.5 via `sqrt`:
+    * IEEE-754 sqrt is correctly rounded and therefore bit-identical
+    * across engines, unlike `pow(x, α)` whose libm results differ in the
+    * last ulp — so the weights are oracle-checkable.
+    *
+    * Scale shape: one groupBy on domain (partial agg map-side; domain
+    * cardinality is tiny), then two single-row totals that BROADCAST back
+    * — the 100 TB corpus is touched exactly once.
+    *
+    * Returns per domain: (domain, n_docs, n_tokens, p_raw, weight,
+    * budget_docs) where budget_docs apportions `budgetDocs` by weight.
+    */
+  def domainMixture(df: DataFrame, domainCol: String, tokensCol: Column,
+                    budgetDocs: Long): DataFrame = {
+    // the per-domain rollup is consumed by four downstream branches (tot,
+    // raw, z, final) — localCheckpoint materializes it (domain cardinality
+    // rows) so the 100 TB corpus scan runs exactly once, not once per branch
+    val per = df.groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(tokensCol).cast("bigint").as("n_tokens"))
+      .localCheckpoint()
+    val tot = per.agg(sum(col("n_tokens")).as("tot_tokens"))
+    val raw = per.crossJoin(broadcast(tot))
+      .withColumn("w_raw", sqrt(col("n_tokens").cast("double") / col("tot_tokens")))
+    val z = raw.agg(sum(col("w_raw")).as("z"))
+    raw.crossJoin(broadcast(z))
+      .select(col("domain"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("tot_tokens"), 4).as("p_raw"),
+        round(col("w_raw") / col("z"), 4).as("weight"),
+        round(lit(budgetDocs) * col("w_raw") / col("z"), 0).cast("bigint").as("budget_docs"))
+  }
+
   /** Token-budget sequence packing, concat-and-chunk style: documents are
     * laid out in a deterministic order into a per-shard token stream and
     * the stream is chunked every `budget` tokens; each document's bin is

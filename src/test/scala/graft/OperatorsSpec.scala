@@ -185,6 +185,27 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(1L -> 2L, 3L -> 1L))
   }
 
+  test("boilerplate scores the fraction of cross-doc common n-grams") {
+    // "legal notice all rights reserved" plants the 3-grams "legal notice
+    // all", "notice all rights", "all rights reserved" in docs 1..3
+    // (minDocs=3 → common); each doc's remaining grams are unique to it
+    val footer = "legal notice all rights reserved"
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta $footer"),
+      (2L, s"epsilon zeta eta theta $footer"),
+      (3L, s"iota kappa lambda mu $footer"),
+      (4L, "nu xi omicron pi rho sigma tau")).toDF("doc_id", "text")
+    val out = Dedup.boilerplate(docs, "doc_id", "text", n = 3, minDocs = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    // 9 tokens → 7 grams; 3 are the shared footer ("delta legal notice"
+    // etc. straddle doc-specific words, so only the pure footer grams recur)
+    assert(out(1L) == ((7L, 3L, 0.4286)))
+    assert(out(2L) == ((7L, 3L, 0.4286)))
+    assert(out(3L) == ((7L, 3L, 0.4286)))
+    assert(out(4L) == ((5L, 0L, 0.0)))
+  }
+
   test("large-star/small-star CC matches min-label CC on chains, stars and random graphs") {
     def labelsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
       df.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
@@ -375,6 +396,19 @@ class SplitsSpec extends SparkSpec {
     assert(out == Map(
       0L -> (0L, 0L), 8L -> (0L, 0L), 16L -> (0L, 1L),
       1L -> (1L, 0L), 9L -> (1L, 1L)))
+  }
+
+  test("domain mixture flattens toward small domains and apportions the budget") {
+    // big: 9000 tokens over 3 docs; small: 1000 over 1 → p = 0.9/0.1 but
+    // sqrt-weights 0.75/0.25 — the small domain is up-sampled 2.5×
+    val docs = Seq(
+      (1L, "big", 3000L), (2L, "big", 3000L), (3L, "big", 3000L),
+      (4L, "small", 1000L)).toDF("doc_id", "source", "ntok")
+    val out = Splits.domainMixture(docs, "source", col("ntok"), budgetDocs = 1000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getLong(5)))).toMap
+    assert(out("big") == ((3L, 9000L, 0.9, 0.75, 750L)))
+    assert(out("small") == ((1L, 1000L, 0.1, 0.25, 250L)))
   }
 }
 

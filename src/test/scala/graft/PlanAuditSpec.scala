@@ -84,6 +84,47 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("pivot: explicit values → no distinct pre-scan; map-side partial agg") {
+    val p = plan(SparkEntry.queries("q_pivot_events")(spark, dir))
+    // Spark pivots in two phases — groupBy(cohort, type) partial-agg'd
+    // map-side (the 100 TB reducer), then a tiny pivotfirst reshape keyed
+    // by cohort — plus the final sort: exactly 3 exchanges. The explicit
+    // value list keeps a distinct-scan job from running before the plan.
+    assert(exchanges(p) == 3, p)
+    assert(p.contains("partial_sum") && p.contains("partial_pivotfirst"), p)
+  }
+
+  test("rollup computes all grouping levels from one Expand + one shuffle") {
+    val p = plan(SparkEntry.queries("q_rollup_revenue")(spark, dir))
+    assert(p.contains("Expand"), p)
+    // nation+region broadcast; orders⋈customer is the only big join — a
+    // per-level re-aggregation would add exchanges beyond: join shuffles
+    // (≤2) + rollup agg (1) + final sort (1)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(exchanges(p) <= 4, p)
+  }
+
+  test("boilerplate: gram stream aggregates partial before both exchanges") {
+    val docs = Tables(spark, dir, "documents")
+    val p = plan(Dedup.boilerplate(docs, "doc_id", "text"))
+    // two wide stages only: gram-frequency groupBy + per-doc score groupBy
+    // (AQE may broadcast the common set; sort-merge fallback adds sorts,
+    // not extra hash exchanges beyond the join's own)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("domain mixture touches the corpus once; totals broadcast back") {
+    val docs = Tables(spark, dir, "documents")
+    val p = plan(Splits.domainMixture(docs, "source",
+      TextAnalysis.tokenCount(col("text")), budgetDocs = 10000L))
+    // the per-domain rollup is checkpointed, so the final plan reads the
+    // materialized rows — the corpus parquet never re-enters the DAG
+    assert(!p.contains("FileScan"), p)
+    // 1-row totals come back via broadcast cross joins (intended)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
   test("exact dedup shuffles digests, not documents") {
     val docs = Tables(spark, dir, "documents")
     val p = plan(Dedup.exact(docs, "doc_id", "text"))
