@@ -368,6 +368,33 @@ object SparkEntry {
         TextAnalysis.tokenCount(col("text")), budget = 512, shards = 8)
       .orderBy(col("doc_id"))
 
+  private def runningTotal(s: SparkSession, dir: String): DataFrame = {
+    // per-user cumulative revenue: running aggregates parallelize across
+    // the user partitioning — one hash exchange, every user's prefix sums
+    // computed independently (ROWS frame spelled out so both engines
+    // accumulate over the identical deterministic (ts, event_id) order)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val seq = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        row_number().over(seq).as("purchase_seq"),
+        round(sum(col("value")).over(w), 4).as("running_value"))
+      .orderBy(col("event_id"))
+  }
+
+  private def topNgrams(s: SparkSession, dir: String): DataFrame =
+    // corpus-wide top-20 word 2-grams by document frequency — the vocab/
+    // phrase-stats pass of a corpus report. Partial agg map-side, then
+    // TakeOrderedAndProject: only 20 rows survive per partition, no full
+    // sort ever materializes
+    t(s, dir, "documents")
+      .select(explode(array_distinct(Dedup.shingles(col("text"), 2))).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), asc("gram"))
+      .limit(20)
+
   private def boilerplateQuery(s: SparkSession, dir: String): DataFrame =
     // C4-style cross-doc boilerplate detection: word 3-grams shared by >= 5
     // distinct docs are template text; score each doc by its common fraction
@@ -643,8 +670,10 @@ object SparkEntry {
     "d_pack_sequences" -> (packSequencesQuery _),
     "d_boilerplate" -> (boilerplateQuery _),
     "d_domain_mix" -> (domainMixQuery _),
+    "d_top_ngrams" -> (topNgrams _),
     "q_pivot_events" -> (pivotEvents _),
     "q_rollup_revenue" -> (rollupRevenue _),
+    "q_running_total" -> (runningTotal _),
     "d_dedup_incremental" -> (dedupIncremental _),
     "d_minhash_pairs" -> (minhashPairs _),
     "d_dedup_fuzzy" -> (dedupFuzzyPipeline _),
@@ -1031,6 +1060,27 @@ object SparkEntry {
         | round(w_raw / z, 4) AS weight,
         | CAST(round(10000 * w_raw / z, 0) AS BIGINT) AS budget_docs
         |FROM raw CROSS JOIN z ORDER BY domain""".stripMargin,
+    // corpus-wide top-20 2-grams by doc frequency, ties broken on gram
+    "d_top_ngrams" ->
+      """WITH tk AS (
+        | SELECT doc_id,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0) AS tk
+        | FROM documents),
+        |g AS (
+        | SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk)),
+        |   i -> tk[i] || ' ' || tk[i+1]))) AS gram
+        | FROM tk WHERE len(tk) >= 2)
+        |SELECT gram, count(*) AS df FROM g
+        |GROUP BY gram ORDER BY df DESC, gram LIMIT 20""".stripMargin,
+    // per-user cumulative purchase revenue over the deterministic
+    // (ts, event_id) order; ROWS frame spelled out in both engines
+    "q_running_total" ->
+      """SELECT event_id, user_id,
+        | row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS purchase_seq,
+        | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
     // wide-format pivot: per user cohort, summed value per event type
     "q_pivot_events" ->
       """SELECT user_id % 10 AS cohort,
