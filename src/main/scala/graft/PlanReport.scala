@@ -1,0 +1,89 @@
+package graft
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+
+/** Physical-plan census over the whole graded query surface: for every
+  * `SparkEntry.queries` entry, count the plan features that matter at
+  * 100 TB (exchanges, broadcasts, cartesian products, whole-stage-codegen
+  * spans, scan-level filter pushdown) and write a markdown table. Run by
+  * hand (`runMain graft.PlanReport [sfDir] [outFile]`); the table is
+  * committed as PLANS.md so plan-shape drift shows up in review diffs.
+  * PlanAuditSpec asserts the load-bearing shapes; this is the whole-surface
+  * visibility layer on top.
+  */
+object PlanReport {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outFile = if (args.length > 1) args(1) else "PLANS.md"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // AQE's initial plan hides whole-stage-codegen annotation; the census
+      // wants the static shape (codegen spans, join strategy before runtime
+      // re-plan). PlanAuditSpec covers the AQE-on shapes.
+      .config("spark.sql.adaptive.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val rows = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val line =
+        try {
+          val p = fn(spark, sfDir).queryExecution.executedPlan.toString
+          val ls = p.linesIterator.toSeq
+          def c(pred: String => Boolean): Int = ls.count(pred)
+          val hashEx = c(l => l.contains("Exchange hashpartitioning"))
+          val rangeEx = c(l => l.contains("Exchange rangepartitioning"))
+          val singleEx = c(l => l.contains("Exchange SinglePartition"))
+          val bcast = c(l => l.contains("BroadcastExchange"))
+          val cartesian = c(l => l.contains("CartesianProduct"))
+          val bnlj = c(l => l.contains("BroadcastNestedLoopJoin"))
+          val codegen = "\\*\\(\\d+\\)".r.findAllIn(p).map(_.toString).toSet.size
+          val scans = ls.filter(_.contains("FileScan"))
+          val pushed = scans.count(l =>
+            l.contains("PushedFilters: [") && !l.contains("PushedFilters: []"))
+          val takeOrdered = c(l => l.contains("TakeOrderedAndProject"))
+          val wgl = c(l => l.contains("WindowGroupLimit"))
+          val extras = Seq(
+            if (takeOrdered > 0) Seq("TakeOrdered") else Nil,
+            if (wgl > 0) Seq("WindowGroupLimit") else Nil,
+            if (cartesian + bnlj > 0) Seq("CARTESIAN") else Nil,
+            if (singleEx > 0) Seq("SINGLE-PARTITION") else Nil
+          ).flatten.mkString(" ")
+          f"| $name | $hashEx | $rangeEx | $bcast | ${scans.size} | $pushed | $codegen | $extras |"
+        } catch {
+          case e: Throwable => s"| $name | — | — | — | — | — | — | ERROR ${e.getClass.getSimpleName} |"
+        }
+      // eager operators (localCheckpoint) leave blocks behind — drop them
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+      line
+    }
+
+    // NOTE: rows are appended OUTSIDE the stripMargin template — their
+    // leading table pipes would otherwise be eaten as margin characters
+    val header =
+      s"""# Physical-plan census (`graft.PlanReport`, sf=$sfDir)
+         |
+         |Per-query counts from `queryExecution.executedPlan` (AQE off, so
+         |the static join strategy and codegen spans are visible).
+         |`hash`/`range` = shuffle exchanges, `bcast` = broadcast exchanges,
+         |`scans` = parquet scans, `pushed` = scans with non-empty
+         |PushedFilters, `wscg` = whole-stage-codegen spans. Flags:
+         |CARTESIAN = cartesian/BNLJ present (only the documented all-pairs
+         |oracle twins, broadcast-query ANN joins, and 1-row totals joins
+         |should show it), SINGLE-PARTITION = a single-partition exchange
+         |(only global 1-row aggregates and the oracle-only exact profile
+         |path should show it).
+         |
+         || query | hash | range | bcast | scans | pushed | wscg | flags |
+         ||---|---|---|---|---|---|---|---|
+         |""".stripMargin
+    val md = header + rows.mkString("\n") + "\n"
+    Files.writeString(Paths.get(outFile), md)
+    println(s"[planreport] wrote ${rows.size} rows to $outFile")
+    spark.stop()
+  }
+}
