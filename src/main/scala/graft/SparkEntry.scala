@@ -368,6 +368,19 @@ object SparkEntry {
         TextAnalysis.tokenCount(col("text")), budget = 512, shards = 8)
       .orderBy(col("doc_id"))
 
+  private def cubeSources(s: SparkSession, dir: String): DataFrame =
+    // all four (lang, source) granularities in one pass — CUBE's Expand
+    // feeds a single shuffle (4 grouping sets × map-side partial agg), the
+    // corpus-report twin of q_rollup_revenue's hierarchy rollup
+    t(s, dir, "documents")
+      .cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text"))).cast("bigint").as("n_tokens"))
+      .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+        coalesce(col("source"), lit("ALL")).as("source"),
+        col("n_docs"), col("n_tokens"))
+      .orderBy(col("lang"), col("source"))
+
   private def runningTotal(s: SparkSession, dir: String): DataFrame = {
     // per-user cumulative revenue: running aggregates parallelize across
     // the user partitioning — one hash exchange, every user's prefix sums
@@ -674,6 +687,7 @@ object SparkEntry {
     "q_pivot_events" -> (pivotEvents _),
     "q_rollup_revenue" -> (rollupRevenue _),
     "q_running_total" -> (runningTotal _),
+    "d_cube_sources" -> (cubeSources _),
     "d_dedup_incremental" -> (dedupIncremental _),
     "d_minhash_pairs" -> (minhashPairs _),
     "d_dedup_fuzzy" -> (dedupFuzzyPipeline _),
@@ -1060,6 +1074,13 @@ object SparkEntry {
         | round(w_raw / z, 4) AS weight,
         | CAST(round(10000 * w_raw / z, 0) AS BIGINT) AS budget_docs
         |FROM raw CROSS JOIN z ORDER BY domain""".stripMargin,
+    // all four (lang, source) granularities via CUBE; NULL slots → 'ALL'
+    "d_cube_sources" ->
+      """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+        | count(*) AS n_docs,
+        | CAST(sum(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0))) AS BIGINT) AS n_tokens
+        |FROM documents GROUP BY CUBE(lang, source)
+        |ORDER BY lang, source""".stripMargin,
     // corpus-wide top-20 2-grams by doc frequency, ties broken on gram
     "d_top_ngrams" ->
       """WITH tk AS (
