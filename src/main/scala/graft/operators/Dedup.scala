@@ -292,10 +292,15 @@ object Dedup {
     * it beats materializing the full (id, gram) explosion, which at
     * 100 TB is ~30× the corpus. The wide ops are the gram-frequency
     * groupBy (partial aggregation collapses per-partition repeats before
-    * the exchange) and the per-doc score groupBy keyed by id. The common
-    * set (df >= minDocs) is orders of magnitude smaller than the gram
-    * stream; its join back is left to AQE, which broadcasts it when it
-    * fits.
+    * the exchange) and the per-doc score groupBy keyed by id. The
+    * common-set join back is left to Catalyst: broadcast when it fits
+    * (AQE sizes it at runtime), else a shuffled join on gram — the
+    * standard C4 two-pass shape — with Spark's runtime Bloom-filter
+    * injection pruning the gram stream map-side. At 100 TB raise
+    * `minDocs` with corpus size (an absolute doc-frequency threshold at
+    * fixed recall shrinks the common set as the corpus grows; df >= 5 is
+    * a small-corpus setting) so the common set stays far below the gram
+    * stream.
     *
     * Returns (id, n_grams, n_common, boilerplate_frac).
     */

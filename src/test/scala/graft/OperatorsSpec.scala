@@ -398,6 +398,30 @@ class SplitsSpec extends SparkSpec {
       1L -> (1L, 0L), 9L -> (1L, 1L)))
   }
 
+  test("domain mixture invariants: weights sum to 1, budget apportioned within rounding") {
+    // skewed 12-domain distribution: invariants must hold regardless of shape
+    val docs = (0L until 600L).map { i =>
+      val d = (i % 12).toInt
+      (i, s"dom$d", 50L + d * 137L + (i % 7) * 11L)
+    }.toDF("doc_id", "source", "ntok")
+    val out = Splits.domainMixture(docs, "source", col("ntok"), budgetDocs = 100000L)
+      .collect()
+    assert(out.length == 12)
+    val wsum = out.map(_.getDouble(4)).sum
+    assert(math.abs(wsum - 1.0) < 12 * 5e-5, s"weights sum to $wsum") // 4dp rounding × 12
+    val bsum = out.map(_.getLong(5)).sum
+    assert(math.abs(bsum - 100000L) <= 12, s"budget drifted to $bsum") // ±0.5 doc × 12
+    // flattening: weight order follows share order, and weight RATIOS are
+    // compressed toward 1 relative to share ratios (w_i/w_j = sqrt(p_i/p_j))
+    val byShare = out.map(r => (r.getDouble(3), r.getDouble(4))).sortBy(_._1)
+    byShare.sliding(2).foreach { case Array((pLo, wLo), (pHi, wHi)) =>
+      assert(wLo <= wHi + 5e-5, s"weight order broke: ($pLo,$wLo) vs ($pHi,$wHi)")
+      if (pLo > 0 && wHi > 0)
+        assert(wLo / wHi >= pLo / pHi - 1e-3,
+          s"ratio not compressed: w=${wLo / wHi} p=${pLo / pHi}")
+    }
+  }
+
   test("domain mixture flattens toward small domains and apportions the budget") {
     // big: 9000 tokens over 3 docs; small: 1000 over 1 → p = 0.9/0.1 but
     // sqrt-weights 0.75/0.25 — the small domain is up-sampled 2.5×
