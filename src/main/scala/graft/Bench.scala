@@ -26,8 +26,8 @@ object Bench {
   /** Drop blocks left behind by operators that materialize intermediates
     * (`localCheckpoint` in CC rounds, LSH candidate sets, …): once a
     * query's action has run, its checkpoints are garbage — left alone they
-    * accumulate across the 57-query run, squeeze the unified memory pool,
-    * and tax every later query's timing with eviction + GC pressure.
+    * accumulate across the full query run, squeeze the unified memory
+    * pool, and tax every later query's timing with eviction + GC pressure.
     */
   private def dropLeftoverBlocks(spark: SparkSession): Unit = {
     spark.sparkContext.getPersistentRDDs.values
@@ -68,8 +68,8 @@ object Bench {
     // sporadically stalls for tens of seconds (observed: the same query
     // timing 1.6 s and 198 s in back-to-back sessions with an idle load
     // average) — a single sample can be dominated by one freeze. The min
-    // of independent runs estimates steady-state query cost; rows/hash
-    // must agree across reps or the query is flagged failed.
+    // of independent runs estimates steady-state query cost; row counts
+    // must agree across reps (hash drift is reported as a note).
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     // deterministic name order so per-query timings compare across rounds
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
