@@ -624,6 +624,25 @@ object SparkEntry {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  private def embedQuantized(s: SparkSession, dir: String): DataFrame = {
+    // int8 scalar quantization round-trip: per vector, the scale, the code
+    // sum, and the reconstruction L2 error — every step IEEE-deterministic
+    // (sequential folds, guarded divide), so DuckDB reproduces it exactly.
+    // The join back to the original vectors is the verification step only;
+    // the codec itself ([[Similarity.quantizeInt8]]) is one map-side pass.
+    val q = Similarity.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
+      .select(col("id"), col("scale"),
+        aggregate(col("codes"), lit(0L), (a, x) => a + x.cast("long")).as("q_sum"),
+        Similarity.dequantize(col("codes"), col("scale")).as("dv"))
+    val orig = t(s, dir, "embeddings").select(col("vec_id").as("id"),
+      col("embedding").cast("array<double>").as("v"))
+    q.join(orig, "id")
+      .select(col("id").as("vec_id"), round(col("scale"), 6).as("scale"), col("q_sum"),
+        round(sqrt(aggregate(zip_with(col("v"), col("dv"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x)), 6).as("l2_err"))
+      .orderBy(col("vec_id"))
+  }
+
   private def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
     graft.multimodal.Multimodal.extractFeatures(
         t(s, dir, "documents"), "doc_id", "text")
@@ -699,6 +718,7 @@ object SparkEntry {
     "s_embed_neardup" -> (embedNearDup _),
     "s_embed_neardup_bucketed" -> (embedNearDupBucketed _),
     "s_embed_neardup_lsh" -> (embedNearDupLsh _),
+    "s_embed_quantized" -> (embedQuantized _),
     "s_embed_clusters" -> (embedClusters _),
     "s_embed_keepers" -> (embedKeepers _),
     "m_multimodal_meta" -> (multimodalMeta _),
@@ -1187,6 +1207,21 @@ object SparkEntry {
         |WHERE list_dot_product(a.v, b.v) /
         |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
         |ORDER BY a, b""".stripMargin,
+    // int8 scalar quantization round-trip: scale, code sum, reconstruction
+    // L2 error — identical IEEE arithmetic in both engines
+    "s_embed_quantized" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |       list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+        |q AS (SELECT vec_id, v, scale,
+        |       list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+        |         ELSE CAST(round(x / scale) AS INTEGER) END) AS codes
+        |      FROM s)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        | CAST(list_sum(codes) AS BIGINT) AS q_sum,
+        | round(sqrt(coalesce(list_sum(list_transform(range(1, len(v) + 1),
+        |   i -> (v[i] - codes[i] * scale) * (v[i] - codes[i] * scale))), 0)), 6) AS l2_err
+        |FROM q ORDER BY vec_id""".stripMargin,
     // connected components over the near-dup graph: DuckDB's recursive CTE
     // walks the transitive closure; cluster id = min reachable vec_id
     "s_embed_clusters" ->

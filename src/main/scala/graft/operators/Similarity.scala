@@ -348,4 +348,31 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("a"), col("b"), round(col("sim"), 4).as("sim"))
   }
+
+  /** Symmetric int8 scalar quantization of an embedding column — the 4×
+    * storage/bandwidth cut of a large-scale embedding store (the FAISS
+    * `SQ8`-style codec): per vector, scale = max|v|/127, codes =
+    * round(v/scale) ∈ [−127, 127]. Pure map-side `transform` expressions —
+    * no shuffle, no UDFs; quantizing 100 TB is a single scan that composes
+    * with any downstream (the IVF path probes quantized buckets the same
+    * way). Zero vectors get scale 0 and all-zero codes (guarded divide).
+    *
+    * Returns (id, scale: double, codes: array<int>); reconstruct with
+    * [[dequantize]]. Every arithmetic step (abs/max, divide, half-up
+    * round, the sequential error fold) is bit-reproducible in any engine
+    * with IEEE doubles, so round-trip error is oracle-checkable.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    df.select(col(idCol).as("id"), v.as("v"))
+      .withColumn("scale", array_max(transform(col("v"), x => abs(x))) / 127.0)
+      .select(col("id"), col("scale"),
+        transform(col("v"), x =>
+          when(col("scale") === 0.0, lit(0))
+            .otherwise(round(x / col("scale"), 0).cast("int"))).as("codes"))
+  }
+
+  /** Reconstruct approximate vectors from [[quantizeInt8]] output. */
+  def dequantize(codes: Column, scale: Column): Column =
+    transform(codes, c => c.cast("double") * scale)
 }

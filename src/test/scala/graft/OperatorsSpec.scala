@@ -496,6 +496,29 @@ class SimilaritySpec extends SparkSpec {
     assert(out(0).getAs[Int]("rank") == 1)
   }
 
+  test("int8 quantization round-trips within the scale/2 per-dim bound") {
+    val df = Seq(
+      (1L, Array(0.5f, -1.27f, 0.001f, 1.27f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)) // zero vector: scale 0, codes 0
+    ).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .select(col("id"), col("scale"),
+        Similarity.dequantize(col("codes"), col("scale")).as("dv"), col("codes"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getSeq[Double](2), r.getSeq[Int](3)))).toMap
+    val (scale, dv, codes) = q(1L)
+    // expected scale from the FLOAT-cast magnitudes (1.27f != 1.27 in double)
+    assert(math.abs(scale - 1.27f.toDouble / 127.0) < 1e-15)
+    assert(codes.max <= 127 && codes.min >= -127)
+    // reconstruction error per dimension bounded by half a quantization step
+    Seq(0.5f, -1.27f, 0.001f, 1.27f).map(_.toDouble).zip(dv).foreach {
+      case (orig, rec) =>
+        assert(math.abs(orig - rec) <= scale / 2 + 1e-9, s"$orig vs $rec")
+    }
+    val (scale2, dv2, codes2) = q(2L)
+    assert(scale2 == 0.0 && codes2.forall(_ == 0) && dv2.forall(_ == 0.0))
+  }
+
   test("sign-LSH finds exact and near duplicates, excludes orthogonal vectors") {
     val dims = 8
     val base = Seq(1.0, 0.2, -0.5, 0.8, 0.1, -0.3, 0.6, -0.9)
