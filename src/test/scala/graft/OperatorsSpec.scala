@@ -573,6 +573,30 @@ class RecallSpec extends SparkSpec {
     assert(mean >= 0.9, s"IVF recall@5 regressed: $mean (per-query: $recalls)")
   }
 
+  test("int8-quantized search keeps top-5 recall >= 0.9 vs full-precision at sf0.01") {
+    assume(new java.io.File(dir).isDirectory)
+    import org.apache.spark.sql.functions._
+    // searching over the SQ8-reconstructed vectors (what a quantized store
+    // serves) must preserve the exact neighbors — the codec's fitness-for-
+    // purpose gate, beyond the per-dim error bound
+    val emb = Tables(spark, dir, "embeddings")
+    val deq = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+      .select(col("id").as("vec_id"),
+        Similarity.dequantize(col("codes"), col("scale")).as("embedding"))
+    def topk(corpus: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      Similarity.bruteForceTopK(corpus, corpus.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5).collect()
+        .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("c_id"))
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val exact = topk(emb)
+    val quant = topk(deq)
+    val recalls = exact.map { case (q, ids) =>
+      quant.getOrElse(q, Set.empty).intersect(ids).size.toDouble / ids.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"quantized top-5 recall regressed: $mean (per-query: $recalls)")
+  }
+
   test("minhash-LSH: precision exact, pair recall >= 0.95 vs all-pairs Jaccard at sf0.01") {
     assume(new java.io.File(dir).isDirectory)
     import org.apache.spark.sql.functions._
