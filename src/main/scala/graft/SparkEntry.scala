@@ -368,6 +368,23 @@ object SparkEntry {
         TextAnalysis.tokenCount(col("text")), budget = 512, shards = 8)
       .orderBy(col("doc_id"))
 
+  private def eventGaps(s: SparkSession, dir: String): DataFrame = {
+    // per-user inter-arrival stats via lag over exact epoch micros (longs,
+    // so the subtraction is integer-exact in both engines); parallel over
+    // the user partitioning — one hash exchange feeds window AND groupBy
+    // ts_us is monotone in ts, so ordering by it matches the oracle's
+    // ORDER BY ts (micros truncation applied identically in both engines)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("gap", col("ts_us") - lag(col("ts_us"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(avg(col("gap")), 4).as("avg_gap_us"),
+        max(col("gap")).as("max_gap_us"))
+      .orderBy(col("user_id"))
+  }
+
   private def cubeSources(s: SparkSession, dir: String): DataFrame =
     // all four (lang, source) granularities in one pass — CUBE's Expand
     // feeds a single shuffle (4 grouping sets × map-side partial agg), the
@@ -707,6 +724,7 @@ object SparkEntry {
     "q_rollup_revenue" -> (rollupRevenue _),
     "q_running_total" -> (runningTotal _),
     "d_cube_sources" -> (cubeSources _),
+    "q_event_gaps" -> (eventGaps _),
     "d_dedup_incremental" -> (dedupIncremental _),
     "d_minhash_pairs" -> (minhashPairs _),
     "d_dedup_fuzzy" -> (dedupFuzzyPipeline _),
@@ -1094,6 +1112,15 @@ object SparkEntry {
         | round(w_raw / z, 4) AS weight,
         | CAST(round(10000 * w_raw / z, 0) AS BIGINT) AS budget_docs
         |FROM raw CROSS JOIN z ORDER BY domain""".stripMargin,
+    // per-user inter-arrival gap stats; lag over exact epoch micros
+    "q_event_gaps" ->
+      """WITH g AS (
+        | SELECT user_id,
+        |  epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+        | FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        | round(avg(gap), 4) AS avg_gap_us, max(gap) AS max_gap_us
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
     // all four (lang, source) granularities via CUBE; NULL slots → 'ALL'
     "d_cube_sources" ->
       """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
