@@ -676,6 +676,154 @@ object SparkEntry {
         (lit(64) + pmod(col("n_chars") * 7, lit(512))).as("fake_height"))
       .orderBy(col("doc_id"))
 
+  private def semiJoinActive(s: SparkSession, dir: String): DataFrame =
+    // EXISTS semantics as a left-semi join: customers with >= 1 order in
+    // 1997. Semi joins never duplicate the probe side, so only customer
+    // columns flow downstream — at scale that halves the shuffle vs an
+    // inner join + distinct
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  private def antiJoinInactive(s: SparkSession, dir: String): DataFrame =
+    // NOT EXISTS as a left-anti join: customers with no 1997 order — the
+    // exact complement of q_semi_join (the two row counts sum to the
+    // customer count, which OperatorsSpec pins)
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+
+  private def corrStats(s: SparkSession, dir: String): DataFrame =
+    // second-moment statistical profiling per group: Pearson correlation,
+    // sample stddev and covariance — one partial-aggregable pass (Spark
+    // merges per-partition moment sketches; no second scan)
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_corr"),
+        round(stddev_samp(col("l_quantity")), 4).as("qty_stddev"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_covar"))
+      .orderBy(col("l_returnflag"))
+
+  private def valueQuantiles(s: SparkSession, dir: String): DataFrame =
+    // EXACT multi-quantile profile per event type (linear interpolation —
+    // identical to DuckDB quantile_cont). Exact percentile buffers each
+    // group's values, so this is the oracle-mode twin of
+    // approx_percentile: at 100 TB swap in percentile_approx (one-pass
+    // mergeable KLL-style sketch, same call shape) — the ColumnProfiler
+    // exact/approx split, applied per group
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, array(0.25D, 0.5D, 0.75D, 0.95D))").as("ps"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), col("n"),
+        round(element_at(col("ps"), 1), 4).as("p25"),
+        round(element_at(col("ps"), 2), 4).as("p50"),
+        round(element_at(col("ps"), 3), 4).as("p75"),
+        round(element_at(col("ps"), 4), 4).as("p95"))
+      .orderBy(col("event_type"))
+
+  private def unpivotMeasures(s: SparkSession, dir: String): DataFrame =
+    // wide → long melt: the per-flag aggregate triple unpivoted to
+    // (flag, measure, val) rows. Unpivot is a zero-shuffle Expand over the
+    // (already tiny) aggregate — the inverse of q_pivot_events
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        round(sum(col("l_discount")), 2).as("sum_disc"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+        "measure", "val")
+      .orderBy(col("l_returnflag"), col("measure"))
+
+  private def lineDedupQuery(s: SparkSession, dir: String): DataFrame =
+    // C4-style line-level dedup: the corpus has no newlines, so plant the
+    // boilerplate deterministically (one global banner line + one
+    // per-source footer) — both engines build the identical 3-line docs,
+    // then drop lines occurring in >= 20 distinct docs. The footers and
+    // banner go; each doc's real text stays unless the corpus itself
+    // duplicates it that widely
+    Dedup.lineDedupStats(
+        t(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            lit("\nsubscribe to our newsletter today\ncopyright "),
+            col("source")).as("text")),
+        "doc_id", "text", minDocs = 20)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
+  private def lengthDeciles(s: SparkSession, dir: String): DataFrame = {
+    // curriculum/batching prep: within-language length deciles. ntile
+    // partitions BY LANG, so every language's sort runs parallel on its
+    // own partition — there is no global sort. A language so large its
+    // value set won't fit one task is the approx_percentile-boundaries
+    // regime (bucket by precomputed cutpoints); ntile is the oracle-exact
+    // within-group form
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("lang"), col("n_chars"), col("doc_id"))
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("lang"), col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("lang"), col("decile"))
+  }
+
+  private def urlDomains(s: SparkSession, dir: String): DataFrame =
+    // URL/domain mixture report — the source-distribution audit of a web
+    // crawl. The corpus has no URLs, so plant two per doc from (source,
+    // lang), then extract-all + host-parse + rollup: per domain, total
+    // URL mentions and distinct docs. All extraction is map-side; the
+    // only shuffle is the domain groupBy (count distinct via partial-agg)
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(col("text"),
+          lit(" see https://"), col("source"), lit(".example.com/p/"), col("doc_id"),
+          lit(" or http://m-"), col("lang"), lit(".example.org/idx")).as("dirty"))
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(dirty, 'https?://[^/\\\\s]+[^\\\\s]*', 0)")).as("url"))
+      .select(col("doc_id"), regexp_extract(col("url"), "https?://([^/\\s]+)", 1).as("domain"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_urls"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("domain"))
+
+  private def weightedSample(s: SparkSession, dir: String): DataFrame =
+    // PPS corpus downsampling: ~5 docs per source, inclusion probability
+    // proportional to token mass, fully deterministic (integer systematic
+    // sampling — see Splits.systematicSample)
+    Splits.systematicSample(t(s, dir, "documents"), "source", "doc_id",
+        TextAnalysis.tokenCount(col("text")), perStratum = 5)
+      .withColumnRenamed("stratum", "source")
+      .withColumnRenamed("weight", "tokens")
+      .orderBy(col("source"), col("doc_id"))
+
+  private def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    // GROUPING SETS ((lang),(source)): the two marginal reports WITHOUT
+    // the cross or grand-total levels cube would add — one Expand feeds
+    // one shuffle, same physical shape as cube/rollup but half the
+    // expanded rows. SQL-expressed: the DataFrame API has no grouping-sets
+    // verb (cube/rollup only), and spark.sql IS the DataFrame API's equal
+    // citizen — same Catalyst plan either way
+    t(s, dir, "documents").createOrReplaceTempView("documents_gs")
+    s.sql("""SELECT coalesce(lang, 'ALL') AS lang,
+            |       coalesce(source, 'ALL') AS source,
+            |       count(*) AS n_docs,
+            |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            |FROM documents_gs
+            |GROUP BY GROUPING SETS ((lang), (source))
+            |ORDER BY lang, source""".stripMargin)
+  }
+
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -739,6 +887,16 @@ object SparkEntry {
     "s_embed_quantized" -> (embedQuantized _),
     "s_embed_clusters" -> (embedClusters _),
     "s_embed_keepers" -> (embedKeepers _),
+    "q_semi_join" -> (semiJoinActive _),
+    "q_anti_join" -> (antiJoinInactive _),
+    "q_corr_stats" -> (corrStats _),
+    "q_value_quantiles" -> (valueQuantiles _),
+    "q_unpivot" -> (unpivotMeasures _),
+    "d_line_dedup" -> (lineDedupQuery _),
+    "d_length_deciles" -> (lengthDeciles _),
+    "d_url_domains" -> (urlDomains _),
+    "d_weighted_sample" -> (weightedSample _),
+    "q_grouping_sets" -> (groupingSets _),
     "m_multimodal_meta" -> (multimodalMeta _),
     "m_multimodal_features" -> (multimodalFeatures _))
 
@@ -1308,5 +1466,111 @@ object SparkEntry {
       """SELECT doc_id, strlen(text) AS byte_len,
         | 64 + n_chars % 512 AS fake_width,
         | 64 + (n_chars * 7) % 512 AS fake_height
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_corr_stats" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+        | round(stddev_samp(l_quantity), 4) AS qty_stddev,
+        | round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // quantile_cont = linear interpolation, same definition as Spark's
+    // exact percentile aggregate
+    "q_value_quantiles" ->
+      """SELECT event_type, count(*) AS n,
+        | round(quantile_cont(value, 0.25), 4) AS p25,
+        | round(quantile_cont(value, 0.5), 4) AS p50,
+        | round(quantile_cont(value, 0.75), 4) AS p75,
+        | round(quantile_cont(value, 0.95), 4) AS p95
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // long-form melt of the per-flag aggregate triple (the UNION ALL is
+    // the relational spelling of UNPIVOT)
+    "q_unpivot" ->
+      """WITH w AS (
+        | SELECT l_returnflag,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  round(sum(l_discount), 2) AS sum_disc
+        | FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, measure, val FROM (
+        | SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS val FROM w
+        | UNION ALL
+        | SELECT l_returnflag, 'sum_price', sum_price FROM w
+        | UNION ALL
+        | SELECT l_returnflag, 'sum_disc', sum_disc FROM w)
+        |ORDER BY l_returnflag, measure""".stripMargin,
+    // C4-style line dedup over planted 3-line docs; a line in >= 20
+    // distinct docs is boilerplate and dropped
+    "d_line_dedup" ->
+      """WITH d AS (
+        | SELECT doc_id, text || chr(10) || 'subscribe to our newsletter today'
+        |   || chr(10) || 'copyright ' || source AS t
+        | FROM documents),
+        |l AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS line FROM d),
+        |c AS (SELECT line, 1 AS hit
+        |      FROM (SELECT DISTINCT doc_id, line FROM l)
+        |      GROUP BY line HAVING count(*) >= 20)
+        |SELECT l.doc_id AS doc_id, count(*) AS n_lines,
+        | count(*) - count(c.hit) AS n_kept,
+        | CAST(coalesce(sum(CASE WHEN c.hit IS NULL THEN len(l.line) ELSE 0 END), 0) AS BIGINT) AS kept_chars
+        |FROM l LEFT JOIN c USING (line)
+        |GROUP BY l.doc_id ORDER BY doc_id""".stripMargin,
+    // within-language length deciles (ntile bucket-size semantics are the
+    // SQL standard's in both engines: earlier buckets take the remainder)
+    "d_length_deciles" ->
+      """WITH t AS (
+        | SELECT lang, n_chars,
+        |  ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS decile
+        | FROM documents)
+        |SELECT lang, decile, count(*) AS n_docs,
+        | min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM t GROUP BY lang, decile ORDER BY lang, decile""".stripMargin,
+    // integer systematic PPS sampling: all arithmetic is exact bigint
+    // (div = integer division in both engines)
+    "d_weighted_sample" ->
+      """WITH b AS (
+        | SELECT source, doc_id,
+        |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0)) AS BIGINT) AS wt
+        | FROM documents),
+        |t AS (SELECT source, CAST(sum(wt) AS BIGINT) AS tot_wt FROM b GROUP BY source),
+        |c AS (
+        | SELECT b.source, b.doc_id, b.wt,
+        |  CAST(sum(wt) OVER (PARTITION BY b.source ORDER BY doc_id) AS BIGINT) AS cum,
+        |  greatest(tot_wt // 5, 1) AS step
+        | FROM b JOIN t USING (source))
+        |SELECT source, doc_id, wt AS tokens FROM c
+        |WHERE cum // step > (cum - wt) // step
+        |ORDER BY source, doc_id""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(lang, 'ALL') AS lang,
+        | coalesce(source, 'ALL') AS source,
+        | count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |GROUP BY GROUPING SETS ((lang), (source))
+        |ORDER BY lang, source""".stripMargin,
+    "d_url_domains" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  text || ' see https://' || source || '.example.com/p/' || doc_id ||
+        |  ' or http://m-' || lang || '.example.org/idx' AS dirty
+        | FROM documents),
+        |u AS (SELECT doc_id,
+        |        unnest(regexp_extract_all(dirty, 'https?://[^/\s]+[^\s]*')) AS url
+        |      FROM d)
+        |SELECT regexp_extract(url, 'https?://([^/\s]+)', 1) AS domain,
+        | count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
+        |FROM u GROUP BY domain ORDER BY domain""".stripMargin)
 }

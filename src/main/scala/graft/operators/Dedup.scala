@@ -394,6 +394,39 @@ object Dedup {
       .select(col("id"), coalesce(col("root"), col("id")).as("cluster_id"))
   }
 
+  /** Line-level exact dedup (the C4 cleaning rule): a LINE occurring in at
+    * least `minDocs` distinct documents is boilerplate (navigation chrome,
+    * cookie banners, licence footers) and is dropped from every document;
+    * unique-enough lines survive. Returns per-document stats
+    * (id, n_lines, n_kept, kept_chars) — callers re-assemble cleaned text
+    * with [[lineDedup]]'s kept-lines frame when they need the text itself.
+    *
+    * Scale shape: explode is map-side; the line-frequency groupBy partial-
+    * aggregates per-partition repeats before its exchange (same shape as
+    * [[boilerplate]]'s gram pass). The common set after `HAVING >= minDocs`
+    * is tiny relative to the corpus — AQE broadcasts it, so the second
+    * pass over the lines never shuffles; the per-doc rollup is one hash
+    * exchange keyed by id. Raise `minDocs` with corpus size, exactly like
+    * [[boilerplate]]'s `minDocs`.
+    */
+  def lineDedupStats(df: DataFrame, idCol: String, textCol: String,
+                     minDocs: Long): DataFrame = {
+    val lines = df.select(col(idCol).as("id"),
+      explode(split(col(textCol), "\n")).as("line"))
+    // doc frequency over DISTINCT (doc, line): a line repeated inside one
+    // document counts once
+    val common = lines.distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("line"), lit(1).as("hit"))
+    lines.join(common, Seq("line"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_lines"),
+        (count(lit(1)) - count(col("hit"))).as("n_kept"),
+        sum(when(col("hit").isNull, length(col("line"))).otherwise(lit(0)))
+          .cast("bigint").as("kept_chars"))
+  }
+
   /** Canonical selection: given cluster labels (id, cluster_id) and a
     * per-id score, keep the best-scoring member of every cluster (ties
     * break to the smallest id — deterministic). The final step of fuzzy

@@ -88,6 +88,39 @@ object Splits {
         round(lit(budgetDocs) * col("w_raw") / col("z"), 0).cast("bigint").as("budget_docs"))
   }
 
+  /** Systematic (fixed-interval) weighted sampling per stratum: lay each
+    * stratum's rows on a token-mass axis in deterministic id order and
+    * take one row per `step = tot_weight / perStratum` tokens — the row
+    * whose mass interval crosses a step boundary is picked. Inclusion
+    * probability is proportional to weight (the classic PPS/systematic
+    * design), yet everything is INTEGER arithmetic on exact token counts:
+    * no `rand()`, no `pow()` — the same rows are picked on every run, any
+    * engine, any partitioning. This is the deterministic replacement for
+    * Efraimidis–Spirakis priority sampling, whose `u^(1/w)` keys are not
+    * bit-stable across libm implementations.
+    *
+    * Scale shape: one groupBy for per-stratum totals (tiny → broadcast
+    * back), one window partitioned BY STRATUM for the running mass —
+    * strata cumulate in parallel, no global sort. Returns the picked rows
+    * as (stratum, id, weight).
+    */
+  def systematicSample(df: DataFrame, strataCol: String, idCol: String,
+                       weightCol: Column, perStratum: Long): DataFrame = {
+    require(perStratum > 0, "perStratum must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum")).orderBy(col(idCol))
+    val base = df.select(col(strataCol).as("stratum"), col(idCol),
+      weightCol.cast("bigint").as("weight"))
+    val tot = base.groupBy(col("stratum")).agg(sum(col("weight")).as("tot_wt"))
+    base.join(broadcast(tot), "stratum")
+      .withColumn("cum", sum(col("weight")).over(w))
+      .withColumn("step", greatest(expr(s"tot_wt div $perStratum"), lit(1L)))
+      // picked iff this row's (cum-weight, cum] interval crosses a step
+      // boundary — `div` keeps the comparison in exact integer arithmetic
+      .filter(expr("cum div step") > expr("(cum - weight) div step"))
+      .select(col("stratum"), col(idCol), col("weight"))
+  }
+
   /** Token-budget sequence packing, concat-and-chunk style: documents are
     * laid out in a deterministic order into a per-shard token stream and
     * the stream is chunked every `budget` tokens; each document's bin is

@@ -24,6 +24,21 @@ class ProfilerSpec extends SparkSpec {
     assert(row.getAs[String]("value") == "a") // a and b tie at 2; a < b
     assert(row.getAs[Long]("cnt") == 2L)
   }
+
+  test("approx percentile tracks exact within 1% — the 100 TB quantile path") {
+    // q_value_quantiles' documented scale path: percentile_approx (one-pass
+    // mergeable sketch) must stay close to the exact aggregate it replaces
+    val ev = Tables(spark, "/root/testdata/sf0.01", "events")
+    val row = ev.agg(
+      expr("percentile(value, array(0.25D, 0.5D, 0.75D, 0.95D))").as("ex"),
+      expr("percentile_approx(value, array(0.25D, 0.5D, 0.75D, 0.95D), 10000)").as("ap"))
+      .collect()(0)
+    val ex = row.getSeq[Double](0)
+    val ap = row.getSeq[Double](1)
+    ex.zip(ap).foreach { case (e, a) =>
+      assert(math.abs(a - e) <= 0.01 * math.abs(e) + 1e-9, s"exact=$e approx=$a")
+    }
+  }
 }
 
 class UsageStatsSpec extends SparkSpec {
@@ -254,6 +269,20 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq(11L, 13L)) // 10 known, 12 loses to 11
   }
 
+  test("lineDedupStats drops lines shared by >= minDocs distinct docs") {
+    val d = Seq(
+      (1L, "alpha\nshared footer"),
+      (2L, "beta four\nshared footer"),
+      (3L, "gamma\nshared footer\ngamma")).toDF("doc_id", "text")
+    val out = Dedup.lineDedupStats(d, "doc_id", "text", minDocs = 2)
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("n_lines"),
+        r.getAs[Long]("n_kept"), r.getAs[Long]("kept_chars"))).toSeq
+    // "shared footer" is in 3 distinct docs → dropped everywhere; doc 3's
+    // repeated "gamma" counts ONE distinct doc, so both copies survive
+    assert(out == Seq((1L, 2L, 1L, 5L), (2L, 2L, 1L, 9L), (3L, 3L, 2L, 10L)))
+  }
+
   test("keepBest keeps the top-scoring member per cluster, ties to min id") {
     val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
       .toDF("id", "cluster_id")
@@ -385,6 +414,25 @@ class SplitsSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(counts.keySet == Set("train", "valid", "test"))
     assert(counts("train") > counts("valid") && counts("train") > counts("test"))
+  }
+
+  test("systematic sample picks one row per weight-step, deterministically") {
+    // uniform weights: every other row crosses a step boundary
+    val uniform = (1L to 10L).map(i => ("a", i, 10L)).toDF("src", "id", "wt")
+    val picked = Splits.systematicSample(uniform, "src", "id", col("wt"), 5)
+      .collect().map(_.getAs[Long]("id")).sorted.toSeq
+    assert(picked == Seq(2L, 4L, 6L, 8L, 10L)) // tot=100, step=20
+    // skewed weights: the heavy row is picked (it spans both boundaries,
+    // but lands once); light rows before it never cross one
+    val skewed = Seq(("a", 1L, 10L), ("a", 2L, 10L), ("a", 3L, 10L), ("a", 4L, 70L))
+      .toDF("src", "id", "wt")
+    val p2 = Splits.systematicSample(skewed, "src", "id", col("wt"), 2)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(p2 == Seq(4L))
+    // pure function: rerun is identical
+    val again = Splits.systematicSample(uniform, "src", "id", col("wt"), 5)
+      .collect().map(_.getAs[Long]("id")).sorted.toSeq
+    assert(again == picked)
   }
 
   test("sequence packing chunks per-shard token streams at the budget") {

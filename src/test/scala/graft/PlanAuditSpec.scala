@@ -134,4 +134,42 @@ class PlanAuditSpec extends SparkSpec {
     assert(afterExchange.contains("partial_min") || p.contains("partial_min"), p)
     assert(exchanges(p) == 1, p)
   }
+
+  test("semi join pushes the date filter to the orders scan; no row duplication") {
+    val p = plan(SparkEntry.queries("q_semi_join")(spark, dir))
+    assert(p.contains("LeftSemi"), p)
+    // the 1997 predicate reaches the parquet scan, not a post-join filter
+    assert(p.contains("PushedFilters") && p.contains("o_orderdate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("line dedup: frequency pass partial-aggregates; no cartesian") {
+    val docs = Tables(spark, dir, "documents")
+    val p = plan(Dedup.lineDedupStats(docs, "doc_id", "text", minDocs = 20))
+    // line-frequency groupBy collapses per-partition repeats map-side
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+}
+
+/** Row-level invariants tying the relational query surface together. */
+class JoinOpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("semi and anti joins partition the customer table exactly") {
+    val semi = SparkEntry.queries("q_semi_join")(spark, dir).count()
+    val anti = SparkEntry.queries("q_anti_join")(spark, dir).count()
+    val all = Tables(spark, dir, "customer").count()
+    assert(semi > 0 && anti > 0, s"degenerate split: semi=$semi anti=$anti")
+    assert(semi + anti == all, s"semi=$semi + anti=$anti != customers=$all")
+  }
+
+  test("unpivot emits one long row per (group, measure)") {
+    val out = SparkEntry.queries("q_unpivot")(spark, dir)
+    val flags = Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag")).distinct().count()
+    assert(out.count() == flags * 3)
+    assert(out.columns.toSeq == Seq("l_returnflag", "measure", "val"))
+  }
 }
