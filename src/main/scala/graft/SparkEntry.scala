@@ -824,6 +824,35 @@ object SparkEntry {
             |ORDER BY lang, source""".stripMargin)
   }
 
+  private def minhashPortable(s: SparkSession, dir: String): DataFrame =
+    // the engine-portable minhash signature table: md5-based, so the
+    // DuckDB oracle reproduces every signature bit-for-bit (the xxhash64
+    // production path d_minhash_pairs grades rows-only)
+    Dedup.portableMinhash(t(s, dir, "documents"), "doc_id", "text", k = 8)
+      .orderBy(col("doc_id"))
+
+  private def lshPortablePairs(s: SparkSession, dir: String): DataFrame = {
+    // portable minhash-LSH end to end: signatures → 4 bands of 2 → bucket
+    // groupBy → in-bucket pair expansion — the full LSH candidate
+    // generation oracle-checked against a DuckDB self-join spelling.
+    // Bucket cap effectively off: the oracle has no cap, and sf-corpus
+    // buckets are tiny; production callers use minhashLsh's default cap
+    val sigs = Dedup.portableMinhash(t(s, dir, "documents"), "doc_id", "text", k = 8)
+    Dedup.candidatePairs(Dedup.portableBands(sigs, "doc_id", k = 8, bands = 4),
+        maxBucketSize = 1000000)
+      .orderBy(col("a"), col("b"))
+  }
+
+  private def simhashPortable(s: SparkSession, dir: String): DataFrame =
+    Dedup.portableSimhash(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  private def shuffleShardsQuery(s: SparkSession, dir: String): DataFrame =
+    // deterministic epoch shuffle into 16 training shards; (shard, pos)
+    // is the global training order, reproducible in any engine
+    Splits.shuffleShards(t(s, dir, "documents"), "doc_id", "epoch0", shards = 16)
+      .orderBy(col("shard"), col("pos"))
+
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -898,7 +927,11 @@ object SparkEntry {
     "d_weighted_sample" -> (weightedSample _),
     "q_grouping_sets" -> (groupingSets _),
     "m_multimodal_meta" -> (multimodalMeta _),
-    "m_multimodal_features" -> (multimodalFeatures _))
+    "m_multimodal_features" -> (multimodalFeatures _),
+    "d_minhash_portable" -> (minhashPortable _),
+    "d_lsh_portable_pairs" -> (lshPortablePairs _),
+    "d_simhash_portable" -> (simhashPortable _),
+    "d_shuffle_shards" -> (shuffleShardsQuery _))
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -1572,5 +1605,91 @@ object SparkEntry {
         |      FROM d)
         |SELECT regexp_extract(url, 'https?://([^/\s]+)', 1) AS domain,
         | count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
-        |FROM u GROUP BY domain ORDER BY domain""".stripMargin)
+        |FROM u GROUP BY domain ORDER BY domain""".stripMargin,
+    // engine-portable minhash: md5 hex strings agree bit-for-bit across
+    // engines and MIN over them is binary-collation lexicographic in both
+    "d_minhash_portable" ->
+      s"""WITH tk AS (
+        | SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+        |              x -> len(x) > 0) AS t
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 3
+        |   THEN list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |   ELSE [] END)) AS sh
+        | FROM tk)
+        |SELECT doc_id,
+        | ${(0 until 8).map(p => s"min(md5('$p:' || sh)) AS sig$p").mkString(",\n | ")}
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the full portable LSH candidate generation: same signatures, 4
+    // bands of 2, pairs sharing any band. DuckDB spells the in-bucket
+    // expansion as a self-join; Spark groups by bucket and expands inside
+    // the group (no self-join) — same pair set either way
+    "d_lsh_portable_pairs" ->
+      s"""WITH tk AS (
+        | SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+        |              x -> len(x) > 0) AS t
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 3
+        |   THEN list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |   ELSE [] END)) AS sh
+        | FROM tk),
+        |sig AS (
+        | SELECT doc_id,
+        | ${(0 until 8).map(p => s"min(md5('$p:' || sh)) AS sig$p").mkString(",\n | ")}
+        | FROM s GROUP BY doc_id),
+        |bands AS (
+        | SELECT doc_id, bb.band AS band_id,
+        |  md5(CASE bb.band WHEN 0 THEN sig0 || sig1 WHEN 1 THEN sig2 || sig3
+        |      WHEN 2 THEN sig4 || sig5 ELSE sig6 || sig7 END) AS key
+        | FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) AS bb(band))
+        |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |FROM bands x JOIN bands y
+        | ON x.band_id = y.band_id AND x.key = y.key AND x.doc_id < y.doc_id
+        |ORDER BY a, b""".stripMargin,
+    // portable 16-bit simhash: hex digit p of md5(shingle) votes ±1 on
+    // bit p by its high nibble bit ('8'..'f'); DuckDB cross-joins the 16
+    // bit positions where Spark keeps them as parallel agg columns
+    "d_simhash_portable" ->
+      """WITH tk AS (
+        | SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |              x -> len(x) > 0) AS t
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 3
+        |   THEN list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |   ELSE [] END)) AS sh
+        | FROM tk),
+        |h AS (SELECT doc_id, md5(sh) AS hh FROM s),
+        |v AS (
+        | SELECT doc_id, pp.p,
+        |  CASE WHEN sum(CASE WHEN instr('89abcdef', substr(hh, pp.p, 1)) > 0
+        |                     THEN 1 ELSE -1 END) > 0
+        |       THEN 1 ELSE 0 END AS bit
+        | FROM h CROSS JOIN (SELECT unnest(range(1, 17)) AS p) pp
+        | GROUP BY doc_id, pp.p)
+        |SELECT doc_id,
+        | CAST(sum(bit * (CAST(1 AS BIGINT) << (p - 1))) AS BIGINT) AS simhash16
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // deterministic epoch shuffle: md5("<id>:<salt>") orders, its first 8
+    // hex chars bucket into 16 shards, row_number ranks within the shard
+    "d_shuffle_shards" ->
+      """WITH b AS (
+        | SELECT doc_id,
+        |  md5(CAST(doc_id AS VARCHAR) || ':epoch0') AS h
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, h,
+        |  CAST(CAST(concat('0x', substring(h, 1, 8)) AS BIGINT) % 16 AS INT) AS shard
+        | FROM b)
+        |SELECT doc_id, shard,
+        | row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
+        |FROM c ORDER BY shard, pos""".stripMargin)
 }

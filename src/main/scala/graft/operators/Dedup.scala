@@ -493,4 +493,90 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  // ---------------------------------------------------------------------
+  // Engine-portable near-dup kernels (md5-based, SQL-expressible)
+  //
+  // The production minhash/simhash path hashes with the codegen'd xxhash64
+  // kernels above — fastest, but no other engine reproduces the buckets,
+  // so those stages grade rows-only. The `portable*` variants express the
+  // SAME algorithms over md5: every engine's md5 hex agrees bit-for-bit
+  // and binary-collation MIN over lowercase hex strings is deterministic,
+  // so signatures, band buckets, and candidate pairs are reproducible in
+  // DuckDB/Trino/any SQL engine — the cross-engine audit path that lets
+  // the dedup pipeline be oracle-checked end to end.
+  // ---------------------------------------------------------------------
+
+  /** Distinct 3-word shingles in portable SQL form (lowercase, `\s+`
+    * split, windows i..i+2) — the engine-portable twin of the codegen'd
+    * [[shingles]] kernel. */
+  def portableShingles(text: Column): Column = {
+    val tk = filter(split(lower(trim(text)), "\\s+"), x => length(x) > 0)
+    // guard: Spark's sequence(1, n) runs DESCENDING for n < 1, so a short
+    // doc must yield an empty set explicitly (DuckDB's range(1, n) is
+    // simply empty there)
+    array_distinct(when(size(tk) >= 3,
+        transform(sequence(lit(1), size(tk) - 2), i =>
+          concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
+            element_at(tk, i + 2))))
+      .otherwise(array().cast("array<string>")))
+  }
+
+  /** k engine-portable MinHash signatures: `sig_p` = MIN over the doc's
+    * shingle set of `md5("<p>:<shingle>")`. Docs with no shingles drop out
+    * (explode semantics), matching [[minhashSignatures]].
+    *
+    * Scale shape: one explode + ONE groupBy whose k mins combine map-side,
+    * so the shuffle carries k hex strings per doc — heavier than the
+    * map-side-only production path, but still a single exchange keyed by
+    * id with partial aggregation.
+    */
+  def portableMinhash(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 8): DataFrame = {
+    val exploded = df.select(col(idCol),
+      explode(portableShingles(col(textCol))).as("sh"))
+    val mins = (0 until k).map(p =>
+      min(md5(concat(lit(s"$p:"), col("sh")))).as(s"sig$p"))
+    exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding over portable signatures: `bands` bands of `k/bands`
+    * consecutive sigs, band key = md5 of their concatenation. Emits
+    * `(id, band_id, band_hash)` ready for [[candidatePairs]]. */
+  def portableBands(sigs: DataFrame, idCol: String, k: Int,
+                    bands: Int): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val r = k / bands
+    val keys = array((0 until bands).map { b =>
+      md5(concat((0 until r).map(i => col(s"sig${b * r + i}")): _*))
+    }: _*)
+    sigs.select(col(idCol).as("id"),
+      posexplode(keys).as(Seq("band_id", "band_hash")))
+  }
+
+  /** Engine-portable 16-bit SimHash: bit p of the fingerprint is the sign
+    * of the ±1 vote sum over the doc's shingles, where a shingle votes +1
+    * on bit p iff hex digit p of `md5(shingle)` has its high nibble bit
+    * set (digit in '8'..'f'). The same majority-vote construction as the
+    * 64-bit production [[simhash]]; md5 hex digits make every bit
+    * reproducible in plain SQL. One explode + one 16-column groupBy
+    * (partial agg map-side — the DuckDB spelling cross-joins 16 bit
+    * positions instead; Spark keeps them as parallel agg columns so rows
+    * are not multiplied before the exchange).
+    */
+  def portableSimhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val ex = df.select(col(idCol),
+        explode(portableShingles(col(textCol))).as("sh"))
+      .withColumn("h", md5(col("sh")))
+    val votes = (1 to 16).map { p =>
+      sum(when(substring(col("h"), p, 1).isin(hexHigh: _*), 1)
+        .otherwise(-1)).as(s"v$p")
+    }
+    val fp = (1 to 16).map(p =>
+        when(col(s"v$p") > 0, lit(1L << (p - 1))).otherwise(lit(0L)))
+      .reduce(_ + _)
+    ex.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol), fp.as("simhash16"))
+  }
 }

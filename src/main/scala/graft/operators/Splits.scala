@@ -121,6 +121,31 @@ object Splits {
       .select(col("stratum"), col(idCol), col("weight"))
   }
 
+  /** Deterministic global shuffle into training shards: shard = md5
+    * bucket of `"<id>:<salt>"`, position = rank of that md5 within the
+    * shard. Reproduces the "shuffle the corpus once, then shard to N
+    * data-loader workers" layout of a pretraining run without `rand()`:
+    * the same salt gives the same order on every run and every engine,
+    * and a new salt is a fresh epoch permutation.
+    *
+    * Scale shape: NO global sort — one hash shuffle on shard, then each
+    * shard's `row_number` window cumulates independently (a single global
+    * ORDER BY would funnel the whole corpus through one task). Shards map
+    * 1:1 onto training workers; (shard, pos) is the global order.
+    */
+  def shuffleShards(df: DataFrame, idCol: String, salt: String,
+                    shards: Int = 16): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("h"), col(idCol))
+    df.select(col(idCol),
+        md5(concat(col(idCol).cast("string"), lit(":" + salt))).as("h"))
+      .withColumn("shard",
+        (conv(substring(col("h"), 1, 8), 16, 10).cast("bigint") % shards).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
   /** Token-budget sequence packing, concat-and-chunk style: documents are
     * laid out in a deterministic order into a per-shard token stream and
     * the stream is chunked every `budget` tokens; each document's bin is

@@ -304,6 +304,43 @@ class DedupSpec extends SparkSpec {
     assert(labels.getOrElse(3L, -1L) == 0L)
     assert(!labels.contains(2L))
   }
+
+  test("portable shingles: short docs yield empty sets (sequence guard)") {
+    // Spark's sequence(1, n) runs DESCENDING for n < 1 — the guard must
+    // keep <3-token docs empty like DuckDB's range(1, n)
+    val df = Seq((1L, "one two"), (2L, "a b c d")).toDF("id", "text")
+      .select(col("id"), Dedup.portableShingles(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(df(1L).isEmpty)
+    assert(df(2L) == Seq("a b c", "b c d"))
+  }
+
+  test("portable minhash/simhash: identical texts agree, near-dups stay near") {
+    val df = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight"),
+      (1L, "the quick brown fox jumps over the lazy dog tonight"), // exact dup
+      (2L, "the quick brown fox jumps over the lazy cat tonight"), // near dup
+      (3L, "entirely different words about spark shuffles and joins here"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.portableMinhash(df, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getString)).toMap
+    assert(sigs(0L) == sigs(1L)) // exact dup: every signature identical
+    // near dup shares most minima; disjoint doc shares none
+    assert(sigs(0L).zip(sigs(2L)).count { case (a, b) => a == b } >
+      sigs(0L).zip(sigs(3L)).count { case (a, b) => a == b })
+    val sh = Dedup.portableSimhash(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) == sh(1L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0L), sh(2L)) < ham(sh(0L), sh(3L)))
+    // exact dups land in the same bucket in EVERY band → always a pair
+    val pairs = Dedup.candidatePairs(
+        Dedup.portableBands(Dedup.portableMinhash(df, "doc_id", "text", k = 8),
+          "doc_id", k = 8, bands = 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
 }
 
 class TextPipelineSpec extends SparkSpec {
@@ -481,6 +518,27 @@ class SplitsSpec extends SparkSpec {
         ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getLong(5)))).toMap
     assert(out("big") == ((3L, 9000L, 0.9, 0.75, 750L)))
     assert(out("small") == ((1L, 1000L, 0.1, 0.25, 250L)))
+  }
+
+  test("shuffle shards: a permutation, contiguous per-shard positions, salt-sensitive") {
+    val docs = (0L until 500L).map(i => Tuple1(i)).toDF("id")
+    val out = Splits.shuffleShards(docs, "id", "epoch0", shards = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // every id exactly once
+    assert(out.map(_._1).toSet == (0L until 500L).toSet)
+    // positions within a shard are exactly 1..count (a valid local order)
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.size).toSeq,
+        s"shard $shard has gapped positions")
+    }
+    // deterministic: same salt reruns identically
+    val again = Splits.shuffleShards(docs, "id", "epoch0", shards = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // a new salt is a fresh permutation: some doc moves shard or position
+    val epoch1 = Splits.shuffleShards(docs, "id", "epoch1", shards = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(out.sortBy(_._1).toSeq != epoch1.sortBy(_._1).toSeq)
   }
 }
 
