@@ -853,6 +853,33 @@ object SparkEntry {
     Splits.shuffleShards(t(s, dir, "documents"), "doc_id", "epoch0", shards = 16)
       .orderBy(col("shard"), col("pos"))
 
+  private def lshIncremental(s: SparkSession, dir: String): DataFrame = {
+    // steady-state near-dup ingest: the LSH band index of docs < 250 is
+    // the existing corpus; a batch doc (>= 250) survives iff NONE of its
+    // band keys collides with the index. No pair expansion at all — one
+    // semi-join of batch bands against index bands (both sides already
+    // partitioned by band key), then an anti-join back to batch ids. At
+    // 100 TB the index is a stored table bucketed by band_hash, so the
+    // semi-join co-locates without a fresh shuffle of the index side.
+    val docs = t(s, dir, "documents")
+    def bands(d: DataFrame) = Dedup.portableBands(
+      Dedup.portableMinhash(d, "doc_id", "text", k = 8), "doc_id", k = 8, bands = 4)
+    val hits = bands(docs.filter(col("doc_id") >= 250))
+      .join(bands(docs.filter(col("doc_id") < 250)),
+        Seq("band_id", "band_hash"), "left_semi")
+      .select(col("id")).distinct()
+    docs.filter(col("doc_id") >= 250).select(col("doc_id"))
+      .join(hits, col("doc_id") === hits("id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
+  private def dupSpans(s: SparkSession, dir: String): DataFrame =
+    // per-doc duplicated-span coverage — the audit stage of exact-substring
+    // dedup: which fraction of a doc's 3-gram windows (positional, repeats
+    // counted) also occurs in some OTHER doc
+    Dedup.duplicatedSpanStats(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -931,7 +958,9 @@ object SparkEntry {
     "d_minhash_portable" -> (minhashPortable _),
     "d_lsh_portable_pairs" -> (lshPortablePairs _),
     "d_simhash_portable" -> (simhashPortable _),
-    "d_shuffle_shards" -> (shuffleShardsQuery _))
+    "d_shuffle_shards" -> (shuffleShardsQuery _),
+    "d_lsh_incremental" -> (lshIncremental _),
+    "d_dup_spans" -> (dupSpans _))
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -1691,5 +1720,60 @@ object SparkEntry {
         | FROM b)
         |SELECT doc_id, shard,
         | row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
-        |FROM c ORDER BY shard, pos""".stripMargin)
+        |FROM c ORDER BY shard, pos""".stripMargin,
+    // incremental near-dup ingest: batch docs (>= 250) survive iff no
+    // portable-LSH band key collides with the index of docs < 250
+    "d_lsh_incremental" ->
+      s"""WITH tk AS (
+        | SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+        |              x -> len(x) > 0) AS t
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 3
+        |   THEN list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |   ELSE [] END)) AS sh
+        | FROM tk),
+        |sig AS (
+        | SELECT doc_id,
+        | ${(0 until 8).map(p => s"min(md5('$p:' || sh)) AS sig$p").mkString(",\n | ")}
+        | FROM s GROUP BY doc_id),
+        |bands AS (
+        | SELECT doc_id, bb.band AS band_id,
+        |  md5(CASE bb.band WHEN 0 THEN sig0 || sig1 WHEN 1 THEN sig2 || sig3
+        |      WHEN 2 THEN sig4 || sig5 ELSE sig6 || sig7 END) AS key
+        | FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) AS bb(band)),
+        |hits AS (
+        | SELECT DISTINCT n.doc_id
+        | FROM bands n JOIN bands o
+        |  ON n.band_id = o.band_id AND n.key = o.key
+        | WHERE n.doc_id >= 250 AND o.doc_id < 250)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id >= 250 AND doc_id NOT IN (SELECT doc_id FROM hits)
+        |ORDER BY doc_id""".stripMargin,
+    // duplicated-span coverage: positional 3-gram windows (repeats kept)
+    // vs the set of grams occurring in >= 2 distinct docs
+    "d_dup_spans" ->
+      """WITH tk AS (
+        | SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |              x -> len(x) > 0) AS t
+        | FROM documents),
+        |w AS (
+        | SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+        |   THEN list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |   ELSE [] END) AS g
+        | FROM tk),
+        |h AS (SELECT doc_id, md5(g) AS gh FROM w),
+        |c AS (
+        | SELECT gh, 1 AS dup
+        | FROM (SELECT DISTINCT doc_id, gh FROM h)
+        | GROUP BY gh HAVING count(*) >= 2)
+        |SELECT h.doc_id AS doc_id, count(*) AS n_windows,
+        | CAST(coalesce(sum(c.dup), 0) AS BIGINT) AS n_dup,
+        | round(coalesce(sum(c.dup), 0) / count(*), 4) AS dup_frac
+        |FROM h LEFT JOIN c USING (gh)
+        |GROUP BY h.doc_id ORDER BY doc_id""".stripMargin)
 }

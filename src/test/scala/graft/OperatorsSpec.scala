@@ -309,7 +309,8 @@ class DedupSpec extends SparkSpec {
     // Spark's sequence(1, n) runs DESCENDING for n < 1 — the guard must
     // keep <3-token docs empty like DuckDB's range(1, n)
     val df = Seq((1L, "one two"), (2L, "a b c d")).toDF("id", "text")
-      .select(col("id"), Dedup.portableShingles(col("text")).as("sh"))
+      .select(col("id"), Dedup.portableTokens(col("text")).as("tk"))
+      .select(col("id"), Dedup.portableShingleWindows(col("tk")).as("sh"))
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
     assert(df(1L).isEmpty)
     assert(df(2L) == Seq("a b c", "b c d"))
@@ -340,6 +341,26 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((0L, 1L)))
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("duplicated-span coverage counts positional windows shared across docs") {
+    val df = Seq(
+      (0L, "alpha beta gamma delta epsilon"), // 3 windows, 1 shared
+      (1L, "alpha beta gamma zeta eta"),      // 3 windows, 1 shared
+      (2L, "totally unrelated words here now")) // 3 windows, 0 shared
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpanStats(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(0L) == ((3L, 1L, 0.3333)))
+    assert(out(1L) == ((3L, 1L, 0.3333)))
+    assert(out(2L) == ((3L, 0L, 0.0)))
+    // a gram repeated only WITHIN one doc is not a duplicated span
+    val self = Seq((0L, "x y z x y z x y"), (1L, "p q r s t u v"))
+      .toDF("doc_id", "text")
+    val selfOut = Dedup.duplicatedSpanStats(self, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(selfOut(0L) == 0L)
   }
 }
 
