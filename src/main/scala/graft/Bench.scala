@@ -118,7 +118,16 @@ object Bench {
     // total covers only succeeded queries — a time-to-abort is not a timing
     val ok = results.filterNot(_._2.failed)
     val total = ok.map(_._2.sec).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"agg":"min","queries":$qs,"rows":$rows,"failed":$failedNames,"errors":$errs,"notes":$notes,"n_ok":${ok.size},"n_failed":${results.size - ok.size},"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"agg":"min","queries":$qs,"rows":$rows,"failed":$failedNames,"errors":$errs,"notes":$notes,"n_ok":${ok.size},"n_failed":${results.size - ok.size},"sf":"$sfDir"}"""
+    println(line)
+    // fallback artifact: sbt prefixes stdout with "[info] ", which has
+    // broken the harness's metric-line extraction before (BENCH_r03
+    // recorded "parsed": null) — the bare line on disk survives any
+    // stdout mangling
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not write BENCH_SELF.json: $e") }
     spark.stop()
     // flag the run as a whole if any query failed (after the JSON line is out)
     if (ok.size != results.size) sys.exit(1)
