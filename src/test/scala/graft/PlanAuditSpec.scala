@@ -150,6 +150,46 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("portable minhash: one exchange; tokens projected OUTSIDE the window lambda") {
+    val docs = Tables(spark, dir, "documents")
+    val p = plan(Dedup.portableMinhash(docs, "doc_id", "text", k = 8))
+    // one groupBy shuffle carrying the k partial mins
+    assert(exchanges(p) == 1, p)
+    assert(p.contains("partial_min") || p.contains("partial min") ||
+      p.contains("HashAggregate"), p)
+    // the regression this guards: if the tokenizer ever moves back inside
+    // the transform() lambda, regex split re-runs per window index (27×
+    // measured). The split must appear in a projection, where its output
+    // feeds lambda element reads — i.e. exactly one `split(` site that is
+    // NOT inside a lambdafunction(...) rendering
+    val splitSites = "split\\(".r.findAllIn(p).size
+    assert(splitSites >= 1, p)
+    val lambdaBlocks = "lambdafunction\\([^)]*split\\(".r.findAllIn(p).size
+    assert(lambdaBlocks == 0, s"tokenizer leaked into a lambda body:\n$p")
+  }
+
+  test("duplicated-span stats: shuffles carry md5 keys, never raw grams") {
+    val docs = Tables(spark, dir, "documents")
+    val df = Dedup.duplicatedSpanStats(docs, "doc_id", "text")
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // every hash exchange partitions on gh (the md5) or the doc id — a
+    // shuffle keyed on the raw gram text would show `sh` here
+    val exchangeLines = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchangeLines.nonEmpty, p)
+    exchangeLines.foreach { l =>
+      assert(l.contains("gh") || l.contains("doc_id"), s"shuffle not keyed on digest/id: $l")
+    }
+  }
+
+  test("shard shuffle: one hash exchange on shard, no global sort, no single partition") {
+    val docs = Tables(spark, dir, "documents")
+    val p = plan(Splits.shuffleShards(docs, "doc_id", "epoch0", shards = 16))
+    assert(exchanges(p) == 1, p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p) // windows are per-shard
+  }
 }
 
 /** Row-level invariants tying the relational query surface together. */
