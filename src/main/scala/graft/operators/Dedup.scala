@@ -595,16 +595,25 @@ object Dedup {
     */
   def duplicatedSpanStats(df: DataFrame, idCol: String,
                           textCol: String): DataFrame = {
-    val windows = portableShingleStream(df, idCol, textCol, distinctPerDoc = false)
+    // collapse the window stream to per-(doc, gram) counts FIRST: one
+    // explode + one shuffle, and the collapsed frame (≤ distinct grams
+    // per doc) feeds both downstream consumers. It is consumed twice —
+    // the ≥2-docs common set and the join back — so localCheckpoint
+    // materializes it once instead of re-running the corpus explode per
+    // consumer (the verifyJaccard pattern)
+    val perDocGram = portableShingleStream(df, idCol, textCol, distinctPerDoc = false)
       .select(col(idCol), md5(col("sh")).as("gh"))
-    val common = windows.select(col(idCol), col("gh")).distinct()
-      .groupBy(col("gh")).agg(count(lit(1)).as("nd"))
+      .groupBy(col("gh"), col(idCol)).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    // perDocGram is distinct by (gh, doc), so doc frequency is a plain count
+    val common = perDocGram.groupBy(col("gh"))
+      .agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2)
       .select(col("gh"), lit(1).as("dup"))
-    windows.join(common, Seq("gh"), "left")
+    perDocGram.join(common, Seq("gh"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_windows"),
-        sum(coalesce(col("dup"), lit(0))).cast("bigint").as("n_dup"))
+      .agg(sum(col("n")).cast("bigint").as("n_windows"),
+        sum(coalesce(col("dup"), lit(0)) * col("n")).cast("bigint").as("n_dup"))
       .withColumn("dup_frac", round(col("n_dup") / col("n_windows"), 4))
   }
 
