@@ -962,6 +962,19 @@ object SparkEntry {
     "d_lsh_incremental" -> (lshIncremental _),
     "d_dup_spans" -> (dupSpans _))
 
+  // shared fragments of the portable-minhash oracles (must mirror
+  // Dedup.portableMinhash/portableBands exactly): sig_p = min 32-bit
+  // slice p%4 of md5("<p/4>:<shingle>"), band key = md5 of the
+  // ':'-joined decimal sig pair
+  private val portableSigSelect: String =
+    (0 until 8).map(p =>
+      s"min(CAST(concat('0x', substr(md5('${p / 4}:' || sh), ${1 + 8 * (p % 4)}, 8)) AS BIGINT)) AS sig$p")
+      .mkString(",\n | ")
+  private val portableBandCase: String =
+    (0 until 4).map(b =>
+      s"WHEN $b THEN CAST(sig${2 * b} AS VARCHAR) || ':' || CAST(sig${2 * b + 1} AS VARCHAR)")
+      .mkString("\n |      ")
+
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1650,7 +1663,7 @@ object SparkEntry {
         |   ELSE [] END)) AS sh
         | FROM tk)
         |SELECT doc_id,
-        | ${(0 until 8).map(p => s"min(md5('$p:' || sh)) AS sig$p").mkString(",\n | ")}
+        | $portableSigSelect
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the full portable LSH candidate generation: same signatures, 4
     // bands of 2, pairs sharing any band. DuckDB spells the in-bucket
@@ -1670,12 +1683,11 @@ object SparkEntry {
         | FROM tk),
         |sig AS (
         | SELECT doc_id,
-        | ${(0 until 8).map(p => s"min(md5('$p:' || sh)) AS sig$p").mkString(",\n | ")}
+        | $portableSigSelect
         | FROM s GROUP BY doc_id),
         |bands AS (
         | SELECT doc_id, bb.band AS band_id,
-        |  md5(CASE bb.band WHEN 0 THEN sig0 || sig1 WHEN 1 THEN sig2 || sig3
-        |      WHEN 2 THEN sig4 || sig5 ELSE sig6 || sig7 END) AS key
+        |  md5(CASE bb.band $portableBandCase END) AS key
         | FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) AS bb(band))
         |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
         |FROM bands x JOIN bands y
@@ -1737,12 +1749,11 @@ object SparkEntry {
         | FROM tk),
         |sig AS (
         | SELECT doc_id,
-        | ${(0 until 8).map(p => s"min(md5('$p:' || sh)) AS sig$p").mkString(",\n | ")}
+        | $portableSigSelect
         | FROM s GROUP BY doc_id),
         |bands AS (
         | SELECT doc_id, bb.band AS band_id,
-        |  md5(CASE bb.band WHEN 0 THEN sig0 || sig1 WHEN 1 THEN sig2 || sig3
-        |      WHEN 2 THEN sig4 || sig5 ELSE sig6 || sig7 END) AS key
+        |  md5(CASE bb.band $portableBandCase END) AS key
         | FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) AS bb(band)),
         |hits AS (
         | SELECT DISTINCT n.doc_id

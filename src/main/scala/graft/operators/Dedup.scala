@@ -548,32 +548,42 @@ object Dedup {
         explode(if (distinctPerDoc) array_distinct(win) else win).as("sh"))
   }
 
-  /** k engine-portable MinHash signatures: `sig_p` = MIN over the doc's
-    * shingle set of `md5("<p>:<shingle>")`. Docs with no shingles drop out
+  /** k engine-portable MinHash signatures: the 32 hex chars of
+    * `md5("<j>:<shingle>")` split into four independent 32-bit hashes
+    * (md5 bits are uniform and independent, so the slices are k distinct
+    * hash functions from k/4 digests), and `sig_p` = MIN of slice p over
+    * the doc's shingle set, as a BIGINT. Docs with no shingles drop out
     * (explode semantics), matching [[minhashSignatures]].
     *
-    * Scale shape: one explode + ONE groupBy whose k mins combine map-side,
-    * so the shuffle carries k hex strings per doc — heavier than the
-    * map-side-only production path, but still a single exchange keyed by
-    * id with partial aggregation.
+    * Scale shape: one explode + ONE groupBy whose k int mins combine
+    * map-side — k/4 md5 calls per shingle (not k) and the exchange
+    * carries k longs per doc (not k hex strings). Still heavier than the
+    * map-side-only production path, but the leanest SQL-portable form.
     */
   def portableMinhash(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 8): DataFrame = {
+    require(k % 4 == 0, s"k=$k must be a multiple of 4 (md5 yields 4 slices)")
     val exploded = portableShingleStream(df, idCol, textCol, distinctPerDoc = true)
-    val mins = (0 until k).map(p =>
-      min(md5(concat(lit(s"$p:"), col("sh")))).as(s"sig$p"))
+      .select(col(idCol) +:
+        (0 until k / 4).map(j => md5(concat(lit(s"$j:"), col("sh"))).as(s"h$j")): _*)
+    val mins = (0 until k).map { p =>
+      val slice = substring(col(s"h${p / 4}"), 1 + 8 * (p % 4), 8)
+      min(conv(slice, 16, 10).cast("bigint")).as(s"sig$p")
+    }
     exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
   /** LSH banding over portable signatures: `bands` bands of `k/bands`
-    * consecutive sigs, band key = md5 of their concatenation. Emits
-    * `(id, band_id, band_hash)` ready for [[candidatePairs]]. */
+    * consecutive sigs, band key = md5 of their ':'-joined decimal forms
+    * (the separator keeps (1, 23) and (12, 3) distinct; bigint→string is
+    * plain decimal in every engine). Emits `(id, band_id, band_hash)`
+    * ready for [[candidatePairs]]. */
   def portableBands(sigs: DataFrame, idCol: String, k: Int,
                     bands: Int): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val r = k / bands
     val keys = array((0 until bands).map { b =>
-      md5(concat((0 until r).map(i => col(s"sig${b * r + i}")): _*))
+      md5(concat_ws(":", (0 until r).map(i => col(s"sig${b * r + i}")): _*))
     }: _*)
     sigs.select(col(idCol).as("id"),
       posexplode(keys).as(Seq("band_id", "band_hash")))

@@ -324,7 +324,7 @@ class DedupSpec extends SparkSpec {
       (3L, "entirely different words about spark shuffles and joins here"))
       .toDF("doc_id", "text")
     val sigs = Dedup.portableMinhash(df, "doc_id", "text", k = 8)
-      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getString)).toMap
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
     assert(sigs(0L) == sigs(1L)) // exact dup: every signature identical
     // near dup shares most minima; disjoint doc shares none
     assert(sigs(0L).zip(sigs(2L)).count { case (a, b) => a == b } >
