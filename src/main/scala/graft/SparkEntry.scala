@@ -379,8 +379,17 @@ object SparkEntry {
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
       .withColumn("gap", col("ts_us") - lag(col("ts_us"), 1).over(w))
       .groupBy(col("user_id"))
+      // avg as half-up INTEGER division, no floats anywhere: at micros
+      // magnitude (~5e10) the 4th decimal of a double quotient sits at
+      // the ulp, where Spark's round (shortest-decimal-repr based) and
+      // DuckDB's (binary-value based) legitimately disagree — observed
+      // live at sf0.1 (.65385 shortest-repr vs .65384674 binary). Exact
+      // bigint (2s + c) div 2c is bit-identical in every engine.
+      // nullif guards the single-event user (count(gap) = 0) from ANSI
+      // divide-by-zero; the avg is NULL there, matching avg() semantics
       .agg(count(lit(1)).as("n_events"),
-        round(avg(col("gap")), 4).as("avg_gap_us"),
+        expr("(2 * sum(gap) + count(gap)) div nullif(2 * count(gap), 0)")
+          .as("avg_gap_us"),
         max(col("gap")).as("max_gap_us"))
       .orderBy(col("user_id"))
   }
@@ -1352,7 +1361,9 @@ object SparkEntry {
         |  epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
         | FROM events)
         |SELECT user_id, count(*) AS n_events,
-        | round(avg(gap), 4) AS avg_gap_us, max(gap) AS max_gap_us
+        | CAST((2 * sum(gap) + count(gap)) // nullif(2 * count(gap), 0) AS BIGINT)
+        |  AS avg_gap_us,
+        | max(gap) AS max_gap_us
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
     // all four (lang, source) granularities via CUBE; NULL slots → 'ALL'
     "d_cube_sources" ->
