@@ -453,6 +453,34 @@ class LayoutSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_scores")
     }
   }
+
+  test("stored LSH band index joins batch bands without re-shuffling the index side") {
+    // proves d_lsh_incremental's scale claim: persist the corpus band
+    // index bucketed by band_hash, and the steady-state ingest semi-join
+    // re-shuffles ONLY the (small) incoming batch — the 100 TB index's
+    // shuffle was paid once at write time
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    def bands(d: org.apache.spark.sql.DataFrame) = Dedup.portableBands(
+      Dedup.portableMinhash(d, "doc_id", "text", k = 8), "doc_id", k = 8, bands = 4)
+    Layout.writeBucketed(bands(docs.filter(col("doc_id") < 250)),
+      "lsh_index", "band_hash", 4, Seq("band_hash"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val batch = bands(docs.filter(col("doc_id") >= 250))
+      val hits = batch.join(spark.table("lsh_index").select(col("band_hash")),
+        Seq("band_hash"), "left_semi")
+      val p = hits.queryExecution.executedPlan.toString
+      val n = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      // batch side: minhash groupBy + its join shuffle = 2; a third
+      // exchange would mean the stored index got re-shuffled
+      assert(n == 2, s"expected 2 exchanges (batch side only), got $n:\n$p")
+      assert(hits.select(col("id")).distinct().count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS lsh_index")
+    }
+  }
 }
 
 class SplitsSpec extends SparkSpec {
