@@ -882,6 +882,13 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  private def chunkDocs(s: SparkSession, dir: String): DataFrame =
+    // context-window chunking: 20-token chunks every 15 tokens (overlap 5),
+    // final partial chunk kept — pure map-side, oracle-checked content
+    TextAnalysis.chunk(t(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 20, stride = 15)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
   private def dupSpans(s: SparkSession, dir: String): DataFrame =
     // per-doc duplicated-span coverage — the audit stage of exact-substring
     // dedup: which fraction of a doc's 3-gram windows (positional, repeats
@@ -969,7 +976,8 @@ object SparkEntry {
     "d_simhash_portable" -> (simhashPortable _),
     "d_shuffle_shards" -> (shuffleShardsQuery _),
     "d_lsh_incremental" -> (lshIncremental _),
-    "d_dup_spans" -> (dupSpans _))
+    "d_dup_spans" -> (dupSpans _),
+    "d_chunk_docs" -> (chunkDocs _))
 
   // shared fragments of the portable-minhash oracles (must mirror
   // Dedup.portableMinhash/portableBands exactly): sig_p = min 32-bit
@@ -1797,5 +1805,21 @@ object SparkEntry {
         | CAST(coalesce(sum(c.dup), 0) AS BIGINT) AS n_dup,
         | round(coalesce(sum(c.dup), 0) / count(*), 4) AS dup_frac
         |FROM h LEFT JOIN c USING (gh)
-        |GROUP BY h.doc_id ORDER BY doc_id""".stripMargin)
+        |GROUP BY h.doc_id ORDER BY doc_id""".stripMargin,
+    // 20-token chunks every 15 tokens; the last chunk is the first one
+    // reaching the doc's end (no fully-contained tails)
+    "d_chunk_docs" ->
+      """WITH tk AS (
+        | SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |              x -> len(x) > 0) AS t
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, t,
+        |  unnest(range(1, greatest(len(t) - 20 + 15, 1) + 1, 15)) AS s
+        | FROM tk WHERE len(t) > 0)
+        |SELECT doc_id, CAST((s - 1) // 15 AS BIGINT) AS chunk_id,
+        | CAST(least(20, len(t) - s + 1) AS BIGINT) AS n_tokens,
+        | array_to_string(list_slice(t, s, least(s + 19, len(t))), ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin)
 }

@@ -131,4 +131,37 @@ object TextAnalysis {
       case (d, (name, c)) => d.withColumn(name, c)
     }.drop(textCol)
   }
+
+  /** Fixed-size token chunking with overlap — the context-window prep step
+    * of a pretraining / retrieval pipeline: doc → chunks of `chunkTokens`
+    * whitespace tokens starting every `stride` tokens (overlap =
+    * chunkTokens - stride), final partial chunk kept. Emits
+    * `(idCol, chunk_id, n_tokens, chunk_text)`.
+    *
+    * Engine-portable (split + slice + join — reproducible in any SQL
+    * engine) and pure map-side: the token array is materialized in its own
+    * projection (see [[Dedup.portableShingleWindows]] for why), the chunk
+    * structs are built per doc inside one `transform`, and the explode
+    * multiplies rows WITHOUT a shuffle — at 100 TB this is a scan.
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            chunkTokens: Int = 20, stride: Int = 15): DataFrame = {
+    require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens,
+      s"need 0 < stride=$stride <= chunkTokens=$chunkTokens")
+    val n = size(col("tk"))
+    // starts 1, 1+stride, ... up to the FIRST start whose chunk reaches
+    // the doc's end — ceil((n-chunk)/stride)+1 chunks, so a short tail
+    // fully contained in the previous chunk is never emitted
+    val lastStart = greatest(n - chunkTokens + stride, lit(1))
+    val chunks = transform(sequence(lit(1), lastStart, lit(stride)), s =>
+      struct(
+        floor((s - 1) / lit(stride)).cast("bigint").as("chunk_id"),
+        least(lit(chunkTokens), n - s + 1).cast("bigint").as("n_tokens"),
+        concat_ws(" ", slice(col("tk"), s, lit(chunkTokens))).as("chunk_text")))
+    df.select(col(idCol), Dedup.portableTokens(col(textCol)).as("tk"))
+      // empty docs yield no chunks (sequence(1, 0, step) would error)
+      .filter(n > 0)
+      .select(col(idCol), explode(chunks).as("c"))
+      .select(col(idCol), col("c.chunk_id"), col("c.n_tokens"), col("c.chunk_text"))
+  }
 }

@@ -58,6 +58,32 @@ class UsageStatsSpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("chunking: stride windows, kept partial tail, no fully-contained tails") {
+    def toks(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    val df = Seq(
+      (1L, toks(3)),   // shorter than one chunk -> 1 chunk of 3
+      (2L, toks(20)),  // exactly one chunk
+      (3L, toks(21)),  // 2 chunks: 1-20, 16-21 (tail of 6)
+      (4L, toks(35)),  // 2 chunks: 1-20, 16-35 (second reaches the end)
+      (5L, toks(36)),  // 3 chunks: 1-20, 16-35, 31-36
+      (6L, ""))        // no tokens -> no chunks
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(df, "doc_id", "text", chunkTokens = 20, stride = 15)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getLong(1)).map(r => (r.getLong(2), r.getString(3))).toSeq)
+      .toMap
+    assert(out(1L) == Seq((3L, "t1 t2 t3")))
+    assert(out(2L).map(_._1) == Seq(20L))
+    assert(out(3L).map(_._1) == Seq(20L, 6L))
+    assert(out(3L)(1)._2 == (16 to 21).map(i => s"t$i").mkString(" "))
+    assert(out(4L).map(_._1) == Seq(20L, 20L))
+    assert(out(5L).map(_._1) == Seq(20L, 20L, 6L))
+    assert(!out.contains(6L))
+    // overlap: consecutive chunks share chunkTokens - stride = 5 tokens
+    assert(out(5L)(1)._2.split(" ").take(5).toSeq ==
+      out(5L)(0)._2.split(" ").takeRight(5).toSeq)
+  }
+
   test("token count ignores extra whitespace; empty is zero") {
     val df = Seq("  the quick   fox ", "", "one").toDF("t")
     val out = df.select(TextAnalysis.tokenCount(col("t")).as("n"))
