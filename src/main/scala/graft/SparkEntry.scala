@@ -882,6 +882,42 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  private def corpusClean(s: SparkSession, dir: String): DataFrame = {
+    // the whole batch cleaning pipeline in ONE oracle-checked query:
+    // quality gate -> language filter (en) -> exact dedup (lowest id per
+    // fingerprint among survivors) -> surviving docs + token counts.
+    // Every stage is individually oracle-proven elsewhere; this composes
+    // them end to end the way a training-data run actually would.
+    // Scale shape: quality columns, language argmax, AND the dedup
+    // fingerprint are all map-side column work, so they fuse into ONE
+    // corpus scan; the only shuffle is the per-fingerprint window. (A
+    // join-per-stage spelling measured 2x slower at sf0.1 and would scan
+    // the 100 TB corpus three times.)
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val withQuality = TextAnalysis.qualityColumns(col("text")).foldLeft(docs) {
+      case (d, (name, c)) => d.withColumn(name, c)
+    }
+    val langs = TextAnalysis.langMarkers.keys.toSeq.sorted
+    val scored = TextAnalysis.langScores(col("text")).foldLeft(withQuality) {
+      case (d, (lang, c)) => d.withColumn(s"s_$lang", c)
+    }
+    val best = langs.map(l => struct(col(s"s_$l").as("score"), lit(l).as("lang")))
+      .reduce((a, b) => when(b.getField("score") > a.getField("score"), b).otherwise(a))
+    val survivors = scored
+      .withColumn("lang",
+        when(best.getField("score") === 0, lit("und")).otherwise(best.getField("lang")))
+      .filter(col("n_tokens") >= 25 &&
+        col("stopword_ratio") <= 0.1 && col("punct_ratio") <= 0.2 &&
+        col("mean_token_len").between(2.0, 12.0) && col("lang") === "en")
+      .select(col("doc_id"), col("n_tokens"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    survivors.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   private def chunkDocs(s: SparkSession, dir: String): DataFrame =
     // context-window chunking: 20-token chunks every 15 tokens (overlap 5),
     // final partial chunk kept — pure map-side, oracle-checked content
@@ -977,7 +1013,8 @@ object SparkEntry {
     "d_shuffle_shards" -> (shuffleShardsQuery _),
     "d_lsh_incremental" -> (lshIncremental _),
     "d_dup_spans" -> (dupSpans _),
-    "d_chunk_docs" -> (chunkDocs _))
+    "d_chunk_docs" -> (chunkDocs _),
+    "d_corpus_clean" -> (corpusClean _))
 
   // shared fragments of the portable-minhash oracles (must mirror
   // Dedup.portableMinhash/portableBands exactly): sig_p = min 32-bit
@@ -1821,5 +1858,49 @@ object SparkEntry {
         |SELECT doc_id, CAST((s - 1) // 15 AS BIGINT) AS chunk_id,
         | CAST(least(20, len(t) - s + 1) AS BIGINT) AS n_tokens,
         | array_to_string(list_slice(t, s, least(s + 19, len(t))), ' ') AS chunk_text
-        |FROM c ORDER BY doc_id, chunk_id""".stripMargin)
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    // the composed cleaning pipeline: quality gate -> lang = en -> exact
+    // dedup among survivors (stage CTEs mirror d_quality_filter,
+    // d_lang_predict, and the d_dedup_incremental fingerprint)
+    "d_corpus_clean" ->
+      """WITH toks AS (
+        | SELECT doc_id, text,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0) AS tk
+        | FROM documents),
+        |q AS (SELECT doc_id,
+        | len(tk) AS n_tokens,
+        | round(CASE WHEN len(tk)=0 THEN 0.0
+        |   ELSE CAST(len(replace(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ', '')) AS DOUBLE)/len(tk) END, 4) AS mean_token_len,
+        | round(CASE WHEN len(tk)=0 THEN 0.0
+        |   ELSE CAST(len(list_filter(tk, x -> lower(x) IN ('the','a','an','of','to','and','in','is','it','on','for'))) AS DOUBLE)/len(tk) END, 4) AS stopword_ratio,
+        | round(CASE WHEN len(text)=0 THEN 0.0
+        |   ELSE CAST(len(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE)/len(text) END, 4) AS punct_ratio
+        |FROM toks),
+        |qf AS (SELECT doc_id, n_tokens FROM q
+        |       WHERE n_tokens >= 25 AND stopword_ratio <= 0.1 AND punct_ratio <= 0.2
+        |         AND mean_token_len BETWEEN 2.0 AND 12.0),
+        |sc AS (SELECT doc_id,
+        | len(list_filter(tk, x -> lower(x) IN ('der','die','und','das','ist'))) AS s_de,
+        | len(list_filter(tk, x -> lower(x) IN ('the','and','of','is','a'))) AS s_en,
+        | len(list_filter(tk, x -> lower(x) IN ('el','los','que','y','es'))) AS s_es,
+        | len(list_filter(tk, x -> lower(x) IN ('le','la','et','les','de'))) AS s_fr
+        |FROM toks),
+        |lp AS (SELECT doc_id,
+        | CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+        |      WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |      WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |      WHEN s_es >= s_fr THEN 'es'
+        |      ELSE 'fr' END AS lang
+        |FROM sc),
+        |surv AS (SELECT qf.doc_id, qf.n_tokens
+        |         FROM qf JOIN lp USING (doc_id) WHERE lp.lang = 'en'),
+        |fp AS (SELECT surv.doc_id,
+        |        md5(lower(regexp_replace(trim(d.text), '\s+', ' ', 'g'))) AS fp
+        |       FROM surv JOIN documents d USING (doc_id)),
+        |kept AS (SELECT doc_id FROM (
+        |  SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |  FROM fp) WHERE rn = 1)
+        |SELECT surv.doc_id AS doc_id, surv.n_tokens AS n_tokens
+        |FROM surv JOIN kept USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)
 }
