@@ -269,9 +269,10 @@ object SparkEntry {
 
   private def tokenCounts(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
       .select(col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-        TextAnalysis.bpeishTokenCount(col("text")).as("n_subwords"))
+        size(col("tk")).as("n_tokens"),
+        TextAnalysis.bpeishTokenCountOf(col("tk")).as("n_subwords"))
       .orderBy(col("doc_id"))
 
   private def qualityScores(s: SparkSession, dir: String): DataFrame =
@@ -284,18 +285,22 @@ object SparkEntry {
       .orderBy(col("doc_id"))
 
   private def langScores(s: SparkSession, dir: String): DataFrame = {
-    val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val scored = TextAnalysis.langScores(col("text")).foldLeft(base) {
+    // tokenize ONCE into tk, derive all four scores from the array (the
+    // round-4 bench showed 3.4x from re-running the tokenizer per score)
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+    val scored = TextAnalysis.langScoresOf(col("tk")).foldLeft(base) {
       case (d, (lang, c)) => d.withColumn(s"score_$lang", c)
     }
-    scored.drop("text").orderBy(col("doc_id"))
+    scored.drop("tk").orderBy(col("doc_id"))
   }
 
   private def langPredict(s: SparkSession, dir: String): DataFrame = {
     // argmax over the marker-token scores with deterministic tie-break on
     // language code; ties at score 0 mean "unknown"
-    val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val scored = TextAnalysis.langScores(col("text")).foldLeft(base) {
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+    val scored = TextAnalysis.langScoresOf(col("tk")).foldLeft(base) {
       case (d, (lang, c)) => d.withColumn(s"s_$lang", c)
     }
     val langs = TextAnalysis.langMarkers.keys.toSeq.sorted
@@ -893,12 +898,15 @@ object SparkEntry {
     // corpus scan; the only shuffle is the per-fingerprint window. (A
     // join-per-stage spelling measured 2x slower at sf0.1 and would scan
     // the 100 TB corpus three times.)
-    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val withQuality = TextAnalysis.qualityColumns(col("text")).foldLeft(docs) {
-      case (d, (name, c)) => d.withColumn(name, c)
-    }
+    // one tokenizer-kernel run per row: tk is materialized in its own
+    // projection and feeds the 3 token-quality columns AND the 4 language
+    // scores (7 consumers; re-tokenizing per column measured 2-3x slower)
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), TextAnalysis.tokens(col("text")).as("tk"))
+    val withQuality = TextAnalysis.qualityColumnsOf(col("text"), col("tk"))
+      .foldLeft(docs) { case (d, (name, c)) => d.withColumn(name, c) }
     val langs = TextAnalysis.langMarkers.keys.toSeq.sorted
-    val scored = TextAnalysis.langScores(col("text")).foldLeft(withQuality) {
+    val scored = TextAnalysis.langScoresOf(col("tk")).foldLeft(withQuality) {
       case (d, (lang, c)) => d.withColumn(s"s_$lang", c)
     }
     val best = langs.map(l => struct(col(s"s_$l").as("score"), lit(l).as("lang")))

@@ -29,17 +29,35 @@ object TextAnalysis {
     * vocab. Pure expression, stays in codegen.
     */
   def bpeishTokenCount(text: Column): Column =
-    aggregate(tokens(text), lit(0L),
+    bpeishTokenCountOf(tokens(text))
+
+  /** [[bpeishTokenCount]] over a pre-materialized token array. */
+  def bpeishTokenCountOf(tk: Column): Column =
+    aggregate(tk, lit(0L),
       (acc, t) => acc + ceil(length(t) / lit(4.0)).cast("long"))
 
   val defaultStopwords: Seq[String] =
     Seq("the", "a", "an", "of", "to", "and", "in", "is", "it", "on", "for")
 
   /** Stopword ratio over whitespace tokens, null-safe for empty docs. */
-  def stopwordRatio(text: Column, stopwords: Seq[String] = defaultStopwords): Column = {
-    val toks = tokens(text)
-    val stops = size(filter(toks, t => lower(t).isInCollection(stopwords)))
-    when(size(toks) === 0, lit(0.0)).otherwise(stops.cast("double") / size(toks))
+  def stopwordRatio(text: Column, stopwords: Seq[String] = defaultStopwords): Column =
+    stopwordRatioOf(tokens(text), stopwords)
+
+  /** [[stopwordRatio]] over a pre-materialized token array. Prefer this (and
+    * the other `*Of` variants) whenever more than one derived column is
+    * built over the same text: each `tokens(text)` call is a separate
+    * [[graft.functions.WordShingles]] kernel invocation, and Catalyst's
+    * subexpression elimination does NOT reliably fuse kernel calls across
+    * the columns of one projection — a 4-column quality stack re-tokenizes
+    * every row 4x. Materializing the array once in its own projection
+    * (`df.select(..., tokens($"text").as("tk"))`) makes it a plain
+    * attribute here; CollapseProject keeps the split because the alias is
+    * non-cheap and multiply-referenced. Measured 2-3x on the quality/langid
+    * family at sf0.1 (round-4 bench regression, round-5 fix).
+    */
+  def stopwordRatioOf(tk: Column, stopwords: Seq[String] = defaultStopwords): Column = {
+    val stops = size(filter(tk, t => lower(t).isInCollection(stopwords)))
+    when(size(tk) === 0, lit(0.0)).otherwise(stops.cast("double") / size(tk))
   }
 
   /** Punctuation character ratio. */
@@ -48,11 +66,13 @@ object TextAnalysis {
       length(regexp_replace(text, "[^.,;:!?'\"()-]", "")).cast("double") / length(text))
 
   /** Mean token length, null-safe. */
-  def meanTokenLength(text: Column): Column = {
-    val toks = tokens(text)
-    when(size(toks) === 0, lit(0.0)).otherwise(
-      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
-  }
+  def meanTokenLength(text: Column): Column =
+    meanTokenLengthOf(tokens(text))
+
+  /** [[meanTokenLength]] over a pre-materialized token array. */
+  def meanTokenLengthOf(tk: Column): Column =
+    when(size(tk) === 0, lit(0.0)).otherwise(
+      aggregate(tk, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(tk))
 
   /** Canonical-form document fingerprint: md5 of whitespace-collapsed,
     * lower-cased text. Identical logical content → identical fingerprint;
@@ -75,12 +95,16 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "und", "das", "ist"),
     "es" -> Seq("el", "los", "que", "y", "es"))
 
-  def langScores(text: Column): Seq[(String, Column)] = {
-    val toks = tokens(text)
+  def langScores(text: Column): Seq[(String, Column)] =
+    langScoresOf(tokens(text))
+
+  /** [[langScores]] over a pre-materialized token array (see
+    * [[stopwordRatioOf]] for why consumers should project the array once).
+    */
+  def langScoresOf(tk: Column): Seq[(String, Column)] =
     langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
-      lang -> size(filter(toks, t => lower(t).isInCollection(markers)))
+      lang -> size(filter(tk, t => lower(t).isInCollection(markers)))
     }
-  }
 
   /** Within-document repetition ratio: 1 − distinct n-grams / total
     * n-grams (0 = no repetition). The standard boilerplate/spam signal a
@@ -117,19 +141,36 @@ object TextAnalysis {
     "n_urls" -> size(regexp_extract_all(text, lit(urlPattern), lit(0))),
     "n_numbers" -> size(regexp_extract_all(text, lit(digitRunPattern), lit(0))))
 
-  /** Full quality-score projection over a text column. */
+  /** Full quality-score projection over a text column. Tokenizes per
+    * column — prefer [[qualityColumnsOf]] with a materialized token array
+    * when stacking these (see [[stopwordRatioOf]]).
+    */
   def qualityColumns(text: Column): Seq[(String, Column)] = Seq(
     "n_tokens" -> tokenCount(text),
     "mean_token_len" -> round(meanTokenLength(text), 4),
     "stopword_ratio" -> round(stopwordRatio(text), 4),
     "punct_ratio" -> round(punctRatio(text), 4))
 
-  /** Apply quality columns to a DataFrame, keeping `keep` columns. */
+  /** [[qualityColumns]] over a pre-materialized token array (`punct_ratio`
+    * is character-level, so it still takes the raw text).
+    */
+  def qualityColumnsOf(text: Column, tk: Column): Seq[(String, Column)] = Seq(
+    "n_tokens" -> size(tk),
+    "mean_token_len" -> round(meanTokenLengthOf(tk), 4),
+    "stopword_ratio" -> round(stopwordRatioOf(tk), 4),
+    "punct_ratio" -> round(punctRatio(text), 4))
+
+  /** Apply quality columns to a DataFrame, keeping `keep` columns. The
+    * token array is materialized in its own projection and shared by the
+    * three token-derived columns — one tokenizer-kernel run per row, not
+    * three.
+    */
   def quality(df: DataFrame, textCol: String, keep: Seq[String]): DataFrame = {
-    val base = df.select((keep :+ textCol).map(col): _*)
-    qualityColumns(col(textCol)).foldLeft(base) {
+    val base = df.select(
+      (keep :+ textCol).map(col) :+ tokens(col(textCol)).as("__tk"): _*)
+    qualityColumnsOf(col(textCol), col("__tk")).foldLeft(base) {
       case (d, (name, c)) => d.withColumn(name, c)
-    }.drop(textCol)
+    }.drop(textCol, "__tk")
   }
 
   /** Fixed-size token chunking with overlap — the context-window prep step
