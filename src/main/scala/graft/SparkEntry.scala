@@ -541,6 +541,33 @@ object SparkEntry {
       .orderBy(col("cluster_id"))
   }
 
+  private def dedupFuzzyPortable(s: SparkSession, dir: String): DataFrame = {
+    // the composed fuzzy-dedup pipeline, engine-portable end to end:
+    // md5 minhash signatures → 4 LSH bands → in-bucket candidate pairs →
+    // exact-Jaccard verify on candidates only → connected components →
+    // keep the highest-token-count member per cluster. Same composition
+    // as d_dedup_fuzzy (whose xxhash64 buckets no other engine can
+    // reproduce, so it grades rows-only); this md5 twin is hash-checked
+    // against a DuckDB CTE chain, proving the COMPOSITION — not just each
+    // stage — cross-engine.
+    val docs = t(s, dir, "documents")
+    val sigs = Dedup.portableMinhash(docs, "doc_id", "text", k = 8)
+    // candidate pairs are consumed three times by the verify stage (id
+    // prefilter + both join sides): materialize once
+    val cand = Dedup.candidatePairs(
+        Dedup.portableBands(sigs, "doc_id", k = 8, bands = 4),
+        maxBucketSize = 1000000)
+      .localCheckpoint()
+    val pairs = Dedup.verifyJaccard(cand, docs, "doc_id", "text",
+        shingleLen = 3, threshold = 0.5)
+      .select(col("a"), col("b"))
+    val clusters = Dedup.connectedComponents(pairs)
+    val quality = docs.select(col("doc_id").as("id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    Dedup.keepBest(clusters, quality, "n_tokens")
+      .orderBy(col("cluster_id"))
+  }
+
   private def simhashes(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("id"))
@@ -1017,6 +1044,7 @@ object SparkEntry {
     "m_multimodal_features" -> (multimodalFeatures _),
     "d_minhash_portable" -> (minhashPortable _),
     "d_lsh_portable_pairs" -> (lshPortablePairs _),
+    "d_dedup_fuzzy_portable" -> (dedupFuzzyPortable _),
     "d_simhash_portable" -> (simhashPortable _),
     "d_shuffle_shards" -> (shuffleShardsQuery _),
     "d_lsh_incremental" -> (lshIncremental _),
@@ -1757,6 +1785,64 @@ object SparkEntry {
         |FROM bands x JOIN bands y
         | ON x.band_id = y.band_id AND x.key = y.key AND x.doc_id < y.doc_id
         |ORDER BY a, b""".stripMargin,
+    // the composed fuzzy-dedup twin: portable LSH candidates (same CTEs
+    // as d_lsh_portable_pairs) → exact-Jaccard verify over CASE-PRESERVING
+    // 3-gram shingle sets (mirrors Dedup.verifyJaccard / d_ngram_jaccard)
+    // → recursive-CTE connected components (the s_embed_clusters spelling)
+    // → windowed top-1 per cluster on token count (the keepBest spelling)
+    "d_dedup_fuzzy_portable" ->
+      s"""WITH RECURSIVE
+        |tk AS (
+        | SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+        |              x -> len(x) > 0) AS t
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 3
+        |   THEN list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |   ELSE [] END)) AS sh
+        | FROM tk),
+        |sig AS (
+        | SELECT doc_id,
+        | $portableSigSelect
+        | FROM s GROUP BY doc_id),
+        |bands AS (
+        | SELECT doc_id, bb.band AS band_id,
+        |  md5(CASE bb.band $portableBandCase END) AS key
+        | FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) AS bb(band)),
+        |cand AS (
+        | SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        | FROM bands x JOIN bands y
+        |  ON x.band_id = y.band_id AND x.key = y.key AND x.doc_id < y.doc_id),
+        |vset AS (
+        | SELECT doc_id,
+        |  list_distinct(list_transform(range(1, len(vt)-1),
+        |    i -> vt[i] || ' ' || vt[i+1] || ' ' || vt[i+2])) AS ss
+        | FROM (SELECT doc_id,
+        |   list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> len(x) > 0) AS vt
+        |  FROM documents)),
+        |pr AS (
+        | SELECT c.a, c.b
+        | FROM cand c JOIN vset sa ON sa.doc_id = c.a
+        |             JOIN vset sb ON sb.doc_id = c.b
+        | WHERE CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE) /
+        |       len(list_distinct(sa.ss || sb.ss)) >= 0.5),
+        |edges AS (SELECT a AS x, b AS y FROM pr UNION SELECT b, a FROM pr),
+        |walk(x, y) AS (
+        | SELECT x, y FROM edges
+        | UNION
+        | SELECT w.x, e.y FROM walk w JOIN edges e ON w.y = e.x),
+        |reach AS (SELECT x, y FROM walk
+        |          UNION SELECT DISTINCT x, x FROM edges),
+        |cl AS (SELECT x AS id, min(y) AS cluster_id FROM reach GROUP BY x),
+        |sc AS (SELECT doc_id AS id, len(t) AS n_tokens FROM tk),
+        |r AS (SELECT cl.cluster_id, cl.id, sc.n_tokens,
+        |        row_number() OVER (PARTITION BY cl.cluster_id
+        |          ORDER BY sc.n_tokens DESC, cl.id) AS rnk
+        |      FROM cl JOIN sc ON cl.id = sc.id)
+        |SELECT cluster_id, id AS keep_id, n_tokens FROM r WHERE rnk = 1
+        |ORDER BY cluster_id""".stripMargin,
     // portable 16-bit simhash: hex digit p of md5(shingle) votes ±1 on
     // bit p by its high nibble bit ('8'..'f'); DuckDB cross-joins the 16
     // bit positions where Spark keeps them as parallel agg columns
