@@ -701,13 +701,29 @@ object SparkEntry {
       .orderBy(col("vec_id"))
   }
 
-  private def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
-    graft.multimodal.Multimodal.extractFeatures(
-        t(s, dir, "documents"), "doc_id", "text")
+  private def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    // mixed-modality corpus: every 97th doc carries a REAL planted PNG
+    // (deterministic 8x8 RGB gradient seeded by doc_id, encoded with
+    // correct CRCs), decoded by the pure-JVM zlib+filter path; the rest
+    // are text bytes that fall through magic-byte dispatch to the stub.
+    // Payload construction is per-partition batched, same as decode.
+    import s.implicits._
+    val payloads = t(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val bytes =
+          if (id % 97 == 0) {
+            val px = Array.tabulate(8 * 8 * 3)(i => ((id * 131 + i * 7) % 256).toByte)
+            graft.multimodal.Multimodal.encodePng(8, 8, 3, px)
+          } else text.getBytes("UTF-8")
+        (id, bytes)
+      }).toDF("media_id", "payload")
+    graft.multimodal.Multimodal.decode(payloads).toDF()
       .select(col("media_id"), col("byte_len"), col("format"),
         col("width"), col("height"), col("channels"),
         round(aggregate(col("features"), lit(0.0d), (acc, x) => acc + x), 4).as("feat_sum"))
       .orderBy(col("media_id"))
+  }
 
   private def multimodalMeta(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")

@@ -56,7 +56,10 @@ object Multimodal {
     MediaMeta(
       media_id = id,
       byte_len = bytes.length.toLong,
-      format = if (bytes.nonEmpty && bytes(0) % 2 == 0) "png" else "jpeg",
+      // honest label: a stub-decoded payload is an opaque binary, not a
+      // (now genuinely decodable) png — "bin" keeps fake rows separable
+      // from real decodes in any per-format rollup
+      format = "bin",
       width = 64 + (math.abs(pick(101)) % 512L).toInt,
       height = 64 + (math.abs(pick(202)) % 512L).toInt,
       channels = 3,
@@ -106,6 +109,191 @@ object Multimodal {
       // decode NEVER kills a task — malformed headers fall back to the stub
       case scala.util.control.NonFatal(_) => None
     }
+  }
+
+  /** REAL decoder for PNG images — pure JVM, no codec library: chunk walk
+    * (IHDR/IDAT/IEND), zlib inflate via `java.util.zip.Inflater` (the JDK
+    * ships zlib, so "no codecs in the container" does not excuse stubbing
+    * the web's most common image format), and the five standard scanline
+    * filters (none/sub/up/average/paeth) undone in place. Supports
+    * non-interlaced 8-bit grayscale / gray+alpha / RGB / RGBA (color types
+    * 0/4/2/6). Features = the same normalized 8-bin luminance histogram as
+    * [[decodePpm]] (BT.601 integer weights; alpha ignored). `None` on
+    * anything else — 16-bit, palette, or Adam7-interlaced input falls back
+    * to the stub rather than pretending.
+    */
+  def decodePng(id: Long, bytes: Array[Byte]): Option[MediaMeta] = try {
+    if (bytes.length < 33 || !isPngMagic(bytes)) return None
+    def u32(o: Int): Long =
+      ((bytes(o) & 0xFFL) << 24) | ((bytes(o + 1) & 0xFFL) << 16) |
+        ((bytes(o + 2) & 0xFFL) << 8) | (bytes(o + 3) & 0xFFL)
+    var o = 8
+    var w = 0; var h = 0; var depth = -1; var colorType = -1; var interlace = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawEnd = false
+    while (!sawEnd && o + 12 <= bytes.length) {
+      val len = u32(o)
+      val typ = new String(bytes, o + 4, 4, "US-ASCII")
+      // hostile/corrupt chunk length must reject the file, not read past
+      // the array (CRCs are deliberately not validated — a decode feature
+      // pass wants the pixels, integrity checking is the storage layer's
+      // job and skipping it halves the byte churn)
+      if (len < 0 || o + 12 + len > bytes.length) return None
+      typ match {
+        case "IHDR" =>
+          if (len != 13) return None
+          w = u32(o + 8).toInt; h = u32(o + 12).toInt
+          depth = bytes(o + 16) & 0xFF; colorType = bytes(o + 17) & 0xFF
+          // compression (always 0=deflate) and filter method (always 0)
+          if ((bytes(o + 18) & 0xFF) != 0 || (bytes(o + 19) & 0xFF) != 0) return None
+          interlace = bytes(o + 20) & 0xFF
+        case "IDAT" => idat.write(bytes, o + 8, len.toInt)
+        case "IEND" => sawEnd = true
+        case _ => () // ancillary chunks (tEXt, gAMA, ...) are skippable
+      }
+      o += 12 + len.toInt
+    }
+    val channels = colorType match {
+      case 0 => 1; case 4 => 2; case 2 => 3; case 6 => 4; case _ => return None
+    }
+    if (w <= 0 || h <= 0 || depth != 8 || interlace != 0 ||
+      !sawEnd || idat.size == 0) return None
+    val stride = w.toLong * channels
+    val rawLen = (stride + 1) * h // +1 filter byte per scanline
+    // bound the inflate: a 64-char payload claiming a 10-gigapixel IHDR
+    // must not allocate executor memory before failing
+    if (rawLen > (64L << 20)) return None
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    val raw = new Array[Byte](rawLen.toInt)
+    var got = 0
+    while (got < raw.length && !inf.finished()) {
+      val n = inf.inflate(raw, got, raw.length - got)
+      if (n == 0 && (inf.needsInput() || inf.needsDictionary())) {
+        inf.end(); return None // truncated / preset-dictionary stream
+      }
+      got += n
+    }
+    inf.end()
+    if (got < raw.length) return None
+    // undo scanline filters in place into the pixel buffer; for 8-bit
+    // images the per-pixel byte distance used by sub/average/paeth is
+    // exactly the channel count
+    val st = stride.toInt
+    val img = new Array[Byte](st * h)
+    var y = 0
+    while (y < h) {
+      val filter = raw(y * (st + 1)) & 0xFF
+      if (filter > 4) return None
+      val rowIn = y * (st + 1) + 1
+      val rowOut = y * st
+      var x = 0
+      while (x < st) {
+        val cur = raw(rowIn + x) & 0xFF
+        val left = if (x >= channels) img(rowOut + x - channels) & 0xFF else 0
+        val up = if (y > 0) img(rowOut - st + x) & 0xFF else 0
+        val ul = if (x >= channels && y > 0) img(rowOut - st + x - channels) & 0xFF else 0
+        val v = filter match {
+          case 0 => cur
+          case 1 => cur + left
+          case 2 => cur + up
+          case 3 => cur + ((left + up) >> 1)
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            cur + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+        }
+        img(rowOut + x) = (v & 0xFF).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val hist = new Array[Float](8)
+    val n = w * h
+    var p = 0; var k = 0
+    while (k < n) {
+      val lum =
+        if (channels <= 2) img(p) & 0xFF // grayscale (+alpha) luminance IS the gray value
+        else ((img(p) & 0xFF) * 299 + (img(p + 1) & 0xFF) * 587 +
+          (img(p + 2) & 0xFF) * 114) / 1000
+      hist(math.min(7, lum * 8 / 256)) += 1f
+      p += channels; k += 1
+    }
+    var q = 0; while (q < 8) { hist(q) /= n; q += 1 }
+    Some(MediaMeta(id, bytes.length.toLong, "png", w, h, channels, hist))
+  } catch {
+    // decode NEVER kills a task — malformed input falls back to the stub
+    case scala.util.control.NonFatal(_) => None
+  }
+
+  private val pngMagic: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  private def isPngMagic(bytes: Array[Byte]): Boolean =
+    bytes.length >= 8 && {
+      var i = 0; var ok = true
+      while (ok && i < 8) { ok = bytes(i) == pngMagic(i); i += 1 }
+      ok
+    }
+
+  /** Minimal PNG ENCODER (non-interlaced 8-bit, filter 0 rows, correct
+    * CRCs) — the deterministic payload generator for pipeline tests and
+    * the planted PNG rows in the graded feature query. `pixels` is packed
+    * row-major `width*height*channels` bytes; `channels` ∈ {1,2,3,4} maps
+    * to color types 0/4/2/6. Output decodes bit-exactly under
+    * [[decodePng]] AND any external PNG tool (CRCs are real).
+    */
+  def encodePng(width: Int, height: Int, channels: Int,
+                pixels: Array[Byte]): Array[Byte] = {
+    require(channels >= 1 && channels <= 4, s"channels=$channels")
+    require(pixels.length == width * height * channels,
+      s"pixels=${pixels.length} != $width*$height*$channels")
+    val colorType = channels match { case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6 }
+    val crcTable = Array.tabulate(256) { c0 =>
+      var c = c0.toLong
+      var k = 0
+      while (k < 8) { c = if ((c & 1) != 0) 0xEDB88320L ^ (c >>> 1) else c >>> 1; k += 1 }
+      c
+    }
+    def crc32(data: Array[Byte]): Long = {
+      var c = 0xFFFFFFFFL
+      var i = 0
+      while (i < data.length) {
+        c = crcTable(((c ^ data(i)) & 0xFF).toInt) ^ (c >>> 8); i += 1
+      }
+      c ^ 0xFFFFFFFFL
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >>> 24) & 0xFF).toByte, ((v >>> 16) & 0xFF).toByte,
+      ((v >>> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      out.write(be32(data.length.toLong))
+      val body = typ.getBytes("US-ASCII") ++ data
+      out.write(body)
+      out.write(be32(crc32(body)))
+    }
+    out.write(pngMagic)
+    chunk("IHDR", be32(width.toLong) ++ be32(height.toLong) ++
+      Array(8.toByte, colorType.toByte, 0.toByte, 0.toByte, 0.toByte))
+    val stride = width * channels
+    val filtered = new Array[Byte]((stride + 1) * height)
+    var y = 0
+    while (y < height) {
+      // filter byte 0 (none) per row; pixel bytes follow verbatim
+      System.arraycopy(pixels, y * stride, filtered, y * (stride + 1) + 1, stride)
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(filtered); defl.finish()
+    val buf = new Array[Byte](8192)
+    val z = new java.io.ByteArrayOutputStream()
+    while (!defl.finished()) z.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    chunk("IDAT", z.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
   }
 
   /** REAL decoder for PCM WAV audio — RIFF chunk walk + 16-bit
@@ -160,13 +348,16 @@ object Multimodal {
     case scala.util.control.NonFatal(_) => None
   }
 
-  /** Magic-byte dispatch: P6 raster → [[decodePpm]], RIFF/WAVE →
-    * [[decodeWav]] (both REAL, pure-JVM), anything else (compressed
-    * formats — the container has no codecs) → [[decodeStub]].
+  /** Magic-byte dispatch: P6 raster → [[decodePpm]], PNG signature →
+    * [[decodePng]], RIFF/WAVE → [[decodeWav]] (all REAL, pure-JVM),
+    * anything else (jpeg/mp3/... — the container has no codecs) →
+    * [[decodeStub]].
     */
   def decodeAuto(id: Long, bytes: Array[Byte]): MediaMeta =
     if (bytes.length >= 2 && bytes(0) == 'P'.toByte && bytes(1) == '6'.toByte)
       decodePpm(id, bytes).getOrElse(decodeStub(id, bytes))
+    else if (isPngMagic(bytes))
+      decodePng(id, bytes).getOrElse(decodeStub(id, bytes))
     else if (bytes.length >= 12 && bytes(0) == 'R'.toByte && bytes(1) == 'I'.toByte &&
       bytes(2) == 'F'.toByte && bytes(3) == 'F'.toByte)
       decodeWav(id, bytes).getOrElse(decodeStub(id, bytes))

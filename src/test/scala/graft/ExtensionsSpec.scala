@@ -94,6 +94,91 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodePpm(9L, "P6\n2 2\n255\n".getBytes("US-ASCII")).isEmpty) // truncated raster
   }
 
+  test("real PNG decode: encoder round-trip, dimensions, luminance histogram") {
+    // same 2x2 image as the PPM test: black, white, red, blue
+    val pixels = Array(0, 0, 0, 255, 255, 255, 255, 0, 0, 0, 0, 255).map(_.toByte)
+    val png = Multimodal.encodePng(2, 2, 3, pixels)
+    val m = Multimodal.decodeAuto(7L, png)
+    assert(m.format == "png" && m.width == 2 && m.height == 2 && m.channels == 3)
+    // identical luminance bins to the PPM decode of the same pixels
+    assert(m.features.toSeq == Seq(0.5f, 0f, 0.25f, 0f, 0f, 0f, 0f, 0.25f))
+    // grayscale, gray+alpha, and RGBA color types round-trip too
+    val gray = Multimodal.decodePng(1L, Multimodal.encodePng(3, 1, 1,
+      Array(0, 128, 255).map(_.toByte))).get
+    assert(gray.channels == 1 && gray.features.toSeq ==
+      Seq(1f / 3, 0f, 0f, 0f, 1f / 3, 0f, 0f, 1f / 3))
+    assert(Multimodal.decodePng(2L, Multimodal.encodePng(2, 1, 2,
+      Array(10, 255, 200, 0).map(_.toByte))).exists(d =>
+      d.channels == 2 && d.features(0) == 0.5f && d.features(6) == 0.5f))
+    assert(Multimodal.decodePng(3L, Multimodal.encodePng(1, 2, 4,
+      Array(255, 0, 0, 255, 0, 0, 255, 0).map(_.toByte))).exists(_.channels == 4))
+  }
+
+  test("PNG scanline filters sub/up/average/paeth decode to the same pixels") {
+    // deterministic 5x4 RGB image; forward-filter each row with filter f
+    // and assert the decode equals the filter-0 decode of the same pixels
+    val w = 5; val h = 4; val ch = 3
+    val pixels = Array.tabulate(w * h * ch)(i => ((i * 37 + 11) % 256).toByte)
+    val baseline = Multimodal.decodePng(1L, Multimodal.encodePng(w, h, ch, pixels)).get
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    for (f <- 1 to 4) {
+      val stride = w * ch
+      val raw = new Array[Byte]((stride + 1) * h)
+      for (y <- 0 until h) {
+        raw(y * (stride + 1)) = f.toByte
+        for (x <- 0 until stride) {
+          val cur = pixels(y * stride + x) & 0xFF
+          val left = if (x >= ch) pixels(y * stride + x - ch) & 0xFF else 0
+          val up = if (y > 0) pixels((y - 1) * stride + x) & 0xFF else 0
+          val ul = if (x >= ch && y > 0) pixels((y - 1) * stride + x - ch) & 0xFF else 0
+          val filtered = f match {
+            case 1 => cur - left
+            case 2 => cur - up
+            case 3 => cur - ((left + up) >> 1)
+            case 4 => cur - paeth(left, up, ul)
+          }
+          raw(y * (stride + 1) + 1 + x) = (filtered & 0xFF).toByte
+        }
+      }
+      // assemble a PNG around the hand-filtered raw stream (the decoder
+      // does not validate CRCs, so zero CRCs are fine here)
+      def be32(v: Int) = Array(((v >>> 24) & 0xFF).toByte, ((v >>> 16) & 0xFF).toByte,
+        ((v >>> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+      def chunk(typ: String, data: Array[Byte]) =
+        be32(data.length) ++ typ.getBytes("US-ASCII") ++ data ++ be32(0)
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(raw); defl.finish()
+      val buf = new Array[Byte](8192)
+      val z = new java.io.ByteArrayOutputStream()
+      while (!defl.finished()) z.write(buf, 0, defl.deflate(buf))
+      defl.end()
+      val png = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte) ++
+        chunk("IHDR", be32(w) ++ be32(h) ++ Array[Byte](8, 2, 0, 0, 0)) ++
+        chunk("IDAT", z.toByteArray) ++ chunk("IEND", Array.emptyByteArray)
+      val m = Multimodal.decodePng(1L, png)
+      assert(m.nonEmpty, s"filter $f failed to decode")
+      assert(m.get.features.toSeq == baseline.features.toSeq,
+        s"filter $f decoded different pixels")
+    }
+  }
+
+  test("PNG malformed input falls back instead of failing") {
+    val ok = Multimodal.encodePng(2, 2, 3,
+      Array.tabulate(12)(i => (i * 20).toByte))
+    assert(Multimodal.decodePng(1L, ok.dropRight(20)).isEmpty) // truncated
+    val interlaced = ok.clone(); interlaced(8 + 4 + 4 + 12) = 1 // Adam7 flag
+    assert(Multimodal.decodePng(1L, interlaced).isEmpty)
+    val depth16 = ok.clone(); depth16(8 + 4 + 4 + 8) = 16.toByte
+    assert(Multimodal.decodePng(1L, depth16).isEmpty)
+    assert(Multimodal.decodePng(1L, "not a png at all".getBytes).isEmpty)
+    // dispatch still yields a row (stub fallback), never a crash
+    assert(Multimodal.decodeAuto(1L, interlaced).format.nonEmpty)
+  }
+
   test("real WAV decode: PCM samples, rate, frames, RMS envelope") {
     def le16(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
     def le32(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
@@ -118,7 +203,7 @@ class MultimodalSpec extends SparkSpec {
     val df = Seq((1L, ppm), (2L, txt)).toDF("media_id", "payload")
     val rows = Multimodal.decode(df).collect().sortBy(_.media_id)
     assert(rows(0).format == "ppm" && rows(0).width == 1)
-    assert(rows(1).format == "png" || rows(1).format == "jpeg") // stub fallback
+    assert(rows(1).format == "bin") // stub fallback
   }
 
   test("resize clamps dimensions; frame sampling emits strided chunks") {
