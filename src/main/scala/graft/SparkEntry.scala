@@ -660,19 +660,24 @@ object SparkEntry {
     // deterministic codebook: seed with the first 8 vectors, then Lloyd-
     // refine on the DRIVER over a training sample collected once
     // (FAISS-style; one collect instead of 2×iters distributed passes —
-    // the quantizer only needs density structure). The sample is a
-    // deterministic hash-mod of the corpus sized to ~8k rows (a metadata
-    // count picks the modulus; the filter pushes to the scan), so the
-    // driver collect stays bounded at ANY corpus size — with 8 centroids
-    // the codebook saturates far below the cap. At bench SFs the modulus
-    // is 1, i.e. the whole (tiny) table trains, which RecallSpec pins at
+    // the quantizer only needs density structure). The sample is the
+    // 8192 smallest rows by a deterministic hash order (seed ids sort
+    // first) — a per-partition top-k (TakeOrderedAndProject), so the
+    // driver collect stays bounded at ANY corpus size in ONE pass: no
+    // up-front count job sizing a modulus (at 100 TB that count was a
+    // full metadata scan before every codebook build). Driver-side
+    // re-sort by id makes the training fold order — and therefore the
+    // centroids — independent of which partition served each row; at
+    // bench SFs the whole (tiny) table trains, which RecallSpec pins at
     // recall@5 >= 0.9 vs the brute-force oracle.
-    val mod = math.max(1L, emb.count() / 8192L)
+    val sortKey = when(col("vec_id") < 8, lit(-1L))
+      .otherwise(pmod(xxhash64(col("vec_id")), lit(1000000007L)))
     val training = emb
-      .filter(col("vec_id") < 8 || pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .orderBy(col("vec_id"))
+      .orderBy(sortKey, col("vec_id"))
+      .limit(8192)
       .collect().map(r => r.getAs[Long](0) -> r.getSeq[Double](1).toSeq)
+      .sortBy(_._1)
     val seed = training.takeWhile(_._1 < 8).map(_._2).toSeq
     val centroids = Similarity.kmeansLocal(training.map(_._2).toSeq, seed,
       iters = 5, spherical = true)
