@@ -563,6 +563,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming corpus intake equals its batch twin on sf0.01") {
+    // batch-equivalence pin: the SAME corpusIntake transform, run once as
+    // a batch job and once incrementally over micro-batches, must produce
+    // the identical result set — the one-logical-definition claim the
+    // streaming operators are built on, checked on real driver testdata
+    implicit val sqlCtx = spark.sqlContext
+    val load = Tables(spark, "/root/testdata/sf0.01", "documents")
+      .select(col("doc_id"), col("text"))
+    val docs = load.as[(Long, String)].collect()
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStream.corpusIntake(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("intake_eq")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // three uneven micro-batches so batch boundaries cut the corpus
+      docs.grouped(180).foreach { c => mem.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+      val cols = Seq("doc_id", "text", "n_tokens", "rep_ratio", "fp")
+      val streamed = spark.table("intake_eq")
+        .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+      val batch = EventStream.corpusIntake(load)
+        .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+      assert(batch.nonEmpty && batch.size < docs.length) // the gate really gates
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("streaming decontamination equals the batch complement on sf0.01") {
+    // same split as the d_decontaminate oracle query: every 100th doc is
+    // the eval set. Streamed survivors must equal corpus minus the docs
+    // the batch operator flags (hits >= 1 ⇔ shares any 4-gram).
+    implicit val sqlCtx = spark.sqlContext
+    val all = Tables(spark, "/root/testdata/sf0.01", "documents")
+      .select(col("doc_id"), col("text"))
+    val eval = all.filter(col("doc_id") % 100 === 0)
+    val corpusRows = all.filter(col("doc_id") % 100 =!= 0).as[(Long, String)].collect()
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStream.streamingDecontaminate(
+        mem.toDF().toDF("doc_id", "text"), "text", eval, "text", n = 4)
+      .writeStream.format("memory").queryName("decon_eq")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      corpusRows.grouped(200).foreach { c => mem.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+      val streamedKept = spark.table("decon_eq")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val flagged = graft.operators.Dedup.decontaminate(
+          all.filter(col("doc_id") % 100 =!= 0), "doc_id", "text", eval, "text", n = 4)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(flagged.nonEmpty) // the eval set really contaminates something
+      assert(streamedKept == corpusRows.map(_._1).toSet -- flagged)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionizer emits closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStream.Event]
