@@ -553,10 +553,11 @@ object SparkEntry {
     val docs = t(s, dir, "documents")
     val sigs = Dedup.portableMinhash(docs, "doc_id", "text", k = 8)
     // candidate pairs are consumed three times by the verify stage (id
-    // prefilter + both join sides): materialize once
+    // prefilter + both join sides): materialize once. Cap OFF to stay
+    // equivalent to the uncapped oracle self-join by construction
     val cand = Dedup.candidatePairs(
         Dedup.portableBands(sigs, "doc_id", k = 8, bands = 4),
-        maxBucketSize = 1000000)
+        maxBucketSize = Int.MaxValue)
       .localCheckpoint()
     val pairs = Dedup.verifyJaccard(cand, docs, "doc_id", "text",
         shingleLen = 3, threshold = 0.5)
@@ -897,11 +898,13 @@ object SparkEntry {
     // portable minhash-LSH end to end: signatures → 4 bands of 2 → bucket
     // groupBy → in-bucket pair expansion — the full LSH candidate
     // generation oracle-checked against a DuckDB self-join spelling.
-    // Bucket cap effectively off: the oracle has no cap, and sf-corpus
-    // buckets are tiny; production callers use minhashLsh's default cap
+    // Bucket cap OFF (Int.MaxValue, explicit): the oracle self-join has no
+    // cap, so any finite cap here is a latent cross-engine divergence the
+    // moment a band bucket outgrows it; production callers use
+    // minhashLsh's default cap instead
     val sigs = Dedup.portableMinhash(t(s, dir, "documents"), "doc_id", "text", k = 8)
     Dedup.candidatePairs(Dedup.portableBands(sigs, "doc_id", k = 8, bands = 4),
-        maxBucketSize = 1000000)
+        maxBucketSize = Int.MaxValue)
       .orderBy(col("a"), col("b"))
   }
 
@@ -1960,10 +1963,12 @@ object SparkEntry {
         |GROUP BY h.doc_id ORDER BY doc_id""".stripMargin,
     // 20-token chunks every 15 tokens; the last chunk is the first one
     // reaching the doc's end (no fully-contained tails)
+    // case-PRESERVING tokenization (no lower()): chunk_text is training
+    // text, not a dedup key — mirrors TextAnalysis.chunk
     "d_chunk_docs" ->
       """WITH tk AS (
         | SELECT doc_id,
-        |  list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'),
         |              x -> len(x) > 0) AS t
         | FROM documents),
         |c AS (

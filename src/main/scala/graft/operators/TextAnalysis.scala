@@ -184,6 +184,11 @@ object TextAnalysis {
     * projection (see [[Dedup.portableShingleWindows]] for why), the chunk
     * structs are built per doc inside one `transform`, and the explode
     * multiplies rows WITHOUT a shuffle — at 100 TB this is a scan.
+    *
+    * Tokenization is CASE-PRESERVING (whitespace split only): chunk_text
+    * is training text, and a chunking operator must not case-fold it the
+    * way the dedup-oriented [[Dedup.portableTokens]] does. Inter-token
+    * whitespace runs still collapse to single spaces on re-join.
     */
   def chunk(df: DataFrame, idCol: String, textCol: String,
             chunkTokens: Int = 20, stride: Int = 15): DataFrame = {
@@ -199,7 +204,8 @@ object TextAnalysis {
         floor((s - 1) / lit(stride)).cast("bigint").as("chunk_id"),
         least(lit(chunkTokens), n - s + 1).cast("bigint").as("n_tokens"),
         concat_ws(" ", slice(col("tk"), s, lit(chunkTokens))).as("chunk_text")))
-    df.select(col(idCol), Dedup.portableTokens(col(textCol)).as("tk"))
+    df.select(col(idCol),
+        filter(split(trim(col(textCol)), "\\s+"), x => length(x) > 0).as("tk"))
       // empty docs yield no chunks (sequence(1, 0, step) would error)
       .filter(n > 0)
       .select(col(idCol), explode(chunks).as("c"))

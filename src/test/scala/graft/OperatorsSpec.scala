@@ -84,6 +84,12 @@ class TextAnalysisSpec extends SparkSpec {
       out(5L)(0)._2.split(" ").takeRight(5).toSeq)
   }
 
+  test("chunking preserves case — training text is never case-folded") {
+    val df = Seq((1L, "The Quick  BROWN fox")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(df, "doc_id", "text", 20, 15).collect()
+    assert(out.map(_.getString(3)).toSeq == Seq("The Quick BROWN fox"))
+  }
+
   test("token count ignores extra whitespace; empty is zero") {
     val df = Seq("  the quick   fox ", "", "one").toDF("t")
     val out = df.select(TextAnalysis.tokenCount(col("t")).as("n"))

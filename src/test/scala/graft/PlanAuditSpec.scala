@@ -165,8 +165,18 @@ class PlanAuditSpec extends SparkSpec {
     // NOT inside a lambdafunction(...) rendering
     val splitSites = "split\\(".r.findAllIn(p).size
     assert(splitSites >= 1, p)
-    val lambdaBlocks = "lambdafunction\\([^)]*split\\(".r.findAllIn(p).size
-    assert(lambdaBlocks == 0, s"tokenizer leaked into a lambda body:\n$p")
+    // per-LINE scan, not `[^)]*` (which cannot cross the first ')' of the
+    // lambda rendering and so missed any split( nested past a closed call
+    // like element_at(...)): a `split(` anywhere AFTER a `lambdafunction(`
+    // on its plan line means the tokenizer leaked into a lambda body.
+    // (portableTokens renders as filter(split(...), lambdafunction(...)) —
+    // split BEFORE the lambda — so legit projections don't trip this.)
+    val leaked = p.linesIterator.filter { l =>
+      val lam = l.indexOf("lambdafunction(")
+      lam >= 0 && l.indexOf("split(", lam) >= 0
+    }.toSeq
+    assert(leaked.isEmpty,
+      s"tokenizer leaked into a lambda body:\n${leaked.mkString("\n")}")
   }
 
   test("duplicated-span stats: shuffles carry md5 keys, never raw grams") {
