@@ -268,11 +268,12 @@ object SparkEntry {
       .orderBy(col("keep_id"))
 
   private def tokenCounts(s: SparkSession, dir: String): DataFrame =
+    // both counts from ONE fused kernel pass (no token array, no lambdas)
     t(s, dir, "documents")
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), TextAnalysis.tokenStats(col("text")).as("ts"))
       .select(col("doc_id"),
-        size(col("tk")).as("n_tokens"),
-        TextAnalysis.bpeishTokenCountOf(col("tk")).as("n_subwords"))
+        col("ts.n_tokens").as("n_tokens"),
+        col("ts.n_subwords").as("n_subwords"))
       .orderBy(col("doc_id"))
 
   private def qualityScores(s: SparkSession, dir: String): DataFrame =
@@ -285,22 +286,23 @@ object SparkEntry {
       .orderBy(col("doc_id"))
 
   private def langScores(s: SparkSession, dir: String): DataFrame = {
-    // tokenize ONCE into tk, derive all four scores from the array (the
-    // round-4 bench showed 3.4x from re-running the tokenizer per score)
+    // all four scores from ONE fused kernel pass (the round-4 bench showed
+    // 3.4x from re-running the tokenizer per score; the fused struct also
+    // drops the interpreted per-token filter lambdas)
     val base = t(s, dir, "documents")
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
-    val scored = TextAnalysis.langScoresOf(col("tk")).foldLeft(base) {
+      .select(col("doc_id"), TextAnalysis.tokenStats(col("text")).as("ts"))
+    val scored = TextAnalysis.langScoresFromStats(col("ts")).foldLeft(base) {
       case (d, (lang, c)) => d.withColumn(s"score_$lang", c)
     }
-    scored.drop("tk").orderBy(col("doc_id"))
+    scored.drop("ts").orderBy(col("doc_id"))
   }
 
   private def langPredict(s: SparkSession, dir: String): DataFrame = {
     // argmax over the marker-token scores with deterministic tie-break on
     // language code; ties at score 0 mean "unknown"
     val base = t(s, dir, "documents")
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
-    val scored = TextAnalysis.langScoresOf(col("tk")).foldLeft(base) {
+      .select(col("doc_id"), TextAnalysis.tokenStats(col("text")).as("ts"))
+    val scored = TextAnalysis.langScoresFromStats(col("ts")).foldLeft(base) {
       case (d, (lang, c)) => d.withColumn(s"s_$lang", c)
     }
     val langs = TextAnalysis.langMarkers.keys.toSeq.sorted
@@ -949,15 +951,16 @@ object SparkEntry {
     // corpus scan; the only shuffle is the per-fingerprint window. (A
     // join-per-stage spelling measured 2x slower at sf0.1 and would scan
     // the 100 TB corpus three times.)
-    // one tokenizer-kernel run per row: tk is materialized in its own
-    // projection and feeds the 3 token-quality columns AND the 4 language
-    // scores (7 consumers; re-tokenizing per column measured 2-3x slower)
+    // one fused kernel run per row: the tokenStats struct is materialized
+    // in its own projection and feeds the 3 token-quality columns AND the
+    // 4 language scores (7 consumers; re-tokenizing per column measured
+    // 2-3x slower, and the fused kernel drops the per-token lambdas too)
     val docs = t(s, dir, "documents")
-      .select(col("doc_id"), col("text"), TextAnalysis.tokens(col("text")).as("tk"))
-    val withQuality = TextAnalysis.qualityColumnsOf(col("text"), col("tk"))
+      .select(col("doc_id"), col("text"), TextAnalysis.tokenStats(col("text")).as("ts"))
+    val withQuality = TextAnalysis.qualityColumnsFromStats(col("text"), col("ts"))
       .foldLeft(docs) { case (d, (name, c)) => d.withColumn(name, c) }
     val langs = TextAnalysis.langMarkers.keys.toSeq.sorted
-    val scored = TextAnalysis.langScoresOf(col("tk")).foldLeft(withQuality) {
+    val scored = TextAnalysis.langScoresFromStats(col("ts")).foldLeft(withQuality) {
       case (d, (lang, c)) => d.withColumn(s"s_$lang", c)
     }
     val best = langs.map(l => struct(col(s"s_$l").as("score"), lit(l).as("lang")))

@@ -160,17 +160,52 @@ object TextAnalysis {
     "stopword_ratio" -> round(stopwordRatioOf(tk), 4),
     "punct_ratio" -> round(punctRatio(text), 4))
 
+  /** One-pass fused token statistics struct — the compiled
+    * [[graft.functions.TokenStats]] kernel: (n_tokens, sum_len, n_subwords,
+    * stop_hits, marker_hits) in a single walk over the text, no token
+    * array, no interpreted higher-order-function lambdas. The fastest
+    * spelling when a query stacks several token-derived columns; project
+    * it once as its own column and derive with [[qualityColumnsFromStats]]
+    * / [[langScoresFromStats]]. Marker sets ride in language-code order
+    * (sorted), aligning `marker_hits` with [[langScoresFromStats]].
+    */
+  def tokenStats(text: Column,
+                 stopwords: Seq[String] = defaultStopwords): Column =
+    graft.functions.TokenStats(text, stopwords,
+      langMarkers.toSeq.sortBy(_._1).map(_._2))
+
+  /** [[qualityColumns]] derived from a [[tokenStats]] struct column —
+    * identical values and types to the array spelling (int/long counts,
+    * the same double divisions), one kernel call per row.
+    */
+  def qualityColumnsFromStats(text: Column, ts: Column): Seq[(String, Column)] = {
+    val n = ts.getField("n_tokens")
+    Seq(
+      "n_tokens" -> n,
+      "mean_token_len" -> round(when(n === 0, lit(0.0))
+        .otherwise(ts.getField("sum_len").cast("double") / n), 4),
+      "stopword_ratio" -> round(when(n === 0, lit(0.0))
+        .otherwise(ts.getField("stop_hits").cast("double") / n), 4),
+      "punct_ratio" -> round(punctRatio(text), 4))
+  }
+
+  /** [[langScores]] derived from a [[tokenStats]] struct column. */
+  def langScoresFromStats(ts: Column): Seq[(String, Column)] =
+    langMarkers.keys.toSeq.sorted.zipWithIndex.map { case (lang, i) =>
+      lang -> ts.getField("marker_hits").getItem(i)
+    }
+
   /** Apply quality columns to a DataFrame, keeping `keep` columns. The
-    * token array is materialized in its own projection and shared by the
-    * three token-derived columns — one tokenizer-kernel run per row, not
-    * three.
+    * fused [[tokenStats]] struct is materialized in its own projection and
+    * shared by the three token-derived columns — one compiled kernel run
+    * per row, zero lambda dispatch.
     */
   def quality(df: DataFrame, textCol: String, keep: Seq[String]): DataFrame = {
     val base = df.select(
-      (keep :+ textCol).map(col) :+ tokens(col(textCol)).as("__tk"): _*)
-    qualityColumnsOf(col(textCol), col("__tk")).foldLeft(base) {
+      (keep :+ textCol).map(col) :+ tokenStats(col(textCol)).as("__ts"): _*)
+    qualityColumnsFromStats(col(textCol), col("__ts")).foldLeft(base) {
       case (d, (name, c)) => d.withColumn(name, c)
-    }.drop(textCol, "__tk")
+    }.drop(textCol, "__ts")
   }
 
   /** Fixed-size token chunking with overlap — the context-window prep step

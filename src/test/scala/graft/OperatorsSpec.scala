@@ -84,6 +84,35 @@ class TextAnalysisSpec extends SparkSpec {
       out(5L)(0)._2.split(" ").takeRight(5).toSeq)
   }
 
+  test("fused tokenStats kernel matches the higher-order spelling exactly") {
+    // adversarial inputs: empty, whitespace-only, case variants of
+    // stopwords/markers, supplementary-plane chars (code points != UTF-16
+    // units), every Java \s whitespace class, long repeats
+    val docs = Seq("", "   ", "The the THE tHe is Is", "der die und le la et el los y",
+      "ünïcode tökens 𝔘𝔫𝔦 mix",
+      "a\tb\ncd\fe\rf", ("of " * 40).trim, "x").toDF("text")
+    val langs = TextAnalysis.langMarkers.keys.toSeq.sorted
+    def fround(c: org.apache.spark.sql.Column, p: Int) =
+      org.apache.spark.sql.functions.round(c, p)
+    val fused = docs.select(Seq(TextAnalysis.tokenStats(col("text")).as("ts")): _*)
+      .select(Seq(col("ts.n_tokens"), col("ts.n_subwords"),
+        fround(when(col("ts.n_tokens") === 0, 0.0)
+          .otherwise(col("ts.sum_len").cast("double") / col("ts.n_tokens")), 4),
+        fround(when(col("ts.n_tokens") === 0, 0.0)
+          .otherwise(col("ts.stop_hits").cast("double") / col("ts.n_tokens")), 4)) ++
+        TextAnalysis.langScoresFromStats(col("ts")).map(_._2): _*)
+      .collect().map(_.toSeq)
+    val hof = docs.select(Seq(
+        TextAnalysis.tokenCount(col("text")),
+        TextAnalysis.bpeishTokenCount(col("text")),
+        fround(TextAnalysis.meanTokenLength(col("text")), 4),
+        fround(TextAnalysis.stopwordRatio(col("text")), 4)) ++
+        TextAnalysis.langScores(col("text")).map(_._2): _*)
+      .collect().map(_.toSeq)
+    assert(fused.toSeq == hof.toSeq)
+    assert(langs.size == 4) // marker_hits alignment assumption
+  }
+
   test("chunking preserves case — training text is never case-folded") {
     val df = Seq((1L, "The Quick  BROWN fox")).toDF("doc_id", "text")
     val out = TextAnalysis.chunk(df, "doc_id", "text", 20, 15).collect()
