@@ -135,11 +135,14 @@ object TextAnalysis {
         urlPattern, "<URL>"),
       digitRunPattern, "<NUMBER>")
 
-  /** Count of PII hits per category (observability for the scrub pass). */
+  /** Count of PII hits per category (observability for the scrub pass).
+    * `regexp_count` scans without materializing the match array that
+    * `size(regexp_extract_all(...))` would allocate per row.
+    */
   def piiCounts(text: Column): Seq[(String, Column)] = Seq(
-    "n_emails" -> size(regexp_extract_all(text, lit(emailPattern), lit(0))),
-    "n_urls" -> size(regexp_extract_all(text, lit(urlPattern), lit(0))),
-    "n_numbers" -> size(regexp_extract_all(text, lit(digitRunPattern), lit(0))))
+    "n_emails" -> regexp_count(text, lit(emailPattern)),
+    "n_urls" -> regexp_count(text, lit(urlPattern)),
+    "n_numbers" -> regexp_count(text, lit(digitRunPattern)))
 
   /** Full quality-score projection over a text column. Tokenizes per
     * column — prefer [[qualityColumnsOf]] with a materialized token array
