@@ -368,6 +368,21 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  private def decontaminateBloomQuery(s: SparkSession, dir: String): DataFrame = {
+    // the decontamination scale path: same eval split as d_decontaminate,
+    // but the eval grams collapse into a broadcast Bloom filter and the
+    // corpus side is flagged entirely map-side (no explode, no join — see
+    // Dedup.decontaminateBloom). Rows-only for the driver (bloom bits are
+    // not SQL-expressible); DedupSpec pins flagged ⊇ exact-flagged and
+    // per-doc hits ≥ exact overlap counts.
+    val d = t(s, dir, "documents")
+    Dedup.decontaminateBloom(
+        d.filter(col("doc_id") % 100 =!= 0), "doc_id", "text",
+        d.filter(col("doc_id") % 100 === 0), "text", n = 4,
+        expectedGrams = 100000L, fpp = 0.001)
+      .orderBy(col("doc_id"))
+  }
+
   private def packSequencesQuery(s: SparkSession, dir: String): DataFrame =
     // concat-and-chunk packing into 512-token bins across 8 shards — the
     // batch-construction step of a pretraining pipeline
@@ -1034,6 +1049,7 @@ object SparkEntry {
     "d_sample_strata" -> (sampleStrataQuery _),
     "d_tfidf_terms" -> (tfidfTopTerms _),
     "d_decontaminate" -> (decontaminateQuery _),
+    "d_decontaminate_bloom" -> (decontaminateBloomQuery _),
     "d_pack_sequences" -> (packSequencesQuery _),
     "d_boilerplate" -> (boilerplateQuery _),
     "d_domain_mix" -> (domainMixQuery _),

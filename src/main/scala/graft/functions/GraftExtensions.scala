@@ -68,5 +68,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("canonicalize_text",
         "_FUNC_(text) - trim + collapse whitespace + lowercase canonical form"),
       (exprs: Seq[Expression]) => CanonicalizeText(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("token_stats"),
+      info("token_stats",
+        "_FUNC_(text) - struct(n_tokens, sum_len, n_subwords, stop_hits, " +
+          "marker_hits) in one fused pass (default stopword/marker lists)"),
+      (exprs: Seq[Expression]) => TokenStats(exprs(0),
+        graft.operators.TextAnalysis.defaultStopwords,
+        graft.operators.TextAnalysis.langMarkers.toSeq.sortBy(_._1).map(_._2))))
   }
 }

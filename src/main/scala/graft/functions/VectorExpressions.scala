@@ -272,5 +272,10 @@ object VectorFunctions {
       "simhash64", exprs => SimHash64(exprs(0)), "built-in")
     fr.createOrReplaceTempFunction(
       "canonicalize_text", exprs => CanonicalizeText(exprs(0)), "built-in")
+    fr.createOrReplaceTempFunction(
+      "token_stats", exprs => TokenStats(exprs(0),
+        graft.operators.TextAnalysis.defaultStopwords,
+        graft.operators.TextAnalysis.langMarkers.toSeq.sortBy(_._1).map(_._2)),
+      "built-in")
   }
 }

@@ -278,6 +278,42 @@ object Dedup {
       .groupBy(col(idCol)).agg(count(lit(1)).as("hits"))
   }
 
+  /** Bloom-filter decontamination — the scale path for when even the eval
+    * side outgrows an exact broadcast set (a multi-GB benchmark suite's
+    * distinct 8-grams): build a Bloom filter over the eval grams with
+    * `DataFrame.stat.bloomFilter` (a distributed aggregate — the sketch is
+    * built executor-side and merged), broadcast the fixed-size filter, and
+    * count might-contain grams per corpus doc ENTIRELY map-side — no
+    * explode, no join, no shuffle of the 100 TB side at all (the exact
+    * [[decontaminate]] still shuffles matching (doc, gram) rows to a
+    * per-doc count).
+    *
+    * One-sided error, the direction that matters: NO false negatives —
+    * every document sharing a real n-gram with the eval set is flagged
+    * (DedupSpec pins flagged ⊇ exact-flagged); `fpp` only over-flags,
+    * trading a sliver of clean data for leakage safety. `hits` here counts
+    * might-contain grams (≥ the exact overlap count). The membership
+    * lambda is a justified UDF: the filter lives in a broadcast variable,
+    * unreachable from column expressions.
+    *
+    * Returns (idCol, hits) for flagged docs, like [[decontaminate]].
+    */
+  def decontaminateBloom(docs: DataFrame, idCol: String, textCol: String,
+                         evalDocs: DataFrame, evalTextCol: String,
+                         n: Int = 8, expectedGrams: Long = 10000000L,
+                         fpp: Double = 0.01): DataFrame = {
+    val bf = evalDocs
+      .select(explode(array_distinct(shingles(col(evalTextCol), n))).as("gram"))
+      .stat.bloomFilter("gram", expectedGrams, fpp)
+    val bc = docs.sparkSession.sparkContext.broadcast(bf)
+    val bloomHits = udf((gs: Seq[String]) =>
+      if (gs == null) 0 else gs.count(bc.value.mightContainString))
+    docs
+      .select(col(idCol),
+        bloomHits(array_distinct(shingles(col(textCol), n))).as("hits"))
+      .filter(col("hits") > 0)
+  }
+
   /** Cross-corpus boilerplate n-gram scoring — the C4-style pattern: word
     * n-grams recurring across many DISTINCT documents are template text
     * (headers, footers, licence blurbs), not content. Pass 1 computes each

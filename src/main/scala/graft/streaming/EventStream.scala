@@ -91,6 +91,27 @@ object EventStream {
     docs.filter(!contaminated(Dedup.shingles(col(textCol), n)))
   }
 
+  /** [[streamingDecontaminate]]'s scale variant: the static eval side
+    * collapses into a broadcast Bloom filter (built by a distributed
+    * aggregate, fixed size regardless of eval-set size) instead of an
+    * exact in-memory set. One-sided error: a contaminated doc is NEVER
+    * passed; `fpp` only drops extra clean docs. Use when the eval suite's
+    * distinct grams outgrow executor memory as a plain set.
+    */
+  def streamingDecontaminateBloom(docs: DataFrame, textCol: String,
+                                  evalDocs: DataFrame, evalTextCol: String,
+                                  n: Int = 8, expectedGrams: Long = 10000000L,
+                                  fpp: Double = 0.01): DataFrame = {
+    import graft.operators.Dedup
+    val bf = evalDocs
+      .select(explode(array_distinct(Dedup.shingles(col(evalTextCol), n))).as("gram"))
+      .stat.bloomFilter("gram", expectedGrams, fpp)
+    val bc = docs.sparkSession.sparkContext.broadcast(bf)
+    val contaminated = udf((gs: Seq[String]) =>
+      gs != null && gs.exists(bc.value.mightContainString))
+    docs.filter(!contaminated(Dedup.shingles(col(textCol), n)))
+  }
+
   case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(count: Long, sum: Double, lastTs: Long)
   case class SessionOut(user_id: Long, n_events: Long, value_sum: Double)

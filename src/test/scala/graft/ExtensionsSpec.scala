@@ -45,13 +45,16 @@ class VectorKernelSpec extends SparkSpec {
         | word_shingles('a b c d', 3) AS sh,
         | size(minhash_signature(array('x', 'y'), 16)) AS mh,
         | simhash64(array('tok')) AS sim,
-        | canonicalize_text('  A   b ') AS canon""".stripMargin).collect()(0)
+        | canonicalize_text('  A   b ') AS canon,
+        | token_stats('the Quick fox').n_tokens AS tsn,
+        | token_stats('the Quick fox').stop_hits AS tss""".stripMargin).collect()(0)
     assert(r.getDouble(0) == 1.0)
     assert(r.getDouble(1) == 23.0)
     assert(r.getDouble(2) == 5.0)
     assert(r.getSeq[String](3) == Seq("a b c", "b c d"))
     assert(r.getInt(4) == 16)
     assert(r.getString(6) == "a b")
+    assert(r.getInt(7) == 3 && r.getInt(8) == 1)
     // build-time injection path constructs without error
     new graft.functions.GraftExtensions().apply(
       new org.apache.spark.sql.SparkSessionExtensions)

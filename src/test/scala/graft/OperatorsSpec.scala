@@ -261,6 +261,31 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(1L -> 2L, 3L -> 1L))
   }
 
+  test("bloom decontamination: no false negatives vs exact, fully map-side") {
+    // the scale-path guarantee on real driver testdata: every doc the
+    // exact operator flags is bloom-flagged with at least as many hits
+    // (a contaminated doc NEVER slips through; fpp only over-flags)
+    val d = Tables(spark, "/root/testdata/sf0.01", "documents")
+    val corpus = d.filter(col("doc_id") % 100 =!= 0)
+    val eval = d.filter(col("doc_id") % 100 === 0)
+    val exact = Dedup.decontaminate(corpus, "doc_id", "text", eval, "text", n = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloomDf = Dedup.decontaminateBloom(corpus, "doc_id", "text",
+      eval, "text", n = 4, expectedGrams = 100000L, fpp = 0.001)
+    val bloom = bloomDf.collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(exact.nonEmpty)
+    exact.foreach { case (id, h) =>
+      assert(bloom.contains(id), s"false negative: doc $id exact-flagged, not bloom-flagged")
+      assert(bloom(id) >= h, s"doc $id bloom hits ${bloom(id)} < exact $h")
+    }
+    // at fpp=0.001 on this corpus the over-flagging stays a sliver
+    assert(bloom.size - exact.size <= math.max(5, exact.size / 2),
+      s"bloom=${bloom.size} exact=${exact.size}")
+    // the corpus side never shuffles: scan → project(udf) → filter only
+    val plan = bloomDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("boilerplate scores the fraction of cross-doc common n-grams") {
     // "legal notice all rights reserved" plants the 3-grams "legal notice
     // all", "notice all rights", "all rights reserved" in docs 1..3
