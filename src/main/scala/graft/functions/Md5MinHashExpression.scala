@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Map-side kernel for the ENGINE-PORTABLE md5 MinHash signature:
+  * `sig_p = MIN over shingles of slice p%4 of md5("<p/4>:<shingle>")`,
+  * where a slice is 8 hex chars read as an unsigned 32-bit integer —
+  * BIT-IDENTICAL to the relational spelling
+  * `min(conv(substr(md5(concat('<j>:', sh)), 1+8*(p%4), 8), 16, 10))`
+  * that the DuckDB oracles run ([[graft.operators.Dedup.portableMinhash]]).
+  *
+  * Why a kernel: the relational spelling must EXPLODE the shingle stream
+  * and groupBy doc to take the k mins — at 100 TB that shuffles the
+  * entire corpus's shingle stream once per audit run. The same k values
+  * computed per row in one compiled pass make the portable signature
+  * stage shuffle-free (exactly like the production xxhash64
+  * [[MinHashSignature]] path), while every output bit stays reproducible
+  * by any SQL engine. md5 here IS md5 (`java.security.MessageDigest`,
+  * thread-local instance), so equality with the oracle is by definition
+  * of the digest, not by luck.
+  */
+object Md5MinHashKernel {
+
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  // "<j>:" prefixes for j in [0, 16) — covers k up to 64 (k/4 digests)
+  private val prefixes: Array[Array[Byte]] =
+    Array.tabulate(16)(j => (j.toString + ":").getBytes("US-ASCII"))
+
+  def compute(shingles: ArrayData, k: Int): ArrayData = {
+    val digests = k / 4
+    val mins = Array.fill(k)(Long.MaxValue)
+    val d = md5.get()
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        val s = shingles.getUTF8String(i).getBytes
+        var j = 0
+        while (j < digests) {
+          d.reset()
+          d.update(prefixes(j))
+          d.update(s)
+          val h = d.digest() // 16 bytes
+          var p = 0
+          while (p < 4) {
+            // 8 hex chars = 4 digest bytes, big-endian, unsigned
+            val o = p * 4
+            val v = ((h(o) & 0xFFL) << 24) | ((h(o + 1) & 0xFFL) << 16) |
+              ((h(o + 2) & 0xFFL) << 8) | (h(o + 3) & 0xFFL)
+            val idx = j * 4 + p
+            if (v < mins(idx)) mins(idx) = v
+            p += 1
+          }
+          j += 1
+        }
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+}
+
+case class PortableMinHash(child: Expression, k: Int) extends UnaryExpression {
+
+  require(k > 0 && k % 4 == 0 && k <= 64,
+    s"k must be a positive multiple of 4 up to 64, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "portable_minhash"
+
+  override def nullSafeEval(input: Any): Any =
+    Md5MinHashKernel.compute(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.functions.Md5MinHashKernel.compute($arr, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): PortableMinHash =
+    copy(child = newChild)
+}
+
+object PortableMinHash {
+  def apply(shingles: Column, k: Int): Column =
+    ColumnBridge.column(PortableMinHash(ColumnBridge.expression(shingles), k))
+}

@@ -588,25 +588,37 @@ object Dedup {
     * `md5("<j>:<shingle>")` split into four independent 32-bit hashes
     * (md5 bits are uniform and independent, so the slices are k distinct
     * hash functions from k/4 digests), and `sig_p` = MIN of slice p over
-    * the doc's shingle set, as a BIGINT. Docs with no shingles drop out
-    * (explode semantics), matching [[minhashSignatures]].
+    * the doc's shingle set, as a BIGINT. Docs with no shingles drop out,
+    * matching [[minhashSignatures]].
     *
-    * Scale shape: one explode + ONE groupBy whose k int mins combine
-    * map-side — k/4 md5 calls per shingle (not k) and the exchange
-    * carries k longs per doc (not k hex strings). Still heavier than the
-    * map-side-only production path, but the leanest SQL-portable form.
+    * Scale shape: ENTIRELY map-side — the compiled
+    * [[graft.functions.PortableMinHash]] kernel takes each doc's shingle
+    * window array and emits the k mins in one pass, so the signature
+    * stage has ZERO shuffle (same shape as the production xxhash64 path).
+    * The relational spelling the DuckDB oracles run — explode + groupBy
+    * with `min(conv(substr(md5(...))))` — produces bit-identical values
+    * by definition of md5; it cost one full shuffle of the corpus's
+    * shingle stream per audit run (measured 1.4 s → map-side at sf0.1).
+    * Duplicates in the window array don't affect a MIN, so no per-doc
+    * distinct is needed.
     */
   def portableMinhash(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 8): DataFrame = {
     require(k % 4 == 0, s"k=$k must be a multiple of 4 (md5 yields 4 slices)")
-    val exploded = portableShingleStream(df, idCol, textCol, distinctPerDoc = true)
-      .select(col(idCol) +:
-        (0 until k / 4).map(j => md5(concat(lit(s"$j:"), col("sh"))).as(s"h$j")): _*)
-    val mins = (0 until k).map { p =>
-      val slice = substring(col(s"h${p / 4}"), 1 + 8 * (p % 4), 8)
-      min(conv(slice, 16, 10).cast("bigint")).as(s"sig$p")
-    }
-    exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    // the empty-doc gate must be size(tk) >= 3, NOT size(ss) > 0: a
+    // predicate on ss would be pushed below the projections with ss (and
+    // tk inside it) inlined into the filter condition — re-running the
+    // tokenizer inside the window lambda per index, the exact 27x trap
+    // PlanAuditSpec's lambda guard flags (it caught this rewrite's first
+    // draft). On tk the pushed-down condition re-runs only the tokenizer
+    // itself once in the Filter node.
+    val sigs = df
+      .select(col(idCol), portableTokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col(idCol), portableShingleWindows(col("tk")).as("ss"))
+      .select(col(idCol), graft.functions.PortableMinHash(col("ss"), k).as("mh"))
+    sigs.select(col(idCol) +:
+      (0 until k).map(p => element_at(col("mh"), p + 1).as(s"sig$p")): _*)
   }
 
   /** LSH banding over portable signatures: `bands` bands of `k/bands`

@@ -429,6 +429,27 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("portable minhash kernel is bit-identical to the relational md5 spelling") {
+    // the map-side kernel must reproduce, bit for bit, the explode+groupBy
+    // spelling that the DuckDB oracles execute — on real driver testdata
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val kernel = Dedup.portableMinhash(docs, "doc_id", "text", k = 8)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val exploded = docs
+      .select(col("doc_id"), Dedup.portableTokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        explode(array_distinct(Dedup.portableShingleWindows(col("tk")))).as("sh"))
+      .select(col("doc_id") +:
+        (0 until 2).map(j => md5(concat(lit(s"$j:"), col("sh"))).as(s"h$j")): _*)
+    val mins = (0 until 8).map { p =>
+      min(conv(substring(col(s"h${p / 4}"), 1 + 8 * (p % 4), 8), 16, 10)
+        .cast("bigint")).as(s"sig$p")
+    }
+    val relational = exploded.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(kernel.length == 500 && kernel.toSeq == relational.toSeq)
+  }
+
   test("duplicated-span coverage counts positional windows shared across docs") {
     val df = Seq(
       (0L, "alpha beta gamma delta epsilon"), // 3 windows, 1 shared

@@ -151,13 +151,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("portable minhash: one exchange; tokens projected OUTSIDE the window lambda") {
+  test("portable minhash: ZERO exchanges; tokens projected OUTSIDE the window lambda") {
     val docs = Tables(spark, dir, "documents")
     val p = plan(Dedup.portableMinhash(docs, "doc_id", "text", k = 8))
-    // one groupBy shuffle carrying the k partial mins
-    assert(exchanges(p) == 1, p)
-    assert(p.contains("partial_min") || p.contains("partial min") ||
-      p.contains("HashAggregate"), p)
+    // the md5 slice-mins are computed per row by the compiled kernel —
+    // no explode, no groupBy: the signature stage must be a pure scan
+    assert(exchanges(p) == 0, p)
+    assert(p.contains("portable_minhash"), p)
     // the regression this guards: if the tokenizer ever moves back inside
     // the transform() lambda, regex split re-runs per window index (27×
     // measured). The split must appear in a projection, where its output
