@@ -32,6 +32,8 @@ object Md5MinHashKernel {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  private[functions] def digestInstance(): java.security.MessageDigest = md5.get()
+
   // "<j>:" prefixes for j in [0, 16) — covers k up to 64 (k/4 digests)
   private val prefixes: Array[Array[Byte]] =
     Array.tabulate(16)(j => (j.toString + ":").getBytes("US-ASCII"))
@@ -98,4 +100,74 @@ case class PortableMinHash(child: Expression, k: Int) extends UnaryExpression {
 object PortableMinHash {
   def apply(shingles: Column, k: Int): Column =
     ColumnBridge.column(PortableMinHash(ColumnBridge.expression(shingles), k))
+}
+
+/** Map-side kernel for the engine-portable 16-bit SimHash
+  * ([[graft.operators.Dedup.portableSimhash]]): bit p of the fingerprint
+  * is the sign of the ±1 vote sum over the doc's DISTINCT shingles, where
+  * a shingle votes +1 on bit p iff hex digit p of `md5(shingle)` has its
+  * high nibble bit set (digit in '8'..'f') — bit-identical to the
+  * relational explode + 16-vote-column groupBy the DuckDB oracle runs,
+  * computed in one compiled pass with ONE md5 per shingle and no shuffle.
+  * Pass DISTINCT shingles (`array_distinct` upstream): votes, unlike
+  * mins, are multiplicity-sensitive.
+  */
+object Md5SimHash16Kernel {
+  def compute(shingles: ArrayData): Long = {
+    val votes = new Array[Int](16)
+    val d = Md5MinHashKernel.digestInstance()
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        d.reset()
+        d.update(shingles.getUTF8String(i).getBytes)
+        val h = d.digest()
+        var p = 0
+        while (p < 16) {
+          // hex digit p+1 = byte p/2, high nibble for even p (1st, 3rd, …
+          // hex chars), low nibble for odd p; '8'..'f' ⇔ nibble >= 8
+          val nib =
+            if ((p & 1) == 0) (h(p / 2) >> 4) & 0xF else h(p / 2) & 0xF
+          votes(p) += (if (nib >= 8) 1 else -1)
+          p += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var p = 0
+    while (p < 16) {
+      if (votes(p) > 0) fp |= 1L << p
+      p += 1
+    }
+    fp
+  }
+}
+
+case class PortableSimHash16(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "portable_simhash16"
+
+  override def nullSafeEval(input: Any): Any =
+    Md5SimHash16Kernel.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.functions.Md5SimHash16Kernel.compute($arr);")
+
+  override protected def withNewChildInternal(newChild: Expression): PortableSimHash16 =
+    copy(child = newChild)
+}
+
+object PortableSimHash16 {
+  def apply(shingles: Column): Column =
+    ColumnBridge.column(PortableSimHash16(ColumnBridge.expression(shingles)))
 }

@@ -685,18 +685,15 @@ object Dedup {
     * positions instead; Spark keeps them as parallel agg columns so rows
     * are not multiplied before the exchange).
     */
-  def portableSimhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
-    val ex = portableShingleStream(df, idCol, textCol, distinctPerDoc = true)
-      .withColumn("h", md5(col("sh")))
-    val votes = (1 to 16).map { p =>
-      sum(when(substring(col("h"), p, 1).isin(hexHigh: _*), 1)
-        .otherwise(-1)).as(s"v$p")
-    }
-    val fp = (1 to 16).map(p =>
-        when(col(s"v$p") > 0, lit(1L << (p - 1))).otherwise(lit(0L)))
-      .reduce(_ + _)
-    ex.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
-      .select(col(idCol), fp.as("simhash16"))
-  }
+  def portableSimhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    // map-side kernel (one md5 per DISTINCT shingle, no explode/groupBy) —
+    // bit-identical to the relational 16-vote-column spelling the oracle
+    // runs; same size(tk)>=3 gate as portableMinhash (see there for the
+    // predicate-pushdown trap a gate on the window array would hit)
+    df.select(col(idCol), portableTokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col(idCol),
+        array_distinct(portableShingleWindows(col("tk"))).as("ss"))
+      .select(col(idCol),
+        graft.functions.PortableSimHash16(col("ss")).as("simhash16"))
 }

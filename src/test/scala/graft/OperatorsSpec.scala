@@ -450,6 +450,29 @@ class DedupSpec extends SparkSpec {
     assert(kernel.length == 500 && kernel.toSeq == relational.toSeq)
   }
 
+  test("portable simhash kernel is bit-identical to the relational md5 spelling") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val kernel = Dedup.portableSimhash(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val ex = docs
+      .select(col("doc_id"), Dedup.portableTokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        explode(array_distinct(Dedup.portableShingleWindows(col("tk")))).as("sh"))
+      .withColumn("h", md5(col("sh")))
+    val votes = (1 to 16).map { p =>
+      sum(when(substring(col("h"), p, 1).isin(hexHigh: _*), 1)
+        .otherwise(-1)).as(s"v$p")
+    }
+    val fp = (1 to 16).map(p =>
+        when(col(s"v$p") > 0, lit(1L << (p - 1))).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val relational = ex.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), fp.as("simhash16"))
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(kernel.length == 500 && kernel.toSeq == relational.toSeq)
+  }
+
   test("duplicated-span coverage counts positional windows shared across docs") {
     val df = Seq(
       (0L, "alpha beta gamma delta epsilon"), // 3 windows, 1 shared
