@@ -116,11 +116,12 @@ object Multimodal {
     * ships zlib, so "no codecs in the container" does not excuse stubbing
     * the web's most common image format), and the five standard scanline
     * filters (none/sub/up/average/paeth) undone in place. Supports
-    * non-interlaced 8-bit grayscale / gray+alpha / RGB / RGBA (color types
-    * 0/4/2/6). Features = the same normalized 8-bin luminance histogram as
-    * [[decodePpm]] (BT.601 integer weights; alpha ignored). `None` on
-    * anything else — 16-bit, palette, or Adam7-interlaced input falls back
-    * to the stub rather than pretending.
+    * non-interlaced 8-bit grayscale / gray+alpha / RGB / RGBA / palette
+    * (color types 0/4/2/6/3 — palette indices resolve through PLTE to RGB,
+    * reported as channels=3). Features = the same normalized 8-bin
+    * luminance histogram as [[decodePpm]] (BT.601 integer weights; alpha
+    * ignored). `None` on anything else — 16-bit or Adam7-interlaced input
+    * falls back to the stub rather than pretending.
     */
   def decodePng(id: Long, bytes: Array[Byte]): Option[MediaMeta] = try {
     if (bytes.length < 33 || !isPngMagic(bytes)) return None
@@ -130,6 +131,7 @@ object Multimodal {
     var o = 8
     var w = 0; var h = 0; var depth = -1; var colorType = -1; var interlace = -1
     val idat = new java.io.ByteArrayOutputStream()
+    var palette: Array[Byte] = null
     var sawEnd = false
     while (!sawEnd && o + 12 <= bytes.length) {
       val len = u32(o)
@@ -148,17 +150,24 @@ object Multimodal {
           if ((bytes(o + 18) & 0xFF) != 0 || (bytes(o + 19) & 0xFF) != 0) return None
           interlace = bytes(o + 20) & 0xFF
         case "IDAT" => idat.write(bytes, o + 8, len.toInt)
+        case "PLTE" =>
+          if (len == 0 || len % 3 != 0 || len > 768) return None
+          palette = java.util.Arrays.copyOfRange(bytes, o + 8, o + 8 + len.toInt)
         case "IEND" => sawEnd = true
-        case _ => () // ancillary chunks (tEXt, gAMA, ...) are skippable
+        case _ => () // ancillary chunks (tEXt, gAMA, tRNS, ...) are skippable
       }
       o += 12 + len.toInt
     }
-    val channels = colorType match {
-      case 0 => 1; case 4 => 2; case 2 => 3; case 6 => 4; case _ => return None
+    // bpp = filter distance in bytes per pixel; palette rasters are 1 B/px
+    // of indices that resolve through PLTE after unfiltering
+    val bpp = colorType match {
+      case 0 => 1; case 4 => 2; case 2 => 3; case 6 => 4; case 3 => 1
+      case _ => return None
     }
+    if (colorType == 3 && palette == null) return None
     if (w <= 0 || h <= 0 || depth != 8 || interlace != 0 ||
       !sawEnd || idat.size == 0) return None
-    val stride = w.toLong * channels
+    val stride = w.toLong * bpp
     val rawLen = (stride + 1) * h // +1 filter byte per scanline
     // bound the inflate: a 64-char payload claiming a 10-gigapixel IHDR
     // must not allocate executor memory before failing
@@ -178,7 +187,7 @@ object Multimodal {
     if (got < raw.length) return None
     // undo scanline filters in place into the pixel buffer; for 8-bit
     // images the per-pixel byte distance used by sub/average/paeth is
-    // exactly the channel count
+    // exactly bpp
     val st = stride.toInt
     val img = new Array[Byte](st * h)
     var y = 0
@@ -190,9 +199,9 @@ object Multimodal {
       var x = 0
       while (x < st) {
         val cur = raw(rowIn + x) & 0xFF
-        val left = if (x >= channels) img(rowOut + x - channels) & 0xFF else 0
+        val left = if (x >= bpp) img(rowOut + x - bpp) & 0xFF else 0
         val up = if (y > 0) img(rowOut - st + x) & 0xFF else 0
-        val ul = if (x >= channels && y > 0) img(rowOut - st + x - channels) & 0xFF else 0
+        val ul = if (x >= bpp && y > 0) img(rowOut - st + x - bpp) & 0xFF else 0
         val v = filter match {
           case 0 => cur
           case 1 => cur + left
@@ -211,17 +220,26 @@ object Multimodal {
     }
     val hist = new Array[Float](8)
     val n = w * h
+    val nColors = if (palette == null) 0 else palette.length / 3
     var p = 0; var k = 0
     while (k < n) {
-      val lum =
-        if (channels <= 2) img(p) & 0xFF // grayscale (+alpha) luminance IS the gray value
-        else ((img(p) & 0xFF) * 299 + (img(p + 1) & 0xFF) * 587 +
+      val lum = colorType match {
+        case 0 | 4 => img(p) & 0xFF // grayscale (+alpha): luminance IS the gray value
+        case 3 =>
+          val idx = img(p) & 0xFF
+          if (idx >= nColors) return None // index past PLTE: corrupt
+          ((palette(idx * 3) & 0xFF) * 299 + (palette(idx * 3 + 1) & 0xFF) * 587 +
+            (palette(idx * 3 + 2) & 0xFF) * 114) / 1000
+        case _ => ((img(p) & 0xFF) * 299 + (img(p + 1) & 0xFF) * 587 +
           (img(p + 2) & 0xFF) * 114) / 1000
+      }
       hist(math.min(7, lum * 8 / 256)) += 1f
-      p += channels; k += 1
+      p += bpp; k += 1
     }
     var q = 0; while (q < 8) { hist(q) /= n; q += 1 }
-    Some(MediaMeta(id, bytes.length.toLong, "png", w, h, channels, hist))
+    // palette images decode to RGB colors: report 3 channels
+    val outChannels = if (colorType == 3) 3 else bpp
+    Some(MediaMeta(id, bytes.length.toLong, "png", w, h, outChannels, hist))
   } catch {
     // decode NEVER kills a task — malformed input falls back to the stub
     case scala.util.control.NonFatal(_) => None

@@ -169,6 +169,36 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("palette PNG resolves indices through PLTE to the same histogram") {
+    // 2x2 palette image with the same colors as the RGB round-trip test:
+    // indices [0,1,2,3] → black, white, red, blue ⇒ identical luminance bins
+    def be32(v: Int) = Array(((v >>> 24) & 0xFF).toByte, ((v >>> 16) & 0xFF).toByte,
+      ((v >>> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def chunk(typ: String, data: Array[Byte]) =
+      be32(data.length) ++ typ.getBytes("US-ASCII") ++ data ++ be32(0)
+    val raw = Array[Byte](0, 0, 1, 0, 2, 3) // 2 rows: filter 0 + 2 indices
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val buf = new Array[Byte](1024)
+    val z = new java.io.ByteArrayOutputStream()
+    while (!defl.finished()) z.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val plte = Array(0, 0, 0, 255, 255, 255, 255, 0, 0, 0, 0, 255).map(_.toByte)
+    val png = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte) ++
+      chunk("IHDR", be32(2) ++ be32(2) ++ Array[Byte](8, 3, 0, 0, 0)) ++
+      chunk("PLTE", plte) ++
+      chunk("IDAT", z.toByteArray) ++ chunk("IEND", Array.emptyByteArray)
+    val m = Multimodal.decodePng(11L, png)
+    assert(m.nonEmpty, "palette PNG failed to decode")
+    assert(m.get.width == 2 && m.get.height == 2 && m.get.channels == 3)
+    assert(m.get.features.toSeq == Seq(0.5f, 0f, 0.25f, 0f, 0f, 0f, 0f, 0.25f))
+    // palette image without PLTE, or an index past the palette, is corrupt
+    val noPlte = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte) ++
+      chunk("IHDR", be32(2) ++ be32(2) ++ Array[Byte](8, 3, 0, 0, 0)) ++
+      chunk("IDAT", z.toByteArray) ++ chunk("IEND", Array.emptyByteArray)
+    assert(Multimodal.decodePng(12L, noPlte).isEmpty)
+  }
+
   test("PNG malformed input falls back instead of failing") {
     val ok = Multimodal.encodePng(2, 2, 3,
       Array.tabulate(12)(i => (i * 20).toByte))
