@@ -929,6 +929,36 @@ object SparkEntry {
     Dedup.portableSimhash(t(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  private def simhashPortableNearDup(s: SparkSession, dir: String): DataFrame = {
+    // the near-dup BANDING pipeline, engine-portable end to end: the md5
+    // 16-bit simhash banded into 2 bytes (pigeonhole: any pair within
+    // hamming distance 1 shares at least one exact band), in-bucket pair
+    // expansion, exact-hamming verify — same shuffle shape as the
+    // production 64-bit simhashNearDup, every value reproducible in SQL.
+    // (The production path bands 64 bits into 4x16 for hamming<=3; a
+    // 16-bit fingerprint only supports 2x8 banding before buckets go
+    // degenerate, so the twin verifies at hamming<=1.)
+    val hashes = Dedup.portableSimhash(t(s, dir, "documents"), "doc_id", "text")
+    val bands = hashes.select(col("doc_id").as("id"), col("simhash16"),
+      posexplode(array((0 until 2).map { b =>
+        shiftrightunsigned(col("simhash16"), b * 8).bitwiseAND(lit(0xFFL))
+      }: _*)).as(Seq("band_id", "band_val")))
+    val buckets = bands
+      .groupBy(col("band_id"), col("band_val"))
+      .agg(sort_array(collect_set(struct(col("id"), col("simhash16")))).as("ms"))
+      .filter(size(col("ms")) >= 2)
+    buckets
+      .select(explode(flatten(transform(col("ms"), (x, i) =>
+        transform(slice(col("ms"), i + 2, size(col("ms"))),
+          y => struct(x.getField("id").as("a"), y.getField("id").as("b"),
+            bit_count(x.getField("simhash16").bitwiseXOR(y.getField("simhash16")))
+              .as("hamming")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("p.hamming"))
+      .filter(col("hamming") <= 1)
+      .distinct()
+      .orderBy(col("a"), col("b"))
+  }
+
   private def shuffleShardsQuery(s: SparkSession, dir: String): DataFrame =
     // deterministic epoch shuffle into 16 training shards; (shard, pos)
     // is the global training order, reproducible in any engine
@@ -1089,6 +1119,7 @@ object SparkEntry {
     "d_lsh_portable_pairs" -> (lshPortablePairs _),
     "d_dedup_fuzzy_portable" -> (dedupFuzzyPortable _),
     "d_simhash_portable" -> (simhashPortable _),
+    "d_simhash_portable_neardup" -> (simhashPortableNearDup _),
     "d_shuffle_shards" -> (shuffleShardsQuery _),
     "d_lsh_incremental" -> (lshIncremental _),
     "d_dup_spans" -> (dupSpans _),
@@ -1912,6 +1943,45 @@ object SparkEntry {
         |SELECT doc_id,
         | CAST(sum(bit * (CAST(1 AS BIGINT) << (p - 1))) AS BIGINT) AS simhash16
         |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the portable near-dup banding twin: simhash16 CTE (as in
+    // d_simhash_portable) → 2 byte-bands → self-join on shared band →
+    // exact hamming via bit_count(xor) — Spark expands pairs in-bucket,
+    // DuckDB spells it as the self-join; same pair set either way
+    "d_simhash_portable_neardup" ->
+      """WITH tk AS (
+        | SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |              x -> len(x) > 0) AS t
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 3
+        |   THEN list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |   ELSE [] END)) AS sh
+        | FROM tk),
+        |h AS (SELECT doc_id, md5(sh) AS hh FROM s),
+        |v AS (
+        | SELECT doc_id, pp.p,
+        |  CASE WHEN sum(CASE WHEN instr('89abcdef', substr(hh, pp.p, 1)) > 0
+        |                     THEN 1 ELSE -1 END) > 0
+        |       THEN 1 ELSE 0 END AS bit
+        | FROM h CROSS JOIN (SELECT unnest(range(1, 17)) AS p) pp
+        | GROUP BY doc_id, pp.p),
+        |f AS (
+        | SELECT doc_id,
+        |  CAST(sum(bit * (CAST(1 AS BIGINT) << (p - 1))) AS BIGINT) AS fp
+        | FROM v GROUP BY doc_id),
+        |bands AS (
+        | SELECT doc_id, fp, bb.band AS band_id,
+        |  (fp >> (bb.band * 8)) & 255 AS band_val
+        | FROM f CROSS JOIN (VALUES (0),(1)) AS bb(band))
+        |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+        | CAST(bit_count(xor(x.fp, y.fp)) AS INTEGER) AS hamming
+        |FROM bands x JOIN bands y
+        | ON x.band_id = y.band_id AND x.band_val = y.band_val
+        |    AND x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.fp, y.fp)) <= 1
+        |ORDER BY a, b""".stripMargin,
     // deterministic epoch shuffle: md5("<id>:<salt>") orders, its first 8
     // hex chars bucket into 16 shards, row_number ranks within the shard
     "d_shuffle_shards" ->
