@@ -141,6 +141,25 @@ object SparkEntry {
       .distinct()
       .orderBy(col("nationkey"))
 
+  private def fullOuterReconcile(s: SparkSession, dir: String): DataFrame = {
+    // the classic reconciliation shape: per-day counts from two tables
+    // FULL OUTER joined so days present on only one side still surface
+    // (zero-filled) — the join type every audit/backfill report needs.
+    // One shuffle per aggregate + the join; both sides pre-aggregated so
+    // the join is tiny regardless of corpus size.
+    val o = t(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("n_orders"))
+    val e = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n_events"))
+    o.join(e, Seq("d"), "full_outer")
+      .select(col("d").cast("string").as("d"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy(col("d"))
+  }
+
   private def windowRank(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("c_nationkey"))
       .orderBy(desc("c_acctbal"), asc("c_custkey"))
@@ -1055,6 +1074,7 @@ object SparkEntry {
     "q_join_pairs" -> (joinPairs _),
     "q_condition_sets" -> (conditionSets _),
     "q_set_union" -> (setUnionDistinct _),
+    "q_full_outer" -> (fullOuterReconcile _),
     "q_window_rank" -> (windowRank _),
     "q_sessionize" -> (sessionize _),
     "q_time_buckets" -> (timeBuckets _),
@@ -1231,6 +1251,18 @@ object SparkEntry {
         | SELECT c_nationkey AS nationkey FROM customer
         | UNION ALL SELECT s_nationkey AS nationkey FROM supplier)
         |ORDER BY nationkey""".stripMargin,
+    "q_full_outer" ->
+      """WITH o AS (
+        | SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n_orders
+        | FROM orders GROUP BY 1),
+        |e AS (
+        | SELECT CAST(ts AS DATE) AS d, count(*) AS n_events
+        | FROM events GROUP BY 1)
+        |SELECT CAST(COALESCE(o.d, e.d) AS VARCHAR) AS d,
+        | COALESCE(n_orders, 0) AS n_orders,
+        | COALESCE(n_events, 0) AS n_events
+        |FROM o FULL OUTER JOIN e ON o.d = e.d
+        |ORDER BY d""".stripMargin,
     "q_window_rank" ->
       """SELECT c_nationkey, rnk, c_custkey, c_acctbal FROM (
         | SELECT c_nationkey, c_custkey, c_acctbal,
