@@ -602,9 +602,11 @@ class LayoutSpec extends SparkSpec {
         Seq("band_hash"), "left_semi")
       val p = hits.queryExecution.executedPlan.toString
       val n = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
-      // batch side: minhash groupBy + its join shuffle = 2; a third
-      // exchange would mean the stored index got re-shuffled
-      assert(n == 2, s"expected 2 exchanges (batch side only), got $n:\n$p")
+      // batch side: ONE exchange — the join shuffle on band_hash (the
+      // minhash signatures are computed map-side by the portable kernel,
+      // so the old groupBy exchange is gone); any second exchange would
+      // mean the stored index got re-shuffled
+      assert(n == 1, s"expected 1 exchange (batch join side only), got $n:\n$p")
       assert(hits.select(col("id")).distinct().count() > 0)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
