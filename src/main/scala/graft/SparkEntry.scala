@@ -125,8 +125,15 @@ object SparkEntry {
     UsageStats.usageCounts(t(s, dir, "events"), "event_type")
       .orderBy(col("event_type"))
 
+  /** Explicit group-size cap (VERDICT r4 #8): a TPC-H order has ≤ 7 line
+    * items so 10k never binds here, but on a pathological corpus it stops
+    * the k²/2 in-group pair expansion; the oracle mirrors the cap (HAVING
+    * ... <= 10000 on the group) so both sides stay equivalent by
+    * construction even if a group ever exceeds it.
+    */
   private def joinPairs(s: SparkSession, dir: String): DataFrame =
-    UsageStats.coOccurrence(t(s, dir, "lineitem"), "l_orderkey", "l_partkey")
+    UsageStats.coOccurrence(t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        maxGroupSize = 10000)
       .orderBy(desc("pair_count"), asc("a"), asc("b"))
       .limit(100)
 
@@ -1236,10 +1243,13 @@ object SparkEntry {
       """SELECT event_type, count(*) AS usage_count
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_join_pairs" ->
-      """SELECT a.l_partkey AS a, b.l_partkey AS b, count(*) AS pair_count
-        |FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
-        |JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      """WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |ok AS (SELECT l_orderkey FROM d GROUP BY 1 HAVING count(*) <= 10000)
+        |SELECT a.l_partkey AS a, b.l_partkey AS b, count(*) AS pair_count
+        |FROM d a
+        |JOIN d b
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |WHERE a.l_orderkey IN (SELECT l_orderkey FROM ok)
         |GROUP BY a.l_partkey, b.l_partkey
         |ORDER BY pair_count DESC, a, b LIMIT 100""".stripMargin,
     "q_condition_sets" ->

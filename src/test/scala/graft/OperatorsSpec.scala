@@ -53,6 +53,19 @@ class UsageStatsSpec extends SparkSpec {
     assert(pairs(0).getAs[String]("b") == "t2")
     assert(pairs(0).getAs[Long]("pair_count") == 2L)
   }
+
+  test("coOccurrence cap drops oversized groups and the observe audit reports it") {
+    // group 1 has 4 entities (dropped by cap=3), group 2 has 2 (kept)
+    val df = Seq((1, "a"), (1, "b"), (1, "c"), (1, "d"), (2, "x"), (2, "y"))
+      .toDF("qid", "tbl")
+    val obs = new org.apache.spark.sql.Observation("co_occurrence_drops")
+    val pairs = UsageStats.coOccurrence(df, "qid", "tbl",
+      maxGroupSize = 3, dropAudit = Some(obs)).collect()
+    assert(pairs.map(r => (r.getString(0), r.getString(1))).toSet == Set(("x", "y")))
+    val m = obs.get
+    assert(m("dropped_groups") == 1L, s"audit metrics: $m")
+    assert(m("max_group_size") == 4, s"audit metrics: $m")
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
