@@ -396,13 +396,15 @@ object SparkEntry {
 
   private def decontaminateBloomQuery(s: SparkSession, dir: String): DataFrame = {
     // the decontamination scale path: same eval split as d_decontaminate,
-    // but the eval grams collapse into a broadcast Bloom filter and the
-    // corpus side is flagged entirely map-side (no explode, no join — see
-    // Dedup.decontaminateBloom). Rows-only for the driver (bloom bits are
-    // not SQL-expressible); DedupSpec pins flagged ⊇ exact-flagged and
-    // per-doc hits ≥ exact overlap counts.
+    // but the eval grams collapse into a broadcast Bloom filter that trims
+    // each doc's gram array map-side, and only bloom-positive grams are
+    // exploded into the exact verify join — output is identical to
+    // d_decontaminate (no false negatives; false positives die in the
+    // verify), so the same DuckDB oracle checks it. The pure flag-only
+    // variant (Dedup.decontaminateBloom, zero joins) stays spec-pinned as
+    // a superset in DedupSpec.
     val d = t(s, dir, "documents")
-    Dedup.decontaminateBloom(
+    Dedup.decontaminateBloomVerified(
         d.filter(col("doc_id") % 100 =!= 0), "doc_id", "text",
         d.filter(col("doc_id") % 100 === 0), "text", n = 4,
         expectedGrams = 100000L, fpp = 0.001)
@@ -1504,6 +1506,23 @@ object SparkEntry {
     // eval-set decontamination: 4-gram overlap between each training doc
     // (doc_id % 100 != 0) and the eval subset (doc_id % 100 = 0)
     "d_decontaminate" ->
+      """WITH tk AS (
+        | SELECT doc_id,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0) AS tk
+        | FROM documents),
+        |g AS (
+        | SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk)-2),
+        |   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]))) AS gram
+        | FROM tk WHERE len(tk) >= 4),
+        |eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 100 = 0)
+        |SELECT g.doc_id AS doc_id, count(*) AS hits
+        |FROM g JOIN eg USING (gram)
+        |WHERE g.doc_id % 100 <> 0
+        |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
+    // bloom-prefiltered exact decontamination: Bloom has no false
+    // negatives and the verify join kills false positives, so the result
+    // is defined to equal d_decontaminate — same oracle
+    "d_decontaminate_bloom" ->
       """WITH tk AS (
         | SELECT doc_id,
         |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0) AS tk

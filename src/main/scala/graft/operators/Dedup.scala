@@ -314,6 +314,41 @@ object Dedup {
       .filter(col("hits") > 0)
   }
 
+  /** Bloom-prefiltered EXACT decontamination — the production composition
+    * of the two paths above: the Bloom filter trims each corpus doc's gram
+    * array map-side (no false negatives, so no real overlap is lost), and
+    * only the surviving sliver of (doc, candidate-gram) rows is exploded
+    * and verified against the exact eval gram set. Output is therefore
+    * identical to [[decontaminate]] — Bloom false positives die in the
+    * verify join — which makes this variant DuckDB-oracle-checkable while
+    * keeping the 100 TB-side economics of the Bloom path: the full corpus
+    * gram explosion (~n× the corpus bytes) never materializes, only
+    * bloom-positive grams leave the scan stage.
+    *
+    * The verify join is deliberately unhinted: the eval gram set
+    * broadcasts when it fits and AQE falls back to a shuffled join (of
+    * the already-tiny candidate stream) when it doesn't — the case where
+    * Bloom was needed in the first place.
+    */
+  def decontaminateBloomVerified(docs: DataFrame, idCol: String, textCol: String,
+                                 evalDocs: DataFrame, evalTextCol: String,
+                                 n: Int = 8, expectedGrams: Long = 10000000L,
+                                 fpp: Double = 0.01): DataFrame = {
+    val evalGramFrame = evalDocs
+      .select(explode(array_distinct(shingles(col(evalTextCol), n))).as("gram"))
+    val bf = evalGramFrame.stat.bloomFilter("gram", expectedGrams, fpp)
+    val bc = docs.sparkSession.sparkContext.broadcast(bf)
+    val bloomKeep = udf((gs: Seq[String]) =>
+      if (gs == null) Seq.empty[String] else gs.filter(bc.value.mightContainString))
+    docs
+      .select(col(idCol),
+        bloomKeep(array_distinct(shingles(col(textCol), n))).as("cand"))
+      .filter(size(col("cand")) > 0)
+      .select(col(idCol), explode(col("cand")).as("gram"))
+      .join(evalGramFrame.distinct(), "gram")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("hits"))
+  }
+
   /** Cross-corpus boilerplate n-gram scoring — the C4-style pattern: word
     * n-grams recurring across many DISTINCT documents are template text
     * (headers, footers, licence blurbs), not content. Pass 1 computes each

@@ -297,6 +297,15 @@ class DedupSpec extends SparkSpec {
     // the corpus side never shuffles: scan → project(udf) → filter only
     val plan = bloomDf.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
+
+    // and the verified composition is EXACTLY the exact operator's output
+    // (bloom trims map-side, the verify join kills false positives)
+    val verified = Dedup.decontaminateBloomVerified(corpus, "doc_id", "text",
+        eval, "text", n = 4, expectedGrams = 100000L, fpp = 0.001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(verified == exact,
+      s"verified-bloom diverged: only-verified=${verified.keySet -- exact.keySet} " +
+        s"only-exact=${exact.keySet -- verified.keySet}")
   }
 
   test("boilerplate scores the fraction of cross-doc common n-grams") {
