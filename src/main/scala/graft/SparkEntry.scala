@@ -499,6 +499,25 @@ object SparkEntry {
         TextAnalysis.tokenCount(col("text")), budgetDocs = 10000L)
       .orderBy(col("domain"))
 
+  private def budgetSampleQuery(s: SparkSession, dir: String): DataFrame =
+    // the data-recipe materialization: per source domain, keep documents
+    // in deterministic md5 order until 600 tokens are reached (the
+    // boundary-crossing doc is kept; small domains are taken whole) —
+    // 600 is below every domain's mass even at sf0.001, so the boundary
+    // logic is exercised at every graded SF
+    Splits.budgetSample(t(s, dir, "documents"), "source", "doc_id",
+        TextAnalysis.tokenCount(col("text")), budgetTokens = 600L,
+        salt = "mix0")
+      .orderBy(col("domain"), col("doc_id"))
+
+  private def lmFamiliarityQuery(s: SparkSession, dir: String): DataFrame =
+    // KenLM-style quality scoring in exact integers: per doc, how many of
+    // its bigram occurrences fall in the corpus's top-1000 bigram
+    // vocabulary, and the summed corpus counts of those hits
+    TextAnalysis.lmFamiliarity(t(s, dir, "documents"), "doc_id", "text",
+        vocabSize = 1000)
+      .orderBy(col("doc_id"))
+
   private def pivotEvents(s: SparkSession, dir: String): DataFrame =
     // wide-format pivot: per user cohort, one column of summed value per
     // event type. The value list is EXPLICIT, so no extra distinct-scan
@@ -1112,6 +1131,8 @@ object SparkEntry {
     "d_pack_sequences" -> (packSequencesQuery _),
     "d_boilerplate" -> (boilerplateQuery _),
     "d_domain_mix" -> (domainMixQuery _),
+    "d_budget_sample" -> (budgetSampleQuery _),
+    "d_lm_familiarity" -> (lmFamiliarityQuery _),
     "d_top_ngrams" -> (topNgrams _),
     "q_pivot_events" -> (pivotEvents _),
     "q_rollup_revenue" -> (rollupRevenue _),
@@ -1570,6 +1591,38 @@ object SparkEntry {
         | round(w_raw / z, 4) AS weight,
         | CAST(round(10000 * w_raw / z, 0) AS BIGINT) AS budget_docs
         |FROM raw CROSS JOIN z ORDER BY domain""".stripMargin,
+    // data-recipe materialization: per domain, keep docs in md5 order
+    // until the 600-token budget is met (boundary-crossing doc kept)
+    "d_budget_sample" ->
+      """WITH b AS (
+        | SELECT source AS domain, doc_id,
+        |  len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0)) AS tokens,
+        |  md5(CAST(doc_id AS VARCHAR) || ':mix0') AS h
+        | FROM documents),
+        |c AS (
+        | SELECT domain, doc_id, tokens,
+        |  CAST(sum(tokens) OVER (PARTITION BY domain ORDER BY h, doc_id) AS BIGINT) AS cum
+        | FROM b)
+        |SELECT domain, doc_id, CAST(tokens AS BIGINT) AS tokens, cum
+        |FROM c WHERE cum - tokens < 600 ORDER BY domain, doc_id""".stripMargin,
+    // bigram LM familiarity: occurrences of each doc's bigrams in the
+    // corpus top-1000 bigram vocabulary, all exact integers
+    "d_lm_familiarity" ->
+      """WITH tk AS (
+        | SELECT doc_id,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0) AS tk
+        | FROM documents),
+        |bg AS (
+        | SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |   i -> tk[i] || ' ' || tk[i+1])) AS bigram
+        | FROM tk WHERE len(tk) >= 2),
+        |cnt AS (SELECT bigram, count(*) AS c FROM bg GROUP BY bigram),
+        |vocab AS (SELECT bigram, c FROM cnt ORDER BY c DESC, bigram LIMIT 1000)
+        |SELECT bg.doc_id AS doc_id, count(*) AS n_bigrams,
+        | count(v.c) AS hits,
+        | CAST(coalesce(sum(v.c), 0) AS BIGINT) AS familiar_mass
+        |FROM bg LEFT JOIN vocab v USING (bigram)
+        |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin,
     // per-user inter-arrival gap stats; lag over exact epoch micros
     "q_event_gaps" ->
       """WITH g AS (

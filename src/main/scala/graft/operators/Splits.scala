@@ -171,4 +171,41 @@ object Splits {
       .withColumn("bin",
         floor((sum(col("tokens")).over(w) - col("tokens")) / budget))
   }
+
+  /** Token-budget mixture sampling — the "data recipe" materialization
+    * step of a pretraining pipeline: after [[domainMixture]] decides how
+    * many tokens each domain contributes, actually pick the documents.
+    * Per domain, documents are laid out in a deterministic pseudo-random
+    * order (md5 of `"<id>:<salt>"` — a new salt is a fresh draw, the same
+    * salt replays byte-identically on any engine) and kept until the
+    * cumulative token count reaches `budgetTokens`; the document that
+    * crosses the boundary is kept, so the budget is met, never
+    * undershot (domains smaller than the budget are taken whole). All
+    * arithmetic is exact integers on token counts — no `rand()`, no
+    * floats — so the picked set is oracle-checkable and identical across
+    * runs, engines, and partitionings.
+    *
+    * Scale shape: pure map-side projection, then ONE hash shuffle on
+    * domain for the per-domain running-sum window — domains cumulate in
+    * parallel, no global sort. Skewed domains put one domain in one
+    * window task; at 100 TB feed domains through [[packSequences]]-style
+    * sharding first if a single domain dominates the corpus (the budget
+    * cut usually bites long before that matters).
+    *
+    * Returns (domain, id, tokens, cum) for the kept documents.
+    */
+  def budgetSample(df: DataFrame, domainCol: String, idCol: String,
+                   tokensCol: Column, budgetTokens: Long,
+                   salt: String = "mix0"): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domain")).orderBy(col("h"), col(idCol))
+    df.select(col(domainCol).as("domain"), col(idCol),
+        tokensCol.cast("bigint").as("tokens"),
+        md5(concat(col(idCol).cast("string"), lit(s":$salt"))).as("h"))
+      .withColumn("cum", sum(col("tokens")).over(w))
+      // kept iff the budget was not already met before this row
+      .filter(col("cum") - col("tokens") < budgetTokens)
+      .select(col("domain"), col(idCol), col("tokens"), col("cum"))
+  }
 }

@@ -249,4 +249,51 @@ object TextAnalysis {
       .select(col(idCol), explode(chunks).as("c"))
       .select(col(idCol), col("c.chunk_id"), col("c.n_tokens"), col("c.chunk_text"))
   }
+
+  /** Bigram language-model familiarity — the integer-arithmetic core of
+    * KenLM-style quality filtering: score each document by how much of it
+    * is made of the corpus's most common word bigrams. Fluent prose reuses
+    * frequent collocations; gibberish, lists, and boilerplate-free noise
+    * do not. Per doc: `n_bigrams` (total occurrences), `hits` (occurrences
+    * that are in the top-`vocabSize` bigram vocabulary), `familiar_mass`
+    * (sum of the corpus counts of those hits — the unnormalized LM score).
+    * All three are exact BIGINTs — no log-probs, so the scores hash
+    * identically on any engine; consumers ratio hits/n_bigrams or take
+    * log(familiar_mass) downstream where bit-stability no longer matters.
+    *
+    * Scale shape: the bigram stream is map-side — one tokenizer-kernel
+    * pass into a materialized `tk` column (the lambda below only reads
+    * the column, so nothing re-evaluates per element), exploded twice
+    * (count pass + score pass — recomputing beats materializing the gram
+    * explosion, same trade as [[Dedup.boilerplate]]). Docs with fewer
+    * than 2 tokens have no bigrams and are absent (the [[Dedup.shingles]]
+    * kernel's short-doc whole-text shingle is a dedup semantic, not an LM
+    * one). The vocabulary is a top-K — TakeOrdered, K
+    * rows to the driver — that BROADCASTS back, so the score pass is scan
+    * → broadcast-join → per-doc partial agg; the only wide op over corpus
+    * data is the bigram-count groupBy, which partial-aggregates map-side.
+    * In production the vocab would be trained once (or on a prior
+    * corpus) and reused; pass `vocab` to skip the count pass.
+    */
+  def lmFamiliarity(docs: DataFrame, idCol: String, textCol: String,
+                    vocabSize: Int = 1000,
+                    vocab: Option[DataFrame] = None): DataFrame = {
+    def bigrams(df: DataFrame) =
+      df.select(col(idCol), tokens(col(textCol)).as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col(idCol),
+          explode(transform(sequence(lit(1), size(col("tk")) - 1), i =>
+            concat_ws(" ", element_at(col("tk"), i),
+              element_at(col("tk"), i + 1)))).as("bigram"))
+    val v = vocab.getOrElse {
+      bigrams(docs).groupBy(col("bigram")).agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), asc("bigram")).limit(vocabSize)
+    }
+    bigrams(docs)
+      .join(broadcast(v), Seq("bigram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(col("c")).as("hits"),
+        coalesce(sum(col("c")), lit(0L)).cast("bigint").as("familiar_mass"))
+  }
 }

@@ -71,6 +71,30 @@ class UsageStatsSpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("bigram LM familiarity: integer hits and mass against the top-K vocab") {
+    val docs = Seq(
+      (1L, "a b a b c"), // bigrams: "a b","b a","a b","b c"
+      (2L, "a b x y"),   // "a b","b x","x y"
+      (3L, "z z"),       // "z z"
+      (4L, "solo"))      // no bigrams -> absent from output
+      .toDF("doc_id", "text")
+    // corpus counts: "a b"->3, rest 1 each; vocabSize=2 keeps "a b" and
+    // (tie on c=1, bigram asc) "b a"
+    val out = TextAnalysis.lmFamiliarity(docs, "doc_id", "text", vocabSize = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out == Map(
+      1L -> ((4L, 3L, 7L)),  // hits: a b, b a, a b; mass 3+1+3
+      2L -> ((3L, 1L, 3L)),
+      3L -> ((1L, 0L, 0L))))
+    // a pre-trained vocab skips the count pass and scores identically
+    val v = Seq(("a b", 3L), ("b a", 1L)).toDF("bigram", "c")
+    val pre = TextAnalysis.lmFamiliarity(docs, "doc_id", "text", vocab = Some(v))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(pre == out)
+  }
+
   test("chunking: stride windows, kept partial tail, no fully-contained tails") {
     def toks(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
     val df = Seq(
@@ -654,6 +678,29 @@ class SplitsSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(counts.keySet == Set("train", "valid", "test"))
     assert(counts("train") > counts("valid") && counts("train") > counts("test"))
+  }
+
+  test("budget sample meets the token budget per domain, never undershoots") {
+    // domain "big" has 10 docs x 100 tokens = 1000 >> budget 250;
+    // domain "tiny" totals 90 < budget -> taken whole
+    val docs = ((1L to 10L).map(i => (i, "big", 100L)) ++
+      Seq((11L, "tiny", 50L), (12L, "tiny", 40L))).toDF("id", "dom", "ntok")
+    val out = Splits.budgetSample(docs, "dom", "id", col("ntok"),
+      budgetTokens = 250L, salt = "s1")
+    val byDom = out.collect().groupBy(_.getString(0))
+    // big: kept docs reach >= 250 cumulative, and dropping the last kept
+    // doc would fall below budget (minimal overshoot)
+    val bigCums = byDom("big").map(_.getLong(3)).sorted
+    assert(bigCums.last >= 250L && bigCums.last - 100L < 250L, bigCums.mkString(","))
+    assert(byDom("big").length == 3) // 100+100+100 crosses 250
+    // tiny: whole domain kept
+    assert(byDom("tiny").map(_.getLong(1)).toSet == Set(11L, 12L))
+    // replayable: same salt -> identical pick; new salt -> same budget law
+    val again = Splits.budgetSample(docs, "dom", "id", col("ntok"), 250L, "s1")
+    assert(out.except(again).count() == 0 && again.except(out).count() == 0)
+    val other = Splits.budgetSample(docs, "dom", "id", col("ntok"), 250L, "s2")
+      .filter(col("domain") === "big").collect()
+    assert(other.map(_.getLong(3)).max >= 250L)
   }
 
   test("systematic sample picks one row per weight-step, deterministically") {
