@@ -605,6 +605,34 @@ object SparkEntry {
       .orderBy(col("cluster_id"))
   }
 
+  /** Verified near-dup pairs by the engine-portable spelling: md5 minhash
+    * → 4 LSH bands → in-bucket candidates → exact-Jaccard verify. The
+    * shared front end of d_dedup_fuzzy_portable and d_split_leakproof.
+    * Candidate pairs are consumed three times by the verify stage (id
+    * prefilter + both join sides): materialize once. Cap OFF to stay
+    * equivalent to the uncapped oracle self-join by construction.
+    */
+  private def portableNearDupPairs(docs: DataFrame): DataFrame = {
+    val sigs = Dedup.portableMinhash(docs, "doc_id", "text", k = 8)
+    val cand = Dedup.candidatePairs(
+        Dedup.portableBands(sigs, "doc_id", k = 8, bands = 4),
+        maxBucketSize = Int.MaxValue)
+      .localCheckpoint()
+    Dedup.verifyJaccard(cand, docs, "doc_id", "text",
+        shingleLen = 3, threshold = 0.5)
+      .select(col("a"), col("b"))
+  }
+
+  private def splitLeakproofQuery(s: SparkSession, dir: String): DataFrame = {
+    // leakage-safe splits: near-dup clusters (portable minhash-LSH pairs
+    // → CC) are split as a UNIT, so no fuzzy duplicate of an eval doc
+    // ever lands in train; singletons fall back to their own id — the
+    // whole assignment is the same md5 bucket rule as d_train_split
+    val docs = t(s, dir, "documents")
+    Splits.leakageSafeSplit(docs, "doc_id", portableNearDupPairs(docs))
+      .orderBy(col("doc_id"))
+  }
+
   private def dedupFuzzyPortable(s: SparkSession, dir: String): DataFrame = {
     // the composed fuzzy-dedup pipeline, engine-portable end to end:
     // md5 minhash signatures → 4 LSH bands → in-bucket candidate pairs →
@@ -615,17 +643,7 @@ object SparkEntry {
     // against a DuckDB CTE chain, proving the COMPOSITION — not just each
     // stage — cross-engine.
     val docs = t(s, dir, "documents")
-    val sigs = Dedup.portableMinhash(docs, "doc_id", "text", k = 8)
-    // candidate pairs are consumed three times by the verify stage (id
-    // prefilter + both join sides): materialize once. Cap OFF to stay
-    // equivalent to the uncapped oracle self-join by construction
-    val cand = Dedup.candidatePairs(
-        Dedup.portableBands(sigs, "doc_id", k = 8, bands = 4),
-        maxBucketSize = Int.MaxValue)
-      .localCheckpoint()
-    val pairs = Dedup.verifyJaccard(cand, docs, "doc_id", "text",
-        shingleLen = 3, threshold = 0.5)
-      .select(col("a"), col("b"))
+    val pairs = portableNearDupPairs(docs)
     val clusters = Dedup.connectedComponents(pairs)
     val quality = docs.select(col("doc_id").as("id"),
       TextAnalysis.tokenCount(col("text")).as("n_tokens"))
@@ -1168,6 +1186,7 @@ object SparkEntry {
     "d_minhash_portable" -> (minhashPortable _),
     "d_lsh_portable_pairs" -> (lshPortablePairs _),
     "d_dedup_fuzzy_portable" -> (dedupFuzzyPortable _),
+    "d_split_leakproof" -> (splitLeakproofQuery _),
     "d_simhash_portable" -> (simhashPortable _),
     "d_simhash_portable_neardup" -> (simhashPortableNearDup _),
     "d_shuffle_shards" -> (shuffleShardsQuery _),
@@ -1188,6 +1207,58 @@ object SparkEntry {
     (0 until 4).map(b =>
       s"WHEN $b THEN CAST(sig${2 * b} AS VARCHAR) || ':' || CAST(sig${2 * b + 1} AS VARCHAR)")
       .mkString("\n |      ")
+
+  /** Shared DuckDB CTE chain: portable minhash -> bands -> candidates ->
+    * exact-Jaccard verified pairs -> recursive-CTE connected components
+    * (`cl(id, cluster_id)`). Interpolated into every oracle that builds
+    * on the verified near-dup cluster graph, so the twin pipelines stay
+    * equivalent by construction.
+    */
+  private val portableClusterCtes: String =
+    s"""tk AS (
+        | SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+        |              x -> len(x) > 0) AS t
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 3
+        |   THEN list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |   ELSE [] END)) AS sh
+        | FROM tk),
+        |sig AS (
+        | SELECT doc_id,
+        | $portableSigSelect
+        | FROM s GROUP BY doc_id),
+        |bands AS (
+        | SELECT doc_id, bb.band AS band_id,
+        |  md5(CASE bb.band $portableBandCase END) AS key
+        | FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) AS bb(band)),
+        |cand AS (
+        | SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        | FROM bands x JOIN bands y
+        |  ON x.band_id = y.band_id AND x.key = y.key AND x.doc_id < y.doc_id),
+        |vset AS (
+        | SELECT doc_id,
+        |  list_distinct(list_transform(range(1, len(vt)-1),
+        |    i -> vt[i] || ' ' || vt[i+1] || ' ' || vt[i+2])) AS ss
+        | FROM (SELECT doc_id,
+        |   list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> len(x) > 0) AS vt
+        |  FROM documents)),
+        |pr AS (
+        | SELECT c.a, c.b
+        | FROM cand c JOIN vset sa ON sa.doc_id = c.a
+        |             JOIN vset sb ON sb.doc_id = c.b
+        | WHERE CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE) /
+        |       len(list_distinct(sa.ss || sb.ss)) >= 0.5),
+        |edges AS (SELECT a AS x, b AS y FROM pr UNION SELECT b, a FROM pr),
+        |walk(x, y) AS (
+        | SELECT x, y FROM edges
+        | UNION
+        | SELECT w.x, e.y FROM walk w JOIN edges e ON w.y = e.x),
+        |reach AS (SELECT x, y FROM walk
+        |          UNION SELECT DISTINCT x, x FROM edges),
+        |cl AS (SELECT x AS id, min(y) AS cluster_id FROM reach GROUP BY x)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -1978,52 +2049,27 @@ object SparkEntry {
     // 3-gram shingle sets (mirrors Dedup.verifyJaccard / d_ngram_jaccard)
     // → recursive-CTE connected components (the s_embed_clusters spelling)
     // → windowed top-1 per cluster on token count (the keepBest spelling)
+    // leakage-safe split: same verified-pair cluster graph, then every
+    // doc (singletons keyed by own id) split by the md5 bucket of its
+    // CLUSTER id -- the d_train_split rule lifted to the cluster level
+    "d_split_leakproof" ->
+      s"""WITH RECURSIVE
+        |$portableClusterCtes,
+        |base AS (
+        | SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+        | FROM documents d LEFT JOIN cl ON cl.id = d.doc_id),
+        |b AS (
+        | SELECT doc_id, cluster_id,
+        |  CAST(concat('0x', substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+        | FROM base)
+        |SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+        | CASE WHEN bucket < 80 THEN 'train'
+        |      WHEN bucket < 90 THEN 'valid'
+        |      ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
     "d_dedup_fuzzy_portable" ->
       s"""WITH RECURSIVE
-        |tk AS (
-        | SELECT doc_id,
-        |  list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
-        |              x -> len(x) > 0) AS t
-        | FROM documents),
-        |s AS (
-        | SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 3
-        |   THEN list_transform(range(1, len(t) - 1),
-        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-        |   ELSE [] END)) AS sh
-        | FROM tk),
-        |sig AS (
-        | SELECT doc_id,
-        | $portableSigSelect
-        | FROM s GROUP BY doc_id),
-        |bands AS (
-        | SELECT doc_id, bb.band AS band_id,
-        |  md5(CASE bb.band $portableBandCase END) AS key
-        | FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) AS bb(band)),
-        |cand AS (
-        | SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-        | FROM bands x JOIN bands y
-        |  ON x.band_id = y.band_id AND x.key = y.key AND x.doc_id < y.doc_id),
-        |vset AS (
-        | SELECT doc_id,
-        |  list_distinct(list_transform(range(1, len(vt)-1),
-        |    i -> vt[i] || ' ' || vt[i+1] || ' ' || vt[i+2])) AS ss
-        | FROM (SELECT doc_id,
-        |   list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> len(x) > 0) AS vt
-        |  FROM documents)),
-        |pr AS (
-        | SELECT c.a, c.b
-        | FROM cand c JOIN vset sa ON sa.doc_id = c.a
-        |             JOIN vset sb ON sb.doc_id = c.b
-        | WHERE CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE) /
-        |       len(list_distinct(sa.ss || sb.ss)) >= 0.5),
-        |edges AS (SELECT a AS x, b AS y FROM pr UNION SELECT b, a FROM pr),
-        |walk(x, y) AS (
-        | SELECT x, y FROM edges
-        | UNION
-        | SELECT w.x, e.y FROM walk w JOIN edges e ON w.y = e.x),
-        |reach AS (SELECT x, y FROM walk
-        |          UNION SELECT DISTINCT x, x FROM edges),
-        |cl AS (SELECT x AS id, min(y) AS cluster_id FROM reach GROUP BY x),
+        |$portableClusterCtes,
         |sc AS (SELECT doc_id AS id, len(t) AS n_tokens FROM tk),
         |r AS (SELECT cl.cluster_id, cl.id, sc.n_tokens,
         |        row_number() OVER (PARTITION BY cl.cluster_id

@@ -208,4 +208,33 @@ object Splits {
       .filter(col("cum") - col("tokens") < budgetTokens)
       .select(col("domain"), col(idCol), col("tokens"), col("cum"))
   }
+
+  /** Leakage-safe train/valid/test split: assign splits at the NEAR-DUP
+    * CLUSTER level, so no pair of near-duplicate documents ever straddles
+    * a split boundary — the eval-set integrity guarantee a plain per-doc
+    * hash split cannot give (a doc and its fuzzy copy would land in train
+    * and test ~32% of the time at 80/10/10, silently inflating eval
+    * scores). `pairs` is any near-dup edge list `(a, b)` — minhash-LSH
+    * verified pairs, simhash hamming pairs, embedding near-dups; docs in
+    * no pair are singleton clusters keyed by their own id, so the
+    * assignment rule degenerates to [[withSplit]] exactly when the pair
+    * set is empty.
+    *
+    * Scale shape: [[Dedup.connectedComponents]] runs on the PAIR GRAPH
+    * only (tiny vs the corpus — near-dup rates are single-digit
+    * percents), then ONE left broadcast-or-shuffled join decorates the
+    * corpus with cluster ids; the split itself is the same map-side md5
+    * bucket as [[withSplit]], replayable on any engine.
+    *
+    * Returns docs' id column + (cluster_id, split).
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+                       trainPct: Int = 80, validPct: Int = 10): DataFrame = {
+    val clusters = Dedup.connectedComponents(pairs)
+      .select(col("id").as(idCol), col("cluster_id"))
+    val withCluster = docs.select(col(idCol))
+      .join(clusters, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+    withSplit(withCluster, "cluster_id", trainPct, validPct)
+  }
 }

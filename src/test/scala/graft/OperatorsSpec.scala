@@ -680,6 +680,27 @@ class SplitsSpec extends SparkSpec {
     assert(counts("train") > counts("valid") && counts("train") > counts("test"))
   }
 
+  test("leakage-safe split: no near-dup pair straddles a split boundary") {
+    val docs = (1L to 400L).toDF("id")
+    // chain 1-2-3 must share one split; 10-11 another; rest are singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val out = Splits.leakageSafeSplit(docs, "id", pairs)
+    val byId = out.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(byId.size == 400)
+    assert(Set(byId(1L), byId(2L), byId(3L)).size == 1, "chain split apart")
+    assert(byId(10L) == byId(11L))
+    // paired docs take the cluster-min id as key; singletons their own id,
+    // so singleton assignment degenerates to the plain withSplit rule
+    val plain = Splits.withSplit(docs, "id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    (1L to 400L).filterNot(Set(1L, 2L, 3L, 10L, 11L)).foreach { i =>
+      assert(byId(i) == ((i, plain(i))), s"singleton $i diverged from withSplit")
+    }
+    // all three splits actually occur at this corpus size
+    assert(byId.values.map(_._2).toSet == Set("train", "valid", "test"))
+  }
+
   test("budget sample meets the token budget per domain, never undershoots") {
     // domain "big" has 10 docs x 100 tokens = 1000 >> budget 250;
     // domain "tiny" totals 90 < budget -> taken whole
