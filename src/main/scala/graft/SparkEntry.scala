@@ -518,6 +518,16 @@ object SparkEntry {
         vocabSize = 1000)
       .orderBy(col("doc_id"))
 
+  private def qualityOutliersQuery(s: SparkSession, dir: String): DataFrame =
+    // per-language adaptive quality gate: flag docs whose token count is
+    // atypical FOR THEIR LANGUAGE, by exact integer median/MAD (low
+    // medians, no interpolation). The approx sketch twin is spec-pinned
+    // equal on this corpus (RobustSpec)
+    Robust.outliers(t(s, dir, "documents"), "doc_id", "lang",
+        TextAnalysis.tokenCount(col("text")), k = 3)
+      .withColumn("is_outlier", col("is_outlier").cast("int"))
+      .orderBy(col("doc_id"))
+
   private def pivotEvents(s: SparkSession, dir: String): DataFrame =
     // wide-format pivot: per user cohort, one column of summed value per
     // event type. The value list is EXPLICIT, so no extra distinct-scan
@@ -1151,6 +1161,7 @@ object SparkEntry {
     "d_domain_mix" -> (domainMixQuery _),
     "d_budget_sample" -> (budgetSampleQuery _),
     "d_lm_familiarity" -> (lmFamiliarityQuery _),
+    "d_quality_outliers" -> (qualityOutliersQuery _),
     "d_top_ngrams" -> (topNgrams _),
     "q_pivot_events" -> (pivotEvents _),
     "q_rollup_revenue" -> (rollupRevenue _),
@@ -1676,6 +1687,33 @@ object SparkEntry {
         | FROM b)
         |SELECT domain, doc_id, CAST(tokens AS BIGINT) AS tokens, cum
         |FROM c WHERE cum - tokens < 600 ORDER BY domain, doc_id""".stripMargin,
+    // per-language exact median/MAD outlier flags (low medians, so every
+    // stat is an integer drawn from the data; flags compare integers)
+    "d_quality_outliers" ->
+      """WITH b AS (
+        | SELECT doc_id, lang,
+        |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0)) AS BIGINT) AS x
+        | FROM documents),
+        |m AS (
+        | SELECT doc_id, lang, x,
+        |  row_number() OVER (PARTITION BY lang ORDER BY x, doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY lang) AS n
+        | FROM b),
+        |m2 AS (
+        | SELECT doc_id, lang, x, n,
+        |  max(CASE WHEN rn = (n + 1) // 2 THEN x END) OVER (PARTITION BY lang) AS med
+        | FROM m),
+        |d AS (
+        | SELECT doc_id, lang, x, n, med, abs(x - med) AS dev,
+        |  row_number() OVER (PARTITION BY lang ORDER BY abs(x - med), doc_id) AS rn2
+        | FROM m2),
+        |d2 AS (
+        | SELECT doc_id, lang, x, med, dev,
+        |  max(CASE WHEN rn2 = (n + 1) // 2 THEN dev END) OVER (PARTITION BY lang) AS mad
+        | FROM d)
+        |SELECT doc_id, lang, x, med, mad,
+        | CAST(dev > 3 * mad AS INT) AS is_outlier
+        |FROM d2 ORDER BY doc_id""".stripMargin,
     // bigram LM familiarity: occurrences of each doc's bigrams in the
     // corpus top-1000 bigram vocabulary, all exact integers
     "d_lm_familiarity" ->

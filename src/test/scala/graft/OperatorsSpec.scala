@@ -1059,3 +1059,47 @@ class SessionizeSpec extends SparkSpec {
     assert(out(1).getAs[Long]("n_sessions") == 1L)
   }
 }
+
+class RobustSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("median/MAD outlier flags: exact low medians, degenerate MAD, approx twin") {
+    // grp a: x = 10,12,14,16,100 -> med 14 (odd n), devs 4,2,0,2,86 ->
+    // MAD (low median of 0,2,2,4,86) = 2 -> only 100 exceeds 3*2
+    // grp b (even n): x = 5,7,9,11 -> low med 7, devs 2,0,2,4 -> MAD 2 ->
+    // outlier iff dev > 6: none
+    // grp c (degenerate): x = 8,8,8,50 -> med 8, MAD 0 -> 50 flagged
+    val df = Seq(
+      (1L, "a", 10L), (2L, "a", 12L), (3L, "a", 14L), (4L, "a", 16L), (5L, "a", 100L),
+      (6L, "b", 5L), (7L, "b", 7L), (8L, "b", 9L), (9L, "b", 11L),
+      (10L, "c", 8L), (11L, "c", 8L), (12L, "c", 8L), (13L, "c", 50L))
+      .toDF("id", "grp2", "v")
+    val out = Robust.outliers(df, "id", "grp2", col("v")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))))
+      .toMap
+    assert(out(3L) == ((14L, 14L, 2L, false)))
+    assert(out(5L) == ((100L, 14L, 2L, true)))
+    assert((6L to 9L).forall(!out(_)._4))
+    assert(out(7L)._2 == 7L && out(7L)._3 == 2L) // even-n low median
+    assert(out(13L) == ((50L, 8L, 0L, true)) && !out(10L)._4)
+    assert(out.values.count(_._4) == 2)
+
+    // the sketch path is exact at this size: flags identical
+    val approx = Robust.approxOutliers(df, "id", "grp2", col("v")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(approx == out.view.mapValues(_._4).toMap)
+  }
+
+  test("approx twin matches exact on the driver corpus") {
+    val d = Tables(spark, "/root/testdata/sf0.01", "documents")
+    val exact = Robust.outliers(d, "doc_id", "lang",
+      TextAnalysis.tokenCount(col("text"))).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    val approx = Robust.approxOutliers(d, "doc_id", "lang",
+      TextAnalysis.tokenCount(col("text"))).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(exact == approx)
+    assert(exact.nonEmpty)
+  }
+}
