@@ -518,6 +518,20 @@ object SparkEntry {
         vocabSize = 1000)
       .orderBy(col("doc_id"))
 
+  private def lmScoreFrozenQuery(s: SparkSession, dir: String): DataFrame = {
+    // the frozen-LM production pattern: vocab trained once on the
+    // reference half (even doc_ids), later batches (odd doc_ids) scored
+    // against it with no count pass — incremental scoring, like
+    // d_lsh_incremental vs the stored index
+    val d = t(s, dir, "documents")
+    val vocab = TextAnalysis.bigramVocab(
+      d.filter(col("doc_id") % 2 === 0), "doc_id", "text", vocabSize = 500)
+    TextAnalysis.lmFamiliarity(
+        d.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        vocab = Some(vocab))
+      .orderBy(col("doc_id"))
+  }
+
   private def qualityOutliersQuery(s: SparkSession, dir: String): DataFrame =
     // per-language adaptive quality gate: flag docs whose token count is
     // atypical FOR THEIR LANGUAGE, by exact integer median/MAD (low
@@ -1161,6 +1175,7 @@ object SparkEntry {
     "d_domain_mix" -> (domainMixQuery _),
     "d_budget_sample" -> (budgetSampleQuery _),
     "d_lm_familiarity" -> (lmFamiliarityQuery _),
+    "d_lm_score_frozen" -> (lmScoreFrozenQuery _),
     "d_quality_outliers" -> (qualityOutliersQuery _),
     "d_top_ngrams" -> (topNgrams _),
     "q_pivot_events" -> (pivotEvents _),
@@ -1714,6 +1729,26 @@ object SparkEntry {
         |SELECT doc_id, lang, x, med, mad,
         | CAST(dev > 3 * mad AS INT) AS is_outlier
         |FROM d2 ORDER BY doc_id""".stripMargin,
+    // frozen-LM incremental scoring: vocab from even doc_ids only, odd
+    // doc_ids scored against it
+    "d_lm_score_frozen" ->
+      """WITH tk AS (
+        | SELECT doc_id,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0) AS tk
+        | FROM documents),
+        |bg AS (
+        | SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |   i -> tk[i] || ' ' || tk[i+1])) AS bigram
+        | FROM tk WHERE len(tk) >= 2),
+        |cnt AS (SELECT bigram, count(*) AS c FROM bg
+        |        WHERE doc_id % 2 = 0 GROUP BY bigram),
+        |vocab AS (SELECT bigram, c FROM cnt ORDER BY c DESC, bigram LIMIT 500)
+        |SELECT bg.doc_id AS doc_id, count(*) AS n_bigrams,
+        | count(v.c) AS hits,
+        | CAST(coalesce(sum(v.c), 0) AS BIGINT) AS familiar_mass
+        |FROM bg LEFT JOIN vocab v USING (bigram)
+        |WHERE bg.doc_id % 2 = 1
+        |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin,
     // bigram LM familiarity: occurrences of each doc's bigrams in the
     // corpus top-1000 bigram vocabulary, all exact integers
     "d_lm_familiarity" ->

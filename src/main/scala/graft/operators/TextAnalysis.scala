@@ -275,21 +275,34 @@ object TextAnalysis {
     * In production the vocab would be trained once (or on a prior
     * corpus) and reused; pass `vocab` to skip the count pass.
     */
+  /** Exploded `(idCol, bigram)` stream: one tokenizer-kernel pass into a
+    * materialized column, then adjacent-pair join inside the projection
+    * (the lambda only reads the column — nothing re-evaluates per
+    * element). Docs with < 2 tokens emit nothing.
+    */
+  private def bigramStream(df: DataFrame, idCol: String, textCol: String) =
+    df.select(col(idCol), tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col(idCol),
+        explode(transform(sequence(lit(1), size(col("tk")) - 1), i =>
+          concat_ws(" ", element_at(col("tk"), i),
+            element_at(col("tk"), i + 1)))).as("bigram"))
+
+  /** Train the top-`vocabSize` bigram vocabulary `(bigram, c)` on a
+    * reference corpus — persist it and feed [[lmFamiliarity]]'s `vocab`
+    * to score later batches without re-counting (the frozen-LM pattern).
+    */
+  def bigramVocab(docs: DataFrame, idCol: String, textCol: String,
+                  vocabSize: Int = 1000): DataFrame =
+    bigramStream(docs, idCol, textCol)
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("bigram")).limit(vocabSize)
+
   def lmFamiliarity(docs: DataFrame, idCol: String, textCol: String,
                     vocabSize: Int = 1000,
                     vocab: Option[DataFrame] = None): DataFrame = {
-    def bigrams(df: DataFrame) =
-      df.select(col(idCol), tokens(col(textCol)).as("tk"))
-        .filter(size(col("tk")) >= 2)
-        .select(col(idCol),
-          explode(transform(sequence(lit(1), size(col("tk")) - 1), i =>
-            concat_ws(" ", element_at(col("tk"), i),
-              element_at(col("tk"), i + 1)))).as("bigram"))
-    val v = vocab.getOrElse {
-      bigrams(docs).groupBy(col("bigram")).agg(count(lit(1)).as("c"))
-        .orderBy(desc("c"), asc("bigram")).limit(vocabSize)
-    }
-    bigrams(docs)
+    val v = vocab.getOrElse(bigramVocab(docs, idCol, textCol, vocabSize))
+    bigramStream(docs, idCol, textCol)
       .join(broadcast(v), Seq("bigram"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),

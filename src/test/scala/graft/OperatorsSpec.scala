@@ -1103,3 +1103,59 @@ class RobustSpec extends SparkSpec {
     assert(exact.nonEmpty)
   }
 }
+
+/** Model-based randomized checks: the exact operators vs independent
+  * plain-Scala models over seeded random data (the SparkSpec analogue of
+  * KernelProperties — invariants hold on arbitrary inputs, not just the
+  * hand-built fixtures).
+  */
+class ExactModelSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("robust outliers == plain-Scala low-median/MAD model on random data") {
+    def lowMedian(xs: Seq[Long]): Long = xs.sorted.apply((xs.size - 1) / 2)
+    val rnd = new scala.util.Random(42)
+    val rows = (1L to 300L).map(i =>
+      (i, s"g${rnd.nextInt(5)}", rnd.nextInt(1000).toLong))
+    val expected = rows.groupBy(_._2).flatMap { case (_, rs) =>
+      val med = lowMedian(rs.map(_._3))
+      val mad = lowMedian(rs.map(r => math.abs(r._3 - med)))
+      rs.map(r => r._1 -> ((r._3, med, mad, math.abs(r._3 - med) > 3 * mad)))
+    }
+    val got = Robust.outliers(rows.toDF("id", "g", "v"), "id", "g", col("v"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))))
+      .toMap
+    assert(got == expected)
+  }
+
+  test("budget sample == plain-Scala md5 prefix-sum model on random data") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 400L).map(i =>
+      (i, s"d${rnd.nextInt(6)}", (1 + rnd.nextInt(50)).toLong))
+    val budget = 300L
+    val expected = rows.groupBy(_._2).flatMap { case (_, rs) =>
+      val ordered = rs.sortBy(r => (md5hex(s"${r._1}:sx"), r._1))
+      val cums = ordered.scanLeft(0L)(_ + _._3).tail
+      ordered.zip(cums)
+        .filter { case (r, c) => c - r._3 < budget }
+        .map { case (r, c) => r._1 -> ((r._3, c)) }
+    }
+    val got = Splits.budgetSample(rows.toDF("id", "d", "v"), "d", "id",
+        col("v"), budget, salt = "sx")
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+    // and every domain either met the budget or was taken whole
+    val totals = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val kept = got.keySet
+    rows.groupBy(_._2).foreach { case (d, rs) =>
+      val keptCums = rs.filter(r => kept(r._1)).map(r => got(r._1)._2)
+      if (totals(d) >= budget) assert(keptCums.max >= budget, s"domain $d undershot")
+      else assert(rs.forall(r => kept(r._1)), s"small domain $d not whole")
+    }
+  }
+}
