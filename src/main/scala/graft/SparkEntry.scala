@@ -816,9 +816,11 @@ object SparkEntry {
   private def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     // mixed-modality corpus: every 97th doc carries a REAL planted PNG
     // (deterministic 8x8 RGB gradient seeded by doc_id, encoded with
-    // correct CRCs), decoded by the pure-JVM zlib+filter path; the rest
-    // are text bytes that fall through magic-byte dispatch to the stub.
-    // Payload construction is per-partition batched, same as decode.
+    // correct CRCs), decoded by the pure-JVM zlib+filter path; every 89th
+    // a REAL planted GIF (16-color palette, LZW-compressed), decoded by
+    // the pure-JVM LZW path; the rest are text bytes that fall through
+    // magic-byte dispatch to the stub. Payload construction is
+    // per-partition batched, same as decode.
     import s.implicits._
     val payloads = t(s, dir, "documents")
       .select(col("doc_id"), col("text")).as[(Long, String)]
@@ -827,6 +829,10 @@ object SparkEntry {
           if (id % 97 == 0) {
             val px = Array.tabulate(8 * 8 * 3)(i => ((id * 131 + i * 7) % 256).toByte)
             graft.multimodal.Multimodal.encodePng(8, 8, 3, px)
+          } else if (id % 89 == 0) {
+            val pal = Array.tabulate(16 * 3)(i => ((id * 37 + i * 17) % 256).toByte)
+            val idxs = Array.tabulate(8 * 8)(i => (((id + i) * 13) % 16).toByte)
+            graft.multimodal.Multimodal.encodeGif(8, 8, pal, idxs)
           } else text.getBytes("UTF-8")
         (id, bytes)
       }).toDF("media_id", "payload")

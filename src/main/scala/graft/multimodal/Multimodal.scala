@@ -322,6 +322,240 @@ object Multimodal {
     * energy envelope a silence/clipping filter keys on. `None` on
     * non-PCM / non-16-bit / malformed input.
     */
+  /** REAL decoder for GIF87a/89a — pure-JVM LZW (LSB-first bit stream,
+    * growing code size, 4096-entry dictionary with clear-code resets).
+    * Decodes the FIRST image frame's color indices, resolves them through
+    * the local-else-global color table, and emits the same normalized
+    * 8-bin luminance histogram as the PNG/PPM paths. Interlaced frames
+    * need no row reordering — a histogram is order-independent.
+    * Dimensions come from the logical screen descriptor; channels = 3
+    * (GIF is always palette RGB). Transparency is ignored: transparent
+    * pixels count as their palette color, deterministically. `None` on
+    * anything malformed (caller falls back to the stub).
+    */
+  def decodeGif(id: Long, bytes: Array[Byte]): Option[MediaMeta] = try {
+    if (bytes.length < 13) return None
+    val hdr = new String(bytes, 0, 6, "US-ASCII")
+    if (hdr != "GIF87a" && hdr != "GIF89a") return None
+    def u16(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+    val sw = u16(6); val sh = u16(8)
+    if (sw <= 0 || sh <= 0) return None
+    var o = 13
+    var gct: Array[Byte] = null
+    if ((bytes(10) & 0x80) != 0) {
+      val n = 3 * (2 << (bytes(10) & 0x07))
+      if (o + n > bytes.length) return None
+      gct = java.util.Arrays.copyOfRange(bytes, o, o + n)
+      o += n
+    }
+    // walk blocks to the first image descriptor
+    while (o < bytes.length) {
+      (bytes(o) & 0xFF) match {
+        case 0x3B => return None // trailer before any image
+        case 0x21 => // extension: label + sub-blocks to 0 terminator
+          o += 2
+          while (o < bytes.length && (bytes(o) & 0xFF) != 0)
+            o += 1 + (bytes(o) & 0xFF)
+          o += 1
+        case 0x2C =>
+          val fw = u16(o + 5); val fh = u16(o + 7)
+          val packed = bytes(o + 9) & 0xFF
+          o += 10
+          var table = gct
+          if ((packed & 0x80) != 0) {
+            val n = 3 * (2 << (packed & 0x07))
+            if (o + n > bytes.length) return None
+            table = java.util.Arrays.copyOfRange(bytes, o, o + n)
+            o += n
+          }
+          if (table == null || fw <= 0 || fh <= 0) return None
+          val nPix = fw.toLong * fh
+          if (nPix > (64L << 20)) return None // hostile-descriptor bound
+          val minCode = bytes(o) & 0xFF
+          o += 1
+          if (minCode < 2 || minCode > 11) return None
+          // concatenate the data sub-blocks
+          val data = new java.io.ByteArrayOutputStream()
+          while (o < bytes.length && (bytes(o) & 0xFF) != 0) {
+            val len = bytes(o) & 0xFF
+            if (o + 1 + len > bytes.length) return None
+            data.write(bytes, o + 1, len)
+            o += 1 + len
+          }
+          val idx = lzwDecode(data.toByteArray, minCode, nPix.toInt)
+            .getOrElse(return None)
+          // histogram through the color table
+          val nColors = table.length / 3
+          val hist = new Array[Float](8)
+          var k = 0
+          while (k < idx.length) {
+            val ci = idx(k) & 0xFF
+            if (ci >= nColors) return None
+            val lum = ((table(ci * 3) & 0xFF) * 299 +
+              (table(ci * 3 + 1) & 0xFF) * 587 +
+              (table(ci * 3 + 2) & 0xFF) * 114) / 1000
+            hist(math.min(7, lum * 8 / 256)) += 1f
+            k += 1
+          }
+          var q = 0; while (q < 8) { hist(q) /= idx.length; q += 1 }
+          return Some(MediaMeta(id, bytes.length.toLong, "gif", sw, sh, 3, hist))
+        case _ => return None
+      }
+    }
+    None
+  } catch {
+    case scala.util.control.NonFatal(_) => None
+  }
+
+  /** GIF-variant LZW: LSB-first codes, width grows at 2^codeSize up to 12
+    * bits, clear code resets the table. Returns exactly `nPix` indices
+    * (early EOI with too few pixels, code overflow, or a non-deflating
+    * stream → None).
+    */
+  private def lzwDecode(data: Array[Byte], minCode: Int,
+                        nPix: Int): Option[Array[Byte]] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    // dictionary as (prefix code, appended byte); roots are -1-prefixed
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val out = new Array[Byte](nPix)
+    var outAt = 0
+    var codeSize = minCode + 1
+    var next = eoi + 1
+    var prev = -1
+    var acc = 0L; var accBits = 0; var at = 0
+    val stack = new Array[Byte](4096)
+    def emit(code: Int): Boolean = { // expand code through the chain
+      var sp = 0
+      var c = code
+      while (c >= clear) { // non-root: walk prefixes
+        if (sp >= stack.length || c >= next) return false
+        stack(sp) = suffix(c); sp += 1
+        c = prefix(c)
+      }
+      stack(sp) = c.toByte; sp += 1
+      while (sp > 0 && outAt < nPix) { sp -= 1; out(outAt) = stack(sp); outAt += 1 }
+      sp == 0 // overflow past nPix is malformed
+    }
+    def firstByte(code: Int): Byte = {
+      var c = code
+      while (c >= clear) c = prefix(c)
+      c.toByte
+    }
+    while (outAt < nPix) {
+      while (accBits < codeSize) {
+        if (at >= data.length) return None
+        acc |= (data(at) & 0xFFL) << accBits
+        accBits += 8; at += 1
+      }
+      val code = (acc & ((1 << codeSize) - 1)).toInt
+      acc >>>= codeSize; accBits -= codeSize
+      if (code == clear) {
+        codeSize = minCode + 1; next = eoi + 1; prev = -1
+      } else if (code == eoi) {
+        return if (outAt == nPix) Some(out) else None
+      } else if (prev == -1) {
+        if (code >= clear) return None
+        if (!emit(code)) return None
+        prev = code
+      } else {
+        if (code > next || code == clear || code == eoi) return None
+        val cur = if (code == next) {
+          // KwKwK case: entry being defined = prev + first(prev)
+          if (next >= 4096) return None
+          prefix(next) = prev; suffix(next) = firstByte(prev)
+          next += 1
+          code
+        } else {
+          if (next < 4096) {
+            prefix(next) = prev; suffix(next) = firstByte(code)
+            next += 1
+          }
+          code
+        }
+        if (!emit(cur)) return None
+        if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+        prev = code
+      }
+    }
+    Some(out)
+  }
+
+  /** Minimal GIF ENCODER (single frame, global color table, real LZW) —
+    * the deterministic payload generator for pipeline tests and planted
+    * GIF rows. `indices` are color-table indices row-major; `palette` is
+    * packed RGB (≤ 256 entries, padded to a power of two).
+    */
+  def encodeGif(width: Int, height: Int, palette: Array[Byte],
+                indices: Array[Byte]): Array[Byte] = {
+    require(palette.length % 3 == 0 && palette.length > 0 &&
+      palette.length <= 768, "palette must be 1..256 RGB entries")
+    require(indices.length == width * height, "indices must be w*h")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    w16(width); w16(height)
+    val nColors = palette.length / 3
+    var sizeField = 0
+    while ((2 << sizeField) < nColors) sizeField += 1
+    out.write(0x80 | sizeField); out.write(0); out.write(0)
+    out.write(palette)
+    for (_ <- nColors until (2 << sizeField)) { out.write(0); out.write(0); out.write(0) }
+    out.write(0x2C) // image descriptor: full frame, no LCT
+    w16(0); w16(0); w16(width); w16(height); out.write(0)
+    val minCode = math.max(2, sizeField + 1)
+    out.write(minCode)
+    // LZW-compress the index stream
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val codes = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var accBits = 0
+    var codeSize = minCode + 1
+    def put(code: Int): Unit = {
+      acc |= code.toLong << accBits; accBits += codeSize
+      while (accBits >= 8) { codes.write((acc & 0xFF).toInt); acc >>>= 8; accBits -= 8 }
+    }
+    val dict = new java.util.HashMap[java.util.List[Integer], Integer]()
+    def reset(): Int = {
+      dict.clear()
+      codeSize = minCode + 1
+      eoi + 1
+    }
+    var next = reset()
+    put(clear)
+    var run = new java.util.ArrayList[Integer]()
+    for (b <- indices) {
+      val ci: Integer = b & 0xFF
+      require(ci < nColors, "index out of palette")
+      val cand = new java.util.ArrayList[Integer](run); cand.add(ci)
+      if (run.isEmpty || dict.containsKey(cand)) run = cand
+      else {
+        put(if (run.size == 1) run.get(0) else dict.get(run))
+        if (next < 4096) {
+          dict.put(cand, next); next += 1
+          // decoder grows its width when ITS next counter hits the
+          // boundary; the encoder mirrors that one step later
+          if (next == (1 << codeSize) + 1 && codeSize < 12) codeSize += 1
+        } else { put(clear); next = reset() }
+        run = new java.util.ArrayList[Integer](); run.add(ci)
+      }
+    }
+    if (!run.isEmpty) put(if (run.size == 1) run.get(0) else dict.get(run))
+    put(eoi)
+    if (accBits > 0) codes.write((acc & 0xFF).toInt)
+    val payload = codes.toByteArray
+    var off = 0
+    while (off < payload.length) { // 255-byte sub-blocks
+      val n = math.min(255, payload.length - off)
+      out.write(n); out.write(payload, off, n)
+      off += n
+    }
+    out.write(0) // block terminator
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
   def decodeWav(id: Long, bytes: Array[Byte]): Option[MediaMeta] = try {
     if (bytes.length < 44) return None
     def u16(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
@@ -376,6 +610,9 @@ object Multimodal {
       decodePpm(id, bytes).getOrElse(decodeStub(id, bytes))
     else if (isPngMagic(bytes))
       decodePng(id, bytes).getOrElse(decodeStub(id, bytes))
+    else if (bytes.length >= 6 && bytes(0) == 'G'.toByte && bytes(1) == 'I'.toByte &&
+      bytes(2) == 'F'.toByte && bytes(3) == '8'.toByte)
+      decodeGif(id, bytes).getOrElse(decodeStub(id, bytes))
     else if (bytes.length >= 12 && bytes(0) == 'R'.toByte && bytes(1) == 'I'.toByte &&
       bytes(2) == 'F'.toByte && bytes(3) == 'F'.toByte)
       decodeWav(id, bytes).getOrElse(decodeStub(id, bytes))

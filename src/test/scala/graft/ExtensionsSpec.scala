@@ -212,6 +212,48 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeAuto(1L, interlaced).format.nonEmpty)
   }
 
+  test("real GIF decode: LZW round-trip, dimensions, palette histogram") {
+    // same 2x2 colors as the PNG/PPM tests via a 4-entry palette:
+    // black, white, red, blue -> identical luminance bins
+    val pal = Array(0, 0, 0, 255, 255, 255, 255, 0, 0, 0, 0, 255).map(_.toByte)
+    val gif = Multimodal.encodeGif(2, 2, pal, Array[Byte](0, 1, 2, 3))
+    val m = Multimodal.decodeAuto(7L, gif)
+    assert(m.format == "gif" && m.width == 2 && m.height == 2 && m.channels == 3)
+    assert(m.features.toSeq == Seq(0.5f, 0f, 0.25f, 0f, 0f, 0f, 0f, 0.25f))
+
+    // a large repetitive image exercises dictionary growth across code
+    // widths and the KwKwK case; histogram = exact index frequencies
+    val w = 101; val h = 53
+    val idxs = Array.tabulate(w * h)(i => ((i * i + i / 7) % 4).toByte)
+    val counts = idxs.groupBy(_.toInt).view.mapValues(_.length).toMap
+    val big = Multimodal.decodeGif(8L, Multimodal.encodeGif(w, h, pal, idxs)).get
+    assert(big.width == w && big.height == h)
+    val n = (w * h).toFloat
+    // palette luminances: 0 -> bin0, 255 -> bin7, red(76) -> bin2, blue(29) -> bin0
+    assert(big.features(7) == counts(1) / n)
+    assert(big.features(2) == counts(2) / n)
+    assert(big.features(0) == (counts(0) + counts(3)) / n)
+
+    // 256-color palette forces an 8-bit min code (9-bit initial width)
+    val pal256 = Array.tabulate(256 * 3)(i => ((i * 31) % 256).toByte)
+    val idx256 = Array.tabulate(64 * 64)(i => (i % 256).toByte)
+    val full = Multimodal.decodeGif(9L, Multimodal.encodeGif(64, 64, pal256, idx256)).get
+    assert(full.width == 64 && full.features.sum > 0.999f && full.features.sum < 1.001f)
+  }
+
+  test("GIF malformed input falls back instead of failing") {
+    val pal = Array.tabulate(4 * 3)(i => (i * 20).toByte)
+    val ok = Multimodal.encodeGif(4, 4, pal, Array.tabulate(16)(i => (i % 4).toByte))
+    assert(Multimodal.decodeGif(1L, ok.dropRight(8)).isEmpty)  // truncated
+    assert(Multimodal.decodeGif(1L, ok.take(13)).isEmpty)      // header only
+    assert(Multimodal.decodeGif(1L, "GIF8 not really".getBytes).isEmpty)
+    // a GCT-less file whose frame also has no LCT cannot resolve colors
+    val noTables = ok.clone(); noTables(10) = (noTables(10) & 0x7F).toByte
+    assert(Multimodal.decodeGif(1L, noTables).isEmpty)
+    // dispatch still yields a row (stub fallback), never a crash
+    assert(Multimodal.decodeAuto(1L, ok.dropRight(8)).format.nonEmpty)
+  }
+
   test("real WAV decode: PCM samples, rate, frames, RMS envelope") {
     def le16(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
     def le32(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
