@@ -98,6 +98,42 @@ object EventStream {
     * passed; `fpp` only drops extra clean docs. Use when the eval suite's
     * distinct grams outgrow executor memory as a plain set.
     */
+  /** Streaming frozen-LM quality scoring: the stream-side twin of the
+    * batch `d_lm_score_frozen` pattern. The bigram vocabulary
+    * ([[graft.operators.TextAnalysis.bigramVocab]], trained once on a
+    * reference corpus) collapses to a broadcast count map, and every
+    * incoming doc is scored STATELESSLY in the map stage — no
+    * stream-stream join, no state store, so the query runs at source
+    * parallelism with append-mode semantics. Emits the same
+    * (n_bigrams, hits, familiar_mass) columns as the batch operator
+    * (docs with < 2 tokens score zeros; the batch side drops them —
+    * filter n_bigrams > 0 for strict parity, pinned in the spec).
+    */
+  def streamingLmScore(docs: DataFrame, idCol: String, textCol: String,
+                       vocab: DataFrame): DataFrame = {
+    val counts = vocab.select(col("bigram"), col("c").cast("long"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bc = docs.sparkSession.sparkContext.broadcast(counts)
+    val score = udf((text: String) => {
+      val toks = if (text == null) Array.empty[String]
+        else text.trim.split("\\s+").filter(_.nonEmpty)
+      var n = 0L; var hits = 0L; var mass = 0L
+      var i = 0
+      while (i < toks.length - 1) {
+        n += 1
+        bc.value.get(toks(i) + " " + toks(i + 1)) match {
+          case Some(c) => hits += 1; mass += c
+          case None => ()
+        }
+        i += 1
+      }
+      (n, hits, mass)
+    })
+    docs.select(col(idCol), score(col(textCol)).as("s"))
+      .select(col(idCol), col("s._1").as("n_bigrams"),
+        col("s._2").as("hits"), col("s._3").as("familiar_mass"))
+  }
+
   def streamingDecontaminateBloom(docs: DataFrame, textCol: String,
                                   evalDocs: DataFrame, evalTextCol: String,
                                   n: Int = 8, expectedGrams: Long = 10000000L,

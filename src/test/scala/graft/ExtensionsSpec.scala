@@ -690,6 +690,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming frozen-LM scoring equals the batch operator on sf0.01") {
+    // the d_lm_score_frozen split: vocab trained on even doc_ids, odd
+    // doc_ids scored — streamed scores must equal the batch operator's
+    // rows exactly (docs with no bigrams score zero in the stream and
+    // are absent in batch; filtered for strict parity)
+    implicit val sqlCtx = spark.sqlContext
+    val all = Tables(spark, "/root/testdata/sf0.01", "documents")
+      .select(col("doc_id"), col("text"))
+    val vocab = graft.operators.TextAnalysis.bigramVocab(
+      all.filter(col("doc_id") % 2 === 0), "doc_id", "text", vocabSize = 500)
+    val oddRows = all.filter(col("doc_id") % 2 === 1).as[(Long, String)].collect()
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStream.streamingLmScore(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text", vocab)
+      .writeStream.format("memory").queryName("lm_eq")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      oddRows.grouped(90).foreach { c => mem.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+      val streamed = spark.table("lm_eq").filter(col("n_bigrams") > 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val batch = graft.operators.TextAnalysis.lmFamiliarity(
+          all.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+          vocab = Some(vocab))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(batch.nonEmpty && batch.exists(_._3 > 0)) // vocab really hits
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionizer emits closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStream.Event]
