@@ -75,6 +75,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "marker_hits) in one fused pass (default stopword/marker lists)"),
       (exprs: Seq[Expression]) => TokenStats(exprs(0),
         graft.operators.TextAnalysis.defaultStopwords,
-        graft.operators.TextAnalysis.langMarkers.toSeq.sortBy(_._1).map(_._2))))
+        graft.operators.TextAnalysis.sortedMarkerSets)))
   }
 }

@@ -275,7 +275,7 @@ object VectorFunctions {
     fr.createOrReplaceTempFunction(
       "token_stats", exprs => TokenStats(exprs(0),
         graft.operators.TextAnalysis.defaultStopwords,
-        graft.operators.TextAnalysis.langMarkers.toSeq.sortBy(_._1).map(_._2)),
+        graft.operators.TextAnalysis.sortedMarkerSets),
       "built-in")
   }
 }

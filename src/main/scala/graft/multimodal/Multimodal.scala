@@ -7,11 +7,12 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, and run decode / feature-extraction as a
   * per-partition batch transform.
   *
-  * Decode is REAL for uncompressed formats — binary PPM (P6) images and
-  * PCM WAV audio parse with pure JVM byte arithmetic ([[decodePpm]],
-  * [[decodeWav]]), no codec library needed. Compressed formats (png/jpeg/
-  * mp3/...) fall back to [[decodeStub]] in this container (no codecs
-  * installed): deterministic fake dimensions/features from the bytes.
+  * Decode is REAL for PNG ([[decodePng]]: zlib inflate + scanline
+  * filters), GIF ([[decodeGif]]: hand-rolled LZW), binary PPM (P6)
+  * images, and PCM WAV audio ([[decodePpm]], [[decodeWav]]) — pure JVM,
+  * no codec library needed. Remaining compressed formats (jpeg/mp3/...)
+  * fall back to [[decodeStub]] in this container (no codecs installed):
+  * deterministic fake dimensions/features from the bytes.
   * Everything around the dispatch — the binary column, the metadata
   * schema, the mapPartitions batch shape, the partition-count
   * preservation — is the real 100 TB plumbing: adding a compressed codec
@@ -268,19 +269,10 @@ object Multimodal {
     require(pixels.length == width * height * channels,
       s"pixels=${pixels.length} != $width*$height*$channels")
     val colorType = channels match { case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6 }
-    val crcTable = Array.tabulate(256) { c0 =>
-      var c = c0.toLong
-      var k = 0
-      while (k < 8) { c = if ((c & 1) != 0) 0xEDB88320L ^ (c >>> 1) else c >>> 1; k += 1 }
-      c
-    }
     def crc32(data: Array[Byte]): Long = {
-      var c = 0xFFFFFFFFL
-      var i = 0
-      while (i < data.length) {
-        c = crcTable(((c ^ data(i)) & 0xFF).toInt) ^ (c >>> 8); i += 1
-      }
-      c ^ 0xFFFFFFFFL
+      val c = new java.util.zip.CRC32()
+      c.update(data)
+      c.getValue
     }
     val out = new java.io.ByteArrayOutputStream()
     def be32(v: Long): Array[Byte] = Array(

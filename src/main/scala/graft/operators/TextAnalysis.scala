@@ -145,22 +145,14 @@ object TextAnalysis {
     "n_numbers" -> regexp_count(text, lit(digitRunPattern)))
 
   /** Full quality-score projection over a text column. Tokenizes per
-    * column — prefer [[qualityColumnsOf]] with a materialized token array
-    * when stacking these (see [[stopwordRatioOf]]).
+    * column — when stacking several token-derived columns, prefer
+    * projecting a [[tokenStats]] struct once and deriving with
+    * [[qualityColumnsFromStats]] (one kernel call per row).
     */
   def qualityColumns(text: Column): Seq[(String, Column)] = Seq(
     "n_tokens" -> tokenCount(text),
     "mean_token_len" -> round(meanTokenLength(text), 4),
     "stopword_ratio" -> round(stopwordRatio(text), 4),
-    "punct_ratio" -> round(punctRatio(text), 4))
-
-  /** [[qualityColumns]] over a pre-materialized token array (`punct_ratio`
-    * is character-level, so it still takes the raw text).
-    */
-  def qualityColumnsOf(text: Column, tk: Column): Seq[(String, Column)] = Seq(
-    "n_tokens" -> size(tk),
-    "mean_token_len" -> round(meanTokenLengthOf(tk), 4),
-    "stopword_ratio" -> round(stopwordRatioOf(tk), 4),
     "punct_ratio" -> round(punctRatio(text), 4))
 
   /** One-pass fused token statistics struct — the compiled
@@ -172,10 +164,17 @@ object TextAnalysis {
     * / [[langScoresFromStats]]. Marker sets ride in language-code order
     * (sorted), aligning `marker_hits` with [[langScoresFromStats]].
     */
+  /** Marker word-sets in sorted language-code order — the ONE alignment
+    * contract between `marker_hits` indices and [[langScoresFromStats]].
+    * Every TokenStats construction site (Column API, SQL registration,
+    * extension injection) must use this val, not its own sort.
+    */
+  val sortedMarkerSets: Seq[Seq[String]] =
+    langMarkers.toSeq.sortBy(_._1).map(_._2)
+
   def tokenStats(text: Column,
                  stopwords: Seq[String] = defaultStopwords): Column =
-    graft.functions.TokenStats(text, stopwords,
-      langMarkers.toSeq.sortBy(_._1).map(_._2))
+    graft.functions.TokenStats(text, stopwords, sortedMarkerSets)
 
   /** [[qualityColumns]] derived from a [[tokenStats]] struct column —
     * identical values and types to the array spelling (int/long counts,

@@ -91,13 +91,6 @@ object EventStream {
     docs.filter(!contaminated(Dedup.shingles(col(textCol), n)))
   }
 
-  /** [[streamingDecontaminate]]'s scale variant: the static eval side
-    * collapses into a broadcast Bloom filter (built by a distributed
-    * aggregate, fixed size regardless of eval-set size) instead of an
-    * exact in-memory set. One-sided error: a contaminated doc is NEVER
-    * passed; `fpp` only drops extra clean docs. Use when the eval suite's
-    * distinct grams outgrow executor memory as a plain set.
-    */
   /** Streaming frozen-LM quality scoring: the stream-side twin of the
     * batch `d_lm_score_frozen` pattern. The bigram vocabulary
     * ([[graft.operators.TextAnalysis.bigramVocab]], trained once on a
@@ -108,6 +101,9 @@ object EventStream {
     * (n_bigrams, hits, familiar_mass) columns as the batch operator
     * (docs with < 2 tokens score zeros; the batch side drops them —
     * filter n_bigrams > 0 for strict parity, pinned in the spec).
+    * Tokenization strips SPACES only before the `\s+` split, exactly like
+    * the batch kernel — Java `String.trim` would eat control chars
+    * (≤ U+0020) off scraped text and silently break batch parity.
     */
   def streamingLmScore(docs: DataFrame, idCol: String, textCol: String,
                        vocab: DataFrame): DataFrame = {
@@ -115,8 +111,12 @@ object EventStream {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val bc = docs.sparkSession.sparkContext.broadcast(counts)
     val score = udf((text: String) => {
-      val toks = if (text == null) Array.empty[String]
-        else text.trim.split("\\s+").filter(_.nonEmpty)
+      val toks =
+        if (text == null) Array.empty[String]
+        else {
+          val t = text.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+          t.split("\\s+").filter(_.nonEmpty)
+        }
       var n = 0L; var hits = 0L; var mass = 0L
       var i = 0
       while (i < toks.length - 1) {
@@ -134,6 +134,13 @@ object EventStream {
         col("s._2").as("hits"), col("s._3").as("familiar_mass"))
   }
 
+  /** [[streamingDecontaminate]]'s scale variant: the static eval side
+    * collapses into a broadcast Bloom filter (built by a distributed
+    * aggregate, fixed size regardless of eval-set size) instead of an
+    * exact in-memory set. One-sided error: a contaminated doc is NEVER
+    * passed; `fpp` only drops extra clean docs. Use when the eval suite's
+    * distinct grams outgrow executor memory as a plain set.
+    */
   def streamingDecontaminateBloom(docs: DataFrame, textCol: String,
                                   evalDocs: DataFrame, evalTextCol: String,
                                   n: Int = 8, expectedGrams: Long = 10000000L,

@@ -717,6 +717,52 @@ class StreamingSpec extends SparkSpec {
       assert(batch.nonEmpty && batch.exists(_._3 > 0)) // vocab really hits
       assert(streamed == batch)
     } finally q.stop()
+
+    // tokenizer parity on control-char-edged scraped text: the stream UDF
+    // must strip SPACES only (Java String.trim would eat the \u0001 and
+    // turn a vocab miss into a hit)
+    val edge = Seq((1L, "\u0001the cat sat"), (2L, "the cat sat"))
+      .toDF("doc_id", "text")
+    val vocab2 = Seq(("the cat", 5L), ("cat sat", 3L)).toDF("bigram", "c")
+    val streamedEdge = EventStream.streamingLmScore(edge, "doc_id", "text", vocab2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batchEdge = graft.operators.TextAnalysis.lmFamiliarity(
+        edge, "doc_id", "text", vocab = Some(vocab2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamedEdge == batchEdge)
+    assert(batchEdge.contains((1L, 2L, 1L, 3L))) // "the cat" misses, "cat sat" hits
+  }
+
+  test("streaming bloom decontamination never passes a contaminated doc") {
+    // the one-sided-error contract on real driver testdata: every doc the
+    // exact batch operator flags must be dropped by the streaming bloom
+    // gate too (fpp only drops extra clean docs)
+    implicit val sqlCtx = spark.sqlContext
+    val all = Tables(spark, "/root/testdata/sf0.01", "documents")
+      .select(col("doc_id"), col("text"))
+    val eval = all.filter(col("doc_id") % 100 === 0)
+    val corpusRows = all.filter(col("doc_id") % 100 =!= 0).as[(Long, String)].collect()
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStream.streamingDecontaminateBloom(
+        mem.toDF().toDF("doc_id", "text"), "text", eval, "text", n = 4,
+        expectedGrams = 100000L, fpp = 0.001)
+      .writeStream.format("memory").queryName("bloom_decon_eq")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      corpusRows.grouped(200).foreach { c => mem.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+      val passed = spark.table("bloom_decon_eq")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val flagged = graft.operators.Dedup.decontaminate(
+          all.filter(col("doc_id") % 100 =!= 0), "doc_id", "text", eval, "text", n = 4)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(flagged.nonEmpty)
+      assert(passed.intersect(flagged).isEmpty,
+        s"contaminated docs passed the bloom gate: ${passed.intersect(flagged).take(5)}")
+      // and the over-drop stays a sliver at fpp=0.001
+      val clean = corpusRows.map(_._1).toSet -- flagged
+      assert((clean -- passed).size <= math.max(5, clean.size / 20),
+        s"bloom over-dropped ${(clean -- passed).size} of ${clean.size} clean docs")
+    } finally q.stop()
   }
 
   test("flatMapGroupsWithState sessionizer emits closed sessions") {
