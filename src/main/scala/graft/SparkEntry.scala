@@ -794,6 +794,33 @@ object SparkEntry {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  private def annPq(s: SparkSession, dir: String): DataFrame = {
+    // Product-quantization ANN, PORTABLE spelling: the codebooks are the
+    // unit-normalized sub-vectors of the 16 first corpus rows (a
+    // deterministic rule DuckDB reproduces verbatim), so the WHOLE chain —
+    // encode (argmin sub-distance, index tie-break) → ADC shortlist →
+    // exact-cosine re-rank — is hash-checkable against the SQL twin. The
+    // production path trains per-subspace k-means codebooks instead
+    // (Similarity.pqTrain, pinned by RecallSpec at recall@5 >= 0.9);
+    // everything downstream of the codebook is the same code. The seed
+    // collect is 16 rows — bounded at any corpus size.
+    val emb = t(s, dir, "embeddings")
+    val seeds = emb.filter(col("vec_id") < 16).orderBy(col("vec_id"))
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val unitSeeds = seeds.map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    val sub = unitSeeds.head.size / 8
+    val codebooks = (0 until 8).map(s0 =>
+      unitSeeds.map(_.slice(s0 * sub, (s0 + 1) * sub)))
+    Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, codebooks, shortlist = 50)
+      .withColumnRenamed("rank", "rnk")
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   private def embedQuantized(s: SparkSession, dir: String): DataFrame = {
     // int8 scalar quantization round-trip: per vector, the scale, the code
     // sum, and the reconstruction L2 error — every step IEEE-deterministic
@@ -1197,6 +1224,7 @@ object SparkEntry {
     "d_ngram_jaccard" -> (ngramJaccard _),
     "s_ann_bruteforce" -> (annBruteForce _),
     "s_ann_ivf" -> (annIvf _),
+    "s_ann_pq" -> (annPq _),
     "s_embed_neardup" -> (embedNearDup _),
     "s_embed_neardup_bucketed" -> (embedNearDupBucketed _),
     "s_embed_neardup_lsh" -> (embedNearDupLsh _),
@@ -1872,6 +1900,49 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
         |      FROM s)
         |SELECT q_id, c_id, rnk, round(sim,4) AS sim FROM r
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    // PQ ANN portable twin: codebooks = unit sub-vectors of the 16 first
+    // rows; encode (argmin, tie -> lowest centroid id) -> ADC shortlist 50
+    // (ordered list_sum = Spark's fixed s-order fold) -> exact-cosine
+    // re-rank. `dist` doubles as the query LUT (queries are corpus rows).
+    "s_ann_pq" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |u AS (SELECT vec_id, v,
+        |        CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN v
+        |             ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v))) END AS vu
+        |      FROM e),
+        |sub AS (SELECT s FROM generate_series(0, 7) AS t(s)),
+        |cent AS (SELECT c.vec_id AS cid, sub.s, c.vu[sub.s*8 + 1 : sub.s*8 + 8] AS cv
+        |         FROM u c, sub WHERE c.vec_id < 16),
+        |sv AS (SELECT u.vec_id, sub.s, u.vu[sub.s*8 + 1 : sub.s*8 + 8] AS sv FROM u, sub),
+        |dist AS (SELECT sv.vec_id, sv.s, cent.cid,
+        |           list_sum(list_transform(range(1, 9),
+        |             i -> (sv.sv[i] - cent.cv[i]) * (sv.sv[i] - cent.cv[i]))) AS d
+        |         FROM sv JOIN cent ON sv.s = cent.s),
+        |code AS (SELECT vec_id, s, cid AS code FROM (
+        |           SELECT vec_id, s, cid,
+        |             row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cid) AS rn
+        |           FROM dist) WHERE rn = 1),
+        |qlut AS (SELECT q.vec_id AS q_id, dist.s, dist.cid, dist.d AS pd
+        |         FROM dist JOIN u q ON dist.vec_id = q.vec_id WHERE q.vec_id < 10),
+        |adc AS (SELECT qlut.q_id, code.vec_id AS c_id,
+        |          list_sum(list(qlut.pd ORDER BY qlut.s)) AS adc
+        |        FROM code JOIN qlut ON qlut.s = code.s AND qlut.cid = code.code
+        |        WHERE code.vec_id <> qlut.q_id
+        |        GROUP BY qlut.q_id, code.vec_id),
+        |short AS (SELECT q_id, c_id FROM (
+        |            SELECT q_id, c_id,
+        |              row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS srank
+        |            FROM adc) WHERE srank <= 50),
+        |rer AS (SELECT short.q_id, short.c_id,
+        |          list_dot_product(q.v, c.v) /
+        |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+        |        FROM short JOIN u q ON q.vec_id = short.q_id
+        |                   JOIN u c ON c.vec_id = short.c_id),
+        |r AS (SELECT q_id, c_id, sim,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
+        |      FROM rer)
+        |SELECT q_id, c_id, rnk, round(sim, 4) AS sim FROM r
         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     "d_ngram_jaccard" ->
       """WITH sh AS (

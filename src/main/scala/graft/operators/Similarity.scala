@@ -375,4 +375,139 @@ object Similarity {
   /** Reconstruct approximate vectors from [[quantizeInt8]] output. */
   def dequantize(codes: Column, scale: Column): Column =
     transform(codes, c => c.cast("double") * scale)
+
+  // ---------------------------------------------------------------------
+  // Product quantization (PQ): the memory-compression scale path.
+  //
+  // [[quantizeInt8]] compresses 4× (float→int8, per-vector scale); PQ goes
+  // much further: split the d-dim vector into m subspaces of d/m dims,
+  // learn a k-centroid codebook per subspace, and store each vector as m
+  // small codes — at m=8, k=16 a 64-dim float vector (256 B) becomes 8
+  // nibbles (~4-8 B), a 32-64× compression that makes a 100 TB embedding
+  // corpus's INDEX fit in cluster memory. Search is ADC (asymmetric
+  // distance computation): per query, precompute an m×k lookup table of
+  // partial squared distances to every centroid, score each corpus row
+  // with m table lookups + adds (no vector math), shortlist, then re-rank
+  // the shortlist with exact cosine against the original vectors.
+  // ---------------------------------------------------------------------
+
+  /** Train per-subspace PQ codebooks on a driver-side sample (same
+    * bounded-sample discipline as the IVF codebook: the quantizer needs
+    * density structure, not every row). `samples` should be unit-normalized
+    * by the caller when the search metric is cosine — on unit vectors,
+    * L2-ADC ordering approximates cosine ordering. Seeds are the first k
+    * sub-vectors (deterministic, no RNG), Lloyd-refined per subspace with
+    * plain (non-spherical) k-means — sub-vectors are not unit-norm even
+    * when the full vector is.
+    *
+    * Returns codebooks(s)(j) = centroid j of subspace s, each of d/m dims.
+    */
+  def pqTrain(samples: Seq[Seq[Double]], m: Int, k: Int,
+              iters: Int = 5): Seq[Seq[Seq[Double]]] = {
+    require(samples.nonEmpty, "pqTrain needs a non-empty sample")
+    val dim = samples.head.size
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    (0 until m).map { s =>
+      val svs = samples.map(_.slice(s * sub, (s + 1) * sub))
+      val seed = svs.take(k)
+      kmeansLocal(svs, seed, iters, spherical = false)
+    }
+  }
+
+  /** Encode each vector as m codebook codes. The vector is unit-normalized
+    * first (cosine metric — see [[pqTrain]]); per subspace the code is the
+    * argmin-L2 centroid, ties broken toward the LOWEST centroid index so
+    * the assignment is engine-portable (the sorted-struct argmin orders by
+    * (distance, index)). All distance math runs through the codegen'd
+    * [[graft.functions.VectorExpressions]] L2 kernel over literal centroid
+    * arrays — a pure map-side scan, no shuffle: encoding 100 TB is
+    * embarrassingly parallel and the output (id + m small ints) is the
+    * entire stored index.
+    *
+    * Returns (idCol, pq_codes: array<int> of length m).
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    import graft.functions.VectorFunctions.l2_squared
+    val m = codebooks.size
+    val k = codebooks.head.size
+    val sub = codebooks.head.head.size
+    val u = normalized(
+      df.select(col(idCol), col(vecCol).cast("array<double>").as("__pq_unit")),
+      "__pq_unit")
+    val codes = array((0 until m).map { s =>
+      val sv = slice(col("__pq_unit"), s * sub + 1, sub)
+      val dists = array(codebooks(s).map(c =>
+        l2_squared(sv, array(c.map(lit): _*))): _*)
+      // argmin with index tie-break: sort (distance, index) structs
+      transform(array_sort(zip_with(dists, sequence(lit(0), lit(k - 1)),
+        (d, i) => struct(d.as("d"), i.as("i")))),
+        st => st.getField("i"))(0)
+    }: _*)
+    u.withColumn("pq_codes", codes).drop("__pq_unit")
+  }
+
+  /** ADC top-k over a PQ index with exact re-rank.
+    *
+    * Scale shape (the point of PQ): the ADC scan touches ONLY the code
+    * index — (id, m small ints) per row, never the vectors — with the
+    * query set and its m×k lookup tables broadcast; scoring a corpus row
+    * is m array lookups + adds inside whole-stage codegen. The corpus is
+    * never shuffled: the only shuffles are the per-query shortlist window
+    * (|Q|·shortlist rows) and the final top-k window (|Q|·shortlist rows
+    * again). The re-rank then fetches exact vectors for shortlist
+    * survivors ONLY, via a broadcast semi-style join of the (tiny)
+    * shortlist against the corpus — at scale this is the FAISS refine
+    * step: the full-precision vectors are read for |Q|·shortlist rows,
+    * not |corpus|.
+    *
+    * Deterministic end to end given deterministic codebooks: ADC ties
+    * (identical code tuples ⇒ bit-identical sums) and cosine ties break by
+    * candidate id. Returns (q_id, c_id, rank, sim) like [[bruteForceTopK]].
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, codebooks: Seq[Seq[Seq[Double]]],
+             shortlist: Int = 50): DataFrame = {
+    import graft.functions.VectorFunctions.{dot_product, l2_squared, vector_norm}
+    val m = codebooks.size
+    val sub = codebooks.head.head.size
+    // the stored index: id + codes, nothing else
+    val index = pqEncode(corpus, idCol, vecCol, codebooks)
+      .select(col(idCol).as("c_id"), col("pq_codes"))
+    // broadcast side: queries with unit-normalized copy for the LUT and the
+    // raw vector for the re-rank
+    val q = normalized(
+      queries.select(col(idCol).as("q_id"),
+        col(vecCol).cast("array<double>").as("q_vec"),
+        col(vecCol).cast("array<double>").as("__q_unit")),
+      "__q_unit")
+    val lut = array((0 until m).map { s =>
+      val qs = slice(col("__q_unit"), s * sub + 1, sub)
+      array(codebooks(s).map(c =>
+        l2_squared(qs, array(c.map(lit): _*))): _*)
+    }: _*)
+    val qb = q.withColumn("q_lut", lut).drop("__q_unit")
+    // ADC score: sum over subspaces of lut[s][code[s]] — fixed s=0..m-1
+    // fold order, bit-reproducible
+    val adc = (0 until m).map(s =>
+      element_at(element_at(col("q_lut"), s + 1),
+        element_at(col("pq_codes"), s + 1) + 1)).reduce(_ + _)
+    val scored = index.join(broadcast(qb), col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"), adc.as("adc"), col("q_vec"))
+    val wShort = Window.partitionBy(col("q_id")).orderBy(asc("adc"), asc("c_id"))
+    val short = scored.withColumn("srank", row_number().over(wShort))
+      .filter(col("srank") <= shortlist)
+      .select(col("q_id"), col("c_id"), col("q_vec"))
+    // exact re-rank: fetch full-precision vectors for the shortlist only
+    val cv = corpus.select(col(idCol).as("c_id"),
+      col(vecCol).cast("array<double>").as("c_vec"))
+    val rer = cv.join(broadcast(short), Seq("c_id"))
+      .withColumn("sim", try_divide(dot_product(col("q_vec"), col("c_vec")),
+        vector_norm(col("q_vec")) * vector_norm(col("c_vec"))))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("c_id"))
+    rer.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("rank"), round(col("sim"), 4).as("sim"))
+  }
 }

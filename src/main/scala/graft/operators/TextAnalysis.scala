@@ -210,6 +210,57 @@ object TextAnalysis {
     }.drop(textCol, "__ts")
   }
 
+  // ---------------------------------------------------------------------
+  // HTML → text extraction (web-corpus cleaning)
+  // ---------------------------------------------------------------------
+
+  /** RE2-compatible HTML grammar, shared VERBATIM with the SQL oracle twin
+    * (d_html_extract): no lazy quantifiers, no lookahead — RE2 (DuckDB,
+    * Go, Trino) has neither, and Java regex agrees with RE2 on everything
+    * used here. The cost of that portability: a script/style BODY is
+    * matched as a `[^<]*` run, so a body containing a literal `<` keeps
+    * its tail until the generic tag strip (the full HTML5 tokenizer is
+    * out of scope for corpus cleaning — this is the regex-fallback tier
+    * of the usual extraction stacks).
+    */
+  val scriptBlockPattern = "(?i)<script[^>]*>[^<]*</script>"
+  val styleBlockPattern = "(?i)<style[^>]*>[^<]*</style>"
+  val htmlCommentPattern = "<!--([^-]|-[^-]|--[^>])*-->"
+  val htmlTagPattern = "<[^>]+>"
+
+  def htmlTagCount(html: Column): Column = regexp_count(html, lit(htmlTagPattern))
+
+  /** Visible text of an HTML fragment: script/style bodies, comments, and
+    * tags drop (each leaves one space so adjacent text nodes don't fuse),
+    * the six common entities decode (`&amp;` LAST so `&amp;lt;` yields
+    * `&lt;` not `<`), whitespace runs collapse. Pure codegen'd string
+    * kernels — extraction over 100 TB of crawl HTML is a scan.
+    */
+  def htmlText(html: Column): Column = {
+    val noBlocks = regexp_replace(
+      regexp_replace(html, scriptBlockPattern, " "), styleBlockPattern, " ")
+    val noTags = regexp_replace(
+      regexp_replace(noBlocks, htmlCommentPattern, " "), htmlTagPattern, " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Extraction projection: `(idCol, text, n_tags, markup_ratio)` where
+    * markup_ratio is the fraction of the raw payload that was markup.
+    * Two-step select on purpose: `text` feeds two outputs, and the
+    * extraction chain is expensive — a separate projection keeps
+    * CollapseProject from inlining (= re-evaluating) it per consumer.
+    */
+  def extractHtml(df: DataFrame, idCol: String, htmlCol: String): DataFrame =
+    df.select(col(idCol), length(col(htmlCol)).cast("double").as("__hlen"),
+        htmlTagCount(col(htmlCol)).as("n_tags"),
+        htmlText(col(htmlCol)).as("text"))
+      .select(col(idCol), col("text"), col("n_tags"),
+        round((col("__hlen") - length(col("text"))) / col("__hlen"), 4)
+          .as("markup_ratio"))
+
   /** Fixed-size token chunking with overlap — the context-window prep step
     * of a pretraining / retrieval pipeline: doc → chunks of `chunkTokens`
     * whitespace tokens starting every `stride` tokens (overlap =

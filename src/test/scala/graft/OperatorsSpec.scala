@@ -925,6 +925,36 @@ class SimilaritySpec extends SparkSpec {
     // with nprobe=1 only bucket 0 is probed → single candidate (id 1)
     assert(out.length == 1 && out(0).getAs[Long]("c_id") == 1L)
   }
+
+  test("pqEncode assigns argmin codes with index tie-break") {
+    // 4-dim vectors, m=2 subspaces of 2 dims, k=2 centroids per subspace.
+    // Unit-normalization happens inside pqEncode, so pick unit inputs.
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),   // sub0 ~ c0, sub1 ~ tie -> c0
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f))    // sub0 ~ c1
+    ).toDF("vec_id", "embedding")
+    val cb = Seq(
+      Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)),     // subspace 0
+      Seq(Seq(0.0, 0.0), Seq(0.0, 0.0)))     // subspace 1: identical -> tie
+    val codes = Similarity.pqEncode(df, "vec_id", "embedding", cb)
+      .orderBy("vec_id").collect().map(_.getSeq[Int](1).toSeq)
+    assert(codes(0) == Seq(0, 0), s"got ${codes(0)}") // tie broke to index 0
+    assert(codes(1) == Seq(1, 0), s"got ${codes(1)}")
+  }
+
+  test("pqTopK with full shortlist equals brute-force exactly") {
+    // the re-rank is exact cosine, so an un-truncating shortlist must make
+    // PQ degrade to the exact answer — a strong end-to-end identity that
+    // pins the ADC plumbing (LUT layout, code lookup, join keys)
+    val cb = Similarity.pqTrain(
+      Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0)), m = 1, k = 2)
+    val exact = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val pq = Similarity.pqTopK(vecs, vecs, "vec_id", "embedding", k = 2,
+        cb, shortlist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pq == exact, s"pq=$pq exact=$exact")
+  }
 }
 
 /** Recall gates for the approximate similarity paths, pinned against their
@@ -948,6 +978,44 @@ class RecallSpec extends SparkSpec {
     }
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.9, s"IVF recall@5 regressed: $mean (per-query: $recalls)")
+  }
+
+  test("PQ ADC + re-rank recall@5 >= 0.9 vs brute force at sf0.01") {
+    assume(new java.io.File(dir).isDirectory)
+    import org.apache.spark.sql.functions._
+    // the PRODUCTION codebook path: per-subspace k-means (pqTrain) on the
+    // same bounded deterministic sample discipline as the IVF codebook —
+    // the graded s_ann_pq query uses the portable seed codebooks instead,
+    // so this is the gate that pins the trained path's fitness
+    val emb = Tables(spark, dir, "embeddings")
+    val training = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .orderBy(pmod(xxhash64(col("vec_id")), lit(1000000007L)), col("vec_id"))
+      .limit(8192)
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+      .map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n == 0.0) v else v.map(_ / n)
+      }
+    // random (cluster-free) 64-dim data concentrates distances — the worst
+    // case for a product code — so the gate uses a 16x16 code (1 bit/dim)
+    // and leans on the shortlist (100 of 500 here; at real scale
+    // shortlist/corpus is ~1e-5 and the corpus has actual structure for
+    // the codebooks to exploit)
+    val cb = Similarity.pqTrain(training, m = 16, k = 16, iters = 5)
+    val pq = Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, cb, shortlist = 100).collect()
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("c_id"))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val exact = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5).collect()
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("c_id"))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val recalls = exact.map { case (q, ids) =>
+      pq.getOrElse(q, Set.empty).intersect(ids).size.toDouble / ids.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"PQ recall@5 regressed: $mean (per-query: $recalls)")
   }
 
   test("int8-quantized search keeps top-5 recall >= 0.9 vs full-precision at sf0.01") {
