@@ -1154,6 +1154,28 @@ object SparkEntry {
         chunkTokens = 20, stride = 15)
       .orderBy(col("doc_id"), col("chunk_id"))
 
+  private def htmlExtract(s: SparkSession, dir: String): DataFrame = {
+    // documents.text is plain prose, so the query DERIVES a deterministic
+    // HTML wrapper per doc (identical construction in the SQL twin:
+    // script + style + comment + tags + entities) — the operator under
+    // test is the extraction, which must invert the wrap back to clean
+    // text. Pure map-side string kernels; at 100 TB of crawl HTML this
+    // whole query is a scan.
+    val docs = t(s, dir, "documents")
+    val idStr = col("doc_id").cast("string")
+    val html = concat(
+      lit("<html><head><style>p{color:red}</style>" +
+        "<script type=\"text/js\">var n = "), idStr,
+      lit(" &amp;&amp; 1;</script></head><body><!-- doc "), idStr,
+      lit(" --><h1>Doc "), idStr,
+      lit("</h1><p class=\"body\">"),
+      replace(col("text"), lit(" the "), lit(" &amp; ")),
+      lit("</p><br/></body></html>"))
+    TextAnalysis.extractHtml(
+        docs.select(col("doc_id"), html.as("html")), "doc_id", "html")
+      .orderBy(col("doc_id"))
+  }
+
   private def dupSpans(s: SparkSession, dir: String): DataFrame =
     // per-doc duplicated-span coverage — the audit stage of exact-substring
     // dedup: which fraction of a doc's 3-gram windows (positional, repeats
@@ -1253,6 +1275,7 @@ object SparkEntry {
     "d_lsh_incremental" -> (lshIncremental _),
     "d_dup_spans" -> (dupSpans _),
     "d_chunk_docs" -> (chunkDocs _),
+    "d_html_extract" -> (htmlExtract _),
     "d_corpus_clean" -> (corpusClean _))
 
   // shared fragments of the portable-minhash oracles (must mirror
@@ -2378,6 +2401,33 @@ object SparkEntry {
         | CAST(least(20, len(t) - s + 1) AS BIGINT) AS n_tokens,
         | array_to_string(list_slice(t, s, least(s + 19, len(t))), ' ') AS chunk_text
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    // HTML extraction twin: same deterministic wrapper construction, same
+    // RE2 grammar (TextAnalysis.scriptBlockPattern etc.) in the same
+    // strip/decode/collapse order
+    "d_html_extract" ->
+      """WITH h AS (SELECT doc_id,
+        |    '<html><head><style>p{color:red}</style><script type="text/js">var n = ' ||
+        |    CAST(doc_id AS VARCHAR) || ' &amp;&amp; 1;</script></head><body><!-- doc ' ||
+        |    CAST(doc_id AS VARCHAR) || ' --><h1>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |    '</h1><p class="body">' || replace(text, ' the ', ' &amp; ') ||
+        |    '</p><br/></body></html>' AS html
+        |  FROM documents),
+        |x AS (SELECT doc_id, html,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |          '(?i)<script[^>]*>[^<]*</script>', ' ', 'g'),
+        |          '(?i)<style[^>]*>[^<]*</style>', ' ', 'g'),
+        |          '<!--([^-]|-[^-]|--[^>])*-->', ' ', 'g'),
+        |          '<[^>]+>', ' ', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |        '&nbsp;', ' '), '&amp;', '&'),
+        |      '\s+', ' ', 'g')) AS text,
+        |    len(regexp_extract_all(html, '<[^>]+>')) AS n_tags
+        |  FROM h)
+        |SELECT doc_id, text, n_tags,
+        |  round((CAST(len(html) AS DOUBLE) - len(text)) / CAST(len(html) AS DOUBLE), 4) AS markup_ratio
+        |FROM x ORDER BY doc_id""".stripMargin,
     // the composed cleaning pipeline: quality gate -> lang = en -> exact
     // dedup among survivors (stage CTEs mirror d_quality_filter,
     // d_lang_predict, and the d_dedup_incremental fingerprint)

@@ -71,6 +71,41 @@ class UsageStatsSpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("htmlText strips blocks/tags, decodes entities, collapses whitespace") {
+    val cases = Seq(
+      (1L, "<p>hello <b>world</b></p>"),
+      // script body without '<' drops entirely (incl. attributes)
+      (2L, "a<script type=\"x\">var y = 1 && 2;</script>b"),
+      // style block, comment with inner dashes, self-closing tag
+      (3L, "<style>p{x:1}</style>x<!-- a - b -->y<br/>z"),
+      // entity order: &amp;lt; must yield literal '&lt;', not '<'
+      (4L, "1 &lt; 2 &amp;&amp; 3 &gt; 2; say &quot;hi&quot; &#39;now&#39;&nbsp;ok &amp;lt;"),
+      // whitespace runs (incl. newlines/tabs) collapse; outer trim
+      (5L, "  a\n\n\tb   c  "),
+      // documented RE2 limit: '<' INSIDE a script body ends the [^<]* run,
+      // so the tail survives until the tag strip eats the '<tags>' in it
+      (6L, "<script>if (a<b) x();</script>done"))
+      .toDF("doc_id", "html")
+    val out = cases.select(col("doc_id"),
+        TextAnalysis.htmlText(col("html")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "hello world")
+    assert(out(2L) == "a b")
+    assert(out(3L) == "x y z")
+    assert(out(4L) == "1 < 2 && 3 > 2; say \"hi\" 'now' ok &lt;")
+    assert(out(5L) == "a b c")
+    assert(out(6L) == "if (a done") // tail 'b) x();' eaten as a pseudo-tag
+  }
+
+  test("extractHtml reports tag count and markup ratio") {
+    val df = Seq((7L, "<p>ab</p>")).toDF("doc_id", "html")
+    val r = TextAnalysis.extractHtml(df, "doc_id", "html").collect().head
+    assert(r.getString(1) == "ab")
+    assert(r.getInt(2) == 2)
+    // 9 chars total, 2 visible -> (9-2)/9
+    assert(math.abs(r.getDouble(3) - math.round(7.0 / 9.0 * 1e4) / 1e4) < 1e-12)
+  }
+
   test("bigram LM familiarity: integer hits and mass against the top-K vocab") {
     val docs = Seq(
       (1L, "a b a b c"), // bigrams: "a b","b a","a b","b c"
