@@ -878,6 +878,17 @@ object SparkEntry {
         (lit(64) + pmod(col("n_chars") * 7, lit(512))).as("fake_height"))
       .orderBy(col("doc_id"))
 
+  private def gzipRoundtrip(s: SparkSession, dir: String): DataFrame =
+    // crawl-style ingestion: text → gzip payloads (the on-disk layout) →
+    // REAL JDK-Inflater decode back. The oracle is the identity: a decoded
+    // row must hash-match the original text, so a codec bug (charset,
+    // truncation, header) fails the gate. Both stages map-side — at 100 TB
+    // this is a scan; payload bytes never leave the executors.
+    graft.multimodal.Multimodal.gunzipText(
+        graft.multimodal.Multimodal.gzipColumn(
+          t(s, dir, "documents"), "doc_id", "text"))
+      .orderBy(col("media_id"))
+
   private def semiJoinActive(s: SparkSession, dir: String): DataFrame =
     // EXISTS semantics as a left-semi join: customers with >= 1 order in
     // 1997. Semi joins never duplicate the probe side, so only customer
@@ -1264,6 +1275,7 @@ object SparkEntry {
     "d_weighted_sample" -> (weightedSample _),
     "q_grouping_sets" -> (groupingSets _),
     "m_multimodal_meta" -> (multimodalMeta _),
+    "m_gzip_roundtrip" -> (gzipRoundtrip _),
     "m_multimodal_features" -> (multimodalFeatures _),
     "d_minhash_portable" -> (minhashPortable _),
     "d_lsh_portable_pairs" -> (lshPortablePairs _),
@@ -2066,6 +2078,12 @@ object SparkEntry {
         | 64 + n_chars % 512 AS fake_width,
         | 64 + (n_chars * 7) % 512 AS fake_height
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // gzip round-trip identity: the decoded text must equal the original
+    // byte for byte (the codec is the thing under test; DuckDB supplies
+    // the uncompressed truth)
+    "m_gzip_roundtrip" ->
+      """SELECT doc_id AS media_id, len(text) AS n_chars, text
+        |FROM documents ORDER BY media_id""".stripMargin,
     "q_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders

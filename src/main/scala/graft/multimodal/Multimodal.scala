@@ -657,6 +657,77 @@ object Multimodal {
       })
   }
 
+  // -------------------------------------------------------------------
+  // Compressed text payloads — crawl corpora (WARC members, CC dumps)
+  // arrive gzipped; the decode is a REAL codec via the JDK's built-in
+  // Inflater, no library needed. Same per-partition batching contract as
+  // the media decoders: payload bytes never leave the executors.
+  // -------------------------------------------------------------------
+
+  /** Deterministic gzip: the JDK writes a fixed header (MTIME=0, no name)
+    * and DEFLATE at the default level is input-deterministic, so equal
+    * text always yields equal bytes — round-trip queries hash-check.
+    */
+  def gzipBytes(data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(data.length / 2 + 32)
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(data); gz.close()
+    bos.toByteArray
+  }
+
+  /** Gunzip with a decompression-bomb cap; None on corrupt, truncated, or
+    * non-gzip payloads (magic-checked first — a plain-text payload is not
+    * an error worth an exception per row).
+    */
+  def gunzipBytes(bytes: Array[Byte], maxLen: Int = 1 << 26): Option[Array[Byte]] = {
+    if (bytes.length < 2 || bytes(0) != 0x1f.toByte || bytes(1) != 0x8b.toByte)
+      return None
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val out = new java.io.ByteArrayOutputStream(math.min(maxLen, bytes.length * 4))
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) {
+        if (out.size() + n > maxLen) return None // bomb cap
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      Some(out.toByteArray)
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** Compress a text column into gzip payloads: `(media_id, gz_len,
+    * payload)`. Map-side; simulates the on-disk layout a crawl pipeline
+    * ingests.
+    */
+  def gzipColumn(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val payload = gzipBytes(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (id, payload.length.toLong, payload)
+      }).toDF("media_id", "gz_len", "payload")
+  }
+
+  /** Decode gzip payloads back to text: `(media_id, n_chars, text)`.
+    * Corrupt or non-gzip payloads yield a null text (kept, so the caller
+    * can audit the failure rate instead of silently losing rows).
+    */
+  def gunzipText(payloads: DataFrame, maxLen: Int = 1 << 26): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val text = gunzipBytes(bytes, maxLen)
+          .map(b => new String(b, java.nio.charset.StandardCharsets.UTF_8))
+        (id, text.map(_.length.toLong).getOrElse(-1L), text.orNull)
+      }).toDF("media_id", "n_chars", "text")
+  }
+
   case class Frame(media_id: Long, frame_idx: Int, ts_ms: Long, payload: Array[Byte])
 
   /** Frame-sampling stub for video-like payloads: emit every `stride`-th

@@ -82,6 +82,33 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(r => r.getAs[Int]("width") >= 64 && r.getAs[Int]("width") < 576))
   }
 
+  test("gzip codec: round-trip, unicode, corrupt payloads, bomb cap") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    // byte-exact round trip, including empty and multi-byte UTF-8
+    for (s <- Seq("", "hello world", "café 中文 😀", "a" * 100000)) {
+      val got = Multimodal.gunzipBytes(Multimodal.gzipBytes(s.getBytes(UTF_8)))
+      assert(got.map(new String(_, UTF_8)).contains(s))
+    }
+    // deterministic bytes (fixed header, deterministic DEFLATE)
+    assert(Multimodal.gzipBytes("abc".getBytes(UTF_8)).toSeq ==
+      Multimodal.gzipBytes("abc".getBytes(UTF_8)).toSeq)
+    // non-gzip and truncated payloads -> None, not exceptions
+    assert(Multimodal.gunzipBytes("plain text".getBytes(UTF_8)).isEmpty)
+    assert(Multimodal.gunzipBytes(
+      Multimodal.gzipBytes("hello world hello".getBytes(UTF_8)).dropRight(6)).isEmpty)
+    // bomb cap: refuse to inflate past maxLen
+    assert(Multimodal.gunzipBytes(
+      Multimodal.gzipBytes(("x" * 10000).getBytes(UTF_8)), maxLen = 100).isEmpty)
+    // DataFrame plumbing: corrupt rows keep their id with null text
+    val payloads = Seq(
+      (1L, 10L, Multimodal.gzipBytes("ok".getBytes(UTF_8))),
+      (2L, 3L, "bad".getBytes(UTF_8)))
+      .toDF("media_id", "gz_len", "payload")
+    val out = Multimodal.gunzipText(payloads).orderBy("media_id").collect()
+    assert(out(0).getString(2) == "ok" && out(0).getLong(1) == 2L)
+    assert(out(1).isNullAt(2) && out(1).getLong(1) == -1L)
+  }
+
   test("real PPM decode: header, dimensions, luminance histogram") {
     // 2x2 P6: black, white, red, blue
     val header = "P6\n2 2\n255\n".getBytes("US-ASCII")
