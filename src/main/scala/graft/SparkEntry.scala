@@ -845,9 +845,11 @@ object SparkEntry {
     // (deterministic 8x8 RGB gradient seeded by doc_id, encoded with
     // correct CRCs), decoded by the pure-JVM zlib+filter path; every 89th
     // a REAL planted GIF (16-color palette, LZW-compressed), decoded by
-    // the pure-JVM LZW path; the rest are text bytes that fall through
-    // magic-byte dispatch to the stub. Payload construction is
-    // per-partition batched, same as decode.
+    // the pure-JVM LZW path; every 83rd a REAL planted baseline JPEG
+    // (16x8 gradient, Annex K tables), decoded by the pure-JVM Huffman+
+    // IDCT path; the rest are text bytes that fall through magic-byte
+    // dispatch to the stub. Payload construction is per-partition
+    // batched, same as decode.
     import s.implicits._
     val payloads = t(s, dir, "documents")
       .select(col("doc_id"), col("text")).as[(Long, String)]
@@ -860,6 +862,9 @@ object SparkEntry {
             val pal = Array.tabulate(16 * 3)(i => ((id * 37 + i * 17) % 256).toByte)
             val idxs = Array.tabulate(8 * 8)(i => (((id + i) * 13) % 16).toByte)
             graft.multimodal.Multimodal.encodeGif(8, 8, pal, idxs)
+          } else if (id % 83 == 0) {
+            val px = Array.tabulate(16 * 8 * 3)(i => ((id * 53 + i * 11) % 256).toByte)
+            graft.multimodal.Multimodal.encodeJpeg(16, 8, 3, px)
           } else text.getBytes("UTF-8")
         (id, bytes)
       }).toDF("media_id", "payload")

@@ -597,11 +597,46 @@ object Multimodal {
     * anything else (jpeg/mp3/... — the container has no codecs) →
     * [[decodeStub]].
     */
+  /** REAL decoder for baseline JPEGs — delegates to the pure-JVM [[Jpeg]]
+    * codec (T.81 sequential DCT: file-supplied DQT/DHT, restart markers,
+    * 1-2x sampling factors) and reports the same normalized 8-bin
+    * luminance histogram as the PPM/PNG/GIF paths (BT.601 integer
+    * weights; grayscale uses the gray value directly). Progressive /
+    * arithmetic / 12-bit streams return None and fall back to the stub.
+    */
+  def decodeJpeg(id: Long, bytes: Array[Byte]): Option[MediaMeta] =
+    Jpeg.decode(bytes).map { case (w, h, channels, px) =>
+      val hist = new Array[Float](8)
+      val n = w * h
+      var k = 0
+      while (k < n) {
+        val lum =
+          if (channels == 1) px(k) & 0xFF
+          else ((px(k * 3) & 0xFF) * 299 + (px(k * 3 + 1) & 0xFF) * 587 +
+            (px(k * 3 + 2) & 0xFF) * 114) / 1000
+        hist(math.min(7, lum * 8 / 256)) += 1f
+        k += 1
+      }
+      var q = 0; while (q < 8) { hist(q) /= n; q += 1 }
+      MediaMeta(id, bytes.length.toLong, "jpeg", w, h, channels, hist)
+    }
+
+  /** Encode pixels as a baseline JFIF JPEG (see [[Jpeg.encode]]). */
+  def encodeJpeg(width: Int, height: Int, channels: Int, pixels: Array[Byte],
+                 quality: Int = 90): Array[Byte] =
+    Jpeg.encode(width, height, channels, pixels, quality)
+
+  private def isJpegMagic(bytes: Array[Byte]): Boolean =
+    bytes.length >= 3 && (bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8 &&
+      (bytes(2) & 0xFF) == 0xFF
+
   def decodeAuto(id: Long, bytes: Array[Byte]): MediaMeta =
     if (bytes.length >= 2 && bytes(0) == 'P'.toByte && bytes(1) == '6'.toByte)
       decodePpm(id, bytes).getOrElse(decodeStub(id, bytes))
     else if (isPngMagic(bytes))
       decodePng(id, bytes).getOrElse(decodeStub(id, bytes))
+    else if (isJpegMagic(bytes))
+      decodeJpeg(id, bytes).getOrElse(decodeStub(id, bytes))
     else if (bytes.length >= 6 && bytes(0) == 'G'.toByte && bytes(1) == 'I'.toByte &&
       bytes(2) == 'F'.toByte && bytes(3) == '8'.toByte)
       decodeGif(id, bytes).getOrElse(decodeStub(id, bytes))

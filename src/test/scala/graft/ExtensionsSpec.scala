@@ -5,7 +5,7 @@ import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 import graft.functions.VectorFunctions
-import graft.multimodal.Multimodal
+import graft.multimodal.{Jpeg, Multimodal}
 import graft.operators.Similarity
 import graft.streaming.EventStream
 
@@ -80,6 +80,51 @@ class MultimodalSpec extends SparkSpec {
       rows(0).getAs[Int]("height") != rows(2).getAs[Int]("height"))
     // dims stay in the stub's declared envelope
     assert(rows.forall(r => r.getAs[Int]("width") >= 64 && r.getAs[Int]("width") < 576))
+  }
+
+  test("real JPEG codec: encode/decode round-trip within DCT tolerance") {
+    // flat-color block: DCT is exact on constants, so high-quality
+    // round-trip must land within rounding of the source
+    val flat = Array.fill(8 * 8 * 3)(0.toByte)
+    for (i <- 0 until 64) { flat(i * 3) = 200.toByte; flat(i * 3 + 1) = 100.toByte }
+    val dFlat = Jpeg.decode(Jpeg.encode(8, 8, 3, flat, quality = 95)).get
+    assert(dFlat._1 == 8 && dFlat._2 == 8 && dFlat._3 == 3)
+    for (i <- 0 until flat.length) {
+      val want = flat(i) & 0xFF; val got = dFlat._4(i) & 0xFF
+      assert(math.abs(want - got) <= 4, s"flat px $i: $want vs $got")
+    }
+    // gradient, non-multiple-of-8 dims (edge replication + crop)
+    val w = 13; val h = 10
+    val grad = Array.tabulate(w * h * 3)(i => ((i * 7) % 256).toByte)
+    val d = Jpeg.decode(Jpeg.encode(w, h, 3, grad, quality = 90)).get
+    assert(d._1 == w && d._2 == h && d._3 == 3)
+    val maxErr = grad.indices.map(i => math.abs((grad(i) & 0xFF) - (d._4(i) & 0xFF))).max
+    assert(maxErr <= 40, s"gradient max err $maxErr") // lossy, but sane
+    val meanErr = grad.indices.map(i =>
+      math.abs((grad(i) & 0xFF) - (d._4(i) & 0xFF))).sum.toDouble / grad.length
+    assert(meanErr <= 8.0, s"gradient mean err $meanErr")
+    // grayscale single-component path
+    val gray = Array.tabulate(16 * 8)(i => (i * 2).toByte)
+    val dg = Jpeg.decode(Jpeg.encode(16, 8, 1, gray, quality = 95)).get
+    assert(dg._1 == 16 && dg._2 == 8 && dg._3 == 1)
+    val gErr = gray.indices.map(i => math.abs((gray(i) & 0xFF) - (dg._4(i) & 0xFF))).max
+    assert(gErr <= 12, s"gray max err $gErr")
+    // determinism: equal input -> equal bytes
+    assert(Jpeg.encode(8, 8, 3, flat).toSeq == Jpeg.encode(8, 8, 3, flat).toSeq)
+    // rejects: not a JPEG, truncated entropy stream, progressive SOF2
+    assert(Jpeg.decode("nope".getBytes("US-ASCII")).isEmpty)
+    val enc = Jpeg.encode(8, 8, 3, flat)
+    assert(Jpeg.decode(enc.dropRight(enc.length / 3)).isEmpty)
+    val prog = enc.clone()
+    // flip the SOF0 marker byte (FF C0 -> FF C2) wherever it occurs
+    for (i <- 0 until prog.length - 1
+         if (prog(i) & 0xFF) == 0xFF && (prog(i + 1) & 0xFF) == 0xC0)
+      prog(i + 1) = 0xC2.toByte
+    assert(Jpeg.decode(prog).isEmpty)
+    // decodeAuto dispatch + histogram features
+    val meta = Multimodal.decodeAuto(5L, enc)
+    assert(meta.format == "jpeg" && meta.width == 8 && meta.height == 8)
+    assert(math.abs(meta.features.sum - 1.0f) < 1e-4)
   }
 
   test("gzip codec: round-trip, unicode, corrupt payloads, bomb cap") {
