@@ -736,6 +736,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming gzip + HTML extraction equals its batch twin on sf0.01") {
+    // crawl-intake shape: gzipped HTML payloads arrive on a stream and run
+    // decode → extract incrementally; the SAME one-logical-definition
+    // pipeline run as a batch job must produce the identical result set
+    implicit val sqlCtx = spark.sqlContext
+    import graft.multimodal.Multimodal
+    import graft.operators.TextAnalysis
+    val docs = Tables(spark, "/root/testdata/sf0.01", "documents")
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), concat(lit("<p class=\"b\">"), col("text"),
+        lit(" &amp; tail</p><!-- trail -->")).as("html"))
+    def pipeline(payloads: org.apache.spark.sql.DataFrame) =
+      Multimodal.gunzipText(payloads)
+        .select(col("media_id"), TextAnalysis.htmlText(col("text")).as("clean"))
+    val packed = Multimodal.gzipColumn(docs, "doc_id", "html")
+      .as[(Long, Long, Array[Byte])].collect()
+    val mem = MemoryStream[(Long, Long, Array[Byte])]
+    val q = pipeline(mem.toDF().toDF("media_id", "gz_len", "payload"))
+      .writeStream.format("memory").queryName("gzhtml_eq")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      packed.grouped(70).foreach { c => mem.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+      val streamed = spark.table("gzhtml_eq").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toSet
+      val batch = pipeline(Multimodal.gzipColumn(docs, "doc_id", "html"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toSet
+      assert(batch.size == 200 && batch.forall(_._2.endsWith("& tail")))
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming decontamination equals the batch complement on sf0.01") {
     // same split as the d_decontaminate oracle query: every 100th doc is
     // the eval set. Streamed survivors must equal corpus minus the docs

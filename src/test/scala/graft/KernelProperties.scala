@@ -143,6 +143,35 @@ object KernelProperties extends Properties("kernels") {
             d.width == 8000 && d.features.forall(f => f >= 0f && f <= 1.0001f))
     }
 
+  property("jpeg codec: dims exact, round-trip error bounded, truncation rejected") =
+    forAll(Gen.choose(1, 20), Gen.choose(1, 20), Gen.oneOf(1, 3),
+      Gen.chooseNum(0, 255), Gen.chooseNum(1, 17)) { (w, h, channels, base, step) =>
+      // smooth gradient content (worst-case random noise is not what a
+      // quality-90 bound should be judged on; noise is covered by the
+      // dedicated spec's mean-error gate)
+      val px = Array.tabulate(w * h * channels)(i => ((base + i / step) % 256).toByte)
+      val enc = graft.multimodal.Jpeg.encode(w, h, channels, px, quality = 95)
+      val dec = graft.multimodal.Jpeg.decode(enc)
+      val truncated = graft.multimodal.Jpeg.decode(enc.dropRight(math.max(4, enc.length / 4)))
+      dec.exists { case (dw, dh, dc, out) =>
+        dw == w && dh == h && dc == channels && out.length == px.length &&
+          px.indices.forall(i => math.abs((px(i) & 0xFF) - (out(i) & 0xFF)) <= 48)
+      } && truncated.isEmpty
+    }
+
+  property("gzip codec: byte-exact round trip, corrupt tails rejected") =
+    forAll(Gen.listOf(Gen.chooseNum(0, 255)), Gen.choose(1, 8)) { (data0, cut) =>
+      val data = data0.map(_.toByte).toArray
+      val gz = graft.multimodal.Multimodal.gzipBytes(data)
+      val rt = graft.multimodal.Multimodal.gunzipBytes(gz)
+      // dropping bytes must never yield a WRONG answer: either reject or
+      // (never) the exact original — the CRC trailer makes partial
+      // streams detectable
+      val cutRes = graft.multimodal.Multimodal.gunzipBytes(gz.dropRight(cut))
+      rt.exists(_.sameElements(data)) &&
+        (cutRes.isEmpty || cutRes.exists(_.sameElements(data)))
+    }
+
   property("kmeansLocal: k preserved, spherical centroids unit-norm, empty input = init") =
     forAll(Gen.choose(1, 4), Gen.choose(2, 5),
       Gen.listOf(Gen.listOfN(3, Gen.chooseNum(-5.0, 5.0)))) { (k, iters, pts0) =>
