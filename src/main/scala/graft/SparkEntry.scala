@@ -821,6 +821,30 @@ object SparkEntry {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  private def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    // IVF-PQ composition, PORTABLE spelling: coarse codebook = the 8 first
+    // unit vectors, PQ codebooks = sub-vectors of the 16 first (both rules
+    // DuckDB reproduces), so coarse assign → probe pruning → ADC shortlist
+    // → exact re-rank is hash-checked end to end. The trained path
+    // (kmeansLocal coarse + pqTrain codes) is gated by RecallSpec.
+    val emb = t(s, dir, "embeddings")
+    val seeds = emb.filter(col("vec_id") < 16).orderBy(col("vec_id"))
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val unitSeeds = seeds.map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    val sub = unitSeeds.head.size / 8
+    val codebooks = (0 until 8).map(s0 =>
+      unitSeeds.map(_.slice(s0 * sub, (s0 + 1) * sub)))
+    Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, coarse = unitSeeds.take(8), codebooks,
+        nprobe = 3, shortlist = 50)
+      .withColumnRenamed("rank", "rnk")
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   private def embedQuantized(s: SparkSession, dir: String): DataFrame = {
     // int8 scalar quantization round-trip: per vector, the scale, the code
     // sum, and the reconstruction L2 error — every step IEEE-deterministic
@@ -1263,6 +1287,7 @@ object SparkEntry {
     "s_ann_bruteforce" -> (annBruteForce _),
     "s_ann_ivf" -> (annIvf _),
     "s_ann_pq" -> (annPq _),
+    "s_ann_ivfpq" -> (annIvfPq _),
     "s_embed_neardup" -> (embedNearDup _),
     "s_embed_neardup_bucketed" -> (embedNearDupBucketed _),
     "s_embed_neardup_lsh" -> (embedNearDupLsh _),
@@ -1970,6 +1995,64 @@ object SparkEntry {
         |        FROM code JOIN qlut ON qlut.s = code.s AND qlut.cid = code.code
         |        WHERE code.vec_id <> qlut.q_id
         |        GROUP BY qlut.q_id, code.vec_id),
+        |short AS (SELECT q_id, c_id FROM (
+        |            SELECT q_id, c_id,
+        |              row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS srank
+        |            FROM adc) WHERE srank <= 50),
+        |rer AS (SELECT short.q_id, short.c_id,
+        |          list_dot_product(q.v, c.v) /
+        |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+        |        FROM short JOIN u q ON q.vec_id = short.q_id
+        |                   JOIN u c ON c.vec_id = short.c_id),
+        |r AS (SELECT q_id, c_id, sim,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
+        |      FROM rer)
+        |SELECT q_id, c_id, rnk, round(sim, 4) AS sim FROM r
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    // IVF-PQ twin: the PQ CTE chain plus coarse assignment (8 unit seeds)
+    // and nprobe=3 probe pruning before the ADC join
+    "s_ann_ivfpq" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |u AS (SELECT vec_id, v,
+        |        CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN v
+        |             ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v))) END AS vu
+        |      FROM e),
+        |sub AS (SELECT s FROM generate_series(0, 7) AS t(s)),
+        |cent AS (SELECT c.vec_id AS cid, sub.s, c.vu[sub.s*8 + 1 : sub.s*8 + 8] AS cv
+        |         FROM u c, sub WHERE c.vec_id < 16),
+        |sv AS (SELECT u.vec_id, sub.s, u.vu[sub.s*8 + 1 : sub.s*8 + 8] AS sv FROM u, sub),
+        |dist AS (SELECT sv.vec_id, sv.s, cent.cid,
+        |           list_sum(list_transform(range(1, 9),
+        |             i -> (sv.sv[i] - cent.cv[i]) * (sv.sv[i] - cent.cv[i]))) AS d
+        |         FROM sv JOIN cent ON sv.s = cent.s),
+        |code AS (SELECT vec_id, s, cid AS code FROM (
+        |           SELECT vec_id, s, cid,
+        |             row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cid) AS rn
+        |           FROM dist) WHERE rn = 1),
+        |qlut AS (SELECT q.vec_id AS q_id, dist.s, dist.cid, dist.d AS pd
+        |         FROM dist JOIN u q ON dist.vec_id = q.vec_id WHERE q.vec_id < 10),
+        |cu AS (SELECT vec_id AS ccid, vu AS cvu FROM u WHERE vec_id < 8),
+        |cd AS (SELECT u.vec_id, cu.ccid,
+        |         list_sum(list_transform(range(1, 65),
+        |           i -> (u.vu[i] - cu.cvu[i]) * (u.vu[i] - cu.cvu[i]))) AS d
+        |       FROM u, cu),
+        |assign AS (SELECT vec_id, ccid FROM (
+        |             SELECT vec_id, ccid,
+        |               row_number() OVER (PARTITION BY vec_id ORDER BY d, ccid) AS rn
+        |             FROM cd) WHERE rn = 1),
+        |qprobe AS (SELECT vec_id AS q_id, ccid FROM (
+        |             SELECT vec_id, ccid,
+        |               row_number() OVER (PARTITION BY vec_id ORDER BY d, ccid) AS rn
+        |             FROM cd WHERE vec_id < 10) WHERE rn <= 3),
+        |adc AS (SELECT qprobe.q_id, code.vec_id AS c_id,
+        |          list_sum(list(qlut.pd ORDER BY qlut.s)) AS adc
+        |        FROM code
+        |        JOIN assign ON assign.vec_id = code.vec_id
+        |        JOIN qprobe ON qprobe.ccid = assign.ccid
+        |        JOIN qlut ON qlut.s = code.s AND qlut.cid = code.code
+        |                 AND qlut.q_id = qprobe.q_id
+        |        WHERE code.vec_id <> qprobe.q_id
+        |        GROUP BY qprobe.q_id, code.vec_id),
         |short AS (SELECT q_id, c_id FROM (
         |            SELECT q_id, c_id,
         |              row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS srank

@@ -466,6 +466,78 @@ object Similarity {
     * (identical code tuples ⇒ bit-identical sums) and cosine ties break by
     * candidate id. Returns (q_id, c_id, rank, sim) like [[bruteForceTopK]].
     */
+  /** IVF-PQ: coarse-bucket pruning composed with ADC scoring — the
+    * standard big-corpus ANN pairing. Every corpus vector gets a coarse
+    * centroid id (map-side, [[assignCentroids]] on unit vectors) AND an
+    * m-code PQ signature; a query probes only its `nprobe` nearest coarse
+    * buckets and ADC-scores just those rows' codes. At 100 TB the coarse
+    * id doubles as the physical partition key, so a probe reads
+    * ~nprobe/C of the data and each row read costs m byte-lookups — the
+    * scan cost multiplies both savings. Codes quantize the RAW unit
+    * vectors (not residuals): one shared codebook set keeps the chain
+    * deterministic and engine-portable; the exact re-rank absorbs the
+    * accuracy gap the same way it does for [[pqTopK]].
+    *
+    * Returns (q_id, c_id, rank, sim); recall gated by `RecallSpec`.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, coarse: Seq[Seq[Double]],
+                codebooks: Seq[Seq[Seq[Double]]], nprobe: Int = 3,
+                shortlist: Int = 50): DataFrame = {
+    import graft.functions.VectorFunctions.{dot_product, l2_squared, vector_norm}
+    val m = codebooks.size
+    val sub = codebooks.head.head.size
+    // stored index: id + coarse bucket + PQ codes (assign on unit vectors:
+    // L2-nearest among unit vectors is cosine-nearest)
+    val unitCorpus = normalized(
+      corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__c_unit")),
+      "__c_unit")
+    val coarseIds = assignCentroids(unitCorpus, "__c_unit", coarse)
+      .select(col(idCol).as("c_id"), col("centroid_id"))
+    val index = pqEncode(corpus, idCol, vecCol, codebooks)
+      .select(col(idCol).as("c_id"), col("pq_codes"))
+      .join(coarseIds, "c_id")
+    // broadcast side: probe list + ADC lookup tables + raw vector
+    val q = normalized(
+      queries.select(col(idCol).as("q_id"),
+        col(vecCol).cast("array<double>").as("q_vec"),
+        col(vecCol).cast("array<double>").as("__q_unit")),
+      "__q_unit")
+    val qdists = array(coarse.map(c =>
+      l2_squared(col("__q_unit"), array(c.map(lit): _*))): _*)
+    val probes = slice(transform(array_sort(
+      zip_with(qdists, sequence(lit(0), lit(coarse.size - 1)),
+        (d, i) => struct(d.as("d"), i.as("i")))),
+      s => s.getField("i")), 1, nprobe)
+    val lut = array((0 until m).map { s =>
+      val qs = slice(col("__q_unit"), s * sub + 1, sub)
+      array(codebooks(s).map(c =>
+        l2_squared(qs, array(c.map(lit): _*))): _*)
+    }: _*)
+    val qb = q.withColumn("probe_ids", probes).withColumn("q_lut", lut)
+      .drop("__q_unit")
+    val adc = (0 until m).map(s =>
+      element_at(element_at(col("q_lut"), s + 1),
+        element_at(col("pq_codes"), s + 1) + 1)).reduce(_ + _)
+    val scored = index.join(broadcast(qb),
+        array_contains(col("probe_ids"), col("centroid_id")) &&
+          col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"), adc.as("adc"), col("q_vec"))
+    val wShort = Window.partitionBy(col("q_id")).orderBy(asc("adc"), asc("c_id"))
+    val short = scored.withColumn("srank", row_number().over(wShort))
+      .filter(col("srank") <= shortlist)
+      .select(col("q_id"), col("c_id"), col("q_vec"))
+    val cv = corpus.select(col(idCol).as("c_id"),
+      col(vecCol).cast("array<double>").as("c_vec"))
+    val rer = cv.join(broadcast(short), Seq("c_id"))
+      .withColumn("sim", try_divide(dot_product(col("q_vec"), col("c_vec")),
+        vector_norm(col("q_vec")) * vector_norm(col("c_vec"))))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("c_id"))
+    rer.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("rank"), round(col("sim"), 4).as("sim"))
+  }
+
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, k: Int, codebooks: Seq[Seq[Seq[Double]]],
              shortlist: Int = 50): DataFrame = {

@@ -977,6 +977,18 @@ class SimilaritySpec extends SparkSpec {
     assert(codes(1) == Seq(1, 0), s"got ${codes(1)}")
   }
 
+  test("ivfPqTopK with all buckets probed and full shortlist equals brute-force") {
+    val cb = Similarity.pqTrain(
+      Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0)), m = 1, k = 2)
+    val coarse = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0), Seq(0.0, 0.0, 1.0))
+    val exact = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val got = Similarity.ivfPqTopK(vecs, vecs, "vec_id", "embedding", k = 2,
+        coarse, cb, nprobe = 3, shortlist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == exact, s"got=$got exact=$exact")
+  }
+
   test("pqTopK with full shortlist equals brute-force exactly") {
     // the re-rank is exact cosine, so an un-truncating shortlist must make
     // PQ degrade to the exact answer — a strong end-to-end identity that
@@ -1051,6 +1063,47 @@ class RecallSpec extends SparkSpec {
     }
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.9, s"PQ recall@5 regressed: $mean (per-query: $recalls)")
+  }
+
+  test("IVF-PQ (trained coarse + trained codes) recall@5 >= 0.9 at sf0.01") {
+    assume(new java.io.File(dir).isDirectory)
+    import org.apache.spark.sql.functions._
+    val emb = Tables(spark, dir, "embeddings")
+    val raw = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .orderBy(pmod(xxhash64(col("vec_id")), lit(1000000007L)), col("vec_id"))
+      .limit(8192)
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val unit = raw.map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    val coarse = Similarity.kmeansLocal(unit, unit.take(8), iters = 5,
+      spherical = true)
+    val cb = Similarity.pqTrain(unit, m = 16, k = 16, iters = 5)
+    // cluster-free random vectors scatter true neighbors across coarse
+    // buckets AND defeat the product code — the compounded worst case
+    // (measured here: nprobe 5/8 + shortlist 150 = 0.78, nprobe 6/8 =
+    // 0.86), so the >= 0.9 gate runs near-exhaustive knobs (7/8 buckets,
+    // 200-of-500 shortlist) and pins the PLUMBING: assignment, probe
+    // pruning, ADC join, re-rank. On structured corpora nprobe/C and
+    // shortlist/corpus run orders of magnitude tighter — that trade is
+    // the portable-twin query's job to keep deterministic, not this
+    // gate's to tune
+    val got = Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, coarse, cb,
+        nprobe = 7, shortlist = 200).collect()
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("c_id"))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val exact = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5).collect()
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("c_id"))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val recalls = exact.map { case (q, ids) =>
+      got.getOrElse(q, Set.empty).intersect(ids).size.toDouble / ids.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"IVF-PQ recall@5 regressed: $mean (per-query: $recalls)")
   }
 
   test("int8-quantized search keeps top-5 recall >= 0.9 vs full-precision at sf0.01") {
