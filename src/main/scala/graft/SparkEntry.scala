@@ -1216,6 +1216,26 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  private def linkRank(s: SparkSession, dir: String): DataFrame = {
+    // link-based corpus ranking on a DERIVED deterministic link graph
+    // (documents carry no links, so each doc links to three modular
+    // neighbors — the same rule in the SQL twin; what's under test is the
+    // fixed-point PageRank iterate, which is integer-exact cross-engine).
+    // N reaches the edge builder as a broadcast 1-row frame — the same
+    // benign pattern as d_tfidf_terms' corpus total.
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val cnt = docs.agg(count(lit(1)).as("n"))
+    val edges = docs.crossJoin(broadcast(cnt))
+      .select(col("doc_id").as("src"), explode(array(
+        pmod(col("doc_id") + 17, col("n")),
+        pmod(col("doc_id") + 101, col("n")),
+        pmod(col("doc_id") * 3 + 7, col("n")))).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    LinkRank.pageRank(edges, iters = 4)
+      .orderBy(col("node"))
+  }
+
   private def dupSpans(s: SparkSession, dir: String): DataFrame =
     // per-doc duplicated-span coverage — the audit stage of exact-substring
     // dedup: which fraction of a doc's 3-gram windows (positional, repeats
@@ -1318,6 +1338,7 @@ object SparkEntry {
     "d_dup_spans" -> (dupSpans _),
     "d_chunk_docs" -> (chunkDocs _),
     "d_html_extract" -> (htmlExtract _),
+    "d_link_rank" -> (linkRank _),
     "d_corpus_clean" -> (corpusClean _))
 
   // shared fragments of the portable-minhash oracles (must mirror
@@ -2507,6 +2528,36 @@ object SparkEntry {
         | CAST(least(20, len(t) - s + 1) AS BIGINT) AS n_tokens,
         | array_to_string(list_slice(t, s, least(s + 19, len(t))), ' ') AS chunk_text
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    // fixed-point PageRank twin: same derived modular link graph, four
+    // chained iterations in integer arithmetic (order-independent BIGINT
+    // sums, floor division) — bit-exact cross-engine
+    "d_link_rank" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |e0 AS (SELECT doc_id AS src, (doc_id + 17) % nn.n AS dst FROM documents, nn
+        |       UNION ALL SELECT doc_id, (doc_id + 101) % nn.n FROM documents, nn
+        |       UNION ALL SELECT doc_id, (doc_id * 3 + 7) % nn.n FROM documents, nn),
+        |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+        |nodes AS (SELECT DISTINCT node FROM
+        |            (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_fp FROM nodes),
+        |c1 AS (SELECT e.dst AS node, SUM(r0.rank_fp // od.outdeg) AS s
+        |       FROM e JOIN r0 ON r0.node = e.src JOIN od ON od.src = e.src GROUP BY e.dst),
+        |r1 AS (SELECT nodes.node, (15000000 + 85 * coalesce(c1.s, 0)) // 100 AS rank_fp
+        |       FROM nodes LEFT JOIN c1 ON c1.node = nodes.node),
+        |c2 AS (SELECT e.dst AS node, SUM(r1.rank_fp // od.outdeg) AS s
+        |       FROM e JOIN r1 ON r1.node = e.src JOIN od ON od.src = e.src GROUP BY e.dst),
+        |r2 AS (SELECT nodes.node, (15000000 + 85 * coalesce(c2.s, 0)) // 100 AS rank_fp
+        |       FROM nodes LEFT JOIN c2 ON c2.node = nodes.node),
+        |c3 AS (SELECT e.dst AS node, SUM(r2.rank_fp // od.outdeg) AS s
+        |       FROM e JOIN r2 ON r2.node = e.src JOIN od ON od.src = e.src GROUP BY e.dst),
+        |r3 AS (SELECT nodes.node, (15000000 + 85 * coalesce(c3.s, 0)) // 100 AS rank_fp
+        |       FROM nodes LEFT JOIN c3 ON c3.node = nodes.node),
+        |c4 AS (SELECT e.dst AS node, SUM(r3.rank_fp // od.outdeg) AS s
+        |       FROM e JOIN r3 ON r3.node = e.src JOIN od ON od.src = e.src GROUP BY e.dst),
+        |r4 AS (SELECT nodes.node, (15000000 + 85 * coalesce(c4.s, 0)) // 100 AS rank_fp
+        |       FROM nodes LEFT JOIN c4 ON c4.node = nodes.node)
+        |SELECT node, rank_fp FROM r4 ORDER BY node""".stripMargin,
     // HTML extraction twin: same deterministic wrapper construction, same
     // RE2 grammar (TextAnalysis.scriptBlockPattern etc.) in the same
     // strip/decode/collapse order

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-based corpus ranking — the PageRank-family signal web-corpus
+  * curation uses to pick which pages are worth keeping (harmonic/centrality
+  * filtering in Common-Crawl-scale pipelines).
+  *
+  * Computed in FIXED-POINT INTEGER arithmetic on purpose: float PageRank is
+  * never bit-reproducible across engines (per-group summation order), but
+  * scaled-BIGINT ranks with floor division make every iteration an
+  * order-independent integer sum — the whole iterate is hash-checkable
+  * against any SQL engine, the same determinism discipline as the md5
+  * sampling/split operators.
+  *
+  * Scale shape: each iteration is one join of the edge list against the
+  * current ranks (both keyed by src — co-partitioned if the edge table is
+  * bucketed by src at ingest, see [[Layout.writeBucketed]]) plus one
+  * partial-aggregable groupBy(dst). No driver-side state; lineage is
+  * truncated per round like the connected-components iterate. Dangling
+  * mass (nodes with no out-edges) is dropped rather than redistributed —
+  * documented, deterministic, and the common choice for ranking (only
+  * relative order matters).
+  *
+  * Reference behavior: odpf/meteor has no graph operators; this supports
+  * the training-data-pipeline mandate (corpus quality signals).
+  */
+object LinkRank {
+
+  /** Iterate PageRank over `edges(src, dst)` (longs, self-loops allowed
+    * but pointless). Returns `(node, rank_fp)` where rank_fp is the rank
+    * scaled by `scale` (init = 1.0 ⇒ `scale`; damping 0.85 in integer
+    * form: next = (15·scale + 85·Σ floor(rank/outdeg)) div 100).
+    */
+  def pageRank(edges: DataFrame, iters: Int = 4,
+               scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && scale > 0)
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val withDeg = e.join(outdeg, "src")
+    var ranks = nodes.select(col("node"), lit(scale).as("rank_fp"))
+    for (_ <- 0 until iters) {
+      val contrib = withDeg.join(ranks, withDeg("src") === ranks("node"))
+        .select(col("dst").as("node"), expr("rank_fp div outdeg").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("s"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          expr(s"(${15L * scale} + 85 * coalesce(s, 0L)) div 100").as("rank_fp"))
+        .localCheckpoint(eager = false) // truncate the per-round lineage
+    }
+    ranks
+  }
+}

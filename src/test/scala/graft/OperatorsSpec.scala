@@ -1199,6 +1199,33 @@ class RecallSpec extends SparkSpec {
   }
 }
 
+class LinkRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fixed-point PageRank matches the hand-computed iterate") {
+    // 1→2, 2→1, 3→1: node 1 concentrates rank, node 3 has no in-links
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    def run(iters: Int): Map[Long, Long] =
+      LinkRank.pageRank(edges, iters, scale = 100L).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // iter 1: r1 = (15*100 + 85*(100+100)) div 100 = 185; r2 = 100; r3 = 15
+    assert(run(1) == Map(1L -> 185L, 2L -> 100L, 3L -> 15L))
+    // iter 2: r1 = (1500 + 85*(100+15)) div 100 = 112
+    //         r2 = (1500 + 85*185) div 100 = 172; r3 stays at teleport 15
+    assert(run(2) == Map(1L -> 112L, 2L -> 172L, 3L -> 15L))
+  }
+
+  test("PageRank drops dangling mass deterministically") {
+    // 1→2 only: node 2 never passes its rank on (no out-edges)
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val r = LinkRank.pageRank(edges, iters = 3, scale = 100L).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // node 1 receives only teleport after iter 1; node 2 = 15 + 0.85*r1
+    assert(r(1L) == 15L)
+    assert(r(2L) == (1500L + 85L * 15L) / 100L)
+  }
+}
+
 class SessionizeSpec extends SparkSpec {
   import spark.implicits._
 
