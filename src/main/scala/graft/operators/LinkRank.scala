@@ -38,10 +38,14 @@ object LinkRank {
     require(iters >= 1 && scale > 0)
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // materialize the degree-annotated edge list and node set ONCE (the CC
+    // iterate's pattern): every round joins against them, and without the
+    // checkpoint each round re-runs the scan + distinct + degree groupBy
+    val withDeg = e.join(outdeg, "src").localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val withDeg = e.join(outdeg, "src")
+      .localCheckpoint()
     var ranks = nodes.select(col("node"), lit(scale).as("rank_fp"))
     for (_ <- 0 until iters) {
       val contrib = withDeg.join(ranks, withDeg("src") === ranks("node"))
