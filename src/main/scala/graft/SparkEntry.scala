@@ -899,6 +899,61 @@ object SparkEntry {
       .orderBy(col("media_id"))
   }
 
+  private def mediaResize(s: SparkSession, dir: String): DataFrame = {
+    // every doc carries a REAL planted PNG whose dimensions vary with
+    // doc_id (4..16 x 4..14 — exercising all three aspect-fit branches:
+    // already-fits, width-limited, height-limited), thumbnailed to fit
+    // 8x8 and RE-DECODED from the emitted PNG bytes: the graded row
+    // proves decode -> nearest-neighbor resample -> PNG encode -> decode
+    // round-trips on every row, while the oracle pins the integer fit
+    // geometry (Multimodal.fitWithin's exact formula). Pixel-level
+    // resample correctness is pinned by ResizeSpec (exhaustive nearest-
+    // neighbor identities); pixels aren't SQL-expressible.
+    import s.implicits._
+    val payloads = t(s, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 4 + (id % 13).toInt; val h = 4 + ((id / 7) % 11).toInt
+        val px = Array.tabulate(w * h * 3)(i => ((id * 131 + i * 7) % 256).toByte)
+        (id, graft.multimodal.Multimodal.encodePng(w, h, 3, px))
+      }).toDF("media_id", "payload")
+    graft.multimodal.Multimodal.resize(payloads, 8, 8)
+      .map { r =>
+        val img = graft.multimodal.Multimodal.decodePixels(r.payload).get
+        (r.media_id, img.width, img.height)
+      }.toDF("media_id", "out_w", "out_h")
+      .select(col("media_id"),
+        (lit(4) + pmod(col("media_id"), lit(13))).cast("int").as("src_w"),
+        (lit(4) + pmod(expr("media_id div 7"), lit(11))).cast("int").as("src_h"),
+        col("out_w"), col("out_h"))
+      .orderBy(col("media_id"))
+  }
+
+  private def frameSampleAudio(s: SparkSession, dir: String): DataFrame = {
+    // every doc carries a REAL planted PCM WAV (mono 8 kHz, 40-76 frames,
+    // samples from an integer formula), frame-sampled at k=3 and
+    // RE-DECODED from the emitted WAV bytes; pcm_sum (order-independent
+    // integer sum of the KEPT samples) pins the exact sample content
+    // cross-engine, not just the geometry — the oracle recomputes it
+    // from the planting formula over range(0, frames, 3).
+    import s.implicits._
+    val payloads = t(s, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val frames = 40 + (id % 37).toInt
+        val samples = Array.tabulate[Short](frames)(i =>
+          (((id * 7 + i * 13) % 65536) - 32768).toShort)
+        (id, graft.multimodal.Multimodal.encodeWav(8000, 1, samples))
+      }).toDF("media_id", "payload")
+    graft.multimodal.Multimodal.decimateFrames(payloads, 3)
+      .map { m =>
+        val (rate, _, frames, sum) =
+          graft.multimodal.Multimodal.pcmSummary(m.payload).get
+        (m.media_id, m.src_frames, frames, rate, sum)
+      }.toDF("media_id", "src_frames", "frames", "rate", "pcm_sum")
+      .orderBy(col("media_id"))
+  }
+
   private def multimodalMeta(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"),
@@ -1326,6 +1381,8 @@ object SparkEntry {
     "q_grouping_sets" -> (groupingSets _),
     "m_multimodal_meta" -> (multimodalMeta _),
     "m_gzip_roundtrip" -> (gzipRoundtrip _),
+    "m_media_resize" -> (mediaResize _),
+    "m_frame_sample" -> (frameSampleAudio _),
     "m_multimodal_features" -> (multimodalFeatures _),
     "d_minhash_portable" -> (minhashPortable _),
     "d_lsh_portable_pairs" -> (lshPortablePairs _),
@@ -2193,6 +2250,34 @@ object SparkEntry {
     "m_gzip_roundtrip" ->
       """SELECT doc_id AS media_id, len(text) AS n_chars, text
         |FROM documents ORDER BY media_id""".stripMargin,
+    // resize twin: the planted PNG dimensions and Multimodal.fitWithin's
+    // integer aspect-fit formula (never upscale; floor division on the
+    // non-limiting axis, min 1; width-limited when w*maxH >= h*maxW)
+    "m_media_resize" ->
+      """WITH g AS (SELECT doc_id,
+        |   CAST(4 + doc_id % 13 AS INT) AS src_w,
+        |   CAST(4 + (doc_id // 7) % 11 AS INT) AS src_h FROM documents)
+        |SELECT doc_id AS media_id, src_w, src_h,
+        |  CAST(CASE WHEN src_w <= 8 AND src_h <= 8 THEN src_w
+        |            WHEN src_w >= src_h THEN 8
+        |            ELSE greatest(1, (src_w * 8) // src_h) END AS INT) AS out_w,
+        |  CAST(CASE WHEN src_w <= 8 AND src_h <= 8 THEN src_h
+        |            WHEN src_w >= src_h THEN greatest(1, (src_h * 8) // src_w)
+        |            ELSE 8 END AS INT) AS out_h
+        |FROM g ORDER BY media_id""".stripMargin,
+    // frame-sample twin: planted WAV geometry (40 + id%37 mono frames,
+    // 8 kHz) decimated at k=3 — kept frames ceil(n/3), rate 8000//3, and
+    // the exact integer sum of the kept samples recomputed from the
+    // planting formula over range(0, frames, 3)
+    "m_frame_sample" ->
+      """SELECT d.doc_id AS media_id,
+        |  CAST(40 + d.doc_id % 37 AS INT) AS src_frames,
+        |  CAST((40 + d.doc_id % 37 + 2) // 3 AS INT) AS frames,
+        |  2666 AS rate,
+        |  CAST((SELECT sum((d.doc_id * 7 + t.i * 13) % 65536 - 32768)
+        |        FROM (SELECT unnest(range(0, 40 + d.doc_id % 37, 3)) AS i) t)
+        |    AS BIGINT) AS pcm_sum
+        |FROM documents d ORDER BY media_id""".stripMargin,
     "q_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders

@@ -34,6 +34,14 @@ object Multimodal {
       channels: Int,
       features: Array[Float])
 
+  /** A decoded raster: packed row-major `width*height*channels` bytes
+    * (gray=1, gray+alpha=2, RGB=3, RGBA=4). The common currency between
+    * the pixel decoders ([[decodePpmPixels]], [[decodePngPixels]]) and
+    * the pixel transforms ([[resizeNearest]], [[encodePng]]).
+    */
+  case class PixelImage(width: Int, height: Int, channels: Int,
+                        pixels: Array[Byte])
+
   /** Attach a binary payload column (here: utf8 text bytes stand in for an
     * image/audio blob).
     */
@@ -74,6 +82,33 @@ object Multimodal {
     * PPMs are rare enough to not pretend.
     */
   def decodePpm(id: Long, bytes: Array[Byte]): Option[MediaMeta] = {
+    val (w, h, maxv, i) = ppmHeader(bytes) match {
+      case Some(t) => t
+      case None => return None
+    }
+    try {
+      val hist = new Array[Float](8)
+      val n = w * h
+      var p = i; var k = 0
+      while (k < n) {
+        val lum = ((bytes(p) & 0xFF) * 299 + (bytes(p + 1) & 0xFF) * 587 +
+          (bytes(p + 2) & 0xFF) * 114) / 1000
+        hist(math.min(7, lum * 8 / (maxv + 1))) += 1f
+        p += 3; k += 1
+      }
+      var q = 0; while (q < 8) { hist(q) /= n; q += 1 }
+      Some(MediaMeta(id, bytes.length.toLong, "ppm", w, h, 3, hist))
+    } catch {
+      // decode NEVER kills a task — malformed headers fall back to the stub
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
+  /** Parse a P6 header: returns (width, height, maxval, raster offset), or
+    * None when malformed / raster truncated. Shared by the histogram and
+    * pixel decode paths.
+    */
+  private def ppmHeader(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] = {
     var i = 0
     def skipWs(): Unit = {
       var done = false
@@ -95,22 +130,28 @@ object Multimodal {
       i += 1 // exactly one whitespace byte separates header from raster
       if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255 ||
         bytes.length - i < w.toLong * h * 3) return None
-      val hist = new Array[Float](8)
-      val n = w * h
-      var p = i; var k = 0
-      while (k < n) {
-        val lum = ((bytes(p) & 0xFF) * 299 + (bytes(p + 1) & 0xFF) * 587 +
-          (bytes(p + 2) & 0xFF) * 114) / 1000
-        hist(math.min(7, lum * 8 / (maxv + 1))) += 1f
-        p += 3; k += 1
-      }
-      var q = 0; while (q < 8) { hist(q) /= n; q += 1 }
-      Some(MediaMeta(id, bytes.length.toLong, "ppm", w, h, 3, hist))
+      Some((w, h, maxv, i))
     } catch {
-      // decode NEVER kills a task — malformed headers fall back to the stub
       case scala.util.control.NonFatal(_) => None
     }
   }
+
+  /** P6 raster as packed RGB pixels, values normalized to 0-255 when the
+    * header declares maxval < 255 (integer `v * 255 / maxv`).
+    */
+  def decodePpmPixels(bytes: Array[Byte]): Option[PixelImage] =
+    ppmHeader(bytes).map { case (w, h, maxv, off) =>
+      val n = w * h * 3
+      val px =
+        if (maxv == 255) java.util.Arrays.copyOfRange(bytes, off, off + n)
+        else {
+          val out = new Array[Byte](n)
+          var k = 0
+          while (k < n) { out(k) = ((bytes(off + k) & 0xFF) * 255 / maxv).toByte; k += 1 }
+          out
+        }
+      PixelImage(w, h, 3, px)
+    }
 
   /** REAL decoder for PNG images — pure JVM, no codec library: chunk walk
     * (IHDR/IDAT/IEND), zlib inflate via `java.util.zip.Inflater` (the JDK
@@ -125,6 +166,47 @@ object Multimodal {
     * falls back to the stub rather than pretending.
     */
   def decodePng(id: Long, bytes: Array[Byte]): Option[MediaMeta] = try {
+    val r = pngRaster(bytes) match {
+      case Some(x) => x
+      case None => return None
+    }
+    val w = r.w; val h = r.h; val colorType = r.colorType; val bpp = r.bpp
+    val palette = r.palette; val img = r.img
+    val hist = new Array[Float](8)
+    val n = w * h
+    val nColors = if (palette == null) 0 else palette.length / 3
+    var p = 0; var k = 0
+    while (k < n) {
+      val lum = colorType match {
+        case 0 | 4 => img(p) & 0xFF // grayscale (+alpha): luminance IS the gray value
+        case 3 =>
+          val idx = img(p) & 0xFF
+          if (idx >= nColors) return None // index past PLTE: corrupt
+          ((palette(idx * 3) & 0xFF) * 299 + (palette(idx * 3 + 1) & 0xFF) * 587 +
+            (palette(idx * 3 + 2) & 0xFF) * 114) / 1000
+        case _ => ((img(p) & 0xFF) * 299 + (img(p + 1) & 0xFF) * 587 +
+          (img(p + 2) & 0xFF) * 114) / 1000
+      }
+      hist(math.min(7, lum * 8 / 256)) += 1f
+      p += bpp; k += 1
+    }
+    var q = 0; while (q < 8) { hist(q) /= n; q += 1 }
+    // palette images decode to RGB colors: report 3 channels
+    val outChannels = if (colorType == 3) 3 else bpp
+    Some(MediaMeta(id, bytes.length.toLong, "png", w, h, outChannels, hist))
+  } catch {
+    // decode NEVER kills a task — malformed input falls back to the stub
+    case scala.util.control.NonFatal(_) => None
+  }
+
+  /** Unfiltered PNG raster: `img` is the post-filter byte plane (palette
+    * indices for color type 3, packed samples otherwise). Shared core of
+    * [[decodePng]] and [[decodePngPixels]].
+    */
+  private case class PngRaster(w: Int, h: Int, colorType: Int, bpp: Int,
+                               palette: Array[Byte], img: Array[Byte])
+
+  private def pngRaster(bytes: Array[Byte]): Option[PngRaster] = try {
     if (bytes.length < 33 || !isPngMagic(bytes)) return None
     def u32(o: Int): Long =
       ((bytes(o) & 0xFFL) << 24) | ((bytes(o + 1) & 0xFFL) << 16) |
@@ -219,32 +301,38 @@ object Multimodal {
       }
       y += 1
     }
-    val hist = new Array[Float](8)
-    val n = w * h
-    val nColors = if (palette == null) 0 else palette.length / 3
-    var p = 0; var k = 0
-    while (k < n) {
-      val lum = colorType match {
-        case 0 | 4 => img(p) & 0xFF // grayscale (+alpha): luminance IS the gray value
-        case 3 =>
-          val idx = img(p) & 0xFF
-          if (idx >= nColors) return None // index past PLTE: corrupt
-          ((palette(idx * 3) & 0xFF) * 299 + (palette(idx * 3 + 1) & 0xFF) * 587 +
-            (palette(idx * 3 + 2) & 0xFF) * 114) / 1000
-        case _ => ((img(p) & 0xFF) * 299 + (img(p + 1) & 0xFF) * 587 +
-          (img(p + 2) & 0xFF) * 114) / 1000
-      }
-      hist(math.min(7, lum * 8 / 256)) += 1f
-      p += bpp; k += 1
-    }
-    var q = 0; while (q < 8) { hist(q) /= n; q += 1 }
-    // palette images decode to RGB colors: report 3 channels
-    val outChannels = if (colorType == 3) 3 else bpp
-    Some(MediaMeta(id, bytes.length.toLong, "png", w, h, outChannels, hist))
+    Some(PngRaster(w, h, colorType, bpp, palette, img))
   } catch {
     // decode NEVER kills a task — malformed input falls back to the stub
     case scala.util.control.NonFatal(_) => None
   }
+
+  /** PNG as packed pixels: palette images resolve through PLTE to RGB
+    * (channels=3), everything else keeps its sample layout (gray=1,
+    * gray+alpha=2, RGB=3, RGBA=4). Same format support and rejection
+    * rules as [[decodePng]].
+    */
+  def decodePngPixels(bytes: Array[Byte]): Option[PixelImage] =
+    pngRaster(bytes).flatMap { r =>
+      if (r.colorType == 3) {
+        val nColors = if (r.palette == null) 0 else r.palette.length / 3
+        val n = r.w * r.h
+        val out = new Array[Byte](n * 3)
+        var k = 0
+        var ok = true
+        while (ok && k < n) {
+          val idx = r.img(k) & 0xFF
+          if (idx >= nColors) ok = false // index past PLTE: corrupt
+          else {
+            out(k * 3) = r.palette(idx * 3)
+            out(k * 3 + 1) = r.palette(idx * 3 + 1)
+            out(k * 3 + 2) = r.palette(idx * 3 + 2)
+            k += 1
+          }
+        }
+        if (ok) Some(PixelImage(r.w, r.h, 3, out)) else None
+      } else Some(PixelImage(r.w, r.h, r.bpp, r.img))
+    }
 
   private val pngMagic: Array[Byte] =
     Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
@@ -548,7 +636,11 @@ object Multimodal {
     out.toByteArray
   }
 
-  def decodeWav(id: Long, bytes: Array[Byte]): Option[MediaMeta] = try {
+  /** PCM WAV header walk: (rate, channels, data offset, frame count), or
+    * None when not a decodable 16-bit PCM RIFF/WAVE. Shared by the RMS
+    * feature path and the frame-sampling transform.
+    */
+  private def wavInfo(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] = try {
     if (bytes.length < 44) return None
     def u16(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
     def u32(o: Int): Long = u16(o).toLong | (u16(o + 2).toLong << 16)
@@ -570,10 +662,23 @@ object Multimodal {
       } else if (id4 == "data") { dataOff = o.toInt + 8; dataLen = len }
       o += 8 + len + (len & 1) // chunks are 2-byte aligned
     }
-    if (channels <= 0 || bits != 16 || dataOff < 0 || rate <= 0) return None
+    if (channels <= 0 || bits != 16 || dataOff < 0 || rate <= 0 ||
+      rate > Int.MaxValue) return None
     val nSamp = math.min(dataLen, (bytes.length - dataOff).toLong).toInt / 2
     val frames = nSamp / channels
     if (frames == 0) return None
+    Some((rate.toInt, channels, dataOff, frames))
+  } catch {
+    case scala.util.control.NonFatal(_) => None
+  }
+
+  def decodeWav(id: Long, bytes: Array[Byte]): Option[MediaMeta] = try {
+    val (rate, channels, dataOff, frames) = wavInfo(bytes) match {
+      case Some(t) => t
+      case None => return None
+    }
+    def u16(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+    val nSamp = frames * channels
     val sumSq = new Array[Double](8)
     val counts = new Array[Int](8)
     var s = 0
@@ -585,18 +690,113 @@ object Multimodal {
     }
     val feats = Array.tabulate(8)(q =>
       if (counts(q) == 0) 0f else math.sqrt(sumSq(q) / counts(q)).toFloat)
-    Some(MediaMeta(id, bytes.length.toLong, "wav", rate.toInt, frames, channels, feats))
+    Some(MediaMeta(id, bytes.length.toLong, "wav", rate, frames, channels, feats))
   } catch {
     // decode NEVER kills a task: any malformed input falls through to the
     // caller's stub path
     case scala.util.control.NonFatal(_) => None
   }
 
-  /** Magic-byte dispatch: P6 raster → [[decodePpm]], PNG signature →
-    * [[decodePng]], RIFF/WAVE → [[decodeWav]] (all REAL, pure-JVM),
-    * anything else (jpeg/mp3/... — the container has no codecs) →
-    * [[decodeStub]].
+  /** Minimal PCM WAV ENCODER: canonical 44-byte header (fmt + data, 16-bit
+    * little-endian). Deterministic byte-for-byte — equal samples always
+    * yield equal files, so frame-sampled outputs hash-check. Decodes under
+    * [[decodeWav]] and any external WAV tool.
     */
+  def encodeWav(rate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    require(rate > 0 && channels > 0, s"rate=$rate channels=$channels")
+    require(samples.length % channels == 0,
+      s"samples=${samples.length} not a multiple of channels=$channels")
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    def w16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xFF).toByte; out(o + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    def w32(o: Int, v: Long): Unit = { w16(o, (v & 0xFFFF).toInt); w16(o + 2, ((v >> 16) & 0xFFFF).toInt) }
+    def tag(o: Int, s: String): Unit = {
+      val b = s.getBytes("US-ASCII"); System.arraycopy(b, 0, out, o, 4)
+    }
+    tag(0, "RIFF"); w32(4, 36L + dataLen); tag(8, "WAVE")
+    tag(12, "fmt "); w32(16, 16L); w16(20, 1); w16(22, channels)
+    w32(24, rate.toLong); w32(28, rate.toLong * channels * 2)
+    w16(32, channels * 2); w16(34, 16)
+    tag(36, "data"); w32(40, dataLen.toLong)
+    var s = 0
+    while (s < samples.length) { w16(44 + 2 * s, samples(s) & 0xFFFF); s += 1 }
+    out
+  }
+
+  /** Frame-sample a PCM WAV: keep every `k`-th frame (all channels of it),
+    * re-encode with rate divided by `k` (floor, min 1) — straight integer
+    * decimation, deterministic; a production resampler would low-pass
+    * first, but anti-alias filters are float and engine-specific, and a
+    * frame-sampling pass for training data wants reproducibility. Returns
+    * (source frames, kept frames, output rate, output wav bytes); None
+    * when the payload is not decodable PCM.
+    */
+  def sampleWavFrames(bytes: Array[Byte], k: Int): Option[(Int, Int, Int, Array[Byte])] = {
+    require(k >= 1, s"k=$k")
+    wavInfo(bytes).map { case (rate, channels, dataOff, frames) =>
+      def u16(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+      val outFrames = (frames + k - 1) / k
+      val kept = new Array[Short](outFrames * channels)
+      var f = 0; var w = 0
+      while (f < frames) {
+        var c = 0
+        while (c < channels) {
+          kept(w) = u16(dataOff + 2 * (f * channels + c)).toShort
+          w += 1; c += 1
+        }
+        f += k
+      }
+      val outRate = math.max(1, rate / k)
+      (frames, outFrames, outRate, encodeWav(outRate, channels, kept))
+    }
+  }
+
+  /** PCM content summary for pinning re-encoded audio: (rate, channels,
+    * frames, sum of ALL samples as Long). The sum is an order-independent
+    * integer — SQL-expressible, so a frame-sampled WAV's exact sample
+    * content is oracle-checkable, not just its geometry.
+    */
+  def pcmSummary(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] =
+    wavInfo(bytes).map { case (rate, channels, dataOff, frames) =>
+      def u16(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+      var sum = 0L
+      var s = 0
+      val n = frames * channels
+      while (s < n) { sum += u16(dataOff + 2 * s).toShort; s += 1 }
+      (rate, channels, frames, sum)
+    }
+
+  case class SampledMedia(media_id: Long, format: String, src_frames: Int,
+                          frames: Int, rate: Int, payload: Array[Byte])
+
+  /** Batched audio frame-decimation pass (the one-to-one sibling of the
+    * video-chunk [[sampleFrames]]): PCM WAV payloads are REALLY decimated
+    * ([[sampleWavFrames]], `format="wav"`); opaque payloads keep a
+    * deterministic byte stub (every `k`-th byte, `format="bin"`, rate 0,
+    * each byte counted as a frame). Map-side only — payload bytes never
+    * leave the executors, partition count preserved.
+    */
+  def decimateFrames(payloads: DataFrame, k: Int): Dataset[SampledMedia] = {
+    require(k >= 1, s"k=$k")
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        sampleWavFrames(bytes, k) match {
+          case Some((srcFrames, outFrames, outRate, wav)) =>
+            SampledMedia(id, "wav", srcFrames, outFrames, outRate, wav)
+          case None =>
+            val kept = new Array[Byte]((bytes.length + k - 1) / k)
+            var i = 0
+            while (i < kept.length) { kept(i) = bytes(i * k); i += 1 }
+            SampledMedia(id, "bin", bytes.length, kept.length, 0, kept)
+        }
+      })
+  }
+
   /** REAL decoder for baseline JPEGs — delegates to the pure-JVM [[Jpeg]]
     * codec (T.81 sequential DCT: file-supplied DQT/DHT, restart markers,
     * 1-2x sampling factors) and reports the same normalized 8-bin
@@ -665,17 +865,75 @@ object Multimodal {
     decode(withPayload(df, idCol, textCol)).toDF()
 
   // -------------------------------------------------------------------
-  // Transform stubs: resize and frame-sample. The pixel/codec work is
-  // faked (deterministic byte transforms); the Spark-side contracts —
-  // schemas, per-partition batching, payload-stays-on-executor — are real.
+  // Pixel transforms: resize and frame-sample. REAL for the decodable
+  // formats (PPM/PNG pixels resampled and re-encoded as PNG; WAV frames
+  // decimated and re-encoded as WAV); opaque payloads fall back to a
+  // deterministic byte stub. The Spark-side contracts — schemas,
+  // per-partition batching, payload-stays-on-executor — are identical on
+  // both paths.
   // -------------------------------------------------------------------
 
-  case class ResizedMedia(media_id: Long, width: Int, height: Int, payload: Array[Byte])
+  /** Pixel decode dispatch: P6 → [[decodePpmPixels]], PNG signature →
+    * [[decodePngPixels]], JPEG → the [[Jpeg]] codec's pixel output; None
+    * for formats without a pixel path (the histogram-only GIF decoder,
+    * audio, opaque bytes).
+    */
+  def decodePixels(bytes: Array[Byte]): Option[PixelImage] =
+    if (bytes.length >= 2 && bytes(0) == 'P'.toByte && bytes(1) == '6'.toByte)
+      decodePpmPixels(bytes)
+    else if (isPngMagic(bytes)) decodePngPixels(bytes)
+    else if (isJpegMagic(bytes))
+      Jpeg.decode(bytes).map { case (w, h, c, px) => PixelImage(w, h, c, px) }
+    else None
 
-  /** Resize stub: clamps declared dimensions and derives a proportionally
-    * truncated payload (a real impl swaps `resizeStub` for an image
-    * library call; everything else is unchanged). Payload bytes never
-    * leave the executors — all derived columns are map-side.
+  /** Nearest-neighbor resample: out(y,x) = in(floor(y·H/th), floor(x·W/tw)).
+    * Pure integer source mapping — deterministic across engines and
+    * platforms (no float rounding), channel count preserved. The right
+    * default for training-data thumbnails where throughput beats
+    * interpolation quality; a bilinear kernel would slot in here without
+    * touching any caller.
+    */
+  def resizeNearest(img: PixelImage, tw: Int, th: Int): PixelImage = {
+    require(tw >= 1 && th >= 1, s"target ${tw}x$th")
+    val ch = img.channels
+    val out = new Array[Byte](tw * th * ch)
+    var y = 0
+    while (y < th) {
+      val sy = (y.toLong * img.height / th).toInt
+      var x = 0
+      while (x < tw) {
+        val sx = (x.toLong * img.width / tw).toInt
+        val src = (sy * img.width + sx) * ch
+        val dst = (y * tw + x) * ch
+        var c = 0
+        while (c < ch) { out(dst + c) = img.pixels(src + c); c += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    PixelImage(tw, th, ch, out)
+  }
+
+  /** Aspect-preserving fit of (w, h) inside (maxW, maxH), never upscaling.
+    * Pure integer arithmetic (floor division on the non-limiting axis,
+    * min 1) so the output geometry is exactly reproducible in any SQL
+    * engine — the resize oracle pins this formula.
+    */
+  def fitWithin(w: Int, h: Int, maxW: Int, maxH: Int): (Int, Int) =
+    if (w <= maxW && h <= maxH) (w, h)
+    else if (w.toLong * maxH >= h.toLong * maxW)
+      (maxW, math.max(1, (h.toLong * maxW / w).toInt))
+    else (math.max(1, (w.toLong * maxH / h).toInt), maxH)
+
+  case class ResizedMedia(media_id: Long, format: String,
+                          width: Int, height: Int, payload: Array[Byte])
+
+  /** Batched thumbnail pass: decodable images (PPM/PNG) are REALLY
+    * resampled ([[resizeNearest]] after [[fitWithin]]) and re-encoded as
+    * PNG (`format="png"`); opaque payloads keep the deterministic stub
+    * (clamped fake dimensions, truncated bytes, `format="bin"`). Payload
+    * bytes never leave the executors — all derived columns are map-side,
+    * partition count preserved.
     */
   def resize(payloads: DataFrame, maxW: Int, maxH: Int): Dataset[ResizedMedia] = {
     val spark = payloads.sparkSession
@@ -683,12 +941,23 @@ object Multimodal {
     payloads.select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        val meta = decodeStub(id, bytes)
-        val scale = math.min(1.0,
-          math.min(maxW.toDouble / meta.width, maxH.toDouble / meta.height))
-        val newLen = math.max(1, (bytes.length * scale * scale).toInt)
-        ResizedMedia(id, (meta.width * scale).toInt, (meta.height * scale).toInt,
-          java.util.Arrays.copyOf(bytes, math.min(newLen, bytes.length)))
+        decodePixels(bytes) match {
+          case Some(img) =>
+            val (tw, th) = fitWithin(img.width, img.height, maxW, maxH)
+            val small =
+              if (tw == img.width && th == img.height) img
+              else resizeNearest(img, tw, th)
+            ResizedMedia(id, "png", tw, th,
+              encodePng(tw, th, small.channels, small.pixels))
+          case None =>
+            val meta = decodeStub(id, bytes)
+            val scale = math.min(1.0,
+              math.min(maxW.toDouble / meta.width, maxH.toDouble / meta.height))
+            val newLen = math.max(1, (bytes.length * scale * scale).toInt)
+            ResizedMedia(id, "bin",
+              (meta.width * scale).toInt, (meta.height * scale).toInt,
+              java.util.Arrays.copyOf(bytes, math.min(newLen, bytes.length)))
+        }
       })
   }
 

@@ -368,6 +368,149 @@ class MultimodalSpec extends SparkSpec {
   }
 }
 
+class ResizeSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.multimodal.Multimodal
+
+  test("nearest-neighbor resample picks exact source pixels") {
+    // 4x4 grayscale ramp 0..15; 2x2 nearest picks (0,0),(0,2),(2,0),(2,2)
+    val px = Array.tabulate(16)(_.toByte)
+    val img = Multimodal.PixelImage(4, 4, 1, px)
+    assert(Multimodal.resizeNearest(img, 2, 2).pixels.toSeq == Seq[Byte](0, 2, 8, 10))
+    // identity target returns the same pixels
+    assert(Multimodal.resizeNearest(img, 4, 4).pixels.toSeq == px.toSeq)
+    // upscale duplicates source pixels deterministically: 2x2 -> 4x4
+    val small = Multimodal.PixelImage(2, 2, 1, Array[Byte](1, 2, 3, 4))
+    assert(Multimodal.resizeNearest(small, 4, 4).pixels.toSeq ==
+      Seq[Byte](1, 1, 2, 2, 1, 1, 2, 2, 3, 3, 4, 4, 3, 3, 4, 4))
+  }
+
+  test("fitWithin never upscales and floors the non-limiting axis") {
+    assert(Multimodal.fitWithin(4, 4, 8, 8) == ((4, 4)))    // already fits
+    assert(Multimodal.fitWithin(16, 4, 8, 8) == ((8, 2)))   // width-limited
+    assert(Multimodal.fitWithin(4, 16, 8, 8) == ((2, 8)))   // height-limited
+    assert(Multimodal.fitWithin(1000, 1, 8, 8) == ((8, 1))) // min-1 floor
+    assert(Multimodal.fitWithin(9, 9, 8, 8) == ((8, 8)))    // square: width branch
+  }
+
+  test("resize really resamples decodable payloads and re-encodes PNG") {
+    // 4x4 RGB PPM with distinct per-pixel colors; fit 2x2 picks pixels
+    // (0,0),(0,2),(2,0),(2,2) — all three channels of each
+    val srcPx = Array.tabulate(4 * 4 * 3)(i => (i * 5 + 1).toByte)
+    val ppm = "P6\n4 4\n255\n".getBytes("US-ASCII") ++ srcPx
+    // RGBA PNG 2x2: already fits 2x2 (no-op fast path, re-encode only)
+    val rgbaPx = Array.tabulate(2 * 2 * 4)(i => (100 + i).toByte)
+    val rgba = Multimodal.encodePng(2, 2, 4, rgbaPx)
+    val txt = "just text".getBytes("UTF-8")
+    val df = Seq((1L, ppm), (2L, rgba), (3L, txt)).toDF("media_id", "payload")
+    val rows = Multimodal.resize(df, 2, 2).collect().sortBy(_.media_id)
+
+    assert(rows(0).format == "png" && rows(0).width == 2 && rows(0).height == 2)
+    val out0 = Multimodal.decodePixels(rows(0).payload).get
+    assert(out0.channels == 3)
+    def px3(r: Int, c: Int): Seq[Byte] =
+      (0 until 3).map(ch => srcPx((r * 4 + c) * 3 + ch))
+    assert(out0.pixels.toSeq == (px3(0, 0) ++ px3(0, 2) ++ px3(2, 0) ++ px3(2, 2)))
+
+    // fits already: dimensions and pixels unchanged, 4 channels preserved
+    assert(rows(1).format == "png" && rows(1).width == 2 && rows(1).height == 2)
+    val out1 = Multimodal.decodePixels(rows(1).payload).get
+    assert(out1.channels == 4 && out1.pixels.toSeq == rgbaPx.toSeq)
+
+    // opaque payload falls back to the stub, honestly labeled
+    assert(rows(2).format == "bin")
+
+    // RGBA downscale to 1x1: keeps pixel (0,0), all 4 channels
+    val one = Multimodal.resize(Seq((4L, rgba)).toDF("media_id", "payload"), 1, 1)
+      .collect()(0)
+    assert(one.width == 1 && one.height == 1)
+    assert(Multimodal.decodePixels(one.payload).get.pixels.toSeq ==
+      rgbaPx.take(4).toSeq)
+  }
+
+  test("palette PNG pixels resolve through PLTE to RGB") {
+    // hand-crafted colorType-3 PNG, 2x1: indices 0,1 resolve through
+    // PLTE to (10,20,30), (40,50,60)
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >>> 24) & 0xFF).toByte, ((v >>> 16) & 0xFF).toByte,
+      ((v >>> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val body = typ.getBytes("US-ASCII") ++ data
+      val c = new java.util.zip.CRC32(); c.update(body)
+      be32(data.length.toLong) ++ body ++ be32(c.getValue)
+    }
+    val raw = Array[Byte](0, 0, 1) // filter 0, then indices 0, 1
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val buf = new Array[Byte](64)
+    val z = new java.io.ByteArrayOutputStream()
+    while (!defl.finished()) z.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val png =
+      Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte) ++
+        chunk("IHDR", be32(2) ++ be32(1) ++
+          Array[Byte](8, 3, 0, 0, 0)) ++ // depth 8, colorType 3 (palette)
+        chunk("PLTE", Array[Byte](10, 20, 30, 40, 50, 60)) ++
+        chunk("IDAT", z.toByteArray) ++
+        chunk("IEND", Array.emptyByteArray)
+    val resolved = Multimodal.decodePngPixels(png).get
+    assert(resolved.width == 2 && resolved.height == 1 && resolved.channels == 3)
+    assert(resolved.pixels.toSeq == Seq[Byte](10, 20, 30, 40, 50, 60))
+    // and the resize path carries palette images end to end
+    val row = Multimodal.resize(Seq((9L, png)).toDF("media_id", "payload"), 1, 1)
+      .collect()(0)
+    assert(row.format == "png" && row.width == 1 && row.height == 1)
+    assert(Multimodal.decodePixels(row.payload).get.pixels.toSeq ==
+      Seq[Byte](10, 20, 30))
+  }
+}
+
+class FrameSampleSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.multimodal.Multimodal
+
+  test("WAV encode/decode round-trip with exact pcm summary") {
+    val samples = Array.tabulate[Short](10)(i => (i * 1000 - 4000).toShort)
+    val wav = Multimodal.encodeWav(8000, 2, samples)
+    val meta = Multimodal.decodeWav(1L, wav).get
+    assert(meta.format == "wav" && meta.width == 8000 &&
+      meta.height == 5 && meta.channels == 2)
+    val (rate, ch, frames, sum) = Multimodal.pcmSummary(wav).get
+    assert((rate, ch, frames) == ((8000, 2, 5)))
+    assert(sum == samples.map(_.toLong).sum)
+  }
+
+  test("frame decimation keeps every k-th frame exactly") {
+    // stereo: frames are sample PAIRS; k=2 keeps frames 0,2,4 ->
+    // flat samples 0,1,4,5,8,9
+    val samples = Array.tabulate[Short](12)(_.toShort) // 6 frames x 2ch
+    val wav = Multimodal.encodeWav(44100, 2, samples)
+    val (src, out, rate, sampled) = Multimodal.sampleWavFrames(wav, 2).get
+    assert(src == 6 && out == 3 && rate == 22050)
+    val (_, _, decFrames, decSum) = Multimodal.pcmSummary(sampled).get
+    assert(decFrames == 3 && decSum == Seq(0, 1, 4, 5, 8, 9).sum)
+    // k=1 reproduces the canonical file byte-for-byte
+    val (_, o1, r1, same) = Multimodal.sampleWavFrames(wav, 1).get
+    assert(o1 == 6 && r1 == 44100 && same.toSeq == wav.toSeq)
+    // ceil on a frame count k does not divide: 7 frames at k=3 -> 0,3,6
+    val w2 = Multimodal.encodeWav(8000, 1, Array.tabulate[Short](7)(_.toShort))
+    val (s2, o2, _, sampled2) = Multimodal.sampleWavFrames(w2, 3).get
+    assert(s2 == 7 && o2 == 3)
+    assert(Multimodal.pcmSummary(sampled2).get._4 == 0L + 3 + 6)
+  }
+
+  test("decimateFrames dispatches wav vs opaque byte stub") {
+    val wav = Multimodal.encodeWav(8000, 1, Array.tabulate[Short](9)(_.toShort))
+    val txt = "abcdefghij".getBytes("UTF-8")
+    val df = Seq((1L, wav), (2L, txt)).toDF("media_id", "payload")
+    val rows = Multimodal.decimateFrames(df, 3).collect().sortBy(_.media_id)
+    assert(rows(0).format == "wav" && rows(0).src_frames == 9 &&
+      rows(0).frames == 3 && rows(0).rate == 2666)
+    assert(rows(1).format == "bin" && rows(1).src_frames == 10 && rows(1).frames == 4)
+    assert(rows(1).payload.toSeq == "adgj".getBytes("UTF-8").toSeq)
+  }
+}
+
 class ShingleKernelSpec extends SparkSpec {
   import spark.implicits._
   import graft.operators.TextAnalysis
