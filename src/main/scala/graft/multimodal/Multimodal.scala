@@ -414,6 +414,40 @@ object Multimodal {
     * anything malformed (caller falls back to the stub).
     */
   def decodeGif(id: Long, bytes: Array[Byte]): Option[MediaMeta] = try {
+    val r = gifRaster(bytes) match {
+      case Some(x) => x
+      case None => return None
+    }
+    // histogram through the color table
+    val table = r.table; val idx = r.idx
+    val nColors = table.length / 3
+    val hist = new Array[Float](8)
+    var k = 0
+    while (k < idx.length) {
+      val ci = idx(k) & 0xFF
+      if (ci >= nColors) return None
+      val lum = ((table(ci * 3) & 0xFF) * 299 +
+        (table(ci * 3 + 1) & 0xFF) * 587 +
+        (table(ci * 3 + 2) & 0xFF) * 114) / 1000
+      hist(math.min(7, lum * 8 / 256)) += 1f
+      k += 1
+    }
+    var q = 0; while (q < 8) { hist(q) /= idx.length; q += 1 }
+    Some(MediaMeta(id, bytes.length.toLong, "gif", r.screenW, r.screenH, 3, hist))
+  } catch {
+    // decode NEVER kills a task — malformed input falls back to the stub
+    case scala.util.control.NonFatal(_) => None
+  }
+
+  /** First-frame GIF raster: color `table` (local-else-global) plus the
+    * LZW-decoded `idx` plane of the `frameW`x`frameH` frame. Shared core
+    * of [[decodeGif]] and [[decodeGifPixels]].
+    */
+  private case class GifRaster(screenW: Int, screenH: Int, frameW: Int,
+                               frameH: Int, interlaced: Boolean,
+                               table: Array[Byte], idx: Array[Byte])
+
+  private def gifRaster(bytes: Array[Byte]): Option[GifRaster] = try {
     if (bytes.length < 13) return None
     val hdr = new String(bytes, 0, 6, "US-ASCII")
     if (hdr != "GIF87a" && hdr != "GIF89a") return None
@@ -464,21 +498,7 @@ object Multimodal {
           }
           val idx = lzwDecode(data.toByteArray, minCode, nPix.toInt)
             .getOrElse(return None)
-          // histogram through the color table
-          val nColors = table.length / 3
-          val hist = new Array[Float](8)
-          var k = 0
-          while (k < idx.length) {
-            val ci = idx(k) & 0xFF
-            if (ci >= nColors) return None
-            val lum = ((table(ci * 3) & 0xFF) * 299 +
-              (table(ci * 3 + 1) & 0xFF) * 587 +
-              (table(ci * 3 + 2) & 0xFF) * 114) / 1000
-            hist(math.min(7, lum * 8 / 256)) += 1f
-            k += 1
-          }
-          var q = 0; while (q < 8) { hist(q) /= idx.length; q += 1 }
-          return Some(MediaMeta(id, bytes.length.toLong, "gif", sw, sh, 3, hist))
+          return Some(GifRaster(sw, sh, fw, fh, (packed & 0x40) != 0, table, idx))
         case _ => return None
       }
     }
@@ -486,6 +506,47 @@ object Multimodal {
   } catch {
     case scala.util.control.NonFatal(_) => None
   }
+
+  /** First GIF frame as packed RGB pixels (frame dimensions, not the
+    * logical screen), indices resolved through the local-else-global
+    * color table; interlaced frames are reordered into scan order (the
+    * histogram path can ignore interlacing, a pixel consumer cannot).
+    */
+  def decodeGifPixels(bytes: Array[Byte]): Option[PixelImage] =
+    gifRaster(bytes).flatMap { r =>
+      val fw = r.frameW; val fh = r.frameH
+      // undo 4-pass interlacing: stored rows map to 0,8,16.. / 4,12,..
+      // / 2,6,.. / 1,3,.. of the displayed frame
+      val idx =
+        if (!r.interlaced) r.idx
+        else {
+          val out = new Array[Byte](r.idx.length)
+          var src = 0
+          for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+            var y = start
+            while (y < fh) {
+              System.arraycopy(r.idx, src * fw, out, y * fw, fw)
+              src += 1; y += step
+            }
+          }
+          out
+        }
+      val nColors = r.table.length / 3
+      val out = new Array[Byte](fw * fh * 3)
+      var k = 0
+      var ok = true
+      while (ok && k < idx.length) {
+        val ci = idx(k) & 0xFF
+        if (ci >= nColors) ok = false // index past the color table: corrupt
+        else {
+          out(k * 3) = r.table(ci * 3)
+          out(k * 3 + 1) = r.table(ci * 3 + 1)
+          out(k * 3 + 2) = r.table(ci * 3 + 2)
+          k += 1
+        }
+      }
+      if (ok) Some(PixelImage(fw, fh, 3, out)) else None
+    }
 
   /** GIF-variant LZW: LSB-first codes, width grows at 2^codeSize up to 12
     * bits, clear code resets the table. Returns exactly `nPix` indices
@@ -866,7 +927,7 @@ object Multimodal {
 
   // -------------------------------------------------------------------
   // Pixel transforms: resize and frame-sample. REAL for the decodable
-  // formats (PPM/PNG pixels resampled and re-encoded as PNG; WAV frames
+  // formats (PPM/PNG/JPEG/GIF pixels resampled and re-encoded as PNG; WAV frames
   // decimated and re-encoded as WAV); opaque payloads fall back to a
   // deterministic byte stub. The Spark-side contracts — schemas,
   // per-partition batching, payload-stays-on-executor — are identical on
@@ -874,9 +935,9 @@ object Multimodal {
   // -------------------------------------------------------------------
 
   /** Pixel decode dispatch: P6 → [[decodePpmPixels]], PNG signature →
-    * [[decodePngPixels]], JPEG → the [[Jpeg]] codec's pixel output; None
-    * for formats without a pixel path (the histogram-only GIF decoder,
-    * audio, opaque bytes).
+    * [[decodePngPixels]], JPEG → the [[Jpeg]] codec's pixel output, GIF →
+    * [[decodeGifPixels]]; None for formats without a pixel path (audio,
+    * opaque bytes).
     */
   def decodePixels(bytes: Array[Byte]): Option[PixelImage] =
     if (bytes.length >= 2 && bytes(0) == 'P'.toByte && bytes(1) == '6'.toByte)
@@ -884,6 +945,9 @@ object Multimodal {
     else if (isPngMagic(bytes)) decodePngPixels(bytes)
     else if (isJpegMagic(bytes))
       Jpeg.decode(bytes).map { case (w, h, c, px) => PixelImage(w, h, c, px) }
+    else if (bytes.length >= 6 && bytes(0) == 'G'.toByte && bytes(1) == 'I'.toByte &&
+      bytes(2) == 'F'.toByte && bytes(3) == '8'.toByte)
+      decodeGifPixels(bytes)
     else None
 
   /** Nearest-neighbor resample: out(y,x) = in(floor(y·H/th), floor(x·W/tw)).
@@ -928,9 +992,10 @@ object Multimodal {
   case class ResizedMedia(media_id: Long, format: String,
                           width: Int, height: Int, payload: Array[Byte])
 
-  /** Batched thumbnail pass: decodable images (PPM/PNG) are REALLY
-    * resampled ([[resizeNearest]] after [[fitWithin]]) and re-encoded as
-    * PNG (`format="png"`); opaque payloads keep the deterministic stub
+  /** Batched thumbnail pass: decodable images (PPM/PNG/JPEG/GIF) are
+    * REALLY resampled ([[resizeNearest]] after [[fitWithin]]) and
+    * re-encoded as PNG (`format="png"`); opaque payloads keep the
+    * deterministic stub
     * (clamped fake dimensions, truncated bytes, `format="bin"`). Payload
     * bytes never leave the executors — all derived columns are map-side,
     * partition count preserved.

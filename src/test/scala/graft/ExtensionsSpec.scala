@@ -428,6 +428,23 @@ class ResizeSpec extends SparkSpec {
       rgbaPx.take(4).toSeq)
   }
 
+  test("GIF pixels resolve through the color table and resize end to end") {
+    val pal = Array.tabulate(16 * 3)(i => (i * 3 + 5).toByte)
+    val idxs = Array.tabulate(4 * 2)(i => (i % 16).toByte)
+    val gif = Multimodal.encodeGif(4, 2, pal, idxs)
+    val img = Multimodal.decodePixels(gif).get
+    assert(img.width == 4 && img.height == 2 && img.channels == 3)
+    val expected = idxs.flatMap(ci =>
+      Seq(pal(ci * 3), pal(ci * 3 + 1), pal(ci * 3 + 2)))
+    assert(img.pixels.toSeq == expected.toSeq)
+    // 4x2 fit into 2x1 is width-limited: (2, 1)
+    val row = Multimodal.resize(Seq((1L, gif)).toDF("media_id", "payload"), 2, 1)
+      .collect()(0)
+    assert(row.format == "png" && row.width == 2 && row.height == 1)
+    assert(Multimodal.decodePixels(row.payload).get.pixels.toSeq ==
+      (expected.slice(0, 3) ++ expected.slice(6, 9)).toSeq)
+  }
+
   test("palette PNG pixels resolve through PLTE to RGB") {
     // hand-crafted colorType-3 PNG, 2x1: indices 0,1 resolve through
     // PLTE to (10,20,30), (40,50,60)
