@@ -2642,7 +2642,7 @@ object SparkEntry {
         |       FROM e JOIN r3 ON r3.node = e.src JOIN od ON od.src = e.src GROUP BY e.dst),
         |r4 AS (SELECT nodes.node, (15000000 + 85 * coalesce(c4.s, 0)) // 100 AS rank_fp
         |       FROM nodes LEFT JOIN c4 ON c4.node = nodes.node)
-        |SELECT node, rank_fp FROM r4 ORDER BY node""".stripMargin,
+        |SELECT node, CAST(rank_fp AS BIGINT) AS rank_fp FROM r4 ORDER BY node""".stripMargin,
     // HTML extraction twin: same deterministic wrapper construction, same
     // RE2 grammar (TextAnalysis.scriptBlockPattern etc.) in the same
     // strip/decode/collapse order

@@ -402,9 +402,16 @@ object Jpeg {
           }
           val coef = fdct(block)
           val qt = if (c == 0) qLuma else qChroma
-          var i = 0
+          // AC magnitudes clamp to 1023 (size category <= 10): at quality
+          // ~100 every quant entry is 1 and a worst-case block (checkerboard)
+          // reaches |coef| = 1024 -> size 11, absent from the Annex K AC
+          // tables. DC needs no clamp: |coef0| <= 1024 so |diff| <= 2040,
+          // category 11, which the DC tables cover.
+          quantized(0) = math.round(coef(zigzag(0)) / qt(0)).toInt
+          var i = 1
           while (i < 64) {
-            quantized(i) = math.round(coef(zigzag(i)) / qt(i)).toInt
+            val q = math.round(coef(zigzag(i)) / qt(i)).toInt
+            quantized(i) = math.max(-1023, math.min(1023, q))
             i += 1
           }
           // DC

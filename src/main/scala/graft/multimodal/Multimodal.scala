@@ -1093,7 +1093,10 @@ object Multimodal {
       .mapPartitions(_.map { case (id, bytes) =>
         val text = gunzipBytes(bytes, maxLen)
           .map(b => new String(b, java.nio.charset.StandardCharsets.UTF_8))
-        (id, text.map(_.length.toLong).getOrElse(-1L), text.orNull)
+        // code points, not UTF-16 units: the cross-engine twin counts with
+        // DuckDB len(), which is code-point based, so non-BMP text (emoji)
+        // must not double-count surrogate pairs
+        (id, text.map(t => t.codePointCount(0, t.length).toLong).getOrElse(-1L), text.orNull)
       }).toDF("media_id", "n_chars", "text")
   }
 

@@ -125,6 +125,25 @@ class MultimodalSpec extends SparkSpec {
     val meta = Multimodal.decodeAuto(5L, enc)
     assert(meta.format == "jpeg" && meta.width == 8 && meta.height == 8)
     assert(math.abs(meta.features.sum - 1.0f) < 1e-4)
+    // adversarial: quality 100 (all quant entries 1) on a checkerboard —
+    // the worst-case AC coefficient hits |1024| = size 11, absent from the
+    // Annex K tables; the encoder must clamp, not NPE
+    val checker = Array.tabulate(16 * 16 * 3) { i =>
+      val p = i / 3; val x = p % 16; val y = p / 16
+      (if ((x + y) % 2 == 0) 0 else 255).toByte
+    }
+    val encHq = Jpeg.encode(16, 16, 3, checker, quality = 100)
+    val dHq = Jpeg.decode(encHq).get
+    assert(dHq._1 == 16 && dHq._2 == 16 && dHq._3 == 3)
+    // clamping a single coefficient still reconstructs a recognizable
+    // checkerboard: every pixel lands on the correct side of mid-gray
+    val hqOk = checker.indices.count { i =>
+      ((checker(i) & 0xFF) < 128) == ((dHq._4(i) & 0xFF) < 128)
+    }
+    assert(hqOk >= checker.length * 9 / 10, s"checkerboard: $hqOk/${checker.length}")
+    // grayscale worst case exercises the same clamp on the luma-only path
+    val gChecker = Array.tabulate(8 * 8)(i => (if ((i % 8 + i / 8) % 2 == 0) 0 else 255).toByte)
+    assert(Jpeg.decode(Jpeg.encode(8, 8, 1, gChecker, quality = 100)).nonEmpty)
   }
 
   test("gzip codec: round-trip, unicode, corrupt payloads, bomb cap") {
@@ -152,6 +171,12 @@ class MultimodalSpec extends SparkSpec {
     val out = Multimodal.gunzipText(payloads).orderBy("media_id").collect()
     assert(out(0).getString(2) == "ok" && out(0).getLong(1) == 2L)
     assert(out(1).isNullAt(2) && out(1).getLong(1) == -1L)
+    // n_chars counts code points (DuckDB len() semantics), not UTF-16
+    // units: "a😀b" is 3 code points but 4 UTF-16 chars
+    val emoji = Seq((3L, 5L, Multimodal.gzipBytes("a😀b".getBytes(UTF_8))))
+      .toDF("media_id", "gz_len", "payload")
+    val eRow = Multimodal.gunzipText(emoji).collect()(0)
+    assert(eRow.getLong(1) == 3L, s"n_chars=${eRow.getLong(1)} want 3 (code points)")
   }
 
   test("real PPM decode: header, dimensions, luminance histogram") {

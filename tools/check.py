@@ -45,6 +45,13 @@ for name in sorted(os.listdir(out)):
     mismatch = None
     for c in s_cols:
         av, bv = a[c], b[c]
+        # The driver's hash is dtype-sensitive: an int column on one side vs a
+        # float column on the other fails even when values are identical (e.g.
+        # DuckDB SUM(BIGINT)->HUGEINT materializes as float64). Flag it instead
+        # of coercing so the local gate matches the driver.
+        if {av.dtype.kind, bv.dtype.kind} == {"i", "f"} or {av.dtype.kind, bv.dtype.kind} == {"u", "f"}:
+            mismatch = f"TYPE-MISMATCH col={c} spark={av.dtype} duck={bv.dtype}"
+            break
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
             eq = np.isclose(av.astype(float), bv.astype(float), rtol=0, atol=0, equal_nan=True)
             exact = (av.astype(float).values == bv.astype(float).values) | (av.isna().values & bv.isna().values)
