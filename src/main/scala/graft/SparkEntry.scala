@@ -892,10 +892,28 @@ object SparkEntry {
           } else text.getBytes("UTF-8")
         (id, bytes)
       }).toDF("media_id", "payload")
-    graft.multimodal.Multimodal.decode(payloads).toDF()
-      .select(col("media_id"), col("byte_len"), col("format"),
-        col("width"), col("height"), col("channels"),
-        round(aggregate(col("features"), lit(0.0d), (acc, x) => acc + x), 4).as("feat_sum"))
+    // graded projection: dispatch (format) is pinned on EVERY row; decode
+    // geometry on every real-codec row; and the full 8-bin integer
+    // luminance histogram (features * n, exact — n is a power of two) on
+    // the lossless formats, recomputed by the oracle from the planting
+    // formulas. JPEG pixel content is lossy (IDCT isn't SQL-expressible) —
+    // its histogram is pinned by the codec specs instead; stub rows carry
+    // fake dims pinned by MultimodalSpec. Both use a -1 sentinel rather
+    // than NULL so the integer columns stay int64 through pandas.
+    val dec = graft.multimodal.Multimodal.decode(payloads).toDF()
+    val lossless = col("format").isin("png", "gif")
+    val real = col("format") =!= "bin"
+    val histCols = (0 until 8).map { b =>
+      when(lossless,
+          round(element_at(col("features"), b + 1) * col("width") * col("height"))
+            .cast("long"))
+        .otherwise(lit(-1L)).as(s"h$b")
+    }
+    dec.select(
+      Seq(col("media_id"), col("format"),
+        when(real, col("width")).otherwise(lit(-1)).as("width"),
+        when(real, col("height")).otherwise(lit(-1)).as("height"),
+        when(real, col("channels")).otherwise(lit(-1)).as("channels")) ++ histCols: _*)
       .orderBy(col("media_id"))
   }
 
@@ -2244,6 +2262,59 @@ object SparkEntry {
         | 64 + n_chars % 512 AS fake_width,
         | 64 + (n_chars * 7) % 512 AS fake_height
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // mixed-modality features twin: dispatch order (png before gif before
+    // jpeg) and the 8-bin integer luminance histogram recomputed from the
+    // planting formulas — PNG pixel c of the 8x8 RGB gradient is
+    // (id*131 + c*7) % 256; GIF pixel k maps palette index ((id+k)*13)%16
+    // into palette channel (id*37 + ch*17) % 256; BT.601 integer weights
+    // and floor division exactly as the decoders compute them. JPEG (lossy)
+    // and stub rows carry the -1 sentinel.
+    "m_multimodal_features" ->
+      """WITH img AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 97 = 0 THEN 'png'
+        |       WHEN doc_id % 89 = 0 THEN 'gif'
+        |       WHEN doc_id % 83 = 0 THEN 'jpeg' ELSE 'bin' END AS format
+        | FROM documents),
+        |lum AS (
+        | SELECT i.doc_id, t.k,
+        |  CASE WHEN i.format = 'png' THEN
+        |   (((i.doc_id*131 + (3*t.k)*7) % 256) * 299 +
+        |    ((i.doc_id*131 + (3*t.k+1)*7) % 256) * 587 +
+        |    ((i.doc_id*131 + (3*t.k+2)*7) % 256) * 114) // 1000
+        |  ELSE
+        |   (((i.doc_id*37 + (3*(((i.doc_id+t.k)*13)%16))*17) % 256) * 299 +
+        |    ((i.doc_id*37 + (3*(((i.doc_id+t.k)*13)%16)+1)*17) % 256) * 587 +
+        |    ((i.doc_id*37 + (3*(((i.doc_id+t.k)*13)%16)+2)*17) % 256) * 114) // 1000
+        |  END AS lum
+        | FROM img i, (SELECT unnest(range(0, 64)) AS k) t
+        | WHERE i.format IN ('png', 'gif')),
+        |hist AS (
+        | SELECT doc_id,
+        |  sum(CASE WHEN least(7, lum*8//256) = 0 THEN 1 ELSE 0 END) AS h0,
+        |  sum(CASE WHEN least(7, lum*8//256) = 1 THEN 1 ELSE 0 END) AS h1,
+        |  sum(CASE WHEN least(7, lum*8//256) = 2 THEN 1 ELSE 0 END) AS h2,
+        |  sum(CASE WHEN least(7, lum*8//256) = 3 THEN 1 ELSE 0 END) AS h3,
+        |  sum(CASE WHEN least(7, lum*8//256) = 4 THEN 1 ELSE 0 END) AS h4,
+        |  sum(CASE WHEN least(7, lum*8//256) = 5 THEN 1 ELSE 0 END) AS h5,
+        |  sum(CASE WHEN least(7, lum*8//256) = 6 THEN 1 ELSE 0 END) AS h6,
+        |  sum(CASE WHEN least(7, lum*8//256) = 7 THEN 1 ELSE 0 END) AS h7
+        | FROM lum GROUP BY doc_id)
+        |SELECT i.doc_id AS media_id, i.format,
+        | CAST(CASE i.format WHEN 'png' THEN 8 WHEN 'gif' THEN 8
+        |      WHEN 'jpeg' THEN 16 ELSE -1 END AS INT) AS width,
+        | CAST(CASE WHEN i.format = 'bin' THEN -1 ELSE 8 END AS INT) AS height,
+        | CAST(CASE WHEN i.format = 'bin' THEN -1 ELSE 3 END AS INT) AS channels,
+        | CAST(coalesce(h.h0, -1) AS BIGINT) AS h0,
+        | CAST(coalesce(h.h1, -1) AS BIGINT) AS h1,
+        | CAST(coalesce(h.h2, -1) AS BIGINT) AS h2,
+        | CAST(coalesce(h.h3, -1) AS BIGINT) AS h3,
+        | CAST(coalesce(h.h4, -1) AS BIGINT) AS h4,
+        | CAST(coalesce(h.h5, -1) AS BIGINT) AS h5,
+        | CAST(coalesce(h.h6, -1) AS BIGINT) AS h6,
+        | CAST(coalesce(h.h7, -1) AS BIGINT) AS h7
+        |FROM img i LEFT JOIN hist h ON h.doc_id = i.doc_id
+        |ORDER BY media_id""".stripMargin,
     // gzip round-trip identity: the decoded text must equal the original
     // byte for byte (the codec is the thing under test; DuckDB supplies
     // the uncompressed truth)
