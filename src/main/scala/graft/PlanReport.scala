@@ -46,9 +46,11 @@ object PlanReport {
             l.contains("PushedFilters: [") && !l.contains("PushedFilters: []"))
           val takeOrdered = c(l => l.contains("TakeOrderedAndProject"))
           val wgl = c(l => l.contains("WindowGroupLimit"))
+          val dpp = scans.count(_.contains("dynamicpruning"))
           val extras = Seq(
             if (takeOrdered > 0) Seq("TakeOrdered") else Nil,
             if (wgl > 0) Seq("WindowGroupLimit") else Nil,
+            if (dpp > 0) Seq("DPP-PRUNED") else Nil,
             if (cartesian + bnlj > 0) Seq("CARTESIAN") else Nil,
             if (singleEx > 0) Seq("SINGLE-PARTITION") else Nil
           ).flatten.mkString(" ")
@@ -76,7 +78,9 @@ object PlanReport {
          |oracle twins, broadcast-query ANN joins, and 1-row totals joins
          |should show it), SINGLE-PARTITION = a single-partition exchange
          |(only global 1-row aggregates and the oracle-only exact profile
-         |path should show it).
+         |path should show it), DPP-PRUNED = a scan with a dynamic
+         |partition-pruning filter (the PQ/IVF-PQ re-rank fetch against the
+         |id-partitioned vector store).
          |
          || query | hash | range | bcast | scans | pushed | wscg | flags |
          ||---|---|---|---|---|---|---|---|

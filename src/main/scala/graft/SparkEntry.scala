@@ -794,6 +794,24 @@ object SparkEntry {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** Id-partitioned full-precision vector store for the PQ/IVF-PQ re-rank
+    * fetch ([[Similarity.writeVectorStore]]): written once per SF dir
+    * (ingest-time layout, skipped when the _SUCCESS marker exists), then
+    * every re-rank joins its broadcast shortlist on (vs_part, id) so DPP
+    * prunes the fetch to the shortlist's directories instead of scanning
+    * the whole corpus.
+    */
+  private def vectorStore(s: SparkSession, dir: String): (DataFrame, Int) = {
+    val parts = 16
+    val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_vecstore_$key").getAbsolutePath
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      Similarity.writeVectorStore(t(s, dir, "embeddings"), "vec_id", "embedding",
+        path, parts)
+    (s.read.parquet(path), parts)
+  }
+
   private def annPq(s: SparkSession, dir: String): DataFrame = {
     // Product-quantization ANN, PORTABLE spelling: the codebooks are the
     // unit-normalized sub-vectors of the 16 first corpus rows (a
@@ -816,7 +834,8 @@ object SparkEntry {
     val codebooks = (0 until 8).map(s0 =>
       unitSeeds.map(_.slice(s0 * sub, (s0 + 1) * sub)))
     Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5, codebooks, shortlist = 50)
+        "vec_id", "embedding", k = 5, codebooks, shortlist = 50,
+        vectorStore = Some(vectorStore(s, dir)))
       .withColumnRenamed("rank", "rnk")
       .orderBy(col("q_id"), col("rnk"))
   }
@@ -840,7 +859,7 @@ object SparkEntry {
       unitSeeds.map(_.slice(s0 * sub, (s0 + 1) * sub)))
     Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, coarse = unitSeeds.take(8), codebooks,
-        nprobe = 3, shortlist = 50)
+        nprobe = 3, shortlist = 50, vectorStore = Some(vectorStore(s, dir)))
       .withColumnRenamed("rank", "rnk")
       .orderBy(col("q_id"), col("rnk"))
   }

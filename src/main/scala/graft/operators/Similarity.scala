@@ -480,10 +480,71 @@ object Similarity {
     *
     * Returns (q_id, c_id, rank, sim); recall gated by `RecallSpec`.
     */
+  /** Id-partitioned full-precision vector store for point-lookup re-ranks.
+    *
+    * The PQ/IVF-PQ refine step fetches exact vectors for |Q|·shortlist
+    * survivors; against a flat corpus that fetch is a full scan. Writing
+    * the corpus once with `vs_part = id mod parts` as a directory
+    * partition turns it into a pruned read: the re-rank joins the
+    * broadcast shortlist on (vs_part, id), and dynamic partition pruning
+    * reuses the shortlist broadcast to skip every directory holding no
+    * survivor — at 100 TB the refine reads ~|shortlist parts|/parts of
+    * the store instead of all of it. Write once at ingest, reuse across
+    * every query (same contract as [[Layout.writeBucketed]]).
+    */
+  def writeVectorStore(corpus: DataFrame, idCol: String, vecCol: String,
+                       path: String, parts: Int = 64): Unit =
+    corpus.select(col(idCol), col(vecCol))
+      .withColumn("vs_part", pmod(col(idCol), lit(parts)).cast("int"))
+      .write.mode("overwrite").partitionBy("vs_part").parquet(path)
+
+  /** Re-rank fetch side: either the flat corpus (full scan) or a
+    * [[writeVectorStore]] layout read whose `vs_part` directory column
+    * lets DPP prune the fetch to the shortlist's partitions.
+    */
+  private def rerankSource(corpus: DataFrame, idCol: String, vecCol: String,
+                           vectorStore: Option[(DataFrame, Int)]): DataFrame =
+    vectorStore match {
+      case Some((store, _)) =>
+        store.select(col(idCol).as("c_id"),
+          col(vecCol).cast("array<double>").as("c_vec"), col("vs_part"))
+      case None =>
+        corpus.select(col(idCol).as("c_id"),
+          col(vecCol).cast("array<double>").as("c_vec"))
+    }
+
+  /** Exact-cosine re-rank of a (q_id, c_id, q_vec) shortlist: fetch
+    * full-precision vectors for shortlist survivors ONLY, score, keep
+    * top-k per query. Shared tail of [[pqTopK]] and [[ivfPqTopK]].
+    */
+  private def rerankTopK(short: DataFrame, corpus: DataFrame, idCol: String,
+                         vecCol: String, k: Int,
+                         vectorStore: Option[(DataFrame, Int)]): DataFrame = {
+    import graft.functions.VectorFunctions.{dot_product, vector_norm}
+    val cv = rerankSource(corpus, idCol, vecCol, vectorStore)
+    val (probe, keys) = vectorStore match {
+      case Some((_, parts)) =>
+        // derive the partition key on the broadcast side: joining on it
+        // makes the store scan DPP-prunable (the pruning subquery reuses
+        // the shortlist broadcast — no extra job)
+        (short.withColumn("vs_part", pmod(col("c_id"), lit(parts)).cast("int")),
+          Seq("vs_part", "c_id"))
+      case None => (short, Seq("c_id"))
+    }
+    val rer = cv.join(broadcast(probe), keys)
+      .withColumn("sim", try_divide(dot_product(col("q_vec"), col("c_vec")),
+        vector_norm(col("q_vec")) * vector_norm(col("c_vec"))))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("c_id"))
+    rer.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("rank"), round(col("sim"), 4).as("sim"))
+  }
+
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, k: Int, coarse: Seq[Seq[Double]],
                 codebooks: Seq[Seq[Seq[Double]]], nprobe: Int = 3,
-                shortlist: Int = 50): DataFrame = {
+                shortlist: Int = 50,
+                vectorStore: Option[(DataFrame, Int)] = None): DataFrame = {
     import graft.functions.VectorFunctions.{dot_product, l2_squared, vector_norm}
     val m = codebooks.size
     val sub = codebooks.head.head.size
@@ -527,20 +588,13 @@ object Similarity {
     val short = scored.withColumn("srank", row_number().over(wShort))
       .filter(col("srank") <= shortlist)
       .select(col("q_id"), col("c_id"), col("q_vec"))
-    val cv = corpus.select(col(idCol).as("c_id"),
-      col(vecCol).cast("array<double>").as("c_vec"))
-    val rer = cv.join(broadcast(short), Seq("c_id"))
-      .withColumn("sim", try_divide(dot_product(col("q_vec"), col("c_vec")),
-        vector_norm(col("q_vec")) * vector_norm(col("c_vec"))))
-    val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("c_id"))
-    rer.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("c_id"), col("rank"), round(col("sim"), 4).as("sim"))
+    rerankTopK(short, corpus, idCol, vecCol, k, vectorStore)
   }
 
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, k: Int, codebooks: Seq[Seq[Seq[Double]]],
-             shortlist: Int = 50): DataFrame = {
+             shortlist: Int = 50,
+             vectorStore: Option[(DataFrame, Int)] = None): DataFrame = {
     import graft.functions.VectorFunctions.{dot_product, l2_squared, vector_norm}
     val m = codebooks.size
     val sub = codebooks.head.head.size
@@ -572,14 +626,6 @@ object Similarity {
       .filter(col("srank") <= shortlist)
       .select(col("q_id"), col("c_id"), col("q_vec"))
     // exact re-rank: fetch full-precision vectors for the shortlist only
-    val cv = corpus.select(col(idCol).as("c_id"),
-      col(vecCol).cast("array<double>").as("c_vec"))
-    val rer = cv.join(broadcast(short), Seq("c_id"))
-      .withColumn("sim", try_divide(dot_product(col("q_vec"), col("c_vec")),
-        vector_norm(col("q_vec")) * vector_norm(col("c_vec"))))
-    val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("c_id"))
-    rer.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("c_id"), col("rank"), round(col("sim"), 4).as("sim"))
+    rerankTopK(short, corpus, idCol, vecCol, k, vectorStore)
   }
 }

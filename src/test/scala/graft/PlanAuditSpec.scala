@@ -43,6 +43,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges(p) == 0, p)
   }
 
+  test("PQ re-rank against the vector store is DPP-pruned to shortlist partitions") {
+    val emb = Tables(spark, dir, "embeddings")
+    val store = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_vs_audit").getAbsolutePath
+    Similarity.writeVectorStore(emb, "vec_id", "embedding", store, parts = 8)
+    val seeds = emb.filter(col("vec_id") < 16).orderBy(col("vec_id"))
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val sub = seeds.head.size / 8
+    val codebooks = (0 until 8).map(s0 => seeds.map(_.slice(s0 * sub, (s0 + 1) * sub)))
+    val df = Similarity.pqTopK(emb, emb.filter(col("vec_id") < 3),
+      "vec_id", "embedding", k = 3, codebooks, shortlist = 10,
+      vectorStore = Some((spark.read.parquet(store), 8)))
+    val p = plan(df)
+    // the fetch scan carries a dynamic pruning filter on vs_part: the
+    // shortlist broadcast is reused to skip directories with no survivor
+    val storeScan = p.linesIterator.filter(l =>
+      l.contains("FileScan") && l.contains("vs_part")).toSeq
+    assert(storeScan.nonEmpty, p)
+    assert(storeScan.exists(_.contains("dynamicpruning")),
+      s"re-rank store scan not DPP-pruned:\n${storeScan.mkString("\n")}")
+    // and the pruned path returns the same rows as the flat-corpus path
+    val flat = Similarity.pqTopK(emb, emb.filter(col("vec_id") < 3),
+      "vec_id", "embedding", k = 3, codebooks, shortlist = 10)
+    assert(df.orderBy("q_id", "rank").collect().toSeq ==
+      flat.orderBy("q_id", "rank").collect().toSeq)
+  }
+
   test("brute-force ANN broadcasts the query side; corpus is never shuffled before the join") {
     val emb = Tables(spark, dir, "embeddings")
     val p = plan(Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
