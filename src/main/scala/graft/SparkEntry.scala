@@ -1228,14 +1228,11 @@ object SparkEntry {
     // 100 TB the index is a stored table bucketed by band_hash, so the
     // semi-join co-locates without a fresh shuffle of the index side.
     val docs = t(s, dir, "documents")
-    def bands(d: DataFrame) = Dedup.portableBands(
-      Dedup.portableMinhash(d, "doc_id", "text", k = 8), "doc_id", k = 8, bands = 4)
-    val hits = bands(docs.filter(col("doc_id") >= 250))
-      .join(bands(docs.filter(col("doc_id") < 250)),
-        Seq("band_id", "band_hash"), "left_semi")
-      .select(col("id")).distinct()
-    docs.filter(col("doc_id") >= 250).select(col("doc_id"))
-      .join(hits, col("doc_id") === hits("id"), "left_anti")
+    val indexBands = Dedup.portableBands(
+      Dedup.portableMinhash(docs.filter(col("doc_id") < 250), "doc_id", "text",
+        k = 8), "doc_id", k = 8, bands = 4)
+    Dedup.lshIngest(docs.filter(col("doc_id") >= 250), indexBands,
+        "doc_id", "text", k = 8, nBands = 4)
       .orderBy(col("doc_id"))
   }
 

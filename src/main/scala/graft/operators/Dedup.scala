@@ -672,6 +672,28 @@ object Dedup {
       posexplode(keys).as(Seq("band_id", "band_hash")))
   }
 
+  /** Incremental LSH ingest gate: which batch docs survive against a STORED
+    * band index. A doc survives iff NONE of its band keys collides with the
+    * index — no pair expansion at all: one semi-join of the batch's bands
+    * against the index (both sides keyed by (band_id, band_hash)), then an
+    * anti-join back to batch ids. At 100 TB the index is a stored table
+    * bucketed by band_hash ([[Layout.writeBucketed]]), so the semi-join
+    * co-locates without a fresh shuffle of the index side. Per-doc decisions
+    * depend ONLY on the static index — never on other batch docs — so the
+    * gate is batch-split invariant: any partition of an ingest stream into
+    * micro-batches yields the same survivor set (the streaming parity pin
+    * in [[graft.streaming.EventStream.streamingLshIngest]]).
+    */
+  def lshIngest(batch: DataFrame, indexBands: DataFrame, idCol: String,
+                textCol: String, k: Int = 8, nBands: Int = 4): DataFrame = {
+    val hits = portableBands(portableMinhash(batch, idCol, textCol, k),
+        idCol, k, nBands)
+      .join(indexBands, Seq("band_id", "band_hash"), "left_semi")
+      .select(col("id")).distinct()
+    batch.select(col(idCol))
+      .join(hits, col(idCol) === hits("id"), "left_anti")
+  }
+
   /** Per-doc duplicated-span coverage — the audit stage of exact-substring
     * dedup (the "how much of this document is copied from elsewhere"
     * signal): for each doc, the fraction of its positional 3-gram windows

@@ -155,6 +155,29 @@ object EventStream {
     docs.filter(!contaminated(Dedup.shingles(col(textCol), n)))
   }
 
+  /** Streaming incremental LSH ingest — the production near-dup front door:
+    * docs stream in, and a micro-batch doc survives iff none of its LSH
+    * band keys collides with the STORED band index of the existing corpus
+    * ([[graft.operators.Dedup.lshIngest]]). "No band collides" is a
+    * per-doc negative-existence test, which a pure stream-static join
+    * can't express without a streaming aggregate, so the gate runs the
+    * exact batch operator per micro-batch via foreachBatch — the shape a
+    * real ingest loop has anyway, because each accepted batch must also be
+    * APPENDED to the stored index (do that inside `onBatch`). Since the
+    * decision depends only on the static index, the result is
+    * batch-split invariant: streamed survivors equal the batch operator
+    * on the union, pinned by the StreamingSpec parity test.
+    */
+  def streamingLshIngest(docs: DataFrame, indexBands: DataFrame,
+                         idCol: String, textCol: String,
+                         k: Int = 8, nBands: Int = 4)
+                        (onBatch: DataFrame => Unit) =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        onBatch(graft.operators.Dedup.lshIngest(
+          batch.toDF(), indexBands, idCol, textCol, k, nBands))
+    }
+
   case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(count: Long, sum: Double, lastTs: Long)
   case class SessionOut(user_id: Long, n_events: Long, value_sum: Double)

@@ -978,6 +978,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming incremental LSH ingest equals the batch gate on sf0.01") {
+    // the d_lsh_incremental split: docs < 250 are the stored band index,
+    // docs >= 250 arrive as a stream in UNEVEN micro-batches. Survivors
+    // accumulated across batches must equal the batch operator run once
+    // on the whole arrival set — the batch-split invariance the stored-
+    // index semi-join shape guarantees (decisions never depend on other
+    // stream docs).
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val all = Tables(spark, "/root/testdata/sf0.01", "documents")
+      .select(col("doc_id"), col("text"))
+    val indexBands = Dedup.portableBands(
+      Dedup.portableMinhash(all.filter(col("doc_id") < 250), "doc_id", "text",
+        k = 8), "doc_id", k = 8, bands = 4)
+      .localCheckpoint() // the stored index: materialized once, reused per batch
+    val arrivals = all.filter(col("doc_id") >= 250).as[(Long, String)].collect()
+    val mem = MemoryStream[(Long, String)]
+    val survivors = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = EventStream.streamingLshIngest(
+        mem.toDF().toDF("doc_id", "text"), indexBands, "doc_id", "text") {
+      kept => survivors ++= kept.collect().map(_.getLong(0))
+    }.start()
+    try {
+      // uneven micro-batches: 97 + 97 + 56 arrivals
+      arrivals.grouped(97).foreach { c => mem.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+      val batch = Dedup.lshIngest(all.filter(col("doc_id") >= 250), indexBands,
+        "doc_id", "text").collect().map(_.getLong(0)).toSet
+      assert(batch.nonEmpty && batch.size < arrivals.length) // the gate really gates
+      assert(survivors.size == survivors.toSet.size) // no doc emitted twice
+      assert(survivors.toSet == batch)
+    } finally q.stop()
+  }
+
   test("streaming frozen-LM scoring equals the batch operator on sf0.01") {
     // the d_lm_score_frozen split: vocab trained on even doc_ids, odd
     // doc_ids scored — streamed scores must equal the batch operator's
