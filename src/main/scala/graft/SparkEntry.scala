@@ -936,6 +936,58 @@ object SparkEntry {
       .orderBy(col("media_id"))
   }
 
+  /** Every doc carries a REAL planted 8x8 PNG whose channel values are the
+    * first md5 byte of "base:i" — the same engine-portable md5 trick as
+    * the portable dedup family, here because pixels must be genuinely
+    * pseudo-random: ANY locally-smooth formula (linear mod 256, or a
+    * multiplicative hash of a linear argument — both tried first) makes
+    * neighboring grid cells compare monotonically, every base shares a
+    * near-identical dHash, and the banding collapses into thousands of
+    * fake "near-dups". Docs sharing `doc_id % 250` carry NEAR-identical
+    * images: the high copy perturbs ONE pixel's red channel by +8, so
+    * pairs (b, b+250) land within a few dHash bits — deterministic
+    * near-dups for the perceptual-hash gate.
+    */
+  private def imagePayloads(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { id =>
+          val base = id % 250
+          def v(i: Int): Int = {
+            md.reset()
+            md.digest(s"$base:$i".getBytes("UTF-8"))(0) & 0xFF
+          }
+          val px = Array.tabulate(8 * 8 * 3)(i => v(i).toByte)
+          if (id >= 250) {
+            val i0 = 3 * (id % 64).toInt
+            px(i0) = ((v(i0) + 8) % 256).toByte
+          }
+          (id, graft.multimodal.Multimodal.encodePng(8, 8, 3, px))
+        }
+      }.toDF("media_id", "payload")
+  }
+
+  private def imageDhash(s: SparkSession, dir: String): DataFrame =
+    // perceptual hash per image: decode -> 9x8 luminance grid -> 64
+    // comparison bits, one map-side pass over the payloads; the oracle
+    // recomputes the full bit pattern from the planting formula (bit 63
+    // spelled as the two's-complement -2^63 contribution so the BIGINT
+    // values agree signed)
+    graft.multimodal.Multimodal.dHashes(imagePayloads(s, dir))
+      .orderBy(col("media_id"))
+
+  private def imageNearDup(s: SparkSession, dir: String): DataFrame =
+    // image near-dup pairs: dHash + the same 16-bit-band pigeonhole
+    // bucketing as text simhash (any pair within hamming 3 shares an
+    // exact band). Bucket cap explicitly OFF to mirror the oracle's
+    // uncapped self-join (production keeps the default cap)
+    graft.operators.Dedup.bandedHammingPairs(
+        graft.multimodal.Multimodal.dHashes(imagePayloads(s, dir)),
+        "media_id", "dhash", maxHamming = 3, maxBucketSize = Int.MaxValue)
+      .orderBy(col("a"), col("b"))
+
   private def mediaResize(s: SparkSession, dir: String): DataFrame = {
     // every doc carries a REAL planted PNG whose dimensions vary with
     // doc_id (4..16 x 4..14 — exercising all three aspect-fit branches:
@@ -1418,6 +1470,8 @@ object SparkEntry {
     "m_media_resize" -> (mediaResize _),
     "m_frame_sample" -> (frameSampleAudio _),
     "m_multimodal_features" -> (multimodalFeatures _),
+    "m_image_dhash" -> (imageDhash _),
+    "m_image_neardup" -> (imageNearDup _),
     "d_minhash_portable" -> (minhashPortable _),
     "d_lsh_portable_pairs" -> (lshPortablePairs _),
     "d_dedup_fuzzy_portable" -> (dedupFuzzyPortable _),
@@ -2337,6 +2391,82 @@ object SparkEntry {
     "m_gzip_roundtrip" ->
       """SELECT doc_id AS media_id, len(text) AS n_chars, text
         |FROM documents ORDER BY media_id""".stripMargin,
+    // perceptual-hash twin: recompute the 64-bit dHash from the planting
+    // formula — channel value v(i) = (base*2654435761 + i*40503 [+8 for
+    // the perturbed channel]) % 256, 9x8 NN luminance grid (sx = 8c//9,
+    // sy = r), BT.601 integer weights, bit r*8+c set iff lum(r,c+1) >
+    // lum(r,c). Bit 63 contributes -2^63 so the signed BIGINTs agree.
+    "m_image_dhash" ->
+      """WITH cells AS (
+        | SELECT d.doc_id, t.j,
+        |  ((t.j // 9) * 8 + ((t.j % 9) * 8) // 9) * 3 AS p
+        | FROM documents d, (SELECT unnest(range(0, 72)) AS j) t),
+        |lum AS (
+        | SELECT doc_id, j,
+        |  ( (CAST(concat('0x', substr(md5(CAST(doc_id % 250 AS VARCHAR) || ':' ||
+        |       CAST(p AS VARCHAR)), 1, 2)) AS BIGINT) +
+        |     CASE WHEN doc_id >= 250 AND p = 3 * (doc_id % 64) THEN 8 ELSE 0 END) % 256 * 299
+        |  + (CAST(concat('0x', substr(md5(CAST(doc_id % 250 AS VARCHAR) || ':' ||
+        |       CAST(p + 1 AS VARCHAR)), 1, 2)) AS BIGINT) +
+        |     CASE WHEN doc_id >= 250 AND p+1 = 3 * (doc_id % 64) THEN 8 ELSE 0 END) % 256 * 587
+        |  + (CAST(concat('0x', substr(md5(CAST(doc_id % 250 AS VARCHAR) || ':' ||
+        |       CAST(p + 2 AS VARCHAR)), 1, 2)) AS BIGINT) +
+        |     CASE WHEN doc_id >= 250 AND p+2 = 3 * (doc_id % 64) THEN 8 ELSE 0 END) % 256 * 114
+        |  ) // 1000 AS lum
+        | FROM cells),
+        |bits AS (
+        | SELECT a.doc_id, (a.j // 9) * 8 + (a.j % 9) AS bit
+        | FROM lum a JOIN lum b ON b.doc_id = a.doc_id AND b.j = a.j + 1
+        | WHERE a.j % 9 < 8 AND b.lum > a.lum),
+        |h AS (
+        | SELECT d.doc_id,
+        |  CAST(coalesce(sum(CASE WHEN bit = 63 THEN -9223372036854775807 - 1
+        |                         ELSE (CAST(1 AS BIGINT) << bit) END), 0) AS BIGINT) AS dhash
+        | FROM documents d LEFT JOIN bits ON bits.doc_id = d.doc_id
+        | GROUP BY d.doc_id)
+        |SELECT doc_id AS media_id, dhash FROM h ORDER BY media_id""".stripMargin,
+    // image near-dup twin: same dHash CTEs, then the simhash-portable
+    // banding spelling — four 16-bit bands (arithmetic shift + mask equals
+    // logical band extraction), exact-band self-join, hamming verify <= 3
+    "m_image_neardup" ->
+      """WITH cells AS (
+        | SELECT d.doc_id, t.j,
+        |  ((t.j // 9) * 8 + ((t.j % 9) * 8) // 9) * 3 AS p
+        | FROM documents d, (SELECT unnest(range(0, 72)) AS j) t),
+        |lum AS (
+        | SELECT doc_id, j,
+        |  ( (CAST(concat('0x', substr(md5(CAST(doc_id % 250 AS VARCHAR) || ':' ||
+        |       CAST(p AS VARCHAR)), 1, 2)) AS BIGINT) +
+        |     CASE WHEN doc_id >= 250 AND p = 3 * (doc_id % 64) THEN 8 ELSE 0 END) % 256 * 299
+        |  + (CAST(concat('0x', substr(md5(CAST(doc_id % 250 AS VARCHAR) || ':' ||
+        |       CAST(p + 1 AS VARCHAR)), 1, 2)) AS BIGINT) +
+        |     CASE WHEN doc_id >= 250 AND p+1 = 3 * (doc_id % 64) THEN 8 ELSE 0 END) % 256 * 587
+        |  + (CAST(concat('0x', substr(md5(CAST(doc_id % 250 AS VARCHAR) || ':' ||
+        |       CAST(p + 2 AS VARCHAR)), 1, 2)) AS BIGINT) +
+        |     CASE WHEN doc_id >= 250 AND p+2 = 3 * (doc_id % 64) THEN 8 ELSE 0 END) % 256 * 114
+        |  ) // 1000 AS lum
+        | FROM cells),
+        |bits AS (
+        | SELECT a.doc_id, (a.j // 9) * 8 + (a.j % 9) AS bit
+        | FROM lum a JOIN lum b ON b.doc_id = a.doc_id AND b.j = a.j + 1
+        | WHERE a.j % 9 < 8 AND b.lum > a.lum),
+        |h AS (
+        | SELECT d.doc_id,
+        |  CAST(coalesce(sum(CASE WHEN bit = 63 THEN -9223372036854775807 - 1
+        |                         ELSE (CAST(1 AS BIGINT) << bit) END), 0) AS BIGINT) AS dhash
+        | FROM documents d LEFT JOIN bits ON bits.doc_id = d.doc_id
+        | GROUP BY d.doc_id),
+        |bands AS (
+        | SELECT doc_id, dhash, bb.band, (dhash >> (bb.band * 16)) & 65535 AS band_val
+        | FROM h CROSS JOIN (VALUES (0),(1),(2),(3)) AS bb(band)),
+        |cand AS (
+        | SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        | FROM bands x JOIN bands y
+        |  ON x.band = y.band AND x.band_val = y.band_val AND x.doc_id < y.doc_id)
+        |SELECT c.a, c.b, CAST(bit_count(xor(ha.dhash, hb.dhash)) AS INT) AS hamming
+        |FROM cand c JOIN h ha ON ha.doc_id = c.a JOIN h hb ON hb.doc_id = c.b
+        |WHERE bit_count(xor(ha.dhash, hb.dhash)) <= 3
+        |ORDER BY a, b""".stripMargin,
     // resize twin: the planted PNG dimensions and Multimodal.fitWithin's
     // integer aspect-fit formula (never upscale; floor division on the
     // non-limiting axis, min 1; width-limited when w*maxH >= h*maxW)

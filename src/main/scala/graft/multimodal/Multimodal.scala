@@ -950,6 +950,55 @@ object Multimodal {
       decodeGifPixels(bytes)
     else None
 
+  /** 64-bit perceptual difference-hash (dHash) of a decoded raster: sample
+    * a 9x8 luminance grid (nearest-neighbor, the [[resizeNearest]] integer
+    * source mapping; BT.601 integer weights), then bit (r*8+c) is set iff
+    * lum(r, c+1) > lum(r, c). Near-identical images — recompressions,
+    * small edits, thumbnails — land within a few bits of each other, so
+    * hamming-banded bucketing ([[graft.operators.Dedup.bandedHammingPairs]])
+    * finds image near-dups exactly like SimHash finds text near-dups.
+    * Pure integer pipeline: deterministic across engines and platforms.
+    */
+  def dHash64(img: PixelImage): Long = {
+    val lum = new Array[Int](8 * 9)
+    var r = 0
+    while (r < 8) {
+      val sy = (r.toLong * img.height / 8).toInt
+      var c = 0
+      while (c < 9) {
+        val sx = (c.toLong * img.width / 9).toInt
+        val p = (sy * img.width + sx) * img.channels
+        lum(r * 9 + c) =
+          if (img.channels <= 2) img.pixels(p) & 0xFF // gray (+alpha)
+          else ((img.pixels(p) & 0xFF) * 299 + (img.pixels(p + 1) & 0xFF) * 587 +
+            (img.pixels(p + 2) & 0xFF) * 114) / 1000
+        c += 1
+      }
+      r += 1
+    }
+    var h = 0L
+    var b = 0
+    while (b < 64) {
+      if (lum((b / 8) * 9 + b % 8 + 1) > lum((b / 8) * 9 + b % 8)) h |= 1L << b
+      b += 1
+    }
+    h
+  }
+
+  /** Per-payload perceptual hash: `(media_id, dhash)` — decode + dHash in
+    * one map-side pass (per-partition batched, payloads never shuffle);
+    * undecodable payloads are dropped.
+    */
+  def dHashes(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodePixels(bytes).map(img => (id, dHash64(img)))
+      }).toDF("media_id", "dhash")
+  }
+
   /** Nearest-neighbor resample: out(y,x) = in(floor(y·H/th), floor(x·W/tw)).
     * Pure integer source mapping — deterministic across engines and
     * platforms (no float rounding), channel count preserved. The right

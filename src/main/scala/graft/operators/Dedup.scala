@@ -542,23 +542,38 @@ object Dedup {
     * pair expansion inside the bucket, dedup across bands at the end.
     */
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
-                     maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+                     maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame =
+    bandedHammingPairs(simhash(df, idCol, textCol), "id", "simhash",
+      maxHamming, maxBucketSize)
+
+  /** Hamming-banded near-dup pairs over ANY 64-bit hash column — the
+    * banding core shared by text SimHash ([[simhashNearDup]]) and image
+    * perceptual hashes ([[graft.multimodal.Multimodal.dHash64]]): band the
+    * hash into four 16-bit chunks (pigeonhole: any pair within hamming
+    * distance 3 shares at least one exact band), bucket by (band index,
+    * band value), expand in-bucket candidate pairs, verify exact
+    * hamming ≤ `maxHamming`. Same shuffle shape as MinHash-LSH: hashes
+    * are map-side, ONE groupBy keyed by band, pair expansion inside the
+    * bucket, dedup across bands at the end.
+    */
+  def bandedHammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
+                         maxHamming: Int = 3,
+                         maxBucketSize: Int = 1000): DataFrame = {
     require(maxHamming <= 3,
       "4-band pigeonhole only guarantees recall for hamming <= 3")
-    val hashes = simhash(df, idCol, textCol)
-    val bands = hashes.select(col("id"), col("simhash"),
+    val bands = hashes.select(col(idCol).as("id"), col(hashCol).as("__h"),
       posexplode(array((0 until 4).map { b =>
-        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))
+        shiftrightunsigned(col(hashCol), b * 16).bitwiseAND(lit(0xFFFFL))
       }: _*)).as(Seq("band_id", "band_val")))
     val buckets = bands
       .groupBy(col("band_id"), col("band_val"))
-      .agg(sort_array(collect_set(struct(col("id"), col("simhash")))).as("ms"))
+      .agg(sort_array(collect_set(struct(col("id"), col("__h")))).as("ms"))
       .filter(size(col("ms")).between(2, maxBucketSize))
     buckets
       .select(explode(flatten(transform(col("ms"), (x, i) =>
         transform(slice(col("ms"), i + 2, size(col("ms"))),
           y => struct(x.getField("id").as("a"), y.getField("id").as("b"),
-            bit_count(x.getField("simhash").bitwiseXOR(y.getField("simhash")))
+            bit_count(x.getField("__h").bitwiseXOR(y.getField("__h")))
               .as("hamming")))))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"), col("p.hamming"))
       .filter(col("hamming") <= maxHamming)

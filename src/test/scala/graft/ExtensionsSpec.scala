@@ -378,6 +378,36 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(1).format == "bin") // stub fallback
   }
 
+  test("dHash: identical images collide, small edits stay close, different images far") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def rndPx(seed: Int, n: Int) = Array.tabulate(n) { i =>
+      md.reset(); md.digest(s"$seed:$i".getBytes("UTF-8"))(0)
+    }
+    val a = Multimodal.PixelImage(8, 8, 3, rndPx(1, 192))
+    val b = Multimodal.PixelImage(8, 8, 3, rndPx(2, 192))
+    val ha = Multimodal.dHash64(a)
+    // determinism + identical images -> identical hash
+    assert(ha == Multimodal.dHash64(Multimodal.PixelImage(8, 8, 3, rndPx(1, 192))))
+    // unrelated random images -> far apart (64 coin flips, expect ~32)
+    assert(java.lang.Long.bitCount(ha ^ Multimodal.dHash64(b)) > 10)
+    // one-channel +8 edit -> within a few bits
+    val edited = a.pixels.clone(); edited(33) = ((edited(33) & 0xFF) + 8).toByte
+    val he = Multimodal.dHash64(Multimodal.PixelImage(8, 8, 3, edited))
+    assert(java.lang.Long.bitCount(ha ^ he) <= 3)
+    // scale invariance under NN upsampling: a 16x16 NN blow-up samples the
+    // same source pixels on the 9x8 grid -> identical hash
+    val up = Multimodal.resizeNearest(a, 16, 16)
+    assert(Multimodal.dHash64(up) == ha)
+    // grayscale path uses the gray value directly
+    val g = Multimodal.PixelImage(8, 8, 1, rndPx(3, 64))
+    assert(Multimodal.dHash64(g) != 0L)
+    // DataFrame plumbing: PNG payloads decode and hash; junk rows drop
+    val png = Multimodal.encodePng(8, 8, 3, a.pixels)
+    val out = Multimodal.dHashes(Seq((1L, png), (2L, "junk".getBytes("UTF-8")))
+      .toDF("media_id", "payload")).collect()
+    assert(out.length == 1 && out(0).getLong(0) == 1L && out(0).getLong(1) == ha)
+  }
+
   test("resize clamps dimensions; frame sampling emits strided chunks") {
     val df = Seq((1L, "x" * 4000)).toDF("doc_id", "text")
     val payloads = Multimodal.withPayload(df, "doc_id", "text")
