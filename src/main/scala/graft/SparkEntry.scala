@@ -988,6 +988,24 @@ object SparkEntry {
         "media_id", "dhash", maxHamming = 3, maxBucketSize = Int.MaxValue)
       .orderBy(col("a"), col("b"))
 
+  private def imageDedup(s: SparkSession, dir: String): DataFrame = {
+    // the composed image-dedup pipeline, the d_dedup_fuzzy_portable twin
+    // at the image level: decode -> dHash + edge-energy (ONE pass) ->
+    // hamming-banded near-dup pairs -> connected components -> keep the
+    // SHARPEST member per cluster (edge energy, id tie-break). The whole
+    // composition is hash-checked against a single recursive-CTE DuckDB
+    // twin that recomputes hashes, pairs, clusters, and scores from the
+    // planted pixels.
+    val feats = graft.multimodal.Multimodal.dHashFeatures(imagePayloads(s, dir))
+      .localCheckpoint() // consumed twice: pairs + scores; decode once
+    val pairs = Dedup.bandedHammingPairs(feats, "media_id", "dhash",
+      maxHamming = 3, maxBucketSize = Int.MaxValue).select(col("a"), col("b"))
+    val clusters = Dedup.connectedComponents(pairs)
+    val score = feats.select(col("media_id").as("id"), col("edge_energy"))
+    Dedup.keepBest(clusters, score, "edge_energy")
+      .orderBy(col("cluster_id"))
+  }
+
   private def mediaResize(s: SparkSession, dir: String): DataFrame = {
     // every doc carries a REAL planted PNG whose dimensions vary with
     // doc_id (4..16 x 4..14 — exercising all three aspect-fit branches:
@@ -1472,6 +1490,7 @@ object SparkEntry {
     "m_multimodal_features" -> (multimodalFeatures _),
     "m_image_dhash" -> (imageDhash _),
     "m_image_neardup" -> (imageNearDup _),
+    "m_image_dedup" -> (imageDedup _),
     "d_minhash_portable" -> (minhashPortable _),
     "d_lsh_portable_pairs" -> (lshPortablePairs _),
     "d_dedup_fuzzy_portable" -> (dedupFuzzyPortable _),
@@ -1550,6 +1569,42 @@ object SparkEntry {
         |reach AS (SELECT x, y FROM walk
         |          UNION SELECT DISTINCT x, x FROM edges),
         |cl AS (SELECT x AS id, min(y) AS cluster_id FROM reach GROUP BY x)""".stripMargin
+
+  /** Shared DuckDB CTE chain for the image perceptual-hash family: planted
+    * md5 channel values -> 9x8 NN luminance grid -> dHash bits -> signed
+    * 64-bit hash (`h(doc_id, dhash)`), mirroring
+    * [[graft.multimodal.Multimodal.dHash64]] over [[imagePayloads]]'s
+    * planting exactly. Interpolated into every image-dedup oracle so the
+    * twins stay equivalent by construction.
+    */
+  private val imageDhashCtes: String =
+    """cells AS (
+      | SELECT d.doc_id, t.j,
+      |  ((t.j // 9) * 8 + ((t.j % 9) * 8) // 9) * 3 AS p
+      | FROM documents d, (SELECT unnest(range(0, 72)) AS j) t),
+      |lum AS (
+      | SELECT doc_id, j,
+      |  ( (CAST(concat('0x', substr(md5(CAST(doc_id % 250 AS VARCHAR) || ':' ||
+      |       CAST(p AS VARCHAR)), 1, 2)) AS BIGINT) +
+      |     CASE WHEN doc_id >= 250 AND p = 3 * (doc_id % 64) THEN 8 ELSE 0 END) % 256 * 299
+      |  + (CAST(concat('0x', substr(md5(CAST(doc_id % 250 AS VARCHAR) || ':' ||
+      |       CAST(p + 1 AS VARCHAR)), 1, 2)) AS BIGINT) +
+      |     CASE WHEN doc_id >= 250 AND p+1 = 3 * (doc_id % 64) THEN 8 ELSE 0 END) % 256 * 587
+      |  + (CAST(concat('0x', substr(md5(CAST(doc_id % 250 AS VARCHAR) || ':' ||
+      |       CAST(p + 2 AS VARCHAR)), 1, 2)) AS BIGINT) +
+      |     CASE WHEN doc_id >= 250 AND p+2 = 3 * (doc_id % 64) THEN 8 ELSE 0 END) % 256 * 114
+      |  ) // 1000 AS lum
+      | FROM cells),
+      |bits AS (
+      | SELECT a.doc_id, (a.j // 9) * 8 + (a.j % 9) AS bit
+      | FROM lum a JOIN lum b ON b.doc_id = a.doc_id AND b.j = a.j + 1
+      | WHERE a.j % 9 < 8 AND b.lum > a.lum),
+      |h AS (
+      | SELECT d.doc_id,
+      |  CAST(coalesce(sum(CASE WHEN bit = 63 THEN -9223372036854775807 - 1
+      |                         ELSE (CAST(1 AS BIGINT) << bit) END), 0) AS BIGINT) AS dhash
+      | FROM documents d LEFT JOIN bits ON bits.doc_id = d.doc_id
+      | GROUP BY d.doc_id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -2392,70 +2447,18 @@ object SparkEntry {
       """SELECT doc_id AS media_id, len(text) AS n_chars, text
         |FROM documents ORDER BY media_id""".stripMargin,
     // perceptual-hash twin: recompute the 64-bit dHash from the planting
-    // formula — channel value v(i) = (base*2654435761 + i*40503 [+8 for
-    // the perturbed channel]) % 256, 9x8 NN luminance grid (sx = 8c//9,
-    // sy = r), BT.601 integer weights, bit r*8+c set iff lum(r,c+1) >
-    // lum(r,c). Bit 63 contributes -2^63 so the signed BIGINTs agree.
+    // formula (md5-byte channel values, see imageDhashCtes) — 9x8 NN
+    // luminance grid (sx = 8c//9, sy = r), BT.601 integer weights, bit
+    // r*8+c set iff lum(r,c+1) > lum(r,c); bit 63 contributes -2^63 so
+    // the signed BIGINTs agree.
     "m_image_dhash" ->
-      """WITH cells AS (
-        | SELECT d.doc_id, t.j,
-        |  ((t.j // 9) * 8 + ((t.j % 9) * 8) // 9) * 3 AS p
-        | FROM documents d, (SELECT unnest(range(0, 72)) AS j) t),
-        |lum AS (
-        | SELECT doc_id, j,
-        |  ( (CAST(concat('0x', substr(md5(CAST(doc_id % 250 AS VARCHAR) || ':' ||
-        |       CAST(p AS VARCHAR)), 1, 2)) AS BIGINT) +
-        |     CASE WHEN doc_id >= 250 AND p = 3 * (doc_id % 64) THEN 8 ELSE 0 END) % 256 * 299
-        |  + (CAST(concat('0x', substr(md5(CAST(doc_id % 250 AS VARCHAR) || ':' ||
-        |       CAST(p + 1 AS VARCHAR)), 1, 2)) AS BIGINT) +
-        |     CASE WHEN doc_id >= 250 AND p+1 = 3 * (doc_id % 64) THEN 8 ELSE 0 END) % 256 * 587
-        |  + (CAST(concat('0x', substr(md5(CAST(doc_id % 250 AS VARCHAR) || ':' ||
-        |       CAST(p + 2 AS VARCHAR)), 1, 2)) AS BIGINT) +
-        |     CASE WHEN doc_id >= 250 AND p+2 = 3 * (doc_id % 64) THEN 8 ELSE 0 END) % 256 * 114
-        |  ) // 1000 AS lum
-        | FROM cells),
-        |bits AS (
-        | SELECT a.doc_id, (a.j // 9) * 8 + (a.j % 9) AS bit
-        | FROM lum a JOIN lum b ON b.doc_id = a.doc_id AND b.j = a.j + 1
-        | WHERE a.j % 9 < 8 AND b.lum > a.lum),
-        |h AS (
-        | SELECT d.doc_id,
-        |  CAST(coalesce(sum(CASE WHEN bit = 63 THEN -9223372036854775807 - 1
-        |                         ELSE (CAST(1 AS BIGINT) << bit) END), 0) AS BIGINT) AS dhash
-        | FROM documents d LEFT JOIN bits ON bits.doc_id = d.doc_id
-        | GROUP BY d.doc_id)
+      s"""WITH $imageDhashCtes
         |SELECT doc_id AS media_id, dhash FROM h ORDER BY media_id""".stripMargin,
     // image near-dup twin: same dHash CTEs, then the simhash-portable
     // banding spelling — four 16-bit bands (arithmetic shift + mask equals
     // logical band extraction), exact-band self-join, hamming verify <= 3
     "m_image_neardup" ->
-      """WITH cells AS (
-        | SELECT d.doc_id, t.j,
-        |  ((t.j // 9) * 8 + ((t.j % 9) * 8) // 9) * 3 AS p
-        | FROM documents d, (SELECT unnest(range(0, 72)) AS j) t),
-        |lum AS (
-        | SELECT doc_id, j,
-        |  ( (CAST(concat('0x', substr(md5(CAST(doc_id % 250 AS VARCHAR) || ':' ||
-        |       CAST(p AS VARCHAR)), 1, 2)) AS BIGINT) +
-        |     CASE WHEN doc_id >= 250 AND p = 3 * (doc_id % 64) THEN 8 ELSE 0 END) % 256 * 299
-        |  + (CAST(concat('0x', substr(md5(CAST(doc_id % 250 AS VARCHAR) || ':' ||
-        |       CAST(p + 1 AS VARCHAR)), 1, 2)) AS BIGINT) +
-        |     CASE WHEN doc_id >= 250 AND p+1 = 3 * (doc_id % 64) THEN 8 ELSE 0 END) % 256 * 587
-        |  + (CAST(concat('0x', substr(md5(CAST(doc_id % 250 AS VARCHAR) || ':' ||
-        |       CAST(p + 2 AS VARCHAR)), 1, 2)) AS BIGINT) +
-        |     CASE WHEN doc_id >= 250 AND p+2 = 3 * (doc_id % 64) THEN 8 ELSE 0 END) % 256 * 114
-        |  ) // 1000 AS lum
-        | FROM cells),
-        |bits AS (
-        | SELECT a.doc_id, (a.j // 9) * 8 + (a.j % 9) AS bit
-        | FROM lum a JOIN lum b ON b.doc_id = a.doc_id AND b.j = a.j + 1
-        | WHERE a.j % 9 < 8 AND b.lum > a.lum),
-        |h AS (
-        | SELECT d.doc_id,
-        |  CAST(coalesce(sum(CASE WHEN bit = 63 THEN -9223372036854775807 - 1
-        |                         ELSE (CAST(1 AS BIGINT) << bit) END), 0) AS BIGINT) AS dhash
-        | FROM documents d LEFT JOIN bits ON bits.doc_id = d.doc_id
-        | GROUP BY d.doc_id),
+      s"""WITH $imageDhashCtes,
         |bands AS (
         | SELECT doc_id, dhash, bb.band, (dhash >> (bb.band * 16)) & 65535 AS band_val
         | FROM h CROSS JOIN (VALUES (0),(1),(2),(3)) AS bb(band)),
@@ -2467,6 +2470,42 @@ object SparkEntry {
         |FROM cand c JOIN h ha ON ha.doc_id = c.a JOIN h hb ON hb.doc_id = c.b
         |WHERE bit_count(xor(ha.dhash, hb.dhash)) <= 3
         |ORDER BY a, b""".stripMargin,
+    // composed image-dedup twin (the d_dedup_fuzzy_portable spelling at
+    // the image level): dHash CTEs -> banded candidates -> hamming-verified
+    // pairs -> recursive-CTE connected components -> keep the highest
+    // edge-energy member per cluster (sharpest copy, id tie-break)
+    "m_image_dedup" ->
+      s"""WITH RECURSIVE
+        |$imageDhashCtes,
+        |bands AS (
+        | SELECT doc_id, dhash, bb.band, (dhash >> (bb.band * 16)) & 65535 AS band_val
+        | FROM h CROSS JOIN (VALUES (0),(1),(2),(3)) AS bb(band)),
+        |cand AS (
+        | SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        | FROM bands x JOIN bands y
+        |  ON x.band = y.band AND x.band_val = y.band_val AND x.doc_id < y.doc_id),
+        |pr AS (
+        | SELECT c.a, c.b
+        | FROM cand c JOIN h ha ON ha.doc_id = c.a JOIN h hb ON hb.doc_id = c.b
+        | WHERE bit_count(xor(ha.dhash, hb.dhash)) <= 3),
+        |edges AS (SELECT a AS x, b AS y FROM pr UNION SELECT b, a FROM pr),
+        |walk(x, y) AS (
+        | SELECT x, y FROM edges
+        | UNION
+        | SELECT w.x, e.y FROM walk w JOIN edges e ON w.y = e.x),
+        |reach AS (SELECT x, y FROM walk
+        |          UNION SELECT DISTINCT x, x FROM edges),
+        |cl AS (SELECT x AS id, min(y) AS cluster_id FROM reach GROUP BY x),
+        |sc AS (
+        | SELECT a.doc_id AS id, CAST(sum(abs(b.lum - a.lum)) AS BIGINT) AS edge_energy
+        | FROM lum a JOIN lum b ON b.doc_id = a.doc_id AND b.j = a.j + 1
+        | WHERE a.j % 9 < 8 GROUP BY a.doc_id),
+        |r AS (SELECT cl.cluster_id, cl.id, sc.edge_energy,
+        |        row_number() OVER (PARTITION BY cl.cluster_id
+        |          ORDER BY sc.edge_energy DESC, cl.id) AS rnk
+        |      FROM cl JOIN sc ON cl.id = sc.id)
+        |SELECT cluster_id, id AS keep_id, edge_energy FROM r WHERE rnk = 1
+        |ORDER BY cluster_id""".stripMargin,
     // resize twin: the planted PNG dimensions and Multimodal.fitWithin's
     // integer aspect-fit formula (never upscale; floor division on the
     // non-limiting axis, min 1; width-limited when w*maxH >= h*maxW)

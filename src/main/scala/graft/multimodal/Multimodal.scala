@@ -960,6 +960,37 @@ object Multimodal {
     * Pure integer pipeline: deterministic across engines and platforms.
     */
   def dHash64(img: PixelImage): Long = {
+    val lum = lumGrid9x8(img)
+    var h = 0L
+    var b = 0
+    while (b < 64) {
+      if (lum((b / 8) * 9 + b % 8 + 1) > lum((b / 8) * 9 + b % 8)) h |= 1L << b
+      b += 1
+    }
+    h
+  }
+
+  /** Edge energy over the same 9x8 grid: Σ |lum(r,c+1) − lum(r,c)| across
+    * the 64 dHash comparison sites — an integer contrast/detail score for
+    * canonical selection among image near-dups (keep the sharpest copy).
+    * Exactly recomputable by the oracle from planted pixels.
+    */
+  def edgeEnergy(img: PixelImage): Long = {
+    val lum = lumGrid9x8(img)
+    var e = 0L
+    var b = 0
+    while (b < 64) {
+      e += math.abs(lum((b / 8) * 9 + b % 8 + 1) - lum((b / 8) * 9 + b % 8))
+      b += 1
+    }
+    e
+  }
+
+  /** The shared 9x8 nearest-neighbor luminance grid behind [[dHash64]] and
+    * [[edgeEnergy]]: sy = r·H/8, sx = c·W/9 (integer source mapping),
+    * BT.601 integer weights, gray value directly for 1-2 channel images.
+    */
+  private def lumGrid9x8(img: PixelImage): Array[Int] = {
     val lum = new Array[Int](8 * 9)
     var r = 0
     while (r < 8) {
@@ -976,13 +1007,7 @@ object Multimodal {
       }
       r += 1
     }
-    var h = 0L
-    var b = 0
-    while (b < 64) {
-      if (lum((b / 8) * 9 + b % 8 + 1) > lum((b / 8) * 9 + b % 8)) h |= 1L << b
-      b += 1
-    }
-    h
+    lum
   }
 
   /** Per-payload perceptual hash: `(media_id, dhash)` — decode + dHash in
@@ -997,6 +1022,21 @@ object Multimodal {
       .mapPartitions(_.flatMap { case (id, bytes) =>
         decodePixels(bytes).map(img => (id, dHash64(img)))
       }).toDF("media_id", "dhash")
+  }
+
+  /** [[dHashes]] plus the [[edgeEnergy]] canonical-selection score —
+    * `(media_id, dhash, edge_energy)` in the SAME single decode pass, for
+    * the composed image-dedup pipeline (hash → pairs → clusters →
+    * keep-sharpest).
+    */
+  def dHashFeatures(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodePixels(bytes).map(img => (id, dHash64(img), edgeEnergy(img)))
+      }).toDF("media_id", "dhash", "edge_energy")
   }
 
   /** Nearest-neighbor resample: out(y,x) = in(floor(y·H/th), floor(x·W/tw)).
