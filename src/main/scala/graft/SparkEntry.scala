@@ -1006,6 +1006,54 @@ object SparkEntry {
       .orderBy(col("cluster_id"))
   }
 
+  /** Every doc carries a REAL planted mono PCM WAV, 256 + base%128 frames
+    * (base = doc_id % 250; long enough that all 65 fingerprint windows are
+    * populated), sample i = the first two md5 bytes of "a:base:i" shifted
+    * to signed 16-bit — md5 for the same reason as [[imagePayloads]]: a
+    * linear sample formula like m_frame_sample's sawtooth is locally
+    * smooth (within a clip the m_frame_sample stream spans < 1/13 of a
+    * period, and base*7 puts ALL bases within a 1750-of-65536 phase
+    * sliver), which makes window-energy comparisons monotone and
+    * collapses the fingerprint space. Docs sharing a base carry
+    * NEAR-identical audio: the high copy perturbs ONE sample by +16
+    * (wrapping), so pairs (b, b+250) land within a few fingerprint bits.
+    */
+  private def audioPayloads(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { id =>
+          val base = id % 250
+          val n = 256 + (base % 128).toInt
+          val samples = Array.tabulate[Short](n) { i =>
+            md.reset()
+            val d = md.digest(s"a:$base:$i".getBytes("UTF-8"))
+            val raw = ((d(0) & 0xFF) << 8) | (d(1) & 0xFF)
+            val pert = if (id >= 250 && i == (id % 199).toInt) 16 else 0
+            (((raw + pert) % 65536) - 32768).toShort
+          }
+          (id, graft.multimodal.Multimodal.encodeWav(8000, 1, samples))
+        }
+      }.toDF("media_id", "payload")
+  }
+
+  private def audioFingerprint(s: SparkSession, dir: String): DataFrame =
+    // 64-bit energy fingerprint per clip: decode -> 65 integer energy
+    // windows -> 64 comparison bits, one map-side pass; the oracle
+    // recomputes every window sum and bit from the planting formula
+    graft.multimodal.Multimodal.audioHashes(audioPayloads(s, dir))
+      .orderBy(col("media_id"))
+
+  private def audioNearDup(s: SparkSession, dir: String): DataFrame =
+    // audio near-dup pairs: the same 16-bit-band pigeonhole as text
+    // simhash and image dHash, over the energy fingerprint. Bucket cap
+    // explicitly OFF to mirror the oracle's uncapped self-join
+    graft.operators.Dedup.bandedHammingPairs(
+        graft.multimodal.Multimodal.audioHashes(audioPayloads(s, dir)),
+        "media_id", "ahash", maxHamming = 3, maxBucketSize = Int.MaxValue)
+      .orderBy(col("a"), col("b"))
+
   private def mediaResize(s: SparkSession, dir: String): DataFrame = {
     // every doc carries a REAL planted PNG whose dimensions vary with
     // doc_id (4..16 x 4..14 — exercising all three aspect-fit branches:
@@ -1491,6 +1539,8 @@ object SparkEntry {
     "m_image_dhash" -> (imageDhash _),
     "m_image_neardup" -> (imageNearDup _),
     "m_image_dedup" -> (imageDedup _),
+    "m_audio_fingerprint" -> (audioFingerprint _),
+    "m_audio_neardup" -> (audioNearDup _),
     "d_minhash_portable" -> (minhashPortable _),
     "d_lsh_portable_pairs" -> (lshPortablePairs _),
     "d_dedup_fuzzy_portable" -> (dedupFuzzyPortable _),
@@ -1604,6 +1654,35 @@ object SparkEntry {
       |  CAST(coalesce(sum(CASE WHEN bit = 63 THEN -9223372036854775807 - 1
       |                         ELSE (CAST(1 AS BIGINT) << bit) END), 0) AS BIGINT) AS dhash
       | FROM documents d LEFT JOIN bits ON bits.doc_id = d.doc_id
+      | GROUP BY d.doc_id)""".stripMargin
+
+  /** Shared DuckDB CTE chain for the audio fingerprint family: planted md5
+    * samples -> 65 integer energy windows -> comparison bits -> signed
+    * 64-bit hash (`ah(doc_id, ahash)`), mirroring
+    * [[graft.multimodal.Multimodal.audioHash64]] over [[audioPayloads]]'s
+    * planting exactly.
+    */
+  private val audioHashCtes: String =
+    """par AS (SELECT doc_id, doc_id % 250 AS base,
+      |        256 + (doc_id % 250) % 128 AS n FROM documents),
+      |smx AS (SELECT doc_id, base, n, unnest(range(0, n)) AS i FROM par),
+      |sm AS (
+      | SELECT doc_id, (i * 65) // n AS w,
+      |  abs(((CAST(concat('0x', substr(md5('a:' || CAST(base AS VARCHAR) || ':' ||
+      |         CAST(i AS VARCHAR)), 1, 4)) AS BIGINT) +
+      |       CASE WHEN doc_id >= 250 AND i = doc_id % 199 THEN 16 ELSE 0 END)
+      |       % 65536) - 32768) AS av
+      | FROM smx),
+      |e AS (SELECT doc_id, w, sum(av) AS ew FROM sm GROUP BY doc_id, w),
+      |abits AS (
+      | SELECT a.doc_id, a.w AS bit
+      | FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.w = a.w + 1
+      | WHERE a.w < 64 AND b.ew > a.ew),
+      |ah AS (
+      | SELECT d.doc_id,
+      |  CAST(coalesce(sum(CASE WHEN bit = 63 THEN -9223372036854775807 - 1
+      |                         ELSE (CAST(1 AS BIGINT) << bit) END), 0) AS BIGINT) AS ahash
+      | FROM documents d LEFT JOIN abits ON abits.doc_id = d.doc_id
       | GROUP BY d.doc_id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
@@ -2506,6 +2585,26 @@ object SparkEntry {
         |      FROM cl JOIN sc ON cl.id = sc.id)
         |SELECT cluster_id, id AS keep_id, edge_energy FROM r WHERE rnk = 1
         |ORDER BY cluster_id""".stripMargin,
+    // audio fingerprint twin: recompute every window-energy sum and
+    // comparison bit from the planted md5 samples (see audioHashCtes)
+    "m_audio_fingerprint" ->
+      s"""WITH $audioHashCtes
+        |SELECT doc_id AS media_id, ahash FROM ah ORDER BY media_id""".stripMargin,
+    // audio near-dup twin: the image/simhash banding spelling over the
+    // energy fingerprint
+    "m_audio_neardup" ->
+      s"""WITH $audioHashCtes,
+        |bands AS (
+        | SELECT doc_id, ahash, bb.band, (ahash >> (bb.band * 16)) & 65535 AS band_val
+        | FROM ah CROSS JOIN (VALUES (0),(1),(2),(3)) AS bb(band)),
+        |cand AS (
+        | SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        | FROM bands x JOIN bands y
+        |  ON x.band = y.band AND x.band_val = y.band_val AND x.doc_id < y.doc_id)
+        |SELECT c.a, c.b, CAST(bit_count(xor(ha.ahash, hb.ahash)) AS INT) AS hamming
+        |FROM cand c JOIN ah ha ON ha.doc_id = c.a JOIN ah hb ON hb.doc_id = c.b
+        |WHERE bit_count(xor(ha.ahash, hb.ahash)) <= 3
+        |ORDER BY a, b""".stripMargin,
     // resize twin: the planted PNG dimensions and Multimodal.fitWithin's
     // integer aspect-fit formula (never upscale; floor division on the
     // non-limiting axis, min 1; width-limited when w*maxH >= h*maxW)

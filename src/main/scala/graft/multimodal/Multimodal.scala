@@ -829,6 +829,44 @@ object Multimodal {
       (rate, channels, frames, sum)
     }
 
+  /** 64-bit audio energy fingerprint — the WAV sibling of [[dHash64]]:
+    * split the interleaved sample stream into 65 contiguous windows
+    * (integer boundaries, window of sample s = s·65/n — the same
+    * grid trick as the 9x8 luminance row), window energy = Σ |sample|
+    * (exact integer), bit b set iff e(b+1) > e(b). Re-encodes,
+    * time-shifts by a window, and amplitude scaling all preserve most
+    * bits, so hamming-banded bucketing finds near-duplicate audio the
+    * way dHash finds near-duplicate images. None for non-PCM payloads.
+    */
+  def audioHash64(bytes: Array[Byte]): Option[Long] =
+    wavInfo(bytes).map { case (_, channels, dataOff, frames) =>
+      def u16(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+      val n = frames * channels
+      val e = new Array[Long](65)
+      var s = 0
+      while (s < n) {
+        e((s.toLong * 65 / n).toInt) += math.abs(u16(dataOff + 2 * s).toShort.toLong)
+        s += 1
+      }
+      var h = 0L
+      var b = 0
+      while (b < 64) { if (e(b + 1) > e(b)) h |= 1L << b; b += 1 }
+      h
+    }
+
+  /** Per-payload audio fingerprint: `(media_id, ahash)` — decode + hash in
+    * one map-side pass; non-PCM payloads are dropped.
+    */
+  def audioHashes(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        audioHash64(bytes).map(h => (id, h))
+      }).toDF("media_id", "ahash")
+  }
+
   case class SampledMedia(media_id: Long, format: String, src_frames: Int,
                           frames: Int, rate: Int, payload: Array[Byte])
 

@@ -408,6 +408,30 @@ class MultimodalSpec extends SparkSpec {
     assert(out.length == 1 && out(0).getLong(0) == 1L && out(0).getLong(1) == ha)
   }
 
+  test("audio fingerprint: deterministic, edit-local, far for unrelated clips") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def clip(seed: Int, n: Int) = Array.tabulate[Short](n) { i =>
+      md.reset()
+      val d = md.digest(s"t:$seed:$i".getBytes("UTF-8"))
+      ((((d(0) & 0xFF) << 8) | (d(1) & 0xFF)) - 32768).toShort
+    }
+    val a = Multimodal.encodeWav(8000, 1, clip(1, 300))
+    val b = Multimodal.encodeWav(8000, 1, clip(2, 300))
+    val ha = Multimodal.audioHash64(a).get
+    assert(ha == Multimodal.audioHash64(Multimodal.encodeWav(8000, 1, clip(1, 300))).get)
+    // unrelated random clips -> far apart
+    assert(java.lang.Long.bitCount(ha ^ Multimodal.audioHash64(b).get) > 10)
+    // one-sample +16 edit -> within a few bits
+    val edited = clip(1, 300); edited(37) = (edited(37) + 16).toShort
+    val he = Multimodal.audioHash64(Multimodal.encodeWav(8000, 1, edited)).get
+    assert(java.lang.Long.bitCount(ha ^ he) <= 3)
+    // non-PCM payloads yield None; DataFrame plumbing drops them
+    assert(Multimodal.audioHash64("not audio".getBytes("UTF-8")).isEmpty)
+    val out = Multimodal.audioHashes(Seq((1L, a), (2L, "junk".getBytes("UTF-8")))
+      .toDF("media_id", "payload")).collect()
+    assert(out.length == 1 && out(0).getLong(1) == ha)
+  }
+
   test("resize clamps dimensions; frame sampling emits strided chunks") {
     val df = Seq((1L, "x" * 4000)).toDF("doc_id", "text")
     val payloads = Multimodal.withPayload(df, "doc_id", "text")
