@@ -1006,6 +1006,22 @@ object SparkEntry {
       .orderBy(col("cluster_id"))
   }
 
+  private def imageIngest(s: SparkSession, dir: String): DataFrame = {
+    // steady-state image ingest: hashes of docs < 250 are the stored
+    // index; an arriving image (>= 250) survives iff its dHash collides
+    // with NO index hash at hamming 0 (exact perceptual duplicate). With
+    // the planted +8 perturbation, survivors are exactly the arrivals
+    // whose edit flipped at least one comparison bit — a deterministic,
+    // non-trivial split the oracle recomputes from the pixel formulas.
+    val feats = graft.multimodal.Multimodal.dHashes(imagePayloads(s, dir))
+      .localCheckpoint() // consumed twice (index + batch); decode once
+    Dedup.perceptualIngest(
+        feats.filter(col("media_id") >= 250),
+        feats.filter(col("media_id") < 250),
+        "media_id", "dhash", maxHamming = 0)
+      .orderBy(col("media_id"))
+  }
+
   /** Every doc carries a REAL planted mono PCM WAV, 256 + base%128 frames
     * (base = doc_id % 250; long enough that all 65 fingerprint windows are
     * populated), sample i = the first two md5 bytes of "a:base:i" shifted
@@ -1541,6 +1557,7 @@ object SparkEntry {
     "m_image_dedup" -> (imageDedup _),
     "m_audio_fingerprint" -> (audioFingerprint _),
     "m_audio_neardup" -> (audioNearDup _),
+    "m_image_ingest" -> (imageIngest _),
     "d_minhash_portable" -> (minhashPortable _),
     "d_lsh_portable_pairs" -> (lshPortablePairs _),
     "d_dedup_fuzzy_portable" -> (dedupFuzzyPortable _),
@@ -2585,6 +2602,16 @@ object SparkEntry {
         |      FROM cl JOIN sc ON cl.id = sc.id)
         |SELECT cluster_id, id AS keep_id, edge_energy FROM r WHERE rnk = 1
         |ORDER BY cluster_id""".stripMargin,
+    // incremental image ingest twin: an arrival (>= 250) survives iff no
+    // stored hash (< 250) equals its dHash (hamming 0 = exact perceptual
+    // duplicate) — NOT EXISTS over the recomputed hash table
+    "m_image_ingest" ->
+      s"""WITH $imageDhashCtes
+        |SELECT b.doc_id AS media_id
+        |FROM h b
+        |WHERE b.doc_id >= 250 AND NOT EXISTS (
+        |  SELECT 1 FROM h i WHERE i.doc_id < 250 AND i.dhash = b.dhash)
+        |ORDER BY media_id""".stripMargin,
     // audio fingerprint twin: recompute every window-energy sum and
     // comparison bit from the planted md5 samples (see audioHashCtes)
     "m_audio_fingerprint" ->

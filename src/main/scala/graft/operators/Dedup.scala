@@ -687,6 +687,33 @@ object Dedup {
       posexplode(keys).as(Seq("band_id", "band_hash")))
   }
 
+  /** Incremental perceptual-hash ingest gate — [[lshIngest]] for 64-bit
+    * hashes (image dHash, audio fingerprints): a batch item survives iff
+    * NO stored-index hash lies within `maxHamming` of it. Candidates via
+    * the 16-bit-band pigeonhole (exact-band equi-join of batch bands
+    * against the stored index's bands — co-locatable by band value at
+    * scale, like the LSH index), then hamming-verified, then anti-joined
+    * back. Decisions depend only on the static index, so the gate is
+    * batch-split invariant (the streaming parity pin in
+    * [[graft.streaming.EventStream.streamingPerceptualIngest]]).
+    */
+  def perceptualIngest(batch: DataFrame, index: DataFrame, idCol: String,
+                       hashCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "4-band pigeonhole only guarantees recall for hamming <= 3")
+    def asBands(df: DataFrame, side: String) =
+      df.select(col(idCol).as(s"${side}_id"), col(hashCol).as(s"${side}_h"),
+        posexplode(array((0 until 4).map { b =>
+          shiftrightunsigned(col(hashCol), b * 16).bitwiseAND(lit(0xFFFFL))
+        }: _*)).as(Seq("band_id", "band_val")))
+    val hits = asBands(batch, "b")
+      .join(asBands(index, "i"), Seq("band_id", "band_val"))
+      .filter(bit_count(col("b_h").bitwiseXOR(col("i_h"))) <= maxHamming)
+      .select(col("b_id").as("id")).distinct()
+    batch.select(col(idCol))
+      .join(hits, col(idCol) === hits("id"), "left_anti")
+  }
+
   /** Incremental LSH ingest gate: which batch docs survive against a STORED
     * band index. A doc survives iff NONE of its band keys collides with the
     * index — no pair expansion at all: one semi-join of the batch's bands

@@ -178,6 +178,24 @@ object EventStream {
           batch.toDF(), indexBands, idCol, textCol, k, nBands))
     }
 
+  /** Streaming perceptual ingest — [[streamingLshIngest]] for media: image
+    * payloads stream in, each micro-batch decodes + dHashes map-side and
+    * survives only if no stored-index hash lies within `maxHamming`
+    * ([[graft.operators.Dedup.perceptualIngest]]); run per micro-batch via
+    * foreachBatch for the same reason as the LSH gate (the accepted batch
+    * must also append its hashes to the stored index inside `onBatch`).
+    * Batch-split invariant, pinned by the StreamingSpec parity test.
+    */
+  def streamingPerceptualIngest(payloads: DataFrame, indexHashes: DataFrame,
+                                maxHamming: Int = 3)
+                               (onBatch: DataFrame => Unit) =
+    payloads.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        onBatch(graft.operators.Dedup.perceptualIngest(
+          graft.multimodal.Multimodal.dHashes(batch.toDF()),
+          indexHashes, "media_id", "dhash", maxHamming))
+    }
+
   case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(count: Long, sum: Double, lastTs: Long)
   case class SessionOut(user_id: Long, n_events: Long, value_sum: Double)

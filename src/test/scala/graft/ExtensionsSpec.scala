@@ -1065,6 +1065,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming perceptual image ingest equals the batch gate") {
+    // 500 planted PNGs (md5 pixels; ids b and b+250 near-identical, the
+    // high copy perturbed by one channel): hashes of ids < 250 are the
+    // stored index, ids >= 250 stream in over uneven micro-batches.
+    // Survivors (no exact-hash duplicate in the index) must equal the
+    // batch operator on the union — batch-split invariance again.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.multimodal.Multimodal
+    import graft.operators.Dedup
+    val mdGlobal = java.security.MessageDigest.getInstance("MD5")
+    def png(id: Long): Array[Byte] = {
+      val base = id % 250
+      val px = Array.tabulate(8 * 8 * 3) { i =>
+        mdGlobal.reset()
+        mdGlobal.digest(s"$base:$i".getBytes("UTF-8"))(0)
+      }
+      if (id >= 250) {
+        val i0 = 3 * (id % 64).toInt
+        px(i0) = ((px(i0) & 0xFF) + 8).toByte
+      }
+      Multimodal.encodePng(8, 8, 3, px)
+    }
+    val all = (0L until 500L).map(id => (id, png(id)))
+    val index = Multimodal.dHashes(
+      all.take(250).toDF("media_id", "payload")).localCheckpoint()
+    val arrivals = all.drop(250)
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val survivors = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = EventStream.streamingPerceptualIngest(
+        mem.toDF().toDF("media_id", "payload"), index, maxHamming = 0) {
+      kept => survivors ++= kept.collect().map(_.getLong(0))
+    }.start()
+    try {
+      arrivals.grouped(95).foreach { c => mem.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+      val batch = Dedup.perceptualIngest(
+          Multimodal.dHashes(arrivals.toDF("media_id", "payload")), index,
+          "media_id", "dhash", maxHamming = 0)
+        .collect().map(_.getLong(0)).toSet
+      // the +8 edits split arrivals: some flip a bit (survive hamming-0),
+      // some don't (exact dup, dropped) — both classes must be non-empty
+      assert(batch.nonEmpty && batch.size < arrivals.size)
+      assert(survivors.size == survivors.toSet.size)
+      assert(survivors.toSet == batch)
+    } finally q.stop()
+  }
+
   test("streaming frozen-LM scoring equals the batch operator on sf0.01") {
     // the d_lm_score_frozen split: vocab trained on even doc_ids, odd
     // doc_ids scored — streamed scores must equal the batch operator's
