@@ -675,6 +675,14 @@ object SparkEntry {
       .orderBy(col("cluster_id"))
   }
 
+  private def gopherRulesQuery(s: SparkSession, dir: String): DataFrame =
+    // published MassiveText filter bundle over the corpus; minTokens
+    // lowered to 30 so the verdict actually splits this corpus's ~30-40
+    // token docs (the operator default keeps Gopher's 50)
+    TextAnalysis.gopherRules(t(s, dir, "documents"), "doc_id", "text",
+        minTokens = 30)
+      .orderBy(col("doc_id"))
+
   private def simhashes(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("id"))
@@ -1558,6 +1566,7 @@ object SparkEntry {
     "m_audio_fingerprint" -> (audioFingerprint _),
     "m_audio_neardup" -> (audioNearDup _),
     "m_image_ingest" -> (imageIngest _),
+    "d_gopher_rules" -> (gopherRulesQuery _),
     "d_minhash_portable" -> (minhashPortable _),
     "d_lsh_portable_pairs" -> (lshPortablePairs _),
     "d_dedup_fuzzy_portable" -> (dedupFuzzyPortable _),
@@ -2602,6 +2611,45 @@ object SparkEntry {
         |      FROM cl JOIN sc ON cl.id = sc.id)
         |SELECT cluster_id, id AS keep_id, edge_energy FROM r WHERE rnk = 1
         |ORDER BY cluster_id""".stripMargin,
+    // Gopher rule-bundle twin: the same tokenization/sum_len/stopword
+    // spellings as d_quality, plus the duplicate-preserving bigram window
+    // stream (shingle-kernel edge cases mirrored: 1 token -> one unigram
+    // window, 0 tokens -> none) collapsed to the per-doc top count; all
+    // thresholds in exact integer fixed point
+    "d_gopher_rules" ->
+      """WITH toks AS (
+        | SELECT doc_id, text,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0) AS tk
+        | FROM documents),
+        |base AS (
+        | SELECT doc_id,
+        |  CAST(len(tk) AS BIGINT) AS n_tokens,
+        |  CAST(len(replace(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ', '')) AS BIGINT) AS sum_len,
+        |  CAST(len(list_filter(tk, x -> lower(x) IN
+        |    ('the','a','an','of','to','and','in','is','it','on','for'))) AS BIGINT) AS stop_hits
+        | FROM toks),
+        |bg AS (
+        | SELECT doc_id, unnest(CASE
+        |    WHEN len(tk) >= 2 THEN list_transform(range(1, len(tk)),
+        |      i -> tk[i] || ' ' || tk[i+1])
+        |    WHEN len(tk) = 1 THEN [tk[1]]
+        |    ELSE [] END) AS g
+        | FROM toks),
+        |bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+        |top AS (SELECT doc_id, max(c) AS top_bigram_n FROM bgc GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_tokens,
+        | CAST(CASE WHEN b.n_tokens = 0 THEN 0
+        |           ELSE b.sum_len * 100 // b.n_tokens END AS BIGINT) AS mwl_x100,
+        | b.stop_hits,
+        | CAST(coalesce(t.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+        | (b.n_tokens BETWEEN 30 AND 100000
+        |  AND (CASE WHEN b.n_tokens = 0 THEN 0
+        |            ELSE b.sum_len * 100 // b.n_tokens END) BETWEEN 300 AND 1000
+        |  AND b.stop_hits >= 2
+        |  AND coalesce(t.top_bigram_n, 0) * 1000 <=
+        |      180 * greatest(b.n_tokens - 1, 1)) AS keep
+        |FROM base b LEFT JOIN top t ON t.doc_id = b.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
     // incremental image ingest twin: an arrival (>= 250) survives iff no
     // stored hash (< 250) equals its dHash (hamming 0 = exact perceptual
     // duplicate) — NOT EXISTS over the recomputed hash table

@@ -359,4 +359,49 @@ object TextAnalysis {
         count(col("c")).as("hits"),
         coalesce(sum(col("c")), lit(0L)).cast("bigint").as("familiar_mass"))
   }
+
+  /** Gopher-style quality rule bundle (Rae et al. 2021, the MassiveText
+    * filters) in EXACT integer arithmetic: word-count bounds, mean-word-
+    * length bounds (×100 fixed point), stop-word minimum, and the
+    * top-bigram repetition share (the "fraction in most common 2-gram"
+    * rule, ×1000 fixed point against `maxTopBigramX1000`). Emits the rule
+    * inputs plus the composed `keep` verdict, so a pipeline can either
+    * filter on `keep` or re-threshold downstream without recomputing.
+    *
+    * Scale shape: the scalar rules ride ONE fused [[tokenStats]] kernel
+    * pass (no re-tokenization); the bigram share is the only shuffle — a
+    * per-(doc, bigram) partial-agg'd groupBy collapsed to each doc's
+    * top-1 count. Line-based Gopher rules (bullet/ellipsis lines) are
+    * omitted: they need a line-structured corpus and would be degenerate
+    * on single-line documents.
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  minTokens: Long = 50, maxTokens: Long = 100000,
+                  minMwlX100: Long = 300, maxMwlX100: Long = 1000,
+                  minStopHits: Long = 2,
+                  maxTopBigramX1000: Long = 180): DataFrame = {
+    val base = df
+      .select(col(idCol), tokenStats(col(textCol)).as("ts"))
+      .select(col(idCol),
+        col("ts.n_tokens").cast("long").as("n_tokens"),
+        col("ts.sum_len").as("sum_len"),
+        col("ts.stop_hits").cast("long").as("stop_hits"))
+    // duplicate-preserving bigram windows (the shingle kernel is
+    // positional), collapsed to each doc's most frequent bigram count
+    val top = df
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), 2)).as("bg"))
+      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(max(col("c")).as("top_bigram_n"))
+    val mwl = when(col("n_tokens") === 0, lit(0L))
+      .otherwise(expr("sum_len * 100 div n_tokens"))
+    val tb = coalesce(col("top_bigram_n"), lit(0L))
+    base.join(top, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"), mwl.as("mwl_x100"),
+        col("stop_hits"), tb.as("top_bigram_n"),
+        (col("n_tokens").between(minTokens, maxTokens) &&
+          mwl.between(minMwlX100, maxMwlX100) &&
+          col("stop_hits") >= minStopHits &&
+          tb * 1000 <= lit(maxTopBigramX1000) *
+            greatest(col("n_tokens") - 1, lit(1L))).as("keep"))
+  }
 }

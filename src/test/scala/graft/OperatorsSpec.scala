@@ -215,6 +215,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(row.getAs[Double]("punct_ratio") == round(1.0 / 16, 4))
   }
 
+  test("gopher rules: integer rule inputs and the composed keep verdict") {
+    // "the cat sat on the mat the cat": 8 tokens, sum_len 23, mwl_x100 =
+    // 287 (< 300 -> mean-word-length rule fails), stop_hits 4 ("the" x3 +
+    // "on"), top bigram "the cat" x2 of 7 windows
+    val df = Seq(
+      (1L, "the cat sat on the mat the cat"),
+      // passes every rule at minTokens=5: 8 tokens, mwl 562, two
+      // stopwords, all 7 bigrams distinct (1000 <= 180*7)
+      (2L, "the spark engine and catalyst optimizer compile fast"),
+      // top-bigram repetition: "go go" dominates -> repetition rule fails
+      (3L, "go go go go go and the rest")).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(df, "doc_id", "text", minTokens = 5)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_tokens") == 8)
+    assert(out(0).getAs[Long]("mwl_x100") == 287) // 23*100 div 8
+    assert(out(0).getAs[Long]("stop_hits") == 4)
+    assert(out(0).getAs[Long]("top_bigram_n") == 2)
+    assert(!out(0).getAs[Boolean]("keep")) // mwl below 300
+    assert(out(1).getAs[Boolean]("keep"))
+    assert(out(2).getAs[Long]("top_bigram_n") == 4) // "go go" x4
+    assert(!out(2).getAs[Boolean]("keep")) // 4*1000 > 180*7
+  }
+
   private def round(d: Double, p: Int): Double = {
     val f = math.pow(10, p); math.round(d * f) / f
   }
