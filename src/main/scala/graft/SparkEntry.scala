@@ -532,6 +532,32 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  private def pplBuckets(s: SparkSession, dir: String): DataFrame = {
+    // CCNet-style corpus partitioning (Wenzek et al. 2019): score docs
+    // against a frozen reference LM (the d_lm_score_frozen vocab — even
+    // docs train, odd docs score), then split into head/middle/tail
+    // terciles PER LANGUAGE by integer score — the published curation
+    // move that keeps head+middle for training. Per-language ntile keeps
+    // every window on its own partition (the d_length_deciles shape, no
+    // global-sort funnel); ties break by doc_id so the split replays.
+    val d = t(s, dir, "documents")
+    val vocab = TextAnalysis.bigramVocab(
+      d.filter(col("doc_id") % 2 === 0), "doc_id", "text", vocabSize = 500)
+    val scored = TextAnalysis.lmFamiliarity(
+        d.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        vocab = Some(vocab))
+      .select(col("doc_id"),
+        expr("familiar_mass * 1000 div n_bigrams").as("score_x1000"))
+      .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(desc("score_x1000"), asc("doc_id"))
+    scored.withColumn("b", ntile(3).over(w))
+      .select(col("doc_id"), col("lang"), col("score_x1000"),
+        element_at(array(lit("head"), lit("middle"), lit("tail")),
+          col("b")).as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   private def qualityOutliersQuery(s: SparkSession, dir: String): DataFrame =
     // per-language adaptive quality gate: flag docs whose token count is
     // atypical FOR THEIR LANGUAGE, by exact integer median/MAD (low
@@ -1567,6 +1593,7 @@ object SparkEntry {
     "m_audio_neardup" -> (audioNearDup _),
     "m_image_ingest" -> (imageIngest _),
     "d_gopher_rules" -> (gopherRulesQuery _),
+    "d_ppl_buckets" -> (pplBuckets _),
     "d_minhash_portable" -> (minhashPortable _),
     "d_lsh_portable_pairs" -> (lshPortablePairs _),
     "d_dedup_fuzzy_portable" -> (dedupFuzzyPortable _),
@@ -2174,6 +2201,35 @@ object SparkEntry {
         |FROM bg LEFT JOIN vocab v USING (bigram)
         |WHERE bg.doc_id % 2 = 1
         |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin,
+    // CCNet bucketing twin: the frozen-LM score CTEs, integer fixed-point
+    // score, then per-language ntile(3) with the same deterministic
+    // (score DESC, doc_id) order — ntile is SQL-standard, so the
+    // remainder distribution matches Spark's exactly
+    "d_ppl_buckets" ->
+      """WITH tk AS (
+        | SELECT doc_id,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0) AS tk
+        | FROM documents),
+        |bg AS (
+        | SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |   i -> tk[i] || ' ' || tk[i+1])) AS bigram
+        | FROM tk WHERE len(tk) >= 2),
+        |cnt AS (SELECT bigram, count(*) AS c FROM bg
+        |        WHERE doc_id % 2 = 0 GROUP BY bigram),
+        |vocab AS (SELECT bigram, c FROM cnt ORDER BY c DESC, bigram LIMIT 500),
+        |sc AS (
+        | SELECT bg.doc_id, CAST(coalesce(sum(v.c), 0) * 1000 // count(*) AS BIGINT)
+        |   AS score_x1000
+        | FROM bg LEFT JOIN vocab v USING (bigram)
+        | WHERE bg.doc_id % 2 = 1 GROUP BY bg.doc_id),
+        |lb AS (
+        | SELECT sc.doc_id, d.lang, sc.score_x1000,
+        |  ntile(3) OVER (PARTITION BY d.lang
+        |    ORDER BY sc.score_x1000 DESC, sc.doc_id) AS b
+        | FROM sc JOIN documents d ON d.doc_id = sc.doc_id)
+        |SELECT doc_id, lang, score_x1000,
+        | CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM lb ORDER BY doc_id""".stripMargin,
     // bigram LM familiarity: occurrences of each doc's bigrams in the
     // corpus top-1000 bigram vocabulary, all exact integers
     "d_lm_familiarity" ->
