@@ -898,6 +898,33 @@ object SparkEntry {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  private def annIvfStored(s: SparkSession, dir: String): DataFrame = {
+    // exact-cosine IVF over the PHYSICAL centroid-partitioned layout:
+    // probe pruning is directory pruning (DPP on centroid_id, like the
+    // PQ re-rank store). PORTABLE spelling — coarse codebook = the 8
+    // first unit vectors, so assignment, probes, and scores are all
+    // recomputed by the DuckDB twin; the trained-codebook path is the
+    // same code with kmeansLocal seeds, gated by RecallSpec.
+    val emb = t(s, dir, "embeddings")
+    val seeds = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val unitSeeds = seeds.map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_ivfstore_$key").getAbsolutePath
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      Similarity.writeIvfStore(emb, "vec_id", "embedding", unitSeeds, path)
+    Similarity.ivfTopKStored(s.read.parquet(path),
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, coarse = unitSeeds, nprobe = 3)
+      .withColumnRenamed("rank", "rnk")
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   private def embedQuantized(s: SparkSession, dir: String): DataFrame = {
     // int8 scalar quantization round-trip: per vector, the scale, the code
     // sum, and the reconstruction L2 error — every step IEEE-deterministic
@@ -1565,6 +1592,7 @@ object SparkEntry {
     "s_ann_ivf" -> (annIvf _),
     "s_ann_pq" -> (annPq _),
     "s_ann_ivfpq" -> (annIvfPq _),
+    "s_ann_ivf_stored" -> (annIvfStored _),
     "s_embed_neardup" -> (embedNearDup _),
     "s_embed_neardup_bucketed" -> (embedNearDupBucketed _),
     "s_embed_neardup_lsh" -> (embedNearDupLsh _),
@@ -2393,6 +2421,42 @@ object SparkEntry {
         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     // IVF-PQ twin: the PQ CTE chain plus coarse assignment (8 unit seeds)
     // and nprobe=3 probe pruning before the ADC join
+    // stored-IVF twin: the ivfpq coarse CTEs (unit vectors, first-8
+    // seeded assignment, 3 probes) with exact raw-vector cosine over the
+    // probed members — no ADC, no shortlist; what the physical layout
+    // serves directly
+    "s_ann_ivf_stored" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |u AS (SELECT vec_id, v,
+        |        CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN v
+        |             ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v))) END AS vu
+        |      FROM e),
+        |cu AS (SELECT vec_id AS ccid, vu AS cvu FROM u WHERE vec_id < 8),
+        |cd AS (SELECT u.vec_id, cu.ccid,
+        |         list_sum(list_transform(range(1, 65),
+        |           i -> (u.vu[i] - cu.cvu[i]) * (u.vu[i] - cu.cvu[i]))) AS d
+        |       FROM u, cu),
+        |assign AS (SELECT vec_id, ccid FROM (
+        |             SELECT vec_id, ccid,
+        |               row_number() OVER (PARTITION BY vec_id ORDER BY d, ccid) AS rn
+        |             FROM cd) WHERE rn = 1),
+        |qprobe AS (SELECT vec_id AS q_id, ccid FROM (
+        |             SELECT vec_id, ccid,
+        |               row_number() OVER (PARTITION BY vec_id ORDER BY d, ccid) AS rn
+        |             FROM cd WHERE vec_id < 10) WHERE rn <= 3),
+        |cand AS (SELECT DISTINCT qprobe.q_id, assign.vec_id AS c_id
+        |         FROM assign JOIN qprobe ON qprobe.ccid = assign.ccid
+        |         WHERE assign.vec_id <> qprobe.q_id),
+        |rer AS (SELECT cand.q_id, cand.c_id,
+        |          list_dot_product(q.v, c.v) /
+        |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+        |        FROM cand JOIN e q ON q.vec_id = cand.q_id
+        |                  JOIN e c ON c.vec_id = cand.c_id),
+        |r AS (SELECT q_id, c_id, sim,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
+        |      FROM rer)
+        |SELECT q_id, c_id, rnk, round(sim, 4) AS sim FROM r
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     "s_ann_ivfpq" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |u AS (SELECT vec_id, v,

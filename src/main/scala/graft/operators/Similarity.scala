@@ -498,6 +498,65 @@ object Similarity {
       .withColumn("vs_part", pmod(col(idCol), lit(parts)).cast("int"))
       .write.mode("overwrite").partitionBy("vs_part").parquet(path)
 
+  /** Physical IVF layout: the corpus written ONCE partitioned by coarse
+    * centroid id (assignment on unit vectors — L2-nearest among unit
+    * vectors is cosine-nearest, seeds must be unit too). With this
+    * layout, [[ivfTopKStored]]'s probe pruning is DIRECTORY pruning: a
+    * probe touches only its centroid's partition on disk, so at 100 TB a
+    * query reads ~nprobe/C of the bytes instead of filtering them after a
+    * full scan — the "assignment doubles as the physical partitioning
+    * key" claim made physical. Write at ingest, reuse across queries.
+    */
+  def writeIvfStore(corpus: DataFrame, idCol: String, vecCol: String,
+                    coarse: Seq[Seq[Double]], path: String): Unit = {
+    val unit = normalized(
+      corpus.select(col(idCol), col(vecCol),
+        col(vecCol).cast("array<double>").as("__u")), "__u")
+    assignCentroids(unit, "__u", coarse)
+      .select(col(idCol), col(vecCol), col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+  }
+
+  /** Exact-cosine IVF over a [[writeIvfStore]] layout: each query probes
+    * its `nprobe` nearest coarse centroids and scores ONLY the store
+    * partitions those probes name — the (query, probe) pairs broadcast
+    * and the equi-join on `centroid_id` lets dynamic partition pruning
+    * skip every unprobed directory (same DPP mechanics as the PQ
+    * re-rank). Returns (q_id, c_id, rank, sim); deterministic ties by
+    * candidate id.
+    */
+  def ivfTopKStored(store: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, coarse: Seq[Seq[Double]],
+                    nprobe: Int = 3): DataFrame = {
+    import graft.functions.VectorFunctions.{dot_product, l2_squared, vector_norm}
+    val q = normalized(
+      queries.select(col(idCol).as("q_id"),
+        col(vecCol).cast("array<double>").as("q_vec"),
+        col(vecCol).cast("array<double>").as("__q_unit")),
+      "__q_unit")
+    val qdists = array(coarse.map(c =>
+      l2_squared(col("__q_unit"), array(c.map(lit): _*))): _*)
+    val probes = slice(transform(array_sort(
+      zip_with(qdists, sequence(lit(0), lit(coarse.size - 1)),
+        (d, i) => struct(d.as("d"), i.as("i")))),
+      s => s.getField("i")), 1, nprobe)
+    val qb = q.withColumn("__probe", explode(probes))
+      .withColumn("centroid_id", col("__probe").cast("int"))
+      .drop("__q_unit", "__probe")
+    val c = store.select(col(idCol).as("c_id"),
+        col(vecCol).cast("array<double>").as("c_vec"),
+        col("centroid_id").cast("int").as("centroid_id"))
+      .withColumn("c_norm", vector_norm(col("c_vec")))
+    val scored = c.join(broadcast(qb), Seq("centroid_id"))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("sim", try_divide(dot_product(col("q_vec"), col("c_vec")),
+        vector_norm(col("q_vec")) * col("c_norm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("rank"), round(col("sim"), 4).as("sim"))
+  }
+
   /** Re-rank fetch side: either the flat corpus (full scan) or a
     * [[writeVectorStore]] layout read whose `vs_part` directory column
     * lets DPP prune the fetch to the shortlist's partitions.

