@@ -1129,6 +1129,38 @@ class RecallSpec extends SparkSpec {
     assert(mean >= 0.9, s"IVF-PQ recall@5 regressed: $mean (per-query: $recalls)")
   }
 
+  test("stored-layout IVF is row-identical to flat IVF with a trained codebook") {
+    assume(new java.io.File(dir).isDirectory)
+    import org.apache.spark.sql.functions._
+    // the production path: spherical k-means coarse codebook, corpus
+    // written centroid-partitioned, probes served by DPP. Same
+    // assignment/probe/tie rules as the flat operator, so the stored
+    // path must reproduce it EXACTLY — equality, not a recall gate
+    val emb = Tables(spark, dir, "embeddings")
+    val raw = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .orderBy(pmod(xxhash64(col("vec_id")), lit(1000000007L)), col("vec_id"))
+      .limit(2048)
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val unit = raw.map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    val coarse = Similarity.kmeansLocal(unit, unit.take(8), iters = 5,
+      spherical = true)
+    val store = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_ivf_trained").getAbsolutePath
+    Similarity.writeIvfStore(emb, "vec_id", "embedding", coarse, store)
+    val stored = Similarity.ivfTopKStored(spark.read.parquet(store),
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5,
+        coarse, nprobe = 3)
+      .orderBy("q_id", "rank").collect().toSeq
+    val flat = Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, coarse, nprobe = 3)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(stored.nonEmpty && stored == flat)
+  }
+
   test("int8-quantized search keeps top-5 recall >= 0.9 vs full-precision at sf0.01") {
     assume(new java.io.File(dir).isDirectory)
     import org.apache.spark.sql.functions._
