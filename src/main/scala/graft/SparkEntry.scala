@@ -701,6 +701,30 @@ object SparkEntry {
       .orderBy(col("cluster_id"))
   }
 
+  private def dataCard(s: SparkSession, dir: String): DataFrame = {
+    // the training-corpus "data card": per (lang, source) cell plus
+    // per-lang and grand-total rollups in ONE aggregate over ONE scan —
+    // docs, token mass, distinct content fingerprints, and the exact-dup
+    // count (docs − distinct fp). All input columns are map-side (fused
+    // TokenStats + the canonical md5 fingerprint), so the only shuffle
+    // is the rollup aggregate itself; at 100 TB this is the one-pass
+    // corpus report a curation run publishes alongside the data.
+    val docs = t(s, dir, "documents").select(
+      col("lang"), col("source"),
+      TextAnalysis.tokenStats(col("text")).getField("n_tokens")
+        .cast("long").as("ntok"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+    docs.rollup(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("n_tokens"),
+        countDistinct(col("fp")).as("n_unique"),
+        (count(lit(1)) - countDistinct(col("fp"))).as("n_dups"))
+      .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+        coalesce(col("source"), lit("ALL")).as("source"),
+        col("n_docs"), col("n_tokens"), col("n_unique"), col("n_dups"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   private def gopherRulesQuery(s: SparkSession, dir: String): DataFrame =
     // published MassiveText filter bundle over the corpus; minTokens
     // lowered to 30 so the verdict actually splits this corpus's ~30-40
@@ -1622,6 +1646,7 @@ object SparkEntry {
     "m_image_ingest" -> (imageIngest _),
     "d_gopher_rules" -> (gopherRulesQuery _),
     "d_ppl_buckets" -> (pplBuckets _),
+    "d_data_card" -> (dataCard _),
     "d_minhash_portable" -> (minhashPortable _),
     "d_lsh_portable_pairs" -> (lshPortablePairs _),
     "d_dedup_fuzzy_portable" -> (dedupFuzzyPortable _),
@@ -2915,6 +2940,23 @@ object SparkEntry {
         |SELECT source, doc_id, wt AS tokens FROM c
         |WHERE cum // step > (cum - wt) // step
         |ORDER BY source, doc_id""".stripMargin,
+    // data-card twin: one rollup over the same fingerprint/token
+    // spellings as d_fingerprint/d_token_counts
+    "d_data_card" ->
+      """WITH f AS (
+        | SELECT lang, source,
+        |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |       x -> len(x) > 0)) AS BIGINT) AS ntok,
+        |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        | FROM documents)
+        |SELECT coalesce(lang, 'ALL') AS lang,
+        | coalesce(source, 'ALL') AS source,
+        | count(*) AS n_docs,
+        | CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        | CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
+        | CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_dups
+        |FROM f GROUP BY ROLLUP (lang, source)
+        |ORDER BY lang, source""".stripMargin,
     "q_grouping_sets" ->
       """SELECT coalesce(lang, 'ALL') AS lang,
         | coalesce(source, 'ALL') AS source,
