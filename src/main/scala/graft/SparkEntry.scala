@@ -859,15 +859,32 @@ object SparkEntry {
     * prunes the fetch to the shortlist's directories instead of scanning
     * the whole corpus.
     */
+  /** Cache path for an ingest-time physical layout, keyed on the SF dir,
+    * the layout config, AND the source table's modification time — a
+    * regenerated embeddings table or a changed layout parameter yields a
+    * different digest, so a stale physical layout (wrong re-rank vectors,
+    * wrong centroid assignment) can never be silently reused; the old dir
+    * just stops being referenced.
+    */
+  private def layoutPath(dir: String, kind: String, config: String): String = {
+    val src = new java.io.File(dir, "embeddings.parquet")
+    val mtime = if (src.exists()) src.lastModified().toString else "missing"
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|$config|$mtime".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_${kind}_$digest").getAbsolutePath
+  }
+
   private def vectorStore(s: SparkSession, dir: String): (DataFrame, Int) = {
     val parts = 16
-    val key = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val path = new java.io.File(
-      System.getProperty("java.io.tmpdir"), s"graft_vecstore_$key").getAbsolutePath
+    val path = layoutPath(dir, "vecstore", s"parts=$parts")
     if (!new java.io.File(path, "_SUCCESS").exists())
       Similarity.writeVectorStore(t(s, dir, "embeddings"), "vec_id", "embedding",
         path, parts)
-    (s.read.parquet(path), parts)
+    // parts comes back from the persisted layout config, not the literal
+    // above — the probe-side pmod can never drift from the physical layout
+    Similarity.readVectorStore(s, path)
   }
 
   private def annPq(s: SparkSession, dir: String): DataFrame = {
@@ -937,14 +954,44 @@ object SparkEntry {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n == 0.0) v else v.map(_ / n)
     }
-    val key = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val path = new java.io.File(
-      System.getProperty("java.io.tmpdir"), s"graft_ivfstore_$key").getAbsolutePath
+    val path = layoutPath(dir, "ivfstore", "coarse=first8unit")
     if (!new java.io.File(path, "_SUCCESS").exists())
       Similarity.writeIvfStore(emb, "vec_id", "embedding", unitSeeds, path)
     Similarity.ivfTopKStored(s.read.parquet(path),
         emb.filter(col("vec_id") < 10), "vec_id", "embedding",
         k = 5, coarse = unitSeeds, nprobe = 3)
+      .withColumnRenamed("rank", "rnk")
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  private def annIvfPqStored(s: SparkSession, dir: String): DataFrame = {
+    // IVF-PQ over the PHYSICAL stored layouts: the codes-only PQ index
+    // written once partitioned by coarse centroid (Similarity.writePqStore
+    // — no per-query corpus re-encode, the round-6 "index build inside
+    // the query path" cost closed), probe pruning as DPP directory
+    // pruning on that codes store, exact re-rank against the
+    // id-partitioned vector store. Same PORTABLE first-8/first-16 seed
+    // codebooks as annIvfPq, so this is hash-checked by the SAME oracle
+    // and pinned row-identical to the flat path by PlanAuditSpec.
+    val emb = t(s, dir, "embeddings")
+    val seeds = emb.filter(col("vec_id") < 16).orderBy(col("vec_id"))
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val unitSeeds = seeds.map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    val sub = unitSeeds.head.size / 8
+    val codebooks = (0 until 8).map(s0 =>
+      unitSeeds.map(_.slice(s0 * sub, (s0 + 1) * sub)))
+    val path = layoutPath(dir, "pqstore", "m=8,k=16,coarse=first8unit")
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      Similarity.writePqStore(emb, "vec_id", "embedding",
+        coarse = unitSeeds.take(8), codebooks, path)
+    Similarity.ivfPqTopKStored(s.read.parquet(path),
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, coarse = unitSeeds.take(8), codebooks,
+        vectorStore = vectorStore(s, dir), nprobe = 3, shortlist = 50)
       .withColumnRenamed("rank", "rnk")
       .orderBy(col("q_id"), col("rnk"))
   }
@@ -1617,6 +1664,7 @@ object SparkEntry {
     "s_ann_pq" -> (annPq _),
     "s_ann_ivfpq" -> (annIvfPq _),
     "s_ann_ivf_stored" -> (annIvfStored _),
+    "s_ann_ivfpq_stored" -> (annIvfPqStored _),
     "s_embed_neardup" -> (embedNearDup _),
     "s_embed_neardup_bucketed" -> (embedNearDupBucketed _),
     "s_embed_neardup_lsh" -> (embedNearDupLsh _),
@@ -1790,6 +1838,72 @@ object SparkEntry {
       |                         ELSE (CAST(1 AS BIGINT) << bit) END), 0) AS BIGINT) AS ahash
       | FROM documents d LEFT JOIN abits ON abits.doc_id = d.doc_id
       | GROUP BY d.doc_id)""".stripMargin
+
+  /** IVF-PQ DuckDB twin: the PQ CTE chain (16 first-row unit-sub-vector
+    * codebooks, argmin encode with index tie-break, ADC shortlist 50)
+    * plus coarse assignment over the 8 first unit vectors and nprobe=3
+    * probe pruning before the ADC join. Shared VERBATIM by
+    * `s_ann_ivfpq` (flat path: per-run encode) and `s_ann_ivfpq_stored`
+    * (codes read back from the [[graft.operators.Similarity.writePqStore]]
+    * layout) — the two Spark paths are row-identical by construction, so
+    * one twin grades both.
+    */
+  private val ivfPqTwinSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |u AS (SELECT vec_id, v,
+      |        CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN v
+      |             ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v))) END AS vu
+      |      FROM e),
+      |sub AS (SELECT s FROM generate_series(0, 7) AS t(s)),
+      |cent AS (SELECT c.vec_id AS cid, sub.s, c.vu[sub.s*8 + 1 : sub.s*8 + 8] AS cv
+      |         FROM u c, sub WHERE c.vec_id < 16),
+      |sv AS (SELECT u.vec_id, sub.s, u.vu[sub.s*8 + 1 : sub.s*8 + 8] AS sv FROM u, sub),
+      |dist AS (SELECT sv.vec_id, sv.s, cent.cid,
+      |           list_sum(list_transform(range(1, 9),
+      |             i -> (sv.sv[i] - cent.cv[i]) * (sv.sv[i] - cent.cv[i]))) AS d
+      |         FROM sv JOIN cent ON sv.s = cent.s),
+      |code AS (SELECT vec_id, s, cid AS code FROM (
+      |           SELECT vec_id, s, cid,
+      |             row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cid) AS rn
+      |           FROM dist) WHERE rn = 1),
+      |qlut AS (SELECT q.vec_id AS q_id, dist.s, dist.cid, dist.d AS pd
+      |         FROM dist JOIN u q ON dist.vec_id = q.vec_id WHERE q.vec_id < 10),
+      |cu AS (SELECT vec_id AS ccid, vu AS cvu FROM u WHERE vec_id < 8),
+      |cd AS (SELECT u.vec_id, cu.ccid,
+      |         list_sum(list_transform(range(1, 65),
+      |           i -> (u.vu[i] - cu.cvu[i]) * (u.vu[i] - cu.cvu[i]))) AS d
+      |       FROM u, cu),
+      |assign AS (SELECT vec_id, ccid FROM (
+      |             SELECT vec_id, ccid,
+      |               row_number() OVER (PARTITION BY vec_id ORDER BY d, ccid) AS rn
+      |             FROM cd) WHERE rn = 1),
+      |qprobe AS (SELECT vec_id AS q_id, ccid FROM (
+      |             SELECT vec_id, ccid,
+      |               row_number() OVER (PARTITION BY vec_id ORDER BY d, ccid) AS rn
+      |             FROM cd WHERE vec_id < 10) WHERE rn <= 3),
+      |adc AS (SELECT qprobe.q_id, code.vec_id AS c_id,
+      |          list_sum(list(qlut.pd ORDER BY qlut.s)) AS adc
+      |        FROM code
+      |        JOIN assign ON assign.vec_id = code.vec_id
+      |        JOIN qprobe ON qprobe.ccid = assign.ccid
+      |        JOIN qlut ON qlut.s = code.s AND qlut.cid = code.code
+      |                 AND qlut.q_id = qprobe.q_id
+      |        WHERE code.vec_id <> qprobe.q_id
+      |        GROUP BY qprobe.q_id, code.vec_id),
+      |short AS (SELECT q_id, c_id FROM (
+      |            SELECT q_id, c_id,
+      |              row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS srank
+      |            FROM adc) WHERE srank <= 50),
+      |rer AS (SELECT short.q_id, short.c_id,
+      |          list_dot_product(q.v, c.v) /
+      |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+      |        FROM short JOIN u q ON q.vec_id = short.q_id
+      |                   JOIN u c ON c.vec_id = short.c_id),
+      |r AS (SELECT q_id, c_id, sim,
+      |        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
+      |      FROM rer)
+      |SELECT q_id, c_id, rnk, round(sim, 4) AS sim FROM r
+      |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -2482,62 +2596,11 @@ object SparkEntry {
         |      FROM rer)
         |SELECT q_id, c_id, rnk, round(sim, 4) AS sim FROM r
         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
-    "s_ann_ivfpq" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |u AS (SELECT vec_id, v,
-        |        CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN v
-        |             ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v))) END AS vu
-        |      FROM e),
-        |sub AS (SELECT s FROM generate_series(0, 7) AS t(s)),
-        |cent AS (SELECT c.vec_id AS cid, sub.s, c.vu[sub.s*8 + 1 : sub.s*8 + 8] AS cv
-        |         FROM u c, sub WHERE c.vec_id < 16),
-        |sv AS (SELECT u.vec_id, sub.s, u.vu[sub.s*8 + 1 : sub.s*8 + 8] AS sv FROM u, sub),
-        |dist AS (SELECT sv.vec_id, sv.s, cent.cid,
-        |           list_sum(list_transform(range(1, 9),
-        |             i -> (sv.sv[i] - cent.cv[i]) * (sv.sv[i] - cent.cv[i]))) AS d
-        |         FROM sv JOIN cent ON sv.s = cent.s),
-        |code AS (SELECT vec_id, s, cid AS code FROM (
-        |           SELECT vec_id, s, cid,
-        |             row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cid) AS rn
-        |           FROM dist) WHERE rn = 1),
-        |qlut AS (SELECT q.vec_id AS q_id, dist.s, dist.cid, dist.d AS pd
-        |         FROM dist JOIN u q ON dist.vec_id = q.vec_id WHERE q.vec_id < 10),
-        |cu AS (SELECT vec_id AS ccid, vu AS cvu FROM u WHERE vec_id < 8),
-        |cd AS (SELECT u.vec_id, cu.ccid,
-        |         list_sum(list_transform(range(1, 65),
-        |           i -> (u.vu[i] - cu.cvu[i]) * (u.vu[i] - cu.cvu[i]))) AS d
-        |       FROM u, cu),
-        |assign AS (SELECT vec_id, ccid FROM (
-        |             SELECT vec_id, ccid,
-        |               row_number() OVER (PARTITION BY vec_id ORDER BY d, ccid) AS rn
-        |             FROM cd) WHERE rn = 1),
-        |qprobe AS (SELECT vec_id AS q_id, ccid FROM (
-        |             SELECT vec_id, ccid,
-        |               row_number() OVER (PARTITION BY vec_id ORDER BY d, ccid) AS rn
-        |             FROM cd WHERE vec_id < 10) WHERE rn <= 3),
-        |adc AS (SELECT qprobe.q_id, code.vec_id AS c_id,
-        |          list_sum(list(qlut.pd ORDER BY qlut.s)) AS adc
-        |        FROM code
-        |        JOIN assign ON assign.vec_id = code.vec_id
-        |        JOIN qprobe ON qprobe.ccid = assign.ccid
-        |        JOIN qlut ON qlut.s = code.s AND qlut.cid = code.code
-        |                 AND qlut.q_id = qprobe.q_id
-        |        WHERE code.vec_id <> qprobe.q_id
-        |        GROUP BY qprobe.q_id, code.vec_id),
-        |short AS (SELECT q_id, c_id FROM (
-        |            SELECT q_id, c_id,
-        |              row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS srank
-        |            FROM adc) WHERE srank <= 50),
-        |rer AS (SELECT short.q_id, short.c_id,
-        |          list_dot_product(q.v, c.v) /
-        |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
-        |        FROM short JOIN u q ON q.vec_id = short.q_id
-        |                   JOIN u c ON c.vec_id = short.c_id),
-        |r AS (SELECT q_id, c_id, sim,
-        |        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
-        |      FROM rer)
-        |SELECT q_id, c_id, rnk, round(sim, 4) AS sim FROM r
-        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "s_ann_ivfpq" -> ivfPqTwinSql,
+    // the stored-layout composition (writePqStore codes + DPP probe
+    // pruning + vector-store re-rank) is row-identical to the flat
+    // ivfPqTopK by construction — the SAME CTE twin grades both
+    "s_ann_ivfpq_stored" -> ivfPqTwinSql,
     "d_ngram_jaccard" ->
       """WITH sh AS (
         | SELECT doc_id,

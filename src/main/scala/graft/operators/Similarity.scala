@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -429,23 +429,32 @@ object Similarity {
     */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
                codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val u = normalized(
+      df.select(col(idCol), col(vecCol).cast("array<double>").as("__pq_unit")),
+      "__pq_unit")
+    u.withColumn("pq_codes", pqCodesExpr(col("__pq_unit"), codebooks))
+      .drop("__pq_unit")
+  }
+
+  /** The m-code PQ assignment expression over an already-unit-normalized
+    * vector column — shared by [[pqEncode]] (query-path encode) and
+    * [[writePqStore]] (ingest-time encode) so both paths are
+    * bit-identical by construction. Argmin with index tie-break: sort
+    * (distance, index) structs.
+    */
+  private def pqCodesExpr(u: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
     import graft.functions.VectorFunctions.l2_squared
     val m = codebooks.size
     val k = codebooks.head.size
     val sub = codebooks.head.head.size
-    val u = normalized(
-      df.select(col(idCol), col(vecCol).cast("array<double>").as("__pq_unit")),
-      "__pq_unit")
-    val codes = array((0 until m).map { s =>
-      val sv = slice(col("__pq_unit"), s * sub + 1, sub)
+    array((0 until m).map { s =>
+      val sv = slice(u, s * sub + 1, sub)
       val dists = array(codebooks(s).map(c =>
         l2_squared(sv, array(c.map(lit): _*))): _*)
-      // argmin with index tie-break: sort (distance, index) structs
       transform(array_sort(zip_with(dists, sequence(lit(0), lit(k - 1)),
         (d, i) => struct(d.as("d"), i.as("i")))),
         st => st.getField("i"))(0)
     }: _*)
-    u.withColumn("pq_codes", codes).drop("__pq_unit")
   }
 
   /** ADC top-k over a PQ index with exact re-rank.
@@ -493,10 +502,32 @@ object Similarity {
     * every query (same contract as [[Layout.writeBucketed]]).
     */
   def writeVectorStore(corpus: DataFrame, idCol: String, vecCol: String,
-                       path: String, parts: Int = 64): Unit =
+                       path: String, parts: Int = 64): Unit = {
     corpus.select(col(idCol), col(vecCol))
       .withColumn("vs_part", pmod(col(idCol), lit(parts)).cast("int"))
       .write.mode("overwrite").partitionBy("vs_part").parquet(path)
+    // persist the layout config INSIDE the store: the re-rank derives
+    // vs_part on the probe side with pmod(id, parts), so a caller pairing
+    // the store with a different `parts` would silently match nothing.
+    // Readers go through [[readVectorStore]], which returns the written
+    // value; the `_`-prefixed subdir is invisible to the parquet file
+    // listing, so the store itself reads clean.
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq(parts).toDF("parts").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_graft_layout")
+  }
+
+  /** Open a [[writeVectorStore]] layout, returning the store frame AND
+    * the `parts` it was written with (read from the persisted layout
+    * config — never caller-supplied, so probe-side partition derivation
+    * cannot drift from the physical layout). Fails loudly on a store
+    * written without layout metadata.
+    */
+  def readVectorStore(spark: SparkSession, path: String): (DataFrame, Int) = {
+    val parts = spark.read.parquet(s"$path/_graft_layout").head().getInt(0)
+    (spark.read.parquet(path), parts)
+  }
 
   /** Physical IVF layout: the corpus written ONCE partitioned by coarse
     * centroid id (assignment on unit vectors — L2-nearest among unit
@@ -515,6 +546,87 @@ object Similarity {
     assignCentroids(unit, "__u", coarse)
       .select(col(idCol), col(vecCol), col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+  }
+
+  /** Physical PQ layout: the codes-only index written ONCE at ingest —
+    * (id, pq_codes, centroid_id) partitioned by coarse centroid id; the
+    * [[writeIvfStore]] pattern carrying PQ codes instead of raw vectors.
+    * This closes the last index-build-inside-the-query-path cost:
+    * [[pqTopK]]/[[ivfPqTopK]] re-encode the whole corpus per run, while
+    * a [[ivfPqTopKStored]] query reads this store — a few bytes per row
+    * — with probe pruning as DIRECTORY pruning, and fetches exact
+    * vectors only for shortlist survivors from the id-partitioned
+    * [[writeVectorStore]]. At 100 TB the per-query read is
+    * ~nprobe/C of a codes-only table plus |Q|·shortlist vector rows.
+    * Encoding happens exactly once, at ingest, via the same
+    * [[pqCodesExpr]]/[[assignCentroids]] kernels as the query path, so
+    * stored and flat paths are bit-identical by construction.
+    */
+  def writePqStore(corpus: DataFrame, idCol: String, vecCol: String,
+                   coarse: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
+                   path: String): Unit = {
+    val unit = normalized(
+      corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__u")),
+      "__u")
+    assignCentroids(unit, "__u", coarse)
+      .select(col(idCol), pqCodesExpr(col("__u"), codebooks).as("pq_codes"),
+        col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+  }
+
+  /** IVF-PQ over a [[writePqStore]] codes layout + a [[writeVectorStore]]
+    * re-rank layout: probes explode on the broadcast query side and
+    * equi-join the store's `centroid_id` partition column — dynamic
+    * partition pruning skips every unprobed codes directory (the
+    * [[ivfTopKStored]] mechanics; [[ivfPqTopK]]'s `array_contains` probe
+    * predicate is non-equi and cannot prune). ADC scoring, shortlist,
+    * and the DPP-pruned exact re-rank are unchanged, so the result is
+    * row-identical to [[ivfPqTopK]] with the same codebooks
+    * (PlanAuditSpec pins both the pruning and the equality).
+    */
+  def ivfPqTopKStored(store: DataFrame, queries: DataFrame, idCol: String,
+                      vecCol: String, k: Int, coarse: Seq[Seq[Double]],
+                      codebooks: Seq[Seq[Seq[Double]]],
+                      vectorStore: (DataFrame, Int), nprobe: Int = 3,
+                      shortlist: Int = 50): DataFrame = {
+    import graft.functions.VectorFunctions.l2_squared
+    val m = codebooks.size
+    val sub = codebooks.head.head.size
+    val q = normalized(
+      queries.select(col(idCol).as("q_id"),
+        col(vecCol).cast("array<double>").as("q_vec"),
+        col(vecCol).cast("array<double>").as("__q_unit")),
+      "__q_unit")
+    val qdists = array(coarse.map(c =>
+      l2_squared(col("__q_unit"), array(c.map(lit): _*))): _*)
+    val probes = slice(transform(array_sort(
+      zip_with(qdists, sequence(lit(0), lit(coarse.size - 1)),
+        (d, i) => struct(d.as("d"), i.as("i")))),
+      s => s.getField("i")), 1, nprobe)
+    val lut = array((0 until m).map { s =>
+      val qs = slice(col("__q_unit"), s * sub + 1, sub)
+      array(codebooks(s).map(c =>
+        l2_squared(qs, array(c.map(lit): _*))): _*)
+    }: _*)
+    val qb = q.withColumn("q_lut", lut)
+      .withColumn("__probe", explode(probes))
+      .withColumn("centroid_id", col("__probe").cast("int"))
+      .drop("__q_unit", "__probe")
+    val c = store.select(col(idCol).as("c_id"), col("pq_codes"),
+      col("centroid_id").cast("int").as("centroid_id"))
+    val adc = (0 until m).map(s =>
+      element_at(element_at(col("q_lut"), s + 1),
+        element_at(col("pq_codes"), s + 1) + 1)).reduce(_ + _)
+    val scored = c.join(broadcast(qb), Seq("centroid_id"))
+      .filter(col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"), adc.as("adc"), col("q_vec"))
+    val wShort = Window.partitionBy(col("q_id")).orderBy(asc("adc"), asc("c_id"))
+    val short = scored.withColumn("srank", row_number().over(wShort))
+      .filter(col("srank") <= shortlist)
+      .select(col("q_id"), col("c_id"), col("q_vec"))
+    // the store is codes-only; `store` fills the (unused) flat-corpus slot
+    // — the re-rank always reads the id-partitioned vector store here
+    rerankTopK(short, store, idCol, vecCol, k, Some(vectorStore))
   }
 
   /** Exact-cosine IVF over a [[writeIvfStore]] layout: each query probes

@@ -48,6 +48,10 @@ class PlanAuditSpec extends SparkSpec {
     val store = new java.io.File(
       System.getProperty("java.io.tmpdir"), "graft_vs_audit").getAbsolutePath
     Similarity.writeVectorStore(emb, "vec_id", "embedding", store, parts = 8)
+    // parts round-trips through the persisted layout config — a reader
+    // can never pair the store with a wrong modulus
+    val vs = Similarity.readVectorStore(spark, store)
+    assert(vs._2 == 8)
     val seeds = emb.filter(col("vec_id") < 16).orderBy(col("vec_id"))
       .select(col("embedding").cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toSeq).toSeq
@@ -55,7 +59,7 @@ class PlanAuditSpec extends SparkSpec {
     val codebooks = (0 until 8).map(s0 => seeds.map(_.slice(s0 * sub, (s0 + 1) * sub)))
     val df = Similarity.pqTopK(emb, emb.filter(col("vec_id") < 3),
       "vec_id", "embedding", k = 3, codebooks, shortlist = 10,
-      vectorStore = Some((spark.read.parquet(store), 8)))
+      vectorStore = Some(vs))
     val p = plan(df)
     // the fetch scan carries a dynamic pruning filter on vs_part: the
     // shortlist broadcast is reused to skip directories with no survivor
@@ -92,9 +96,60 @@ class PlanAuditSpec extends SparkSpec {
     assert(storeScan.nonEmpty, p)
     assert(storeScan.exists(_.contains("dynamicpruning")),
       s"stored-IVF scan not DPP-pruned:\n${storeScan.mkString("\n")}")
-    // and each query's top-k from the pruned path matches scoring only
-    // the probed buckets of the flat corpus (semantics, not just shape)
-    assert(df.count() == 9) // 3 queries x k=3 on this corpus
+    // semantics, not just shape: the DPP-pruned stored path must return
+    // EXACTLY the rows the flat in-query IVF computes with the same
+    // codebook and probe count — a pruning bug that returned the right
+    // COUNT of wrong rows would fail here
+    val flat = Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 3),
+      "vec_id", "embedding", k = 3, unit, nprobe = 2)
+    assert(df.orderBy("q_id", "rank").collect().toSeq ==
+      flat.orderBy("q_id", "rank").collect().toSeq)
+  }
+
+  test("stored IVF-PQ: codes scan is DPP-pruned; rows identical to the flat path") {
+    val emb = Tables(spark, dir, "embeddings")
+    val seeds = emb.filter(col("vec_id") < 16).orderBy(col("vec_id"))
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val unit = seeds.map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    val sub = unit.head.size / 8
+    val codebooks = (0 until 8).map(s0 => unit.map(_.slice(s0 * sub, (s0 + 1) * sub)))
+    val pqStore = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_pq_audit").getAbsolutePath
+    val vsStore = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_pq_audit_vs").getAbsolutePath
+    Similarity.writePqStore(emb, "vec_id", "embedding",
+      coarse = unit.take(8), codebooks, pqStore)
+    Similarity.writeVectorStore(emb, "vec_id", "embedding", vsStore, parts = 8)
+    val df = Similarity.ivfPqTopKStored(spark.read.parquet(pqStore),
+      emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 3,
+      coarse = unit.take(8), codebooks,
+      vectorStore = Similarity.readVectorStore(spark, vsStore),
+      nprobe = 2, shortlist = 10)
+    val p = plan(df)
+    // BOTH stored scans prune dynamically: the codes store on its
+    // centroid_id directories (probe pruning) and the vector store on
+    // vs_part (re-rank fetch)
+    val codesScan = p.linesIterator.filter(l =>
+      l.contains("FileScan") && l.contains("pq_codes")).toSeq
+    assert(codesScan.nonEmpty, p)
+    assert(codesScan.exists(_.contains("dynamicpruning")),
+      s"stored-PQ codes scan not DPP-pruned:\n${codesScan.mkString("\n")}")
+    val vsScan = p.linesIterator.filter(l =>
+      l.contains("FileScan") && l.contains("vs_part")).toSeq
+    assert(vsScan.exists(_.contains("dynamicpruning")),
+      s"re-rank store scan not DPP-pruned:\n${vsScan.mkString("\n")}")
+    // row-identical to the flat path (per-run encode, array_contains
+    // probing) — the ingest-time encode cannot drift from the query-time
+    // encode because both run the same pqCodesExpr/assignCentroids kernels
+    val flat = Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 3),
+      "vec_id", "embedding", k = 3, coarse = unit.take(8), codebooks,
+      nprobe = 2, shortlist = 10)
+    assert(df.orderBy("q_id", "rank").collect().toSeq ==
+      flat.orderBy("q_id", "rank").collect().toSeq)
   }
 
   test("brute-force ANN broadcasts the query side; corpus is never shuffled before the join") {
