@@ -306,6 +306,29 @@ object SparkEntry {
     TextAnalysis.quality(t(s, dir, "documents"), "text", Seq("doc_id"))
       .orderBy(col("doc_id"))
 
+  private def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+    // REAL learned-subword training (vs d_token_counts' documented
+    // ceil(len/4) proxy): 6 exact BPE merge rounds over the corpus
+    // word-frequency dictionary. The corpus is scanned once (the
+    // dictionary groupBy); each round is one dictionary-side pair-count
+    // groupBy + a 1-row winner collect. The oracle unrolls the rounds as
+    // chained CTEs (the d_link_rank style) and recomputes every pair
+    // count, winner, and merge application bit-exactly.
+    import s.implicits._
+    val (merges, _) = Bpe.train(t(s, dir, "documents"), "text", rounds = 6)
+    merges.toDF().orderBy(col("rnk"))
+  }
+
+  private def bpeTokens(s: SparkSession, dir: String): DataFrame = {
+    // re-tokenization under the learned merges: corpus word stream joined
+    // against the trained dictionary's final segmentation (every corpus
+    // word is in the dictionary, so the join is lossless); per-doc word
+    // and subword counts, both exact integers
+    val docs = t(s, dir, "documents")
+    val (_, dict) = Bpe.train(docs, "text", rounds = 6)
+    Bpe.subwordCounts(docs, "doc_id", "text", dict).orderBy(col("doc_id"))
+  }
+
   private def fingerprints(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -1628,6 +1651,8 @@ object SparkEntry {
     "q_session_window" -> (sessionWindowRollup _),
     "d_dedup_exact" -> (dedupExact _),
     "d_token_counts" -> (tokenCounts _),
+    "d_bpe_train" -> (bpeTrain _),
+    "d_bpe_tokens" -> (bpeTokens _),
     "d_quality" -> (qualityScores _),
     "d_fingerprint" -> (fingerprints _),
     "d_lang_scores" -> (langScores _),
@@ -1905,6 +1930,57 @@ object SparkEntry {
       |SELECT q_id, c_id, rnk, round(sim, 4) AS sim FROM r
       |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
 
+  /** One unrolled BPE round for the `d_bpe_train` / `d_bpe_tokens` twins
+    * (the `d_link_rank` chained-CTE style, with DuckDB `MATERIALIZED`
+    * hints so the per-round references don't re-inline exponentially):
+    * pair counts over the previous dictionary state → deterministic
+    * winner (count DESC, a, b) → greedy left-to-right non-overlapping
+    * merge application, spelled positionally — mark matching pairs, and
+    * within each run of CONSECUTIVE matches (only possible when a == b)
+    * keep every other one (gaps-and-islands parity), which is exactly
+    * the Spark-side fold's semantics.
+    */
+  private def bpeRoundCte(r: Int): String = {
+    val p = s"s${r - 1}"
+    s"""p$r AS (
+       |  SELECT s.syms[t.i] AS a, s.syms[t.i+1] AS b, sum(s.f) AS c
+       |  FROM $p s, unnest(range(1, len(s.syms))) AS t(i)
+       |  GROUP BY 1, 2),
+       |win$r AS MATERIALIZED (SELECT a, b, c FROM p$r ORDER BY c DESC, a, b LIMIT 1),
+       |m$r AS MATERIALIZED (
+       |  SELECT s.w, s.f, t.i, s.syms[t.i] AS x, win.a AS wa, win.b AS wb,
+       |    CASE WHEN t.i < len(s.syms) AND s.syms[t.i] = win.a AND s.syms[t.i+1] = win.b
+       |         THEN 1 ELSE 0 END AS hit
+       |  FROM $p s CROSS JOIN win$r win, unnest(range(1, len(s.syms) + 1)) AS t(i)),
+       |h$r AS (
+       |  SELECT w, i, i - row_number() OVER (PARTITION BY w ORDER BY i) AS isl
+       |  FROM m$r WHERE hit = 1),
+       |keep$r AS MATERIALIZED (
+       |  SELECT w, i FROM (
+       |    SELECT w, i, min(i) OVER (PARTITION BY w, isl) AS i0 FROM h$r)
+       |  WHERE (i - i0) % 2 = 0),
+       |s$r AS MATERIALIZED (
+       |  SELECT m.w, min(m.f) AS f,
+       |    list(CASE WHEN k.i IS NOT NULL THEN m.wa || m.wb ELSE m.x END ORDER BY m.i) AS syms
+       |  FROM m$r m
+       |  LEFT JOIN keep$r k ON k.w = m.w AND k.i = m.i
+       |  LEFT JOIN keep$r pk ON pk.w = m.w AND pk.i = m.i - 1
+       |  WHERE pk.i IS NULL
+       |  GROUP BY m.w)""".stripMargin
+  }
+
+  /** Shared WITH-prefix of the BPE twins: tokenize → word-frequency
+    * dictionary → character symbols → 6 unrolled merge rounds.
+    */
+  private val bpeChainSql: String =
+    s"""WITH tk AS (SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |             x -> len(x) > 0) AS tks FROM documents),
+       |wf AS (SELECT w, count(*) AS f FROM (SELECT unnest(tks) AS w FROM tk) GROUP BY w),
+       |s0 AS MATERIALIZED (SELECT w, f,
+       |  list_transform(range(1, len(w) + 1), i -> substr(w, CAST(i AS INT), 1)) AS syms
+       |  FROM wf),
+       |${(1 to 6).map(bpeRoundCte).mkString(",\n")}""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -2104,6 +2180,23 @@ object SparkEntry {
         |FROM documents
         |GROUP BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
         |ORDER BY keep_id""".stripMargin,
+    // learned BPE: the 6-round merge table (rank, pair, exact weighted
+    // count) and the per-doc re-tokenization under those merges — every
+    // round's pair counts, winner, and merge application recomputed by
+    // the unrolled CTE chain
+    "d_bpe_train" ->
+      (bpeChainSql + "\nSELECT rnk, a, b, CAST(c AS BIGINT) AS c FROM (\n" +
+        (1 to 6).map(r => s"SELECT $r AS rnk, a, b, c FROM win$r")
+          .mkString("\nUNION ALL ") + ")\nORDER BY rnk"),
+    "d_bpe_tokens" ->
+      (bpeChainSql + """,
+        |dw AS (SELECT doc_id, unnest(list_filter(
+        |         regexp_split_to_array(lower(trim(text)), '\s+'),
+        |         x -> len(x) > 0)) AS w FROM documents)
+        |SELECT dw.doc_id, count(*) AS n_words,
+        |  CAST(sum(len(s6.syms)) AS BIGINT) AS n_subwords
+        |FROM dw JOIN s6 ON s6.w = dw.w
+        |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin),
     "d_token_counts" ->
       """SELECT doc_id,
         | len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0)) AS n_tokens,

@@ -659,6 +659,47 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("merge fold is greedy left-to-right non-overlapping") {
+    val runs = Seq((1L, Seq("a", "a", "a")), (2L, Seq("a", "a", "a", "a")))
+      .toDF("id", "syms")
+      .select(col("id"), Bpe.applyMerge(col("syms"), "a", "a").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // run of equal symbols: every other pair merges, left to right
+    assert(runs(1L) == Seq("aa", "a"))
+    assert(runs(2L) == Seq("aa", "aa"))
+    val mixed = Seq((3L, Seq("x", "a", "b", "a", "b"))).toDF("id", "syms")
+      .select(Bpe.applyMerge(col("syms"), "a", "b").as("m"))
+      .head().getSeq[String](0)
+    assert(mixed == Seq("x", "ab", "ab"))
+  }
+
+  test("train learns deterministic merges and final segmentation on a toy corpus") {
+    // the classic BPE walkthrough corpus: low x3, lower x1, lowest x1
+    val docs = Seq((1L, "low lower lowest low low")).toDF("doc_id", "text")
+    val (merges, dict) = Bpe.train(docs, "text", rounds = 4)
+    // round 1: (l,o) and (o,w) tie at 5 -> lexicographic a breaks to (l,o);
+    // round 4: three pairs tie at 1 -> ("lowe","r") wins on (a, b) order
+    assert(merges == Seq(
+      Bpe.Merge(1, "l", "o", 5L), Bpe.Merge(2, "lo", "w", 5L),
+      Bpe.Merge(3, "low", "e", 2L), Bpe.Merge(4, "lowe", "r", 1L)))
+    val segs = dict.collect()
+      .map(r => r.getAs[String]("w") -> r.getAs[Seq[String]]("syms")).toMap
+    assert(segs == Map(
+      "low" -> Seq("low"), "lower" -> Seq("lower"),
+      "lowest" -> Seq("lowe", "s", "t")))
+    // re-tokenization: 3 words -> 1 + 1 + 3 learned subword pieces
+    val counts = Bpe.subwordCounts(
+        Seq((7L, "low lower lowest")).toDF("doc_id", "text"),
+        "doc_id", "text", dict)
+      .head()
+    assert(counts.getAs[Long]("n_words") == 3L)
+    assert(counts.getAs[Long]("n_subwords") == 5L)
+  }
+}
+
 class TextPipelineSpec extends SparkSpec {
   import spark.implicits._
   import org.apache.spark.sql.functions.col
