@@ -756,6 +756,32 @@ object SparkEntry {
         minTokens = 30)
       .orderBy(col("doc_id"))
 
+  private def gopherLinesQuery(s: SparkSession, dir: String): DataFrame = {
+    // line-structured fixture derived deterministically from the
+    // single-line documents corpus: L = 3 + doc_id % 4 words per line,
+    // with planted boilerplate-repeat lines ((doc_id + i) % 6 == 0,
+    // checked first), bullet lines (% 5 == 0) and ellipsis lines
+    // (% 7 == 0) — every construction rule is integer arithmetic the
+    // oracle recomputes verbatim before re-deriving the line rules.
+    val L = lit(3) + pmod(col("doc_id"), lit(4))
+    val tk = filter(split(trim(col("text")), "\\s+"), x => length(x) > 0)
+    val nLines = ((size(col("tk")) + L - lit(1)) / L).cast("int")
+    val lined = t(s, dir, "documents")
+      .select(col("doc_id"), tk.as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"),
+        array_join(transform(sequence(lit(1), nLines), i => {
+          val words = concat_ws(" ", slice(col("tk"), (i - lit(1)) * L + lit(1), L))
+          when(pmod(col("doc_id") + i, lit(6)) === 0,
+              lit("repeated boilerplate line"))
+            .when(pmod(col("doc_id") + i, lit(5)) === 0, concat(lit("- "), words))
+            .when(pmod(col("doc_id") + i, lit(7)) === 0, concat(words, lit(" ...")))
+            .otherwise(words)
+        }), "\n").as("text"))
+    TextAnalysis.gopherLineRules(lined, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   private def simhashes(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("id"))
@@ -1718,6 +1744,7 @@ object SparkEntry {
     "m_audio_neardup" -> (audioNearDup _),
     "m_image_ingest" -> (imageIngest _),
     "d_gopher_rules" -> (gopherRulesQuery _),
+    "d_gopher_lines" -> (gopherLinesQuery _),
     "d_ppl_buckets" -> (pplBuckets _),
     "d_data_card" -> (dataCard _),
     "d_minhash_portable" -> (minhashPortable _),
@@ -2951,6 +2978,38 @@ object SparkEntry {
         |      180 * greatest(b.n_tokens - 1, 1)) AS keep
         |FROM base b LEFT JOIN top t ON t.doc_id = b.doc_id
         |ORDER BY b.doc_id""".stripMargin,
+    // line-structured Gopher twin: rebuild the planted line fixture from
+    // the same integer rules (L words per line, boilerplate-repeat %6
+    // first, bullet %5, ellipsis %7), then recount bullet/ellipsis/
+    // duplicate lines and the fixed-point keep verdict
+    "d_gopher_lines" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0) AS tk
+        | FROM documents),
+        |base AS (SELECT doc_id, tk, 3 + doc_id % 4 AS L FROM toks WHERE len(tk) > 0),
+        |lines AS (
+        | SELECT doc_id, t.i,
+        |  CASE WHEN (doc_id + t.i) % 6 = 0 THEN 'repeated boilerplate line'
+        |       WHEN (doc_id + t.i) % 5 = 0
+        |         THEN '- ' || array_to_string(tk[(t.i-1)*L+1 : (t.i-1)*L+L], ' ')
+        |       WHEN (doc_id + t.i) % 7 = 0
+        |         THEN array_to_string(tk[(t.i-1)*L+1 : (t.i-1)*L+L], ' ') || ' ...'
+        |       ELSE array_to_string(tk[(t.i-1)*L+1 : (t.i-1)*L+L], ' ') END AS line
+        | FROM base, unnest(range(1, (len(tk) + L - 1) // L + 1)) AS t(i)),
+        |agg AS (
+        | SELECT doc_id, count(*) AS n_lines,
+        |  sum(CASE WHEN line LIKE '- %' OR line LIKE '* %' THEN 1 ELSE 0 END) AS n_bullet,
+        |  sum(CASE WHEN line LIKE '%...' THEN 1 ELSE 0 END) AS n_ellipsis,
+        |  count(*) - count(DISTINCT line) AS n_dup
+        | FROM lines GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+        | CAST(n_bullet AS BIGINT) AS n_bullet,
+        | CAST(n_ellipsis AS BIGINT) AS n_ellipsis,
+        | CAST(n_dup AS BIGINT) AS n_dup,
+        | (n_bullet * 100 <= 90 * n_lines AND n_ellipsis * 100 <= 30 * n_lines
+        |  AND n_dup * 100 <= 30 * n_lines) AS keep
+        |FROM agg ORDER BY doc_id""".stripMargin,
     // incremental image ingest twin: an arrival (>= 250) survives iff no
     // stored hash (< 250) equals its dHash (hamming 0 = exact perceptual
     // duplicate) — NOT EXISTS over the recomputed hash table

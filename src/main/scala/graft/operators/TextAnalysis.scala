@@ -375,6 +375,37 @@ object TextAnalysis {
     * omitted: they need a line-structured corpus and would be degenerate
     * on single-line documents.
     */
+  /** Line-structured Gopher rules — the MassiveText bullet-line /
+    * ellipsis-line / duplicate-line filters [[gopherRules]] documents as
+    * omitted (they need a corpus with real newlines): per document, how
+    * many lines start with a bullet marker ("- " / "* "), end in an
+    * ellipsis, or duplicate another line of the SAME document, plus the
+    * composed keep verdict at the published thresholds (90% bullet, 30%
+    * ellipsis; 30% duplicate-line, the repetition-family bound).
+    *
+    * Scale shape: ENTIRELY map-side — the lines live in a per-row array
+    * and every statistic is a higher-order filter/distinct over it; no
+    * explode, no shuffle, no line-frequency table (in-doc duplication
+    * only — CROSS-doc line dedup is [[Dedup.lineDedupStats]]). Exact
+    * integer fixed-point (×100) comparisons, so verdicts hash
+    * identically in any engine.
+    */
+  def gopherLineRules(df: DataFrame, idCol: String, textCol: String,
+                      maxBulletX100: Long = 90, maxEllipsisX100: Long = 30,
+                      maxDupLineX100: Long = 30): DataFrame =
+    df.select(col(idCol), split(col(textCol), "\n").as("__ls"))
+      .select(col(idCol),
+        size(col("__ls")).cast("long").as("n_lines"),
+        size(filter(col("__ls"),
+          l => l.startsWith("- ") || l.startsWith("* "))).cast("long").as("n_bullet"),
+        size(filter(col("__ls"), l => l.endsWith("..."))).cast("long").as("n_ellipsis"),
+        (size(col("__ls")) - size(array_distinct(col("__ls"))))
+          .cast("long").as("n_dup"))
+      .withColumn("keep",
+        col("n_bullet") * 100 <= lit(maxBulletX100) * col("n_lines") &&
+          col("n_ellipsis") * 100 <= lit(maxEllipsisX100) * col("n_lines") &&
+          col("n_dup") * 100 <= lit(maxDupLineX100) * col("n_lines"))
+
   def gopherRules(df: DataFrame, idCol: String, textCol: String,
                   minTokens: Long = 50, maxTokens: Long = 100000,
                   minMwlX100: Long = 300, maxMwlX100: Long = 1000,
