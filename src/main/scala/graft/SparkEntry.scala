@@ -1306,6 +1306,27 @@ object SparkEntry {
       .orderBy(col("media_id"))
   }
 
+  private def mp4MetaQuery(s: SparkSession, dir: String): DataFrame = {
+    // every doc carries a REAL planted MP4 metadata skeleton (ftyp + moov
+    // with version-0 mvhd and one trak→…→stsd chain per track), built
+    // from integer formulas: timescale 600 + (id%5)*100, duration
+    // 6000 + id%9000, 1 + id%3 tracks drawn in order from
+    // (avc1, mp4a, tx3g). The box walk re-derives duration_ms (floor
+    // integer), track count and the fourcc list; the oracle recomputes
+    // all three from the planting formulas — byte parsing is the thing
+    // under test.
+    import s.implicits._
+    val payloads = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val ts = 600 + (id % 5).toInt * 100
+        val dur = 6000L + id % 9000
+        val fcs = Seq("avc1", "mp4a", "tx3g").take(1 + (id % 3).toInt)
+        (id, graft.multimodal.Multimodal.encodeMp4(ts, dur, fcs))
+      }).toDF("media_id", "payload")
+    graft.multimodal.Multimodal.mp4Metas(payloads)
+      .orderBy(col("media_id"))
+  }
+
   private def multimodalMeta(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"),
@@ -1733,6 +1754,7 @@ object SparkEntry {
     "d_weighted_sample" -> (weightedSample _),
     "q_grouping_sets" -> (groupingSets _),
     "m_multimodal_meta" -> (multimodalMeta _),
+    "m_mp4_meta" -> (mp4MetaQuery _),
     "m_gzip_roundtrip" -> (gzipRoundtrip _),
     "m_media_resize" -> (mediaResize _),
     "m_frame_sample" -> (frameSampleAudio _),
@@ -2820,6 +2842,18 @@ object SparkEntry {
         | 64 + n_chars % 512 AS fake_width,
         | 64 + (n_chars * 7) % 512 AS fake_height
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // mp4 box-walk twin: duration_ms (floor integer division), track
+    // count, and the ordered fourcc list recomputed from the planting
+    // formulas — the Spark side derives them by parsing the planted
+    // ISO-BMFF bytes
+    "m_mp4_meta" ->
+      """SELECT doc_id AS media_id,
+        | CAST((6000 + doc_id % 9000) * 1000 // (600 + (doc_id % 5) * 100) AS BIGINT)
+        |   AS duration_ms,
+        | CAST(1 + doc_id % 3 AS INT) AS track_count,
+        | CASE doc_id % 3 WHEN 0 THEN 'avc1' WHEN 1 THEN 'avc1,mp4a'
+        |      ELSE 'avc1,mp4a,tx3g' END AS fourccs
+        |FROM documents ORDER BY media_id""".stripMargin,
     // mixed-modality features twin: dispatch order (png before gif before
     // jpeg) and the 8-bin integer luminance histogram recomputed from the
     // planting formulas — PNG pixel c of the 8x8 RGB gradient is

@@ -786,6 +786,131 @@ object Multimodal {
     out
   }
 
+  // -------------------------------------------------------------------
+  // MP4 metadata (ISO-BMFF box walk — codec-free)
+  //
+  // Full mp3/mp4 DECODE stays an honest stub (no codec libraries in this
+  // container, and a from-scratch AAC/H.264 decoder is poor effort/value)
+  // but the CONTAINER metadata needs no codec at all: ISO-BMFF is a
+  // length-prefixed box tree, so duration, track count, and per-track
+  // sample-entry fourccs come from a pure byte walk
+  // (ftyp → moov → mvhd / trak → mdia → minf → stbl → stsd). That is
+  // the metadata a corpus pipeline actually filters and routes on.
+  // -------------------------------------------------------------------
+
+  /** Parsed MP4 container metadata: presentation duration in ms
+    * (mvhd duration × 1000 / timescale, floor — exact integer), the
+    * number of `trak` boxes, and each track's first stsd sample-entry
+    * fourcc in file order.
+    */
+  case class Mp4Meta(durationMs: Long, trackCount: Int, fourccs: Seq[String])
+
+  /** Walk an MP4/ISO-BMFF box tree for container metadata. Version-0
+    * mvhd only (32-bit times — the planted fixture and the overwhelming
+    * majority of real files); None on anything malformed, truncated, or
+    * version-1 (caller falls back to the stub — decode never kills a
+    * task, the [[decodePpm]] contract).
+    */
+  def decodeMp4Meta(bytes: Array[Byte]): Option[Mp4Meta] = try {
+    def u32(o: Int): Long =
+      ((bytes(o) & 0xFFL) << 24) | ((bytes(o + 1) & 0xFFL) << 16) |
+        ((bytes(o + 2) & 0xFFL) << 8) | (bytes(o + 3) & 0xFFL)
+    def tag(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+    // children of a box body [start, end): (type, contentStart, contentEnd)
+    def boxes(start: Int, end: Int): List[(String, Int, Int)] = {
+      var o = start
+      var acc = List.empty[(String, Int, Int)]
+      while (o + 8 <= end) {
+        val sz = u32(o)
+        require(sz >= 8 && o + sz <= end, s"malformed box at $o")
+        acc = (tag(o + 4), o + 8, (o + sz).toInt) :: acc
+        o = (o + sz).toInt
+      }
+      require(o == end, s"trailing bytes after last box: $o != $end")
+      acc.reverse
+    }
+    if (bytes.length < 12 || tag(4) != "ftyp") None
+    else {
+      val top = boxes(0, bytes.length)
+      for {
+        moov <- top.find(_._1 == "moov")
+        mv = boxes(moov._2, moov._3)
+        mvhd <- mv.find(_._1 == "mvhd")
+        if (bytes(mvhd._2) & 0xFF) == 0 // version 0: 32-bit times
+        timescale = u32(mvhd._2 + 12)
+        duration = u32(mvhd._2 + 16)
+        if timescale > 0
+      } yield {
+        val traks = mv.filter(_._1 == "trak")
+        val fourccs = traks.flatMap { tr =>
+          for {
+            mdia <- boxes(tr._2, tr._3).find(_._1 == "mdia")
+            minf <- boxes(mdia._2, mdia._3).find(_._1 == "minf")
+            stbl <- boxes(minf._2, minf._3).find(_._1 == "stbl")
+            stsd <- boxes(stbl._2, stbl._3).find(_._1 == "stsd")
+            // stsd body: version/flags(4) entry_count(4) then entries,
+            // each a box whose TYPE is the codec fourcc
+            if u32(stsd._2 + 4) >= 1 && stsd._2 + 16 <= stsd._3
+          } yield tag(stsd._2 + 12)
+        }
+        Mp4Meta(duration * 1000L / timescale, traks.size, fourccs)
+      }
+    }
+  } catch {
+    case scala.util.control.NonFatal(_) => None
+  }
+
+  /** Minimal MP4 ENCODER for the metadata fixture: ftyp + moov holding a
+    * version-0 mvhd (the given timescale/duration) and one
+    * trak→mdia→minf→stbl→stsd chain per fourcc, each with a single
+    * minimal sample entry. Structurally valid ISO-BMFF (length-prefixed
+    * boxes, identity matrix, canonical reserved fields) — no media data,
+    * exactly like a real file's metadata skeleton.
+    */
+  def encodeMp4(timescale: Int, duration: Long,
+                trackFourccs: Seq[String]): Array[Byte] = {
+    require(timescale > 0 && duration >= 0 && duration <= 0xFFFFFFFFL)
+    require(trackFourccs.forall(_.length == 4), "fourccs must be 4 chars")
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def box(typ: String, content: Array[Byte]): Array[Byte] =
+      be32(content.length + 8L) ++ typ.getBytes("US-ASCII") ++ content
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ be32(0) ++ "isom".getBytes("US-ASCII"))
+    val matrix = Seq(0x10000L, 0L, 0L, 0L, 0x10000L, 0L, 0L, 0L, 0x40000000L)
+      .flatMap(be32).toArray
+    val mvhd = box("mvhd",
+      be32(0) ++ be32(0) ++ be32(0) ++ be32(timescale.toLong) ++ be32(duration) ++
+        be32(0x00010000L) ++ Array[Byte](0x01, 0x00) ++ new Array[Byte](10) ++
+        matrix ++ new Array[Byte](24) ++ be32(trackFourccs.size + 1L))
+    val traks = trackFourccs.map { fc =>
+      val entry = box(fc, new Array[Byte](8)) // 6 reserved + data_ref_index
+      val stsd = box("stsd", be32(0) ++ be32(1) ++ entry)
+      box("trak", box("mdia", box("minf", box("stbl", stsd))))
+    }
+    ftyp ++ box("moov", mvhd ++ traks.flatten)
+  }
+
+  /** Batched MP4 metadata extraction: payloads → (media_id, duration_ms,
+    * track_count, fourccs comma-joined). Undecodable payloads carry the
+    * (-1, -1, "") sentinel so the columns stay non-null integers (the
+    * [[graft.SparkEntry]] multimodal convention). Map-side mapPartitions,
+    * payload bytes never shuffle.
+    */
+  def mp4Metas(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        decodeMp4Meta(bytes) match {
+          case Some(m) => (id, m.durationMs, m.trackCount, m.fourccs.mkString(","))
+          case None => (id, -1L, -1, "")
+        }
+      }).toDF("media_id", "duration_ms", "track_count", "fourccs")
+  }
+
   /** Frame-sample a PCM WAV: keep every `k`-th frame (all channels of it),
     * re-encode with rate divided by `k` (floor, min 1) — straight integer
     * decimation, deterministic; a production resampler would low-pass
@@ -942,6 +1067,15 @@ object Multimodal {
     else if (bytes.length >= 12 && bytes(0) == 'R'.toByte && bytes(1) == 'I'.toByte &&
       bytes(2) == 'F'.toByte && bytes(3) == 'F'.toByte)
       decodeWav(id, bytes).getOrElse(decodeStub(id, bytes))
+    else if (bytes.length >= 12 && bytes(4) == 'f'.toByte && bytes(5) == 't'.toByte &&
+      bytes(6) == 'y'.toByte && bytes(7) == 'p'.toByte)
+      // mp4 container: REAL box-walk metadata (duration, track count,
+      // fourccs) even though sample DECODE stays stubbed — width/height 0
+      // (not parsed), channels = track count, features = [duration_ms]
+      decodeMp4Meta(bytes).map(m =>
+          MediaMeta(id, bytes.length.toLong, "mp4", 0, 0, m.trackCount,
+            Array(m.durationMs.toFloat)))
+        .getOrElse(decodeStub(id, bytes))
     else decodeStub(id, bytes)
 
   /** Batched per-partition decode: binary payloads → typed metadata +

@@ -82,6 +82,30 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(r => r.getAs[Int]("width") >= 64 && r.getAs[Int]("width") < 576))
   }
 
+  test("mp4 box walk: metadata round-trips; malformed and foreign bytes fall back") {
+    // round-trip: duration_ms is exact floor integer division
+    val bytes = Multimodal.encodeMp4(600, 9001L, Seq("avc1", "mp4a"))
+    val m = Multimodal.decodeMp4Meta(bytes).get
+    assert(m.durationMs == 9001L * 1000 / 600)
+    assert(m.trackCount == 2)
+    assert(m.fourccs == Seq("avc1", "mp4a"))
+    // zero tracks is a valid container
+    val none = Multimodal.decodeMp4Meta(Multimodal.encodeMp4(1000, 0L, Nil)).get
+    assert(none == Multimodal.Mp4Meta(0L, 0, Nil))
+    // truncation anywhere inside the box tree must yield None, never throw
+    for (cut <- Seq(4, 11, bytes.length / 2, bytes.length - 3))
+      assert(Multimodal.decodeMp4Meta(bytes.take(cut)).isEmpty, s"cut=$cut")
+    // non-mp4 payloads are not claimed
+    assert(Multimodal.decodeMp4Meta("just some text bytes".getBytes).isEmpty)
+    assert(Multimodal.decodeMp4Meta(Multimodal.encodeWav(8000, 1,
+      Array[Short](1, 2, 3))).isEmpty)
+    // decodeAuto dispatch: ftyp payloads surface as format=mp4 with
+    // channels = track count and duration riding the feature slot
+    val meta = Multimodal.decodeAuto(7L, bytes)
+    assert(meta.format == "mp4" && meta.channels == 2)
+    assert(meta.features.toSeq == Seq((9001L * 1000 / 600).toFloat))
+  }
+
   test("real JPEG codec: encode/decode round-trip within DCT tolerance") {
     // flat-color block: DCT is exact on constants, so high-quality
     // round-trip must land within rounding of the source
