@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Capped near-dup scaling probe (run manually; not part of the driver
+  * contract): replicates the documents table `factor`× with ids shifted
+  * by a multiple of 250 — preserving the planted `id % 250` base
+  * structure, so near-dup cliques genuinely grow with the corpus — then
+  * times the hamming-banded pair queries WITH a bucket cap on, printing
+  * pair counts and the `dropped_buckets` / `max_bucket_size` audit per
+  * run. This is the README scaling table's capped-pair-family source:
+  * the graded queries mirror their uncapped oracles, so the capped scale
+  * path is probed here and pinned by DedupSpec's subset test.
+  *
+  * Usage: `sbt "runMain graft.ScaleProbe [sfDir] [factor]"`.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    val n = base.count()
+    val shift = ((n + 249) / 250) * 250 // keep id % 250 base structure
+
+    def corpus(f: Int): DataFrame =
+      (0 until f).map(k => base.select(
+          (col("doc_id") + lit(k * shift)).as("doc_id"), col("text")))
+        .reduce(_ union _).localCheckpoint()
+
+    def run(name: String, f: Int, cap: Int)(pairs: Observation => DataFrame): Unit = {
+      val obs = new Observation(s"$name-$f-$cap")
+      val t0 = System.nanoTime()
+      val nPairs = pairs(obs).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val m = obs.get
+      println(f"""{"probe":"$name","factor":$f,"cap":$cap,"sec":$sec%.2f,""" +
+        s""""pairs":$nPairs,"dropped_buckets":${m("dropped_buckets")},""" +
+        s""""max_bucket_size":${m("max_bucket_size")}}""")
+    }
+
+    for (f <- Seq(1, factor); cap <- Seq(1000, 100)) {
+      val docs = corpus(f)
+      val hashes = graft.multimodal.Multimodal
+        .dHashes(SparkEntry.imagePayloadsOf(spark, docs.select(col("doc_id"))))
+        .localCheckpoint() // time the banding, not the planted PNG codec
+      run("m_image_neardup_capped", f, cap) { obs =>
+        operators.Dedup.bandedHammingPairs(hashes, "media_id", "dhash",
+          maxHamming = 3, maxBucketSize = cap, dropAudit = Some(obs))
+      }
+      run("d_simhash_neardup_capped", f, cap) { obs =>
+        operators.Dedup.bandedHammingPairs(
+          operators.Dedup.simhash(docs, "doc_id", "text"), "id", "simhash",
+          maxHamming = 3, maxBucketSize = cap, dropAudit = Some(obs))
+      }
+      docs.unpersist()
+    }
+    spark.stop()
+  }
+}

@@ -1129,9 +1129,16 @@ object SparkEntry {
     * pairs (b, b+250) land within a few dHash bits — deterministic
     * near-dups for the perceptual-hash gate.
     */
-  private def imagePayloads(s: SparkSession, dir: String): DataFrame = {
+  private def imagePayloads(s: SparkSession, dir: String): DataFrame =
+    imagePayloadsOf(s, t(s, dir, "documents").select(col("doc_id")))
+
+  /** [[imagePayloads]] over an arbitrary id frame — shared with the
+    * capped-near-dup scaling probe ([[ScaleProbe]]), which replicates ids
+    * beyond one SF dir while preserving the id % 250 base structure.
+    */
+  private[graft] def imagePayloadsOf(s: SparkSession, ids: DataFrame): DataFrame = {
     import s.implicits._
-    t(s, dir, "documents").select(col("doc_id")).as[Long]
+    ids.select(col(ids.columns.head)).as[Long]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { id =>

@@ -539,13 +539,33 @@ object Similarity {
     * key" claim made physical. Write at ingest, reuse across queries.
     */
   def writeIvfStore(corpus: DataFrame, idCol: String, vecCol: String,
-                    coarse: Seq[Seq[Double]], path: String): Unit = {
+                    coarse: Seq[Seq[Double]], path: String): Unit =
+    ivfAssigned(corpus, idCol, vecCol, coarse)
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+  /** Append a batch of new vectors into an EXISTING [[writeIvfStore]]
+    * layout — the steady-state ingest path: arrivals are coarse-assigned
+    * map-side against the SAME frozen codebook the store was written
+    * with, and an append-mode partitioned write touches only the
+    * centroid directories the batch lands in. Queries over the store
+    * ([[ivfTopKStored]]) see appended vectors with identical DPP probe
+    * pruning; because assignment depends only on the frozen codebook,
+    * any micro-batching of an ingest stream produces the same stored
+    * rows (the streaming parity pin in
+    * [[graft.streaming.EventStream.streamingIvfAppend]]).
+    */
+  def appendIvfStore(batch: DataFrame, idCol: String, vecCol: String,
+                     coarse: Seq[Seq[Double]], path: String): Unit =
+    ivfAssigned(batch, idCol, vecCol, coarse)
+      .write.mode("append").partitionBy("centroid_id").parquet(path)
+
+  private def ivfAssigned(corpus: DataFrame, idCol: String, vecCol: String,
+                          coarse: Seq[Seq[Double]]): DataFrame = {
     val unit = normalized(
       corpus.select(col(idCol), col(vecCol),
         col(vecCol).cast("array<double>").as("__u")), "__u")
     assignCentroids(unit, "__u", coarse)
       .select(col(idCol), col(vecCol), col("centroid_id"))
-      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
   }
 
   /** Physical PQ layout: the codes-only index written ONCE at ingest —

@@ -196,6 +196,26 @@ object EventStream {
           indexHashes, "media_id", "dhash", maxHamming))
     }
 
+  /** Streaming append into a [[graft.operators.Similarity.writeIvfStore]]
+    * physical ANN layout — the ingest-side sibling of
+    * [[streamingPerceptualIngest]]: arriving vectors are coarse-assigned
+    * map-side against the store's frozen codebook and APPENDED to its
+    * centroid_id directories per micro-batch
+    * ([[graft.operators.Similarity.appendIvfStore]]); stored-layout
+    * queries then serve them with unchanged DPP probe pruning.
+    * Batch-split invariant by construction — assignment depends only on
+    * the frozen codebook, never on other stream rows — so any
+    * micro-batching yields the same stored rows and therefore identical
+    * query answers, pinned by the StreamingSpec parity test.
+    */
+  def streamingIvfAppend(vectors: DataFrame, idCol: String, vecCol: String,
+                         coarse: Seq[Seq[Double]], path: String) =
+    vectors.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Similarity.appendIvfStore(
+          batch.toDF(), idCol, vecCol, coarse, path)
+    }
+
   case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(count: Long, sum: Double, lastTs: Long)
   case class SessionOut(user_id: Long, n_events: Long, value_sum: Double)

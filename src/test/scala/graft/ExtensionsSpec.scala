@@ -1135,6 +1135,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming IVF-store append: micro-batched ingest equals one-shot layout") {
+    // the stored-ANN ingest path: a base store is written once, arrivals
+    // stream in over UNEVEN micro-batches and append into its centroid
+    // directories against the same frozen codebook. Stored-layout top-k
+    // over the appended store must equal the same query over a store
+    // written in ONE shot from the union — assignment depends only on
+    // the codebook, so batch splits cannot change the layout.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val seeds = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val unit = seeds.map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_append")
+    val streamed = tmp.resolve("streamed").toString
+    val oneShot = tmp.resolve("oneshot").toString
+    val baseSet = emb.filter(col("vec_id") % 3 === 0)
+    Similarity.writeIvfStore(baseSet, "vec_id", "embedding", unit, streamed)
+    // keep the streamed rows array<float> like the base store — a double
+    // append would fork the parquet schema inside one layout
+    val arrivals = emb.filter(col("vec_id") % 3 =!= 0)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = EventStream.streamingIvfAppend(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      unit, streamed).start()
+    try {
+      arrivals.grouped(37).foreach { c => mem.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    Similarity.writeIvfStore(emb, "vec_id", "embedding", unit, oneShot)
+    def topk(path: String) = Similarity.ivfTopKStored(
+        spark.read.parquet(path), emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 3, coarse = unit, nprobe = 2)
+      .orderBy("q_id", "rank").collect().toSeq
+    val a = topk(streamed)
+    assert(a.nonEmpty && a == topk(oneShot))
+  }
+
   test("streaming frozen-LM scoring equals the batch operator on sf0.01") {
     // the d_lm_score_frozen split: vocab trained on even doc_ids, odd
     // doc_ids scored — streamed scores must equal the batch operator's
