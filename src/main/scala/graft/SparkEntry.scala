@@ -1334,6 +1334,28 @@ object SparkEntry {
       .orderBy(col("media_id"))
   }
 
+  private def mp3MetaQuery(s: SparkSession, dir: String): DataFrame = {
+    // the audio sibling of m_mp4_meta: every doc carries a REAL planted
+    // CBR MP3 stream (ID3v2 tag of id%97 zero bytes, then 2 + id%4
+    // identical MPEG-1 Layer III frames with bitrate index 1 + id%14,
+    // sample-rate index id%3, channel mode id%4, padding bit id%2). The
+    // frame-header walk re-derives bitrate/rate/channels from the first
+    // header and the frame count from the walk itself; the oracle
+    // recomputes everything from the planting formulas — the byte walk
+    // (including the syncsafe ID3 skip and padding-aware frame stride)
+    // is the thing under test.
+    import s.implicits._
+    val payloads = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        (id, graft.multimodal.Multimodal.encodeMp3(
+          bitrateIdx = 1 + (id % 14).toInt, rateIdx = (id % 3).toInt,
+          mode = (id % 4).toInt, padding = (id % 2).toInt,
+          frames = 2 + (id % 4).toInt, id3Bytes = (id % 97).toInt))
+      }).toDF("media_id", "payload")
+    graft.multimodal.Multimodal.mp3Metas(payloads)
+      .orderBy(col("media_id"))
+  }
+
   private def multimodalMeta(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"),
@@ -1762,6 +1784,7 @@ object SparkEntry {
     "q_grouping_sets" -> (groupingSets _),
     "m_multimodal_meta" -> (multimodalMeta _),
     "m_mp4_meta" -> (mp4MetaQuery _),
+    "m_mp3_meta" -> (mp3MetaQuery _),
     "m_gzip_roundtrip" -> (gzipRoundtrip _),
     "m_media_resize" -> (mediaResize _),
     "m_frame_sample" -> (frameSampleAudio _),
@@ -2860,6 +2883,23 @@ object SparkEntry {
         | CAST(1 + doc_id % 3 AS INT) AS track_count,
         | CASE doc_id % 3 WHEN 0 THEN 'avc1' WHEN 1 THEN 'avc1,mp4a'
         |      ELSE 'avc1,mp4a,tx3g' END AS fourccs
+        |FROM documents ORDER BY media_id""".stripMargin,
+    // mp3 frame-header-walk twin: bitrate from the published MPEG-1
+    // Layer III table at index 1 + id%14, rate from index id%3, mono
+    // only for channel mode 3, frame count 2 + id%4, and duration as
+    // floor(frames * 1152 * 1000 / rate) — all recomputed from the
+    // planting formulas; the Spark side walks the planted bytes
+    "m_mp3_meta" ->
+      """SELECT doc_id AS media_id,
+        | CAST(list_extract([32,40,48,56,64,80,96,112,128,160,192,224,256,320],
+        |                   CAST(1 + doc_id % 14 AS INT)) AS INT) AS bitrate_kbps,
+        | CAST(list_extract([44100,48000,32000],
+        |                   CAST(1 + doc_id % 3 AS INT)) AS INT) AS sample_rate,
+        | CAST(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 2 END AS INT) AS channels,
+        | CAST(2 + doc_id % 4 AS INT) AS frames,
+        | CAST((2 + doc_id % 4) * 1152 * 1000
+        |      // list_extract([44100,48000,32000], CAST(1 + doc_id % 3 AS INT))
+        |      AS BIGINT) AS duration_ms
         |FROM documents ORDER BY media_id""".stripMargin,
     // mixed-modality features twin: dispatch order (png before gif before
     // jpeg) and the 8-bin integer luminance histogram recomputed from the

@@ -911,6 +911,129 @@ object Multimodal {
       }).toDF("media_id", "duration_ms", "track_count", "fourccs")
   }
 
+  // -------------------------------------------------------------------
+  // MP3 metadata (frame-header walk — codec-free)
+  //
+  // The MP4 box walk above closed the video-container stub; this closes
+  // the audio one. MPEG-1 audio DECODE stays an honest stub (a
+  // from-scratch polyphase/huffman Layer III decoder is poor
+  // effort/value), but the STREAM metadata a corpus pipeline filters and
+  // routes on — bitrate, sample rate, channel count, frame count, and
+  // therefore duration — lives entirely in the published 4-byte frame
+  // headers (ISO/IEC 11172-3): walk header → frame-length → next header,
+  // no codec needed. Mirrors the reference's metadata-not-content stance
+  // for media assets (reference models assets by type + URN and never
+  // decodes payloads).
+  // -------------------------------------------------------------------
+
+  /** Parsed MP3 stream metadata: first-frame bitrate (kbps) and sample
+    * rate (Hz), channel count (1 for mono mode, else 2), the number of
+    * frames found by the header walk, and the floor-integer duration
+    * `frames * 1152 * 1000 / sampleRate` ms (1152 samples per MPEG-1
+    * Layer III frame).
+    */
+  case class Mp3Meta(bitrateKbps: Int, sampleRate: Int, channels: Int,
+                     frames: Int, durationMs: Long)
+
+  private val Mp3Bitrates = // MPEG-1 Layer III kbps table, index 1..14
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3Rates = Array(44100, 48000, 32000) // sample-rate index 0..2
+
+  /** Walk an MP3 stream's frame headers for container metadata. Skips a
+    * leading ID3v2 tag (10-byte header + syncsafe 28-bit size), then
+    * walks MPEG-1 Layer III frames: each 4-byte header gives the frame
+    * length `144 * bitrate / sampleRate + padding`, so frame count (and
+    * duration) comes from the walk alone. The walk is tolerant of a
+    * trailing junk tail (stops at the first non-sync position, like real
+    * taggers); None when no valid first frame exists. Reported
+    * bitrate/rate/channels come from the FIRST frame (the CBR
+    * convention); VBR streams still get an exact frame count because
+    * every header is re-parsed during the walk.
+    */
+  def decodeMp3Meta(bytes: Array[Byte]): Option[Mp3Meta] = try {
+    def u8(o: Int): Int = bytes(o) & 0xFF
+    // ID3v2 header: "ID3" ver(2) flags(1) syncsafe-size(4)
+    var o =
+      if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3')
+        10 + ((u8(6) << 21) | (u8(7) << 14) | (u8(8) << 7) | u8(9))
+      else 0
+    def header(p: Int): Option[(Int, Int, Int, Int)] = {
+      // returns (bitrateKbps, sampleRate, channels, frameLen) or None
+      if (p + 4 > bytes.length) None
+      else if (u8(p) != 0xFF || (u8(p + 1) & 0xFE) != 0xFA) None // sync + MPEG1 Layer III, any protection bit
+      else {
+        val bIdx = (u8(p + 2) >> 4) & 0xF
+        val sIdx = (u8(p + 2) >> 2) & 0x3
+        if (bIdx == 0 || bIdx == 15 || sIdx == 3) None // free-form/bad
+        else {
+          val br = Mp3Bitrates(bIdx)
+          val sr = Mp3Rates(sIdx)
+          val pad = (u8(p + 2) >> 1) & 0x1
+          val ch = if (((u8(p + 3) >> 6) & 0x3) == 3) 1 else 2
+          Some((br, sr, ch, 144 * br * 1000 / sr + pad))
+        }
+      }
+    }
+    header(o).map { case (br, sr, ch, len0) =>
+      var frames = 0
+      var cont = true
+      var p = o
+      while (cont) header(p) match {
+        case Some((_, _, _, flen)) if p + flen <= bytes.length =>
+          frames += 1; p += flen
+        case _ => cont = false
+      }
+      Mp3Meta(br, sr, ch, frames, frames.toLong * 1152L * 1000L / sr)
+    }
+  } catch {
+    case scala.util.control.NonFatal(_) => None
+  }
+
+  /** Minimal MP3 ENCODER for the metadata fixture: an ID3v2 tag of
+    * `id3Bytes` zero padding, then `frames` identical MPEG-1 Layer III
+    * CBR frames — real 4-byte headers (given bitrate index 1-14,
+    * sample-rate index 0-2, channel mode 0-3, padding bit) over zeroed
+    * side-info/main data. Structurally a valid CBR stream: every header
+    * is where the previous frame's length says it is.
+    */
+  def encodeMp3(bitrateIdx: Int, rateIdx: Int, mode: Int, padding: Int,
+                frames: Int, id3Bytes: Int): Array[Byte] = {
+    require(bitrateIdx >= 1 && bitrateIdx <= 14 && rateIdx >= 0 && rateIdx <= 2)
+    require(mode >= 0 && mode <= 3 && (padding == 0 || padding == 1) && frames >= 1)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('I'); out.write('D'); out.write('3')
+    out.write(4); out.write(0); out.write(0) // v2.4, no flags
+    out.write((id3Bytes >> 21) & 0x7F); out.write((id3Bytes >> 14) & 0x7F)
+    out.write((id3Bytes >> 7) & 0x7F); out.write(id3Bytes & 0x7F)
+    out.write(new Array[Byte](id3Bytes))
+    val flen = 144 * Mp3Bitrates(bitrateIdx) * 1000 / Mp3Rates(rateIdx) + padding
+    val frame = new Array[Byte](flen)
+    frame(0) = 0xFF.toByte
+    frame(1) = 0xFB.toByte // sync + MPEG1 + Layer III + no CRC
+    frame(2) = ((bitrateIdx << 4) | (rateIdx << 2) | (padding << 1)).toByte
+    frame(3) = (mode << 6).toByte
+    (0 until frames).foreach(_ => out.write(frame))
+    out.toByteArray
+  }
+
+  /** Batched MP3 metadata extraction: payloads → (media_id, bitrate_kbps,
+    * sample_rate, channels, frames, duration_ms). Undecodable payloads
+    * carry the -1 sentinel (the [[mp4Metas]] convention). Map-side
+    * mapPartitions, payload bytes never shuffle.
+    */
+  def mp3Metas(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        decodeMp3Meta(bytes) match {
+          case Some(m) => (id, m.bitrateKbps, m.sampleRate, m.channels, m.frames, m.durationMs)
+          case None => (id, -1, -1, -1, -1, -1L)
+        }
+      }).toDF("media_id", "bitrate_kbps", "sample_rate", "channels", "frames", "duration_ms")
+  }
+
   /** Frame-sample a PCM WAV: keep every `k`-th frame (all channels of it),
     * re-encode with rate divided by `k` (floor, min 1) — straight integer
     * decimation, deterministic; a production resampler would low-pass
@@ -1074,6 +1197,16 @@ object Multimodal {
       // (not parsed), channels = track count, features = [duration_ms]
       decodeMp4Meta(bytes).map(m =>
           MediaMeta(id, bytes.length.toLong, "mp4", 0, 0, m.trackCount,
+            Array(m.durationMs.toFloat)))
+        .getOrElse(decodeStub(id, bytes))
+    else if ((bytes.length >= 3 && bytes(0) == 'I'.toByte && bytes(1) == 'D'.toByte &&
+      bytes(2) == '3'.toByte) ||
+      (bytes.length >= 2 && (bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFE) == 0xFA))
+      // mp3 stream: REAL frame-header-walk metadata (bitrate, rate,
+      // channels, frame count → duration) even though sample DECODE stays
+      // stubbed — width/height 0, features = [duration_ms]
+      decodeMp3Meta(bytes).map(m =>
+          MediaMeta(id, bytes.length.toLong, "mp3", 0, 0, m.channels,
             Array(m.durationMs.toFloat)))
         .getOrElse(decodeStub(id, bytes))
     else decodeStub(id, bytes)

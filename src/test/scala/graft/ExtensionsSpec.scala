@@ -106,6 +106,34 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.features.toSeq == Seq((9001L * 1000 / 600).toFloat))
   }
 
+  test("mp3 header walk: metadata round-trips; junk tails and foreign bytes handled") {
+    // round-trip: 128 kbps (index 9) at 44100 Hz (index 0), joint stereo,
+    // padding on, 5 frames behind a 37-byte ID3v2 tag
+    val bytes = Multimodal.encodeMp3(bitrateIdx = 9, rateIdx = 0, mode = 1,
+      padding = 1, frames = 5, id3Bytes = 37)
+    val m = Multimodal.decodeMp3Meta(bytes).get
+    assert(m == Multimodal.Mp3Meta(128, 44100, 2, 5, 5L * 1152 * 1000 / 44100))
+    // mono mode → 1 channel; no ID3; padding off changes the stride
+    val mono = Multimodal.decodeMp3Meta(Multimodal.encodeMp3(1, 2, 3, 0, 2, 0)).get
+    assert(mono == Multimodal.Mp3Meta(32, 32000, 1, 2, 2L * 1152 * 1000 / 32000))
+    // a truncated final frame is not counted; a junk tail stops the walk
+    val cut = Multimodal.decodeMp3Meta(bytes.dropRight(3)).get
+    assert(cut.frames == 4)
+    val tail = Multimodal.decodeMp3Meta(bytes ++ "trailing tag junk".getBytes).get
+    assert(tail.frames == 5)
+    // no valid first frame → None, never throw (ID3 alone, foreign bytes,
+    // an ID3 size pointing past the payload)
+    assert(Multimodal.decodeMp3Meta(Multimodal.encodeMp3(9, 0, 1, 1, 1, 20).take(30)).isEmpty)
+    assert(Multimodal.decodeMp3Meta("just some text bytes".getBytes).isEmpty)
+    assert(Multimodal.decodeMp3Meta(Multimodal.encodeWav(8000, 1,
+      Array[Short](1, 2, 3))).isEmpty)
+    // decodeAuto dispatch: ID3-led payloads surface as format=mp3 with
+    // channel count and duration riding the feature slot
+    val meta = Multimodal.decodeAuto(7L, bytes)
+    assert(meta.format == "mp3" && meta.channels == 2)
+    assert(meta.features.toSeq == Seq((5L * 1152 * 1000 / 44100).toFloat))
+  }
+
   test("real JPEG codec: encode/decode round-trip within DCT tolerance") {
     // flat-color block: DCT is exact on constants, so high-quality
     // round-trip must land within rounding of the source
