@@ -581,6 +581,17 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  private def dsirSampleQuery(s: SparkSession, dir: String): DataFrame =
+    // DSIR-style data selection: sources src0-src2 act as the curated
+    // target corpus, every other doc is the raw pool; docs are scored by
+    // the exact-integer hashed-token contrast Σ n_b·(ppm_t − ppm_r) and
+    // the per-language top quartile is kept (ties by doc_id) — the
+    // importance-resampling step of a pretraining data recipe, replayable
+    // bit-for-bit (md5 buckets, integer ppm, integer window)
+    Splits.dsirSelect(t(s, dir, "documents"), "doc_id", "lang", "text",
+        isTarget = col("source").isin("src0", "src1", "src2"))
+      .orderBy(col("doc_id"))
+
   private def qualityOutliersQuery(s: SparkSession, dir: String): DataFrame =
     // per-language adaptive quality gate: flag docs whose token count is
     // atypical FOR THEIR LANGUAGE, by exact integer median/MAD (low
@@ -1798,6 +1809,7 @@ object SparkEntry {
     "d_gopher_rules" -> (gopherRulesQuery _),
     "d_gopher_lines" -> (gopherLinesQuery _),
     "d_ppl_buckets" -> (pplBuckets _),
+    "d_dsir_sample" -> (dsirSampleQuery _),
     "d_data_card" -> (dataCard _),
     "d_minhash_portable" -> (minhashPortable _),
     "d_lsh_portable_pairs" -> (lshPortablePairs _),
@@ -2569,6 +2581,43 @@ object SparkEntry {
         |SELECT doc_id, lang, score_x1000,
         | CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
         |FROM lb ORDER BY doc_id""".stripMargin,
+    // DSIR twin: same md5 token buckets, integer ppm distributions, and
+    // linearized-importance score; DuckDB's // floor division matches
+    // Spark's div on the non-negative ppm operands, ntile ties by doc_id
+    "d_dsir_sample" ->
+      """WITH tok AS (
+        | SELECT doc_id,
+        |  unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |         x -> len(x) > 0)) AS t
+        | FROM documents),
+        |tb AS (
+        | SELECT doc_id,
+        |  CAST(concat('0x', substr(md5(t), 1, 6)) AS BIGINT) % 512 AS b,
+        |  count(*) AS n
+        | FROM tok GROUP BY 1, 2),
+        |lab AS (SELECT doc_id, source IN ('src0', 'src1', 'src2') AS is_t
+        |        FROM documents),
+        |dist AS (
+        | SELECT b,
+        |  sum(CASE WHEN l.is_t THEN n ELSE 0 END) AS tc,
+        |  sum(CASE WHEN NOT l.is_t THEN n ELSE 0 END) AS rc
+        | FROM tb JOIN lab l USING (doc_id) GROUP BY b),
+        |tot AS (SELECT sum(tc) AS tt, sum(rc) AS tr FROM dist),
+        |ppm AS (SELECT b, tc * 1000000 // tt AS pt, rc * 1000000 // tr AS pr
+        |        FROM dist, tot),
+        |sc AS (
+        | SELECT d.doc_id, d.lang,
+        |  CAST(coalesce(sum(tb.n * (ppm.pt - ppm.pr)), 0) AS BIGINT) AS score
+        | FROM documents d
+        | LEFT JOIN tb ON tb.doc_id = d.doc_id
+        | LEFT JOIN ppm ON ppm.b = tb.b
+        | WHERE d.source NOT IN ('src0', 'src1', 'src2')
+        | GROUP BY 1, 2)
+        |SELECT doc_id, lang, score,
+        | CAST(CASE WHEN ntile(4) OVER (PARTITION BY lang
+        |        ORDER BY score DESC, doc_id) = 1
+        |      THEN 1 ELSE 0 END AS INT) AS kept
+        |FROM sc ORDER BY doc_id""".stripMargin,
     // bigram LM familiarity: occurrences of each doc's bigrams in the
     // corpus top-1000 bigram vocabulary, all exact integers
     "d_lm_familiarity" ->

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic dataset splitting for training pipelines.
@@ -236,5 +237,70 @@ object Splits {
       .join(clusters, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
     withSplit(withCluster, "cluster_id", trainPct, validPct)
+  }
+
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score raw-pool
+    * documents by how much their HASHED-token profile resembles a small
+    * curated target corpus rather than the raw pool itself, then keep
+    * the top slice per language.
+    *
+    * Exact-integer rendition of the published recipe: tokens hash into
+    * `buckets` md5 buckets (DSIR's hashed n-gram feature space, portable
+    * across engines); each distribution is frozen as integer
+    * parts-per-million `cnt * 1_000_000 div total`; a doc's score is the
+    * exact BIGINT `Σ_b n_b · (ppm_target(b) − ppm_raw(b))` — the
+    * linearized importance log-ratio (first-order in the probability
+    * gap), chosen over float `Σ n_b · log(p_t/p_r)` so the whole
+    * pipeline replays bit-for-bit in any SQL engine. Selection is the
+    * CCNet-style per-language quartile: `kept = 1` on the top
+    * `keepQuartiles` of 4, ties broken by id.
+    *
+    * Scale shape: ONE corpus scan tokenizes and partial-aggregates to
+    * (doc, bucket, n) — text never shuffles, the doc-bucket profile is
+    * the only wide intermediate (≤ min(doc tokens, buckets) rows per
+    * doc, localCheckpointed so the distribution pass and the scoring
+    * pass share it). The two frozen distributions collapse to a
+    * `buckets`-row table that BROADCASTS back onto the profile; per-doc
+    * scores are one partial-agg'd groupBy; the quartile window
+    * partitions by language (the d_ppl_buckets shape — no global-sort
+    * funnel). ppm ≤ 1e6 and per-doc token mass bound the score at
+    * ~1e6 · |doc|, overflow-free at any corpus size.
+    *
+    * Returns (idCol, langCol, score, kept) over the RAW pool (target
+    * rows are the reference distribution, not candidates).
+    */
+  def dsirSelect(df: DataFrame, idCol: String, langCol: String,
+                 textCol: String, isTarget: Column, buckets: Int = 512,
+                 keepQuartiles: Int = 1): DataFrame = {
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
+      x => length(x) > 0)
+    val profile = df
+      .select(col(idCol), isTarget.as("is_t"), explode(toks).as("t"))
+      .select(col(idCol), col("is_t"),
+        (conv(substring(md5(col("t")), 1, 6), 16, 10).cast("bigint")
+          % buckets).as("b"))
+      .groupBy(col(idCol), col("is_t"), col("b"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val dist = profile.groupBy(col("b"))
+      .agg(sum(when(col("is_t"), col("n")).otherwise(0L)).as("tc"),
+        sum(when(!col("is_t"), col("n")).otherwise(0L)).as("rc"))
+    val tot = dist.agg(sum(col("tc")).as("tt"), sum(col("rc")).as("tr"))
+    val ppm = dist.crossJoin(broadcast(tot))
+      .select(col("b"),
+        expr("tc * 1000000 div tt").as("pt"),
+        expr("rc * 1000000 div tr").as("pr"))
+    val scored = df.filter(!isTarget)
+      .select(col(idCol), col(langCol))
+      .join(profile.filter(!col("is_t")).join(broadcast(ppm), Seq("b"))
+          .select(col(idCol), (col("n") * (col("pt") - col("pr"))).as("c")),
+        Seq(idCol), "left")
+      .groupBy(col(idCol), col(langCol))
+      .agg(coalesce(sum(col("c")), lit(0L)).cast("bigint").as("score"))
+    val w = Window.partitionBy(col(langCol))
+      .orderBy(desc("score"), asc(idCol))
+    scored.withColumn("kept",
+      (ntile(4).over(w) <= keepQuartiles).cast("int"))
   }
 }

@@ -884,6 +884,36 @@ class SplitsSpec extends SparkSpec {
     assert(other.map(_.getLong(3)).max >= 250L)
   }
 
+  test("DSIR selection: target-like raw docs outscore the pool, quartiles kept per language") {
+    val target = (1L to 4L).map(i => (i, "en", "t", "curated curated corpus text"))
+    val like = Seq((10L, "en", "r", "curated corpus text sample"),
+      (11L, "en", "r", "curated corpus tokens here"))
+    val junk = (12L to 17L).map(i => (i, "en", "r", s"junk junk junk filler$i"))
+    val blank = Seq((18L, "fr", "r", "   "))
+    val docs = (target ++ like ++ junk ++ blank)
+      .toDF("doc_id", "lang", "source", "text")
+    val out = Splits.dsirSelect(docs, "doc_id", "lang", "text",
+      col("source") === "t")
+    val rows = out.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getInt(3)))).toMap
+    // only the raw pool is scored; target rows are the reference, not rows
+    assert(rows.keySet == (Set(10L, 11L, 18L) ++ (12L to 17L)))
+    // docs sharing the curated profile outscore every junk doc
+    val worstLike = Seq(rows(10L)._1, rows(11L)._1).min
+    (12L to 17L).foreach(i => assert(rows(i)._1 < worstLike, s"junk $i"))
+    // junk-heavy docs sit below zero (their mass is raw-only), a
+    // token-free doc sits exactly at zero
+    (12L to 17L).foreach(i => assert(rows(i)._1 < 0L))
+    assert(rows(18L)._1 == 0L)
+    // en pool of 8 -> top quartile keeps exactly the 2 target-like docs;
+    // the single fr doc is its own quartile 1
+    assert(rows.filter(_._2._2 == 1).keySet == Set(10L, 11L, 18L))
+    // pure function of the data: rerun replays bit-for-bit
+    val again = Splits.dsirSelect(docs, "doc_id", "lang", "text",
+      col("source") === "t")
+    assert(out.except(again).count() == 0 && again.except(out).count() == 0)
+  }
+
   test("systematic sample picks one row per weight-step, deterministically") {
     // uniform weights: every other row crosses a step boundary
     val uniform = (1L to 10L).map(i => ("a", i, 10L)).toDF("src", "id", "wt")
