@@ -1612,6 +1612,23 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  private def indexForget(s: SparkSession, dir: String): DataFrame = {
+    // right-to-erasure compaction: docs with doc_id % 17 == 0 file
+    // deletion requests; their rows are anti-joined out of the stored LSH
+    // band index WITHOUT touching the corpus. The oracle rebuilds the
+    // band index from the surviving docs from scratch — oracle equality
+    // IS the compaction theorem (per-doc row independence makes removal
+    // ≡ rebuild), the guarantee that lets deletes run on the index alone
+    // at 100 TB.
+    val docs = t(s, dir, "documents")
+    val index = Dedup.portableBands(
+      Dedup.portableMinhash(docs, "doc_id", "text", k = 8),
+      "doc_id", k = 8, bands = 4)
+    Dedup.forgetDocs(index, docs.filter(col("doc_id") % 17 === 0)
+        .select(col("doc_id").as("id")), "id")
+      .orderBy(col("id"), col("band_id"))
+  }
+
   private def corpusClean(s: SparkSession, dir: String): DataFrame = {
     // the whole batch cleaning pipeline in ONE oracle-checked query:
     // quality gate -> language filter (en) -> exact dedup (lowest id per
@@ -1819,6 +1836,7 @@ object SparkEntry {
     "d_simhash_portable_neardup" -> (simhashPortableNearDup _),
     "d_shuffle_shards" -> (shuffleShardsQuery _),
     "d_lsh_incremental" -> (lshIncremental _),
+    "d_index_forget" -> (indexForget _),
     "d_dup_spans" -> (dupSpans _),
     "d_chunk_docs" -> (chunkDocs _),
     "d_html_extract" -> (htmlExtract _),
@@ -3508,6 +3526,29 @@ object SparkEntry {
         |SELECT doc_id FROM documents
         |WHERE doc_id >= 250 AND doc_id NOT IN (SELECT doc_id FROM hits)
         |ORDER BY doc_id""".stripMargin,
+    // index-forget twin: the oracle rebuilds the LSH band index from the
+    // surviving (non-tombstoned) docs from scratch; equality with the
+    // Spark side's anti-join compaction proves removal ≡ rebuild
+    "d_index_forget" ->
+      s"""WITH tk AS (
+        | SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+        |              x -> len(x) > 0) AS t
+        | FROM documents WHERE doc_id % 17 <> 0),
+        |s AS (
+        | SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 3
+        |   THEN list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |   ELSE [] END)) AS sh
+        | FROM tk),
+        |sig AS (
+        | SELECT doc_id,
+        | $portableSigSelect
+        | FROM s GROUP BY doc_id)
+        |SELECT doc_id AS id, bb.band AS band_id,
+        | md5(CASE bb.band $portableBandCase END) AS band_hash
+        |FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) AS bb(band)
+        |ORDER BY id, band_id""".stripMargin,
     // duplicated-span coverage: positional 3-gram windows (repeats kept)
     // vs the set of grams occurring in >= 2 distinct docs
     "d_dup_spans" ->

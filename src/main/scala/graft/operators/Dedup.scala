@@ -783,6 +783,24 @@ object Dedup {
       .join(hits, col(idCol) === hits("id"), "left_anti")
   }
 
+  /** Right-to-erasure index compaction: drop every index row belonging to
+    * a tombstoned document. Applies uniformly to ALL the stored dedup/ANN
+    * layouts in this engine — the exact-dup fingerprint index, the LSH
+    * band index, the perceptual-hash index, and the id/centroid-
+    * partitioned vector stores — because each of their rows derives from
+    * exactly ONE source document. That per-doc independence is the
+    * compaction theorem: anti-join removal is row-identical to rebuilding
+    * the index from the surviving corpus (the `d_index_forget` oracle IS
+    * the rebuild), so a deletion request never forces a corpus rescan.
+    * One anti-join keyed by id; the tombstone side is a deletion-request
+    * batch — tiny in practice, AQE broadcasts it — and partitioned stores
+    * stay valid in place since removals never move surviving rows.
+    */
+  def forgetDocs(index: DataFrame, tombstones: DataFrame,
+                 idCol: String): DataFrame =
+    index.join(tombstones.select(col(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
   /** Per-doc duplicated-span coverage — the audit stage of exact-substring
     * dedup (the "how much of this document is copied from elsewhere"
     * signal): for each doc, the fraction of its positional 3-gram windows

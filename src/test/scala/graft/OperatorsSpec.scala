@@ -286,6 +286,31 @@ class DedupSpec extends SparkSpec {
     assert(ham(hashes(0), hashes(1)) < ham(hashes(0), hashes(2)))
   }
 
+  test("index forget: compaction equals rebuild, and forgetting a keeper reopens its slot") {
+    // stored index covers keeper 0 and unrelated 2; the arriving batch is
+    // doc 3, an exact dup of 0
+    val corpus = docs.filter(col("doc_id").isin(0L, 2L))
+    val index = Dedup.portableBands(
+      Dedup.portableMinhash(corpus, "doc_id", "text", k = 8),
+      "doc_id", k = 8, bands = 4)
+    val batch = docs.filter(col("doc_id") === 3L)
+    // with the keeper stored, its dup is gated out of ingest
+    assert(Dedup.lshIngest(batch, index, "doc_id", "text").count() == 0)
+    // keeper 0 files a deletion request: compact the index in place
+    val compacted = Dedup.forgetDocs(index, Seq(0L).toDF("id"), "id")
+    // compaction theorem: row-identical to a from-scratch rebuild over
+    // the surviving corpus
+    val rebuilt = Dedup.portableBands(
+      Dedup.portableMinhash(corpus.filter(col("doc_id") =!= 0L),
+        "doc_id", "text", k = 8), "doc_id", k = 8, bands = 4)
+    assert(compacted.except(rebuilt).count() == 0 &&
+      rebuilt.except(compacted).count() == 0)
+    // the former dup now survives ingest — the content is genuinely
+    // forgotten, not shadow-banned by a stale index row
+    assert(Dedup.lshIngest(batch, compacted, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
   test("connected components labels chains, triangles and isolated pairs") {
     // components: chain 1-2-3-4 (diameter forces >1 round), triangle
     // 10-11-12, isolated pair 20-21
