@@ -270,6 +270,38 @@ object Splits {
     * Returns (idCol, langCol, score, kept) over the RAW pool (target
     * rows are the reference distribution, not candidates).
     */
+  /** Portable md5 token bucket — DSIR's hashed feature space: the first
+    * 6 hex chars of md5(token) mod `buckets`, computable bit-identically
+    * in any engine (and in the streaming scorer's JVM-side digest).
+    */
+  def dsirBucket(token: Column, buckets: Int): Column =
+    conv(substring(md5(token), 1, 6), 16, 10).cast("bigint") % buckets
+
+  /** The frozen DSIR distribution table on its own: (b, pt, pr) integer
+    * parts-per-million of each hashed-token bucket under the target and
+    * raw distributions. [[dsirSelect]] derives the same table inline
+    * from its doc-bucket profile; this standalone form is what a
+    * production pipeline FREEZES after training so later batches (or a
+    * stream — [[graft.streaming.EventStream.streamingDsirScore]]) score
+    * against it with no count pass, the `d_lm_score_frozen` contract.
+    * One token explode + one `buckets`-row groupBy; totals broadcast.
+    */
+  def dsirDistribution(df: DataFrame, textCol: String, isTarget: Column,
+                       buckets: Int = 512): DataFrame = {
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
+      x => length(x) > 0)
+    val dist = df.select(isTarget.as("is_t"), explode(toks).as("t"))
+      .select(col("is_t"), dsirBucket(col("t"), buckets).as("b"))
+      .groupBy(col("b"))
+      .agg(sum(when(col("is_t"), 1L).otherwise(0L)).as("tc"),
+        sum(when(!col("is_t"), 1L).otherwise(0L)).as("rc"))
+    val tot = dist.agg(sum(col("tc")).as("tt"), sum(col("rc")).as("tr"))
+    dist.crossJoin(broadcast(tot))
+      .select(col("b"),
+        expr("tc * 1000000 div tt").as("pt"),
+        expr("rc * 1000000 div tr").as("pr"))
+  }
+
   def dsirSelect(df: DataFrame, idCol: String, langCol: String,
                  textCol: String, isTarget: Column, buckets: Int = 512,
                  keepQuartiles: Int = 1): DataFrame = {
@@ -278,8 +310,7 @@ object Splits {
     val profile = df
       .select(col(idCol), isTarget.as("is_t"), explode(toks).as("t"))
       .select(col(idCol), col("is_t"),
-        (conv(substring(md5(col("t")), 1, 6), 16, 10).cast("bigint")
-          % buckets).as("b"))
+        dsirBucket(col("t"), buckets).as("b"))
       .groupBy(col(idCol), col("is_t"), col("b"))
       .agg(count(lit(1)).as("n"))
       .localCheckpoint()

@@ -216,6 +216,79 @@ object EventStream {
           batch.toDF(), idCol, vecCol, coarse, path)
     }
 
+  /** Streaming DSIR scoring against a FROZEN distribution table — the
+    * [[streamingLmScore]] pattern for importance resampling: the
+    * `(b, pt, pr)` integer-ppm table from
+    * [[graft.operators.Splits.dsirDistribution]] (a few hundred rows)
+    * collects once onto the driver and broadcasts; each arriving doc is
+    * scored map-side by Σ over its tokens of `pt(bucket) − pr(bucket)` —
+    * linear in token occurrences, so no per-doc bucket map is even
+    * needed. The JVM-side digest reproduces the batch pipeline's
+    * `conv(substr(md5(token),1,6),16,10) % buckets` bucket bit-for-bit
+    * (first 3 md5 bytes as a 24-bit int), and tokenization strips SPACES
+    * only before the `\s+` split exactly like SQL `trim` — so streamed
+    * scores equal batch [[graft.operators.Splits.dsirSelect]] scores,
+    * pinned in StreamingSpec. Stateless map: append-mode safe, full
+    * parallelism, no shuffle.
+    */
+  def streamingDsirScore(docs: DataFrame, idCol: String, textCol: String,
+                         ppm: DataFrame, buckets: Int = 512): DataFrame = {
+    val table = ppm.select(col("b"), col("pt"), col("pr")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1) - r.getLong(2))).toMap
+    val bc = docs.sparkSession.sparkContext.broadcast(table)
+    val score = udf((text: String) => {
+      val toks =
+        if (text == null) Array.empty[String]
+        else {
+          val t = text.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ')
+            .reverse.toLowerCase
+          t.split("\\s+").filter(_.nonEmpty)
+        }
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var s = 0L
+      toks.foreach { tk =>
+        md.reset()
+        val h = md.digest(tk.getBytes("UTF-8"))
+        val v = ((h(0) & 0xFF) << 16) | ((h(1) & 0xFF) << 8) | (h(2) & 0xFF)
+        s += bc.value.getOrElse((v % buckets).toLong, 0L)
+      }
+      s
+    })
+    docs.select(col(idCol), score(col(textCol)).as("score"))
+  }
+
+  /** Streaming right-to-erasure — [[graft.operators.Dedup.forgetDocs]]
+    * over an update stream that interleaves index ADDS with FORGET
+    * tombstones. Semantics are tombstone-wins-forever: a forgotten id
+    * stays out of the index even if its add arrives in a LATER
+    * micro-batch (deletion requests race ingest in production; the
+    * ledger makes the race benign). That is exactly what makes the
+    * operator batch-split invariant — final state = all adds minus all
+    * tombstones regardless of how the stream was micro-batched (pinned
+    * in StreamingSpec) — where per-batch-only application would leak a
+    * tombstoned id whose add landed in a later batch. Per batch: the
+    * tombstone ledger unions in the batch's forgets (ids only, tiny),
+    * then one anti-join compacts index ∪ batch-adds; at scale both
+    * stores are tables and this is the same two-table merge, the
+    * [[streamingLshIngest]] store-maintenance shape.
+    */
+  def streamingForget(updates: DataFrame, idCol: String, opCol: String,
+                      initialIndex: DataFrame)(onState: DataFrame => Unit) = {
+    var index = initialIndex.localCheckpoint(true)
+    var ledger: Option[DataFrame] = None
+    updates.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF()
+        val tombs = b.filter(col(opCol) === "forget").select(col(idCol))
+        ledger = Some(ledger.fold(tombs)(_.unionByName(tombs))
+          .distinct().localCheckpoint(true))
+        val adds = b.filter(col(opCol) === "add").drop(opCol)
+        index = graft.operators.Dedup.forgetDocs(
+          index.unionByName(adds), ledger.get, idCol).localCheckpoint(true)
+        onState(index)
+    }
+  }
+
   case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(count: Long, sum: Double, lastTs: Long)
   case class SessionOut(user_id: Long, n_events: Long, value_sum: Double)

@@ -1309,4 +1309,60 @@ class StreamingSpec extends SparkSpec {
       assert(out2(0).getAs[Double]("value_sum") == 7.0)
     } finally q.stop()
   }
+
+  test("streaming DSIR scores equal the batch pipeline against a frozen distribution") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Splits
+    val target = (1L to 4L).map(i => (i, "en", "t", "curated curated corpus text"))
+    val raw = Seq((10L, "en", "r", "curated corpus text sample"),
+      (11L, "en", "r", "junk junk junk filler"),
+      (12L, "fr", "r", "   "))
+    val docs = (target ++ raw).toDF("doc_id", "lang", "source", "text")
+    val ppm = Splits.dsirDistribution(docs, "text", col("source") === "t")
+    val batchScores = Splits.dsirSelect(docs, "doc_id", "lang", "text",
+        col("source") === "t")
+      .select("doc_id", "score").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStream.streamingDsirScore(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text", ppm)
+      .writeStream.format("memory").queryName("dsirscore")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // uneven micro-batches, including the token-free doc
+      mem.addData((10L, "curated corpus text sample"))
+      q.processAllAvailable()
+      mem.addData((11L, "junk junk junk filler"), (12L, "   "))
+      q.processAllAvailable()
+      val streamed = spark.table("dsirscore").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // the JVM-side digest bucket must replay the SQL md5 bucket exactly
+      assert(streamed == batchScores)
+      assert(streamed(10L) > 0L && streamed(11L) < 0L && streamed(12L) == 0L)
+    } finally q.stop()
+  }
+
+  test("streaming forget: tombstone-wins-forever makes the final index split-invariant") {
+    implicit val sqlCtx = spark.sqlContext
+    val initial = Seq((1L, "x"), (2L, "y")).toDF("id", "band")
+    // the order trap: id 4's tombstone arrives BEFORE its add — per-batch
+    // application would leak it when the two land in different batches
+    val ops = Seq((1L, "", "forget"), (3L, "z", "add"), (4L, "", "forget"),
+      (4L, "w", "add"), (5L, "v", "add"))
+    def run(batches: Seq[Seq[(Long, String, String)]]): Set[(Long, String)] = {
+      val mem = MemoryStream[(Long, String, String)]
+      var last = Set.empty[(Long, String)]
+      val q = EventStream.streamingForget(
+          mem.toDF().toDF("id", "band", "op"), "id", "op", initial) { st =>
+        last = st.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      }.start()
+      try batches.foreach { b => mem.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
+      finally q.stop()
+      last
+    }
+    val expected = Set((2L, "y"), (3L, "z"), (5L, "v"))
+    assert(run(Seq(ops)) == expected)           // one batch
+    assert(run(ops.map(Seq(_))) == expected)    // one op per batch
+    assert(run(ops.grouped(2).toSeq) == expected) // uneven split
+  }
 }
