@@ -1669,6 +1669,51 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  private def filterFunnel(s: SparkSession, dir: String): DataFrame = {
+    // pipeline observability: the per-source funnel report a cleaning run
+    // ships with — how many docs survive each stage (quality gate →
+    // lang=en → exact-dedup keeper) and the token mass that reaches
+    // training. Same ONE-fused-scan shape as d_corpus_clean, but stage
+    // predicates become integer FLAGS instead of filters so every stage
+    // is counted in a single conditional aggregate; the keeper flag rides
+    // the same per-fingerprint window with non-survivors ordered LAST
+    // (rank 1 lands on the lowest-id survivor iff the group has one).
+    // Only shuffles: that window and the per-source rollup.
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"),
+        TextAnalysis.tokenStats(col("text")).as("ts"))
+    val withQuality = TextAnalysis.qualityColumnsFromStats(col("text"), col("ts"))
+      .foldLeft(docs) { case (d, (name, c)) => d.withColumn(name, c) }
+    val langs = TextAnalysis.langMarkers.keys.toSeq.sorted
+    val scored = TextAnalysis.langScoresFromStats(col("ts")).foldLeft(withQuality) {
+      case (d, (lang, c)) => d.withColumn(s"s_$lang", c)
+    }
+    val best = langs.map(l => struct(col(s"s_$l").as("score"), lit(l).as("lang")))
+      .reduce((a, b) => when(b.getField("score") > a.getField("score"), b).otherwise(a))
+    val staged = scored
+      .withColumn("lang_pred",
+        when(best.getField("score") === 0, lit("und")).otherwise(best.getField("lang")))
+      .withColumn("q_pass",
+        (col("n_tokens") >= 25 &&
+          col("stopword_ratio") <= 0.1 && col("punct_ratio") <= 0.2 &&
+          col("mean_token_len").between(2.0, 12.0)).cast("int"))
+      .withColumn("s_pass",
+        (col("q_pass") === 1 && col("lang_pred") === "en").cast("int"))
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+    val w = Window.partitionBy(col("fp"))
+      .orderBy((lit(1) - col("s_pass")).asc, col("doc_id").asc)
+    staged.withColumn("kept",
+        ((col("s_pass") === 1) && (row_number().over(w) === 1)).cast("int"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_raw"),
+        sum(col("q_pass")).cast("bigint").as("n_quality"),
+        sum(col("s_pass")).cast("bigint").as("n_lang"),
+        sum(col("kept")).cast("bigint").as("n_kept"),
+        sum(when(col("kept") === 1, col("n_tokens")).otherwise(0L))
+          .cast("bigint").as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
   private def chunkDocs(s: SparkSession, dir: String): DataFrame =
     // context-window chunking: 20-token chunks every 15 tokens (overlap 5),
     // final partial chunk kept — pure map-side, oracle-checked content
@@ -1837,6 +1882,7 @@ object SparkEntry {
     "d_shuffle_shards" -> (shuffleShardsQuery _),
     "d_lsh_incremental" -> (lshIncremental _),
     "d_index_forget" -> (indexForget _),
+    "d_filter_funnel" -> (filterFunnel _),
     "d_dup_spans" -> (dupSpans _),
     "d_chunk_docs" -> (chunkDocs _),
     "d_html_extract" -> (htmlExtract _),
@@ -3652,6 +3698,34 @@ object SparkEntry {
     // dedup among survivors (stage CTEs mirror d_quality_filter,
     // d_lang_predict, and the d_dedup_incremental fingerprint)
     "d_corpus_clean" ->
+      s"""$cleanStageCtes
+        |SELECT surv.doc_id AS doc_id, surv.n_tokens AS n_tokens
+        |FROM surv JOIN kept USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // per-source funnel over the SAME stage CTEs: raw → quality → lang →
+    // keeper counts plus the token mass that reaches training
+    "d_filter_funnel" ->
+      s"""$cleanStageCtes
+        |SELECT d.source,
+        | count(*) AS n_raw,
+        | count(qf.doc_id) AS n_quality,
+        | count(surv.doc_id) AS n_lang,
+        | count(k.doc_id) AS n_kept,
+        | CAST(coalesce(sum(CASE WHEN k.doc_id IS NOT NULL
+        |                        THEN surv.n_tokens END), 0) AS BIGINT)
+        |   AS kept_tokens
+        |FROM documents d
+        |LEFT JOIN qf ON qf.doc_id = d.doc_id
+        |LEFT JOIN surv ON surv.doc_id = d.doc_id
+        |LEFT JOIN kept k ON k.doc_id = d.doc_id
+        |GROUP BY d.source ORDER BY d.source""".stripMargin)
+
+  /** Shared DuckDB CTE chain for the cleaning-pipeline stages (quality
+    * gate `qf`, language argmax `lp`, en survivors `surv`, exact-dedup
+    * keepers `kept`) — interpolated into `d_corpus_clean` and
+    * `d_filter_funnel` so the twin pipelines stay definitionally one.
+    */
+  private val cleanStageCtes: String =
       """WITH toks AS (
         | SELECT doc_id, text,
         |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0) AS tk
@@ -3688,8 +3762,5 @@ object SparkEntry {
         |       FROM surv JOIN documents d USING (doc_id)),
         |kept AS (SELECT doc_id FROM (
         |  SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
-        |  FROM fp) WHERE rn = 1)
-        |SELECT surv.doc_id AS doc_id, surv.n_tokens AS n_tokens
-        |FROM surv JOIN kept USING (doc_id)
-        |ORDER BY doc_id""".stripMargin)
+        |  FROM fp) WHERE rn = 1)""".stripMargin
 }
