@@ -926,8 +926,9 @@ object SparkEntry {
     * wrong centroid assignment) can never be silently reused; the old dir
     * just stops being referenced.
     */
-  private def layoutPath(dir: String, kind: String, config: String): String = {
-    val src = new java.io.File(dir, "embeddings.parquet")
+  private def layoutPath(dir: String, kind: String, config: String,
+                         srcTable: String = "embeddings.parquet"): String = {
+    val src = new java.io.File(dir, srcTable)
     val mtime = if (src.exists()) src.lastModified().toString else "missing"
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$dir|$config|$mtime".getBytes("UTF-8"))
@@ -1629,6 +1630,43 @@ object SparkEntry {
       .orderBy(col("id"), col("band_id"))
   }
 
+  /** Stored LSH band index: written ONCE per SF dir at "ingest"
+    * (layout-cached like the vector/IVF/PQ stores), hash-clustered into
+    * 32 files by band_hash and row-group-sorted on it so the gate's
+    * semi-join reads a co-locatable, skippable layout. This closes the
+    * last index-build-inside-the-query-path in the dedup family:
+    * `d_lsh_incremental` recomputes the historical corpus's signatures on
+    * every run — at 100 TB that is a full re-shingle of the stored corpus
+    * per arriving batch — while the stored path re-shingles ONLY the
+    * batch.
+    */
+  private def lshStore(s: SparkSession, dir: String): DataFrame = {
+    val path = layoutPath(dir, "lshindex", "k=8,b=4,cut=250",
+      srcTable = "documents.parquet")
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      Dedup.portableBands(
+          Dedup.portableMinhash(
+            t(s, dir, "documents").filter(col("doc_id") < 250),
+            "doc_id", "text", k = 8),
+          "doc_id", k = 8, bands = 4)
+        .repartition(32, col("band_hash"))
+        .sortWithinPartitions(col("band_hash"))
+        .write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
+  private def lshIncrementalStored(s: SparkSession, dir: String): DataFrame =
+    // the same gate as d_lsh_incremental, but against the STORED band
+    // index ([[lshStore]]) — row-identical by construction (pinned in
+    // ExtensionsSpec) and the scale path a real ingest loop runs:
+    // accepted batches append their bands to the store
+    // (EventStream.streamingLshIngest's onBatch contract), the corpus is
+    // never re-signed.
+    Dedup.lshIngest(
+        t(s, dir, "documents").filter(col("doc_id") >= 250),
+        lshStore(s, dir), "doc_id", "text", k = 8, nBands = 4)
+      .orderBy(col("doc_id"))
+
   private def corpusClean(s: SparkSession, dir: String): DataFrame = {
     // the whole batch cleaning pipeline in ONE oracle-checked query:
     // quality gate -> language filter (en) -> exact dedup (lowest id per
@@ -1883,6 +1921,7 @@ object SparkEntry {
     "d_lsh_incremental" -> (lshIncremental _),
     "d_index_forget" -> (indexForget _),
     "d_filter_funnel" -> (filterFunnel _),
+    "d_lsh_incremental_stored" -> (lshIncrementalStored _),
     "d_dup_spans" -> (dupSpans _),
     "d_chunk_docs" -> (chunkDocs _),
     "d_html_extract" -> (htmlExtract _),
@@ -1893,6 +1932,39 @@ object SparkEntry {
   // Dedup.portableMinhash/portableBands exactly): sig_p = min 32-bit
   // slice p%4 of md5("<p/4>:<shingle>"), band key = md5 of the
   // ':'-joined decimal sig pair
+  /** Incremental LSH-gate twin: batch docs (>= 250) survive iff no band
+    * key collides with the stored-corpus (< 250) index. Serves both
+    * `d_lsh_incremental` and its stored-layout twin.
+    */
+  private lazy val lshIncrementalOracle: String =
+    s"""WITH tk AS (
+      | SELECT doc_id,
+      |  list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+      |              x -> len(x) > 0) AS t
+      | FROM documents),
+      |s AS (
+      | SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 3
+      |   THEN list_transform(range(1, len(t) - 1),
+      |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |   ELSE [] END)) AS sh
+      | FROM tk),
+      |sig AS (
+      | SELECT doc_id,
+      | $portableSigSelect
+      | FROM s GROUP BY doc_id),
+      |bands AS (
+      | SELECT doc_id, bb.band AS band_id,
+      |  md5(CASE bb.band $portableBandCase END) AS key
+      | FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) AS bb(band)),
+      |hits AS (
+      | SELECT DISTINCT n.doc_id
+      | FROM bands n JOIN bands o
+      |  ON n.band_id = o.band_id AND n.key = o.key
+      | WHERE n.doc_id >= 250 AND o.doc_id < 250)
+      |SELECT doc_id FROM documents
+      |WHERE doc_id >= 250 AND doc_id NOT IN (SELECT doc_id FROM hits)
+      |ORDER BY doc_id""".stripMargin
+
   private val portableSigSelect: String =
     (0 until 8).map(p =>
       s"min(CAST(concat('0x', substr(md5('${p / 4}:' || sh), ${1 + 8 * (p % 4)}, 8)) AS BIGINT)) AS sig$p")
@@ -3544,34 +3616,11 @@ object SparkEntry {
         |FROM c ORDER BY shard, pos""".stripMargin,
     // incremental near-dup ingest: batch docs (>= 250) survive iff no
     // portable-LSH band key collides with the index of docs < 250
-    "d_lsh_incremental" ->
-      s"""WITH tk AS (
-        | SELECT doc_id,
-        |  list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
-        |              x -> len(x) > 0) AS t
-        | FROM documents),
-        |s AS (
-        | SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 3
-        |   THEN list_transform(range(1, len(t) - 1),
-        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-        |   ELSE [] END)) AS sh
-        | FROM tk),
-        |sig AS (
-        | SELECT doc_id,
-        | $portableSigSelect
-        | FROM s GROUP BY doc_id),
-        |bands AS (
-        | SELECT doc_id, bb.band AS band_id,
-        |  md5(CASE bb.band $portableBandCase END) AS key
-        | FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) AS bb(band)),
-        |hits AS (
-        | SELECT DISTINCT n.doc_id
-        | FROM bands n JOIN bands o
-        |  ON n.band_id = o.band_id AND n.key = o.key
-        | WHERE n.doc_id >= 250 AND o.doc_id < 250)
-        |SELECT doc_id FROM documents
-        |WHERE doc_id >= 250 AND doc_id NOT IN (SELECT doc_id FROM hits)
-        |ORDER BY doc_id""".stripMargin,
+    "d_lsh_incremental" -> lshIncrementalOracle,
+    // the stored-index twin computes the SAME survivor set — the store is
+    // a physical layout of the identical band index, so one oracle serves
+    // both (row-identity additionally pinned in ExtensionsSpec)
+    "d_lsh_incremental_stored" -> lshIncrementalOracle,
     // index-forget twin: the oracle rebuilds the LSH band index from the
     // surviving (non-tombstoned) docs from scratch; equality with the
     // Spark side's anti-join compaction proves removal ≡ rebuild

@@ -1117,6 +1117,16 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stored LSH index gate is row-identical to the inline index path") {
+    // the stored layout is a physical rearrangement of the same band
+    // index, so the gate's survivor set must not move by a single row
+    val inline = SparkEntry.queries("d_lsh_incremental")(
+      spark, "/root/testdata/sf0.001").collect().map(_.getLong(0)).toSeq
+    val stored = SparkEntry.queries("d_lsh_incremental_stored")(
+      spark, "/root/testdata/sf0.001").collect().map(_.getLong(0)).toSeq
+    assert(inline.nonEmpty && stored == inline)
+  }
+
   test("streaming perceptual image ingest equals the batch gate") {
     // 500 planted PNGs (md5 pixels; ids b and b+250 near-identical, the
     // high copy perturbed by one channel): hashes of ids < 250 are the
