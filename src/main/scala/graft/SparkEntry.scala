@@ -1222,6 +1222,36 @@ object SparkEntry {
       .orderBy(col("media_id"))
   }
 
+  /** Stored perceptual-hash index: (media_id, dhash) of the historical
+    * corpus written ONCE per SF dir (layout-cached like [[lshStore]]) —
+    * the ingest gate then DECODES ONLY THE ARRIVING BATCH. The inline
+    * `m_image_ingest` decodes the full corpus every run; at 100 TB of
+    * media the decode is the dominant cost, so the stored index is what
+    * turns the gate from a corpus rescan into a batch-sized job. The
+    * store is 8 bytes of hash per historical image — the corpus's pixels
+    * are never read again.
+    */
+  private def dhashStore(s: SparkSession, dir: String): DataFrame = {
+    val path = layoutPath(dir, "dhashindex", "cut=250",
+      srcTable = "documents.parquet")
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      graft.multimodal.Multimodal.dHashes(
+          imagePayloads(s, dir).filter(col("media_id") < 250))
+        .coalesce(8)
+        .write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
+  private def imageIngestStored(s: SparkSession, dir: String): DataFrame =
+    // the same hamming-0 gate as m_image_ingest against the STORED hash
+    // index — row-identical by construction (pinned in ExtensionsSpec);
+    // only the arriving images are decoded.
+    Dedup.perceptualIngest(
+        graft.multimodal.Multimodal.dHashes(
+          imagePayloads(s, dir).filter(col("media_id") >= 250)),
+        dhashStore(s, dir), "media_id", "dhash", maxHamming = 0)
+      .orderBy(col("media_id"))
+
   /** Every doc carries a REAL planted mono PCM WAV, 256 + base%128 frames
     * (base = doc_id % 250; long enough that all 65 fingerprint windows are
     * populated), sample i = the first two md5 bytes of "a:base:i" shifted
@@ -1906,6 +1936,7 @@ object SparkEntry {
     "m_audio_fingerprint" -> (audioFingerprint _),
     "m_audio_neardup" -> (audioNearDup _),
     "m_image_ingest" -> (imageIngest _),
+    "m_image_ingest_stored" -> (imageIngestStored _),
     "d_gopher_rules" -> (gopherRulesQuery _),
     "d_gopher_lines" -> (gopherLinesQuery _),
     "d_ppl_buckets" -> (pplBuckets _),
@@ -3280,6 +3311,16 @@ object SparkEntry {
     // stored hash (< 250) equals its dHash (hamming 0 = exact perceptual
     // duplicate) — NOT EXISTS over the recomputed hash table
     "m_image_ingest" ->
+      s"""WITH $imageDhashCtes
+        |SELECT b.doc_id AS media_id
+        |FROM h b
+        |WHERE b.doc_id >= 250 AND NOT EXISTS (
+        |  SELECT 1 FROM h i WHERE i.doc_id < 250 AND i.dhash = b.dhash)
+        |ORDER BY media_id""".stripMargin,
+    // the stored-index twin: identical survivor set, one hash index in
+    // two physical forms (row-identity additionally pinned in
+    // ExtensionsSpec)
+    "m_image_ingest_stored" ->
       s"""WITH $imageDhashCtes
         |SELECT b.doc_id AS media_id
         |FROM h b

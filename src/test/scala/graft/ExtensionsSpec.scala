@@ -1127,6 +1127,14 @@ class StreamingSpec extends SparkSpec {
     assert(inline.nonEmpty && stored == inline)
   }
 
+  test("stored perceptual-hash index gate is row-identical to the inline path") {
+    val inline = SparkEntry.queries("m_image_ingest")(
+      spark, "/root/testdata/sf0.001").collect().map(_.getLong(0)).toSeq
+    val stored = SparkEntry.queries("m_image_ingest_stored")(
+      spark, "/root/testdata/sf0.001").collect().map(_.getLong(0)).toSeq
+    assert(inline.nonEmpty && stored == inline)
+  }
+
   test("streaming perceptual image ingest equals the batch gate") {
     // 500 planted PNGs (md5 pixels; ids b and b+250 near-identical, the
     // high copy perturbed by one channel): hashes of ids < 250 are the
