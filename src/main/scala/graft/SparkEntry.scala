@@ -1697,6 +1697,26 @@ object SparkEntry {
         lshStore(s, dir), "doc_id", "text", k = 8, nBands = 4)
       .orderBy(col("doc_id"))
 
+  private def corpusDiff(s: SparkSession, dir: String): DataFrame = {
+    // dataset-versioning audit between two corpus releases, both derived
+    // deterministically from documents: v1 lacks the docs "added later"
+    // (id % 23 == 0), v2 lacks the "retired" docs (id % 29 == 0) and
+    // carries an edit on id % 31 == 0. The diff classifies by canonical
+    // FINGERPRINT (not by the planting rules), so the oracle recomputing
+    // fingerprints in SQL checks the actual comparison logic; only moved
+    // rows are emitted (a 100 TB diff report is the moved sliver, not
+    // the corpus).
+    val docs = t(s, dir, "documents")
+    val v1 = docs.filter(col("doc_id") % 23 =!= 0)
+    val v2 = docs.filter(col("doc_id") % 29 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 31 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")))
+    Dedup.snapshotDiff(v1, v2, "doc_id", "text")
+      .filter(col("status") =!= "unchanged")
+      .orderBy(col("doc_id"))
+  }
+
   private def corpusClean(s: SparkSession, dir: String): DataFrame = {
     // the whole batch cleaning pipeline in ONE oracle-checked query:
     // quality gate -> language filter (en) -> exact dedup (lowest id per
@@ -1953,6 +1973,7 @@ object SparkEntry {
     "d_index_forget" -> (indexForget _),
     "d_filter_funnel" -> (filterFunnel _),
     "d_lsh_incremental_stored" -> (lshIncrementalStored _),
+    "d_corpus_diff" -> (corpusDiff _),
     "d_dup_spans" -> (dupSpans _),
     "d_chunk_docs" -> (chunkDocs _),
     "d_html_extract" -> (htmlExtract _),
@@ -3791,6 +3812,30 @@ object SparkEntry {
       s"""$cleanStageCtes
         |SELECT surv.doc_id AS doc_id, surv.n_tokens AS n_tokens
         |FROM surv JOIN kept USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // snapshot-diff twin: both releases rebuilt from the planting rules,
+    // fingerprints recomputed in SQL (the d_fingerprint formula), FULL
+    // OUTER join classifies — the comparison logic is the thing under
+    // test, not the planting conditions
+    "d_corpus_diff" ->
+      """WITH v1 AS (
+        | SELECT doc_id,
+        |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp_a
+        | FROM documents WHERE doc_id % 23 <> 0),
+        |v2 AS (
+        | SELECT doc_id,
+        |  md5(lower(regexp_replace(trim(
+        |    CASE WHEN doc_id % 31 = 0 THEN text || ' rev2' ELSE text END),
+        |    '\s+', ' ', 'g'))) AS fp_b
+        | FROM documents WHERE doc_id % 29 <> 0)
+        |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+        | CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |      WHEN v2.doc_id IS NULL THEN 'removed'
+        |      WHEN v1.fp_a <> v2.fp_b THEN 'changed'
+        |      ELSE 'unchanged' END AS status
+        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        |WHERE NOT (v1.doc_id IS NOT NULL AND v2.doc_id IS NOT NULL
+        |           AND v1.fp_a = v2.fp_b)
         |ORDER BY doc_id""".stripMargin,
     // per-source funnel over the SAME stage CTEs: raw → quality → lang →
     // keeper counts plus the token mass that reaches training

@@ -801,6 +801,30 @@ object Dedup {
     index.join(tombstones.select(col(idCol)).distinct(),
       Seq(idCol), "left_anti")
 
+  /** Corpus snapshot diff — the dataset-versioning audit between two
+    * releases of a training corpus: per id, `added` (v2 only), `removed`
+    * (v1 only), `changed` (both, canonical fingerprint differs) or
+    * `unchanged`. The columns a data card's "what moved since v1" section
+    * and an incremental re-train decision both read. Scale shape: each
+    * side collapses to (id, md5 fingerprint) map-side — text never
+    * shuffles — and ONE full-outer join on id classifies every row; at
+    * 100 TB both sides are ingest-time fingerprint indexes
+    * ([[incremental]]'s store), so the diff never rescans either corpus.
+    */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val a = v1.select(col(idCol),
+      TextAnalysis.fingerprint(col(textCol)).as("fp_a"))
+    val b = v2.select(col(idCol),
+      TextAnalysis.fingerprint(col(textCol)).as("fp_b"))
+    a.join(b, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("fp_a").isNull, "added")
+          .when(col("fp_b").isNull, "removed")
+          .when(col("fp_a") =!= col("fp_b"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   /** Per-doc duplicated-span coverage — the audit stage of exact-substring
     * dedup (the "how much of this document is copied from elsewhere"
     * signal): for each doc, the fraction of its positional 3-gram windows

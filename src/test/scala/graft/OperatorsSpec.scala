@@ -311,6 +311,19 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
 
+  test("snapshot diff classifies added/removed/changed and is canonicalization-invariant") {
+    val v1 = Seq((1L, "Alpha beta"), (2L, "to be removed"), (3L, "same text"),
+      (4L, "old body")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "  alpha   beta "), (3L, "same text"), (4L, "new body"),
+      (5L, "fresh doc")).toDF("doc_id", "text")
+    val d = Dedup.snapshotDiff(v1, v2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // case/whitespace-only drift is NOT a change — the diff compares
+    // canonical fingerprints, the same identity exact dedup uses
+    assert(d == Map(1L -> "unchanged", 2L -> "removed", 3L -> "unchanged",
+      4L -> "changed", 5L -> "added"))
+  }
+
   test("connected components labels chains, triangles and isolated pairs") {
     // components: chain 1-2-3-4 (diameter forces >1 round), triangle
     // 10-11-12, isolated pair 20-21
