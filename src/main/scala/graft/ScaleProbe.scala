@@ -48,6 +48,39 @@ object ScaleProbe {
         s""""max_bucket_size":${m("max_bucket_size")}}""")
     }
 
+    // round-7 operator families on the same replicated corpus: DSIR
+    // selection (scan + 512-row broadcast + per-lang window), snapshot
+    // diff (map-side fingerprints + one full-outer join) — both should
+    // scale linearly with no funnel
+    def corpusFull(f: Int): DataFrame = {
+      val b = Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      (0 until f).map(k => b.select(
+          (col("doc_id") + lit(k * shift)).as("doc_id"),
+          col("text"), col("lang"), col("source")))
+        .reduce(_ union _).localCheckpoint()
+    }
+    for (f <- Seq(1, factor)) {
+      val docs = corpusFull(f)
+      def time(name: String)(df: => DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        val n = df.count()
+        println(f"""{"probe":"$name","factor":$f,"sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":$n}""")
+      }
+      time("d_dsir_sample") {
+        operators.Splits.dsirSelect(docs, "doc_id", "lang", "text",
+          isTarget = col("source").isin("src0", "src1", "src2"))
+      }
+      time("d_corpus_diff") {
+        operators.Dedup.snapshotDiff(
+            docs.filter(col("doc_id") % 23 =!= 0),
+            docs.filter(col("doc_id") % 29 =!= 0),
+            "doc_id", "text")
+          .filter(col("status") =!= "unchanged")
+      }
+      docs.unpersist()
+    }
+
     for (f <- Seq(1, factor); cap <- Seq(1000, 100)) {
       val docs = corpus(f)
       val hashes = graft.multimodal.Multimodal
