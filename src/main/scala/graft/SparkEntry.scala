@@ -417,6 +417,18 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  private def contaminationReportQuery(s: SparkSession, dir: String): DataFrame = {
+    // the eval-side view of the same leakage check: per benchmark item
+    // (every 100th doc), how many distinct training docs share a word
+    // 4-gram with it and the total overlap incidence — zero rows kept so
+    // clean items are CONFIRMED clean, not silently absent
+    val d = t(s, dir, "documents")
+    Dedup.contaminationReport(
+        d.filter(col("doc_id") % 100 =!= 0), "doc_id", "text",
+        d.filter(col("doc_id") % 100 === 0), "doc_id", "text", n = 4)
+      .orderBy(col("eval_id"))
+  }
+
   private def decontaminateBloomQuery(s: SparkSession, dir: String): DataFrame = {
     // the decontamination scale path: same eval split as d_decontaminate,
     // but the eval grams collapse into a broadcast Bloom filter that trims
@@ -1901,6 +1913,7 @@ object SparkEntry {
     "d_sample_strata" -> (sampleStrataQuery _),
     "d_tfidf_terms" -> (tfidfTopTerms _),
     "d_decontaminate" -> (decontaminateQuery _),
+    "d_contamination_report" -> (contaminationReportQuery _),
     "d_decontaminate_bloom" -> (decontaminateBloomQuery _),
     "d_pack_sequences" -> (packSequencesQuery _),
     "d_boilerplate" -> (boilerplateQuery _),
@@ -2628,6 +2641,29 @@ object SparkEntry {
         |FROM g JOIN eg USING (gram)
         |WHERE g.doc_id % 100 <> 0
         |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
+    // eval-side contamination audit: per benchmark item, distinct
+    // training docs sharing a 4-gram + total overlap incidence; LEFT
+    // join keeps clean items at zero
+    "d_contamination_report" ->
+      """WITH tk AS (
+        | SELECT doc_id,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0) AS tk
+        | FROM documents),
+        |g AS (
+        | SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk)-2),
+        |   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]))) AS gram
+        | FROM tk WHERE len(tk) >= 4),
+        |eg AS (SELECT doc_id AS eval_id, gram FROM g WHERE doc_id % 100 = 0),
+        |tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 100 <> 0),
+        |r AS (
+        | SELECT eg.eval_id, count(DISTINCT tr.doc_id) AS n_docs,
+        |  count(*) AS n_hits
+        | FROM tr JOIN eg USING (gram) GROUP BY eg.eval_id)
+        |SELECT d.doc_id AS eval_id,
+        | CAST(coalesce(r.n_docs, 0) AS BIGINT) AS n_docs,
+        | CAST(coalesce(r.n_hits, 0) AS BIGINT) AS n_hits
+        |FROM documents d LEFT JOIN r ON r.eval_id = d.doc_id
+        |WHERE d.doc_id % 100 = 0 ORDER BY eval_id""".stripMargin,
     // bloom-prefiltered exact decontamination: Bloom has no false
     // negatives and the verify join kills false positives, so the result
     // is defined to equal d_decontaminate — same oracle

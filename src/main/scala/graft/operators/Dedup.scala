@@ -278,6 +278,33 @@ object Dedup {
       .groupBy(col(idCol)).agg(count(lit(1)).as("hits"))
   }
 
+  /** The EVAL-side contamination audit — [[decontaminate]] reports which
+    * TRAINING docs to drop; this reports which BENCHMARK ITEMS are
+    * burned: per eval doc, how many distinct corpus docs share an n-gram
+    * with it and the total overlapping-gram incidence. Zero rows are
+    * kept (a benchmark audit needs "clean" confirmed, not just leaks
+    * listed). Same scale shape as the gate: eval grams broadcast with
+    * their ids, the corpus side explodes map-side and never shuffles
+    * text; the rollup groups by eval id (bounded by the benchmark size,
+    * so even countDistinct's two-phase agg is tiny).
+    */
+  def contaminationReport(docs: DataFrame, idCol: String, textCol: String,
+                          evalDocs: DataFrame, evalIdCol: String,
+                          evalTextCol: String, n: Int = 8): DataFrame = {
+    val evalGrams = evalDocs.select(col(evalIdCol).as("eval_id"),
+      explode(array_distinct(shingles(col(evalTextCol), n))).as("gram"))
+    val hits = docs
+      .select(col(idCol), explode(array_distinct(shingles(col(textCol), n))).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy(col("eval_id"))
+      .agg(countDistinct(col(idCol)).as("n_docs"), count(lit(1)).as("n_hits"))
+    evalDocs.select(col(evalIdCol).as("eval_id"))
+      .join(hits, Seq("eval_id"), "left")
+      .select(col("eval_id"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+  }
+
   /** Bloom-filter decontamination — the scale path for when even the eval
     * side outgrows an exact broadcast set (a multi-GB benchmark suite's
     * distinct 8-grams): build a Bloom filter over the eval grams with

@@ -311,6 +311,26 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
 
+  test("contamination report: eval-side view agrees with the gate, keeps clean items at zero") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta extra words here"), // shares the 4-gram
+      (2L, "totally different training content")).toDF("doc_id", "text")
+    val eval0 = Seq(
+      (100L, "alpha beta gamma delta"),
+      (200L, "pristine benchmark item nothing leaks")).toDF("doc_id", "text")
+    val report = Dedup.contaminationReport(train, "doc_id", "text",
+        eval0, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // burned item carries its witness count; the clean item is PRESENT at zero
+    assert(report(100L) == ((1L, 1L)))
+    assert(report(200L) == ((0L, 0L)))
+    // the two views agree: the training docs the gate flags are exactly
+    // the witnesses the report counts
+    val flagged = Dedup.decontaminate(train, "doc_id", "text", eval0, "text", n = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(1L))
+  }
+
   test("snapshot diff classifies added/removed/changed and is canonicalization-invariant") {
     val v1 = Seq((1L, "Alpha beta"), (2L, "to be removed"), (3L, "same text"),
       (4L, "old body")).toDF("doc_id", "text")
