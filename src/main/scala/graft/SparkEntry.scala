@@ -329,6 +329,27 @@ object SparkEntry {
     Bpe.subwordCounts(docs, "doc_id", "text", dict).orderBy(col("doc_id"))
   }
 
+  private def bpeFertility(s: SparkSession, dir: String): DataFrame = {
+    // tokenizer-equity audit: per language, words, subwords under the
+    // LEARNED merges, and fertility (subwords per word, ×1000 integer) —
+    // the metric multilingual LM reports use to show which languages pay
+    // more tokens per word under a shared vocabulary. Same trained
+    // dictionary as d_bpe_tokens; the rollup is per-language instead of
+    // per-doc, so the corpus word stream joins the broadcast dictionary
+    // and collapses to |langs| rows.
+    val docs = t(s, dir, "documents")
+    val (_, dict) = Bpe.train(docs, "text", rounds = 6)
+    val pieces = dict.select(col("w"), size(col("syms")).as("__np"))
+    docs.select(col("lang"),
+        explode(Dedup.portableTokens(col("text"))).as("w"))
+      .join(pieces, Seq("w"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("__np")).cast("long").as("n_subwords"))
+      .withColumn("fert_x1000", expr("n_subwords * 1000 div n_words"))
+      .orderBy(col("lang"))
+  }
+
   private def fingerprints(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -1902,6 +1923,7 @@ object SparkEntry {
     "d_token_counts" -> (tokenCounts _),
     "d_bpe_train" -> (bpeTrain _),
     "d_bpe_tokens" -> (bpeTokens _),
+    "d_bpe_fertility" -> (bpeFertility _),
     "d_quality" -> (qualityScores _),
     "d_fingerprint" -> (fingerprints _),
     "d_lang_scores" -> (langScores _),
@@ -2489,6 +2511,18 @@ object SparkEntry {
         |  CAST(sum(len(s6.syms)) AS BIGINT) AS n_subwords
         |FROM dw JOIN s6 ON s6.w = dw.w
         |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin),
+    // per-language fertility under the same learned merges: DuckDB's //
+    // floor division matches Spark's div on the non-negative operands
+    "d_bpe_fertility" ->
+      (bpeChainSql + """,
+        |dw AS (SELECT d.lang, unnest(list_filter(
+        |         regexp_split_to_array(lower(trim(d.text)), '\s+'),
+        |         x -> len(x) > 0)) AS w FROM documents d)
+        |SELECT dw.lang, count(*) AS n_words,
+        |  CAST(sum(len(s6.syms)) AS BIGINT) AS n_subwords,
+        |  CAST(sum(len(s6.syms)) * 1000 // count(*) AS BIGINT) AS fert_x1000
+        |FROM dw JOIN s6 ON s6.w = dw.w
+        |GROUP BY dw.lang ORDER BY dw.lang""".stripMargin),
     "d_token_counts" ->
       """SELECT doc_id,
         | len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0)) AS n_tokens,
