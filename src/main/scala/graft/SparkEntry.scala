@@ -1619,6 +1619,21 @@ object SparkEntry {
       .orderBy(col("a"), col("b"))
   }
 
+  private def containmentQuery(s: SparkSession, dir: String): DataFrame = {
+    // subset-duplicate detection: the portable LSH candidate set verified
+    // by CONTAINMENT in both directions — a short doc quoted whole inside
+    // a long one scores c_ab ≈ 1 even when its Jaccard is low. Candidates
+    // and shingle sets are the exact machinery of the fuzzy-dedup twin;
+    // only the verify formula changes.
+    val d = t(s, dir, "documents")
+    val cands = Dedup.candidatePairs(
+      Dedup.portableBands(Dedup.portableMinhash(d, "doc_id", "text", k = 8),
+        "doc_id", k = 8, bands = 4), maxBucketSize = Int.MaxValue)
+    Dedup.verifyContainment(cands, d, "doc_id", "text",
+        shingleLen = 3, threshold = 0.5)
+      .orderBy(col("a"), col("b"))
+  }
+
   private def simhashPortable(s: SparkSession, dir: String): DataFrame =
     Dedup.portableSimhash(t(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
@@ -1999,6 +2014,7 @@ object SparkEntry {
     "d_data_card" -> (dataCard _),
     "d_minhash_portable" -> (minhashPortable _),
     "d_lsh_portable_pairs" -> (lshPortablePairs _),
+    "d_containment" -> (containmentQuery _),
     "d_dedup_fuzzy_portable" -> (dedupFuzzyPortable _),
     "d_split_leakproof" -> (splitLeakproofQuery _),
     "d_simhash_portable" -> (simhashPortable _),
@@ -3657,6 +3673,20 @@ object SparkEntry {
         |      WHEN bucket < 90 THEN 'valid'
         |      ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+    // containment twin: the fuzzy chain's candidates + shingle sets, with
+    // the asymmetric verify formula — raw IEEE >= threshold compare (the
+    // pr CTE's convention), rounding only in the output columns
+    "d_containment" ->
+      s"""WITH RECURSIVE
+        |$portableClusterCtes
+        |SELECT c.a, c.b,
+        | round(CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE) / len(sa.ss), 4) AS c_ab,
+        | round(CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE) / len(sb.ss), 4) AS c_ba
+        |FROM cand c JOIN vset sa ON sa.doc_id = c.a
+        |            JOIN vset sb ON sb.doc_id = c.b
+        |WHERE CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE) / len(sa.ss) >= 0.5
+        |   OR CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE) / len(sb.ss) >= 0.5
+        |ORDER BY a, b""".stripMargin,
     "d_dedup_fuzzy_portable" ->
       s"""WITH RECURSIVE
         |$portableClusterCtes,

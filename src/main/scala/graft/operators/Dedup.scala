@@ -123,6 +123,41 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Containment verification over candidate pairs — the ASYMMETRIC
+    * cousin of [[verifyJaccard]] for subset-duplicates: a short doc
+    * quoted whole inside a long one has low Jaccard (the union is big)
+    * but containment |A∩B|/|A| ≈ 1, which is why large-scale dedup
+    * recipes check containment alongside symmetric overlap. Emits both
+    * directions (c_ab = overlap/|A|, c_ba = overlap/|B|), keeps pairs
+    * where either reaches `threshold` (raw IEEE compare, like
+    * [[verifyJaccard]]'s — rounding only in the output columns). Same
+    * candidates-only scale shape: shingle sets are built for pair
+    * members alone. Caveat carried from LSH: banding recalls JACCARD
+    * neighbors, so extreme containment-only pairs (tiny A in huge B)
+    * need a containment-aware blocker upstream; with a shared-band
+    * candidate set this is the verify stage, not the finder.
+    */
+  def verifyContainment(pairs: DataFrame, docs: DataFrame, idCol: String,
+                        textCol: String, shingleLen: Int = 3,
+                        threshold: Double = 0.8): DataFrame = {
+    val candidateIds = pairs
+      .select(explode(array(col("a"), col("b"))).as("cid")).distinct()
+    val sets = docs
+      .join(candidateIds, col(idCol) === col("cid"), "leftsemi")
+      .select(col(idCol).as("vid"),
+        array_distinct(shingles(col(textCol), shingleLen)).as("sset"))
+      .localCheckpoint()
+    val sa = sets.select(col("vid").as("a"), col("sset").as("sa"))
+    val sb = sets.select(col("vid").as("b"), col("sset").as("sb"))
+    pairs.join(sa, Seq("a")).join(sb, Seq("b"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("double"))
+      .withColumn("ca", col("inter") / size(col("sa")))
+      .withColumn("cb", col("inter") / size(col("sb")))
+      .filter(col("ca") >= threshold || col("cb") >= threshold)
+      .select(col("a"), col("b"),
+        round(col("ca"), 4).as("c_ab"), round(col("cb"), 4).as("c_ba"))
+  }
+
   /** Full MinHash-LSH near-dup pipeline → (a, b, jaccard) above threshold. */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  k: Int = 64, bands: Int = 16, shingleLen: Int = 3,

@@ -311,6 +311,25 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
 
+  test("containment verify flags subset-duplicates symmetric Jaccard misses") {
+    val longText = ((1 to 40).map(i => s"body$i") ++
+      Seq("quoted passage lives here")).mkString(" ")
+    val two = Seq((1L, "quoted passage lives here"), (2L, longText))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("a", "b")
+    val out = Dedup.verifyContainment(pairs, two, "doc_id", "text",
+      threshold = 0.8).collect()
+    // the short doc is FULLY contained: c_ab = 1.0 even though the long
+    // side barely overlaps
+    assert(out.length == 1)
+    assert(out(0).getAs[Double]("c_ab") == 1.0)
+    assert(out(0).getAs[Double]("c_ba") < 0.2)
+    // symmetric Jaccard rejects the same pair at any useful threshold —
+    // exactly the gap the asymmetric verify closes
+    assert(Dedup.verifyJaccard(pairs, two, "doc_id", "text",
+      threshold = 0.5).count() == 0)
+  }
+
   test("contamination report: eval-side view agrees with the gate, keeps clean items at zero") {
     val train = Seq(
       (1L, "alpha beta gamma delta extra words here"), // shares the 4-gram
