@@ -1571,6 +1571,25 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_urls"), countDistinct(col("doc_id")).as("n_docs"))
       .orderBy(col("domain"))
 
+  private def urlBlocklist(s: SparkSession, dir: String): DataFrame = {
+    // C4-style domain filtering over the same planted URLs as
+    // d_url_domains: docs mentioning a blocklisted host (five source
+    // domains + one language mirror) are dropped BY URL EXTRACTION — the
+    // blocklist path a web-corpus recipe runs before any content
+    // heuristic; survivors carry their URL mention count
+    import s.implicits._
+    val dirty = t(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(col("text"),
+          lit(" see https://"), col("source"), lit(".example.com/p/"), col("doc_id"),
+          lit(" or http://m-"), col("lang"), lit(".example.org/idx")).as("dirty"))
+    val blocked = Seq("src0.example.com", "src1.example.com",
+      "src2.example.com", "src3.example.com", "src4.example.com",
+      "m-zh.example.org").toDF("domain")
+    TextAnalysis.blockByDomain(dirty, "doc_id", "dirty", blocked)
+      .orderBy(col("doc_id"))
+  }
+
   private def weightedSample(s: SparkSession, dir: String): DataFrame =
     // PPS corpus downsampling: ~5 docs per source, inclusion probability
     // proportional to token mass, fully deterministic (integer systematic
@@ -1991,6 +2010,7 @@ object SparkEntry {
     "d_line_dedup" -> (lineDedupQuery _),
     "d_length_deciles" -> (lengthDeciles _),
     "d_url_domains" -> (urlDomains _),
+    "d_url_blocklist" -> (urlBlocklist _),
     "d_weighted_sample" -> (weightedSample _),
     "q_grouping_sets" -> (groupingSets _),
     "m_multimodal_meta" -> (multimodalMeta _),
@@ -3593,6 +3613,27 @@ object SparkEntry {
         |FROM documents
         |GROUP BY GROUPING SETS ((lang), (source))
         |ORDER BY lang, source""".stripMargin,
+    // blocklist twin: same planted URLs, NOT EXISTS against the VALUES
+    // blocklist; survivors carry len(extracted hosts)
+    "d_url_blocklist" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  text || ' see https://' || source || '.example.com/p/' || doc_id ||
+        |  ' or http://m-' || lang || '.example.org/idx' AS dirty
+        | FROM documents),
+        |u AS (SELECT doc_id,
+        |        unnest(regexp_extract_all(dirty, 'https?://([^/\s]+)', 1)) AS domain
+        |      FROM d),
+        |blocked AS (SELECT * FROM (VALUES ('src0.example.com'),
+        |  ('src1.example.com'), ('src2.example.com'), ('src3.example.com'),
+        |  ('src4.example.com'), ('m-zh.example.org')) AS t(domain))
+        |SELECT d.doc_id,
+        | CAST(len(regexp_extract_all(d.dirty, 'https?://([^/\s]+)', 1)) AS INT)
+        |   AS n_urls
+        |FROM d
+        |WHERE NOT EXISTS (SELECT 1 FROM u JOIN blocked USING (domain)
+        |                  WHERE u.doc_id = d.doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "d_url_domains" ->
       """WITH d AS (
         | SELECT doc_id,

@@ -435,4 +435,27 @@ object TextAnalysis {
           tb * 1000 <= lit(maxTopBigramX1000) *
             greatest(col("n_tokens") - 1, lit(1L))).as("keep"))
   }
+
+  /** C4-style URL blocklist filter: drop every document that mentions a
+    * URL whose host is on the blocklist (the public web-corpus recipe —
+    * C4 filtered pages against a curated bad-domain list before any
+    * content heuristic ran). Hosts are extracted map-side with one
+    * regexp_extract_all; flagged ids come from ONE semi-join of the
+    * exploded (id, domain) stream against the blocklist — broadcast,
+    * since even a production blocklist is millions of rows against a
+    * 100 TB corpus — and one anti-join keeps survivors. The corpus text
+    * never shuffles. Returns (idCol, n_urls) for surviving docs.
+    */
+  def blockByDomain(docs: DataFrame, idCol: String, textCol: String,
+                    blocklist: DataFrame): DataFrame = {
+    val withDomains = docs.select(col(idCol),
+      expr(s"regexp_extract_all($textCol, 'https?://([^/\\\\s]+)', 1)")
+        .as("__domains"))
+    val hit = withDomains
+      .select(col(idCol), explode(col("__domains")).as("domain"))
+      .join(broadcast(blocklist.select(col("domain"))), Seq("domain"), "left_semi")
+      .select(col(idCol)).distinct()
+    withDomains.join(hit, Seq(idCol), "left_anti")
+      .select(col(idCol), size(col("__domains")).as("n_urls"))
+  }
 }
