@@ -702,6 +702,32 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Stored exact-dup fingerprint index — [[lshStore]]'s sibling for the
+    * exact-dedup gate: the historical corpus's md5 fingerprints written
+    * ONCE per SF dir (32 bytes per doc), so the incremental gate never
+    * re-reads historical text. Completes the stored-contract set: every
+    * incremental gate in the engine (exact, LSH, perceptual, ANN) now
+    * has a write-once physical index.
+    */
+  private def fpStore(s: SparkSession, dir: String): DataFrame = {
+    val path = layoutPath(dir, "fpindex", "cut=250",
+      srcTable = "documents.parquet")
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      t(s, dir, "documents").filter(col("doc_id") < 250)
+        .select(TextAnalysis.fingerprint(col("text")).as("fp"))
+        .coalesce(8)
+        .write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
+  private def dedupIncrementalStored(s: SparkSession, dir: String): DataFrame =
+    // the same gate as d_dedup_incremental against the STORED fingerprint
+    // index — row-identical by construction (pinned in ExtensionsSpec)
+    Dedup.incremental(
+        t(s, dir, "documents").filter(col("doc_id") >= 250),
+        fpStore(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   private def minhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
         k = 64, bands = 16, shingleLen = 3, threshold = 0.5)
@@ -1985,6 +2011,7 @@ object SparkEntry {
     "d_cube_sources" -> (cubeSources _),
     "q_event_gaps" -> (eventGaps _),
     "d_dedup_incremental" -> (dedupIncremental _),
+    "d_dedup_incremental_stored" -> (dedupIncrementalStored _),
     "d_minhash_pairs" -> (minhashPairs _),
     "d_dedup_fuzzy" -> (dedupFuzzyPipeline _),
     "d_simhash" -> (simhashes _),
@@ -2055,6 +2082,25 @@ object SparkEntry {
   // Dedup.portableMinhash/portableBands exactly): sig_p = min 32-bit
   // slice p%4 of md5("<p/4>:<shingle>"), band key = md5 of the
   // ':'-joined decimal sig pair
+  /** Incremental exact-dedup twin: batch docs (>= 250) survive iff their
+    * canonical fingerprint is absent from the stored-corpus (< 250)
+    * index; in-batch dups keep the lowest id. Serves both
+    * `d_dedup_incremental` and its stored-layout twin.
+    */
+  private val dedupIncrementalOracle: String =
+    """WITH fp AS (
+      | SELECT doc_id,
+      |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+      | FROM documents),
+      |corpus AS (SELECT DISTINCT fp FROM fp WHERE doc_id < 250),
+      |batch AS (SELECT * FROM fp WHERE doc_id >= 250),
+      |fresh AS (
+      | SELECT b.doc_id, b.fp,
+      |  row_number() OVER (PARTITION BY b.fp ORDER BY b.doc_id) AS rn
+      | FROM batch b WHERE NOT EXISTS (
+      |  SELECT 1 FROM corpus c WHERE c.fp = b.fp))
+      |SELECT doc_id, fp FROM fresh WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   /** Incremental LSH-gate twin: batch docs (>= 250) survive iff no band
     * key collides with the stored-corpus (< 250) index. Serves both
     * `d_lsh_incremental` and its stored-layout twin.
@@ -2623,19 +2669,10 @@ object SparkEntry {
         |            ELSE 'test' END AS split,
         | count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
         |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
-    "d_dedup_incremental" ->
-      """WITH fp AS (
-        | SELECT doc_id,
-        |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
-        | FROM documents),
-        |corpus AS (SELECT DISTINCT fp FROM fp WHERE doc_id < 250),
-        |batch AS (SELECT * FROM fp WHERE doc_id >= 250),
-        |fresh AS (
-        | SELECT b.doc_id, b.fp,
-        |  row_number() OVER (PARTITION BY b.fp ORDER BY b.doc_id) AS rn
-        | FROM batch b WHERE NOT EXISTS (
-        |  SELECT 1 FROM corpus c WHERE c.fp = b.fp))
-        |SELECT doc_id, fp FROM fresh WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "d_dedup_incremental" -> dedupIncrementalOracle,
+    // stored-fingerprint twin: identical survivors, one index in two
+    // physical forms (row-identity additionally pinned in ExtensionsSpec)
+    "d_dedup_incremental_stored" -> dedupIncrementalOracle,
     "d_repetition" ->
       """WITH g AS (
         | SELECT doc_id,

@@ -1127,6 +1127,14 @@ class StreamingSpec extends SparkSpec {
     assert(inline.nonEmpty && stored == inline)
   }
 
+  test("stored fingerprint index gate is row-identical to the inline path") {
+    val inline = SparkEntry.queries("d_dedup_incremental")(
+      spark, "/root/testdata/sf0.001").collect().map(_.getLong(0)).toSeq
+    val stored = SparkEntry.queries("d_dedup_incremental_stored")(
+      spark, "/root/testdata/sf0.001").collect().map(_.getLong(0)).toSeq
+    assert(inline.nonEmpty && stored == inline)
+  }
+
   test("stored perceptual-hash index gate is row-identical to the inline path") {
     val inline = SparkEntry.queries("m_image_ingest")(
       spark, "/root/testdata/sf0.001").collect().map(_.getLong(0)).toSeq
