@@ -37,6 +37,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges(p) == 1, p)
   }
 
+  test("stored index gates read the store; no historical-corpus scan survives") {
+    // the scale claim behind every *_stored twin: the historical side
+    // comes from the write-once physical index, so NO scan of the
+    // historical corpus slice (pushed filter doc_id < 250) remains in
+    // the plan — every documents scan is the arriving batch (>= 250).
+    // The inline twins carry the < 250 scan the store removes.
+    def historicalScan(p: String): Boolean = p.contains("LessThan(doc_id,250)")
+    val lshStored = plan(SparkEntry.queries("d_lsh_incremental_stored")(spark, dir))
+    assert(lshStored.contains("graft_lshindex"), lshStored)
+    assert(!historicalScan(lshStored), lshStored)
+    assert(historicalScan(plan(
+      SparkEntry.queries("d_lsh_incremental")(spark, dir))))
+    val fpStored = plan(SparkEntry.queries("d_dedup_incremental_stored")(spark, dir))
+    assert(fpStored.contains("graft_fpindex"), fpStored)
+    assert(!historicalScan(fpStored), fpStored)
+    assert(historicalScan(plan(
+      SparkEntry.queries("d_dedup_incremental")(spark, dir))))
+  }
+
   test("minhash signature stage is shuffle-free (kernels are map-side)") {
     val docs = Tables(spark, dir, "documents")
     val p = plan(Dedup.minhashSignatures(docs, "doc_id", "text"))
