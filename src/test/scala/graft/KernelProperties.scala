@@ -183,4 +183,22 @@ object KernelProperties extends Properties("kernels") {
       }
       out.size == k && (if (pts.isEmpty) out == init else unitOk)
     }
+
+  property("mp3 header walk: round-trips the full parameter space; truncation drops frames") =
+    forAll(Gen.choose(1, 14), Gen.choose(0, 2), Gen.choose(0, 3),
+      Gen.choose(0, 1), Gen.choose(1, 6), Gen.choose(0, 300)) {
+      (bIdx, rIdx, mode, pad, frames, id3) =>
+        val bytes = graft.multimodal.Multimodal.encodeMp3(
+          bIdx, rIdx, mode, pad, frames, id3)
+        val m = graft.multimodal.Multimodal.decodeMp3Meta(bytes).get
+        val kbps = Seq(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+          256, 320)(bIdx - 1)
+        val rate = Seq(44100, 48000, 32000)(rIdx)
+        val base = m.bitrateKbps == kbps && m.sampleRate == rate &&
+          m.channels == (if (mode == 3) 1 else 2) && m.frames == frames &&
+          m.durationMs == frames.toLong * 1152L * 1000L / rate
+        // chopping any suffix never over-counts frames and never throws
+        val cut = graft.multimodal.Multimodal.decodeMp3Meta(bytes.dropRight(1))
+        base && cut.forall(_.frames <= frames)
+    }
 }
