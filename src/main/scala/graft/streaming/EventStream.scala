@@ -234,6 +234,7 @@ object EventStream {
   def streamingDsirScore(docs: DataFrame, idCol: String, textCol: String,
                          ppm: DataFrame, buckets: Int = 512): DataFrame = {
     val table = ppm.select(col("b"), col("pt"), col("pr")).collect()
+      .filter(r => !r.isNullAt(1) && !r.isNullAt(2)) // degenerate empty-side training → contribution 0
       .map(r => r.getLong(0) -> (r.getLong(1) - r.getLong(2))).toMap
     val bc = docs.sparkSession.sparkContext.broadcast(table)
     val score = udf((text: String) => {
