@@ -81,6 +81,41 @@ object ScaleProbe {
       docs.unpersist()
     }
 
+    // stored-vs-inline gate probe: the historical corpus is f replicas,
+    // the arriving batch ONE more replica (near-dups of history, so the
+    // gate genuinely gates). The inline gate re-signs the whole history
+    // per run — linear in f; the stored gate reads the band index written
+    // once ("build" line) and only signs the batch — flat in f. This is
+    // the 100 TB claim behind d_lsh_incremental_stored, measured. The
+    // 3×factor rung makes the divergence visible above the join's
+    // constant overhead.
+    for (f <- Seq(1, factor, 3 * factor)) {
+      val history = corpus(f)
+      val batch = base.select((col("doc_id") + lit(f * shift)).as("doc_id"),
+        col("text")).localCheckpoint()
+      def gate(name: String)(mk: => DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        val survivors = operators.Dedup.lshIngest(batch, mk, "doc_id", "text").count()
+        println(f"""{"probe":"$name","factor":$f,"sec":${(System.nanoTime() - t0) / 1e9}%.2f,"survivors":$survivors}""")
+      }
+      gate("lsh_gate_inline") {
+        operators.Dedup.portableBands(
+          operators.Dedup.portableMinhash(history, "doc_id", "text", k = 8),
+          "doc_id", k = 8, bands = 4)
+      }
+      val storePath = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft_probe_lsh_$f").getAbsolutePath
+      val tb = System.nanoTime()
+      operators.Dedup.portableBands(
+          operators.Dedup.portableMinhash(history, "doc_id", "text", k = 8),
+          "doc_id", k = 8, bands = 4)
+        .repartition(32, col("band_hash")).sortWithinPartitions(col("band_hash"))
+        .write.mode("overwrite").parquet(storePath)
+      println(f"""{"probe":"lsh_store_build","factor":$f,"sec":${(System.nanoTime() - tb) / 1e9}%.2f}""")
+      gate("lsh_gate_stored")(spark.read.parquet(storePath))
+      history.unpersist(); batch.unpersist()
+    }
+
     for (f <- Seq(1, factor); cap <- Seq(1000, 100)) {
       val docs = corpus(f)
       val hashes = graft.multimodal.Multimodal
