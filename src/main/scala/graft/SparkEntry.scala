@@ -1545,6 +1545,19 @@ object SparkEntry {
         "measure", "val")
       .orderBy(col("l_returnflag"), col("measure"))
 
+  private def lineDedupCleanQuery(s: SparkSession, dir: String): DataFrame =
+    // the TRANSFORM behind d_line_dedup's audit: same planted boilerplate
+    // (banner + per-source footer), rewritten documents with the common
+    // lines removed and order preserved — the oracle rebuilds each
+    // clean_text with a list_filter against the common set
+    Dedup.lineDedupRewrite(
+        t(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            lit("\nsubscribe to our newsletter today\ncopyright "),
+            col("source")).as("text")),
+        "doc_id", "text", minDocs = 20)
+      .orderBy(col("doc_id"))
+
   private def lineDedupQuery(s: SparkSession, dir: String): DataFrame =
     // C4-style line-level dedup: the corpus has no newlines, so plant the
     // boilerplate deterministically (one global banner line + one
@@ -2035,6 +2048,7 @@ object SparkEntry {
     "q_value_quantiles" -> (valueQuantiles _),
     "q_unpivot" -> (unpivotMeasures _),
     "d_line_dedup" -> (lineDedupQuery _),
+    "d_line_dedup_clean" -> (lineDedupCleanQuery _),
     "d_length_deciles" -> (lengthDeciles _),
     "d_url_domains" -> (urlDomains _),
     "d_url_blocklist" -> (urlBlocklist _),
@@ -3600,6 +3614,26 @@ object SparkEntry {
         | CAST(coalesce(sum(CASE WHEN c.hit IS NULL THEN len(l.line) ELSE 0 END), 0) AS BIGINT) AS kept_chars
         |FROM l LEFT JOIN c USING (line)
         |GROUP BY l.doc_id ORDER BY doc_id""".stripMargin,
+    // the rewrite twin: clean_text rebuilt per doc by filtering its line
+    // list against the common set (order preserved by list_filter);
+    // docs left empty disappear in both engines
+    "d_line_dedup_clean" ->
+      """WITH d AS (
+        | SELECT doc_id, text || chr(10) || 'subscribe to our newsletter today'
+        |   || chr(10) || 'copyright ' || source AS t
+        | FROM documents),
+        |l AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS line FROM d),
+        |c AS (SELECT line
+        |      FROM (SELECT DISTINCT doc_id, line FROM l)
+        |      GROUP BY line HAVING count(*) >= 20),
+        |cl AS (SELECT coalesce(list(line), []) AS v FROM c),
+        |o AS (SELECT doc_id,
+        |       array_to_string(list_filter(string_split(t, chr(10)),
+        |         x -> NOT list_contains(v, x)), chr(10))
+        |         AS clean_text
+        |      FROM d, cl)
+        |SELECT doc_id, clean_text FROM o
+        |WHERE len(clean_text) > 0 ORDER BY doc_id""".stripMargin,
     // within-language length deciles (ntile bucket-size semantics are the
     // SQL standard's in both engines: earlier buckets take the remainder)
     "d_length_deciles" ->

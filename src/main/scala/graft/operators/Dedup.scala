@@ -560,6 +560,34 @@ object Dedup {
           .cast("bigint").as("kept_chars"))
   }
 
+  /** The line-dedup TRANSFORM — [[lineDedupStats]] reports, this
+    * rewrites: every line occurring in >= `minDocs` distinct documents
+    * is dropped from every document, original line order preserved, and
+    * documents left empty disappear (C4's actual boilerplate-removal
+    * step, not just its audit). Same two-shuffle shape as the stats op
+    * (distinct (doc, line) → doc-frequency groupBy; tiny common set
+    * joins back, AQE-broadcast); the rebuild is one per-doc
+    * collect_list sorted by position — lines of one doc, never the
+    * corpus.
+    */
+  def lineDedupRewrite(df: DataFrame, idCol: String, textCol: String,
+                       minDocs: Long): DataFrame = {
+    val lines = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val common = lines.select(col("id"), col("line")).distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("line"), lit(1).as("hit"))
+    lines.join(common, Seq("line"), "left")
+      .filter(col("hit").isNull)
+      .groupBy(col("id"))
+      .agg(concat_ws("\n",
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line"))).as("clean_text"))
+      .filter(length(col("clean_text")) > 0)
+      .select(col("id").as(idCol), col("clean_text"))
+  }
+
   /** Canonical selection: given cluster labels (id, cluster_id) and a
     * per-id score, keep the best-scoring member of every cluster (ties
     * break to the smallest id — deterministic). The final step of fuzzy

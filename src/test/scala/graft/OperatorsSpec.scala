@@ -311,6 +311,18 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
 
+  test("line-dedup rewrite drops common lines in place, preserves order, drops emptied docs") {
+    val df = Seq(
+      (1L, "keep one\nboiler\nkeep two"),
+      (2L, "boiler\nkeep three"),
+      (3L, "boiler")).toDF("doc_id", "text")
+    val out = Dedup.lineDedupRewrite(df, "doc_id", "text", minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // "boiler" is in 3 docs -> removed everywhere; remaining lines keep
+    // their original order; doc 3 is left empty and disappears
+    assert(out == Map(1L -> "keep one\nkeep two", 2L -> "keep three"))
+  }
+
   test("containment verify flags subset-duplicates symmetric Jaccard misses") {
     val longText = ((1 to 40).map(i => s"body$i") ++
       Seq("quoted passage lives here")).mkString(" ")
