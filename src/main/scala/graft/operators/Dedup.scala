@@ -570,14 +570,28 @@ object Dedup {
     * collect_list sorted by position — lines of one doc, never the
     * corpus.
     */
+  /** The frozen boilerplate set on its own: lines occurring in >=
+    * `minDocs` distinct documents. [[lineDedupRewrite]] derives it
+    * inline; the standalone form is what a production pipeline freezes
+    * after a corpus pass so later batches (or a stream —
+    * [[graft.streaming.EventStream.streamingLineClean]]) rewrite against
+    * it with no frequency pass.
+    */
+  def commonLines(df: DataFrame, idCol: String, textCol: String,
+                  minDocs: Long): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(split(col(textCol), "\n")).as("line"))
+      .distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("line"))
+
   def lineDedupRewrite(df: DataFrame, idCol: String, textCol: String,
                        minDocs: Long): DataFrame = {
     val lines = df.select(col(idCol).as("id"),
       posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
-    val common = lines.select(col("id"), col("line")).distinct()
-      .groupBy(col("line")).agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= minDocs)
-      .select(col("line"), lit(1).as("hit"))
+    val common = commonLines(df, idCol, textCol, minDocs)
+      .withColumn("hit", lit(1))
     lines.join(common, Seq("line"), "left")
       .filter(col("hit").isNull)
       .groupBy(col("id"))

@@ -258,6 +258,29 @@ object EventStream {
     docs.select(col(idCol), score(col(textCol)).as("score"))
   }
 
+  /** Streaming boilerplate removal against a FROZEN common-line set —
+    * the [[streamingDsirScore]] pattern for
+    * [[graft.operators.Dedup.lineDedupRewrite]]: the corpus-trained
+    * common set ([[graft.operators.Dedup.commonLines]], a bounded
+    * boilerplate vocabulary) collects once and broadcasts; each arriving
+    * doc is rewritten map-side — common lines dropped in place, order
+    * preserved, emptied docs filtered. `split("\n", -1)` keeps trailing
+    * empty lines exactly like Spark SQL's split, so streamed rewrites
+    * equal the batch operator given the same set (pinned in
+    * StreamingSpec). Stateless map: append-safe, no shuffle.
+    */
+  def streamingLineClean(docs: DataFrame, idCol: String, textCol: String,
+                         commonLines: DataFrame): DataFrame = {
+    val set = commonLines.select(col("line")).collect()
+      .map(_.getString(0)).toSet
+    val bc = docs.sparkSession.sparkContext.broadcast(set)
+    val clean = udf((text: String) =>
+      if (text == null) ""
+      else text.split("\n", -1).filter(l => !bc.value.contains(l)).mkString("\n"))
+    docs.select(col(idCol), clean(col(textCol)).as("clean_text"))
+      .filter(length(col("clean_text")) > 0)
+  }
+
   /** Streaming right-to-erasure — [[graft.operators.Dedup.forgetDocs]]
     * over an update stream that interleaves index ADDS with FORGET
     * tombstones. Semantics are tombstone-wins-forever: a forgotten id

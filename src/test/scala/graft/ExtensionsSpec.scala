@@ -1368,6 +1368,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming line-clean equals the batch rewrite against a frozen common set") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val corpus = Seq(
+      (1L, "keep one\nboiler\nkeep two"),
+      (2L, "boiler\nkeep three"),
+      (3L, "boiler"),
+      (4L, "boiler\nkeep four")).toDF("doc_id", "text")
+    val common = Dedup.commonLines(corpus, "doc_id", "text", minDocs = 3)
+      .localCheckpoint()
+    val batchOut = Dedup.lineDedupRewrite(corpus, "doc_id", "text", minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStream.streamingLineClean(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text", common)
+      .writeStream.format("memory").queryName("lineclean")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // uneven micro-batches, including the doc that empties out
+      mem.addData((1L, "keep one\nboiler\nkeep two"))
+      q.processAllAvailable()
+      mem.addData((2L, "boiler\nkeep three"), (3L, "boiler"), (4L, "boiler\nkeep four"))
+      q.processAllAvailable()
+      val streamed = spark.table("lineclean").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(streamed == batchOut)
+      assert(!streamed.contains(3L)) // emptied doc dropped in both modes
+    } finally q.stop()
+  }
+
   test("streaming forget: tombstone-wins-forever makes the final index split-invariant") {
     implicit val sqlCtx = spark.sqlContext
     val initial = Seq((1L, "x"), (2L, "y")).toDF("id", "band")
