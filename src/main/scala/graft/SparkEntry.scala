@@ -1964,6 +1964,41 @@ object SparkEntry {
     Dedup.duplicatedSpanStats(t(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Trained-classifier split shared by the d_nb_* family: even doc_ids
+    * train, odd doc_ids are scored — the lmScoreFrozen split, so the
+    * model is always frozen relative to the docs it classifies.
+    */
+  private def nbSplit(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val d = t(s, dir, "documents")
+    (d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1))
+  }
+
+  private def nbTrainQuery(s: SparkSession, dir: String): DataFrame = {
+    // the trained langid model itself, audited: top-10 most class-lifting
+    // terms per language by fixed-point NB weight
+    val (tr, _) = nbSplit(s, dir)
+    val w = Window.partitionBy(col("label")).orderBy(desc("w"), asc("term"))
+    Classify.nbModel(tr, "text", "lang")
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
+      .select(col("label").as("lang"), col("rnk"), col("term"), col("cnt"),
+        col("w"))
+      .orderBy(col("lang"), col("rnk"))
+  }
+
+  private def nbPredictQuery(s: SparkSession, dir: String): DataFrame = {
+    // frozen-model prediction over the held-out half: per doc the argmax
+    // language, its integer score, and whether the ground-truth lang column
+    // agrees — the trained upgrade of d_lang_predict's stopword heuristic
+    val (tr, te) = nbSplit(s, dir)
+    val model = Classify.nbModel(tr, "text", "lang")
+    val base = Classify.nbClassBase(tr, "doc_id", "text", "lang")
+    Classify.nbPredict(te, model, base, "doc_id", "text")
+      .join(te.select(col("doc_id"), col("lang").as("true_lang")), "doc_id")
+      .select(col("doc_id"), col("true_lang"), col("pred"), col("score"),
+        (col("pred") === col("true_lang")).cast("bigint").as("correct"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2090,7 +2125,9 @@ object SparkEntry {
     "d_chunk_docs" -> (chunkDocs _),
     "d_html_extract" -> (htmlExtract _),
     "d_link_rank" -> (linkRank _),
-    "d_corpus_clean" -> (corpusClean _))
+    "d_corpus_clean" -> (corpusClean _),
+    "d_nb_train" -> (nbTrainQuery _),
+    "d_nb_predict" -> (nbPredictQuery _))
 
   // shared fragments of the portable-minhash oracles (must mirror
   // Dedup.portableMinhash/portableBands exactly): sig_p = min 32-bit
@@ -4065,7 +4102,82 @@ object SparkEntry {
         |LEFT JOIN qf ON qf.doc_id = d.doc_id
         |LEFT JOIN surv ON surv.doc_id = d.doc_id
         |LEFT JOIN kept k ON k.doc_id = d.doc_id
-        |GROUP BY d.source ORDER BY d.source""".stripMargin)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    "d_nb_train" ->
+      s"""WITH $nbTrainCtes,
+        |r AS (SELECT label AS lang, term, cnt, w,
+        |  row_number() OVER (PARTITION BY label ORDER BY w DESC, term ASC)
+        |    AS rnk
+        | FROM nm)
+        |SELECT lang, rnk, term, cnt, w FROM r WHERE rnk <= 10
+        |ORDER BY lang, rnk""".stripMargin,
+
+    "d_nb_predict" ->
+      s"""WITH $nbTrainCtes,
+        |nb AS (
+        | SELECT nd.label, nd.nd,
+        |  CAST(round(1000000.0 * ln(CAST(nd.nd AS DOUBLE) / n.n)) AS BIGINT)
+        |    AS prior,
+        |  CAST(round(1000000.0 * ln(1.0 / CAST(tok + v AS DOUBLE))) AS BIGINT)
+        |    AS def_w
+        | FROM (SELECT lang AS label, count(*) AS nd FROM tr GROUP BY 1) nd
+        | JOIN ntok USING (label) CROSS JOIN nv
+        | CROSS JOIN (SELECT count(*) AS n FROM tr) n),
+        |te AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+        |ttf AS (
+        | SELECT doc_id, term, count(*) AS tf FROM (
+        |  SELECT doc_id,
+        |   unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+        |          x -> len(x) > 0)) AS term
+        |  FROM te) GROUP BY 1, 2),
+        |lift AS (
+        | SELECT doc_id, label, CAST(sum(tf * w) AS BIGINT) AS lift
+        | FROM ttf JOIN nm USING (term) GROUP BY 1, 2),
+        |ntk AS (
+        | SELECT doc_id, lang AS true_lang,
+        |  len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+        |      x -> len(x) > 0)) AS n_tok
+        | FROM te),
+        |sc AS (
+        | SELECT t.doc_id, t.true_lang, b.label,
+        |  b.prior + t.n_tok * b.def_w + coalesce(l.lift, 0) AS score
+        | FROM ntk t CROSS JOIN nb b
+        | LEFT JOIN lift l ON l.doc_id = t.doc_id AND l.label = b.label),
+        |p AS (
+        | SELECT doc_id, true_lang, label AS pred, score,
+        |  row_number() OVER (PARTITION BY doc_id
+        |                     ORDER BY score DESC, label ASC) AS rnk
+        | FROM sc)
+        |SELECT doc_id, true_lang, pred, CAST(score AS BIGINT) AS score,
+        | CAST(pred = true_lang AS BIGINT) AS correct
+        |FROM p WHERE rnk = 1 ORDER BY doc_id""".stripMargin)
+
+  /** Shared DuckDB CTE chain for the trained-NB family (`d_nb_*`): even
+    * doc_ids are the train split; `ncnt`/`ntok`/`nv` are the per-class term
+    * counts, class token mass, and vocab size; `nm` carries the fixed-point
+    * integer lift weight w = round(1e6*ln((cnt+1)/(tok+V))) −
+    * round(1e6*ln(1/(tok+V))) — the exact spelling of
+    * [[graft.Classify.nbModel]].
+    */
+  private val nbTrainCtes: String =
+    """tr AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+      |ntoks AS (
+      | SELECT lang AS label,
+      |  unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |         x -> len(x) > 0)) AS term
+      | FROM tr),
+      |ncnt AS (SELECT label, term, count(*) AS cnt FROM ntoks GROUP BY 1, 2),
+      |ntok AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS tok
+      |         FROM ncnt GROUP BY 1),
+      |nv AS (SELECT count(DISTINCT term) AS v FROM ncnt),
+      |nm AS (
+      | SELECT label, term, cnt,
+      |  CAST(round(1000000.0 * ln((cnt + 1.0) / CAST(tok + v AS DOUBLE)))
+      |       AS BIGINT)
+      |  - CAST(round(1000000.0 * ln(1.0 / CAST(tok + v AS DOUBLE)))
+      |         AS BIGINT) AS w
+      | FROM ncnt JOIN ntok USING (label) CROSS JOIN nv)""".stripMargin
 
   /** Shared DuckDB CTE chain for the cleaning-pipeline stages (quality
     * gate `qf`, language argmax `lp`, en survivors `surv`, exact-dedup

@@ -1618,3 +1618,70 @@ class ExactModelSpec extends SparkSpec {
     }
   }
 }
+
+class ClassifySpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private val train = Seq(
+    (0L, "apple banana apple cherry", "fruit"),
+    (1L, "banana banana apple", "fruit"),
+    (2L, "bolt nut bolt washer", "tool"),
+    (3L, "nut washer bolt", "tool")
+  ).toDF("doc_id", "text", "lang")
+
+  test("nbModel weights are exact fixed-point integers with the right sign") {
+    val m = Classify.nbModel(train, "text", "lang").collect()
+    // every seen term lifts its class: w = llr - def > 0 by construction
+    assert(m.nonEmpty && m.forall(_.getAs[Long]("w") > 0L))
+    // hand-check one weight: fruit has tok=7 tokens, vocab V=6 distinct
+    // terms overall; apple appears cnt=3 times in fruit
+    val apple = m.find(r => r.getString(0) == "fruit" && r.getString(1) == "apple").get
+    val llr = math.round(1e6 * math.log((3 + 1.0) / (7 + 6)))
+    val dw = math.round(1e6 * math.log(1.0 / (7 + 6)))
+    assert(apple.getAs[Long]("llr") == llr)
+    assert(apple.getAs[Long]("w") == llr - dw)
+  }
+
+  test("nbPredict separates disjoint-vocab classes perfectly") {
+    val test = Seq(
+      (10L, "apple cherry banana"), (11L, "cherry apple"),
+      (12L, "washer bolt nut nut"), (13L, "bolt bolt")
+    ).toDF("doc_id", "text")
+    val model = Classify.nbModel(train, "text", "lang")
+    val base = Classify.nbClassBase(train, "doc_id", "text", "lang")
+    val got = Classify.nbPredict(test, model, base, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(10L -> "fruit", 11L -> "fruit",
+      12L -> "tool", 13L -> "tool"))
+  }
+
+  test("nbPredict scores unseen-only and empty docs by prior + unseen mass") {
+    val test = Seq((20L, "zzz qqq"), (21L, "")).toDF("doc_id", "text")
+    val model = Classify.nbModel(train, "text", "lang")
+    val base = Classify.nbClassBase(train, "doc_id", "text", "lang")
+    val got = Classify.nbPredict(test, model, base, "doc_id", "text").collect()
+    assert(got.length == 2) // exactly one argmax row per doc, no join dropout
+    // both classes have equal priors (2 docs each) and equal token mass
+    // (7 tokens), so def_w ties too — the argmax must fall back to the
+    // deterministic label-ascending tie-break
+    assert(got.forall(_.getString(1) == "fruit"))
+  }
+
+  test("nbPredict matches a by-hand integer score on a symmetric tie") {
+    // "apple bolt": apple has cnt=3 in fruit, bolt has cnt=3 in tool, and
+    // the two classes mirror each other exactly (2 docs, 7 tokens each),
+    // so both class scores equal prior + 2*def_w + w(3) and the argmax
+    // must take the label-ascending winner with exactly that score
+    val test = Seq((30L, "apple bolt")).toDF("doc_id", "text")
+    val model = Classify.nbModel(train, "text", "lang")
+    val base = Classify.nbClassBase(train, "doc_id", "text", "lang")
+    val r = Classify.nbPredict(test, model, base, "doc_id", "text").head()
+    val w3 = math.round(1e6 * math.log((3 + 1.0) / (7 + 6))) -
+      math.round(1e6 * math.log(1.0 / (7 + 6)))
+    val prior = math.round(1e6 * math.log(2.0 / 4))
+    val dw = math.round(1e6 * math.log(1.0 / 13))
+    assert(r.getString(1) == "fruit")
+    assert(r.getLong(2) == prior + 2 * dw + w3)
+  }
+}
