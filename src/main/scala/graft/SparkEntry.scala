@@ -1999,6 +1999,17 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  private def bm25TopKQuery(s: SparkSession, dir: String): DataFrame = {
+    // lexical retrieval over the corpus: the first five docs play the
+    // query role (doc-as-query), BM25-scored against every doc, top-10
+    // each (on this shared-vocab corpus the top hit is whichever doc
+    // repeats the query's rarest terms densest, not necessarily self)
+    val d = t(s, dir, "documents")
+    Retrieval.bm25TopK(d, d.filter(col("doc_id") < 5),
+        "doc_id", "text", "doc_id", "text")
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2127,7 +2138,8 @@ object SparkEntry {
     "d_link_rank" -> (linkRank _),
     "d_corpus_clean" -> (corpusClean _),
     "d_nb_train" -> (nbTrainQuery _),
-    "d_nb_predict" -> (nbPredictQuery _))
+    "d_nb_predict" -> (nbPredictQuery _),
+    "d_bm25_topk" -> (bm25TopKQuery _))
 
   // shared fragments of the portable-minhash oracles (must mirror
   // Dedup.portableMinhash/portableBands exactly): sig_p = min 32-bit
@@ -4151,7 +4163,44 @@ object SparkEntry {
         | FROM sc)
         |SELECT doc_id, true_lang, pred, CAST(score AS BIGINT) AS score,
         | CAST(pred = true_lang AS BIGINT) AS correct
-        |FROM p WHERE rnk = 1 ORDER BY doc_id""".stripMargin)
+        |FROM p WHERE rnk = 1 ORDER BY doc_id""".stripMargin,
+
+    "d_bm25_topk" ->
+      """WITH ct AS (
+        | SELECT doc_id,
+        |  unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |         x -> len(x) > 0)) AS term
+        | FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM ct GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+        |       FROM tf GROUP BY 1),
+        |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |st AS (SELECT count(*) AS n_docs FROM documents),
+        |tt AS (SELECT CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+        |qt AS (SELECT DISTINCT q_id, term FROM (
+        |  SELECT doc_id AS q_id,
+        |   unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |          x -> len(x) > 0)) AS term
+        |  FROM documents WHERE doc_id < 5)),
+        |c AS (
+        | SELECT tf.doc_id, tf.term,
+        |  CAST(round(1000000.0 * (
+        |    ln((CAST(n_docs - df AS DOUBLE) + 0.5) / (df + 0.5) + 1.0)
+        |    * ((tf * (1.2 + 1.0)) /
+        |       (tf + 1.2 * (1.0 - 0.75 + 0.75 *
+        |          (dl / (CAST(tot AS DOUBLE) / n_docs))))))) AS BIGINT) AS c
+        | FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id)
+        | CROSS JOIN st CROSS JOIN tt),
+        |sc AS (
+        | SELECT qt.q_id, c.doc_id, CAST(sum(c.c) AS BIGINT) AS score
+        | FROM c JOIN qt USING (term) GROUP BY 1, 2),
+        |r AS (
+        | SELECT q_id, doc_id, score,
+        |  row_number() OVER (PARTITION BY q_id
+        |                     ORDER BY score DESC, doc_id ASC) AS rnk
+        | FROM sc)
+        |SELECT q_id, rnk, doc_id, score FROM r WHERE rnk <= 10
+        |ORDER BY q_id, rnk""".stripMargin)
 
   /** Shared DuckDB CTE chain for the trained-NB family (`d_nb_*`): even
     * doc_ids are the train split; `ncnt`/`ntok`/`nv` are the per-class term

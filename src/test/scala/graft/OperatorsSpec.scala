@@ -1685,3 +1685,48 @@ class ClassifySpec extends SparkSpec {
     assert(r.getLong(2) == prior + 2 * dw + w3)
   }
 }
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private val corpus = Seq(
+    (0L, "spark shuffle join"),
+    (1L, "spark spark spark shuffle"),          // densest in 'spark'
+    (2L, "gradient descent optimizer"),
+    (3L, "spark"),                               // short doc, max tf-norm
+    (4L, "the the the the the the the the")      // common-term spam
+  ).toDF("doc_id", "text")
+
+  private def run(q: String) =
+    Retrieval.bm25TopK(corpus, Seq((100L, q)).toDF("q_id", "qt"),
+        "doc_id", "text", "q_id", "qt")
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+
+  test("bm25 ranks term-dense docs first and never returns non-matching docs") {
+    val got = run("spark")
+    assert(got.map(_._2).toSet == Set(0L, 1L, 3L)) // docs 2 and 4 never match
+    // doc 1 (tf=3) wins: its saturation 6.6/4.247 beats doc 3's 2.2/1.537
+    // (tf=1 at minimal length) — raw term density outweighs the length
+    // penalty at these sizes; single-occurrence doc 0 trails both
+    assert(got.sortBy(_._1).map(_._2).toList == List(1L, 3L, 0L))
+    // scores strictly decrease down the ranking
+    assert(got.sortBy(_._1).map(_._3).sliding(2).forall(p => p(0) > p(1)))
+  }
+
+  test("bm25 multi-term queries sum per-term contributions exactly") {
+    val one = run("spark").map(t => t._2 -> t._3).toMap
+    val two = run("descent").map(t => t._2 -> t._3).toMap
+    val both = run("spark descent").map(t => t._2 -> t._3).toMap
+    // integer fixed-point: the combined score IS the integer sum of the
+    // single-term scores, doc by doc (no float drift across terms)
+    both.foreach { case (d, s) =>
+      assert(s == one.getOrElse(d, 0L) + two.getOrElse(d, 0L), s"doc $d")
+    }
+    assert(both.keySet == one.keySet ++ two.keySet)
+  }
+
+  test("bm25 query-side multiplicity is ignored (term sets)") {
+    assert(run("spark spark spark").toList == run("spark").toList)
+  }
+}
