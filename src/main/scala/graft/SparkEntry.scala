@@ -2010,6 +2010,23 @@ object SparkEntry {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  private def winnowFpsQuery(s: SparkSession, dir: String): DataFrame =
+    // the selected-fingerprint audit: per doc, how many winnowed
+    // fingerprints survive selection (≈ 2/(w+1) of its shingles) plus the
+    // lexicographic minimum as a content probe
+    Dedup.winnowFingerprints(t(s, dir, "documents"), "doc_id", "text")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"), min(col("fp")).as("min_fp"))
+      .orderBy(col("doc_id"))
+
+  private def winnowMatchesQuery(s: SparkSession, dir: String): DataFrame =
+    // MOSS-style span matching: doc pairs sharing >= 2 selected
+    // fingerprints — any common run of w+k-1 = 7 tokens is guaranteed to
+    // surface at least one shared fingerprint (cap off to mirror the
+    // uncapped oracle; the production cap is exercised in DedupSpec)
+    Dedup.winnowMatches(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("a"), col("b"))
+
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2139,7 +2156,9 @@ object SparkEntry {
     "d_corpus_clean" -> (corpusClean _),
     "d_nb_train" -> (nbTrainQuery _),
     "d_nb_predict" -> (nbPredictQuery _),
-    "d_bm25_topk" -> (bm25TopKQuery _))
+    "d_bm25_topk" -> (bm25TopKQuery _),
+    "d_winnow_fps" -> (winnowFpsQuery _),
+    "d_winnow_matches" -> (winnowMatchesQuery _))
 
   // shared fragments of the portable-minhash oracles (must mirror
   // Dedup.portableMinhash/portableBands exactly): sig_p = min 32-bit
@@ -4200,7 +4219,45 @@ object SparkEntry {
         |                     ORDER BY score DESC, doc_id ASC) AS rnk
         | FROM sc)
         |SELECT q_id, rnk, doc_id, score FROM r WHERE rnk <= 10
-        |ORDER BY q_id, rnk""".stripMargin)
+        |ORDER BY q_id, rnk""".stripMargin,
+
+    "d_winnow_fps" ->
+      s"""WITH $winnowCtes
+        |SELECT doc_id, count(*) AS n_fp, min(fp) AS min_fp
+        |FROM wf GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "d_winnow_matches" ->
+      s"""WITH $winnowCtes
+        |SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared
+        |FROM wf a JOIN wf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY a, b""".stripMargin)
+
+  /** Shared DuckDB CTE chain for the winnowing family (`d_winnow_*`):
+    * 4-token shingle md5 hashes with 1-based position `i`, the w=4 window
+    * minimum over full windows only, and the DISTINCT selected
+    * fingerprint set `wf(doc_id, fp)` — the exact spelling of
+    * [[graft.operators.Dedup.winnowFingerprints]].
+    */
+  private val winnowCtes: String =
+    """tk AS (
+      | SELECT doc_id,
+      |  list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |              x -> len(x) > 0) AS t
+      | FROM documents),
+      |wp AS (SELECT doc_id, len(t) - 3 AS ng,
+      |        unnest(range(1, len(t) - 2)) AS i, t
+      |       FROM tk WHERE len(t) >= 4),
+      |wg AS (SELECT doc_id, ng, i,
+      |        md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+      |          AS gh
+      |       FROM wp),
+      |wm AS (SELECT doc_id, i, ng,
+      |        min(gh) OVER (PARTITION BY doc_id ORDER BY i
+      |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      |       FROM wg),
+      |wf AS (SELECT DISTINCT doc_id, fp FROM wm WHERE i <= ng - 3)"""
+      .stripMargin
 
   /** Shared DuckDB CTE chain for the trained-NB family (`d_nb_*`): even
     * doc_ids are the train split; `ncnt`/`ntok`/`nv` are the per-class term

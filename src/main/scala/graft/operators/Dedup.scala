@@ -988,4 +988,62 @@ object Dedup {
         array_distinct(portableShingleWindows(col("tk"))).as("ss"))
       .select(col(idCol),
         graft.functions.PortableSimHash16(col("ss")).as("simhash16"))
+
+  /** Winnowing (MOSS) fingerprint selection: per doc, hash every k-token
+    * shingle (portable md5 hex, so both engines order identically), slide a
+    * w-position window over the hash sequence, and keep the minimum of each
+    * FULL window. Standard winnowing guarantee: any shared run of at least
+    * w + k - 1 tokens contributes at least one shared fingerprint, while
+    * the selected set is ~2/(w+1) of all shingles — the density/recall
+    * dial for plagiarism-style span matching at corpus scale.
+    *
+    * Shape: one shingle explode, a per-doc window min (doc-partitioned —
+    * no cross-doc shuffle beyond the explode's own), DISTINCT (id, fp).
+    * Docs shorter than w + k - 1 tokens have no full window and emit
+    * nothing, identically in the SQL twin.
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 4, w: Int = 4): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos")).rowsBetween(0, w - 1)
+    docs.select(col(idCol),
+        graft.functions.WordShingles(lower(trim(col(textCol))), k).as("sh"))
+      .select(col(idCol), size(col("sh")).as("ng"),
+        posexplode(col("sh")).as(Seq("pos", "g")))
+      .withColumn("fp", min(md5(col("g"))).over(win))
+      .filter(col("pos") <= col("ng") - w)
+      .select(col(idCol), col("fp")).distinct()
+  }
+
+  /** Cross-doc winnowing matches: doc pairs sharing >= minShared selected
+    * fingerprints, with the shared count. Pair expansion happens inside
+    * fingerprint buckets (the LSH in-bucket pattern via ArrayPairs), so a
+    * fingerprint shared by m docs costs m^2/2 pairs — `maxBucketSize`
+    * drops hotter buckets (weakening recall, never precision) and a
+    * binding cap must be loud: pass `dropAudit` and read `dropped_buckets`
+    * / `max_bucket_size` after an action, the [[bandedHammingPairs]]
+    * contract. Graded parity queries run exact (cap off).
+    */
+  def winnowMatches(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 4, w: Int = 4, minShared: Int = 2,
+                    maxBucketSize: Int = Int.MaxValue,
+                    dropAudit: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    val buckets = winnowFingerprints(docs, idCol, textCol, k, w)
+      .groupBy(col("fp"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+    val gated =
+      if (maxBucketSize == Int.MaxValue && dropAudit.isEmpty) buckets
+      else {
+        val sized = buckets.withColumn("__bn", size(col("ids")))
+        val audited = dropAudit.fold(sized)(obs => sized.observe(obs,
+          sum(when(col("__bn") > maxBucketSize, 1L).otherwise(0L))
+            .as("dropped_buckets"),
+          max(col("__bn")).as("max_bucket_size")))
+        audited.filter(col("__bn") <= maxBucketSize)
+      }
+    gated.select(explode(ArrayPairs.pairStructs(col("ids"))).as("p"))
+      .select(col("p.a"), col("p.b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
 }

@@ -1730,3 +1730,56 @@ class RetrievalSpec extends SparkSpec {
     assert(run("spark spark spark").toList == run("spark").toList)
   }
 }
+
+class WinnowSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("winnowing guarantee: a shared run of w+k-1 tokens yields a shared fingerprint") {
+    // docs 1 and 2 share exactly a 7-token run (w+k-1 = 7 at k=4, w=4)
+    // embedded in otherwise-disjoint text; doc 3 shares nothing
+    val shared = "alpha beta gamma delta epsilon zeta eta"
+    val docs = Seq(
+      (1L, s"one two three $shared four five six"),
+      (2L, s"red blue $shared green yellow purple orange"),
+      (3L, "completely different words in this document here okay then")
+    ).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs, "doc_id", "text")
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet)
+    assert((fps(1L) & fps(2L)).nonEmpty)
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty)
+    // selection actually thins: fewer fingerprints than full windows
+    val nGrams = 10 + 3 // doc 1: 13 tokens -> 10 shingles, 7 full windows
+    assert(fps(1L).size < nGrams)
+  }
+
+  test("winnowMatches finds sharing pairs; a binding cap is loud and only drops") {
+    // run X is shared by docs 1 and 2 only (bucket size 2); run Y by docs
+    // 1, 2 AND 3 (bucket size 3) — with maxBucketSize = 2 the Y buckets
+    // drop (losing pairs touching doc 3) while the X pair survives
+    val x = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val y = "rho sigma tau upsilon phi chi psi omega mu nu"
+    val docs = Seq(
+      (1L, s"one two three $x lambda $y"),
+      (2L, s"$x four five six seven eight nine ten $y"),
+      (3L, s"completely different words go here okay $y then more")
+    ).toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Dedup.winnowMatches(docs, "doc_id", "text", minShared = 1))
+    assert(exact == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"exact=$exact")
+    val obs = new org.apache.spark.sql.Observation("winnow-drop-audit")
+    val capped = pairs(Dedup.winnowMatches(docs, "doc_id", "text",
+      minShared = 1, maxBucketSize = 2, dropAudit = Some(obs)))
+    assert(capped == Set((1L, 2L)), s"capped=$capped")
+    assert(capped.subsetOf(exact)) // a cap only ever LOSES pairs
+    val m = obs.get
+    assert(m("dropped_buckets").asInstanceOf[Long] >= 1L, m)
+    assert(m("max_bucket_size").asInstanceOf[Int] == 3, m)
+  }
+
+  test("docs shorter than w+k-1 tokens emit no fingerprints") {
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c")).toDF("doc_id", "text")
+    assert(Dedup.winnowFingerprints(docs, "doc_id", "text").count() == 0)
+  }
+}
