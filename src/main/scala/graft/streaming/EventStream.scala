@@ -358,4 +358,54 @@ object EventStream {
           }
       }
   }
+
+  /** Streaming trained-classifier scoring: classify arriving docs against a
+    * FROZEN Naive Bayes model ([[graft.operators.Classify.nbModel]] /
+    * `nbClassBase`) — the classifier sibling of [[streamingLmScore]]. The
+    * model is collected once (|vocab| x |classes|, bounded — the vocab
+    * saturates) and broadcast; each micro-batch is scored map-side with no
+    * state and no shuffle, so the query is split-invariant: streamed rows
+    * equal the batch `nbPredict` rows exactly for any micro-batching.
+    * Integer fixed-point arithmetic end to end, same as batch.
+    */
+  def streamingNbPredict(docs: DataFrame, idCol: String, textCol: String,
+                         model: DataFrame, base: DataFrame): DataFrame = {
+    val weights = model.select(col("term"), col("label"), col("w").cast("long"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (t, rows) =>
+        t -> rows.map(r => r.getString(1) -> r.getLong(2)).toMap }
+    val classes = base.select(col("label"), col("prior").cast("long"),
+        col("def_w").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val bcW = docs.sparkSession.sparkContext.broadcast(weights)
+    val bcC = docs.sparkSession.sparkContext.broadcast(classes)
+    val predict = udf((text: String) => {
+      val toks =
+        if (text == null) Array.empty[String]
+        else {
+          // space-strip only, then \s+ split — the WordShingles kernel's
+          // tokenization (see streamingLmScore's control-char note)
+          val t = text.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+          t.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+        }
+      val tf = scala.collection.mutable.HashMap.empty[String, Long]
+      toks.foreach(t => tf.update(t, tf.getOrElse(t, 0L) + 1L))
+      var bestLabel: String = null
+      var bestScore = Long.MinValue
+      bcC.value.foreach { case (label, prior, defW) =>
+        var s = prior + toks.length * defW
+        tf.foreach { case (t, n) =>
+          bcW.value.get(t).flatMap(_.get(label)).foreach(w => s += n * w)
+        }
+        // strictly-greater keeps the label-ascending tie-break (classes
+        // iterate in sorted order)
+        if (s > bestScore) { bestScore = s; bestLabel = label }
+      }
+      (bestLabel, bestScore)
+    })
+    docs.select(col(idCol), predict(col(textCol)).as("p"))
+      .select(col(idCol), col("p._1").as("pred"), col("p._2").as("score"))
+  }
 }

@@ -1422,3 +1422,51 @@ class StreamingSpec extends SparkSpec {
     assert(run(ops.grouped(2).toSeq) == expected) // uneven split
   }
 }
+
+
+class StreamingNbSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.streaming.OutputMode
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+  test("streaming NB prediction equals the batch operator on sf0.01, any batching") {
+    // the d_nb_predict split: model frozen on even doc_ids, odd doc_ids
+    // classified - streamed (pred, score) rows must equal batch nbPredict
+    // exactly across uneven micro-batches (map-side only, split-invariant)
+    implicit val sqlCtx = spark.sqlContext
+    val all = Tables(spark, "/root/testdata/sf0.01", "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val tr = all.filter(col("doc_id") % 2 === 0)
+    val model = graft.operators.Classify.nbModel(tr, "text", "lang")
+    val base = graft.operators.Classify.nbClassBase(tr, "doc_id", "text", "lang")
+    val oddRows = all.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStream.streamingNbPredict(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text", model, base)
+      .writeStream.format("memory").queryName("nb_eq")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      oddRows.grouped(77).foreach { c => mem.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+      val streamed = spark.table("nb_eq")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val batch = graft.operators.Classify.nbPredict(
+          all.filter(col("doc_id") % 2 === 1), model, base, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(batch.nonEmpty)
+      assert(streamed == batch)
+    } finally q.stop()
+
+    // whitespace edge: the stream tokenizer must strip spaces only and
+    // split on \s+, exactly like the WordShingles kernel; empty docs
+    // fall back to the prior-side argmax identically
+    val edge = Seq((1L, " the cat "), (2L, "")).toDF("doc_id", "text")
+    val streamedEdge = EventStream.streamingNbPredict(
+        edge, "doc_id", "text", model, base)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batchEdge = graft.operators.Classify.nbPredict(
+        edge, model, base, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamedEdge == batchEdge)
+  }
+}
