@@ -2027,6 +2027,19 @@ object SparkEntry {
     Dedup.winnowMatches(t(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("a"), col("b"))
 
+  private def tokenHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    // exact corpus heavy hitters (stopword discovery) via sketch-then-
+    // verify: a k=256 Misra–Gries pass nominates candidates (k counters
+    // per partition through partial agg — the token stream never
+    // shuffles), then an exact count restricted to candidates. Threshold
+    // 0.5% of token mass > N/(k+1), so the result provably equals the
+    // oracle's single-pass exact HAVING — see HeavyHitters.exact.
+    val toks = t(s, dir, "documents")
+      .select(explode(TextAnalysis.tokens(lower(trim(col("text"))))).as("term"))
+    HeavyHitters.exact(toks, "term", minShare = 0.005, k = 256)
+      .orderBy(desc("cnt"), asc("term"))
+  }
+
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2158,7 +2171,8 @@ object SparkEntry {
     "d_nb_predict" -> (nbPredictQuery _),
     "d_bm25_topk" -> (bm25TopKQuery _),
     "d_winnow_fps" -> (winnowFpsQuery _),
-    "d_winnow_matches" -> (winnowMatchesQuery _))
+    "d_winnow_matches" -> (winnowMatchesQuery _),
+    "d_token_hh" -> (tokenHeavyHitters _))
 
   // shared fragments of the portable-minhash oracles (must mirror
   // Dedup.portableMinhash/portableBands exactly): sig_p = min 32-bit
@@ -4231,7 +4245,21 @@ object SparkEntry {
         |SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared
         |FROM wf a JOIN wf b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 2
-        |ORDER BY a, b""".stripMargin)
+        |ORDER BY a, b""".stripMargin,
+
+    // oracle = the single-pass exact heavy hitters the sketch-then-verify
+    // plan provably reproduces (threshold 0.5% of N > N/257, the MG
+    // completeness bound)
+    "d_token_hh" ->
+      """WITH tk AS (
+        | SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)),
+        |   '\s+'), x -> len(x) > 0)) AS term
+        | FROM documents),
+        |n AS (SELECT count(*) AS n FROM tk),
+        |c AS (SELECT term, count(*) AS cnt FROM tk GROUP BY term)
+        |SELECT term, cnt FROM c, n
+        |WHERE cnt >= CAST(ceil(0.005 * n) AS BIGINT)
+        |ORDER BY cnt DESC, term""".stripMargin)
 
   /** Shared DuckDB CTE chain for the winnowing family (`d_winnow_*`):
     * 4-token shingle md5 hashes with 1-based position `i`, the w=4 window

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.MisraGriesSketch
+
+/** Exact distributed heavy hitters via the two-pass sketch-then-verify
+  * pattern: a Misra–Gries candidate pass whose guarantee makes the exact
+  * pass provably complete.
+  *
+  * Pass 1 streams every row through a k-counter [[graft.functions.MisraGries]]
+  * sketch — partial aggregation keeps at most k counters per partition, so
+  * the shuffle carries 32 sketches, not the token stream. Pass 2 counts
+  * EXACTLY, but only rows matching the <= k candidates (an `isin` against a
+  * broadcast literal list — map-side filter, partially-aggregated groupBy
+  * over <= k distinct keys). Because any item with true frequency
+  * > N/(k+1) is guaranteed present in the sketch, choosing a threshold
+  * above that bound means the candidate set can't miss a qualifying item:
+  * the final answer equals the single-pass exact `GROUP BY ... HAVING
+  * count >= threshold` while never shuffling the raw stream.
+  *
+  * At 100 TB: the raw stream is ~10^13 tokens; the naive exact groupBy
+  * shuffles all of it. Here the first pass shuffles k rows per partition
+  * and the second shuffles only candidate matches after partial
+  * aggregation (<= k keys x partitions).
+  */
+object HeavyHitters {
+
+  /** One sketch pass: (candidate terms, total row count N). The collect is
+    * a single row of <= k candidate strings — bounded driver memory by
+    * construction.
+    */
+  def mgCandidates(rows: DataFrame, termCol: String, k: Int): (Seq[String], Long) = {
+    val r = rows.agg(MisraGriesSketch(col(termCol), k).as("sk"),
+      count(col(termCol)).as("n")).head()
+    val cands = r.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+    (cands, r.getLong(1))
+  }
+
+  /** Exact heavy hitters: every term whose true count is >= ceil(minShare
+    * * N), with its exact count. `require`s the Misra–Gries soundness
+    * condition ceil(minShare * N) > N/(k+1) so the candidate set provably
+    * contains every qualifying term.
+    */
+  def exact(rows: DataFrame, termCol: String, minShare: Double,
+            k: Int): DataFrame = {
+    val (cands, n) = mgCandidates(rows, termCol, k)
+    val thr = math.ceil(minShare * n).toLong
+    require(n == 0 || thr.toDouble > n.toDouble / (k + 1),
+      s"threshold $thr must exceed N/(k+1) = ${n.toDouble / (k + 1)} for " +
+        s"the MG candidate set to be provably complete; raise k or minShare")
+    if (cands.isEmpty)
+      rows.select(col(termCol).as("term"), lit(0L).as("cnt")).filter(lit(false))
+    else
+      rows.filter(col(termCol).isInCollection(cands))
+        .groupBy(col(termCol).as("term"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= thr)
+  }
+}

@@ -1783,3 +1783,72 @@ class WinnowSpec extends SparkSpec {
     assert(Dedup.winnowFingerprints(docs, "doc_id", "text").count() == 0)
   }
 }
+
+class HeavyHittersSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.functions.MisraGriesSketch
+  import graft.operators.HeavyHitters
+
+  // skewed stream: "hot" 40x, "warm" 12x, 100 distinct singletons
+  private def stream: Seq[String] =
+    Seq.fill(40)("hot") ++ Seq.fill(12)("warm") ++ (1 to 100).map(i => s"tail$i")
+
+  test("misra-gries guarantee: count within N/(k+1) of truth, heavies present") {
+    val n = stream.size
+    val k = 10
+    val df = spark.sparkContext.parallelize(stream, 7).toDF("term")
+    val sk = df.agg(MisraGriesSketch(col("term"), k)).head()
+      .getSeq[org.apache.spark.sql.Row](0).map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sk.size <= k)
+    val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // every stored counter is a lower bound within N/(k+1)
+    sk.foreach { case (t, c) =>
+      assert(c <= truth(t), s"$t overcounted: $c > ${truth(t)}")
+      assert(c >= truth(t) - n.toDouble / (k + 1), s"$t undercounted: $c")
+    }
+    // anything with freq > N/(k+1) = 13.8 must be present
+    assert(sk.contains("hot") && sk.contains("warm"))
+  }
+
+  test("sketch result is partitioning-invariant enough for candidacy") {
+    // different partition counts give different counters, but the
+    // completeness guarantee holds for each
+    for (parts <- Seq(1, 3, 13)) {
+      val df = spark.sparkContext.parallelize(stream, parts).toDF("term")
+      val sk = df.agg(MisraGriesSketch(col("term"), 10)).head()
+        .getSeq[org.apache.spark.sql.Row](0).map(_.getString(0)).toSet
+      assert(sk.contains("hot") && sk.contains("warm"), s"parts=$parts: $sk")
+    }
+  }
+
+  test("exact heavy hitters equal the naive groupBy-HAVING answer") {
+    val df = spark.sparkContext.parallelize(stream, 5).toDF("term")
+    val share = 0.05 // threshold ceil(0.05*152)=8 > 152/11=13.8? no: k=31
+    val got = HeavyHitters.exact(df, "term", share, k = 31)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val thr = math.ceil(share * stream.size).toLong
+    val want = stream.groupBy(identity).collect {
+      case (t, xs) if xs.size >= thr => (t, xs.size.toLong)
+    }.toSet
+    assert(got == want)
+  }
+
+  test("exact() refuses an unsound threshold/k pairing") {
+    val df = Seq.fill(100)("x").toDF("term")
+    // thr = 1 <= N/(k+1) = 33.3 -> the guarantee does not hold -> loud
+    intercept[IllegalArgumentException] {
+      HeavyHitters.exact(df, "term", minShare = 0.01, k = 2).collect()
+    }
+  }
+
+  test("empty input yields empty result, null terms are skipped") {
+    val empty = Seq.empty[String].toDF("term")
+    assert(HeavyHitters.exact(empty, "term", 0.01, k = 256).count() == 0)
+    val withNulls = Seq(Some("a"), None, Some("a"), None, Some("b"))
+      .toDF("term")
+    val sk = withNulls.agg(MisraGriesSketch(col("term"), 4)).head()
+      .getSeq[org.apache.spark.sql.Row](0).map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sk == Map("a" -> 2L, "b" -> 1L))
+  }
+}
