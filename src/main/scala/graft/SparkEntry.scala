@@ -1350,6 +1350,13 @@ object SparkEntry {
     graft.multimodal.Multimodal.audioHashes(audioPayloads(s, dir))
       .orderBy(col("media_id"))
 
+  private def audioQualityQuery(s: SparkSession, dir: String): DataFrame =
+    // speech-corpus ingest audit: exact integer silence/clipping/energy
+    // stats per clip, one map-side decode pass; the oracle recomputes
+    // every sample from the planting formula (audioHashCtes' sm chain)
+    graft.multimodal.Multimodal.audioQualityStats(audioPayloads(s, dir))
+      .toDF().orderBy(col("media_id"))
+
   private def audioNearDup(s: SparkSession, dir: String): DataFrame =
     // audio near-dup pairs: the same 16-bit-band pigeonhole as text
     // simhash and image dHash, over the energy fingerprint. Bucket cap
@@ -2142,6 +2149,7 @@ object SparkEntry {
     "m_image_dedup" -> (imageDedup _),
     "m_audio_fingerprint" -> (audioFingerprint _),
     "m_audio_neardup" -> (audioNearDup _),
+    "m_audio_quality" -> (audioQualityQuery _),
     "m_image_ingest" -> (imageIngest _),
     "m_image_ingest_stored" -> (imageIngestStored _),
     "d_gopher_rules" -> (gopherRulesQuery _),
@@ -3607,6 +3615,23 @@ object SparkEntry {
         |FROM cand c JOIN ah ha ON ha.doc_id = c.a JOIN ah hb ON hb.doc_id = c.b
         |WHERE bit_count(xor(ha.ahash, hb.ahash)) <= 3
         |ORDER BY a, b""".stripMargin,
+    // audio quality twin: exact integer silence/clipping/energy stats
+    // recomputed per planted sample (thresholds: silence < 1024,
+    // clip >= 32000 — the audioQualityStats defaults)
+    "m_audio_quality" ->
+      s"""WITH $audioHashCtes,
+        |q AS (
+        | SELECT doc_id,
+        |  CAST(count(*) AS INT) AS n_samples,
+        |  CAST(sum(av) AS BIGINT) AS sum_abs,
+        |  CAST(sum(av * av) AS BIGINT) AS sum_sq,
+        |  CAST(max(av) AS INT) AS peak,
+        |  CAST(sum(CASE WHEN av < 1024 THEN 1 ELSE 0 END) AS BIGINT) AS n_silence,
+        |  CAST(sum(CASE WHEN av >= 32000 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip
+        | FROM sm GROUP BY doc_id)
+        |SELECT doc_id AS media_id, n_samples, sum_abs, sum_sq, peak,
+        |  n_silence, n_clip
+        |FROM q ORDER BY media_id""".stripMargin,
     // resize twin: the planted PNG dimensions and Multimodal.fitWithin's
     // integer aspect-fit formula (never upscale; floor division on the
     // non-limiting axis, min 1; width-limited when w*maxH >= h*maxW)

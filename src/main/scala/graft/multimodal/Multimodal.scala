@@ -1115,6 +1115,45 @@ object Multimodal {
       }).toDF("media_id", "ahash")
   }
 
+  /** Per-clip integer quality stats for PCM WAV: sample count, Σ|s|,
+    * Σs² (the un-normalized RMS numerator), peak |s|, samples below the
+    * silence threshold, samples at-or-above the clipping threshold.
+    * Everything is an EXACT integer over the decoded 16-bit samples —
+    * no floats cross the aggregation, so the audit is oracle-checkable
+    * the same way the energy fingerprint is. The audit a speech-corpus
+    * ingest gates on: mostly-silent clips (n_silence/n_samples high) and
+    * hard-clipped recordings (n_clip > 0) are dropped before expensive
+    * featurization. One map-side pass; non-PCM payloads vanish.
+    */
+  case class AudioQuality(media_id: Long, n_samples: Int, sum_abs: Long,
+                          sum_sq: Long, peak: Int, n_silence: Long, n_clip: Long)
+
+  def audioQualityStats(payloads: DataFrame, silenceBelow: Int = 1024,
+                        clipAtLeast: Int = 32000): Dataset[AudioQuality] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        wavInfo(bytes).map { case (_, channels, dataOff, frames) =>
+          def u16(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+          val n = frames * channels
+          var sumAbs = 0L; var sumSq = 0L; var peak = 0
+          var nSil = 0L; var nClip = 0L
+          var s = 0
+          while (s < n) {
+            val v = math.abs(u16(dataOff + 2 * s).toShort.toInt)
+            sumAbs += v; sumSq += v.toLong * v
+            if (v > peak) peak = v
+            if (v < silenceBelow) nSil += 1
+            if (v >= clipAtLeast) nClip += 1
+            s += 1
+          }
+          AudioQuality(id, n, sumAbs, sumSq, peak, nSil, nClip)
+        }
+      })
+  }
+
   case class SampledMedia(media_id: Long, format: String, src_frames: Int,
                           frames: Int, rate: Int, payload: Array[Byte])
 

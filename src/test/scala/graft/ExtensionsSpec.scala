@@ -484,6 +484,28 @@ class MultimodalSpec extends SparkSpec {
     assert(out.length == 1 && out(0).getLong(1) == ha)
   }
 
+  test("audio quality stats: exact integer silence/clip/energy audit") {
+    // hand-built clip: 3 silent samples, 2 mid, 1 clipped — every stat
+    // checkable by hand
+    val samples = Array[Short](0, 500, -1023, 2000, -5000, 32600)
+    val wav = Multimodal.encodeWav(8000, 1, samples)
+    val r = Multimodal.audioQualityStats(
+      Seq((7L, wav), (8L, "junk".getBytes("UTF-8"))).toDF("media_id", "payload"))
+      .collect()
+    assert(r.length == 1) // non-PCM dropped
+    val q = r(0)
+    assert(q.media_id == 7L && q.n_samples == 6)
+    assert(q.sum_abs == 0L + 500 + 1023 + 2000 + 5000 + 32600)
+    assert(q.sum_sq == samples.map(s => math.abs(s.toInt).toLong *
+      math.abs(s.toInt)).sum)
+    assert(q.peak == 32600 && q.n_silence == 3L && q.n_clip == 1L)
+    // Short.MinValue must not overflow the abs
+    val extreme = Multimodal.audioQualityStats(
+      Seq((1L, Multimodal.encodeWav(8000, 1, Array[Short](Short.MinValue))))
+        .toDF("media_id", "payload")).collect()(0)
+    assert(extreme.peak == 32768 && extreme.n_clip == 1L)
+  }
+
   test("resize clamps dimensions; frame sampling emits strided chunks") {
     val df = Seq((1L, "x" * 4000)).toDF("doc_id", "text")
     val payloads = Multimodal.withPayload(df, "doc_id", "text")
