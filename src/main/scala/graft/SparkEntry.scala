@@ -1084,6 +1084,26 @@ object SparkEntry {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  private def semDedupQuery(s: SparkSession, dir: String): DataFrame = {
+    // SemDeDup over the neardup family's 300-vector slice: coarse
+    // codebook = the 8 first unit vectors (the portable s_ann_ivf_stored
+    // spelling, so cluster assignment, centroid cosine, and every
+    // in-cluster pairwise cosine are recomputed by the DuckDB twin);
+    // eps matches the family's 0.35 near-dup threshold. Cap off to
+    // mirror the uncapped oracle; the production cap is SemDedupSpec's.
+    val emb = t(s, dir, "embeddings").filter(col("vec_id") < 300)
+    val seeds = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val unitSeeds = seeds.map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    Similarity.semDedup(emb, "vec_id", "embedding", unitSeeds, eps = 0.35)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy(col("vec_id"))
+  }
+
   private def annIvfPqStored(s: SparkSession, dir: String): DataFrame = {
     // IVF-PQ over the PHYSICAL stored layouts: the codes-only PQ index
     // written once partitioned by coarse centroid (Similarity.writePqStore
@@ -2121,6 +2141,7 @@ object SparkEntry {
     "s_ann_ivfpq_stored" -> (annIvfPqStored _),
     "s_embed_neardup" -> (embedNearDup _),
     "s_embed_neardup_bucketed" -> (embedNearDupBucketed _),
+    "s_semdedup" -> (semDedupQuery _),
     "s_embed_neardup_lsh" -> (embedNearDupLsh _),
     "s_embed_quantized" -> (embedQuantized _),
     "s_embed_clusters" -> (embedClusters _),
@@ -3281,6 +3302,39 @@ object SparkEntry {
         |WHERE list_dot_product(a.v, b.v) /
         |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
         |ORDER BY a, b""".stripMargin,
+    // SemDeDup twin: unit-normalize, assign to the first-8-unit-vector
+    // codebook (argmin L2 with index tie-break — the s_ann_ivf_stored
+    // spelling), keep-priority = lowest centroid cosine then id, drop any
+    // member with cosine >= 0.35 to a higher-priority same-cluster member
+    "s_semdedup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id < 300),
+        |u AS (SELECT vec_id,
+        |        CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN v
+        |             ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v))) END AS vu
+        |      FROM e),
+        |cu AS (SELECT vec_id AS ccid, vu AS cvu FROM u WHERE vec_id < 8),
+        |cd AS (SELECT u.vec_id, cu.ccid,
+        |         list_sum(list_transform(range(1, 65),
+        |           i -> (u.vu[i] - cu.cvu[i]) * (u.vu[i] - cu.cvu[i]))) AS d,
+        |         list_dot_product(u.vu, cu.cvu) AS cs
+        |       FROM u, cu),
+        |assign AS (SELECT vec_id, ccid, cs FROM (
+        |             SELECT vec_id, ccid, cs,
+        |               row_number() OVER (PARTITION BY vec_id ORDER BY d, ccid) AS rn
+        |             FROM cd) WHERE rn = 1),
+        |pr AS (SELECT vec_id, ccid, cs,
+        |         row_number() OVER (PARTITION BY ccid ORDER BY cs, vec_id) AS pr
+        |       FROM assign),
+        |drops AS (SELECT DISTINCT b.vec_id
+        |          FROM pr a JOIN pr b ON a.ccid = b.ccid AND a.pr < b.pr
+        |          JOIN u ua ON ua.vec_id = a.vec_id
+        |          JOIN u ub ON ub.vec_id = b.vec_id
+        |          WHERE list_dot_product(ua.vu, ub.vu) >= 0.35)
+        |SELECT p.vec_id, p.ccid AS centroid_id, round(p.cs, 4) AS c_sim
+        |FROM pr p LEFT JOIN drops d ON d.vec_id = p.vec_id
+        |WHERE d.vec_id IS NULL
+        |ORDER BY p.vec_id""".stripMargin,
     // int8 scalar quantization round-trip: scale, code sum, reconstruction
     // L2 error — identical IEEE arithmetic in both engines
     "s_embed_quantized" ->

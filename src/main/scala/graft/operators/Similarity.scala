@@ -349,6 +349,73 @@ object Similarity {
       .select(col("a"), col("b"), round(col("sim"), 4).as("sim"))
   }
 
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication by clustering
+    * then within-cluster cosine pruning — the embedding-space analogue of
+    * MinHash dedup, aimed at *semantic* (paraphrase/re-render) duplicates
+    * exact and fuzzy dedup can't see.
+    *
+    * Pipeline: unit-normalize, assign each vector to its nearest centroid
+    * (map-side, centroids broadcast as literals), give every cluster
+    * member a keep-priority — LOWEST cosine to the centroid first (the
+    * paper keeps the member farthest from the centroid, the "least
+    * prototypical" exemplar), ties by id — then drop any member whose
+    * cosine to a HIGHER-priority member of the same cluster is >= `eps`.
+    * Pair checking never crosses clusters, so the quadratic is bounded by
+    * cluster size, not corpus size: the one shuffle keys on centroid_id
+    * and C tracks corpus size at a fixed cluster width.
+    *
+    * `maxClusterSize` is the scale guard: an oversized cluster SKIPS
+    * in-cluster checking (conservative — every member is kept; dedup
+    * only ever loses pairs, never data) and `dropAudit` makes a binding
+    * cap loud with `skipped_clusters` / `max_cluster_size` (the
+    * [[Dedup.bandedHammingPairs]] `dropped_buckets` contract).
+    *
+    * Returns the keepers (id, centroid_id, c_sim rounded 4); drop set =
+    * input ids minus keepers.
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               centroids: Seq[Seq[Double]], eps: Double,
+               maxClusterSize: Int = Int.MaxValue,
+               dropAudit: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    import graft.functions.VectorFunctions.dot_product
+    val u = normalized(df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("__u")), "__u")
+    val cdots = array(centroids.map(c =>
+      dot_product(col("__u"), array(c.map(lit): _*))): _*)
+    val assigned = assignCentroids(u, "__u", centroids)
+      .withColumn("c_sim", element_at(cdots, col("centroid_id") + 1))
+    val wPr = Window.partitionBy(col("centroid_id"))
+      .orderBy(asc("c_sim"), asc("id"))
+    val wSz = Window.partitionBy(col("centroid_id"))
+    // priority + cluster size in one pass; checkpointed because the
+    // frame feeds both sides of the pair join AND the final anti-join
+    val ranked = assigned
+      .withColumn("pr", row_number().over(wPr))
+      .withColumn("csz", count(lit(1)).over(wSz))
+      .localCheckpoint()
+    val inScope = ranked.filter(col("csz") <= maxClusterSize)
+    val hi = inScope.select(col("centroid_id"), col("__u").as("ua"),
+      col("pr").as("pra"))
+    val lo = inScope.select(col("centroid_id"), col("id"),
+      col("__u").as("ub"), col("pr").as("prb"))
+    val dropped = lo.join(hi, Seq("centroid_id"))
+      .filter(col("pra") < col("prb") &&
+        dot_product(col("ua"), col("ub")) >= eps)
+      .select(col("id")).distinct()
+    val kept = ranked.join(dropped, Seq("id"), "left_anti")
+    // audit rides the main output path (a side-branch CollectMetrics can
+    // be skipped by adaptive planning): pr == 1 marks one row per cluster
+    // (observe forbids DISTINCT) and is never dropped — the top-priority
+    // member has no higher-priority peer — and csz is cluster-constant,
+    // so both metrics survive the anti-join intact
+    val audited = dropAudit.fold(kept)(obs => kept.observe(obs,
+      sum(when(col("csz") > maxClusterSize && col("pr") === 1, 1L)
+        .otherwise(0L)).as("skipped_clusters"),
+      max(col("csz")).as("max_cluster_size")))
+    audited
+      .select(col("id"), col("centroid_id"), round(col("c_sim"), 4).as("c_sim"))
+  }
+
   /** Symmetric int8 scalar quantization of an embedding column — the 4×
     * storage/bandwidth cut of a large-scale embedding store (the FAISS
     * `SQ8`-style codec): per vector, scale = max|v|/127, codes =

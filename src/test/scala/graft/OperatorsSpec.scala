@@ -1852,3 +1852,54 @@ class HeavyHittersSpec extends SparkSpec {
     assert(sk == Map("a" -> 2L, "b" -> 1L))
   }
 }
+
+class SemDedupSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.operators.Similarity
+
+  // two well-separated centroids on axes; cluster members are small
+  // perturbations so assignment is unambiguous
+  private val centroids = Seq(
+    Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0))
+
+  private def df = Seq(
+    // cluster 0: ids 10, 11 near-identical (cos ~ 1), 12 distinct
+    (10L, Seq(1.0, 0.02, 0.0, 0.0)),
+    (11L, Seq(1.0, 0.021, 0.0, 0.0)),
+    (12L, Seq(1.0, 0.0, 0.9, 0.0)),
+    // cluster 1: lone member
+    (20L, Seq(0.0, 1.0, 0.0, 0.1))
+  ).toDF("vec_id", "embedding")
+
+  test("semDedup keeps the least-prototypical member of a duplicate group") {
+    val kept = Similarity.semDedup(df, "vec_id", "embedding", centroids,
+      eps = 0.999).collect().map(_.getLong(0)).toSet
+    // 10 and 11 are semantic dups; 12 (cos to centroid lower than both)
+    // outranks them, 10 vs 11: the one with LOWER centroid-cosine keeps.
+    // cos(10, c0) < cos(11, c0)? perturbation 0.02 < 0.021 -> 11 is
+    // farther from the centroid -> higher priority -> 11 kept, 10 dropped
+    assert(kept.contains(12L) && kept.contains(20L))
+    assert((kept & Set(10L, 11L)).size == 1, s"kept=$kept")
+    // lower eps folds 12 into the dup group too: only 1 survivor per cluster
+    val tight = Similarity.semDedup(df, "vec_id", "embedding", centroids,
+      eps = 0.5).collect().map(_.getLong(0)).toSet
+    assert(tight.size == 2 && tight.contains(20L))
+  }
+
+  test("binding cluster cap skips checking (keeps all) and is loud") {
+    val obs = new org.apache.spark.sql.Observation("semdedup-audit")
+    val kept = Similarity.semDedup(df, "vec_id", "embedding", centroids,
+      eps = 0.999, maxClusterSize = 2, dropAudit = Some(obs))
+      .collect().map(_.getLong(0)).toSet
+    // cluster 0 has 3 members > cap -> untouched; cluster 1 within cap
+    assert(kept == Set(10L, 11L, 12L, 20L))
+    val m = obs.get
+    assert(m("skipped_clusters").asInstanceOf[Long] == 1L, m)
+    assert(m("max_cluster_size").asInstanceOf[Long] == 3L, m)
+    // uncapped keepers are a subset of capped keepers (cap only keeps MORE)
+    val uncapped = Similarity.semDedup(df, "vec_id", "embedding", centroids,
+      eps = 0.999).collect().map(_.getLong(0)).toSet
+    assert(uncapped.subsetOf(kept))
+  }
+}
