@@ -306,6 +306,20 @@ object SparkEntry {
     TextAnalysis.quality(t(s, dir, "documents"), "text", Seq("doc_id"))
       .orderBy(col("doc_id"))
 
+  private def charEntropy(s: SparkSession, dir: String): DataFrame = {
+    // per-doc character-entropy quality signal: exact integer millinats
+    // (pointwise-rounded n·ln n terms, integer sums — the Classify
+    // fixed-point contract) + a derived bits-per-char view; one map-side
+    // pass, no explode — the char histogram is 27 replace-length
+    // expressions inside codegen
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), length(col("text")).as("n_chars"),
+        TextAnalysis.charEntropyMilli(col("text")).as("h_milli"))
+    d.select(col("doc_id"), col("n_chars"), col("h_milli"),
+        TextAnalysis.bitsPerChar(col("h_milli"), col("n_chars")).as("bpc"))
+      .orderBy(col("doc_id"))
+  }
+
   private def bpeTrain(s: SparkSession, dir: String): DataFrame = {
     // REAL learned-subword training (vs d_token_counts' documented
     // ceil(len/4) proxy): 6 exact BPE merge rounds over the corpus
@@ -2101,6 +2115,7 @@ object SparkEntry {
     "d_bpe_tokens" -> (bpeTokens _),
     "d_bpe_fertility" -> (bpeFertility _),
     "d_quality" -> (qualityScores _),
+    "d_char_entropy" -> (charEntropy _),
     "d_fingerprint" -> (fingerprints _),
     "d_lang_scores" -> (langScores _),
     "d_lang_predict" -> (langPredict _),
@@ -2784,6 +2799,40 @@ object SparkEntry {
         |WHERE n_tokens >= 25 AND stopword_ratio <= 0.1 AND punct_ratio <= 0.2
         |  AND mean_token_len BETWEEN 2.0 AND 12.0
         |ORDER BY doc_id""".stripMargin,
+    // entropy twin: the same 27-bucket replace-length histogram, the same
+    // pointwise round(1e6·n·ln n) fixed-point terms, integer sums — and
+    // the ln 2 constant pinned as a literal on both sides
+    "d_char_entropy" ->
+      """WITH a AS (SELECT unnest(['a','b','c','d','e','f','g','h','i','j',
+        |  'k','l','m','n','o','p','q','r','s','t','u','v','w','x','y','z',
+        |  ' ']) AS ch),
+        |c AS (SELECT d.doc_id,
+        |        CAST(length(d.text) - length(replace(d.text, a.ch, '')) AS BIGINT) AS n
+        |      FROM documents d CROSS JOIN a),
+        |s AS (SELECT doc_id,
+        |        CAST(sum(CASE WHEN n > 0
+        |          THEN CAST(round(1000000.0 * n * ln(n)) AS BIGINT)
+        |          ELSE 0 END) AS BIGINT) AS known_term,
+        |        CAST(sum(n) AS BIGINT) AS known
+        |      FROM c GROUP BY doc_id),
+        |l AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS len FROM documents),
+        |o AS (SELECT l.doc_id, l.len, s.known_term, l.len - s.known AS other
+        |      FROM l JOIN s ON l.doc_id = s.doc_id),
+        |e AS (SELECT doc_id, len,
+        |        CASE WHEN len = 0 THEN 0
+        |             ELSE CAST(round(1000000.0 * len * ln(len)) AS BIGINT)
+        |                  - known_term
+        |                  - CASE WHEN other > 0
+        |                      THEN CAST(round(1000000.0 * other * ln(other)) AS BIGINT)
+        |                      ELSE 0 END
+        |        END AS h_milli
+        |      FROM o)
+        |SELECT doc_id, CAST(len AS INT) AS n_chars,
+        |  CAST(h_milli AS BIGINT) AS h_milli,
+        |  CASE WHEN len = 0 THEN 0.0
+        |       ELSE round(CAST(h_milli AS DOUBLE) / (1000000.0 * len)
+        |              / 0.6931471805599453, 4) END AS bpc
+        |FROM e ORDER BY doc_id""".stripMargin,
     "d_train_split" ->
       """WITH b AS (
         | SELECT n_chars,

@@ -446,6 +446,51 @@ object TextAnalysis {
     * 100 TB corpus — and one anti-join keeps survivors. The corpus text
     * never shuffles. Returns (idCol, n_urls) for surviving docs.
     */
+  /** Alphabet for [[charEntropyMilli]]: lowercase ASCII letters + space;
+    * everything else folds into one OTHER bucket.
+    */
+  val entropyAlphabet: Seq[String] = ('a' to 'z').map(_.toString) :+ " "
+
+  /** Shannon character entropy as an EXACT fixed-point integer — the
+    * gibberish/low-diversity quality signal (near-zero entropy = repeated
+    * filler or binary spam; web pipelines gate on it next to the
+    * compression-ratio check). Uses the identity
+    *
+    *   L·H = L·ln L − Σ_c n_c·ln n_c       (nats, scaled by L)
+    *
+    * with each n·ln n term rounded ONCE to `round(1e6·n·ln n)` as BIGINT
+    * and summed as integers (the [[Classify]] fixed-point contract:
+    * floats never cross an aggregation boundary, so the result is
+    * bit-exact and order-independent — oracle-checkable in any SQL
+    * engine). Character counts come from the replace-length trick over a
+    * 27-symbol alphabet (letters + space, rest pooled as OTHER): pure
+    * codegen'd string expressions, one map-side pass, no explode and no
+    * shuffle — a per-character explode would shuffle the whole corpus
+    * character stream.
+    */
+  def charEntropyMilli(text: Column): Column = {
+    val L = length(text)
+    val counts = array(entropyAlphabet.map(ch =>
+      (L - length(replace(text, lit(ch), lit("")))).cast("long")): _*)
+    val other = (L.cast("long") - aggregate(counts, lit(0L), _ + _)).cast("long")
+    val all = concat(counts, array(other))
+    val nLnN = (n: Column) => when(n > 0,
+      round(lit(1e6) * n.cast("double") * log(n.cast("double"))).cast("bigint"))
+      .otherwise(0L)
+    when(L === 0, 0L).otherwise(
+      round(lit(1e6) * L.cast("double") * log(L.cast("double"))).cast("bigint") -
+        aggregate(all, lit(0L), (acc, n) => acc + nLnN(n)))
+  }
+
+  /** Bits-per-character view of [[charEntropyMilli]]: H/(ln 2) with the
+    * ln 2 constant pinned as a literal so both engines divide by the
+    * same IEEE double. Deterministic: two divisions on an exact integer.
+    */
+  def bitsPerChar(hMilli: Column, nChars: Column): Column =
+    when(nChars === 0, 0.0).otherwise(
+      round(hMilli.cast("double") / (lit(1e6) * nChars.cast("double")) /
+        lit(0.6931471805599453), 4))
+
   def blockByDomain(docs: DataFrame, idCol: String, textCol: String,
                     blocklist: DataFrame): DataFrame = {
     val withDomains = docs.select(col(idCol),

@@ -1903,3 +1903,38 @@ class SemDedupSpec extends SparkSpec {
     assert(uncapped.subsetOf(kept))
   }
 }
+
+class CharEntropySpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.operators.TextAnalysis
+
+  private def h(texts: String*): Seq[(String, Long, Double)] = {
+    val df = texts.toDF("text")
+      .select(col("text"), length(col("text")).as("n"),
+        TextAnalysis.charEntropyMilli(col("text")).as("h"))
+      .select(col("text"), col("h"),
+        TextAnalysis.bitsPerChar(col("h"), col("n")).as("bpc"))
+    df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+  }
+
+  test("entropy: constant string 0, uniform alphabet maximal, empty 0") {
+    val rs = h("aaaaaaaa", "abcdefgh", "", "aabb")
+    val m = rs.map(r => r._1 -> r).toMap
+    assert(m("aaaaaaaa")._2 == 0L && m("aaaaaaaa")._3 == 0.0)
+    // 8 distinct chars over 8 positions: H = ln 8 -> 3 bits/char
+    assert(m("abcdefgh")._3 == 3.0)
+    assert(m("")._2 == 0L && m("")._3 == 0.0)
+    // 2 classes, equal mass: 1 bit/char; L·H·1e6 = 4·ln2·1e6 rounded terms
+    assert(m("aabb")._3 == 1.0)
+    // exact fixed point: round(1e6·4·ln4) − 2·round(1e6·2·ln2)
+    val want = math.round(1e6 * 4 * math.log(4)) - 2 * math.round(1e6 * 2 * math.log(2))
+    assert(m("aabb")._2 == want)
+  }
+
+  test("entropy: non-alphabet chars pool into one OTHER bucket") {
+    // "!?" are both OTHER -> pooled: histogram {a:2, other:2} == "aabb"
+    val rs = h("aa!?", "aabb").map(_._2)
+    assert(rs(0) == rs(1))
+  }
+}
