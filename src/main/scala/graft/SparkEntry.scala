@@ -320,6 +320,12 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  private def zipfAuditQuery(s: SparkSession, dir: String): DataFrame =
+    // corpus health audit: token mass, vocab size, and the Zipf slope of
+    // the top-100 rank-frequency curve — OLS in exact fixed-point
+    // integers, one final double division (see TextAnalysis.zipfAudit)
+    TextAnalysis.zipfAudit(t(s, dir, "documents"), "text", topR = 100)
+
   private def bpeTrain(s: SparkSession, dir: String): DataFrame = {
     // REAL learned-subword training (vs d_token_counts' documented
     // ceil(len/4) proxy): 6 exact BPE merge rounds over the corpus
@@ -2116,6 +2122,7 @@ object SparkEntry {
     "d_bpe_fertility" -> (bpeFertility _),
     "d_quality" -> (qualityScores _),
     "d_char_entropy" -> (charEntropy _),
+    "d_zipf_audit" -> (zipfAuditQuery _),
     "d_fingerprint" -> (fingerprints _),
     "d_lang_scores" -> (langScores _),
     "d_lang_predict" -> (langPredict _),
@@ -2833,6 +2840,32 @@ object SparkEntry {
         |       ELSE round(CAST(h_milli AS DOUBLE) / (1000000.0 * len)
         |              / 0.6931471805599453, 4) END AS bpc
         |FROM e ORDER BY doc_id""".stripMargin,
+    // Zipf twin: same tokenization, same top-100 (cnt desc, term) rank,
+    // same pointwise round(1e6·ln) fixed points, integer OLS sums, one
+    // final double division
+    "d_zipf_audit" ->
+      """WITH tk AS (
+        | SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)),
+        |   '\s+'), x -> len(x) > 0)) AS term
+        | FROM documents),
+        |c AS (SELECT term, count(*) AS cnt FROM tk GROUP BY term),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |               count(*) AS n_vocab FROM c),
+        |top AS (SELECT cnt,
+        |          row_number() OVER (ORDER BY cnt DESC, term) AS rank
+        |        FROM c ORDER BY cnt DESC, term LIMIT 100),
+        |f AS (SELECT CAST(round(1000000.0 * ln(rank)) AS BIGINT) AS x,
+        |             CAST(round(1000000.0 * ln(cnt)) AS BIGINT) AS y
+        |      FROM top),
+        |ols AS (SELECT CAST(count(*) AS BIGINT) AS r,
+        |          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |          CAST(sum(x * y) AS BIGINT) AS sxy,
+        |          CAST(sum(x * x) AS BIGINT) AS sxx
+        |        FROM f)
+        |SELECT tot.n_tokens, tot.n_vocab, CAST(ols.r AS INT) AS n_top,
+        |  round(CAST(ols.r * ols.sxy - ols.sx * ols.sy AS DOUBLE) /
+        |        CAST(ols.r * ols.sxx - ols.sx * ols.sx AS DOUBLE), 4) AS zipf_slope
+        |FROM ols, tot""".stripMargin,
     "d_train_split" ->
       """WITH b AS (
         | SELECT n_chars,

@@ -491,6 +491,47 @@ object TextAnalysis {
       round(hMilli.cast("double") / (lit(1e6) * nChars.cast("double")) /
         lit(0.6931471805599453), 4))
 
+  /** Corpus-statistics audit: total token mass, vocabulary size, and the
+    * Zipf rank-frequency slope — the "is this corpus natural language or
+    * spam/boilerplate" health check (natural text slopes ≈ −1; template
+    * farms and deduplication failures bend it).
+    *
+    * The slope is ordinary least squares of ln(freq) on ln(rank) over the
+    * top `topR` terms, computed EXACTLY: x = round(1e6·ln rank) and
+    * y = round(1e6·ln freq) are fixed-point BIGINTs (pointwise rounds),
+    * all four OLS sums are integer sums, and the single final division is
+    * one double op — order-independent and bit-reproducible in SQL, the
+    * same contract as [[charEntropyMilli]]/[[Classify]]. Numerators fit:
+    * R·Σxy ≤ 100·100·(20e6)² ≈ 4e18 < 2⁶³.
+    *
+    * Scale shape: one partially-aggregated term-count groupBy (the tf-idf
+    * shuffle), a TakeOrdered top-R (never a global sort), then OLS over
+    * ≤ topR rows — the only single-partition work is the 100-row window
+    * and the 1-row final aggregate.
+    */
+  def zipfAudit(docs: DataFrame, textCol: String, topR: Int = 100): DataFrame = {
+    val toks = docs.select(
+      explode(tokens(lower(trim(col(textCol))))).as("term"))
+    val c = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val totals = c.agg(sum(col("cnt")).as("n_tokens"),
+      count(lit(1)).as("n_vocab"))
+    val top = c.orderBy(desc("cnt"), asc("term")).limit(topR)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("cnt"), asc("term"))
+    val fixed = top.withColumn("rank", row_number().over(w))
+      .select(
+        round(lit(1e6) * log(col("rank").cast("double"))).cast("bigint").as("x"),
+        round(lit(1e6) * log(col("cnt").cast("double"))).cast("bigint").as("y"))
+    val ols = fixed.agg(count(lit(1)).as("r"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    ols.crossJoin(totals)
+      .select(col("n_tokens"), col("n_vocab"), col("r").cast("int").as("n_top"),
+        round((col("r") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("r") * col("sxx") - col("sx") * col("sx")).cast("double"), 4)
+          .as("zipf_slope"))
+  }
+
   def blockByDomain(docs: DataFrame, idCol: String, textCol: String,
                     blocklist: DataFrame): DataFrame = {
     val withDomains = docs.select(col(idCol),

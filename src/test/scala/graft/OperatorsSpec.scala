@@ -1938,3 +1938,31 @@ class CharEntropySpec extends SparkSpec {
     assert(rs(0) == rs(1))
   }
 }
+
+class ZipfAuditSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.TextAnalysis
+
+  test("zipf audit: exact counts; slope -1 for a perfect power law") {
+    // plant a corpus whose top-4 terms follow cnt = 64 / rank exactly:
+    // ln(cnt) = ln(64) - 1·ln(rank) -> OLS slope = -1 up to fixed-point
+    // rounding of the four (x, y) points
+    val words =
+      Seq.fill(64)("w1") ++ Seq.fill(32)("w2") ++ Seq.fill(21)("w3a") ++
+        Seq.fill(16)("w4")
+    val df = Seq(words.mkString(" ")).toDF("text")
+    val r = TextAnalysis.zipfAudit(df, "text", topR = 4).collect()(0)
+    assert(r.getLong(0) == words.size.toLong) // n_tokens
+    assert(r.getLong(1) == 4L)                // n_vocab
+    assert(r.getInt(2) == 4)                  // n_top
+    // ranks 1,2,4 are exact powers; rank 3 planted at 21 ≈ 64/3 -> slope
+    // within a hair of -1
+    assert(math.abs(r.getDouble(3) + 1.0) < 0.01, r.getDouble(3))
+  }
+
+  test("zipf audit: vocab smaller than topR just uses what exists") {
+    val df = Seq("a a a b b c").toDF("text")
+    val r = TextAnalysis.zipfAudit(df, "text", topR = 100).collect()(0)
+    assert(r.getLong(1) == 3L && r.getInt(2) == 3)
+  }
+}
