@@ -1850,6 +1850,34 @@ object SparkEntry {
         lshStore(s, dir), "doc_id", "text", k = 8, nBands = 4)
       .orderBy(col("doc_id"))
 
+  /** Stored winnowing-fingerprint index — the span-reuse gate's store:
+    * DISTINCT selected fingerprints of the historical corpus (doc_id <
+    * 250), written once per SF dir, clustered by fp so the ingest gate's
+    * semi-join co-locates ([[lshStore]]'s contract, 16 B per fp).
+    */
+  private def winnowStore(s: SparkSession, dir: String): DataFrame = {
+    val path = layoutPath(dir, "winnowindex", "k=4,w=4,cut=250",
+      srcTable = "documents.parquet")
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      Dedup.winnowFingerprints(
+          t(s, dir, "documents").filter(col("doc_id") < 250),
+          "doc_id", "text")
+        .select(col("fp")).distinct()
+        .repartition(32, col("fp"))
+        .sortWithinPartitions(col("fp"))
+        .write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
+  private def winnowIngestStored(s: SparkSession, dir: String): DataFrame =
+    // span-reuse ingest gate: batch docs (>= 250) surviving the >= 2
+    // shared-fingerprint plagiarism check against the STORED index —
+    // only the batch is winnowed; the oracle recomputes both sides
+    Dedup.winnowIngest(
+        t(s, dir, "documents").filter(col("doc_id") >= 250),
+        winnowStore(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   private def corpusDiff(s: SparkSession, dir: String): DataFrame = {
     // dataset-versioning audit between two corpus releases, both derived
     // deterministically from documents: v1 lacks the docs "added later"
@@ -2223,6 +2251,7 @@ object SparkEntry {
     "d_bm25_topk" -> (bm25TopKQuery _),
     "d_winnow_fps" -> (winnowFpsQuery _),
     "d_winnow_matches" -> (winnowMatchesQuery _),
+    "d_winnow_ingest_stored" -> (winnowIngestStored _),
     "d_token_hh" -> (tokenHeavyHitters _))
 
   // shared fragments of the portable-minhash oracles (must mirror
@@ -4407,6 +4436,22 @@ object SparkEntry {
         |FROM wf a JOIN wf b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY a, b""".stripMargin,
+
+    // span-reuse ingest-gate twin: batch docs (>= 250) with >= 2 selected
+    // fingerprints shared with the historical (< 250) index are rejected;
+    // survivors listed — the stored index is just the distinct-fp set, so
+    // the oracle recomputes both sides from winnowCtes
+    "d_winnow_ingest_stored" ->
+      s"""WITH $winnowCtes,
+        |hits AS (
+        | SELECT b.doc_id FROM wf b
+        | WHERE b.doc_id >= 250
+        |   AND b.fp IN (SELECT fp FROM wf i WHERE i.doc_id < 250)
+        | GROUP BY b.doc_id HAVING count(*) >= 2)
+        |SELECT d.doc_id FROM documents d
+        |WHERE d.doc_id >= 250
+        |  AND d.doc_id NOT IN (SELECT doc_id FROM hits)
+        |ORDER BY doc_id""".stripMargin,
 
     // oracle = the single-pass exact heavy hitters the sketch-then-verify
     // plan provably reproduces (threshold 0.5% of N > N/257, the MG

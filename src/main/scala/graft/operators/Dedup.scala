@@ -887,6 +887,32 @@ object Dedup {
       .join(hits, col(idCol) === hits("id"), "left_anti")
   }
 
+  /** Incremental winnowing ingest gate: which batch docs survive a
+    * span-reuse check against a STORED fingerprint index — the
+    * plagiarism-gate sibling of [[lshIngest]]. A doc is rejected iff it
+    * shares >= `minShared` selected fingerprints with ANY historical
+    * content (the [[winnowMatches]] evidence threshold); by the winnowing
+    * guarantee, any copied run of w+k-1 tokens surfaces at least one
+    * shared fingerprint, so long verbatim reuse cannot slip through.
+    *
+    * Scale shape: ONLY the batch is shingled/winnowed; the index side is
+    * a stored distinct-fp table (bucketable by fp — the [[lshIngest]]
+    * store contract) consumed by one semi-join, then a count per batch
+    * doc and an anti-join back. Decisions depend only on the static
+    * index, so the gate is batch-split invariant like the other ingest
+    * gates.
+    */
+  def winnowIngest(batch: DataFrame, indexFps: DataFrame, idCol: String,
+                   textCol: String, k: Int = 4, w: Int = 4,
+                   minShared: Int = 2): DataFrame = {
+    val hits = winnowFingerprints(batch, idCol, textCol, k, w)
+      .join(indexFps.select(col("fp")), Seq("fp"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col(idCol))
+    batch.select(col(idCol)).join(hits, Seq(idCol), "left_anti")
+  }
+
   /** Right-to-erasure index compaction: drop every index row belonging to
     * a tombstoned document. Applies uniformly to ALL the stored dedup/ANN
     * layouts in this engine — the exact-dup fingerprint index, the LSH

@@ -1782,6 +1782,27 @@ class WinnowSpec extends SparkSpec {
     val docs = Seq((1L, "a b c d e f"), (2L, "a b c")).toDF("doc_id", "text")
     assert(Dedup.winnowFingerprints(docs, "doc_id", "text").count() == 0)
   }
+
+  test("winnowIngest: copied spans rejected, fresh docs pass, split-invariant") {
+    val copied = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val hist = Seq((1L, s"one two three $copied four five six"))
+      .toDF("doc_id", "text")
+    val index = Dedup.winnowFingerprints(hist, "doc_id", "text")
+      .select(col("fp")).distinct()
+    val batch = Seq(
+      (10L, s"intro words then $copied and an outro here"), // span reuse
+      (11L, "totally novel content with new words only in this doc okay then")
+    ).toDF("doc_id", "text")
+    val survivors = Dedup.winnowIngest(batch, index, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(11L), survivors)
+    // batch-split invariance: per-doc decision depends only on the index
+    val oneByOne = batch.collect().map(_.getLong(0)).flatMap { id =>
+      Dedup.winnowIngest(batch.filter(col("doc_id") === id), index,
+        "doc_id", "text").collect().map(_.getLong(0))
+    }.toSet
+    assert(oneByOne == survivors)
+  }
 }
 
 class HeavyHittersSpec extends SparkSpec {
