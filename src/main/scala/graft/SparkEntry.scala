@@ -1724,6 +1724,13 @@ object SparkEntry {
       .orderBy(col("a"), col("b"))
   }
 
+  private def minhashCalibrationQuery(s: SparkSession, dir: String): DataFrame =
+    // sketch-calibration audit: per candidate pair, the minhash estimate
+    // vs exact Jaccard over the same lowercase shingle space (cap off to
+    // mirror the uncapped candidate oracle)
+    Dedup.minhashCalibration(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("a"), col("b"))
+
   private def containmentQuery(s: SparkSession, dir: String): DataFrame = {
     // subset-duplicate detection: the portable LSH candidate set verified
     // by CONTAINMENT in both directions — a short doc quoted whole inside
@@ -2074,6 +2081,26 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  private def sourceOverlapQuery(s: SparkSession, dir: String): DataFrame =
+    // provenance audit: per source pair, how many canonical fingerprints
+    // both contain — the duplicate mass between crawls (Dedup.sourceOverlap)
+    Dedup.sourceOverlap(t(s, dir, "documents"), "text", "source")
+      .orderBy(col("src_a"), col("src_b"))
+
+  private def nbConfusionQuery(s: SparkSession, dir: String): DataFrame = {
+    // the model-eval confusion matrix over the held-out half: (true,
+    // predicted) language counts — one aggregate over the same frozen
+    // argmax rows d_nb_predict emits per doc
+    val (tr, te) = nbSplit(s, dir)
+    val model = Classify.nbModel(tr, "text", "lang")
+    val base = Classify.nbClassBase(tr, "doc_id", "text", "lang")
+    Classify.nbPredict(te, model, base, "doc_id", "text")
+      .join(te.select(col("doc_id"), col("lang").as("true_lang")), "doc_id")
+      .groupBy(col("true_lang"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("true_lang"), col("pred"))
+  }
+
   private def bm25TopKQuery(s: SparkSession, dir: String): DataFrame = {
     // lexical retrieval over the corpus: the first five docs play the
     // query role (doc-as-query), BM25-scored against every doc, top-10
@@ -2248,6 +2275,9 @@ object SparkEntry {
     "d_corpus_clean" -> (corpusClean _),
     "d_nb_train" -> (nbTrainQuery _),
     "d_nb_predict" -> (nbPredictQuery _),
+    "d_nb_confusion" -> (nbConfusionQuery _),
+    "d_source_overlap" -> (sourceOverlapQuery _),
+    "d_minhash_error" -> (minhashCalibrationQuery _),
     "d_bm25_topk" -> (bm25TopKQuery _),
     "d_winnow_fps" -> (winnowFpsQuery _),
     "d_winnow_matches" -> (winnowMatchesQuery _),
@@ -4034,6 +4064,57 @@ object SparkEntry {
         |FROM bands x JOIN bands y
         | ON x.band_id = y.band_id AND x.key = y.key AND x.doc_id < y.doc_id
         |ORDER BY a, b""".stripMargin,
+    // calibration twin: same LSH chain to candidates, then per pair the
+    // component-match count against the exact lowercase-shingle Jaccard
+    "d_minhash_error" ->
+      s"""WITH tk AS (
+        | SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+        |              x -> len(x) > 0) AS t
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 3
+        |   THEN list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |   ELSE [] END)) AS sh
+        | FROM tk),
+        |sig AS (
+        | SELECT doc_id,
+        | $portableSigSelect
+        | FROM s GROUP BY doc_id),
+        |bands AS (
+        | SELECT doc_id, bb.band AS band_id,
+        |  md5(CASE bb.band $portableBandCase END) AS key
+        | FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) AS bb(band)),
+        |cand AS (
+        | SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        | FROM bands x JOIN bands y
+        |  ON x.band_id = y.band_id AND x.key = y.key AND x.doc_id < y.doc_id),
+        |m AS (
+        | SELECT c.a, c.b,
+        |  (${(0 until 8).map(p => s"CASE WHEN sa.sig$p = sb.sig$p THEN 1 ELSE 0 END").mkString("\n        |   + ")}) AS n_match
+        | FROM cand c JOIN sig sa ON sa.doc_id = c.a
+        |             JOIN sig sb ON sb.doc_id = c.b),
+        |ns AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1),
+        |iv AS (
+        | SELECT c.a, c.b,
+        |  sum(CASE WHEN y.sh IS NOT NULL THEN 1 ELSE 0 END) AS inter
+        | FROM cand c JOIN s x ON x.doc_id = c.a
+        | LEFT JOIN s y ON y.doc_id = c.b AND y.sh = x.sh
+        | GROUP BY 1, 2),
+        |j AS (
+        | SELECT m.a, m.b, m.n_match, iv.inter,
+        |  na.n + nb.n - iv.inter AS uni
+        | FROM m JOIN iv ON iv.a = m.a AND iv.b = m.b
+        | JOIN ns na ON na.doc_id = m.a
+        | JOIN ns nb ON nb.doc_id = m.b)
+        |SELECT a, b, n_match,
+        | round(n_match / 8.0, 4) AS est_j,
+        | round(CASE WHEN uni = 0 THEN 0.0
+        |   ELSE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) END, 4) AS jaccard,
+        | round(abs(n_match / 8.0 - CASE WHEN uni = 0 THEN 0.0
+        |   ELSE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) END), 4) AS abs_err
+        |FROM j ORDER BY a, b""".stripMargin,
     // the composed fuzzy-dedup twin: portable LSH candidates (same CTEs
     // as d_lsh_portable_pairs) → exact-Jaccard verify over CASE-PRESERVING
     // 3-gram shingle sets (mirrors Dedup.verifyJaccard / d_ngram_jaccard)
@@ -4349,44 +4430,31 @@ object SparkEntry {
         |ORDER BY lang, rnk""".stripMargin,
 
     "d_nb_predict" ->
-      s"""WITH $nbTrainCtes,
-        |nb AS (
-        | SELECT nd.label, nd.nd,
-        |  CAST(round(1000000.0 * ln(CAST(nd.nd AS DOUBLE) / n.n)) AS BIGINT)
-        |    AS prior,
-        |  CAST(round(1000000.0 * ln(1.0 / CAST(tok + v AS DOUBLE))) AS BIGINT)
-        |    AS def_w
-        | FROM (SELECT lang AS label, count(*) AS nd FROM tr GROUP BY 1) nd
-        | JOIN ntok USING (label) CROSS JOIN nv
-        | CROSS JOIN (SELECT count(*) AS n FROM tr) n),
-        |te AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
-        |ttf AS (
-        | SELECT doc_id, term, count(*) AS tf FROM (
-        |  SELECT doc_id,
-        |   unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
-        |          x -> len(x) > 0)) AS term
-        |  FROM te) GROUP BY 1, 2),
-        |lift AS (
-        | SELECT doc_id, label, CAST(sum(tf * w) AS BIGINT) AS lift
-        | FROM ttf JOIN nm USING (term) GROUP BY 1, 2),
-        |ntk AS (
-        | SELECT doc_id, lang AS true_lang,
-        |  len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
-        |      x -> len(x) > 0)) AS n_tok
-        | FROM te),
-        |sc AS (
-        | SELECT t.doc_id, t.true_lang, b.label,
-        |  b.prior + t.n_tok * b.def_w + coalesce(l.lift, 0) AS score
-        | FROM ntk t CROSS JOIN nb b
-        | LEFT JOIN lift l ON l.doc_id = t.doc_id AND l.label = b.label),
-        |p AS (
-        | SELECT doc_id, true_lang, label AS pred, score,
-        |  row_number() OVER (PARTITION BY doc_id
-        |                     ORDER BY score DESC, label ASC) AS rnk
-        | FROM sc)
+      s"""WITH $nbPredictCtes
         |SELECT doc_id, true_lang, pred, CAST(score AS BIGINT) AS score,
         | CAST(pred = true_lang AS BIGINT) AS correct
         |FROM p WHERE rnk = 1 ORDER BY doc_id""".stripMargin,
+
+    // confusion-matrix twin: the same frozen-model scoring chain, one
+    // aggregate over the argmax rows
+    "d_nb_confusion" ->
+      s"""WITH $nbPredictCtes
+        |SELECT true_lang, pred, count(*) AS n
+        |FROM p WHERE rnk = 1
+        |GROUP BY 1, 2 ORDER BY true_lang, pred""".stripMargin,
+
+    // source-overlap twin: the pairwise spelling of the sorted-source-set
+    // expansion — a JOIN on fp with source inequality is the same pair set
+    "d_source_overlap" ->
+      """WITH fp AS (
+        | SELECT DISTINCT source,
+        |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        | FROM documents),
+        |m AS (
+        | SELECT a.source AS src_a, b.source AS src_b
+        | FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source)
+        |SELECT src_a, src_b, count(*) AS n_shared FROM m
+        |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
 
     "d_bm25_topk" ->
       """WITH ct AS (
@@ -4518,6 +4586,47 @@ object SparkEntry {
       |  - CAST(round(1000000.0 * ln(1.0 / CAST(tok + v AS DOUBLE)))
       |         AS BIGINT) AS w
       | FROM ncnt JOIN ntok USING (label) CROSS JOIN nv)""".stripMargin
+
+  /** Frozen-model NB scoring chain shared by `d_nb_predict` and
+    * `d_nb_confusion`: the trained-model CTEs plus held-out scoring down
+    * to the per-doc argmax candidate rows `p` (consume with rnk = 1).
+    */
+  private lazy val nbPredictCtes: String =
+    s"""$nbTrainCtes,
+        |nb AS (
+        | SELECT nd.label, nd.nd,
+        |  CAST(round(1000000.0 * ln(CAST(nd.nd AS DOUBLE) / n.n)) AS BIGINT)
+        |    AS prior,
+        |  CAST(round(1000000.0 * ln(1.0 / CAST(tok + v AS DOUBLE))) AS BIGINT)
+        |    AS def_w
+        | FROM (SELECT lang AS label, count(*) AS nd FROM tr GROUP BY 1) nd
+        | JOIN ntok USING (label) CROSS JOIN nv
+        | CROSS JOIN (SELECT count(*) AS n FROM tr) n),
+        |te AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+        |ttf AS (
+        | SELECT doc_id, term, count(*) AS tf FROM (
+        |  SELECT doc_id,
+        |   unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+        |          x -> len(x) > 0)) AS term
+        |  FROM te) GROUP BY 1, 2),
+        |lift AS (
+        | SELECT doc_id, label, CAST(sum(tf * w) AS BIGINT) AS lift
+        | FROM ttf JOIN nm USING (term) GROUP BY 1, 2),
+        |ntk AS (
+        | SELECT doc_id, lang AS true_lang,
+        |  len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+        |      x -> len(x) > 0)) AS n_tok
+        | FROM te),
+        |sc AS (
+        | SELECT t.doc_id, t.true_lang, b.label,
+        |  b.prior + t.n_tok * b.def_w + coalesce(l.lift, 0) AS score
+        | FROM ntk t CROSS JOIN nb b
+        | LEFT JOIN lift l ON l.doc_id = t.doc_id AND l.label = b.label),
+        |p AS (
+        | SELECT doc_id, true_lang, label AS pred, score,
+        |  row_number() OVER (PARTITION BY doc_id
+        |                     ORDER BY score DESC, label ASC) AS rnk
+        | FROM sc)""".stripMargin
 
   /** Shared DuckDB CTE chain for the cleaning-pipeline stages (quality
     * gate `qf`, language argmax `lp`, en survivors `surv`, exact-dedup

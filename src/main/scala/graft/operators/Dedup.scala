@@ -887,6 +887,77 @@ object Dedup {
       .join(hits, col(idCol) === hits("id"), "left_anti")
   }
 
+  /** MinHash calibration audit: for every LSH candidate pair, the sketch
+    * ESTIMATE (matching signature components / k) next to the EXACT
+    * Jaccard over the same lowercase shingle space the signatures
+    * summarize — the "is my sketch lying to me" check run before trusting
+    * a threshold choice at scale (the estimator is unbiased with stddev
+    * ≈ sqrt(J(1−J)/k), so a systematic gap flags a broken hash or
+    * tokenization drift between pipeline stages).
+    *
+    * Scale shape: signatures map-side; candidates from the banded groupBy;
+    * exact sets built ONLY for candidate ids (semi-join first). Returns
+    * (a, b, n_match, est_j, jaccard, abs_err).
+    */
+  def minhashCalibration(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 8, bands: Int = 4): DataFrame = {
+    val sigs = portableMinhash(docs, idCol, textCol, k).localCheckpoint()
+    val pairs = candidatePairs(portableBands(sigs, idCol, k, bands),
+      maxBucketSize = Int.MaxValue)
+    val sa = sigs.select(col(idCol).as("a") +:
+      (0 until k).map(p => col(s"sig$p").as(s"__a$p")): _*)
+    val sb = sigs.select(col(idCol).as("b") +:
+      (0 until k).map(p => col(s"sig$p").as(s"__b$p")): _*)
+    val nMatch = (0 until k).map(p =>
+      when(col(s"__a$p") === col(s"__b$p"), 1).otherwise(0)).reduce(_ + _)
+    val est = pairs.join(sa, Seq("a")).join(sb, Seq("b"))
+      .select(col("a"), col("b"), nMatch.as("n_match"))
+    val candidateIds = pairs
+      .select(explode(array(col("a"), col("b"))).as("cid")).distinct()
+    val sets = docs
+      .join(candidateIds, col(idCol) === col("cid"), "leftsemi")
+      .select(col(idCol).as("vid"),
+        array_distinct(portableShingleWindows(portableTokens(col(textCol))))
+          .as("sset"))
+      .localCheckpoint()
+    est
+      .join(sets.select(col("vid").as("a"), col("sset").as("__sa")), Seq("a"))
+      .join(sets.select(col("vid").as("b"), col("sset").as("__sb")), Seq("b"))
+      .withColumn("__i", size(array_intersect(col("__sa"), col("__sb"))))
+      .withColumn("__u", size(col("__sa")) + size(col("__sb")) - col("__i"))
+      .withColumn("__j", when(col("__u") === 0, lit(0.0))
+        .otherwise(col("__i").cast("double") / col("__u").cast("double")))
+      .select(col("a"), col("b"), col("n_match"),
+        round(col("n_match") / lit(k.toDouble), 4).as("est_j"),
+        round(col("__j"), 4).as("jaccard"),
+        round(abs(col("n_match") / lit(k.toDouble) - col("__j")), 4).as("abs_err"))
+  }
+
+  /** Cross-source duplicate-overlap matrix — the provenance audit behind
+    * a data card's "which sources copy from which" section: for every
+    * source pair, how many canonical fingerprints appear in BOTH. High
+    * overlap between two crawls means their union double-counts content
+    * (and their dedup savings estimate); overlap with a licensed source
+    * is a compliance flag.
+    *
+    * Scale shape: text collapses to (source, fp) map-side and
+    * deduplicates; ONE groupBy on fp collects the per-fingerprint source
+    * set (bounded by the source count, not the corpus — the in-bucket
+    * expansion is |sources|²/2 at worst), then pairs aggregate to the
+    * S×S matrix. The corpus never shuffles; only 16-byte digests do.
+    */
+  def sourceOverlap(docs: DataFrame, textCol: String,
+                    srcCol: String): DataFrame = {
+    val fps = docs.select(col(srcCol).as("source"),
+      TextAnalysis.fingerprint(col(textCol)).as("fp")).distinct()
+    fps.groupBy(col("fp"))
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(explode(ArrayPairs.pairStructs(col("ss"))).as("p"))
+      .groupBy(col("p.a").as("src_a"), col("p.b").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Incremental winnowing ingest gate: which batch docs survive a
     * span-reuse check against a STORED fingerprint index — the
     * plagiarism-gate sibling of [[lshIngest]]. A doc is rejected iff it

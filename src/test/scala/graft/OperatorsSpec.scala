@@ -1987,3 +1987,40 @@ class ZipfAuditSpec extends SparkSpec {
     assert(r.getLong(1) == 3L && r.getInt(2) == 3)
   }
 }
+
+class ProvenanceAuditSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.operators.Dedup
+
+  test("sourceOverlap counts shared canonical fingerprints per source pair") {
+    val docs = Seq(
+      (1L, "the same text", "crawlA"),
+      (2L, "THE   SAME text", "crawlB"),   // canonicalizes equal
+      (3L, "the same text", "crawlC"),
+      (4L, "unique to a", "crawlA"),
+      (5L, "other text", "crawlB"),
+      (6L, "other text", "crawlB")          // same-source dup: no pair
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.sourceOverlap(docs, "text", "source")
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got == Map(
+      ("crawlA", "crawlB") -> 1L, ("crawlA", "crawlC") -> 1L,
+      ("crawlB", "crawlC") -> 1L), got)
+  }
+
+  test("minhashCalibration: exact duplicates estimate J=1 with zero error") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "wholly different words appear here now")
+    ).toDF("doc_id", "text")
+    val rows = Dedup.minhashCalibration(docs, "doc_id", "text").collect()
+    val dup = rows.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get
+    assert(dup.getInt(2) == 8)                 // all components match
+    assert(dup.getDouble(3) == 1.0 && dup.getDouble(4) == 1.0)
+    assert(dup.getDouble(5) == 0.0)
+    // estimator bound sanity on every emitted pair: |est - J| <= 1
+    rows.foreach(r => assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0))
+  }
+}
