@@ -1390,6 +1390,26 @@ object SparkEntry {
     graft.multimodal.Multimodal.audioHashes(audioPayloads(s, dir))
       .orderBy(col("media_id"))
 
+  private def pngTextQuery(s: SparkSession, dir: String): DataFrame = {
+    // in-band image provenance: every doc carries a REAL 4x4 PNG with
+    // planted tEXt chunks (Source / License / Software); the extraction
+    // is the ancillary-chunk byte walk (no inflate), and the oracle
+    // recomputes each planted value from doc_id
+    import s.implicits._
+    val payloads = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val px = Array.tabulate[Byte](16)(i => ((id * 31 + i * 7) % 251).toByte)
+        val texts = Seq(
+          "Source" -> s"crawl-${id % 7}",
+          "License" -> (id % 3 match {
+            case 0 => "cc0"; case 1 => "cc-by"; case _ => "unknown" }),
+          "Software" -> "graft")
+        (id, graft.multimodal.Multimodal.encodePng(4, 4, 1, px, texts))
+      }).toDF("media_id", "payload")
+    graft.multimodal.Multimodal.pngTextMeta(payloads)
+      .orderBy(col("media_id"), col("keyword"))
+  }
+
   private def audioQualityQuery(s: SparkSession, dir: String): DataFrame =
     // speech-corpus ingest audit: exact integer silence/clipping/energy
     // stats per clip, one map-side decode pass; the oracle recomputes
@@ -2248,6 +2268,7 @@ object SparkEntry {
     "m_audio_fingerprint" -> (audioFingerprint _),
     "m_audio_neardup" -> (audioNearDup _),
     "m_audio_quality" -> (audioQualityQuery _),
+    "m_png_text" -> (pngTextQuery _),
     "m_image_ingest" -> (imageIngest _),
     "m_image_ingest_stored" -> (imageIngestStored _),
     "d_gopher_rules" -> (gopherRulesQuery _),
@@ -3810,6 +3831,20 @@ object SparkEntry {
         |FROM cand c JOIN ah ha ON ha.doc_id = c.a JOIN ah hb ON hb.doc_id = c.b
         |WHERE bit_count(xor(ha.ahash, hb.ahash)) <= 3
         |ORDER BY a, b""".stripMargin,
+    // tEXt provenance twin: the planted keyword/value formulas recomputed
+    // from doc_id (file order of the three chunks is Source, License,
+    // Software as planted; output is keyword-sorted so both engines agree)
+    "m_png_text" ->
+      """WITH k AS (
+        | SELECT doc_id, unnest(['License', 'Software', 'Source']) AS keyword
+        | FROM documents)
+        |SELECT doc_id AS media_id, keyword,
+        | CASE keyword
+        |   WHEN 'Source' THEN 'crawl-' || CAST(doc_id % 7 AS VARCHAR)
+        |   WHEN 'License' THEN CASE doc_id % 3 WHEN 0 THEN 'cc0'
+        |     WHEN 1 THEN 'cc-by' ELSE 'unknown' END
+        |   ELSE 'graft' END AS value
+        |FROM k ORDER BY media_id, keyword""".stripMargin,
     // audio quality twin: exact integer silence/clipping/energy stats
     // recomputed per planted sample (thresholds: silence < 1024,
     // clip >= 32000 — the audioQualityStats defaults)

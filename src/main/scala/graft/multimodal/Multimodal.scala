@@ -352,7 +352,59 @@ object Multimodal {
     * [[decodePng]] AND any external PNG tool (CRCs are real).
     */
   def encodePng(width: Int, height: Int, channels: Int,
-                pixels: Array[Byte]): Array[Byte] = {
+                pixels: Array[Byte]): Array[Byte] =
+    encodePng(width, height, channels, pixels, Seq.empty)
+
+  /** Extract `tEXt` provenance chunks from a PNG: (keyword, value) pairs
+    * in file order. The ancillary-chunk walk only — no inflate, no pixel
+    * work — so it is O(header bytes) per image regardless of raster size.
+    * Empty for non-PNG payloads or PNGs without text chunks.
+    */
+  def decodePngText(bytes: Array[Byte]): Seq[(String, String)] = try {
+    if (bytes.length < 8 + 12 ||
+      !bytes.take(8).sameElements(pngMagic)) return Seq.empty
+    def be32(o: Int): Long =
+      ((bytes(o) & 0xFFL) << 24) | ((bytes(o + 1) & 0xFFL) << 16) |
+        ((bytes(o + 2) & 0xFFL) << 8) | (bytes(o + 3) & 0xFFL)
+    val out = Seq.newBuilder[(String, String)]
+    var o = 8
+    var done = false
+    while (!done && o + 12 <= bytes.length) {
+      val len = be32(o)
+      if (len < 0 || o + 12 + len > bytes.length) return out.result()
+      val typ = new String(bytes, o + 4, 4, "US-ASCII")
+      if (typ == "tEXt") {
+        val data = java.util.Arrays.copyOfRange(bytes, o + 8, o + 8 + len.toInt)
+        val nul = data.indexOf(0.toByte)
+        if (nul > 0) out += ((new String(data, 0, nul, "ISO-8859-1"),
+          new String(data, nul + 1, data.length - nul - 1, "ISO-8859-1")))
+      }
+      if (typ == "IEND") done = true
+      o += 12 + len.toInt
+    }
+    out.result()
+  } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+
+  /** Per-payload tEXt extraction: (media_id, keyword, value) rows, one
+    * map-side pass; payload bytes never leave the executors.
+    */
+  def pngTextMeta(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodePngText(bytes).map { case (k, v) => (id, k, v) }
+      }).toDF("media_id", "keyword", "value")
+  }
+
+  /** [[encodePng]] with ancillary `tEXt` chunks (PNG 1.2 §4.2.3.1:
+    * latin-1 keyword, NUL, latin-1 value) planted between IHDR and IDAT —
+    * the in-band provenance channel (Software/Source/Copyright) a corpus
+    * pipeline reads back with [[decodePngText]].
+    */
+  def encodePng(width: Int, height: Int, channels: Int,
+                pixels: Array[Byte], texts: Seq[(String, String)]): Array[Byte] = {
     require(channels >= 1 && channels <= 4, s"channels=$channels")
     require(pixels.length == width * height * channels,
       s"pixels=${pixels.length} != $width*$height*$channels")
@@ -375,6 +427,12 @@ object Multimodal {
     out.write(pngMagic)
     chunk("IHDR", be32(width.toLong) ++ be32(height.toLong) ++
       Array(8.toByte, colorType.toByte, 0.toByte, 0.toByte, 0.toByte))
+    texts.foreach { case (k, v) =>
+      require(k.nonEmpty && k.length <= 79 && !k.contains('\u0000'),
+        s"tEXt keyword '$k' must be 1-79 NUL-free chars (PNG 1.2)")
+      chunk("tEXt", k.getBytes("ISO-8859-1") ++ Array(0.toByte) ++
+        v.getBytes("ISO-8859-1"))
+    }
     val stride = width * channels
     val filtered = new Array[Byte]((stride + 1) * height)
     var y = 0

@@ -484,6 +484,26 @@ class MultimodalSpec extends SparkSpec {
     assert(out.length == 1 && out(0).getLong(1) == ha)
   }
 
+  test("png tEXt: planted chunks round-trip; decoder survives junk") {
+    val px = Array.fill[Byte](12)(7)
+    val png = Multimodal.encodePng(2, 2, 3, px,
+      Seq("Source" -> "crawl-3", "License" -> "cc0"))
+    assert(Multimodal.decodePngText(png) ==
+      Seq("Source" -> "crawl-3", "License" -> "cc0"))
+    // text chunks don't disturb pixel decoding
+    assert(Multimodal.decodePngPixels(png).isDefined)
+    // no chunks, non-PNG, truncated: all empty, never throw
+    assert(Multimodal.decodePngText(Multimodal.encodePng(2, 2, 3, px)).isEmpty)
+    assert(Multimodal.decodePngText("not a png".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodePngText(png.take(20)).isEmpty)
+    // latin-1 values survive; NUL-less keyword enforced
+    val l1 = Multimodal.encodePng(2, 2, 3, px, Seq("Author" -> "café"))
+    assert(Multimodal.decodePngText(l1) == Seq("Author" -> "café"))
+    intercept[IllegalArgumentException] {
+      Multimodal.encodePng(2, 2, 3, px, Seq("" -> "x"))
+    }
+  }
+
   test("audio quality stats: exact integer silence/clip/energy audit") {
     // hand-built clip: 3 silent samples, 2 mid, 1 clipped — every stat
     // checkable by hand
