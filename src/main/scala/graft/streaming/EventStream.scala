@@ -178,6 +178,25 @@ object EventStream {
           batch.toDF(), indexBands, idCol, textCol, k, nBands))
     }
 
+  /** Streaming span-reuse (plagiarism) gate — [[streamingLshIngest]] with
+    * winnowing fingerprints: each micro-batch is winnowed batch-side only
+    * and rejected on >= minShared fingerprints shared with the STORED
+    * index ([[graft.operators.Dedup.winnowIngest]]). Per-doc decisions
+    * depend only on the frozen index, so the gate is batch-split
+    * invariant — pinned by the StreamingSpec parity test. `onBatch`
+    * receives the survivors (and appends their fps to the store in the
+    * steady-state loop).
+    */
+  def streamingWinnowIngest(docs: DataFrame, indexFps: DataFrame,
+                            idCol: String, textCol: String,
+                            k: Int = 4, w: Int = 4, minShared: Int = 2)
+                           (onBatch: DataFrame => Unit) =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        onBatch(graft.operators.Dedup.winnowIngest(
+          batch.toDF(), indexFps, idCol, textCol, k, w, minShared))
+    }
+
   /** Streaming perceptual ingest — [[streamingLshIngest]] for media: image
     * payloads stream in, each micro-batch decodes + dHashes map-side and
     * survives only if no stored-index hash lies within `maxHamming`

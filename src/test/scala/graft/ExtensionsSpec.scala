@@ -1159,6 +1159,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming winnow span-reuse gate equals the batch gate on sf0.01") {
+    // docs < 250 are the stored fingerprint index, docs >= 250 stream in
+    // uneven micro-batches; accumulated survivors must equal the batch
+    // winnowIngest run once on all arrivals (decisions depend only on
+    // the frozen index)
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val all = Tables(spark, "/root/testdata/sf0.01", "documents")
+      .select(col("doc_id"), col("text"))
+    val indexFps = Dedup.winnowFingerprints(
+        all.filter(col("doc_id") < 250), "doc_id", "text")
+      .select(col("fp")).distinct()
+      .localCheckpoint()
+    val arrivals = all.filter(col("doc_id") >= 250).as[(Long, String)].collect()
+    val mem = MemoryStream[(Long, String)]
+    val survivors = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = EventStream.streamingWinnowIngest(
+        mem.toDF().toDF("doc_id", "text"), indexFps, "doc_id", "text") {
+      kept => survivors ++= kept.collect().map(_.getLong(0))
+    }.start()
+    try {
+      arrivals.grouped(89).foreach { c => mem.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+      val batch = Dedup.winnowIngest(all.filter(col("doc_id") >= 250),
+        indexFps, "doc_id", "text").collect().map(_.getLong(0)).toSet
+      assert(batch.size < arrivals.length) // the gate really gates
+      assert(survivors.size == survivors.toSet.size)
+      assert(survivors.toSet == batch)
+    } finally q.stop()
+  }
+
   test("stored LSH index gate is row-identical to the inline index path") {
     // the stored layout is a physical rearrangement of the same band
     // index, so the gate's survivor set must not move by a single row
