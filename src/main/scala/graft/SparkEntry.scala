@@ -1268,6 +1268,13 @@ object SparkEntry {
       }.toDF("media_id", "payload")
   }
 
+  private def imageQualityQuery(s: SparkSession, dir: String): DataFrame =
+    // image-ingest quality audit: exact integer brightness/contrast/
+    // range/sharpness over the same 9x8 luminance grid as the dHash —
+    // the oracle recomputes every grid cell from the planted pixels
+    graft.multimodal.Multimodal.imageQualityStats(imagePayloads(s, dir))
+      .toDF().orderBy(col("media_id"))
+
   private def imageDhash(s: SparkSession, dir: String): DataFrame =
     // perceptual hash per image: decode -> 9x8 luminance grid -> 64
     // comparison bits, one map-side pass over the payloads; the oracle
@@ -2269,6 +2276,7 @@ object SparkEntry {
     "m_audio_neardup" -> (audioNearDup _),
     "m_audio_quality" -> (audioQualityQuery _),
     "m_png_text" -> (pngTextQuery _),
+    "m_image_quality" -> (imageQualityQuery _),
     "m_image_ingest" -> (imageIngest _),
     "m_image_ingest_stored" -> (imageIngestStored _),
     "d_gopher_rules" -> (gopherRulesQuery _),
@@ -3668,6 +3676,24 @@ object SparkEntry {
     "m_image_dhash" ->
       s"""WITH $imageDhashCtes
         |SELECT doc_id AS media_id, dhash FROM h ORDER BY media_id""".stripMargin,
+    // image quality twin: min/max/sum/sum-of-squares and row-wise edge
+    // energy over the SAME 72-cell luminance grid the dHash CTEs build
+    "m_image_quality" ->
+      s"""WITH $imageDhashCtes,
+        |q AS (
+        | SELECT doc_id, CAST(min(lum) AS INT) AS lum_min,
+        |  CAST(max(lum) AS INT) AS lum_max,
+        |  CAST(sum(lum) AS BIGINT) AS lum_sum,
+        |  CAST(sum(lum * lum) AS BIGINT) AS lum_sq_sum
+        | FROM lum GROUP BY doc_id),
+        |ee AS (
+        | SELECT a.doc_id, CAST(sum(abs(b.lum - a.lum)) AS BIGINT) AS edge_energy
+        | FROM lum a JOIN lum b ON b.doc_id = a.doc_id AND b.j = a.j + 1
+        | WHERE a.j % 9 < 8 GROUP BY a.doc_id)
+        |SELECT q.doc_id AS media_id, 8 AS width, 8 AS height,
+        | q.lum_min, q.lum_max, q.lum_sum, q.lum_sq_sum, ee.edge_energy
+        |FROM q JOIN ee ON ee.doc_id = q.doc_id
+        |ORDER BY media_id""".stripMargin,
     // image near-dup twin: same dHash CTEs, then the simhash-portable
     // banding spelling — four 16-bit bands (arithmetic shift + mask equals
     // logical band extraction), exact-band self-join, hamming verify <= 3

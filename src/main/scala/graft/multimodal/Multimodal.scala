@@ -1412,6 +1412,46 @@ object Multimodal {
     lum
   }
 
+  /** Per-image integer quality stats over the SAME 9x8 luminance grid the
+    * perceptual hash reads — brightness (lum_sum/72), contrast
+    * (lum_sq_sum), dynamic range (min/max), sharpness (edge energy) — the
+    * audit an image-corpus ingest gates on (all-black thumbnails, flat
+    * solid-color placeholders, blurry re-encodes). One decode pass,
+    * everything exact integers, [[AudioQuality]]'s contract for pixels.
+    */
+  case class ImageQuality(media_id: Long, width: Int, height: Int,
+                          lum_min: Int, lum_max: Int, lum_sum: Long,
+                          lum_sq_sum: Long, edge_energy: Long)
+
+  def imageQualityStats(payloads: DataFrame): Dataset[ImageQuality] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodePixels(bytes).map { img =>
+          val lum = lumGrid9x8(img)
+          var mn = Int.MaxValue; var mx = Int.MinValue
+          var s = 0L; var s2 = 0L
+          var j = 0
+          while (j < lum.length) {
+            val v = lum(j)
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            s += v; s2 += v.toLong * v
+            j += 1
+          }
+          var e = 0L
+          var b = 0
+          while (b < 64) {
+            e += math.abs(lum((b / 8) * 9 + b % 8 + 1) - lum((b / 8) * 9 + b % 8))
+            b += 1
+          }
+          ImageQuality(id, img.width, img.height, mn, mx, s, s2, e)
+        }
+      })
+  }
+
   /** Per-payload perceptual hash: `(media_id, dhash)` — decode + dHash in
     * one map-side pass (per-partition batched, payloads never shuffle);
     * undecodable payloads are dropped.

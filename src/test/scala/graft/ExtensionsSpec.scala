@@ -504,6 +504,24 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("image quality stats: flat image scores zero range and energy") {
+    // flat gray 4x4 -> every grid cell identical: range 0, edge energy 0
+    val flat = Multimodal.encodePng(4, 4, 1, Array.fill[Byte](16)(100))
+    // hard checkerboard -> maximal per-cell contrast, nonzero energy
+    val check = Multimodal.encodePng(4, 4, 1,
+      Array.tabulate[Byte](16)(i => if ((i + i / 4) % 2 == 0) 0 else 255.toByte))
+    val rs = Multimodal.imageQualityStats(
+      Seq((1L, flat), (2L, check), (3L, "junk".getBytes("UTF-8")))
+        .toDF("media_id", "payload")).collect().map(q => q.media_id -> q).toMap
+    assert(rs.size == 2) // junk dropped
+    val f = rs(1L)
+    assert(f.lum_min == 100 && f.lum_max == 100 && f.edge_energy == 0L)
+    assert(f.lum_sum == 72L * 100 && f.lum_sq_sum == 72L * 100 * 100)
+    val c = rs(2L)
+    assert(c.lum_min == 0 && c.lum_max == 255 && c.edge_energy > 0L)
+    assert(c.width == 4 && c.height == 4)
+  }
+
   test("audio quality stats: exact integer silence/clip/energy audit") {
     // hand-built clip: 3 silent samples, 2 mid, 1 clipped — every stat
     // checkable by hand
