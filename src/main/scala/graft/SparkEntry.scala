@@ -312,10 +312,14 @@ object SparkEntry {
     // fixed-point contract) + a derived bits-per-char view; one map-side
     // pass, no explode — the char histogram is 27 replace-length
     // expressions inside codegen
-    val d = t(s, dir, "documents")
+    val hist = t(s, dir, "documents")
       .select(col("doc_id"), length(col("text")).as("n_chars"),
-        TextAnalysis.charEntropyMilli(col("text")).as("h_milli"))
-    d.select(col("doc_id"), col("n_chars"), col("h_milli"),
+        TextAnalysis.charHistogram(col("text")).as("__hist"))
+    hist
+      .select(col("doc_id"), col("n_chars"),
+        TextAnalysis.charEntropyMilliOf(col("__hist"), col("n_chars"))
+          .as("h_milli"))
+      .select(col("doc_id"), col("n_chars"), col("h_milli"),
         TextAnalysis.bitsPerChar(col("h_milli"), col("n_chars")).as("bpc"))
       .orderBy(col("doc_id"))
   }
@@ -886,6 +890,24 @@ object SparkEntry {
         "vec_id", "embedding", k = 5)
       .withColumnRenamed("rank", "rnk")
       .orderBy(col("q_id"), col("rnk"))
+  }
+
+  private def annRecallQuery(s: SparkSession, dir: String): DataFrame = {
+    // the recall measurement itself as a graded artifact: per query,
+    // recall@5 of the stored-layout IVF (portable seed codebook, DPP
+    // probe pruning) against the exact brute-force top-5 — the number a
+    // production ANN deployment watches; both sides and the overlap are
+    // recomputed end to end by the oracle
+    val ivf = annIvfStored(s, dir).select(col("q_id"), col("c_id"))
+    val bf = annBruteForce(s, dir).select(col("q_id"), col("c_id"))
+    val hits = bf.join(ivf, Seq("q_id", "c_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+    bf.select(col("q_id")).distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / lit(5.0), 4)
+          .as("recall_at_5"))
+      .orderBy(col("q_id"))
   }
 
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
@@ -2238,6 +2260,7 @@ object SparkEntry {
     "d_simhash_neardup" -> (simhashNearDups _),
     "d_ngram_jaccard" -> (ngramJaccard _),
     "s_ann_bruteforce" -> (annBruteForce _),
+    "s_ann_recall" -> (annRecallQuery _),
     "s_ann_ivf" -> (annIvf _),
     "s_ann_pq" -> (annPq _),
     "s_ann_ivfpq" -> (annIvfPq _),
@@ -3472,6 +3495,56 @@ object SparkEntry {
         |WHERE list_dot_product(a.v, b.v) /
         |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
         |ORDER BY a, b""".stripMargin,
+    // recall-audit twin: the stored-IVF chain and the brute-force chain
+    // side by side, overlap counted per query — recall@5 end to end
+    "s_ann_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |u AS (SELECT vec_id, v,
+        |        CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN v
+        |             ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v))) END AS vu
+        |      FROM e),
+        |cu AS (SELECT vec_id AS ccid, vu AS cvu FROM u WHERE vec_id < 8),
+        |cd AS (SELECT u.vec_id, cu.ccid,
+        |         list_sum(list_transform(range(1, 65),
+        |           i -> (u.vu[i] - cu.cvu[i]) * (u.vu[i] - cu.cvu[i]))) AS d
+        |       FROM u, cu),
+        |assign AS (SELECT vec_id, ccid FROM (
+        |             SELECT vec_id, ccid,
+        |               row_number() OVER (PARTITION BY vec_id ORDER BY d, ccid) AS rn
+        |             FROM cd) WHERE rn = 1),
+        |qprobe AS (SELECT vec_id AS q_id, ccid FROM (
+        |             SELECT vec_id, ccid,
+        |               row_number() OVER (PARTITION BY vec_id ORDER BY d, ccid) AS rn
+        |             FROM cd WHERE vec_id < 10) WHERE rn <= 3),
+        |cand AS (SELECT DISTINCT qprobe.q_id, assign.vec_id AS c_id
+        |         FROM assign JOIN qprobe ON qprobe.ccid = assign.ccid
+        |         WHERE assign.vec_id <> qprobe.q_id),
+        |rer AS (SELECT cand.q_id, cand.c_id,
+        |          list_dot_product(q.v, c.v) /
+        |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+        |        FROM cand JOIN e q ON q.vec_id = cand.q_id
+        |                  JOIN e c ON c.vec_id = cand.c_id),
+        |iv AS (SELECT q_id, c_id FROM (
+        |         SELECT q_id, c_id,
+        |           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
+        |         FROM rer) WHERE rnk <= 5),
+        |bs AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |         list_dot_product(q.v, c.v) /
+        |         (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+        |       FROM e q, e c
+        |       WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |bf AS (SELECT q_id, c_id FROM (
+        |         SELECT q_id, c_id,
+        |           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
+        |         FROM bs) WHERE rnk <= 5),
+        |hits AS (SELECT bf.q_id, count(*) AS n_hit
+        |         FROM bf JOIN iv ON iv.q_id = bf.q_id AND iv.c_id = bf.c_id
+        |         GROUP BY 1)
+        |SELECT q.q_id AS q_id, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+        | round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 5.0, 4) AS recall_at_5
+        |FROM (SELECT DISTINCT q_id FROM bf) q
+        |LEFT JOIN hits h ON h.q_id = q.q_id
+        |ORDER BY q.q_id""".stripMargin,
     // SemDeDup twin: unit-normalize, assign to the first-8-unit-vector
     // codebook (argmin L2 with index tie-break — the s_ann_ivf_stored
     // spelling), keep-priority = lowest centroid cosine then id, drop any

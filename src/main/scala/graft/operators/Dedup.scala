@@ -902,8 +902,10 @@ object Dedup {
   def minhashCalibration(docs: DataFrame, idCol: String, textCol: String,
                          k: Int = 8, bands: Int = 4): DataFrame = {
     val sigs = portableMinhash(docs, idCol, textCol, k).localCheckpoint()
+    // consumed twice (signature compare + candidate-id prefilter):
+    // checkpoint so banding + expansion run once, not per consumer
     val pairs = candidatePairs(portableBands(sigs, idCol, k, bands),
-      maxBucketSize = Int.MaxValue)
+      maxBucketSize = Int.MaxValue).localCheckpoint()
     val sa = sigs.select(col(idCol).as("a") +:
       (0 until k).map(p => col(s"sig$p").as(s"__a$p")): _*)
     val sb = sigs.select(col(idCol).as("b") +:

@@ -468,19 +468,39 @@ object TextAnalysis {
     * shuffle — a per-character explode would shuffle the whole corpus
     * character stream.
     */
-  def charEntropyMilli(text: Column): Column = {
+  /** The 27-bucket histogram behind [[charEntropyMilli]]: per alphabet
+    * char, occurrences via the replace-length trick — pure codegen'd
+    * string expressions, no explode. Materialize this ONCE as its own
+    * aliased column and feed the attribute to [[charEntropyMilliOf]]:
+    * the histogram is 27 full passes over the text, and every extra
+    * expression-level reference duplicates all of them (the
+    * [[stopwordRatioOf]] lesson — Catalyst does not reliably CSE across
+    * lambda-bearing expressions).
+    */
+  def charHistogram(text: Column): Column = {
     val L = length(text)
-    val counts = array(entropyAlphabet.map(ch =>
+    array(entropyAlphabet.map(ch =>
       (L - length(replace(text, lit(ch), lit("")))).cast("long")): _*)
-    val other = (L.cast("long") - aggregate(counts, lit(0L), _ + _)).cast("long")
-    val all = concat(counts, array(other))
+  }
+
+  /** [[charEntropyMilli]] over a pre-materialized histogram attribute —
+    * `counts` is referenced three times (term sum, known mass, OTHER
+    * term), which is free on an attribute and 3× the histogram cost on
+    * the raw expression.
+    */
+  def charEntropyMilliOf(counts: Column, nChars: Column): Column = {
+    val L = nChars
     val nLnN = (n: Column) => when(n > 0,
       round(lit(1e6) * n.cast("double") * log(n.cast("double"))).cast("bigint"))
       .otherwise(0L)
+    val other = L.cast("long") - aggregate(counts, lit(0L), _ + _)
     when(L === 0, 0L).otherwise(
       round(lit(1e6) * L.cast("double") * log(L.cast("double"))).cast("bigint") -
-        aggregate(all, lit(0L), (acc, n) => acc + nLnN(n)))
+        aggregate(counts, lit(0L), (acc, n) => acc + nLnN(n)) - nLnN(other))
   }
+
+  def charEntropyMilli(text: Column): Column =
+    charEntropyMilliOf(charHistogram(text), length(text))
 
   /** Bits-per-character view of [[charEntropyMilli]]: H/(ln 2) with the
     * ln 2 constant pinned as a literal so both engines divide by the

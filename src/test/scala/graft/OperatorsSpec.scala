@@ -1271,6 +1271,25 @@ class RecallSpec extends SparkSpec {
     assert(mean >= 0.9, s"IVF recall@5 regressed: $mean (per-query: $recalls)")
   }
 
+  test("s_ann_recall audit agrees with the independently computed recall") {
+    assume(new java.io.File(dir).isDirectory)
+    def topk(name: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(name)(spark, dir).collect()
+        .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("c_id"))
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val exact = topk("s_ann_bruteforce")
+    val stored = topk("s_ann_ivf_stored")
+    val audit = SparkEntry.queries("s_ann_recall")(spark, dir).collect()
+      .map(r => r.getAs[Long]("q_id") ->
+        (r.getAs[Long]("n_hit"), r.getAs[Double]("recall_at_5"))).toMap
+    assert(audit.keySet == exact.keySet)
+    audit.foreach { case (q, (nHit, rec)) =>
+      val want = exact(q).intersect(stored.getOrElse(q, Set.empty)).size
+      assert(nHit == want.toLong, s"q=$q: audit says $nHit, truth $want")
+      assert(rec == math.round(want / 5.0 * 10000) / 10000.0)
+    }
+  }
+
   test("PQ ADC + re-rank recall@5 >= 0.9 vs brute force at sf0.01") {
     assume(new java.io.File(dir).isDirectory)
     import org.apache.spark.sql.functions._
