@@ -69,6 +69,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "_FUNC_(text) - trim + collapse whitespace + lowercase canonical form"),
       (exprs: Seq[Expression]) => CanonicalizeText(exprs(0))))
     ext.injectFunction((
+      FunctionIdentifier("misra_gries"),
+      info("misra_gries",
+        "_FUNC_(term, k) - mergeable k-counter Misra-Gries heavy-hitter " +
+          "sketch; returns array<struct<term, lb>> sorted by count desc"),
+      (exprs: Seq[Expression]) =>
+        MisraGries(exprs(0), intArg(exprs(1), "misra_gries"))
+          .toAggregateExpression()))
+    ext.injectFunction((
       FunctionIdentifier("token_stats"),
       info("token_stats",
         "_FUNC_(text) - struct(n_tokens, sum_len, n_subwords, stop_hits, " +

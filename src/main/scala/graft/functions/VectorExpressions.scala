@@ -277,5 +277,9 @@ object VectorFunctions {
         graft.operators.TextAnalysis.defaultStopwords,
         graft.operators.TextAnalysis.sortedMarkerSets),
       "built-in")
+    fr.createOrReplaceTempFunction(
+      "misra_gries", exprs =>
+        MisraGries(exprs(0), lit2int(exprs(1))).toAggregateExpression(),
+      "built-in")
   }
 }

@@ -55,6 +55,14 @@ class VectorKernelSpec extends SparkSpec {
     assert(r.getInt(4) == 16)
     assert(r.getString(6) == "a b")
     assert(r.getInt(7) == 3 && r.getInt(8) == 1)
+    // the aggregate kernel from SQL: sketch a skewed stream
+    import spark.implicits._
+    (Seq.fill(9)("hot") ++ Seq("a", "b", "c")).toDF("term")
+      .createOrReplaceTempView("mg_terms")
+    val sk = spark.sql(
+      "SELECT misra_gries(term, 2) AS sk FROM mg_terms").collect()(0)
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(sk.nonEmpty && sk.head.getString(0) == "hot")
     // build-time injection path constructs without error
     new graft.functions.GraftExtensions().apply(
       new org.apache.spark.sql.SparkSessionExtensions)
