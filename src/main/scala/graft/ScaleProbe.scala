@@ -116,6 +116,78 @@ object ScaleProbe {
       history.unpersist(); batch.unpersist()
     }
 
+    // late-round-7 families. Heavy hitters: the sketch pass is linear and
+    // the candidate set is bounded by k, so time should track corpus size
+    // with no blowup. SemDeDup: replicas multiply cluster sizes, so the
+    // in-cluster quadratic is the hazard — probe cap-on with the audit
+    // (the graded query runs cap-off to mirror its oracle). Winnow gate:
+    // the stored-vs-inline divergence, same claim as the LSH gate.
+    for (f <- Seq(1, factor)) {
+      val docs = corpus(f)
+      def time(name: String)(df: => DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        val n = df.count()
+        println(f"""{"probe":"$name","factor":$f,"sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":$n}""")
+      }
+      time("d_token_hh") {
+        operators.HeavyHitters.exact(
+          docs.select(explode(operators.TextAnalysis.tokens(
+            lower(trim(col("text"))))).as("term")),
+          "term", minShare = 0.005, k = 256)
+      }
+      docs.unpersist()
+    }
+    {
+      val emb = Tables(spark, "/root/testdata/sf0.1", "embeddings")
+      val seeds = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toSeq).toSeq
+      val unit = seeds.map { v =>
+        val nn = math.sqrt(v.map(x => x * x).sum)
+        if (nn == 0.0) v else v.map(_ / nn)
+      }
+      for (f <- Seq(1, factor); cap <- Seq(Int.MaxValue, 700)) {
+        val vecs = (0 until f).map(k => emb.select(
+            (col("vec_id") + lit(k * 10000L)).as("vec_id"), col("embedding")))
+          .reduce(_ union _).localCheckpoint()
+        val obs = new Observation(s"semdedup-$f-$cap")
+        val t0 = System.nanoTime()
+        val kept = operators.Similarity.semDedup(vecs, "vec_id", "embedding",
+          unit, eps = 0.35, maxClusterSize = cap, dropAudit = Some(obs)).count()
+        val m = obs.get
+        println(f"""{"probe":"s_semdedup","factor":$f,"cap":$cap,""" +
+          f""""sec":${(System.nanoTime() - t0) / 1e9}%.2f,"kept":$kept,""" +
+          s""""skipped_clusters":${m("skipped_clusters")},""" +
+          s""""max_cluster_size":${m("max_cluster_size")}}""")
+        vecs.unpersist()
+      }
+    }
+    for (f <- Seq(1, factor, 3 * factor)) {
+      val history = corpus(f)
+      val batch = base.select((col("doc_id") + lit(f * shift)).as("doc_id"),
+        col("text")).localCheckpoint()
+      def wgate(name: String)(mk: => DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        val survivors = operators.Dedup.winnowIngest(batch, mk,
+          "doc_id", "text").count()
+        println(f"""{"probe":"$name","factor":$f,"sec":${(System.nanoTime() - t0) / 1e9}%.2f,"survivors":$survivors}""")
+      }
+      wgate("winnow_gate_inline") {
+        operators.Dedup.winnowFingerprints(history, "doc_id", "text")
+          .select(col("fp")).distinct()
+      }
+      val wPath = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft_probe_winnow_$f").getAbsolutePath
+      val tb = System.nanoTime()
+      operators.Dedup.winnowFingerprints(history, "doc_id", "text")
+        .select(col("fp")).distinct()
+        .repartition(32, col("fp")).sortWithinPartitions(col("fp"))
+        .write.mode("overwrite").parquet(wPath)
+      println(f"""{"probe":"winnow_store_build","factor":$f,"sec":${(System.nanoTime() - tb) / 1e9}%.2f}""")
+      wgate("winnow_gate_stored")(spark.read.parquet(wPath))
+      history.unpersist(); batch.unpersist()
+    }
+
     for (f <- Seq(1, factor); cap <- Seq(1000, 100)) {
       val docs = corpus(f)
       val hashes = graft.multimodal.Multimodal

@@ -201,4 +201,32 @@ object KernelProperties extends Properties("kernels") {
         val cut = graft.multimodal.Multimodal.decodeMp3Meta(bytes.dropRight(1))
         base && cut.forall(_.frames <= frames)
     }
+
+  property("misra-gries: <= k counters, lower bounds within N/(k+1), heavies present") =
+    forAll(Gen.choose(1, 12), Gen.listOf(Gen.choose(0, 20))) { (k, xs) =>
+      // simulate the distributed path: split the stream arbitrarily,
+      // sketch each part, merge — the mergeable-summaries contract
+      val mg = graft.functions.MisraGries(
+        org.apache.spark.sql.catalyst.expressions.BoundReference(0,
+          org.apache.spark.sql.types.StringType, nullable = true), k)
+      def sketch(part: Seq[Int]): scala.collection.mutable.HashMap[String, Long] = {
+        var b = mg.createAggregationBuffer()
+        part.foreach { v =>
+          // the REAL update, with a serialize round-trip interleaved
+          b = mg.update(mg.deserialize(mg.serialize(b)),
+            org.apache.spark.sql.catalyst.InternalRow(
+              org.apache.spark.unsafe.types.UTF8String.fromString(v.toString)))
+        }
+        b
+      }
+      val (l, r) = xs.splitAt(xs.size / 3)
+      val merged = mg.merge(sketch(l), sketch(r))
+      val truth = xs.groupBy(_.toString).view.mapValues(_.size.toLong).toMap
+      val n = xs.size
+      val boundOk = merged.forall { case (t, c) =>
+        c <= truth(t) && c >= truth(t) - n.toDouble / (k + 1) }
+      val heaviesOk = truth.forall { case (t, f) =>
+        f <= n.toDouble / (k + 1) || merged.contains(t) }
+      merged.size <= k && boundOk && heaviesOk
+    }
 }
