@@ -2131,6 +2131,18 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  private def tokenHhPerLang(s: SparkSession, dir: String): DataFrame = {
+    // per-language stopword discovery: ONE grouped Misra-Gries pass
+    // nominates candidates per language, then an exact count restricted
+    // to candidates — per-group thresholds at 1% of each language's
+    // token mass (> N_g/257, so completeness holds per group)
+    val toks = t(s, dir, "documents")
+      .select(col("lang"),
+        explode(TextAnalysis.tokens(lower(trim(col("text"))))).as("term"))
+    HeavyHitters.exactPerGroup(toks, "lang", "term", minShare = 0.01, k = 256)
+      .orderBy(col("lang"), desc("cnt"), asc("term"))
+  }
+
   private def exactQuantiles2Pass(s: SparkSession, dir: String): DataFrame = {
     // exact order statistics WITHOUT a global sort: iterative histogram
     // refinement finds the value at rank ceil(p·n) — counts-only
@@ -2343,6 +2355,7 @@ object SparkEntry {
     "d_source_overlap" -> (sourceOverlapQuery _),
     "d_minhash_error" -> (minhashCalibrationQuery _),
     "q_exact_quantiles_2pass" -> (exactQuantiles2Pass _),
+    "d_token_hh_lang" -> (tokenHhPerLang _),
     "d_bm25_topk" -> (bm25TopKQuery _),
     "d_winnow_fps" -> (winnowFpsQuery _),
     "d_winnow_matches" -> (winnowMatchesQuery _),
@@ -4681,6 +4694,17 @@ object SparkEntry {
     // oracle = the single-pass exact heavy hitters the sketch-then-verify
     // plan provably reproduces (threshold 0.5% of N > N/257, the MG
     // completeness bound)
+    // per-language twin: per-group exact HAVING with per-group thresholds
+    "d_token_hh_lang" ->
+      """WITH tk AS (
+        | SELECT lang, unnest(list_filter(regexp_split_to_array(trim(lower(text)),
+        |   '\s+'), x -> len(x) > 0)) AS term
+        | FROM documents),
+        |n AS (SELECT lang, count(*) AS n FROM tk GROUP BY lang),
+        |c AS (SELECT lang, term, count(*) AS cnt FROM tk GROUP BY lang, term)
+        |SELECT c.lang, c.term, c.cnt FROM c JOIN n ON n.lang = c.lang
+        |WHERE c.cnt >= CAST(ceil(0.01 * n.n) AS BIGINT)
+        |ORDER BY c.lang, c.cnt DESC, c.term""".stripMargin,
     "d_token_hh" ->
       """WITH tk AS (
         | SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)),

@@ -38,6 +38,49 @@ object HeavyHitters {
     (cands, r.getLong(1))
   }
 
+  /** Per-group exact heavy hitters — the grouped composition (e.g.
+    * per-language stopword discovery): ONE grouped aggregate carries a
+    * k-counter sketch per group (partial aggregation still bounds every
+    * partition's state at k counters per group seen), the driver reads
+    * |groups|·k candidates (bounded — groups are languages/sources, not
+    * rows), and the exact pass joins the (group, term) stream against the
+    * broadcast candidate table before counting. Thresholds are per-group:
+    * ceil(minShare · N_g), each `require`d above N_g/(k+1) so per-group
+    * completeness holds by the same argument as [[exact]].
+    * Returns (groupCol, term, cnt).
+    */
+  def exactPerGroup(rows: DataFrame, groupCol: String, termCol: String,
+                    minShare: Double, k: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast => bcast}
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val sk = rows.groupBy(col(groupCol))
+      .agg(MisraGriesSketch(col(termCol), k).as("sk"),
+        count(col(termCol)).as("n"))
+      .collect()
+    val thresholds = sk.map { r =>
+      val n = r.getLong(2)
+      val thr = math.ceil(minShare * n).toLong
+      require(n == 0 || thr.toDouble > n.toDouble / (k + 1),
+        s"group ${r.get(0)}: threshold $thr <= N/(k+1) = ${n.toDouble / (k + 1)}")
+      (r.getString(0), thr)
+    }.toSeq
+    val cands = sk.flatMap { r =>
+      r.getSeq[org.apache.spark.sql.Row](1).map(c => (r.getString(0), c.getString(0)))
+    }.toSeq
+    if (cands.isEmpty)
+      rows.select(col(groupCol), col(termCol).as("term"), lit(0L).as("cnt"))
+        .filter(lit(false))
+    else
+      rows.select(col(groupCol), col(termCol).as("term"))
+        .join(bcast(cands.toDF(groupCol, "term")), Seq(groupCol, "term"), "left_semi")
+        .groupBy(col(groupCol), col("term"))
+        .agg(count(lit(1)).as("cnt"))
+        .join(bcast(thresholds.toDF(groupCol, "__thr")), Seq(groupCol))
+        .filter(col("cnt") >= col("__thr"))
+        .select(col(groupCol), col("term"), col("cnt"))
+  }
+
   /** Exact heavy hitters: every term whose true count is >= ceil(minShare
     * * N), with its exact count. `require`s the Misra–Gries soundness
     * condition ceil(minShare * N) > N/(k+1) so the candidate set provably

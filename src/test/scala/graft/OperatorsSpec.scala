@@ -1874,6 +1874,24 @@ class HeavyHittersSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("per-group exact heavy hitters equal the per-group naive answer") {
+    val data = Seq.fill(30)(("en", "the")) ++ Seq.fill(4)(("en", "x")) ++
+      (1 to 40).map(i => ("en", s"t$i")) ++
+      Seq.fill(20)(("de", "der")) ++ (1 to 10).map(i => ("de", s"d$i"))
+    val df = spark.sparkContext.parallelize(data, 5).toDF("lang", "term")
+    val share = 0.1 // k=31 -> thr > n_g/32 for both groups
+    val got = HeavyHitters.exactPerGroup(df, "lang", "term", share, k = 31)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toSet
+    val want = data.groupBy(identity).collect {
+      case ((g, t), xs) if xs.size >=
+        math.ceil(share * data.count(_._1 == g)).toLong => ((g, t), xs.size.toLong)
+    }.toSet
+    assert(got == want, s"got=$got want=$want")
+    // the big groups survive, the tails don't
+    assert(got.contains((("en", "the"), 30L)) && got.contains((("de", "der"), 20L)))
+    assert(!got.exists(_._1._2 == "x"))
+  }
+
   test("exact() refuses an unsound threshold/k pairing") {
     val df = Seq.fill(100)("x").toDF("term")
     // thr = 1 <= N/(k+1) = 33.3 -> the guarantee does not hold -> loud
