@@ -82,6 +82,66 @@ object SparkEntry {
       .orderBy(desc("revenue"), asc("n_name"))
   }
 
+  private def q7NationVolume(s: SparkSession, dir: String): DataFrame = {
+    // TPC-H Q7 analogue (volume shipping): bilateral revenue between two
+    // nations by ship year. The nation dims are PRE-FILTERED to the two
+    // parties before joining (each join then prunes early — the filtered
+    // 2-row dims broadcast) and only the direction disjunction runs on
+    // the joined rows.
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+    val pair = Seq("NATION_1", "NATION_2")
+    val n1 = t(s, dir, "nation").filter(col("n_name").isInCollection(pair))
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = t(s, dir, "nation").filter(col("n_name").isInCollection(pair))
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    li.join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  private def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    // TPC-H Q8 analogue (national market share): of AMERICA customers'
+    // ECONOMY-part revenue, the share supplied by NATION_3, per order
+    // year. The share divides the ROUNDED sums so the output is
+    // deterministic given the (hash-checked) aggregate columns.
+    val region = t(s, dir, "region").filter(col("r_name") === "AMERICA")
+    val nation = t(s, dir, "nation")
+    val part = t(s, dir, "part").filter(col("p_type") === "ECONOMY")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+    val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val joined = t(s, dir, "lineitem")
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey").as("c_nk"),
+        col("n_regionkey"))), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey").as("s_nk"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("s_nk"))
+    joined
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        round(sum(when(col("supp_nation") === "NATION_3", vol)
+          .otherwise(lit(0.0))), 2).as("nation_volume"),
+        round(sum(vol), 2).as("total_volume"))
+      .withColumn("mkt_share",
+        round(col("nation_volume") / col("total_volume"), 6))
+      .orderBy(col("o_year"))
+  }
+
   private def profileLineitem(s: SparkSession, dir: String): DataFrame = {
     val p = ColumnProfiler.profile(t(s, dir, "lineitem"),
       Seq("l_quantity", "l_extendedprice", "l_discount"),
@@ -2221,6 +2281,8 @@ object SparkEntry {
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_top_orders" -> (q3TopOrders _),
     "q5_region_revenue" -> (q5RegionRevenue _),
+    "q7_nation_volume" -> (q7NationVolume _),
+    "q8_market_share" -> (q8MarketShare _),
     "q_profile_lineitem" -> (profileLineitem _),
     "q_top1_returnflag" -> (top1ReturnFlag _),
     "q_preview_orders" -> (previewOrders _),
@@ -2695,6 +2757,45 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    // Q7 analogue: bilateral shipping volume by year; the direction
+    // disjunction spelled as supp <> cust over the 2-nation prefilter
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        | CAST(extract(year FROM l_shipdate) AS INT) AS l_year,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM lineitem, orders, customer, supplier, nation n1, nation n2
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND l_suppkey = s_suppkey
+        |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        |  AND n1.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n1.n_name <> n2.n_name
+        |  AND l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // Q8 analogue: market share from the ROUNDED aggregate pair
+    "q8_market_share" ->
+      """WITH v AS (
+        | SELECT CAST(extract(year FROM o_orderdate) AS INT) AS o_year,
+        |  l_extendedprice*(1-l_discount) AS vol, n2.n_name AS supp_nation
+        | FROM part, supplier, lineitem, orders, customer,
+        |      nation n1, nation n2, region
+        | WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |   AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |   AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        |   AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+        |   AND p_type = 'ECONOMY'
+        |   AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |   AND o_orderdate < TIMESTAMP '1999-01-01'),
+        |a AS (
+        | SELECT o_year,
+        |  round(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0 END), 2)
+        |    AS nation_volume,
+        |  round(sum(vol), 2) AS total_volume
+        | FROM v GROUP BY o_year)
+        |SELECT o_year, nation_volume, total_volume,
+        | round(nation_volume / total_volume, 6) AS mkt_share
+        |FROM a ORDER BY o_year""".stripMargin,
     "q_profile_lineitem" ->
       """SELECT
         | min(l_quantity) AS l_quantity_min, max(l_quantity) AS l_quantity_max,
