@@ -2191,6 +2191,18 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  private def lengthQuantilesExact(s: SparkSession, dir: String): DataFrame = {
+    // per-language EXACT length quantiles with no per-group sort: all
+    // groups refine together through the shared histogram passes
+    // (OrderStats.groupedExactQuantiles) — the scale path behind the
+    // ntile-based d_length_deciles audit
+    import s.implicits._
+    OrderStats.groupedExactQuantiles(
+        t(s, dir, "documents"), "lang", "n_chars", Seq(0.5, 0.9))
+      .toDF("lang", "p", "k", "value")
+      .orderBy(col("lang"), col("p"))
+  }
+
   private def tokenHhPerLang(s: SparkSession, dir: String): DataFrame = {
     // per-language stopword discovery: ONE grouped Misra-Gries pass
     // nominates candidates per language, then an exact count restricted
@@ -2418,6 +2430,7 @@ object SparkEntry {
     "d_minhash_error" -> (minhashCalibrationQuery _),
     "q_exact_quantiles_2pass" -> (exactQuantiles2Pass _),
     "d_token_hh_lang" -> (tokenHhPerLang _),
+    "d_length_quantiles_exact" -> (lengthQuantilesExact _),
     "d_bm25_topk" -> (bm25TopKQuery _),
     "d_winnow_fps" -> (winnowFpsQuery _),
     "d_winnow_matches" -> (winnowMatchesQuery _),
@@ -4145,6 +4158,19 @@ object SparkEntry {
         | round(quantile_cont(value, 0.75), 4) AS p75,
         | round(quantile_cont(value, 0.95), 4) AS p95
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // grouped 2-pass exact-quantile twin: per-language row_number() = k
+    "d_length_quantiles_exact" ->
+      """WITH v AS (SELECT lang, CAST(n_chars AS DOUBLE) AS v FROM documents
+        |           WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |n AS (SELECT lang, count(*) AS n FROM v GROUP BY lang),
+        |r AS (SELECT lang, v,
+        |        row_number() OVER (PARTITION BY lang ORDER BY v) AS rk FROM v),
+        |t AS (SELECT n.lang, pp.p,
+        |        CAST(greatest(1, ceil(pp.p * n.n)) AS BIGINT) AS k
+        |      FROM n, (SELECT unnest([0.5, 0.9]) AS p) pp)
+        |SELECT t.lang, t.p, t.k, r.v AS value
+        |FROM t JOIN r ON r.lang = t.lang AND r.rk = t.k
+        |ORDER BY t.lang, t.p""".stripMargin,
     // 2-pass exact-quantile twin: the brute-force row_number() = k
     // spelling of the rank definition the histogram refinement computes
     "q_exact_quantiles_2pass" ->

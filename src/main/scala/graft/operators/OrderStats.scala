@@ -8,17 +8,18 @@ import org.apache.spark.sql.functions._
   * refinement (the classic distributed selection algorithm; the exact
   * complement of `percentile_approx`'s sketch).
   *
-  * Each round partitions the candidate range into `buckets` equi-width
-  * cells and counts them in ONE partially-aggregated groupBy (counts
-  * only ride the shuffle — `buckets` rows per partition, never values);
-  * the driver walks the counts to find which cell holds each wanted
-  * rank, and the next round refines only those cells. When a cell's
+  * Each round partitions every pending candidate range into `buckets`
+  * equi-width cells and counts them in ONE partially-aggregated groupBy
+  * (counts only ride the shuffle — `buckets` cells per pending range per
+  * partition, never values), carrying each cell's true min/max: a cell
+  * of duplicates (min == max) resolves without a fetch, and refinement
+  * recurses into [min, max] — strictly tighter than the cell bounds, so
+  * heavy duplicate mass cannot stall convergence. When a cell's
   * population is under `collectLimit` its values are fetched and the
-  * rank read off exactly. Driver memory is bounded by `buckets` counts
-  * per round plus one `collectLimit` fetch; every fetch is preceded by a
-  * count, so the bound is enforced, not hoped for. Rounds are
+  * rank read off exactly; every fetch is preceded by a count, so the
+  * driver-memory bound is enforced, not hoped for. Rounds are
   * O(log_buckets(n/collectLimit)) — 3 rounds cover 10^12 rows at the
-  * defaults. Degenerate cells (all one value) resolve immediately.
+  * defaults.
   *
   * Determinism: ranks are over `ORDER BY value` with the k-th row's
   * VALUE read out — duplicates make any tie-order yield the same value,
@@ -26,45 +27,49 @@ import org.apache.spark.sql.functions._
   */
 object OrderStats {
 
-  /** Exact values at the given 1-based ranks of `valueCol` (nulls
-    * excluded). Returns rank -> value.
+  /** Exact values at 1-based ranks per group — ALL groups refine
+    * together: one histogram pass per round covers every pending
+    * (group, range), so the round count is that of the worst group, not
+    * the sum. Returns (group, rank) -> value.
     */
-  def kthSmallest(df: DataFrame, valueCol: String, ranks: Seq[Long],
-                  buckets: Int = 1024, collectLimit: Int = 100000,
-                  maxRounds: Int = 8): Map[Long, Double] = {
-    require(ranks.nonEmpty && buckets >= 2)
-    val v = df.select(col(valueCol).cast("double").as("v"))
-      .filter(col("v").isNotNull)
+  def groupedKthSmallest(df: DataFrame, groupCol: String, valueCol: String,
+                         ranks: Map[String, Seq[Long]], buckets: Int = 1024,
+                         collectLimit: Int = 100000,
+                         maxRounds: Int = 8): Map[(String, Long), Double] = {
+    require(ranks.nonEmpty && ranks.values.forall(_.nonEmpty) && buckets >= 2)
+    val v = df.select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull && col("g").isNotNull)
       .localCheckpoint() // scanned once per refinement round
-    val b0 = v.agg(min(col("v")), max(col("v")), count(lit(1))).head()
-    val n = b0.getLong(2)
-    require(ranks.forall(k => k >= 1 && k <= n),
-      s"ranks $ranks out of range 1..$n")
-    // state per wanted rank: (remaining rank within [lo, hi], lo, hi)
-    var pending: Map[Long, (Long, Double, Double)] =
-      ranks.map(k => k -> (k, b0.getDouble(0), b0.getDouble(1))).toMap
-    val done = scala.collection.mutable.Map[Long, Double]()
+    val bounds = v.groupBy(col("g"))
+      .agg(min(col("v")), max(col("v")), count(lit(1)))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    ranks.foreach { case (g, ks) =>
+      val n = bounds.get(g).fold(0L)(_._3)
+      require(ks.forall(k => k >= 1 && k <= n),
+        s"group $g: ranks $ks out of range 1..$n")
+    }
+    // state per wanted (group, rank): remaining rank within [lo, hi]
+    var pending: Map[(String, Long), (Long, Double, Double)] =
+      ranks.flatMap { case (g, ks) =>
+        val (lo, hi, _) = bounds(g)
+        ks.distinct.map(k => (g, k) -> ((k, lo, hi)))
+      }
+    val done = scala.collection.mutable.Map[(String, Long), Double]()
     var round = 0
     while (pending.nonEmpty && round < maxRounds) {
       round += 1
-      // resolve degenerate / small-enough ranges; histogram the rest
-      val (small, large) = pending.partition { case (_, (_, lo, hi)) =>
-        lo == hi
-      }
-      small.foreach { case (k, (_, lo, _)) => done(k) = lo }
+      val (small, large) = pending.partition { case (_, (_, lo, hi)) => lo == hi }
+      small.foreach { case (gk, (_, lo, _)) => done(gk) = lo }
       pending = large
       if (pending.nonEmpty) {
-        // ONE histogram pass counts every pending range's cells together,
-        // carrying each cell's true min/max: a cell of duplicates
-        // (min == max) resolves without a fetch, and refinement recurses
-        // into [min, max] — strictly tighter than the cell bounds, so
-        // heavy duplicate mass cannot stall convergence.
         // cell = ri * buckets + local bucket; hi maps into the last cell.
         // Chained .when (no otherwise): values outside every range → null
-        val ranges = pending.values.map { case (_, lo, hi) => (lo, hi) }
-          .toSeq.distinct.sortBy(_._1)
-        val cellOf: Column = ranges.zipWithIndex.map { case ((lo, hi), ri) =>
-          ((col("v") >= lo && col("v") <= hi),
+        val ranges = pending.map { case ((g, _), (_, lo, hi)) => (g, lo, hi) }
+          .toSeq.distinct.sorted
+        val cellOf: Column = ranges.zipWithIndex.map { case ((g, lo, hi), ri) =>
+          ((col("g") === g && col("v") >= lo && col("v") <= hi),
             lit(ri * buckets) + least(lit(buckets - 1),
               floor((col("v") - lo) / ((hi - lo) / buckets)).cast("int")))
         } match {
@@ -75,10 +80,10 @@ object OrderStats {
           .filter(col("cell").isNotNull)
           .groupBy(col("cell"))
           .agg(count(lit(1)).as("c"), min(col("v")).as("mn"), max(col("v")).as("mx"))
-          .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
-          .toMap
-        pending = pending.map { case (k, (rank, lo, hi)) =>
-          val ri = ranges.indexOf((lo, hi))
+          .collect().map(r => r.getInt(0) ->
+            ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+        pending = pending.map { case (gk @ (g, _), (rank, lo, hi)) =>
+          val ri = ranges.indexOf((g, lo, hi))
           var rem = rank
           var cell = 0
           def cnt(c: Int): Long = cells.get(ri * buckets + c).fold(0L)(_._1)
@@ -88,21 +93,33 @@ object OrderStats {
           }
           val (cellN, cmin, cmax) = cells(ri * buckets + cell)
           if (cmin == cmax) {
-            done(k) = cmin // all duplicates: the rank's value is known
+            done(gk) = cmin // all duplicates: the rank's value is known
           } else if (cellN <= collectLimit) {
             // exact: fetch the cell's values (count-verified bound), sort
-            val vals = v.filter(col("v") >= cmin && col("v") <= cmax)
-              .collect().map(_.getDouble(0)).sorted
-            done(k) = vals(rem.toInt - 1)
+            val vals = v.filter(col("g") === g &&
+              col("v") >= cmin && col("v") <= cmax)
+              .collect().map(_.getDouble(1)).sorted
+            done(gk) = vals(rem.toInt - 1)
           }
-          k -> (rem, cmin, cmax)
-        }.filter { case (k, _) => !done.contains(k) }
+          gk -> ((rem, cmin, cmax))
+        }.filter { case (gk, _) => !done.contains(gk) }
       }
     }
     require(pending.isEmpty,
       s"quantile refinement did not converge in $maxRounds rounds: $pending")
     done.toMap
   }
+
+  /** Exact values at the given 1-based ranks of `valueCol` (nulls
+    * excluded). Returns rank -> value. The single-column spelling of
+    * [[groupedKthSmallest]].
+    */
+  def kthSmallest(df: DataFrame, valueCol: String, ranks: Seq[Long],
+                  buckets: Int = 1024, collectLimit: Int = 100000,
+                  maxRounds: Int = 8): Map[Long, Double] =
+    groupedKthSmallest(df.withColumn("__g", lit("_")), "__g", valueCol,
+      Map("_" -> ranks), buckets, collectLimit, maxRounds)
+      .map { case ((_, k), x) => k -> x }
 
   /** Exact quantiles of `valueCol` at probabilities `ps` using the
     * k = max(1, ceil(p·n)) discrete definition — each result is an
@@ -116,5 +133,24 @@ object OrderStats {
     val ks = ps.map(p => p -> math.max(1L, math.ceil(p * n).toLong))
     val byRank = kthSmallest(df, valueCol, ks.map(_._2).distinct)
     ks.map { case (p, k) => (p, k, byRank(k)) }
+  }
+
+  /** Per-group exact quantiles at probabilities `ps` (the scale path for
+    * per-language length profiles): one grouped count pass picks each
+    * group's ranks, then every group refines together. Returns local
+    * (group, p, k, value) rows sorted by (group, p).
+    */
+  def groupedExactQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                            ps: Seq[Double]): Seq[(String, Double, Long, Double)] = {
+    val ns = df.select(col(groupCol).cast("string").as("g"), col(valueCol))
+      .filter(col(valueCol).isNotNull && col("g").isNotNull)
+      .groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ks = ns.keys.toSeq.sorted.flatMap { g =>
+      ps.map(p => (g, p, math.max(1L, math.ceil(p * ns(g)).toLong)))
+    }
+    val byRank = groupedKthSmallest(df, groupCol, valueCol,
+      ks.groupBy(_._1).view.mapValues(_.map(_._3)).toMap)
+    ks.map { case (g, p, k) => (g, p, k, byRank((g, k))) }
   }
 }

@@ -2098,4 +2098,17 @@ class OrderStatsSpec extends SparkSpec {
       OrderStats.kthSmallest(df, "v", Seq(3L))
     }
   }
+
+  test("grouped quantiles match the per-group sorted truth") {
+    val data = (1 to 900).map(i => ("a", ((i * 7919) % 1201).toDouble)) ++
+      (1 to 300).map(i => ("b", ((i * 104729) % 389).toDouble))
+    val df = spark.sparkContext.parallelize(data, 9).toDF("g", "v")
+    val got = OrderStats.groupedExactQuantiles(df, "g", "v", Seq(0.5, 0.9))
+      .map { case (g, p, k, x) => (g, p) -> ((k, x)) }.toMap
+    for ((g, xs) <- data.groupBy(_._1); p <- Seq(0.5, 0.9)) {
+      val sorted = xs.map(_._2).sorted
+      val k = math.max(1L, math.ceil(p * sorted.size).toLong)
+      assert(got((g, p)) == ((k, sorted(k.toInt - 1))), s"g=$g p=$p")
+    }
+  }
 }
