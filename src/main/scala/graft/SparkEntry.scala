@@ -1995,6 +1995,34 @@ object SparkEntry {
         winnowStore(s, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  private def cardIncremental(s: SparkSession, dir: String): DataFrame = {
+    // incremental data-card maintenance: v1's fingerprint-granular card
+    // index is a STORED layout (published with the v1 release); the v2
+    // card is derived by exact multiset delta arithmetic over the diff
+    // sliver ONLY — the oracle is the full v2 rescan, so incremental ≡
+    // rescan is what the hash check proves. Same v1/v2 derivation as
+    // d_corpus_diff.
+    val docs = t(s, dir, "documents")
+    val v1 = docs.filter(col("doc_id") % 23 =!= 0)
+    val v2 = docs.filter(col("doc_id") % 29 =!= 0)
+      .withColumn("text", when(col("doc_id") % 31 === 0,
+        concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+    val path = layoutPath(dir, "cardindex", "v1=%23", srcTable = "documents.parquet")
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      DataCard.cardIndex(v1, "lang", "source", "text")
+        .write.mode("overwrite").parquet(path)
+    val idx1 = s.read.parquet(path)
+    val diff = Dedup.snapshotDiff(v1, v2, "doc_id", "text")
+      .filter(col("status") =!= "unchanged").localCheckpoint()
+    val removed = v1.join(diff.filter(col("status").isin("removed", "changed"))
+      .select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val added = v2.join(diff.filter(col("status").isin("added", "changed"))
+      .select(col("doc_id")), Seq("doc_id"), "left_semi")
+    DataCard.cardFromIndex(
+        DataCard.applyDelta(idx1, removed, added, "lang", "source", "text"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   private def corpusDiff(s: SparkSession, dir: String): DataFrame = {
     // dataset-versioning audit between two corpus releases, both derived
     // deterministically from documents: v1 lacks the docs "added later"
@@ -2431,6 +2459,7 @@ object SparkEntry {
     "q_exact_quantiles_2pass" -> (exactQuantiles2Pass _),
     "d_token_hh_lang" -> (tokenHhPerLang _),
     "d_length_quantiles_exact" -> (lengthQuantilesExact _),
+    "d_card_incremental" -> (cardIncremental _),
     "d_bm25_topk" -> (bm25TopKQuery _),
     "d_winnow_fps" -> (winnowFpsQuery _),
     "d_winnow_matches" -> (winnowMatchesQuery _),
@@ -4679,6 +4708,27 @@ object SparkEntry {
     // fingerprints recomputed in SQL (the d_fingerprint formula), FULL
     // OUTER join classifies — the comparison logic is the thing under
     // test, not the planting conditions
+    // incremental-card twin: the FULL RESCAN of v2 — equality with the
+    // delta-maintained index is exactly the incremental ≡ rebuild claim
+    "d_card_incremental" ->
+      """WITH v2 AS (
+        | SELECT lang, source,
+        |  CASE WHEN doc_id % 31 = 0 THEN text || ' rev2' ELSE text END AS text
+        | FROM documents WHERE doc_id % 29 <> 0),
+        |f AS (
+        | SELECT lang, source,
+        |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |       x -> len(x) > 0)) AS BIGINT) AS ntok,
+        |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        | FROM v2)
+        |SELECT coalesce(lang, 'ALL') AS lang,
+        | coalesce(source, 'ALL') AS source,
+        | count(*) AS n_docs,
+        | CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        | CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
+        | CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_dups
+        |FROM f GROUP BY ROLLUP (lang, source)
+        |ORDER BY lang, source""".stripMargin,
     "d_corpus_diff" ->
       """WITH v1 AS (
         | SELECT doc_id,

@@ -2112,3 +2112,41 @@ class OrderStatsSpec extends SparkSpec {
     }
   }
 }
+
+class DataCardSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.operators.DataCard
+
+  private def corpus(rows: (Long, String, String, String)*) =
+    rows.toDF("doc_id", "lang", "source", "text")
+
+  test("delta-maintained index equals the rebuilt index, zero rows vanish") {
+    val v1 = corpus(
+      (1L, "en", "a", "one two"), (2L, "en", "a", "one two"),
+      (3L, "de", "b", "drei"), (4L, "en", "b", "four"))
+    // v2: doc 2 (a dup of 1) removed, doc 3 edited, doc 5 added
+    val v2 = corpus(
+      (1L, "en", "a", "one two"), (3L, "de", "b", "drei vier"),
+      (4L, "en", "b", "four"), (5L, "fr", "c", "cinq"))
+    val idx1 = DataCard.cardIndex(v1, "lang", "source", "text")
+    val removed = corpus((2L, "en", "a", "one two"), (3L, "de", "b", "drei"))
+    val added = corpus((3L, "de", "b", "drei vier"), (5L, "fr", "c", "cinq"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val inc = DataCard.applyDelta(idx1, removed, added, "lang", "source", "text")
+    val rebuilt = DataCard.cardIndex(v2, "lang", "source", "text")
+    assert(canon(inc) == canon(rebuilt))
+    // the removed dup's fp row dropped to cnt 1, not 0; doc 3's old fp is gone
+    assert(!canon(inc).exists { case (_, _, _, c, _) => c <= 0 })
+    // cards agree at every rollup level
+    def card(df: org.apache.spark.sql.DataFrame) =
+      DataCard.cardFromIndex(df).collect().map(_.toSeq).toSet
+    assert(card(inc) == card(rebuilt))
+    // and the dup accounting is right: en/a had 2 docs 1 unique; now 1/1
+    val cell = DataCard.cardFromIndex(inc).collect()
+      .find(r => r.getString(0) == "en" && r.getString(1) == "a").get
+    assert(cell.getLong(2) == 1L && cell.getLong(5) == 0L)
+  }
+}
