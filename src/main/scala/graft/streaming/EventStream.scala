@@ -332,6 +332,36 @@ object EventStream {
     }
   }
 
+  /** Streaming data-card maintenance: a stream of corpus edits (op =
+    * "add" | "remove", with the full doc row) folds into the
+    * fingerprint-granular card index per micro-batch via
+    * [[graft.operators.DataCard.applyDelta]] — exact multiset
+    * arithmetic, so the fold is associative AND commutative across
+    * batches: any micro-batching of the same edit stream lands on the
+    * same index (and therefore the same card at every rollup level),
+    * pinned by the StreamingSpec parity test. `onState` receives the
+    * updated index after each batch (persist it as the stored layout).
+    *
+    * Well-formedness: a remove must refer to a doc present in the index
+    * (the zero-count cleanup would otherwise swallow the negative
+    * balance a later out-of-order add should cancel) — the same
+    * publisher contract every delta-maintained view requires.
+    */
+  def streamingCardMaintain(updates: DataFrame, opCol: String,
+                            langCol: String, srcCol: String, textCol: String,
+                            initialIndex: DataFrame)(onState: DataFrame => Unit) = {
+    var index = initialIndex.localCheckpoint(true)
+    updates.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF()
+        index = graft.operators.DataCard.applyDelta(index,
+          b.filter(col(opCol) === "remove").drop(opCol),
+          b.filter(col(opCol) === "add").drop(opCol),
+          langCol, srcCol, textCol).localCheckpoint(true)
+        onState(index)
+    }
+  }
+
   case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(count: Long, sum: Double, lastTs: Long)
   case class SessionOut(user_id: Long, n_events: Long, value_sum: Double)

@@ -1185,6 +1185,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming card maintenance is batch-split invariant and equals rescan") {
+    // v1 -> v2 edit stream (the d_corpus_diff derivation) in uneven
+    // micro-batches; the folded index must equal BOTH the one-shot batch
+    // applyDelta AND a full rebuild from v2
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.DataCard
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val v1 = docs.filter(col("doc_id") % 23 =!= 0)
+    val v2 = docs.filter(col("doc_id") % 29 =!= 0)
+      .withColumn("text", when(col("doc_id") % 31 === 0,
+        concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+    val diff = graft.operators.Dedup.snapshotDiff(v1, v2, "doc_id", "text")
+      .filter(col("status") =!= "unchanged")
+    val removed = v1.join(diff.filter(col("status").isin("removed", "changed"))
+      .select("doc_id"), Seq("doc_id"), "left_semi")
+    val added = v2.join(diff.filter(col("status").isin("added", "changed"))
+      .select("doc_id"), Seq("doc_id"), "left_semi")
+    val edits = removed.withColumn("op", lit("remove"))
+      .unionByName(added.withColumn("op", lit("add")))
+      .select("op", "doc_id", "lang", "source", "text")
+      .as[(String, Long, String, String, String)].collect()
+    val idx1 = DataCard.cardIndex(v1, "lang", "source", "text").localCheckpoint()
+    val mem = MemoryStream[(String, Long, String, String, String)]
+    var last: Option[org.apache.spark.sql.DataFrame] = None
+    val q = EventStream.streamingCardMaintain(
+        mem.toDF().toDF("op", "doc_id", "lang", "source", "text"),
+        "op", "lang", "source", "text", idx1) { st => last = Some(st) }
+      .start()
+    try {
+      edits.grouped(7).foreach { c => mem.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .select("lang", "source", "fp", "cnt", "tok")
+        .collect().map(_.toSeq).toSet
+      val streamed = canon(last.get)
+      assert(streamed == canon(DataCard.applyDelta(idx1,
+        removed.drop("doc_id"), added.drop("doc_id"), "lang", "source", "text")))
+      assert(streamed == canon(DataCard.cardIndex(v2, "lang", "source", "text")))
+    } finally q.stop()
+  }
+
   test("streaming winnow span-reuse gate equals the batch gate on sf0.01") {
     // docs < 250 are the stored fingerprint index, docs >= 250 stream in
     // uneven micro-batches; accumulated survivors must equal the batch
