@@ -54,6 +54,9 @@ class PlanAuditSpec extends SparkSpec {
     assert(!historicalScan(fpStored), fpStored)
     assert(historicalScan(plan(
       SparkEntry.queries("d_dedup_incremental")(spark, dir))))
+    val wStored = plan(SparkEntry.queries("d_winnow_ingest_stored")(spark, dir))
+    assert(wStored.contains("graft_winnowindex"), wStored)
+    assert(!historicalScan(wStored), wStored)
   }
 
   test("minhash signature stage is shuffle-free (kernels are map-side)") {
