@@ -271,6 +271,23 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  private def asofNearestQuery(s: SparkSession, dir: String): DataFrame = {
+    // nearest-click attribution: for each purchase, the click with the
+    // smallest |Δt| in either direction (ties prefer the prior click) —
+    // two windowed asof passes arbitrated on exact microsecond gaps
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    AsofJoin.asofNearest(purchases, clicks, "user_id", "ts", "ts",
+        rightCols = Seq("event_id", "value"))
+      .select(col("event_id"), col("user_id"),
+        col("near_event_id"), round(col("near_value"), 2).as("near_value"),
+        col("near_dir"), col("near_gap_us"))
+      .orderBy(col("event_id"))
+  }
+
   private def asofForward(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
     val clicks = ev.filter(col("event_type") === "click")
@@ -2340,6 +2357,7 @@ object SparkEntry {
     "q_sql_conditions" -> (sqlConditions _),
     "q_skew_join" -> (skewJoinRollup _),
     "q_asof_attribution" -> (asofAttribution _),
+    "q_asof_nearest" -> (asofNearestQuery _),
     "q_asof_forward" -> (asofForward _),
     "q_range_join" -> (rangeJoinClicks _),
     "q_json_attributes" -> (jsonAttributes _),
@@ -2957,6 +2975,27 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    // nearest twin: brute-force candidate ranking by (abs gap, backward
+    // first, click id) — the arbitration the two-pass compose performs
+    "q_asof_nearest" ->
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT * FROM events WHERE event_type = 'click'),
+        |cand AS (
+        | SELECT p.event_id, c.event_id AS c_id, c.value AS c_value,
+        |  abs(epoch_us(p.ts) - epoch_us(c.ts)) AS gap,
+        |  CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END AS dir,
+        |  row_number() OVER (PARTITION BY p.event_id
+        |    ORDER BY abs(epoch_us(p.ts) - epoch_us(c.ts)),
+        |             CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END,
+        |             c.event_id) AS rn
+        | FROM p JOIN c ON c.user_id = p.user_id)
+        |SELECT p.event_id, p.user_id, w.c_id AS near_event_id,
+        | round(w.c_value, 2) AS near_value,
+        | CASE w.dir WHEN 0 THEN 'backward' WHEN 1 THEN 'forward' END AS near_dir,
+        | CAST(w.gap AS BIGINT) AS near_gap_us
+        |FROM p LEFT JOIN (SELECT * FROM cand WHERE rn = 1) w
+        |  ON w.event_id = p.event_id
         |ORDER BY p.event_id""".stripMargin,
     "q_asof_forward" ->
       """SELECT c.event_id, c.user_id, p.event_id AS next_event_id,

@@ -75,4 +75,41 @@ object AsofJoin {
       .select(lCols.map(c => col(s"__l.$c").as(c)) ++
         rCols.map(c => col(s"__m.$c").as(s"$prefix$c")): _*)
   }
+
+  /** Nearest-in-time as-of join — the missing third direction: for every
+    * left row, the right row with the smallest |Δt| in EITHER direction
+    * (ties prefer the at-or-before match, like a backward default with a
+    * forward fallback). Composed from one backward and one forward
+    * [[asof]] pass — two key-partitioned windows, still never the
+    * inequality-join explosion — then a per-row arbitration on the two
+    * candidates' exact microsecond gaps. Attaches `prefix`-ed right
+    * columns plus `<prefix>dir` ("backward"/"forward"/null) and
+    * `<prefix>gap_us` (exact BIGINT microseconds, null when unmatched).
+    */
+  def asofNearest(left: DataFrame, right: DataFrame, keyCol: String,
+                  leftTsCol: String, rightTsCol: String,
+                  rightCols: Seq[String] = Nil,
+                  prefix: String = "near_"): DataFrame = {
+    val rCols0 =
+      if (rightCols.nonEmpty) rightCols
+      else right.columns.filterNot(c => c == keyCol || c == rightTsCol).toSeq
+    val rCols = (rCols0 :+ rightTsCol).distinct // matched ts drives the gap
+    val b = asof(left, right, keyCol, leftTsCol, rightTsCol, rCols,
+      "__b_", "backward")
+    val f = asof(b, right, keyCol, leftTsCol, rightTsCol, rCols,
+      "__f_", "forward")
+    val lts = col(leftTsCol).cast("timestamp")
+    val bts = col(s"__b_$rightTsCol")
+    val fts = col(s"__f_$rightTsCol")
+    val gapB = unix_micros(lts) - unix_micros(bts)
+    val gapF = unix_micros(fts) - unix_micros(lts)
+    val useB = bts.isNotNull && (fts.isNull || gapB <= gapF)
+    val attached = rCols0.map(c =>
+      when(useB, col(s"__b_$c")).otherwise(col(s"__f_$c")).as(s"$prefix$c")) ++
+      Seq(
+        when(useB, lit("backward"))
+          .otherwise(when(fts.isNotNull, lit("forward"))).as(s"${prefix}dir"),
+        when(useB, gapB).otherwise(gapF).as(s"${prefix}gap_us"))
+    f.select(left.columns.map(col).toSeq ++ attached: _*)
+  }
 }

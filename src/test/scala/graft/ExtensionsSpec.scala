@@ -805,6 +805,33 @@ class AsofJoinSpec extends SparkSpec {
     assert(out.isNullAt(out.fieldIndex("asof_tag")))
     assert(out.getAs[Double]("asof_v") == 2.0)
   }
+
+  test("asofNearest picks the smaller gap either side; ties prefer backward") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "closerBefore"),  // 30m back vs 2h fwd
+      (1L, ts("2024-01-01 11:45:00"), "closerAfter"),   // 2h15 back vs 15m fwd
+      (2L, ts("2024-01-01 10:00:00"), "tie"),           // 1h back == 1h fwd
+      (3L, ts("2024-01-01 10:00:00"), "onlyFwd"),
+      (4L, ts("2024-01-01 10:00:00"), "none")
+    ).toDF("k", "ts", "name")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:30:00"), 1.0),
+      (1L, ts("2024-01-01 12:00:00"), 2.0),
+      (2L, ts("2024-01-01 09:00:00"), 3.0),
+      (2L, ts("2024-01-01 11:00:00"), 4.0),
+      (3L, ts("2024-01-01 10:30:00"), 5.0)
+    ).toDF("k", "ts", "v")
+    val out = AsofJoin.asofNearest(left, right, "k", "ts", "ts")
+      .collect().map(r => r.getAs[String]("name") ->
+        ((Option(r.getAs[java.lang.Double]("near_v")).map(_.toDouble),
+          r.getAs[String]("near_dir"),
+          Option(r.getAs[java.lang.Long]("near_gap_us")).map(_.toLong)))).toMap
+    assert(out("closerBefore") == ((Some(1.0), "backward", Some(1800000000L))))
+    assert(out("closerAfter") == ((Some(2.0), "forward", Some(900000000L))))
+    assert(out("tie") == ((Some(3.0), "backward", Some(3600000000L))))
+    assert(out("onlyFwd") == ((Some(5.0), "forward", Some(1800000000L))))
+    assert(out("none") == ((None, null, None)))
+  }
 }
 
 class SketchSpec extends SparkSpec {
