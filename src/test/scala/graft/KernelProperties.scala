@@ -229,4 +229,26 @@ object KernelProperties extends Properties("kernels") {
         f <= n.toDouble / (k + 1) || merged.contains(t) }
       merged.size <= k && boundOk && heaviesOk
     }
+
+  property("char entropy == the direct fixed-point model on random text") =
+    forAll(Gen.listOf(Gen.frequency(
+      (8, Gen.alphaLowerChar), (2, Gen.const(' ')), (1, Gen.oneOf('!', '9', 'Z'))))) { cs =>
+      val text = cs.mkString
+      val spark = TestSpark.spark
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val got = Seq(text).toDF("t")
+        .select(graft.operators.TextAnalysis.charEntropyMilli(col("t")))
+        .collect()(0).getLong(0)
+      // model: L*lnL - sum n*ln n over the 27-bucket histogram, pointwise
+      // rounds, OTHER pooled
+      val alpha = graft.operators.TextAnalysis.entropyAlphabet.map(_.head)
+      val counts = alpha.map(c => text.count(_ == c).toLong)
+      val other = text.length - counts.sum
+      def t1(n: Long) = if (n > 0) math.round(1e6 * n * math.log(n.toDouble)) else 0L
+      val want = if (text.isEmpty) 0L
+        else math.round(1e6 * text.length * math.log(text.length.toDouble)) -
+          (counts :+ other).map(t1).sum
+      got == want
+    }
 }
