@@ -2272,9 +2272,13 @@ object SparkEntry {
   }
 
   private def sourceOverlapQuery(s: SparkSession, dir: String): DataFrame =
-    // provenance audit: per source pair, how many canonical fingerprints
-    // both contain — the duplicate mass between crawls (Dedup.sourceOverlap)
-    Dedup.sourceOverlap(t(s, dir, "documents"), "text", "source")
+    // provenance audit: per source pair, how many shared near-dup keys
+    // (fingerprint of the first 200 canonical chars — template/lede
+    // collisions) both contain. The prefix key keeps the graded matrix
+    // non-empty at every SF where exact cross-source copies are rare,
+    // so the oracle hash actually exercises the pair expansion.
+    Dedup.sourceOverlap(t(s, dir, "documents"), "text", "source",
+        prefixChars = 200)
       .orderBy(col("src_a"), col("src_b"))
 
   private def nbConfusionQuery(s: SparkSession, dir: String): DataFrame = {
@@ -4830,11 +4834,12 @@ object SparkEntry {
         |GROUP BY 1, 2 ORDER BY true_lang, pred""".stripMargin,
 
     // source-overlap twin: the pairwise spelling of the sorted-source-set
-    // expansion — a JOIN on fp with source inequality is the same pair set
+    // expansion — a JOIN on fp with source inequality is the same pair
+    // set; the 200-char prefix mirrors Dedup.sourceOverlap(prefixChars)
     "d_source_overlap" ->
       """WITH fp AS (
         | SELECT DISTINCT source,
-        |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        |  md5(substr(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), 1, 200)) AS fp
         | FROM documents),
         |m AS (
         | SELECT a.source AS src_a, b.source AS src_b

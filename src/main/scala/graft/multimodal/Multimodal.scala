@@ -430,6 +430,13 @@ object Multimodal {
     texts.foreach { case (k, v) =>
       require(k.nonEmpty && k.length <= 79 && !k.contains('\u0000'),
         s"tEXt keyword '$k' must be 1-79 NUL-free chars (PNG 1.2)")
+      // a NUL in the value would masquerade as the keyword separator on
+      // decode (silent truncation), and non-latin-1 chars would mangle
+      // to '?' under the ISO-8859-1 encode -- refuse both up front
+      require(!v.contains('\u0000'),
+        s"tEXt value for '$k' must be NUL-free (PNG 1.2)")
+      require(k.forall(_ <= 255.toChar) && v.forall(_ <= 255.toChar),
+        s"tEXt '$k': keyword and value must be Latin-1 representable")
       chunk("tEXt", k.getBytes("ISO-8859-1") ++ Array(0.toByte) ++
         v.getBytes("ISO-8859-1"))
     }

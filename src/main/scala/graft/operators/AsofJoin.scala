@@ -62,11 +62,15 @@ object AsofJoin {
 
     // forward scans time in reverse: the running "last right row seen"
     // becomes the nearest FOLLOWING one; tag order keeps ties matched.
-    // The trailing __r sort makes the choice among right rows with
-    // IDENTICAL (key, ts) deterministic (partition sort order isn't).
+    // The trailing __r DESC sort arbitrates right rows with IDENTICAL
+    // (key, ts): last() lands on the MINIMUM right struct (field-order
+    // comparison — first attached column, e.g. the smallest event_id),
+    // the same tie-break the nearest oracle pins with `c.event_id ASC`.
+    // Candidate __r is never null (struct of source columns), so the
+    // null ordering of probe rows is irrelevant under ignoreNulls.
     val tsOrder = if (direction == "backward") col("__t").asc else col("__t").desc
     val w = Window.partitionBy(col("__k"))
-      .orderBy(tsOrder, col("__tag"), col("__r").asc_nulls_last)
+      .orderBy(tsOrder, col("__tag"), col("__r").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     probes.unionByName(cands)
@@ -85,6 +89,10 @@ object AsofJoin {
     * candidates' exact microsecond gaps. Attaches `prefix`-ed right
     * columns plus `<prefix>dir` ("backward"/"forward"/null) and
     * `<prefix>gap_us` (exact BIGINT microseconds, null when unmatched).
+    * Full arbitration order on candidate ties: (|Δt|, backward-first,
+    * minimum right struct) — duplicate (key, ts) right rows resolve to
+    * the smallest attached struct on BOTH legs (see [[asof]]), so the
+    * composed result matches a brute-force rank by (gap, dir, id ASC).
     */
   def asofNearest(left: DataFrame, right: DataFrame, keyCol: String,
                   leftTsCol: String, rightTsCol: String,

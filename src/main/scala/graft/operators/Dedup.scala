@@ -951,11 +951,20 @@ object Dedup {
     * set (bounded by the source count, not the corpus — the in-bucket
     * expansion is |sources|²/2 at worst), then pairs aggregate to the
     * S×S matrix. The corpus never shuffles; only 16-byte digests do.
+    *
+    * `prefixChars` > 0 switches to a NEAR-dup key: the fingerprint is
+    * taken over only the first N characters of the canonical form, so
+    * documents that share an opening but diverge later (template reuse,
+    * syndicated ledes, suffix-edited near-dups) still collide — the
+    * coarse screen a provenance audit wants when exact cross-source
+    * copies are rare. 0 (default) keeps the exact full-text key.
     */
   def sourceOverlap(docs: DataFrame, textCol: String,
-                    srcCol: String): DataFrame = {
-    val fps = docs.select(col(srcCol).as("source"),
-      TextAnalysis.fingerprint(col(textCol)).as("fp")).distinct()
+                    srcCol: String, prefixChars: Int = 0): DataFrame = {
+    val canon = graft.functions.CanonicalizeText(col(textCol))
+    val key =
+      if (prefixChars > 0) md5(substring(canon, 1, prefixChars)) else md5(canon)
+    val fps = docs.select(col(srcCol).as("source"), key.as("fp")).distinct()
     fps.groupBy(col("fp"))
       .agg(sort_array(collect_set(col("source"))).as("ss"))
       .filter(size(col("ss")) >= 2)

@@ -47,38 +47,50 @@ object HeavyHitters {
     * broadcast candidate table before counting. Thresholds are per-group:
     * ceil(minShare · N_g), each `require`d above N_g/(k+1) so per-group
     * completeness holds by the same argument as [[exact]].
-    * Returns (groupCol, term, cnt).
+    * Returns (groupCol: string, term, cnt). The group column is cast to
+    * string up front (any input type works) and NULL is a real group —
+    * both passes join null-safely, so heavy hitters under a null group
+    * key are reported with a null `groupCol`, never silently dropped.
     */
   def exactPerGroup(rows: DataFrame, groupCol: String, termCol: String,
                     minShare: Double, k: Int): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast => bcast}
     val spark = rows.sparkSession
     import spark.implicits._
-    val sk = rows.groupBy(col(groupCol))
-      .agg(MisraGriesSketch(col(termCol), k).as("sk"),
-        count(col(termCol)).as("n"))
+    val grouped = rows.select(
+      col(groupCol).cast("string").as(groupCol), col(termCol).as("term"))
+    val sk = grouped.groupBy(col(groupCol))
+      .agg(MisraGriesSketch(col("term"), k).as("sk"),
+        count(col("term")).as("n"))
       .collect()
+    def grp(r: org.apache.spark.sql.Row): Option[String] =
+      if (r.isNullAt(0)) None else Some(r.getString(0))
     val thresholds = sk.map { r =>
       val n = r.getLong(2)
       val thr = math.ceil(minShare * n).toLong
       require(n == 0 || thr.toDouble > n.toDouble / (k + 1),
         s"group ${r.get(0)}: threshold $thr <= N/(k+1) = ${n.toDouble / (k + 1)}")
-      (r.getString(0), thr)
+      (grp(r), thr)
     }.toSeq
     val cands = sk.flatMap { r =>
-      r.getSeq[org.apache.spark.sql.Row](1).map(c => (r.getString(0), c.getString(0)))
+      r.getSeq[org.apache.spark.sql.Row](1).map(c => (grp(r), c.getString(0)))
     }.toSeq
     if (cands.isEmpty)
-      rows.select(col(groupCol), col(termCol).as("term"), lit(0L).as("cnt"))
+      grouped.select(col(groupCol), col("term"), lit(0L).as("cnt"))
         .filter(lit(false))
-    else
-      rows.select(col(groupCol), col(termCol).as("term"))
-        .join(bcast(cands.toDF(groupCol, "term")), Seq(groupCol, "term"), "left_semi")
+    else {
+      val candTbl = bcast(cands.toDF(groupCol, "term"))
+      val thrTbl = bcast(thresholds.toDF(groupCol, "__thr"))
+        .withColumnRenamed(groupCol, "__g")
+      grouped
+        .join(candTbl, grouped(groupCol) <=> candTbl(groupCol) &&
+          grouped("term") === candTbl("term"), "left_semi")
         .groupBy(col(groupCol), col("term"))
         .agg(count(lit(1)).as("cnt"))
-        .join(bcast(thresholds.toDF(groupCol, "__thr")), Seq(groupCol))
+        .join(thrTbl, col(groupCol) <=> col("__g"))
         .filter(col("cnt") >= col("__thr"))
         .select(col(groupCol), col("term"), col("cnt"))
+    }
   }
 
   /** Exact heavy hitters: every term whose true count is >= ceil(minShare

@@ -314,6 +314,12 @@ object EventStream {
     * then one anti-join compacts index ∪ batch-adds; at scale both
     * stores are tables and this is the same two-table merge, the
     * [[streamingLshIngest]] store-maintenance shape.
+    *
+    * Storage contract: each micro-batch eagerly checkpoints the new
+    * index/ledger generation and UNPERSISTS the previous one, so
+    * block-manager usage stays O(|index|), not O(|index| · batches).
+    * `onState` therefore must consume its DataFrame before the next
+    * batch commits (collect/write it; don't cache the reference).
     */
   def streamingForget(updates: DataFrame, idCol: String, opCol: String,
                       initialIndex: DataFrame)(onState: DataFrame => Unit) = {
@@ -323,11 +329,18 @@ object EventStream {
       (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val b = batch.toDF()
         val tombs = b.filter(col(opCol) === "forget").select(col(idCol))
-        ledger = Some(ledger.fold(tombs)(_.unionByName(tombs))
-          .distinct().localCheckpoint(true))
+        val nextLedger = ledger.fold(tombs)(_.unionByName(tombs))
+          .distinct().localCheckpoint(true)
         val adds = b.filter(col(opCol) === "add").drop(opCol)
-        index = graft.operators.Dedup.forgetDocs(
-          index.unionByName(adds), ledger.get, idCol).localCheckpoint(true)
+        val nextIndex = graft.operators.Dedup.forgetDocs(
+          index.unionByName(adds), nextLedger, idCol).localCheckpoint(true)
+        // eager checkpoints above already materialized, so the previous
+        // generation's blocks are dead — drop them or block-manager
+        // storage grows by |index| every micro-batch of a long stream
+        ledger.foreach(_.unpersist())
+        index.unpersist()
+        ledger = Some(nextLedger)
+        index = nextIndex
         onState(index)
     }
   }
@@ -346,6 +359,10 @@ object EventStream {
     * (the zero-count cleanup would otherwise swallow the negative
     * balance a later out-of-order add should cancel) — the same
     * publisher contract every delta-maintained view requires.
+    *
+    * Storage contract: the superseded index generation is unpersisted
+    * once the new checkpoint materializes (see [[streamingForget]]) —
+    * consume `onState`'s frame within the batch.
     */
   def streamingCardMaintain(updates: DataFrame, opCol: String,
                             langCol: String, srcCol: String, textCol: String,
@@ -354,10 +371,12 @@ object EventStream {
     updates.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val b = batch.toDF()
-        index = graft.operators.DataCard.applyDelta(index,
+        val next = graft.operators.DataCard.applyDelta(index,
           b.filter(col(opCol) === "remove").drop(opCol),
           b.filter(col(opCol) === "add").drop(opCol),
           langCol, srcCol, textCol).localCheckpoint(true)
+        index.unpersist() // next is eagerly materialized; prior gen is dead
+        index = next
         onState(index)
     }
   }

@@ -510,6 +510,17 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Multimodal.encodePng(2, 2, 3, px, Seq("" -> "x"))
     }
+    // value guards: a NUL would truncate on decode, non-latin-1 would
+    // mangle to '?' — both refused loudly instead of corrupting
+    intercept[IllegalArgumentException] {
+      Multimodal.encodePng(2, 2, 3, px, Seq("K" -> ("a" + 0.toChar + "b")))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.encodePng(2, 2, 3, px, Seq("K" -> "日本語"))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.encodePng(2, 2, 3, px, Seq("日本語" -> "v"))
+    }
   }
 
   test("image quality stats: flat image scores zero range and energy") {
@@ -831,6 +842,28 @@ class AsofJoinSpec extends SparkSpec {
     assert(out("tie") == ((Some(3.0), "backward", Some(3600000000L))))
     assert(out("onlyFwd") == ((Some(5.0), "forward", Some(1800000000L))))
     assert(out("none") == ((None, null, None)))
+  }
+
+  test("duplicate (key, ts) right rows resolve to the minimum struct") {
+    // two clicks at the identical instant: the oracle ranks candidates
+    // by (gap, dir, id ASC), so id=10 must win on every leg — backward,
+    // forward, and the nearest composition
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "p")).toDF("k", "ts", "name")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 20L, 9.0),
+      (1L, ts("2024-01-01 09:00:00"), 10L, 1.0),
+      (1L, ts("2024-01-01 11:00:00"), 40L, 9.0),
+      (1L, ts("2024-01-01 11:00:00"), 30L, 2.0)
+    ).toDF("k", "ts", "id", "v")
+    val b = AsofJoin.asof(left, right, "k", "ts", "ts",
+      rightCols = Seq("id", "v")).collect()(0)
+    assert(b.getAs[Long]("asof_id") == 10L && b.getAs[Double]("asof_v") == 1.0)
+    val f = AsofJoin.asof(left, right, "k", "ts", "ts",
+      rightCols = Seq("id", "v"), direction = "forward").collect()(0)
+    assert(f.getAs[Long]("asof_id") == 30L && f.getAs[Double]("asof_v") == 2.0)
+    val n = AsofJoin.asofNearest(left, right, "k", "ts", "ts",
+      rightCols = Seq("id", "v")).collect()(0)
+    assert(n.getAs[Long]("near_id") == 10L && n.getAs[String]("near_dir") == "backward")
   }
 }
 

@@ -1892,6 +1892,19 @@ class HeavyHittersSpec extends SparkSpec {
     assert(!got.exists(_._1._2 == "x"))
   }
 
+  test("per-group heavy hitters: int and null group keys are real groups") {
+    // group column is an INT with nulls — the cast-to-string contract:
+    // both must survive, the null group null-safely joined, not dropped
+    val data: Seq[(java.lang.Integer, String)] =
+      Seq.fill(20)((Int.box(7), "a")) ++ (1 to 10).map(i => (Int.box(7), s"t$i")) ++
+      Seq.fill(15)((null: java.lang.Integer, "b")) ++
+      (1 to 5).map(i => (null: java.lang.Integer, s"n$i"))
+    val df = spark.sparkContext.parallelize(data, 4).toDF("g", "term")
+    val got = HeavyHitters.exactPerGroup(df, "g", "term", 0.2, k = 31)
+      .collect().map(r => ((Option(r.getString(0)), r.getString(1)), r.getLong(2))).toSet
+    assert(got == Set(((Some("7"), "a"), 20L), ((None, "b"), 15L)))
+  }
+
   test("exact() refuses an unsound threshold/k pairing") {
     val df = Seq.fill(100)("x").toDF("term")
     // thr = 1 <= N/(k+1) = 33.3 -> the guarantee does not hold -> loud
