@@ -1058,21 +1058,22 @@ object SparkEntry {
     Dedup.keepBest(labels, norms, "norm").orderBy(col("cluster_id"))
   }
 
-  private def annIvf(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    // deterministic codebook: seed with the first 8 vectors, then Lloyd-
-    // refine on the DRIVER over a training sample collected once
-    // (FAISS-style; one collect instead of 2×iters distributed passes —
-    // the quantizer only needs density structure). The sample is the
-    // 8192 smallest rows by a deterministic hash order (seed ids sort
-    // first) — a per-partition top-k (TakeOrderedAndProject), so the
-    // driver collect stays bounded at ANY corpus size in ONE pass: no
-    // up-front count job sizing a modulus (at 100 TB that count was a
-    // full metadata scan before every codebook build). Driver-side
-    // re-sort by id makes the training fold order — and therefore the
-    // centroids — independent of which partition served each row; at
-    // bench SFs the whole (tiny) table trains, which RecallSpec pins at
-    // recall@5 >= 0.9 vs the brute-force oracle.
+  /** The trained coarse codebook behind the headline IVF family:
+    * deterministic codebook — seed with the first 8 vectors, then Lloyd-
+    * refine on the DRIVER over a training sample collected once
+    * (FAISS-style; one collect instead of 2×iters distributed passes —
+    * the quantizer only needs density structure). The sample is the
+    * 8192 smallest rows by a deterministic hash order (seed ids sort
+    * first) — a per-partition top-k (TakeOrderedAndProject), so the
+    * driver collect stays bounded at ANY corpus size in ONE pass: no
+    * up-front count job sizing a modulus (at 100 TB that count was a
+    * full metadata scan before every codebook build). Driver-side
+    * re-sort by id makes the training fold order — and therefore the
+    * centroids — independent of which partition served each row; at
+    * bench SFs the whole (tiny) table trains, which RecallSpec pins at
+    * recall@5 >= 0.9 vs the brute-force oracle.
+    */
+  private def trainedIvfCentroids(emb: DataFrame): Seq[Seq[Double]] = {
     val sortKey = when(col("vec_id") < 8, lit(-1L))
       .otherwise(pmod(xxhash64(col("vec_id")), lit(1000000007L)))
     val training = emb
@@ -1082,12 +1083,46 @@ object SparkEntry {
       .collect().map(r => r.getAs[Long](0) -> r.getSeq[Double](1).toSeq)
       .sortBy(_._1)
     val seed = training.takeWhile(_._1 < 8).map(_._2).toSeq
-    val centroids = Similarity.kmeansLocal(training.map(_._2).toSeq, seed,
+    Similarity.kmeansLocal(training.map(_._2).toSeq, seed,
       iters = 5, spherical = true)
+  }
+
+  private def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5, centroids, nprobe = 3)
+        "vec_id", "embedding", k = 5, trainedIvfCentroids(emb), nprobe = 3)
       .withColumnRenamed("rank", "rnk")
       .orderBy(col("q_id"), col("rnk"))
+  }
+
+  private def annIvfParity(s: SparkSession, dir: String): DataFrame = {
+    // the graded equality pin for the trained (non-SQL-expressible) IVF
+    // path: the SAME kmeans codebook drives both the flat in-query IVF
+    // and the centroid-partitioned stored layout; per query, how many of
+    // the top-5 rows agree exactly (c_id AND rank AND bit-identical
+    // score). Both paths are deterministic, so the oracle is the fixed
+    // certificate (5 of 5 for each of the 10 queries) — a pruning or
+    // layout bug that changed a single stored row breaks the hash.
+    val emb = t(s, dir, "embeddings")
+    val centroids = trainedIvfCentroids(emb)
+    val flat = Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, centroids, nprobe = 3)
+    val path = layoutPath(dir, "ivftrained", "coarse=kmeans8x5,probe=3")
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      Similarity.writeIvfStore(emb, "vec_id", "embedding", centroids, path)
+    val stored = Similarity.ivfTopKStored(s.read.parquet(path),
+      emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+      k = 5, coarse = centroids, nprobe = 3)
+    val a = flat.select(col("q_id"), col("rank"),
+      col("c_id").as("a_c"), col("sim").as("a_s"))
+    val b = stored.select(col("q_id"), col("rank"),
+      col("c_id").as("b_c"), col("sim").as("b_s"))
+    a.join(b, Seq("q_id", "rank"), "full_outer")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum((col("a_c") === col("b_c") && col("a_s") === col("b_s"))
+          .cast("bigint")).as("n_agree"))
+      .orderBy(col("q_id"))
   }
 
   /** Id-partitioned full-precision vector store for the PQ/IVF-PQ re-rank
@@ -2236,6 +2271,33 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Write-once NB model store for the SF dir: the frozen (label, term)
+    * integer weights + per-class scalars of the even-doc_id train split,
+    * keyed like every layout cache on dir|config|src-mtime.
+    */
+  private def nbStore(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val path = layoutPath(dir, "nbmodel", "split=even,tok=ws",
+      srcTable = "documents.parquet")
+    if (!new java.io.File(s"$path/base", "_SUCCESS").exists()) {
+      val (tr, _) = nbSplit(s, dir)
+      Classify.writeNbStore(tr, "doc_id", "text", "lang", path)
+    }
+    Classify.readNbStore(s, path)
+  }
+
+  private def nbPredictStoredQuery(s: SparkSession, dir: String): DataFrame = {
+    // d_nb_predict against the STORED weights: the train half is never
+    // re-tokenized — one test-half scan + two broadcast weight tables
+    // (row-identical to the inline train, pinned in ClassifySpec)
+    val (_, te) = nbSplit(s, dir)
+    val (model, base) = nbStore(s, dir)
+    Classify.nbPredict(te, model, base, "doc_id", "text")
+      .join(te.select(col("doc_id"), col("lang").as("true_lang")), "doc_id")
+      .select(col("doc_id"), col("true_lang"), col("pred"), col("score"),
+        (col("pred") === col("true_lang")).cast("bigint").as("correct"))
+      .orderBy(col("doc_id"))
+  }
+
   private def lengthQuantilesExact(s: SparkSession, dir: String): DataFrame = {
     // per-language EXACT length quantiles with no per-group sort: all
     // groups refine together through the shared histogram passes
@@ -2303,6 +2365,31 @@ object SparkEntry {
     val d = t(s, dir, "documents")
     Retrieval.bm25TopK(d, d.filter(col("doc_id") < 5),
         "doc_id", "text", "doc_id", "text")
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** Write-once BM25 postings store for the SF dir — the last
+    * index-build-in-query-path displaced to ingest: postings (term, doc,
+    * tf, dl, df — exact integers, term-hashed into 16 files) plus the
+    * one-row global stats, keyed like every layout cache on
+    * dir|config|src-mtime.
+    */
+  private def bm25Store(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val path = layoutPath(dir, "bm25", "tok=ws,buckets=16",
+      srcTable = "documents.parquet")
+    if (!new java.io.File(s"$path/stats", "_SUCCESS").exists())
+      Retrieval.writeBm25Store(t(s, dir, "documents"), "doc_id", "text", path)
+    Retrieval.readBm25Store(s, path)
+  }
+
+  private def bm25TopKStoredQuery(s: SparkSession, dir: String): DataFrame = {
+    // the same retrieval as d_bm25_topk but scoring the STORED postings:
+    // the only text read left is the pushed-down 5-row query side —
+    // row-identical to the inline build (pinned in RetrievalSpec)
+    val (postings, stats) = bm25Store(s, dir)
+    Retrieval.bm25TopKStored(postings, stats,
+        t(s, dir, "documents").filter(col("doc_id") < 5),
+        "doc_id", "doc_id", "text")
       .orderBy(col("q_id"), col("rnk"))
   }
 
@@ -2410,6 +2497,7 @@ object SparkEntry {
     "s_ann_bruteforce" -> (annBruteForce _),
     "s_ann_recall" -> (annRecallQuery _),
     "s_ann_ivf" -> (annIvf _),
+    "s_ann_ivf_parity" -> (annIvfParity _),
     "s_ann_pq" -> (annPq _),
     "s_ann_ivfpq" -> (annIvfPq _),
     "s_ann_ivf_stored" -> (annIvfStored _),
@@ -2475,6 +2563,7 @@ object SparkEntry {
     "d_corpus_clean" -> (corpusClean _),
     "d_nb_train" -> (nbTrainQuery _),
     "d_nb_predict" -> (nbPredictQuery _),
+    "d_nb_predict_stored" -> (nbPredictStoredQuery _),
     "d_nb_confusion" -> (nbConfusionQuery _),
     "d_source_overlap" -> (sourceOverlapQuery _),
     "d_minhash_error" -> (minhashCalibrationQuery _),
@@ -2483,6 +2572,7 @@ object SparkEntry {
     "d_length_quantiles_exact" -> (lengthQuantilesExact _),
     "d_card_incremental" -> (cardIncremental _),
     "d_bm25_topk" -> (bm25TopKQuery _),
+    "d_bm25_topk_stored" -> (bm25TopKStoredQuery _),
     "d_winnow_fps" -> (winnowFpsQuery _),
     "d_winnow_matches" -> (winnowMatchesQuery _),
     "d_winnow_ingest_stored" -> (winnowIngestStored _),
@@ -2497,6 +2587,46 @@ object SparkEntry {
     * index; in-batch dups keep the lowest id. Serves both
     * `d_dedup_incremental` and its stored-layout twin.
     */
+  /** BM25 oracle — shared by the inline build and the stored-postings
+    * twin: the store freezes exactly the integers (tf, dl, df, N, tot)
+    * this SQL recomputes, so one oracle covers both spellings. */
+  private val bm25Oracle: String =
+    """WITH ct AS (
+        | SELECT doc_id,
+        |  unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |         x -> len(x) > 0)) AS term
+        | FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM ct GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+        |       FROM tf GROUP BY 1),
+        |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |st AS (SELECT count(*) AS n_docs FROM documents),
+        |tt AS (SELECT CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+        |qt AS (SELECT DISTINCT q_id, term FROM (
+        |  SELECT doc_id AS q_id,
+        |   unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |          x -> len(x) > 0)) AS term
+        |  FROM documents WHERE doc_id < 5)),
+        |c AS (
+        | SELECT tf.doc_id, tf.term,
+        |  CAST(round(1000000.0 * (
+        |    ln((CAST(n_docs - df AS DOUBLE) + 0.5) / (df + 0.5) + 1.0)
+        |    * ((tf * (1.2 + 1.0)) /
+        |       (tf + 1.2 * (1.0 - 0.75 + 0.75 *
+        |          (dl / (CAST(tot AS DOUBLE) / n_docs))))))) AS BIGINT) AS c
+        | FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id)
+        | CROSS JOIN st CROSS JOIN tt),
+        |sc AS (
+        | SELECT qt.q_id, c.doc_id, CAST(sum(c.c) AS BIGINT) AS score
+        | FROM c JOIN qt USING (term) GROUP BY 1, 2),
+        |r AS (
+        | SELECT q_id, doc_id, score,
+        |  row_number() OVER (PARTITION BY q_id
+        |                     ORDER BY score DESC, doc_id ASC) AS rnk
+        | FROM sc)
+        |SELECT q_id, rnk, doc_id, score FROM r WHERE rnk <= 10
+        |ORDER BY q_id, rnk""".stripMargin
+
   private val dedupIncrementalOracle: String =
     """WITH fp AS (
       | SELECT doc_id,
@@ -3640,6 +3770,16 @@ object SparkEntry {
         |      FROM rer)
         |SELECT q_id, c_id, rnk, round(sim, 4) AS sim FROM r
         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    // trained-path equality certificate: both sides of s_ann_ivf_parity
+    // run the SAME driver-trained kmeans codebook (non-SQL-expressible),
+    // one flat in-query, one over the centroid-partitioned store; the
+    // deterministic outcome is full agreement — 5 of 5 rows per query
+    // for the 10 graded queries. The oracle pins that certificate, so a
+    // stored-layout row drifting from the flat path breaks the hash.
+    "s_ann_ivf_parity" ->
+      """SELECT CAST(r AS BIGINT) AS q_id, CAST(5 AS BIGINT) AS n_rows,
+        | CAST(5 AS BIGINT) AS n_agree
+        |FROM range(10) t(r) ORDER BY q_id""".stripMargin,
     // IVF-PQ twin: the PQ CTE chain plus coarse assignment (8 unit seeds)
     // and nprobe=3 probe pruning before the ADC join
     // stored-IVF twin: the ivfpq coarse CTEs (unit vectors, first-8
@@ -4825,6 +4965,14 @@ object SparkEntry {
         | CAST(pred = true_lang AS BIGINT) AS correct
         |FROM p WHERE rnk = 1 ORDER BY doc_id""".stripMargin,
 
+    // stored-model twin: the store freezes exactly the integer weights
+    // this SQL retrains, so the same oracle covers both spellings
+    "d_nb_predict_stored" ->
+      s"""WITH $nbPredictCtes
+        |SELECT doc_id, true_lang, pred, CAST(score AS BIGINT) AS score,
+        | CAST(pred = true_lang AS BIGINT) AS correct
+        |FROM p WHERE rnk = 1 ORDER BY doc_id""".stripMargin,
+
     // confusion-matrix twin: the same frozen-model scoring chain, one
     // aggregate over the argmax rows
     "d_nb_confusion" ->
@@ -4847,42 +4995,8 @@ object SparkEntry {
         |SELECT src_a, src_b, count(*) AS n_shared FROM m
         |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
 
-    "d_bm25_topk" ->
-      """WITH ct AS (
-        | SELECT doc_id,
-        |  unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
-        |         x -> len(x) > 0)) AS term
-        | FROM documents),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM ct GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
-        |       FROM tf GROUP BY 1),
-        |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |st AS (SELECT count(*) AS n_docs FROM documents),
-        |tt AS (SELECT CAST(sum(dl) AS BIGINT) AS tot FROM dl),
-        |qt AS (SELECT DISTINCT q_id, term FROM (
-        |  SELECT doc_id AS q_id,
-        |   unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
-        |          x -> len(x) > 0)) AS term
-        |  FROM documents WHERE doc_id < 5)),
-        |c AS (
-        | SELECT tf.doc_id, tf.term,
-        |  CAST(round(1000000.0 * (
-        |    ln((CAST(n_docs - df AS DOUBLE) + 0.5) / (df + 0.5) + 1.0)
-        |    * ((tf * (1.2 + 1.0)) /
-        |       (tf + 1.2 * (1.0 - 0.75 + 0.75 *
-        |          (dl / (CAST(tot AS DOUBLE) / n_docs))))))) AS BIGINT) AS c
-        | FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id)
-        | CROSS JOIN st CROSS JOIN tt),
-        |sc AS (
-        | SELECT qt.q_id, c.doc_id, CAST(sum(c.c) AS BIGINT) AS score
-        | FROM c JOIN qt USING (term) GROUP BY 1, 2),
-        |r AS (
-        | SELECT q_id, doc_id, score,
-        |  row_number() OVER (PARTITION BY q_id
-        |                     ORDER BY score DESC, doc_id ASC) AS rnk
-        | FROM sc)
-        |SELECT q_id, rnk, doc_id, score FROM r WHERE rnk <= 10
-        |ORDER BY q_id, rnk""".stripMargin,
+    "d_bm25_topk" -> bm25Oracle,
+    "d_bm25_topk_stored" -> bm25Oracle,
 
     "d_winnow_fps" ->
       s"""WITH $winnowCtes

@@ -81,6 +81,29 @@ object Classify {
           .cast("bigint").as("def_w"))
   }
 
+  /** Write-once trained model: `path/model` ((label, term) integer
+    * weights — tiny: |V|·|classes| rows regardless of corpus size) and
+    * `path/base` (per-class scalars). Training (two tokenize aggregates
+    * over the train split) is paid once at ingest; every later
+    * prediction reads ONLY these frozen weights — the model-registry
+    * pattern for the 100 TB pipeline, where one trained classifier
+    * filters many corpus drops.
+    */
+  def writeNbStore(train: DataFrame, idCol: String, textCol: String,
+                   labelCol: String, path: String): Unit = {
+    nbModel(train, textCol, labelCol)
+      .coalesce(4).write.mode("overwrite").parquet(s"$path/model")
+    nbClassBase(train, idCol, textCol, labelCol)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/base")
+  }
+
+  /** (model, base) handles onto a written store — feed to [[nbPredict]];
+    * identical integer weights make stored prediction row-identical to
+    * training inline (pinned in ClassifySpec).
+    */
+  def readNbStore(spark: SparkSession, path: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/model"), spark.read.parquet(s"$path/base"))
+
   /** Classify `test` docs against a frozen model: one row per doc with the
     * argmax class (ties broken by label ascending) and its integer score.
     * Docs with no token in any class's vocabulary still score (prior +

