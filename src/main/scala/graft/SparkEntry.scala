@@ -1643,6 +1643,46 @@ object SparkEntry {
       .orderBy(col("media_id"))
   }
 
+  private def mp4SamplesQuery(s: SparkSession, dir: String): DataFrame = {
+    // SAMPLE-level MP4 decode — the stage after m_mp4_meta's routing:
+    // every doc carries an MP4 with a real PCM audio track (16-bit mono,
+    // fourcc twos for even ids / sowt for odd — both byte orders, one
+    // 2-byte MP4 sample per PCM frame, uniform stsz) and a real MJPEG
+    // video track (1 + id%2 frames, each an 8x8 grayscale baseline JPEG
+    // from the [[Jpeg]] encoder, per-sample stsz). The decoder walks
+    // stsc×stco×stsz to pull the samples back; PCM amplitudes are
+    // LOSSLESS so the integer stats (n, peak |v|, Σ|v| over
+    // v = (id*31 + s*17) % 65536 - 32768) are oracle-exact, and JPEG
+    // carries its dimensions losslessly so frame counts and Σdims are
+    // too (pixel fidelity is MultimodalSpec's bounded-error pin).
+    import s.implicits._
+    val payloads = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val n = (200 + id % 100).toInt
+        val be = id % 2 == 0
+        val audioSamples = (0 until n).map { sIdx =>
+          val v = ((id * 31 + sIdx * 17) % 65536 - 32768).toInt
+          if (be) Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+          else Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+        }
+        val frames = (0 until (1 + id % 2).toInt).map { f =>
+          val px = Array.tabulate[Byte](64)(p => (((id + f) * 131 + p * 7) % 256).toByte)
+          graft.multimodal.Jpeg.encode(8, 8, 1, px)
+        }
+        val mp4 = graft.multimodal.Multimodal.encodeMp4Media(
+          600, 6000L + id % 9000, Seq(
+            graft.multimodal.Multimodal.Mp4MediaTrack(
+              if (be) "twos" else "sowt", audioSamples,
+              channels = 1, sampleSize = 16,
+              sampleRate = 8000 + (id % 3).toInt * 4000),
+            graft.multimodal.Multimodal.Mp4MediaTrack(
+              "jpeg", frames, width = 8, height = 8)))
+        (id, mp4)
+      }).toDF("media_id", "payload")
+    graft.multimodal.Multimodal.mp4SampleStats(payloads)
+      .orderBy(col("media_id"))
+  }
+
   private def mp3MetaQuery(s: SparkSession, dir: String): DataFrame = {
     // the audio sibling of m_mp4_meta: every doc carries a REAL planted
     // CBR MP3 stream (ID3v2 tag of id%97 zero bytes, then 2 + id%4
@@ -2523,6 +2563,7 @@ object SparkEntry {
     "q_grouping_sets" -> (groupingSets _),
     "m_multimodal_meta" -> (multimodalMeta _),
     "m_mp4_meta" -> (mp4MetaQuery _),
+    "m_mp4_samples" -> (mp4SamplesQuery _),
     "m_mp3_meta" -> (mp3MetaQuery _),
     "m_gzip_roundtrip" -> (gzipRoundtrip _),
     "m_media_resize" -> (mediaResize _),
@@ -4017,6 +4058,29 @@ object SparkEntry {
         | CASE doc_id % 3 WHEN 0 THEN 'avc1' WHEN 1 THEN 'avc1,mp4a'
         |      ELSE 'avc1,mp4a,tx3g' END AS fourccs
         |FROM documents ORDER BY media_id""".stripMargin,
+    // mp4 sample-decode twin: the PCM track is lossless, so every stat
+    // is recomputed exactly from the planting formula with a per-doc
+    // lateral over the sample indices; MJPEG dims are lossless too
+    "m_mp4_samples" ->
+      """WITH sidx AS (SELECT range AS s FROM range(300)),
+        |a AS (
+        | SELECT d.doc_id,
+        |  CAST(max(abs((d.doc_id * 31 + i.s * 17) % 65536 - 32768)) AS BIGINT)
+        |    AS peak_abs,
+        |  CAST(sum(abs((d.doc_id * 31 + i.s * 17) % 65536 - 32768)) AS BIGINT)
+        |    AS sum_abs
+        | FROM documents d JOIN sidx i ON i.s < 200 + d.doc_id % 100
+        | GROUP BY d.doc_id)
+        |SELECT d.doc_id AS media_id,
+        | CASE WHEN d.doc_id % 2 = 0 THEN 'twos' ELSE 'sowt' END AS audio_codec,
+        | CAST(200 + d.doc_id % 100 AS BIGINT) AS n_samples,
+        | a.peak_abs, a.sum_abs,
+        | CAST(1 + d.doc_id % 2 AS BIGINT) AS n_frames,
+        | CAST(1 + d.doc_id % 2 AS BIGINT) AS frames_ok,
+        | CAST(8 * (1 + d.doc_id % 2) AS BIGINT) AS w_sum,
+        | CAST(8 * (1 + d.doc_id % 2) AS BIGINT) AS h_sum
+        |FROM documents d JOIN a USING (doc_id)
+        |ORDER BY media_id""".stripMargin,
     // mp3 frame-header-walk twin: bitrate from the published MPEG-1
     // Layer III table at index 1 + id%14, rate from index id%3, mono
     // only for channel mode 3, frame count 2 + id%4, and duration as

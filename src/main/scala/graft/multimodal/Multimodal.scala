@@ -854,11 +854,13 @@ object Multimodal {
   // -------------------------------------------------------------------
   // MP4 metadata (ISO-BMFF box walk — codec-free)
   //
-  // Full mp3/mp4 DECODE stays an honest stub (no codec libraries in this
-  // container, and a from-scratch AAC/H.264 decoder is poor effort/value)
-  // but the CONTAINER metadata needs no codec at all: ISO-BMFF is a
-  // length-prefixed box tree, so duration, track count, and per-track
-  // sample-entry fourccs come from a pure byte walk
+  // Compressed-codec DECODE (AAC/H.264/Layer III) stays an honest stub
+  // (no codec libraries in this container, and a from-scratch decoder is
+  // poor effort/value) — but see the MP4 SAMPLE section below for the
+  // codec-free media this engine DOES fully decode (PCM audio, MJPEG
+  // video). The CONTAINER metadata here needs no codec at all: ISO-BMFF
+  // is a length-prefixed box tree, so duration, track count, and
+  // per-track sample-entry fourccs come from a pure byte walk
   // (ftyp → moov → mvhd / trak → mdia → minf → stbl → stsd). That is
   // the metadata a corpus pipeline actually filters and routes on.
   // -------------------------------------------------------------------
@@ -974,6 +976,268 @@ object Multimodal {
           case None => (id, -1L, -1, "")
         }
       }).toDF("media_id", "duration_ms", "track_count", "fourccs")
+  }
+
+  // -------------------------------------------------------------------
+  // MP4 SAMPLE decode (codec-free media: PCM audio + MJPEG video)
+  //
+  // Compressed-codec decode (AAC/H.264) stays an honest stub, but two
+  // real-world media encodings need no codec at all: uncompressed PCM
+  // audio (sample-entry fourccs `twos` big-endian / `sowt` little-endian,
+  // QuickTime/ISO) and MJPEG video (each sample IS a baseline JPEG,
+  // which [[Jpeg]] decodes from scratch). Locating samples is pure table
+  // arithmetic over the stbl boxes — stsc (chunk runs) × stco (chunk
+  // offsets) × stsz (sample sizes) — so the sample walk below serves any
+  // codec; only payload interpretation is fourcc-gated.
+  // -------------------------------------------------------------------
+
+  /** One media track's samples pulled out of an MP4: the stsd fourcc,
+    * the audio header fields when the entry is a SoundSampleEntry
+    * (0 otherwise), and each sample's raw bytes in track order.
+    */
+  case class Mp4Track(fourcc: String, channels: Int, sampleSize: Int,
+                      sampleRate: Int, samples: Vector[Array[Byte]])
+
+  /** Media description for [[encodeMp4Media]]: audio tracks set
+    * channels/sampleSize/sampleRate (> 0), video tracks width/height.
+    */
+  case class Mp4MediaTrack(fourcc: String, samples: Seq[Array[Byte]],
+                           channels: Int = 0, sampleSize: Int = 0,
+                           sampleRate: Int = 0,
+                           width: Int = 0, height: Int = 0)
+
+  /** MP4 encoder WITH media: ftyp + moov (version-0 mvhd, one
+    * trak→mdia→minf→stbl chain per track with real stsd/stts/stsc/stsz/
+    * stco tables) + one mdat holding one chunk per track. Audio tracks
+    * get a canonical SoundSampleEntry (uniform stsz), video tracks a
+    * VisualSampleEntry (per-sample stsz — both size modes exercised).
+    * stco offsets are absolute, patched via a fixed-size second pass.
+    */
+  def encodeMp4Media(timescale: Int, duration: Long,
+                     tracks: Seq[Mp4MediaTrack]): Array[Byte] = {
+    require(timescale > 0 && duration >= 0 && duration <= 0xFFFFFFFFL)
+    require(tracks.nonEmpty && tracks.forall(_.fourcc.length == 4))
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def be16(v: Int): Array[Byte] =
+      Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def box(typ: String, content: Array[Byte]): Array[Byte] =
+      be32(content.length + 8L) ++ typ.getBytes("US-ASCII") ++ content
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ be32(0) ++ "isom".getBytes("US-ASCII"))
+    val matrix = Seq(0x10000L, 0L, 0L, 0L, 0x10000L, 0L, 0L, 0L, 0x40000000L)
+      .flatMap(be32).toArray
+    val mvhd = box("mvhd",
+      be32(0) ++ be32(0) ++ be32(0) ++ be32(timescale.toLong) ++ be32(duration) ++
+        be32(0x00010000L) ++ Array[Byte](0x01, 0x00) ++ new Array[Byte](10) ++
+        matrix ++ new Array[Byte](24) ++ be32(tracks.size + 1L))
+    def sampleEntry(t: Mp4MediaTrack): Array[Byte] =
+      if (t.channels > 0) // SoundSampleEntry: 6 reserved + dri, then v0 fields
+        box(t.fourcc, new Array[Byte](6) ++ be16(1) ++
+          be16(0) ++ be16(0) ++ be32(0) ++               // version/rev/vendor
+          be16(t.channels) ++ be16(t.sampleSize) ++
+          be16(0) ++ be16(0) ++ be32(t.sampleRate.toLong << 16))
+      else // VisualSampleEntry
+        box(t.fourcc, new Array[Byte](6) ++ be16(1) ++
+          new Array[Byte](16) ++ be16(t.width) ++ be16(t.height) ++
+          be32(0x00480000L) ++ be32(0x00480000L) ++ be32(0) ++ be16(1) ++
+          new Array[Byte](32) ++ be16(24) ++ be16(0xFFFF))
+    def trakBox(t: Mp4MediaTrack, chunkOffset: Long): Array[Byte] = {
+      val n = t.samples.size
+      val stsd = box("stsd", be32(0) ++ be32(1) ++ sampleEntry(t))
+      val stts = box("stts", be32(0) ++ be32(1) ++ be32(n.toLong) ++ be32(1))
+      val stsc = box("stsc", be32(0) ++ be32(1) ++
+        be32(1) ++ be32(n.toLong) ++ be32(1))
+      val uniform = t.samples.nonEmpty &&
+        t.samples.forall(_.length == t.samples.head.length)
+      val stsz =
+        if (uniform) box("stsz",
+          be32(0) ++ be32(t.samples.head.length.toLong) ++ be32(n.toLong))
+        else box("stsz", be32(0) ++ be32(0) ++ be32(n.toLong) ++
+          t.samples.flatMap(s => be32(s.length.toLong)).toArray)
+      val stco = box("stco", be32(0) ++ be32(1) ++ be32(chunkOffset))
+      box("trak", box("mdia", box("minf",
+        box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco))))
+    }
+    def moovFor(offsets: Seq[Long]): Array[Byte] =
+      box("moov", mvhd ++ tracks.zip(offsets).flatMap {
+        case (t, o) => trakBox(t, o) }.toArray)
+    // pass 1 sizes the header; stco content is fixed-width, so pass 2
+    // with true offsets yields an identically-sized moov
+    val probe = moovFor(tracks.map(_ => 0L))
+    val mdatStart = ftyp.length + probe.length + 8L
+    val chunkOffsets = tracks.scanLeft(mdatStart) {
+      (o, t) => o + t.samples.map(_.length.toLong).sum }.init
+    val mdat = box("mdat", tracks.flatMap(_.samples.flatten).toArray)
+    ftyp ++ moovFor(chunkOffsets) ++ mdat
+  }
+
+  /** Walk an MP4's sample tables and pull every track's samples.
+    * Supports the general stsc/stco/stsz machinery (multi-chunk runs,
+    * uniform or per-sample sizes); None on anything malformed — decode
+    * never kills a task, the [[decodePpm]] contract.
+    */
+  def decodeMp4Tracks(bytes: Array[Byte]): Option[Seq[Mp4Track]] = try {
+    def u32(o: Int): Long =
+      ((bytes(o) & 0xFFL) << 24) | ((bytes(o + 1) & 0xFFL) << 16) |
+        ((bytes(o + 2) & 0xFFL) << 8) | (bytes(o + 3) & 0xFFL)
+    def u16(o: Int): Int = ((bytes(o) & 0xFF) << 8) | (bytes(o + 1) & 0xFF)
+    def tag(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+    def boxes(start: Int, end: Int): List[(String, Int, Int)] = {
+      var o = start
+      var acc = List.empty[(String, Int, Int)]
+      while (o + 8 <= end) {
+        val sz = u32(o)
+        require(sz >= 8 && o + sz <= end, s"malformed box at $o")
+        acc = (tag(o + 4), o + 8, (o + sz).toInt) :: acc
+        o = (o + sz).toInt
+      }
+      require(o == end, s"trailing bytes after last box: $o != $end")
+      acc.reverse
+    }
+    if (bytes.length < 12 || tag(4) != "ftyp") None
+    else {
+      val top = boxes(0, bytes.length)
+      val moov = top.find(_._1 == "moov").getOrElse(failMp4("no moov"))
+      val traks = boxes(moov._2, moov._3).filter(_._1 == "trak")
+      Some(traks.map { tr =>
+        val stbl = (for {
+          mdia <- boxes(tr._2, tr._3).find(_._1 == "mdia")
+          minf <- boxes(mdia._2, mdia._3).find(_._1 == "minf")
+          st <- boxes(minf._2, minf._3).find(_._1 == "stbl")
+        } yield st).getOrElse(failMp4("no stbl"))
+        val sb = boxes(stbl._2, stbl._3)
+        def need(t: String) = sb.find(_._1 == t).getOrElse(failMp4(s"no $t"))
+        val stsd = need("stsd")
+        require(u32(stsd._2 + 4) >= 1, "empty stsd")
+        val entry = stsd._2 + 8 // first sample-entry box
+        val fourcc = tag(entry + 4)
+        val ec = entry + 8 // entry content (after its own box header)
+        // SoundSampleEntry layout if the audio fields are in range and
+        // plausible; video entries leave them 0
+        val entryLen = u32(entry).toInt
+        val isAudio = entryLen >= 36 &&
+          u16(ec + 18) > 0 && u16(ec + 18) <= 64 && u16(ec + 16) > 0
+        val (ch, ss, sr) =
+          if (isAudio) (u16(ec + 16), u16(ec + 18), (u32(ec + 24) >> 16).toInt)
+          else (0, 0, 0)
+        // stsz: uniform size or per-sample list
+        val stsz = need("stsz")
+        val uni = u32(stsz._2 + 4)
+        val nSamples = u32(stsz._2 + 8).toInt
+        val sizes: Int => Long =
+          if (uni != 0) _ => uni
+          else i => u32(stsz._2 + 12 + 4 * i)
+        // stco chunk offsets
+        val stco = need("stco")
+        val nChunks = u32(stco._2 + 4).toInt
+        val chunkOff: Int => Long = i => u32(stco._2 + 8 + 4 * i)
+        // stsc runs → samples-per-chunk for each chunk index (1-based)
+        val stsc = need("stsc")
+        val nRuns = u32(stsc._2 + 4).toInt
+        val runs = (0 until nRuns).map { i =>
+          val o = stsc._2 + 8 + 12 * i
+          (u32(o).toInt, u32(o + 4).toInt) // (first_chunk, samples_per_chunk)
+        }
+        val perChunk = (1 to nChunks).map { c =>
+          runs.takeWhile(_._1 <= c).lastOption.map(_._2)
+            .getOrElse(failMp4("stsc gap"))
+        }
+        require(perChunk.map(_.toLong).sum >= nSamples, "stsc undercount")
+        val out = Vector.newBuilder[Array[Byte]]
+        var s = 0
+        var c = 0
+        while (s < nSamples && c < nChunks) {
+          var off = chunkOff(c)
+          var k = 0
+          while (k < perChunk(c) && s < nSamples) {
+            val len = sizes(s)
+            require(off + len <= bytes.length, "sample out of range")
+            out += java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt)
+            off += len; k += 1; s += 1
+          }
+          c += 1
+        }
+        require(s == nSamples, "chunk walk exhausted early")
+        Mp4Track(fourcc, ch, ss, sr, out.result())
+      })
+    }
+  } catch {
+    case scala.util.control.NonFatal(_) => None
+  }
+
+  private def failMp4(msg: String): Nothing =
+    throw new IllegalArgumentException(msg)
+
+  /** Decode a PCM track's samples to amplitude values: `twos` is 16-bit
+    * big-endian, `sowt` 16-bit little-endian, `lpcm` treated as BE16
+    * here (real lpcm carries flags in a sibling box). None for any
+    * other fourcc or a non-16-bit header.
+    */
+  def pcmSamples(track: Mp4Track): Option[Array[Int]] =
+    if (track.sampleSize != 16) None
+    else track.fourcc match {
+      case "twos" | "lpcm" => Some(track.samples.flatMap(pcm16(_, be = true)).toArray)
+      case "sowt" => Some(track.samples.flatMap(pcm16(_, be = false)).toArray)
+      case _ => None
+    }
+
+  private def pcm16(bytes: Array[Byte], be: Boolean): Array[Int] = {
+    val n = bytes.length / 2
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      out(i) =
+        if (be) (bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xFF)
+        else (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xFF)
+      i += 1
+    }
+    out
+  }
+
+  /** Batched SAMPLE-LEVEL MP4 extraction — the decode stage a media
+    * pipeline runs after routing on [[mp4Metas]]: per payload, the first
+    * PCM audio track's exact integer amplitude stats (sample count, peak
+    * |amplitude|, Σ|amplitude| — lossless, so fully oracle-checkable)
+    * and the first video track's MJPEG frame stats (frame count, frames
+    * that really decode through [[Jpeg.decode]], Σ width, Σ height —
+    * dimensions are lossless even though JPEG pixels aren't).
+    * Undecodable payloads carry the all--1 sentinel row. Map-side
+    * mapPartitions; payload bytes never shuffle.
+    */
+  def mp4SampleStats(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        decodeMp4Tracks(bytes) match {
+          case Some(tracks) =>
+            val audio = tracks.iterator.flatMap(t =>
+              pcmSamples(t).map(t.fourcc -> _)).buffered
+            val (aCodec, nS, peak, sumAbs) =
+              if (audio.hasNext) {
+                val (fc, xs) = audio.head
+                val abs = xs.map(v => math.abs(v.toLong))
+                (fc, xs.length.toLong,
+                  if (abs.isEmpty) 0L else abs.max, abs.sum)
+              } else ("", -1L, -1L, -1L)
+            val video = tracks.find(t => t.channels == 0 &&
+              (t.fourcc == "jpeg" || t.fourcc == "mjpa"))
+            val (nF, okF, wSum, hSum) = video match {
+              case Some(v) =>
+                val dims = v.samples.map(Jpeg.decode(_))
+                (v.samples.size.toLong, dims.count(_.isDefined).toLong,
+                  dims.flatten.map(_._1.toLong).sum,
+                  dims.flatten.map(_._2.toLong).sum)
+              case None => (-1L, -1L, -1L, -1L)
+            }
+            (id, aCodec, nS, peak, sumAbs, nF, okF, wSum, hSum)
+          case None => (id, "", -1L, -1L, -1L, -1L, -1L, -1L, -1L)
+        }
+      }).toDF("media_id", "audio_codec", "n_samples", "peak_abs", "sum_abs",
+        "n_frames", "frames_ok", "w_sum", "h_sum")
   }
 
   // -------------------------------------------------------------------

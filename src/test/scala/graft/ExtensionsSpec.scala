@@ -114,6 +114,54 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.features.toSeq == Seq((9001L * 1000 / 600).toFloat))
   }
 
+  test("mp4 media: PCM samples round-trip exactly in both byte orders") {
+    val vals = Array(-32768, -1, 0, 1, 12345, 32767)
+    def pcmBytes(be: Boolean) = vals.map { v =>
+      if (be) Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+      else Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    }.toSeq
+    for ((fc, be) <- Seq(("twos", true), ("sowt", false), ("lpcm", true))) {
+      val mp4 = Multimodal.encodeMp4Media(600, 100L, Seq(
+        Multimodal.Mp4MediaTrack(fc, pcmBytes(be),
+          channels = 1, sampleSize = 16, sampleRate = 8000)))
+      val tracks = Multimodal.decodeMp4Tracks(mp4).get
+      assert(tracks.size == 1)
+      val t = tracks.head
+      assert(t.fourcc == fc && t.channels == 1 &&
+        t.sampleSize == 16 && t.sampleRate == 8000)
+      assert(Multimodal.pcmSamples(t).get.toSeq == vals.toSeq)
+      // the media file still yields container metadata (stsd walk is
+      // entry-size agnostic)
+      assert(Multimodal.decodeMp4Meta(mp4).get.fourccs == Seq(fc))
+    }
+  }
+
+  test("mp4 media: MJPEG frames really decode; audio+video chunk offsets hold") {
+    val px = Array.tabulate[Byte](64)(p => ((p * 7 + 11) % 256).toByte)
+    val frame = Jpeg.encode(8, 8, 1, px)
+    val audio = (0 until 5).map(i =>
+      Array((i * 3).toByte, (i * 5).toByte)) // BE pairs
+    val mp4 = Multimodal.encodeMp4Media(600, 100L, Seq(
+      Multimodal.Mp4MediaTrack("twos", audio,
+        channels = 1, sampleSize = 16, sampleRate = 8000),
+      Multimodal.Mp4MediaTrack("jpeg", Seq(frame, frame), width = 8, height = 8)))
+    val tracks = Multimodal.decodeMp4Tracks(mp4).get
+    assert(tracks.size == 2)
+    // second track's chunk offset must land exactly on the frame bytes
+    val v = tracks(1)
+    assert(v.fourcc == "jpeg" && v.channels == 0)
+    assert(v.samples.size == 2 && v.samples.forall(_.sameElements(frame)))
+    val (w, h, c, out) = Jpeg.decode(v.samples.head).get
+    assert(w == 8 && h == 8 && c == 1)
+    // JPEG is lossy but bounded: decoded grayscale within 16 of planted
+    assert(out.zip(px).forall { case (a, b) =>
+      math.abs((a & 0xFF) - (b & 0xFF)) <= 16 })
+    // sample-table machinery: truncation never throws
+    for (cut <- Seq(20, mp4.length / 2, mp4.length - 2))
+      assert(Multimodal.decodeMp4Tracks(mp4.take(cut)).isEmpty, s"cut=$cut")
+    assert(Multimodal.decodeMp4Tracks("plain".getBytes).isEmpty)
+  }
+
   test("mp3 header walk: metadata round-trips; junk tails and foreign bytes handled") {
     // round-trip: 128 kbps (index 9) at 44100 Hz (index 0), joint stereo,
     // padding on, 5 frames behind a 37-byte ID3v2 tag
