@@ -45,6 +45,14 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // the status stores retain per-execution state (plans, job/stage
+      // rollups) even with the UI off; at 148 queries x (warmup + reps)
+      // the defaults (1000 retained each) grow the old gen all session
+      // and every later query pays the GC tax — keep only a screenful
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "64")
+      .config("spark.ui.retainedStages", "64")
+      .config("spark.ui.retainedTasks", "1000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // steady-state warmup: run EVERY query once at the smallest SF so the
@@ -89,6 +97,13 @@ object Bench {
         dropLeftoverBlocks(spark)
         r
       }
+      // out-of-band GC between queries (never inside a timed rep): the
+      // ContextCleaner frees dead broadcast/shuffle blocks only after
+      // their references are GC'd on the driver, so without this a
+      // 148-query session accretes every query's dead broadcasts until
+      // an organic GC lands — inside someone's timing window. Forcing
+      // collection here keeps each query's reps on a level heap.
+      System.gc()
       val best = runs.minBy(_.sec)
       // row counts must agree across reps; hashes may differ in the last
       // decimal of a rounded float sum (aggregation order) — report, don't fail

@@ -204,6 +204,108 @@ object ScaleProbe {
       }
       docs.unpersist()
     }
+
+    // round-8 families. BM25: the inline spelling rebuilds the postings
+    // (tokenize + three aggregates, linear in f) per query batch; the
+    // stored path pays that once at "build" and scoring is flat —
+    // the retrieval twin of the LSH/winnow gate claims. NB predict:
+    // inline retrains per run (linear), frozen stored weights score
+    // with one test-half scan (flat, test side constant here).
+    {
+      val queries = base.filter(col("doc_id") < 5).localCheckpoint()
+      for (f <- Seq(1, factor, 3 * factor)) {
+        val docs = corpus(f)
+        def time(name: String)(df: => DataFrame): Unit = {
+          val t0 = System.nanoTime()
+          val n = df.count()
+          println(f"""{"probe":"$name","factor":$f,"sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":$n}""")
+        }
+        time("bm25_inline") {
+          operators.Retrieval.bm25TopK(docs, queries,
+            "doc_id", "text", "doc_id", "text")
+        }
+        val bPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_probe_bm25_$f").getAbsolutePath
+        val tb = System.nanoTime()
+        operators.Retrieval.writeBm25Store(docs, "doc_id", "text", bPath)
+        println(f"""{"probe":"bm25_store_build","factor":$f,"sec":${(System.nanoTime() - tb) / 1e9}%.2f}""")
+        val (postings, stats) = operators.Retrieval.readBm25Store(spark, bPath)
+        time("bm25_stored") {
+          operators.Retrieval.bm25TopKStored(postings, stats, queries,
+            "doc_id", "doc_id", "text")
+        }
+        docs.unpersist()
+      }
+      queries.unpersist()
+    }
+    {
+      val testHalf = corpusFull(1).filter(col("doc_id") % 2 === 1)
+        .localCheckpoint()
+      for (f <- Seq(1, factor, 3 * factor)) {
+        val train = corpusFull(f).filter(col("doc_id") % 2 === 0)
+          .localCheckpoint()
+        def time(name: String)(df: => DataFrame): Unit = {
+          val t0 = System.nanoTime()
+          val n = df.count()
+          println(f"""{"probe":"$name","factor":$f,"sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":$n}""")
+        }
+        time("nb_predict_inline") {
+          operators.Classify.nbPredict(testHalf,
+            operators.Classify.nbModel(train, "text", "lang"),
+            operators.Classify.nbClassBase(train, "doc_id", "text", "lang"),
+            "doc_id", "text")
+        }
+        val nPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_probe_nb_$f").getAbsolutePath
+        val tb = System.nanoTime()
+        operators.Classify.writeNbStore(train, "doc_id", "text", "lang", nPath)
+        println(f"""{"probe":"nb_store_build","factor":$f,"sec":${(System.nanoTime() - tb) / 1e9}%.2f}""")
+        val (model, nbase) = operators.Classify.readNbStore(spark, nPath)
+        time("nb_predict_stored") {
+          operators.Classify.nbPredict(testHalf, model, nbase, "doc_id", "text")
+        }
+        train.unpersist()
+      }
+      testHalf.unpersist()
+    }
+    // winnow matching: replicas are verbatim copies, so every replica
+    // pair shares every fingerprint — the f²-pair regime the bucket cap
+    // exists for. Probe cap-on with the audit (graded query is cap-off
+    // to mirror its oracle; the subset contract is WinnowSpec's).
+    for (f <- Seq(1, factor); cap <- Seq(1000, 100)) {
+      val docs = corpus(f)
+      run("d_winnow_matches_capped", f, cap) { obs =>
+        operators.Dedup.winnowMatches(docs, "doc_id", "text",
+          maxBucketSize = cap, dropAudit = Some(obs))
+      }
+      docs.unpersist()
+    }
+    // per-language heavy hitters (ONE grouped MG sketch pass — linear,
+    // driver state |langs|·k) and grouped exact quantiles (shared
+    // histogram refinement, no per-group sort — passes grow with the
+    // value-range refinement, not row count)
+    for (f <- Seq(1, factor, 3 * factor)) {
+      val docs = corpusFull(f)
+      def time(name: String)(df: => DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        val n = df.count()
+        println(f"""{"probe":"$name","factor":$f,"sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":$n}""")
+      }
+      time("d_token_hh_lang") {
+        operators.HeavyHitters.exactPerGroup(
+          docs.select(col("lang"), explode(operators.TextAnalysis.tokens(
+            lower(trim(col("text"))))).as("term")),
+          "lang", "term", minShare = 0.01, k = 256)
+      }
+      locally {
+        val t0 = System.nanoTime()
+        val rows = operators.OrderStats.groupedExactQuantiles(
+          docs.withColumn("n_chars", length(col("text"))),
+          "lang", "n_chars", Seq(0.5, 0.9)).size
+        println(f"""{"probe":"d_length_quantiles_exact","factor":$f,"sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":$rows}""")
+      }
+      docs.unpersist()
+    }
     spark.stop()
   }
 }

@@ -142,6 +142,49 @@ object SparkEntry {
       .orderBy(col("o_year"))
   }
 
+  private def q10ReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    // TPC-H Q10 analogue (returned-item reporting): revenue lost to
+    // returns per customer over one quarter, top 20. The quarter filter
+    // prunes orders at the scan; nation (25 rows at any SF) broadcasts;
+    // customer joins AFTER the revenue aggregate so the wide c_name/
+    // c_acctbal columns ride only the 20-row-bound result, not the
+    // lineitem stream. Ordered by ROUNDED revenue (hash-checked column)
+    // with a c_custkey tiebreak so the limit cut is deterministic.
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+    val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+    val rev = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+    rev.join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .orderBy(desc("revenue"), asc("c_custkey")).limit(20)
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("c_acctbal"), col("n_name"))
+  }
+
+  private def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    // TPC-H Q18 analogue (large-volume customers): orders whose summed
+    // quantity tops 300, with customer and order detail, top 100 by
+    // o_totalprice. The HAVING runs as a partially-aggregated groupBy on
+    // the lineitem stream FIRST — the few surviving orderkeys then join
+    // orders/customer (AQE broadcasts the tiny survivor side), so the
+    // wide tables never see the unfiltered lineitem stream.
+    val big = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 300)
+    big.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey")).limit(100)
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"),
+        col("o_totalprice"), round(col("total_qty"), 2).as("total_qty"))
+  }
+
   private def profileLineitem(s: SparkSession, dir: String): DataFrame = {
     val p = ColumnProfiler.profile(t(s, dir, "lineitem"),
       Seq("l_quantity", "l_extendedprice", "l_discount"),
@@ -963,6 +1006,21 @@ object SparkEntry {
 
   private def annBruteForce(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+      .withColumnRenamed("rank", "rnk")
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  private def embedMatryoshka(s: SparkSession, dir: String): DataFrame = {
+    // Matryoshka / adaptive retrieval: score with only the FIRST HALF of
+    // the embedding dims (32 of 64) — the cheap first pass of a
+    // truncate-then-rerank pipeline (half the bytes scanned, half the
+    // multiply-adds; at 100 TB of vectors that halves the scan before
+    // any index even enters). Same brute-force chain, dims sliced
+    // map-side; recall vs the full-dim ranking is RecallSpec's pin.
+    val emb = t(s, dir, "embeddings").select(col("vec_id"),
+      slice(col("embedding").cast("array<double>"), 1, 32).as("embedding"))
     Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5)
       .withColumnRenamed("rank", "rnk")
@@ -2471,6 +2529,8 @@ object SparkEntry {
     "q5_region_revenue" -> (q5RegionRevenue _),
     "q7_nation_volume" -> (q7NationVolume _),
     "q8_market_share" -> (q8MarketShare _),
+    "q10_returned_items" -> (q10ReturnedItems _),
+    "q18_large_orders" -> (q18LargeOrders _),
     "q_profile_lineitem" -> (profileLineitem _),
     "q_top1_returnflag" -> (top1ReturnFlag _),
     "q_preview_orders" -> (previewOrders _),
@@ -2535,6 +2595,7 @@ object SparkEntry {
     "d_simhash_neardup" -> (simhashNearDups _),
     "d_ngram_jaccard" -> (ngramJaccard _),
     "s_ann_bruteforce" -> (annBruteForce _),
+    "s_embed_matryoshka" -> (embedMatryoshka _),
     "s_ann_recall" -> (annRecallQuery _),
     "s_ann_ivf" -> (annIvf _),
     "s_ann_ivf_parity" -> (annIvfParity _),
@@ -3031,6 +3092,31 @@ object SparkEntry {
         |SELECT o_year, nation_volume, total_volume,
         | round(nation_volume / total_volume, 6) AS mkt_share
         |FROM a ORDER BY o_year""".stripMargin,
+    // Q10 analogue: quarter of returned-item revenue per customer,
+    // ordered by the ROUNDED revenue with a custkey tiebreak
+    "q10_returned_items" ->
+      """WITH rev AS (
+        | SELECT o_custkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | WHERE l_returnflag = 'R'
+        |   AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |   AND o_orderdate < TIMESTAMP '1996-04-01'
+        | GROUP BY o_custkey)
+        |SELECT c_custkey, c_name, revenue, c_acctbal, n_name
+        |FROM rev JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    // Q18 analogue: orders over 300 summed quantity, top 100 by price
+    "q18_large_orders" ->
+      """WITH big AS (
+        | SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+        | FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+        |SELECT c_name, c_custkey, o_orderkey,
+        | CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice, total_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
     "q_profile_lineitem" ->
       """SELECT
         | min(l_quantity) AS l_quantity_min, max(l_quantity) AS l_quantity_max,
@@ -3759,6 +3845,21 @@ object SparkEntry {
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
         |           FROM embeddings WHERE vec_id < 10),
         |c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c_vec FROM embeddings),
+        |s AS (SELECT q_id, c_id,
+        |        list_dot_product(q_vec, c_vec) /
+        |        (sqrt(list_dot_product(q_vec, q_vec)) * sqrt(list_dot_product(c_vec, c_vec))) AS sim
+        |      FROM q, c WHERE c_id <> q_id),
+        |r AS (SELECT q_id, c_id, sim,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
+        |      FROM s)
+        |SELECT q_id, c_id, rnk, round(sim,4) AS sim FROM r
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    // Matryoshka twin: the brute-force chain over the first 32 dims
+    "s_embed_matryoshka" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[])[1:32] AS q_vec
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[])[1:32] AS c_vec
+        |      FROM embeddings),
         |s AS (SELECT q_id, c_id,
         |        list_dot_product(q_vec, c_vec) /
         |        (sqrt(list_dot_product(q_vec, q_vec)) * sqrt(list_dot_product(c_vec, c_vec))) AS sim

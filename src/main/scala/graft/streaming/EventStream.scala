@@ -476,4 +476,28 @@ object EventStream {
     docs.select(col(idCol), predict(col(textCol)).as("p"))
       .select(col(idCol), col("p._1").as("pred"), col("p._2").as("score"))
   }
+
+  /** Streaming retrieval against a FROZEN BM25 postings store — the
+    * query-side streaming shape for
+    * [[graft.operators.Retrieval.bm25TopKStored]]: queries arrive as a
+    * stream; each micro-batch is broadcast (term sets only) against the
+    * static postings table and scored through the identical fixed-point
+    * chain, so stream results per query are bit-equal to the batch
+    * operator and trivially batch-split invariant (each query's top-k
+    * depends only on the frozen store — pinned in StreamingSpec).
+    * Unlike the NB scorer above, the model side here is a full postings
+    * TABLE (too big to collect at corpus scale), so this runs the
+    * stream-static join per batch via foreachBatch rather than a
+    * broadcast UDF.
+    */
+  def streamingBm25TopK(queries: DataFrame, qIdCol: String, qTextCol: String,
+                        postings: DataFrame, stats: DataFrame, idCol: String,
+                        k1: Double = 1.2, b: Double = 0.75, topK: Int = 10)(
+                        onBatch: DataFrame => Unit) =
+    queries.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        onBatch(graft.operators.Retrieval.bm25TopKStored(
+          postings, stats, batch.toDF(), idCol, qIdCol, qTextCol,
+          k1, b, topK))
+    }
 }

@@ -1364,6 +1364,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming BM25 over frozen postings equals the batch operator, any batching") {
+    // postings frozen on the sf0.001 corpus; 5 doc-as-query rows stream
+    // in uneven micro-batches — accumulated top-10 rows must equal one
+    // batch bm25TopKStored run (each query depends only on the store)
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Retrieval
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val path = java.nio.file.Files.createTempDirectory("bm25stream").toString
+    Retrieval.writeBm25Store(docs, "doc_id", "text", path, buckets = 4)
+    val (postings, stats) = Retrieval.readBm25Store(spark, path)
+    val queries = docs.filter(col("doc_id") < 5)
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    val q = EventStream.streamingBm25TopK(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        postings, stats, "doc_id") {
+      out => got ++= out.collect().map(_.toSeq)
+    }.start()
+    try {
+      queries.as[(Long, String)].collect().grouped(2)
+        .foreach { c => mem.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+      val batch = Retrieval.bm25TopKStored(postings, stats, queries,
+        "doc_id", "doc_id", "text").collect().map(_.toSeq)
+      assert(batch.nonEmpty && got.toSet == batch.toSet)
+      assert(got.size == batch.length)
+    } finally q.stop()
+  }
+
   test("stored LSH index gate is row-identical to the inline index path") {
     // the stored layout is a physical rearrangement of the same band
     // index, so the gate's survivor set must not move by a single row
