@@ -154,10 +154,14 @@ object SparkEntry {
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
     val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+    // revenue in FIXED-POINT CENTS: each item's contribution rounds once
+    // to an integer, the sum is exact and order-independent, and the
+    // /100.0 at the end is bit-identical on any engine — the float-sum
+    // rounding knife-edge (…3.595 vs …3.594999…) can't flip the output
     val rev = li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-        .as("revenue"))
+      .agg((sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 100).cast("bigint")) / lit(100.0)).as("revenue"))
     rev.join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .join(broadcast(t(s, dir, "nation")),
         col("c_nationkey") === col("n_nationkey"))
@@ -3097,7 +3101,8 @@ object SparkEntry {
     "q10_returned_items" ->
       """WITH rev AS (
         | SELECT o_custkey,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |               AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         | WHERE l_returnflag = 'R'
         |   AND o_orderdate >= TIMESTAMP '1996-01-01'
