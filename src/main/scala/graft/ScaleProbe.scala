@@ -229,9 +229,9 @@ object ScaleProbe {
         val tb = System.nanoTime()
         operators.Retrieval.writeBm25Store(docs, "doc_id", "text", bPath)
         println(f"""{"probe":"bm25_store_build","factor":$f,"sec":${(System.nanoTime() - tb) / 1e9}%.2f}""")
-        val (postings, stats) = operators.Retrieval.readBm25Store(spark, bPath)
+        val store = operators.Retrieval.readBm25Store(spark, bPath)
         time("bm25_stored") {
-          operators.Retrieval.bm25TopKStored(postings, stats, queries,
+          operators.Retrieval.bm25TopKStored(store, queries,
             "doc_id", "doc_id", "text")
         }
         docs.unpersist()

@@ -2435,6 +2435,29 @@ object SparkEntry {
     rows.toDF("p", "k", "value").orderBy(col("p"))
   }
 
+  private def cdcChunkStatsQuery(s: SparkSession, dir: String): DataFrame =
+    // content-defined chunking audit: per doc, how the rolling-hash
+    // boundaries cut it (count, min/max chunk length, an order-sensitive
+    // md5 over the length sequence) — the insert-resilient block-dedup
+    // primitive, all codegen'd HOF expressions, zero shuffle
+    TextAnalysis.cdcChunkStats(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  private def cdcDedupQuery(s: SparkSession, dir: String): DataFrame = {
+    // block-level dedup mass by source: repeated CDC chunks (shared
+    // boilerplate blocks, templated intros) show up as n_chunks >
+    // n_distinct — the chunk-granular sibling of d_source_overlap;
+    // only (source, fp) digests shuffle
+    val docs = t(s, dir, "documents")
+    TextAnalysis.cdcChunks(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("fp")).as("n_distinct"))
+      .withColumn("dup_chunks", col("n_chunks") - col("n_distinct"))
+      .orderBy(col("source"))
+  }
+
   private def sourceOverlapQuery(s: SparkSession, dir: String): DataFrame =
     // provenance audit: per source pair, how many shared near-dup keys
     // (fingerprint of the first 200 canonical chars — template/lede
@@ -2470,27 +2493,44 @@ object SparkEntry {
       .orderBy(col("q_id"), col("rnk"))
   }
 
-  /** Write-once BM25 postings store for the SF dir — the last
-    * index-build-in-query-path displaced to ingest: postings (term, doc,
-    * tf, dl, df — exact integers, term-hashed into 16 files) plus the
-    * one-row global stats, keyed like every layout cache on
-    * dir|config|src-mtime.
+  /** Write-once BM25 store for the SF dir — the last
+    * index-build-in-query-path displaced to ingest: mergeable postings
+    * (doc, term, tf, dl — exact integers, term-hashed into 16 files),
+    * the (term, df) table, and the one-row global stats, keyed like
+    * every layout cache on dir|config|src-mtime. `cut` selects the
+    * corpus slice frozen into the store (Long.MaxValue = all docs).
     */
-  private def bm25Store(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val path = layoutPath(dir, "bm25", "tok=ws,buckets=16",
+  private def bm25Store(s: SparkSession, dir: String,
+                        cut: Long = Long.MaxValue): Retrieval.Bm25Store = {
+    val cfg = if (cut == Long.MaxValue) "all" else cut.toString
+    val path = layoutPath(dir, "bm25", s"tok=ws,buckets=16,v2,cut=$cfg",
       srcTable = "documents.parquet")
     if (!new java.io.File(s"$path/stats", "_SUCCESS").exists())
-      Retrieval.writeBm25Store(t(s, dir, "documents"), "doc_id", "text", path)
+      Retrieval.writeBm25Store(
+        t(s, dir, "documents").filter(col("doc_id") < cut),
+        "doc_id", "text", path)
     Retrieval.readBm25Store(s, path)
   }
 
-  private def bm25TopKStoredQuery(s: SparkSession, dir: String): DataFrame = {
+  private def bm25TopKStoredQuery(s: SparkSession, dir: String): DataFrame =
     // the same retrieval as d_bm25_topk but scoring the STORED postings:
     // the only text read left is the pushed-down 5-row query side —
     // row-identical to the inline build (pinned in RetrievalSpec)
-    val (postings, stats) = bm25Store(s, dir)
-    Retrieval.bm25TopKStored(postings, stats,
+    Retrieval.bm25TopKStored(bm25Store(s, dir),
         t(s, dir, "documents").filter(col("doc_id") < 5),
+        "doc_id", "doc_id", "text")
+      .orderBy(col("q_id"), col("rnk"))
+
+  private def bm25IncrementalQuery(s: SparkSession, dir: String): DataFrame = {
+    // incremental index maintenance, graded: the store holds docs < 250;
+    // docs >= 250 arrive as a batch and FOLD IN by postings union + df
+    // integer adds + stats adds (no historical re-tokenize). The oracle
+    // is the FULL-corpus BM25 twin — the hash match IS the proof that
+    // increment ≡ rebuild, the d_card_incremental pattern for retrieval.
+    val docs = t(s, dir, "documents")
+    val merged = Retrieval.bm25ApplyDelta(bm25Store(s, dir, cut = 250),
+      docs.filter(col("doc_id") >= 250), "doc_id", "text")
+    Retrieval.bm25TopKStored(merged, docs.filter(col("doc_id") < 5),
         "doc_id", "doc_id", "text")
       .orderBy(col("q_id"), col("rnk"))
   }
@@ -2672,6 +2712,8 @@ object SparkEntry {
     "d_nb_predict_stored" -> (nbPredictStoredQuery _),
     "d_nb_confusion" -> (nbConfusionQuery _),
     "d_source_overlap" -> (sourceOverlapQuery _),
+    "d_cdc_chunks" -> (cdcChunkStatsQuery _),
+    "d_cdc_dedup" -> (cdcDedupQuery _),
     "d_minhash_error" -> (minhashCalibrationQuery _),
     "q_exact_quantiles_2pass" -> (exactQuantiles2Pass _),
     "d_token_hh_lang" -> (tokenHhPerLang _),
@@ -2679,6 +2721,7 @@ object SparkEntry {
     "d_card_incremental" -> (cardIncremental _),
     "d_bm25_topk" -> (bm25TopKQuery _),
     "d_bm25_topk_stored" -> (bm25TopKStoredQuery _),
+    "d_bm25_incremental" -> (bm25IncrementalQuery _),
     "d_winnow_fps" -> (winnowFpsQuery _),
     "d_winnow_matches" -> (winnowMatchesQuery _),
     "d_winnow_ingest_stored" -> (winnowIngestStored _),
@@ -5151,6 +5194,27 @@ object SparkEntry {
         |FROM p WHERE rnk = 1
         |GROUP BY 1, 2 ORDER BY true_lang, pred""".stripMargin,
 
+    // CDC twins: the same 8-term base-31 polynomial over code points,
+    // boundary h % 64 = 0, replayed with list lambdas — chunk borders,
+    // lengths, and content fingerprints all bit-exact
+    "d_cdc_chunks" ->
+      s"""WITH $cdcCtes
+        |SELECT doc_id, CAST(len(segs) AS BIGINT) AS n_chunks,
+        | CAST(list_min(list_transform(segs, x -> x.len)) AS BIGINT) AS min_len,
+        | CAST(list_max(list_transform(segs, x -> x.len)) AS BIGINT) AS max_len,
+        | md5(array_to_string(list_transform(segs,
+        |     x -> CAST(x.len AS VARCHAR)), ',')) AS lens_md5
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "d_cdc_dedup" ->
+      s"""WITH $cdcCtes,
+        |ch0 AS (SELECT source, text, unnest(segs) AS seg FROM s),
+        |ch AS (SELECT source,
+        |         md5(substr(text, seg.start + 1, seg.len)) AS fp FROM ch0),
+        |g AS (SELECT source, count(*) AS n_chunks,
+        |        count(DISTINCT fp) AS n_distinct FROM ch GROUP BY source)
+        |SELECT source, n_chunks, n_distinct,
+        | n_chunks - n_distinct AS dup_chunks
+        |FROM g ORDER BY source""".stripMargin,
     // source-overlap twin: the pairwise spelling of the sorted-source-set
     // expansion — a JOIN on fp with source inequality is the same pair
     // set; the 200-char prefix mirrors Dedup.sourceOverlap(prefixChars)
@@ -5167,6 +5231,9 @@ object SparkEntry {
 
     "d_bm25_topk" -> bm25Oracle,
     "d_bm25_topk_stored" -> bm25Oracle,
+    // increment ≡ rebuild: the merged (<250 store + >=250 delta) index
+    // must hash-match the full-corpus twin exactly
+    "d_bm25_incremental" -> bm25Oracle,
 
     "d_winnow_fps" ->
       s"""WITH $winnowCtes
@@ -5277,6 +5344,31 @@ object SparkEntry {
     * `d_nb_confusion`: the trained-model CTEs plus held-out scoring down
     * to the per-doc argmax candidate rows `p` (consume with rnk = 1).
     */
+  /** Shared CDC CTEs (must mirror TextAnalysis.cdcSegments exactly):
+    * code points per char, the 8-term base-31 polynomial, boundary
+    * h % 64 = 0, cut positions framed by 0 and len, zero-length tails
+    * dropped. Produces table `s` with (doc_id, source, text, segs).
+    */
+  private lazy val cdcCtes: String =
+    """c AS (SELECT doc_id, source, text,
+      |  CASE WHEN length(text) = 0 THEN CAST([] AS BIGINT[])
+      |       ELSE list_transform(string_split(text, ''),
+      |                           x -> CAST(ord(x) AS BIGINT)) END AS cs
+      |  FROM documents),
+      |b AS (SELECT doc_id, source, text, cs,
+      |  CASE WHEN len(cs) >= 8 THEN list_filter(range(8, len(cs) + 1), i ->
+      |    (cs[i-7]*27512614111 + cs[i-6]*887503681 + cs[i-5]*28629151
+      |     + cs[i-4]*923521 + cs[i-3]*29791 + cs[i-2]*961
+      |     + cs[i-1]*31 + cs[i]) % 64 = 0)
+      |  ELSE CAST([] AS BIGINT[]) END AS cuts FROM c),
+      |f AS (SELECT doc_id, source, text,
+      |  list_concat(list_concat([CAST(0 AS BIGINT)], cuts),
+      |              [CAST(len(cs) AS BIGINT)]) AS fl FROM b),
+      |s AS (SELECT doc_id, source, text,
+      |  list_filter(list_transform(range(2, len(fl) + 1), t ->
+      |    {'start': fl[t-1], 'len': fl[t] - fl[t-1]}), x -> x.len > 0) AS segs
+      |  FROM f)""".stripMargin
+
   private lazy val nbPredictCtes: String =
     s"""$nbTrainCtes,
         |nb AS (

@@ -22,32 +22,40 @@ import org.apache.spark.sql.functions._
   * query term set is broadcast, so only (doc, term) rows matching some
   * query term ever reach the scoring join, and the final top-k is a
   * row_number window that plans as WindowGroupLimit — the corpus text is
-  * read once and never re-shuffled. With a WRITTEN postings store
+  * read once and never re-shuffled. With a WRITTEN store
   * ([[writeBm25Store]]) even that single read disappears from the query
-  * path: the index build (tokenize + three aggregates over 100 TB of
-  * text) is paid once at ingest, and every later query touches only the
-  * postings parquet — integer columns, term-dictionary-encoded, a
-  * fraction of the corpus bytes.
+  * path, and because the layout keeps the three statistics SEPARATE —
+  * postings (term, doc, tf, dl), dfreq (term, df), stats (N, total) —
+  * every component is MERGEABLE: a batch of new documents folds in by
+  * union + integer adds ([[bm25ApplyDelta]]), never a rebuild. Postings
+  * are term-hashed so any term's list stays in one file; dfreq is |V|
+  * rows (vocabulary saturates — effectively constant vs corpus size) and
+  * only the QUERY TERMS' df rows are ever read (semi-join then
+  * broadcast).
   */
 object Retrieval {
 
-  /** Denormalized postings for a corpus: one row per (doc, term) carrying
-    * every per-row integer BM25 needs — term frequency `tf`, document
-    * length `dl` (posting-list convenience: the doc-length join is paid
-    * once here, not per query), and document frequency `df`. Exact
-    * integers only; no floats are frozen into the store, so k1/b stay
-    * query-time knobs.
+  /** Raw postings: one row per (doc, term) with term frequency `tf` and
+    * document length `dl` (the doc-length join paid once here, not per
+    * query). Exact integers only; no floats are frozen anywhere in the
+    * store, so k1/b stay query-time knobs. Document frequency
+    * deliberately lives in its OWN table ([[dfreqOf]]): denormalizing df
+    * onto postings would make every old row stale the moment a new doc
+    * mentions its term — this split is what makes the store mergeable.
     */
-  def buildPostings(corpus: DataFrame, idCol: String,
-                    textCol: String): DataFrame = {
+  def postingsRaw(corpus: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
     val tf = corpus.select(col(idCol),
         explode(TextAnalysis.tokens(lower(trim(col(textCol))))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    tf.join(dl, Seq(idCol)).join(dfreq, Seq("term"))
-      .select(col(idCol), col("term"), col("tf"), col("dl"), col("df"))
+    tf.join(dl, Seq(idCol))
+      .select(col(idCol), col("term"), col("tf"), col("dl"))
   }
+
+  /** (term, df) document frequencies from a raw postings stream. */
+  def dfreqOf(postings: DataFrame): DataFrame =
+    postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
 
   /** One-row global statistics: document count (INCLUDING zero-token docs,
     * which produce no postings — a column-pruned count over the corpus)
@@ -56,7 +64,7 @@ object Retrieval {
     */
   def corpusStats(corpus: DataFrame, postings: DataFrame): DataFrame =
     corpus.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(postings.agg(sum(col("tf")).as("tot")))
+      .crossJoin(postings.agg(coalesce(sum(col("tf")), lit(0L)).as("tot")))
 
   /** Query term sets (standard BM25: query-side multiplicity ignored). */
   private def queryTerms(queries: DataFrame, qIdCol: String,
@@ -119,39 +127,79 @@ object Retrieval {
     rankTopK(contrib, idCol, topK)
   }
 
-  /** Write-once BM25 index: `path/postings` (term-partitioned (doc, term,
-    * tf, dl, df) rows — `buckets` output files hashed on term keep any
-    * one term's posting list in one file) and `path/stats` (one row).
+  /** The three mergeable components of a written BM25 index. */
+  final case class Bm25Store(postings: DataFrame, dfreq: DataFrame,
+                             stats: DataFrame)
+
+  /** Write-once BM25 index: `path/postings` ((doc, term, tf, dl) rows,
+    * `buckets` files hashed on term so any term's posting list stays in
+    * one file), `path/dfreq` ((term, df)), `path/stats` (one row).
     * Building costs the same three aggregates as an inline query; every
-    * query after reads ONLY this store.
+    * query after reads ONLY this store, and new corpus drops merge in
+    * via [[bm25ApplyDelta]] without touching historical text.
     */
   def writeBm25Store(corpus: DataFrame, idCol: String, textCol: String,
                      path: String, buckets: Int = 16): Unit = {
-    val postings = buildPostings(corpus, idCol, textCol)
-    postings.repartition(buckets, col("term"))
+    val post = postingsRaw(corpus, idCol, textCol)
+    post.repartition(buckets, col("term"))
       .write.mode("overwrite").parquet(s"$path/postings")
-    val stored = postings.sparkSession.read.parquet(s"$path/postings")
+    val stored = post.sparkSession.read.parquet(s"$path/postings")
+    dfreqOf(stored).repartition(math.min(buckets, 4), col("term"))
+      .write.mode("overwrite").parquet(s"$path/dfreq")
     corpusStats(corpus, stored)
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
   }
 
-  /** (postings, stats) handles onto a written store. */
-  def readBm25Store(spark: SparkSession, path: String): (DataFrame, DataFrame) =
-    (spark.read.parquet(s"$path/postings"), spark.read.parquet(s"$path/stats"))
+  /** Handles onto a written store. */
+  def readBm25Store(spark: SparkSession, path: String): Bm25Store =
+    Bm25Store(spark.read.parquet(s"$path/postings"),
+      spark.read.parquet(s"$path/dfreq"),
+      spark.read.parquet(s"$path/stats"))
 
-  /** [[bm25TopK]] against a written store: identical scoring expressions
-    * over the stored integers, so results are row-identical to the inline
-    * build (pinned in RetrievalSpec) — but the query plan scans only
-    * postings parquet, never corpus text.
+  /** Fold a batch of NEW documents (ids disjoint from the store — the
+    * arriving-batch contract every incremental gate in this engine
+    * shares) into a BM25 store: postings union, df integer adds via one
+    * full-outer merge on term, stats adds. Pure multiset arithmetic, so
+    * the merge is associative and batch-split invariant, and the merged
+    * store is ROW-IDENTICAL to rebuilding from scratch on the combined
+    * corpus — which is exactly what the d_bm25_incremental oracle
+    * hash-checks (the [[DataCard.applyDelta]] pattern).
     */
-  def bm25TopKStored(postings: DataFrame, stats: DataFrame,
-                     queries: DataFrame, idCol: String,
+  def bm25ApplyDelta(store: Bm25Store, added: DataFrame, idCol: String,
+                     textCol: String): Bm25Store = {
+    val addP = postingsRaw(added, idCol, textCol)
+    val addDf = dfreqOf(addP).withColumnRenamed("df", "__adf")
+    val mergedDf = store.dfreq.join(addDf, Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("df"), lit(0L)) + coalesce(col("__adf"), lit(0L)))
+          .as("df"))
+    val addStats = corpusStats(added, addP)
+      .withColumnRenamed("n_docs", "__an").withColumnRenamed("tot", "__at")
+    val mergedStats = store.stats.crossJoin(broadcast(addStats))
+      .select((col("n_docs") + col("__an")).as("n_docs"),
+        (col("tot") + col("__at")).as("tot"))
+    Bm25Store(store.postings.unionByName(addP), mergedDf, mergedStats)
+  }
+
+  /** [[bm25TopK]] against a store: identical scoring expressions over the
+    * stored integers, so results are row-identical to the inline build
+    * (pinned in RetrievalSpec) — but the query plan scans only the store,
+    * never corpus text. Only the QUERY TERMS' dfreq rows participate: the
+    * df table is semi-joined down to the broadcast term set first, so at
+    * corpus scale the |V|-row table contributes a handful of rows, not a
+    * shuffle.
+    */
+  def bm25TopKStored(store: Bm25Store, queries: DataFrame, idCol: String,
                      qIdCol: String, qTextCol: String,
                      k1: Double = 1.2, b: Double = 0.75,
                      topK: Int = 10): DataFrame = {
-    val hits = postings.join(
-      broadcast(queryTerms(queries, qIdCol, qTextCol)), Seq("term"))
-    val contrib = hits.crossJoin(broadcast(stats))
+    val qt = queryTerms(queries, qIdCol, qTextCol)
+    val qdf = store.dfreq.join(broadcast(qt.select(col("term")).distinct()),
+      Seq("term"), "left_semi")
+    val hits = store.postings.join(broadcast(qt), Seq("term"))
+    val contrib = hits
+      .join(broadcast(qdf), Seq("term"))
+      .crossJoin(broadcast(store.stats))
       .withColumn("c", contribExpr(k1, b))
     rankTopK(contrib, idCol, topK)
   }

@@ -552,6 +552,96 @@ object TextAnalysis {
           .as("zipf_slope"))
   }
 
+  // -------------------------------------------------------------------
+  // Content-defined chunking (CDC) — the block-level dedup primitive:
+  // chunk boundaries come from the CONTENT (a rolling polynomial hash
+  // hitting a modulus), not fixed offsets, so inserting or deleting a
+  // byte re-aligns only the chunk it touches — every other chunk keeps
+  // its fingerprint and dedups against history. The hash is a plain
+  // 8-term base-31 polynomial over code points with boundary condition
+  // h % 64 == 0 (expected chunk ~64 chars): exact integer arithmetic an
+  // ANSI SQL twin reproduces bit-for-bit (31^7·65535·8 < 2^63 — no
+  // modular reduction needed). Everything below is codegen'd
+  // higher-order-function expressions — no UDF, no shuffle until the
+  // caller aggregates.
+  // -------------------------------------------------------------------
+
+  private val cdcPow =
+    Seq(27512614111L, 887503681L, 28629151L, 923521L, 29791L, 961L, 31L, 1L)
+
+  /** Adds a per-doc chunk segment array `segs` ((start, len) structs,
+    * content-defined) plus the coalesced text as `__t`. Zero-length
+    * tails (text ending exactly on a boundary) are dropped; empty/null
+    * text yields an empty segment array.
+    *
+    * Each stage (codes, cuts, frame) materializes as its OWN projected
+    * column: HOF lambdas don't get common-subexpression elimination, so
+    * a single nested expression would re-run the per-char split inside
+    * every boundary probe — O(n²·k) per row instead of O(n·k).
+    */
+  private def withCdcSegments(docs: DataFrame, idCol: String,
+                              textCol: String): DataFrame = {
+    def h(i: Column): Column = cdcPow.zipWithIndex.map { case (p, j) =>
+      element_at(col("__codes"), (i - lit(7 - j)).cast("int")).cast("long") *
+        lit(p)
+    }.reduce(_ + _)
+    docs.select(col(idCol), coalesce(col(textCol), lit("")).as("__t"))
+      .withColumn("__codes",
+        when(length(col("__t")) === 0, array().cast("array<int>"))
+          .otherwise(transform(split(col("__t"), ""), c => ascii(c))))
+      .withColumn("__cuts",
+        when(size(col("__codes")) >= 8,
+          filter(sequence(lit(8), size(col("__codes"))),
+            i => h(i) % 64 === 0))
+        .otherwise(array().cast("array<int>")))
+      .withColumn("__full",
+        concat(array(lit(0)), col("__cuts"), array(size(col("__codes")))))
+      .withColumn("segs", filter(
+        transform(sequence(lit(1), size(col("__full")) - 1), t => struct(
+          element_at(col("__full"), t.cast("int")).as("start"),
+          (element_at(col("__full"), (t + 1).cast("int")) -
+            element_at(col("__full"), t.cast("int"))).as("len"))),
+        s => s.getField("len") > 0))
+      .select(col(idCol), col("__t"), col("segs"))
+  }
+
+  /** Per-doc CDC stats: chunk count, min/max chunk length, and an md5
+    * probe over the length sequence (order-sensitive — a boundary moving
+    * by one char changes the hash).
+    */
+  def cdcChunkStats(docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame =
+    withCdcSegments(docs, idCol, textCol)
+      .select(col(idCol),
+        size(col("segs")).cast("bigint").as("n_chunks"),
+        array_min(transform(col("segs"), s => s.getField("len")))
+          .cast("bigint").as("min_len"),
+        array_max(transform(col("segs"), s => s.getField("len")))
+          .cast("bigint").as("max_len"),
+        md5(concat_ws(",",
+          transform(col("segs"), s => s.getField("len").cast("string"))))
+          .as("lens_md5"))
+
+  /** Exploded chunk rows: (id, start, len, fp) where fp = md5 of the
+    * chunk text — the unit of cross-doc block-level dedup. Map-side;
+    * only 16-byte digests (plus offsets) leave the scan.
+    */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    // explode_OUTER, then drop the null rows of empty-seg docs: a plain
+    // explode lets InferFiltersFromGenerate push an inferred
+    // `size(segs) > 0` below the projections, substituting the whole
+    // chunk expression tree into a per-row interpreted Filter — the
+    // O(n²) blowup the staged projections exist to avoid. The null
+    // filter here references the GENERATED attribute, so it can never
+    // sink below the Generate.
+    withCdcSegments(docs, idCol, textCol)
+      .select(col(idCol), col("__t"), explode_outer(col("segs")).as("__c"))
+      .filter(col("__c").isNotNull)
+      .select(col(idCol),
+        col("__c.start").cast("bigint").as("start"),
+        col("__c.len").cast("bigint").as("len"),
+        md5(col("__t").substr(col("__c.start") + 1, col("__c.len"))).as("fp"))
+
   def blockByDomain(docs: DataFrame, idCol: String, textCol: String,
                     blocklist: DataFrame): DataFrame = {
     val withDomains = docs.select(col(idCol),

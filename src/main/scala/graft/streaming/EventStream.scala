@@ -491,13 +491,12 @@ object EventStream {
     * broadcast UDF.
     */
   def streamingBm25TopK(queries: DataFrame, qIdCol: String, qTextCol: String,
-                        postings: DataFrame, stats: DataFrame, idCol: String,
-                        k1: Double = 1.2, b: Double = 0.75, topK: Int = 10)(
-                        onBatch: DataFrame => Unit) =
+                        store: graft.operators.Retrieval.Bm25Store,
+                        idCol: String, k1: Double = 1.2, b: Double = 0.75,
+                        topK: Int = 10)(onBatch: DataFrame => Unit) =
     queries.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         onBatch(graft.operators.Retrieval.bm25TopKStored(
-          postings, stats, batch.toDF(), idCol, qIdCol, qTextCol,
-          k1, b, topK))
+          store, batch.toDF(), idCol, qIdCol, qTextCol, k1, b, topK))
     }
 }

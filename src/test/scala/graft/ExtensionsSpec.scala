@@ -1374,19 +1374,19 @@ class StreamingSpec extends SparkSpec {
       .select(col("doc_id"), col("text"))
     val path = java.nio.file.Files.createTempDirectory("bm25stream").toString
     Retrieval.writeBm25Store(docs, "doc_id", "text", path, buckets = 4)
-    val (postings, stats) = Retrieval.readBm25Store(spark, path)
+    val store = Retrieval.readBm25Store(spark, path)
     val queries = docs.filter(col("doc_id") < 5)
     val mem = MemoryStream[(Long, String)]
     val got = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
     val q = EventStream.streamingBm25TopK(
         mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
-        postings, stats, "doc_id") {
+        store, "doc_id") {
       out => got ++= out.collect().map(_.toSeq)
     }.start()
     try {
       queries.as[(Long, String)].collect().grouped(2)
         .foreach { c => mem.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
-      val batch = Retrieval.bm25TopKStored(postings, stats, queries,
+      val batch = Retrieval.bm25TopKStored(store, queries,
         "doc_id", "doc_id", "text").collect().map(_.toSeq)
       assert(batch.nonEmpty && got.toSet == batch.toSet)
       assert(got.size == batch.length)

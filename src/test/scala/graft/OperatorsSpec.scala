@@ -71,6 +71,40 @@ class UsageStatsSpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("CDC chunking: boundaries are content-defined — an insert only disturbs its own chunk") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(42)
+    val base = (0 until 2000).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    // insert one char near the front: every chunk fingerprint after the
+    // first post-edit boundary must survive (fixed-size chunking would
+    // shift every later chunk); chunk COUNT stays within ±2
+    val edited = base.substring(0, 5) + "X" + base.substring(5)
+    val docs = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val fps = TextAnalysis.cdcChunks(docs, "doc_id", "text").collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(r => (r.getLong(1), r.getLong(2), r.getString(3))).toSeq).toMap
+    val a = fps(1L).map(_._3).toSet
+    val b = fps(2L).map(_._3).toSet
+    val shared = (a & b).size
+    assert(shared >= a.size - 3,
+      s"insert disturbed ${a.size - shared} of ${a.size} chunks — not content-defined")
+    assert(math.abs(fps(1L).size - fps(2L).size) <= 2)
+    // segments tile the doc exactly: starts/lens are contiguous from 0
+    val segs = fps(1L).sortBy(_._1)
+    assert(segs.head._1 == 0L && segs.map(_._2).sum == base.length)
+    segs.sliding(2).foreach { case Seq((s1, l1, _), (s2, _, _)) =>
+      assert(s1 + l1 == s2)
+    case _ => }
+    // stats view agrees with the exploded view
+    val st = TextAnalysis.cdcChunkStats(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(st(1L) == fps(1L).size.toLong && st(2L) == fps(2L).size.toLong)
+    // empty docs: zero chunks, null-safe
+    val empty = TextAnalysis.cdcChunkStats(
+      Seq((9L, "")).toDF("doc_id", "text"), "doc_id", "text").head()
+    assert(empty.getLong(1) == 0L)
+  }
+
   test("htmlText strips blocks/tags, decodes entities, collapses whitespace") {
     val cases = Seq(
       (1L, "<p>hello <b>world</b></p>"),
@@ -1271,6 +1305,36 @@ class RecallSpec extends SparkSpec {
     assert(mean >= 0.9, s"IVF recall@5 regressed: $mean (per-query: $recalls)")
   }
 
+  test("Matryoshka half-dim SHORTLIST contains the full-dim top-5 (recall >= 0.9)") {
+    assume(new java.io.File(dir).isDirectory)
+    import org.apache.spark.sql.functions._
+    // the real adaptive-retrieval contract is not half-dim top-5 == full
+    // top-5 (on isotropic synthetic vectors truncation genuinely loses
+    // rank information — measured ~0.3 direct recall) but that a cheap
+    // half-dim SHORTLIST keeps the full-dim winners for the exact
+    // re-rank stage. Isotropic random vectors are the WORST case for
+    // truncation (no front-loaded variance, unlike Matryoshka-trained
+    // embeddings), so the shortlist must be generous: measured recall
+    // here is 0.76@50, 0.96@100, 1.0@200 of 2000 candidates — pin
+    // k=100 (a 20x-cheaper first pass) at >= 0.9.
+    def topk(name: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(name)(spark, dir).collect()
+        .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("c_id"))
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val full = topk("s_ann_bruteforce")
+    val emb = Tables(spark, dir, "embeddings").select(col("vec_id"),
+      slice(col("embedding").cast("array<double>"), 1, 32).as("embedding"))
+    val shortlist = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 100)
+      .collect().map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("c_id"))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val recalls = full.map { case (q, ids) =>
+      shortlist.getOrElse(q, Set.empty).intersect(ids).size.toDouble / ids.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"matryoshka shortlist recall too low: $mean ($recalls)")
+  }
+
   test("s_ann_recall audit agrees with the independently computed recall") {
     assume(new java.io.File(dir).isDirectory)
     def topk(name: String): Map[Long, Set[Long]] =
@@ -1777,15 +1841,37 @@ class RetrievalSpec extends SparkSpec {
     val path = java.nio.file.Files
       .createTempDirectory("bm25store").toString
     Retrieval.writeBm25Store(docs, "doc_id", "text", path, buckets = 4)
-    val (postings, stats) = Retrieval.readBm25Store(spark, path)
+    val store = Retrieval.readBm25Store(spark, path)
     // store carries exact integers: n_docs counts ALL docs, tot = sum tf
-    val st = stats.collect()(0)
+    val st = store.stats.collect()(0)
     assert(st.getLong(0) == docs.count())
     val inline = Retrieval.bm25TopK(docs, queries,
       "doc_id", "text", "doc_id", "text").collect().map(_.toSeq).toSeq
-    val stored = Retrieval.bm25TopKStored(postings, stats, queries,
+    val stored = Retrieval.bm25TopKStored(store, queries,
       "doc_id", "doc_id", "text").collect().map(_.toSeq).toSeq
     assert(inline.nonEmpty && inline.toSet == stored.toSet)
+  }
+
+  test("bm25ApplyDelta merges a batch to exactly the rebuilt index") {
+    // store = docs < 250, batch = docs >= 250: merged components must
+    // equal a from-scratch build on the full corpus row for row —
+    // postings, df table, AND the global stats
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val path = java.nio.file.Files.createTempDirectory("bm25delta").toString
+    Retrieval.writeBm25Store(docs.filter(col("doc_id") < 250),
+      "doc_id", "text", path, buckets = 4)
+    val merged = Retrieval.bm25ApplyDelta(Retrieval.readBm25Store(spark, path),
+      docs.filter(col("doc_id") >= 250), "doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(merged.postings) ==
+      rows(Retrieval.postingsRaw(docs, "doc_id", "text")))
+    assert(rows(merged.dfreq) ==
+      rows(Retrieval.dfreqOf(Retrieval.postingsRaw(docs, "doc_id", "text"))))
+    assert(rows(merged.stats) ==
+      rows(Retrieval.corpusStats(docs,
+        Retrieval.postingsRaw(docs, "doc_id", "text"))))
   }
 }
 
