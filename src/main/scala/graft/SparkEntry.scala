@@ -1031,6 +1031,16 @@ object SparkEntry {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  private def annInt8Query(s: SparkSession, dir: String): DataFrame = {
+    // integer-exact quantized retrieval: int8 codes (round(127·v/max|v|)
+    // per vector), EXACT BIGINT dot-product scores — the one ANN family
+    // whose entire chain replays in SQL with zero float tolerance
+    val emb = t(s, dir, "embeddings")
+    Similarity.int8TopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   private def annRecallQuery(s: SparkSession, dir: String): DataFrame = {
     // the recall measurement itself as a graded artifact: per query,
     // recall@5 of the stored-layout IVF (portable seed codebook, DPP
@@ -2458,6 +2468,33 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** Write-once CDC chunk-fingerprint index of the historical corpus
+    * (docs < 250): distinct 32-char md5s, fp-clustered — 16 bytes of
+    * digest per distinct block, the winnowindex contract for CDC.
+    */
+  private def cdcStore(s: SparkSession, dir: String): DataFrame = {
+    val path = layoutPath(dir, "cdcindex", "k=8,mod=64,cut=250",
+      srcTable = "documents.parquet")
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      TextAnalysis.cdcChunks(
+          t(s, dir, "documents").filter(col("doc_id") < 250),
+          "doc_id", "text")
+        .select(col("fp")).distinct()
+        .repartition(8, col("fp")).sortWithinPartitions(col("fp"))
+        .write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
+  private def cdcIngestQuery(s: SparkSession, dir: String): DataFrame =
+    // block-level ingest gate against the STORED chunk index: arriving
+    // docs (>= 250) are rejected when over half their content-defined
+    // chunks already exist in history — recombined content caught by
+    // exact chunk identity; only the batch is chunked
+    TextAnalysis.cdcIngest(
+        t(s, dir, "documents").filter(col("doc_id") >= 250),
+        cdcStore(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   private def sourceOverlapQuery(s: SparkSession, dir: String): DataFrame =
     // provenance audit: per source pair, how many shared near-dup keys
     // (fingerprint of the first 200 canonical chars — template/lede
@@ -2640,6 +2677,7 @@ object SparkEntry {
     "d_ngram_jaccard" -> (ngramJaccard _),
     "s_ann_bruteforce" -> (annBruteForce _),
     "s_embed_matryoshka" -> (embedMatryoshka _),
+    "s_ann_int8" -> (annInt8Query _),
     "s_ann_recall" -> (annRecallQuery _),
     "s_ann_ivf" -> (annIvf _),
     "s_ann_ivf_parity" -> (annIvfParity _),
@@ -2714,6 +2752,7 @@ object SparkEntry {
     "d_source_overlap" -> (sourceOverlapQuery _),
     "d_cdc_chunks" -> (cdcChunkStatsQuery _),
     "d_cdc_dedup" -> (cdcDedupQuery _),
+    "d_cdc_ingest" -> (cdcIngestQuery _),
     "d_minhash_error" -> (minhashCalibrationQuery _),
     "q_exact_quantiles_2pass" -> (exactQuantiles2Pass _),
     "d_token_hh_lang" -> (tokenHhPerLang _),
@@ -3901,6 +3940,27 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
         |      FROM s)
         |SELECT q_id, c_id, rnk, round(sim,4) AS sim FROM r
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    // int8 twin: identical scale/quantize arithmetic, exact integer dot
+    "s_ann_int8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |        sqrt(list_dot_product(v, v)) AS mx FROM e),
+        |c AS (SELECT vec_id,
+        |        CASE WHEN mx = 0 THEN list_transform(v, x -> 0)
+        |             ELSE list_transform(v,
+        |                    x -> CAST(round((x * 127.0) / mx) AS INTEGER))
+        |        END AS cd FROM m),
+        |q AS (SELECT vec_id AS q_id, cd AS qc FROM c WHERE vec_id < 10),
+        |s AS (SELECT q_id, c.vec_id AS c_id,
+        |        CAST(list_sum(list_transform(range(1, len(qc) + 1),
+        |               i -> CAST(qc[i] AS BIGINT) * cd[i])) AS BIGINT) AS score
+        |      FROM q, c WHERE c.vec_id <> q_id),
+        |r AS (SELECT q_id, c_id, score,
+        |        row_number() OVER (PARTITION BY q_id
+        |                           ORDER BY score DESC, c_id) AS rnk
+        |      FROM s)
+        |SELECT q_id, rnk, c_id, score FROM r
         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     // Matryoshka twin: the brute-force chain over the first 32 dims
     "s_embed_matryoshka" ->
@@ -5215,6 +5275,23 @@ object SparkEntry {
         |SELECT source, n_chunks, n_distinct,
         | n_chunks - n_distinct AS dup_chunks
         |FROM g ORDER BY source""".stripMargin,
+    // CDC ingest-gate twin: chunk fps of history (< 250) as the index,
+    // arriving docs rejected when strictly more than half their chunks
+    // hit it; zero-chunk docs pass vacuously (absent from the chunk CTE)
+    "d_cdc_ingest" ->
+      s"""WITH $cdcCtes,
+        |ch0 AS (SELECT doc_id, text, unnest(segs) AS seg FROM s),
+        |ch AS (SELECT doc_id,
+        |         md5(substr(text, seg.start + 1, seg.len)) AS fp FROM ch0),
+        |idx AS (SELECT DISTINCT fp FROM ch WHERE doc_id < 250),
+        |bat AS (
+        | SELECT doc_id, count(*) AS n,
+        |  count(*) FILTER (WHERE fp IN (SELECT fp FROM idx)) AS nd
+        | FROM ch WHERE doc_id >= 250 GROUP BY doc_id)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id >= 250
+        |  AND doc_id NOT IN (SELECT doc_id FROM bat WHERE nd > 0.5 * n)
+        |ORDER BY doc_id""".stripMargin,
     // source-overlap twin: the pairwise spelling of the sorted-source-set
     // expansion — a JOIN on fp with source inequality is the same pair
     // set; the 200-char prefix mirrors Dedup.sourceOverlap(prefixChars)

@@ -642,6 +642,36 @@ object TextAnalysis {
         col("__c.len").cast("bigint").as("len"),
         md5(col("__t").substr(col("__c.start") + 1, col("__c.len"))).as("fp"))
 
+  /** Block-level incremental ingest gate — the CDC sibling of
+    * [[Dedup.lshIngest]]/[[Dedup.winnowIngest]]: an arriving doc is
+    * rejected when MORE than `maxDupShare` of its content-defined
+    * chunks already exist in the stored chunk-fingerprint index. This
+    * catches recombined/mixed content (half old boilerplate, half new)
+    * that whole-doc fingerprints miss and that shingle sketches only
+    * score probabilistically — CDC chunk identity is exact.
+    *
+    * Scale shape: ONLY the batch is chunked; the index side is a stored
+    * distinct-fp table consumed by one semi-join; per-doc dup shares
+    * are one aggregate over the batch's chunk stream. Decisions depend
+    * only on the static index, so the gate is batch-split invariant
+    * like every other ingest gate. Docs with zero chunks (empty text)
+    * pass vacuously.
+    */
+  def cdcIngest(batch: DataFrame, indexFps: DataFrame, idCol: String,
+                textCol: String, maxDupShare: Double = 0.5): DataFrame = {
+    val chunks = cdcChunks(batch, idCol, textCol)
+    val shares = chunks
+      .join(indexFps.select(col("fp")).withColumn("__hit", lit(1L)),
+        Seq("fp"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n"),
+        sum(coalesce(col("__hit"), lit(0L))).as("__nd"))
+    val rejected = shares
+      .filter(col("__nd") > lit(maxDupShare) * col("__n"))
+      .select(col(idCol))
+    batch.select(col(idCol)).join(rejected, Seq(idCol), "left_anti")
+  }
+
   def blockByDomain(docs: DataFrame, idCol: String, textCol: String,
                     blocklist: DataFrame): DataFrame = {
     val withDomains = docs.select(col(idCol),

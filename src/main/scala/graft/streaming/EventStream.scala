@@ -197,6 +197,23 @@ object EventStream {
           batch.toDF(), indexFps, idCol, textCol, k, w, minShared))
     }
 
+  /** Streaming CDC block-level ingest — the [[streamingWinnowIngest]]
+    * shape for [[graft.operators.TextAnalysis.cdcIngest]]: each
+    * micro-batch is chunked map-side and a doc survives only if at most
+    * `maxDupShare` of its content-defined chunks hit the frozen chunk
+    * index. Decisions depend only on the static index — batch-split
+    * invariant, pinned in StreamingSpec.
+    */
+  def streamingCdcIngest(docs: DataFrame, indexFps: DataFrame,
+                         idCol: String, textCol: String,
+                         maxDupShare: Double = 0.5)
+                        (onBatch: DataFrame => Unit) =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        onBatch(graft.operators.TextAnalysis.cdcIngest(
+          batch.toDF(), indexFps, idCol, textCol, maxDupShare))
+    }
+
   /** Streaming perceptual ingest — [[streamingLshIngest]] for media: image
     * payloads stream in, each micro-batch decodes + dHashes map-side and
     * survives only if no stored-index hash lies within `maxHamming`

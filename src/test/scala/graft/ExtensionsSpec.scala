@@ -1364,6 +1364,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CDC block gate equals the batch gate on sf0.01") {
+    // docs < 250 freeze the chunk-fp index; docs >= 250 stream in uneven
+    // micro-batches — accumulated survivors must equal one batch
+    // cdcIngest run (decisions depend only on the frozen index)
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextAnalysis
+    val all = Tables(spark, "/root/testdata/sf0.01", "documents")
+      .select(col("doc_id"), col("text"))
+    val idx = TextAnalysis.cdcChunks(all.filter(col("doc_id") < 250),
+        "doc_id", "text")
+      .select(col("fp")).distinct().localCheckpoint()
+    val arrivals = all.filter(col("doc_id") >= 250).as[(Long, String)].collect()
+    val mem = MemoryStream[(Long, String)]
+    val survivors = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = EventStream.streamingCdcIngest(
+        mem.toDF().toDF("doc_id", "text"), idx, "doc_id", "text") {
+      kept => survivors ++= kept.collect().map(_.getLong(0))
+    }.start()
+    try {
+      arrivals.grouped(83).foreach { c => mem.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+      val batch = TextAnalysis.cdcIngest(all.filter(col("doc_id") >= 250),
+        idx, "doc_id", "text").collect().map(_.getLong(0)).toSet
+      assert(batch.size < arrivals.length) // the gate really gates
+      assert(survivors.size == survivors.toSet.size)
+      assert(survivors.toSet == batch)
+    } finally q.stop()
+  }
+
   test("streaming BM25 over frozen postings equals the batch operator, any batching") {
     // postings frozen on the sf0.001 corpus; 5 doc-as-query rows stream
     // in uneven micro-batches — accumulated top-10 rows must equal one

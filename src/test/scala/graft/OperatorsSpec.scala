@@ -1335,6 +1335,24 @@ class RecallSpec extends SparkSpec {
     assert(mean >= 0.9, s"matryoshka shortlist recall too low: $mean ($recalls)")
   }
 
+  test("int8 quantized ranking keeps recall@5 >= 0.8 vs float cosine") {
+    assume(new java.io.File(dir).isDirectory)
+    def topk(name: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(name)(spark, dir).collect()
+        .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("c_id"))
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val exact = topk("s_ann_bruteforce")
+    val int8 = topk("s_ann_int8")
+    val recalls = exact.map { case (q, ids) =>
+      int8.getOrElse(q, Set.empty).intersect(ids).size.toDouble / ids.size
+    }
+    val mean = recalls.sum / recalls.size
+    // int8 ranks by unnormalized integer dot (per-vector max-abs scale):
+    // quantization noise plus the missing norm costs a little rank
+    // fidelity; the store is 4x smaller and every score exact
+    assert(mean >= 0.8, s"int8 recall@5 too low: $mean ($recalls)")
+  }
+
   test("s_ann_recall audit agrees with the independently computed recall") {
     assume(new java.io.File(dir).isDirectory)
     def topk(name: String): Map[Long, Set[Long]] =
