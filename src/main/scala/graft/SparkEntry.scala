@@ -350,6 +350,90 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  private def funnelQuery(s: SparkSession, dir: String): DataFrame = {
+    // ordered conversion funnel view → click → purchase: each stage
+    // counts users whose stage event happens STRICTLY AFTER their
+    // previous stage's first qualifying event (min-ts chaining — the
+    // deterministic spelling of "entered stage k"). Three per-type
+    // filtered aggregates chained by user_id equi-joins; the type
+    // filters push to the scan and each stage's frame is one row per
+    // user, so the joins broadcast at any event volume.
+    val ev = t(s, dir, "events")
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id")).filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id")).filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    v.agg(count(lit(1)).as("n_users"))
+      .select(lit(1).as("stage"), lit("view").as("event_type"), col("n_users"))
+      .unionByName(c.agg(count(lit(1)).as("n_users"))
+        .select(lit(2).as("stage"), lit("click").as("event_type"), col("n_users")))
+      .unionByName(p.agg(count(lit(1)).as("n_users"))
+        .select(lit(3).as("stage"), lit("purchase").as("event_type"), col("n_users")))
+      .orderBy(col("stage"))
+  }
+
+  private def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    // weekly cohort retention: users grouped by the Monday week of
+    // their FIRST event; per (cohort, week offset) distinct active
+    // users — the classic retention triangle. Two aggregates over the
+    // events scan; the per-user cohort frame broadcasts back.
+    val ev = t(s, dir, "events")
+    val first = ev.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort"))
+    val act = ev.select(col("user_id"),
+      date_trunc("week", col("ts")).as("wk")).distinct()
+    act.join(first, Seq("user_id"))
+      .groupBy(col("cohort").cast("date").as("cohort_week"),
+        floor(datediff(col("wk"), col("cohort")) / 7).cast("int")
+          .as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  private def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    // first-order event-path matrix: (event_type → next event_type)
+    // counts per user timeline — one key-partitioned lead() window
+    // (ties broken by event_id so the path is deterministic), then a
+    // pair count; the raw stream shuffles once on user_id
+    val ev = t(s, dir, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    ev.select(col("user_id"), col("event_type"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("next_type"))
+  }
+
+  private def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    // KMV (k-minimum-values) distinct sketch with an EXACT oracle: the
+    // engine-portable md5 hash family makes the whole estimator —
+    // hash, k smallest, (k-1)·2³²/h_k — integer-deterministic, so this
+    // is the one cardinality sketch a SQL twin replays with zero
+    // tolerance (the HLL rollup q_sketch_distinct stays rows-only).
+    // The estimate and the true count ride the same row: the sketch
+    // error is a graded artifact, not a claim.
+    val ev = t(s, dir, "events")
+    val k = 32
+    val h = ev.select(conv(substring(md5(col("user_id").cast("string")), 1, 8),
+        16, 10).cast("bigint").as("h")).distinct()
+    val kth = h.orderBy(col("h")).limit(k)
+      .agg(max(col("h")).as("h_k"), count(lit(1)).as("k"))
+    val exact = ev.agg(countDistinct(col("user_id")).as("n_exact"))
+    // floor() on BOTH sides: Spark's cast truncates a double while
+    // DuckDB's rounds — floor first makes the integer estimate identical
+    val est = floor((lit(k - 1) * lit(4294967296L)) / col("h_k"))
+      .cast("bigint")
+    kth.crossJoin(exact)
+      .select(col("k"), col("h_k"), est.as("est_distinct"),
+        col("n_exact"), abs(est - col("n_exact")).as("abs_err"))
+  }
+
   private def sketchDistinct(s: SparkSession, dir: String): DataFrame =
     // mergeable-HLL rollup: per-type sketches unioned to one global
     // distinct-user estimate (rows-only: sketch internals aren't SQL)
@@ -2628,6 +2712,10 @@ object SparkEntry {
     "q_time_buckets" -> (timeBuckets _),
     "q_sql_conditions" -> (sqlConditions _),
     "q_skew_join" -> (skewJoinRollup _),
+    "q_funnel" -> (funnelQuery _),
+    "q_cohort_retention" -> (cohortRetention _),
+    "q_event_transitions" -> (eventTransitions _),
+    "q_kmv_distinct" -> (kmvDistinct _),
     "q_asof_attribution" -> (asofAttribution _),
     "q_asof_nearest" -> (asofNearestQuery _),
     "q_asof_forward" -> (asofForward _),
@@ -3317,6 +3405,60 @@ object SparkEntry {
         |SELECT tier, count(*) AS n, round(sum(value), 2) AS value_sum
         |FROM events e JOIN d2 USING (user_id)
         |GROUP BY tier ORDER BY tier""".stripMargin,
+    // min-ts-chained funnel: each stage strictly after the previous
+    // stage's first qualifying event
+    "q_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2
+        |      FROM events e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3
+        |      FROM events e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+        |SELECT CAST(1 AS INT) AS stage, 'view' AS event_type,
+        |       (SELECT count(*) FROM v) AS n_users
+        |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM c)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM p)
+        |ORDER BY stage""".stripMargin,
+    // Monday-truncated weekly cohorts; floor'd integer week offsets
+    "q_cohort_retention" ->
+      """WITH f AS (SELECT user_id,
+        |             date_trunc('week', min(ts)) AS cohort FROM events
+        |           GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events)
+        |SELECT CAST(f.cohort AS DATE) AS cohort_week,
+        | CAST(floor(date_diff('day', f.cohort, a.wk) / 7.0) AS INT)
+        |   AS week_offset,
+        | count(DISTINCT a.user_id) AS n_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+    // deterministic per-user timeline via (ts, event_id) ordering
+    "q_event_transitions" ->
+      """WITH n AS (
+        | SELECT event_type,
+        |  lead(event_type) OVER (PARTITION BY user_id
+        |                         ORDER BY ts, event_id) AS next_type
+        | FROM events)
+        |SELECT event_type, next_type, count(*) AS n FROM n
+        |WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY event_type, next_type""".stripMargin,
+    // KMV distinct sketch replayed exactly: portable md5-hex hash, k
+    // smallest distinct values, floor'd integer estimate
+    "q_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT
+        |  CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+        |       AS BIGINT) AS h
+        | FROM events),
+        |tk AS (SELECT h FROM h ORDER BY h LIMIT 32),
+        |kv AS (SELECT max(h) AS h_k, count(*) AS k FROM tk),
+        |ex AS (SELECT count(DISTINCT user_id) AS n_exact FROM events)
+        |SELECT k, h_k,
+        | CAST(floor((31 * 4294967296) / h_k) AS BIGINT) AS est_distinct,
+        | n_exact,
+        | abs(CAST(floor((31 * 4294967296) / h_k) AS BIGINT) - n_exact)
+        |   AS abs_err
+        |FROM kv, ex""".stripMargin,
     "q_asof_attribution" ->
       """SELECT p.event_id, p.user_id, c.event_id AS prior_event_id,
         | round(c.value, 2) AS prior_value
