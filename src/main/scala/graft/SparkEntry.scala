@@ -350,6 +350,28 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  private def rangeWindowQuery(s: SparkSession, dir: String): DataFrame = {
+    // trailing-hour per-user activity: a RANGE window frame (interval
+    // semantics — peers by timestamp VALUE, not row position; the one
+    // frame type rowsBetween can't express). Sum rides as exact
+    // fixed-point cents so the only float op is one final division —
+    // bit-identical on any engine.
+    val ev = t(s, dir, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    ev.select(col("event_id"), col("user_id"), col("ts"),
+        round(col("value") * 100).cast("bigint").as("__c"))
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("__c")).over(w).as("__sc"))
+      .select(col("event_id"), col("user_id"), col("n_1h"),
+        (col("__sc").cast("double") / lit(100.0)).as("sum_1h"),
+        round(col("__sc").cast("double") / (lit(100.0) * col("n_1h")), 6)
+          .as("avg_1h"))
+      .orderBy(col("event_id"))
+  }
+
   private def funnelQuery(s: SparkSession, dir: String): DataFrame = {
     // ordered conversion funnel view → click → purchase: each stage
     // counts users whose stage event happens STRICTLY AFTER their
@@ -1839,6 +1861,31 @@ object SparkEntry {
       .orderBy(col("media_id"))
   }
 
+  private def jpegExifQuery(s: SparkSession, dir: String): DataFrame = {
+    // in-band image provenance: every doc carries a real 8x8 JPEG with
+    // an APP1 Exif segment planted from integer formulas — camera make
+    // CAM<id%7>, orientation 1 + id%8, capture time minute-stepped
+    // through January 2024, TIFF byte order alternating II/MM by id
+    // parity (both endian walks graded). The decoder walks the segment
+    // chain + IFD0; the oracle rebuilds every field from the formulas.
+    import s.implicits._
+    val payloads = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val px = Array.tabulate[Byte](64)(p => ((id * 131 + p * 7) % 256).toByte)
+        val day = 1 + (id % 28)
+        val hh = id % 24
+        val mm = (id * 7) % 60
+        val ss = (id * 13) % 60
+        val dt = f"2024:01:$day%02d $hh%02d:$mm%02d:$ss%02d"
+        val app1 = graft.multimodal.Multimodal.exifApp1(
+          id % 2 == 0, s"CAM${id % 7}", (1 + id % 8).toInt, dt)
+        (id, graft.multimodal.Multimodal.insertApp1(
+          graft.multimodal.Jpeg.encode(8, 8, 1, px), app1))
+      }).toDF("media_id", "payload")
+    graft.multimodal.Multimodal.jpegExifs(payloads)
+      .orderBy(col("media_id"))
+  }
+
   private def mp3MetaQuery(s: SparkSession, dir: String): DataFrame = {
     // the audio sibling of m_mp4_meta: every doc carries a REAL planted
     // CBR MP3 stream (ID3v2 tag of id%97 zero bytes, then 2 + id%4
@@ -2712,6 +2759,7 @@ object SparkEntry {
     "q_time_buckets" -> (timeBuckets _),
     "q_sql_conditions" -> (sqlConditions _),
     "q_skew_join" -> (skewJoinRollup _),
+    "q_range_window" -> (rangeWindowQuery _),
     "q_funnel" -> (funnelQuery _),
     "q_cohort_retention" -> (cohortRetention _),
     "q_event_transitions" -> (eventTransitions _),
@@ -2795,6 +2843,7 @@ object SparkEntry {
     "m_multimodal_meta" -> (multimodalMeta _),
     "m_mp4_meta" -> (mp4MetaQuery _),
     "m_mp4_samples" -> (mp4SamplesQuery _),
+    "m_jpeg_exif" -> (jpegExifQuery _),
     "m_mp3_meta" -> (mp3MetaQuery _),
     "m_gzip_roundtrip" -> (gzipRoundtrip _),
     "m_media_resize" -> (mediaResize _),
@@ -3405,6 +3454,25 @@ object SparkEntry {
         |SELECT tier, count(*) AS n, round(sum(value), 2) AS value_sum
         |FROM events e JOIN d2 USING (user_id)
         |GROUP BY tier ORDER BY tier""".stripMargin,
+    // RANGE frame on the microsecond axis == interval frame on ts
+    // (inclusive both ends, timestamp-value peers); cents arithmetic
+    // keeps the windowed sum order-independent
+    "q_range_window" ->
+      """WITH c AS (
+        | SELECT event_id, user_id, ts,
+        |  CAST(round(value * 100) AS BIGINT) AS cc
+        | FROM events),
+        |w AS (
+        | SELECT event_id, user_id,
+        |  count(*) OVER fr AS n_1h,
+        |  CAST(sum(cc) OVER fr AS BIGINT) AS sc
+        | FROM c
+        | WINDOW fr AS (PARTITION BY user_id ORDER BY ts
+        |   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, n_1h,
+        | CAST(sc AS DOUBLE) / 100.0 AS sum_1h,
+        | round(CAST(sc AS DOUBLE) / (100.0 * n_1h), 6) AS avg_1h
+        |FROM w ORDER BY event_id""".stripMargin,
     // min-ts-chained funnel: each stage strictly after the previous
     // stage's first qualifying event
     "q_funnel" ->
@@ -4432,6 +4500,19 @@ object SparkEntry {
         | CAST(8 * (1 + d.doc_id % 2) AS BIGINT) AS h_sum
         |FROM documents d JOIN a USING (doc_id)
         |ORDER BY media_id""".stripMargin,
+    // EXIF twin: byte order, make, orientation, and the zero-padded
+    // capture datetime all recomputed from the planting formulas — the
+    // APP1/TIFF byte walk is the thing under test
+    "m_jpeg_exif" ->
+      """SELECT doc_id AS media_id,
+        | CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+        | 'CAM' || CAST(doc_id % 7 AS VARCHAR) AS make,
+        | CAST(1 + doc_id % 8 AS INT) AS orientation,
+        | '2024:01:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') ||
+        | ' ' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') ||
+        | ':' || lpad(CAST((doc_id * 7) % 60 AS VARCHAR), 2, '0') ||
+        | ':' || lpad(CAST((doc_id * 13) % 60 AS VARCHAR), 2, '0') AS taken_at
+        |FROM documents ORDER BY media_id""".stripMargin,
     // mp3 frame-header-walk twin: bitrate from the published MPEG-1
     // Layer III table at index 1 + id%14, rate from index id%3, mono
     // only for channel mode 3, frame count 2 + id%4, and duration as

@@ -979,6 +979,162 @@ object Multimodal {
   }
 
   // -------------------------------------------------------------------
+  // JPEG EXIF (APP1/TIFF IFD walk — codec-free provenance)
+  //
+  // The in-band provenance record crawled images actually carry: an
+  // APP1 segment holding a little TIFF file (byte-order mark, IFD0 of
+  // 12-byte tagged entries). Like the PNG tEXt walk, extraction is pure
+  // byte arithmetic over the segment headers — the entropy-coded image
+  // data is never touched, so cost is O(header bytes) per image.
+  // -------------------------------------------------------------------
+
+  /** Extracted EXIF core: TIFF byte order ("II" little / "MM" big),
+    * camera make (tag 0x010F), orientation (0x0112, 1-8), and the
+    * "YYYY:MM:DD HH:MM:SS" capture datetime (0x0132).
+    */
+  case class ExifMeta(byteOrder: String, make: String, orientation: Int,
+                      dateTime: String)
+
+  /** Build an APP1 Exif segment (one IFD0 with Make/Orientation/
+    * DateTime) in the requested byte order. Entries tag-sorted, ASCII
+    * values NUL-terminated in the data area, SHORT value left-justified
+    * in its 4-byte field — canonical TIFF 6.0 layout.
+    */
+  def exifApp1(littleEndian: Boolean, make: String, orientation: Int,
+               dateTime: String): Array[Byte] = {
+    require(orientation >= 1 && orientation <= 8, s"orientation $orientation")
+    require(dateTime.length == 19, "EXIF datetime must be YYYY:MM:DD HH:MM:SS")
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Array[Byte] =
+      if (littleEndian) Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+      else Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def u32(v: Long): Array[Byte] =
+      if (littleEndian) Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+      else Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+        ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    val makeBytes = make.getBytes("US-ASCII") :+ 0.toByte
+    val dtBytes = dateTime.getBytes("US-ASCII") :+ 0.toByte
+    // TIFF: header(8) + IFD count(2) + 3 entries(36) + next(4) = 50
+    val makeOff = 50L
+    val dtOff = makeOff + makeBytes.length
+    val tiff = new java.io.ByteArrayOutputStream()
+    tiff.write(if (littleEndian) "II".getBytes("US-ASCII")
+               else "MM".getBytes("US-ASCII"))
+    tiff.write(u16(42)); tiff.write(u32(8)) // IFD0 at offset 8
+    tiff.write(u16(3))
+    // 0x010F Make, ASCII (type 2)
+    tiff.write(u16(0x010F)); tiff.write(u16(2))
+    tiff.write(u32(makeBytes.length.toLong)); tiff.write(u32(makeOff))
+    // 0x0112 Orientation, SHORT (type 3), inline left-justified
+    tiff.write(u16(0x0112)); tiff.write(u16(3)); tiff.write(u32(1))
+    tiff.write(u16(orientation)); tiff.write(u16(0))
+    // 0x0132 DateTime, ASCII
+    tiff.write(u16(0x0132)); tiff.write(u16(2))
+    tiff.write(u32(dtBytes.length.toLong)); tiff.write(u32(dtOff))
+    tiff.write(u32(0)) // no next IFD
+    tiff.write(makeBytes); tiff.write(dtBytes)
+    val body = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++
+      tiff.toByteArray
+    out.write(0xFF); out.write(0xE1)
+    out.write(((body.length + 2) >> 8) & 0xFF)
+    out.write((body.length + 2) & 0xFF)
+    out.write(body)
+    out.toByteArray
+  }
+
+  /** Insert an APP1 segment right after a JPEG's SOI marker. */
+  def insertApp1(jpeg: Array[Byte], app1: Array[Byte]): Array[Byte] = {
+    require(jpeg.length >= 2 && (jpeg(0) & 0xFF) == 0xFF &&
+      (jpeg(1) & 0xFF) == 0xD8, "not a JPEG")
+    jpeg.take(2) ++ app1 ++ jpeg.drop(2)
+  }
+
+  /** Walk a JPEG's segment chain for the Exif APP1 and parse its IFD0.
+    * Both byte orders; unknown tags skipped; None on anything malformed
+    * or absent — decode never kills a task.
+    */
+  def decodeExif(bytes: Array[Byte]): Option[ExifMeta] = try {
+    if (bytes.length < 4 || (bytes(0) & 0xFF) != 0xFF ||
+        (bytes(1) & 0xFF) != 0xD8) return None
+    var o = 2
+    var tiff = -1
+    var tiffEnd = -1
+    while (tiff < 0 && o + 4 <= bytes.length && (bytes(o) & 0xFF) == 0xFF) {
+      val marker = bytes(o + 1) & 0xFF
+      if (marker == 0xDA || marker == 0xD9) return None // image data: no EXIF
+      val len = ((bytes(o + 2) & 0xFF) << 8) | (bytes(o + 3) & 0xFF)
+      if (marker == 0xE1 && len >= 8 + 6 &&
+          new String(bytes, o + 4, 4, "US-ASCII") == "Exif") {
+        tiff = o + 10
+        tiffEnd = o + 2 + len
+      } else o += 2 + len
+    }
+    if (tiff < 0) return None
+    val le = new String(bytes, tiff, 2, "US-ASCII") match {
+      case "II" => true
+      case "MM" => false
+      case _ => return None
+    }
+    def u16(p: Int): Int =
+      if (le) (bytes(p) & 0xFF) | ((bytes(p + 1) & 0xFF) << 8)
+      else ((bytes(p) & 0xFF) << 8) | (bytes(p + 1) & 0xFF)
+    def u32(p: Int): Long =
+      if (le) (bytes(p) & 0xFFL) | ((bytes(p + 1) & 0xFFL) << 8) |
+        ((bytes(p + 2) & 0xFFL) << 16) | ((bytes(p + 3) & 0xFFL) << 24)
+      else ((bytes(p) & 0xFFL) << 24) | ((bytes(p + 1) & 0xFFL) << 16) |
+        ((bytes(p + 2) & 0xFFL) << 8) | (bytes(p + 3) & 0xFFL)
+    require(u16(tiff + 2) == 42, "bad TIFF magic")
+    val ifd = tiff + u32(tiff + 4).toInt
+    val n = u16(ifd)
+    var make = ""
+    var orient = 0
+    var dt = ""
+    var i = 0
+    while (i < n) {
+      val e = ifd + 2 + 12 * i
+      require(e + 12 <= tiffEnd, "IFD entry out of range")
+      val tag = u16(e)
+      val typ = u16(e + 2)
+      val cnt = u32(e + 4)
+      def ascii(): String = {
+        val len = cnt.toInt
+        val p = if (len <= 4) e + 8 else tiff + u32(e + 8).toInt
+        require(p + len <= tiffEnd, "ASCII value out of range")
+        val raw = new String(bytes, p, len, "US-ASCII")
+        raw.takeWhile(_ != 0.toChar)
+      }
+      tag match {
+        case 0x010F if typ == 2 => make = ascii()
+        case 0x0132 if typ == 2 => dt = ascii()
+        case 0x0112 if typ == 3 && cnt == 1 => orient = u16(e + 8)
+        case _ => () // unknown tag: skip
+      }
+      i += 1
+    }
+    Some(ExifMeta(if (le) "II" else "MM", make, orient, dt))
+  } catch {
+    case scala.util.control.NonFatal(_) => None
+  }
+
+  /** Batched EXIF extraction: payloads → (media_id, byte_order, make,
+    * orientation, capture datetime). Sentinel row ("", "", -1, "") for
+    * payloads without parseable EXIF. Map-side; bytes never shuffle.
+    */
+  def jpegExifs(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        decodeExif(bytes) match {
+          case Some(m) => (id, m.byteOrder, m.make, m.orientation, m.dateTime)
+          case None => (id, "", "", -1, "")
+        }
+      }).toDF("media_id", "byte_order", "make", "orientation", "taken_at")
+  }
+
+  // -------------------------------------------------------------------
   // MP4 SAMPLE decode (codec-free media: PCM audio + MJPEG video)
   //
   // Compressed-codec decode (AAC/H.264) stays an honest stub, but two

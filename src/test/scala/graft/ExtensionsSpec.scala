@@ -114,6 +114,31 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.features.toSeq == Seq((9001L * 1000 / 600).toFloat))
   }
 
+  test("jpeg EXIF: APP1 round-trips in both byte orders; malformed falls back") {
+    val px = Array.fill[Byte](64)(9)
+    val jpeg = Jpeg.encode(8, 8, 1, px)
+    for (le <- Seq(true, false)) {
+      val withExif = Multimodal.insertApp1(jpeg,
+        Multimodal.exifApp1(le, "CAM3", 6, "2024:01:15 10:30:45"))
+      val m = Multimodal.decodeExif(withExif).get
+      assert(m == Multimodal.ExifMeta(if (le) "II" else "MM",
+        "CAM3", 6, "2024:01:15 10:30:45"))
+      // the APP1 doesn't disturb pixel decoding
+      assert(Jpeg.decode(withExif).isDefined)
+    }
+    // no EXIF, non-JPEG, truncated: None, never throw
+    assert(Multimodal.decodeExif(jpeg).isEmpty)
+    assert(Multimodal.decodeExif("not jpeg".getBytes).isEmpty)
+    val w = Multimodal.insertApp1(jpeg,
+      Multimodal.exifApp1(true, "X", 1, "2024:01:01 00:00:00"))
+    for (cut <- Seq(3, 12, 40)) // inside the segment chain / TIFF
+      assert(Multimodal.decodeExif(w.take(cut)).isEmpty, s"cut=$cut")
+    // bad orientation refused at encode time
+    intercept[IllegalArgumentException] {
+      Multimodal.exifApp1(true, "X", 0, "2024:01:01 00:00:00")
+    }
+  }
+
   test("mp4 media: PCM samples round-trip exactly in both byte orders") {
     val vals = Array(-32768, -1, 0, 1, 12345, 32767)
     def pcmBytes(be: Boolean) = vals.map { v =>
