@@ -1147,6 +1147,20 @@ object SparkEntry {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  private def annInt8StoredQuery(s: SparkSession, dir: String): DataFrame = {
+    // s_ann_int8 over the WRITE-ONCE code store: the corpus side reads
+    // 8-bit codes (a quarter of the float bytes), queries quantize
+    // inline — row-identical to the inline spelling, same oracle
+    val path = layoutPath(dir, "int8store", "scale=l2x127,parts=8")
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      Similarity.writeInt8Store(t(s, dir, "embeddings"), "vec_id",
+        "embedding", path)
+    Similarity.int8TopKStored(s.read.parquet(path),
+        t(s, dir, "embeddings").filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   private def annRecallQuery(s: SparkSession, dir: String): DataFrame = {
     // the recall measurement itself as a graded artifact: per query,
     // recall@5 of the stored-layout IVF (portable seed codebook, DPP
@@ -2576,6 +2590,12 @@ object SparkEntry {
     rows.toDF("p", "k", "value").orderBy(col("p"))
   }
 
+  private def sourceDriftQuery(s: SparkSession, dir: String): DataFrame =
+    // corpus-health drift monitor: per source, fixed-point JS divergence
+    // of its token mix vs the corpus over the shared global top-100
+    // support (TextAnalysis.sourceDrift — the char-entropy kernel rule)
+    TextAnalysis.sourceDrift(t(s, dir, "documents"), "text", "source")
+
   private def cdcChunkStatsQuery(s: SparkSession, dir: String): DataFrame =
     // content-defined chunking audit: per doc, how the rolling-hash
     // boundaries cut it (count, min/max chunk length, an order-sensitive
@@ -2814,6 +2834,7 @@ object SparkEntry {
     "s_ann_bruteforce" -> (annBruteForce _),
     "s_embed_matryoshka" -> (embedMatryoshka _),
     "s_ann_int8" -> (annInt8Query _),
+    "s_ann_int8_stored" -> (annInt8StoredQuery _),
     "s_ann_recall" -> (annRecallQuery _),
     "s_ann_ivf" -> (annIvf _),
     "s_ann_ivf_parity" -> (annIvfParity _),
@@ -2890,6 +2911,7 @@ object SparkEntry {
     "d_cdc_chunks" -> (cdcChunkStatsQuery _),
     "d_cdc_dedup" -> (cdcDedupQuery _),
     "d_cdc_ingest" -> (cdcIngestQuery _),
+    "d_source_drift" -> (sourceDriftQuery _),
     "d_minhash_error" -> (minhashCalibrationQuery _),
     "q_exact_quantiles_2pass" -> (exactQuantiles2Pass _),
     "d_token_hh_lang" -> (tokenHhPerLang _),
@@ -2912,6 +2934,27 @@ object SparkEntry {
     * index; in-batch dups keep the lowest id. Serves both
     * `d_dedup_incremental` and its stored-layout twin.
     */
+  private val annInt8Oracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |        sqrt(list_dot_product(v, v)) AS mx FROM e),
+        |c AS (SELECT vec_id,
+        |        CASE WHEN mx = 0 THEN list_transform(v, x -> 0)
+        |             ELSE list_transform(v,
+        |                    x -> CAST(round((x * 127.0) / mx) AS INTEGER))
+        |        END AS cd FROM m),
+        |q AS (SELECT vec_id AS q_id, cd AS qc FROM c WHERE vec_id < 10),
+        |s AS (SELECT q_id, c.vec_id AS c_id,
+        |        CAST(list_sum(list_transform(range(1, len(qc) + 1),
+        |               i -> CAST(qc[i] AS BIGINT) * cd[i])) AS BIGINT) AS score
+        |      FROM q, c WHERE c.vec_id <> q_id),
+        |r AS (SELECT q_id, c_id, score,
+        |        row_number() OVER (PARTITION BY q_id
+        |                           ORDER BY score DESC, c_id) AS rnk
+        |      FROM s)
+        |SELECT q_id, rnk, c_id, score FROM r
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
   /** BM25 oracle — shared by the inline build and the stored-postings
     * twin: the store freezes exactly the integers (tf, dl, df, N, tot)
     * this SQL recomputes, so one oracle covers both spellings. */
@@ -4151,27 +4194,12 @@ object SparkEntry {
         |      FROM s)
         |SELECT q_id, c_id, rnk, round(sim,4) AS sim FROM r
         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
-    // int8 twin: identical scale/quantize arithmetic, exact integer dot
-    "s_ann_int8" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |m AS (SELECT vec_id, v,
-        |        sqrt(list_dot_product(v, v)) AS mx FROM e),
-        |c AS (SELECT vec_id,
-        |        CASE WHEN mx = 0 THEN list_transform(v, x -> 0)
-        |             ELSE list_transform(v,
-        |                    x -> CAST(round((x * 127.0) / mx) AS INTEGER))
-        |        END AS cd FROM m),
-        |q AS (SELECT vec_id AS q_id, cd AS qc FROM c WHERE vec_id < 10),
-        |s AS (SELECT q_id, c.vec_id AS c_id,
-        |        CAST(list_sum(list_transform(range(1, len(qc) + 1),
-        |               i -> CAST(qc[i] AS BIGINT) * cd[i])) AS BIGINT) AS score
-        |      FROM q, c WHERE c.vec_id <> q_id),
-        |r AS (SELECT q_id, c_id, score,
-        |        row_number() OVER (PARTITION BY q_id
-        |                           ORDER BY score DESC, c_id) AS rnk
-        |      FROM s)
-        |SELECT q_id, rnk, c_id, score FROM r
-        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    // int8 twins: identical scale/quantize arithmetic, exact integer
+    // dot; the stored spelling is a physical rearrangement of the same
+    // codes, so ONE oracle covers both
+    "s_ann_int8_stored" -> annInt8Oracle,
+    "s_ann_int8" -> annInt8Oracle,
+    
     // Matryoshka twin: the brute-force chain over the first 32 dims
     "s_embed_matryoshka" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[])[1:32] AS q_vec
@@ -5477,6 +5505,43 @@ object SparkEntry {
         |FROM p WHERE rnk = 1
         |GROUP BY 1, 2 ORDER BY true_lang, pred""".stripMargin,
 
+    // JS-drift twin: same top-100 support, same pointwise-rounded
+    // micro-nat contributions, integer sum per source
+    "d_source_drift" ->
+      """WITH tk AS (
+        | SELECT source,
+        |  unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |         x -> len(x) > 0)) AS term
+        | FROM documents),
+        |g AS (SELECT term, count(*) AS gcnt FROM tk GROUP BY term
+        |      ORDER BY gcnt DESC, term LIMIT 100),
+        |ng AS (SELECT CAST(sum(gcnt) AS BIGINT) AS ng FROM g),
+        |sc AS (SELECT source, term, count(*) AS cnt FROM tk
+        |       WHERE term IN (SELECT term FROM g) GROUP BY source, term),
+        |ns AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS ns FROM sc
+        |       GROUP BY source),
+        |grid AS (
+        | SELECT ns.source, ns.ns, g.term, g.gcnt,
+        |        coalesce(sc.cnt, 0) AS cnt, ng.ng
+        | FROM ns CROSS JOIN g CROSS JOIN ng
+        | LEFT JOIN sc ON sc.source = ns.source AND sc.term = g.term),
+        |c AS (
+        | SELECT source,
+        |  CAST(round(500000.0 * (
+        |    CASE WHEN cnt = 0 THEN 0.0
+        |         ELSE (CAST(cnt AS DOUBLE) / ns) *
+        |              ln((CAST(cnt AS DOUBLE) / ns) /
+        |                 (((CAST(cnt AS DOUBLE) / ns) +
+        |                   (CAST(gcnt AS DOUBLE) / ng)) / 2.0)) END +
+        |    (CAST(gcnt AS DOUBLE) / ng) *
+        |    ln((CAST(gcnt AS DOUBLE) / ng) /
+        |       (((CAST(cnt AS DOUBLE) / ns) +
+        |         (CAST(gcnt AS DOUBLE) / ng)) / 2.0)))) AS BIGINT) AS c,
+        |  CASE WHEN cnt > 0 THEN 1 ELSE 0 END AS present
+        | FROM grid)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS js_micro,
+        | CAST(sum(present) AS BIGINT) AS n_terms
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
     // CDC twins: the same 8-term base-31 polynomial over code points,
     // boundary h % 64 = 0, replayed with list lambdas — chunk borders,
     // lengths, and content fingerprints all bit-exact

@@ -105,10 +105,28 @@ object Similarity {
     * Returns (q_id, rnk, c_id, score).
     */
   def int8TopK(corpus: DataFrame, queries: DataFrame,
-               idCol: String, vecCol: String, k: Int): DataFrame = {
-    val c = int8Codes(corpus, idCol, vecCol, "c_id", "c_codes")
+               idCol: String, vecCol: String, k: Int): DataFrame =
+    int8TopKStored(int8Codes(corpus, idCol, vecCol, "c_id", "c_codes"),
+      queries, idCol, vecCol, k)
+
+  /** Write-once int8 code store: a quarter of the float32 bytes (an
+    * eighth of double), scanned instead of the raw vectors by every
+    * later quantized query — [[writeVectorStore]]'s cheap sibling.
+    */
+  def writeInt8Store(corpus: DataFrame, idCol: String, vecCol: String,
+                     path: String, parts: Int = 8): Unit =
+    int8Codes(corpus, idCol, vecCol, "c_id", "c_codes")
+      .repartition(parts, col("c_id"))
+      .write.mode("overwrite").parquet(path)
+
+  /** [[int8TopK]] against stored codes (c_id, c_codes): queries quantize
+    * inline (tiny), the corpus side reads ONLY the code store — same
+    * integer scoring, row-identical to the inline spelling.
+    */
+  def int8TopKStored(codes: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = int8Codes(queries, idCol, vecCol, "q_id", "q_codes")
-    val scored = c.join(broadcast(q), col("c_id") =!= col("q_id"))
+    val scored = codes.join(broadcast(q), col("c_id") =!= col("q_id"))
       .select(col("q_id"), col("c_id"),
         aggregate(zip_with(col("q_codes"), col("c_codes"),
             (a, b) => (a * b).cast("long")),

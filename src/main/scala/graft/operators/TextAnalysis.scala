@@ -552,6 +552,51 @@ object TextAnalysis {
           .as("zipf_slope"))
   }
 
+  /** Per-source distribution drift vs the corpus: Jensen–Shannon
+    * divergence over the global top-`topK` terms — the corpus-health
+    * monitor that flags a crawl whose token mix walked away from the
+    * blend (genre shift, language bleed, spam floods). Probabilities
+    * are restricted to the shared top-K support, so every source
+    * compares on the same axes and the per-source frame is bounded at
+    * |sources|·K rows regardless of corpus size.
+    *
+    * Fixed-point contract: each term's JS contribution
+    * ½(p·ln(p/m) + q·ln(q/m)), m = (p+q)/2, rounds ONCE to micro-nats
+    * and the per-source score is an integer SUM — the char-entropy/zipf
+    * kernel rule, so the whole chain replays in SQL bit-for-bit.
+    *
+    * Scale: one token groupBy builds the global counts (TakeOrdered
+    * top-K collapses to the driver-side limit), the per-(source, term)
+    * counts semi-join the broadcast top-K before aggregating, and the
+    * scoring grid is sources × K.
+    */
+  def sourceDrift(docs: DataFrame, textCol: String, srcCol: String,
+                  topK: Int = 100): DataFrame = {
+    val toks = docs.select(col(srcCol).as("source"),
+      explode(tokens(lower(trim(col(textCol))))).as("term"))
+    val g = toks.groupBy(col("term")).agg(count(lit(1)).as("gcnt"))
+      .orderBy(desc("gcnt"), asc("term")).limit(topK)
+    val ng = g.agg(sum(col("gcnt")).as("ng"))
+    val sc = toks.join(broadcast(g.select(col("term"))), Seq("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("cnt"))
+    val ns = sc.groupBy(col("source")).agg(sum(col("cnt")).as("ns"))
+    val grid = ns.crossJoin(broadcast(g))
+      .join(sc, Seq("source", "term"), "left")
+      .crossJoin(broadcast(ng))
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    val p = col("cnt").cast("double") / col("ns")
+    val q = col("gcnt").cast("double") / col("ng")
+    val m = (p + q) / lit(2.0)
+    val ct = round(lit(500000.0) *
+      (when(col("cnt") === 0, lit(0.0)).otherwise(p * log(p / m)) +
+        q * log(q / m))).cast("bigint")
+    grid.select(col("source"), ct.as("c"),
+        (col("cnt") > 0).cast("bigint").as("present"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("js_micro"), sum(col("present")).as("n_terms"))
+      .orderBy(col("source"))
+  }
+
   // -------------------------------------------------------------------
   // Content-defined chunking (CDC) — the block-level dedup primitive:
   // chunk boundaries come from the CONTENT (a rolling polynomial hash
