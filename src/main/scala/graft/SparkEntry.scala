@@ -2352,6 +2352,50 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  private def scd2Query(s: SparkSession, dir: String): DataFrame = {
+    // SCD2 history table from the d_corpus_diff release pair: one row
+    // per (doc, content version) with validity ordinals — the registry
+    // view a warehouse keeps of its corpus; full-history rows, not just
+    // the moved sliver
+    val docs = t(s, dir, "documents")
+    val v1 = docs.filter(col("doc_id") % 23 =!= 0)
+    val v2 = docs.filter(col("doc_id") % 29 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 31 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")))
+    Dedup.scd2Merge(v1, v2, "doc_id", "text")
+      .orderBy(col("doc_id"), col("valid_from"))
+  }
+
+  private def hybridRrfQuery(s: SparkSession, dir: String): DataFrame = {
+    // hybrid retrieval: BM25 (term-weighted) and winnow span-overlap
+    // (verbatim-reuse evidence) rankings fused by reciprocal rank — the
+    // two signals surface different duplicates/matches, and RRF is the
+    // standard rank-level combiner when scores aren't commensurable.
+    // Both source rankings are already graded; the fusion is exact
+    // integer arithmetic over their top-10 lists.
+    val docs = t(s, dir, "documents")
+    val queries = docs.filter(col("doc_id") < 5)
+    val bm = Retrieval.bm25TopK(docs, queries,
+        "doc_id", "text", "doc_id", "text")
+      .select(col("q_id"), col("rnk"), col("doc_id"))
+    val wf = Dedup.winnowFingerprints(docs, "doc_id", "text")
+    val qwf = wf.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("q_id"), col("fp"))
+    val cand = wf.select(col("doc_id").as("c_doc"), col("fp"))
+    val shared = cand.join(broadcast(qwf), Seq("fp"))
+      .filter(col("c_doc") =!= col("q_id"))
+      .groupBy(col("q_id"), col("c_doc"))
+      .agg(count(lit(1)).as("shared"))
+    val ww = Window.partitionBy(col("q_id"))
+      .orderBy(desc("shared"), asc("c_doc"))
+    val wr = shared.withColumn("rnk", row_number().over(ww))
+      .filter(col("rnk") <= 10)
+      .select(col("q_id"), col("rnk"), col("c_doc").as("doc_id"))
+    Retrieval.rrfFuse(Seq(bm, wr), "doc_id")
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   private def corpusClean(s: SparkSession, dir: String): DataFrame = {
     // the whole batch cleaning pipeline in ONE oracle-checked query:
     // quality gate -> language filter (en) -> exact dedup (lowest id per
@@ -2898,6 +2942,7 @@ object SparkEntry {
     "d_filter_funnel" -> (filterFunnel _),
     "d_lsh_incremental_stored" -> (lshIncrementalStored _),
     "d_corpus_diff" -> (corpusDiff _),
+    "q_scd2" -> (scd2Query _),
     "d_dup_spans" -> (dupSpans _),
     "d_chunk_docs" -> (chunkDocs _),
     "d_html_extract" -> (htmlExtract _),
@@ -2920,6 +2965,7 @@ object SparkEntry {
     "d_bm25_topk" -> (bm25TopKQuery _),
     "d_bm25_topk_stored" -> (bm25TopKStoredQuery _),
     "d_bm25_incremental" -> (bm25IncrementalQuery _),
+    "d_hybrid_rrf" -> (hybridRrfQuery _),
     "d_winnow_fps" -> (winnowFpsQuery _),
     "d_winnow_matches" -> (winnowMatchesQuery _),
     "d_winnow_ingest_stored" -> (winnowIngestStored _),
@@ -2958,8 +3004,10 @@ object SparkEntry {
   /** BM25 oracle — shared by the inline build and the stored-postings
     * twin: the store freezes exactly the integers (tf, dl, df, N, tot)
     * this SQL recomputes, so one oracle covers both spellings. */
-  private val bm25Oracle: String =
-    """WITH ct AS (
+  /** BM25 CTE chain shared by the bm25 oracles and the RRF hybrid:
+    * ends at `r` (the ranked per-query candidates). */
+  private val bm25Ctes: String =
+    """ct AS (
         | SELECT doc_id,
         |  unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
         |         x -> len(x) > 0)) AS term
@@ -2991,9 +3039,12 @@ object SparkEntry {
         | SELECT q_id, doc_id, score,
         |  row_number() OVER (PARTITION BY q_id
         |                     ORDER BY score DESC, doc_id ASC) AS rnk
-        | FROM sc)
-        |SELECT q_id, rnk, doc_id, score FROM r WHERE rnk <= 10
-        |ORDER BY q_id, rnk""".stripMargin
+        | FROM sc)""".stripMargin
+
+  private lazy val bm25Oracle: String =
+    s"""WITH $bm25Ctes
+      |SELECT q_id, rnk, doc_id, score FROM r WHERE rnk <= 10
+      |ORDER BY q_id, rnk""".stripMargin
 
   private val dedupIncrementalOracle: String =
     """WITH fp AS (
@@ -5436,6 +5487,31 @@ object SparkEntry {
         | CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_dups
         |FROM f GROUP BY ROLLUP (lang, source)
         |ORDER BY lang, source""".stripMargin,
+    // SCD2 twin: the same fingerprint full-outer, expanded to validity
+    // intervals (closed v1 row for changed/removed, open row for live)
+    "q_scd2" ->
+      """WITH v1 AS (
+        | SELECT doc_id,
+        |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp_a
+        | FROM documents WHERE doc_id % 23 <> 0),
+        |v2 AS (
+        | SELECT doc_id,
+        |  md5(lower(regexp_replace(trim(
+        |    CASE WHEN doc_id % 31 = 0 THEN text || ' rev2' ELSE text END),
+        |    '\s+', ' ', 'g'))) AS fp_b
+        | FROM documents WHERE doc_id % 29 <> 0),
+        |j AS (SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id, fp_a, fp_b
+        |      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT doc_id, fp_a AS fp, CAST(1 AS INT) AS valid_from,
+        |       CAST(2 AS INT) AS valid_to, CAST(0 AS BIGINT) AS is_current
+        |FROM j WHERE fp_a IS NOT NULL AND (fp_b IS NULL OR fp_a <> fp_b)
+        |UNION ALL
+        |SELECT doc_id, fp_a, 1, CAST(NULL AS INT), 1
+        |FROM j WHERE fp_a IS NOT NULL AND fp_b IS NOT NULL AND fp_a = fp_b
+        |UNION ALL
+        |SELECT doc_id, fp_b, 2, CAST(NULL AS INT), 1
+        |FROM j WHERE fp_b IS NOT NULL AND (fp_a IS NULL OR fp_a <> fp_b)
+        |ORDER BY doc_id, valid_from""".stripMargin,
     "d_corpus_diff" ->
       """WITH v1 AS (
         | SELECT doc_id,
@@ -5599,6 +5675,37 @@ object SparkEntry {
     // increment ≡ rebuild: the merged (<250 store + >=250 delta) index
     // must hash-match the full-corpus twin exactly
     "d_bm25_incremental" -> bm25Oracle,
+    // RRF hybrid twin: the bm25 chain and the winnow chain coexist in
+    // one WITH (disjoint CTE names), fused by the exact integer
+    // round(1e6/(60+rnk)) contributions
+    "d_hybrid_rrf" ->
+      s"""WITH $bm25Ctes,
+        |$winnowCtes,
+        |bmr AS (SELECT q_id, doc_id, rnk FROM r WHERE rnk <= 10),
+        |wc AS (SELECT q.doc_id AS q_id, cd.doc_id AS doc_id,
+        |         count(*) AS shared
+        |       FROM wf q JOIN wf cd
+        |         ON q.fp = cd.fp AND cd.doc_id <> q.doc_id
+        |       WHERE q.doc_id < 5 GROUP BY 1, 2),
+        |wr AS (SELECT q_id, doc_id,
+        |        row_number() OVER (PARTITION BY q_id
+        |                           ORDER BY shared DESC, doc_id) AS rnk
+        |       FROM wc),
+        |u AS (
+        | SELECT q_id, doc_id,
+        |  CAST(round(1000000.0 / (60 + rnk)) AS BIGINT) AS c FROM bmr
+        | UNION ALL
+        | SELECT q_id, doc_id,
+        |  CAST(round(1000000.0 / (60 + rnk)) AS BIGINT)
+        | FROM wr WHERE rnk <= 10),
+        |f AS (SELECT q_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro
+        |      FROM u GROUP BY 1, 2),
+        |fr AS (SELECT q_id, doc_id, rrf_micro,
+        |        row_number() OVER (PARTITION BY q_id
+        |                           ORDER BY rrf_micro DESC, doc_id) AS rnk
+        |       FROM f)
+        |SELECT q_id, rnk, doc_id, rrf_micro FROM fr WHERE rnk <= 10
+        |ORDER BY q_id, rnk""".stripMargin,
 
     "d_winnow_fps" ->
       s"""WITH $winnowCtes

@@ -1041,6 +1041,45 @@ object Dedup {
           .otherwise("unchanged").as("status"))
   }
 
+  /** SCD2 (slowly-changing-dimension type 2) history materialization
+    * from two snapshots — the warehouse-style versioned table a corpus
+    * registry keeps: one row per (id, content version) with a validity
+    * interval. Version tags are the snapshot ordinals (1, 2); an open
+    * interval (`valid_to` null, `is_current` 1) marks rows live in v2.
+    *   unchanged → (fp, 1, null, current)
+    *   changed   → (fp₁, 1, 2, closed) + (fp₂, 2, null, current)
+    *   removed   → (fp₁, 1, 2, closed)
+    *   added     → (fp₂, 2, null, current)
+    * One full-outer join on id over map-side fingerprints (the
+    * [[snapshotDiff]] shape) then a per-row interval expansion — the
+    * corpus never shuffles, and at scale both inputs are the ingest-time
+    * fingerprint indexes.
+    */
+  def scd2Merge(v1: DataFrame, v2: DataFrame, idCol: String,
+                textCol: String): DataFrame = {
+    val a = v1.select(col(idCol),
+      TextAnalysis.fingerprint(col(textCol)).as("fp_a"))
+    val b = v2.select(col(idCol),
+      TextAnalysis.fingerprint(col(textCol)).as("fp_b"))
+    val j = a.join(b, Seq(idCol), "full_outer")
+    val closedV1 = j.filter(col("fp_a").isNotNull &&
+        (col("fp_b").isNull || col("fp_a") =!= col("fp_b")))
+      .select(col(idCol), col("fp_a").as("fp"),
+        lit(1).as("valid_from"), lit(2).cast("int").as("valid_to"),
+        lit(0L).as("is_current"))
+    val openV1 = j.filter(col("fp_a").isNotNull && col("fp_b").isNotNull &&
+        col("fp_a") === col("fp_b"))
+      .select(col(idCol), col("fp_a").as("fp"),
+        lit(1).as("valid_from"), lit(null).cast("int").as("valid_to"),
+        lit(1L).as("is_current"))
+    val openV2 = j.filter(col("fp_b").isNotNull &&
+        (col("fp_a").isNull || col("fp_a") =!= col("fp_b")))
+      .select(col(idCol), col("fp_b").as("fp"),
+        lit(2).as("valid_from"), lit(null).cast("int").as("valid_to"),
+        lit(1L).as("is_current"))
+    closedV1.unionByName(openV1).unionByName(openV2)
+  }
+
   /** Per-doc duplicated-span coverage — the audit stage of exact-substring
     * dedup (the "how much of this document is copied from elsewhere"
     * signal): for each doc, the fraction of its positional 3-gram windows

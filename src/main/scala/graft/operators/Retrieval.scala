@@ -189,6 +189,30 @@ object Retrieval {
     * corpus scale the |V|-row table contributes a handful of rows, not a
     * shuffle.
     */
+  /** Reciprocal-rank fusion — hybrid retrieval's standard combiner: each
+    * input ranking ((q_id, rnk, idCol) rows) contributes
+    * round(10⁶/(k₀+rnk)) to its candidates, contributions integer-sum
+    * per (query, doc), fused top-k by (score desc, id asc). Fixed-point
+    * per-list terms make the fusion order-independent and
+    * oracle-replayable; candidates missing from a list simply lack that
+    * list's term (the standard RRF convention). Cost: a union of the
+    * already-bounded top-k lists (|Q|·k rows per ranker) — the fusion
+    * itself never touches the corpus.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String,
+              k0: Int = 60, topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    val contribs = rankings.map(r => r.select(col("q_id"), col(idCol),
+      round(lit(1e6) / (lit(k0) + col("rnk"))).cast("bigint").as("c")))
+    val fused = contribs.reduce(_ unionByName _)
+      .groupBy(col("q_id"), col(idCol))
+      .agg(sum(col("c")).as("rrf_micro"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(desc("rrf_micro"), asc(idCol))
+    fused.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= topK)
+      .select(col("q_id"), col("rnk"), col(idCol), col("rrf_micro"))
+  }
+
   def bm25TopKStored(store: Bm25Store, queries: DataFrame, idCol: String,
                      qIdCol: String, qTextCol: String,
                      k1: Double = 1.2, b: Double = 0.75,
