@@ -2352,6 +2352,36 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Format round-trip probe: lineitem written ONCE to `fmt` (layout
+    * cache), read back (JSON with the explicit original schema — its
+    * ISO-string timestamps must parse back losslessly under the UTC
+    * session), aggregated with fixed-point money. The oracle runs the
+    * SAME aggregate over the parquet original, so the hash match IS the
+    * fidelity proof for the storage format — values, types, timestamps.
+    */
+  private def formatRoundtrip(s: SparkSession, dir: String,
+                              fmt: String): DataFrame = {
+    val src = t(s, dir, "lineitem")
+    val path = layoutPath(dir, s"${fmt}rt", "src=lineitem,v=1",
+      srcTable = "lineitem.parquet")
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      src.write.format(fmt).mode("overwrite").save(path)
+    val back = s.read.format(fmt).schema(src.schema).load(path)
+    back.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity")).cast("bigint").as("sum_qty"),
+        sum(round(col("l_extendedprice") * 100).cast("bigint"))
+          .as("revenue_cents"),
+        max(col("l_shipdate")).cast("date").as("last_ship"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private def orcRoundtrip(s: SparkSession, dir: String): DataFrame =
+    formatRoundtrip(s, dir, "orc")
+
+  private def jsonRoundtrip(s: SparkSession, dir: String): DataFrame =
+    formatRoundtrip(s, dir, "json")
+
   private def scd2Query(s: SparkSession, dir: String): DataFrame = {
     // SCD2 history table from the d_corpus_diff release pair: one row
     // per (doc, content version) with validity ordinals — the registry
@@ -2943,6 +2973,8 @@ object SparkEntry {
     "d_lsh_incremental_stored" -> (lshIncrementalStored _),
     "d_corpus_diff" -> (corpusDiff _),
     "q_scd2" -> (scd2Query _),
+    "q_orc_roundtrip" -> (orcRoundtrip _),
+    "q_json_roundtrip" -> (jsonRoundtrip _),
     "d_dup_spans" -> (dupSpans _),
     "d_chunk_docs" -> (chunkDocs _),
     "d_html_extract" -> (htmlExtract _),
@@ -3004,6 +3036,14 @@ object SparkEntry {
   /** BM25 oracle — shared by the inline build and the stored-postings
     * twin: the store freezes exactly the integers (tf, dl, df, N, tot)
     * this SQL recomputes, so one oracle covers both spellings. */
+  private val formatRoundtripOracle: String =
+    """SELECT l_returnflag, count(*) AS n,
+      | CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+      | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |   AS revenue_cents,
+      | CAST(max(l_shipdate) AS DATE) AS last_ship
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** BM25 CTE chain shared by the bm25 oracles and the RRF hybrid:
     * ends at `r` (the ranked per-query candidates). */
   private val bm25Ctes: String =
@@ -5487,6 +5527,11 @@ object SparkEntry {
         | CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_dups
         |FROM f GROUP BY ROLLUP (lang, source)
         |ORDER BY lang, source""".stripMargin,
+    // format round-trip twins: the oracle aggregates the PARQUET
+    // original — a hash match proves the ORC/JSON write+read preserved
+    // every value, type, and timestamp
+    "q_orc_roundtrip" -> formatRoundtripOracle,
+    "q_json_roundtrip" -> formatRoundtripOracle,
     // SCD2 twin: the same fingerprint full-outer, expanded to validity
     // intervals (closed v1 row for changed/removed, open row for live)
     "q_scd2" ->
