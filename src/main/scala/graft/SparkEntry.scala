@@ -2406,8 +2406,11 @@ object SparkEntry {
     // integer arithmetic over their top-10 lists.
     val docs = t(s, dir, "documents")
     val queries = docs.filter(col("doc_id") < 5)
-    val bm = Retrieval.bm25TopK(docs, queries,
-        "doc_id", "text", "doc_id", "text")
+    // BM25 leg reads the STORED postings (the production path — no
+    // per-query index rebuild); row-identical to the inline build, so
+    // the oracle's inline chain still covers it
+    val bm = Retrieval.bm25TopKStored(bm25Store(s, dir), queries,
+        "doc_id", "doc_id", "text")
       .select(col("q_id"), col("rnk"), col("doc_id"))
     val wf = Dedup.winnowFingerprints(docs, "doc_id", "text")
     val qwf = wf.filter(col("doc_id") < 5)

@@ -611,36 +611,25 @@ object TextAnalysis {
   // caller aggregates.
   // -------------------------------------------------------------------
 
-  private val cdcPow =
-    Seq(27512614111L, 887503681L, 28629151L, 923521L, 29791L, 961L, 31L, 1L)
-
   /** Adds a per-doc chunk segment array `segs` ((start, len) structs,
     * content-defined) plus the coalesced text as `__t`. Zero-length
     * tails (text ending exactly on a boundary) are dropped; empty/null
     * text yields an empty segment array.
     *
-    * Each stage (codes, cuts, frame) materializes as its OWN projected
-    * column: HOF lambdas don't get common-subexpression elimination, so
-    * a single nested expression would re-run the per-char split inside
-    * every boundary probe — O(n²·k) per row instead of O(n·k).
+    * The boundary scan is the fused codegen kernel
+    * [[graft.functions.CdcBoundaries]] — one rolling pass over code
+    * points, replacing a split→transform→filter HOF chain that
+    * materialized a per-char string array per stage (and, lambdas
+    * getting no CSE, re-ran upstream stages per element when inlined).
+    * Stages still materialize as their OWN projected columns so the
+    * frame expansion can't be substituted back into a filter.
     */
   private def withCdcSegments(docs: DataFrame, idCol: String,
-                              textCol: String): DataFrame = {
-    def h(i: Column): Column = cdcPow.zipWithIndex.map { case (p, j) =>
-      element_at(col("__codes"), (i - lit(7 - j)).cast("int")).cast("long") *
-        lit(p)
-    }.reduce(_ + _)
+                              textCol: String): DataFrame =
     docs.select(col(idCol), coalesce(col(textCol), lit("")).as("__t"))
-      .withColumn("__codes",
-        when(length(col("__t")) === 0, array().cast("array<int>"))
-          .otherwise(transform(split(col("__t"), ""), c => ascii(c))))
-      .withColumn("__cuts",
-        when(size(col("__codes")) >= 8,
-          filter(sequence(lit(8), size(col("__codes"))),
-            i => h(i) % 64 === 0))
-        .otherwise(array().cast("array<int>")))
+      .withColumn("__cuts", graft.functions.CdcBoundaries(col("__t")))
       .withColumn("__full",
-        concat(array(lit(0)), col("__cuts"), array(size(col("__codes")))))
+        concat(array(lit(0)), col("__cuts"), array(length(col("__t")))))
       .withColumn("segs", filter(
         transform(sequence(lit(1), size(col("__full")) - 1), t => struct(
           element_at(col("__full"), t.cast("int")).as("start"),
@@ -648,7 +637,6 @@ object TextAnalysis {
             element_at(col("__full"), t.cast("int"))).as("len"))),
         s => s.getField("len") > 0))
       .select(col(idCol), col("__t"), col("segs"))
-  }
 
   /** Per-doc CDC stats: chunk count, min/max chunk length, and an md5
     * probe over the length sequence (order-sensitive — a boundary moving

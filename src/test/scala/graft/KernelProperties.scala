@@ -251,4 +251,24 @@ object KernelProperties extends Properties("kernels") {
           (counts :+ other).map(t1).sum
       got == want
     }
+
+  /** plain-Scala model of the CDC boundary rule: code-point array, the
+    * 8-term base-31 polynomial per sliding window, 1-based positions
+    * where h % 64 == 0 — the DuckDB twin's exact arithmetic.
+    */
+  private def cdcModel(s: String): Seq[Int] = {
+    val cps = s.codePoints().toArray
+    val pow = Array(27512614111L, 887503681L, 28629151L, 923521L,
+      29791L, 961L, 31L, 1L)
+    (8 to cps.length).filter { i =>
+      (0 until 8).map(j => cps(i - 8 + j).toLong * pow(j)).sum % 64 == 0
+    }
+  }
+
+  property("cdc boundaries == sliding-window polynomial model") =
+    forAll(genText) { s =>
+      val got = graft.functions.CdcKernel.boundaries(UTF8String.fromString(s))
+        .toIntArray().toSeq
+      got == cdcModel(s)
+    }
 }
