@@ -69,6 +69,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "_FUNC_(text) - trim + collapse whitespace + lowercase canonical form"),
       (exprs: Seq[Expression]) => CanonicalizeText(exprs(0))))
     ext.injectFunction((
+      FunctionIdentifier("cdc_boundaries"),
+      info("cdc_boundaries",
+        "_FUNC_(text) - content-defined chunk boundary positions " +
+          "(1-based): 8-term base-31 rolling polynomial, h % 64 == 0"),
+      (exprs: Seq[Expression]) => CdcBoundaries(exprs(0))))
+    ext.injectFunction((
       FunctionIdentifier("misra_gries"),
       info("misra_gries",
         "_FUNC_(term, k) - mergeable k-counter Misra-Gries heavy-hitter " +

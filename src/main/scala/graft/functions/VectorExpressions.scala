@@ -281,5 +281,7 @@ object VectorFunctions {
       "misra_gries", exprs =>
         MisraGries(exprs(0), lit2int(exprs(1))).toAggregateExpression(),
       "built-in")
+    fr.createOrReplaceTempFunction(
+      "cdc_boundaries", exprs => CdcBoundaries(exprs(0)), "built-in")
   }
 }

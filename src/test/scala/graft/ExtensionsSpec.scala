@@ -63,6 +63,14 @@ class VectorKernelSpec extends SparkSpec {
       "SELECT misra_gries(term, 2) AS sk FROM mg_terms").collect()(0)
       .getSeq[org.apache.spark.sql.Row](0)
     assert(sk.nonEmpty && sk.head.getString(0) == "hot")
+    // the CDC kernel from SQL: boundaries of a known string are the
+    // same positions the Scala API computes
+    val cb = spark.sql(
+      "SELECT cdc_boundaries('the quick brown fox jumps right over') AS b")
+      .collect()(0).getSeq[Int](0)
+    assert(cb == graft.functions.CdcKernel.boundaries(
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        "the quick brown fox jumps right over")).toIntArray().toSeq)
     // build-time injection path constructs without error
     new graft.functions.GraftExtensions().apply(
       new org.apache.spark.sql.SparkSessionExtensions)
