@@ -280,6 +280,37 @@ object ScaleProbe {
       }
       docs.unpersist()
     }
+    // CDC family (round 8, fused-kernel boundary scan): chunk-stat scan
+    // is linear map-side work; the block ingest gate chunks ONLY the
+    // batch against a stored index, so gate time should stay flat in
+    // history size — the winnow/LSH gate claim at chunk granularity.
+    for (f <- Seq(1, factor, 3 * factor)) {
+      val history = corpus(f)
+      val batch = base.select((col("doc_id") + lit(f * shift)).as("doc_id"),
+        col("text")).localCheckpoint()
+      def time(name: String)(df: => DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        val n = df.count()
+        println(f"""{"probe":"$name","factor":$f,"sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":$n}""")
+      }
+      if (f == 1 || f == factor) time("d_cdc_chunks") {
+        operators.TextAnalysis.cdcChunkStats(history, "doc_id", "text")
+      }
+      val cPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_probe_cdc_$f").getAbsolutePath
+      val tb = System.nanoTime()
+      operators.TextAnalysis.cdcChunks(history, "doc_id", "text")
+        .select(col("fp")).distinct()
+        .repartition(32, col("fp")).sortWithinPartitions(col("fp"))
+        .write.mode("overwrite").parquet(cPath)
+      println(f"""{"probe":"cdc_store_build","factor":$f,"sec":${(System.nanoTime() - tb) / 1e9}%.2f}""")
+      time("cdc_gate_stored") {
+        operators.TextAnalysis.cdcIngest(batch,
+          spark.read.parquet(cPath), "doc_id", "text")
+      }
+      history.unpersist(); batch.unpersist()
+    }
+
     // per-language heavy hitters (ONE grouped MG sketch pass — linear,
     // driver state |langs|·k) and grouped exact quantiles (shared
     // histogram refinement, no per-group sort — passes grow with the
