@@ -189,6 +189,61 @@ object SparkEntry {
         col("o_totalprice"), round(col("total_qty"), 2).as("total_qty"))
   }
 
+  private def q4OrderPriority(s: SparkSession, dir: String): DataFrame = {
+    // TPC-H Q4 analogue (order-priority checking): per priority, orders
+    // in one quarter having AT LEAST ONE late lineitem (shipped > 60
+    // days after the order date — the EXISTS shape; the reference Q4
+    // uses commit/receipt dates this schema doesn't carry). The
+    // semi-join keeps the aggregate exact under multiple late items.
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+    val late = t(s, dir, "lineitem")
+      .join(ord.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > date_add(col("o_orderdate").cast("date"), 60))
+      .select(col("l_orderkey")).distinct()
+    ord.join(late, ord("o_orderkey") === late("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private def q6ForecastRevenue(s: SparkSession, dir: String): DataFrame =
+    // TPC-H Q6 (forecasting revenue change): one fully-pushed-down
+    // filter + a single fixed-point-cents aggregate — the minimal
+    // scan-dominated query; discount band picked against this
+    // generator's value grid
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("l_extendedprice") * col("l_discount") * 100)
+          .cast("bigint")) / lit(100.0)).as("revenue"))
+
+  private def q14PromoShare(s: SparkSession, dir: String): DataFrame = {
+    // TPC-H Q14 analogue (promotion effect): share of one month's
+    // revenue from PROMO-type parts; the share divides the ROUNDED
+    // cent sums (the q8 rule) so the output is deterministic
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+    val cents = round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+      * 100).cast("bigint")
+    li.join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", cents).otherwise(lit(0L)))
+          .as("promo_cents"),
+        sum(cents).as("total_cents"))
+      .select(
+        (col("promo_cents") / lit(100.0)).as("promo_revenue"),
+        (col("total_cents") / lit(100.0)).as("total_revenue"),
+        round(lit(100.0) * col("promo_cents") / col("total_cents"), 6)
+          .as("promo_share_pct"))
+  }
+
   private def profileLineitem(s: SparkSession, dir: String): DataFrame = {
     val p = ColumnProfiler.profile(t(s, dir, "lineitem"),
       Seq("l_quantity", "l_extendedprice", "l_discount"),
@@ -2876,6 +2931,9 @@ object SparkEntry {
     "q8_market_share" -> (q8MarketShare _),
     "q10_returned_items" -> (q10ReturnedItems _),
     "q18_large_orders" -> (q18LargeOrders _),
+    "q4_order_priority" -> (q4OrderPriority _),
+    "q6_forecast_revenue" -> (q6ForecastRevenue _),
+    "q14_promo_share" -> (q14PromoShare _),
     "q_profile_lineitem" -> (profileLineitem _),
     "q_top1_returnflag" -> (top1ReturnFlag _),
     "q_preview_orders" -> (previewOrders _),
@@ -3489,6 +3547,43 @@ object SparkEntry {
         |SELECT o_year, nation_volume, total_volume,
         | round(nation_volume / total_volume, 6) AS mkt_share
         |FROM a ORDER BY o_year""".stripMargin,
+    // Q4 analogue: EXISTS one late lineitem (> 60 days after order)
+    "q4_order_priority" ->
+      """WITH o AS (SELECT * FROM orders
+        |           WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |             AND o_orderdate < TIMESTAMP '1996-04-01')
+        |SELECT o_orderpriority, count(*) AS order_count
+        |FROM o WHERE EXISTS (
+        | SELECT 1 FROM lineitem l
+        | WHERE l.l_orderkey = o.o_orderkey
+        |   AND l.l_shipdate > CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // Q6: one pushed-down filter + fixed-point-cents aggregate
+    "q6_forecast_revenue" ->
+      """SELECT count(*) AS n,
+        | CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
+        |      AS DOUBLE) / 100.0 AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    // Q14 analogue: promo share from the ROUNDED cent sums
+    "q14_promo_share" ->
+      """WITH j AS (
+        | SELECT CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |             AS BIGINT) AS cents, p_type
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |   AND l_shipdate < TIMESTAMP '1996-04-01'),
+        |a AS (SELECT
+        |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END)
+        |       AS BIGINT) AS promo_cents,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents FROM j)
+        |SELECT CAST(promo_cents AS DOUBLE) / 100.0 AS promo_revenue,
+        | CAST(total_cents AS DOUBLE) / 100.0 AS total_revenue,
+        | round(100.0 * promo_cents / total_cents, 6) AS promo_share_pct
+        |FROM a""".stripMargin,
     // Q10 analogue: quarter of returned-item revenue per customer,
     // ordered by the ROUNDED revenue with a custkey tiebreak
     "q10_returned_items" ->
