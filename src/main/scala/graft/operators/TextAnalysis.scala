@@ -571,11 +571,28 @@ object TextAnalysis {
     * scoring grid is sources × K.
     */
   def sourceDrift(docs: DataFrame, textCol: String, srcCol: String,
-                  topK: Int = 100): DataFrame = {
+                  topK: Int = 100): DataFrame =
+    sourceDriftAgainst(docs, textCol, srcCol,
+      driftReference(docs, textCol, topK))
+
+  /** The frozen reference mix: global top-`topK` (term, gcnt) counts —
+    * collectible-small, the thing a monitoring deployment snapshots.
+    */
+  def driftReference(docs: DataFrame, textCol: String,
+                     topK: Int = 100): DataFrame =
+    docs.select(explode(tokens(lower(trim(col(textCol))))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("gcnt"))
+      .orderBy(desc("gcnt"), asc("term")).limit(topK)
+
+  /** [[sourceDrift]] against an EXPLICIT reference mix — the spelling a
+    * streaming monitor uses per micro-batch (frozen reference, arriving
+    * slice as the one "source"). Identical arithmetic by construction.
+    */
+  def sourceDriftAgainst(docs: DataFrame, textCol: String, srcCol: String,
+                         reference: DataFrame): DataFrame = {
     val toks = docs.select(col(srcCol).as("source"),
       explode(tokens(lower(trim(col(textCol))))).as("term"))
-    val g = toks.groupBy(col("term")).agg(count(lit(1)).as("gcnt"))
-      .orderBy(desc("gcnt"), asc("term")).limit(topK)
+    val g = reference
     val ng = g.agg(sum(col("gcnt")).as("ng"))
     val sc = toks.join(broadcast(g.select(col("term"))), Seq("term"))
       .groupBy(col("source"), col("term")).agg(count(lit(1)).as("cnt"))

@@ -214,6 +214,22 @@ object EventStream {
           batch.toDF(), indexFps, idCol, textCol, maxDupShare))
     }
 
+  /** Streaming corpus-drift monitor: each arriving micro-batch of docs
+    * scores its token mix against a FROZEN reference (the corpus's
+    * top-K counts, [[graft.operators.TextAnalysis.driftReference]]) —
+    * the per-drop JS alarm a production pipeline watches. Identical
+    * fixed-point arithmetic to the batch operator by construction
+    * (both call sourceDriftAgainst), pinned in StreamingSpec.
+    */
+  def streamingDrift(docs: DataFrame, textCol: String,
+                     reference: DataFrame)(onBatch: DataFrame => Unit) =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        onBatch(graft.operators.TextAnalysis.sourceDriftAgainst(
+          batch.toDF().withColumn("__batch", lit(id)),
+          textCol, "__batch", reference))
+    }
+
   /** Streaming perceptual ingest — [[streamingLshIngest]] for media: image
     * payloads stream in, each micro-batch decodes + dHashes map-side and
     * survives only if no stored-index hash lies within `maxHamming`

@@ -1397,6 +1397,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming drift monitor equals the batch operator per source") {
+    // freeze the corpus top-100 reference, stream each source's docs as
+    // one micro-batch: the per-batch JS must equal the batch operator's
+    // row for that source (identical arithmetic by construction)
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextAnalysis
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    val ref = TextAnalysis.driftReference(docs, "text").localCheckpoint()
+    val batchRows = TextAnalysis.sourceDrift(docs, "text", "source")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val srcs = Seq("src0", "src7", "src19")
+    val mem = MemoryStream[(Long, String, String)]
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val q = EventStream.streamingDrift(
+        mem.toDF().toDF("doc_id", "text", "source"), "text", ref) {
+      out => got ++= out.collect().map(r => (r.getLong(1), r.getLong(2)))
+    }.start()
+    try {
+      srcs.foreach { sName =>
+        val rows = docs.filter(col("source") === sName)
+          .as[(Long, String, String)].collect()
+        mem.addData(rows.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      assert(got.size == srcs.size)
+      srcs.zip(got).foreach { case (sName, (js, nt)) =>
+        assert((js, nt) == batchRows(sName), s"source $sName")
+      }
+    } finally q.stop()
+  }
+
   test("streaming CDC block gate equals the batch gate on sf0.01") {
     // docs < 250 freeze the chunk-fp index; docs >= 250 stream in uneven
     // micro-batches — accumulated survivors must equal one batch
