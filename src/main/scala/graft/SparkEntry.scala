@@ -244,6 +244,170 @@ object SparkEntry {
           .as("promo_share_pct"))
   }
 
+  private def q12ShipPriority(s: SparkSession, dir: String): DataFrame = {
+    // TPC-H Q12 analogue (shipping modes / order priority): this schema
+    // carries no l_shipmode, so the group key is l_linestatus and "late"
+    // is shipped > 45 days after the order date (the Q4 rule). Conditional
+    // counts split urgent (1-URGENT/2-HIGH) from other priorities. The
+    // year filter pushes to the lineitem scan; the single join carries
+    // only (o_orderdate, o_orderpriority).
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+    li.join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority")), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > date_add(col("o_orderdate").cast("date"), 45))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  private def q13CustomerDistribution(s: SparkSession, dir: String): DataFrame = {
+    // TPC-H Q13 (customer distribution): how many customers placed k
+    // orders — INCLUDING the zero-order customers, which is why the join
+    // is LEFT OUTER with the priority exclusion in the JOIN condition
+    // (a WHERE would silently drop the k=0 group). Two partial-agg
+    // groupBys; the second one's key space is |distinct order counts|,
+    // tiny at any scale.
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderpriority") =!= "5-LOW")
+      .select(col("o_custkey"), col("o_orderkey"))
+    t(s, dir, "customer")
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
+  private def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    // TPC-H Q15 (top supplier): supplier(s) with the maximum quarterly
+    // revenue. Revenue is summed in FIXED-POINT CENTS so the max
+    // comparison is exact integer equality — no float knife-edge can
+    // split Spark and the oracle on who ties for top. The 1-row max
+    // broadcasts back onto the per-supplier aggregate.
+    val rev = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        * 100).cast("bigint")).as("cents"))
+    val top = rev.agg(max(col("cents")).as("max_cents"))
+    rev.join(broadcast(top), col("cents") === col("max_cents"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        (col("cents") / lit(100.0)).as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  private def q17SmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    // TPC-H Q17 analogue (small-quantity-order revenue): yearly revenue
+    // lost if orders below 20% of a part's average quantity were not
+    // taken. Brand/size replace brand/container. The per-part average is
+    // compared EXACTLY: l_quantity < 0.2 * avg(qty) rewritten as
+    // qty10 * 5 * n < sum10 over scaled-BIGINT quantities — integer,
+    // order-independent, engine-portable. Parts are filtered BEFORE the
+    // join so only that sliver of lineitem aggregates.
+    val pt = t(s, dir, "part")
+      .filter(col("p_brand") === "Brand#7" && col("p_size") <= 5)
+      .select(col("p_partkey"))
+    val li = t(s, dir, "lineitem")
+      .join(pt, col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"),
+        round(col("l_quantity") * 10).cast("bigint").as("qty10"),
+        round(col("l_extendedprice") * 100).cast("bigint").as("cents"))
+    val stats = li.groupBy(col("l_partkey").as("sp_partkey"))
+      .agg(sum(col("qty10")).as("sum10"), count(lit(1)).as("n"))
+    li.join(stats, col("l_partkey") === col("sp_partkey"))
+      .filter(col("qty10") * lit(5L) * col("n") < col("sum10"))
+      .agg((sum(col("cents")) / lit(700.0)).as("avg_yearly"))
+  }
+
+  private def q19FlexibleOr(s: SparkSession, dir: String): DataFrame = {
+    // TPC-H Q19 analogue (discounted revenue, OR-of-ANDs): three
+    // brand/size/quantity bands OR'd together. Catalyst extracts the
+    // common p_size>=1 / quantity-range conjuncts for scan pushdown and
+    // evaluates the disjunction post-join; part is filtered to the
+    // union of brands before joining.
+    val pt = t(s, dir, "part")
+      .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#3"))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+    val band =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30))
+    li.join(pt, col("l_partkey") === col("p_partkey"))
+      .filter(band)
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 100).cast("bigint")) / lit(100.0)).as("revenue"))
+  }
+
+  private def q21WaitingSuppliers(s: SparkSession, dir: String): DataFrame = {
+    // TPC-H Q21 analogue (suppliers who kept orders waiting): suppliers
+    // that were the ONLY late supplier (shipped > 60 days after order
+    // date — the Q4 lateness rule) on a multi-supplier finished order.
+    // The classic double-EXISTS is rewritten as ONE per-order aggregate:
+    // distinct suppliers, distinct late suppliers, and the single late
+    // supplier via min=max — one groupBy instead of two lineitem
+    // self-joins, the shape that survives 100 TB.
+    val ord = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val flagged = t(s, dir, "lineitem")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > date_add(col("o_orderdate").cast("date"), 60))
+          .as("late"))
+    val culprits = flagged.groupBy(col("l_orderkey"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"),
+        min(when(col("late"), col("l_suppkey"))).as("culprit"))
+      .filter(col("n_supp") > 1 && col("n_late") === 1)
+      .select(col("culprit"))
+    culprits.groupBy(col("culprit")).agg(count(lit(1)).as("numwait"))
+      .join(t(s, dir, "supplier"), col("culprit") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(desc("numwait"), asc("s_name")).limit(100)
+  }
+
+  private def q22GlobalSales(s: SparkSession, dir: String): DataFrame = {
+    // TPC-H Q22 analogue (global sales opportunity): customers richer
+    // than the average positive balance with no order since 2000 —
+    // dormant, not never-ordered, because this generator gives every
+    // customer at least one order — rolled up by nation (no phone
+    // column, so c_nationkey replaces the country code). The global
+    // average is compared EXACTLY in scaled-BIGINT cents
+    // (bal_cents * n > sum_cents), the 1-row aggregate broadcasts, and
+    // the dormancy test is an anti-join on the date-pruned orders scan —
+    // the customer table never self-joins.
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        round(col("c_acctbal") * 100).cast("bigint").as("bal_cents"))
+    val avgPos = cust.filter(col("bal_cents") > 0L)
+      .agg(sum(col("bal_cents")).as("sum_cents"), count(lit(1)).as("n"))
+    val recent = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    val rich = cust.join(broadcast(avgPos),
+        col("bal_cents") * col("n") > col("sum_cents"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+    rich.groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        (sum(col("bal_cents")) / lit(100.0)).as("totacctbal"))
+      .orderBy(col("c_nationkey"))
+  }
+
   private def profileLineitem(s: SparkSession, dir: String): DataFrame = {
     val p = ColumnProfiler.profile(t(s, dir, "lineitem"),
       Seq("l_quantity", "l_extendedprice", "l_discount"),
@@ -2934,6 +3098,13 @@ object SparkEntry {
     "q4_order_priority" -> (q4OrderPriority _),
     "q6_forecast_revenue" -> (q6ForecastRevenue _),
     "q14_promo_share" -> (q14PromoShare _),
+    "q12_ship_priority" -> (q12ShipPriority _),
+    "q13_customer_distribution" -> (q13CustomerDistribution _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
+    "q19_flexible_or" -> (q19FlexibleOr _),
+    "q21_waiting_suppliers" -> (q21WaitingSuppliers _),
+    "q22_global_sales" -> (q22GlobalSales _),
     "q_profile_lineitem" -> (profileLineitem _),
     "q_top1_returnflag" -> (top1ReturnFlag _),
     "q_preview_orders" -> (previewOrders _),
@@ -3584,6 +3755,104 @@ object SparkEntry {
         | CAST(total_cents AS DOUBLE) / 100.0 AS total_revenue,
         | round(100.0 * promo_cents / total_cents, 6) AS promo_share_pct
         |FROM a""".stripMargin,
+    // Q12 analogue: late lineitems by linestatus, urgent vs other counts
+    "q12_ship_priority" ->
+      """SELECT l_linestatus,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |               THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate > CAST(o_orderdate AS DATE) + INTERVAL 45 DAY
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    // Q13: order-count distribution incl. the zero-order customers
+    "q13_customer_distribution" ->
+      """WITH co AS (
+        | SELECT c_custkey, count(o_orderkey) AS c_count
+        | FROM customer LEFT OUTER JOIN orders
+        |   ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        | GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM co GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // Q15: supplier(s) at the exact integer-cents quarterly max
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        | SELECT l_suppkey,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |               AS BIGINT)) AS BIGINT) AS cents
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |   AND l_shipdate < TIMESTAMP '1996-04-01'
+        | GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(cents AS DOUBLE) / 100.0 AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE cents = (SELECT max(cents) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    // Q17 analogue: below-20%-of-part-average quantity, exact integer test
+    "q17_small_qty_revenue" ->
+      """WITH li AS (
+        | SELECT l_partkey,
+        |  CAST(round(l_quantity * 10) AS BIGINT) AS qty10,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | WHERE p_brand = 'Brand#7' AND p_size <= 5),
+        |st AS (
+        | SELECT l_partkey AS sp_partkey,
+        |  CAST(sum(qty10) AS BIGINT) AS sum10,
+        |  count(*) AS n
+        | FROM li GROUP BY l_partkey)
+        |SELECT CAST(sum(cents) AS DOUBLE) / 700.0 AS avg_yearly
+        |FROM li JOIN st ON l_partkey = sp_partkey
+        |WHERE qty10 * 5 * n < sum10""".stripMargin,
+    // Q19 analogue: OR of three brand/size/quantity bands
+    "q19_flexible_or" ->
+      """SELECT count(*) AS n,
+        | CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |              AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |        AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |        AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |        AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    // Q21 analogue: sole late supplier on multi-supplier finished orders
+    "q21_waiting_suppliers" ->
+      """WITH flagged AS (
+        | SELECT l_orderkey, l_suppkey,
+        |  l_shipdate > CAST(o_orderdate AS DATE) + INTERVAL 60 DAY AS late
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | WHERE o_orderstatus = 'F'),
+        |culprits AS (
+        | SELECT min(CASE WHEN late THEN l_suppkey END) AS culprit
+        | FROM flagged GROUP BY l_orderkey
+        | HAVING count(DISTINCT l_suppkey) > 1
+        |    AND count(DISTINCT CASE WHEN late THEN l_suppkey END) = 1)
+        |SELECT s_name, count(*) AS numwait
+        |FROM culprits JOIN supplier ON culprit = s_suppkey
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+    // Q22 analogue: never-ordered customers above the exact avg balance
+    "q22_global_sales" ->
+      """WITH cust AS (
+        | SELECT c_custkey, c_nationkey,
+        |  CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        | FROM customer),
+        |avgpos AS (
+        | SELECT CAST(sum(bal_cents) AS BIGINT) AS sum_cents,
+        |        count(*) AS n
+        | FROM cust WHERE bal_cents > 0)
+        |SELECT c_nationkey, count(*) AS numcust,
+        | CAST(sum(bal_cents) AS DOUBLE) / 100.0 AS totacctbal
+        |FROM cust, avgpos
+        |WHERE bal_cents * n > sum_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     // Q10 analogue: quarter of returned-item revenue per customer,
     // ordered by the ROUNDED revenue with a custkey tiebreak
     "q10_returned_items" ->
