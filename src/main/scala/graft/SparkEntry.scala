@@ -408,6 +408,68 @@ object SparkEntry {
       .orderBy(col("c_nationkey"))
   }
 
+  /** Bucketed fact tables for [[bucketedJoinQuery]]: lineitem and orders
+    * written ONCE per SF dir CLUSTERED BY the order key INTO 8 BUCKETS
+    * and sorted within buckets (write-once physical layout like the
+    * LSH/IVF/BM25 stores). Because BOTH sides expose the same hash
+    * partitioning at scan time, the fact-to-fact join needs no Exchange
+    * at all — the 100 TB shape when neither side can broadcast and the
+    * join key is stable enough to pay for at ingest. A later session
+    * re-attaches the existing files with a CREATE TABLE ... CLUSTERED BY
+    * DDL (the metastore-registration step a real cluster does once).
+    */
+  private def bucketedFacts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    def ensure(kind: String, src: String, key: String,
+               build: DataFrame): DataFrame = {
+      val path = layoutPath(dir, kind, "buckets=8", srcTable = src)
+      val table = new java.io.File(path).getName // graft_<kind>_<digest>
+      if (!new java.io.File(path, "_SUCCESS").exists()) {
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        // coalesce(1) -> exactly one file per bucket, so the read side
+        // honors the within-bucket sort and plans SMJ with no Sort; a
+        // cluster-scale ingest writes many files per bucket and pays a
+        // per-partition sort instead — the Exchange is gone either way
+        build.coalesce(1).write.mode("overwrite")
+          .option("path", path)
+          .bucketBy(8, key).sortBy(key)
+          .saveAsTable(table)
+      } else if (!s.catalog.tableExists(table)) {
+        // bucketing DDL requires the explicit column list; the layout's
+        // schema is the build projection's schema by construction
+        s.sql(s"CREATE TABLE $table (${build.schema.toDDL}) USING parquet " +
+          s"CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS " +
+          s"LOCATION '$path'")
+      }
+      s.table(table)
+    }
+    val li = ensure("bktli", "lineitem.parquet", "l_orderkey",
+      t(s, dir, "lineitem").select(col("l_orderkey"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("bigint").as("cents")))
+    val ord = ensure("bktord", "orders.parquet", "o_orderkey",
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus")))
+    (li, ord)
+  }
+
+  private def bucketedJoinQuery(s: SparkSession, dir: String): DataFrame = {
+    // Co-located fact-to-fact join over the bucketed layouts: the
+    // per-order rollup runs WITHOUT an exchange (the bucketed scan
+    // already hash-partitions by l_orderkey), the merge join consumes
+    // both bucketed sides with no exchange and no sort, and the only
+    // shuffle in the whole plan is the final 3-row status rollup —
+    // plan-pinned in PlanAuditSpec. The merge hint keeps AQE from
+    // demoting the demonstration to a broadcast join at this SF.
+    val (li, ord) = bucketedFacts(s, dir)
+    val perOrder = li.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("cents")).as("cents"))
+    perOrder.join(ord.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("n_lines")).as("n_lines"),
+        (sum(col("cents")) / lit(100.0)).as("revenue"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   private def profileLineitem(s: SparkSession, dir: String): DataFrame = {
     val p = ColumnProfiler.profile(t(s, dir, "lineitem"),
       Seq("l_quantity", "l_extendedprice", "l_discount"),
@@ -3105,6 +3167,7 @@ object SparkEntry {
     "q19_flexible_or" -> (q19FlexibleOr _),
     "q21_waiting_suppliers" -> (q21WaitingSuppliers _),
     "q22_global_sales" -> (q22GlobalSales _),
+    "q_bucketed_join" -> (bucketedJoinQuery _),
     "q_profile_lineitem" -> (profileLineitem _),
     "q_top1_returnflag" -> (top1ReturnFlag _),
     "q_preview_orders" -> (previewOrders _),
@@ -3853,6 +3916,18 @@ object SparkEntry {
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    // Bucketed co-located join: same rows as the plain join+rollup
+    "q_bucketed_join" ->
+      """WITH po AS (
+        | SELECT l_orderkey, count(*) AS n_lines,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |               AS BIGINT)) AS BIGINT) AS cents
+        | FROM lineitem GROUP BY l_orderkey)
+        |SELECT o_orderstatus, count(*) AS n_orders,
+        | CAST(sum(n_lines) AS BIGINT) AS n_lines,
+        | CAST(sum(cents) AS DOUBLE) / 100.0 AS revenue
+        |FROM po JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // Q10 analogue: quarter of returned-item revenue per customer,
     // ordered by the ROUNDED revenue with a custkey tiebreak
     "q10_returned_items" ->

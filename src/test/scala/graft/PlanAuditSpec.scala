@@ -87,6 +87,22 @@ class PlanAuditSpec extends SparkSpec {
       l.contains("documents.parquet") && !l.contains("LessThan(doc_id,5)")), inline)
   }
 
+  test("bucketed fact join: per-order rollup and merge join run with zero exchanges") {
+    val df = SparkEntry.queries("q_bucketed_join")(spark, dir)
+    val p = plan(df)
+    // both scans are the bucketed layouts, the join is a sort-merge over
+    // them, and the ONLY exchange in the whole plan is the final 3-row
+    // status rollup — the per-order aggregate and the fact-to-fact join
+    // ride the ingest-time bucketing
+    assert(p.contains("SortMergeJoin"), p)
+    assert(p.contains("graft_bktli") && p.contains("graft_bktord"), p)
+    // exactly one hash exchange (the 3-row rollup); the range exchange is
+    // the final ORDER BY presentation sort
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+    // SelectedBucketsCount appears on bucketed scans; both sides read 8/8
+    assert(p.linesIterator.count(_.contains("Bucketed: true")) == 2, p)
+  }
+
   test("minhash signature stage is shuffle-free (kernels are map-side)") {
     val docs = Tables(spark, dir, "documents")
     val p = plan(Dedup.minhashSignatures(docs, "doc_id", "text"))
