@@ -2880,6 +2880,13 @@ object SparkEntry {
       .orderBy(col("node"))
   }
 
+  private def spanClean(s: SparkSession, dir: String): DataFrame =
+    // exact duplicated-span REMOVAL — the rewrite stage d_dup_spans only
+    // audits: tokens covered by any cross-doc-duplicated 3-gram are
+    // dropped in place and the doc rebuilt from the survivors
+    Dedup.duplicatedSpanClean(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   private def dupSpans(s: SparkSession, dir: String): DataFrame =
     // per-doc duplicated-span coverage — the audit stage of exact-substring
     // dedup: which fraction of a doc's 3-gram windows (positional, repeats
@@ -3308,6 +3315,7 @@ object SparkEntry {
     "q_orc_roundtrip" -> (orcRoundtrip _),
     "q_json_roundtrip" -> (jsonRoundtrip _),
     "d_dup_spans" -> (dupSpans _),
+    "d_span_clean" -> (spanClean _),
     "d_chunk_docs" -> (chunkDocs _),
     "d_html_extract" -> (htmlExtract _),
     "d_link_rank" -> (linkRank _),
@@ -5929,6 +5937,35 @@ object SparkEntry {
         | round(coalesce(sum(c.dup), 0) / count(*), 4) AS dup_frac
         |FROM h LEFT JOIN c USING (gh)
         |GROUP BY h.doc_id ORDER BY doc_id""".stripMargin,
+    // duplicated-span REMOVAL: drop every token covered by a cross-doc
+    // duplicated 3-gram, rebuild case-preserved, whitespace-canonical
+    "d_span_clean" ->
+      """WITH tk AS (
+        | SELECT doc_id,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |              x -> len(x) > 0) AS ot
+        | FROM documents),
+        |w AS (
+        | SELECT doc_id, i AS w,
+        |  md5(lower(ot[i] || ' ' || ot[i+1] || ' ' || ot[i+2])) AS gh
+        | FROM tk, unnest(range(1, len(ot) - 1)) AS u(i)
+        | WHERE len(ot) >= 3),
+        |c AS (
+        | SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM w)
+        | GROUP BY gh HAVING count(*) >= 2),
+        |cov AS (
+        | SELECT doc_id, list_sort(list(DISTINCT w + off)) AS cv
+        | FROM w JOIN c USING (gh), unnest([0, 1, 2]) AS o(off)
+        | GROUP BY doc_id)
+        |SELECT t.doc_id AS doc_id,
+        | CAST(len(ot) AS BIGINT) AS n_tokens,
+        | CAST(coalesce(len(cv), 0) AS BIGINT) AS n_removed,
+        | coalesce(array_to_string(list_transform(
+        |   list_filter(range(1, len(ot) + 1),
+        |     p -> NOT list_contains(coalesce(cv, []), p)),
+        |   p -> ot[p]), ' '), '') AS clean_text
+        |FROM tk t LEFT JOIN cov USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // 20-token chunks every 15 tokens; the last chunk is the first one
     // reaching the doc's end (no fully-contained tails)
     // case-PRESERVING tokenization (no lower()): chunk_text is training

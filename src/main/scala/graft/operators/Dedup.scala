@@ -1118,6 +1118,56 @@ object Dedup {
       .withColumn("dup_frac", round(col("n_dup") / col("n_windows"), 4))
   }
 
+  /** Exact duplicated-span REMOVAL — the rewrite stage completing what
+    * [[duplicatedSpanStats]] audits (Lee et al. 2022's deduplicate-text-
+    * datasets, the line-dedup → line-dedup-clean relationship): every
+    * token covered by a 3-gram window that also occurs in some OTHER doc
+    * is dropped in place, token order preserved, and the doc is rebuilt
+    * whitespace-canonicalized from the survivors. Dedup keys are
+    * LOWERCASED grams; the rebuilt text keeps original case (aligned
+    * positions — lowercasing never changes the `\s+` token count).
+    *
+    * Scale shape: one posexplode of md5'd windows (fixed-width keys);
+    * the ≥2-docs common set is a partial-agg groupBy; covered positions
+    * come back as one join on gh + a bounded 3-row explode + a per-doc
+    * collect_set whose size is ≤ the doc's token count; the rebuild is a
+    * map-side array_except/transform over the already-held token array.
+    * Text never shuffles — only (id, pos, gh) triples do.
+    */
+  def duplicatedSpanClean(df: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    // original-case tokens; the lowered twin aligns position-for-position
+    val toks = df.select(col(idCol),
+        filter(split(trim(col(textCol)), "\\s+"), x => length(x) > 0).as("ot"))
+      .localCheckpoint()
+    // windows keyed 1-based like the oracle's range(1, len-1): window i
+    // covers tokens i, i+1, i+2
+    val wins = toks.filter(size(col("ot")) >= 3)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(1), size(col("ot")) - 2), i =>
+          md5(lower(concat_ws(" ", element_at(col("ot"), i),
+            element_at(col("ot"), i + 1), element_at(col("ot"), i + 2)))))))
+      .select(col(idCol), (col("pos") + 1).as("w"), col("col").as("gh"))
+      .localCheckpoint() // consumed twice: common-set build + join back
+    val common = wins.select(col(idCol), col("gh")).distinct()
+      .groupBy(col("gh")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("gh"))
+    val covered = wins.join(common, Seq("gh"))
+      .select(col(idCol), explode(sequence(col("w"), col("w") + 2)).as("p"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("p"))).as("cov"))
+    toks.join(covered, Seq(idCol), "left")
+      .select(col(idCol), size(col("ot")).cast("bigint").as("n_tokens"),
+        coalesce(size(col("cov")), lit(0)).cast("bigint").as("n_removed"),
+        // empty-doc guard: sequence(1, 0) runs DESCENDING in Spark (the
+        // portableShingleWindows trap), so zero-token docs short-circuit
+        when(size(col("ot")) < 1, lit(""))
+          .otherwise(concat_ws(" ", transform(
+            array_except(sequence(lit(1), size(col("ot"))),
+              coalesce(col("cov"), array().cast("array<int>"))),
+            p => element_at(col("ot"), p)))).as("clean_text"))
+  }
+
   /** Engine-portable 16-bit SimHash: bit p of the fingerprint is the sign
     * of the ±1 vote sum over the doc's shingles, where a shingle votes +1
     * on bit p iff hex digit p of `md5(shingle)` has its high nibble bit

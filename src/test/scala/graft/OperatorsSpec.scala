@@ -720,6 +720,35 @@ class DedupSpec extends SparkSpec {
     assert(selfOut(0L) == 0L)
   }
 
+  test("duplicated-span CLEAN removes covered tokens in place, case-preserved") {
+    val df = Seq(
+      (0L, "Alpha Beta Gamma delta epsilon"), // windows 1..3; window 1 shared
+      (1L, "alpha beta gamma zeta eta"),      // (keys lowercase, case differs)
+      (2L, "totally unrelated words here now"),
+      (3L, "hi"),                              // < 3 tokens: untouched
+      (4L, "   "))                             // zero tokens: empty rebuild
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpanClean(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // "Alpha Beta Gamma" is duplicated (lowercased key) across docs 0/1:
+    // tokens 1..3 drop from both, ORIGINAL case kept on survivors
+    assert(out(0L) == ((5L, 3L, "delta epsilon")))
+    assert(out(1L) == ((5L, 3L, "zeta eta")))
+    assert(out(2L) == ((5L, 0L, "totally unrelated words here now")))
+    assert(out(3L) == ((1L, 0L, "hi")))
+    assert(out(4L) == ((0L, 0L, "")))
+    // overlapping duplicated windows merge their coverage, not double-drop
+    val ov = Seq(
+      (0L, "a b c d e f"),  // windows "a b c","b c d" both duplicated
+      (1L, "a b c d x y"))
+      .toDF("doc_id", "text")
+    val ovOut = Dedup.duplicatedSpanClean(ov, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(ovOut(0L) == ((4L, "e f")))
+    assert(ovOut(1L) == ((4L, "x y")))
+  }
+
   test("capped hamming bands: capped pairs are a subset; drop count is exact and loud") {
     // ONE planted oversized bucket: ids 0..9 share band 0 value 0xABC
     // (bucket size 10) while every other band value is unique to its id.
