@@ -1126,6 +1126,25 @@ object SparkEntry {
         TextAnalysis.tokenCount(col("text")), budgetDocs = 10000L)
       .orderBy(col("domain"))
 
+  private def mixScheduleQuery(s: SparkSession, dir: String): DataFrame =
+    // 3-phase annealed language mixture (proportional → sqrt-flattened →
+    // uniform) with exact-integer normalizers; lang is the skewed domain
+    // key here (en dominates), so every phase reweights visibly
+    Splits.mixSchedule(t(s, dir, "documents"), "lang",
+        TextAnalysis.tokenCount(col("text")), budgetDocs = 10000L)
+      .orderBy(col("phase"), col("domain"))
+
+  private def vocabAuditQuery(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabAudit(t(s, dir, "documents"), "lang", "text")
+      .orderBy(col("lang"))
+
+  private def badwordsQuery(s: SparkSession, dir: String): DataFrame =
+    // C4-style wordlist gate per source; "dup" appears in a ~5% sliver of
+    // this corpus, "leak" never — both the hit and the no-hit paths run
+    TextAnalysis.badwordsAudit(t(s, dir, "documents"), "source", "text",
+        Seq("dup", "leak"))
+      .orderBy(col("source"))
+
   private def budgetSampleQuery(s: SparkSession, dir: String): DataFrame =
     // the data-recipe materialization: per source domain, keep documents
     // in deterministic md5 order until 600 tokens are reached (the
@@ -3227,6 +3246,9 @@ object SparkEntry {
     "d_pack_sequences" -> (packSequencesQuery _),
     "d_boilerplate" -> (boilerplateQuery _),
     "d_domain_mix" -> (domainMixQuery _),
+    "d_mix_schedule" -> (mixScheduleQuery _),
+    "d_vocab_gt" -> (vocabAuditQuery _),
+    "d_badwords_filter" -> (badwordsQuery _),
     "d_budget_sample" -> (budgetSampleQuery _),
     "d_lm_familiarity" -> (lmFamiliarityQuery _),
     "d_lm_score_frozen" -> (lmScoreFrozenQuery _),
@@ -4558,6 +4580,60 @@ object SparkEntry {
         | round(w_raw / z, 4) AS weight,
         | CAST(round(10000 * w_raw / z, 0) AS BIGINT) AS budget_docs
         |FROM raw CROSS JOIN z ORDER BY domain""".stripMargin,
+    // 3-phase annealed mixture: integer micro-unit normalizers, so the
+    // per-phase Z is an order-independent BIGINT sum on any engine
+    "d_mix_schedule" ->
+      """WITH per AS (
+        | SELECT lang AS domain, count(*) AS n_docs,
+        |  CAST(sum(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0))) AS BIGINT) AS n_tokens
+        | FROM documents GROUP BY lang),
+        |ph AS (
+        | SELECT 'tau_1.0' AS phase, domain, n_docs, n_tokens,
+        |  n_tokens AS f FROM per
+        | UNION ALL
+        | SELECT 'tau_0.5', domain, n_docs, n_tokens,
+        |  CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+        | FROM per
+        | UNION ALL
+        | SELECT 'tau_0.0', domain, n_docs, n_tokens, 1000000 FROM per),
+        |z AS (SELECT phase, CAST(sum(f) AS BIGINT) AS z
+        |      FROM ph GROUP BY phase)
+        |SELECT phase, domain, n_docs, n_tokens,
+        | CAST(round(1000000 * (CAST(f AS DOUBLE) / z)) AS BIGINT) AS weight_ppm,
+        | CAST(round(10000 * (CAST(f AS DOUBLE) / z)) AS BIGINT) AS budget_docs
+        |FROM ph JOIN z USING (phase)
+        |ORDER BY phase, domain""".stripMargin,
+    // Good-Turing vocab audit per language: exact counts, ppm ratios
+    "d_vocab_gt" ->
+      """WITH tc AS (
+        | SELECT lang, t AS term, count(*) AS cnt
+        | FROM (SELECT lang,
+        |        unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |               x -> len(x) > 0)) AS t
+        |       FROM documents)
+        | GROUP BY lang, t)
+        |SELECT lang,
+        | CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        | count(*) AS vocab,
+        | CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+        | CAST(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis,
+        | CAST(round(1000000 * (CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |                       / sum(cnt))) AS BIGINT) AS gt_unseen_ppm,
+        | CAST(round(1000000 * (CAST(count(*) AS DOUBLE) / sum(cnt))) AS BIGINT) AS ttr_ppm
+        |FROM tc GROUP BY lang ORDER BY lang""".stripMargin,
+    // C4 wordlist gate per source: blocked docs + token hits, exact ints
+    "d_badwords_filter" ->
+      """WITH pd AS (
+        | SELECT source,
+        |  len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      x -> x IN ('dup', 'leak'))) AS n_bad
+        | FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN n_bad > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+        | CAST(sum(n_bad) AS BIGINT) AS n_bad_tokens,
+        | CAST(round(1000000 * (CAST(sum(CASE WHEN n_bad > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |                       / count(*))) AS BIGINT) AS blocked_ppm
+        |FROM pd GROUP BY source ORDER BY source""".stripMargin,
     // data-recipe materialization: per domain, keep docs in md5 order
     // until the 600-token budget is met (boundary-crossing doc kept)
     "d_budget_sample" ->

@@ -89,6 +89,43 @@ object Splits {
         round(lit(budgetDocs) * col("w_raw") / col("z"), 0).cast("bigint").as("budget_docs"))
   }
 
+  /** Multi-phase annealed mixture schedule — [[domainMixture]] across a
+    * training run's phases instead of a single temperature: τ=1.0 draws
+    * proportional to token mass, τ=0.5 flattens by sqrt (the classic
+    * multilingual up-sampling), τ=0.0 is uniform — the
+    * proportional→flattened→uniform annealing a curriculum applies as
+    * training progresses. Everything that sums is an exact BIGINT:
+    * τ=0.5's sqrt is pointwise-rounded to integer micro-units BEFORE the
+    * normalizer adds them (IEEE sqrt is correctly rounded, so the
+    * per-domain value is bit-identical on any engine, and an integer sum
+    * is order-independent — the [[domainMixture]] float-z hazard can't
+    * arise). Weights come back in ppm plus a per-phase doc budget.
+    *
+    * Scale shape: ONE corpus scan → per-domain partial-agg rollup
+    * (|domains| rows), then a 3× map-side phase explode and a
+    * |phases|-row broadcast normalizer — nothing after the first groupBy
+    * touches more than |domains|·|phases| rows.
+    */
+  def mixSchedule(df: DataFrame, domainCol: String, tokensCol: Column,
+                  budgetDocs: Long): DataFrame = {
+    val per = df.groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(tokensCol).cast("bigint").as("n_tokens"))
+      .localCheckpoint()
+    val phased = per.select(col("domain"), col("n_docs"), col("n_tokens"),
+      explode(map(
+        lit("tau_1.0"), col("n_tokens"),
+        lit("tau_0.5"),
+        round(sqrt(col("n_tokens").cast("double")) * 1e6).cast("bigint"),
+        lit("tau_0.0"), lit(1000000L))).as(Seq("phase", "f")))
+    val z = phased.groupBy(col("phase")).agg(sum(col("f")).as("z"))
+    phased.join(broadcast(z), Seq("phase"))
+      .select(col("phase"), col("domain"), col("n_docs"), col("n_tokens"),
+        round(lit(1e6) * (col("f").cast("double") / col("z").cast("double")))
+          .cast("bigint").as("weight_ppm"),
+        round(lit(budgetDocs) * (col("f").cast("double") / col("z").cast("double")))
+          .cast("bigint").as("budget_docs"))
+  }
+
   /** Systematic (fixed-interval) weighted sampling per stratum: lay each
     * stratum's rows on a token-mass axis in deterministic id order and
     * take one row per `step = tot_weight / perStratum` tokens — the row

@@ -529,6 +529,59 @@ object TextAnalysis {
     * ≤ topR rows — the only single-partition work is the 100-row window
     * and the 1-row final aggregate.
     */
+  /** Good–Turing vocabulary audit per group: token mass, vocabulary size,
+    * hapax/dis legomena, the Good–Turing unseen-mass estimate N₁/N, and
+    * the type–token ratio — the corpus-health numbers that flag both
+    * over-deduplicated (vocab collapse) and boilerplate-flooded (hapax
+    * collapse) slices. All counts are exact BIGINTs from ONE term-count
+    * groupBy; the two ratios are single divisions of those integers,
+    * pointwise-rounded to ppm — bit-identical on any engine.
+    *
+    * Scale shape: explode → (group, term) partial-agg groupBy (the tf-idf
+    * shuffle) → per-group rollup of |group|·|vocab| count rows. The token
+    * stream itself never shuffles; only fixed-width (group, term, count)
+    * rows do.
+    */
+  def vocabAudit(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val terms = docs.select(col(groupCol),
+        explode(tokens(lower(trim(col(textCol))))).as("term"))
+      .groupBy(col(groupCol), col("term")).agg(count(lit(1)).as("cnt"))
+    terms.groupBy(col(groupCol))
+      .agg(sum(col("cnt")).cast("bigint").as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("hapax"),
+        sum(when(col("cnt") === 2, 1L).otherwise(0L)).as("dis"))
+      .select(col(groupCol), col("n_tokens"), col("vocab"), col("hapax"),
+        col("dis"),
+        round(lit(1e6) * (col("hapax").cast("double") /
+          col("n_tokens").cast("double"))).cast("bigint").as("gt_unseen_ppm"),
+        round(lit(1e6) * (col("vocab").cast("double") /
+          col("n_tokens").cast("double"))).cast("bigint").as("ttr_ppm"))
+  }
+
+  /** C4-style blocklist gate, audited per source: a document is blocked
+    * if ANY of its (lowercased) tokens is on the word blocklist. The
+    * membership test is a map-side array filter against the broadcast
+    * literal list — the corpus text never shuffles and never joins; only
+    * the per-source counters do. Emits exact integers plus the blocked
+    * share in ppm.
+    */
+  def badwordsAudit(docs: DataFrame, srcCol: String, textCol: String,
+                    blocklist: Seq[String]): DataFrame = {
+    require(blocklist.nonEmpty, "empty blocklist")
+    val bad = array(blocklist.map(w => lit(w.toLowerCase)): _*)
+    val perDoc = docs.select(col(srcCol),
+      size(filter(tokens(lower(trim(col(textCol)))),
+        t => array_contains(bad, t))).as("n_bad"))
+    perDoc.groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_bad") > 0, 1L).otherwise(0L)).as("n_blocked"),
+        sum(col("n_bad")).cast("bigint").as("n_bad_tokens"))
+      .withColumn("blocked_ppm",
+        round(lit(1e6) * (col("n_blocked").cast("double") /
+          col("n_docs").cast("double"))).cast("bigint"))
+  }
+
   def zipfAudit(docs: DataFrame, textCol: String, topR: Int = 100): DataFrame = {
     val toks = docs.select(
       explode(tokens(lower(trim(col(textCol))))).as("term"))
