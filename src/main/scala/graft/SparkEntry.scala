@@ -2718,6 +2718,32 @@ object SparkEntry {
   private def jsonRoundtrip(s: SparkSession, dir: String): DataFrame =
     formatRoundtrip(s, dir, "json")
 
+  private def csvRoundtrip(s: SparkSession, dir: String): DataFrame =
+    // CSV is the lossiest of the three text formats (everything is a
+    // string on disk, timestamps included) — the hash match against the
+    // parquet original proves the write→parse cycle is value-lossless
+    // under the explicit schema
+    formatRoundtrip(s, dir, "csv")
+
+  private def kanonAudit(s: SparkSession, dir: String): DataFrame = {
+    // k-anonymity audit over the (mktsegment, nationkey) quasi-identifier
+    // pair — the data-governance gate run before a customer table joins a
+    // training corpus: the k floor, class count, and how much of the
+    // population sits in classes smaller than k=10. One partial-agg
+    // groupBy; every output is an exact integer or a ppm of integers.
+    val g = t(s, dir, "customer")
+      .groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n"))
+    g.agg(min(col("n")).as("k_anonymity"),
+        count(lit(1)).as("n_classes"),
+        sum(col("n")).cast("bigint").as("n_rows"),
+        sum(when(col("n") < 10, col("n")).otherwise(0L)).cast("bigint")
+          .as("rows_below_k"))
+      .withColumn("below_k_ppm",
+        round(lit(1e6) * (col("rows_below_k").cast("double") /
+          col("n_rows").cast("double"))).cast("bigint"))
+  }
+
   private def scd2Query(s: SparkSession, dir: String): DataFrame = {
     // SCD2 history table from the d_corpus_diff release pair: one row
     // per (doc, content version) with validity ordinals — the registry
@@ -3129,6 +3155,18 @@ object SparkEntry {
         "doc_id", "doc_id", "text")
       .orderBy(col("q_id"), col("rnk"))
 
+  private def retrievalEvalQuery(s: SparkSession, dir: String): DataFrame =
+    // MRR / nDCG@10 of the stored-postings BM25 ranking under same-language
+    // leave-self-out relevance — the eval-harness row a production
+    // retrieval deployment tracks; ranking comes from the store (the
+    // graded d_bm25_topk_stored path), metrics are integer-exact
+    Retrieval.retrievalEval(
+        Retrieval.bm25TopKStored(bm25Store(s, dir),
+          t(s, dir, "documents").filter(col("doc_id") < 5),
+          "doc_id", "doc_id", "text"),
+        t(s, dir, "documents"), "doc_id", "lang")
+      .orderBy(col("q_id"))
+
   private def bm25IncrementalQuery(s: SparkSession, dir: String): DataFrame = {
     // incremental index maintenance, graded: the store holds docs < 250;
     // docs >= 250 arrive as a batch and FOLD IN by postings union + df
@@ -3336,6 +3374,9 @@ object SparkEntry {
     "q_scd2" -> (scd2Query _),
     "q_orc_roundtrip" -> (orcRoundtrip _),
     "q_json_roundtrip" -> (jsonRoundtrip _),
+    "q_csv_roundtrip" -> (csvRoundtrip _),
+    "q_kanon_audit" -> (kanonAudit _),
+    "d_retrieval_eval" -> (retrievalEvalQuery _),
     "d_dup_spans" -> (dupSpans _),
     "d_span_clean" -> (spanClean _),
     "d_chunk_docs" -> (chunkDocs _),
@@ -6155,6 +6196,19 @@ object SparkEntry {
     // every value, type, and timestamp
     "q_orc_roundtrip" -> formatRoundtripOracle,
     "q_json_roundtrip" -> formatRoundtripOracle,
+    "q_csv_roundtrip" -> formatRoundtripOracle,
+    // k-anonymity over (mktsegment, nationkey): exact ints + ppm
+    "q_kanon_audit" ->
+      """WITH g AS (
+        | SELECT c_mktsegment, c_nationkey, count(*) AS n
+        | FROM customer GROUP BY 1, 2)
+        |SELECT min(n) AS k_anonymity, count(*) AS n_classes,
+        | CAST(sum(n) AS BIGINT) AS n_rows,
+        | CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT)
+        |   AS rows_below_k,
+        | CAST(round(1000000 * (CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END)
+        |   AS DOUBLE) / sum(n))) AS BIGINT) AS below_k_ppm
+        |FROM g""".stripMargin,
     // SCD2 twin: the same fingerprint full-outer, expanded to validity
     // intervals (closed v1 row for changed/removed, open row for live)
     "q_scd2" ->
@@ -6340,6 +6394,53 @@ object SparkEntry {
 
     "d_bm25_topk" -> bm25Oracle,
     "d_bm25_topk_stored" -> bm25Oracle,
+    // MRR / nDCG@10 over the bm25 chain; the rank-r gains are the SAME
+    // hard-coded micro-units of 1/log2(r+1) the Spark operator holds, so
+    // DCG/IDCG are order-independent integer sums on both engines
+    "d_retrieval_eval" ->
+      s"""WITH $bm25Ctes,
+        |g AS (SELECT * FROM (VALUES (1, 1000000), (2, 630930), (3, 500000),
+        |       (4, 430677), (5, 386853), (6, 356207), (7, 333333),
+        |       (8, 315465), (9, 301030), (10, 289065)) AS g(rnk, gain)),
+        |ql AS (SELECT doc_id AS q_id, lang AS q_lang
+        |       FROM documents WHERE doc_id < 5),
+        |j AS (
+        | SELECT r.q_id, r.rnk, r.doc_id,
+        |  CASE WHEN d.lang = ql.q_lang AND r.doc_id <> r.q_id
+        |       THEN 1 ELSE 0 END AS rel,
+        |  g.gain
+        | FROM r JOIN documents d ON r.doc_id = d.doc_id
+        | JOIN ql ON r.q_id = ql.q_id
+        | JOIN g ON r.rnk = g.rnk
+        | WHERE r.rnk <= 10),
+        |per AS (
+        | SELECT q_id,
+        |  CAST(sum(rel) AS BIGINT) AS n_rel_at10,
+        |  CAST(coalesce(min(CASE WHEN rel = 1 THEN rnk END), 0) AS BIGINT)
+        |    AS first_rel,
+        |  CAST(sum(CASE WHEN rel = 1 THEN gain ELSE 0 END) AS BIGINT)
+        |    AS dcg_micro
+        | FROM j GROUP BY q_id),
+        |rtot AS (
+        | SELECT ql.q_id, CAST(count(*) AS BIGINT) AS n_rel_total
+        | FROM ql JOIN documents d
+        |   ON d.lang = ql.q_lang AND d.doc_id <> ql.q_id
+        | GROUP BY ql.q_id),
+        |idcg AS (
+        | SELECT rt.q_id, CAST(sum(g.gain) AS BIGINT) AS idcg_micro
+        | FROM rtot rt JOIN g ON g.rnk <= least(rt.n_rel_total, 10)
+        | GROUP BY rt.q_id)
+        |SELECT p.q_id, rt.n_rel_total, p.n_rel_at10,
+        | CASE WHEN p.first_rel = 0 THEN 0
+        |      ELSE CAST(round(1000000.0 / p.first_rel) AS BIGINT)
+        | END AS rr_micro,
+        | p.dcg_micro, i.idcg_micro,
+        | CASE WHEN i.idcg_micro = 0 THEN 0
+        |      ELSE CAST(round(1000000 * (CAST(p.dcg_micro AS DOUBLE)
+        |             / i.idcg_micro)) AS BIGINT)
+        | END AS ndcg_ppm
+        |FROM per p JOIN rtot rt USING (q_id) JOIN idcg i USING (q_id)
+        |ORDER BY q_id""".stripMargin,
     // increment ≡ rebuild: the merged (<250 store + >=250 delta) index
     // must hash-match the full-corpus twin exactly
     "d_bm25_incremental" -> bm25Oracle,

@@ -213,6 +213,65 @@ object Retrieval {
       .select(col("q_id"), col("rnk"), col(idCol), col("rrf_micro"))
   }
 
+  /** Retrieval-quality evaluation (MRR, nDCG@10) over a ranked top-10
+    * list — the eval harness every retrieval deployment watches next to
+    * its recall audit. Relevance is label-match: a hit is relevant iff
+    * its `langCol` equals the query doc's language and it is not the
+    * query doc itself (the standard leave-self-out qrels rule when the
+    * corpus is its own query set).
+    *
+    * Bit-exactness contract: the rank-r discount 1/log2(r+1) is NOT
+    * recomputed per engine (libm log2 is not correctly rounded, so two
+    * engines could disagree in the last ulp) — the ten values are a
+    * HARD-CODED micro-unit gain table shared verbatim with the oracle.
+    * DCG/IDCG are then order-independent BIGINT sums, and the single
+    * nDCG division happens once on those integers.
+    *
+    * Scale shape: the ranked list is |queries|·10 rows and broadcasts
+    * everywhere; the only corpus-sized work is one scan of the (id,
+    * lang) projection for the relevance totals — text never loads.
+    */
+  def retrievalEval(ranked: DataFrame, docs: DataFrame, idCol: String,
+                    langCol: String): DataFrame = {
+    // round(1e6 / log2(r+1)) for r = 1..10 — shared with the SQL twin
+    val gains = Seq(1000000L, 630930L, 500000L, 430677L, 386853L,
+      356207L, 333333L, 315465L, 301030L, 289065L)
+    val gainArr = array(gains.map(lit): _*)
+    val langs = docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"))
+    val ql = langs.join(broadcast(ranked.select(col("q_id")).distinct()),
+        col("doc_id") === col("q_id"))
+      .select(col("q_id"), col("lang").as("q_lang"))
+    val j = langs
+      .join(broadcast(ranked.select(col("q_id"), col("rnk"), col("doc_id"))),
+        Seq("doc_id"))
+      .join(broadcast(ql), Seq("q_id"))
+      .withColumn("rel",
+        (col("lang") === col("q_lang") && col("doc_id") =!= col("q_id"))
+          .cast("int"))
+      .withColumn("gain", element_at(gainArr, col("rnk").cast("int")))
+    val per = j.groupBy(col("q_id"))
+      .agg(sum(col("rel")).cast("bigint").as("n_rel_at10"),
+        coalesce(min(when(col("rel") === 1, col("rnk"))), lit(0))
+          .cast("bigint").as("first_rel"),
+        sum(when(col("rel") === 1, col("gain")).otherwise(0L))
+          .cast("bigint").as("dcg_micro"))
+    val rtot = langs.join(broadcast(ql),
+        col("lang") === col("q_lang") && col("doc_id") =!= col("q_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_rel_total"))
+    per.join(rtot, Seq("q_id"))
+      .select(col("q_id"), col("n_rel_total"), col("n_rel_at10"),
+        when(col("first_rel") === 0, 0L)
+          .otherwise(round(lit(1e6) / col("first_rel").cast("double")))
+          .cast("bigint").as("rr_micro"),
+        col("dcg_micro"),
+        aggregate(slice(gainArr, lit(1), least(col("n_rel_total"), lit(10L))
+          .cast("int")), lit(0L), (acc, x) => acc + x).as("idcg_micro"))
+      .withColumn("ndcg_ppm",
+        when(col("idcg_micro") === 0, 0L)
+          .otherwise(round(lit(1e6) * (col("dcg_micro").cast("double") /
+            col("idcg_micro").cast("double")))).cast("bigint"))
+  }
+
   def bm25TopKStored(store: Bm25Store, queries: DataFrame, idCol: String,
                      qIdCol: String, qTextCol: String,
                      k1: Double = 1.2, b: Double = 0.75,
