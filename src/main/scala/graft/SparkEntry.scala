@@ -1045,6 +1045,15 @@ object SparkEntry {
         TextAnalysis.tokenCount(col("text")), budget = 512, shards = 8)
       .orderBy(col("doc_id"))
 
+  private def eventDedup(s: SparkSession, dir: String): DataFrame =
+    // telemetry debounce: drop events < 24 h after the previous event of
+    // the same (user, type) — on this generator's inter-arrival grid that
+    // throttles the sub-day repeat bursts (~25% of rows) while keeping
+    // every first-daily occurrence; streaming twin pinned in StreamingSpec
+    Sessionize.throttleDedup(t(s, dir, "events"), "user_id", "event_type",
+        "event_id", "ts", minGapUs = 86400000000L)
+      .orderBy(col("event_id"))
+
   private def eventGaps(s: SparkSession, dir: String): DataFrame = {
     // per-user inter-arrival stats via lag over exact epoch micros (longs,
     // so the subtraction is integer-exact in both engines); parallel over
@@ -3297,6 +3306,7 @@ object SparkEntry {
     "q_running_total" -> (runningTotal _),
     "d_cube_sources" -> (cubeSources _),
     "q_event_gaps" -> (eventGaps _),
+    "q_event_dedup" -> (eventDedup _),
     "d_dedup_incremental" -> (dedupIncremental _),
     "d_dedup_incremental_stored" -> (dedupIncrementalStored _),
     "d_minhash_pairs" -> (minhashPairs _),
@@ -4831,6 +4841,19 @@ object SparkEntry {
         |  AS avg_gap_us,
         | max(gap) AS max_gap_us
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // debounce: keep an event iff >= 24 h after its (user, type)
+    // predecessor; exact integer micros
+    "q_event_dedup" ->
+      """WITH e AS (
+        | SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+        | FROM events),
+        |l AS (
+        | SELECT *, lag(ts_us) OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY ts_us, event_id) AS prev
+        | FROM e)
+        |SELECT event_id, user_id, event_type, ts_us FROM l
+        |WHERE prev IS NULL OR ts_us - prev >= 86400000000
+        |ORDER BY event_id""".stripMargin,
     // all four (lang, source) granularities via CUBE; NULL slots → 'ALL'
     "d_cube_sources" ->
       """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,

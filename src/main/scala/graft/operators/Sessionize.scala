@@ -39,6 +39,29 @@ object Sessionize {
       .agg(max(col("session_idx")).as("n_sessions"),
         count(lit(1)).as("n_events"))
 
+  /** Throttle-dedup (debounce): drop an event arriving less than
+    * `minGapUs` after the PREVIOUS event of the same (user, type) —
+    * telemetry hygiene for double-fires and retry storms. The kept flag
+    * depends only on each event's immediate predecessor (a lag, not a
+    * kept-chain), which keeps the rule engine-portable AND gives the
+    * streaming twin ([[graft.streaming.EventStream.streamingThrottle]])
+    * batch-split invariance with one scalar of state per key. Exact
+    * integer micros end to end.
+    *
+    * Scale shape: one hash exchange on (user, type); the window sort is
+    * local to each key group.
+    */
+  def throttleDedup(events: DataFrame, userCol: String, typeCol: String,
+                    idCol: String, tsCol: String, minGapUs: Long): DataFrame = {
+    val w = Window.partitionBy(col(userCol), col(typeCol))
+      .orderBy(col("ts_us"), col(idCol))
+    events.select(col(idCol), col(userCol), col(typeCol),
+        unix_micros(col(tsCol)).as("ts_us"))
+      .withColumn("prev", lag(col("ts_us"), 1).over(w))
+      .filter(col("prev").isNull || col("ts_us") - col("prev") >= minGapUs)
+      .select(col(idCol), col(userCol), col(typeCol), col("ts_us"))
+  }
+
   /** Fixed time-bucket rollup (hourly by default): count + value sum per
     * (bucket, event type). Partial-aggregated; shuffle carries one row per
     * (bucket, type).

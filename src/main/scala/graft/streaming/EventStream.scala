@@ -460,6 +460,40 @@ object EventStream {
       }
   }
 
+  case class ThrottleEvent(event_id: Long, user_id: Long,
+                           event_type: String, ts_us: Long)
+  case class ThrottleState(lastTs: Long)
+
+  /** Streaming twin of [[graft.operators.Sessionize.throttleDedup]]:
+    * per-(user, type) debounce with ONE scalar of state — the last seen
+    * event's micros. Because the batch rule keys the drop decision on the
+    * immediate predecessor (not the last KEPT event), split invariance is
+    * by construction: that predecessor is either earlier in this batch
+    * (sorted locally) or exactly the state scalar, for ANY micro-batching
+    * that preserves per-key arrival order. Pinned against the batch
+    * operator in StreamingSpec over uneven splits.
+    */
+  def streamingThrottle(events: DataFrame, minGapUs: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us")).as[ThrottleEvent]
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[ThrottleState, ThrottleEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[ThrottleState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          var last: Option[Long] = state.getOption.map(_.lastTs)
+          val kept = scala.collection.mutable.ArrayBuffer[ThrottleEvent]()
+          sorted.foreach { e =>
+            if (last.forall(l => e.ts_us - l >= minGapUs)) kept += e
+            last = Some(e.ts_us)
+          }
+          last.foreach(l => state.update(ThrottleState(l)))
+          kept.iterator
+      }.toDF()
+  }
+
   /** Streaming trained-classifier scoring: classify arriving docs against a
     * FROZEN Naive Bayes model ([[graft.operators.Classify.nbModel]] /
     * `nbClassBase`) — the classifier sibling of [[streamingLmScore]]. The

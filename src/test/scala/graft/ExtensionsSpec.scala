@@ -1127,6 +1127,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming throttle-dedup == batch throttleDedup over uneven micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val gap = 60L * 1000000 // 1 minute in micros
+    val raw = Seq(
+      (1L, 7L, "click", ts("2024-01-01 00:00:00")),
+      (2L, 7L, "click", ts("2024-01-01 00:00:30")),  // < gap after 1 → drop
+      (3L, 7L, "click", ts("2024-01-01 00:00:50")),  // < gap after 2 → drop
+      (4L, 7L, "click", ts("2024-01-01 00:02:00")),  // >= gap after 3 → keep
+      (5L, 7L, "view",  ts("2024-01-01 00:00:10")),  // other type: keep
+      (6L, 8L, "click", ts("2024-01-01 00:00:20")),  // other user: keep
+      (7L, 8L, "click", ts("2024-01-01 00:01:30")))  // >= gap after 6 → keep
+    val batchDf = raw.toDF("event_id", "user_id", "event_type", "ts")
+    val expected = graft.operators.Sessionize.throttleDedup(batchDf, "user_id", "event_type",
+        "event_id", "ts", gap)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(expected == Set(1L, 4L, 5L, 6L, 7L)) // drop rule sanity
+    // uneven splits CROSSING the drop chain: state must carry event 2's
+    // and 3's timestamps (dropped events still advance the predecessor)
+    val mem = MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+    val events = mem.toDF().toDF("event_id", "user_id", "event_type", "ts")
+    val q = EventStream.streamingThrottle(events, gap)
+      .writeStream.format("memory").queryName("throttle")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(raw(0), raw(1))
+      q.processAllAvailable()
+      mem.addData(raw(2))
+      q.processAllAvailable()
+      mem.addData(raw(3), raw(4), raw(5))
+      q.processAllAvailable()
+      mem.addData(raw(6))
+      q.processAllAvailable()
+      val streamed = spark.table("throttle")
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      assert(streamed == expected)
+    } finally q.stop()
+  }
+
   test("watermarked windowed rollup over a memory stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
