@@ -2914,23 +2914,34 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
-  private def linkRank(s: SparkSession, dir: String): DataFrame = {
-    // link-based corpus ranking on a DERIVED deterministic link graph
-    // (documents carry no links, so each doc links to three modular
-    // neighbors — the same rule in the SQL twin; what's under test is the
-    // fixed-point PageRank iterate, which is integer-exact cross-engine).
-    // N reaches the edge builder as a broadcast 1-row frame — the same
-    // benign pattern as d_tfidf_terms' corpus total.
+  /** The DERIVED deterministic link graph shared by d_link_rank and
+    * d_hits_rank (documents carry no links, so each doc links to three
+    * modular neighbors — the same rule in both SQL twins). N reaches the
+    * edge builder as a broadcast 1-row frame — the same benign pattern as
+    * d_tfidf_terms' corpus total.
+    */
+  private def derivedEdges(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"))
     val cnt = docs.agg(count(lit(1)).as("n"))
-    val edges = docs.crossJoin(broadcast(cnt))
+    docs.crossJoin(broadcast(cnt))
       .select(col("doc_id").as("src"), explode(array(
         pmod(col("doc_id") + 17, col("n")),
         pmod(col("doc_id") + 101, col("n")),
         pmod(col("doc_id") * 3 + 7, col("n")))).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-    LinkRank.pageRank(edges, iters = 4)
+  }
+
+  private def hitsRank(s: SparkSession, dir: String): DataFrame =
+    // Kleinberg HITS on the derived graph: max-normalized fixed-point
+    // integer iterate — the authority/hub complement to d_link_rank
+    LinkRank.hits(derivedEdges(s, dir), iters = 3)
+      .orderBy(col("node"))
+
+  private def linkRank(s: SparkSession, dir: String): DataFrame = {
+    // link-based corpus ranking on the derived graph; what's under test is
+    // the fixed-point PageRank iterate, which is integer-exact cross-engine
+    LinkRank.pageRank(derivedEdges(s, dir), iters = 4)
       .orderBy(col("node"))
   }
 
@@ -3392,6 +3403,7 @@ object SparkEntry {
     "d_chunk_docs" -> (chunkDocs _),
     "d_html_extract" -> (htmlExtract _),
     "d_link_rank" -> (linkRank _),
+    "d_hits_rank" -> (hitsRank _),
     "d_corpus_clean" -> (corpusClean _),
     "d_nb_train" -> (nbTrainQuery _),
     "d_nb_predict" -> (nbPredictQuery _),
@@ -6127,6 +6139,40 @@ object SparkEntry {
     // fixed-point PageRank twin: same derived modular link graph, four
     // chained iterations in integer arithmetic (order-independent BIGINT
     // sums, floor division) — bit-exact cross-engine
+    // HITS twin: 3 unrolled rounds of (auth half-step, max-normalize,
+    // hub half-step, max-normalize) — same integer arithmetic as the
+    // Spark iterate, same derived modular-neighbor edge set
+    "d_hits_rank" -> {
+      val rounds = (1 to 3).map { i =>
+        val ph = if (i == 1) "h0" else s"h${i - 1}"
+        s"""a${i}r AS (SELECT e.dst AS node, CAST(sum($ph.v) AS BIGINT) AS s
+           |       FROM e JOIN $ph ON $ph.node = e.src GROUP BY e.dst),
+           |a${i}f AS (SELECT nodes.node, coalesce(a${i}r.s, 0) AS s
+           |       FROM nodes LEFT JOIN a${i}r ON a${i}r.node = nodes.node),
+           |a${i}m AS (SELECT max(s) AS m FROM a${i}f),
+           |a$i AS (SELECT node, (s * 1000000) // nullif(m, 0) AS v
+           |       FROM a${i}f, a${i}m),
+           |h${i}r AS (SELECT e.src AS node, CAST(sum(a$i.v) AS BIGINT) AS s
+           |       FROM e JOIN a$i ON a$i.node = e.dst GROUP BY e.src),
+           |h${i}f AS (SELECT nodes.node, coalesce(h${i}r.s, 0) AS s
+           |       FROM nodes LEFT JOIN h${i}r ON h${i}r.node = nodes.node),
+           |h${i}m AS (SELECT max(s) AS m FROM h${i}f),
+           |h$i AS (SELECT node, (s * 1000000) // nullif(m, 0) AS v
+           |       FROM h${i}f, h${i}m)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+        |e0 AS (SELECT doc_id AS src, (doc_id + 17) % nn.n AS dst FROM documents, nn
+        |       UNION ALL SELECT doc_id, (doc_id + 101) % nn.n FROM documents, nn
+        |       UNION ALL SELECT doc_id, (doc_id * 3 + 7) % nn.n FROM documents, nn),
+        |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+        |nodes AS (SELECT DISTINCT node FROM
+        |            (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS v FROM nodes),
+        |$rounds
+        |SELECT a3.node, CAST(a3.v AS BIGINT) AS auth_fp,
+        | CAST(h3.v AS BIGINT) AS hub_fp
+        |FROM a3 JOIN h3 ON h3.node = a3.node ORDER BY a3.node""".stripMargin
+    },
     "d_link_rank" ->
       """WITH nn AS (SELECT count(*) AS n FROM documents),
         |e0 AS (SELECT doc_id AS src, (doc_id + 17) % nn.n AS dst FROM documents, nn

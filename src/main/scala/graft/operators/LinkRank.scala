@@ -33,6 +33,57 @@ object LinkRank {
     * scaled by `scale` (init = 1.0 ⇒ `scale`; damping 0.85 in integer
     * form: next = (15·scale + 85·Σ floor(rank/outdeg)) div 100).
     */
+  /** HITS hubs & authorities over `edges(src, dst)` — the second classic
+    * link signal next to [[pageRank]]: authorities are pages good links
+    * point AT, hubs are pages that point at good authorities (Kleinberg
+    * 1999). Same fixed-point-integer discipline as pageRank: each half-step
+    * is an order-independent BIGINT sum over the edge list, and the
+    * normalization divides by the round's MAX (not the L2 norm — max is
+    * order-independent and keeps every value ≤ `scale`, so no product in
+    * the iterate can overflow: s ≤ maxdeg·scale, s·scale ≤ 2⁶³ for any
+    * realistic degree). Max-normalized HITS converges to the same
+    * principal-eigenvector RANKING as the L2 spelling — only the
+    * per-round scaling differs, and ranking is what the signal is for.
+    *
+    * Scale shape per round: two edge⋈score joins + two partial-agg
+    * groupBys + two 1-row max aggregates broadcast back; lineage truncated
+    * per round like [[pageRank]] and the CC iterate.
+    */
+  def hits(edges: DataFrame, iters: Int = 3,
+           scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && scale > 0)
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    var hubs = nodes.select(col("node"), lit(scale).as("hub_fp"))
+    var auths = nodes.select(col("node"), lit(scale).as("auth_fp"))
+    def normalized(raw: DataFrame, valCol: String): DataFrame = {
+      // raw: (node, s) summed over the half-step; nodes missing from raw
+      // (no in-/out-edges) score 0; divide by the round max, floor
+      val full = nodes.join(raw, Seq("node"), "left")
+        .select(col("node"), coalesce(col("s"), lit(0L)).as("s"))
+      val m = full.agg(max(col("s")).as("m"))
+      full.crossJoin(broadcast(m))
+        .select(col("node"),
+          expr(s"(s * $scale) div nullif(m, 0)").as(valCol))
+        .localCheckpoint(eager = false)
+    }
+    for (_ <- 0 until iters) {
+      val araw = e.join(hubs, e("src") === hubs("node"))
+        .select(col("dst").as("node"), col("hub_fp"))
+        .groupBy("node").agg(sum(col("hub_fp")).as("s"))
+      auths = normalized(araw, "auth_fp")
+      val hraw = e.join(auths, e("dst") === auths("node"))
+        .select(col("src").as("node"), col("auth_fp"))
+        .groupBy("node").agg(sum(col("auth_fp")).as("s"))
+      hubs = normalized(hraw, "hub_fp")
+    }
+    auths.join(hubs, Seq("node"))
+      .select(col("node"), col("auth_fp"), col("hub_fp"))
+  }
+
   def pageRank(edges: DataFrame, iters: Int = 4,
                scale: Long = 1000000L): DataFrame = {
     require(iters >= 1 && scale > 0)
