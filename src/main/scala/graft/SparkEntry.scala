@@ -1045,6 +1045,38 @@ object SparkEntry {
         TextAnalysis.tokenCount(col("text")), budget = 512, shards = 8)
       .orderBy(col("doc_id"))
 
+  private def overlapJoinQuery(s: SparkSession, dir: String): DataFrame = {
+    // keyless interval-overlap join at the bucketed scale shape: user
+    // sessions (30-min-gap islands in exact micros, event_id tiebreak)
+    // against 20 derived 24-hour campaign windows spaced 36 h apart.
+    // Each overlapping (session, campaign) pair is emitted exactly once
+    // by the canonical-bucket rule — no distinct, no cartesian.
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+    val sess = ev
+      .withColumn("new_s", when(lag(col("ts_us"), 1).over(w).isNull ||
+        col("ts_us") - lag(col("ts_us"), 1).over(w) > 1800000000L, 1)
+        .otherwise(0))
+      .withColumn("sidx", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sidx"))
+      .agg(min(col("ts_us")).as("s_start"), max(col("ts_us")).as("s_end"))
+    val base = 1704067200000000L // epoch micros of 2024-01-01 00:00:00
+    val camp = s.range(0, 20)
+      .select(col("id").as("campaign_id"),
+        (lit(base) + col("id") * lit(129600000000L)).as("c_start"),
+        (lit(base) + col("id") * lit(129600000000L) + lit(86400000000L))
+          .as("c_end"))
+    RangeJoin.overlapJoin(sess, "s_start", "s_end",
+        camp, "c_start", "c_end", bucketUs = 86400000000L)
+      .groupBy(col("campaign_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("campaign_id"))
+  }
+
   private def eventDedup(s: SparkSession, dir: String): DataFrame =
     // telemetry debounce: drop events < 24 h after the previous event of
     // the same (user, type) — on this generator's inter-arrival grid that
@@ -3318,6 +3350,7 @@ object SparkEntry {
     "d_cube_sources" -> (cubeSources _),
     "q_event_gaps" -> (eventGaps _),
     "q_event_dedup" -> (eventDedup _),
+    "q_overlap_join" -> (overlapJoinQuery _),
     "d_dedup_incremental" -> (dedupIncremental _),
     "d_dedup_incremental_stored" -> (dedupIncrementalStored _),
     "d_minhash_pairs" -> (minhashPairs _),
@@ -4853,6 +4886,35 @@ object SparkEntry {
         |  AS avg_gap_us,
         | max(gap) AS max_gap_us
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // interval-overlap: sessions (exact-micros islands) x 24 h campaign
+    // windows; the oracle spells the overlap as a plain theta-join — the
+    // Spark side's bucket decomposition must emit identical pairs
+    "q_overlap_join" ->
+      """WITH g AS (
+        | SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |       THEN 1 ELSE 0 END AS new_s
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |si AS (
+        | SELECT user_id, ts_us,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS sidx
+        | FROM g),
+        |sess AS (
+        | SELECT user_id, sidx, min(ts_us) AS s_start, max(ts_us) AS s_end
+        | FROM si GROUP BY user_id, sidx),
+        |camp AS (
+        | SELECT i AS campaign_id,
+        |  1704067200000000 + i * 129600000000 AS c_start,
+        |  1704067200000000 + i * 129600000000 + 86400000000 AS c_end
+        | FROM range(0, 20) t(i))
+        |SELECT campaign_id, count(*) AS n_sessions,
+        | count(DISTINCT user_id) AS n_users
+        |FROM camp JOIN sess
+        |  ON s_start <= c_end AND c_start <= s_end
+        |GROUP BY campaign_id ORDER BY campaign_id""".stripMargin,
     // debounce: keep an event iff >= 24 h after its (user, type)
     // predecessor; exact integer micros
     "q_event_dedup" ->

@@ -64,4 +64,32 @@ object RangeJoin {
       .select(left.columns.map(col).toSeq ++
         rCols.map(c => col(s"__r.$c").as(s"$prefix$c")): _*)
   }
+
+  /** KEYLESS interval×interval overlap join (closed intervals, micros):
+    * emit every (left, right) pair with `lStart <= rEnd && rStart <=
+    * lEnd`. Without an equi-key the naive spelling is a cartesian
+    * product; the scalable shape decomposes each interval into the
+    * width-`bucketUs` buckets it covers and equi-joins on the bucket id.
+    * Each overlapping pair shares at least the bucket containing
+    * `max(lStart, rStart)`, and the CANONICAL-BUCKET rule — keep a
+    * candidate only in exactly that bucket — emits every pair exactly
+    * once with no distinct. Shuffle volume is Σ(len/bucket + 1) rows per
+    * side; pick `bucketUs` near the typical interval length.
+    */
+  def overlapJoin(left: DataFrame, lStart: String, lEnd: String,
+                  right: DataFrame, rStart: String, rEnd: String,
+                  bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    val l = left.withColumn("__lb",
+      explode(sequence(floor(col(lStart) / bucketUs).cast("bigint"),
+        floor(col(lEnd) / bucketUs).cast("bigint"))))
+    val r = right.withColumn("__rb",
+      explode(sequence(floor(col(rStart) / bucketUs).cast("bigint"),
+        floor(col(rEnd) / bucketUs).cast("bigint"))))
+    l.join(r, col("__lb") === col("__rb") &&
+        col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+        col("__lb") === floor(greatest(col(lStart), col(rStart)) / bucketUs)
+          .cast("bigint"))
+      .drop("__lb", "__rb")
+  }
 }

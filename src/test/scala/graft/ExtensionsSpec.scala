@@ -1098,6 +1098,27 @@ class RangeJoinSpec extends SparkSpec {
       lowerOffsetMs = -6L * 3600000L, upperOffsetMs = 0L).collect()
     assert(out.length == 6) // 06:30 .. 11:30
   }
+
+  test("keyless overlap join: each overlapping pair exactly once across bucket layouts") {
+    // intervals in plain longs; bucket width 10. Pairs overlap across
+    // MULTIPLE shared buckets — the canonical-bucket rule must still emit
+    // each exactly once. Brute-force theta join is the truth.
+    val left = Seq((1L, 0L, 35L), (2L, 12L, 14L), (3L, 40L, 41L), (4L, 90L, 95L))
+      .toDF("lid", "ls", "le")
+    val right = Seq((10L, 5L, 25L), (11L, 13L, 60L), (12L, 96L, 99L), (13L, 70L, 80L))
+      .toDF("rid", "rs", "re")
+    for (bucket <- Seq(3L, 10L, 100L)) {
+      val got = RangeJoin.overlapJoin(left, "ls", "le", right, "rs", "re", bucket)
+        .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSeq.sorted
+      val truth = left.crossJoin(right)
+        .filter(col("ls") <= col("re") && col("rs") <= col("le"))
+        .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSeq.sorted
+      assert(got == truth, s"bucket=$bucket got=$got truth=$truth")
+      assert(got.size == got.distinct.size, s"bucket=$bucket duplicates")
+    }
+  }
 }
 
 class StreamingSpec extends SparkSpec {
