@@ -1499,6 +1499,28 @@ object SparkEntry {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  private def mutualKnnQuery(s: SparkSession, dir: String): DataFrame = {
+    // reciprocal top-5 pairs over the whole embedding set: the
+    // high-precision near-dup candidate filter. The graded spelling feeds
+    // the brute-force lists (the oracle twin is the same cartesian); a
+    // production run feeds the stored-IVF top-k lists — the mutual filter
+    // itself only ever touches N·k ranked rows either way.
+    val emb = t(s, dir, "embeddings")
+    Similarity.mutualTopK(
+        Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 5))
+      .orderBy(col("a"), col("b"))
+  }
+
+  private def centroidDriftQuery(s: SparkSession, dir: String): DataFrame =
+    Similarity.centroidDrift(t(s, dir, "embeddings"), "vec_id", "embedding",
+        "label")
+      .orderBy(col("label"))
+
+  private def chi2Query(s: SparkSession, dir: String): DataFrame =
+    // is source confounded with language? the corpus-composition
+    // independence check in exact integers + one double division per cell
+    TextAnalysis.independenceAudit(t(s, dir, "documents"), "lang", "source")
+
   private def embedMatryoshka(s: SparkSession, dir: String): DataFrame = {
     // Matryoshka / adaptive retrieval: score with only the FIRST HALF of
     // the embedding dims (32 of 64) — the cheap first pass of a
@@ -3360,6 +3382,9 @@ object SparkEntry {
     "d_ngram_jaccard" -> (ngramJaccard _),
     "s_ann_bruteforce" -> (annBruteForce _),
     "s_embed_matryoshka" -> (embedMatryoshka _),
+    "s_mutual_knn" -> (mutualKnnQuery _),
+    "s_centroid_drift" -> (centroidDriftQuery _),
+    "d_chi2_langsource" -> (chi2Query _),
     "s_ann_int8" -> (annInt8Query _),
     "s_ann_int8_stored" -> (annInt8StoredQuery _),
     "s_ann_recall" -> (annRecallQuery _),
@@ -5023,6 +5048,75 @@ object SparkEntry {
     "s_ann_int8_stored" -> annInt8Oracle,
     "s_ann_int8" -> annInt8Oracle,
     
+    // mutual top-5: both directions of the brute-force lists must agree
+    "s_mutual_knn" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+        |           FROM embeddings),
+        |c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c_vec FROM embeddings),
+        |s AS (SELECT q_id, c_id,
+        |        list_dot_product(q_vec, c_vec) /
+        |        (sqrt(list_dot_product(q_vec, q_vec)) * sqrt(list_dot_product(c_vec, c_vec))) AS sim
+        |      FROM q, c WHERE c_id <> q_id),
+        |r AS (SELECT q_id, c_id, sim,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
+        |      FROM s),
+        |t AS (SELECT q_id, c_id, rnk, round(sim, 4) AS sim FROM r WHERE rnk <= 5)
+        |SELECT f.q_id AS a, f.c_id AS b, f.rnk AS rank_ab, g.rnk AS rank_ba, f.sim
+        |FROM t f JOIN t g ON g.q_id = f.c_id AND g.c_id = f.q_id
+        |WHERE f.q_id < f.c_id ORDER BY a, b""".stripMargin,
+    // centroid drift: cosine of the per-label milli-unit SUM vectors
+    // (scale-invariant, so ≡ cosine of the means; integer sums are
+    // order-independent)
+    "s_centroid_drift" ->
+      """WITH e AS (
+        | SELECT label, vec_id % 2 = 0 AS even,
+        |  CAST(embedding AS DOUBLE[]) AS emb
+        | FROM embeddings),
+        |comp AS (
+        | SELECT label, even, i AS pos,
+        |  CAST(sum(CAST(round(emb[i] * 1000) AS BIGINT)) AS BIGINT) AS s
+        | FROM e, unnest(range(1, len(emb) + 1)) t(i)
+        | GROUP BY 1, 2, 3),
+        |d AS (
+        | SELECT a.label,
+        |  CAST(sum(a.s * b.s) AS BIGINT) AS dot,
+        |  CAST(sum(a.s * a.s) AS BIGINT) AS na2,
+        |  CAST(sum(b.s * b.s) AS BIGINT) AS nb2
+        | FROM comp a JOIN comp b
+        |   ON a.label = b.label AND a.pos = b.pos AND a.even AND NOT b.even
+        | GROUP BY a.label),
+        |cnt AS (
+        | SELECT label,
+        |  CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even,
+        |  CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_odd
+        | FROM embeddings GROUP BY label)
+        |SELECT d.label AS label, n_even, n_odd,
+        | CAST(round(1000000 * (CAST(dot AS DOUBLE) /
+        |   (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))))
+        |   AS BIGINT) AS cos_ppm
+        |FROM d JOIN cnt ON cnt.label = d.label
+        |ORDER BY label""".stripMargin,
+    // chi-square independence: exact-integer (O·N − r·c)²/(N·r·c) cells,
+    // micro-rounded then integer-summed
+    "d_chi2_langsource" ->
+      """WITH cells AS (
+        | SELECT lang AS a, source AS b, count(*) AS o
+        | FROM documents GROUP BY 1, 2),
+        |ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM cells GROUP BY a),
+        |cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM cells GROUP BY b),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |         count(DISTINCT a) AS n_a, count(DISTINCT b) AS n_b
+        |        FROM cells),
+        |contrib AS (
+        | SELECT n, n_a, n_b,
+        |  CAST(round(1000000 * (
+        |    CAST(o * n - ra * cb AS DOUBLE) * CAST(o * n - ra * cb AS DOUBLE)
+        |    / CAST(n * ra * cb AS DOUBLE))) AS BIGINT) AS chi_micro
+        | FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot)
+        |SELECT n, n_a, n_b, count(*) AS n_cells,
+        | (n_a - 1) * (n_b - 1) AS df,
+        | CAST(sum(chi_micro) AS BIGINT) AS chi2_micro
+        |FROM contrib GROUP BY n, n_a, n_b""".stripMargin,
     // Matryoshka twin: the brute-force chain over the first 32 dims
     "s_embed_matryoshka" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[])[1:32] AS q_vec

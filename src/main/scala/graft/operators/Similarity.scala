@@ -50,6 +50,68 @@ object Similarity {
     *
     * Returns (q_id, c_id, rank, sim).
     */
+  /** Reciprocal (mutual) kNN filter: keep the unordered pairs where EACH
+    * side ranks in the other's top-k — the classic high-precision
+    * candidate filter for embedding dedup (a one-directional neighbor is
+    * often just a hub; a mutual one is a near-duplicate). Operates purely
+    * in LIST space: input is any ranked `(q_id, c_id, rank, sim)` frame
+    * (brute-force here; the stored-IVF top-k lists in production), and
+    * the filter is one self-join over N·k rows — never the corpus.
+    * Cosine is symmetric, so `sim` is identical in both directions and
+    * carried from the a→b row.
+    */
+  def mutualTopK(ranked: DataFrame): DataFrame = {
+    val f = ranked.select(col("q_id").as("a"), col("c_id").as("b"),
+      col("rank").as("rank_ab"), col("sim"))
+    val g = ranked.select(col("q_id").as("gb"), col("c_id").as("ga"),
+      col("rank").as("rank_ba"))
+    f.join(g, col("a") === col("ga") && col("b") === col("gb"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("rank_ab"), col("rank_ba"), col("sim"))
+  }
+
+  /** Per-label semantic-drift monitor: cosine between the centroids of
+    * two corpus halves (even vs odd ids). Centroids are never divided
+    * out — cosine is scale-invariant, so the angle between the
+    * COMPONENT-WISE SUM vectors equals the angle between the means, and
+    * sums of integers are order-independent: each component is
+    * pointwise-rounded to milli units, summed as BIGINTs per dimension,
+    * and the integer dot products feed one final rounded division.
+    * (Milli, not micro: with |v|≲4 and ≤10⁵ rows per half, the 64-dim
+    * integer dot stays ≤ ~10¹⁶ < 2⁶³.)
+    *
+    * Scale shape: one posexplode to (label, half, dim, milli) →
+    * partial-agg groupBy over |labels|·2·dims rows → the dot/norm rollup
+    * touches only that bounded frame.
+    */
+  def centroidDrift(emb: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String): DataFrame = {
+    val comp = emb.select(col(labelCol).as("label"),
+        (pmod(col(idCol), lit(2)) === 0).as("even"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("even"), col("pos"))
+      .agg(sum(round(col("v") * 1000).cast("bigint")).as("s"))
+    val a = comp.filter(col("even")).select(col("label"), col("pos"),
+      col("s").as("sa"))
+    val b = comp.filter(!col("even")).select(col("label").as("lb"),
+      col("pos").as("pb"), col("s").as("sb"))
+    val dots = a.join(b, col("label") === col("lb") && col("pos") === col("pb"))
+      .groupBy(col("label"))
+      .agg(sum(col("sa") * col("sb")).as("dot"),
+        sum(col("sa") * col("sa")).as("na2"),
+        sum(col("sb") * col("sb")).as("nb2"))
+    val counts = emb.groupBy(col(labelCol).as("label"))
+      .agg(sum(when(pmod(col(idCol), lit(2)) === 0, 1L).otherwise(0L))
+        .as("n_even"),
+        sum(when(pmod(col(idCol), lit(2)) === 0, 0L).otherwise(1L))
+        .as("n_odd"))
+    dots.join(counts, Seq("label"))
+      .select(col("label"), col("n_even"), col("n_odd"),
+        round(lit(1e6) * (col("dot").cast("double") /
+          (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double")))))
+          .cast("bigint").as("cos_ppm"))
+  }
+
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
     import graft.functions.VectorFunctions.{dot_product, vector_norm}

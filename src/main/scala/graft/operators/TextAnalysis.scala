@@ -529,6 +529,40 @@ object TextAnalysis {
     * ≤ topR rows — the only single-partition work is the 100-row window
     * and the 1-row final aggregate.
     */
+  /** Chi-square independence audit over two categorical columns — the
+    * corpus-composition check that a provenance dimension (source) is not
+    * secretly confounded with a content dimension (language). Per-cell
+    * contributions use the integer-exact identity
+    *   (O·N − r·c)² / (N·r·c)
+    * with the numerator and denominator formed as exact integers (all
+    * < 2⁵³, so their double quotient is identical on any IEEE engine),
+    * pointwise-rounded to micro units, then summed as BIGINTs. One
+    * partial-agg groupBy over the corpus; everything after is
+    * |A|·|B|-bounded.
+    */
+  def independenceAudit(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint()
+    val ra = cells.groupBy(col("a")).agg(sum(col("o")).as("ra"))
+    val cb = cells.groupBy(col("b")).agg(sum(col("o")).as("cb"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("a")).as("n_a"), countDistinct(col("b")).as("n_b"))
+    cells.join(broadcast(ra), Seq("a")).join(broadcast(cb), Seq("b"))
+      .crossJoin(broadcast(tot))
+      .select(col("n"), col("n_a"), col("n_b"),
+        round(lit(1e6) *
+          ((col("o") * col("n") - col("ra") * col("cb")).cast("double") *
+           (col("o") * col("n") - col("ra") * col("cb")).cast("double") /
+           (col("n") * col("ra") * col("cb")).cast("double")))
+          .cast("bigint").as("chi_micro"))
+      .groupBy(col("n"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("chi_micro")).as("chi2_micro"))
+      .select(col("n"), col("n_a"), col("n_b"), col("n_cells"),
+        ((col("n_a") - 1) * (col("n_b") - 1)).as("df"),
+        col("chi2_micro"))
+  }
+
   /** Good–Turing vocabulary audit per group: token mass, vocabulary size,
     * hapax/dis legomena, the Good–Turing unseen-mass estimate N₁/N, and
     * the type–token ratio — the corpus-health numbers that flag both
