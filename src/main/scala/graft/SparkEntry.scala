@@ -1045,6 +1045,50 @@ object SparkEntry {
         TextAnalysis.tokenCount(col("text")), budget = 512, shards = 8)
       .orderBy(col("doc_id"))
 
+  private def rollingDistinct(s: SparkSession, dir: String): DataFrame = {
+    // trailing-7-day distinct users per day — the DAU/WAU shape. EXACT
+    // rolling distinct without a window-over-everything: dedup to
+    // (day, user) first (one shuffle), fan each pair out to the <=7
+    // target days it serves, dedup again, count. Shuffle volume is
+    // bounded by 7·|distinct (day, user)| fixed-width rows — no
+    // re-scan per day, no count-distinct window
+    val du = t(s, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val pd = du.groupBy(col("day")).agg(count(lit(1)).as("n_active"))
+    val r = du.select(
+        explode(expr("sequence(day, date_add(day, 6), interval 1 day)"))
+          .as("day"), col("user_id"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("n_active_7d"))
+    pd.join(r, Seq("day")).orderBy(col("day"))
+  }
+
+  private def fdAudit(s: SparkSession, dir: String): DataFrame = {
+    // declared-constraint audit: primary-key uniqueness on three tables
+    // plus one functional dependency that genuinely fails (an order can
+    // ship from several suppliers) — the violation count IS the signal.
+    // Each row is one partial-agg groupBy collapsed to exact integers.
+    def uniq(name: String, df: DataFrame, keys: Seq[String]): DataFrame =
+      df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+        .agg(lit(name).as("constraint_name"),
+          sum(col("n")).cast("bigint").as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_violating_keys"))
+    def fd(name: String, df: DataFrame, det: String, dep: String): DataFrame =
+      df.groupBy(col(det)).agg(count(lit(1)).as("n"),
+          countDistinct(col(dep)).as("nd"))
+        .agg(lit(name).as("constraint_name"),
+          sum(col("n")).cast("bigint").as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_violating_keys"))
+    uniq("pk_lineitem", t(s, dir, "lineitem"), Seq("l_orderkey", "l_linenumber"))
+      .unionAll(uniq("pk_orders", t(s, dir, "orders"), Seq("o_orderkey")))
+      .unionAll(uniq("pk_events", t(s, dir, "events"), Seq("event_id")))
+      .unionAll(fd("fd_order_supplier", t(s, dir, "lineitem"),
+        "l_orderkey", "l_suppkey"))
+      .orderBy(col("constraint_name"))
+  }
+
   private def overlapJoinQuery(s: SparkSession, dir: String): DataFrame = {
     // keyless interval-overlap join at the bucketed scale shape: user
     // sessions (30-min-gap islands in exact micros, event_id tiebreak)
@@ -3373,6 +3417,8 @@ object SparkEntry {
     "q_event_gaps" -> (eventGaps _),
     "q_event_dedup" -> (eventDedup _),
     "q_overlap_join" -> (overlapJoinQuery _),
+    "q_rolling_distinct" -> (rollingDistinct _),
+    "q_fd_audit" -> (fdAudit _),
     "d_dedup_incremental" -> (dedupIncremental _),
     "d_dedup_incremental_stored" -> (dedupIncrementalStored _),
     "d_minhash_pairs" -> (minhashPairs _),
@@ -4911,6 +4957,41 @@ object SparkEntry {
         |  AS avg_gap_us,
         | max(gap) AS max_gap_us
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // exact trailing-7-day distinct users via the (day,user) fan-out
+    "q_rolling_distinct" ->
+      """WITH du AS (
+        | SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |pd AS (SELECT day, count(*) AS n_active FROM du GROUP BY day),
+        |ex AS (
+        | SELECT DISTINCT day + off AS day, user_id
+        | FROM du, unnest([0, 1, 2, 3, 4, 5, 6]) o(off)),
+        |r AS (SELECT day, count(*) AS n_active_7d FROM ex GROUP BY day)
+        |SELECT day, n_active, n_active_7d
+        |FROM pd JOIN r USING (day) ORDER BY day""".stripMargin,
+    // constraint audit: three PK uniqueness rows + one failing FD
+    "q_fd_audit" ->
+      """WITH li AS (
+        | SELECT 'pk_lineitem' AS constraint_name,
+        |  CAST(sum(n) AS BIGINT) AS n_rows, count(*) AS n_keys,
+        |  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_keys
+        | FROM (SELECT count(*) AS n FROM lineitem
+        |       GROUP BY l_orderkey, l_linenumber)),
+        |o AS (
+        | SELECT 'pk_orders', CAST(sum(n) AS BIGINT), count(*),
+        |  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        | FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey)),
+        |e AS (
+        | SELECT 'pk_events', CAST(sum(n) AS BIGINT), count(*),
+        |  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        | FROM (SELECT count(*) AS n FROM events GROUP BY event_id)),
+        |f AS (
+        | SELECT 'fd_order_supplier', CAST(sum(n) AS BIGINT), count(*),
+        |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        | FROM (SELECT count(*) AS n, count(DISTINCT l_suppkey) AS nd
+        |       FROM lineitem GROUP BY l_orderkey))
+        |SELECT * FROM li UNION ALL SELECT * FROM o
+        |UNION ALL SELECT * FROM e UNION ALL SELECT * FROM f
+        |ORDER BY constraint_name""".stripMargin,
     // interval-overlap: sessions (exact-micros islands) x 24 h campaign
     // windows; the oracle spells the overlap as a plain theta-join — the
     // Spark side's bucket decomposition must emit identical pairs
