@@ -2373,6 +2373,31 @@ object SparkEntry {
         (lit(64) + pmod(col("n_chars") * 7, lit(512))).as("fake_height"))
       .orderBy(col("doc_id"))
 
+  private def bmpDecodeQuery(s: SparkSession, dir: String): DataFrame = {
+    // real BMP codec end to end: plant a 24-bit BMP per doc (odd widths
+    // exercise the 4-byte row padding; bottom-up BGR on disk), decode it
+    // back, and grade exact integer pixel stats INCLUDING the
+    // position-weighted checksum — any padding/row-order/channel-order
+    // mistake in either direction shifts wsum. One map-side pass.
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 5 + (id % 4).toInt
+        val h = 3 + (id % 3).toInt
+        val px = Array.tabulate(w * h * 3)(i => ((id * 59 + i * 13) % 256).toByte)
+        val bytes = graft.multimodal.Multimodal.encodeBmp(w, h, px)
+        val dec = graft.multimodal.Multimodal.decodeBmpPixels(bytes)
+          .getOrElse(throw new IllegalStateException(s"bmp decode failed: $id"))
+        var sum = 0L; var wsum = 0L; var i = 0
+        while (i < dec.pixels.length) {
+          val v = dec.pixels(i) & 0xFF
+          sum += v; wsum += v.toLong * (i + 1); i += 1
+        }
+        (id, bytes.length.toLong, dec.width.toLong, dec.height.toLong, sum, wsum)
+      }).toDF("doc_id", "byte_len", "width", "height", "sum_rgb", "wsum")
+      .orderBy(col("doc_id"))
+  }
+
   private def gzipRoundtrip(s: SparkSession, dir: String): DataFrame =
     // crawl-style ingestion: text → gzip payloads (the on-disk layout) →
     // REAL JDK-Inflater decode back. The oracle is the identity: a decoded
@@ -3465,6 +3490,7 @@ object SparkEntry {
     "m_jpeg_exif" -> (jpegExifQuery _),
     "m_mp3_meta" -> (mp3MetaQuery _),
     "m_gzip_roundtrip" -> (gzipRoundtrip _),
+    "m_bmp_decode" -> (bmpDecodeQuery _),
     "m_media_resize" -> (mediaResize _),
     "m_frame_sample" -> (frameSampleAudio _),
     "m_multimodal_features" -> (multimodalFeatures _),
@@ -5615,6 +5641,25 @@ object SparkEntry {
     "m_gzip_roundtrip" ->
       """SELECT doc_id AS media_id, len(text) AS n_chars, text
         |FROM documents ORDER BY media_id""".stripMargin,
+    // BMP twin: dims, file size (incl. row padding), and the plain +
+    // position-weighted pixel sums replayed from the planting formula —
+    // the weighted sum proves byte-exact round trip through bottom-up
+    // BGR padded storage
+    "m_bmp_decode" ->
+      """WITH p AS (
+        | SELECT doc_id,
+        |  CAST(5 + doc_id % 4 AS BIGINT) AS width,
+        |  CAST(3 + doc_id % 3 AS BIGINT) AS height
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(54 + (width * 3 + (4 - (width * 3) % 4) % 4) * height AS BIGINT)
+        |   AS byte_len,
+        | width, height,
+        | CAST(list_sum(list_transform(range(0, width * height * 3),
+        |   i -> (doc_id * 59 + i * 13) % 256)) AS BIGINT) AS sum_rgb,
+        | CAST(list_sum(list_transform(range(0, width * height * 3),
+        |   i -> ((doc_id * 59 + i * 13) % 256) * (i + 1))) AS BIGINT) AS wsum
+        |FROM p ORDER BY doc_id""".stripMargin,
     // perceptual-hash twin: recompute the 64-bit dHash from the planting
     // formula (md5-byte channel values, see imageDhashCtes) — 9x8 NN
     // luminance grid (sx = 8c//9, sy = r), BT.601 integer weights, bit

@@ -355,6 +355,86 @@ object Multimodal {
                 pixels: Array[Byte]): Array[Byte] =
     encodePng(width, height, channels, pixels, Seq.empty)
 
+  /** Encode a 24-bit uncompressed Windows BMP (BITMAPINFOHEADER):
+    * bottom-up rows, BGR byte order, rows padded to 4-byte boundaries —
+    * the three classic traps of the format, all round-tripped exactly by
+    * [[decodeBmpPixels]]. `pixels` is top-down row-major RGB.
+    */
+  def encodeBmp(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0, s"$width x $height")
+    require(pixels.length == width * height * 3,
+      s"pixels=${pixels.length} != $width*$height*3")
+    val rowBytes = width * 3
+    val pad = (4 - rowBytes % 4) % 4
+    val imgSize = (rowBytes + pad) * height
+    val fileSize = 14 + 40 + imgSize
+    val out = new Array[Byte](fileSize)
+    def le16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xFF).toByte; out(o + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    def le32(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xFF).toByte; out(o + 1) = ((v >> 8) & 0xFF).toByte
+      out(o + 2) = ((v >> 16) & 0xFF).toByte; out(o + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    out(0) = 'B'.toByte; out(1) = 'M'.toByte
+    le32(2, fileSize); le32(10, 54)     // pixel-data offset
+    le32(14, 40)                        // BITMAPINFOHEADER size
+    le32(18, width); le32(22, height)   // positive height = bottom-up
+    le16(26, 1); le16(28, 24)           // planes, bpp
+    le32(34, imgSize)
+    var o = 54
+    var y = height - 1                  // write bottom row first
+    while (y >= 0) {
+      var x = 0
+      while (x < width) {
+        val p = (y * width + x) * 3
+        out(o) = pixels(p + 2); out(o + 1) = pixels(p + 1); out(o + 2) = pixels(p)
+        o += 3; x += 1
+      }
+      o += pad
+      y -= 1
+    }
+    out
+  }
+
+  /** Decode a 24-bit uncompressed BMP back to top-down RGB. Handles both
+    * bottom-up (positive height) and top-down (negative height) variants
+    * and the 4-byte row padding; refuses compressed or non-24bpp files.
+    */
+  def decodeBmpPixels(bytes: Array[Byte]): Option[PixelImage] = try {
+    if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+    def le16(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+    def le32(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8) |
+      ((bytes(o + 2) & 0xFF) << 16) | ((bytes(o + 3) & 0xFF) << 24)
+    val dataOff = le32(10)
+    val hdrSize = le32(14)
+    if (hdrSize < 40) return None
+    val width = le32(18)
+    val rawH = le32(22)
+    val topDown = rawH < 0
+    val height = math.abs(rawH)
+    if (width <= 0 || height == 0 || width.toLong * height > (1 << 24)) return None
+    if (le16(28) != 24 || le32(30) != 0) return None // 24bpp, BI_RGB only
+    val rowBytes = width * 3
+    val pad = (4 - rowBytes % 4) % 4
+    if (dataOff.toLong + (rowBytes + pad).toLong * height > bytes.length)
+      return None
+    val px = new Array[Byte](width * height * 3)
+    var y = 0
+    while (y < height) {
+      val srcRow = if (topDown) y else height - 1 - y
+      var o = dataOff + srcRow * (rowBytes + pad)
+      var x = 0
+      while (x < width) {
+        val p = (y * width + x) * 3
+        px(p) = bytes(o + 2); px(p + 1) = bytes(o + 1); px(p + 2) = bytes(o)
+        o += 3; x += 1
+      }
+      y += 1
+    }
+    Some(PixelImage(width, height, 3, px))
+  } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Extract `tEXt` provenance chunks from a PNG: (keyword, value) pairs
     * in file order. The ancillary-chunk walk only — no inflate, no pixel
     * work — so it is O(header bytes) per image regardless of raster size.

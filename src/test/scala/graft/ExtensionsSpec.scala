@@ -80,6 +80,34 @@ class VectorKernelSpec extends SparkSpec {
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("BMP round-trip: odd widths (row padding), bottom-up BGR, top-down variant") {
+    for (w <- 5 to 8; h <- Seq(3, 4)) {
+      val px = Array.tabulate(w * h * 3)(i => ((i * 7 + 3) % 256).toByte)
+      val bmp = Multimodal.encodeBmp(w, h, px)
+      assert(bmp.length == 54 + (w * 3 + (4 - (w * 3) % 4) % 4) * h)
+      val dec = Multimodal.decodeBmpPixels(bmp).get
+      assert(dec.width == w && dec.height == h && dec.channels == 3)
+      assert(dec.pixels.toSeq == px.toSeq, s"w=$w h=$h")
+    }
+    // top-down variant (negative height): flip the height field and the
+    // row order in the payload — decode must yield the same raster
+    val w = 5; val h = 3
+    val px = Array.tabulate(w * h * 3)(i => ((i * 11 + 5) % 256).toByte)
+    val up = Multimodal.encodeBmp(w, h, px)
+    val down = up.clone()
+    val neg = -h
+    down(22) = (neg & 0xFF).toByte; down(23) = ((neg >> 8) & 0xFF).toByte
+    down(24) = ((neg >> 16) & 0xFF).toByte; down(25) = ((neg >> 24) & 0xFF).toByte
+    val stride = w * 3 + (4 - (w * 3) % 4) % 4
+    for (y <- 0 until h)
+      System.arraycopy(up, 54 + (h - 1 - y) * stride, down, 54 + y * stride, stride)
+    assert(Multimodal.decodeBmpPixels(down).get.pixels.toSeq == px.toSeq)
+    // refusals: truncated file, non-24bpp
+    assert(Multimodal.decodeBmpPixels(up.take(40)).isEmpty)
+    val bad = up.clone(); bad(28) = 8
+    assert(Multimodal.decodeBmpPixels(bad).isEmpty)
+  }
+
   test("binary payload plumbing: schema, determinism, batch decode") {
     val df = Seq((1L, "hello world"), (2L, "hello world"), (3L, "other"))
       .toDF("doc_id", "text")
