@@ -44,6 +44,26 @@ object SparkEntry {
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
+  private def q1Decimal(s: SparkSession, dir: String): DataFrame =
+    // the q1 aggregate in DECIMAL arithmetic: money lands in decimal(12,2)
+    // at the scan (this generator emits 2-dp values, so the cast is exact)
+    // and every sum is then EXACT by type — the alternative to the
+    // fixed-point-cents discipline, graded for engine parity end to end
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("decimal(12,2)").as("qty"),
+        col("l_extendedprice").cast("decimal(12,2)").as("price"),
+        col("l_discount").cast("decimal(12,2)").as("disc"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("qty")).cast("decimal(38,2)").as("sum_qty"),
+        sum(col("price")).cast("decimal(38,2)").as("sum_base_price"),
+        sum(col("price") * (lit(1).cast("decimal(12,2)") - col("disc")))
+          .cast("decimal(38,4)").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
   private def q3TopOrders(s: SparkSession, dir: String): DataFrame = {
     val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
     val ord = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
@@ -3055,6 +3075,22 @@ object SparkEntry {
       .distinct()
   }
 
+  private def trianglesQuery(s: SparkSession, dir: String): DataFrame = {
+    // exact triangle census: degree orientation caps every vertex's
+    // oriented out-degree at O(sqrt m), so wedge enumeration can't blow
+    // up at a hub — the third graph signal next to PageRank and HITS.
+    // The link-rank offsets {17, 101, 3a+7} are triangle-free by
+    // construction, so this graph adds the +34 chord that closes
+    // a → a+17 → a+34 — one triangle per vertex, non-vacuous at every SF
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val cnt = docs.agg(count(lit(1)).as("n"))
+    val chord = docs.crossJoin(broadcast(cnt))
+      .select(col("doc_id").as("src"),
+        pmod(col("doc_id") + 34, col("n")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    LinkRank.triangles(derivedEdges(s, dir).unionAll(chord))
+  }
+
   private def hitsRank(s: SparkSession, dir: String): DataFrame =
     // Kleinberg HITS on the derived graph: max-normalized fixed-point
     // integer iterate — the authority/hub complement to d_link_rank
@@ -3358,6 +3394,7 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
+    "q1_decimal" -> (q1Decimal _),
     "q3_top_orders" -> (q3TopOrders _),
     "q5_region_revenue" -> (q5RegionRevenue _),
     "q7_nation_volume" -> (q7NationVolume _),
@@ -3534,6 +3571,7 @@ object SparkEntry {
     "d_html_extract" -> (htmlExtract _),
     "d_link_rank" -> (linkRank _),
     "d_hits_rank" -> (hitsRank _),
+    "d_triangles" -> (trianglesQuery _),
     "d_corpus_clean" -> (corpusClean _),
     "d_nb_train" -> (nbTrainQuery _),
     "d_nb_predict" -> (nbPredictQuery _),
@@ -4041,6 +4079,21 @@ object SparkEntry {
         | CAST(total_cents AS DOUBLE) / 100.0 AS total_revenue,
         | round(100.0 * promo_cents / total_cents, 6) AS promo_share_pct
         |FROM a""".stripMargin,
+    // decimal-arithmetic q1: exact-by-type sums, cast to matching widths
+    "q1_decimal" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2))
+        |   AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+        |   AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |          (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+        |      AS DECIMAL(38,4)) AS sum_disc_price,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     // Q12 analogue: late lineitems by linestatus, urgent vs other counts
     "q12_ship_priority" ->
       """SELECT l_linestatus,
@@ -6421,6 +6474,31 @@ object SparkEntry {
     // fixed-point PageRank twin: same derived modular link graph, four
     // chained iterations in integer arithmetic (order-independent BIGINT
     // sums, floor division) — bit-exact cross-engine
+    // triangle twin: same degree orientation, wedges, EXISTS closure;
+    // the +34 chord closes a → a+17 → a+34
+    "d_triangles" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |e0 AS (SELECT doc_id AS src, (doc_id + 17) % nn.n AS dst FROM documents, nn
+        |       UNION ALL SELECT doc_id, (doc_id + 101) % nn.n FROM documents, nn
+        |       UNION ALL SELECT doc_id, (doc_id * 3 + 7) % nn.n FROM documents, nn
+        |       UNION ALL SELECT doc_id, (doc_id + 34) % nn.n FROM documents, nn),
+        |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |        FROM e0 WHERE src <> dst),
+        |deg AS (SELECT n, count(*) AS d FROM
+        |         (SELECT u AS n FROM und UNION ALL SELECT v FROM und)
+        |        GROUP BY n),
+        |o AS (SELECT
+        |  CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN u ELSE v END AS s,
+        |  CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN v ELSE u END AS t
+        | FROM und JOIN deg du ON du.n = u JOIN deg dv ON dv.n = v),
+        |w AS (SELECT a.s AS w_a, a.t AS w_b, b.t AS w_c
+        |      FROM o a JOIN o b ON b.s = a.t),
+        |tr AS (SELECT * FROM w WHERE EXISTS
+        |        (SELECT 1 FROM o WHERE o.s = w.w_a AND o.t = w.w_c))
+        |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+        | (SELECT count(*) FROM und) AS n_edges,
+        | (SELECT count(*) FROM w) AS n_wedges,
+        | (SELECT count(*) FROM tr) AS n_triangles""".stripMargin,
     // HITS twin: 3 unrolled rounds of (auth half-step, max-normalize,
     // hub half-step, max-normalize) — same integer arithmetic as the
     // Spark iterate, same derived modular-neighbor edge set

@@ -28,6 +28,52 @@ import org.apache.spark.sql.functions._
   */
 object LinkRank {
 
+  /** Exact triangle count over an UNDIRECTED graph given as directed
+    * `edges(src, dst)` (direction ignored, self-loops dropped). The
+    * scalable shape is degree orientation: orient every undirected edge
+    * from the endpoint with smaller (degree, id) to the larger, so each
+    * wedge a→b→c is enumerated at exactly one vertex and — the classic
+    * bound — every vertex's oriented out-degree is O(√m), which caps the
+    * wedge blow-up that a hub vertex causes under naive enumeration.
+    * Wedges then semi-join the oriented edge set: one row per triangle,
+    * counted once. Returns a 1-row frame (n_nodes, n_edges, n_wedges,
+    * n_triangles) — all exact BIGINTs.
+    */
+  def triangles(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("src").cast("long").as("a"),
+        col("dst").cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    val deg = und.select(col("u").as("n")).union(und.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // orientation key (degree, id): broadcast-joined twice onto the
+    // (bounded, deduped) edge list, never onto wedges
+    val du = deg.select(col("n").as("u"), col("d").as("du"))
+    val dv = deg.select(col("n").as("v"), col("d").as("dv"))
+    val oriented = und.join(du, Seq("u")).join(dv, Seq("v"))
+      .select(
+        when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("t")))
+          .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
+      .localCheckpoint()
+    val wedges = oriented.select(col("s").as("w_a"), col("t").as("w_b"))
+      .join(oriented.select(col("s").as("w_b"), col("t").as("w_c")), Seq("w_b"))
+    val tri = wedges.join(oriented,
+        wedges("w_a") === oriented("s") && wedges("w_c") === oriented("t"),
+        "left_semi")
+    // one lazy plan: four 1-row aggregates cross-joined (each is a
+    // partial-agg count; the crossJoins are 1-row broadcasts)
+    deg.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(und.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
+      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+  }
+
   /** Iterate PageRank over `edges(src, dst)` (longs, self-loops allowed
     * but pointless). Returns `(node, rank_fp)` where rank_fp is the rank
     * scaled by `scale` (init = 1.0 ⇒ `scale`; damping 0.85 in integer

@@ -1091,6 +1091,28 @@ class SkewSpec extends SparkSpec {
   }
 }
 
+class TriangleSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.LinkRank
+
+  test("triangle census: K4, direction/self-loop/duplicate hygiene") {
+    // K4 has C(4,3)=4 triangles and 4·C(3,2)/... wedges per orientation;
+    // feed DIRECTED duplicates, reversed edges, and self-loops — the
+    // canonicalization must collapse them all to the 6 undirected edges
+    val e = Seq((0L,1L),(1L,0L),(0L,2L),(0L,3L),(1L,2L),(2L,1L),(1L,3L),
+      (2L,3L),(3L,3L),(0L,0L),(2L,3L)).toDF("src","dst")
+    val r = LinkRank.triangles(e).collect()(0)
+    assert(r.getAs[Long]("n_nodes") == 4L)
+    assert(r.getAs[Long]("n_edges") == 6L)
+    assert(r.getAs[Long]("n_triangles") == 4L)
+    // a path graph has wedges but no triangle
+    val p = Seq((0L,1L),(1L,2L),(2L,3L)).toDF("src","dst")
+    val rp = LinkRank.triangles(p).collect()(0)
+    assert(rp.getAs[Long]("n_wedges") > 0L)
+    assert(rp.getAs[Long]("n_triangles") == 0L)
+  }
+}
+
 class RangeJoinSpec extends SparkSpec {
   import spark.implicits._
   import graft.operators.RangeJoin
