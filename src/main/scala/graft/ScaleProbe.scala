@@ -337,6 +337,85 @@ object ScaleProbe {
       }
       docs.unpersist()
     }
+
+    // round-8-late families. Span-clean rewrite: fixed-width md5 window
+    // keys and a map-side rebuild — should be linear in f like the
+    // dup-span audit it completes. Triangle census on the derived
+    // modular graph (+34 chord): degree orientation keeps wedge counts
+    // ~linear here (bounded degree), so time must track n, not n².
+    for (f <- Seq(1, factor)) {
+      val docs = corpus(f)
+      def time(name: String)(df: => DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        val n = df.count()
+        println(f"""{"probe":"$name","factor":$f,"sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":$n}""")
+      }
+      time("d_span_clean") {
+        operators.Dedup.duplicatedSpanClean(docs, "doc_id", "text")
+      }
+      locally {
+        val ids = docs.select(col("doc_id"))
+        val cnt = ids.agg(count(lit(1)).as("n"))
+        val edges = ids.crossJoin(broadcast(cnt))
+          .select(col("doc_id").as("src"), explode(array(
+            pmod(col("doc_id") + 17, col("n")),
+            pmod(col("doc_id") + 101, col("n")),
+            pmod(col("doc_id") + 34, col("n")),
+            pmod(col("doc_id") * 3 + 7, col("n")))).as("dst"))
+          .filter(col("src") =!= col("dst"))
+        val t0 = System.nanoTime()
+        val r = operators.LinkRank.triangles(edges).collect()(0)
+        println(f"""{"probe":"d_triangles","factor":$f,"sec":${(System.nanoTime() - t0) / 1e9}%.2f,""" +
+          s""""edges":${r.getAs[Long]("n_edges")},"wedges":${r.getAs[Long]("n_wedges")},"triangles":${r.getAs[Long]("n_triangles")}}""")
+      }
+      docs.unpersist()
+    }
+
+    // keyless interval-overlap join: sessions replicated by user shift,
+    // fixed campaign windows. The bucketed spelling must stay linear in
+    // f; the theta-join spelling it replaces is timed at f=1 only (its
+    // pair loop is |sessions|·|campaigns|) with a row-count equality
+    // check — the parity the RangeJoinSpec property test pins on longs.
+    locally {
+      val ev = Tables(spark, sfDir, "events")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      def sessionsOf(f: Int): DataFrame =
+        (0 until f).map(k => ev.select(
+            (col("user_id") + lit(k * 100000L)).as("user_id"),
+            col("event_id"), col("ts_us")))
+          .reduce(_ union _)
+          .withColumn("new_s", when(lag(col("ts_us"), 1).over(w).isNull ||
+            col("ts_us") - lag(col("ts_us"), 1).over(w) > 1800000000L, 1)
+            .otherwise(0))
+          .withColumn("sidx", sum(col("new_s")).over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("sidx"))
+          .agg(min(col("ts_us")).as("s_start"), max(col("ts_us")).as("s_end"))
+          .localCheckpoint()
+      val camp = spark.range(0, 20)
+        .select(col("id").as("campaign_id"),
+          (lit(1704067200000000L) + col("id") * lit(129600000000L)).as("c_start"),
+          (lit(1704067200000000L) + col("id") * lit(129600000000L) +
+            lit(86400000000L)).as("c_end"))
+      for (f <- Seq(1, factor)) {
+        val sess = sessionsOf(f)
+        val t0 = System.nanoTime()
+        val nB = operators.RangeJoin.overlapJoin(sess, "s_start", "s_end",
+          camp, "c_start", "c_end", 86400000000L).count()
+        println(f"""{"probe":"overlap_bucketed","factor":$f,"sec":${(System.nanoTime() - t0) / 1e9}%.2f,"pairs":$nB}""")
+        if (f == 1) {
+          val t1 = System.nanoTime()
+          val nT = sess.crossJoin(camp)
+            .filter(col("s_start") <= col("c_end") &&
+              col("c_start") <= col("s_end")).count()
+          println(f"""{"probe":"overlap_theta","factor":$f,"sec":${(System.nanoTime() - t1) / 1e9}%.2f,"pairs":$nT}""")
+          require(nB == nT, s"overlap parity broke: $nB != $nT")
+        }
+        sess.unpersist()
+      }
+    }
     spark.stop()
   }
 }
