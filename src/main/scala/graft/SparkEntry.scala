@@ -1065,6 +1065,44 @@ object SparkEntry {
         TextAnalysis.tokenCount(col("text")), budget = 512, shards = 8)
       .orderBy(col("doc_id"))
 
+  private def windowSuite(s: SparkSession, dir: String): DataFrame = {
+    // the window-function completeness row: every ranking/distribution/
+    // navigation function over ONE totally-ordered frame (ties broken by
+    // orderkey, so row_number through nth_value are all deterministic);
+    // ratio outputs are rounded at 6 dp from exact integer rank inputs
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") < 2000)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        round(percent_rank().over(w), 6).as("prank"),
+        round(cume_dist().over(w), 6).as("cdist"),
+        ntile(4).over(w).as("quartile"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+        lead(col("o_orderkey"), 1).over(w).as("next_key"),
+        first(col("o_orderkey")).over(w).as("first_key"),
+        nth_value(col("o_orderkey"), 2).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("second_key"))
+      .orderBy(col("o_orderpriority"), col("rn"))
+  }
+
+  private def editDistanceQuery(s: SparkSession, dir: String): DataFrame =
+    // classic Levenshtein DP, graded cross-engine: each customer name
+    // against its successor's name — distances concentrate on the digit
+    // tail, so the output exercises 0..9-sized edits over the shared
+    // prefix; both engines implement the textbook DP on ASCII
+    t(s, dir, "customer")
+      .filter(col("c_custkey") < 500)
+      .select(col("c_custkey"), col("c_name"),
+        levenshtein(col("c_name"),
+          concat(lit("Customer#"), lpad((col("c_custkey") * 7 + 13).cast("string"),
+            9, "0"))).as("dist"))
+      .orderBy(col("c_custkey"))
+
   private def rollingDistinct(s: SparkSession, dir: String): DataFrame = {
     // trailing-7-day distinct users per day — the DAU/WAU shape. EXACT
     // rolling distinct without a window-over-everything: dedup to
@@ -3481,6 +3519,8 @@ object SparkEntry {
     "q_overlap_join" -> (overlapJoinQuery _),
     "q_rolling_distinct" -> (rollingDistinct _),
     "q_fd_audit" -> (fdAudit _),
+    "q_window_suite" -> (windowSuite _),
+    "q_edit_distance" -> (editDistanceQuery _),
     "d_dedup_incremental" -> (dedupIncremental _),
     "d_dedup_incremental_stored" -> (dedupIncrementalStored _),
     "d_minhash_pairs" -> (minhashPairs _),
@@ -5036,6 +5076,32 @@ object SparkEntry {
         |  AS avg_gap_us,
         | max(gap) AS max_gap_us
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // window completeness: ranking/distribution/navigation over one frame
+    "q_window_suite" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        | CAST(row_number() OVER w AS INT) AS rn,
+        | CAST(rank() OVER w AS INT) AS rnk,
+        | CAST(dense_rank() OVER w AS INT) AS drnk,
+        | round(percent_rank() OVER w, 6) AS prank,
+        | round(cume_dist() OVER w, 6) AS cdist,
+        | CAST(ntile(4) OVER w AS INT) AS quartile,
+        | lag(o_orderkey, 1) OVER w AS prev_key,
+        | lead(o_orderkey, 1) OVER w AS next_key,
+        | first_value(o_orderkey) OVER w AS first_key,
+        | nth_value(o_orderkey, 2) OVER
+        |  (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_key
+        |FROM orders WHERE o_orderkey < 2000
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, rn""".stripMargin,
+    // Levenshtein DP parity on ASCII names
+    "q_edit_distance" ->
+      """SELECT c_custkey, c_name,
+        | CAST(levenshtein(c_name, 'Customer#' ||
+        |   lpad(CAST(c_custkey * 7 + 13 AS VARCHAR), 9, '0')) AS INT) AS dist
+        |FROM customer WHERE c_custkey < 500
+        |ORDER BY c_custkey""".stripMargin,
     // exact trailing-7-day distinct users via the (day,user) fan-out
     "q_rolling_distinct" ->
       """WITH du AS (
