@@ -1103,6 +1103,50 @@ object SparkEntry {
             9, "0"))).as("dist"))
       .orderBy(col("c_custkey"))
 
+  private def dateSuite(s: SparkSession, dir: String): DataFrame =
+    // calendar-semantics parity row: the date derivations engines
+    // classically disagree on, pinned to the ISO spellings both share
+    // (Monday week truncation, ISO week number, Monday=0 weekday — the
+    // Spark weekday() = DuckDB isodow-1 mapping is explicit)
+    t(s, dir, "orders")
+      .select(col("o_orderdate").cast("date").as("d")).distinct()
+      .select(col("d"),
+        year(col("d")).as("y"),
+        quarter(col("d")).as("q"),
+        month(col("d")).as("m"),
+        dayofmonth(col("d")).as("dom"),
+        dayofyear(col("d")).as("doy"),
+        weekofyear(col("d")).as("iso_week"),
+        expr("weekday(d)").as("monday0_dow"),
+        date_trunc("week", col("d")).cast("date").as("week_start"),
+        last_day(col("d")).as("month_end"))
+      .orderBy(col("d"))
+
+  private def nullSemantics(s: SparkSession, dir: String): DataFrame = {
+    // NULL-semantics parity row: plant NULLs deterministically (every
+    // third balance, every fourth segment), then grade the constructs
+    // whose null behavior differs across engines when spelled carelessly:
+    // count(col) vs count(*), null-safe equality, grouping on a null key,
+    // coalesce/nullif, and sum/avg null-skipping
+    val c = t(s, dir, "customer")
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 3 === 0, lit(null: java.lang.Double))
+          .otherwise(col("c_acctbal")).as("bal"),
+        when(col("c_custkey") % 4 === 0, lit(null: String))
+          .otherwise(col("c_mktsegment")).as("seg"))
+    c.groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("bal")).as("n_bal"),
+        sum(when(col("seg") <=> lit(null: String), 1L).otherwise(0L))
+          .as("n_nullsafe_eq"),
+        sum(round(coalesce(col("bal"), lit(0.0)) * 100).cast("bigint"))
+          .as("bal_cents"),
+        count(nullif(col("c_custkey") % 2, lit(1))).as("n_even"))
+      // asc_nulls_first is a parameterless method: with () Scala resolves
+      // Column.apply(()) and plants a BoxedUnit literal in the sort order
+      .orderBy(col("seg").asc_nulls_first)
+  }
+
   private def rollingDistinct(s: SparkSession, dir: String): DataFrame = {
     // trailing-7-day distinct users per day — the DAU/WAU shape. EXACT
     // rolling distinct without a window-over-everything: dedup to
@@ -3521,6 +3565,8 @@ object SparkEntry {
     "q_fd_audit" -> (fdAudit _),
     "q_window_suite" -> (windowSuite _),
     "q_edit_distance" -> (editDistanceQuery _),
+    "q_date_suite" -> (dateSuite _),
+    "q_null_semantics" -> (nullSemantics _),
     "d_dedup_incremental" -> (dedupIncremental _),
     "d_dedup_incremental_stored" -> (dedupIncrementalStored _),
     "d_minhash_pairs" -> (minhashPairs _),
@@ -5095,6 +5141,35 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_orderpriority
         |             ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderpriority, rn""".stripMargin,
+    // calendar parity: ISO week spellings shared by both engines
+    "q_date_suite" ->
+      """SELECT d,
+        | CAST(year(d) AS INT) AS y,
+        | CAST(quarter(d) AS INT) AS q,
+        | CAST(month(d) AS INT) AS m,
+        | CAST(dayofmonth(d) AS INT) AS dom,
+        | CAST(dayofyear(d) AS INT) AS doy,
+        | CAST(weekofyear(d) AS INT) AS iso_week,
+        | CAST(isodow(d) - 1 AS INT) AS monday0_dow,
+        | CAST(date_trunc('week', d) AS DATE) AS week_start,
+        | last_day(d) AS month_end
+        |FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)
+        |ORDER BY d""".stripMargin,
+    // NULL semantics: planted nulls; count/<=>/coalesce/nullif parity
+    "q_null_semantics" ->
+      """WITH c AS (
+        | SELECT c_custkey,
+        |  CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_acctbal END AS bal,
+        |  CASE WHEN c_custkey % 4 = 0 THEN NULL ELSE c_mktsegment END AS seg
+        | FROM customer)
+        |SELECT seg, count(*) AS n_rows,
+        | count(bal) AS n_bal,
+        | CAST(sum(CASE WHEN seg IS NOT DISTINCT FROM NULL
+        |               THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq,
+        | CAST(sum(CAST(round(coalesce(bal, 0.0) * 100) AS BIGINT)) AS BIGINT)
+        |   AS bal_cents,
+        | count(nullif(c_custkey % 2, 1)) AS n_even
+        |FROM c GROUP BY seg ORDER BY seg NULLS FIRST""".stripMargin,
     // Levenshtein DP parity on ASCII names
     "q_edit_distance" ->
       """SELECT c_custkey, c_name,
