@@ -471,6 +471,35 @@ object SparkEntry {
     (li, ord)
   }
 
+  /** Day-partitioned events store (write-once layout): the time-series
+    * layout a 100 TB event table actually uses — `partitionBy(day)` at
+    * ingest so every date-bounded query prunes to the handful of
+    * directories it touches (PartitionFilters, plan-pinned) instead of
+    * scanning the stream.
+    */
+  private def partitionedEventsStore(s: SparkSession, dir: String): DataFrame = {
+    val path = layoutPath(dir, "evday", "part=day,v1", srcTable = "events.parquet")
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      t(s, dir, "events")
+        .withColumn("day", to_date(col("ts")))
+        .repartition(col("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(path)
+    s.read.parquet(path)
+  }
+
+  private def partitionedScanQuery(s: SparkSession, dir: String): DataFrame =
+    // one week out of the month: the scan must list ~7 of ~30 day
+    // directories (plan-pinned in PlanAuditSpec) — the query itself is a
+    // per-day type rollup in exact cents
+    partitionedEventsStore(s, dir)
+      .filter(col("day") >= lit("2024-01-08").cast("date") &&
+        col("day") < lit("2024-01-15").cast("date"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100).cast("bigint")) / lit(100.0))
+          .as("value_sum"))
+      .orderBy(col("day"), col("event_type"))
+
   private def bucketedJoinQuery(s: SparkSession, dir: String): DataFrame = {
     // Co-located fact-to-fact join over the bucketed layouts: the
     // per-order rollup runs WITHOUT an exchange (the bucketed scan
@@ -3494,6 +3523,7 @@ object SparkEntry {
     "q21_waiting_suppliers" -> (q21WaitingSuppliers _),
     "q22_global_sales" -> (q22GlobalSales _),
     "q_bucketed_join" -> (bucketedJoinQuery _),
+    "q_partitioned_scan" -> (partitionedScanQuery _),
     "q_profile_lineitem" -> (profileLineitem _),
     "q_top1_returnflag" -> (top1ReturnFlag _),
     "q_preview_orders" -> (previewOrders _),
@@ -4278,6 +4308,15 @@ object SparkEntry {
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    // partition-pruned week scan: same rollup over the raw events table
+    "q_partitioned_scan" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        |   AS value_sum
+        |FROM events
+        |WHERE CAST(ts AS DATE) >= DATE '2024-01-08'
+        |  AND CAST(ts AS DATE) < DATE '2024-01-15'
+        |GROUP BY day, event_type ORDER BY day, event_type""".stripMargin,
     // Bucketed co-located join: same rows as the plain join+rollup
     "q_bucketed_join" ->
       """WITH po AS (

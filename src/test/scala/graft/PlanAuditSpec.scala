@@ -103,6 +103,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("Bucketed: true")) == 2, p)
   }
 
+  test("day-partitioned events scan prunes to the queried week's directories") {
+    val p = plan(SparkEntry.queries("q_partitioned_scan")(spark, dir))
+    val scan = p.linesIterator.filter(_.contains("FileScan")).toList
+    assert(scan.nonEmpty, p)
+    // the date predicate lands in PartitionFilters (directory pruning),
+    // not in PushedFilters over row groups — the scan never lists the
+    // other ~23 day directories
+    assert(scan.exists(l => l.contains("PartitionFilters") &&
+      l.contains("day#") && l.contains("2024-01-08")), p)
+  }
+
   test("minhash signature stage is shuffle-free (kernels are map-side)") {
     val docs = Tables(spark, dir, "documents")
     val p = plan(Dedup.minhashSignatures(docs, "doc_id", "text"))
