@@ -1176,6 +1176,24 @@ object SparkEntry {
       .orderBy(col("seg").asc_nulls_first)
   }
 
+  private def sqlPipelineQuery(s: SparkSession, dir: String): DataFrame = {
+    // the pure-SQL surface of the library: the native codegen kernels
+    // (word_shingles / canonicalize_text / token_stats — the same
+    // Expressions the DataFrame API plans) registered as SQL functions,
+    // the corpus exposed as a view, and the rollup written as ONE SQL
+    // text — exactly what a SQL-only user executes. Registration is
+    // createOrReplaceTempFunction (idempotent); cluster deployments get
+    // the same names permanently via GraftExtensions injection.
+    graft.functions.VectorFunctions.register(s)
+    t(s, dir, "documents").createOrReplaceTempView("g_docs")
+    s.sql("""
+      SELECT lang, count(*) AS n_docs,
+        CAST(sum(size(word_shingles(canonicalize_text(text), 3))) AS BIGINT)
+          AS n_shingles,
+        CAST(sum(token_stats(text).n_tokens) AS BIGINT) AS n_tokens
+      FROM g_docs GROUP BY lang ORDER BY lang""")
+  }
+
   private def rollingDistinct(s: SparkSession, dir: String): DataFrame = {
     // trailing-7-day distinct users per day — the DAU/WAU shape. EXACT
     // rolling distinct without a window-over-everything: dedup to
@@ -3597,6 +3615,7 @@ object SparkEntry {
     "q_edit_distance" -> (editDistanceQuery _),
     "q_date_suite" -> (dateSuite _),
     "q_null_semantics" -> (nullSemantics _),
+    "q_sql_pipeline" -> (sqlPipelineQuery _),
     "d_dedup_incremental" -> (dedupIncremental _),
     "d_dedup_incremental_stored" -> (dedupIncrementalStored _),
     "d_minhash_pairs" -> (minhashPairs _),
@@ -5180,6 +5199,21 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_orderpriority
         |             ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderpriority, rn""".stripMargin,
+    // SQL-surface pipeline: shingle/token kernels respelled relationally
+    // (word_shingles(x,3) yields max(len-3,0)+1 windows for non-empty
+    // token lists, the whole short doc as one shingle otherwise)
+    "q_sql_pipeline" ->
+      """WITH tk AS (
+        | SELECT lang,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |              x -> len(x) > 0) AS t
+        | FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN len(t) = 0 THEN 0
+        |               ELSE greatest(len(t) - 3, 0) + 1 END) AS BIGINT)
+        |   AS n_shingles,
+        | CAST(sum(len(t)) AS BIGINT) AS n_tokens
+        |FROM tk GROUP BY lang ORDER BY lang""".stripMargin,
     // calendar parity: ISO week spellings shared by both engines
     "q_date_suite" ->
       """SELECT d,
