@@ -1194,6 +1194,88 @@ object SparkEntry {
       FROM g_docs GROUP BY lang ORDER BY lang""")
   }
 
+  private def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    // warehouse MERGE (Delta/Iceberg upsert) folded as ONE full-outer join
+    // on the id: a CDC batch (updates for id%10=0, deletes for id%10=7,
+    // inserts at id+1e6 for id%10=3 — derived deterministically so both
+    // engines build the identical batch) lands on the v1 snapshot;
+    // matched+U rewrites, matched+D tombstones (fp NULL is the audit row),
+    // unmatched+I appends, untouched rows pass through as 'keep'. At scale
+    // this is the canonical incremental-ingest shape: the corpus shuffles
+    // once on its key, the batch (≪ corpus) rides the same exchange; no
+    // rewrite of unmatched partitions is implied by the plan.
+    val tgt = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val upd = tgt.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("c_id"), lit("U").as("op"),
+        concat(col("text"), lit(" [rev2]")).as("new_text"))
+    val del = tgt.filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id").as("c_id"), lit("D").as("op"),
+        lit(null: String).as("new_text"))
+    val ins = tgt.filter(col("doc_id") % 10 === 3)
+      .select((col("doc_id") + 1000000L).as("c_id"), lit("I").as("op"),
+        concat(lit("fresh doc "),
+          (col("doc_id") + 1000000L).cast("string")).as("new_text"))
+    val ch = upd.unionByName(del).unionByName(ins)
+    tgt.join(ch, col("doc_id") === col("c_id"), "full_outer")
+      .select(
+        coalesce(col("doc_id"), col("c_id")).as("id"),
+        when(col("c_id").isNull, lit("keep"))
+          .when(col("op") === "U", lit("update"))
+          .when(col("op") === "D", lit("delete"))
+          .when(col("doc_id").isNull && col("op") === "I", lit("insert"))
+          .otherwise(lit("conflict")).as("action"),
+        when(col("op") === "D", lit(null: String))
+          .when(col("op").isNotNull, md5(col("new_text")))
+          .otherwise(md5(col("text"))).as("fp"))
+      .orderBy(col("id"))
+  }
+
+  private def paretoDocs(s: SparkSession, dir: String): DataFrame = {
+    // skyline (Pareto frontier) over (n_tokens ↑, lexical diversity ↑):
+    // the docs no other doc beats on both axes — the "longest AND most
+    // varied" exemplar set. Scale shape: skyline(∪P_i) =
+    // skyline(∪ skyline(P_i)), so stage 1 prunes strictly-dominated rows
+    // per input partition (keyed on spark_partition_id, projected to a
+    // real column first — the analyzer rejects nondeterministic window
+    // keys): the TEXT never shuffles (metrics are map-side); the stage-1
+    // window exchanges only the 24-byte (id, n, d) triples, balanced by
+    // pid, and any local survivor set is a superset of the global
+    // frontier no matter how rows were partitioned. Only the pruned
+    // sliver reaches the stage-2 exact single-partition sweep. Dominance
+    // via RANGE frames: rows with strictly larger n_tokens
+    // (value-offset frame) and same-n_tokens peers (partition max) — no
+    // self-join. Exactness: a skyline point is never dominated so never
+    // pruned, and every surviving non-skyline point keeps a skyline
+    // dominator alive via its (finite, strict) dominator chain.
+    val m = t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(filter(split(trim(col("text")), "\\s+"),
+          x => length(x) > 0)).cast("long").as("n_tokens"),
+        size(array_distinct(filter(split(trim(col("text")), "\\s+"),
+          x => length(x) > 0))).cast("long").as("n_distinct"))
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("n_tokens") === 0, lit(0L))
+          .otherwise(expr("n_distinct * 1000000 div n_tokens"))
+          .as("div_ppm"))
+      .withColumn("pid", spark_partition_id())
+    val local = Window.partitionBy(col("pid"))
+      .orderBy(col("n_tokens"))
+      .rangeBetween(1L, Window.unboundedFollowing)
+    val pruned = m.withColumn("lmax", max(col("div_ppm")).over(local))
+      .filter(col("lmax").isNull || col("lmax") <= col("div_ppm"))
+      .drop("lmax", "pid")
+    val wStrict = Window.orderBy(col("n_tokens"))
+      .rangeBetween(1L, Window.unboundedFollowing)
+    val wEq = Window.partitionBy(col("n_tokens"))
+    pruned
+      .withColumn("smax", max(col("div_ppm")).over(wStrict))
+      .withColumn("emax", max(col("div_ppm")).over(wEq))
+      .filter((col("smax").isNull || col("smax") < col("div_ppm")) &&
+        col("emax") === col("div_ppm"))
+      .select(col("doc_id"), col("n_tokens"), col("div_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   private def rollingDistinct(s: SparkSession, dir: String): DataFrame = {
     // trailing-7-day distinct users per day — the DAU/WAU shape. EXACT
     // rolling distinct without a window-over-everything: dedup to
@@ -3616,6 +3698,8 @@ object SparkEntry {
     "q_date_suite" -> (dateSuite _),
     "q_null_semantics" -> (nullSemantics _),
     "q_sql_pipeline" -> (sqlPipelineQuery _),
+    "q_merge_upsert" -> (mergeUpsert _),
+    "d_pareto_docs" -> (paretoDocs _),
     "d_dedup_incremental" -> (dedupIncremental _),
     "d_dedup_incremental_stored" -> (dedupIncrementalStored _),
     "d_minhash_pairs" -> (minhashPairs _),
@@ -5250,6 +5334,51 @@ object SparkEntry {
         |   lpad(CAST(c_custkey * 7 + 13 AS VARCHAR), 9, '0')) AS INT) AS dist
         |FROM customer WHERE c_custkey < 500
         |ORDER BY c_custkey""".stripMargin,
+    // MERGE fold: the CDC batch is derived with the same arithmetic, so
+    // both engines build the identical batch; full outer on id
+    "q_merge_upsert" ->
+      """WITH tgt AS (SELECT doc_id, text FROM documents),
+        |ch AS (
+        | SELECT doc_id AS c_id, 'U' AS op, text || ' [rev2]' AS new_text
+        | FROM tgt WHERE doc_id % 10 = 0
+        | UNION ALL
+        | SELECT doc_id, 'D', NULL FROM tgt WHERE doc_id % 10 = 7
+        | UNION ALL
+        | SELECT doc_id + 1000000, 'I',
+        |  'fresh doc ' || CAST(doc_id + 1000000 AS VARCHAR)
+        | FROM tgt WHERE doc_id % 10 = 3)
+        |SELECT coalesce(t.doc_id, c.c_id) AS id,
+        | CASE WHEN c.c_id IS NULL THEN 'keep'
+        |      WHEN c.op = 'U' THEN 'update'
+        |      WHEN c.op = 'D' THEN 'delete'
+        |      WHEN t.doc_id IS NULL AND c.op = 'I' THEN 'insert'
+        |      ELSE 'conflict' END AS action,
+        | CASE WHEN c.op = 'D' THEN NULL
+        |      WHEN c.op IS NOT NULL THEN md5(c.new_text)
+        |      ELSE md5(t.text) END AS fp
+        |FROM tgt t FULL OUTER JOIN ch c ON t.doc_id = c.c_id
+        |ORDER BY id""".stripMargin,
+    // skyline: the oracle spells dominance as NOT EXISTS — the Spark
+    // side's two-stage windowed sweep must keep the identical frontier
+    "d_pareto_docs" ->
+      """WITH tk AS (
+        | SELECT doc_id,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |              x -> len(x) > 0) AS t
+        | FROM documents),
+        |m AS (
+        | SELECT doc_id,
+        |  CAST(len(t) AS BIGINT) AS n_tokens,
+        |  CAST(CASE WHEN len(t) = 0 THEN 0
+        |       ELSE (len(list_distinct(t)) * 1000000) // len(t)
+        |       END AS BIGINT) AS div_ppm
+        | FROM tk)
+        |SELECT a.doc_id, a.n_tokens, a.div_ppm FROM m a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM m b
+        |  WHERE b.n_tokens >= a.n_tokens AND b.div_ppm >= a.div_ppm
+        |    AND (b.n_tokens > a.n_tokens OR b.div_ppm > a.div_ppm))
+        |ORDER BY a.doc_id""".stripMargin,
     // exact trailing-7-day distinct users via the (day,user) fan-out
     "q_rolling_distinct" ->
       """WITH du AS (

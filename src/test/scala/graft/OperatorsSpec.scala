@@ -2335,3 +2335,64 @@ class DataCardSpec extends SparkSpec {
     assert(cell.getLong(2) == 1L && cell.getLong(5) == 0L)
   }
 }
+
+class MergeSkylineSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("d_pareto_docs equals the brute-force dominance filter") {
+    // the graded two-stage windowed sweep vs an O(n²) cross-join truth
+    // computed right here on the same metrics — any pruning slip (tie
+    // handling, the strict/equal frame split, a local prune that drops a
+    // frontier point) shows as a set difference
+    val m = Tables(spark, sf, "documents")
+      .select(col("doc_id"),
+        size(filter(split(trim(col("text")), "\\s+"),
+          x => length(x) > 0)).cast("long").as("n"),
+        size(array_distinct(filter(split(trim(col("text")), "\\s+"),
+          x => length(x) > 0))).cast("long").as("nd"))
+      .select(col("doc_id"), col("n"),
+        when(col("n") === 0, 0L)
+          .otherwise(expr("nd * 1000000 div n")).as("d"))
+    val rows = m.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = rows.filter { case (_, n, d) =>
+      !rows.exists { case (_, n2, d2) =>
+        n2 >= n && d2 >= d && (n2 > n || d2 > d) }
+    }.map { case (id, n, d) => (id, n, d) }.toSet
+    val got = SparkEntry.queries("d_pareto_docs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute)
+    assert(got.nonEmpty)
+  }
+
+  test("q_merge_upsert: action classes partition the output, fp audit holds") {
+    val out = SparkEntry.queries("q_merge_upsert")(spark, sf).cache()
+    val docs = Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
+    val nDocs = docs.count()
+    val byAction = out.groupBy(col("action")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nU = docs.filter(col("doc_id") % 10 === 0).count()
+    val nD = docs.filter(col("doc_id") % 10 === 7).count()
+    val nI = docs.filter(col("doc_id") % 10 === 3).count()
+    assert(byAction.getOrElse("update", 0L) == nU)
+    assert(byAction.getOrElse("delete", 0L) == nD)
+    assert(byAction.getOrElse("insert", 0L) == nI)
+    assert(byAction.getOrElse("keep", 0L) == nDocs - nU - nD)
+    assert(!byAction.contains("conflict"))
+    // tombstones carry no fingerprint; every surviving row carries one
+    assert(out.filter(col("action") === "delete" && col("fp").isNotNull)
+      .count() == 0L)
+    assert(out.filter(col("action") =!= "delete" && col("fp").isNull)
+      .count() == 0L)
+    // an updated row's fp is md5(text || ' [rev2]') of the v1 text
+    val probe = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        md5(concat(col("text"), lit(" [rev2]"))).as("want"))
+    val joined = out.filter(col("action") === "update")
+      .join(probe, col("id") === col("doc_id"))
+    assert(joined.filter(col("fp") =!= col("want")).count() == 0L)
+    assert(joined.count() == nU)
+    out.unpersist()
+  }
+}
