@@ -1276,6 +1276,34 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  private def globalRowNumber(s: SparkSession, dir: String): DataFrame = {
+    // contiguous global row ids WITHOUT `row_number() OVER (ORDER BY …)`'s
+    // single-partition window: partition on a deterministic COARSE PREFIX
+    // of the order key (the event day — data-derived, so both uses of the
+    // subtree agree on it, unlike spark_partition_id over a re-sampled
+    // range exchange, which is only consistent if exchange reuse fires).
+    // Per-day counts (≈30 rows) get exclusive prefix offsets in a window
+    // over that tiny set; offsets broadcast back and every day numbers
+    // independently in parallel — grank = offset(day) + row_number within
+    // day. Because day is a prefix of the (ts, event_id) order, the
+    // concatenation IS the global order. The events-sized side crosses
+    // the wire once (the day-keyed window's hash exchange) as a slim
+    // (event_id, ts) projection; at 100 TB pick the prefix at hour or
+    // minute grain to bound per-group size — same plan, finer key.
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("ts"), to_date(col("ts")).as("day"))
+    val offsets = ev.groupBy(col("day")).agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(
+        Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("n")
+    val wIn = Window.partitionBy(col("day")).orderBy(col("ts"), col("event_id"))
+    ev.join(broadcast(offsets), Seq("day"))
+      .select(col("event_id"),
+        (col("off") + row_number().over(wIn)).cast("bigint").as("grank"))
+      .orderBy(col("grank"))
+  }
+
   private def rollingDistinct(s: SparkSession, dir: String): DataFrame = {
     // trailing-7-day distinct users per day — the DAU/WAU shape. EXACT
     // rolling distinct without a window-over-everything: dedup to
@@ -3700,6 +3728,7 @@ object SparkEntry {
     "q_sql_pipeline" -> (sqlPipelineQuery _),
     "q_merge_upsert" -> (mergeUpsert _),
     "d_pareto_docs" -> (paretoDocs _),
+    "q_global_rownum" -> (globalRowNumber _),
     "d_dedup_incremental" -> (dedupIncremental _),
     "d_dedup_incremental_stored" -> (dedupIncrementalStored _),
     "d_minhash_pairs" -> (minhashPairs _),
@@ -5379,6 +5408,12 @@ object SparkEntry {
         |  WHERE b.n_tokens >= a.n_tokens AND b.div_ppm >= a.div_ppm
         |    AND (b.n_tokens > a.n_tokens OR b.div_ppm > a.div_ppm))
         |ORDER BY a.doc_id""".stripMargin,
+    // global numbering: the oracle IS the single-partition spelling the
+    // Spark side refuses to run; identical ranks prove the offset fold
+    "q_global_rownum" ->
+      """SELECT event_id,
+        | row_number() OVER (ORDER BY ts, event_id) AS grank
+        |FROM events ORDER BY grank""".stripMargin,
     // exact trailing-7-day distinct users via the (day,user) fan-out
     "q_rolling_distinct" ->
       """WITH du AS (

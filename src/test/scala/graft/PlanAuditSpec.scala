@@ -386,6 +386,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), p)
     assert(!p.contains("Exchange rangepartitioning"), p) // windows are per-shard
   }
+
+  test("global row numbering: one day-keyed exchange over events; no single-partition window touches them") {
+    val df = SparkEntry.queries("q_global_rownum")(spark, dir)
+    val p = plan(df)
+    // the events-sized side is numbered under a hashpartitioning(day)
+    // window; the only partitionless window runs over the ~30-row per-day
+    // count table feeding the broadcast
+    assert(p.contains("Exchange hashpartitioning(day"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    // ranks are the contiguous 1..n sequence in (ts, event_id) order
+    val n = df.count()
+    val mm = df.agg(min(col("grank")), max(col("grank")), count(lit(1))).collect()(0)
+    assert(mm.getLong(0) == 1L && mm.getLong(1) == n && mm.getLong(2) == n)
+  }
 }
 
 /** Row-level invariants tying the relational query surface together. */
@@ -408,4 +422,5 @@ class JoinOpsSpec extends SparkSpec {
     assert(out.count() == flags * 3)
     assert(out.columns.toSeq == Seq("l_returnflag", "measure", "val"))
   }
+
 }
