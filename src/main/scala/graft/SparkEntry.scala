@@ -1304,6 +1304,18 @@ object SparkEntry {
       .orderBy(col("grank"))
   }
 
+  private def setJoinPpjoin(s: SparkSession, dir: String): DataFrame =
+    // exact-recall near-dup pairs at shingle-Jaccard >= 3/5 — the
+    // AllPairs/PPJoin prefix-filter alternative to LSH: no false
+    // negatives (completeness is a theorem, spec-pinned against brute
+    // force), candidates bounded because prefixes index only each doc's
+    // RAREST shingles (unigram SETS are degenerate on this corpus: a
+    // shared small vocab made half of ALL pairs >60% similar; trigrams
+    // encode local order). Integer threshold test (inter*5 >= uni*3).
+    Dedup.prefixFilterJoin(t(s, dir, "documents"), "doc_id", "text",
+        tauNum = 3, tauDen = 5)
+      .orderBy(col("id1"), col("id2"))
+
   private def rollingDistinct(s: SparkSession, dir: String): DataFrame = {
     // trailing-7-day distinct users per day — the DAU/WAU shape. EXACT
     // rolling distinct without a window-over-everything: dedup to
@@ -3729,6 +3741,7 @@ object SparkEntry {
     "q_merge_upsert" -> (mergeUpsert _),
     "d_pareto_docs" -> (paretoDocs _),
     "q_global_rownum" -> (globalRowNumber _),
+    "d_setjoin_ppjoin" -> (setJoinPpjoin _),
     "d_dedup_incremental" -> (dedupIncremental _),
     "d_dedup_incremental_stored" -> (dedupIncrementalStored _),
     "d_minhash_pairs" -> (minhashPairs _),
@@ -5414,6 +5427,45 @@ object SparkEntry {
       """SELECT event_id,
         | row_number() OVER (ORDER BY ts, event_id) AS grank
         |FROM events ORDER BY grank""".stripMargin,
+    // prefix-filter set-similarity join: the oracle replays the SAME
+    // df-rank/prefix/verify algorithm relationally — identical pairs and
+    // identical integer jaccard prove both the filter and the verify
+    "d_setjoin_ppjoin" ->
+      """WITH tk AS (
+        | SELECT doc_id AS sid,
+        |  list_distinct(CASE WHEN len(t) >= 3
+        |    THEN list_transform(range(1, len(t) - 1),
+        |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |    ELSE [] END) AS tk
+        | FROM (SELECT doc_id,
+        |   list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |               x -> len(x) > 0) AS t
+        |  FROM documents)),
+        |tok AS (SELECT sid, unnest(tk) AS token FROM tk),
+        |rk AS (
+        | SELECT token, row_number() OVER (ORDER BY df, token) AS r
+        | FROM (SELECT token, count(*) AS df FROM tok GROUP BY token)),
+        |tr AS (
+        | SELECT sid, token,
+        |  count(*) OVER (PARTITION BY sid) AS len,
+        |  row_number() OVER (PARTITION BY sid ORDER BY r) AS pos
+        | FROM tok JOIN rk USING (token)),
+        |pref AS (
+        | SELECT sid, token FROM tr
+        | WHERE pos <= len - ((3 * len + 4) // 5) + 1),
+        |cand AS (
+        | SELECT DISTINCT a.sid AS id1, b.sid AS id2
+        | FROM pref a JOIN pref b USING (token) WHERE a.sid < b.sid),
+        |v AS (
+        | SELECT id1, id2,
+        |  CAST(len(list_intersect(ta.tk, tb.tk)) AS BIGINT) AS inter,
+        |  CAST(len(ta.tk) + len(tb.tk)
+        |       - len(list_intersect(ta.tk, tb.tk)) AS BIGINT) AS uni
+        | FROM cand JOIN tk ta ON ta.sid = id1 JOIN tk tb ON tb.sid = id2)
+        |SELECT id1, id2,
+        | CAST((inter * 1000000) // uni AS BIGINT) AS jaccard_ppm
+        |FROM v WHERE inter * 5 >= uni * 3
+        |ORDER BY id1, id2""".stripMargin,
     // exact trailing-7-day distinct users via the (day,user) fan-out
     "q_rolling_distinct" ->
       """WITH du AS (

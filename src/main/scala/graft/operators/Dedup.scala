@@ -1247,4 +1247,68 @@ object Dedup {
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
   }
+  /** Exact set-similarity self-join via prefix filtering (the
+    * AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al. WWW'08):
+    * every pair of docs whose distinct-token Jaccard is >= tauNum/tauDen,
+    * found WITHOUT LSH's false negatives and WITHOUT the all-pairs join.
+    *
+    * Tokens get a global rarity rank (df ASC — rare first); each doc
+    * indexes only its first `len - ceil(tau*len) + 1` tokens in that
+    * order. Completeness is exact: if J(A,B) >= tau then
+    * |A∩B| >= ceil(tau*|A|) and >= ceil(tau*|B|), so the SMALLEST-ranked
+    * common token sits within both prefixes — every qualifying pair
+    * shares a prefix token and surfaces in the equi-join on it.
+    * Candidates are then verified with exact integer arithmetic
+    * (inter*tauDen >= uni*tauNum — no float threshold).
+    *
+    * Scale shape: the prefix index carries the RAREST tokens, so
+    * candidate buckets are small by construction (the frequent tokens
+    * that would blow up an equi-join are exactly the ones the prefix
+    * excludes for high tau); the vocab rank table is vocab-sized and
+    * broadcast. One groupBy for df, one doc-keyed window pair for
+    * positions, one equi-join on prefix tokens, verification joins
+    * bounded by the candidate count.
+    */
+  def prefixFilterJoin(df: DataFrame, idCol: String, textCol: String,
+                       tauNum: Int = 3, tauDen: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tauNum > 0 && tauDen >= tauNum, s"tau must be in (0,1]: $tauNum/$tauDen")
+    // set elements are distinct 3-gram SHINGLES, not unigrams: a shared
+    // small vocabulary makes most unigram SETS of a synthetic corpus
+    // >60% similar (measured: half of all pairs qualified), while
+    // trigrams encode local order and keep qualifying pairs to the real
+    // near-dups. Tokens are projected before the window lambda
+    // (portableShingleWindows scaladoc: inlining the tokenizer into the
+    // lambda re-runs it per window index, 27x slower).
+    val toks = df.select(col(idCol).as("sid"),
+      portableTokens(col(textCol)).as("tk0"))
+      .select(col("sid"),
+        array_distinct(portableShingleWindows(col("tk0"))).as("tk"))
+    val tok = toks.select(col("sid"), explode(col("tk")).as("token"))
+    // global rarity rank: vocab-sized, single small window, broadcast back
+    val rk = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .withColumn("r", row_number().over(Window.orderBy(col("df"), col("token"))))
+      .select(col("token"), col("r"))
+    val wLen = Window.partitionBy(col("sid"))
+    val wPos = Window.partitionBy(col("sid")).orderBy(col("r"))
+    val pref = tok.join(broadcast(rk), Seq("token"))
+      .withColumn("len", count(lit(1)).over(wLen))
+      .withColumn("pos", row_number().over(wPos))
+      .filter(col("pos") <= col("len") -
+        expr(s"(($tauNum * len) + ${tauDen - 1}) div $tauDen") + 1)
+      .select(col("token"), col("sid"))
+    val cand = pref.select(col("token"), col("sid").as("id1"))
+      .join(pref.select(col("token"), col("sid").as("id2")), Seq("token"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+    val ta = toks.select(col("sid").as("id1"), col("tk").as("tk1"))
+    val tb = toks.select(col("sid").as("id2"), col("tk").as("tk2"))
+    cand.join(ta, Seq("id1")).join(tb, Seq("id2"))
+      .withColumn("inter", size(array_intersect(col("tk1"), col("tk2"))).cast("long"))
+      .withColumn("uni",
+        size(col("tk1")).cast("long") + size(col("tk2")).cast("long") - col("inter"))
+      .filter(col("inter") * tauDen >= col("uni") * tauNum)
+      .select(col("id1"), col("id2"),
+        expr("inter * 1000000 div uni").as("jaccard_ppm"))
+  }
 }

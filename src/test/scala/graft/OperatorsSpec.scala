@@ -2396,3 +2396,48 @@ class MergeSkylineSpec extends SparkSpec {
     out.unpersist()
   }
 }
+
+class PrefixFilterJoinSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.operators.Dedup
+
+  test("prefix filter is complete: equals brute-force shingle Jaccard >= tau") {
+    // the completeness theorem, checked against an O(n^2) truth on the
+    // real sf0.001 corpus: every pair at J >= 3/5 must surface (prefix
+    // filtering has NO false negatives), and none below the cut may leak
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables(spark, sf, "documents")
+    val sets = docs
+      .select(col("doc_id"), Dedup.portableTokens(col("text")).as("tk0"))
+      .select(col("doc_id"),
+        array_distinct(Dedup.portableShingleWindows(col("tk0"))).as("tk"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toSet))
+    val brute = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b && sa.nonEmpty
+      inter = (sa & sb).size.toLong
+      uni = sa.size.toLong + sb.size.toLong - inter
+      if uni > 0 && inter * 5 >= uni * 3
+    } yield (a, b, inter * 1000000L / uni)).toSet
+    val got = SparkEntry.queries("d_setjoin_ppjoin")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute,
+      s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+    assert(got.nonEmpty)
+  }
+
+  test("degenerate tau is refused; tau=1 finds exact-duplicate sets only") {
+    intercept[IllegalArgumentException] {
+      Dedup.prefixFilterJoin(Tables(spark, "/root/testdata/sf0.001", "documents"),
+        "doc_id", "text", tauNum = 2, tauDen = 1)
+    }
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "aa bb cc dd ee"), (2L, "aa bb cc dd ee"),   // identical
+      (3L, "aa bb cc dd ff"), (4L, "zz yy xx ww vv")    // near / far
+    ).toDF("doc_id", "text")
+    val out = Dedup.prefixFilterJoin(tiny, "doc_id", "text", 1, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 2L)))
+  }
+}
+
