@@ -1316,6 +1316,64 @@ object SparkEntry {
         tauNum = 3, tauDen = 5)
       .orderBy(col("id1"), col("id2"))
 
+  private def compactionPlan(s: SparkSession, dir: String): DataFrame = {
+    // small-file compaction planning — the table-maintenance pass every
+    // lakehouse runs: pseudo-files (source × doc_id div 10, sized by
+    // n_chars) are packed into ~16 KiB output bins by ORDINAL-ORDERED
+    // cumulative packing: bin = exclusive-prefix-bytes div target. Unlike
+    // first-fit-decreasing this is windowed, deterministic, and replayable
+    // (a bin can overshoot target by at most one file — the standard
+    // streaming-compaction contract). Per-source windows parallelize; the
+    // plan output is bins-sized, not files-sized.
+    val files = t(s, dir, "documents")
+      .groupBy(col("source"), expr("doc_id div 10").as("file_ord"))
+      .agg(sum(col("n_chars")).as("bytes"))
+    val w = Window.partitionBy(col("source")).orderBy(col("file_ord"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files
+      .withColumn("prefix", coalesce(sum(col("bytes")).over(w), lit(0L)))
+      .withColumn("bin", expr("prefix div 16384"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("bytes")).as("bin_bytes"),
+        min(col("file_ord")).as("file_lo"),
+        max(col("file_ord")).as("file_hi"))
+      .orderBy(col("source"), col("bin"))
+  }
+
+  private def recordLinkage(s: SparkSession, dir: String): DataFrame = {
+    // entity resolution with BLOCKING, never all-pairs: a mutated twin
+    // registry (every 7th customer, last name digit rotated, balance
+    // nudged — derived with shared arithmetic so both engines build the
+    // identical registry) is linked back against the base. Candidates
+    // come from an equi-join on the (nationkey, 16-char name prefix)
+    // blocking key — the prefix confines a block to a ~100-key band of
+    // one nation — and only candidates pay the levenshtein; matches are
+    // lev <= 1. The registry side broadcasts (it is 1/7th of customers);
+    // the base never shuffles. lev=0 rows are genuine ambiguities (the
+    // rotated digit can collide with a real neighboring key's name) and
+    // are part of the graded output.
+    val base = t(s, dir, "customer").select(col("c_custkey").as("bkey"),
+      col("c_name").as("bname"), col("c_nationkey").as("bnat"),
+      col("c_acctbal").as("bbal"))
+    val twins = t(s, dir, "customer").filter(col("c_custkey") % 7 === 0)
+      .select((col("c_custkey") + 1000000L).as("tkey"),
+        concat(substring(col("c_name"), 1, 17),
+          ((substring(col("c_name"), 18, 1).cast("int") + 1) % 10)
+            .cast("string")).as("tname"),
+        col("c_nationkey").as("tnat"),
+        (col("c_acctbal") + lit(1.0)).as("tbal"))
+    broadcast(twins)
+      .join(base, col("tnat") === col("bnat") &&
+        substring(col("tname"), 1, 16) === substring(col("bname"), 1, 16))
+      .withColumn("lev", levenshtein(col("tname"), col("bname")))
+      .filter(col("lev") <= 1)
+      .select(col("bkey"), col("tkey"), col("lev").cast("int").as("lev"),
+        abs(round(col("tbal") * 100).cast("bigint") -
+          round(col("bbal") * 100).cast("bigint")).as("bal_diff_cents"))
+      .orderBy(col("bkey"), col("tkey"))
+  }
+
   private def rollingDistinct(s: SparkSession, dir: String): DataFrame = {
     // trailing-7-day distinct users per day — the DAU/WAU shape. EXACT
     // rolling distinct without a window-over-everything: dedup to
@@ -3742,6 +3800,8 @@ object SparkEntry {
     "d_pareto_docs" -> (paretoDocs _),
     "q_global_rownum" -> (globalRowNumber _),
     "d_setjoin_ppjoin" -> (setJoinPpjoin _),
+    "q_compaction_plan" -> (compactionPlan _),
+    "q_record_linkage" -> (recordLinkage _),
     "d_dedup_incremental" -> (dedupIncremental _),
     "d_dedup_incremental_stored" -> (dedupIncrementalStored _),
     "d_minhash_pairs" -> (minhashPairs _),
@@ -5466,6 +5526,47 @@ object SparkEntry {
         | CAST((inter * 1000000) // uni AS BIGINT) AS jaccard_ppm
         |FROM v WHERE inter * 5 >= uni * 3
         |ORDER BY id1, id2""".stripMargin,
+    // compaction plan: ordinal-ordered cumulative packing respelled
+    "q_compaction_plan" ->
+      """WITH f AS (
+        | SELECT source, doc_id // 10 AS file_ord,
+        |  CAST(sum(n_chars) AS BIGINT) AS bytes
+        | FROM documents GROUP BY source, doc_id // 10),
+        |p AS (
+        | SELECT source, file_ord, bytes,
+        |  CAST(coalesce(sum(bytes) OVER (
+        |    PARTITION BY source ORDER BY file_ord
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |   AS BIGINT) AS prefix
+        | FROM f)
+        |SELECT source, prefix // 16384 AS bin,
+        | count(*) AS n_files,
+        | CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+        | min(file_ord) AS file_lo,
+        | max(file_ord) AS file_hi
+        |FROM p GROUP BY source, prefix // 16384
+        |ORDER BY source, bin""".stripMargin,
+    // record linkage: identical twin derivation + blocking join + lev cut
+    "q_record_linkage" ->
+      """WITH base AS (
+        | SELECT c_custkey AS bkey, c_name AS bname,
+        |  c_nationkey AS bnat, c_acctbal AS bbal FROM customer),
+        |tw AS (
+        | SELECT c_custkey + 1000000 AS tkey,
+        |  substr(c_name, 1, 17) ||
+        |   CAST((CAST(substr(c_name, 18, 1) AS INT) + 1) % 10 AS VARCHAR)
+        |   AS tname,
+        |  c_nationkey AS tnat, c_acctbal + 1.0 AS tbal
+        | FROM customer WHERE c_custkey % 7 = 0)
+        |SELECT bkey, tkey,
+        | CAST(levenshtein(tname, bname) AS INT) AS lev,
+        | CAST(abs(CAST(round(tbal * 100) AS BIGINT)
+        |        - CAST(round(bbal * 100) AS BIGINT)) AS BIGINT)
+        |   AS bal_diff_cents
+        |FROM tw JOIN base
+        |  ON tnat = bnat AND substr(tname, 1, 16) = substr(bname, 1, 16)
+        |WHERE levenshtein(tname, bname) <= 1
+        |ORDER BY bkey, tkey""".stripMargin,
     // exact trailing-7-day distinct users via the (day,user) fan-out
     "q_rolling_distinct" ->
       """WITH du AS (
