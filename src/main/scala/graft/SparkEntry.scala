@@ -1341,6 +1341,50 @@ object SparkEntry {
       .orderBy(col("source"), col("bin"))
   }
 
+  /** Z-ordered events store (write-once layout): rows sorted by the
+    * Morton interleave of (user bucket, minute-of-day bucket), so a box
+    * predicate over BOTH dims — which no single-column sort layout can
+    * serve — prunes through ordinary parquet min/max row-group stats on
+    * the one zkey column. The multi-dim analogue of the day-partitioned
+    * store; maxRecordsPerFile keeps files small enough that pruning acts
+    * at file granularity too.
+    */
+  private def zorderEventsStore(s: SparkSession, dir: String): DataFrame = {
+    val path = layoutPath(dir, "evz", "zorder=u8xm8,v1", srcTable = "events.parquet")
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"),
+          (col("user_id") % 256).cast("int").as("xb"),
+          expr("(hour(ts) * 60 + minute(ts)) div 6").cast("int").as("yb"))
+        .withColumn("zkey", Layout.morton(col("xb"), col("yb"), 8))
+      ev.repartitionByRange(8, col("zkey"))
+        .sortWithinPartitions(col("zkey"))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 20000)
+        .parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
+  private def zorderBoxQuery(s: SparkSession, dir: String): DataFrame = {
+    // 2-D box rollup off the z-ordered store: the box decomposes
+    // driver-side into contiguous z ranges (exact quadtree cover over
+    // grid cells, never data), the OR-of-BETWEENs pushes into the
+    // parquet scan (plan-pinned), and the residual (x, y) filter is
+    // belt-and-braces — zRanges is an exact cover, so it removes
+    // nothing (the oracle, a plain box filter on the raw table, proves
+    // that end to end).
+    val ranges = Layout.zRanges(2, 96, 60, 180, bits = 8)
+    zorderEventsStore(s, dir)
+      .filter(Layout.zRangePredicate(col("zkey"), ranges))
+      .filter(col("xb").between(2, 96) && col("yb").between(60, 180))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100).cast("bigint")).cast("double") /
+          lit(100.0)).as("value_sum"))
+      .orderBy(col("event_type"))
+  }
+
   private def recordLinkage(s: SparkSession, dir: String): DataFrame = {
     // entity resolution with BLOCKING, never all-pairs: a mutated twin
     // registry (every 7th customer, last name digit rotated, balance
@@ -3802,6 +3846,7 @@ object SparkEntry {
     "d_setjoin_ppjoin" -> (setJoinPpjoin _),
     "q_compaction_plan" -> (compactionPlan _),
     "q_record_linkage" -> (recordLinkage _),
+    "q_zorder_box" -> (zorderBoxQuery _),
     "d_dedup_incremental" -> (dedupIncremental _),
     "d_dedup_incremental_stored" -> (dedupIncrementalStored _),
     "d_minhash_pairs" -> (minhashPairs _),
@@ -5567,6 +5612,16 @@ object SparkEntry {
         |  ON tnat = bnat AND substr(tname, 1, 16) = substr(bname, 1, 16)
         |WHERE levenshtein(tname, bname) <= 1
         |ORDER BY bkey, tkey""".stripMargin,
+    // z-order box: the oracle is the PLAIN box filter on the raw table —
+    // a hash match proves the z-range cover + residual lose nothing
+    "q_zorder_box" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        |   AS value_sum
+        |FROM events
+        |WHERE (user_id % 256) BETWEEN 2 AND 96
+        |  AND ((hour(ts) * 60 + minute(ts)) // 6) BETWEEN 60 AND 180
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // exact trailing-7-day distinct users via the (day,user) fan-out
     "q_rolling_distinct" ->
       """WITH du AS (

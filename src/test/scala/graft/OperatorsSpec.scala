@@ -2441,3 +2441,61 @@ class PrefixFilterJoinSpec extends SparkSpec {
   }
 }
 
+class ZorderSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.operators.Layout
+
+  test("zRanges is an exact box cover: exhaustive at bits=4") {
+    def interleave(x: Int, y: Int): Long = {
+      var z = 0L
+      for (i <- 0 until 4) {
+        z |= ((x >> i) & 1).toLong << (2 * i)
+        z |= ((y >> i) & 1).toLong << (2 * i + 1)
+      }
+      z
+    }
+    for (xlo <- Seq(0, 3, 7); xhi <- Seq(8, 12, 15); ylo <- Seq(0, 2, 5);
+         yhi <- Seq(9, 15)) {
+      val rs = Layout.zRanges(xlo, xhi, ylo, yhi, bits = 4)
+      // sorted, disjoint, merged
+      rs.sliding(2).foreach {
+        case Seq((_, ahi), (blo, _)) => assert(blo > ahi + 1)
+        case _ =>
+      }
+      for (x <- 0 until 16; y <- 0 until 16) {
+        val z = interleave(x, y)
+        val inRanges = rs.exists { case (lo, hi) => z >= lo && z <= hi }
+        val inBox = x >= xlo && x <= xhi && y >= ylo && y <= yhi
+        assert(inRanges == inBox, s"($x,$y) z=$z box=$inBox ranges=$inBox")
+      }
+    }
+  }
+
+  test("morton column agrees with the driver-side interleave") {
+    import spark.implicits._
+    val pts = for (x <- 0 until 16; y <- 0 until 16) yield (x, y)
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.morton(col("x"), col("y"), 8).as("z"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    def interleave(x: Int, y: Int): Long = {
+      var z = 0L
+      for (i <- 0 until 8) {
+        z |= ((x >> i) & 1).toLong << (2 * i)
+        z |= ((y >> i) & 1).toLong << (2 * i + 1)
+      }
+      z
+    }
+    pts.foreach { case (x, y) => assert(got((x, y)) == interleave(x, y)) }
+  }
+
+  test("degenerate boxes are covered and out-of-grid boxes refused") {
+    // single cell
+    assert(Layout.zRanges(5, 5, 9, 9, 4).map { case (l, h) => h - l + 1 }.sum == 1L)
+    // full grid is one contiguous run
+    assert(Layout.zRanges(0, 15, 0, 15, 4) == Seq((0L, 255L)))
+    intercept[IllegalArgumentException] { Layout.zRanges(0, 16, 0, 15, 4) }
+    intercept[IllegalArgumentException] { Layout.zRanges(3, 2, 0, 15, 4) }
+  }
+}
+
+

@@ -400,6 +400,18 @@ class PlanAuditSpec extends SparkSpec {
     val mm = df.agg(min(col("grank")), max(col("grank")), count(lit(1))).collect()(0)
     assert(mm.getLong(0) == 1L && mm.getLong(1) == n && mm.getLong(2) == n)
   }
+  test("z-order box query pushes the z ranges into the store scan") {
+    val df = SparkEntry.queries("q_zorder_box")(spark, dir)
+    val p = plan(df)
+    // the OR-of-BETWEENs on zkey must reach the parquet reader (row-group
+    // min/max pruning happens below this line), and the scan must read
+    // the zkey column — a plan that filters post-scan would show empty
+    // PushedFilters
+    assert(p.contains("PushedFilters") && p.contains("zkey"), p)
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("zkey"), pushed)
+  }
+
 }
 
 /** Row-level invariants tying the relational query surface together. */
