@@ -1385,6 +1385,25 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  private def cmsAudit(s: SparkSession, dir: String): DataFrame = {
+    // count-min sketch audit: the top-30 exact tokens vs their CMS
+    // estimates from a 4×256 counter matrix. Because the sketch is
+    // spelled relationally with portable md5 bucket hashing, the WHOLE
+    // estimator — matrix and point queries — is replayed by the oracle;
+    // the one-sided error guarantee (cms_n >= exact_n, always) is
+    // additionally spec-pinned over every token. Scale: the token stream
+    // partial-aggregates to ≤ 1024 cells per partition before its one
+    // shuffle; the matrix broadcasts back to the probe side.
+    val tok = t(s, dir, "documents")
+      .select(explode(Dedup.portableTokens(col("text"))).as("term"))
+    val top = tok.groupBy(col("term")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("term")).limit(30)
+    val cells = HeavyHitters.cmsCells(tok, "term")
+    HeavyHitters.cmsEstimate(cells, top)
+      .select(col("term"), col("exact_n"), col("cms_n"))
+      .orderBy(col("exact_n").desc, col("term"))
+  }
+
   private def recordLinkage(s: SparkSession, dir: String): DataFrame = {
     // entity resolution with BLOCKING, never all-pairs: a mutated twin
     // registry (every 7th customer, last name digit rotated, balance
@@ -3847,6 +3866,7 @@ object SparkEntry {
     "q_compaction_plan" -> (compactionPlan _),
     "q_record_linkage" -> (recordLinkage _),
     "q_zorder_box" -> (zorderBoxQuery _),
+    "d_cms_audit" -> (cmsAudit _),
     "d_dedup_incremental" -> (dedupIncremental _),
     "d_dedup_incremental_stored" -> (dedupIncrementalStored _),
     "d_minhash_pairs" -> (minhashPairs _),
@@ -5622,6 +5642,31 @@ object SparkEntry {
         |WHERE (user_id % 256) BETWEEN 2 AND 96
         |  AND ((hour(ts) * 60 + minute(ts)) // 6) BETWEEN 60 AND 180
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // CMS audit: matrix AND point estimates replayed relationally
+    "d_cms_audit" ->
+      """WITH tok AS (
+        | SELECT unnest(list_filter(
+        |   regexp_split_to_array(lower(trim(text)), '\s+'),
+        |   x -> len(x) > 0)) AS term
+        | FROM documents),
+        |top AS (
+        | SELECT term, count(*) AS exact_n FROM tok GROUP BY term
+        | ORDER BY exact_n DESC, term LIMIT 30),
+        |cells AS (
+        | SELECT d,
+        |  CAST(concat('0x', substr(md5(CAST(d AS VARCHAR) || ':' || term),
+        |    1, 8)) AS BIGINT) % 256 AS c,
+        |  count(*) AS n
+        | FROM tok, unnest([0, 1, 2, 3]) dd(d)
+        | GROUP BY 1, 2)
+        |SELECT t.term, t.exact_n, CAST(min(cl.n) AS BIGINT) AS cms_n
+        |FROM top t
+        |CROSS JOIN unnest([0, 1, 2, 3]) dd(d)
+        |JOIN cells cl ON cl.d = dd.d AND cl.c =
+        |  CAST(concat('0x', substr(md5(CAST(dd.d AS VARCHAR) || ':' || t.term),
+        |    1, 8)) AS BIGINT) % 256
+        |GROUP BY t.term, t.exact_n
+        |ORDER BY exact_n DESC, term""".stripMargin,
     // exact trailing-7-day distinct users via the (day,user) fan-out
     "q_rolling_distinct" ->
       """WITH du AS (

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.MisraGriesSketch
@@ -112,5 +112,43 @@ object HeavyHitters {
         .groupBy(col(termCol).as("term"))
         .agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") >= thr)
+  }
+  /** Portable count-min hash: slice 8 hex chars of md5("<d>:<term>") to a
+    * 32-bit value mod `width` — any SQL engine replays it verbatim
+    * (the md5-slice convention shared with the portable MinHash family).
+    */
+  def cmsBucket(d: Column, term: Column, width: Int): Column =
+    conv(substring(md5(concat(d.cast("string"), lit(":"), term)), 1, 8),
+      16, 10).cast("long") % width
+
+  /** Count-min sketch counter matrix over a term stream: `depth` rows of
+    * `width` counters, each occurrence incrementing one cell per row.
+    * Spelled RELATIONALLY — explode ×depth then (d, c) groupBy — so the
+    * sketch is engine-portable and oracle-checkable, unlike opaque sketch
+    * bytes. Scale shape: partial aggregation collapses each partition's
+    * stream to ≤ depth·width cells before the one shuffle; the full
+    * matrix is depth·width rows (1 KiB-scale) and broadcastable.
+    */
+  def cmsCells(rows: DataFrame, termCol: String,
+               depth: Int = 4, width: Int = 256): DataFrame =
+    rows.select(col(termCol).as("term"),
+        explode(array((0 until depth).map(lit): _*)).as("d"))
+      .select(col("d"), cmsBucket(col("d"), col("term"), width).as("c"))
+      .groupBy(col("d"), col("c")).agg(count(lit(1)).as("n"))
+
+  /** Point estimates for `terms` (small df with a `term` column) against a
+    * cells matrix: cms_n = min over depth rows of the addressed counter.
+    * The CMS guarantee — an estimate NEVER undercounts — is an invariant a
+    * spec asserts against exact counts. The cells side broadcasts.
+    */
+  def cmsEstimate(cells: DataFrame, terms: DataFrame,
+                  depth: Int = 4, width: Int = 256): DataFrame = {
+    val passthrough = terms.columns.filter(_ != "term").map(col).toSeq
+    val probes = terms.select(col("term") +: passthrough: _*)
+      .withColumn("d", explode(array((0 until depth).map(lit): _*)))
+      .withColumn("c", cmsBucket(col("d"), col("term"), width))
+    probes.join(broadcast(cells), Seq("d", "c"))
+      .groupBy((col("term") +: passthrough): _*)
+      .agg(min(col("n")).as("cms_n"))
   }
 }

