@@ -1404,6 +1404,53 @@ object SparkEntry {
       .orderBy(col("exact_n").desc, col("term"))
   }
 
+  private def langLinesAudit(s: SparkSession, dir: String): DataFrame = {
+    // code-switching audit: language ID voted PER 8-token line segment
+    // (the derived-line convention of d_gopher_lines — this corpus ships
+    // no literal newlines), then a per-doc rollup of dominant language,
+    // distinct line languages, and the share of off-dominant lines —
+    // the mixed-language-document gate a multilingual corpus runs before
+    // routing docs to per-language pipelines. Marker lists, token
+    // lowering, and the argmax CASE order are shared verbatim with
+    // d_lang_predict. Line segmentation and scoring are map-side; the
+    // only shuffles carry (doc_id, lang) counts.
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"),
+        transform(filter(split(trim(col("text")), "\\s+"),
+          x => length(x) > 0), x => lower(x)).as("tk"))
+      .filter(size(col("tk")) > 0)
+    val lines = base.select(col("doc_id"),
+      explode(transform(
+        sequence(lit(0), expr("(size(tk) - 1) div 8")),
+        i => slice(col("tk"), i * 8 + 1, lit(8)))).as("ltk"))
+    val scored = lines.select(col("doc_id") +:
+      TextAnalysis.langScoresOf(col("ltk")).map { case (l, c) =>
+        c.as(s"s_$l") }: _*)
+    val lineLang = scored.select(col("doc_id"),
+      when(greatest(col("s_de"), col("s_en"), col("s_es"), col("s_fr")) === 0,
+          lit("und"))
+        .when(col("s_de") >= col("s_en") && col("s_de") >= col("s_es") &&
+          col("s_de") >= col("s_fr"), lit("de"))
+        .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"),
+          lit("en"))
+        .when(col("s_es") >= col("s_fr"), lit("es"))
+        .otherwise(lit("fr")).as("lang"))
+    val perLang = lineLang.groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("cnt"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val wRank = Window.partitionBy(col("doc_id"))
+      .orderBy(col("cnt").desc, col("lang"))
+    perLang
+      .withColumn("n_lines", sum(col("cnt")).over(wDoc))
+      .withColumn("n_langs", count(lit(1)).over(wDoc))
+      .withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("n_lines"), col("n_langs"),
+        col("lang").as("dom_lang"),
+        expr("((n_lines - cnt) * 1000000) div n_lines").as("switch_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   private def recordLinkage(s: SparkSession, dir: String): DataFrame = {
     // entity resolution with BLOCKING, never all-pairs: a mutated twin
     // registry (every 7th customer, last name digit rotated, balance
@@ -3867,6 +3914,7 @@ object SparkEntry {
     "q_record_linkage" -> (recordLinkage _),
     "q_zorder_box" -> (zorderBoxQuery _),
     "d_cms_audit" -> (cmsAudit _),
+    "d_lang_lines" -> (langLinesAudit _),
     "d_dedup_incremental" -> (dedupIncremental _),
     "d_dedup_incremental_stored" -> (dedupIncrementalStored _),
     "d_minhash_pairs" -> (minhashPairs _),
@@ -5667,6 +5715,43 @@ object SparkEntry {
         |    1, 8)) AS BIGINT) % 256
         |GROUP BY t.term, t.exact_n
         |ORDER BY exact_n DESC, term""".stripMargin,
+    // code-switch audit: same marker lists / argmax CASE as d_lang_predict
+    "d_lang_lines" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |  list_transform(list_filter(
+        |    regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0),
+        |   x -> lower(x)) AS tk
+        | FROM documents),
+        |base AS (SELECT doc_id, tk FROM toks WHERE len(tk) > 0),
+        |lines AS (
+        | SELECT doc_id, tk[(t.i)*8+1 : (t.i)*8+8] AS ltk
+        | FROM base, unnest(range(0, (len(tk)-1)//8 + 1)) AS t(i)),
+        |sc AS (SELECT doc_id,
+        | len(list_filter(ltk, x -> x IN ('der','die','und','das','ist'))) AS s_de,
+        | len(list_filter(ltk, x -> x IN ('the','and','of','is','a'))) AS s_en,
+        | len(list_filter(ltk, x -> x IN ('el','los','que','y','es'))) AS s_es,
+        | len(list_filter(ltk, x -> x IN ('le','la','et','les','de'))) AS s_fr
+        | FROM lines),
+        |ll AS (SELECT doc_id,
+        | CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+        |      WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |      WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |      WHEN s_es >= s_fr THEN 'es'
+        |      ELSE 'fr' END AS lang
+        | FROM sc),
+        |pl AS (SELECT doc_id, lang, count(*) AS cnt FROM ll GROUP BY 1, 2),
+        |r AS (SELECT doc_id, lang, cnt,
+        |  sum(cnt) OVER (PARTITION BY doc_id) AS n_lines,
+        |  count(*) OVER (PARTITION BY doc_id) AS n_langs,
+        |  row_number() OVER (PARTITION BY doc_id
+        |                     ORDER BY cnt DESC, lang) AS rk
+        | FROM pl)
+        |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+        | CAST(n_langs AS BIGINT) AS n_langs, lang AS dom_lang,
+        | CAST(((n_lines - cnt) * 1000000) // n_lines AS BIGINT)
+        |   AS switch_ppm
+        |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin,
     // exact trailing-7-day distinct users via the (day,user) fan-out
     "q_rolling_distinct" ->
       """WITH du AS (
