@@ -416,6 +416,41 @@ object ScaleProbe {
         sess.unpersist()
       }
     }
+    // round-8-new families. Prefix-filter join: replicating a corpus
+    // verbatim makes every replica pair an exact dup, so the OUTPUT
+    // grows ~f² on the planted cliques — the probe checks time tracks
+    // pairs (the inherent cost of emit-all-pairs semantics), not worse.
+    // CMS: strictly linear, the counter matrix stays <= depth*width.
+    // Global row numbering: linear, the offsets window stays |days| rows.
+    for (f <- Seq(1, factor)) {
+      val docs = corpus(f)
+      def time(name: String)(df: => DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        val n = df.count()
+        println(f"""{"probe":"$name","factor":$f,"sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":$n}""")
+      }
+      time("d_setjoin_ppjoin") {
+        operators.Dedup.prefixFilterJoin(docs, "doc_id", "text", 3, 5)
+      }
+      time("d_cms_cells") {
+        operators.HeavyHitters.cmsCells(
+          docs.select(explode(operators.Dedup.portableTokens(col("text")))
+            .as("term")), "term")
+      }
+      docs.unpersist()
+    }
+    locally {
+      val ev = Tables(spark, sfDir, "events").select(col("event_id"), col("ts"))
+      for (f <- Seq(1, factor)) {
+        val e = (0 until f).map(k => ev.select(
+            (col("event_id") + lit(k * 10000000L)).as("event_id"), col("ts")))
+          .reduce(_ union _).localCheckpoint()
+        val t0 = System.nanoTime()
+        val n = operators.OrderStats.globalRowNumbers(e, "ts", "event_id").count()
+        println(f"""{"probe":"q_global_rownum","factor":$f,"sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":$n}""")
+        e.unpersist()
+      }
+    }
     spark.stop()
   }
 }

@@ -1290,17 +1290,7 @@ object SparkEntry {
     // the wire once (the day-keyed window's hash exchange) as a slim
     // (event_id, ts) projection; at 100 TB pick the prefix at hour or
     // minute grain to bound per-group size — same plan, finer key.
-    val ev = t(s, dir, "events")
-      .select(col("event_id"), col("ts"), to_date(col("ts")).as("day"))
-    val offsets = ev.groupBy(col("day")).agg(count(lit(1)).as("n"))
-      .withColumn("off", coalesce(sum(col("n")).over(
-        Window.orderBy(col("day"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .drop("n")
-    val wIn = Window.partitionBy(col("day")).orderBy(col("ts"), col("event_id"))
-    ev.join(broadcast(offsets), Seq("day"))
-      .select(col("event_id"),
-        (col("off") + row_number().over(wIn)).cast("bigint").as("grank"))
+    OrderStats.globalRowNumbers(t(s, dir, "events"), "ts", "event_id")
       .orderBy(col("grank"))
   }
 

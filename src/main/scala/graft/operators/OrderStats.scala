@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact order statistics at scale — the k-th smallest element of a
@@ -152,5 +153,29 @@ object OrderStats {
     val byRank = groupedKthSmallest(df, groupCol, valueCol,
       ks.groupBy(_._1).view.mapValues(_.map(_._3)).toMap)
     ks.map { case (g, p, k) => (g, p, k, byRank((g, k))) }
+  }
+  /** Contiguous global row ids in (tsCol, tieCol) order WITHOUT a
+    * single-partition window: partition on a deterministic coarse PREFIX
+    * of the order key (its calendar day), give the per-day counts
+    * exclusive prefix offsets in a window over that tiny set, broadcast
+    * them back, and number each day independently —
+    * grank = offset(day) + row_number within day. Day is a prefix of the
+    * (ts, tie) order, so the concatenation IS the global order; at 100 TB
+    * pick hour/minute grain to bound per-group size (same plan, finer
+    * key). Emits (tieCol, grank).
+    */
+  def globalRowNumbers(df: DataFrame, tsCol: String, tieCol: String): DataFrame = {
+    val ev = df.select(col(tieCol), col(tsCol),
+      to_date(col(tsCol)).as("__day"))
+    val offsets = ev.groupBy(col("__day")).agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(
+        Window.orderBy(col("__day"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__n")
+    val wIn = Window.partitionBy(col("__day"))
+      .orderBy(col(tsCol), col(tieCol))
+    ev.join(broadcast(offsets), Seq("__day"))
+      .select(col(tieCol),
+        (col("__off") + row_number().over(wIn)).cast("bigint").as("grank"))
   }
 }

@@ -393,7 +393,7 @@ class PlanAuditSpec extends SparkSpec {
     // the events-sized side is numbered under a hashpartitioning(day)
     // window; the only partitionless window runs over the ~30-row per-day
     // count table feeding the broadcast
-    assert(p.contains("Exchange hashpartitioning(day"), p)
+    assert(p.contains("Exchange hashpartitioning(__day"), p)
     assert(p.contains("BroadcastExchange"), p)
     // ranks are the contiguous 1..n sequence in (ts, event_id) order
     val n = df.count()
