@@ -3513,6 +3513,52 @@ object SparkEntry {
       .orderBy(col("node"))
   }
 
+  private def graphBfs(s: SparkSession, dir: String): DataFrame = {
+    // multi-source BFS hop distance on the derived graph (sources: every
+    // 97th doc), capped at 4 hops — frontier expansion with visited-set
+    // anti-join, so each node's neighbors expand once regardless of path
+    // count; the oracle is the recursive-CTE spelling with min(hops)
+    val sources = t(s, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select(col("doc_id").as("node"))
+    LinkRank.bfsHops(derivedEdges(s, dir), sources, maxHops = 4)
+      .orderBy(col("node"))
+  }
+
+  private def freqPairs(s: SparkSession, dir: String): DataFrame =
+    // market-basket pair mining over order baskets: a-priori item prune
+    // BEFORE the quadratic per-basket expansion; exact integer support
+    // counts (pair, each item, total baskets) so lift/confidence are
+    // caller-side rationals
+    Baskets.frequentPairs(t(s, dir, "lineitem"),
+        basketCol = "l_orderkey", itemCol = "l_partkey",
+        minItemSupport = 2L, minPairSupport = 2L)
+      .orderBy(col("item_a"), col("item_b"))
+
+  private def gapFill(s: SparkSession, dir: String): DataFrame =
+    // per-user daily series with calendar gaps materialized at n=0 and
+    // forward-filled from the last observed day; sequence-exploded grid
+    // (bounded by time span), one window per key — no calendar cross join
+    TimeSeries.gapFillDaily(t(s, dir, "events"), "user_id", "ts")
+      .orderBy(col("key"), col("day"))
+
+  private def trendFit(s: SparkSession, dir: String): DataFrame =
+    // exact least-squares trend of daily event volume per type: slope as
+    // a BIGINT num/den rational over the gap-filled grid (absent days are
+    // y=0 observations) — one partial-aggregable groupBy, no floats
+    TimeSeries.trendFit(t(s, dir, "events"), "event_type", "ts")
+      .orderBy(col("key"))
+
+  private def maxConcurrency(s: SparkSession, dir: String): DataFrame =
+    // sweep-line peak concurrency per day under a 5-minute hold: +1/−1
+    // endpoints, one day-partitioned running sum — no global ordering;
+    // peak_at emitted as exact epoch micros for cross-engine comparison
+    TimeSeries.maxConcurrencyDaily(t(s, dir, "events"), "ts",
+        holdSeconds = 300)
+      .select(col("day"), col("peak"),
+        unix_micros(col("peak_at")).as("peak_at_us"))
+      .orderBy(col("day"))
+
   private def spanClean(s: SparkSession, dir: String): DataFrame =
     // exact duplicated-span REMOVAL — the rewrite stage d_dup_spans only
     // audits: tokens covered by any cross-doc-duplicated 3-gram are
@@ -3996,6 +4042,11 @@ object SparkEntry {
     "d_link_rank" -> (linkRank _),
     "d_hits_rank" -> (hitsRank _),
     "d_triangles" -> (trianglesQuery _),
+    "d_graph_bfs" -> (graphBfs _),
+    "q_freq_pairs" -> (freqPairs _),
+    "q_gap_fill" -> (gapFill _),
+    "q_trend_fit" -> (trendFit _),
+    "q_max_concurrency" -> (maxConcurrency _),
     "d_corpus_clean" -> (corpusClean _),
     "d_nb_train" -> (nbTrainQuery _),
     "d_nb_predict" -> (nbPredictQuery _),
@@ -7239,6 +7290,103 @@ object SparkEntry {
         | CAST(h3.v AS BIGINT) AS hub_fp
         |FROM a3 JOIN h3 ON h3.node = a3.node ORDER BY a3.node""".stripMargin
     },
+    // BFS twin: recursive CTE enumerates every ≤4-hop path from the
+    // sources over the same derived edge set; min(hops) per node is the
+    // distance the frontier iterate computes directly
+    "d_graph_bfs" ->
+      """WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+        |e0 AS (SELECT doc_id AS src, (doc_id + 17) % nn.n AS dst FROM documents, nn
+        |       UNION ALL SELECT doc_id, (doc_id + 101) % nn.n FROM documents, nn
+        |       UNION ALL SELECT doc_id, (doc_id * 3 + 7) % nn.n FROM documents, nn),
+        |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+        |bfs(node, hops) AS (
+        | SELECT doc_id, 0 FROM documents WHERE doc_id % 97 = 0
+        | UNION ALL
+        | SELECT e.dst, b.hops + 1 FROM bfs b JOIN e ON e.src = b.node
+        | WHERE b.hops < 4)
+        |SELECT node, CAST(min(hops) AS INTEGER) AS hops
+        |FROM bfs GROUP BY node ORDER BY node""".stripMargin,
+    // market-basket twin: the naive self-join spelling (a-priori prune
+    // changes nothing below the support threshold, proven by equality)
+    "q_freq_pairs" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+        |           FROM lineitem),
+        |ic AS (SELECT item, count(*) AS cnt FROM b GROUP BY 1),
+        |fb AS (SELECT b.basket, b.item FROM b
+        |       JOIN ic ON ic.item = b.item WHERE ic.cnt >= 2),
+        |sz AS (SELECT basket FROM fb GROUP BY basket
+        |       HAVING count(*) BETWEEN 2 AND 1000),
+        |p AS (SELECT l.item AS item_a, r.item AS item_b, count(*) AS pair_cnt
+        |      FROM fb l JOIN fb r
+        |        ON l.basket = r.basket AND l.item < r.item
+        |      JOIN sz ON sz.basket = l.basket
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |tot AS (SELECT count(DISTINCT basket) AS n_baskets FROM b)
+        |SELECT item_a, item_b, pair_cnt, ia.cnt AS cnt_a, ib.cnt AS cnt_b,
+        | tot.n_baskets
+        |FROM p JOIN ic ia ON ia.item = p.item_a
+        |JOIN ic ib ON ib.item = p.item_b, tot
+        |ORDER BY item_a, item_b""".stripMargin,
+    // gap-fill twin: generate_series calendar grid + IGNORE NULLS
+    // forward fill
+    "q_gap_fill" ->
+      """WITH d AS (SELECT user_id AS key, CAST(ts AS DATE) AS day,
+        |            count(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |g AS (SELECT key,
+        |       CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |         CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |      FROM (SELECT key, min(day) AS d0, max(day) AS d1
+        |            FROM d GROUP BY 1)),
+        |j AS (SELECT g.key, g.day, coalesce(d.n, 0) AS n, d.n AS obs
+        |      FROM g LEFT JOIN d ON d.key = g.key AND d.day = g.day)
+        |SELECT key, day, n,
+        | CAST(last_value(obs IGNORE NULLS) OVER (PARTITION BY key
+        |   ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  AS BIGINT) AS filled
+        |FROM j ORDER BY key, day""".stripMargin,
+    // trend twin: identical gap-filled grid, slope as exact BIGINT
+    // rational — no float ever materializes
+    "q_trend_fit" ->
+      """WITH d AS (SELECT event_type AS key, CAST(ts AS DATE) AS day,
+        |            count(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |g AS (SELECT key,
+        |       CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |         CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |      FROM (SELECT key, min(day) AS d0, max(day) AS d1
+        |            FROM d GROUP BY 1)),
+        |xy AS (SELECT g.key,
+        |        CAST(date_diff('day', DATE '1970-01-01', g.day) AS BIGINT) AS x,
+        |        CAST(coalesce(d.n, 0) AS BIGINT) AS y
+        |       FROM g LEFT JOIN d ON d.key = g.key AND d.day = g.day),
+        |s AS (SELECT key, count(*) AS n_days,
+        |       CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |       CAST(sum(x * y) AS BIGINT) AS sxy,
+        |       CAST(sum(x * x) AS BIGINT) AS sxx
+        |      FROM xy GROUP BY key)
+        |SELECT key, n_days, sx, sy, sxy, sxx,
+        | CAST(n_days * sxy - sx * sy AS BIGINT) AS slope_num,
+        | CAST(n_days * sxx - sx * sx AS BIGINT) AS slope_den
+        |FROM s ORDER BY key""".stripMargin,
+    // sweep-line twin: same +1/−1 endpoint ordering (ends before starts
+    // at a shared instant), peak instant in exact epoch micros
+    "q_max_concurrency" ->
+      """WITH ev AS (SELECT CAST(ts AS DATE) AS day, ts AS t0,
+        |  least(ts + INTERVAL 300 SECOND,
+        |        CAST(CAST(ts AS DATE) + INTERVAL 1 DAY AS TIMESTAMP)) AS t1
+        | FROM events),
+        |ep AS (SELECT day, t0 AS t, 1 AS delta FROM ev
+        |       UNION ALL SELECT day, t1, -1 FROM ev),
+        |o AS (SELECT day, t, delta,
+        |       sum(delta) OVER (PARTITION BY day ORDER BY t, delta
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open
+        |      FROM ep),
+        |p AS (SELECT day, t, open,
+        |       max(open) OVER (PARTITION BY day) AS peak FROM o)
+        |SELECT day, CAST(max(open) AS BIGINT) AS peak,
+        | epoch_us(min(t)) AS peak_at_us
+        |FROM p WHERE open = peak GROUP BY day ORDER BY day""".stripMargin,
     "d_link_rank" ->
       """WITH nn AS (SELECT count(*) AS n FROM documents),
         |e0 AS (SELECT doc_id AS src, (doc_id + 17) % nn.n AS dst FROM documents, nn

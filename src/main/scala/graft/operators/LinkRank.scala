@@ -155,4 +155,44 @@ object LinkRank {
     }
     ranks
   }
+
+  /** Multi-source breadth-first hop distance, capped at `maxHops`:
+    * for every node reachable from `sources(node)` within `maxHops`
+    * edge traversals, the MINIMUM number of hops. Exact integers —
+    * hash-checkable against a recursive-CTE spelling in any SQL engine.
+    *
+    * The distributed shape is frontier expansion with visited-set
+    * pruning: each round joins only the CURRENT frontier (nodes first
+    * discovered last round) against the edge list, then anti-joins the
+    * visited set, so a node's neighbors are expanded exactly once no
+    * matter how many paths reach it — total work is O(edges touched),
+    * not O(paths) like the naive recursive unrolling. Per round: one
+    * frontier⋈edges join (edge list keyed by src — co-partitioned if
+    * bucketed by src at ingest), one dedup, one anti-join; lineage
+    * truncated per round like the CC/PageRank iterates. At 100 TB the
+    * frontier is the small side once the wave saturates — broadcast
+    * candidates, while the edge list never moves.
+    */
+  def bfsHops(edges: DataFrame, sources: DataFrame,
+              maxHops: Int = 4): DataFrame = {
+    require(maxHops >= 0)
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).localCheckpoint()
+    var visited = sources.select(col("node").cast("long").as("node"))
+      .distinct().select(col("node"), lit(0).as("hops"))
+      .localCheckpoint()
+    var frontier = visited
+    var h = 0
+    while (h < maxHops && !frontier.isEmpty) {
+      h += 1
+      val next = e.join(frontier, e("src") === frontier("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .select(col("node"), lit(h).as("hops"))
+        .localCheckpoint()
+      visited = visited.unionAll(next).localCheckpoint(eager = false)
+      frontier = next
+    }
+    visited
+  }
 }

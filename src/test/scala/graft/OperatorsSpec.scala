@@ -2535,3 +2535,134 @@ class CmsSpec extends SparkSpec {
 
 
 
+
+class BfsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.LinkRank
+
+  test("bfsHops: min-hop distances on a path with a shortcut") {
+    // 1→2→3→4→5 plus shortcut 1→4: node 4 is 1 hop, not 3
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L))
+      .toDF("src", "dst")
+    val src = Seq(1L).toDF("node")
+    val d = LinkRank.bfsHops(edges, src, maxHops = 4).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(d == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 1, 5L -> 2))
+  }
+
+  test("bfsHops: hop cap truncates, multi-source takes the nearer source") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 3L))
+      .toDF("src", "dst")
+    val d = LinkRank.bfsHops(edges, Seq(1L, 10L).toDF("node"), maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // 3 is 1 hop from source 10 (not 2 from source 1); 4 reached at hop 2
+    assert(d == Map(1L -> 0, 10L -> 0, 2L -> 1, 3L -> 1, 4L -> 2))
+    // cap 1: node 4 unreached
+    val d1 = LinkRank.bfsHops(edges, Seq(1L, 10L).toDF("node"), maxHops = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(!d1.contains(4L) && d1(3L) == 1)
+  }
+
+  test("bfsHops: early exit when the frontier drains before the cap") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val d = LinkRank.bfsHops(edges, Seq(1L).toDF("node"), maxHops = 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(d == Map(1L -> 0, 2L -> 1))
+  }
+}
+
+class BasketsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Baskets
+
+  test("frequentPairs: counts, a-priori prune, and duplicate tolerance") {
+    // baskets: 1:{a,b,c} 2:{a,b} 3:{a,b} 4:{c,d} 5:{d} (+ dup rows)
+    val rows = Seq((1L, 10L), (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 20L), (3L, 10L), (3L, 20L), (4L, 30L), (4L, 40L),
+      (5L, 40L)).toDF("b", "i")
+    val out = Baskets.frequentPairs(rows, "b", "i",
+        minItemSupport = 2L, minPairSupport = 2L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // only (10,20) reaches pair support 2 (3 baskets); item counts exact
+    assert(out == Map((10L, 20L) -> (3L, 3L, 3L, 5L)))
+  }
+
+  test("frequentPairs: a-priori prune equals the unpruned spelling") {
+    // items below minItemSupport can't form a frequent pair, so pruning
+    // first must not change the answer
+    val rows = (1L to 40L).flatMap(b =>
+      Seq((b, b % 5), (b, b % 7 + 100L), (b, b % 3 + 200L)))
+      .toDF("b", "i")
+    val pruned = Baskets.frequentPairs(rows, "b", "i", 3L, 2L)
+      .orderBy("item_a", "item_b").collect().toSeq
+    val naive = Baskets.frequentPairs(rows, "b", "i", 1L, 2L)
+      .filter(col("cnt_a") >= 3 && col("cnt_b") >= 3)
+      .orderBy("item_a", "item_b").collect().toSeq
+    assert(pruned.nonEmpty && pruned == naive)
+  }
+
+  test("frequentPairs: oversized baskets are dropped, not exploded") {
+    val big = (1L to 60L).map(i => (1L, i)) ++ Seq((2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 2L))
+    val out = Baskets.frequentPairs(big.toDF("b", "i"), "b", "i",
+        minItemSupport = 1L, minPairSupport = 2L, maxBasketItems = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // basket 1 (60 items) is dropped, so (1,2) pairs only in baskets 2,3
+    assert(out.toSeq == Seq((1L, 2L, 2L)))
+  }
+}
+
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.TimeSeries
+
+  private def ev(rows: (Long, String)*): org.apache.spark.sql.DataFrame =
+    rows.toDF("k", "tss").select(col("k"),
+      col("tss").cast("timestamp").as("ts"))
+
+  test("gapFillDaily: gap days appear at n=0 and forward-fill carries") {
+    val df = ev((1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 11:00:00"),
+      (1L, "2024-01-04 09:00:00"), (2L, "2024-01-02 00:00:00"))
+    val out = TimeSeries.gapFillDaily(df, "k", "ts")
+      .orderBy("key", "day").collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, "2024-01-01", 2L, 2L), (1L, "2024-01-02", 0L, 2L),
+      (1L, "2024-01-03", 0L, 2L), (1L, "2024-01-04", 1L, 1L),
+      (2L, "2024-01-02", 1L, 1L)))
+  }
+
+  test("trendFit: exact rational slope over the gap-filled grid") {
+    // key 1: days 0,1,2 with y = 2,0,1 (middle day is a gap)
+    val df = ev((1L, "1970-01-01 01:00:00"), (1L, "1970-01-01 02:00:00"),
+      (1L, "1970-01-03 01:00:00"))
+    val r = TimeSeries.trendFit(df, "k", "ts").collect().head
+    // n=3 sx=3 sy=3 sxy=2 sxx=5 → num = 3*2-3*3 = -3; den = 3*5-9 = 6
+    assert((r.getAs[Long]("n_days"), r.getAs[Long]("sx"),
+      r.getAs[Long]("sy"), r.getAs[Long]("sxy"), r.getAs[Long]("sxx"),
+      r.getAs[Long]("slope_num"), r.getAs[Long]("slope_den")) ==
+      ((3L, 3L, 3L, 2L, 5L, -3L, 6L)))
+  }
+
+  test("maxConcurrencyDaily: sweep-line peak with touch-no-overlap ties") {
+    // holds of 60 s: a@10:00:00, b@10:00:30 overlap (peak 2);
+    // c@10:01:00 STARTS exactly when a ends — end sorts first, no overlap
+    val df = ev((1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 10:00:30"),
+      (1L, "2024-01-01 10:01:00"))
+    val out = TimeSeries.maxConcurrencyDaily(df, "ts", holdSeconds = 60)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getTimestamp(2).toString))
+    assert(out.toSeq == Seq(("2024-01-01", 2L, "2024-01-01 10:00:30.0")))
+  }
+
+  test("maxConcurrencyDaily: holds clamp at midnight per partition") {
+    // 23:59 event with a 300 s hold must not leak into the next day
+    val df = ev((1L, "2024-01-01 23:59:00"), (1L, "2024-01-02 00:01:00"))
+    val out = TimeSeries.maxConcurrencyDaily(df, "ts", holdSeconds = 300)
+      .orderBy("day").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)))
+    assert(out.toSeq == Seq(("2024-01-01", 1L), ("2024-01-02", 1L)))
+  }
+}
