@@ -3525,6 +3525,20 @@ object SparkEntry {
       .orderBy(col("node"))
   }
 
+  private def graphSssp(s: SparkSession, dir: String): DataFrame = {
+    // weighted shortest paths (≤4 edges) from the same sources over the
+    // derived graph with deterministic integer weights 1 + (src+2·dst)%7
+    // — Bellman–Ford with an improved-only frontier, so converged
+    // regions stop costing; the oracle enumerates ≤4-edge paths
+    val sources = t(s, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select(col("doc_id").as("node"))
+    val weighted = derivedEdges(s, dir).select(col("src"), col("dst"),
+      (pmod(col("src") + lit(2) * col("dst"), lit(7)) + 1).as("w"))
+    LinkRank.ssspDistances(weighted, sources, maxEdges = 4)
+      .orderBy(col("node"))
+  }
+
   private def freqPairs(s: SparkSession, dir: String): DataFrame =
     // market-basket pair mining over order baskets: a-priori item prune
     // BEFORE the quadratic per-basket expansion; exact integer support
@@ -4043,6 +4057,7 @@ object SparkEntry {
     "d_hits_rank" -> (hitsRank _),
     "d_triangles" -> (trianglesQuery _),
     "d_graph_bfs" -> (graphBfs _),
+    "d_graph_sssp" -> (graphSssp _),
     "q_freq_pairs" -> (freqPairs _),
     "q_gap_fill" -> (gapFill _),
     "q_trend_fit" -> (trendFit _),
@@ -7306,6 +7321,24 @@ object SparkEntry {
         | WHERE b.hops < 4)
         |SELECT node, CAST(min(hops) AS INTEGER) AS hops
         |FROM bfs GROUP BY node ORDER BY node""".stripMargin,
+    // Bellman–Ford twin: every ≤4-edge path enumerated, min total weight
+    // per node — the frontier iterate computes the same bound directly
+    "d_graph_sssp" ->
+      """WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+        |e0 AS (SELECT doc_id AS src, (doc_id + 17) % nn.n AS dst FROM documents, nn
+        |       UNION ALL SELECT doc_id, (doc_id + 101) % nn.n FROM documents, nn
+        |       UNION ALL SELECT doc_id, (doc_id * 3 + 7) % nn.n FROM documents, nn),
+        |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+        |ew AS (SELECT src, dst,
+        |        CAST(1 + (src + 2 * dst) % 7 AS BIGINT) AS w FROM e),
+        |sp(node, dist, hops) AS (
+        | SELECT doc_id, CAST(0 AS BIGINT), 0 FROM documents
+        | WHERE doc_id % 97 = 0
+        | UNION ALL
+        | SELECT ew.dst, b.dist + ew.w, b.hops + 1
+        | FROM sp b JOIN ew ON ew.src = b.node WHERE b.hops < 4)
+        |SELECT node, CAST(min(dist) AS BIGINT) AS dist
+        |FROM sp GROUP BY node ORDER BY node""".stripMargin,
     // market-basket twin: the naive self-join spelling (a-priori prune
     // changes nothing below the support threshold, proven by equality)
     "q_freq_pairs" ->

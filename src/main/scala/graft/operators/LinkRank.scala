@@ -195,4 +195,46 @@ object LinkRank {
     }
     visited
   }
+
+  /** Weighted shortest-path distances from `sources(node)` using at
+    * most `maxEdges` edge traversals — the distributed Bellman–Ford
+    * relaxation. Weights are exact BIGINTs, so every distance is an
+    * order-free integer min: hash-checkable against a recursive-CTE
+    * path enumeration capped at the same edge budget.
+    *
+    * The scale story is the IMPROVED-ONLY frontier: a round relaxes
+    * only edges out of nodes whose distance dropped last round, with a
+    * per-round partial min on the candidate side before the merge —
+    * so a converged region stops costing anything, and each round is
+    * one frontier⋈edges join + two partial-aggregable mins. The naive
+    * relax-everything round (|E| work × rounds regardless of progress)
+    * is what this avoids. Lineage truncated per round.
+    */
+  def ssspDistances(edges: DataFrame, sources: DataFrame,
+                    maxEdges: Int = 4): DataFrame = {
+    require(maxEdges >= 0)
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      .localCheckpoint()
+    var dist = sources.select(col("node").cast("long").as("node"))
+      .distinct().select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var frontier = dist
+    var r = 0
+    while (r < maxEdges && !frontier.isEmpty) {
+      r += 1
+      val cand = e.join(frontier, e("src") === frontier("node"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("d"))
+        .groupBy(col("node")).agg(min(col("d")).as("d"))
+      val improved = cand.join(dist, Seq("node"), "left")
+        .filter(col("dist").isNull || col("d") < col("dist"))
+        .select(col("node"), col("d").as("dist"))
+        .localCheckpoint()
+      dist = dist.join(improved.select(col("node")), Seq("node"), "left_anti")
+        .unionAll(improved)
+        .localCheckpoint(eager = false)
+      frontier = improved
+    }
+    dist
+  }
 }

@@ -2569,6 +2569,27 @@ class BfsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(d == Map(1L -> 0, 2L -> 1))
   }
+
+  test("ssspDistances: cheaper long route beats the direct edge") {
+    // 1→4 direct costs 10; 1→2→3→4 costs 3 but needs 3 edge budget
+    val edges = Seq((1L, 4L, 10L), (1L, 2L, 1L), (2L, 3L, 1L),
+      (3L, 4L, 1L)).toDF("src", "dst", "w")
+    def run(cap: Int): Map[Long, Long] =
+      LinkRank.ssspDistances(edges, Seq(1L).toDF("node"), cap)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(1) == Map(1L -> 0L, 4L -> 10L, 2L -> 1L))
+    // at cap 3 the relaxation chain replaces the direct edge's 10
+    assert(run(3) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
+
+  test("ssspDistances: improved-only frontier reconverges through a hub") {
+    // two sources; 20's cheap path to 3 must still propagate to 4
+    val edges = Seq((1L, 3L, 5L), (20L, 3L, 1L), (3L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    val d = LinkRank.ssspDistances(edges, Seq(1L, 20L).toDF("node"), 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(1L -> 0L, 20L -> 0L, 3L -> 1L, 4L -> 2L))
+  }
 }
 
 class BasketsSpec extends SparkSpec {
