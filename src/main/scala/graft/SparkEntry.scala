@@ -3525,6 +3525,14 @@ object SparkEntry {
       .orderBy(col("node"))
   }
 
+  private def lpaCommunities(s: SparkSession, dir: String): DataFrame =
+    // deterministic synchronous label propagation on the derived graph
+    // (3 rounds, smallest-label tie-break): community detection next to
+    // CC/PageRank/HITS — argmax is a partial-aggregable max(struct),
+    // never a per-node window sort
+    LinkRank.labelPropagation(derivedEdges(s, dir), iters = 3)
+      .orderBy(col("node"))
+
   private def graphSssp(s: SparkSession, dir: String): DataFrame = {
     // weighted shortest paths (≤4 edges) from the same sources over the
     // derived graph with deterministic integer weights 1 + (src+2·dst)%7
@@ -4058,6 +4066,7 @@ object SparkEntry {
     "d_triangles" -> (trianglesQuery _),
     "d_graph_bfs" -> (graphBfs _),
     "d_graph_sssp" -> (graphSssp _),
+    "d_lpa_communities" -> (lpaCommunities _),
     "q_freq_pairs" -> (freqPairs _),
     "q_gap_fill" -> (gapFill _),
     "q_trend_fit" -> (trendFit _),
@@ -7339,6 +7348,32 @@ object SparkEntry {
         | FROM sp b JOIN ew ON ew.src = b.node WHERE b.hops < 4)
         |SELECT node, CAST(min(dist) AS BIGINT) AS dist
         |FROM sp GROUP BY node ORDER BY node""".stripMargin,
+    // LPA twin: 3 unrolled synchronous rounds — per-node neighbor-label
+    // vote counts, row_number argmax with (count DESC, label ASC)
+    "d_lpa_communities" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""c$i AS (SELECT nbr.a AS node, l.lbl, count(*) AS c
+           |      FROM nbr JOIN l${i - 1} l ON l.node = nbr.b GROUP BY 1, 2),
+           |r$i AS (SELECT node, lbl, row_number() OVER (PARTITION BY node
+           |          ORDER BY c DESC, lbl) AS rn FROM c$i),
+           |l$i AS (SELECT nodes.node, coalesce(r.lbl, nodes.node) AS lbl
+           |      FROM nodes LEFT JOIN (SELECT node, lbl FROM r$i WHERE rn = 1) r
+           |        ON r.node = nodes.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+        |e0 AS (SELECT doc_id AS src, (doc_id + 17) % nn.n AS dst FROM documents, nn
+        |       UNION ALL SELECT doc_id, (doc_id + 101) % nn.n FROM documents, nn
+        |       UNION ALL SELECT doc_id, (doc_id * 3 + 7) % nn.n FROM documents, nn),
+        |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+        |nbr AS (SELECT DISTINCT a, b FROM
+        |          (SELECT src AS a, dst AS b FROM e
+        |           UNION ALL SELECT dst, src FROM e)),
+        |nodes AS (SELECT DISTINCT a AS node FROM nbr),
+        |l0 AS (SELECT node, node AS lbl FROM nodes),
+        |$rounds
+        |SELECT node, CAST(lbl AS BIGINT) AS lbl FROM l3
+        |ORDER BY node""".stripMargin
+    },
     // market-basket twin: the naive self-join spelling (a-priori prune
     // changes nothing below the support threshold, proven by equality)
     "q_freq_pairs" ->

@@ -237,4 +237,44 @@ object LinkRank {
     }
     dist
   }
+
+  /** Synchronous label-propagation community detection, made
+    * DETERMINISTIC (asynchronous LPA is famously order-dependent):
+    * every node starts labeled with its own id; each round, all nodes
+    * simultaneously adopt the most frequent label among their
+    * undirected neighbors, ties broken by the SMALLEST label; isolated
+    * nodes keep their label. Fixed `iters` rounds — exact integers
+    * end to end, so the final labeling is hash-checkable against an
+    * unrolled SQL spelling of the same rounds.
+    *
+    * Scale shape per round: one neighbor⋈labels join + one
+    * (node, label) count groupBy + one argmax groupBy — the argmax is
+    * `max(struct(count, -label))`, a plain partial-aggregable aggregate,
+    * NOT a per-node window sort. Lineage truncated per round. The
+    * symmetric neighbor list is materialized once.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1)
+    val d = edges.select(col("src").cast("long").as("a"),
+        col("dst").cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val nbr = d.unionAll(d.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    val nodes = nbr.select(col("a").as("node")).distinct().localCheckpoint()
+    var labels = nodes.select(col("node"), col("node").as("lbl"))
+    for (_ <- 0 until iters) {
+      val votes = nbr.join(labels, nbr("b") === labels("node"))
+        .groupBy(nbr("a").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("node"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("lbl"))
+      // every node has ≥1 neighbor by construction of nbr, but keep the
+      // isolated-node fallback explicit for callers passing presplit sets
+      labels = nodes.join(votes, Seq("node"), "left")
+        .select(col("node"), coalesce(col("lbl"), col("node")).as("lbl"))
+        .localCheckpoint(eager = false)
+    }
+    labels
+  }
 }

@@ -2590,6 +2590,29 @@ class BfsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(d == Map(1L -> 0L, 20L -> 0L, 3L -> 1L, 4L -> 2L))
   }
+
+  test("labelPropagation: two bridged cliques settle into two communities") {
+    // K3 {1,2,3} and K3 {10,11,12} with bridge 3-10. Hand-traced
+    // synchronous rounds: r1 = {1→2,2→1,3→1,10→3,11→10,12→10};
+    // r2 = {1→1,2→1,3→1,10→10,11→3,12→3};
+    // r3 keeps the left clique at 1 and unifies the right at 3 (10's
+    // majority {1,3,3} → 3) — two communities, one label each
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L)).toDF("src", "dst")
+    val l = LinkRank.labelPropagation(edges, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 3L, 11L -> 3L, 12L -> 3L))
+  }
+
+  test("labelPropagation: tie-break picks the smallest label, round 1 exact") {
+    // star: 5 connected to 2 and 8 — one round, tie 2 vs 8 → 2;
+    // leaves adopt the center's label 5
+    val edges = Seq((5L, 2L), (5L, 8L)).toDF("src", "dst")
+    val l = LinkRank.labelPropagation(edges, iters = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l == Map(5L -> 2L, 2L -> 5L, 8L -> 5L))
+  }
 }
 
 class BasketsSpec extends SparkSpec {
