@@ -2707,6 +2707,27 @@ object SparkEntry {
       .orderBy(col("media_id"))
   }
 
+  private def tiffMetaQuery(s: SparkSession, dir: String): DataFrame = {
+    // every doc carries a REAL planted multi-page TIFF (II for even ids,
+    // MM for odd; 1 + id%3 chained IFDs; first page 16+id%113 ×
+    // 9+id%97 at 8<<(id%2) bits, compression 5 for id%4==0 else 1, and
+    // an offset-resolved ImageDescription). The IFD-chain walk is the
+    // thing under test — the oracle recomputes every field from the
+    // planting formulas
+    import s.implicits._
+    val payloads = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val pages = (0 until (1 + (id % 3).toInt)).map { j =>
+          (16 + ((id + j) % 113).toInt, 9 + ((id + 2L * j) % 97).toInt,
+            8 << (id % 2).toInt, if (id % 4 == 0) 5 else 1)
+        }
+        (id, graft.multimodal.Multimodal.encodeTiff(
+          littleEndian = id % 2 == 0, description = s"doc $id", pages))
+      }).toDF("media_id", "payload")
+    graft.multimodal.Multimodal.tiffMetas(payloads)
+      .orderBy(col("media_id"))
+  }
+
   private def mp4SamplesQuery(s: SparkSession, dir: String): DataFrame = {
     // SAMPLE-level MP4 decode — the stage after m_mp4_meta's routing:
     // every doc carries an MP4 with a real PCM audio track (16-bit mono,
@@ -4015,6 +4036,7 @@ object SparkEntry {
     "q_grouping_sets" -> (groupingSets _),
     "m_multimodal_meta" -> (multimodalMeta _),
     "m_mp4_meta" -> (mp4MetaQuery _),
+    "m_tiff_meta" -> (tiffMetaQuery _),
     "m_mp4_samples" -> (mp4SamplesQuery _),
     "m_jpeg_exif" -> (jpegExifQuery _),
     "m_mp3_meta" -> (mp3MetaQuery _),
@@ -6362,6 +6384,20 @@ object SparkEntry {
         | CAST(1 + doc_id % 3 AS INT) AS track_count,
         | CASE doc_id % 3 WHEN 0 THEN 'avc1' WHEN 1 THEN 'avc1,mp4a'
         |      ELSE 'avc1,mp4a,tx3g' END AS fourccs
+        |FROM documents ORDER BY media_id""".stripMargin,
+    // TIFF twin: every directory field recomputed from the planting
+    // formulas — the IFD chain walk must invert the encoder exactly
+    "m_tiff_meta" ->
+      """SELECT doc_id AS media_id,
+        | CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+        | CAST(1 + doc_id % 3 AS INT) AS n_pages,
+        | CAST(16 + doc_id % 113 AS INT) AS width,
+        | CAST(9 + doc_id % 97 AS INT) AS height,
+        | CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS INT)
+        |   AS bits_per_sample,
+        | CAST(CASE WHEN doc_id % 4 = 0 THEN 5 ELSE 1 END AS INT)
+        |   AS compression,
+        | 'doc ' || doc_id AS description
         |FROM documents ORDER BY media_id""".stripMargin,
     // mp4 sample-decode twin: the PCM track is lossless, so every stat
     // is recomputed exactly from the planting formula with a per-doc

@@ -2161,4 +2161,160 @@ object Multimodal {
         }
       })
   }
+
+  case class TiffMeta(byteOrder: String, nPages: Int, width: Int,
+                      height: Int, bitsPerSample: Int, compression: Int,
+                      description: String)
+
+  /** Minimal multi-page TIFF 6.0 ENCODER for the metadata fixture: a
+    * header in the requested byte order and one IFD per page chained
+    * through the next-IFD pointer — the structure EXIF's single-IFD0
+    * walk never exercises. Each IFD carries ImageWidth(256)/
+    * ImageLength(257)/BitsPerSample(258)/Compression(259) as inline
+    * SHORTs (left-justified in the 4-byte field, canonical layout) and
+    * the FIRST page adds an ImageDescription(270) ASCII whose bytes sit
+    * in a data area after its IFD (the offset-resolved path). No strip
+    * data — exactly a real file's directory skeleton.
+    */
+  def encodeTiff(littleEndian: Boolean, description: String,
+                 pages: Seq[(Int, Int, Int, Int)]): Array[Byte] = {
+    require(pages.nonEmpty, "at least one page")
+    require(pages.forall { case (w, h, b, c) =>
+      w > 0 && w <= 0xFFFF && h > 0 && h <= 0xFFFF &&
+        b > 0 && b <= 64 && c >= 1 && c <= 0xFFFF }, "page fields out of range")
+    val desc = description.getBytes("US-ASCII") :+ 0.toByte
+    require(desc.forall(b => (b & 0xFF) < 0x80), "description must be ASCII")
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit =
+      if (littleEndian) { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+      else { out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
+    def u32(v: Long): Unit =
+      if (littleEndian) { out.write((v & 0xFF).toInt)
+        out.write(((v >> 8) & 0xFF).toInt); out.write(((v >> 16) & 0xFF).toInt)
+        out.write(((v >> 24) & 0xFF).toInt) }
+      else { out.write(((v >> 24) & 0xFF).toInt)
+        out.write(((v >> 16) & 0xFF).toInt); out.write(((v >> 8) & 0xFF).toInt)
+        out.write((v & 0xFF).toInt) }
+    def shortEntry(tag: Int, v: Int): Unit = {
+      u16(tag); u16(3); u32(1L); u16(v); u16(0)
+    }
+    // layout: header(8) | IFD0(2 + 5*12 + 4) + desc-if-offset |
+    // IFD1.. (2 + 4*12 + 4). A value whose bytes fit the 4-byte field
+    // is stored INLINE per TIFF 6.0 — only longer descriptions go
+    // through the offset-resolved data area.
+    val ifd0Size = 2 + 5 * 12 + 4
+    val restSize = 2 + 4 * 12 + 4
+    val inline = desc.length <= 4
+    val dataLen = if (inline) 0 else desc.length
+    val descOff = 8L + ifd0Size
+    out.write((if (littleEndian) "II" else "MM").getBytes("US-ASCII"))
+    u16(42); u32(8L)
+    pages.zipWithIndex.foreach { case ((w, h, b, c), i) =>
+      val first = i == 0
+      u16(if (first) 5 else 4)
+      shortEntry(256, w); shortEntry(257, h); shortEntry(258, b)
+      shortEntry(259, c)
+      if (first) { // 270 ImageDescription, ASCII
+        u16(270); u16(2); u32(desc.length.toLong)
+        if (inline) { desc.foreach(b => out.write(b & 0xFF))
+          (desc.length until 4).foreach(_ => out.write(0)) }
+        else u32(descOff)
+      }
+      val next =
+        if (i == pages.size - 1) 0L
+        else descOff + dataLen + i.toLong * restSize
+      u32(next)
+      if (first && !inline) out.write(desc)
+    }
+    out.toByteArray
+  }
+
+  /** Walk a TIFF file's IFD chain for directory metadata: byte order,
+    * page count, first page's geometry, and the offset-resolved
+    * ImageDescription. Both byte orders, unknown tags skipped, a
+    * 64-page cap guards cyclic next-IFD pointers; None on anything
+    * malformed — decode never kills a task (the [[decodePpm]]
+    * contract).
+    */
+  def decodeTiffMeta(bytes: Array[Byte]): Option[TiffMeta] = try {
+    if (bytes.length < 8) return None
+    val le = new String(bytes, 0, 2, "US-ASCII") match {
+      case "II" => true
+      case "MM" => false
+      case _ => return None
+    }
+    def u16(p: Int): Int =
+      if (le) (bytes(p) & 0xFF) | ((bytes(p + 1) & 0xFF) << 8)
+      else ((bytes(p) & 0xFF) << 8) | (bytes(p + 1) & 0xFF)
+    def u32(p: Int): Long =
+      if (le) (bytes(p) & 0xFFL) | ((bytes(p + 1) & 0xFFL) << 8) |
+        ((bytes(p + 2) & 0xFFL) << 16) | ((bytes(p + 3) & 0xFFL) << 24)
+      else ((bytes(p) & 0xFFL) << 24) | ((bytes(p + 1) & 0xFFL) << 16) |
+        ((bytes(p + 2) & 0xFFL) << 8) | (bytes(p + 3) & 0xFFL)
+    if (u16(2) != 42) return None
+    var ifd = u32(4).toInt
+    var pages = 0
+    var width = -1
+    var height = -1
+    var bits = -1
+    var comp = -1
+    var desc = ""
+    while (ifd != 0 && pages < 64) {
+      require(ifd >= 8 && ifd + 2 <= bytes.length, s"IFD offset $ifd")
+      val n = u16(ifd)
+      require(ifd + 2 + 12 * n + 4 <= bytes.length, "IFD out of range")
+      var i = 0
+      while (i < n) {
+        val e = ifd + 2 + 12 * i
+        val tag = u16(e)
+        val typ = u16(e + 2)
+        val cnt = u32(e + 4)
+        // SHORT (3) or LONG (4) scalar, inline left-justified
+        def scalar: Int =
+          if (typ == 3 && cnt == 1) u16(e + 8)
+          else if (typ == 4 && cnt == 1) u32(e + 8).toInt
+          else -1
+        if (pages == 0) tag match {
+          case 256 => width = scalar
+          case 257 => height = scalar
+          case 258 => bits = scalar
+          case 259 => comp = scalar
+          case 270 if typ == 2 =>
+            val len = cnt.toInt
+            val p = if (len <= 4) e + 8 else u32(e + 8).toInt
+            require(p >= 0 && p + len <= bytes.length, "ASCII out of range")
+            desc = new String(bytes, p, len, "US-ASCII").takeWhile(_ != 0.toChar)
+          case _ => ()
+        }
+        i += 1
+      }
+      pages += 1
+      ifd = u32(ifd + 2 + 12 * n).toInt
+    }
+    if (pages == 0 || width < 0 || height < 0) None
+    else Some(TiffMeta(if (le) "II" else "MM", pages, width, height,
+      bits, comp, desc))
+  } catch {
+    case scala.util.control.NonFatal(_) => None
+  }
+
+  /** Batched TIFF directory extraction: payloads → (media_id,
+    * byte_order, n_pages, width, height, bits_per_sample, compression,
+    * description). Undecodable payloads carry the ("", -1, …) sentinel.
+    * Map-side mapPartitions, payload bytes never shuffle.
+    */
+  def tiffMetas(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        decodeTiffMeta(bytes) match {
+          case Some(m) => (id, m.byteOrder, m.nPages, m.width, m.height,
+            m.bitsPerSample, m.compression, m.description)
+          case None => (id, "", -1, -1, -1, -1, -1, "")
+        }
+      }).toDF("media_id", "byte_order", "n_pages", "width", "height",
+        "bits_per_sample", "compression", "description")
+  }
 }

@@ -1947,3 +1947,41 @@ class StreamingNbSpec extends SparkSpec {
     assert(streamedEdge == batchEdge)
   }
 }
+
+class TiffSpec extends SparkSpec {
+  import graft.multimodal.Multimodal._
+
+  test("TIFF round-trip: both byte orders, multi-page chain, desc offset") {
+    val pages = Seq((640, 480, 8, 1), (320, 240, 8, 1), (100, 50, 8, 1))
+    for (le <- Seq(true, false)) {
+      val bytes = encodeTiff(le, "hello tiff", pages)
+      val m = decodeTiffMeta(bytes).get
+      assert(m == TiffMeta(if (le) "II" else "MM", 3, 640, 480, 8, 1,
+        "hello tiff"))
+    }
+  }
+
+  test("TIFF decode: single page, 16-bit, LZW tag") {
+    val m = decodeTiffMeta(encodeTiff(littleEndian = false, "x",
+      Seq((7, 9, 16, 5)))).get
+    assert(m == TiffMeta("MM", 1, 7, 9, 16, 5, "x"))
+  }
+
+  test("TIFF decode refuses malformed input instead of throwing") {
+    val good = encodeTiff(littleEndian = true, "d", Seq((4, 4, 8, 1)))
+    assert(decodeTiffMeta(Array[Byte]()).isEmpty)
+    assert(decodeTiffMeta("PKjunk".getBytes("US-ASCII")).isEmpty)
+    assert(decodeTiffMeta(good.take(20)).isEmpty) // truncated IFD
+    val badMagic = good.clone(); badMagic(2) = 7
+    assert(decodeTiffMeta(badMagic).isEmpty)
+  }
+
+  test("TIFF decode: cyclic next-IFD pointer terminates at the page cap") {
+    val good = encodeTiff(littleEndian = true, "d", Seq((4, 4, 8, 1)))
+    // IFD0 at 8 with 5 entries: next-IFD field sits at 8 + 2 + 60
+    val cyc = good.clone()
+    cyc(70) = 8; cyc(71) = 0; cyc(72) = 0; cyc(73) = 0
+    val m = decodeTiffMeta(cyc)
+    assert(m.exists(_.nPages == 64)) // capped, not an infinite loop
+  }
+}
