@@ -746,6 +746,34 @@ object SparkEntry {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  private def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    // RFM customer segmentation: per customer recency (last order day),
+    // frequency (orders), monetary (exact integer CENTS — float sums
+    // are never cross-engine reproducible), each cut into quartiles,
+    // rolled up to the 64 segments. The quartiles are the SCALE-SAFE
+    // distributed NTILE (OrderStats.globalNtile): a single-partition
+    // ntile window over the customer dim works at test SF but is the
+    // exact anti-pattern at 10^9 customers — here each metric ranks
+    // under a coarse monotone prefix (the day / the count / cents div
+    // 10^6) with broadcast offsets, matching SQL NTILE bit-for-bit.
+    val cust = t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(round(col("o_totalprice") * 100).cast("bigint")).as("cents"))
+      .localCheckpoint() // consumed by three rank passes + the join-back
+    def tile(prefix: Column, ord: Column, as: String): DataFrame =
+      OrderStats.globalNtile(cust, prefix, ord, "custkey", 4)
+        .withColumnRenamed("bucket", as)
+    cust.select(col("custkey"), col("cents"))
+      .join(tile(col("last_day"), col("last_day"), "r_q"), "custkey")
+      .join(tile(col("freq"), col("freq"), "f_q"), "custkey")
+      .join(tile(floor(col("cents") / 1000000L).cast("bigint"), col("cents"), "m_q"), "custkey")
+      .groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("seg_cents"))
+      .orderBy(col("r_q"), col("f_q"), col("m_q"))
+  }
+
   private def eventTransitions(s: SparkSession, dir: String): DataFrame = {
     // first-order event-path matrix: (event_type → next event_type)
     // counts per user timeline — one key-partitioned lead() window
@@ -4093,6 +4121,7 @@ object SparkEntry {
     "q_gap_fill" -> (gapFill _),
     "q_trend_fit" -> (trendFit _),
     "q_max_concurrency" -> (maxConcurrency _),
+    "q_rfm_segments" -> (rfmSegments _),
     "d_corpus_clean" -> (corpusClean _),
     "d_nb_train" -> (nbTrainQuery _),
     "d_nb_predict" -> (nbPredictQuery _),
@@ -7491,6 +7520,23 @@ object SparkEntry {
         |SELECT day, CAST(max(open) AS BIGINT) AS peak,
         | epoch_us(min(t)) AS peak_at_us
         |FROM p WHERE open = peak GROUP BY day ORDER BY day""".stripMargin,
+    // RFM twin: plain NTILE windows — the distributed coarse-prefix
+    // spelling must reproduce SQL NTILE bucket sizes bit-for-bit
+    "q_rfm_segments" ->
+      """WITH c AS (SELECT o_custkey AS custkey,
+        |  max(CAST(o_orderdate AS DATE)) AS last_day,
+        |  count(*) AS freq,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        | FROM orders GROUP BY 1),
+        |q AS (SELECT custkey, cents,
+        |  ntile(4) OVER (ORDER BY last_day, custkey) AS r_q,
+        |  ntile(4) OVER (ORDER BY freq, custkey) AS f_q,
+        |  ntile(4) OVER (ORDER BY cents, custkey) AS m_q
+        | FROM c)
+        |SELECT r_q, f_q, m_q, count(*) AS n_customers,
+        | CAST(sum(cents) AS BIGINT) AS seg_cents
+        |FROM q GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q""".stripMargin,
     "d_link_rank" ->
       """WITH nn AS (SELECT count(*) AS n FROM documents),
         |e0 AS (SELECT doc_id AS src, (doc_id + 17) % nn.n AS dst FROM documents, nn

@@ -178,4 +178,46 @@ object OrderStats {
       .select(col(tieCol),
         (col("__off") + row_number().over(wIn)).cast("bigint").as("grank"))
   }
+
+  /** Scale-safe NTILE: bucket 1..`buckets` per row under the global
+    * (orderCol, tieCol) order, WITHOUT a single-partition window — the
+    * same coarse-prefix-offset construction as [[globalRowNumbers]],
+    * generalized to any caller-supplied `prefix` that is a MONOTONE
+    * coarsening of `orderCol` (equal prefix ⇒ contiguous run in the
+    * global order; e.g. the value itself for a low-cardinality metric,
+    * `value div 10^6` for a fine-grained one, the calendar day of a
+    * timestamp). Exact SQL NTILE semantics: with n rows, the first
+    * n mod b buckets hold ⌈n/b⌉ rows, the rest ⌊n/b⌋ — reproduced as
+    * pure integer arithmetic on the exact global rank, so the result
+    * hash-matches any engine's NTILE under the same ORDER BY.
+    * Emits (tieCol, bucket).
+    */
+  def globalNtile(df: DataFrame, prefix: Column, orderCol: Column,
+                  tieCol: String, buckets: Int): DataFrame = {
+    require(buckets >= 1)
+    // exact floor division for non-negative longs (Column has no div;
+    // the subtraction keeps the double division remainder-free and the
+    // operands stay far under 2^53)
+    def idiv(a: Column, d: Column): Column =
+      ((a - pmod(a, d)) / d).cast("bigint")
+    val ev = df.select(col(tieCol), orderCol.as("__ord"), prefix.as("__pfx"))
+    val offsets = ev.groupBy(col("__pfx")).agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(
+        Window.orderBy(col("__pfx"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__n")
+    val total = ev.agg(count(lit(1)).as("__tot"))
+    val wIn = Window.partitionBy(col("__pfx"))
+      .orderBy(col("__ord"), col(tieCol))
+    val b = lit(buckets.toLong)
+    val i = col("__off") + row_number().over(wIn)
+    val q = idiv(col("__tot"), b)     // floor bucket size
+    val r = col("__tot") % b          // first r buckets hold q+1 rows
+    ev.join(broadcast(offsets), Seq("__pfx"))
+      .crossJoin(broadcast(total))
+      .select(col(tieCol),
+        when(i <= r * (q + 1), idiv(i + q, q + 1))
+          .otherwise(r + idiv(i - r * (q + 1) + q - 1, q))
+          .cast("int").as("bucket"))
+  }
 }

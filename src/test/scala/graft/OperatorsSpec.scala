@@ -2296,6 +2296,37 @@ class OrderStatsSpec extends SparkSpec {
       assert(got((g, p)) == ((k, sorted(k.toInt - 1))), s"g=$g p=$p")
     }
   }
+
+  test("globalNtile matches SQL NTILE for every bucket count and remainder") {
+    // 103 rows (prime: every b has a remainder) over a coarse prefix of
+    // ~10-row runs; order metric has ties broken by id
+    val rows = (1L to 103L).map(i => (i, (i * 37) % 11))
+    val df = rows.toDF("id", "m")
+    for (b <- Seq(1, 2, 3, 4, 7)) {
+      val got = OrderStats.globalNtile(df, col("m"), col("m"), "id", b)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val want = rows.sortBy { case (id, m) => (m, id) }.zipWithIndex
+        .map { case ((id, _), i0) =>
+          val n = rows.size; val q = n / b; val r = n % b; val i = i0 + 1
+          id -> (if (i <= r * (q + 1)) (i + q) / (q + 1)
+                 else r + (i - r * (q + 1) + q - 1) / q)
+        }.toMap
+      assert(got == want, s"b=$b")
+      // cross-check against Spark's own ntile (single-partition oracle)
+      import org.apache.spark.sql.expressions.Window
+      val oracle = df.withColumn("t",
+          ntile(b).over(Window.orderBy(col("m"), col("id"))))
+        .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+      assert(got == oracle, s"vs ntile b=$b")
+    }
+  }
+
+  test("globalNtile: more buckets than rows degenerates like NTILE") {
+    val df = Seq((1L, 5L), (2L, 3L), (3L, 5L)).toDF("id", "m")
+    val got = OrderStats.globalNtile(df, col("m"), col("m"), "id", 7)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(2L -> 1, 1L -> 2, 3L -> 3))
+  }
 }
 
 class DataCardSpec extends SparkSpec {
