@@ -2756,6 +2756,26 @@ object SparkEntry {
       .orderBy(col("media_id"))
   }
 
+  private def zipListQuery(s: SparkSession, dir: String): DataFrame = {
+    // every doc carries a REAL planted ZIP (STORED entries, canonical
+    // local headers + central directory + EOCD): 1 + id%4 text members
+    // with formulaic contents; for id%7==0 the first entry's RECORDED
+    // crc is flipped, so the walk must verify payload CRC-32s rather
+    // than trust the directory — crc_ok drops by exactly one there
+    import s.implicits._
+    val payloads = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val entries = (0 until (1 + (id % 4).toInt)).map { j =>
+          val content = s"doc $id entry $j " * (1 + ((id + j) % 5).toInt)
+          (s"f$j.txt", content.getBytes("US-ASCII"))
+        }
+        (id, graft.multimodal.Multimodal.encodeZip(entries,
+          corruptFirstCrc = id % 7 == 0))
+      }).toDF("media_id", "payload")
+    graft.multimodal.Multimodal.zipMetas(payloads)
+      .orderBy(col("media_id"))
+  }
+
   private def mp4SamplesQuery(s: SparkSession, dir: String): DataFrame = {
     // SAMPLE-level MP4 decode — the stage after m_mp4_meta's routing:
     // every doc carries an MP4 with a real PCM audio track (16-bit mono,
@@ -4065,6 +4085,7 @@ object SparkEntry {
     "m_multimodal_meta" -> (multimodalMeta _),
     "m_mp4_meta" -> (mp4MetaQuery _),
     "m_tiff_meta" -> (tiffMetaQuery _),
+    "m_zip_list" -> (zipListQuery _),
     "m_mp4_samples" -> (mp4SamplesQuery _),
     "m_jpeg_exif" -> (jpegExifQuery _),
     "m_mp3_meta" -> (mp3MetaQuery _),
@@ -6428,6 +6449,22 @@ object SparkEntry {
         |   AS compression,
         | 'doc ' || doc_id AS description
         |FROM documents ORDER BY media_id""".stripMargin,
+    // ZIP twin: member count/names/sizes recomputed from the planting
+    // formulas; crc_ok = n minus the planted corruption
+    "m_zip_list" ->
+      """WITH e AS (
+        | SELECT d.doc_id, j.range AS j,
+        |  CAST(length('doc ' || d.doc_id || ' entry ' || j.range || ' ') *
+        |       (1 + (d.doc_id + j.range) % 5) AS BIGINT) AS usize
+        | FROM documents d JOIN range(4) j ON j.range < 1 + d.doc_id % 4),
+        |a AS (SELECT doc_id, count(*) AS n,
+        |  string_agg('f' || j || '.txt', ',' ORDER BY j) AS names,
+        |  sum(usize) AS total FROM e GROUP BY doc_id)
+        |SELECT doc_id AS media_id, CAST(n AS INT) AS n_entries, names,
+        | CAST(total AS BIGINT) AS total_usize,
+        | CAST(n - CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS INT)
+        |   AS crc_ok
+        |FROM a ORDER BY media_id""".stripMargin,
     // mp4 sample-decode twin: the PCM track is lossless, so every stat
     // is recomputed exactly from the planting formula with a per-doc
     // lateral over the sample indices; MJPEG dims are lossless too

@@ -2162,6 +2162,126 @@ object Multimodal {
       })
   }
 
+  case class ZipMeta(nEntries: Int, names: Seq[String], totalUsize: Long,
+                     crcOk: Int)
+
+  /** Minimal ZIP ENCODER (STORED entries only) for the archive-walk
+    * fixture: local file headers + central directory + EOCD, CRC-32
+    * from `java.util.zip.CRC32`. `corruptFirstCrc` flips the first
+    * entry's recorded CRC so the decoder's verification (not trust) is
+    * what the graded query observes. Layout is canonical — a real
+    * unzip reads these bytes.
+    */
+  def encodeZip(entries: Seq[(String, Array[Byte])],
+                corruptFirstCrc: Boolean = false): Array[Byte] = {
+    require(entries.nonEmpty, "at least one entry")
+    require(entries.forall(_._1.getBytes("US-ASCII").length <= 0xFFFF))
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def u32(v: Long): Unit = { out.write((v & 0xFF).toInt)
+      out.write(((v >> 8) & 0xFF).toInt); out.write(((v >> 16) & 0xFF).toInt)
+      out.write(((v >> 24) & 0xFF).toInt) }
+    val metas = entries.zipWithIndex.map { case ((name, data), i) =>
+      val crcReal = { val c = new java.util.zip.CRC32(); c.update(data); c.getValue }
+      val crc = if (i == 0 && corruptFirstCrc) crcReal ^ 0xDEADBEEFL else crcReal
+      val nm = name.getBytes("US-ASCII")
+      val off = out.size().toLong
+      u32(0x04034b50L); u16(20); u16(0); u16(0) // local header, STORED
+      u16(0); u16(0x21) // dos time/date (fixed, deterministic)
+      u32(crc); u32(data.length.toLong); u32(data.length.toLong)
+      u16(nm.length); u16(0)
+      out.write(nm); out.write(data)
+      (nm, data.length.toLong, crc, off)
+    }
+    val cdOff = out.size().toLong
+    metas.foreach { case (nm, len, crc, off) =>
+      u32(0x02014b50L); u16(20); u16(20); u16(0); u16(0)
+      u16(0); u16(0x21)
+      u32(crc); u32(len); u32(len)
+      u16(nm.length); u16(0); u16(0); u16(0); u16(0); u32(0L); u32(off)
+      out.write(nm)
+    }
+    val cdSize = out.size().toLong - cdOff
+    u32(0x06054b50L); u16(0); u16(0)
+    u16(metas.size); u16(metas.size); u32(cdSize); u32(cdOff); u16(0)
+    out.toByteArray
+  }
+
+  /** Walk a ZIP archive: locate the EOCD from the tail, read the
+    * central directory, and for every STORED entry recompute the data's
+    * CRC-32 against the recorded one — trust nothing. None on anything
+    * malformed ([[decodePpm]] contract). Names in central-directory
+    * order; `crcOk` counts entries whose payload verifies.
+    */
+  def decodeZipMeta(bytes: Array[Byte]): Option[ZipMeta] = try {
+    def u16(p: Int): Int = (bytes(p) & 0xFF) | ((bytes(p + 1) & 0xFF) << 8)
+    def u32(p: Int): Long = (bytes(p) & 0xFFL) | ((bytes(p + 1) & 0xFFL) << 8) |
+      ((bytes(p + 2) & 0xFFL) << 16) | ((bytes(p + 3) & 0xFFL) << 24)
+    // EOCD: scan back from the end (comment may follow); require the
+    // comment length to land exactly on the file end
+    var eocd = -1
+    var p = bytes.length - 22
+    while (eocd < 0 && p >= 0) {
+      if (u32(p) == 0x06054b50L && p + 22 + u16(p + 20) == bytes.length)
+        eocd = p
+      else p -= 1
+    }
+    if (eocd < 0) return None
+    val n = u16(eocd + 10)
+    val cdOff = u32(eocd + 16).toInt
+    var o = cdOff
+    val names = Seq.newBuilder[String]
+    var total = 0L
+    var ok = 0
+    var i = 0
+    while (i < n) {
+      require(u32(o) == 0x02014b50L, s"bad central entry at $o")
+      val method = u16(o + 10)
+      val crc = u32(o + 16)
+      val csize = u32(o + 20)
+      val usize = u32(o + 24)
+      val nmLen = u16(o + 28)
+      val exLen = u16(o + 30)
+      val cmLen = u16(o + 32)
+      val lhOff = u32(o + 42).toInt
+      val name = new String(bytes, o + 46, nmLen, "US-ASCII")
+      names += name
+      total += usize
+      if (method == 0 && csize == usize) {
+        // STORED: data begins after the local header's own name/extra
+        require(u32(lhOff) == 0x04034b50L, "bad local header")
+        val dataOff = lhOff + 30 + u16(lhOff + 26) + u16(lhOff + 28)
+        require(dataOff + usize <= bytes.length, "data out of range")
+        val c = new java.util.zip.CRC32()
+        c.update(bytes, dataOff, usize.toInt)
+        if (c.getValue == crc) ok += 1
+      }
+      o += 46 + nmLen + exLen + cmLen
+      i += 1
+    }
+    Some(ZipMeta(n, names.result(), total, ok))
+  } catch {
+    case scala.util.control.NonFatal(_) => None
+  }
+
+  /** Batched ZIP listing: payloads → (media_id, n_entries, names
+    * comma-joined, total_usize, crc_ok). Undecodable payloads carry the
+    * (-1, "", -1, -1) sentinel. Map-side, payload bytes never shuffle.
+    */
+  def zipMetas(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        decodeZipMeta(bytes) match {
+          case Some(m) => (id, m.nEntries, m.names.mkString(","),
+            m.totalUsize, m.crcOk)
+          case None => (id, -1, "", -1L, -1)
+        }
+      }).toDF("media_id", "n_entries", "names", "total_usize", "crc_ok")
+  }
+
   case class TiffMeta(byteOrder: String, nPages: Int, width: Int,
                       height: Int, bitsPerSample: Int, compression: Int,
                       description: String)

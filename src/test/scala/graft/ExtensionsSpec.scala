@@ -1985,3 +1985,36 @@ class TiffSpec extends SparkSpec {
     assert(m.exists(_.nPages == 64)) // capped, not an infinite loop
   }
 }
+
+class ZipSpec extends SparkSpec {
+  import graft.multimodal.Multimodal._
+
+  test("ZIP round-trip: names in directory order, sizes, verified CRCs") {
+    val m = decodeZipMeta(encodeZip(Seq(
+      "a.txt" -> "hello".getBytes("US-ASCII"),
+      "b/c.bin" -> Array[Byte](0, 1, 2, -1),
+      "empty" -> Array[Byte]()))).get
+    assert(m == ZipMeta(3, Seq("a.txt", "b/c.bin", "empty"), 9L, 3))
+  }
+
+  test("ZIP walk verifies payload CRC instead of trusting the directory") {
+    val m = decodeZipMeta(encodeZip(Seq(
+      "a" -> "xx".getBytes, "b" -> "yy".getBytes),
+      corruptFirstCrc = true)).get
+    assert(m.nEntries == 2 && m.crcOk == 1)
+  }
+
+  test("ZIP decode is JDK-readable and refuses malformed input") {
+    val bytes = encodeZip(Seq("f.txt" -> "payload".getBytes("US-ASCII")))
+    // cross-check against the JDK's own reader: entry name and content
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val e = zin.getNextEntry
+    assert(e.getName == "f.txt")
+    assert(new String(zin.readAllBytes(), "US-ASCII") == "payload")
+    assert(zin.getNextEntry == null)
+    assert(decodeZipMeta(Array[Byte]()).isEmpty)
+    assert(decodeZipMeta("not a zip at all".getBytes).isEmpty)
+    assert(decodeZipMeta(bytes.take(bytes.length - 3)).isEmpty) // EOCD cut
+  }
+}
