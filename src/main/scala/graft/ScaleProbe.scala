@@ -445,10 +445,69 @@ object ScaleProbe {
         val e = (0 until f).map(k => ev.select(
             (col("event_id") + lit(k * 10000000L)).as("event_id"), col("ts")))
           .reduce(_ union _).localCheckpoint()
-        val t0 = System.nanoTime()
-        val n = operators.OrderStats.globalRowNumbers(e, "ts", "event_id").count()
-        println(f"""{"probe":"q_global_rownum","factor":$f,"sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":$n}""")
+        def time(name: String)(df: => DataFrame): Unit = {
+          val t0 = System.nanoTime()
+          val n = df.count()
+          println(f"""{"probe":"$name","factor":$f,"sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":$n}""")
+        }
+        time("q_global_rownum") {
+          operators.OrderStats.globalRowNumbers(e, "ts", "event_id")
+        }
+        // sweep-line concurrency: 2f·|events| endpoints through ONE
+        // day-partitioned window — linear, output stays |days| rows
+        time("q_max_concurrency") {
+          operators.TimeSeries.maxConcurrencyDaily(
+            e.withColumnRenamed("event_id", "k"), "ts")
+        }
         e.unpersist()
+      }
+      // gap-fill: replication multiplies VALUES per (key, day) but the
+      // grid is |keys|·|span| — constant here, so time should be flat-ish
+      val evk = Tables(spark, sfDir, "events").select(col("user_id"), col("ts"))
+      for (f <- Seq(1, factor)) {
+        val e = (0 until f).map(_ => evk).reduce(_ union _).localCheckpoint()
+        val t0 = System.nanoTime()
+        val n = operators.TimeSeries.gapFillDaily(e, "user_id", "ts").count()
+        println(f"""{"probe":"q_gap_fill","factor":$f,"sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":$n}""")
+        e.unpersist()
+      }
+    }
+    // graph family on the derived modular graph at f×: |V| = f·n docs,
+    // |E| ≈ 3|V|, sources |V|/97. BFS/SSSP frontiers saturate in ≤4
+    // rounds; LPA is 3 fixed rounds of join+2 groupBys — all linear in
+    // edges, nothing quadratic to guard
+    locally {
+      val base = Tables(spark, sfDir, "documents").select(col("doc_id"))
+      val n0 = base.count()
+      val shiftG = ((n0 + 249) / 250) * 250
+      for (f <- Seq(1, factor)) {
+        val docs = (0 until f).map(k => base.select(
+            (col("doc_id") + lit(k * shiftG)).as("doc_id")))
+          .reduce(_ union _).localCheckpoint()
+        val cnt = docs.agg(count(lit(1)).as("n"))
+        val edges = docs.crossJoin(broadcast(cnt))
+          .select(col("doc_id").as("src"), explode(array(
+            pmod(col("doc_id") + 17, col("n")),
+            pmod(col("doc_id") + 101, col("n")),
+            pmod(col("doc_id") * 3 + 7, col("n")))).as("dst"))
+          .filter(col("src") =!= col("dst"))
+          .distinct().localCheckpoint()
+        val sources = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+          .select(col("doc_id").as("node"))
+        def time(name: String)(df: => DataFrame): Unit = {
+          val t0 = System.nanoTime()
+          val nn = df.count()
+          println(f"""{"probe":"$name","factor":$f,"sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":$nn}""")
+        }
+        time("d_graph_bfs")(operators.LinkRank.bfsHops(edges, sources, 4))
+        time("d_graph_sssp") {
+          operators.LinkRank.ssspDistances(
+            edges.select(col("src"), col("dst"),
+              (pmod(col("src") + lit(2) * col("dst"), lit(7)) + 1).as("w")),
+            sources, 4)
+        }
+        time("d_lpa_communities")(operators.LinkRank.labelPropagation(edges, 3))
+        edges.unpersist(); docs.unpersist()
       }
     }
     spark.stop()

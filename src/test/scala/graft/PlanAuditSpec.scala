@@ -400,6 +400,36 @@ class PlanAuditSpec extends SparkSpec {
     val mm = df.agg(min(col("grank")), max(col("grank")), count(lit(1))).collect()(0)
     assert(mm.getLong(0) == 1L && mm.getLong(1) == n && mm.getLong(2) == n)
   }
+  test("gap-fill and sweep-line windows are key-partitioned; never single-partition") {
+    for (q <- Seq("q_gap_fill", "q_max_concurrency")) {
+      val p = plan(SparkEntry.queries(q)(spark, dir))
+      assert(p.contains("Exchange hashpartitioning"), s"$q\n$p")
+      assert(!p.contains("Exchange SinglePartition,"), s"$q\n$p")
+    }
+  }
+
+  test("distributed NTILE: metric windows run under the coarse prefix; rank sum is exact") {
+    val p = plan(SparkEntry.queries("q_rfm_segments")(spark, dir))
+    // every customer-sized window hashes on __pfx; the only partitionless
+    // window is each metric's tiny per-prefix offsets table (broadcast)
+    assert(p.contains("Exchange hashpartitioning(__pfx"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    // every customer lands in exactly one (r,f,m) cell
+    val nCust = Tables(spark, dir, "orders")
+      .select(col("o_custkey")).distinct().count()
+    val total = SparkEntry.queries("q_rfm_segments")(spark, dir)
+      .agg(sum(col("n_customers"))).collect()(0).getLong(0)
+    assert(total == nCust)
+  }
+
+  test("frequent pairs: no cartesian product; the only nested-loop join is the 1-row totals") {
+    val p = plan(SparkEntry.queries("q_freq_pairs")(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    // crossJoin(broadcast(n_baskets)) — the documented benign 1-row
+    // totals pattern (d_tfidf_terms etc.); nothing else may nest
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) == 1, p)
+  }
+
   test("z-order box query pushes the z ranges into the store scan") {
     val df = SparkEntry.queries("q_zorder_box")(spark, dir)
     val p = plan(df)
