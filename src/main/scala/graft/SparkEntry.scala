@@ -1179,6 +1179,54 @@ object SparkEntry {
         last_day(col("d")).as("month_end"))
       .orderBy(col("d"))
 
+  private def stringSuite(s: SparkSession, dir: String): DataFrame =
+    // string-kernel parity row (the q_date_suite sibling): the classic
+    // transforms engines disagree on when spelled carelessly, pinned to
+    // spellings Spark and DuckDB share exactly — fixed-width pads,
+    // character translate, split-part extraction, reverse, instr
+    // (1-based, 0 = absent), repeat, and overlay
+    t(s, dir, "part")
+      .select(col("p_partkey").as("k"), col("p_name"), col("p_brand"))
+      .select(col("k"),
+        upper(col("p_brand")).as("up"),
+        lpad(col("p_brand"), 12, ".").as("lp"),
+        rpad(col("p_brand"), 12, "_").as("rp"),
+        translate(col("p_name"), "aeiou", "AEIOU").as("tr"),
+        element_at(split(col("p_name"), " "), 1).as("first_word"),
+        element_at(split(col("p_name"), " "), -1).as("last_word"),
+        reverse(col("p_brand")).as("rev"),
+        instr(col("p_name"), "a").cast("int").as("pos_a"),
+        repeat(substring(col("p_brand"), 1, 2), 3).as("rep"),
+        overlay(col("p_brand"), lit("XX"), lit(2)).as("ovl"),
+        length(col("p_name")).cast("int").as("len"))
+      .orderBy(col("k"))
+
+  private def intervalUnion(s: SparkSession, dir: String): DataFrame = {
+    // exact covered-time per day under the same 5-minute holds as
+    // q_max_concurrency: the interval-UNION length (overlaps counted
+    // once). Sorted-merge sweep without a single-partition sort: order
+    // starts within each day, carry the running max end, and a new
+    // interval contributes max(0, end − max(start, maxEndBefore)) —
+    // summed per day. One day-partitioned window + one groupBy.
+    val ev = t(s, dir, "events")
+      .select(col("ts").as("t0"), to_date(col("ts")).as("day"))
+      .select(col("day"),
+        unix_micros(col("t0")).as("a"),
+        least(unix_micros(col("t0")) + lit(300000000L),
+          unix_micros((col("day") + expr("interval 1 day"))
+            .cast("timestamp"))).as("b"))
+    val w = Window.partitionBy(col("day")).orderBy(col("a"), col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("maxb", max(col("b")).over(w))
+      .select(col("day"),
+        greatest(lit(0L),
+          col("b") - greatest(col("a"), coalesce(col("maxb"), col("a"))))
+          .as("add"))
+      .groupBy(col("day"))
+      .agg(sum(col("add")).as("covered_us")) // exact epoch-micros total
+      .orderBy(col("day"))
+  }
+
   private def nullSemantics(s: SparkSession, dir: String): DataFrame = {
     // NULL-semantics parity row: plant NULLs deterministically (every
     // third balance, every fourth segment), then grade the constructs
@@ -4143,6 +4191,8 @@ object SparkEntry {
     "q_trend_fit" -> (trendFit _),
     "q_max_concurrency" -> (maxConcurrency _),
     "q_rfm_segments" -> (rfmSegments _),
+    "q_string_suite" -> (stringSuite _),
+    "q_interval_union" -> (intervalUnion _),
     "d_corpus_clean" -> (corpusClean _),
     "d_nb_train" -> (nbTrainQuery _),
     "d_nb_predict" -> (nbPredictQuery _),
@@ -7557,6 +7607,38 @@ object SparkEntry {
         |SELECT day, CAST(max(open) AS BIGINT) AS peak,
         | epoch_us(min(t)) AS peak_at_us
         |FROM p WHERE open = peak GROUP BY day ORDER BY day""".stripMargin,
+    // string-kernel parity twin: identical spellings where shared;
+    // overlay respelled as substr concatenation
+    "q_string_suite" ->
+      """SELECT p_partkey AS k,
+        | upper(p_brand) AS up,
+        | lpad(p_brand, 12, '.') AS lp,
+        | rpad(p_brand, 12, '_') AS rp,
+        | translate(p_name, 'aeiou', 'AEIOU') AS tr,
+        | string_split(p_name, ' ')[1] AS first_word,
+        | string_split(p_name, ' ')[-1] AS last_word,
+        | reverse(p_brand) AS rev,
+        | CAST(instr(p_name, 'a') AS INT) AS pos_a,
+        | repeat(substr(p_brand, 1, 2), 3) AS rep,
+        | substr(p_brand, 1, 1) || 'XX' || substr(p_brand, 4) AS ovl,
+        | CAST(length(p_name) AS INT) AS len
+        |FROM part ORDER BY k""".stripMargin,
+    // interval-union twin: same sorted-merge sweep — running max end
+    // over the strictly-preceding frame, new-contribution arithmetic
+    "q_interval_union" ->
+      """WITH ev AS (SELECT CAST(ts AS DATE) AS day, epoch_us(ts) AS a,
+        |  least(epoch_us(ts) + 300000000,
+        |        epoch_us(CAST(CAST(ts AS DATE) + INTERVAL 1 DAY
+        |                 AS TIMESTAMP))) AS b
+        | FROM events),
+        |m AS (SELECT day, a, b,
+        |  max(b) OVER (PARTITION BY day ORDER BY a, b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxb
+        | FROM ev)
+        |SELECT day,
+        | CAST(sum(greatest(0, b - greatest(a, coalesce(maxb, a))))
+        |      AS BIGINT) AS covered_us
+        |FROM m GROUP BY day ORDER BY day""".stripMargin,
     // RFM twin: plain NTILE windows — the distributed coarse-prefix
     // spelling must reproduce SQL NTILE bucket sizes bit-for-bit
     "q_rfm_segments" ->
