@@ -77,10 +77,16 @@ object PlanReport {
          |CARTESIAN = cartesian/BNLJ present (only the documented all-pairs
          |oracle twins, broadcast-query ANN joins, and 1-row totals joins
          |should show it), SINGLE-PARTITION = a single-partition exchange
-         |(only global 1-row aggregates and the oracle-only exact profile
-         |path should show it), DPP-PRUNED = a scan with a dynamic
-         |partition-pruning filter (the PQ/IVF-PQ re-rank fetch against the
-         |id-partitioned vector store).
+         |(only global 1-row aggregates, the oracle-only exact profile
+         |path, and the documented bounded-set windows should show it:
+         |d_pareto_docs' stage-2 sweep over the pruned frontier sliver,
+         |d_setjoin_ppjoin's vocab-sized rarity-rank window,
+         |q_global_rownum's ~30-row per-day offsets window, and
+         |q_rfm_segments' three per-metric coarse-prefix offsets windows —
+         |each over a prefix-count table, never a corpus-sized side),
+         |DPP-PRUNED = a scan with a dynamic partition-pruning filter (the
+         |PQ/IVF-PQ re-rank fetch against the id-partitioned vector
+         |store).
          |
          || query | hash | range | bcast | scans | pushed | wscg | flags |
          ||---|---|---|---|---|---|---|---|
