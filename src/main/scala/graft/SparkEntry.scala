@@ -2060,6 +2060,19 @@ object SparkEntry {
       .orderBy(col("a"), col("b"))
   }
 
+  private def labelTermsQuery(s: SparkSession, dir: String): DataFrame = {
+    // c-TF-IDF topic labeling (BERTopic's labeling step) across the
+    // text↔embedding modality join: per embedding label, the top-3 terms
+    // by exact-integer (class tf · 10^6) div corpus df — concentrated
+    // terms rise, boilerplate divides away, no float ever materializes
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val labels = t(s, dir, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("label"))
+    Retrieval.classTopTerms(docs.join(labels, "doc_id"), "label", "text",
+        topK = 3)
+      .orderBy(col("cls"), col("rank"))
+  }
+
   private def centroidDriftQuery(s: SparkSession, dir: String): DataFrame =
     Similarity.centroidDrift(t(s, dir, "embeddings"), "vec_id", "embedding",
         "label")
@@ -4100,6 +4113,7 @@ object SparkEntry {
     "s_ann_bruteforce" -> (annBruteForce _),
     "s_embed_matryoshka" -> (embedMatryoshka _),
     "s_mutual_knn" -> (mutualKnnQuery _),
+    "s_label_terms" -> (labelTermsQuery _),
     "s_centroid_drift" -> (centroidDriftQuery _),
     "d_chi2_langsource" -> (chi2Query _),
     "s_ann_int8" -> (annInt8Query _),
@@ -6415,6 +6429,28 @@ object SparkEntry {
         |FROM q ORDER BY vec_id""".stripMargin,
     // connected components over the near-dup graph: DuckDB's recursive CTE
     // walks the transitive closure; cluster id = min reachable vec_id
+    // c-TF-IDF twin: identical tokenization, integer score, same
+    // (score DESC, term) arbitration
+    "s_label_terms" ->
+      """WITH d AS (SELECT e.label AS cls, dd.text
+        | FROM documents dd JOIN embeddings e ON e.vec_id = dd.doc_id),
+        |tok AS (SELECT cls, unnest(list_filter(
+        |   string_split_regex(lower(trim(text)), '\s+'),
+        |   x -> len(x) > 0)) AS term FROM d),
+        |tf AS (SELECT cls, term, count(*) AS tf_c FROM tok GROUP BY 1, 2),
+        |dtok AS (SELECT cls, unnest(list_distinct(list_filter(
+        |   string_split_regex(lower(trim(text)), '\s+'),
+        |   x -> len(x) > 0))) AS term FROM d),
+        |dfd AS (SELECT term, count(*) AS df_t FROM dtok GROUP BY 1),
+        |sc AS (SELECT tf.cls, tf.term, tf.tf_c, dfd.df_t,
+        |        tf.tf_c * 1000000 // dfd.df_t AS score_ppm
+        |       FROM tf JOIN dfd USING (term)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY cls
+        |        ORDER BY score_ppm DESC, term) AS rank FROM sc)
+        |SELECT cls, CAST(rank AS INT) AS rank, term,
+        | CAST(tf_c AS BIGINT) AS tf_c, CAST(df_t AS BIGINT) AS df_t,
+        | CAST(score_ppm AS BIGINT) AS score_ppm
+        |FROM r WHERE rank <= 3 ORDER BY cls, rank""".stripMargin,
     "s_embed_clusters" ->
       """WITH RECURSIVE
         |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

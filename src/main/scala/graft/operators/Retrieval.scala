@@ -272,6 +272,41 @@ object Retrieval {
             col("idcg_micro").cast("double")))).cast("bigint"))
   }
 
+  /** Class-based TF-IDF topic terms (the BERTopic "c-TF-IDF" labeling
+    * step, exact-integer spelling): for each class, the `topK` terms by
+    * score_ppm = (class term count · 10^6) div document frequency — tf
+    * rewards terms concentrated in the class, the df divisor punishes
+    * corpus-wide boilerplate, and keeping the score an integer rational
+    * of two exact counts makes every rank cross-engine checkable (no
+    * log(), no float). Ties break on the term string.
+    *
+    * Scale shape: one token explode → (class, term) partial-agg counts;
+    * df is a term-keyed groupBy over per-doc distinct terms (shares the
+    * explode); the join back is term-keyed (vocabulary-sized, AQE
+    * broadcasts when it fits) and the final per-class top-k plans as
+    * WindowGroupLimit — no global sort, classes rank in parallel.
+    */
+  def classTopTerms(docs: DataFrame, classCol: String, textCol: String,
+                    topK: Int = 3): DataFrame = {
+    val toks = docs.select(col(classCol).as("cls"),
+        explode(Dedup.portableTokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col("cls"), col("term"))
+      .agg(count(lit(1)).as("tf_c"))
+    val df = docs.select(col(classCol),
+        explode(array_distinct(Dedup.portableTokens(col(textCol))))
+          .as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+    val w = Window.partitionBy(col("cls"))
+      .orderBy(col("score_ppm").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .withColumn("score_ppm",
+        expr("tf_c * 1000000 div df_t"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("cls"), col("rank"), col("term"), col("tf_c"),
+        col("df_t"), col("score_ppm"))
+  }
+
   def bm25TopKStored(store: Bm25Store, queries: DataFrame, idCol: String,
                      qIdCol: String, qTextCol: String,
                      k1: Double = 1.2, b: Double = 0.75,
