@@ -746,6 +746,50 @@ object SparkEntry {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  private def rollupIncremental(s: SparkSession, dir: String): DataFrame = {
+    // standing (day × type) metrics under append — the generic
+    // materialized-view maintenance: the 80% historical slice's rollup
+    // is WRITTEN ONCE (layout cache), each run aggregates only the
+    // arriving 20% and merges partials (rollup-sized tables, no fact
+    // rescan). The oracle recomputes from the full fact table — equality
+    // IS the merge-correctness theorem (count/sum/min/max associativity
+    // on exact ppm integers).
+    val ev = t(s, dir, "events").select(
+      col("event_id"), to_date(col("ts")).as("day"), col("event_type"),
+      round(col("value") * 1000000).cast("bigint").as("v_ppm"))
+    val dims = Seq("day", "event_type")
+    val ms = Seq("v_ppm")
+    val path = layoutPath(dir, "rollupstore",
+      "dims=day,event_type|m=v_ppm|cut=mod5", "events.parquet")
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      Rollup.aggregate(ev.filter(pmod(col("event_id"), lit(5)) =!= 0),
+        dims, ms).write.mode("overwrite").parquet(path)
+    val stored = s.read.parquet(path)
+    val delta = Rollup.aggregate(
+      ev.filter(pmod(col("event_id"), lit(5)) === 0), dims, ms)
+    Rollup.merge(Seq(stored, delta), dims, ms)
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  private def eventTrigrams(s: SparkSession, dir: String): DataFrame = {
+    // order-3 sequence patterns (the PrefixSpan-style support count for
+    // contiguous episodes): every consecutive event-type trigram on a
+    // user's timeline, with total occurrences AND distinct-user support
+    // — the d_/q_event_transitions bigram matrix extended one order.
+    // One user-keyed window exchange (two leads share it), one groupBy.
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_type").as("e1"),
+        lead(col("event_type"), 1).over(w).as("e2"),
+        lead(col("event_type"), 2).over(w).as("e3"))
+      .filter(col("e3").isNotNull)
+      .groupBy(col("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("e1"), col("e2"), col("e3"))
+  }
+
   private def rfmSegments(s: SparkSession, dir: String): DataFrame = {
     // RFM customer segmentation: per customer recency (last order day),
     // frequency (orders), monetary (exact integer CENTS — float sums
@@ -4206,6 +4250,8 @@ object SparkEntry {
     "q_max_concurrency" -> (maxConcurrency _),
     "q_rfm_segments" -> (rfmSegments _),
     "q_string_suite" -> (stringSuite _),
+    "q_event_trigrams" -> (eventTrigrams _),
+    "q_rollup_incremental" -> (rollupIncremental _),
     "q_interval_union" -> (intervalUnion _),
     "d_corpus_clean" -> (corpusClean _),
     "d_nb_train" -> (nbTrainQuery _),
@@ -7675,6 +7721,27 @@ object SparkEntry {
         | CAST(sum(greatest(0, b - greatest(a, coalesce(maxb, a))))
         |      AS BIGINT) AS covered_us
         |FROM m GROUP BY day ORDER BY day""".stripMargin,
+    // incremental-rollup twin: the FULL recompute — matching it proves
+    // stored-partials + delta merge ≡ aggregate over everything
+    "q_rollup_incremental" ->
+      """WITH f AS (SELECT CAST(ts AS DATE) AS day, event_type,
+        |  CAST(round(value * 1000000) AS BIGINT) AS v_ppm FROM events)
+        |SELECT day, event_type, count(*) AS n,
+        | CAST(sum(v_ppm) AS BIGINT) AS sum_v_ppm,
+        | min(v_ppm) AS min_v_ppm, max(v_ppm) AS max_v_ppm
+        |FROM f GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    // trigram twin: two leads over the same (ts, event_id) order
+    "q_event_trigrams" ->
+      """WITH n AS (
+        | SELECT user_id, event_type AS e1,
+        |  lead(event_type, 1) OVER w AS e2,
+        |  lead(event_type, 2) OVER w AS e3
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT e1, e2, e3, count(*) AS n_occurrences,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM n WHERE e3 IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY e1, e2, e3""".stripMargin,
     // RFM twin: plain NTILE windows — the distributed coarse-prefix
     // spelling must reproduce SQL NTILE bucket sizes bit-for-bit
     "q_rfm_segments" ->

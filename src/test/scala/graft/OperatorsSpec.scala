@@ -2329,6 +2329,36 @@ class OrderStatsSpec extends SparkSpec {
   }
 }
 
+class RollupSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Rollup
+
+  test("merge of split partials is bit-identical to the full aggregate") {
+    val rows = (1 to 500).map(i =>
+      (s"d${i % 7}", s"t${i % 3}", (i * 13 % 101).toLong))
+    val df = rows.toDF("day", "typ", "v")
+    val dims = Seq("day", "typ"); val ms = Seq("v")
+    val full = Rollup.aggregate(df, dims, ms)
+      .orderBy("day", "typ").collect().toSeq
+    // three uneven slices, one empty-dim-overlap shape
+    val parts = Seq(df.filter(col("v") < 30), df.filter(col("v").between(30, 31)),
+      df.filter(col("v") > 31)).map(Rollup.aggregate(_, dims, ms))
+    val merged = Rollup.merge(parts, dims, ms)
+      .orderBy("day", "typ").collect().toSeq
+    assert(merged == full)
+  }
+
+  test("a dim combination present only in the delta survives the merge") {
+    val a = Rollup.aggregate(Seq(("x", 1L)).toDF("k", "v"), Seq("k"), Seq("v"))
+    val b = Rollup.aggregate(Seq(("y", 5L), ("y", 2L)).toDF("k", "v"),
+      Seq("k"), Seq("v"))
+    val m = Rollup.merge(Seq(a, b), Seq("k"), Seq("v")).orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(m.toSeq == Seq(("x", 1L, 1L, 1L, 1L), ("y", 2L, 7L, 2L, 5L)))
+  }
+}
+
 class DataCardSpec extends SparkSpec {
   import spark.implicits._
   import org.apache.spark.sql.functions._
