@@ -2117,6 +2117,18 @@ object SparkEntry {
       .orderBy(col("cls"), col("rank"))
   }
 
+  private def kmeansLloydQuery(s: SparkSession, dir: String): DataFrame =
+    // distributed Lloyd k-means, EXACT-INTEGER spelling (k=4, 2 update
+    // rounds, seeds = vec_id < 4): offset-ppm quantization cancels in
+    // every distance, keeps centroid floor-divisions non-negative
+    // (truncate ≡ floor cross-engine), and bounds dist² under 2^53 so a
+    // float-dot-product engine lands on the identical integers. The
+    // assignment is a map-side least-of-structs over centroid literals
+    // — the corpus never shuffles; updates collect k·d cells.
+    Clustering.kmeans(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 4, iters = 2)
+      .orderBy(col("vec_id"))
+
   private def centroidDriftQuery(s: SparkSession, dir: String): DataFrame =
     Similarity.centroidDrift(t(s, dir, "embeddings"), "vec_id", "embedding",
         "label")
@@ -4158,6 +4170,7 @@ object SparkEntry {
     "s_embed_matryoshka" -> (embedMatryoshka _),
     "s_mutual_knn" -> (mutualKnnQuery _),
     "s_label_terms" -> (labelTermsQuery _),
+    "s_kmeans_lloyd" -> (kmeansLloydQuery _),
     "s_centroid_drift" -> (centroidDriftQuery _),
     "d_chi2_langsource" -> (chi2Query _),
     "s_ann_int8" -> (annInt8Query _),
@@ -6475,6 +6488,37 @@ object SparkEntry {
         |FROM q ORDER BY vec_id""".stripMargin,
     // connected components over the near-dup graph: DuckDB's recursive CTE
     // walks the transitive closure; cluster id = min reachable vec_id
+    // Lloyd twin: 2 unrolled assign→update rounds + the final
+    // assignment, distances via float dot products (exact below 2^53),
+    // centroid means as non-negative integer division
+    "s_kmeans_lloyd" -> {
+      def assignCte(src: String, cents: String, out: String): String =
+        s"""$out AS (SELECT vec_id, c FROM (
+           | SELECT v.vec_id, $cents.c, row_number() OVER (
+           |   PARTITION BY v.vec_id ORDER BY
+           |    list_dot_product(CAST(v.q AS DOUBLE[]), CAST(v.q AS DOUBLE[]))
+           |    - 2 * list_dot_product(CAST(v.q AS DOUBLE[]), CAST($cents.q AS DOUBLE[]))
+           |    + list_dot_product(CAST($cents.q AS DOUBLE[]), CAST($cents.q AS DOUBLE[])),
+           |    $cents.c) AS rn
+           | FROM $src v, $cents) WHERE rn = 1)""".stripMargin
+      def updateCte(asg: String, outU: String, outC: String): String =
+        s"""$outU AS (SELECT $asg.c, r.range AS i,
+           |  CAST(sum(v.q[r.range]) // count(*) AS BIGINT) AS x
+           | FROM $asg JOIN v USING (vec_id) CROSS JOIN range(1, 65) r
+           | GROUP BY $asg.c, r.range),
+           |$outC AS (SELECT c, list(x ORDER BY i) AS q FROM $outU GROUP BY c)""".stripMargin
+      s"""WITH v AS (SELECT vec_id, list_transform(
+        |   CAST(embedding AS DOUBLE[]),
+        |   x -> CAST(round(x * 1000000) AS BIGINT) + 2000000) AS q
+        | FROM embeddings),
+        |c0 AS (SELECT CAST(vec_id AS INT) AS c, q FROM v WHERE vec_id < 4),
+        |${assignCte("v", "c0", "a1")},
+        |${updateCte("a1", "u1", "c1")},
+        |${assignCte("v", "c1", "a2")},
+        |${updateCte("a2", "u2", "c2")},
+        |${assignCte("v", "c2", "af")}
+        |SELECT vec_id, c AS cluster FROM af ORDER BY vec_id""".stripMargin
+    },
     // c-TF-IDF twin: identical tokenization, integer score, same
     // (score DESC, term) arbitration
     "s_label_terms" ->

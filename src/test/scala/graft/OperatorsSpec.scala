@@ -2359,6 +2359,42 @@ class RollupSpec extends SparkSpec {
   }
 }
 
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Clustering
+
+  test("kmeans converges to the two planted blobs, exact integer centroids") {
+    // ids 0,1 seed the clusters; blob A near 0.0, blob B near 0.4
+    val vecs = Seq(
+      (0L, Seq(0.00, 0.01)), (2L, Seq(0.02, 0.00)), (3L, Seq(0.01, 0.02)),
+      (1L, Seq(0.40, 0.41)), (4L, Seq(0.42, 0.40)), (5L, Seq(0.41, 0.39)))
+      .toDF("vec_id", "embedding")
+    val out = Clustering.kmeans(vecs, "vec_id", "embedding", k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(0L -> 0, 2L -> 0, 3L -> 0, 1L -> 1, 4L -> 1, 5L -> 1))
+  }
+
+  test("assignment ties break on the smaller centroid index") {
+    val vecs = Seq((0L, Seq(0.0)), (1L, Seq(0.2)), (7L, Seq(0.1)))
+      .toDF("vec_id", "embedding")
+    // 0.1 is exactly equidistant from seeds 0.0 and 0.2 → cluster 0
+    val q = vecs.select(col("vec_id"),
+      Clustering.quantize(col("embedding")).as("q"))
+    val seeds = q.filter(col("vec_id") < 2).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Long](1).toSeq)).toSeq
+    val a = Clustering.assign(q, "vec_id", "q", seeds)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(a(7L) == 0 && a(0L) == 0 && a(1L) == 1)
+  }
+
+  test("a centroid that captures no rows vanishes from the update") {
+    val assigned = Seq((0L, Seq(10L), 0), (1L, Seq(20L), 0))
+      .toDF("vec_id", "q", "cluster")
+    val c = Clustering.update(assigned, "q")
+    assert(c == Seq((0, Seq(15L)))) // floor((10+20)/2); cluster 1 gone
+  }
+}
+
 class DataCardSpec extends SparkSpec {
   import spark.implicits._
   import org.apache.spark.sql.functions._
