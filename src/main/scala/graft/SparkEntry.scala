@@ -746,6 +746,34 @@ object SparkEntry {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  private def sampleApportion(s: SparkSession, dir: String): DataFrame = {
+    // largest-remainder (Hamilton) apportionment of a fixed sample
+    // budget across (lang, source) strata — the exact-integer way to
+    // turn "sample 1000 docs proportionally" into per-stratum quotas
+    // that ADD UP (floor quotas + the B − Σfloor largest remainders get
+    // +1, ties on (lang, source)). Pure integer arithmetic: quota_floor
+    // = n·B div N, remainder = n·B mod N — one groupBy over the corpus,
+    // then windows over the STRATA table (bounded: |langs|·|sources|).
+    val budget = 1000L
+    val strata = t(s, dir, "documents")
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+    val tot = strata.agg(sum(col("n")).as("nn"))
+    val base = strata.crossJoin(broadcast(tot))
+      .select(col("lang"), col("source"), col("n"),
+        expr(s"(n * $budget) div nn").as("q_floor"),
+        expr(s"(n * $budget) % nn").as("rem"))
+    val wRem = Window.orderBy(col("rem").desc, col("lang"), col("source"))
+    val leftover = base.agg((lit(budget) - sum(col("q_floor"))).as("extra"))
+    base.crossJoin(broadcast(leftover))
+      .withColumn("rrank", row_number().over(wRem))
+      .select(col("lang"), col("source"), col("n"), col("q_floor"),
+        col("rem"),
+        (col("q_floor") +
+          when(col("rrank") <= col("extra"), 1L).otherwise(0L))
+          .cast("bigint").as("quota"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   private def rollupIncremental(s: SparkSession, dir: String): DataFrame = {
     // standing (day × type) metrics under append — the generic
     // materialized-view maintenance: the 80% historical slice's rollup
@@ -4265,6 +4293,7 @@ object SparkEntry {
     "q_string_suite" -> (stringSuite _),
     "q_event_trigrams" -> (eventTrigrams _),
     "q_rollup_incremental" -> (rollupIncremental _),
+    "d_sample_apportion" -> (sampleApportion _),
     "q_interval_union" -> (intervalUnion _),
     "d_corpus_clean" -> (corpusClean _),
     "d_nb_train" -> (nbTrainQuery _),
@@ -7765,6 +7794,23 @@ object SparkEntry {
         | CAST(sum(greatest(0, b - greatest(a, coalesce(maxb, a))))
         |      AS BIGINT) AS covered_us
         |FROM m GROUP BY day ORDER BY day""".stripMargin,
+    // apportionment twin: identical integer quota arithmetic, same
+    // (remainder DESC, lang, source) largest-remainder arbitration
+    "d_sample_apportion" ->
+      """WITH s AS (SELECT lang, source, count(*) AS n FROM documents
+        |           GROUP BY 1, 2),
+        |t AS (SELECT sum(n) AS nn FROM s),
+        |b AS (SELECT lang, source, n,
+        |  CAST((n * 1000) // nn AS BIGINT) AS q_floor,
+        |  CAST((n * 1000) % nn AS BIGINT) AS rem
+        | FROM s, t),
+        |x AS (SELECT CAST(1000 - sum(q_floor) AS BIGINT) AS extra FROM b),
+        |r AS (SELECT b.*, x.extra, row_number() OVER (
+        |        ORDER BY rem DESC, lang, source) AS rrank FROM b, x)
+        |SELECT lang, source, n, q_floor, rem,
+        | CAST(q_floor + CASE WHEN rrank <= extra THEN 1 ELSE 0 END
+        |      AS BIGINT) AS quota
+        |FROM r ORDER BY lang, source""".stripMargin,
     // incremental-rollup twin: the FULL recompute — matching it proves
     // stored-partials + delta merge ≡ aggregate over everything
     "q_rollup_incremental" ->
