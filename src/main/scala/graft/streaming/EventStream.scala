@@ -460,6 +460,35 @@ object EventStream {
       }
   }
 
+  /** STREAM-STREAM event-time join — the attribution shape where BOTH
+    * sides are unbounded: each purchase joins every click by the same
+    * user within the `lookback` window before it. Watermarks on both
+    * sides bound the join state (a click can be dropped once the
+    * purchase-side watermark passes click_ts + lookback; Spark derives
+    * the eviction from the time-bound predicate), so state is
+    * O(window · rate), not O(stream). Append-mode; result rows equal
+    * the batch range-join spelling over the same data regardless of how
+    * micro-batches split the two sides — pinned in StreamingSpec.
+    */
+  def streamingClickAttribution(purchases: DataFrame, clicks: DataFrame,
+                                lookback: String = "30 minutes",
+                                watermark: String = "1 hour"): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"), col("value"))
+      .withWatermark("c_ts", watermark)
+    p.join(c, expr(
+        s"""user_id = c_user AND
+           |c_ts >= p_ts - interval $lookback AND c_ts <= p_ts"""
+          .stripMargin))
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        col("c_ts"), col("value"))
+  }
+
   case class ThrottleEvent(event_id: Long, user_id: Long,
                            event_type: String, ts_us: Long)
   case class ThrottleState(lastTs: Long)

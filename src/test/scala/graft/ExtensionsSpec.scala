@@ -1198,6 +1198,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream click attribution == batch range join over split batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val pm = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val cm = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val pDf = pm.toDF().toDF("event_id", "user_id", "ts")
+    val cDf = cm.toDF().toDF("event_id", "user_id", "ts", "value")
+    val q = EventStream.streamingClickAttribution(pDf, cDf, "30 minutes")
+      .writeStream.format("memory").queryName("attr")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      cm.addData((10L, 7L, ts("2024-01-01 00:00:00"), 1.0))
+      pm.addData((1L, 7L, ts("2024-01-01 00:10:00")))
+      q.processAllAvailable()
+      // a matching click arriving a BATCH AFTER its purchase still joins
+      // (both sides buffer state until the watermark evicts)
+      cm.addData((11L, 7L, ts("2024-01-01 00:05:00"), 2.0),
+        (12L, 7L, ts("2024-01-01 02:00:00"), 3.0), // outside the window
+        (13L, 9L, ts("2024-01-01 00:09:00"), 4.0)) // other user
+      pm.addData((2L, 8L, ts("2024-01-01 00:20:00"))) // user with no clicks
+      q.processAllAvailable()
+      val got = spark.table("attr").select("purchase_id", "click_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // == the batch spelling: user match ∧ click in [purchase−30m, purchase]
+      assert(got == Set((1L, 10L), (1L, 11L)))
+    } finally q.stop()
+  }
+
   test("streaming throttle-dedup == batch throttleDedup over uneven micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val gap = 60L * 1000000 // 1 minute in micros
