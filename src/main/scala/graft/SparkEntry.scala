@@ -746,6 +746,17 @@ object SparkEntry {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  private def kanonMondrian(s: SparkSession, dir: String): DataFrame =
+    // constructive k-anonymity: Mondrian median cuts over the
+    // (n_chars, doc_id%50) quasi-identifier plane, k=25, depth 3 — every
+    // published class is ≥25 rows with its dim bounding box; the oracle
+    // unrolls the identical integer cut decisions level by level
+    Mondrian.classes(Mondrian.partition(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars"),
+          pmod(col("doc_id"), lit(50)).as("age")),
+        "doc_id", "n_chars", "age", k = 25, depth = 3))
+      .orderBy(col("region"))
+
   private def sampleApportion(s: SparkSession, dir: String): DataFrame = {
     // largest-remainder (Hamilton) apportionment of a fixed sample
     // budget across (lang, source) strata — the exact-integer way to
@@ -4294,6 +4305,7 @@ object SparkEntry {
     "q_event_trigrams" -> (eventTrigrams _),
     "q_rollup_incremental" -> (rollupIncremental _),
     "d_sample_apportion" -> (sampleApportion _),
+    "d_kanon_mondrian" -> (kanonMondrian _),
     "q_interval_union" -> (intervalUnion _),
     "d_corpus_clean" -> (corpusClean _),
     "d_nb_train" -> (nbTrainQuery _),
@@ -7794,6 +7806,44 @@ object SparkEntry {
         | CAST(sum(greatest(0, b - greatest(a, coalesce(maxb, a))))
         |      AS BIGINT) AS covered_us
         |FROM m GROUP BY day ORDER BY day""".stripMargin,
+    // Mondrian twin: 3 unrolled levels of the identical cut decisions —
+    // max-range dim (tie → x), lower median at rank (n+1) div 2 under
+    // (value, id) order, cut only when both halves keep >= 25
+    "d_kanon_mondrian" -> {
+      val levels = (1 to 3).map { i =>
+        val prev = s"l${i - 1}"
+        s"""s$i AS (SELECT region, count(*) AS n,
+           |  max(x) - min(x) AS rx, max(y) - min(y) AS ry
+           | FROM $prev GROUP BY region),
+           |c$i AS (SELECT region, n,
+           |  CASE WHEN rx >= ry THEN 'x' ELSE 'y' END AS dim FROM s$i),
+           |r$i AS (SELECT l.id, l.x, l.y, l.region, c.n,
+           |  CASE WHEN c.dim = 'x' THEN l.x ELSE l.y END AS cv,
+           |  row_number() OVER (PARTITION BY l.region ORDER BY
+           |    CASE WHEN c.dim = 'x' THEN l.x ELSE l.y END, l.id) AS rn
+           | FROM $prev l JOIN c$i c USING (region)),
+           |m$i AS (SELECT region, cv AS med FROM r$i
+           |        WHERE rn = (n + 1) // 2),
+           |d$i AS (SELECT r.id, r.x, r.y, r.region,
+           |  CASE WHEN r.cv <= m.med THEN 0 ELSE 1 END AS side
+           | FROM r$i r JOIN m$i m USING (region)),
+           |a$i AS (SELECT region,
+           |  sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS ln,
+           |  count(*) AS nn FROM d$i GROUP BY region),
+           |l$i AS (SELECT d.id, d.x, d.y,
+           |  CASE WHEN a.ln >= 25 AND a.nn - a.ln >= 25
+           |   THEN d.region * 2 + d.side ELSE d.region END AS region
+           | FROM d$i d JOIN a$i a USING (region))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH l0 AS (SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS x,
+        |  CAST(doc_id % 50 AS BIGINT) AS y, CAST(1 AS BIGINT) AS region
+        | FROM documents),
+        |$levels
+        |SELECT region, count(*) AS n,
+        | min(x) AS min_x, max(x) AS max_x,
+        | min(y) AS min_y, max(y) AS max_y
+        |FROM l3 GROUP BY region ORDER BY region""".stripMargin
+    },
     // apportionment twin: identical integer quota arithmetic, same
     // (remainder DESC, lang, source) largest-remainder arbitration
     "d_sample_apportion" ->

@@ -2395,6 +2395,40 @@ class ClusteringSpec extends SparkSpec {
   }
 }
 
+class MondrianSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Mondrian
+
+  test("every class keeps >= k rows and the classes partition the input") {
+    val rows = (1L to 200L).map(i => (i, (i * 7) % 97, (i * 13) % 31))
+    val df = rows.toDF("id", "x", "y")
+    val classes = Mondrian.classes(
+      Mondrian.partition(df, "id", "x", "y", k = 20, depth = 3)).collect()
+    assert(classes.map(_.getLong(1)).sum == 200L)
+    assert(classes.forall(_.getLong(1) >= 20L))
+    assert(classes.length > 1) // at least one cut was allowable
+  }
+
+  test("a cut that would starve one side is refused; the region stays whole") {
+    // 30 identical points: median == min == max, left side = all 30,
+    // right side = 0 < k → no cut ever applies
+    val df = (1L to 30L).map(i => (i, 5L, 5L)).toDF("id", "x", "y")
+    val classes = Mondrian.classes(
+      Mondrian.partition(df, "id", "x", "y", k = 10, depth = 3)).collect()
+    assert(classes.length == 1 && classes.head.getLong(1) == 30L)
+  }
+
+  test("hand-traced depth-1 cut on the wider dim with lower median") {
+    // x range 0..9 (wider), y constant; lower median of 4 rows = rank 2
+    val df = Seq((1L, 0L, 7L), (2L, 3L, 7L), (3L, 6L, 7L), (4L, 9L, 7L))
+      .toDF("id", "x", "y")
+    val p = Mondrian.partition(df, "id", "x", "y", k = 2, depth = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // med = x at rank (4+1) div 2 = 2 → 3; ids 1,2 left (region 2), 3,4 right (3)
+    assert(p == Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 3L))
+  }
+}
+
 class DataCardSpec extends SparkSpec {
   import spark.implicits._
   import org.apache.spark.sql.functions._
