@@ -428,6 +428,147 @@ object SparkEntry {
       .orderBy(col("c_nationkey"))
   }
 
+  private def q2MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    // TPC-H Q2 analogue (minimum-cost supplier): this testdata ships no
+    // partsupp table, so the supplier–part catalog is the DISTINCT
+    // (l_partkey, l_suppkey) pairs lineitem witnessed, and the supply
+    // cost each buyer minimizes is the supplier's account balance
+    // (2-dp, compared in exact integer cents). For STANDARD parts of
+    // size 10–15: the EUROPE supplier(s) at the per-part minimum.
+    // Q2's correlated MIN subquery is decorrelated the scalable way —
+    // groupBy-min over the candidate sliver, then an equality re-join of
+    // that same sliver; the full catalog never self-joins and the
+    // bounded dims (nation, region, the filtered part side) broadcast.
+    val pairs = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val pt = t(s, dir, "part")
+      .filter(col("p_type") === "STANDARD" && col("p_size").between(10, 15))
+      .select(col("p_partkey"), col("p_brand"))
+    val eur = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"),
+        round(col("s_acctbal") * 100).cast("bigint").as("bal_cents"))
+    val cand = pairs.join(pt, col("l_partkey") === col("p_partkey"))
+      .join(eur, col("l_suppkey") === col("s_suppkey"))
+    val best = cand.groupBy(col("p_partkey").as("bp"))
+      .agg(min(col("bal_cents")).as("min_cents"))
+    cand.join(best, col("p_partkey") === col("bp") &&
+        col("bal_cents") === col("min_cents"))
+      .select((col("bal_cents") / lit(100.0)).as("s_acctbal"), col("s_name"),
+        col("n_name"), col("p_partkey"), col("p_brand"))
+      .orderBy(desc("s_acctbal"), asc("n_name"), asc("s_name"),
+        asc("p_partkey"))
+      .limit(100)
+  }
+
+  private def q9ProductProfit(s: SparkSession, dir: String): DataFrame = {
+    // TPC-H Q9 analogue (product-type profit): no partsupp, so the unit
+    // supply cost is modeled as 60% of the part's retail price — a
+    // deterministic column function of data both engines see. Profit per
+    // line = revenue − cost with BOTH terms rounded to integer cents
+    // before the sum (exact, order-independent, engine-portable),
+    // grouped by supplier nation and order year over '%widget%' parts.
+    // Parts filter before the join; nation broadcasts; orders joins only
+    // for the year column, after lineitem is already part-pruned.
+    val pt = t(s, dir, "part").filter(col("p_name").like("%widget%"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val profitCents =
+      round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+        .cast("bigint") -
+      round(col("p_retailprice") * lit(0.6) * col("l_quantity") * 100)
+        .cast("bigint")
+    t(s, dir, "lineitem")
+      .join(pt, col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg((sum(profitCents) / lit(100.0)).as("sum_profit"))
+      .orderBy(asc("nation"), desc("o_year"))
+  }
+
+  private def q11ImportantParts(s: SparkSession, dir: String): DataFrame = {
+    // TPC-H Q11 analogue (important stock): no partsupp availqty, so a
+    // part's stock value is retailprice × total shipped quantity, summed
+    // in integer cents. Q11's HAVING > fraction-of-total cutoff is
+    // SF-dependent by design (0.0001/SF); the scale-free respelling
+    // keeps parts above 1.3× the MEAN part value, tested exactly as
+    // value·n·10 > total·13 in BIGINTs — no float division, no epsilon.
+    // The 1-row totals aggregate broadcasts against the per-part values.
+    val pt = t(s, dir, "part").select(col("p_partkey"), col("p_retailprice"))
+    val vals = t(s, dir, "lineitem")
+      .join(pt, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(round(col("p_retailprice") * col("l_quantity") * 100)
+        .cast("bigint")).as("value_cents"))
+    val tot = vals.agg(sum(col("value_cents")).as("total"),
+      count(lit(1)).as("n"))
+    vals.join(broadcast(tot),
+        col("value_cents") * col("n") * lit(10L) > col("total") * lit(13L))
+      .select(col("l_partkey").as("p_partkey"),
+        (col("value_cents") / lit(100.0)).as("stock_value"))
+      .orderBy(desc("stock_value"), asc("p_partkey"))
+  }
+
+  private def q16SupplierCounts(s: SparkSession, dir: String): DataFrame = {
+    // TPC-H Q16 analogue (supplier counts by part attributes): the
+    // supplier–part catalog is lineitem's distinct pairs; Q16's
+    // complaints exclusion (this schema has no s_comment) becomes the
+    // delinquent set s_acctbal < 1000, removed with a broadcast
+    // anti-join — the NOT-IN rewrite that survives scale: the excluded
+    // set is a supplier-table sliver, the catalog never self-joins.
+    val pairs = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val pt = t(s, dir, "part")
+      .filter(col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 23))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val bad = t(s, dir, "supplier").filter(col("s_acctbal") < 1000)
+      .select(col("s_suppkey"))
+    pairs.join(pt, col("l_partkey") === col("p_partkey"))
+      .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"),
+        asc("p_size"))
+  }
+
+  private def q20DominantSuppliers(s: SparkSession, dir: String): DataFrame = {
+    // TPC-H Q20 analogue (part-promotion candidates): no partsupp
+    // availqty, so Q20's "holds excess stock" becomes DOMINANCE — a
+    // supplier shipped >30% of a '%bolt%' part's total 1996 quantity.
+    // Quantities compare in ×10 integers (q·10 > tq·3 ⇔ share > 0.3,
+    // exact); the per-part totals groupBy is a partial re-aggregation of
+    // the (part, supplier) rollup so the corpus shuffles once; the
+    // EUROPE scope joins AFTER the distinct dominant-supplier set is
+    // already bounded, against broadcast nation/region dims.
+    val f = t(s, dir, "part").filter(col("p_name").like("%bolt%"))
+      .select(col("p_partkey"))
+    val sq = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(f, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(round(col("l_quantity") * 10).cast("bigint")).as("q"))
+    val tot = sq.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("q")).as("tq"))
+    val dom = sq.join(tot, col("l_partkey") === col("pk") &&
+        col("q") * lit(10L) > col("tq") * lit(3L))
+      .select(col("l_suppkey")).distinct()
+    dom.join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy(asc("s_suppkey"))
+  }
+
   /** Bucketed fact tables for [[bucketedJoinQuery]]: lineitem and orders
     * written ONCE per SF dir CLUSTERED BY the order key INTO 8 BUCKETS
     * and sorted within buckets (write-once physical layout like the
@@ -4110,6 +4251,11 @@ object SparkEntry {
     "q13_customer_distribution" -> (q13CustomerDistribution _),
     "q15_top_supplier" -> (q15TopSupplier _),
     "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
+    "q2_min_cost_supplier" -> (q2MinCostSupplier _),
+    "q9_product_profit" -> (q9ProductProfit _),
+    "q11_important_parts" -> (q11ImportantParts _),
+    "q16_supplier_counts" -> (q16SupplierCounts _),
+    "q20_dominant_suppliers" -> (q20DominantSuppliers _),
     "q19_flexible_or" -> (q19FlexibleOr _),
     "q21_waiting_suppliers" -> (q21WaitingSuppliers _),
     "q22_global_sales" -> (q22GlobalSales _),
@@ -4881,6 +5027,92 @@ object SparkEntry {
         |SELECT CAST(sum(cents) AS DOUBLE) / 700.0 AS avg_yearly
         |FROM li JOIN st ON l_partkey = sp_partkey
         |WHERE qty10 * 5 * n < sum10""".stripMargin,
+    // Q2 analogue: per-part minimum-balance EUROPE supplier over the
+    // lineitem-witnessed supplier-part catalog (no partsupp table)
+    "q2_min_cost_supplier" ->
+      """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |eur AS (
+        | SELECT s_suppkey, s_name, n_name,
+        |  CAST(round(s_acctbal * 100) AS BIGINT) AS bal_cents
+        | FROM supplier, nation, region
+        | WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |   AND r_name = 'EUROPE'),
+        |cand AS (
+        | SELECT p_partkey, p_brand, s_name, n_name, bal_cents
+        | FROM pairs JOIN part ON l_partkey = p_partkey
+        | JOIN eur ON l_suppkey = s_suppkey
+        | WHERE p_type = 'STANDARD' AND p_size BETWEEN 10 AND 15),
+        |best AS (SELECT p_partkey AS bp, min(bal_cents) AS min_cents
+        |         FROM cand GROUP BY p_partkey)
+        |SELECT CAST(bal_cents AS DOUBLE) / 100.0 AS s_acctbal, s_name,
+        | n_name, p_partkey, p_brand
+        |FROM cand JOIN best ON p_partkey = bp AND bal_cents = min_cents
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+    // Q9 analogue: profit by supplier nation and order year, unit cost
+    // modeled as 60% of retail price, both terms in integer cents
+    "q9_product_profit" ->
+      """SELECT n_name AS nation,
+        | CAST(extract(year FROM o_orderdate) AS INT) AS o_year,
+        | CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |               AS BIGINT)
+        |        - CAST(round(p_retailprice * 0.6 * l_quantity * 100)
+        |               AS BIGINT)) AS DOUBLE) / 100.0 AS sum_profit
+        |FROM lineitem, part, supplier, nation, orders
+        |WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+        |  AND s_nationkey = n_nationkey AND l_orderkey = o_orderkey
+        |  AND p_name LIKE '%widget%'
+        |GROUP BY 1, 2
+        |ORDER BY nation, o_year DESC""".stripMargin,
+    // Q11 analogue: parts above 1.3x the mean shipped stock value,
+    // exact BIGINT cross-multiplication instead of a float fraction
+    "q11_important_parts" ->
+      """WITH vals AS (
+        | SELECT l_partkey,
+        |  CAST(sum(CAST(round(p_retailprice * l_quantity * 100) AS BIGINT))
+        |       AS BIGINT) AS value_cents
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | GROUP BY l_partkey),
+        |tot AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total,
+        |               count(*) AS n FROM vals)
+        |SELECT l_partkey AS p_partkey,
+        | CAST(value_cents AS DOUBLE) / 100.0 AS stock_value
+        |FROM vals, tot
+        |WHERE value_cents * n * 10 > total * 13
+        |ORDER BY stock_value DESC, p_partkey""".stripMargin,
+    // Q16 analogue: distinct-supplier counts per part attribute triple,
+    // delinquent suppliers (acctbal < 1000) excluded via NOT IN
+    "q16_supplier_counts" ->
+      """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p_brand, p_type, p_size,
+        | count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM pairs JOIN part ON l_partkey = p_partkey
+        |WHERE p_type <> 'PROMO' AND p_size IN (1,4,7,10,13,16,19,23)
+        |  AND l_suppkey NOT IN
+        |      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    // Q20 analogue: EUROPE suppliers that shipped >30% of a bolt part's
+    // total 1996 quantity, shares compared in x10 integers
+    "q20_dominant_suppliers" ->
+      """WITH sq AS (
+        | SELECT l_partkey, l_suppkey,
+        |  CAST(sum(CAST(round(l_quantity * 10) AS BIGINT)) AS BIGINT) AS q
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | WHERE p_name LIKE '%bolt%'
+        |   AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |   AND l_shipdate < TIMESTAMP '1997-01-01'
+        | GROUP BY l_partkey, l_suppkey),
+        |tot AS (SELECT l_partkey AS pk, CAST(sum(q) AS BIGINT) AS tq
+        |        FROM sq GROUP BY l_partkey),
+        |dom AS (SELECT DISTINCT l_suppkey FROM sq JOIN tot ON l_partkey = pk
+        |        WHERE q * 10 > tq * 3)
+        |SELECT s_suppkey, s_name, n_name
+        |FROM dom JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |ORDER BY s_suppkey""".stripMargin,
     // Q19 analogue: OR of three brand/size/quantity bands
     "q19_flexible_or" ->
       """SELECT count(*) AS n,
