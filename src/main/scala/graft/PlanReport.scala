@@ -81,9 +81,11 @@ object PlanReport {
          |path, and the documented bounded-set windows should show it:
          |d_pareto_docs' stage-2 sweep over the pruned frontier sliver,
          |d_setjoin_ppjoin's vocab-sized rarity-rank window,
-         |q_global_rownum's ~30-row per-day offsets window, and
-         |q_rfm_segments' three per-metric coarse-prefix offsets windows —
-         |each over a prefix-count table, never a corpus-sized side),
+         |q_global_rownum's ~30-row per-day offsets window,
+         |q_rfm_segments' three per-metric coarse-prefix offsets windows,
+         |and d_curriculum_order's globalNtile offsets window + 1-row
+         |totals crossJoin — each over a prefix-count table or a 1-row
+         |aggregate, never a corpus-sized side),
          |DPP-PRUNED = a scan with a dynamic partition-pruning filter (the
          |PQ/IVF-PQ re-rank fetch against the id-partitioned vector
          |store).

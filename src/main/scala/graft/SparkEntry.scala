@@ -3671,6 +3671,98 @@ object SparkEntry {
           col("n_rows").cast("double"))).cast("bigint"))
   }
 
+  private def ldiversityAudit(s: SparkSession, dir: String): DataFrame = {
+    // l-diversity audit — the companion gate to q_kanon_audit and the
+    // d_kanon_mondrian partitioner: k-anonymity alone leaves a class
+    // attackable when everyone in it SHARES the sensitive value, so the
+    // governance gate also measures, per (mktsegment, nationkey) class,
+    // the number of DISTINCT sensitive values (the balance
+    // thousand-band). One distinct-counting groupBy, then a 1-row
+    // rollup: minimum l, class count, and how much of the population
+    // sits in classes with l < 3. Exact integers / ppm-of-integers.
+    val g = t(s, dir, "customer")
+      .select(col("c_mktsegment"), col("c_nationkey"),
+        floor(col("c_acctbal") / 1000).cast("bigint").as("bal_band"))
+      .groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("bal_band")).as("l"))
+    g.agg(min(col("l")).as("l_diversity"),
+        count(lit(1)).as("n_classes"),
+        sum(col("n")).cast("bigint").as("n_rows"),
+        sum(when(col("l") < 3, col("n")).otherwise(0L)).cast("bigint")
+          .as("rows_below_l"))
+      .withColumn("below_l_ppm",
+        round(lit(1e6) * (col("rows_below_l").cast("double") /
+          col("n_rows").cast("double"))).cast("bigint"))
+  }
+
+  private def goldenRecord(s: SparkSession, dir: String): DataFrame = {
+    // survivorship ("golden record"): after q_record_linkage's blocked
+    // matching, each base entity keeps ONE surviving record.
+    // Arbitration picks the best-evidence candidate (lowest edit
+    // distance, then lowest registry key); survivorship rules then
+    // merge fields — name from the authoritative base, balance from the
+    // newer registry snapshot — keeping the cent drift and the
+    // candidate count as lineage. Both windows share the entity-key
+    // partition (one exchange, never global); the registry side
+    // broadcasts (1/7 of customers); matching is blocked exactly as the
+    // linkage query, never all-pairs.
+    val base = t(s, dir, "customer").select(col("c_custkey").as("bkey"),
+      col("c_name").as("bname"), col("c_nationkey").as("bnat"),
+      col("c_acctbal").as("bbal"))
+    val twins = t(s, dir, "customer").filter(col("c_custkey") % 7 === 0)
+      .select((col("c_custkey") + 1000000L).as("tkey"),
+        concat(substring(col("c_name"), 1, 17),
+          ((substring(col("c_name"), 18, 1).cast("int") + 1) % 10)
+            .cast("string")).as("tname"),
+        col("c_nationkey").as("tnat"),
+        (col("c_acctbal") + lit(1.0)).as("tbal"))
+    val m = broadcast(twins)
+      .join(base, col("tnat") === col("bnat") &&
+        substring(col("tname"), 1, 16) === substring(col("bname"), 1, 16))
+      .withColumn("lev", levenshtein(col("tname"), col("bname")))
+      .filter(col("lev") <= 1)
+    val byEntity = Window.partitionBy(col("bkey"))
+    val w = byEntity.orderBy(asc("lev"), asc("tkey"))
+    m.withColumn("rk", row_number().over(w))
+      .withColumn("n_candidates", count(lit(1)).over(byEntity))
+      .filter(col("rk") === 1)
+      .select(col("bkey").as("entity_id"), col("bname").as("golden_name"),
+        (round(col("tbal") * 100).cast("bigint") / lit(100.0))
+          .as("golden_bal"),
+        (round(col("tbal") * 100).cast("bigint") -
+          round(col("bbal") * 100).cast("bigint")).as("bal_drift_cents"),
+        col("n_candidates"), col("lev").cast("int").as("lev"))
+      .orderBy(col("entity_id"))
+  }
+
+  private def curriculumOrder(s: SparkSession, dir: String): DataFrame = {
+    // curriculum data ordering for training: difficulty = exact token
+    // count, 10 exact-NTILE difficulty buckets via OrderStats.globalNtile
+    // (coarse-prefix offsets — the prefix is the token count itself, a
+    // monotone coarsening of the order key — so NO single-partition
+    // window), then training shards consume buckets ROUND-ROBIN
+    // easy→hard: epoch position = (seq−1)·10 + bucket, a pure arithmetic
+    // key that is unique by construction — the global curriculum order
+    // costs no global numbering pass. Unequal bucket tails (NTILE's
+    // q/q+1 split) drain naturally: a bucket simply drops out of the
+    // rotation when exhausted.
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.tokenStats(col("text")).getField("n_tokens")
+          .as("n_tokens"))
+    val buckets = OrderStats.globalNtile(docs, col("n_tokens"),
+      col("n_tokens"), "doc_id", 10)
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("n_tokens"), col("doc_id"))
+    docs.join(buckets, "doc_id")
+      .withColumn("seq", row_number().over(w))
+      .withColumn("pos",
+        ((col("seq") - 1) * 10 + col("bucket")).cast("bigint"))
+      .select(col("pos"), col("doc_id"), col("n_tokens"), col("bucket"),
+        col("seq"))
+      .orderBy(col("pos"))
+  }
+
   private def scd2Query(s: SparkSession, dir: String): DataFrame = {
     // SCD2 history table from the d_corpus_diff release pair: one row
     // per (doc, content version) with validity ordinals — the registry
@@ -4431,6 +4523,9 @@ object SparkEntry {
     "q_json_roundtrip" -> (jsonRoundtrip _),
     "q_csv_roundtrip" -> (csvRoundtrip _),
     "q_kanon_audit" -> (kanonAudit _),
+    "q_ldiversity_audit" -> (ldiversityAudit _),
+    "q_golden_record" -> (goldenRecord _),
+    "d_curriculum_order" -> (curriculumOrder _),
     "d_retrieval_eval" -> (retrievalEvalQuery _),
     "d_dup_spans" -> (dupSpans _),
     "d_span_clean" -> (spanClean _),
@@ -8236,6 +8331,72 @@ object SparkEntry {
         | CAST(round(1000000 * (CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END)
         |   AS DOUBLE) / sum(n))) AS BIGINT) AS below_k_ppm
         |FROM g""".stripMargin,
+    // l-diversity: distinct sensitive values (balance thousand-band)
+    // per quasi-identifier class, rolled to the min-l / below-l audit
+    "q_ldiversity_audit" ->
+      """WITH g AS (
+        | SELECT c_mktsegment, c_nationkey, count(*) AS n,
+        |  count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS l
+        | FROM customer GROUP BY 1, 2)
+        |SELECT min(l) AS l_diversity, count(*) AS n_classes,
+        | CAST(sum(n) AS BIGINT) AS n_rows,
+        | CAST(sum(CASE WHEN l < 3 THEN n ELSE 0 END) AS BIGINT)
+        |   AS rows_below_l,
+        | CAST(round(1000000 * (CAST(sum(CASE WHEN l < 3 THEN n ELSE 0 END)
+        |   AS DOUBLE) / sum(n))) AS BIGINT) AS below_l_ppm
+        |FROM g""".stripMargin,
+    // survivorship golden record: per base entity, the (lev, tkey)-best
+    // match merged under name-from-base / balance-from-registry rules
+    "q_golden_record" ->
+      """WITH base AS (
+        | SELECT c_custkey AS bkey, c_name AS bname,
+        |  c_nationkey AS bnat, c_acctbal AS bbal FROM customer),
+        |tw AS (
+        | SELECT c_custkey + 1000000 AS tkey,
+        |  substr(c_name, 1, 17) ||
+        |   CAST((CAST(substr(c_name, 18, 1) AS INT) + 1) % 10 AS VARCHAR)
+        |   AS tname,
+        |  c_nationkey AS tnat, c_acctbal + 1.0 AS tbal
+        | FROM customer WHERE c_custkey % 7 = 0),
+        |m AS (
+        | SELECT bkey, bname, tkey, tbal, bbal,
+        |  CAST(levenshtein(tname, bname) AS INT) AS lev
+        | FROM tw JOIN base
+        |   ON tnat = bnat AND substr(tname, 1, 16) = substr(bname, 1, 16)
+        | WHERE levenshtein(tname, bname) <= 1),
+        |r AS (
+        | SELECT *,
+        |  row_number() OVER (PARTITION BY bkey ORDER BY lev, tkey) AS rk,
+        |  count(*) OVER (PARTITION BY bkey) AS n_candidates
+        | FROM m)
+        |SELECT bkey AS entity_id, bname AS golden_name,
+        | CAST(CAST(round(tbal * 100) AS BIGINT) AS DOUBLE) / 100.0
+        |   AS golden_bal,
+        | CAST(CAST(round(tbal * 100) AS BIGINT)
+        |    - CAST(round(bbal * 100) AS BIGINT) AS BIGINT)
+        |   AS bal_drift_cents,
+        | CAST(n_candidates AS BIGINT) AS n_candidates, lev
+        |FROM r WHERE rk = 1 ORDER BY entity_id""".stripMargin,
+    // curriculum interleave: exact NTILE difficulty deciles consumed
+    // round-robin; position is pure arithmetic on (seq, bucket)
+    "d_curriculum_order" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |  len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> len(x) > 0)) AS n_tokens
+        | FROM documents),
+        |b AS (
+        | SELECT doc_id, n_tokens,
+        |  CAST(ntile(10) OVER (ORDER BY n_tokens, doc_id) AS INT) AS bucket
+        | FROM toks),
+        |sq AS (
+        | SELECT doc_id, n_tokens, bucket,
+        |  CAST(row_number() OVER (PARTITION BY bucket
+        |    ORDER BY n_tokens, doc_id) AS INT) AS seq
+        | FROM b)
+        |SELECT CAST((seq - 1) * 10 + bucket AS BIGINT) AS pos, doc_id,
+        | n_tokens, bucket, seq
+        |FROM sq ORDER BY pos""".stripMargin,
     // SCD2 twin: the same fingerprint full-outer, expanded to validity
     // intervals (closed v1 row for changed/removed, open row for live)
     "q_scd2" ->

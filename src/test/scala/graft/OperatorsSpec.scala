@@ -2841,3 +2841,58 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.toSeq == Seq(("2024-01-01", 1L), ("2024-01-02", 1L)))
   }
 }
+
+/** Semantic invariants for the round-8 governance/survivorship/curriculum
+  * queries — properties the DuckDB oracle equality can't see on its own
+  * (cross-query consistency, uniqueness, monotone interleave shape).
+  */
+class GovernanceCurriculumSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("l-diversity <= k-anonymity (min distinct values can't beat min class size)") {
+    assume(new java.io.File(dir).isDirectory)
+    val k = SparkEntry.queries("q_kanon_audit")(spark, dir)
+      .collect().head.getAs[Long]("k_anonymity")
+    val l = SparkEntry.queries("q_ldiversity_audit")(spark, dir)
+      .collect().head.getAs[Long]("l_diversity")
+    assert(l >= 1L && l <= k, s"l=$l must sit in [1, k=$k]")
+  }
+
+  test("golden record: one survivor per entity, consistent with the linkage set") {
+    assume(new java.io.File(dir).isDirectory)
+    val golden = SparkEntry.queries("q_golden_record")(spark, dir).collect()
+    val ids = golden.map(_.getAs[Long]("entity_id"))
+    assert(ids.distinct.length == ids.length, "duplicate surviving entity")
+    // exactly the entities the linkage query matched survive — no loss,
+    // no inventions — and arbitration kept the per-entity minimum lev
+    val linked = SparkEntry.queries("q_record_linkage")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("bkey"), r.getAs[Int]("lev")))
+    val minLev = linked.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+    assert(ids.toSet == minLev.keySet)
+    golden.foreach { r =>
+      val (id, lev) = (r.getAs[Long]("entity_id"), r.getAs[Int]("lev"))
+      assert(lev == minLev(id), s"entity $id survived lev=$lev, min is ${minLev(id)}")
+      assert(r.getAs[Long]("n_candidates") >= 1L)
+    }
+  }
+
+  test("curriculum order: unique positions, full coverage, round-robin interleave") {
+    assume(new java.io.File(dir).isDirectory)
+    val rows = SparkEntry.queries("d_curriculum_order")(spark, dir).collect()
+    val nDocs = Tables(spark, dir, "documents").count()
+    assert(rows.length == nDocs, "every doc gets a curriculum slot")
+    val pos = rows.map(_.getAs[Long]("pos"))
+    assert(pos.distinct.length == pos.length, "positions must be unique")
+    // within a bucket, difficulty is non-decreasing along seq
+    rows.groupBy(_.getAs[Int]("bucket")).foreach { case (b, rs) =>
+      val bySeq = rs.sortBy(_.getAs[Int]("seq")).map(_.getAs[Int]("n_tokens"))
+      assert(bySeq.zip(bySeq.tail).forall { case (a, c) => a <= c },
+        s"bucket $b difficulty not monotone")
+    }
+    // the first full rotation visits every bucket exactly once, easy->hard
+    val firstTen = rows.sortBy(_.getAs[Long]("pos")).take(10)
+      .map(_.getAs[Int]("bucket"))
+    assert(firstTen.toSeq == (1 to 10).toSeq,
+      s"first rotation should be buckets 1..10, got ${firstTen.toSeq}")
+  }
+}
