@@ -510,6 +510,91 @@ object ScaleProbe {
         edges.unpersist(); docs.unpersist()
       }
     }
+    // final round-8 families: Mondrian (depth windows over region
+    // partitions — per-level cost is one corpus pass), exact-integer
+    // Lloyd (map-side assignment, k·d-cell updates: flat-ish in f once
+    // overhead amortizes, linear at most), Hamilton apportionment (one
+    // corpus groupBy, windows only over the bounded strata table),
+    // curriculum NTILE interleave (coarse-prefix offsets — the offsets
+    // window is |distinct token counts|, not corpus-sized), and golden
+    // record survivorship (broadcast registry, entity-key windows)
+    locally {
+      val docsBase = Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      val n0 = docsBase.count()
+      val shiftD = ((n0 + 249) / 250) * 250
+      val custBase = Tables(spark, sfDir, "customer")
+      val nc = custBase.count()
+      for (f <- Seq(1, factor)) {
+        val docs = (0 until f).map(k => docsBase.select(
+            (col("doc_id") + lit(k * shiftD)).as("doc_id"), col("text"),
+            col("lang"), col("source"), col("n_chars")))
+          .reduce(_ union _).localCheckpoint()
+        val cust = (0 until f).map(k => custBase.select(
+            (col("c_custkey") + lit(k * nc)).as("c_custkey"), col("c_name"),
+            col("c_nationkey"), col("c_acctbal")))
+          .reduce(_ union _).localCheckpoint()
+        def time(name: String)(df: => DataFrame): Unit = {
+          val t0 = System.nanoTime()
+          val nn = df.count()
+          println(f"""{"probe":"$name","factor":$f,"sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":$nn}""")
+        }
+        time("d_kanon_mondrian") {
+          operators.Mondrian.classes(operators.Mondrian.partition(
+            docs.select(col("doc_id"), col("n_chars"),
+              pmod(col("doc_id"), lit(50)).as("age")),
+            "doc_id", "n_chars", "age", k = 25, depth = 3))
+        }
+        time("s_kmeans_lloyd") {
+          // vectors replicate with the doc corpus factor: synthesize a
+          // deterministic 8-dim int vector per doc id so the assignment
+          // kernel sees f× rows (the graded query's embeddings table is
+          // fixed-size; the probe wants the corpus-scaling shape)
+          val vecs = docs.select(col("doc_id").as("vec_id"),
+            array((0 until 8).map(i =>
+              pmod(col("doc_id") * (i * 2 + 3) + i, lit(1000))
+                .cast("double") / 1000.0): _*).as("embedding"))
+          operators.Clustering.kmeans(vecs, "vec_id", "embedding",
+            k = 4, iters = 2)
+        }
+        time("d_sample_apportion") {
+          val budget = 1000L
+          val strata = docs.groupBy(col("lang"), col("source"))
+            .agg(count(lit(1)).as("n"))
+          val tot = strata.agg(sum(col("n")).as("nn"))
+          strata.crossJoin(broadcast(tot))
+            .select(col("lang"), col("source"), col("n"),
+              expr(s"(n * $budget) div nn").as("q_floor"),
+              expr(s"(n * $budget) % nn").as("rem"))
+        }
+        time("d_curriculum_order") {
+          val dd = docs.select(col("doc_id"),
+            operators.TextAnalysis.tokenStats(col("text"))
+              .getField("n_tokens").as("n_tokens"))
+          operators.OrderStats.globalNtile(dd, col("n_tokens"),
+            col("n_tokens"), "doc_id", 10)
+        }
+        time("q_golden_record") {
+          val base2 = cust.select(col("c_custkey").as("bkey"),
+            col("c_name").as("bname"), col("c_nationkey").as("bnat"),
+            col("c_acctbal").as("bbal"))
+          val twins = cust.filter(col("c_custkey") % 7 === 0)
+            .select((col("c_custkey") + 100000000L).as("tkey"),
+              concat(substring(col("c_name"), 1, 17),
+                ((substring(col("c_name"), 18, 1).cast("int") + 1) % 10)
+                  .cast("string")).as("tname"),
+              col("c_nationkey").as("tnat"),
+              (col("c_acctbal") + lit(1.0)).as("tbal"))
+          broadcast(twins)
+            .join(base2, col("tnat") === col("bnat") &&
+              substring(col("tname"), 1, 16) === substring(col("bname"), 1, 16))
+            .withColumn("lev", levenshtein(col("tname"), col("bname")))
+            .filter(col("lev") <= 1)
+        }
+        cust.unpersist(); docs.unpersist()
+      }
+    }
     spark.stop()
   }
 }
