@@ -2627,6 +2627,38 @@ object SparkEntry {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  private def annIvfFiltered(s: SparkSession, dir: String): DataFrame = {
+    // FILTERED vector search — the vector-store feature every retrieval
+    // stack needs beyond plain ANN: top-k under an attribute predicate
+    // (here label <= 3, the "only this tenant/language/category" shape).
+    // PRE-filtering over the metadata-carrying IVF layout: the predicate
+    // lands in the store scan (parquet-pushed, composing with the
+    // centroid-directory probe pruning), so the top-k is taken over
+    // valid candidates only and every query fills k slots whenever the
+    // probed directories hold k matching rows. The post-filter
+    // alternative underfetches (< k valid rows) — pinned by spec.
+    // Same portable first-8-unit-vector codebook as s_ann_ivf_stored, so
+    // the DuckDB twin recomputes assignment, probes, and scores exactly.
+    val emb = t(s, dir, "embeddings")
+    val seeds = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val unitSeeds = seeds.map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    val path = layoutPath(dir, "ivfmetastore", "coarse=first8unit,meta=label")
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      Similarity.writeIvfMetaStore(emb, "vec_id", "embedding",
+        Seq("label"), unitSeeds, path)
+    Similarity.ivfTopKStoredFiltered(s.read.parquet(path),
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, coarse = unitSeeds, candFilter = col("label") <= 3,
+        nprobe = 3)
+      .withColumnRenamed("rank", "rnk")
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   private def semDedupQuery(s: SparkSession, dir: String): DataFrame = {
     // SemDeDup over the neardup family's 300-vector slice: coarse
     // codebook = the 8 first unit vectors (the portable s_ann_ivf_stored
@@ -4458,6 +4490,7 @@ object SparkEntry {
     "s_ann_pq" -> (annPq _),
     "s_ann_ivfpq" -> (annIvfPq _),
     "s_ann_ivf_stored" -> (annIvfStored _),
+    "s_ann_filtered" -> (annIvfFiltered _),
     "s_ann_ivfpq_stored" -> (annIvfPqStored _),
     "s_embed_neardup" -> (embedNearDup _),
     "s_embed_neardup_bucketed" -> (embedNearDupBucketed _),
@@ -4959,6 +4992,42 @@ object SparkEntry {
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // filtered ANN: the same IVF recomputation with the label predicate
+    // applied to CANDIDATES before ranking (pre-filter semantics)
+    "s_ann_filtered" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |u AS (SELECT vec_id, v,
+        |        CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN v
+        |             ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v))) END AS vu
+        |      FROM e),
+        |cu AS (SELECT vec_id AS ccid, vu AS cvu FROM u WHERE vec_id < 8),
+        |cd AS (SELECT u.vec_id, cu.ccid,
+        |         list_sum(list_transform(range(1, 65),
+        |           i -> (u.vu[i] - cu.cvu[i]) * (u.vu[i] - cu.cvu[i]))) AS d
+        |       FROM u, cu),
+        |assign AS (SELECT vec_id, ccid FROM (
+        |             SELECT vec_id, ccid,
+        |               row_number() OVER (PARTITION BY vec_id ORDER BY d, ccid) AS rn
+        |             FROM cd) WHERE rn = 1),
+        |qprobe AS (SELECT vec_id AS q_id, ccid FROM (
+        |             SELECT vec_id, ccid,
+        |               row_number() OVER (PARTITION BY vec_id ORDER BY d, ccid) AS rn
+        |             FROM cd WHERE vec_id < 10) WHERE rn <= 3),
+        |cand AS (SELECT DISTINCT qprobe.q_id, assign.vec_id AS c_id
+        |         FROM assign JOIN qprobe ON qprobe.ccid = assign.ccid
+        |         JOIN e lbl ON lbl.vec_id = assign.vec_id
+        |         WHERE assign.vec_id <> qprobe.q_id AND lbl.label <= 3),
+        |rer AS (SELECT cand.q_id, cand.c_id,
+        |          list_dot_product(q.v, c.v) /
+        |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+        |        FROM cand JOIN e q ON q.vec_id = cand.q_id
+        |                  JOIN e c ON c.vec_id = cand.c_id),
+        |r AS (SELECT q_id, c_id, sim,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
+        |      FROM rer)
+        |SELECT q_id, c_id, rnk, round(sim, 4) AS sim FROM r
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     "q3_top_orders" ->
       """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
         | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue

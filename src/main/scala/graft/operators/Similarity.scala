@@ -738,6 +738,68 @@ object Similarity {
     ivfAssigned(corpus, idCol, vecCol, coarse)
       .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
 
+  /** [[writeIvfStore]] carrying metadata columns alongside each vector —
+    * the layout filtered vector search reads: attribute predicates land
+    * in the STORE SCAN (parquet-pushed, under the same centroid-directory
+    * DPP pruning), so candidates are cut by BOTH the probe set and the
+    * filter before any distance math runs.
+    */
+  def writeIvfMetaStore(corpus: DataFrame, idCol: String, vecCol: String,
+                        metaCols: Seq[String], coarse: Seq[Seq[Double]],
+                        path: String): Unit = {
+    val unit = normalized(
+      corpus.select((Seq(col(idCol), col(vecCol)) ++ metaCols.map(col) :+
+        col(vecCol).cast("array<double>").as("__u")): _*), "__u")
+    assignCentroids(unit, "__u", coarse)
+      .select((Seq(col(idCol), col(vecCol)) ++ metaCols.map(col) :+
+        col("centroid_id")): _*)
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+  }
+
+  /** Filtered ANN over a [[writeIvfMetaStore]] layout: PRE-filtering —
+    * `candFilter` applies to store rows before scoring, so the top-k is
+    * taken over valid candidates only and every query fills its k slots
+    * whenever the probed directories hold k matching rows. The
+    * post-filter alternative (filter an unfiltered top-k) silently
+    * underfetches — it can return fewer than k valid rows; specs pin the
+    * difference. The filter is a plain column predicate on store
+    * columns, so it reaches the parquet scan as a pushed filter and
+    * composes with the probe-directory pruning.
+    */
+  def ivfTopKStoredFiltered(store: DataFrame, queries: DataFrame,
+                            idCol: String, vecCol: String, k: Int,
+                            coarse: Seq[Seq[Double]], candFilter: Column,
+                            nprobe: Int = 3): DataFrame = {
+    import graft.functions.VectorFunctions.{dot_product, l2_squared, vector_norm}
+    val q = normalized(
+      queries.select(col(idCol).as("q_id"),
+        col(vecCol).cast("array<double>").as("q_vec"),
+        col(vecCol).cast("array<double>").as("__q_unit")),
+      "__q_unit")
+    val qdists = array(coarse.map(c =>
+      l2_squared(col("__q_unit"), array(c.map(lit): _*))): _*)
+    val probes = slice(transform(array_sort(
+      zip_with(qdists, sequence(lit(0), lit(coarse.size - 1)),
+        (d, i) => struct(d.as("d"), i.as("i")))),
+      s => s.getField("i")), 1, nprobe)
+    val qb = q.withColumn("__probe", explode(probes))
+      .withColumn("centroid_id", col("__probe").cast("int"))
+      .drop("__q_unit", "__probe")
+    val c = store.filter(candFilter)
+      .select(col(idCol).as("c_id"),
+        col(vecCol).cast("array<double>").as("c_vec"),
+        col("centroid_id").cast("int").as("centroid_id"))
+      .withColumn("c_norm", vector_norm(col("c_vec")))
+    val scored = c.join(broadcast(qb), Seq("centroid_id"))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("sim", try_divide(dot_product(col("q_vec"), col("c_vec")),
+        vector_norm(col("q_vec")) * col("c_norm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("rank"), round(col("sim"), 4).as("sim"))
+  }
+
   /** Append a batch of new vectors into an EXISTING [[writeIvfStore]]
     * layout — the steady-state ingest path: arrivals are coarse-assigned
     * map-side against the SAME frozen codebook the store was written

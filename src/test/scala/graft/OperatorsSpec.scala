@@ -2896,3 +2896,32 @@ class GovernanceCurriculumSpec extends SparkSpec {
       s"first rotation should be buckets 1..10, got ${firstTen.toSeq}")
   }
 }
+
+/** Filtered vector search: pre-filter semantics over the metadata-carrying
+  * IVF layout vs the naive post-filter (filter an unfiltered top-k).
+  */
+class FilteredAnnSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("pre-filter fills k; post-filtering an unfiltered top-k underfetches") {
+    assume(new java.io.File(dir).isDirectory)
+    val pre = SparkEntry.queries("s_ann_filtered")(spark, dir)
+    val preCounts = pre.groupBy("q_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(preCounts.size == 10 && preCounts.values.forall(_ == 5L),
+      s"pre-filter must fill k=5 for all 10 queries: $preCounts")
+    // every returned candidate satisfies the predicate
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id").as("c_id"), col("label"))
+    assert(pre.join(emb, "c_id").filter(col("label") > 3).count() == 0)
+    // the naive spelling: unfiltered stored-IVF top-5, THEN filter — at
+    // least one query must lose slots (k-fill is the pre-filter claim)
+    val post = SparkEntry.queries("s_ann_ivf_stored")(spark, dir)
+      .join(emb, "c_id").filter(col("label") <= 3)
+    val postCounts = post.groupBy("q_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 10L).exists(q => postCounts.getOrElse(q, 0L) < 5L),
+      s"expected post-filter underfetch on sf0.001: $postCounts")
+  }
+}
