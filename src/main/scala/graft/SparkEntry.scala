@@ -2089,6 +2089,36 @@ object SparkEntry {
         TextAnalysis.piiCounts(col("dirty")).map { case (n, c) => c.as(n) }: _*)
       .orderBy(col("doc_id"))
 
+  private def piiLuhn(s: SparkSession, dir: String): DataFrame =
+    // checksum-validated PII: a 16-digit card-like run is planted per doc
+    // (15 deterministic digits + doc_id%10 as the check digit, so ~10%
+    // of docs carry a LUHN-VALID number) and only validated numbers are
+    // scrubbed — the regex-only spelling (d_pii_scrub's <NUMBER>) can't
+    // tell a card from an order id; the Luhn gate can. The validator is
+    // a higher-order transform/aggregate over the 16 digits (codegen'd,
+    // no UDF), map-side only, and the DuckDB twin replays the identical
+    // double-every-second-from-the-right arithmetic.
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(col("text"), lit(" card "),
+          lpad(col("doc_id").cast("string"), 15, "4"),
+          (col("doc_id") % 10).cast("string"), lit(" on file")).as("dirty"))
+      .withColumn("card", regexp_extract(col("dirty"), "[0-9]{16}", 0))
+      .withColumn("luhn_sum", expr(
+        "aggregate(transform(sequence(1, 16), i -> " +
+        "CASE WHEN i % 2 = 1 THEN " +
+        " CASE WHEN CAST(substr(card, i, 1) AS INT) * 2 > 9 " +
+        "  THEN CAST(substr(card, i, 1) AS INT) * 2 - 9 " +
+        "  ELSE CAST(substr(card, i, 1) AS INT) * 2 END " +
+        "ELSE CAST(substr(card, i, 1) AS INT) END), 0, (a, x) -> a + x)"))
+      .select(col("doc_id"),
+        when(col("luhn_sum") % 10 === 0, 1).otherwise(0).cast("int")
+          .as("luhn_valid"),
+        when(col("luhn_sum") % 10 === 0,
+          regexp_replace(col("dirty"), col("card"), lit("<CARD>")))
+          .otherwise(col("dirty")).as("clean"))
+      .orderBy(col("doc_id"))
+
   private def sampleStrataQuery(s: SparkSession, dir: String): DataFrame =
     Splits.sampleStrata(t(s, dir, "documents"), "lang", "doc_id",
         Map("en" -> 250, "de" -> 500))
@@ -4429,6 +4459,7 @@ object SparkEntry {
     "d_quality_filter" -> (qualityFilter _),
     "d_repetition" -> (repetitionScores _),
     "d_pii_scrub" -> (piiScrub _),
+    "d_pii_luhn" -> (piiLuhn _),
     "d_sample_strata" -> (sampleStrataQuery _),
     "d_tfidf_terms" -> (tfidfTopTerms _),
     "d_decontaminate" -> (decontaminateQuery _),
@@ -5846,6 +5877,32 @@ object SparkEntry {
         | len(regexp_extract_all(dirty, 'https?://[^\s]+')) AS n_urls,
         | len(regexp_extract_all(dirty, '[0-9][0-9 ()+.-]{6,}[0-9]')) AS n_numbers
         |FROM d ORDER BY doc_id""".stripMargin,
+    // Luhn-gated card scrub: identical plant + identical
+    // double-every-second-digit arithmetic, scrub only on checksum pass
+    "d_pii_luhn" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  text || ' card ' || lpad(CAST(doc_id AS VARCHAR), 15, '4') ||
+        |   CAST(doc_id % 10 AS VARCHAR) || ' on file' AS dirty
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, dirty,
+        |  regexp_extract(dirty, '[0-9]{16}') AS card FROM d),
+        |v AS (
+        | SELECT doc_id, dirty, card,
+        |  list_sum(list_transform(range(1, 17), i ->
+        |    CASE WHEN i % 2 = 1 THEN
+        |      CASE WHEN CAST(substr(card, i, 1) AS INT) * 2 > 9
+        |        THEN CAST(substr(card, i, 1) AS INT) * 2 - 9
+        |        ELSE CAST(substr(card, i, 1) AS INT) * 2 END
+        |      ELSE CAST(substr(card, i, 1) AS INT) END)) AS luhn_sum
+        | FROM c)
+        |SELECT doc_id,
+        | CAST(CASE WHEN luhn_sum % 10 = 0 THEN 1 ELSE 0 END AS INT)
+        |   AS luhn_valid,
+        | CASE WHEN luhn_sum % 10 = 0 THEN replace(dirty, card, '<CARD>')
+        |      ELSE dirty END AS clean
+        |FROM v ORDER BY doc_id""".stripMargin,
     // md5 hash-bucket sampling: same engine-portable bucket as d_train_split
     "d_sample_strata" ->
       """WITH b AS (

@@ -2925,3 +2925,43 @@ class FilteredAnnSpec extends SparkSpec {
       s"expected post-filter underfetch on sf0.001: $postCounts")
   }
 }
+
+/** Luhn validator hand-trace: the arithmetic pinned against known card
+  * test numbers (the ISO/IEC 7812 examples every implementation uses).
+  */
+class LuhnSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private def luhnValid(card: String): Boolean = {
+    val df = spark.range(1).select(lit(card).as("card"))
+      .withColumn("luhn_sum", expr(
+        "aggregate(transform(sequence(1, 16), i -> " +
+        "CASE WHEN i % 2 = 1 THEN " +
+        " CASE WHEN CAST(substr(card, i, 1) AS INT) * 2 > 9 " +
+        "  THEN CAST(substr(card, i, 1) AS INT) * 2 - 9 " +
+        "  ELSE CAST(substr(card, i, 1) AS INT) * 2 END " +
+        "ELSE CAST(substr(card, i, 1) AS INT) END), 0, (a, x) -> a + x)"))
+    df.select((col("luhn_sum") % 10 === 0).as("v")).head().getBoolean(0)
+  }
+
+  test("known-valid 16-digit test numbers pass; off-by-one check digits fail") {
+    // standard test PANs (valid by construction, public test vectors)
+    assert(luhnValid("4111111111111111"), "Visa test PAN must validate")
+    assert(luhnValid("5500005555555559"), "MC test PAN must validate")
+    assert(!luhnValid("4111111111111112"), "flipped check digit must fail")
+    assert(!luhnValid("5500005555555550"), "flipped check digit must fail")
+  }
+
+  test("d_pii_luhn scrubs exactly the validated numbers") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    val out = SparkEntry.queries("d_pii_luhn")(spark, dir).collect()
+    out.foreach { r =>
+      val scrubbed = r.getAs[String]("clean").contains("<CARD>")
+      assert(scrubbed == (r.getAs[Int]("luhn_valid") == 1),
+        s"doc ${r.getAs[Long]("doc_id")}: scrub must track validation")
+    }
+    val nValid = out.count(_.getAs[Int]("luhn_valid") == 1)
+    assert(nValid > 0 && nValid < out.length, "both outcomes must occur")
+  }
+}
