@@ -1774,6 +1774,32 @@ object SparkEntry {
       .orderBy(col("bkey"), col("tkey"))
   }
 
+  private def skewAudit(s: SparkSession, dir: String): DataFrame = {
+    // pre-flight join-key skew diagnosis — the report a 100 TB pipeline
+    // runs BEFORE picking salt factors / AQE skew thresholds: for each
+    // candidate join key of the fact table, the key cardinality, the
+    // heaviest key's row count, its corpus share (ppm), and max/mean in
+    // exact x1000 integers ((max·n_keys·1000) div n_rows — no float).
+    // ONE scan: the three keys explode through a map (3x fixed fanout),
+    // then two partial-agg groupBys; no per-key rescan.
+    val kv = t(s, dir, "lineitem").select(explode(map(
+      lit("l_orderkey"), col("l_orderkey"),
+      lit("l_partkey"), col("l_partkey"),
+      lit("l_suppkey"), col("l_suppkey"))).as(Seq("key_name", "key_value")))
+    kv.groupBy(col("key_name"), col("key_value"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("key_name"))
+      .agg(sum(col("n")).cast("bigint").as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("n")).cast("bigint").as("max_n"))
+      .withColumn("top1_ppm",
+        round(lit(1e6) * (col("max_n").cast("double") /
+          col("n_rows").cast("double"))).cast("bigint"))
+      .withColumn("skew_x1000",
+        expr("(max_n * n_keys * 1000) div n_rows"))
+      .orderBy(col("key_name"))
+  }
+
   private def rollingDistinct(s: SparkSession, dir: String): DataFrame = {
     // trailing-7-day distinct users per day — the DAU/WAU shape. EXACT
     // rolling distinct without a window-over-everything: dedup to
@@ -4496,6 +4522,7 @@ object SparkEntry {
     "d_setjoin_ppjoin" -> (setJoinPpjoin _),
     "q_compaction_plan" -> (compactionPlan _),
     "q_record_linkage" -> (recordLinkage _),
+    "q_skew_audit" -> (skewAudit _),
     "q_zorder_box" -> (zorderBoxQuery _),
     "d_cms_audit" -> (cmsAudit _),
     "d_lang_lines" -> (langLinesAudit _),
@@ -6434,6 +6461,23 @@ object SparkEntry {
         |  ON tnat = bnat AND substr(tname, 1, 16) = substr(bname, 1, 16)
         |WHERE levenshtein(tname, bname) <= 1
         |ORDER BY bkey, tkey""".stripMargin,
+    // join-key skew audit: per candidate key, cardinality + heaviest-key
+    // share, max/mean in exact x1000 integer division
+    "q_skew_audit" ->
+      """WITH kv AS (
+        | SELECT 'l_orderkey' AS key_name, l_orderkey AS key_value
+        | FROM lineitem
+        | UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem
+        | UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem),
+        |per AS (SELECT key_name, key_value, count(*) AS n
+        |        FROM kv GROUP BY 1, 2)
+        |SELECT key_name, CAST(sum(n) AS BIGINT) AS n_rows,
+        | count(*) AS n_keys, CAST(max(n) AS BIGINT) AS max_n,
+        | CAST(round(1000000 * (CAST(max(n) AS DOUBLE) /
+        |   CAST(sum(n) AS DOUBLE))) AS BIGINT) AS top1_ppm,
+        | CAST((CAST(max(n) AS BIGINT) * count(*) * 1000)
+        |   // CAST(sum(n) AS BIGINT) AS BIGINT) AS skew_x1000
+        |FROM per GROUP BY key_name ORDER BY key_name""".stripMargin,
     // z-order box: the oracle is the PLAIN box filter on the raw table —
     // a hash match proves the z-range cover + residual lose nothing
     "q_zorder_box" ->
