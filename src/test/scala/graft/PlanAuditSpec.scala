@@ -442,6 +442,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(pushed.contains("zkey"), pushed)
   }
 
+  test("filtered ANN: the label predicate is pushed into the DPP-pruned store scan") {
+    val p = plan(SparkEntry.queries("s_ann_filtered")(spark, dir))
+    val storeScans = p.linesIterator.filter(l =>
+      l.contains("FileScan") && l.contains("ivfmetastore")).toList
+    assert(storeScans.nonEmpty, p)
+    // pre-filter lands in the parquet scan (PushedFilters on label) AND
+    // composes with centroid-directory probe pruning (dynamicpruning on
+    // the partition column)
+    assert(storeScans.exists(l => l.contains("PushedFilters") &&
+      l.contains("label")), p)
+    assert(storeScans.exists(_.contains("dynamicpruning")), p)
+  }
+
 }
 
 /** Row-level invariants tying the relational query surface together. */
