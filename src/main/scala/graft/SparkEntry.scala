@@ -1694,6 +1694,50 @@ object SparkEntry {
       .orderBy(col("exact_n").desc, col("term"))
   }
 
+  private def joinCardinality(s: SparkSession, dir: String): DataFrame = {
+    // sketch-based JOIN-SIZE estimation — what an optimizer does before
+    // committing to a join strategy: |lineitem ⋈ orders| on orderkey
+    // estimated as the CMS inner product (per depth row Σ_c nA·nB, min
+    // over rows), reported at three widths against the exact answer.
+    // ONE corpus pass per side builds the finest matrix; the coarser
+    // widths derive by re-bucketing c % w (exact because 256 | 4096 |
+    // 65536), so error-vs-width is audited without rescanning. The
+    // estimate can only OVERcount (collisions add — spec-pinned), and
+    // is monotone non-increasing in width (coarse cells aggregate fine
+    // ones — also pinned). Exact truth via the per-key count join; the
+    // join itself is never materialized.
+    val depth = 4
+    val wMax = 65536
+    val widths = Seq(256, 4096, 65536)
+    val a = t(s, dir, "lineitem")
+      .select(col("l_orderkey").cast("string").as("term"))
+    val b = t(s, dir, "orders")
+      .select(col("o_orderkey").cast("string").as("term"))
+    // materialize the ≤ depth·wMax cell matrices once; the three width
+    // derivations below would otherwise each replay the corpus scan
+    val ca = HeavyHitters.cmsCells(a, "term", depth, wMax).localCheckpoint()
+    val cb = HeavyHitters.cmsCells(b, "term", depth, wMax).localCheckpoint()
+    val perWidth = widths.map { w =>
+      val da = ca.groupBy(col("d"), (col("c") % w).as("c"))
+        .agg(sum(col("n")).as("na"))
+      val db = cb.groupBy(col("d"), (col("c") % w).as("c"))
+        .agg(sum(col("n")).as("nb"))
+      da.join(db, Seq("d", "c"))
+        .groupBy(col("d")).agg(sum(col("na") * col("nb")).as("ip"))
+        .agg(min(col("ip")).cast("bigint").as("cms_n"))
+        .select(lit(w).as("width"), col("cms_n"))
+    }.reduce(_ union _)
+    val exact = a.groupBy(col("term")).agg(count(lit(1)).as("na"))
+      .join(b.groupBy(col("term")).agg(count(lit(1)).as("nb")), "term")
+      .agg(sum(col("na") * col("nb")).cast("bigint").as("exact_n"))
+    perWidth.crossJoin(broadcast(exact))
+      .withColumn("over_ppm", round(lit(1e6) *
+        ((col("cms_n") - col("exact_n")).cast("double") /
+          col("exact_n").cast("double"))).cast("bigint"))
+      .select(col("width"), col("exact_n"), col("cms_n"), col("over_ppm"))
+      .orderBy(col("width"))
+  }
+
   private def langLinesAudit(s: SparkSession, dir: String): DataFrame = {
     // code-switching audit: language ID voted PER 8-token line segment
     // (the derived-line convention of d_gopher_lines — this corpus ships
@@ -4525,6 +4569,7 @@ object SparkEntry {
     "q_skew_audit" -> (skewAudit _),
     "q_zorder_box" -> (zorderBoxQuery _),
     "d_cms_audit" -> (cmsAudit _),
+    "q_join_cardinality" -> (joinCardinality _),
     "d_lang_lines" -> (langLinesAudit _),
     "d_dedup_incremental" -> (dedupIncremental _),
     "d_dedup_incremental_stored" -> (dedupIncrementalStored _),
@@ -6513,6 +6558,44 @@ object SparkEntry {
         |    1, 8)) AS BIGINT) % 256
         |GROUP BY t.term, t.exact_n
         |ORDER BY exact_n DESC, term""".stripMargin,
+    // CMS inner-product join-size estimate at three nested widths,
+    // coarser matrices derived by re-bucketing the finest (256|4096|65536)
+    "q_join_cardinality" ->
+      """WITH a AS (SELECT CAST(l_orderkey AS VARCHAR) AS term FROM lineitem),
+        |b AS (SELECT CAST(o_orderkey AS VARCHAR) AS term FROM orders),
+        |ca AS (
+        | SELECT d,
+        |  CAST(concat('0x', substr(md5(CAST(d AS VARCHAR) || ':' || term),
+        |    1, 8)) AS BIGINT) % 65536 AS c,
+        |  count(*) AS n
+        | FROM a, unnest([0, 1, 2, 3]) dd(d) GROUP BY 1, 2),
+        |cb AS (
+        | SELECT d,
+        |  CAST(concat('0x', substr(md5(CAST(d AS VARCHAR) || ':' || term),
+        |    1, 8)) AS BIGINT) % 65536 AS c,
+        |  count(*) AS n
+        | FROM b, unnest([0, 1, 2, 3]) dd(d) GROUP BY 1, 2),
+        |w AS (SELECT unnest([256, 4096, 65536]) AS width),
+        |wa AS (SELECT w.width, ca.d, ca.c % w.width AS c,
+        |        CAST(sum(ca.n) AS BIGINT) AS na
+        |       FROM w, ca GROUP BY 1, 2, 3),
+        |wb AS (SELECT w.width, cb.d, cb.c % w.width AS c,
+        |        CAST(sum(cb.n) AS BIGINT) AS nb
+        |       FROM w, cb GROUP BY 1, 2, 3),
+        |ip AS (SELECT wa.width, wa.d, sum(wa.na * wb.nb) AS ip
+        |       FROM wa JOIN wb ON wa.width = wb.width AND wa.d = wb.d
+        |         AND wa.c = wb.c
+        |       GROUP BY 1, 2),
+        |est AS (SELECT width, CAST(min(ip) AS BIGINT) AS cms_n
+        |        FROM ip GROUP BY width),
+        |ex AS (SELECT CAST(sum(na * nb) AS BIGINT) AS exact_n FROM
+        |   (SELECT term, count(*) AS na FROM a GROUP BY 1) ta
+        |   JOIN (SELECT term, count(*) AS nb FROM b GROUP BY 1) tb
+        |   USING (term))
+        |SELECT width, exact_n, cms_n,
+        | CAST(round(1000000 * (CAST(cms_n - exact_n AS DOUBLE) /
+        |   CAST(exact_n AS DOUBLE))) AS BIGINT) AS over_ppm
+        |FROM est, ex ORDER BY width""".stripMargin,
     // code-switch audit: same marker lists / argmax CASE as d_lang_predict
     "d_lang_lines" ->
       """WITH toks AS (

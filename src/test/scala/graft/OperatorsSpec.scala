@@ -2965,3 +2965,25 @@ class LuhnSpec extends SparkSpec {
     assert(nValid > 0 && nValid < out.length, "both outcomes must occur")
   }
 }
+
+/** CMS inner-product join-size estimation: the one-sided guarantee and
+  * the width-monotonicity that makes the three-width audit meaningful.
+  */
+class JoinCardinalitySpec extends SparkSpec {
+  test("estimate never undercounts and is monotone non-increasing in width") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    val rows = SparkEntry.queries("q_join_cardinality")(spark, dir)
+      .orderBy("width").collect()
+    assert(rows.length == 3)
+    val exact = rows.head.getAs[Long]("exact_n")
+    assert(rows.forall(_.getAs[Long]("exact_n") == exact))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cms_n") >= exact,
+        s"width ${r.getAs[Int]("width")}: CMS must never undercount")
+    }
+    val ests = rows.map(_.getAs[Long]("cms_n"))
+    assert(ests.zip(ests.tail).forall { case (coarse, fine) => coarse >= fine },
+      s"coarser width must not beat finer: ${ests.toSeq}")
+  }
+}
