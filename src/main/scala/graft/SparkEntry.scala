@@ -1995,6 +1995,36 @@ object SparkEntry {
       .orderBy(desc("df"), asc("gram"))
       .limit(20)
 
+  private def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
+    // corpus-diversity attribution: which sources contribute NEW 3-grams
+    // and which re-tread existing text. A gram's first sighting is its
+    // minimum doc_id corpus-wide (deterministic, ingest-order-free); the
+    // sighting doc's source gets the credit. Per source: its distinct
+    // gram vocabulary, the grams it sighted first, and the novelty share
+    // in ppm — the curation signal for "this feed only re-crawls what we
+    // already have". Grams shuffle once (per-doc-deduped pairs), the
+    // first-doc→source lookup joins the bounded doc table, and both
+    // rollups are partial-agg groupBys.
+    val docs = t(s, dir, "documents")
+    val gd = docs.select(col("doc_id"), col("source"),
+      explode(array_distinct(Dedup.shingles(col("text"), 3))).as("gram"))
+    val firstSrc = gd.groupBy(col("gram"))
+      .agg(min(col("doc_id")).as("first_doc"))
+      .join(docs.select(col("doc_id").as("first_doc"),
+        col("source").as("first_source")), "first_doc")
+      .groupBy(col("first_source").as("source"))
+      .agg(count(lit(1)).as("n_first_seen"))
+    gd.groupBy(col("source"))
+      .agg(countDistinct(col("gram")).as("n_grams"))
+      .join(firstSrc, Seq("source"), "left")
+      .select(col("source"), col("n_grams"),
+        coalesce(col("n_first_seen"), lit(0L)).as("n_first_seen"))
+      .withColumn("novelty_ppm", round(lit(1e6) *
+        (col("n_first_seen").cast("double") / col("n_grams").cast("double")))
+        .cast("bigint"))
+      .orderBy(col("source"))
+  }
+
   private def boilerplateQuery(s: SparkSession, dir: String): DataFrame =
     // C4-style cross-doc boilerplate detection: word 3-grams shared by >= 5
     // distinct docs are template text; score each doc by its common fraction
@@ -4546,6 +4576,7 @@ object SparkEntry {
     "d_lm_score_frozen" -> (lmScoreFrozenQuery _),
     "d_quality_outliers" -> (qualityOutliersQuery _),
     "d_top_ngrams" -> (topNgrams _),
+    "d_ngram_novelty" -> (ngramNovelty _),
     "q_pivot_events" -> (pivotEvents _),
     "q_rollup_revenue" -> (rollupRevenue _),
     "q_running_total" -> (runningTotal _),
@@ -6729,6 +6760,33 @@ object SparkEntry {
         | FROM tk WHERE len(tk) >= 2)
         |SELECT gram, count(*) AS df FROM g
         |GROUP BY gram ORDER BY df DESC, gram LIMIT 20""".stripMargin,
+    // per-source 3-gram novelty: first sighting = corpus-wide min doc_id,
+    // credit to the sighting doc's source
+    "d_ngram_novelty" ->
+      """WITH tk AS (
+        | SELECT doc_id, source,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    x -> len(x) > 0) AS tk
+        | FROM documents),
+        |g AS (
+        | SELECT doc_id, source,
+        |  unnest(list_distinct(list_transform(range(1, len(tk) - 1),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS gram
+        | FROM tk WHERE len(tk) >= 3),
+        |fs AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram),
+        |fsrc AS (
+        | SELECT d.source, count(*) AS n_first_seen
+        | FROM fs JOIN documents d ON d.doc_id = fs.first_doc
+        | GROUP BY d.source),
+        |per AS (
+        | SELECT source, count(DISTINCT gram) AS n_grams FROM g
+        | GROUP BY source)
+        |SELECT per.source, per.n_grams,
+        | CAST(COALESCE(fsrc.n_first_seen, 0) AS BIGINT) AS n_first_seen,
+        | CAST(round(1000000 * (CAST(COALESCE(fsrc.n_first_seen, 0) AS DOUBLE)
+        |   / CAST(per.n_grams AS DOUBLE))) AS BIGINT) AS novelty_ppm
+        |FROM per LEFT JOIN fsrc ON per.source = fsrc.source
+        |ORDER BY per.source""".stripMargin,
     // per-user cumulative purchase revenue over the deterministic
     // (ts, event_id) order; ROWS frame spelled out in both engines
     "q_running_total" ->

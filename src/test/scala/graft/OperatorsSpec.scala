@@ -2987,3 +2987,25 @@ class JoinCardinalitySpec extends SparkSpec {
       s"coarser width must not beat finer: ${ests.toSeq}")
   }
 }
+
+/** Novelty attribution conservation: every distinct corpus gram is
+  * first-sighted exactly once, so per-source credits sum to the
+  * corpus-wide distinct-gram count.
+  */
+class NgramNoveltySpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  test("per-source first-seen credits partition the distinct gram space") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    val out = SparkEntry.queries("d_ngram_novelty")(spark, dir).collect()
+    val credited = out.map(_.getAs[Long]("n_first_seen")).sum
+    val total = Tables(spark, dir, "documents")
+      .select(explode(array_distinct(
+        operators.Dedup.shingles(col("text"), 3))).as("g"))
+      .agg(countDistinct(col("g"))).head().getLong(0)
+    assert(credited == total, s"credits $credited != distinct grams $total")
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_first_seen") <= r.getAs[Long]("n_grams"))
+    }
+  }
+}
