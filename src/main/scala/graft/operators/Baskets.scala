@@ -33,6 +33,15 @@ object Baskets {
     * Input: one row per (basket, item) — duplicates tolerated (deduped).
     * Output: (item_a, item_b, pair_cnt, cnt_a, cnt_b, n_baskets) with
     * item_a < item_b, all exact BIGINTs.
+    *
+    * Prune semantics: the item filter is part of the CONTRACT, not just an
+    * optimization. When minItemSupport <= minPairSupport it is a lossless
+    * a-priori prune (an item in a qualifying pair has count >=
+    * minPairSupport). When minItemSupport > minPairSupport it deliberately
+    * ALSO drops pairs containing an infrequent item — identical to
+    * post-filtering the unpruned output on cnt_a/cnt_b >= minItemSupport
+    * (pair counts are unaffected by removing other items, so prune-first
+    * and post-filter agree; BasketsSpec pins that equality).
     */
   def frequentPairs(df: DataFrame, basketCol: String, itemCol: String,
                     minItemSupport: Long = 2L, minPairSupport: Long = 2L,

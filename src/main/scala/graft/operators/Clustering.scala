@@ -31,12 +31,21 @@ import org.apache.spark.sql.functions._
 object Clustering {
 
   /** Map-side quantization: (round(x·scale) + offset) as array<bigint>.
-    * `offset` must bound |x|·scale so every coordinate is non-negative.
+    * `offset` must bound |x|·scale so every coordinate is non-negative —
+    * the floor==truncate cross-engine exactness of `update` depends on it.
+    * The contract is ENFORCED map-side: a coordinate that would quantize
+    * negative (|x| > offset/scale, i.e. outside [-2, 2] at the defaults)
+    * raises instead of silently producing engine-divergent `div` results.
     */
   def quantize(vec: Column, scale: Long = 1000000L,
                offset: Long = 2000000L): Column =
-    transform(vec.cast("array<double>"),
-      x => (round(x * scale).cast("long") + offset))
+    transform(vec.cast("array<double>"), x => {
+      val v = round(x * scale).cast("long") + offset
+      when(v < 0, raise_error(concat(
+        lit(s"quantize: |x|*$scale exceeds offset $offset (x="),
+        x.cast("string"), lit(") — widen offset or rescale inputs"))))
+        .otherwise(v)
+    })
 
   /** Squared L2 distance between a quantized column and a centroid
     * literal — an exact integer fold. */
@@ -91,6 +100,12 @@ object Clustering {
     var centroids: Seq[(Int, Seq[Long])] = q
       .filter(col(idCol) < k).orderBy(col(idCol))
       .collect().map(r => (r.getLong(0).toInt, r.getSeq[Long](1).toSeq)).toSeq
+    // seed contract: idCol is a LongType id space containing 0..k-1, each
+    // seeding the centroid of its own index — a deterministic rule any
+    // engine reproduces. Fail loudly if seeds are missing or duplicated.
+    require(centroids.map(_._1) == (0 until k),
+      s"kmeans: seed rows with $idCol = 0..${k - 1} must each exist " +
+        s"exactly once (found ids ${centroids.map(_._1).mkString(",")})")
     var out: DataFrame = null
     for (_ <- 0 until iters) {
       out = assign(q, idCol, "__q", centroids)

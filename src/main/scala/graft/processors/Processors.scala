@@ -87,5 +87,10 @@ object EnrichProcessor extends Processor {
 object Populate {
   def register(r: Registry[Processor]): Unit = {
     r.register(EnrichProcessor)
+    // data-plane curation processors (project additions on the same SPI)
+    r.register(CurationProcessors.QualityFilter)
+    r.register(CurationProcessors.PiiScrub)
+    r.register(CurationProcessors.LangFilter)
+    r.register(CurationProcessors.DedupGate)
   }
 }

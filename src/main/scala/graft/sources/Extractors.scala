@@ -134,5 +134,6 @@ object Populate {
     r.register(TableauExtractor)
     r.register(MetabaseExtractor)
     r.register(OptimusExtractor)
+    r.register(graft.processors.DocumentsExtractor)
   }
 }

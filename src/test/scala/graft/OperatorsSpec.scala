@@ -1334,6 +1334,47 @@ class RecallSpec extends SparkSpec {
     assert(mean >= 0.9, s"IVF recall@5 regressed: $mean (per-query: $recalls)")
   }
 
+  test("stored-IVF mutual-kNN (trained codebook) reciprocal-pair recall vs brute force") {
+    assume(new java.io.File(dir).isDirectory)
+    import org.apache.spark.sql.functions._
+    // the PRODUCTION mutual-kNN path graded as s_mutual_knn_stored uses the
+    // portable first-8-unit codebook (so the DuckDB twin can recompute it);
+    // THIS gate pins the trained-kmeans codebook — same store layout, same
+    // ivfSelfTopK shuffle-join feeder, kmeansLocal coarse seeds (the
+    // s_ann_ivf sample discipline). Reciprocal-pair recall compounds BOTH
+    // directions' list recall, and isotropic random vectors are the
+    // worst case for any coarse quantizer (no cluster structure to probe
+    // into), so the pin is deliberately below the one-directional 0.9.
+    val emb = Tables(spark, dir, "embeddings")
+    val sortKey = when(col("vec_id") < 8, lit(-1L))
+      .otherwise(pmod(xxhash64(col("vec_id")), lit(1000000007L)))
+    val training = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .orderBy(sortKey, col("vec_id")).limit(8192)
+      .collect().map(r => r.getAs[Long](0) -> r.getSeq[Double](1).toSeq)
+      .sortBy(_._1)
+    val seed = training.takeWhile(_._1 < 8).map(_._2).toSeq
+    val cents = Similarity.kmeansLocal(training.map(_._2).toSeq, seed,
+      iters = 5, spherical = true)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_mknn_store").toString
+    Similarity.writeIvfStore(emb, "vec_id", "embedding", cents, path)
+    val stored = Similarity.mutualTopK(
+        Similarity.ivfSelfTopK(spark.read.parquet(path), "vec_id",
+          "embedding", k = 5, coarse = cents, nprobe = 3))
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    val truth = SparkEntry.queries("s_mutual_knn")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    val recall = truth.intersect(stored).size.toDouble / truth.size
+    assert(recall >= 0.7,
+      s"stored mutual-kNN pair recall regressed: $recall " +
+        s"(truth ${truth.size}, stored ${stored.size})")
+    // and no false pairs relative to the lists it was fed: every emitted
+    // pair must be reciprocal within the IVF lists by construction, so
+    // precision failures here mean the mutual filter itself broke
+    assert(stored.forall { case (a, b) => a < b })
+  }
+
   test("Matryoshka half-dim SHORTLIST contains the full-dim top-5 (recall >= 0.9)") {
     assume(new java.io.File(dir).isDirectory)
     import org.apache.spark.sql.functions._

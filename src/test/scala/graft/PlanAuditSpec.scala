@@ -24,6 +24,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("stored mutual-kNN: shuffle join on centroid_id, no cartesian, no corpus broadcast") {
+    // the production mutual-kNN feeder (ivfSelfTopK) must never plan the
+    // N² cartesian the brute-force truth twin pays: candidates come from
+    // a hash equi-join on centroid_id, and the corpus-sized query side is
+    // NOT broadcast (a corpus broadcast is the other 100 TB killer)
+    val p = plan(SparkEntry.queries("s_mutual_knn_stored")(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("centroid_id"), p)
+    // the truth twin IS the cartesian — that contrast is the point
+    val truth = plan(SparkEntry.queries("s_mutual_knn")(spark, dir))
+    assert(truth.contains("BroadcastNestedLoopJoin") || truth.contains("CartesianProduct"), truth)
+  }
+
   test("as-of join: one hash exchange feeds the window (union+window, no range blowup)") {
     val ev = Tables(spark, dir, "events")
     val purchases = ev.filter(col("event_type") === "purchase")

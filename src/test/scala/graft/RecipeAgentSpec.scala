@@ -161,6 +161,86 @@ class AgentSpec extends SparkSpec {
     assert(lines(1).contains(""""name":"users.csv""""))
   }
 
+  test("end-to-end curation recipe: documents -> quality -> scrub -> dedup-gate -> file") {
+    import spark.implicits._
+    // the LLM-pipeline operators on the RECIPE surface: raw document rows
+    // in, curated NDJSON out, fingerprints persisted so the NEXT batch
+    // gates against this one
+    val docsDir = Files.createTempDirectory("curedocs")
+    val idx = Files.createTempDirectory("curidx").resolve("fp").toString
+    val out = Files.createTempDirectory("cureout").resolve("kept.ndjson")
+    val keepText = "the quick brown fox jumps over the lazy dog " +
+      "write to bob@example.com for details"
+    val otherText = "another perfectly ordinary document with enough " +
+      "tokens to pass the quality gate today"
+    Seq((1L, keepText), (2L, "short"), (3L, keepText), (4L, otherText))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$docsDir/batch1")
+    def recipe(batch: String) = RecipeReader.parse(
+      s"""name: curation
+         |version: v1beta1
+         |source:
+         |  name: documents
+         |  config: {path: $docsDir/$batch}
+         |processors:
+         |  - name: quality-filter
+         |    config: {min_tokens: 5, max_stopword_ratio: 1.0,
+         |             max_punct_ratio: 1.0, min_mean_token_len: 0,
+         |             max_mean_token_len: 100}
+         |  - name: pii-scrub
+         |    config: {text_column: text}
+         |  - name: dedup-gate
+         |    config: {index_path: $idx}
+         |sinks:
+         |  - name: file
+         |    config: {path: $out, format: ndjson}
+         |""".stripMargin)
+    val r1 = new Agent(spark).run(recipe("batch1"))
+    assert(r1.success, r1.error)
+    // doc 2 fails quality (1 token), doc 3 is the in-batch duplicate of 1
+    assert(r1.recordCount == 2, r1)
+    val lines = scala.jdk.CollectionConverters.CollectionHasAsScala(
+      Files.readAllLines(out)).asScala.toSeq
+    assert(lines.size == 2)
+    assert(lines.exists(_.contains("<EMAIL>")))
+    assert(!lines.exists(_.contains("bob@example.com")))
+    // fingerprints persisted: 2 survivors
+    assert(spark.read.parquet(idx).count() == 2)
+    // batch 2: doc 5 repeats doc 4's text -> stored gate drops it; 6 is new
+    Seq((5L, otherText), (6L, "a genuinely fresh document that nobody has " +
+        "ever fingerprinted before in this index"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$docsDir/batch2")
+    val r2 = new Agent(spark).run(recipe("batch2"))
+    assert(r2.success, r2.error)
+    assert(r2.recordCount == 1, r2)
+    assert(spark.read.parquet(idx).count() == 3)
+    // roster: the curation processors are listable like any plugin
+    Registries.populate()
+    val names = Registries.processors.list.map(_.name).toSet
+    assert(Set("enrich", "quality-filter", "pii-scrub", "lang-filter",
+      "dedup-gate").subsetOf(names), names)
+  }
+
+  test("lang-filter keeps only allowed predicted languages") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox and the lazy dog with some of those words"),
+      (2L, "der schnelle braune fuchs und der faule hund mit einigen von diesen"),
+      (3L, "zzz qqq xxx www")).toDF("doc_id", "text")
+    val kept = graft.processors.CurationProcessors.LangFilter
+      .process(df, Map("allowed" -> "en"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L), kept)
+    // YAML-list spelling of `allowed` behaves identically
+    val jl = new java.util.ArrayList[String]()
+    jl.add("en"); jl.add("de")
+    val kept2 = graft.processors.CurationProcessors.LangFilter
+      .process(df, Map("allowed" -> jl))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept2 == Set(1L, 2L), kept2)
+  }
+
   test("multi-sink fan-out from one cached pass; sink error isolated") {
     val dir = Files.createTempDirectory("csvsrc2")
     writeCsv(dir)
