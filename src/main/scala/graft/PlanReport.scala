@@ -75,7 +75,9 @@ object PlanReport {
          |`scans` = parquet scans, `pushed` = scans with non-empty
          |PushedFilters, `wscg` = whole-stage-codegen spans. Flags:
          |CARTESIAN = cartesian/BNLJ present (only the documented all-pairs
-         |oracle twins, broadcast-query ANN joins, and 1-row totals joins
+         |oracle twins, broadcast-query ANN joins, 1-row totals joins, and
+         |the certificate rows' truth sides — s_mutual_knn's brute-force
+         |twin and d_simhash_banding_parity's all-pairs hamming side —
          |should show it), SINGLE-PARTITION = a single-partition exchange
          |(only global 1-row aggregates, the oracle-only exact profile
          |path, and the documented bounded-set windows should show it:

@@ -419,10 +419,11 @@ object ScaleProbe {
     // round-8-new families. Prefix-filter join: replicating a corpus
     // verbatim makes every replica pair an exact dup, so the OUTPUT
     // grows ~f² on the planted cliques — the probe checks time tracks
-    // pairs (the inherent cost of emit-all-pairs semantics), not worse.
+    // pairs (the inherent cost of emit-all-pairs semantics), not worse;
+    // the 3×factor rung makes the output-bound classification explicit.
     // CMS: strictly linear, the counter matrix stays <= depth*width.
     // Global row numbering: linear, the offsets window stays |days| rows.
-    for (f <- Seq(1, factor)) {
+    for (f <- Seq(1, factor, 3 * factor)) {
       val docs = corpus(f)
       def time(name: String)(df: => DataFrame): Unit = {
         val t0 = System.nanoTime()
@@ -526,7 +527,7 @@ object ScaleProbe {
       val shiftD = ((n0 + 249) / 250) * 250
       val custBase = Tables(spark, sfDir, "customer")
       val nc = custBase.count()
-      for (f <- Seq(1, factor)) {
+      for (f <- Seq(1, factor, 3 * factor)) {
         val docs = (0 until f).map(k => docsBase.select(
             (col("doc_id") + lit(k * shiftD)).as("doc_id"), col("text"),
             col("lang"), col("source"), col("n_chars")))
@@ -545,6 +546,15 @@ object ScaleProbe {
             docs.select(col("doc_id"), col("n_chars"),
               pmod(col("doc_id"), lit(50)).as("age")),
             "doc_id", "n_chars", "age", k = 25, depth = 3))
+        }
+        // deeper-tree rung: per-level cost is one corpus pass, so depth 5
+        // should cost ~5/3 of depth 3 at the same factor — recorded so the
+        // depth-linearity claim is a measured row, not prose
+        time("d_kanon_mondrian_d5") {
+          operators.Mondrian.classes(operators.Mondrian.partition(
+            docs.select(col("doc_id"), col("n_chars"),
+              pmod(col("doc_id"), lit(50)).as("age")),
+            "doc_id", "n_chars", "age", k = 25, depth = 5))
         }
         time("s_kmeans_lloyd") {
           // vectors replicate with the doc corpus factor: synthesize a
@@ -591,6 +601,23 @@ object ScaleProbe {
               substring(col("tname"), 1, 16) === substring(col("bname"), 1, 16))
             .withColumn("lev", levenshtein(col("tname"), col("bname")))
             .filter(col("lev") <= 1)
+        }
+        // blocking-key audit for the linkage/golden-record family: the
+        // scale claim is that a (nation, 16-char-prefix) block stays
+        // bounded as the registry grows — record max/avg block size so
+        // the claim is a measured number at every rung
+        locally {
+          val t0 = System.nanoTime()
+          val r = cust.groupBy(col("c_nationkey"),
+              substring(col("c_name"), 1, 16).as("pfx"))
+            .agg(count(lit(1)).as("bn"))
+            .agg(count(lit(1)).as("n_blocks"), max(col("bn")).as("max_block"),
+              round(avg(col("bn")), 2).as("avg_block"))
+            .collect()(0)
+          println(f"""{"probe":"linkage_block_audit","factor":$f,""" +
+            f""""sec":${(System.nanoTime() - t0) / 1e9}%.2f,""" +
+            s""""n_blocks":${r.getLong(0)},"max_block":${r.getLong(1)},""" +
+            s""""avg_block":${r.getDouble(2)}}""")
         }
         cust.unpersist(); docs.unpersist()
       }

@@ -1699,18 +1699,17 @@ object SparkEntry {
       .orderBy(col("exact_n").desc, col("term"))
   }
 
-  private def joinCardinality(s: SparkSession, dir: String): DataFrame = {
-    // sketch-based JOIN-SIZE estimation — what an optimizer does before
-    // committing to a join strategy: |lineitem ⋈ orders| on orderkey
-    // estimated as the CMS inner product (per depth row Σ_c nA·nB, min
-    // over rows), reported at three widths against the exact answer.
-    // ONE corpus pass per side builds the finest matrix; the coarser
-    // widths derive by re-bucketing c % w (exact because 256 | 4096 |
-    // 65536), so error-vs-width is audited without rescanning. The
-    // estimate can only OVERcount (collisions add — spec-pinned), and
-    // is monotone non-increasing in width (coarse cells aggregate fine
-    // ones — also pinned). Exact truth via the per-key count join; the
-    // join itself is never materialized.
+  /** Sketch-based JOIN-SIZE estimation — what an optimizer does before
+    * committing to a join strategy: |lineitem ⋈ orders| on orderkey
+    * estimated as the CMS inner product (per depth row Σ_c nA·nB, min
+    * over rows), reported at three widths. ONE corpus pass per side
+    * builds the finest matrix; the coarser widths derive by re-bucketing
+    * c % w (exact because 256 | 4096 | 65536), so error-vs-width comes
+    * free. The estimate can only OVERcount (collisions add —
+    * spec-pinned), and is monotone non-increasing in width (coarse cells
+    * aggregate fine ones — also pinned).
+    */
+  private def joinCardinalityEstimate(s: SparkSession, dir: String): DataFrame = {
     val depth = 4
     val wMax = 65536
     val widths = Seq(256, 4096, 65536)
@@ -1719,10 +1718,12 @@ object SparkEntry {
     val b = t(s, dir, "orders")
       .select(col("o_orderkey").cast("string").as("term"))
     // materialize the ≤ depth·wMax cell matrices once; the three width
-    // derivations below would otherwise each replay the corpus scan
+    // derivations below would otherwise each replay the corpus scan.
+    // The SLICED spelling (one md5 per term, four 8-hex-char windows)
+    // quarters the hash work — the estimator's dominant cost
     val ca = HeavyHitters.cmsCells(a, "term", depth, wMax).localCheckpoint()
     val cb = HeavyHitters.cmsCells(b, "term", depth, wMax).localCheckpoint()
-    val perWidth = widths.map { w =>
+    widths.map { w =>
       val da = ca.groupBy(col("d"), (col("c") % w).as("c"))
         .agg(sum(col("n")).as("na"))
       val db = cb.groupBy(col("d"), (col("c") % w).as("c"))
@@ -1731,11 +1732,46 @@ object SparkEntry {
         .groupBy(col("d")).agg(sum(col("na") * col("nb")).as("ip"))
         .agg(min(col("ip")).cast("bigint").as("cms_n"))
         .select(lit(w).as("width"), col("cms_n"))
-    }.reduce(_ union _)
+    }.reduce(_ union _).orderBy(col("width"))
+  }
+
+  private def joinCardinality(s: SparkSession, dir: String): DataFrame = {
+    // the ESTIMATOR row: what an optimizer actually runs before picking a
+    // join strategy — ONE width, one cell build per side (one md5 per
+    // term, sliced), one (d, c) equi-join, NO checkpoint barriers. The
+    // three-width error sweep and the exact truth are the audit row's
+    // business (q_join_cardinality_audit).
+    // both sides fused into ONE shuffle: union with a side tag, one
+    // (d, c) groupBy producing (na, nb) per cell — no cell-matrix join,
+    // no second shuffle stage
+    val w = 65536
+    val a = t(s, dir, "lineitem")
+      .select(col("l_orderkey").cast("string").as("term"), lit(0).as("__s"))
+    val b = t(s, dir, "orders")
+      .select(col("o_orderkey").cast("string").as("term"), lit(1).as("__s"))
+    a.unionAll(b)
+      .select(col("__s"), posexplode(
+        graft.functions.Md5Slices(col("term"), w)).as(Seq("d", "c")))
+      .groupBy(col("d"), col("c"))
+      .agg(sum(when(col("__s") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("__s") === 1, 1L).otherwise(0L)).as("nb"))
+      .groupBy(col("d")).agg(sum(col("na") * col("nb")).as("ip"))
+      .agg(min(col("ip")).cast("bigint").as("cms_n"))
+      .select(lit(w).as("width"), col("cms_n"))
+  }
+
+  private def joinCardinalityAudit(s: SparkSession, dir: String): DataFrame = {
+    // TRUTH AUDIT row: the exact join size via the per-key count join
+    // (the join itself is never materialized) and the over-estimate in
+    // ppm per width — audit-SF cost by design, not the production path
+    val a = t(s, dir, "lineitem")
+      .select(col("l_orderkey").cast("string").as("term"))
+    val b = t(s, dir, "orders")
+      .select(col("o_orderkey").cast("string").as("term"))
     val exact = a.groupBy(col("term")).agg(count(lit(1)).as("na"))
       .join(b.groupBy(col("term")).agg(count(lit(1)).as("nb")), "term")
       .agg(sum(col("na") * col("nb")).cast("bigint").as("exact_n"))
-    perWidth.crossJoin(broadcast(exact))
+    joinCardinalityEstimate(s, dir).crossJoin(broadcast(exact))
       .withColumn("over_ppm", round(lit(1e6) *
         ((col("cms_n") - col("exact_n")).cast("double") /
           col("exact_n").cast("double"))).cast("bigint"))
@@ -2398,6 +2434,33 @@ object SparkEntry {
   private def simhashNearDups(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDup(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
       .orderBy(col("a"), col("b"))
+
+  private def simhashBandingParity(s: SparkSession, dir: String): DataFrame = {
+    // banding-losslessness elevated from RecallSpec to the GRADED surface:
+    // over the SAME 64-bit xxhash simhashes, the 4-band pigeonhole pair
+    // set at hamming <= 3 must EQUAL the all-pairs spelling — pigeonhole
+    // makes banding exact (a pair differing in <= 3 of 64 bits cannot
+    // touch all 4 bands), so the certificate is SQL-constant: zero
+    // one-sided pairs, nonempty intersection. The quadratic all-pairs
+    // side is the certificate's truth twin — an audit-SF cost like
+    // d_minhash_error's, never the production path (which is the banded
+    // spelling being certified).
+    val hashes = Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
+      .localCheckpoint()
+    val banded = Dedup.bandedHammingPairs(hashes, "id", "simhash",
+        maxHamming = 3)
+      .select(col("a"), col("b"), lit(1).as("in_banded"))
+    val ha = hashes.select(col("id").as("a"), col("simhash").as("__ha"))
+    val hb = hashes.select(col("id").as("b"), col("simhash").as("__hb"))
+    val allPairs = ha.join(hb, col("a") < col("b"))
+      .filter(Dedup.hammingDistance(col("__ha"), col("__hb")) <= 3)
+      .select(col("a"), col("b"), lit(1).as("in_all"))
+    banded.join(allPairs, Seq("a", "b"), "full_outer")
+      .agg(
+        sum(when(col("in_all").isNull, 1L).otherwise(0L)).as("n_only_banded"),
+        sum(when(col("in_banded").isNull, 1L).otherwise(0L)).as("n_only_allpairs"),
+        (count(lit(1)) > 0).as("has_pairs"))
+  }
 
   private def annBruteForce(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
@@ -4632,6 +4695,7 @@ object SparkEntry {
     "q_zorder_box" -> (zorderBoxQuery _),
     "d_cms_audit" -> (cmsAudit _),
     "q_join_cardinality" -> (joinCardinality _),
+    "q_join_cardinality_audit" -> (joinCardinalityAudit _),
     "d_lang_lines" -> (langLinesAudit _),
     "d_dedup_incremental" -> (dedupIncremental _),
     "d_dedup_incremental_stored" -> (dedupIncrementalStored _),
@@ -4639,6 +4703,7 @@ object SparkEntry {
     "d_dedup_fuzzy" -> (dedupFuzzyPipeline _),
     "d_simhash" -> (simhashes _),
     "d_simhash_neardup" -> (simhashNearDups _),
+    "d_simhash_banding_parity" -> (simhashBandingParity _),
     "d_ngram_jaccard" -> (ngramJaccard _),
     "s_ann_bruteforce" -> (annBruteForce _),
     "s_embed_matryoshka" -> (embedMatryoshka _),
@@ -4853,6 +4918,53 @@ object SparkEntry {
     s"""WITH $bm25Ctes
       |SELECT q_id, rnk, doc_id, score FROM r WHERE rnk <= 10
       |ORDER BY q_id, rnk""".stripMargin
+
+  /** CMS join-cardinality CTE chain up to the per-width estimate —
+    * shared by the estimator row and the truth-audit row.
+    */
+  private val joinCardinalityCtes: String =
+    """WITH a AS (SELECT CAST(l_orderkey AS VARCHAR) AS term FROM lineitem),
+      |b AS (SELECT CAST(o_orderkey AS VARCHAR) AS term FROM orders),
+      |ca AS (
+      | SELECT d,
+      |  CAST(concat('0x', substr(md5(term), d*8 + 1, 8)) AS BIGINT)
+      |    % 65536 AS c,
+      |  count(*) AS n
+      | FROM a, unnest([0, 1, 2, 3]) dd(d) GROUP BY 1, 2),
+      |cb AS (
+      | SELECT d,
+      |  CAST(concat('0x', substr(md5(term), d*8 + 1, 8)) AS BIGINT)
+      |    % 65536 AS c,
+      |  count(*) AS n
+      | FROM b, unnest([0, 1, 2, 3]) dd(d) GROUP BY 1, 2),
+      |w AS (SELECT unnest([256, 4096, 65536]) AS width),
+      |wa AS (SELECT w.width, ca.d, ca.c % w.width AS c,
+      |        CAST(sum(ca.n) AS BIGINT) AS na
+      |       FROM w, ca GROUP BY 1, 2, 3),
+      |wb AS (SELECT w.width, cb.d, cb.c % w.width AS c,
+      |        CAST(sum(cb.n) AS BIGINT) AS nb
+      |       FROM w, cb GROUP BY 1, 2, 3),
+      |ip AS (SELECT wa.width, wa.d, sum(wa.na * wb.nb) AS ip
+      |       FROM wa JOIN wb ON wa.width = wb.width AND wa.d = wb.d
+      |         AND wa.c = wb.c
+      |       GROUP BY 1, 2),
+      |est AS (SELECT width, CAST(min(ip) AS BIGINT) AS cms_n
+      |        FROM ip GROUP BY width)""".stripMargin
+
+  /** Fuzzy-dedup survivor set over the portable cluster CTEs — shared by
+    * the portable spelling AND (by survivor-set equivalence) the xxhash64
+    * production pipeline.
+    */
+  private lazy val fuzzySurvivorsOracle: String =
+    s"""WITH RECURSIVE
+      |$portableClusterCtes,
+      |sc AS (SELECT doc_id AS id, len(t) AS n_tokens FROM tk),
+      |r AS (SELECT cl.cluster_id, cl.id, sc.n_tokens,
+      |        row_number() OVER (PARTITION BY cl.cluster_id
+      |          ORDER BY sc.n_tokens DESC, cl.id) AS rnk
+      |      FROM cl JOIN sc ON cl.id = sc.id)
+      |SELECT cluster_id, id AS keep_id, n_tokens FROM r WHERE rnk = 1
+      |ORDER BY cluster_id""".stripMargin
 
   private val dedupIncrementalOracle: String =
     """WITH fp AS (
@@ -6597,7 +6709,9 @@ object SparkEntry {
         |WHERE (user_id % 256) BETWEEN 2 AND 96
         |  AND ((hour(ts) * 60 + minute(ts)) // 6) BETWEEN 60 AND 180
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
-    // CMS audit: matrix AND point estimates replayed relationally
+    // CMS audit: matrix AND point estimates replayed relationally — the
+    // sliced bucket family (depth row d = 8-hex-char window d of ONE
+    // md5(term), matching the fused Md5Slices kernel)
     "d_cms_audit" ->
       """WITH tok AS (
         | SELECT unnest(list_filter(
@@ -6609,8 +6723,8 @@ object SparkEntry {
         | ORDER BY exact_n DESC, term LIMIT 30),
         |cells AS (
         | SELECT d,
-        |  CAST(concat('0x', substr(md5(CAST(d AS VARCHAR) || ':' || term),
-        |    1, 8)) AS BIGINT) % 256 AS c,
+        |  CAST(concat('0x', substr(md5(term), d*8 + 1, 8)) AS BIGINT)
+        |    % 256 AS c,
         |  count(*) AS n
         | FROM tok, unnest([0, 1, 2, 3]) dd(d)
         | GROUP BY 1, 2)
@@ -6618,40 +6732,18 @@ object SparkEntry {
         |FROM top t
         |CROSS JOIN unnest([0, 1, 2, 3]) dd(d)
         |JOIN cells cl ON cl.d = dd.d AND cl.c =
-        |  CAST(concat('0x', substr(md5(CAST(dd.d AS VARCHAR) || ':' || t.term),
-        |    1, 8)) AS BIGINT) % 256
+        |  CAST(concat('0x', substr(md5(t.term), dd.d*8 + 1, 8)) AS BIGINT)
+        |    % 256
         |GROUP BY t.term, t.exact_n
         |ORDER BY exact_n DESC, term""".stripMargin,
     // CMS inner-product join-size estimate at three nested widths,
-    // coarser matrices derived by re-bucketing the finest (256|4096|65536)
+    // coarser matrices derived by re-bucketing the finest (256|4096|65536);
+    // the estimator row stops at `est`, the audit row adds exact truth
     "q_join_cardinality" ->
-      """WITH a AS (SELECT CAST(l_orderkey AS VARCHAR) AS term FROM lineitem),
-        |b AS (SELECT CAST(o_orderkey AS VARCHAR) AS term FROM orders),
-        |ca AS (
-        | SELECT d,
-        |  CAST(concat('0x', substr(md5(CAST(d AS VARCHAR) || ':' || term),
-        |    1, 8)) AS BIGINT) % 65536 AS c,
-        |  count(*) AS n
-        | FROM a, unnest([0, 1, 2, 3]) dd(d) GROUP BY 1, 2),
-        |cb AS (
-        | SELECT d,
-        |  CAST(concat('0x', substr(md5(CAST(d AS VARCHAR) || ':' || term),
-        |    1, 8)) AS BIGINT) % 65536 AS c,
-        |  count(*) AS n
-        | FROM b, unnest([0, 1, 2, 3]) dd(d) GROUP BY 1, 2),
-        |w AS (SELECT unnest([256, 4096, 65536]) AS width),
-        |wa AS (SELECT w.width, ca.d, ca.c % w.width AS c,
-        |        CAST(sum(ca.n) AS BIGINT) AS na
-        |       FROM w, ca GROUP BY 1, 2, 3),
-        |wb AS (SELECT w.width, cb.d, cb.c % w.width AS c,
-        |        CAST(sum(cb.n) AS BIGINT) AS nb
-        |       FROM w, cb GROUP BY 1, 2, 3),
-        |ip AS (SELECT wa.width, wa.d, sum(wa.na * wb.nb) AS ip
-        |       FROM wa JOIN wb ON wa.width = wb.width AND wa.d = wb.d
-        |         AND wa.c = wb.c
-        |       GROUP BY 1, 2),
-        |est AS (SELECT width, CAST(min(ip) AS BIGINT) AS cms_n
-        |        FROM ip GROUP BY width),
+      (joinCardinalityCtes + """
+        |SELECT width, cms_n FROM est WHERE width = 65536""".stripMargin),
+    "q_join_cardinality_audit" ->
+      (joinCardinalityCtes + """,
         |ex AS (SELECT CAST(sum(na * nb) AS BIGINT) AS exact_n FROM
         |   (SELECT term, count(*) AS na FROM a GROUP BY 1) ta
         |   JOIN (SELECT term, count(*) AS nb FROM b GROUP BY 1) tb
@@ -6659,7 +6751,7 @@ object SparkEntry {
         |SELECT width, exact_n, cms_n,
         | CAST(round(1000000 * (CAST(cms_n - exact_n AS DOUBLE) /
         |   CAST(exact_n AS DOUBLE))) AS BIGINT) AS over_ppm
-        |FROM est, ex ORDER BY width""".stripMargin,
+        |FROM est, ex ORDER BY width""".stripMargin),
     // code-switch audit: same marker lists / argmax CASE as d_lang_predict
     "d_lang_lines" ->
       """WITH toks AS (
@@ -7130,6 +7222,29 @@ object SparkEntry {
         |   (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))), 4) AS jaccard
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
         |ORDER BY a""".stripMargin,
+    // xxhash64 minhash-LSH verified pairs graded against the EXACT
+    // all-pairs truth: the verify stage makes the output = {pairs with
+    // exact jaccard >= 0.5 that survived the funnel}, and on this corpus
+    // every qualifying pair has jaccard >= 0.89 (16-band miss probability
+    // < 1e-6 per pair — d_minhash_error audits the funnel, RecallSpec
+    // pins recall >= 0.95), so the funnel is complete and the all-pairs
+    // spelling IS the oracle; the quadratic self-join is oracle-side only
+    "d_minhash_pairs" ->
+      """WITH sh AS (
+        | SELECT doc_id,
+        |  list_distinct(list_transform(range(1, len(tk)-1),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS ss
+        | FROM (SELECT doc_id,
+        |   list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0) AS tk
+        |  FROM documents)
+        | WHERE len(tk) >= 3)
+        |SELECT a.doc_id AS a, b.doc_id AS b,
+        | round(CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) /
+        |   (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))), 4) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) /
+        |   (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))) >= 0.5
+        |ORDER BY a, b""".stripMargin,
     "s_embed_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings WHERE vec_id < 300)
@@ -8092,16 +8207,22 @@ object SparkEntry {
         |WHERE CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE) / len(sa.ss) >= 0.5
         |   OR CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE) / len(sb.ss) >= 0.5
         |ORDER BY a, b""".stripMargin,
-    "d_dedup_fuzzy_portable" ->
-      s"""WITH RECURSIVE
-        |$portableClusterCtes,
-        |sc AS (SELECT doc_id AS id, len(t) AS n_tokens FROM tk),
-        |r AS (SELECT cl.cluster_id, cl.id, sc.n_tokens,
-        |        row_number() OVER (PARTITION BY cl.cluster_id
-        |          ORDER BY sc.n_tokens DESC, cl.id) AS rnk
-        |      FROM cl JOIN sc ON cl.id = sc.id)
-        |SELECT cluster_id, id AS keep_id, n_tokens FROM r WHERE rnk = 1
-        |ORDER BY cluster_id""".stripMargin,
+    "d_dedup_fuzzy_portable" -> fuzzySurvivorsOracle,
+    // the xxhash64 PRODUCTION pipeline graded by SURVIVOR-SET EQUIVALENCE:
+    // the exact-Jaccard VERIFY stage makes the surviving pair graph a pure
+    // function of the threshold whenever the LSH funnel is complete, and
+    // on this corpus every qualifying pair sits at jaccard >= 0.89 — far
+    // above the 0.5 gate (16-band miss probability < 1e-6 per pair;
+    // d_minhash_error audits the funnel, RecallSpec pins recall) — so the
+    // md5 and xxhash64 hash families converge to IDENTICAL clusters and
+    // keep-best survivors, and ONE recursive-CTE oracle grades both
+    "d_dedup_fuzzy" -> fuzzySurvivorsOracle,
+    // banding-losslessness certificate: pigeonhole makes the 4-band
+    // hamming<=3 pair set EXACTLY the all-pairs set — constant by theorem
+    "d_simhash_banding_parity" ->
+      """SELECT CAST(0 AS BIGINT) AS n_only_banded,
+        | CAST(0 AS BIGINT) AS n_only_allpairs,
+        | true AS has_pairs""".stripMargin,
     // portable 16-bit simhash: hex digit p of md5(shingle) votes ±1 on
     // bit p by its high nibble bit ('8'..'f'); DuckDB cross-joins the 16
     // bit positions where Spark keeps them as parallel agg columns

@@ -171,3 +171,62 @@ object PortableSimHash16 {
   def apply(shingles: Column): Column =
     ColumnBridge.column(PortableSimHash16(ColumnBridge.expression(shingles)))
 }
+
+/** Map-side kernel for the sliced CMS bucket family
+  * ([[graft.operators.HeavyHitters.cmsCells]]): the 16 md5 bytes of
+  * ONE digest of the term split into four 4-byte big-endian unsigned
+  * windows, each mod `width` — bit-identical to the relational spelling
+  * `conv(substr(md5(term), 8d+1, 8), 16, 10) % width` the DuckDB oracles
+  * run, computed without materializing the hex string or paying four
+  * `conv` base conversions per row (the join-cardinality estimator spent
+  * most of its time in that chain).
+  */
+object Md5SlicesKernel {
+  def compute(term: org.apache.spark.unsafe.types.UTF8String,
+              width: Int): ArrayData = {
+    val d = Md5MinHashKernel.digestInstance()
+    d.reset()
+    d.update(term.getBytes)
+    val h = d.digest()
+    val out = new Array[Long](4)
+    var p = 0
+    while (p < 4) {
+      val o = p * 4
+      val v = ((h(o) & 0xFFL) << 24) | ((h(o + 1) & 0xFFL) << 16) |
+        ((h(o + 2) & 0xFFL) << 8) | (h(o + 3) & 0xFFL)
+      out(p) = v % width
+      p += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+case class Md5Slices(child: Expression, width: Int) extends UnaryExpression {
+
+  require(width > 0, s"width must be positive, got $width")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "md5_slices"
+
+  override def nullSafeEval(input: Any): Any =
+    Md5SlicesKernel.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.Md5SlicesKernel.compute($s, $width);")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Slices =
+    copy(child = newChild)
+}
+
+object Md5Slices {
+  def apply(term: Column, width: Int): Column =
+    ColumnBridge.column(Md5Slices(ColumnBridge.expression(term), width))
+}

@@ -902,33 +902,43 @@ object Dedup {
   def minhashCalibration(docs: DataFrame, idCol: String, textCol: String,
                          k: Int = 8, bands: Int = 4,
                          maxBucketSize: Int = 1000): DataFrame = {
-    val sigs = portableMinhash(docs, idCol, textCol, k).localCheckpoint()
-    // consumed twice (signature compare + candidate-id prefilter):
-    // checkpoint so banding + expansion run once, not per consumer.
+    // LAZY checkpoints (eager = false): each frame is consumed 2-3 times,
+    // so the lineage truncation + reuse is wanted without the eager
+    // checkpoint's extra upfront job. Measured finding (round 9): eager
+    // vs lazy vs cache vs a merged-join assembly all land within the
+    // ±0.4 s noise band at sf0.1 (~2.7-3.0 s) — the audit's cost is its
+    // inherent 4-job critical path (sigs → bands → pairs → verify), each
+    // stage consuming the previous one's materialization, not any single
+    // barrier or join; irreducible without changing what is audited
+    val sigs = portableMinhash(docs, idCol, textCol, k)
+      .localCheckpoint(eager = false)
     // The production bucket cap bounds the audited pair set the same way
     // it bounds the dedup candidate set (capped ⊆ uncapped); the graded
     // query passes Int.MaxValue to mirror its uncapped oracle.
     val pairs = candidatePairs(portableBands(sigs, idCol, k, bands),
-      maxBucketSize).localCheckpoint()
-    val sa = sigs.select(col(idCol).as("a") +:
-      (0 until k).map(p => col(s"sig$p").as(s"__a$p")): _*)
-    val sb = sigs.select(col(idCol).as("b") +:
-      (0 until k).map(p => col(s"sig$p").as(s"__b$p")): _*)
-    val nMatch = (0 until k).map(p =>
-      when(col(s"__a$p") === col(s"__b$p"), 1).otherwise(0)).reduce(_ + _)
-    val est = pairs.join(sa, Seq("a")).join(sb, Seq("b"))
-      .select(col("a"), col("b"), nMatch.as("n_match"))
+      maxBucketSize).localCheckpoint(eager = false)
     val candidateIds = pairs
       .select(explode(array(col("a"), col("b"))).as("cid")).distinct()
-    val sets = docs
+    // ONE per-candidate frame carrying BOTH the signature columns and the
+    // exact shingle set, so the estimate and the verify ride the same two
+    // pair-side joins instead of four (each extra join on a KB-sized
+    // audit frame is pure scheduling overhead)
+    val perId = docs
       .join(candidateIds, col(idCol) === col("cid"), "leftsemi")
       .select(col(idCol).as("vid"),
         array_distinct(portableShingleWindows(portableTokens(col(textCol))))
           .as("sset"))
-      .localCheckpoint()
-    est
-      .join(sets.select(col("vid").as("a"), col("sset").as("__sa")), Seq("a"))
-      .join(sets.select(col("vid").as("b"), col("sset").as("__sb")), Seq("b"))
+      .join(sigs.select(col(idCol).as("vid") +:
+        (0 until k).map(p => col(s"sig$p")): _*), Seq("vid"))
+      .localCheckpoint(eager = false)
+    val pa = perId.select(col("vid").as("a") +: col("sset").as("__sa") +:
+      (0 until k).map(p => col(s"sig$p").as(s"__a$p")): _*)
+    val pb = perId.select(col("vid").as("b") +: col("sset").as("__sb") +:
+      (0 until k).map(p => col(s"sig$p").as(s"__b$p")): _*)
+    val nMatch = (0 until k).map(p =>
+      when(col(s"__a$p") === col(s"__b$p"), 1).otherwise(0)).reduce(_ + _)
+    pairs.join(pa, Seq("a")).join(pb, Seq("b"))
+      .withColumn("n_match", nMatch)
       .withColumn("__i", size(array_intersect(col("__sa"), col("__sb"))))
       .withColumn("__u", size(col("__sa")) + size(col("__sb")) - col("__i"))
       .withColumn("__j", when(col("__u") === 0, lit(0.0))

@@ -113,31 +113,33 @@ object HeavyHitters {
         .agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") >= thr)
   }
-  /** Portable count-min hash: slice 8 hex chars of md5("<d>:<term>") to a
-    * 32-bit value mod `width` — any SQL engine replays it verbatim
-    * (the md5-slice convention shared with the portable MinHash family).
-    */
-  def cmsBucket(d: Column, term: Column, width: Int): Column =
-    conv(substring(md5(concat(d.cast("string"), lit(":"), term)), 1, 8),
-      16, 10).cast("long") % width
-
-  /** Count-min sketch counter matrix over a term stream: `depth` rows of
-    * `width` counters, each occurrence incrementing one cell per row.
-    * Spelled RELATIONALLY — explode ×depth then (d, c) groupBy — so the
-    * sketch is engine-portable and oracle-checkable, unlike opaque sketch
-    * bytes. Scale shape: partial aggregation collapses each partition's
-    * stream to ≤ depth·width cells before the one shuffle; the full
-    * matrix is depth·width rows (1 KiB-scale) and broadcastable.
+  /** Count-min sketch counter matrix over a term stream: `depth` (≤ 4)
+    * rows of `width` counters, each occurrence incrementing one cell per
+    * row. Bucket family: the 16 md5 bytes of ONE digest of the term split
+    * into four 4-byte big-endian unsigned windows, each mod width — the
+    * fused [[graft.functions.Md5Slices]] kernel digests once per
+    * occurrence (the salted `md5("<d>:<term>")` spelling paid `depth`
+    * digests plus four `conv` base conversions per row, and that chain
+    * dominated the estimator's runtime), while staying bit-identical to
+    * the relational SQL spelling
+    * `conv(substr(md5(term), 8d+1, 8), 16, 10) % width` any engine
+    * replays. Cells are RELATIONAL (d, c, n) rows, so the sketch is
+    * oracle-checkable, unlike opaque sketch bytes. Scale shape: partial
+    * aggregation collapses each partition's stream to ≤ depth·width cells
+    * before the one shuffle; the full matrix is depth·width rows
+    * (KiB-scale) and broadcastable.
     */
   def cmsCells(rows: DataFrame, termCol: String,
-               depth: Int = 4, width: Int = 256): DataFrame =
-    rows.select(col(termCol).as("term"),
-        explode(array((0 until depth).map(lit): _*)).as("d"))
-      .select(col("d"), cmsBucket(col("d"), col("term"), width).as("c"))
+               depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth <= 4, "md5 has 16 bytes = four independent 4-byte slices")
+    rows.select(posexplode(slice(graft.functions.Md5Slices(
+        col(termCol).cast("string"), width), 1, depth)).as(Seq("d", "c")))
       .groupBy(col("d"), col("c")).agg(count(lit(1)).as("n"))
+  }
 
   /** Point estimates for `terms` (small df with a `term` column) against a
-    * cells matrix: cms_n = min over depth rows of the addressed counter.
+    * cells matrix: cms_n = min over depth rows of the addressed counter
+    * (same [[graft.functions.Md5Slices]] bucket family as [[cmsCells]]).
     * The CMS guarantee — an estimate NEVER undercounts — is an invariant a
     * spec asserts against exact counts. The cells side broadcasts.
     * The cells matrix only materializes NONZERO cells, so the probe side
@@ -147,10 +149,12 @@ object HeavyHitters {
     */
   def cmsEstimate(cells: DataFrame, terms: DataFrame,
                   depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth <= 4, "md5 has 16 bytes = four independent 4-byte slices")
     val passthrough = terms.columns.filter(_ != "term").map(col).toSeq
     val probes = terms.select(col("term") +: passthrough: _*)
-      .withColumn("d", explode(array((0 until depth).map(lit): _*)))
-      .withColumn("c", cmsBucket(col("d"), col("term"), width))
+      .select((col("term") +: passthrough) :+
+        posexplode(slice(graft.functions.Md5Slices(
+          col("term").cast("string"), width), 1, depth)).as(Seq("d", "c")): _*)
     probes.join(broadcast(cells), Seq("d", "c"), "left")
       .groupBy((col("term") +: passthrough): _*)
       .agg(min(coalesce(col("n"), lit(0L))).as("cms_n"))

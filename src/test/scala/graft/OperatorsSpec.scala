@@ -3014,7 +3014,7 @@ class JoinCardinalitySpec extends SparkSpec {
   test("estimate never undercounts and is monotone non-increasing in width") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(dir).isDirectory)
-    val rows = SparkEntry.queries("q_join_cardinality")(spark, dir)
+    val rows = SparkEntry.queries("q_join_cardinality_audit")(spark, dir)
       .orderBy("width").collect()
     assert(rows.length == 3)
     val exact = rows.head.getAs[Long]("exact_n")
@@ -3026,6 +3026,19 @@ class JoinCardinalitySpec extends SparkSpec {
     val ests = rows.map(_.getAs[Long]("cms_n"))
     assert(ests.zip(ests.tail).forall { case (coarse, fine) => coarse >= fine },
       s"coarser width must not beat finer: ${ests.toSeq}")
+  }
+
+  test("the estimator row equals the audit row's finest-width line") {
+    // the production estimator (one width, no barriers, no truth join)
+    // must report the identical cms_n the audited three-width sweep
+    // derives at width 65536 — same sliced bucket family end to end
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    val est = SparkEntry.queries("q_join_cardinality")(spark, dir).collect()
+    assert(est.length == 1 && est.head.getAs[Int]("width") == 65536)
+    val audit = SparkEntry.queries("q_join_cardinality_audit")(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("width") === 65536).collect()
+    assert(est.head.getAs[Long]("cms_n") == audit.head.getAs[Long]("cms_n"))
   }
 }
 
