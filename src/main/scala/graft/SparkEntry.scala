@@ -1760,6 +1760,38 @@ object SparkEntry {
       .select(lit(w).as("width"), col("cms_n"))
   }
 
+  private def joinCardinalityAgms(s: SparkSession, dir: String): DataFrame = {
+    // AGMS / Tug-of-War join-size sketch — the UNBIASED companion of the
+    // CMS estimator row: each term contributes a ±1-signed count to its
+    // bucket, so colliding terms CANCEL in expectation instead of adding,
+    // and the estimate can under- or over-shoot (the CMS row can only
+    // overcount). Estimate per depth = Σ_c XA[c]·XB[c]; the median of the
+    // 4 depth rows (for 4 values: (sum − min − max) / 2) bounds variance.
+    // Same one-pass union shape and one-digest slice kernel as the CMS
+    // row — RAW 32-bit slices, bucket from bits 0-11, sign from bit 16:
+    // independent bit ranges of one digest window, both replayed verbatim
+    // by the SQL twin.
+    val w = 4096
+    val a = t(s, dir, "lineitem")
+      .select(col("l_orderkey").cast("string").as("term"), lit(0).as("__s"))
+    val b = t(s, dir, "orders")
+      .select(col("o_orderkey").cast("string").as("term"), lit(1).as("__s"))
+    val sgn = ((col("h") / 65536).cast("long") % 2) * 2 - 1
+    val cells = a.unionAll(b)
+      .select(col("__s"), posexplode(
+        graft.functions.Md5Slices(col("term"), 0)).as(Seq("d", "h")))
+      .select(col("__s"), col("d"), (col("h") % w).as("c"), sgn.as("sgn"))
+      .groupBy(col("d"), col("c"))
+      .agg(sum(when(col("__s") === 0, col("sgn")).otherwise(0L)).as("xa"),
+        sum(when(col("__s") === 1, col("sgn")).otherwise(0L)).as("xb"))
+    cells.groupBy(col("d")).agg(sum(col("xa") * col("xb")).as("ip"))
+      .agg(sum(col("ip")).as("st"), min(col("ip")).as("mn"),
+        max(col("ip")).as("mx"))
+      .select(lit(w).as("width"),
+        round((col("st") - col("mn") - col("mx")) / 2.0).cast("bigint")
+          .as("agms_n"))
+  }
+
   private def joinCardinalityAudit(s: SparkSession, dir: String): DataFrame = {
     // TRUTH AUDIT row: the exact join size via the per-key count join
     // (the join itself is never materialized) and the over-estimate in
@@ -4695,6 +4727,7 @@ object SparkEntry {
     "q_zorder_box" -> (zorderBoxQuery _),
     "d_cms_audit" -> (cmsAudit _),
     "q_join_cardinality" -> (joinCardinality _),
+    "q_join_cardinality_agms" -> (joinCardinalityAgms _),
     "q_join_cardinality_audit" -> (joinCardinalityAudit _),
     "d_lang_lines" -> (langLinesAudit _),
     "d_dedup_incremental" -> (dedupIncremental _),
@@ -6742,6 +6775,29 @@ object SparkEntry {
     "q_join_cardinality" ->
       (joinCardinalityCtes + """
         |SELECT width, cms_n FROM est WHERE width = 65536""".stripMargin),
+    // AGMS twin: raw 32-bit slices, bucket bits 0-11, sign bit 16,
+    // median-of-4 spelled (sum - min - max) / 2
+    "q_join_cardinality_agms" ->
+      """WITH a AS (SELECT CAST(l_orderkey AS VARCHAR) AS term FROM lineitem),
+        |b AS (SELECT CAST(o_orderkey AS VARCHAR) AS term FROM orders),
+        |u AS (SELECT 0 AS s, term FROM a
+        |      UNION ALL SELECT 1 AS s, term FROM b),
+        |h AS (SELECT s, d,
+        |  CAST(concat('0x', substr(md5(term), d*8 + 1, 8)) AS BIGINT) AS hv
+        | FROM u, unnest([0, 1, 2, 3]) dd(d)),
+        |cells AS (SELECT d, hv % 4096 AS c,
+        |  CAST(sum(CASE WHEN s = 0
+        |    THEN ((hv // 65536) % 2) * 2 - 1 ELSE 0 END) AS BIGINT) AS xa,
+        |  CAST(sum(CASE WHEN s = 1
+        |    THEN ((hv // 65536) % 2) * 2 - 1 ELSE 0 END) AS BIGINT) AS xb
+        | FROM h GROUP BY 1, 2),
+        |ip AS (SELECT d, CAST(sum(xa * xb) AS BIGINT) AS ip
+        |       FROM cells GROUP BY d),
+        |m AS (SELECT CAST(sum(ip) AS BIGINT) AS st,
+        |        CAST(min(ip) AS BIGINT) AS mn, CAST(max(ip) AS BIGINT) AS mx
+        |      FROM ip)
+        |SELECT 4096 AS width,
+        | CAST(round((st - mn - mx) / 2.0) AS BIGINT) AS agms_n FROM m""".stripMargin,
     "q_join_cardinality_audit" ->
       (joinCardinalityCtes + """,
         |ex AS (SELECT CAST(sum(na * nb) AS BIGINT) AS exact_n FROM

@@ -182,6 +182,10 @@ object PortableSimHash16 {
   * most of its time in that chain).
   */
 object Md5SlicesKernel {
+  /** width > 0: each slice mod width (the CMS bucket id); width <= 0:
+    * the RAW unsigned 32-bit slice value (callers derive bucket AND sign
+    * bits from independent bit ranges — the AGMS spelling).
+    */
   def compute(term: org.apache.spark.unsafe.types.UTF8String,
               width: Int): ArrayData = {
     val d = Md5MinHashKernel.digestInstance()
@@ -194,7 +198,7 @@ object Md5SlicesKernel {
       val o = p * 4
       val v = ((h(o) & 0xFFL) << 24) | ((h(o + 1) & 0xFFL) << 16) |
         ((h(o + 2) & 0xFFL) << 8) | (h(o + 3) & 0xFFL)
-      out(p) = v % width
+      out(p) = if (width > 0) v % width else v
       p += 1
     }
     UnsafeArrayData.fromPrimitiveArray(out)
@@ -202,8 +206,6 @@ object Md5SlicesKernel {
 }
 
 case class Md5Slices(child: Expression, width: Int) extends UnaryExpression {
-
-  require(width > 0, s"width must be positive, got $width")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess

@@ -3028,6 +3028,22 @@ class JoinCardinalitySpec extends SparkSpec {
       s"coarser width must not beat finer: ${ests.toSeq}")
   }
 
+  test("AGMS estimate lands within 20% of the exact join size") {
+    // the unbiased sketch has two-sided error; on this data the signed
+    // cancellation keeps it tight (variance ~ 2 F2a F2b / w) — pin a
+    // loose relative band against the audit row's exact truth. Both
+    // values are data-deterministic, so this can only break if the
+    // sketch math (or the hash slicing) changes.
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    val agms = SparkEntry.queries("q_join_cardinality_agms")(spark, dir)
+      .collect().head.getAs[Long]("agms_n")
+    val exact = SparkEntry.queries("q_join_cardinality_audit")(spark, dir)
+      .collect().head.getAs[Long]("exact_n")
+    val rel = math.abs(agms - exact).toDouble / exact
+    assert(rel <= 0.2, s"AGMS off by ${rel * 100}%: $agms vs exact $exact")
+  }
+
   test("the estimator row equals the audit row's finest-width line") {
     // the production estimator (one width, no barriers, no truth join)
     // must report the identical cms_n the audited three-width sweep
