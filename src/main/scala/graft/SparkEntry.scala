@@ -1351,6 +1351,53 @@ object SparkEntry {
         TextAnalysis.tokenCount(col("text")), budget = 512, shards = 8)
       .orderBy(col("doc_id"))
 
+  private def packGreedyQuery(s: SparkSession, dir: String): DataFrame =
+    // no-split next-fit packing into 512-token bins across 8 shards — the
+    // SFT/instruction-tuning layout where an example must stay whole
+    // (d_pack_sequences is the concat-and-chunk pretraining twin)
+    Splits.packGreedy(t(s, dir, "documents"), "doc_id",
+        TextAnalysis.tokenCount(col("text")), budget = 512, shards = 8)
+      .orderBy(col("doc_id"))
+
+  private def packEfficiencyQuery(s: SparkSession, dir: String): DataFrame =
+    // per-shard fill audit of the no-split packer: bins opened, exact
+    // basis-point fill, and the docs too long to pack at all — the
+    // padding-waste number a trainer pays per shard
+    Splits.packEfficiency(t(s, dir, "documents"), "doc_id",
+        TextAnalysis.tokenCount(col("text")), budget = 512, shards = 8)
+      .orderBy(col("shard"))
+
+  private def classifierKappa(s: SparkSession, dir: String): DataFrame = {
+    // labeling-quality audit: chance-corrected agreement (Cohen's kappa)
+    // between the marker-token language heuristic and the gold `lang`
+    // column. All counting is exact integers; kappa/accuracy are emitted
+    // in 1e-6 fixed point via one double division each (numerators fit in
+    // 53 bits far beyond graded SFs). The gold set includes languages the
+    // heuristic cannot emit (zh), so kappa genuinely prices the marginals
+    // — this is the go/no-go score before trusting an auto-labeler to
+    // route a 100 TB corpus. Scale shape: one map-side scoring pass, one
+    // label-pair groupBy (bounded by the label-set square), then
+    // bounded-size marginal joins and 1-row totals crossJoins.
+    val pred = langPredict(s, dir).select(col("doc_id"), col("lang").as("pred"))
+    val gold = t(s, dir, "documents").select(col("doc_id"), col("lang").as("gold"))
+    val conf = gold.join(pred, "doc_id")
+      .groupBy(col("gold"), col("pred")).agg(count(lit(1)).as("c"))
+    val rows = conf.groupBy(col("gold")).agg(sum(col("c")).as("rk"))
+    val cols = conf.groupBy(col("pred")).agg(sum(col("c")).as("ck"))
+    val peNum = rows.join(cols, rows("gold") === cols("pred"))
+      .agg(coalesce(sum(col("rk") * col("ck")), lit(0L)).as("pe_num"))
+    val totals = conf.agg(sum(col("c")).as("n_docs"),
+      coalesce(sum(when(col("gold") === col("pred"), col("c"))
+        .otherwise(0L)), lit(0L)).as("agree"))
+    totals.crossJoin(peNum)
+      .select(col("n_docs"), col("agree"),
+        round(col("agree").cast("double") * 1000000 / col("n_docs"))
+          .cast("bigint").as("acc_micro"),
+        round((col("n_docs") * col("agree") - col("pe_num")).cast("double")
+            * 1000000 / (col("n_docs") * col("n_docs") - col("pe_num")))
+          .cast("bigint").as("kappa_micro"))
+  }
+
   private def windowSuite(s: SparkSession, dir: String): DataFrame = {
     // the window-function completeness row: every ranking/distribution/
     // navigation function over ONE totally-ordered frame (ties broken by
@@ -4692,6 +4739,9 @@ object SparkEntry {
     "d_contamination_report" -> (contaminationReportQuery _),
     "d_decontaminate_bloom" -> (decontaminateBloomQuery _),
     "d_pack_sequences" -> (packSequencesQuery _),
+    "d_pack_greedy" -> (packGreedyQuery _),
+    "d_pack_efficiency" -> (packEfficiencyQuery _),
+    "d_classifier_kappa" -> (classifierKappa _),
     "d_boilerplate" -> (boilerplateQuery _),
     "d_domain_mix" -> (domainMixQuery _),
     "d_mix_schedule" -> (mixScheduleQuery _),
@@ -7006,6 +7056,92 @@ object SparkEntry {
         |SELECT doc_id, shard, tokens,
         | CAST(floor((sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id) - tokens) / 512.0) AS BIGINT) AS bin
         |FROM tk ORDER BY doc_id""".stripMargin,
+    // no-split next-fit packing: the per-shard running (bin, used) fold
+    // replayed as a recursive CTE stepping every shard one row per level
+    "d_pack_greedy" ->
+      """WITH RECURSIVE tk AS (
+        | SELECT doc_id, doc_id % 8 AS shard,
+        |  len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0)) AS tokens
+        | FROM documents),
+        |f AS (SELECT doc_id, shard, CAST(tokens AS BIGINT) AS tokens,
+        |        row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+        |      FROM tk WHERE tokens <= 512),
+        |rec AS (
+        | SELECT shard, rn, doc_id, tokens,
+        |        CAST(0 AS BIGINT) AS bin, tokens AS bin_used
+        | FROM f WHERE rn = 1
+        | UNION ALL
+        | SELECT f.shard, f.rn, f.doc_id, f.tokens,
+        |  CASE WHEN r.bin_used + f.tokens > 512 THEN r.bin + 1 ELSE r.bin END,
+        |  CASE WHEN r.bin_used + f.tokens > 512 THEN f.tokens
+        |       ELSE r.bin_used + f.tokens END
+        | FROM rec r JOIN f ON f.shard = r.shard AND f.rn = r.rn + 1)
+        |SELECT doc_id, shard, tokens, bin, bin_used
+        |FROM rec ORDER BY doc_id""".stripMargin,
+    // per-shard fill audit of the no-split packer
+    "d_pack_efficiency" ->
+      """WITH RECURSIVE tk AS (
+        | SELECT doc_id, doc_id % 8 AS shard,
+        |  len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0)) AS tokens
+        | FROM documents),
+        |f AS (SELECT doc_id, shard, CAST(tokens AS BIGINT) AS tokens,
+        |        row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+        |      FROM tk WHERE tokens <= 512),
+        |rec AS (
+        | SELECT shard, rn, tokens, CAST(0 AS BIGINT) AS bin,
+        |        tokens AS bin_used
+        | FROM f WHERE rn = 1
+        | UNION ALL
+        | SELECT f.shard, f.rn, f.tokens,
+        |  CASE WHEN r.bin_used + f.tokens > 512 THEN r.bin + 1 ELSE r.bin END,
+        |  CASE WHEN r.bin_used + f.tokens > 512 THEN f.tokens
+        |       ELSE r.bin_used + f.tokens END
+        | FROM rec r JOIN f ON f.shard = r.shard AND f.rn = r.rn + 1),
+        |pk AS (SELECT shard, count(*) AS packed_docs, max(bin) + 1 AS bins,
+        |         CAST(sum(tokens) AS BIGINT) AS packed_tokens
+        |       FROM rec GROUP BY shard),
+        |sk AS (SELECT shard, count(*) AS skipped_long FROM tk
+        |       WHERE tokens > 512 GROUP BY shard)
+        |SELECT pk.shard, packed_docs, bins, packed_tokens,
+        |  packed_tokens * 10000 // (bins * 512) AS fill_bp,
+        |  COALESCE(skipped_long, 0) AS skipped_long
+        |FROM pk LEFT JOIN sk ON pk.shard = sk.shard
+        |ORDER BY pk.shard""".stripMargin,
+    // Cohen's kappa of the marker heuristic vs the gold lang column:
+    // the d_lang_predict CTE reused, then exact-integer confusion counts
+    "d_classifier_kappa" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |  list_transform(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0), x -> lower(x)) AS tk
+        | FROM documents),
+        |sc AS (SELECT doc_id,
+        | len(list_filter(tk, x -> x IN ('der','die','und','das','ist'))) AS s_de,
+        | len(list_filter(tk, x -> x IN ('the','and','of','is','a'))) AS s_en,
+        | len(list_filter(tk, x -> x IN ('el','los','que','y','es'))) AS s_es,
+        | len(list_filter(tk, x -> x IN ('le','la','et','les','de'))) AS s_fr
+        |FROM toks),
+        |pred AS (SELECT doc_id,
+        | CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+        |      WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |      WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |      WHEN s_es >= s_fr THEN 'es'
+        |      ELSE 'fr' END AS pred
+        |FROM sc),
+        |conf AS (SELECT d.lang AS gold, p.pred, count(*) AS c
+        |         FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+        |         GROUP BY 1, 2),
+        |rw AS (SELECT gold, CAST(sum(c) AS BIGINT) AS rk FROM conf GROUP BY gold),
+        |cl AS (SELECT pred, CAST(sum(c) AS BIGINT) AS ck FROM conf GROUP BY pred),
+        |pe AS (SELECT COALESCE(CAST(sum(rk * ck) AS BIGINT), 0) AS pe_num
+        |       FROM rw JOIN cl ON rw.gold = cl.pred),
+        |tt AS (SELECT CAST(sum(c) AS BIGINT) AS n_docs,
+        |         COALESCE(CAST(sum(CASE WHEN gold = pred THEN c ELSE 0 END) AS BIGINT), 0) AS agree
+        |       FROM conf)
+        |SELECT n_docs, agree,
+        | CAST(round(CAST(agree AS DOUBLE) * 1000000 / n_docs) AS BIGINT) AS acc_micro,
+        | CAST(round(CAST(n_docs * agree - pe_num AS DOUBLE) * 1000000
+        |   / (n_docs * n_docs - pe_num)) AS BIGINT) AS kappa_micro
+        |FROM tt, pe""".stripMargin,
     "d_lang_predict" ->
       """WITH toks AS (
         | SELECT doc_id,

@@ -210,6 +210,82 @@ object Splits {
         floor((sum(col("tokens")).over(w) - col("tokens")) / budget))
   }
 
+  /** No-split greedy (next-fit) sequence packing: documents are laid out
+    * per shard in deterministic id order and appended to the current bin
+    * while they fit; a document that would overflow `budget` CLOSES the
+    * bin and opens the next one. Unlike [[packSequences]]' concat-and-chunk
+    * (the pretraining layout, which slices documents across chunk
+    * boundaries), no document is ever split — the layout used for
+    * SFT / instruction-tuning batches where an example must stay whole.
+    * Documents longer than `budget` cannot be packed at all and are
+    * EXCLUDED here; [[packEfficiency]] counts them per shard.
+    *
+    * Scale shape: one hash shuffle on shard, then a LINEAR scan per shard
+    * (`sortWithinPartitions` + a per-partition running (bin, used) fold —
+    * the running state resets at shard boundaries, so co-resident shards
+    * in one task are still independent streams). The fold is inherently
+    * sequential PER SHARD — that is the contract (bins are defined by the
+    * stream order) — and parallel ACROSS shards; at 100 TB pick `shards`
+    * so one shard ≈ one training worker's stream, exactly the parallelism
+    * the consumer has anyway.
+    *
+    * Returns (id, shard, tokens, bin, bin_used) with `bin_used` the running
+    * fill AFTER placing the document; deterministic given ids.
+    */
+  def packGreedy(df: DataFrame, idCol: String, tokensCol: Column,
+                 budget: Long, shards: Int = 8): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(shards > 0, "shards must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val prepped = df
+      .select(col(idCol).cast("long").as("id"),
+        (col(idCol) % shards).cast("int").as("shard"),
+        tokensCol.cast("bigint").as("tokens"))
+      .filter(col("tokens") <= budget)
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("id"))
+    prepped.as[(Long, Int, Long)].mapPartitions { it =>
+      var curShard = Int.MinValue
+      var bin = 0L
+      var used = 0L
+      it.map { case (id, shard, tokens) =>
+        if (shard != curShard) { curShard = shard; bin = 0L; used = 0L }
+        if (used + tokens > budget) { bin += 1; used = 0L }
+        used += tokens
+        (id, shard, tokens, bin, used)
+      }
+    }.toDF(idCol, "shard", "tokens", "bin", "bin_used")
+  }
+
+  /** Per-shard audit of [[packGreedy]]: bins opened, documents packed,
+    * token fill percentage (basis points, exact integers), and the count
+    * of documents longer than `budget` that no-split packing had to drop.
+    * The fill number is the padding waste a trainer pays per shard —
+    * next-fit's fill is provably >= 50% (two consecutive bins hold more
+    * than `budget` between them), and the audit makes the actual figure
+    * visible so a packing budget mismatch (tiny docs, huge budget — or
+    * the reverse) is caught before a 100 TB layout job runs.
+    */
+  def packEfficiency(df: DataFrame, idCol: String, tokensCol: Column,
+                     budget: Long, shards: Int = 8): DataFrame = {
+    val packed = packGreedy(df, idCol, tokensCol, budget, shards)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("packed_docs"),
+        (max(col("bin")) + 1).as("bins"),
+        sum(col("tokens")).as("packed_tokens"))
+    val skipped = df
+      .select((col(idCol) % shards).cast("int").as("shard"),
+        tokensCol.cast("bigint").as("tokens"))
+      .filter(col("tokens") > budget)
+      .groupBy(col("shard")).agg(count(lit(1)).as("skipped_long"))
+    packed.join(skipped, Seq("shard"), "left")
+      .select(col("shard"), col("packed_docs"), col("bins"),
+        col("packed_tokens"),
+        expr(s"packed_tokens * 10000 div (bins * ${budget}L)").as("fill_bp"),
+        coalesce(col("skipped_long"), lit(0L)).as("skipped_long"))
+  }
+
   /** Token-budget mixture sampling — the "data recipe" materialization
     * step of a pretraining pipeline: after [[domainMixture]] decides how
     * many tokens each domain contributes, actually pick the documents.

@@ -3079,3 +3079,87 @@ class NgramNoveltySpec extends SparkSpec {
     }
   }
 }
+
+class PackGreedySpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("no bin ever overflows the budget and fills are running sums") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    val out = SparkEntry.queries("d_pack_greedy")(spark, dir)
+    // bin_used is the fill AFTER placing each doc; the bin maximum is the
+    // bin's final fill and must respect the 512 budget (no-split contract)
+    val overflow = out.filter(col("bin_used") > 512).count()
+    assert(overflow == 0, s"$overflow rows overflow the 512 budget")
+    // within (shard, bin), bin_used must be the strictly increasing
+    // running sum of tokens in doc_id order
+    val rows = out.orderBy(col("shard"), col("doc_id")).collect()
+    var (shard, bin, used) = (-1, -1L, 0L)
+    rows.foreach { r =>
+      val (s2, b2) = (r.getAs[Int]("shard"), r.getAs[Long]("bin"))
+      if (s2 != shard || b2 != bin) { shard = s2; bin = b2; used = 0L }
+      used += r.getAs[Long]("tokens")
+      assert(r.getAs[Long]("bin_used") == used,
+        s"bin_used mismatch at doc ${r.get(0)}: ${r.getAs[Long]("bin_used")} vs $used")
+    }
+  }
+
+  test("next-fit 50% guarantee: consecutive bin pairs exceed one budget") {
+    // the classical next-fit bound — a doc opened bin k+1 only because it
+    // did not fit in bin k, so fill(k) + fill(k+1) > budget; this is the
+    // invariant that makes the packer's waste bounded at any corpus size
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    val fills = SparkEntry.queries("d_pack_greedy")(spark, dir)
+      .groupBy(col("shard"), col("bin"))
+      .agg(max(col("bin_used")).as("fill"))
+      .orderBy(col("shard"), col("bin")).collect()
+      .groupBy(_.getAs[Int]("shard"))
+    fills.foreach { case (sh, bins) =>
+      bins.sliding(2).foreach {
+        case Array(a, b) if a.getAs[Long]("bin") + 1 == b.getAs[Long]("bin") =>
+          assert(a.getAs[Long]("fill") + b.getAs[Long]("fill") > 512,
+            s"shard $sh bins ${a.getAs[Long]("bin")},${b.getAs[Long]("bin")} violate next-fit bound")
+        case _ => ()
+      }
+    }
+  }
+
+  test("efficiency audit reconciles with the packed output") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    val packed = SparkEntry.queries("d_pack_greedy")(spark, dir)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("docs"), sum(col("tokens")).as("toks"),
+        (max(col("bin")) + 1).as("bins"))
+      .collect().map(r => r.getAs[Int]("shard") ->
+        (r.getAs[Long]("docs"), r.getAs[Long]("toks"), r.getAs[Long]("bins"))).toMap
+    val audit = SparkEntry.queries("d_pack_efficiency")(spark, dir).collect()
+    audit.foreach { r =>
+      val (docs, toks, bins) = packed(r.getAs[Int]("shard"))
+      assert(r.getAs[Long]("packed_docs") == docs)
+      assert(r.getAs[Long]("packed_tokens") == toks)
+      assert(r.getAs[Long]("bins") == bins)
+      val fill = r.getAs[Long]("fill_bp")
+      assert(fill > 5000 && fill <= 10000,
+        s"next-fit fill must sit in (50%, 100%]: $fill bp")
+    }
+  }
+}
+
+class ClassifierKappaSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("kappa is chance-corrected: below accuracy, within [-1e6, 1e6]") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    val r = SparkEntry.queries("d_classifier_kappa")(spark, dir).collect().head
+    val (acc, kap) = (r.getAs[Long]("acc_micro"), r.getAs[Long]("kappa_micro"))
+    assert(kap <= acc, s"kappa $kap must not exceed accuracy $acc")
+    assert(kap >= -1000000L && kap <= 1000000L)
+    // the gold set contains zh which the marker heuristic can never emit,
+    // so perfect agreement is impossible here by construction
+    assert(acc < 1000000L, "gold langs include zh: accuracy must be < 1")
+    assert(r.getAs[Long]("agree") <= r.getAs[Long]("n_docs"))
+  }
+}
