@@ -1398,6 +1398,36 @@ object SparkEntry {
           .cast("bigint").as("kappa_micro"))
   }
 
+  private def linkageJw(s: SparkSession, dir: String): DataFrame = {
+    // fuzzy product matching with the compiled Jaro-Winkler kernel
+    // (functions/StringSimilarityExpression.scala): a truncated-name probe
+    // registry (every 11th part, last char dropped — shared arithmetic, so
+    // both engines derive the identical probes) links back against parts.
+    // Blocking on (brand, 8-char name prefix) confines candidates to a
+    // small band and only candidates pay the JW scan; the probe side
+    // broadcasts. Per probe the TOP-1 match by (4dp-rounded jw, bkey) is
+    // graded — ranking on the ROUNDED score keeps the order (and the
+    // output) engine-portable, the same 4dp discipline every cosine row
+    // uses. Never all-pairs; at 100 TB the blocking key is the shuffle key.
+    val base = t(s, dir, "part").select(col("p_partkey").as("bkey"),
+      col("p_name").as("bname"), col("p_brand").as("bbrand"))
+    val probes = t(s, dir, "part").filter(col("p_partkey") % 11 === 0)
+      .select((col("p_partkey") + 1000000L).as("qkey"),
+        expr("substring(p_name, 1, length(p_name) - 1)").as("qname"),
+        col("p_brand").as("qbrand"))
+    val w = Window.partitionBy(col("qkey"))
+      .orderBy(desc("jw"), asc("bkey"))
+    broadcast(probes)
+      .join(base, col("qbrand") === col("bbrand") &&
+        substring(col("qname"), 1, 8) === substring(col("bname"), 1, 8))
+      .withColumn("jw",
+        round(graft.functions.JaroWinkler(col("qname"), col("bname")), 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("qkey"), col("bkey"), col("jw"))
+      .orderBy(col("qkey"))
+  }
+
   private def windowSuite(s: SparkSession, dir: String): DataFrame = {
     // the window-function completeness row: every ranking/distribution/
     // navigation function over ONE totally-ordered frame (ties broken by
@@ -4742,6 +4772,7 @@ object SparkEntry {
     "d_pack_greedy" -> (packGreedyQuery _),
     "d_pack_efficiency" -> (packEfficiencyQuery _),
     "d_classifier_kappa" -> (classifierKappa _),
+    "q_linkage_jw" -> (linkageJw _),
     "d_boilerplate" -> (boilerplateQuery _),
     "d_domain_mix" -> (domainMixQuery _),
     "d_mix_schedule" -> (mixScheduleQuery _),
@@ -7142,6 +7173,25 @@ object SparkEntry {
         | CAST(round(CAST(n_docs * agree - pe_num AS DOUBLE) * 1000000
         |   / (n_docs * n_docs - pe_num)) AS BIGINT) AS kappa_micro
         |FROM tt, pe""".stripMargin,
+    // Jaro-Winkler fuzzy matching: DuckDB's jaro_winkler_similarity
+    // implements the same portable definition as the compiled kernel
+    // (boost only when jaro > 0.7, prefix cap 4, p = 0.1); top-1 ranked
+    // on the 4dp-rounded score so the order is engine-portable
+    "q_linkage_jw" ->
+      """WITH probes AS (
+        | SELECT p_partkey + 1000000 AS qkey,
+        |   substr(p_name, 1, length(p_name) - 1) AS qname,
+        |   p_brand AS qbrand
+        | FROM part WHERE p_partkey % 11 = 0),
+        |cand AS (
+        | SELECT qkey, p_partkey AS bkey,
+        |   round(jaro_winkler_similarity(qname, p_name), 4) AS jw
+        | FROM probes JOIN part ON qbrand = p_brand
+        |   AND substr(qname, 1, 8) = substr(p_name, 1, 8)),
+        |r AS (SELECT qkey, bkey, jw,
+        |   row_number() OVER (PARTITION BY qkey ORDER BY jw DESC, bkey) AS rnk
+        | FROM cand)
+        |SELECT qkey, bkey, jw FROM r WHERE rnk = 1 ORDER BY qkey""".stripMargin,
     "d_lang_predict" ->
       """WITH toks AS (
         | SELECT doc_id,

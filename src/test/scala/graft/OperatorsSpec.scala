@@ -3163,3 +3163,64 @@ class ClassifierKappaSpec extends SparkSpec {
     assert(r.getAs[Long]("agree") <= r.getAs[Long]("n_docs"))
   }
 }
+
+class JaroWinklerSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def jw(a: String, b: String): Double =
+    graft.functions.JaroWinklerKernel.jaroWinkler(
+      UTF8String.fromString(a), UTF8String.fromString(b))
+
+  test("kernel matches the textbook values and the oracle's points") {
+    // right side of each pair: DuckDB jaro_winkler_similarity, probed
+    // point by point while pinning the shared semantics
+    val pts = Seq(
+      ("MARTHA", "MARHTA") -> 0.9611111111111111,
+      ("DIXON", "DICKSONX") -> 0.8133333333333332,
+      ("JELLYFISH", "SMELLYFISH") -> 0.8962962962962964,
+      ("DUANE", "DWAYNE") -> 0.8400000000000001,
+      ("CRATE", "TRACE") -> 0.7333333333333334,
+      ("ab", "ba") -> 0.0,
+      ("aXXXXX", "aYYYYY") -> 0.4444444444444444, // no boost at jaro <= 0.7
+      ("prefixAAAA", "prefixBBBB") -> 0.8400000000000001, // prefix cap 4
+      ("ab", "abcdefghij") -> 0.7866666666666667,
+      ("abc", "abc") -> 1.0, ("a", "a") -> 1.0,
+      ("", "abc") -> 0.0, ("", "") -> 1.0)
+    pts.foreach { case ((a, b), want) =>
+      val got = jw(a, b)
+      assert(math.abs(got - want) < 1e-12, s"jw($a, $b) = $got, want $want")
+      assert(math.abs(jw(b, a) - want) < 1e-12, "symmetry")
+    }
+  }
+
+  test("linkage query: every probe finds its own truncation source") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    val out = SparkEntry.queries("q_linkage_jw")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (qkey, bkey) = (r.getAs[Long]("qkey"), r.getAs[Long]("bkey"))
+      assert(r.getAs[Double]("jw") >= 0.9,
+        s"truncating one char must stay a near-perfect match: ${r}")
+      assert(bkey == qkey - 1000000L || r.getAs[Double]("jw") >= 0.97,
+        s"probe $qkey matched $bkey over its own source")
+    }
+  }
+
+  test("expression stays inside whole-stage codegen") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    val df = SparkEntry.queries("q_linkage_jw")(spark, dir)
+    df.collect() // finalize the adaptive plan before inspecting it
+    val plan = df.queryExecution.executedPlan.toString
+    // toString renders a whole-stage-codegen span as a "*(id)" prefix —
+    // the jaro_winkler projection must carry one (a non-codegen Expression
+    // would force the whole Project out of the span)
+    val jwLine = plan.linesIterator.find(_.contains("jaro_winkler"))
+    assert(jwLine.exists(_.contains("*(")),
+      s"JW projection must stay inside a codegen span:\n$plan")
+    // and the top-1 must plan as WindowGroupLimit, not a full sort-rank
+    assert(plan.contains("WindowGroupLimit"))
+  }
+}
