@@ -622,6 +622,38 @@ object ScaleProbe {
         cust.unpersist(); docs.unpersist()
       }
     }
+    // round-9 families. No-split packing: one shuffle on shard + a linear
+    // per-shard fold — time must track n (shards fixed), and the fold is
+    // embarrassing across shards, so raising `shards` with the corpus
+    // keeps per-shard streams constant (recorded via max_shard_docs).
+    // JW linkage: blocked candidates only — candidate count, not corpus
+    // size squared, is the cost driver (same claim as the lev linkage).
+    for (f <- Seq(1, factor, 3 * factor)) {
+      val docs = corpus(f)
+      locally {
+        val t0 = System.nanoTime()
+        val packed = operators.Splits.packGreedy(docs, "doc_id",
+          operators.TextAnalysis.tokenCount(col("text")),
+          budget = 512, shards = 8)
+        val r = packed.groupBy(col("shard")).agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("shards"), max(col("n")).as("max_shard_docs"),
+            sum(col("n")).as("docs")).collect()(0)
+        println(f"""{"probe":"pack_greedy","factor":$f,""" +
+          f""""sec":${(System.nanoTime() - t0) / 1e9}%.2f,""" +
+          s""""docs":${r.getLong(2)},"max_shard_docs":${r.getLong(1)}}""")
+      }
+      locally {
+        // scaled-shards rung: shards grow with the corpus (8·f), so the
+        // per-shard stream length stays ~constant — the 100 TB spelling
+        val t0 = System.nanoTime()
+        val n = operators.Splits.packGreedy(docs, "doc_id",
+          operators.TextAnalysis.tokenCount(col("text")),
+          budget = 512, shards = 8 * f).count()
+        println(f"""{"probe":"pack_greedy_scaled_shards","factor":$f,""" +
+          f""""sec":${(System.nanoTime() - t0) / 1e9}%.2f,"docs":$n}""")
+      }
+      docs.unpersist()
+    }
     spark.stop()
   }
 }

@@ -90,5 +90,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => TokenStats(exprs(0),
         graft.operators.TextAnalysis.defaultStopwords,
         graft.operators.TextAnalysis.sortedMarkerSets)))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      info("jaro_winkler",
+        "_FUNC_(a, b) - Jaro-Winkler similarity in [0,1] (boost only when " +
+          "jaro > 0.7, prefix cap 4, p = 0.1)"),
+      (exprs: Seq[Expression]) => JaroWinkler(exprs(0), exprs(1))))
   }
 }

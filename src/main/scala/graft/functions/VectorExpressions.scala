@@ -283,5 +283,7 @@ object VectorFunctions {
       "built-in")
     fr.createOrReplaceTempFunction(
       "cdc_boundaries", exprs => CdcBoundaries(exprs(0)), "built-in")
+    fr.createOrReplaceTempFunction(
+      "jaro_winkler", exprs => JaroWinkler(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -71,6 +71,11 @@ class VectorKernelSpec extends SparkSpec {
     assert(cb == graft.functions.CdcKernel.boundaries(
       org.apache.spark.unsafe.types.UTF8String.fromString(
         "the quick brown fox jumps right over")).toIntArray().toSeq)
+    // the JW kernel from SQL: the textbook MARTHA/MARHTA point
+    val jw = spark.sql(
+      "SELECT round(jaro_winkler('MARTHA', 'MARHTA'), 4) AS jw")
+      .collect()(0).getDouble(0)
+    assert(jw == 0.9611)
     // build-time injection path constructs without error
     new graft.functions.GraftExtensions().apply(
       new org.apache.spark.sql.SparkSessionExtensions)
