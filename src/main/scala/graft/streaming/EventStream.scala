@@ -418,6 +418,53 @@ object EventStream {
   case class SessionState(count: Long, sum: Double, lastTs: Long)
   case class SessionOut(user_id: Long, n_events: Long, value_sum: Double)
 
+  case class PackIn(doc_id: Long, shard: Int, tokens: Long)
+  case class PackState(bin: Long, used: Long)
+  case class PackOut(doc_id: Long, shard: Int, tokens: Long,
+                     bin: Long, bin_used: Long)
+
+  /** ONLINE no-split packing — the streaming twin of
+    * [[graft.operators.Splits.packGreedy]]: documents arrive as a stream
+    * (the training-data loader's intake), each shard keeps a (bin, used)
+    * cursor in flatMapGroupsWithState state, and every document is
+    * assigned its bin the moment it arrives. Next-fit needs ONLY that
+    * cursor — no lookback — which is what makes it the online packing
+    * rule; state is O(shards), constant in stream length.
+    *
+    * Parity contract (pinned in StreamingSpec): when documents arrive in
+    * id order per shard — the stream IS the layout order — the streamed
+    * assignment equals the batch operator's regardless of how
+    * micro-batches split the stream. In-batch rows are sorted by id
+    * before folding, so any batch boundary lands between folds.
+    * Documents longer than `budget` are excluded, as in batch.
+    */
+  def streamingPack(docs: DataFrame, idCol: String,
+                    tokensCol: org.apache.spark.sql.Column,
+                    budget: Long, shards: Int = 8): Dataset[PackOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        (col(idCol) % shards).cast("int").as("shard"),
+        tokensCol.cast("bigint").as("tokens"))
+      .filter(col("tokens") <= budget)
+      .as[PackIn]
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState[PackState, PackOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (shard, rows, state: GroupState[PackState]) =>
+          var cur = state.getOption.getOrElse(PackState(0L, 0L))
+          val out = rows.toSeq.sortBy(_.doc_id).map { r =>
+            cur =
+              if (cur.used + r.tokens > budget) PackState(cur.bin + 1, r.tokens)
+              else PackState(cur.bin, cur.used + r.tokens)
+            PackOut(r.doc_id, shard, r.tokens, cur.bin, cur.used)
+          }
+          state.update(cur)
+          out.iterator
+      }
+  }
+
   /** Custom stateful sessionizer via flatMapGroupsWithState — the extension
     * point for session logic session_window can't express (e.g. emit on
     * explicit "logout" events, cap session length). A session closes either

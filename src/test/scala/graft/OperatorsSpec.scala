@@ -3224,3 +3224,39 @@ class JaroWinklerSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"))
   }
 }
+
+class StreamingPackSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.streaming.OutputMode
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import graft.streaming.EventStream
+  import graft.operators.{Splits, TextAnalysis}
+  import spark.implicits._
+
+  test("online next-fit packing == batch packGreedy over uneven micro-batches") {
+    // the stream IS the layout order: docs arrive in id order, batch
+    // boundaries cut the stream at arbitrary points (137/211/152), and
+    // the per-shard (bin, used) cursor must make every assignment equal
+    // to the one-shot batch fold
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(dir).isDirectory)
+    val load = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val docs = load.as[(Long, String)].collect().sortBy(_._1)
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStream.streamingPack(mem.toDF().toDF("doc_id", "text"),
+        "doc_id", TextAnalysis.tokenCount(col("text")), budget = 512, shards = 8)
+      .writeStream.format("memory").queryName("pack_eq")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      Seq(docs.slice(0, 137), docs.slice(137, 348), docs.slice(348, docs.length))
+        .foreach { c => mem.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+      val streamed = spark.table("pack_eq").collect().map(_.toSeq).toSet
+      val batch = Splits.packGreedy(load, "doc_id",
+          TextAnalysis.tokenCount(col("text")), budget = 512, shards = 8)
+        .collect().map(_.toSeq).toSet
+      assert(batch.size == docs.length) // nothing over budget in this corpus
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+}
