@@ -1085,6 +1085,24 @@ object SparkEntry {
     ColumnProfiler.mergeSketches(
       ColumnProfiler.distinctSketches(t(s, dir, "events"), "event_type", "user_id"))
 
+  private def sketchDistinctCert(s: SparkSession, dir: String): DataFrame = {
+    // certificate row for the HLL rollup (the s_ann_ivf_parity pattern):
+    // the sketch's merged estimate is held against the oracle-recomputed
+    // exact distinct count with a 2% band — generous for the Datasketches
+    // default (lgK=12, ~0.8% RSE; sparse mode is near-exact below ~k
+    // distincts), honest at any SF. The oracle proves exact_n and the
+    // certificate boolean; the sketch internals stay rows-only by design
+    // (q_sketch_distinct), but its ACCURACY is now a graded claim.
+    val ev = t(s, dir, "events")
+    val est = ColumnProfiler.mergeSketches(
+      ColumnProfiler.distinctSketches(ev, "event_type", "user_id"))
+    val exact = ev.agg(countDistinct(col("user_id")).as("exact_n"))
+    est.crossJoin(exact)
+      .select(col("exact_n"),
+        (abs(col("distinct_estimate") - col("exact_n")) * 50 <=
+          col("exact_n")).as("within_2pct"))
+  }
+
   private def rangeJoinClicks(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
     val purchases = ev.filter(col("event_type") === "purchase")
@@ -4746,6 +4764,7 @@ object SparkEntry {
     "q_range_join" -> (rangeJoinClicks _),
     "q_json_attributes" -> (jsonAttributes _),
     "q_sketch_distinct" -> (sketchDistinct _),
+    "q_sketch_distinct_cert" -> (sketchDistinctCert _),
     "q_session_window" -> (sessionWindowRollup _),
     "d_dedup_exact" -> (dedupExact _),
     "d_token_counts" -> (tokenCounts _),
@@ -5933,6 +5952,11 @@ object SparkEntry {
         |SELECT event_type, next_type, count(*) AS n FROM n
         |WHERE next_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY event_type, next_type""".stripMargin,
+    // HLL accuracy certificate: the oracle proves the exact count and the
+    // constant verdict; the Spark side recomputes both from the sketch
+    "q_sketch_distinct_cert" ->
+      """SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_n,
+        | true AS within_2pct FROM events""".stripMargin,
     // KMV distinct sketch replayed exactly: portable md5-hex hash, k
     // smallest distinct values, floor'd integer estimate
     "q_kmv_distinct" ->
