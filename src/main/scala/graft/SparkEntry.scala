@@ -1446,6 +1446,41 @@ object SparkEntry {
       .orderBy(col("qkey"))
   }
 
+  private def collocations(s: SparkSession, dir: String): DataFrame = {
+    // collocation mining in EXACT integers: rank bigrams by the PMI lift
+    // ratio c_ab·N / (c_a·c_b) — log is monotone, so ranking by the raw
+    // ratio IS the PMI order with zero float ops. min-count 5 kills the
+    // rare-pair PMI pathology; lift is emitted in ppm fixed point (range
+    // note: fits BIGINT while c_ab·N·1e6 < 2⁶³, i.e. any corpus whose
+    // bigram mass × hottest-pair count stays under ~9·10¹² — shard the
+    // ratio by corpus split long before that). Scale shape: one bigram
+    // groupBy + one token groupBy (both vocab-bounded outputs), two
+    // vocab-sized marginal joins, TakeOrdered top-20.
+    val docs = t(s, dir, "documents")
+    val tk = docs.select(TextAnalysis.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 2)
+    val bg = tk.select(
+      explode(transform(sequence(lit(1), size(col("tk")) - 1), i =>
+        concat_ws(" ", element_at(col("tk"), i),
+          element_at(col("tk"), i + 1)))).as("bigram"))
+    val pairCnt = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 5)
+      .withColumn("a", split(col("bigram"), " ").getItem(0))
+      .withColumn("b", split(col("bigram"), " ").getItem(1))
+    val uniCnt = docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c_tok"))
+    val totals = bg.agg(count(lit(1)).as("n_bg"))
+    pairCnt
+      .join(uniCnt.select(col("tok").as("a"), col("c_tok").as("c_a")), "a")
+      .join(uniCnt.select(col("tok").as("b"), col("c_tok").as("c_b")), "b")
+      .crossJoin(totals)
+      .select(col("bigram"), col("c_ab"), col("c_a"), col("c_b"),
+        expr("c_ab * n_bg * 1000000 div (c_a * c_b)").as("lift_ppm"))
+      .orderBy(desc("lift_ppm"), asc("bigram"))
+      .limit(20)
+  }
+
   private def windowSuite(s: SparkSession, dir: String): DataFrame = {
     // the window-function completeness row: every ranking/distribution/
     // navigation function over ONE totally-ordered frame (ties broken by
@@ -4792,6 +4827,7 @@ object SparkEntry {
     "d_pack_efficiency" -> (packEfficiencyQuery _),
     "d_classifier_kappa" -> (classifierKappa _),
     "q_linkage_jw" -> (linkageJw _),
+    "d_collocations" -> (collocations _),
     "d_boilerplate" -> (boilerplateQuery _),
     "d_domain_mix" -> (domainMixQuery _),
     "d_mix_schedule" -> (mixScheduleQuery _),
@@ -7197,6 +7233,29 @@ object SparkEntry {
         | CAST(round(CAST(n_docs * agree - pe_num AS DOUBLE) * 1000000
         |   / (n_docs * n_docs - pe_num)) AS BIGINT) AS kappa_micro
         |FROM tt, pe""".stripMargin,
+    // collocations: integer PMI-lift ranking, min-count 5, top-20
+    "d_collocations" ->
+      """WITH tk AS (
+        | SELECT list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |   x -> len(x) > 0) AS tk
+        | FROM documents),
+        |bg AS (
+        | SELECT unnest(list_transform(range(1, len(tk)),
+        |   i -> tk[i] || ' ' || tk[i+1])) AS bigram
+        | FROM tk WHERE len(tk) >= 2),
+        |pc AS (SELECT bigram, count(*) AS c_ab FROM bg GROUP BY bigram
+        |       HAVING count(*) >= 5),
+        |uni AS (SELECT unnest(tk) AS tok FROM tk),
+        |uc AS (SELECT tok, count(*) AS c_tok FROM uni GROUP BY tok),
+        |tt AS (SELECT count(*) AS n_bg FROM bg)
+        |SELECT bigram, c_ab,
+        | ua.c_tok AS c_a, ub.c_tok AS c_b,
+        | c_ab * n_bg * 1000000 // (ua.c_tok * ub.c_tok) AS lift_ppm
+        |FROM pc
+        |JOIN uc ua ON ua.tok = split_part(bigram, ' ', 1)
+        |JOIN uc ub ON ub.tok = split_part(bigram, ' ', 2)
+        |CROSS JOIN tt
+        |ORDER BY lift_ppm DESC, bigram LIMIT 20""".stripMargin,
     // Jaro-Winkler fuzzy matching: DuckDB's jaro_winkler_similarity
     // implements the same portable definition as the compiled kernel
     // (boost only when jaro > 0.7, prefix cap 4, p = 0.1); top-1 ranked
