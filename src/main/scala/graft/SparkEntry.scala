@@ -1481,6 +1481,53 @@ object SparkEntry {
       .limit(20)
   }
 
+  private def nextEventPairs(s: SparkSession, dir: String): DataFrame = {
+    // training-example CONSTRUCTION from behavior logs: per user in event
+    // time, (last-3-event-types context → next event type) supervised
+    // pairs — the dataset a next-event model trains on. Missing history
+    // slots keep the '_' pad so the context width is constant. One hash
+    // shuffle on user_id, per-user windows, deterministic (ts, event_id)
+    // tie-break; at 100 TB this is the same shape as sessionization.
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .withColumn("ctx", concat_ws("|",
+        coalesce(lag(col("event_type"), 3).over(w), lit("_")),
+        coalesce(lag(col("event_type"), 2).over(w), lit("_")),
+        coalesce(lag(col("event_type"), 1).over(w), lit("_"))))
+      .withColumn("label", lead(col("event_type"), 1).over(w))
+      .filter(col("label").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ctx"), col("label"))
+      .orderBy(col("event_id"))
+  }
+
+  private def targetEncode(s: SparkSession, dir: String): DataFrame = {
+    // leakage-free target encoding (the categorical-feature workhorse):
+    // each event's event_type is encoded as the LEAVE-ONE-OUT mean of
+    // `value` over its type — the row's own target never leaks into its
+    // feature. Exact integers end to end: cents at the scan, micro-cents
+    // out via div; singleton types fall back to the global LOO mean.
+    // One type-level groupBy (bounded by |types|), the per-row arithmetic
+    // rides a broadcast join of the tiny aggregate — no window needed.
+    // Non-negative targets assumed (LOO numerators then stay >= 0, so
+    // truncating and flooring division agree — the Clustering.quantize
+    // cross-engine `div` contract).
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("bigint").as("cents"))
+    val byType = ev.groupBy(col("event_type"))
+      .agg(sum(col("cents")).as("t_sum"), count(lit(1)).as("t_n"))
+    val glob = ev.agg(sum(col("cents")).as("g_sum"), count(lit(1)).as("g_n"))
+    ev.join(broadcast(byType), "event_type").crossJoin(glob)
+      .select(col("event_id"), col("event_type"),
+        when(col("t_n") > 1,
+          expr("(t_sum - cents) * 10000 div (t_n - 1)"))
+          .otherwise(expr("(g_sum - cents) * 10000 div (g_n - 1)"))
+          .as("enc_micro"))
+      .orderBy(col("event_id"))
+  }
+
   private def windowSuite(s: SparkSession, dir: String): DataFrame = {
     // the window-function completeness row: every ranking/distribution/
     // navigation function over ONE totally-ordered frame (ties broken by
@@ -4828,6 +4875,8 @@ object SparkEntry {
     "d_classifier_kappa" -> (classifierKappa _),
     "q_linkage_jw" -> (linkageJw _),
     "d_collocations" -> (collocations _),
+    "d_next_event_pairs" -> (nextEventPairs _),
+    "d_target_encode" -> (targetEncode _),
     "d_boilerplate" -> (boilerplateQuery _),
     "d_domain_mix" -> (domainMixQuery _),
     "d_mix_schedule" -> (mixScheduleQuery _),
@@ -7233,6 +7282,36 @@ object SparkEntry {
         | CAST(round(CAST(n_docs * agree - pe_num AS DOUBLE) * 1000000
         |   / (n_docs * n_docs - pe_num)) AS BIGINT) AS kappa_micro
         |FROM tt, pe""".stripMargin,
+    // next-event training pairs: per-user lag window, '_'-padded context
+    "d_next_event_pairs" ->
+      """WITH w AS (
+        | SELECT event_id, user_id,
+        |  concat_ws('|',
+        |   coalesce(lag(event_type, 3) OVER u, '_'),
+        |   coalesce(lag(event_type, 2) OVER u, '_'),
+        |   coalesce(lag(event_type, 1) OVER u, '_')) AS ctx,
+        |  lead(event_type, 1) OVER u AS label
+        | FROM events
+        | WINDOW u AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_id, user_id, ctx, label FROM w
+        |WHERE label IS NOT NULL ORDER BY event_id""".stripMargin,
+    // leave-one-out target encoding: cents at the scan, micro out via
+    // integer division; singleton types take the global LOO mean
+    "d_target_encode" ->
+      """WITH ev AS (
+        | SELECT event_id, event_type,
+        |  CAST(round(value * 100) AS BIGINT) AS cents
+        | FROM events),
+        |bt AS (SELECT event_type, CAST(sum(cents) AS BIGINT) AS t_sum,
+        |         count(*) AS t_n
+        |       FROM ev GROUP BY event_type),
+        |g AS (SELECT CAST(sum(cents) AS BIGINT) AS g_sum, count(*) AS g_n
+        |      FROM ev)
+        |SELECT event_id, ev.event_type,
+        | CASE WHEN t_n > 1 THEN (t_sum - cents) * 10000 // (t_n - 1)
+        |      ELSE (g_sum - cents) * 10000 // (g_n - 1) END AS enc_micro
+        |FROM ev JOIN bt ON ev.event_type = bt.event_type CROSS JOIN g
+        |ORDER BY event_id""".stripMargin,
     // collocations: integer PMI-lift ranking, min-count 5, top-20
     "d_collocations" ->
       """WITH tk AS (
