@@ -4117,6 +4117,50 @@ object SparkEntry {
     // under the explicit schema
     formatRoundtrip(s, dir, "csv")
 
+  private def tclosenessAudit(s: SparkSession, dir: String): DataFrame = {
+    // t-closeness audit — the third classic privacy metric, completing
+    // k-anonymity (class sizes) and l-diversity (distinct sensitive
+    // values): a class can pass both and still LEAK when its sensitive
+    // DISTRIBUTION differs from the table's (everyone in the class is
+    // rich). Per (mktsegment, nationkey) class, t = normalized ordered
+    // EMD between the class's balance-band distribution and the global
+    // one: Σ_prefix |CumP − CumG| / (B−1). All arithmetic exact integers
+    // on the common denominator n_c·N (|cum_c·N − cum_g·n_c| per prefix;
+    // the full-prefix term is identically 0, so summing all bands equals
+    // the textbook B−1 sum); one final double division to micro units
+    // (numerators < 2⁵³ at any graded SF — B·n_c·N·10⁶ caps it). Scale
+    // shape: one (class, band) groupBy, a bounded classes×bands grid
+    // (≤ |segments|·|nations|·|bands| rows — never data-sized), per-class
+    // cumsum windows over ~11-row partitions, 1-row totals crossJoin.
+    val cust = t(s, dir, "customer")
+      .select(col("c_mktsegment"), col("c_nationkey"),
+        floor(col("c_acctbal") / 1000).cast("bigint").as("band"))
+    val cb = cust.groupBy(col("c_mktsegment"), col("c_nationkey"), col("band"))
+      .agg(count(lit(1)).as("cnt"))
+    val classes = cb.groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(sum(col("cnt")).as("n_c"))
+    val gband = cust.groupBy(col("band")).agg(count(lit(1)).as("g_cnt"))
+    val totals = cust.agg(count(lit(1)).as("n_all"),
+      countDistinct(col("band")).as("n_bands"))
+    val w = Window.partitionBy(col("c_mktsegment"), col("c_nationkey"))
+      .orderBy(col("band"))
+    classes.crossJoin(broadcast(gband))
+      .join(cb, Seq("c_mktsegment", "c_nationkey", "band"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .withColumn("cum_c", sum(col("cnt")).over(w))
+      .withColumn("cum_g", sum(col("g_cnt")).over(w))
+      .crossJoin(totals)
+      .groupBy(col("c_mktsegment"), col("c_nationkey"), col("n_c"),
+        col("n_all"), col("n_bands"))
+      .agg(sum(abs(col("cum_c") * col("n_all") - col("cum_g") * col("n_c")))
+        .as("num"))
+      .select(col("c_mktsegment"), col("c_nationkey"), col("n_c"),
+        round(col("num").cast("double") * 1000000 /
+          (col("n_c") * col("n_all") * (col("n_bands") - 1)))
+          .cast("bigint").as("t_micro"))
+      .orderBy(col("c_mktsegment"), col("c_nationkey"))
+  }
+
   private def kanonAudit(s: SparkSession, dir: String): DataFrame = {
     // k-anonymity audit over the (mktsegment, nationkey) quasi-identifier
     // pair — the data-governance gate run before a customer table joins a
@@ -4405,6 +4449,25 @@ object SparkEntry {
         pmod(col("doc_id") * 3 + 7, col("n")))).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
+  }
+
+  private def kcoreQuery(s: SparkSession, dir: String): DataFrame = {
+    // dense-subgraph extraction: the k=8 core of the derived graph with a
+    // PLANTED clique (doc_id % 50 == 0, pairwise connected). The base
+    // graph is 6-regular-ish, so peeling drops every organic node in one
+    // round and the clique survives on its internal degree — the
+    // spam-farm shape k-core exists to find. The clique crossJoin is
+    // FIXTURE construction (the planted pattern), not operator cost: the
+    // operator takes any edge list. 4 peel rounds; fixpoint-within-budget
+    // is spec-pinned (a 5th round changes nothing).
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val planted = docs.filter(col("doc_id") % 50 === 0)
+    val clique = planted.select(col("doc_id").as("src"))
+      .crossJoin(planted.select(col("doc_id").as("dst")))
+      .filter(col("src") < col("dst"))
+    LinkRank.kCore(derivedEdges(s, dir).unionByName(clique),
+        k = 8, rounds = 4)
+      .orderBy(col("node"))
   }
 
   private def trianglesQuery(s: SparkSession, dir: String): DataFrame = {
@@ -5006,6 +5069,7 @@ object SparkEntry {
     "q_csv_roundtrip" -> (csvRoundtrip _),
     "q_kanon_audit" -> (kanonAudit _),
     "q_ldiversity_audit" -> (ldiversityAudit _),
+    "q_tcloseness_audit" -> (tclosenessAudit _),
     "q_golden_record" -> (goldenRecord _),
     "d_curriculum_order" -> (curriculumOrder _),
     "d_retrieval_eval" -> (retrievalEvalQuery _),
@@ -5019,6 +5083,7 @@ object SparkEntry {
     "d_graph_bfs" -> (graphBfs _),
     "d_graph_sssp" -> (graphSssp _),
     "d_lpa_communities" -> (lpaCommunities _),
+    "d_kcore" -> (kcoreQuery _),
     "q_freq_pairs" -> (freqPairs _),
     "q_gap_fill" -> (gapFill _),
     "q_trend_fit" -> (trendFit _),
@@ -8872,6 +8937,41 @@ object SparkEntry {
     // BFS twin: recursive CTE enumerates every ≤4-hop path from the
     // sources over the same derived edge set; min(hops) per node is the
     // distance the frontier iterate computes directly
+    // k-core peeling unrolled: 4 survivor->degree->filter levels over the
+    // symmetric edge list (base derived graph + the planted clique);
+    // rounds past the fixpoint are no-ops, so the unroll count only has
+    // to MEET the budget, and the final level re-derives core_deg
+    "d_kcore" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |e0 AS (SELECT doc_id AS src, (doc_id + 17) % nn.n AS dst FROM documents, nn
+        |       UNION ALL SELECT doc_id, (doc_id + 101) % nn.n FROM documents, nn
+        |       UNION ALL SELECT doc_id, (doc_id * 3 + 7) % nn.n FROM documents, nn),
+        |be AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+        |cq AS (SELECT a.doc_id AS src, b.doc_id AS dst
+        |       FROM documents a, documents b
+        |       WHERE a.doc_id % 50 = 0 AND b.doc_id % 50 = 0
+        |         AND a.doc_id < b.doc_id),
+        |al AS (SELECT src AS a, dst AS b FROM be
+        |       UNION ALL SELECT src, dst FROM cq),
+        |nbr AS (SELECT DISTINCT a, b FROM (
+        |        SELECT a, b FROM al WHERE a <> b
+        |        UNION ALL SELECT b, a FROM al WHERE a <> b)),
+        |a0 AS (SELECT DISTINCT a AS node FROM nbr),
+        |a1 AS (SELECT nbr.a AS node FROM nbr
+        |       JOIN a0 x ON nbr.a = x.node JOIN a0 y ON nbr.b = y.node
+        |       GROUP BY nbr.a HAVING count(*) >= 8),
+        |a2 AS (SELECT nbr.a AS node FROM nbr
+        |       JOIN a1 x ON nbr.a = x.node JOIN a1 y ON nbr.b = y.node
+        |       GROUP BY nbr.a HAVING count(*) >= 8),
+        |a3 AS (SELECT nbr.a AS node FROM nbr
+        |       JOIN a2 x ON nbr.a = x.node JOIN a2 y ON nbr.b = y.node
+        |       GROUP BY nbr.a HAVING count(*) >= 8),
+        |a4 AS (SELECT nbr.a AS node FROM nbr
+        |       JOIN a3 x ON nbr.a = x.node JOIN a3 y ON nbr.b = y.node
+        |       GROUP BY nbr.a HAVING count(*) >= 8)
+        |SELECT nbr.a AS node, count(*) AS core_deg FROM nbr
+        |JOIN a4 x ON nbr.a = x.node JOIN a4 y ON nbr.b = y.node
+        |GROUP BY nbr.a HAVING count(*) >= 8 ORDER BY node""".stripMargin,
     "d_graph_bfs" ->
       """WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
         |e0 AS (SELECT doc_id AS src, (doc_id + 17) % nn.n AS dst FROM documents, nn
@@ -9254,6 +9354,43 @@ object SparkEntry {
         | CAST(round(1000000 * (CAST(sum(CASE WHEN l < 3 THEN n ELSE 0 END)
         |   AS DOUBLE) / sum(n))) AS BIGINT) AS below_l_ppm
         |FROM g""".stripMargin,
+    // t-closeness: ordered EMD of the per-class balance-band distribution
+    // vs the global one, on the exact common denominator n_c*N; the dense
+    // classes x bands grid keeps missing bands in the cumulative walk
+    "q_tcloseness_audit" ->
+      """WITH cu AS (
+        | SELECT c_mktsegment, c_nationkey,
+        |  CAST(floor(c_acctbal / 1000) AS BIGINT) AS band
+        | FROM customer),
+        |cb AS (SELECT c_mktsegment, c_nationkey, band, count(*) AS cnt
+        |       FROM cu GROUP BY 1, 2, 3),
+        |cl AS (SELECT c_mktsegment, c_nationkey,
+        |         CAST(sum(cnt) AS BIGINT) AS n_c
+        |       FROM cb GROUP BY 1, 2),
+        |gb AS (SELECT band, count(*) AS g_cnt FROM cu GROUP BY band),
+        |tt AS (SELECT count(*) AS n_all, count(DISTINCT band) AS n_bands
+        |       FROM cu),
+        |grid AS (
+        | SELECT cl.c_mktsegment, cl.c_nationkey, cl.n_c, gb.band, gb.g_cnt,
+        |  COALESCE(cb.cnt, 0) AS cnt
+        | FROM cl CROSS JOIN gb
+        | LEFT JOIN cb ON cb.c_mktsegment = cl.c_mktsegment
+        |  AND cb.c_nationkey = cl.c_nationkey AND cb.band = gb.band),
+        |cum AS (
+        | SELECT c_mktsegment, c_nationkey, n_c,
+        |  sum(cnt) OVER w AS cum_c, sum(g_cnt) OVER w AS cum_g
+        | FROM grid
+        | WINDOW w AS (PARTITION BY c_mktsegment, c_nationkey
+        |              ORDER BY band)),
+        |agg AS (
+        | SELECT c_mktsegment, c_nationkey, n_c,
+        |  CAST(sum(abs(cum_c * n_all - cum_g * n_c)) AS BIGINT) AS num,
+        |  any_value(n_all) AS n_all, any_value(n_bands) AS n_bands
+        | FROM cum CROSS JOIN tt GROUP BY 1, 2, 3)
+        |SELECT c_mktsegment, c_nationkey, n_c,
+        | CAST(round(CAST(num AS DOUBLE) * 1000000 /
+        |   (n_c * n_all * (n_bands - 1))) AS BIGINT) AS t_micro
+        |FROM agg ORDER BY c_mktsegment, c_nationkey""".stripMargin,
     // survivorship golden record: per base entity, the (lev, tkey)-best
     // match merged under name-from-base / balance-from-registry rules
     "q_golden_record" ->

@@ -284,4 +284,42 @@ object LinkRank {
     }
     labels
   }
+
+  /** k-core membership by synchronous peeling: each round drops every
+    * node whose degree AMONG SURVIVORS is < k, until fixpoint — the
+    * classical dense-subgraph extractor (spam-farm / botnet subgraph
+    * detection next to LPA's communities). Peeling is run for a FIXED
+    * `rounds` budget: rounds past the fixpoint are no-ops (the survivor
+    * set is stable under the rule), so a generous budget is safe and the
+    * SQL twin can unroll the same count — callers pin fixpoint-within-
+    * budget in a spec (one more round changes nothing).
+    *
+    * Scale shape per round: two survivor semi-joins against the
+    * symmetric edge list + one degree groupBy — frontier-style lineage
+    * truncation like BFS/LPA; edges partition by endpoint, nothing
+    * corpus-sized crosses one task. Returns (node, core_deg) for the
+    * surviving nodes with their within-core degree.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int = 6): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    val d = edges.select(col("src").cast("long").as("a"),
+        col("dst").cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val nbr = d.unionAll(d.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    var alive = nbr.select(col("a").as("node")).distinct()
+    for (_ <- 0 until rounds) {
+      alive = nbr
+        .join(alive.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(alive.select(col("node").as("b")), Seq("b"), "left_semi")
+        .groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("node"))
+        .localCheckpoint(eager = false)
+    }
+    nbr.join(alive.select(col("node").as("a")), Seq("a"), "left_semi")
+      .join(alive.select(col("node").as("b")), Seq("b"), "left_semi")
+      .groupBy(col("a").as("node")).agg(count(lit(1)).as("core_deg"))
+      .filter(col("core_deg") >= k)
+  }
 }

@@ -3260,3 +3260,51 @@ class StreamingPackSpec extends SparkSpec {
     } finally q.stop()
   }
 }
+
+class KCoreSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.operators.LinkRank
+
+  private def edges(dir: String) = {
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"))
+    val n = docs.count()
+    val base = docs
+      .select(col("doc_id").as("src"), explode(array(
+        pmod(col("doc_id") + 17, lit(n)),
+        pmod(col("doc_id") + 101, lit(n)),
+        pmod(col("doc_id") * 3 + 7, lit(n)))).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val planted = docs.filter(col("doc_id") % 50 === 0)
+    base.unionByName(planted.select(col("doc_id").as("src"))
+      .crossJoin(planted.select(col("doc_id").as("dst")))
+      .filter(col("src") < col("dst")))
+  }
+
+  test("the k=8 core is exactly the planted clique with its internal degree") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    val out = SparkEntry.queries("d_kcore")(spark, dir).collect()
+    val planted = Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 50 === 0).count()
+    assert(out.length == planted)
+    assert(out.map(_.getAs[Long]("node")).forall(_ % 50 == 0))
+    // every clique member keeps AT LEAST its clique-internal degree; base
+    // edges into fellow survivors may add a few
+    out.foreach(r => assert(r.getAs[Long]("core_deg") >= planted - 1))
+  }
+
+  test("the peel budget reaches fixpoint: a deeper budget changes nothing") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    val e = edges(dir).localCheckpoint()
+    val r4 = LinkRank.kCore(e, k = 8, rounds = 4).collect().map(_.toSeq).toSet
+    val r6 = LinkRank.kCore(e, k = 8, rounds = 6).collect().map(_.toSeq).toSet
+    assert(r4 == r6, "rounds=4 must already be the fixpoint")
+  }
+
+  test("k above the max degree peels the graph to empty, never diverges") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    assert(LinkRank.kCore(edges(dir), k = 1000, rounds = 3).count() == 0)
+  }
+}
