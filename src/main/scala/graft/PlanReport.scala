@@ -75,7 +75,10 @@ object PlanReport {
          |`scans` = parquet scans, `pushed` = scans with non-empty
          |PushedFilters, `wscg` = whole-stage-codegen spans. Flags:
          |CARTESIAN = cartesian/BNLJ present (only the documented all-pairs
-         |oracle twins, broadcast-query ANN joins, 1-row totals joins, and
+         |oracle twins, broadcast-query ANN joins, 1-row totals joins,
+         |bounded metadata grids (d_chi2_langsource's |langs|×|sources|
+         |cells, q_tcloseness_audit's classes×bands cumulative grid — both
+         |class/band-count-sized, never data-sized), and
          |the certificate rows' truth sides — s_mutual_knn's brute-force
          |twin and d_simhash_banding_parity's all-pairs hamming side —
          |should show it), SINGLE-PARTITION = a single-partition exchange
