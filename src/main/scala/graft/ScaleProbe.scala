@@ -652,7 +652,74 @@ object ScaleProbe {
         println(f"""{"probe":"pack_greedy_scaled_shards","factor":$f,""" +
           f""""sec":${(System.nanoTime() - t0) / 1e9}%.2f,"docs":$n}""")
       }
+      locally {
+        // k-core peeling on the f-scaled derived graph + planted clique:
+        // per round two survivor semi-joins + a degree groupBy — time
+        // should track edges (linear), never paths; the planted clique
+        // grows with the corpus so the extracted core does too
+        val ids = docs.select(col("doc_id"))
+        val n = ids.count()
+        val edges = ids
+          .select(col("doc_id").as("src"), explode(array(
+            pmod(col("doc_id") + 17, lit(n)),
+            pmod(col("doc_id") + 101, lit(n)),
+            pmod(col("doc_id") * 3 + 7, lit(n)))).as("dst"))
+          .filter(col("src") =!= col("dst")).distinct()
+        val planted = ids.filter(col("doc_id") % 500 === 0)
+        val clique = planted.select(col("doc_id").as("src"))
+          .crossJoin(planted.select(col("doc_id").as("dst")))
+          .filter(col("src") < col("dst"))
+        val t0 = System.nanoTime()
+        val core = operators.LinkRank.kCore(
+          edges.unionByName(clique), k = 8, rounds = 4).count()
+        println(f"""{"probe":"d_kcore","factor":$f,""" +
+          f""""sec":${(System.nanoTime() - t0) / 1e9}%.2f,"core":$core}""")
+      }
       docs.unpersist()
+    }
+    // t-closeness on the f-replicated customer table: the grid stays
+    // |classes|×|bands| regardless of rows, so time should be one-scan
+    // bound (FLAT-ish) — the same shape as the chi² and k-anon audits
+    locally {
+      val cbase = Tables(spark, sfDir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"),
+          col("c_acctbal"))
+      val cn = cbase.count()
+      for (f <- Seq(1, factor, 3 * factor)) {
+        val cust = (0 until f).map(k => cbase.select(
+            (col("c_custkey") + lit(k * cn)).as("c_custkey"),
+            col("c_mktsegment"), col("c_nationkey"), col("c_acctbal")))
+          .reduce(_ unionAll _).localCheckpoint()
+        val t0 = System.nanoTime()
+        val rows = {
+          val cu = cust.select(col("c_mktsegment"), col("c_nationkey"),
+            floor(col("c_acctbal") / 1000).cast("bigint").as("band"))
+          val cb = cu.groupBy(col("c_mktsegment"), col("c_nationkey"), col("band"))
+            .agg(count(lit(1)).as("cnt"))
+          val classes = cb.groupBy(col("c_mktsegment"), col("c_nationkey"))
+            .agg(sum(col("cnt")).as("n_c"))
+          val gband = cu.groupBy(col("band")).agg(count(lit(1)).as("g_cnt"))
+          val totals = cu.agg(count(lit(1)).as("n_all"),
+            countDistinct(col("band")).as("n_bands"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("c_mktsegment"), col("c_nationkey"))
+            .orderBy(col("band"))
+          classes.crossJoin(broadcast(gband))
+            .join(cb, Seq("c_mktsegment", "c_nationkey", "band"), "left")
+            .na.fill(0L, Seq("cnt"))
+            .withColumn("cum_c", sum(col("cnt")).over(w))
+            .withColumn("cum_g", sum(col("g_cnt")).over(w))
+            .crossJoin(totals)
+            .groupBy(col("c_mktsegment"), col("c_nationkey"), col("n_c"),
+              col("n_all"), col("n_bands"))
+            .agg(sum(abs(col("cum_c") * col("n_all") -
+              col("cum_g") * col("n_c"))).as("num"))
+            .count()
+        }
+        println(f"""{"probe":"q_tcloseness_audit","factor":$f,""" +
+          f""""sec":${(System.nanoTime() - t0) / 1e9}%.2f,"classes":$rows}""")
+        cust.unpersist()
+      }
     }
     spark.stop()
   }

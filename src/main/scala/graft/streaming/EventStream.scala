@@ -418,6 +418,35 @@ object EventStream {
   case class SessionState(count: Long, sum: Double, lastTs: Long)
   case class SessionOut(user_id: Long, n_events: Long, value_sum: Double)
 
+  /** Streaming categorical scoring against a FROZEN target encoder — the
+    * [[streamingLmScore]] shape for [[graft.SparkEntry]]'s LOO target
+    * encoding: the (category → sum, n) table is trained ONCE on the
+    * reference corpus, broadcast, and each arriving event is scored
+    * statelessly. Inference-time encoding is the frozen PLAIN mean (the
+    * reference rows' own-target exclusion doesn't apply to unseen rows);
+    * unseen categories take the global mean. Identical integer
+    * arithmetic to the batch spelling by construction, parity pinned in
+    * the spec over uneven micro-batches.
+    */
+  def streamingTargetEncode(events: DataFrame, idCol: String,
+                            catCol: String, valueCol: String,
+                            encoder: DataFrame): DataFrame = {
+    // encoder: (category, t_sum cents, t_n) rows — |categories|-bounded
+    val rows = encoder
+      .select(col("cat"), col("t_sum").cast("long"), col("t_n").cast("long"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+    val gSum = rows.map(_._2._1).sum
+    val gN = rows.map(_._2._2).sum
+    val bc = events.sparkSession.sparkContext.broadcast(rows.toMap)
+    val enc = udf((cat: String) => bc.value.get(cat) match {
+      case Some((s, n)) if n > 0 => s * 10000L / n
+      case _ => if (gN > 0) gSum * 10000L / gN else 0L
+    })
+    events.select(col(idCol), col(catCol).as("cat"),
+        col(valueCol).as("value"))
+      .select(col(idCol), col("cat"), enc(col("cat")).as("enc_micro"))
+  }
+
   case class PackIn(doc_id: Long, shard: Int, tokens: Long)
   case class PackState(bin: Long, used: Long)
   case class PackOut(doc_id: Long, shard: Int, tokens: Long,

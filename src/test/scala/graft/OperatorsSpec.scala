@@ -3308,3 +3308,51 @@ class KCoreSpec extends SparkSpec {
     assert(LinkRank.kCore(edges(dir), k = 1000, rounds = 3).count() == 0)
   }
 }
+
+class StreamingTargetEncodeSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.streaming.OutputMode
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import graft.streaming.EventStream
+  import spark.implicits._
+
+  test("frozen-encoder streaming == the batch plain-mean spelling") {
+    // encoder trained on the even half; the odd half arrives as a stream
+    // in uneven micro-batches and must score exactly like the batch
+    // broadcast-join spelling of the same frozen table
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(dir).isDirectory)
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("bigint").as("cents"))
+    val encoder = ev.filter(col("event_id") % 2 === 0)
+      .groupBy(col("event_type").as("cat"))
+      .agg(sum(col("cents")).as("t_sum"), count(lit(1)).as("t_n"))
+      .localCheckpoint()
+    val live = ev.filter(col("event_id") % 2 === 1)
+      .select(col("event_id"), col("event_type"), col("cents"))
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = EventStream.streamingTargetEncode(
+        mem.toDF().toDF("event_id", "event_type", "cents"),
+        "event_id", "event_type", "cents", encoder)
+      .writeStream.format("memory").queryName("tenc_eq")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      Seq(live.slice(0, 977), live.slice(977, 2300),
+          live.slice(2300, live.length))
+        .foreach { c => mem.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+      val streamed = spark.table("tenc_eq")
+        .select(col("event_id"), col("enc_micro"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+      val batch = ev.filter(col("event_id") % 2 === 1)
+        .join(broadcast(encoder), col("event_type") === col("cat"))
+        .select(col("event_id"),
+          expr("t_sum * 10000 div t_n").as("enc_micro"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+      assert(batch.size == live.length) // all 5 types seen in training
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+}
