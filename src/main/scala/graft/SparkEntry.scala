@@ -3144,6 +3144,92 @@ object SparkEntry {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** md5-seeded ±1 sign for JL projection row p, input dim d — the
+    * engine-portable Rademacher matrix both spellings share by
+    * definition of the digest (the Splits/Dedup md5 discipline).
+    */
+  private def jlSign(p: Int, d: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"jl:$p:$d".getBytes("UTF-8"))
+    val v = ((h(0) & 0xFFL) << 24) | ((h(1) & 0xFFL) << 16) |
+      ((h(2) & 0xFFL) << 8) | (h(3) & 0xFFL)
+    if (v % 2 == 0) 1L else -1L
+  }
+
+  private def embedJl(s: SparkSession, dir: String): DataFrame = {
+    // Johnson–Lindenstrauss sketching — the third embedding-compression
+    // codec next to int8 (per-dim quantization) and PQ (codebooks):
+    // DIMENSION reduction 64 → 16 via a Rademacher ±1 projection, the
+    // data-independent transform that needs no training pass at all.
+    // Exactness discipline: dims quantize to 1e-4 fixed point FIRST
+    // (one engine-identical round per cell), then every projection is an
+    // INTEGER sum — order-independent, so no float-summation hazard in
+    // either engine. The sign matrix derives from md5("jl:p:d"), shared
+    // with the oracle by definition of the digest. Map-side only: 100 TB
+    // of embeddings compress 4× in one scan with zero shuffles (the
+    // posexplode is for grading; production keeps the 16-long array).
+    val P = 16
+    val D = 64
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => round(x * 10000).cast("long")).as("q"))
+    val projCols = (0 until P).map { p =>
+      (0 until D).map(d => element_at(col("q"), d + 1) * lit(jlSign(p, d)))
+        .reduce(_ + _)
+    }
+    e.select(col("vec_id"), array(projCols: _*).as("pr"))
+      .select(col("vec_id"), posexplode(col("pr")).as(Seq("p", "proj")))
+      .orderBy(col("vec_id"), col("p"))
+  }
+
+  private def jlDistortion(s: SparkSession, dir: String): DataFrame = {
+    // the JL guarantee, AUDITED: over all pairs of a bounded sample
+    // (vec_id < 40 → ≤ 780 pairs — the s_ann_bruteforce bounded-sample
+    // pattern), squared-L2 in the 16-dim sketch (scaled by 1/P) vs exact
+    // squared-L2 in the original 64 dims. Sum-of-BIGINTs ratios only
+    // (order-independent); per-pair ratios round once from an exact-
+    // below-2⁵³ double. Distortion concentrates around 1e6 ppm — the
+    // audit makes the sketch's error a measured number, like
+    // d_minhash_error does for MinHash.
+    val P = 16
+    val D = 64
+    val base = t(s, dir, "embeddings").filter(col("vec_id") < 40)
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => round(x * 10000).cast("long")).as("q"))
+    val projCols = (0 until P).map { p =>
+      (0 until D).map(d => element_at(col("q"), d + 1) * lit(jlSign(p, d)))
+        .reduce(_ + _)
+    }
+    val withProj = base.select(col("vec_id"), col("q"),
+      array(projCols: _*).as("pr"))
+    val a = withProj.select(col("vec_id").as("aid"), col("q").as("qa"),
+      col("pr").as("pa"))
+    val b = withProj.select(col("vec_id").as("bid"), col("q").as("qb"),
+      col("pr").as("pb"))
+    val pairs = a.join(b, col("aid") < col("bid"))
+      .select(col("aid"), col("bid"),
+        aggregate(zip_with(col("pa"), col("pb"), (x, y) => {
+          val dph = x - y; dph * dph
+        }), lit(0L), (acc, x) => acc + x).as("jl_sq"),
+        aggregate(zip_with(col("qa"), col("qb"), (x, y) => {
+          val dd = x - y; dd * dd
+        }), lit(0L), (acc, x) => acc + x).as("ex_sq"))
+      .filter(col("ex_sq") > 0) // exact-dup pairs carry no distance signal
+      .select(col("aid"), col("bid"), col("jl_sq"), col("ex_sq"),
+        round(col("jl_sq").cast("double") * 1000000 /
+          (col("ex_sq").cast("double") * P)).cast("bigint").as("ratio_ppm"))
+    pairs.agg(count(lit(1)).as("n_pairs"),
+      sum(col("jl_sq")).as("jl_total"), sum(col("ex_sq")).as("ex_total"),
+      min(col("ratio_ppm")).as("min_ppm"), max(col("ratio_ppm")).as("max_ppm"))
+      .select(col("n_pairs"),
+        round(col("jl_total").cast("double") * 1000000 /
+          (col("ex_total").cast("double") * P)).cast("bigint")
+          .as("overall_ppm"),
+        col("min_ppm"), col("max_ppm"))
+  }
+
   private def embedQuantized(s: SparkSession, dir: String): DataFrame = {
     // int8 scalar quantization round-trip: per vector, the scale, the code
     // sum, and the reconstruction L2 error — every step IEEE-deterministic
@@ -5009,6 +5095,8 @@ object SparkEntry {
     "s_semdedup" -> (semDedupQuery _),
     "s_embed_neardup_lsh" -> (embedNearDupLsh _),
     "s_embed_quantized" -> (embedQuantized _),
+    "s_embed_jl" -> (embedJl _),
+    "s_jl_distortion" -> (jlDistortion _),
     "s_embed_clusters" -> (embedClusters _),
     "s_embed_keepers" -> (embedKeepers _),
     "q_semi_join" -> (semiJoinActive _),
@@ -7438,6 +7526,58 @@ object SparkEntry {
         |      ELSE 'fr' END AS lang,
         | greatest(s_de, s_en, s_es, s_fr) AS score
         |FROM sc ORDER BY doc_id""".stripMargin,
+    // JL projection: 1e-4 fixed-point dims, md5-seeded Rademacher signs,
+    // integer sums — bit-exact by construction
+    "s_embed_jl" ->
+      """WITH q AS (SELECT vec_id,
+        |  list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> CAST(round(x * 10000) AS BIGINT)) AS q
+        | FROM embeddings),
+        |terms AS (
+        | SELECT vec_id, pp.p AS p,
+        |  q[dd.d + 1] * (CASE WHEN CAST(concat('0x',
+        |    substr(md5('jl:' || pp.p || ':' || dd.d), 1, 8)) AS BIGINT)
+        |    % 2 = 0 THEN 1 ELSE -1 END) AS t
+        | FROM q, unnest(range(16)) AS pp(p), unnest(range(64)) AS dd(d))
+        |SELECT vec_id, CAST(p AS INTEGER) AS p, CAST(sum(t) AS BIGINT) AS proj
+        |FROM terms GROUP BY vec_id, p ORDER BY vec_id, p""".stripMargin,
+    // JL distortion audit: sketch vs exact squared-L2 over the bounded
+    // pair sample, sum-of-BIGINTs ratios only
+    "s_jl_distortion" ->
+      """WITH q AS (SELECT vec_id,
+        |  list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> CAST(round(x * 10000) AS BIGINT)) AS q
+        | FROM embeddings WHERE vec_id < 40),
+        |terms AS (
+        | SELECT vec_id, pp.p AS p,
+        |  q[dd.d + 1] * (CASE WHEN CAST(concat('0x',
+        |    substr(md5('jl:' || pp.p || ':' || dd.d), 1, 8)) AS BIGINT)
+        |    % 2 = 0 THEN 1 ELSE -1 END) AS t
+        | FROM q, unnest(range(16)) AS pp(p), unnest(range(64)) AS dd(d)),
+        |pr AS (SELECT vec_id, p, CAST(sum(t) AS BIGINT) AS proj
+        |       FROM terms GROUP BY 1, 2),
+        |jl AS (SELECT a.vec_id AS aid, b.vec_id AS bid,
+        |        CAST(sum((a.proj - b.proj) * (a.proj - b.proj)) AS BIGINT)
+        |          AS jl_sq
+        |       FROM pr a JOIN pr b ON a.p = b.p AND a.vec_id < b.vec_id
+        |       GROUP BY 1, 2),
+        |dexp AS (SELECT vec_id, dd.d AS d, q[dd.d + 1] AS qd
+        |         FROM q, unnest(range(64)) AS dd(d)),
+        |ex AS (SELECT a.vec_id AS aid, b.vec_id AS bid,
+        |        CAST(sum((a.qd - b.qd) * (a.qd - b.qd)) AS BIGINT) AS ex_sq
+        |       FROM dexp a JOIN dexp b ON a.d = b.d AND a.vec_id < b.vec_id
+        |       GROUP BY 1, 2),
+        |pairs AS (SELECT jl.aid, jl.bid, jl_sq, ex_sq,
+        |   CAST(round(CAST(jl_sq AS DOUBLE) * 1000000 /
+        |     (CAST(ex_sq AS DOUBLE) * 16)) AS BIGINT) AS ratio_ppm
+        |  FROM jl JOIN ex ON jl.aid = ex.aid AND jl.bid = ex.bid
+        |  WHERE ex_sq > 0)
+        |SELECT count(*) AS n_pairs,
+        | CAST(round(CAST(sum(jl_sq) AS DOUBLE) * 1000000 /
+        |   (CAST(sum(ex_sq) AS DOUBLE) * 16)) AS BIGINT) AS overall_ppm,
+        | CAST(min(ratio_ppm) AS BIGINT) AS min_ppm,
+        | CAST(max(ratio_ppm) AS BIGINT) AS max_ppm
+        |FROM pairs""".stripMargin,
     "s_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
         |           FROM embeddings WHERE vec_id < 10),

@@ -3356,3 +3356,37 @@ class StreamingTargetEncodeSpec extends SparkSpec {
     } finally q.stop()
   }
 }
+
+class JlProjectionSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("the overall JL distortion concentrates near 1 and pairs stay bounded") {
+    // E[sketch dist^2] = P * exact dist^2 for a Rademacher projection —
+    // the sum-over-all-pairs ratio must land near 1e6 ppm, and no single
+    // pair may collapse to 0 (which would mean the sign matrix is
+    // degenerate for this data)
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    val r = SparkEntry.queries("s_jl_distortion")(spark, dir).collect().head
+    val overall = r.getAs[Long]("overall_ppm")
+    assert(overall > 800000L && overall < 1250000L,
+      s"overall distortion $overall ppm drifted from 1e6")
+    assert(r.getAs[Long]("min_ppm") > 0L)
+    assert(r.getAs[Long]("n_pairs") > 0L)
+  }
+
+  test("the md5 sign matrix is near-balanced per projection row") {
+    // 64 coin flips per row: a row with fewer than 16 of either sign
+    // would be a suspicious digest-derivation bug, not bad luck
+    (0 until 16).foreach { p =>
+      val pos = (0 until 64).count { d =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val h = md.digest(s"jl:$p:$d".getBytes("UTF-8"))
+        val v = ((h(0) & 0xFFL) << 24) | ((h(1) & 0xFFL) << 16) |
+          ((h(2) & 0xFFL) << 8) | (h(3) & 0xFFL)
+        v % 2 == 0
+      }
+      assert(pos >= 16 && pos <= 48, s"row $p has $pos positive signs")
+    }
+  }
+}
