@@ -78,7 +78,8 @@ object PlanReport {
          |oracle twins, broadcast-query ANN joins, 1-row totals joins,
          |bounded metadata grids (d_chi2_langsource's |langs|×|sources|
          |cells, q_tcloseness_audit's classes×bands cumulative grid — both
-         |class/band-count-sized, never data-sized), and
+         |class/band-count-sized, never data-sized), bounded-sample
+         |distortion audits (s_jl_distortion's ≤40-vector pair sample), and
          |the certificate rows' truth sides — s_mutual_knn's brute-force
          |twin and d_simhash_banding_parity's all-pairs hamming side —
          |should show it), SINGLE-PARTITION = a single-partition exchange
