@@ -3144,18 +3144,6 @@ object SparkEntry {
       .orderBy(col("q_id"), col("rnk"))
   }
 
-  /** md5-seeded ±1 sign for JL projection row p, input dim d — the
-    * engine-portable Rademacher matrix both spellings share by
-    * definition of the digest (the Splits/Dedup md5 discipline).
-    */
-  private def jlSign(p: Int, d: Int): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val h = md.digest(s"jl:$p:$d".getBytes("UTF-8"))
-    val v = ((h(0) & 0xFFL) << 24) | ((h(1) & 0xFFL) << 16) |
-      ((h(2) & 0xFFL) << 8) | (h(3) & 0xFFL)
-    if (v % 2 == 0) 1L else -1L
-  }
-
   private def embedJl(s: SparkSession, dir: String): DataFrame = {
     // Johnson–Lindenstrauss sketching — the third embedding-compression
     // codec next to int8 (per-dim quantization) and PQ (codebooks):
@@ -3168,17 +3156,13 @@ object SparkEntry {
     // with the oracle by definition of the digest. Map-side only: 100 TB
     // of embeddings compress 4× in one scan with zero shuffles (the
     // posexplode is for grading; production keeps the 16-long array).
-    val P = 16
-    val D = 64
-    val e = t(s, dir, "embeddings")
+    // fused kernel (functions/JlExpression.scala): one compiled loop in
+    // place of the 16×64-term expression tree; spec-pinned bit-identical
+    // to the HOF formulation the oracle replays
+    t(s, dir, "embeddings")
       .select(col("vec_id"),
-        transform(col("embedding").cast("array<double>"),
-          x => round(x * 10000).cast("long")).as("q"))
-    val projCols = (0 until P).map { p =>
-      (0 until D).map(d => element_at(col("q"), d + 1) * lit(jlSign(p, d)))
-        .reduce(_ + _)
-    }
-    e.select(col("vec_id"), array(projCols: _*).as("pr"))
+        graft.functions.JlProject(
+          col("embedding").cast("array<double>"), 16).as("pr"))
       .select(col("vec_id"), posexplode(col("pr")).as(Seq("p", "proj")))
       .orderBy(col("vec_id"), col("p"))
   }
@@ -3193,17 +3177,12 @@ object SparkEntry {
     // audit makes the sketch's error a measured number, like
     // d_minhash_error does for MinHash.
     val P = 16
-    val D = 64
-    val base = t(s, dir, "embeddings").filter(col("vec_id") < 40)
+    val withProj = t(s, dir, "embeddings").filter(col("vec_id") < 40)
       .select(col("vec_id"),
         transform(col("embedding").cast("array<double>"),
-          x => round(x * 10000).cast("long")).as("q"))
-    val projCols = (0 until P).map { p =>
-      (0 until D).map(d => element_at(col("q"), d + 1) * lit(jlSign(p, d)))
-        .reduce(_ + _)
-    }
-    val withProj = base.select(col("vec_id"), col("q"),
-      array(projCols: _*).as("pr"))
+          x => round(x * 10000).cast("long")).as("q"),
+        graft.functions.JlProject(
+          col("embedding").cast("array<double>"), P).as("pr"))
     val a = withProj.select(col("vec_id").as("aid"), col("q").as("qa"),
       col("pr").as("pa"))
     val b = withProj.select(col("vec_id").as("bid"), col("q").as("qb"),

@@ -3390,3 +3390,31 @@ class JlProjectionSpec extends SparkSpec {
     }
   }
 }
+
+class JlKernelParitySpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("fused JL kernel is bit-identical to the expression-tree spelling") {
+    // the kernel replaces a 16x64-term expression tree; equality on real
+    // embeddings (incl. negative dims, which exercise the half-away-
+    // from-zero rounding the kernel must share with Spark's round())
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val sg = graft.functions.JlKernel.signs(16, 64)
+    val projCols = (0 until 16).map { p =>
+      (0 until 64).map(d =>
+        round(element_at(col("e"), d + 1) * 10000).cast("long") *
+          lit(sg(p * 64 + d)))
+        .reduce(_ + _)
+    }
+    val rows = emb.select(col("vec_id"),
+        graft.functions.JlProject(col("e"), 16).as("fast"),
+        array(projCols: _*).as("tree")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"kernel/tree mismatch at vec ${r.get(0)}")
+    }
+  }
+}
