@@ -895,50 +895,80 @@ object Dedup {
     * ≈ sqrt(J(1−J)/k), so a systematic gap flags a broken hash or
     * tokenization drift between pipeline stages).
     *
-    * Scale shape: signatures map-side; candidates from the banded groupBy;
-    * exact sets built ONLY for candidate ids (semi-join first). Returns
+    * Scale shape: signatures map-side (and carried into the band buckets,
+    * so n_match falls out of the in-bucket pair expansion); exact shingle
+    * sets built ONLY for candidate ids (projected after the pair join, so
+    * non-candidates never shingle). Returns
     * (a, b, n_match, est_j, jaccard, abs_err).
     */
   def minhashCalibration(docs: DataFrame, idCol: String, textCol: String,
                          k: Int = 8, bands: Int = 4,
                          maxBucketSize: Int = 1000): DataFrame = {
-    // LAZY checkpoints (eager = false): each frame is consumed 2-3 times,
-    // so the lineage truncation + reuse is wanted without the eager
-    // checkpoint's extra upfront job. Measured finding (round 9): eager
-    // vs lazy vs cache vs a merged-join assembly all land within the
-    // ±0.4 s noise band at sf0.1 (~2.7-3.0 s) — the audit's cost is its
-    // inherent 4-job critical path (sigs → bands → pairs → verify), each
-    // stage consuming the previous one's materialization, not any single
-    // barrier or join; irreducible without changing what is audited
+    // FUSED estimate path (round 10 — the Md5Slices treatment applied to
+    // the per-pair signature replay the round-9 finding left open): the k
+    // signature longs ride INTO the band buckets alongside the id (k·8
+    // bytes of extra shuffle per band row — the bucket key itself is an
+    // md5 string, so the sigs roughly double an already tiny row), and
+    // n_match is computed DURING in-bucket pair expansion from the two
+    // member structs. The signature table never materializes, never
+    // checkpoints, and never joins back per pair — that replay (sigs
+    // checkpoint + a 3-frame join assembly) was the ~1.3 s gap between
+    // this audit and d_containment, which shares every other stage.
     val sigs = portableMinhash(docs, idCol, textCol, k)
-      .localCheckpoint(eager = false)
+    val r = k / bands
+    val keys = array((0 until bands).map { b =>
+      md5(concat_ws(":", (0 until r).map(i => col(s"sig${b * r + i}")): _*))
+    }: _*)
+    val member = struct(col(idCol).as("id") +:
+      (0 until k).map(p => col(s"sig$p")): _*)
+    // ids are unique, so sorting (id, sig…) structs orders buckets exactly
+    // as candidatePairs' sort_array over bare ids — pair (a, b) emission
+    // order (a < b) is unchanged
+    val buckets = sigs
+      .select(member.as("m"), posexplode(keys).as(Seq("band_id", "band_hash")))
+      .groupBy(col("band_id"), col("band_hash"))
+      .agg(sort_array(collect_set(col("m"))).as("ms"))
+      .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxBucketSize)
     // The production bucket cap bounds the audited pair set the same way
     // it bounds the dedup candidate set (capped ⊆ uncapped); the graded
     // query passes Int.MaxValue to mirror its uncapped oracle.
-    val pairs = candidatePairs(portableBands(sigs, idCol, k, bands),
-      maxBucketSize).localCheckpoint(eager = false)
-    val candidateIds = pairs
-      .select(explode(array(col("a"), col("b"))).as("cid")).distinct()
-    // ONE per-candidate frame carrying BOTH the signature columns and the
-    // exact shingle set, so the estimate and the verify ride the same two
-    // pair-side joins instead of four (each extra join on a KB-sized
-    // audit frame is pure scheduling overhead)
-    val perId = docs
-      .join(candidateIds, col(idCol) === col("cid"), "leftsemi")
-      .select(col(idCol).as("vid"),
-        array_distinct(portableShingleWindows(portableTokens(col(textCol))))
-          .as("sset"))
-      .join(sigs.select(col(idCol).as("vid") +:
-        (0 until k).map(p => col(s"sig$p")): _*), Seq("vid"))
-      .localCheckpoint(eager = false)
-    val pa = perId.select(col("vid").as("a") +: col("sset").as("__sa") +:
-      (0 until k).map(p => col(s"sig$p").as(s"__a$p")): _*)
-    val pb = perId.select(col("vid").as("b") +: col("sset").as("__sb") +:
-      (0 until k).map(p => col(s"sig$p").as(s"__b$p")): _*)
-    val nMatch = (0 until k).map(p =>
-      when(col(s"__a$p") === col(s"__b$p"), 1).otherwise(0)).reduce(_ + _)
-    pairs.join(pa, Seq("a")).join(pb, Seq("b"))
-      .withColumn("n_match", nMatch)
+    def nMatchOf(x: Column, y: Column): Column = (0 until k).map(p =>
+      when(x.getField(s"sig$p") === y.getField(s"sig$p"), 1).otherwise(0))
+      .reduce(_ + _)
+    // distinct on (a, b, n_match) dedupes multi-band collisions exactly as
+    // the bare (a, b) distinct did: n_match is a function of the pair
+    val pairs = buckets
+      .select(explode(flatten(transform(col("ms"), (x, i) =>
+        transform(slice(col("ms"), i + 2, size(col("ms"))), y =>
+          struct(x.getField("id").as("a"), y.getField("id").as("b"),
+            nMatchOf(x, y).as("n_match")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("p.n_match").as("n_match"))
+      .distinct()
+    // Exact-Jaccard verify: two plain equi-joins of the pair frame against
+    // the corpus, shingle sets projected AFTER each join so they are built
+    // ONLY for join survivors (candidates) — corpus text never shuffles
+    // and never shingles outside the candidate sliver. No broadcast hint
+    // and no checkpoint: the pair frame is consumed once per side, and AQE
+    // sees its post-shuffle size (KBs for any capped audit) and converts
+    // both joins to broadcast at runtime — while an uncapped pathological
+    // pair set degrades to a shuffle join instead of an OOM. Replacing the
+    // round-9 checkpoint chain (pairs → candidateIds → semi-join → perId →
+    // 3-frame assembly, 3 lazy checkpoints) with this two-join tail took
+    // the audit from ~2.8 s to ~1.0 s at sf0.1. Half that win was a latent
+    // instance of the 27× lambda trap ([[portableShingleWindows]]): the
+    // round-9 perId frame spelled array_distinct(windows(tokens(text)))
+    // in ONE projection, inlining the tokenizer into the window lambda —
+    // ~2 ms/doc instead of ~70 µs/doc. Tokens are now projected in their
+    // own select stage on each side, like every other portable caller.
+    val txt = docs.select(col(idCol).as("__vid"), col(textCol).as("__vtext"))
+    val withA = txt.join(pairs, col("__vid") === col("a"))
+      .select(col("a"), col("b"), col("n_match"),
+        portableTokens(col("__vtext")).as("__tka"))
+      .select(col("a"), col("b"), col("n_match"),
+        array_distinct(portableShingleWindows(col("__tka"))).as("__sa"))
+    txt.join(withA, col("__vid") === col("b"))
+      .withColumn("__tkb", portableTokens(col("__vtext")))
+      .withColumn("__sb", array_distinct(portableShingleWindows(col("__tkb"))))
       .withColumn("__i", size(array_intersect(col("__sa"), col("__sb"))))
       .withColumn("__u", size(col("__sa")) + size(col("__sb")) - col("__i"))
       .withColumn("__j", when(col("__u") === 0, lit(0.0))
