@@ -27,6 +27,18 @@ object CurationProcessors {
   private def dbl(config: Map[String, Any], key: String, default: Double): Double =
     config.get(key).map(_.toString.toDouble).getOrElse(default)
 
+  /** Does a committed index exist at `path`? Resolved through the Hadoop
+    * FileSystem API — a recipe processor's `index_path` may be an HDFS/S3
+    * URI at deployment, where a `java.io.File` probe would silently miss
+    * forever (skipping the gate and re-admitting every historical
+    * duplicate). The `_SUCCESS` marker is the commit protocol's own
+    * completeness signal, so a half-written index never gates.
+    */
+  private[graft] def indexExists(spark: SparkSession, path: String): Boolean = {
+    val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(marker)
+  }
+
   /** quality-filter: keep rows passing the token-statistics thresholds —
     * the [[TextAnalysis.tokenStats]] fused kernel computes all four
     * quality columns in one pass; helper columns are dropped so the
@@ -130,6 +142,14 @@ object CurationProcessors {
     * batch gates against them. Survivors are materialized (localCheckpoint)
     * before the append, so the returned frame cannot re-gate against its
     * own newly-written fingerprints.
+    *
+    * Concurrency contract: the index is SINGLE-WRITER. The gate is a
+    * read-then-append (no atomic check-and-insert exists on a parquet
+    * directory), so two agents appending to the same `index_path`
+    * concurrently can both admit the same fingerprint — run one ingest
+    * recipe per index, the same way the reference runs one agent per
+    * recipe. Readers are safe at any point: parquet appends are
+    * task-committed files, and the gate only ever widens.
     */
   object DedupGate extends Processor {
     val info: PluginInfo = PluginInfo("dedup-gate",
@@ -152,7 +172,7 @@ object CurationProcessors {
       val update = config.getOrElse("update_index", true).toString.toBoolean
       val withFp = df.withColumn("__fp", TextAnalysis.fingerprint(col(tc)))
       val gated =
-        if (new java.io.File(path, "_SUCCESS").exists())
+        if (indexExists(spark, path))
           withFp.join(spark.read.parquet(path).select(col("fp").as("__fp")),
             Seq("__fp"), "left_anti")
         else withFp
@@ -167,6 +187,67 @@ object CurationProcessors {
         survivors.select(col("__fp").as("fp"))
           .write.mode("append").parquet(path)
       survivors.drop("__fp")
+    }
+  }
+
+  /** neardup-gate: the stored-LSH NEAR-duplicate ingest gate — the fuzzy
+    * sibling of [[DedupGate]], wrapping [[Dedup.lshIngest]] on the recipe
+    * surface. A row is dropped iff ANY of its minhash-LSH band keys
+    * collides with the stored band index at `index_path` (one semi-join
+    * of batch bands against the index, then an anti-join back — no pair
+    * expansion); by default survivors APPEND their bands so the next
+    * batch gates against them too.
+    *
+    * Batch-split invariance is the contract inherited from `lshIngest`:
+    * decisions depend ONLY on the static index, never on other rows of
+    * the same batch — so in-batch near-duplicates all survive (and all
+    * index). Chain `dedup-gate` first for exact in-batch copies; a batch
+    * that must also self-near-dedup is a different operator
+    * ([[Dedup.minhashLsh]]) with a different (non-incremental) contract.
+    *
+    * Scale shape: only the BATCH is shingled/signed; the index side is a
+    * stored parquet band table (bucketable by band_hash — the
+    * [[Dedup.lshIngest]] store contract) consumed by one semi-join. The
+    * corpus is never re-signed. Same single-writer index contract as
+    * [[DedupGate]].
+    */
+  object NearDupGate extends Processor {
+    val info: PluginInfo = PluginInfo("neardup-gate",
+      "Drop rows near-duplicating the stored LSH band index; append survivors' bands",
+      sampleConfig =
+        """index_path: /indexes/lsh
+          |id_column: doc_id
+          |text_column: text
+          |k: 8
+          |bands: 4
+          |update_index: true""".stripMargin,
+      tags = Seq("processor", "curation"))
+
+    override def validate(config: Map[String, Any]): Seq[InvalidConfigError] =
+      requireKeys(config, "index_path")
+
+    def process(df: DataFrame, config: Map[String, Any]): DataFrame = {
+      val spark = df.sparkSession
+      val tc = textCol(config)
+      val idc = config.getOrElse("id_column", "doc_id").toString
+      val path = config("index_path").toString
+      val k = config.getOrElse("k", 8).toString.toInt
+      val nBands = config.getOrElse("bands", 4).toString.toInt
+      val update = config.getOrElse("update_index", true).toString.toBoolean
+      val survivorIds =
+        if (indexExists(spark, path))
+          Dedup.lshIngest(df, spark.read.parquet(path), idc, tc, k, nBands)
+        else df.select(col(idc))
+      // semi-join the id verdicts back so the full row set (all columns)
+      // flows on; materialize before the append so the returned frame
+      // cannot re-gate against its own newly-written bands
+      val survivors = df.join(survivorIds, Seq(idc), "left_semi")
+        .localCheckpoint()
+      if (update)
+        Dedup.portableBands(
+            Dedup.portableMinhash(survivors, idc, tc, k), idc, k, nBands)
+          .write.mode("append").parquet(path)
+      survivors
     }
   }
 }

@@ -92,5 +92,6 @@ object Populate {
     r.register(CurationProcessors.PiiScrub)
     r.register(CurationProcessors.LangFilter)
     r.register(CurationProcessors.DedupGate)
+    r.register(CurationProcessors.NearDupGate)
   }
 }

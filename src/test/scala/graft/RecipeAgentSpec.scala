@@ -241,6 +241,70 @@ class AgentSpec extends SparkSpec {
     assert(kept2 == Set(1L, 2L), kept2)
   }
 
+  test("neardup-gate recipe: stored LSH index catches a cross-batch near-dup") {
+    import spark.implicits._
+    // a near-duplicate (one word edited mid-document) planted ACROSS
+    // batches: batch 1 indexes the original's bands, batch 2's edit must
+    // collide on at least one unchanged band and be dropped — the fuzzy
+    // gate the exact dedup-gate cannot catch (different fingerprint)
+    val docsDir = Files.createTempDirectory("ndocs")
+    val idx = Files.createTempDirectory("nidx").resolve("lsh").toString
+    val out = Files.createTempDirectory("nout").resolve("kept.ndjson")
+    val original = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val nearDup = original.replace("omicron", "edited")
+    val fresh = "entirely different content about distributed query " +
+      "engines and columnar storage formats with no shared shingles"
+    Seq((1L, original)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$docsDir/batch1")
+    def recipe(batch: String) = RecipeReader.parse(
+      s"""name: neardup
+         |version: v1beta1
+         |source:
+         |  name: documents
+         |  config: {path: $docsDir/$batch}
+         |processors:
+         |  - name: neardup-gate
+         |    config: {index_path: $idx}
+         |sinks:
+         |  - name: file
+         |    config: {path: $out, format: ndjson}
+         |""".stripMargin)
+    val r1 = new Agent(spark).run(recipe("batch1"))
+    assert(r1.success, r1.error)
+    assert(r1.recordCount == 1, r1)
+    // the index now holds batch 1's bands (4 bands x 1 doc)
+    assert(spark.read.parquet(idx).count() == 4)
+    Seq((2L, nearDup), (3L, fresh)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$docsDir/batch2")
+    val r2 = new Agent(spark).run(recipe("batch2"))
+    assert(r2.success, r2.error)
+    assert(r2.recordCount == 1, r2) // near-dup dropped, fresh survives
+    val lines = scala.jdk.CollectionConverters.CollectionHasAsScala(
+      Files.readAllLines(out)).asScala.toSeq
+    assert(lines.size == 1 && lines.head.contains("\"doc_id\":3"), lines)
+    // survivor's bands appended: 4 more rows
+    assert(spark.read.parquet(idx).count() == 8)
+    Registries.populate()
+    assert(Registries.processors.list.map(_.name).contains("neardup-gate"))
+  }
+
+  test("curation index probe resolves through the Hadoop FileSystem API") {
+    import spark.implicits._
+    // an explicit file: URI — the java.io.File probe this replaced would
+    // treat "file:/..." as a relative path and always miss
+    val dir = Files.createTempDirectory("fsprobe")
+    val uri = "file:" + dir.resolve("fp").toString
+    assert(!graft.processors.CurationProcessors.indexExists(spark, uri))
+    Seq("k1", "k2").toDF("fp").write.parquet(uri)
+    assert(graft.processors.CurationProcessors.indexExists(spark, uri))
+    // and the gate itself accepts the URI spelling end to end
+    val batch = Seq((1L, "text one"), (2L, "text two")).toDF("doc_id", "text")
+    val kept = graft.processors.CurationProcessors.DedupGate
+      .process(batch, Map("index_path" -> uri, "update_index" -> false))
+    assert(kept.count() == 2)
+  }
+
   test("multi-sink fan-out from one cached pass; sink error isolated") {
     val dir = Files.createTempDirectory("csvsrc2")
     writeCsv(dir)
