@@ -133,7 +133,15 @@ object Bench {
     // total covers only succeeded queries — a time-to-abort is not a timing
     val ok = results.filterNot(_._2.failed)
     val total = ok.map(_._2.sec).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"agg":"min","queries":$qs,"rows":$rows,"failed":$failedNames,"errors":$errs,"notes":$notes,"n_ok":${ok.size},"n_failed":${results.size - ok.size},"sf":"$sfDir"}"""
+    // headline vs audit split: twin_of-tagged rows (truth twins, portable
+    // md5 twins, parity/accuracy certificates) grade the production
+    // surface rather than being part of it — both subtotals are reported,
+    // every row keeps its timing and its grading
+    val (audit, headline) = ok.partition { case (k, _) =>
+      SparkEntry.twinOf.contains(k) }
+    val headlineSec = headline.map(_._2.sec).sum
+    val auditSec = audit.map(_._2.sec).sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"agg":"min","headline_sec":$headlineSec,"audit_sec":$auditSec,"n_headline":${headline.size},"n_audit":${audit.size},"queries":$qs,"rows":$rows,"failed":$failedNames,"errors":$errs,"notes":$notes,"n_ok":${ok.size},"n_failed":${results.size - ok.size},"sf":"$sfDir"}"""
     println(line)
     // fallback artifact: sbt prefixes stdout with "[info] ", which has
     // broken the harness's metric-line extraction before (BENCH_r03

@@ -1088,19 +1088,23 @@ object SparkEntry {
   private def sketchDistinctCert(s: SparkSession, dir: String): DataFrame = {
     // certificate row for the HLL rollup (the s_ann_ivf_parity pattern):
     // the sketch's merged estimate is held against the oracle-recomputed
-    // exact distinct count with a 2% band — generous for the Datasketches
+    // exact distinct count. Band is 5%, ~6 RSEs for the Datasketches
     // default (lgK=12, ~0.8% RSE; sparse mode is near-exact below ~k
-    // distincts), honest at any SF. The oracle proves exact_n and the
-    // certificate boolean; the sketch internals stay rows-only by design
-    // (q_sketch_distinct), but its ACCURACY is now a graded claim.
+    // distincts) — a statistical property graded as a constant must hold
+    // with overwhelming margin at ANY SF or regenerated corpus, not the
+    // ~2.5σ the round-9 2% band gave (which a healthy sketch fails ~1% of
+    // the time); a BROKEN sketch (wrong hash, bad merge) is off by far
+    // more than 5%. The oracle proves exact_n and the certificate
+    // boolean; the sketch internals stay rows-only by design
+    // (q_sketch_distinct), but its ACCURACY is a graded claim.
     val ev = t(s, dir, "events")
     val est = ColumnProfiler.mergeSketches(
       ColumnProfiler.distinctSketches(ev, "event_type", "user_id"))
     val exact = ev.agg(countDistinct(col("user_id")).as("exact_n"))
     est.crossJoin(exact)
       .select(col("exact_n"),
-        (abs(col("distinct_estimate") - col("exact_n")) * 50 <=
-          col("exact_n")).as("within_2pct"))
+        (abs(col("distinct_estimate") - col("exact_n")) * 20 <=
+          col("exact_n")).as("within_5pct"))
   }
 
   private def rangeJoinClicks(s: SparkSession, dir: String): DataFrame = {
@@ -2658,17 +2662,67 @@ object SparkEntry {
       .localCheckpoint()
     val banded = Dedup.bandedHammingPairs(hashes, "id", "simhash",
         maxHamming = 3)
-      .select(col("a"), col("b"), lit(1).as("in_banded"))
+      .select(col("a"), col("b"), col("hamming").as("__bh"))
     val ha = hashes.select(col("id").as("a"), col("simhash").as("__ha"))
     val hb = hashes.select(col("id").as("b"), col("simhash").as("__hb"))
     val allPairs = ha.join(hb, col("a") < col("b"))
-      .filter(Dedup.hammingDistance(col("__ha"), col("__hb")) <= 3)
-      .select(col("a"), col("b"), lit(1).as("in_all"))
+      .withColumn("__ah", Dedup.hammingDistance(col("__ha"), col("__hb")))
+      .filter(col("__ah") <= 3)
+      .select(col("a"), col("b"), col("__ah"))
+    // coalesce(…, 0): on a corpus with ZERO near-dup pairs the full_outer
+    // join is empty and bare sums would emit NULL counts — an empty pair
+    // set must grade as clean zeros, so the only possible divergence from
+    // the constant oracle is has_pairs (the intentional nonempty signal).
+    // n_value_mismatch extends the round-9 (a, b) identity check to the
+    // emitted hamming VALUES: both sides recompute bit_count(xor) from the
+    // same hash table, so any disagreement means the banded expansion
+    // paired the wrong hash with an id.
     banded.join(allPairs, Seq("a", "b"), "full_outer")
       .agg(
-        sum(when(col("in_all").isNull, 1L).otherwise(0L)).as("n_only_banded"),
-        sum(when(col("in_banded").isNull, 1L).otherwise(0L)).as("n_only_allpairs"),
+        coalesce(sum(when(col("__ah").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_only_banded"),
+        coalesce(sum(when(col("__bh").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_only_allpairs"),
+        coalesce(sum(when(col("__bh") =!= col("__ah"), 1L).otherwise(0L)),
+          lit(0L)).as("n_value_mismatch"),
         (count(lit(1)) > 0).as("has_pairs"))
+  }
+
+  private def simhashKernelParity(s: SparkSession, dir: String): DataFrame = {
+    // the PRODUCTION 64-bit sketch certified against an independent
+    // relational spelling of its own definition: per token, Spark's
+    // xxhash64 (seed 42 — the same hash family the compiled SimHash64
+    // kernel calls) votes ±1 on each of the 64 bit positions; per-doc
+    // vote sums assemble the hash bit-by-bit. Kernel and twin must agree
+    // on EVERY doc — an exact theorem (same hash, same votes, same sign
+    // rule), so the constant grades at any SF or regenerated corpus,
+    // unlike a cross-hash-family pair-set pin (measured: pair (26, 455)
+    // sits at jaccard 0.90 with 64-bit hamming 4 — the hamming 3/4
+    // boundary carries NO margin, so xxhash64-vs-md5 equivalence would be
+    // corpus luck, the exact brittleness the HLL cert shed this round).
+    // This closes the audit gap on d_simhash's rows-only grading: the
+    // sketch VALUES are now certificate-pinned, the raw table stays
+    // no_oracle only because DuckDB has no xxhash64 to replay them.
+    // Audit-SF cost by design: the twin shuffles 64 vote sums per doc —
+    // the exact shape the kernel exists to avoid in production.
+    val docs = t(s, dir, "documents")
+    val kern = Dedup.simhash(docs, "doc_id", "text")
+    val toks = docs.select(col("doc_id").as("id"),
+        explode(Dedup.shingles(col("text"), 1)).as("tok"))
+      .select(col("id"), xxhash64(col("tok")).as("__h"))
+    val voteCols = (0 until 64).map(b =>
+      sum(when(shiftrightunsigned(col("__h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"__v$b"))
+    val rel = toks.groupBy(col("id"))
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(col("id"), (0 until 64).map(b =>
+          when(col(s"__v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ bitwiseOR _).as("__rel"))
+    kern.join(rel, Seq("id"), "full_outer")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(when(col("simhash").isNull || col("__rel").isNull ||
+          col("simhash") =!= col("__rel"), 1L).otherwise(0L)), lit(0L))
+          .as("n_mismatch"))
   }
 
   private def annBruteForce(s: SparkSession, dir: String): DataFrame = {
@@ -4920,6 +4974,30 @@ object SparkEntry {
 
   // ---------------------------------------------------------------------
 
+  /** Pure truth-side rows: each key is an audit/certificate/portable-twin
+    * query whose only purpose is GRADING the production row it maps to —
+    * exact-truth twins (`s_mutual_knn`'s bounded cartesian), engine-
+    * portable md5 twins of xxhash64 paths, parity/accuracy certificates.
+    * They stay fully graded like any query, but Bench prices them as a
+    * separate `audit_sec` subtotal so the 2× gate's headline number is
+    * the production surface, not the cost of auditing it.
+    */
+  val twinOf: Map[String, String] = Map(
+    "s_mutual_knn" -> "s_mutual_knn_stored",
+    "q_join_cardinality_audit" -> "q_join_cardinality",
+    "d_cms_audit" -> "q_join_cardinality",
+    "d_minhash_error" -> "d_minhash_pairs",
+    "d_minhash_portable" -> "d_minhash_pairs",
+    "d_lsh_portable_pairs" -> "d_dedup_fuzzy",
+    "d_dedup_fuzzy_portable" -> "d_dedup_fuzzy",
+    "d_simhash_portable" -> "d_simhash",
+    "d_simhash_kernel_parity" -> "d_simhash",
+    "d_simhash_portable_neardup" -> "d_simhash_neardup",
+    "d_simhash_banding_parity" -> "d_simhash_neardup",
+    "q_sketch_distinct_cert" -> "q_sketch_distinct",
+    "s_ann_ivf_parity" -> "s_ann_ivf",
+    "s_jl_distortion" -> "s_embed_jl")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q1_decimal" -> (q1Decimal _),
@@ -5050,6 +5128,7 @@ object SparkEntry {
     "d_simhash" -> (simhashes _),
     "d_simhash_neardup" -> (simhashNearDups _),
     "d_simhash_banding_parity" -> (simhashBandingParity _),
+    "d_simhash_kernel_parity" -> (simhashKernelParity _),
     "d_ngram_jaccard" -> (ngramJaccard _),
     "s_ann_bruteforce" -> (annBruteForce _),
     "s_embed_matryoshka" -> (embedMatryoshka _),
@@ -6173,7 +6252,7 @@ object SparkEntry {
     // constant verdict; the Spark side recomputes both from the sketch
     "q_sketch_distinct_cert" ->
       """SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_n,
-        | true AS within_2pct FROM events""".stripMargin,
+        | true AS within_5pct FROM events""".stripMargin,
     // KMV distinct sketch replayed exactly: portable md5-hex hash, k
     // smallest distinct values, floor'd integer estimate
     "q_kmv_distinct" ->
@@ -8806,11 +8885,23 @@ object SparkEntry {
     // keep-best survivors, and ONE recursive-CTE oracle grades both
     "d_dedup_fuzzy" -> fuzzySurvivorsOracle,
     // banding-losslessness certificate: pigeonhole makes the 4-band
-    // hamming<=3 pair set EXACTLY the all-pairs set — constant by theorem
+    // hamming<=3 pair set EXACTLY the all-pairs set (values included) —
+    // constant by theorem
     "d_simhash_banding_parity" ->
       """SELECT CAST(0 AS BIGINT) AS n_only_banded,
         | CAST(0 AS BIGINT) AS n_only_allpairs,
+        | CAST(0 AS BIGINT) AS n_value_mismatch,
         | true AS has_pairs""".stripMargin,
+    // production-sketch parity certificate: the compiled SimHash64 kernel
+    // vs the relational xxhash64 vote spelling agree doc-for-doc — exact
+    // theorem, so n_mismatch is the constant 0; n_docs (docs with >= 1
+    // token, trim() = spaces only like Spark's) proves non-vacuity
+    "d_simhash_kernel_parity" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(0 AS BIGINT) AS n_mismatch
+        |FROM documents
+        |WHERE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |  x -> len(x) > 0)) >= 1""".stripMargin,
     // portable 16-bit simhash: hex digit p of md5(shingle) votes ±1 on
     // bit p by its high nibble bit ('8'..'f'); DuckDB cross-joins the 16
     // bit positions where Spark keeps them as parallel agg columns

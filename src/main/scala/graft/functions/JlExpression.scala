@@ -59,12 +59,23 @@ object JlKernel {
     if (s >= 0) math.floor(s + 0.5).toLong else math.ceil(s - 0.5).toLong
   }
 
+  /** Returns null when ANY element is null: parquet embedding schemas
+    * carry containsNull=true, and `getDouble` on a null slot would
+    * silently read 0.0 (UnsafeArrayData) — a corrupt vector projected as
+    * if real. The relational twin propagates the null through every
+    * `round`/`aggregate` term (16 null projections); the kernel collapses
+    * that to one NULL sketch, which downstream distance math treats the
+    * same way (any arithmetic against it is null).
+    */
   def project(arr: ArrayData, p: Int): ArrayData = {
     val d = arr.numElements()
     val sg = signs(p, d)
     val q = new Array[Long](d)
     var i = 0
-    while (i < d) { q(i) = fx(arr.getDouble(i)); i += 1 }
+    while (i < d) {
+      if (arr.isNullAt(i)) return null
+      q(i) = fx(arr.getDouble(i)); i += 1
+    }
     val out = new Array[Long](p)
     var pp = 0
     while (pp < p) {
@@ -92,12 +103,23 @@ case class JlProject(child: Expression, p: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "jl_project"
 
+  // a non-null array with a null ELEMENT projects to null (JlKernel.project
+  // contract), so the result is nullable whenever elements can be null
+  override def nullable: Boolean = child.nullable || (child.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  })
+
   override def nullSafeEval(input: Any): Any =
     JlKernel.project(input.asInstanceOf[ArrayData], p)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v =>
-      s"${ev.value} = graft.functions.JlKernel.project($v, $p);")
+      if (nullable)
+        s"""${ev.value} = graft.functions.JlKernel.project($v, $p);
+           |${ev.isNull} = ${ev.value} == null;""".stripMargin
+      else
+        s"${ev.value} = graft.functions.JlKernel.project($v, $p);")
 
   override protected def withNewChildInternal(newChild: Expression): JlProject =
     copy(child = newChild)

@@ -286,18 +286,24 @@ object LinkRank {
   }
 
   /** k-core membership by synchronous peeling: each round drops every
-    * node whose degree AMONG SURVIVORS is < k, until fixpoint — the
+    * node whose degree AMONG SURVIVORS is < k, iterated TO FIXPOINT — the
     * classical dense-subgraph extractor (spam-farm / botnet subgraph
-    * detection next to LPA's communities). Peeling is run for a FIXED
-    * `rounds` budget: rounds past the fixpoint are no-ops (the survivor
-    * set is stable under the rule), so a generous budget is safe and the
-    * SQL twin can unroll the same count — callers pin fixpoint-within-
-    * budget in a spec (one more round changes nothing).
+    * detection next to LPA's communities). Stability is detected from the
+    * per-round survivor COUNT: peeling is monotone (survivor sets only
+    * shrink), so an unchanged count IS an unchanged set, and the loop
+    * exits as soon as a round removes nothing. `rounds` is a safety
+    * budget, not the answer's shape: if the peel chain is still shrinking
+    * when the budget runs out, kCore THROWS instead of silently returning
+    * a superset of the true core (the round-9 contract weakness). Rounds
+    * past the fixpoint are no-ops, so the SQL twin can unroll any
+    * sufficient count and agree exactly.
     *
     * Scale shape per round: two survivor semi-joins against the
     * symmetric edge list + one degree groupBy — frontier-style lineage
     * truncation like BFS/LPA; edges partition by endpoint, nothing
-    * corpus-sized crosses one task. Returns (node, core_deg) for the
+    * corpus-sized crosses one task. The per-round count() is an action on
+    * the just-checkpointed KB-sized survivor frame — the materialization
+    * the next round forces anyway. Returns (node, core_deg) for the
     * surviving nodes with their within-core degree.
     */
   def kCore(edges: DataFrame, k: Int, rounds: Int = 6): DataFrame = {
@@ -307,16 +313,29 @@ object LinkRank {
       .filter(col("a") =!= col("b"))
     val nbr = d.unionAll(d.select(col("b").as("a"), col("a").as("b")))
       .distinct().localCheckpoint()
+    def peel(alive: DataFrame): DataFrame = nbr
+      .join(alive.select(col("node").as("a")), Seq("a"), "left_semi")
+      .join(alive.select(col("node").as("b")), Seq("b"), "left_semi")
+      .groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= k)
+      .select(col("node"))
+      .localCheckpoint(eager = false)
     var alive = nbr.select(col("a").as("node")).distinct()
-    for (_ <- 0 until rounds) {
-      alive = nbr
-        .join(alive.select(col("node").as("a")), Seq("a"), "left_semi")
-        .join(alive.select(col("node").as("b")), Seq("b"), "left_semi")
-        .groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k)
-        .select(col("node"))
-        .localCheckpoint(eager = false)
+      .localCheckpoint(eager = false)
+    var prev = alive.count()
+    var stable = false
+    var round = 0
+    while (!stable && round < rounds) {
+      alive = peel(alive)
+      val n = alive.count()
+      stable = n == prev
+      prev = n
+      round += 1
     }
+    if (!stable && peel(alive).count() != prev)
+      throw new IllegalStateException(
+        s"kCore(k=$k) did not reach fixpoint within rounds=$rounds " +
+          s"($prev survivors still shrinking); raise the budget")
     nbr.join(alive.select(col("node").as("a")), Seq("a"), "left_semi")
       .join(alive.select(col("node").as("b")), Seq("b"), "left_semi")
       .groupBy(col("a").as("node")).agg(count(lit(1)).as("core_deg"))

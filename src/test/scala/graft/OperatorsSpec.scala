@@ -3307,6 +3307,20 @@ class KCoreSpec extends SparkSpec {
     assume(new java.io.File(dir).isDirectory)
     assert(LinkRank.kCore(edges(dir), k = 1000, rounds = 3).count() == 0)
   }
+
+  test("an insufficient peel budget fails loudly instead of returning a superset") {
+    import spark.implicits._
+    // a path graph peels one endpoint pair per round under k=2: ten nodes
+    // need ~4 rounds to empty, so rounds=1 must throw — never silently
+    // return the half-peeled survivor set
+    val path = (0L until 9L).map(i => (i, i + 1)).toDF("src", "dst")
+    val e = intercept[IllegalStateException] {
+      LinkRank.kCore(path, k = 2, rounds = 1).count()
+    }
+    assert(e.getMessage.contains("did not reach fixpoint"), e.getMessage)
+    // with budget to spare, the same graph cleanly empties (no 2-core)
+    assert(LinkRank.kCore(path, k = 2, rounds = 8).count() == 0)
+  }
 }
 
 class StreamingTargetEncodeSpec extends SparkSpec {
@@ -3373,6 +3387,21 @@ class JlProjectionSpec extends SparkSpec {
       s"overall distortion $overall ppm drifted from 1e6")
     assert(r.getAs[Long]("min_ppm") > 0L)
     assert(r.getAs[Long]("n_pairs") > 0L)
+  }
+
+  test("a null element nulls the whole sketch instead of projecting as 0.0") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Seq[java.lang.Double](1.0, 2.0)),
+      (2L, Seq[java.lang.Double](1.0, null)),
+      (3L, null)
+    ).toDF("id", "e")
+      .select(col("id"),
+        graft.functions.JlProject(col("e").cast("array<double>"), 4).as("pr"))
+      .orderBy(col("id")).collect()
+    assert(rows(0).getSeq[Long](1) != null)
+    assert(rows(1).isNullAt(1), "null element must null the sketch")
+    assert(rows(2).isNullAt(1), "null array must stay null")
   }
 
   test("the md5 sign matrix is near-balanced per projection row") {
