@@ -721,6 +721,80 @@ object ScaleProbe {
         cust.unpersist()
       }
     }
+    // ivfSelfTopK mutual-kNN feeder: its Σ_cluster |members|×|probers|
+    // bound is the whole 100 TB story and it DEGENERATES under cluster
+    // imbalance — a fixed-size codebook on a growing corpus makes every
+    // cluster grow ∝ N, so in-cluster candidate work grows ∝ N² even
+    // though the plan never goes cartesian. Two arms per factor:
+    //   fixed_codebook  — the 8-seed graded-query codebook on an f×
+    //                     corpus: expect SUPER-LINEAR time (the audit
+    //                     column `sumsq` = Σ|members|² names the cause).
+    //   scaled_codebook — 8·f seeds (one 8-seed family per replica), so
+    //                     per-cluster membership stays ~flat: the
+    //                     documented mitigation (codebook size must grow
+    //                     with the corpus — √N-ish in practice, linear
+    //                     here because replicas are exact).
+    // Replicas are cyclic coordinate ROTATIONS of the base embeddings
+    // (norms and within-replica geometry preserved, no cross-replica
+    // collapse), so scaled-arm seeds genuinely separate the replicas.
+    locally {
+      val embBase = Tables(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val dim = embBase.select(size(col("embedding"))).head.getInt(0)
+      val embN = embBase.count()
+      def rot(vec: org.apache.spark.sql.Column, k: Int) = {
+        val s = k % dim
+        if (s == 0) vec
+        else concat(slice(vec, s + 1, dim - s), slice(vec, 1, s))
+      }
+      def embCorpus(f: Int): DataFrame =
+        (0 until f).map(k => embBase.select(
+            (col("vec_id") + lit(k * embN)).as("vec_id"),
+            rot(col("embedding"), k).as("embedding")))
+          .reduce(_ unionAll _).localCheckpoint()
+      def unitSeedsOf(df: DataFrame, n: Int): Seq[Seq[Double]] =
+        df.orderBy(col("vec_id")).limit(n)
+          .select(col("embedding")).collect()
+          .map(_.getSeq[Double](0).toSeq).toSeq
+          .map { v =>
+            val nn = math.sqrt(v.map(x => x * x).sum)
+            if (nn == 0.0) v else v.map(_ / nn)
+          }
+      val baseSeeds = unitSeedsOf(embBase, 8)
+      def probeArm(arm: String, f: Int, seeds: Seq[Seq[Double]]): Unit = {
+        val corpus = embCorpus(f)
+        val store = operators.Similarity.assignCentroids(
+            operators.Similarity.normalized(
+              corpus.withColumn("__u", col("embedding")), "__u"),
+            "__u", seeds)
+          .drop("__u").localCheckpoint()
+        val hist = store.groupBy(col("centroid_id"))
+          .agg(count(lit(1)).as("m"))
+          .agg(count(lit(1)).as("clusters"), max(col("m")).as("max_m"),
+            sum(col("m") * col("m")).as("sumsq"), sum(col("m")).as("rows"))
+          .head()
+        val t0 = System.nanoTime()
+        val out = operators.Similarity.ivfSelfTopK(store, "vec_id",
+          "embedding", k = 5, coarse = seeds, nprobe = 3).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val maxShare = 100.0 * hist.getLong(1) / hist.getLong(3)
+        println(f"""{"probe":"mutual_knn_feeder_$arm","factor":$f,""" +
+          f""""sec":$sec%.2f,"rows":${hist.getLong(3)},""" +
+          f""""clusters":${hist.getLong(0)},"max_share_pct":$maxShare%.1f,""" +
+          s""""sumsq":${hist.getLong(2)},"topk_rows":$out}""")
+        store.unpersist(); corpus.unpersist()
+      }
+      // fixed arm stops at 10x: its N² candidate volume is the finding,
+      // not a number worth minutes of probe time at 30x
+      for (f <- Seq(1, 3, factor)) probeArm("fixed_codebook", f, baseSeeds)
+      for (f <- Seq(1, factor, 3 * factor)) {
+        val seeds = (0 until f).flatMap(k => baseSeeds.map { s =>
+          val sh = k % dim
+          s.drop(sh) ++ s.take(sh)
+        })
+        probeArm("scaled_codebook", f, seeds)
+      }
+    }
     spark.stop()
   }
 }
