@@ -2606,6 +2606,27 @@ object SparkEntry {
       .orderBy(col("lang"), col("source"))
   }
 
+  private def chunkSliding(s: SparkSession, dir: String): DataFrame =
+    // RAG-index preprocessing: overlapping 16-token windows every 8 tokens
+    // over every doc — the chunk → embed → store front end. Map-side only
+    // (tokenizer kernel + sequence explode + slice), zero shuffle: 100 TB
+    // chunks in one scan with doc-local output. Sized to this corpus's
+    // ~30-40 token docs so most emit 2-4 chunks (non-vacuous overlap).
+    TextAnalysis.slidingChunks(t(s, dir, "documents"), "doc_id", "text",
+        size = 16, stride = 8)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  private def adaptiveQuality(s: SparkSession, dir: String): DataFrame =
+    // per-source adaptive gate: every source drops ITS OWN bottom quarter
+    // by token-count rank — the per-domain calibration step after the
+    // absolute quality gates (a fixed min_tokens over-prunes terse
+    // sources, under-prunes verbose ones). Rank-based integer cut, one
+    // source-keyed shuffle.
+    TextAnalysis.adaptiveQualityGate(t(s, dir, "documents"), "doc_id",
+        "source", "text", dropFrac = 0.25)
+      .withColumnRenamed("rank", "rnk")
+      .orderBy(col("doc_id"))
+
   private def gopherRulesQuery(s: SparkSession, dir: String): DataFrame =
     // published MassiveText filter bundle over the corpus; minTokens
     // lowered to 30 so the verdict actually splits this corpus's ~30-40
@@ -5192,6 +5213,8 @@ object SparkEntry {
     "m_image_ingest" -> (imageIngest _),
     "m_image_ingest_stored" -> (imageIngestStored _),
     "d_gopher_rules" -> (gopherRulesQuery _),
+    "d_chunk_sliding" -> (chunkSliding _),
+    "d_adaptive_quality" -> (adaptiveQuality _),
     "d_gopher_lines" -> (gopherLinesQuery _),
     "d_ppl_buckets" -> (pplBuckets _),
     "d_dsir_sample" -> (dsirSampleQuery _),
@@ -8384,6 +8407,39 @@ object SparkEntry {
         |      FROM cl JOIN sc ON cl.id = sc.id)
         |SELECT cluster_id, id AS keep_id, edge_energy FROM r WHERE rnk = 1
         |ORDER BY cluster_id""".stripMargin,
+    // sliding chunker: identical start sequence (k·stride+1 while the
+    // window still adds coverage), inclusive DuckDB list slice bounded by
+    // the doc end — chunk text reproduced verbatim
+    "d_chunk_sliding" ->
+      """WITH tk AS (
+        | SELECT doc_id,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0) AS t
+        | FROM documents),
+        |nz AS (SELECT doc_id, t, len(t) AS n FROM tk WHERE len(t) > 0),
+        |ch AS (
+        | SELECT doc_id, CAST(k AS INT) AS chunk_id,
+        |        CAST(k*8 + 1 AS INT) AS tok_start,
+        |        t[k*8 + 1 : least(k*8 + 16, n)] AS ctoks
+        | FROM nz, unnest(range(0, (greatest(n - 16, 0) + 7) // 8 + 1)) r(k))
+        |SELECT doc_id, chunk_id, tok_start,
+        |       CAST(len(ctoks) AS INT) AS n_tokens,
+        |       array_to_string(ctoks, ' ') AS chunk_text
+        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+    // adaptive per-source gate: the rank rule is integer-exact (no
+    // percentile interpolation) so the survivor set is engine-portable
+    "d_adaptive_quality" ->
+      """WITH q AS (
+        | SELECT doc_id, source,
+        |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |r AS (SELECT doc_id, source, n_tokens,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY n_tokens, doc_id) AS BIGINT) AS rnk,
+        |  CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS m
+        | FROM q)
+        |SELECT doc_id, source, n_tokens, rnk, m FROM r
+        |WHERE rnk > floor(0.25 * m) ORDER BY doc_id""".stripMargin,
     // Gopher rule-bundle twin: the same tokenization/sum_len/stopword
     // spellings as d_quality, plus the duplicate-preserving bigram window
     // stream (shingle-kernel edge cases mirrored: 1 token -> one unigram

@@ -809,6 +809,77 @@ object TextAnalysis {
     batch.select(col(idCol)).join(rejected, Seq(idCol), "left_anti")
   }
 
+  /** RAG-style sliding-window token chunker: every doc becomes
+    * `1 + ceil(max(n_tokens − size, 0) / stride)` overlapping chunks of up
+    * to `size` whitespace tokens starting every `stride` tokens — the
+    * retrieval-index preprocessing step (chunk, embed, store) for long
+    * documents. Emits (id, chunk_id, tok_start, n_tokens, chunk_text):
+    * chunk ids are 0-based and dense per doc, `tok_start` is the 1-based
+    * token offset, the final chunk truncates at the doc end (never an
+    * empty trailing chunk — the start sequence stops at the last window
+    * that adds coverage). `stride == size` degenerates to non-overlapping
+    * splitting.
+    *
+    * Scale shape: ENTIRELY map-side — one tokenizer kernel pass, one
+    * integer sequence explode, `slice`/`concat_ws` projections; no
+    * shuffle, no state. 100 TB of documents chunk in one scan, and the
+    * output partitioning inherits the input's (chunks of a doc stay in
+    * its partition — the locality the downstream embed stage wants).
+    */
+  def slidingChunks(docs: DataFrame, idCol: String, textCol: String,
+                    size: Int = 128, stride: Int = 64): DataFrame = {
+    require(size >= 1, s"chunk size must be positive, got $size")
+    require(stride >= 1 && stride <= size,
+      s"stride must be in [1, size]; got stride=$stride size=$size")
+    // tokens materialized BEFORE the windowing projections (the
+    // portableShingleWindows lambda-inlining lesson: a tokenizer inside
+    // the downstream expressions would re-run per reference)
+    docs.select(col(idCol), tokens(col(textCol)).as("__tk"))
+      .filter(org.apache.spark.sql.functions.size(col("__tk")) > 0)
+      .select(col(idCol), col("__tk"),
+        explode(sequence(lit(0),
+          floor((greatest(org.apache.spark.sql.functions.size(col("__tk"))
+            - size, lit(0)) + (stride - 1)) / stride).cast("int")))
+          .as("chunk_id"))
+      .withColumn("tok_start", col("chunk_id") * stride + 1)
+      .withColumn("__chunk", slice(col("__tk"), col("tok_start"), lit(size)))
+      .select(col(idCol), col("chunk_id"), col("tok_start"),
+        org.apache.spark.sql.functions.size(col("__chunk")).as("n_tokens"),
+        concat_ws(" ", col("__chunk")).as("chunk_text"))
+  }
+
+  /** Per-source ADAPTIVE quality gate: each source sets its own bar —
+    * drop the bottom `dropFrac` of its docs by quality rank (here: token
+    * count, ties to smallest id). Absolute thresholds (a fixed
+    * `min_tokens`) systematically over-prune terse sources and
+    * under-prune verbose ones; ranking within the source normalizes the
+    * distribution away, the per-domain calibration step curation recipes
+    * run after the absolute gates. Rank-based and integer-exact by
+    * construction (no percentile interpolation), so the cut is
+    * deterministic and engine-portable: a doc survives iff
+    * `rank > floor(dropFrac · m)` where m is its source's doc count.
+    * Emits survivors (id, source, n_tokens, rank, m).
+    *
+    * Scale shape: ONE shuffle on source for the rank window + count
+    * (both over the same partitioning, one exchange); token counts are
+    * map-side. Source cardinality bounds nothing here — rows stream
+    * through the window, nothing collects.
+    */
+  def adaptiveQualityGate(docs: DataFrame, idCol: String, srcCol: String,
+                          textCol: String, dropFrac: Double = 0.25): DataFrame = {
+    require(dropFrac >= 0.0 && dropFrac < 1.0,
+      s"dropFrac must be in [0, 1), got $dropFrac")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(srcCol))
+      .orderBy(col("n_tokens"), col(idCol))
+    val wc = Window.partitionBy(col(srcCol))
+    docs.select(col(idCol), col(srcCol),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("m", count(lit(1)).over(wc))
+      .filter(col("rank") > floor(lit(dropFrac) * col("m")))
+  }
+
   def blockByDomain(docs: DataFrame, idCol: String, textCol: String,
                     blocklist: DataFrame): DataFrame = {
     val withDomains = docs.select(col(idCol),

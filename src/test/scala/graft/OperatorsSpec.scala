@@ -71,6 +71,48 @@ class UsageStatsSpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("slidingChunks: coverage, overlap, truncation and the empty-doc edge") {
+    import org.apache.spark.sql.functions._
+    val doc23 = (1 to 23).map(i => s"w$i").mkString(" ")
+    val doc5 = "a b c d e"
+    val docs = Seq((1L, doc23), (2L, doc5), (3L, "   ")).toDF("doc_id", "text")
+    val rows = TextAnalysis.slidingChunks(docs, "doc_id", "text",
+        size = 16, stride = 8)
+      .orderBy(col("doc_id"), col("chunk_id")).collect()
+    // doc 1 (23 tokens): k stops once the window covers the doc end —
+    // 1 + ceil((23-16)/8) = 2 chunks; the second truncates at token 23
+    val d1 = rows.filter(_.getLong(0) == 1L)
+    assert(d1.length == 2)
+    assert(d1(0).getInt(1) == 0 && d1(0).getInt(2) == 1 && d1(0).getInt(3) == 16)
+    assert(d1(1).getInt(1) == 1 && d1(1).getInt(2) == 9 && d1(1).getInt(3) == 15)
+    assert(d1(1).getString(4) == (9 to 23).map(i => s"w$i").mkString(" "))
+    // overlap: tokens 9..16 appear in both chunks
+    assert(d1(0).getString(4).endsWith("w9 w10 w11 w12 w13 w14 w15 w16"))
+    // short doc: one whole-doc chunk; whitespace-only doc: no rows
+    val d2 = rows.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2(0).getString(4) == "a b c d e")
+    assert(!rows.exists(_.getLong(0) == 3L))
+    // stride == size degenerates to a lossless non-overlapping split
+    val split = TextAnalysis.slidingChunks(docs.filter(col("doc_id") === 1),
+        "doc_id", "text", size = 8, stride = 8)
+      .orderBy(col("chunk_id")).collect()
+    assert(split.map(_.getString(4)).mkString(" ") == doc23)
+  }
+
+  test("adaptiveQualityGate: each source drops its own bottom quarter by rank") {
+    import org.apache.spark.sql.functions._
+    def doc(n: Int) = (1 to n).map(_ => "tok").mkString(" ")
+    val docs = Seq(
+      (1L, "a", doc(10)), (2L, "a", doc(20)), (3L, "a", doc(30)), (4L, "a", doc(40)),
+      (5L, "b", doc(5)), (6L, "b", doc(50))).toDF("doc_id", "source", "text")
+    val kept = TextAnalysis.adaptiveQualityGate(docs, "doc_id", "source", "text")
+      .select("doc_id").as[Long].collect().toSet
+    // source a: m=4, floor(1)=1 -> rank-1 doc (10 tokens) dropped;
+    // source b: m=2, floor(0.5)=0 -> both survive despite doc 5 being
+    // far below source a's bar — the per-source calibration the gate is for
+    assert(kept == Set(2L, 3L, 4L, 5L, 6L), kept)
+  }
+
   test("CDC chunking: boundaries are content-defined — an insert only disturbs its own chunk") {
     import org.apache.spark.sql.functions._
     val rnd = new scala.util.Random(42)
