@@ -2539,16 +2539,15 @@ object SparkEntry {
   /** Verified near-dup pairs by the engine-portable spelling: md5 minhash
     * → 4 LSH bands → in-bucket candidates → exact-Jaccard verify. The
     * shared front end of d_dedup_fuzzy_portable and d_split_leakproof.
-    * Candidate pairs are consumed three times by the verify stage (id
-    * prefilter + both join sides): materialize once. Cap OFF to stay
-    * equivalent to the uncapped oracle self-join by construction.
+    * The two-join verify consumes the candidate set once, so nothing
+    * checkpoints. Cap OFF to stay equivalent to the uncapped oracle
+    * self-join by construction.
     */
   private def portableNearDupPairs(docs: DataFrame): DataFrame = {
     val sigs = Dedup.portableMinhash(docs, "doc_id", "text", k = 8)
     val cand = Dedup.candidatePairs(
         Dedup.portableBands(sigs, "doc_id", k = 8, bands = 4),
         maxBucketSize = Int.MaxValue)
-      .localCheckpoint()
     Dedup.verifyJaccard(cand, docs, "doc_id", "text",
         shingleLen = 3, threshold = 0.5)
       .select(col("a"), col("b"))

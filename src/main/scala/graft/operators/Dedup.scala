@@ -95,26 +95,27 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact Jaccard over the shingle sets of candidate pairs only. */
+  /** Exact Jaccard over the shingle sets of candidate pairs only.
+    *
+    * Shape (the round-10 two-join tail, measured on the calibration
+    * audit): each side is a plain equi-join of the pair frame against the
+    * corpus with the shingle set projected AFTER the join — sets are
+    * built ONLY for join survivors (candidates), corpus text never
+    * shuffles, and no checkpoint/candidate-id barrier exists (the
+    * round-9 semi-join-first spelling cost 3 extra jobs of pure
+    * scheduling on KB-sized frames). AQE broadcasts the pair frame at
+    * runtime when it is small (any banded candidate set); a pathological
+    * pair set degrades to a shuffle join instead of an OOM.
+    */
   def verifyJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
                     textCol: String, shingleLen: Int = 3,
                     threshold: Double = 0.8): DataFrame = {
-    // LSH candidates are a sliver of the corpus: semi-join docs down to
-    // the ids that appear in a pair BEFORE shingling, so the (expensive)
-    // shingle sets are built only for candidates — not for every doc,
-    // twice, as a plain two-sided join against the full corpus would
-    val candidateIds = pairs
-      .select(explode(array(col("a"), col("b"))).as("cid")).distinct()
-    // consumed twice (both join sides below): checkpoint so the doc scan +
-    // shingling runs once, not once per side
-    val sets = docs
-      .join(candidateIds, col(idCol) === col("cid"), "leftsemi")
-      .select(col(idCol).as("vid"),
-        array_distinct(shingles(col(textCol), shingleLen)).as("sset"))
-      .localCheckpoint()
-    val sa = sets.select(col("vid").as("a"), col("sset").as("sa"))
-    val sb = sets.select(col("vid").as("b"), col("sset").as("sb"))
-    pairs.join(sa, Seq("a")).join(sb, Seq("b"))
+    val txt = docs.select(col(idCol).as("__vid"), col(textCol).as("__vtext"))
+    val withA = txt.join(pairs, col("__vid") === col("a"))
+      .select(col("a"), col("b"),
+        array_distinct(shingles(col("__vtext"), shingleLen)).as("sa"))
+    txt.join(withA, col("__vid") === col("b"))
+      .withColumn("sb", array_distinct(shingles(col("__vtext"), shingleLen)))
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("uni", size(array_union(col("sa"), col("sb"))))
       .withColumn("jaccard", when(col("uni") === 0, lit(0.0))
@@ -140,16 +141,13 @@ object Dedup {
   def verifyContainment(pairs: DataFrame, docs: DataFrame, idCol: String,
                         textCol: String, shingleLen: Int = 3,
                         threshold: Double = 0.8): DataFrame = {
-    val candidateIds = pairs
-      .select(explode(array(col("a"), col("b"))).as("cid")).distinct()
-    val sets = docs
-      .join(candidateIds, col(idCol) === col("cid"), "leftsemi")
-      .select(col(idCol).as("vid"),
-        array_distinct(shingles(col(textCol), shingleLen)).as("sset"))
-      .localCheckpoint()
-    val sa = sets.select(col("vid").as("a"), col("sset").as("sa"))
-    val sb = sets.select(col("vid").as("b"), col("sset").as("sb"))
-    pairs.join(sa, Seq("a")).join(sb, Seq("b"))
+    // same two-join candidates-only tail as [[verifyJaccard]]
+    val txt = docs.select(col(idCol).as("__vid"), col(textCol).as("__vtext"))
+    val withA = txt.join(pairs, col("__vid") === col("a"))
+      .select(col("a"), col("b"),
+        array_distinct(shingles(col("__vtext"), shingleLen)).as("sa"))
+    txt.join(withA, col("__vid") === col("b"))
+      .withColumn("sb", array_distinct(shingles(col("__vtext"), shingleLen)))
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("double"))
       .withColumn("ca", col("inter") / size(col("sa")))
       .withColumn("cb", col("inter") / size(col("sb")))
@@ -163,10 +161,10 @@ object Dedup {
                  k: Int = 64, bands: Int = 16, shingleLen: Int = 3,
                  threshold: Double = 0.8): DataFrame = {
     val sigs = minhashSignatures(df, idCol, textCol, k, shingleLen)
-    // candidate pairs are consumed three times by the verify stage (id
-    // prefilter + both join sides); localCheckpoint materializes the
-    // (small) pair set once so the signature pipeline isn't re-run per use
-    val pairs = candidatePairs(lshBuckets(sigs, k, bands)).localCheckpoint()
+    // the two-join verify consumes the pair set ONCE (as the build side of
+    // the first join), so no checkpoint is needed — the signature pipeline
+    // runs exactly once inside the single plan
+    val pairs = candidatePairs(lshBuckets(sigs, k, bands))
     verifyJaccard(pairs, df, idCol, textCol, shingleLen, threshold)
   }
 
