@@ -4897,6 +4897,23 @@ object SparkEntry {
       .orderBy(col("true_lang"), col("pred"))
   }
 
+  private def chunkBm25(s: SparkSession, dir: String): DataFrame = {
+    // the RAG composition row: retrieval over CHUNKS, not docs — sliding
+    // windows become the BM25 corpus (chunk id = doc_id·1000 + chunk_id,
+    // exact in both engines), the same five doc-queries rank the top-10
+    // chunks. Proves the chunker's output drives the retrieval stack
+    // end-to-end; chunking stays map-side, BM25 adds its usual three
+    // aggregates over the (bigger) chunk corpus.
+    val d = t(s, dir, "documents")
+    val chunks = TextAnalysis.slidingChunks(d, "doc_id", "text",
+        size = 16, stride = 8)
+      .select((col("doc_id") * 1000 + col("chunk_id")).as("cid"),
+        col("chunk_text"))
+    Retrieval.bm25TopK(chunks, d.filter(col("doc_id") < 5),
+        "cid", "chunk_text", "doc_id", "text")
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   private def bm25TopKQuery(s: SparkSession, dir: String): DataFrame = {
     // lexical retrieval over the corpus: the first five docs play the
     // query role (doc-as-query), BM25-scored against every doc, top-10
@@ -5279,6 +5296,7 @@ object SparkEntry {
     "d_length_quantiles_exact" -> (lengthQuantilesExact _),
     "d_card_incremental" -> (cardIncremental _),
     "d_bm25_topk" -> (bm25TopKQuery _),
+    "d_chunk_bm25" -> (chunkBm25 _),
     "d_bm25_topk_stored" -> (bm25TopKStoredQuery _),
     "d_bm25_incremental" -> (bm25IncrementalQuery _),
     "d_hybrid_rrf" -> (hybridRrfQuery _),
@@ -5330,21 +5348,25 @@ object SparkEntry {
 
   /** BM25 CTE chain shared by the bm25 oracles and the RRF hybrid:
     * ends at `r` (the ranked per-query candidates). */
-  private val bm25Ctes: String =
-    """ct AS (
+  /** The BM25 CTE chain over any (doc_id, text) relation — `documents`
+    * for the doc-level rows, the chunk CTE for the chunk-level retrieval
+    * row. Queries are always docs 0-4.
+    */
+  private def bm25CtesOver(corpus: String): String =
+    s"""ct AS (
         | SELECT doc_id,
-        |  unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |  unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
         |         x -> len(x) > 0)) AS term
-        | FROM documents),
+        | FROM $corpus),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM ct GROUP BY 1, 2),
         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
         |       FROM tf GROUP BY 1),
         |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |st AS (SELECT count(*) AS n_docs FROM documents),
+        |st AS (SELECT count(*) AS n_docs FROM $corpus),
         |tt AS (SELECT CAST(sum(dl) AS BIGINT) AS tot FROM dl),
         |qt AS (SELECT DISTINCT q_id, term FROM (
         |  SELECT doc_id AS q_id,
-        |   unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |   unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
         |          x -> len(x) > 0)) AS term
         |  FROM documents WHERE doc_id < 5)),
         |c AS (
@@ -5365,9 +5387,28 @@ object SparkEntry {
         |                     ORDER BY score DESC, doc_id ASC) AS rnk
         | FROM sc)""".stripMargin
 
+  private lazy val bm25Ctes: String = bm25CtesOver("documents")
+
   private lazy val bm25Oracle: String =
     s"""WITH $bm25Ctes
       |SELECT q_id, rnk, doc_id, score FROM r WHERE rnk <= 10
+      |ORDER BY q_id, rnk""".stripMargin
+
+  /** Chunk-level retrieval oracle: the sliding-chunk CTE feeds the SAME
+    * BM25 chain — chunk ids are doc_id·1000 + chunk_id on both engines.
+    */
+  private lazy val chunkBm25Oracle: String =
+    s"""WITH ctk AS (
+      | SELECT doc_id,
+      |  list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> len(x) > 0) AS t
+      | FROM documents),
+      |cnz AS (SELECT doc_id, t, len(t) AS n FROM ctk WHERE len(t) > 0),
+      |chx AS (
+      | SELECT doc_id*1000 + k AS doc_id,
+      |        array_to_string(t[k*8 + 1 : least(k*8 + 16, n)], ' ') AS text
+      | FROM cnz, unnest(range(0, (greatest(n - 16, 0) + 7) // 8 + 1)) r(k)),
+      |${bm25CtesOver("chx")}
+      |SELECT q_id, rnk, doc_id AS cid, score FROM r WHERE rnk <= 10
       |ORDER BY q_id, rnk""".stripMargin
 
   /** CMS join-cardinality CTE chain up to the per-width estimate —
@@ -9892,6 +9933,7 @@ object SparkEntry {
         |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
 
     "d_bm25_topk" -> bm25Oracle,
+    "d_chunk_bm25" -> chunkBm25Oracle,
     "d_bm25_topk_stored" -> bm25Oracle,
     // MRR / nDCG@10 over the bm25 chain; the rank-r gains are the SAME
     // hard-coded micro-units of 1/log2(r+1) the Spark operator holds, so

@@ -3275,6 +3275,32 @@ class StreamingPackSpec extends SparkSpec {
   import graft.operators.{Splits, TextAnalysis}
   import spark.implicits._
 
+  test("slidingChunks is batch-split invariant: streaming == batch chunking") {
+    // the chunker is stateless per row (tokenize + window projections), so
+    // the SAME operator runs unchanged on a stream in Append mode and any
+    // micro-batch partition of the corpus yields the identical chunk set —
+    // the ingest-side spelling of the RAG chunk -> embed -> store front end
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    val load = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val docs = load.as[(Long, String)].collect().sortBy(_._1)
+    val mem = MemoryStream[(Long, String)]
+    val q = TextAnalysis.slidingChunks(mem.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", size = 16, stride = 8)
+      .writeStream.format("memory").queryName("chunk_eq")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      Seq(docs.slice(0, 91), docs.slice(91, 260), docs.slice(260, docs.length))
+        .foreach { c => mem.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+      val streamed = spark.table("chunk_eq").collect().map(_.toSeq).toSet
+      val batch = TextAnalysis.slidingChunks(load, "doc_id", "text",
+          size = 16, stride = 8).collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("online next-fit packing == batch packGreedy over uneven micro-batches") {
     // the stream IS the layout order: docs arrive in id order, batch
     // boundaries cut the stream at arbitrary points (137/211/152), and
