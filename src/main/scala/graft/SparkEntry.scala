@@ -4914,6 +4914,30 @@ object SparkEntry {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  private def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    // retrieval-training negative mining (the DPR recipe): for each query
+    // doc, the top-10 BM25 chunks EXCLUDING the query doc's own chunks —
+    // lexically-confusable non-matches, the hard negatives a dual-encoder
+    // trains against. Same chunk corpus and scorer as d_chunk_bm25; the
+    // exclusion is a map-side integer filter on the chunk-id encoding
+    // (cid div 1000 = parent doc), applied BEFORE the top-k window so
+    // every query still fills its k negative slots.
+    val d = t(s, dir, "documents")
+    val chunks = TextAnalysis.slidingChunks(d, "doc_id", "text",
+        size = 16, stride = 8)
+      .select((col("doc_id") * 1000 + col("chunk_id")).as("cid"),
+        col("chunk_text"))
+    Retrieval.bm25TopK(chunks, d.filter(col("doc_id") < 5),
+        "cid", "chunk_text", "doc_id", "text", topK = Int.MaxValue)
+      .filter(floor(col("cid") / 1000) =!= col("q_id"))
+      .withColumn("neg_rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id")).orderBy(col("rnk"))))
+      .filter(col("neg_rank") <= 10)
+      .select(col("q_id"), col("neg_rank"), col("cid"), col("score"))
+      .orderBy(col("q_id"), col("neg_rank"))
+  }
+
   private def bm25TopKQuery(s: SparkSession, dir: String): DataFrame = {
     // lexical retrieval over the corpus: the first five docs play the
     // query role (doc-as-query), BM25-scored against every doc, top-10
@@ -5297,6 +5321,7 @@ object SparkEntry {
     "d_card_incremental" -> (cardIncremental _),
     "d_bm25_topk" -> (bm25TopKQuery _),
     "d_chunk_bm25" -> (chunkBm25 _),
+    "d_hard_negatives" -> (hardNegatives _),
     "d_bm25_topk_stored" -> (bm25TopKStoredQuery _),
     "d_bm25_incremental" -> (bm25IncrementalQuery _),
     "d_hybrid_rrf" -> (hybridRrfQuery _),
@@ -5410,6 +5435,28 @@ object SparkEntry {
       |${bm25CtesOver("chx")}
       |SELECT q_id, rnk, doc_id AS cid, score FROM r WHERE rnk <= 10
       |ORDER BY q_id, rnk""".stripMargin
+
+  /** Hard-negative mining oracle: the chunk-BM25 rank with the query
+    * doc's own chunks excluded post-ranking, re-ranked densely.
+    */
+  private lazy val hardNegativesOracle: String =
+    s"""WITH ctk AS (
+      | SELECT doc_id,
+      |  list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> len(x) > 0) AS t
+      | FROM documents),
+      |cnz AS (SELECT doc_id, t, len(t) AS n FROM ctk WHERE len(t) > 0),
+      |chx AS (
+      | SELECT doc_id*1000 + k AS doc_id,
+      |        array_to_string(t[k*8 + 1 : least(k*8 + 16, n)], ' ') AS text
+      | FROM cnz, unnest(range(0, (greatest(n - 16, 0) + 7) // 8 + 1)) r(k)),
+      |${bm25CtesOver("chx")},
+      |neg AS (SELECT q_id, doc_id AS cid, score, rnk FROM r
+      |        WHERE doc_id // 1000 <> q_id),
+      |nr AS (SELECT q_id, cid, score,
+      |        row_number() OVER (PARTITION BY q_id ORDER BY rnk) AS neg_rank
+      |       FROM neg)
+      |SELECT q_id, neg_rank, cid, score FROM nr WHERE neg_rank <= 10
+      |ORDER BY q_id, neg_rank""".stripMargin
 
   /** CMS join-cardinality CTE chain up to the per-width estimate —
     * shared by the estimator row and the truth-audit row.
@@ -9934,6 +9981,7 @@ object SparkEntry {
 
     "d_bm25_topk" -> bm25Oracle,
     "d_chunk_bm25" -> chunkBm25Oracle,
+    "d_hard_negatives" -> hardNegativesOracle,
     "d_bm25_topk_stored" -> bm25Oracle,
     // MRR / nDCG@10 over the bm25 chain; the rank-r gains are the SAME
     // hard-coded micro-units of 1/log2(r+1) the Spark operator holds, so

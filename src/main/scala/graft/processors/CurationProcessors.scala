@@ -15,8 +15,10 @@ import graft.plugins._
   * project additions on the same contract).
   *
   * Every processor is schema-preserving (same columns out as in, minus
-  * dropped rows / scrubbed text), so they chain in any order; all
-  * compute is map-side or one bounded shuffle (the dedup gate's
+  * dropped rows / scrubbed text), so they chain in any order — except
+  * `chunk`, which is documented GRAIN-CHANGING (doc rows in, chunk rows
+  * out) and therefore belongs at the end of a chain, after the gates.
+  * All compute is map-side or one bounded shuffle (the dedup gate's
   * per-fingerprint window), never a collect.
   */
 object CurationProcessors {
@@ -211,6 +213,33 @@ object CurationProcessors {
     * corpus is never re-signed. Same single-writer index contract as
     * [[DedupGate]].
     */
+  /** chunk: explode each surviving doc into overlapping token-window
+    * chunk rows ([[TextAnalysis.slidingChunks]]) — the RAG front end on
+    * the recipe surface, so `documents → quality-filter → chunk → file`
+    * emits an embed-ready chunk table. GRAIN-CHANGING by contract (the
+    * one processor that is): output schema is (id, chunk_id, tok_start,
+    * n_tokens, chunk_text); run it after the per-doc gates. Entirely
+    * map-side, stateless per row — streaming-safe like its operator.
+    */
+  object Chunk extends Processor {
+    val info: PluginInfo = PluginInfo("chunk",
+      "Explode docs into overlapping token-window chunk rows (grain-changing; run after gates)",
+      sampleConfig =
+        """id_column: doc_id
+          |text_column: text
+          |size: 128
+          |stride: 64""".stripMargin,
+      tags = Seq("processor", "curation"))
+
+    def process(df: DataFrame, config: Map[String, Any]): DataFrame = {
+      val tc = textCol(config)
+      val idc = config.getOrElse("id_column", "doc_id").toString
+      val size = config.getOrElse("size", 128).toString.toInt
+      val stride = config.getOrElse("stride", 64).toString.toInt
+      TextAnalysis.slidingChunks(df, idc, tc, size, stride)
+    }
+  }
+
   object NearDupGate extends Processor {
     val info: PluginInfo = PluginInfo("neardup-gate",
       "Drop rows near-duplicating the stored LSH band index; append survivors' bands",

@@ -93,5 +93,6 @@ object Populate {
     r.register(CurationProcessors.LangFilter)
     r.register(CurationProcessors.DedupGate)
     r.register(CurationProcessors.NearDupGate)
+    r.register(CurationProcessors.Chunk)
   }
 }

@@ -289,6 +289,43 @@ class AgentSpec extends SparkSpec {
     assert(Registries.processors.list.map(_.name).contains("neardup-gate"))
   }
 
+  test("chunk recipe: gated docs explode into embed-ready chunk rows") {
+    import spark.implicits._
+    val docsDir = Files.createTempDirectory("chdocs")
+    val out = Files.createTempDirectory("chout").resolve("chunks.ndjson")
+    // doc 1: 23 tokens -> 2 chunks at size=16/stride=8; doc 2: 1 token,
+    // dropped by the quality gate before chunking ever sees it
+    Seq((1L, (1 to 23).map(i => s"tok$i").mkString(" ")), (2L, "short"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$docsDir/b")
+    val recipe = RecipeReader.parse(
+      s"""name: chunker
+         |version: v1beta1
+         |source:
+         |  name: documents
+         |  config: {path: $docsDir/b}
+         |processors:
+         |  - name: quality-filter
+         |    config: {min_tokens: 5, max_stopword_ratio: 1.0,
+         |             max_punct_ratio: 1.0, min_mean_token_len: 0,
+         |             max_mean_token_len: 100}
+         |  - name: chunk
+         |    config: {size: 16, stride: 8}
+         |sinks:
+         |  - name: file
+         |    config: {path: $out, format: ndjson}
+         |""".stripMargin)
+    val r = new Agent(spark).run(recipe)
+    assert(r.success, r.error)
+    assert(r.recordCount == 2, r) // two chunk rows, doc 2 gated out
+    val lines = scala.jdk.CollectionConverters.CollectionHasAsScala(
+      Files.readAllLines(out)).asScala.toSeq
+    assert(lines.size == 2)
+    assert(lines.exists(_.contains("\"tok_start\":9")), lines)
+    Registries.populate()
+    assert(Registries.processors.list.map(_.name).contains("chunk"))
+  }
+
   test("curation index probe resolves through the Hadoop FileSystem API") {
     import spark.implicits._
     // an explicit file: URI — the java.io.File probe this replaced would
