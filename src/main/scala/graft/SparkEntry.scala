@@ -2605,6 +2605,27 @@ object SparkEntry {
       .orderBy(col("lang"), col("source"))
   }
 
+  private def unicodeNormalize(s: SparkSession, dir: String): DataFrame = {
+    // NFC normalization before fingerprinting: canonically-equivalent
+    // strings byte-differ un-normalized ("café" composed vs "cafe"+U+0301),
+    // defeating exact dedup and splitting n-gram stats. Decomposed
+    // sequences are PLANTED on every third doc (the urlDomains pattern —
+    // the corpus itself is ASCII, NFC-invariant); the kernel's
+    // isNormalized fast path means untouched rows pay one scan, zero
+    // allocation. Map-side, zero shuffle.
+    val dirty = when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(col("text"),
+          lit(" cafe\u0301 nai\u0308ve Ange\u0301lique")))
+      .otherwise(col("text"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), dirty.as("__dirty"))
+      .select(col("doc_id"),
+        graft.functions.NormalizeNfc(col("__dirty")).as("nfc_text"),
+        (graft.functions.NormalizeNfc(col("__dirty")) =!= col("__dirty"))
+          .as("changed"))
+      .orderBy(col("doc_id"))
+  }
+
   private def chunkSliding(s: SparkSession, dir: String): DataFrame =
     // RAG-index preprocessing: overlapping 16-token windows every 8 tokens
     // over every doc — the chunk → embed → store front end. Map-side only
@@ -5254,6 +5275,7 @@ object SparkEntry {
     "m_image_ingest_stored" -> (imageIngestStored _),
     "d_gopher_rules" -> (gopherRulesQuery _),
     "d_chunk_sliding" -> (chunkSliding _),
+    "d_unicode_normalize" -> (unicodeNormalize _),
     "d_adaptive_quality" -> (adaptiveQuality _),
     "d_gopher_lines" -> (gopherLinesQuery _),
     "d_ppl_buckets" -> (pplBuckets _),
@@ -8497,6 +8519,17 @@ object SparkEntry {
     // sliding chunker: identical start sequence (k·stride+1 while the
     // window still adds coverage), inclusive DuckDB list slice bounded by
     // the doc end — chunk text reproduced verbatim
+    // NFC twin: utf8proc and java.text.Normalizer both implement Unicode
+    // canonical composition; the planted decomposed sequences compose
+    // identically, the ASCII corpus is NFC-invariant
+    "d_unicode_normalize" ->
+      """WITH d AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0
+        |  THEN text || ' cafe' || chr(769) || ' nai' || chr(776) ||
+        |       've Ange' || chr(769) || 'lique'
+        |  ELSE text END AS dirty FROM documents)
+        |SELECT doc_id, nfc_normalize(dirty) AS nfc_text,
+        |  nfc_normalize(dirty) <> dirty AS changed
+        |FROM d ORDER BY doc_id""".stripMargin,
     "d_chunk_sliding" ->
       """WITH tk AS (
         | SELECT doc_id,

@@ -3267,6 +3267,32 @@ class JaroWinklerSpec extends SparkSpec {
   }
 }
 
+class NfcSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("NFC composes decomposed sequences; ASCII and null pass through") {
+    val rows = Seq(
+      (1L, "café naïve"),   // decomposed -> composes
+      (2L, "café"),                 // already composed -> unchanged
+      (3L, "plain ascii text"),
+      (4L, null)
+    ).toDF("id", "s")
+      .select(col("id"), graft.functions.NormalizeNfc(col("s")).as("n"))
+      .orderBy(col("id")).collect()
+    assert(rows(0).getString(1) == "café naïve")
+    assert(rows(1).getString(1) == "café")
+    assert(rows(2).getString(1) == "plain ascii text")
+    assert(rows(3).isNullAt(1))
+    // the graded row plants on every third doc and flags exactly those
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    val out = SparkEntry.queries("d_unicode_normalize")(spark, dir).collect()
+    assert(out.forall(r => r.getBoolean(2) == (r.getLong(0) % 3 == 0)))
+    assert(out.exists(_.getBoolean(2)))
+  }
+}
+
 class StreamingPackSpec extends SparkSpec {
   import org.apache.spark.sql.functions._
   import org.apache.spark.sql.streaming.OutputMode
