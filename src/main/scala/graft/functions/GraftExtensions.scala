@@ -96,5 +96,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "_FUNC_(a, b) - Jaro-Winkler similarity in [0,1] (boost only when " +
           "jaro > 0.7, prefix cap 4, p = 0.1)"),
       (exprs: Seq[Expression]) => JaroWinkler(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("normalize_nfc"),
+      info("normalize_nfc",
+        "_FUNC_(text) - Unicode NFC canonical composition (isNormalized " +
+          "fast path: ASCII rows pay one scan, zero allocation)"),
+      (exprs: Seq[Expression]) => NormalizeNfc(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("jl_project"),
+      info("jl_project",
+        "_FUNC_(vec, p) - p-dimensional Johnson-Lindenstrauss sketch of an " +
+          "array<double>: 1e-4 fixed-point quantize, md5-derived Rademacher " +
+          "signs, exact integer sums"),
+      (exprs: Seq[Expression]) =>
+        JlProject(exprs(0), intArg(exprs(1), "jl_project"))))
   }
 }

@@ -285,5 +285,9 @@ object VectorFunctions {
       "cdc_boundaries", exprs => CdcBoundaries(exprs(0)), "built-in")
     fr.createOrReplaceTempFunction(
       "jaro_winkler", exprs => JaroWinkler(exprs(0), exprs(1)), "built-in")
+    fr.createOrReplaceTempFunction(
+      "normalize_nfc", exprs => NormalizeNfc(exprs(0)), "built-in")
+    fr.createOrReplaceTempFunction(
+      "jl_project", exprs => JlProject(exprs(0), lit2int(exprs(1))), "built-in")
   }
 }

@@ -76,6 +76,17 @@ class VectorKernelSpec extends SparkSpec {
       "SELECT round(jaro_winkler('MARTHA', 'MARHTA'), 4) AS jw")
       .collect()(0).getDouble(0)
     assert(jw == 0.9611)
+    // round-10 registrations: NFC composition and the JL sketch from SQL
+    // the combining acute is embedded via Scala's \u escape — Spark SQL's
+    // chr() is ASCII-mod-256, unlike DuckDB's codepoint chr()
+    val nfc = spark.sql(
+      "SELECT normalize_nfc('café') AS n").collect()(0).getString(0)
+    assert(nfc == "café")
+    val jl = spark.sql(
+      "SELECT jl_project(array(1.0d, -2.0d), 4) AS p").collect()(0)
+      .getSeq[Long](0)
+    val sg = graft.functions.JlKernel.signs(4, 2)
+    assert(jl == (0 until 4).map(p => 10000L * sg(p * 2) - 20000L * sg(p * 2 + 1)))
     // build-time injection path constructs without error
     new graft.functions.GraftExtensions().apply(
       new org.apache.spark.sql.SparkSessionExtensions)
