@@ -4959,6 +4959,36 @@ object SparkEntry {
       .orderBy(col("q_id"), col("neg_rank"))
   }
 
+  private def diverseTopK(s: SparkSession, dir: String): DataFrame = {
+    // result diversification by SOURCE CAPPING — the deterministic,
+    // integer-exact member of the MMR family (greedy float-mixture MMR
+    // was considered and rejected for grading: its objective mixes
+    // relevance and similarity on arbitrary float scales, so no oracle
+    // can pin it bit-for-bit): at most 2 chunks per parent doc may enter
+    // a query's top-10, so one long document cannot monopolize the
+    // context window handed to a generator. Two windows (per-parent rank,
+    // then the global re-rank) over the same q_id partitioning — one
+    // shuffle, WindowGroupLimit prunes map-side.
+    val d = t(s, dir, "documents")
+    val chunks = TextAnalysis.slidingChunks(d, "doc_id", "text",
+        size = 16, stride = 8)
+      .select((col("doc_id") * 1000 + col("chunk_id")).as("cid"),
+        col("chunk_text"))
+    val ranked = Retrieval.bm25TopK(chunks, d.filter(col("doc_id") < 5),
+        "cid", "chunk_text", "doc_id", "text", topK = Int.MaxValue)
+    val perParent = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"), floor(col("cid") / 1000)).orderBy(col("rnk"))
+    val global = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("rnk"))
+    ranked
+      .withColumn("__pr", row_number().over(perParent))
+      .filter(col("__pr") <= 2)
+      .withColumn("div_rank", row_number().over(global))
+      .filter(col("div_rank") <= 10)
+      .select(col("q_id"), col("div_rank"), col("cid"), col("score"))
+      .orderBy(col("q_id"), col("div_rank"))
+  }
+
   private def bm25TopKQuery(s: SparkSession, dir: String): DataFrame = {
     // lexical retrieval over the corpus: the first five docs play the
     // query role (doc-as-query), BM25-scored against every doc, top-10
@@ -5344,6 +5374,7 @@ object SparkEntry {
     "d_bm25_topk" -> (bm25TopKQuery _),
     "d_chunk_bm25" -> (chunkBm25 _),
     "d_hard_negatives" -> (hardNegatives _),
+    "d_diverse_topk" -> (diverseTopK _),
     "d_bm25_topk_stored" -> (bm25TopKStoredQuery _),
     "d_bm25_incremental" -> (bm25IncrementalQuery _),
     "d_hybrid_rrf" -> (hybridRrfQuery _),
@@ -5479,6 +5510,30 @@ object SparkEntry {
       |       FROM neg)
       |SELECT q_id, neg_rank, cid, score FROM nr WHERE neg_rank <= 10
       |ORDER BY q_id, neg_rank""".stripMargin
+
+  /** Source-capped diverse top-k oracle: per-parent rank filter then the
+    * dense global re-rank over the same BM25 chunk ranking.
+    */
+  private lazy val diverseTopKOracle: String =
+    s"""WITH ctk AS (
+      | SELECT doc_id,
+      |  list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> len(x) > 0) AS t
+      | FROM documents),
+      |cnz AS (SELECT doc_id, t, len(t) AS n FROM ctk WHERE len(t) > 0),
+      |chx AS (
+      | SELECT doc_id*1000 + k AS doc_id,
+      |        array_to_string(t[k*8 + 1 : least(k*8 + 16, n)], ' ') AS text
+      | FROM cnz, unnest(range(0, (greatest(n - 16, 0) + 7) // 8 + 1)) r(k)),
+      |${bm25CtesOver("chx")},
+      |pp AS (SELECT q_id, doc_id AS cid, score, rnk,
+      |        row_number() OVER (PARTITION BY q_id, doc_id // 1000
+      |                           ORDER BY rnk) AS pr
+      |       FROM r),
+      |gg AS (SELECT q_id, cid, score,
+      |        row_number() OVER (PARTITION BY q_id ORDER BY rnk) AS div_rank
+      |       FROM pp WHERE pr <= 2)
+      |SELECT q_id, div_rank, cid, score FROM gg WHERE div_rank <= 10
+      |ORDER BY q_id, div_rank""".stripMargin
 
   /** CMS join-cardinality CTE chain up to the per-width estimate —
     * shared by the estimator row and the truth-audit row.
@@ -10015,6 +10070,7 @@ object SparkEntry {
     "d_bm25_topk" -> bm25Oracle,
     "d_chunk_bm25" -> chunkBm25Oracle,
     "d_hard_negatives" -> hardNegativesOracle,
+    "d_diverse_topk" -> diverseTopKOracle,
     "d_bm25_topk_stored" -> bm25Oracle,
     // MRR / nDCG@10 over the bm25 chain; the rank-r gains are the SAME
     // hard-coded micro-units of 1/log2(r+1) the Spark operator holds, so

@@ -3267,6 +3267,28 @@ class JaroWinklerSpec extends SparkSpec {
   }
 }
 
+class DiverseTopKSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("diverse top-k: no parent doc holds more than 2 of any query's 10 slots") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    val rows = SparkEntry.queries("d_diverse_topk")(spark, dir).collect()
+    val perQueryParent = rows.groupBy(r =>
+      (r.getLong(0), r.getLong(2) / 1000)).view.mapValues(_.length)
+    assert(perQueryParent.values.forall(_ <= 2), perQueryParent.toMap)
+    // every query fills its 10 slots (the chunk corpus is big enough)
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.length == 10, s"query $q filled ${rs.length} slots")
+    }
+    // and the cap genuinely rearranges results vs the uncapped chunk rank
+    val plain = SparkEntry.queries("d_chunk_bm25")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val diverse = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(diverse != plain, "source cap must change at least one slot")
+  }
+}
+
 class NfcSpec extends SparkSpec {
   import spark.implicits._
   import org.apache.spark.sql.functions._
