@@ -721,6 +721,35 @@ object ScaleProbe {
         cust.unpersist()
       }
     }
+    // round-10 text additions on the replicated documents corpus: the
+    // sliding chunker is map-side (expect FLAT-to-linear scan cost), the
+    // adaptive gate is one source-keyed window shuffle (expect linear)
+    locally {
+      val dbase = Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+      val dn = dbase.count()
+      for (f <- Seq(1, factor, 3 * factor)) {
+        val docs = (0 until f).map(k => dbase.select(
+            (col("doc_id") + lit(k * dn)).as("doc_id"),
+            col("text"),
+            concat(lit("src"), pmod(col("doc_id"), lit(8))).as("source")))
+          .reduce(_ unionAll _).localCheckpoint()
+        locally {
+          val t0 = System.nanoTime()
+          val n = operators.TextAnalysis.slidingChunks(docs, "doc_id", "text",
+            size = 16, stride = 8).count()
+          println(f"""{"probe":"d_chunk_sliding","factor":$f,""" +
+            f""""sec":${(System.nanoTime() - t0) / 1e9}%.2f,"chunks":$n}""")
+        }
+        locally {
+          val t0 = System.nanoTime()
+          val n = operators.TextAnalysis.adaptiveQualityGate(docs, "doc_id",
+            "source", "text").count()
+          println(f"""{"probe":"d_adaptive_quality","factor":$f,""" +
+            f""""sec":${(System.nanoTime() - t0) / 1e9}%.2f,"kept":$n}""")
+        }
+        docs.unpersist()
+      }
+    }
     // ivfSelfTopK mutual-kNN feeder: its Σ_cluster |members|×|probers|
     // bound is the whole 100 TB story and it DEGENERATES under cluster
     // imbalance — a fixed-size codebook on a growing corpus makes every
