@@ -28,7 +28,23 @@ object PlanReport {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val rows = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // same isolation knob as Bench/Verify: SPARK_GRAFT_QUERIES=a,b,c peeks
+    // at a subset (subset runs print plans to stdout instead of rewriting
+    // the committed census)
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    only.foreach { names =>
+      selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        println(s"===== $name =====")
+        println(fn(spark, sfDir).queryExecution.executedPlan.toString)
+      }
+      spark.stop()
+      return
+    }
+
+    val rows = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val line =
         try {
           val p = fn(spark, sfDir).queryExecution.executedPlan.toString

@@ -747,6 +747,34 @@ object ScaleProbe {
           println(f"""{"probe":"d_adaptive_quality","factor":$f,""" +
             f""""sec":${(System.nanoTime() - t0) / 1e9}%.2f,"kept":$n}""")
         }
+        locally {
+          // chunk→retrieval composition: BM25 over the f× CHUNK corpus
+          // (the chunker itself is proven FLAT above; this prices the
+          // scorer on its output). The candidate bound that decides the
+          // growth class is cand_rows = Σ_{t ∈ query terms} df(t) over
+          // chunks — the (chunk, term) rows reaching the scoring join.
+          // With a fixed 5-doc query set every query term's df grows
+          // ∝ f, so expect sec to track cand_rows LINEARLY; anything
+          // super-linear indicts the corpus-stats aggregates, not the
+          // scoring join.
+          val chunks = operators.TextAnalysis.slidingChunks(docs,
+              "doc_id", "text", size = 16, stride = 8)
+            .select((shiftleft(col("doc_id"), 20) + col("chunk_id"))
+              .as("cid"), col("chunk_text"))
+          val queries = docs.filter(col("doc_id") < 5)
+          val t0 = System.nanoTime()
+          val n = operators.Retrieval.bm25TopK(chunks, queries,
+            "cid", "chunk_text", "doc_id", "text").count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          val qterms = queries.select(explode(operators.TextAnalysis.tokens(
+              lower(trim(col("text"))))).as("term")).distinct()
+          val cand = chunks.select(col("cid"),
+              explode(array_distinct(operators.TextAnalysis.tokens(
+                lower(trim(col("chunk_text")))))).as("term"))
+            .join(qterms, Seq("term")).count()
+          println(f"""{"probe":"d_chunk_bm25","factor":$f,"sec":$sec%.2f,""" +
+            s""""topk_rows":$n,"cand_rows":$cand}""")
+        }
         docs.unpersist()
       }
     }
@@ -813,15 +841,33 @@ object ScaleProbe {
           s""""sumsq":${hist.getLong(2)},"topk_rows":$out}""")
         store.unpersist(); corpus.unpersist()
       }
-      // fixed arm stops at 10x: its N² candidate volume is the finding,
-      // not a number worth minutes of probe time at 30x
-      for (f <- Seq(1, 3, factor)) probeArm("fixed_codebook", f, baseSeeds)
+      // fixed arm CLAMPS at 10x regardless of the requested factor: its
+      // N² candidate volume is the finding, not a number worth minutes
+      // of probe time at 30x (the scaled/auto arms carry the big factors)
+      for (f <- Seq(1, 3, math.min(factor, 10)))
+        probeArm("fixed_codebook", f, baseSeeds)
       for (f <- Seq(1, factor, 3 * factor)) {
         val seeds = (0 until f).flatMap(k => baseSeeds.map { s =>
           val sh = k % dim
           s.drop(sh) ++ s.take(sh)
         })
         probeArm("scaled_codebook", f, seeds)
+      }
+      // auto arm: the sizing POLICY itself under probe — no replica
+      // knowledge, just autoCoarseCodebook's sqrt(N) + hash-stride +
+      // share-audit split on the raw f-times corpus. Expect ~N^1.5-or-
+      // better time growth (per-row work ∝ sqrt(N)) and max_share_pct
+      // staying low without anyone telling it the replica count.
+      for (f <- Seq(1, factor, 3 * factor)) {
+        val corpus = embCorpus(f)
+        val t0 = System.nanoTime()
+        val seeds = operators.Similarity.autoCoarseCodebook(
+          corpus, "vec_id", "embedding")
+        val sizingSec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"mutual_knn_feeder_auto_sizing","factor":$f,""" +
+          f""""sec":$sizingSec%.2f,"codebook":${seeds.size}}""")
+        probeArm("auto_codebook", f, seeds)
+        corpus.unpersist()
       }
     }
     spark.stop()

@@ -2498,7 +2498,7 @@ object SparkEntry {
     * has a write-once physical index.
     */
   private def fpStore(s: SparkSession, dir: String): DataFrame = {
-    val path = layoutPath(dir, "fpindex", "cut=250",
+    val path = layoutPath(dir, "fpindex", "cut=250,fpv=nfc",
       srcTable = "documents.parquet")
     if (!new java.io.File(path, "_SUCCESS").exists())
       t(s, dir, "documents").filter(col("doc_id") < 250)
@@ -3253,8 +3253,16 @@ object SparkEntry {
     // posexplode is for grading; production keeps the 16-long array).
     // fused kernel (functions/JlExpression.scala): one compiled loop in
     // place of the 16×64-term expression tree; spec-pinned bit-identical
-    // to the HOF formulation the oracle replays
+    // to the HOF formulation the oracle replays.
+    // Null domain, aligned in BOTH engines: a vector that is NULL or
+    // carries a null element is excluded up front (map-side forall) —
+    // the kernel would collapse it to ONE null sketch while the
+    // relational twin would emit 16 null projections, so without this
+    // shared filter the two spellings disagree in SHAPE the first time
+    // a corpus carries a corrupt vector (the oracle mirrors the WHERE).
     t(s, dir, "embeddings")
+      .filter(col("embedding").isNotNull &&
+        forall(col("embedding"), x => x.isNotNull))
       .select(col("vec_id"),
         graft.functions.JlProject(
           col("embedding").cast("array<double>"), 16).as("pr"))
@@ -3272,7 +3280,10 @@ object SparkEntry {
     // audit makes the sketch's error a measured number, like
     // d_minhash_error does for MinHash.
     val P = 16
+    // same null-domain filter as s_embed_jl (oracle mirrors it)
     val withProj = t(s, dir, "embeddings").filter(col("vec_id") < 40)
+      .filter(col("embedding").isNotNull &&
+        forall(col("embedding"), x => x.isNotNull))
       .select(col("vec_id"),
         transform(col("embedding").cast("array<double>"),
           x => round(x * 10000).cast("long")).as("q"),
@@ -4204,7 +4215,7 @@ object SparkEntry {
     val v2 = docs.filter(col("doc_id") % 29 =!= 0)
       .withColumn("text", when(col("doc_id") % 31 === 0,
         concat(col("text"), lit(" rev2"))).otherwise(col("text")))
-    val path = layoutPath(dir, "cardindex", "v1=%23", srcTable = "documents.parquet")
+    val path = layoutPath(dir, "cardindex", "v1=%23,fpv=nfc", srcTable = "documents.parquet")
     if (!new java.io.File(path, "_SUCCESS").exists())
       DataCard.cardIndex(v1, "lang", "source", "text")
         .write.mode("overwrite").parquet(path)
@@ -4918,44 +4929,65 @@ object SparkEntry {
       .orderBy(col("true_lang"), col("pred"))
   }
 
+  /** Chunk-id bit packing for the RAG rows: cid = doc_id·2²⁰ + chunk_id,
+    * parent = cid >> 20. The 2²⁰ multiplier keeps the encoding collision-
+    * free for any document under ~8.4M tokens (2²⁰ chunks at stride 8) —
+    * a >64 MB single doc, far past any crawl's doc-length cap — where the
+    * earlier ·1000 packing silently mis-attributed chunks of 8k+-token
+    * docs. Shift arithmetic is exact and identical in both engines
+    * (DuckDB replays it as `* 1048576` / `// 1048576` on BIGINTs).
+    */
+  private val ChunkIdBits = 20
+
+  private def chunkCidCorpus(d: DataFrame): DataFrame =
+    TextAnalysis.slidingChunks(d, "doc_id", "text", size = 16, stride = 8)
+      .select((shiftleft(col("doc_id"), ChunkIdBits) + col("chunk_id"))
+        .as("cid"), col("chunk_text"))
+
+  private def cidParent(cid: Column): Column = shiftright(cid, ChunkIdBits)
+
   private def chunkBm25(s: SparkSession, dir: String): DataFrame = {
     // the RAG composition row: retrieval over CHUNKS, not docs — sliding
-    // windows become the BM25 corpus (chunk id = doc_id·1000 + chunk_id,
+    // windows become the BM25 corpus (chunk id = doc_id·2^20 + chunk_id,
     // exact in both engines), the same five doc-queries rank the top-10
     // chunks. Proves the chunker's output drives the retrieval stack
     // end-to-end; chunking stays map-side, BM25 adds its usual three
     // aggregates over the (bigger) chunk corpus.
     val d = t(s, dir, "documents")
-    val chunks = TextAnalysis.slidingChunks(d, "doc_id", "text",
-        size = 16, stride = 8)
-      .select((col("doc_id") * 1000 + col("chunk_id")).as("cid"),
-        col("chunk_text"))
-    Retrieval.bm25TopK(chunks, d.filter(col("doc_id") < 5),
+    Retrieval.bm25TopK(chunkCidCorpus(d), d.filter(col("doc_id") < 5),
         "cid", "chunk_text", "doc_id", "text")
       .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** Write-once BM25 store over the CHUNK corpus — the frozen index the
+    * negative-mining / diversification rows score against (chunking +
+    * the three postings aggregates paid at ingest, not per query). Same
+    * mergeable layout and cache key discipline as [[bm25Store]].
+    */
+  private def chunkBm25Store(s: SparkSession, dir: String): Retrieval.Bm25Store = {
+    val path = layoutPath(dir, "bm25chunks",
+      "tok=ws,buckets=16,chunk=16x8,cid=shl20,v1",
+      srcTable = "documents.parquet")
+    if (!new java.io.File(s"$path/stats", "_SUCCESS").exists())
+      Retrieval.writeBm25Store(chunkCidCorpus(t(s, dir, "documents")),
+        "cid", "chunk_text", path)
+    Retrieval.readBm25Store(s, path)
   }
 
   private def hardNegatives(s: SparkSession, dir: String): DataFrame = {
     // retrieval-training negative mining (the DPR recipe): for each query
     // doc, the top-10 BM25 chunks EXCLUDING the query doc's own chunks —
     // lexically-confusable non-matches, the hard negatives a dual-encoder
-    // trains against. Same chunk corpus and scorer as d_chunk_bm25; the
-    // exclusion is a map-side integer filter on the chunk-id encoding
-    // (cid div 1000 = parent doc), applied BEFORE the top-k window so
-    // every query still fills its k negative slots.
+    // trains against. Scores come from the STORED chunk postings (the
+    // production shape: mining runs over a frozen index, never re-chunks
+    // the corpus); the own-doc exclusion (cid >> 20 = parent doc) runs on
+    // the SCORED stream before ranking, so the only window is ONE top-10
+    // WindowGroupLimit — never a rank of the full candidate list.
     val d = t(s, dir, "documents")
-    val chunks = TextAnalysis.slidingChunks(d, "doc_id", "text",
-        size = 16, stride = 8)
-      .select((col("doc_id") * 1000 + col("chunk_id")).as("cid"),
-        col("chunk_text"))
-    Retrieval.bm25TopK(chunks, d.filter(col("doc_id") < 5),
-        "cid", "chunk_text", "doc_id", "text", topK = Int.MaxValue)
-      .filter(floor(col("cid") / 1000) =!= col("q_id"))
-      .withColumn("neg_rank",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("q_id")).orderBy(col("rnk"))))
-      .filter(col("neg_rank") <= 10)
-      .select(col("q_id"), col("neg_rank"), col("cid"), col("score"))
+    val scores = Retrieval.bm25ScoresStored(chunkBm25Store(s, dir),
+        d.filter(col("doc_id") < 5), "cid", "doc_id", "text")
+      .filter(cidParent(col("cid")) =!= col("q_id"))
+    Retrieval.topKOf(scores, "cid", topK = 10, rankName = "neg_rank")
       .orderBy(col("q_id"), col("neg_rank"))
   }
 
@@ -4966,26 +4998,20 @@ object SparkEntry {
     // relevance and similarity on arbitrary float scales, so no oracle
     // can pin it bit-for-bit): at most 2 chunks per parent doc may enter
     // a query's top-10, so one long document cannot monopolize the
-    // context window handed to a generator. Two windows (per-parent rank,
-    // then the global re-rank) over the same q_id partitioning — one
-    // shuffle, WindowGroupLimit prunes map-side.
+    // context window handed to a generator. Scores come from the STORED
+    // chunk postings; both windows rank the scored stream directly with
+    // literal limits — the per-(q, parent) cap is a WindowGroupLimit-2,
+    // the re-rank a WindowGroupLimit-10; the full candidate list is
+    // never globally ranked and the corpus is never re-chunked.
     val d = t(s, dir, "documents")
-    val chunks = TextAnalysis.slidingChunks(d, "doc_id", "text",
-        size = 16, stride = 8)
-      .select((col("doc_id") * 1000 + col("chunk_id")).as("cid"),
-        col("chunk_text"))
-    val ranked = Retrieval.bm25TopK(chunks, d.filter(col("doc_id") < 5),
-        "cid", "chunk_text", "doc_id", "text", topK = Int.MaxValue)
+    val scores = Retrieval.bm25ScoresStored(chunkBm25Store(s, dir),
+        d.filter(col("doc_id") < 5), "cid", "doc_id", "text")
     val perParent = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id"), floor(col("cid") / 1000)).orderBy(col("rnk"))
-    val global = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("rnk"))
-    ranked
-      .withColumn("__pr", row_number().over(perParent))
-      .filter(col("__pr") <= 2)
-      .withColumn("div_rank", row_number().over(global))
-      .filter(col("div_rank") <= 10)
-      .select(col("q_id"), col("div_rank"), col("cid"), col("score"))
+      .partitionBy(col("q_id"), cidParent(col("cid")))
+      .orderBy(desc("score"), asc("cid"))
+    val capped = scores.withColumn("__pr", row_number().over(perParent))
+      .filter(col("__pr") <= 2).drop("__pr")
+    Retrieval.topKOf(capped, "cid", topK = 10, rankName = "div_rank")
       .orderBy(col("q_id"), col("div_rank"))
   }
 
@@ -5473,7 +5499,7 @@ object SparkEntry {
       |ORDER BY q_id, rnk""".stripMargin
 
   /** Chunk-level retrieval oracle: the sliding-chunk CTE feeds the SAME
-    * BM25 chain — chunk ids are doc_id·1000 + chunk_id on both engines.
+    * BM25 chain — chunk ids are doc_id·2^20 + chunk_id on both engines.
     */
   private lazy val chunkBm25Oracle: String =
     s"""WITH ctk AS (
@@ -5482,7 +5508,7 @@ object SparkEntry {
       | FROM documents),
       |cnz AS (SELECT doc_id, t, len(t) AS n FROM ctk WHERE len(t) > 0),
       |chx AS (
-      | SELECT doc_id*1000 + k AS doc_id,
+      | SELECT doc_id*1048576 + k AS doc_id,
       |        array_to_string(t[k*8 + 1 : least(k*8 + 16, n)], ' ') AS text
       | FROM cnz, unnest(range(0, (greatest(n - 16, 0) + 7) // 8 + 1)) r(k)),
       |${bm25CtesOver("chx")}
@@ -5499,12 +5525,12 @@ object SparkEntry {
       | FROM documents),
       |cnz AS (SELECT doc_id, t, len(t) AS n FROM ctk WHERE len(t) > 0),
       |chx AS (
-      | SELECT doc_id*1000 + k AS doc_id,
+      | SELECT doc_id*1048576 + k AS doc_id,
       |        array_to_string(t[k*8 + 1 : least(k*8 + 16, n)], ' ') AS text
       | FROM cnz, unnest(range(0, (greatest(n - 16, 0) + 7) // 8 + 1)) r(k)),
       |${bm25CtesOver("chx")},
       |neg AS (SELECT q_id, doc_id AS cid, score, rnk FROM r
-      |        WHERE doc_id // 1000 <> q_id),
+      |        WHERE doc_id // 1048576 <> q_id),
       |nr AS (SELECT q_id, cid, score,
       |        row_number() OVER (PARTITION BY q_id ORDER BY rnk) AS neg_rank
       |       FROM neg)
@@ -5521,12 +5547,12 @@ object SparkEntry {
       | FROM documents),
       |cnz AS (SELECT doc_id, t, len(t) AS n FROM ctk WHERE len(t) > 0),
       |chx AS (
-      | SELECT doc_id*1000 + k AS doc_id,
+      | SELECT doc_id*1048576 + k AS doc_id,
       |        array_to_string(t[k*8 + 1 : least(k*8 + 16, n)], ' ') AS text
       | FROM cnz, unnest(range(0, (greatest(n - 16, 0) + 7) // 8 + 1)) r(k)),
       |${bm25CtesOver("chx")},
       |pp AS (SELECT q_id, doc_id AS cid, score, rnk,
-      |        row_number() OVER (PARTITION BY q_id, doc_id // 1000
+      |        row_number() OVER (PARTITION BY q_id, doc_id // 1048576
       |                           ORDER BY rnk) AS pr
       |       FROM r),
       |gg AS (SELECT q_id, cid, score,
@@ -5585,7 +5611,7 @@ object SparkEntry {
   private val dedupIncrementalOracle: String =
     """WITH fp AS (
       | SELECT doc_id,
-      |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+      |  md5(lower(regexp_replace(trim(nfc_normalize(text)), '\s+', ' ', 'g'))) AS fp
       | FROM documents),
       |corpus AS (SELECT DISTINCT fp FROM fp WHERE doc_id < 250),
       |batch AS (SELECT * FROM fp WHERE doc_id >= 250),
@@ -6558,7 +6584,7 @@ object SparkEntry {
     "d_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents
-        |GROUP BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+        |GROUP BY md5(lower(regexp_replace(trim(nfc_normalize(text)), '\s+', ' ', 'g')))
         |ORDER BY keep_id""".stripMargin,
     // learned BPE: the 6-round merge table (rank, pair, exact weighted
     // count) and the per-doc re-tokenization under those merges — every
@@ -6612,7 +6638,7 @@ object SparkEntry {
         |FROM toks ORDER BY doc_id""".stripMargin,
     "d_fingerprint" ->
       """SELECT doc_id,
-        | md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        | md5(lower(regexp_replace(trim(nfc_normalize(text)), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
     "d_lang_scores" ->
       """WITH toks AS (
@@ -7777,7 +7803,9 @@ object SparkEntry {
       """WITH q AS (SELECT vec_id,
         |  list_transform(CAST(embedding AS DOUBLE[]),
         |    x -> CAST(round(x * 10000) AS BIGINT)) AS q
-        | FROM embeddings),
+        | FROM embeddings
+        | WHERE embedding IS NOT NULL
+        |   AND len(list_filter(embedding, x -> x IS NULL)) = 0),
         |terms AS (
         | SELECT vec_id, pp.p AS p,
         |  q[dd.d + 1] * (CASE WHEN CAST(concat('0x',
@@ -7792,7 +7820,9 @@ object SparkEntry {
       """WITH q AS (SELECT vec_id,
         |  list_transform(CAST(embedding AS DOUBLE[]),
         |    x -> CAST(round(x * 10000) AS BIGINT)) AS q
-        | FROM embeddings WHERE vec_id < 40),
+        | FROM embeddings WHERE vec_id < 40
+        |   AND embedding IS NOT NULL
+        |   AND len(list_filter(embedding, x -> x IS NULL)) = 0),
         |terms AS (
         | SELECT vec_id, pp.p AS p,
         |  q[dd.d + 1] * (CASE WHEN CAST(concat('0x',
@@ -8605,8 +8635,8 @@ object SparkEntry {
     "d_adaptive_quality" ->
       """WITH q AS (
         | SELECT doc_id, source,
-        |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
-        |    x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        |  COALESCE(CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    x -> len(x) > 0)) AS BIGINT), 0) AS n_tokens
         | FROM documents),
         |r AS (SELECT doc_id, source, n_tokens,
         |  CAST(row_number() OVER (PARTITION BY source
@@ -8922,7 +8952,7 @@ object SparkEntry {
         | SELECT lang, source,
         |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
         |       x -> len(x) > 0)) AS BIGINT) AS ntok,
-        |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        |  md5(lower(regexp_replace(trim(nfc_normalize(text)), '\s+', ' ', 'g'))) AS fp
         | FROM documents)
         |SELECT coalesce(lang, 'ALL') AS lang,
         | coalesce(source, 'ALL') AS source,
@@ -9753,7 +9783,7 @@ object SparkEntry {
         | SELECT lang, source,
         |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
         |       x -> len(x) > 0)) AS BIGINT) AS ntok,
-        |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        |  md5(lower(regexp_replace(trim(nfc_normalize(text)), '\s+', ' ', 'g'))) AS fp
         | FROM v2)
         |SELECT coalesce(lang, 'ALL') AS lang,
         | coalesce(source, 'ALL') AS source,
@@ -9889,12 +9919,12 @@ object SparkEntry {
     "q_scd2" ->
       """WITH v1 AS (
         | SELECT doc_id,
-        |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp_a
+        |  md5(lower(regexp_replace(trim(nfc_normalize(text)), '\s+', ' ', 'g'))) AS fp_a
         | FROM documents WHERE doc_id % 23 <> 0),
         |v2 AS (
         | SELECT doc_id,
-        |  md5(lower(regexp_replace(trim(
-        |    CASE WHEN doc_id % 31 = 0 THEN text || ' rev2' ELSE text END),
+        |  md5(lower(regexp_replace(trim(nfc_normalize(
+        |    CASE WHEN doc_id % 31 = 0 THEN text || ' rev2' ELSE text END)),
         |    '\s+', ' ', 'g'))) AS fp_b
         | FROM documents WHERE doc_id % 29 <> 0),
         |j AS (SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id, fp_a, fp_b
@@ -9912,12 +9942,12 @@ object SparkEntry {
     "d_corpus_diff" ->
       """WITH v1 AS (
         | SELECT doc_id,
-        |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp_a
+        |  md5(lower(regexp_replace(trim(nfc_normalize(text)), '\s+', ' ', 'g'))) AS fp_a
         | FROM documents WHERE doc_id % 23 <> 0),
         |v2 AS (
         | SELECT doc_id,
-        |  md5(lower(regexp_replace(trim(
-        |    CASE WHEN doc_id % 31 = 0 THEN text || ' rev2' ELSE text END),
+        |  md5(lower(regexp_replace(trim(nfc_normalize(
+        |    CASE WHEN doc_id % 31 = 0 THEN text || ' rev2' ELSE text END)),
         |    '\s+', ' ', 'g'))) AS fp_b
         | FROM documents WHERE doc_id % 29 <> 0)
         |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
@@ -10059,7 +10089,7 @@ object SparkEntry {
     "d_source_overlap" ->
       """WITH fp AS (
         | SELECT DISTINCT source,
-        |  md5(substr(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), 1, 200)) AS fp
+        |  md5(substr(lower(regexp_replace(trim(nfc_normalize(text)), '\s+', ' ', 'g')), 1, 200)) AS fp
         | FROM documents),
         |m AS (
         | SELECT a.source AS src_a, b.source AS src_b
@@ -10363,7 +10393,7 @@ object SparkEntry {
         |surv AS (SELECT qf.doc_id, qf.n_tokens
         |         FROM qf JOIN lp USING (doc_id) WHERE lp.lang = 'en'),
         |fp AS (SELECT surv.doc_id,
-        |        md5(lower(regexp_replace(trim(d.text), '\s+', ' ', 'g'))) AS fp
+        |        md5(lower(regexp_replace(trim(nfc_normalize(d.text)), '\s+', ' ', 'g'))) AS fp
         |       FROM surv JOIN documents d USING (doc_id)),
         |kept AS (SELECT doc_id FROM (
         |  SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn

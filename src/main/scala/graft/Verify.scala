@@ -49,6 +49,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // audit-row provenance next to the oracle dump: query -> the
+    // production row it grades (SparkEntry.twinOf) — so the correctness
+    // surface reads as production + audit without cross-referencing the
+    // source. tools/check.py folds this into its report.
+    val twins = SparkEntry.twinOf.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/twin_of.json"), twins)
     spark.stop()
   }
 }

@@ -19,7 +19,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * implement Unicode canonical composition, so outputs agree byte-for-byte.
   */
 object NfcKernel {
+  /** Pure-ASCII byte scan on the raw UTF8String: ASCII is closed under
+    * NFC, so an all-ASCII row returns its input with ZERO allocation —
+    * no toString, no Normalizer. Only rows carrying a non-ASCII byte pay
+    * the String materialization + isNormalized check.
+    */
+  def isAscii(text: UTF8String): Boolean = {
+    val n = text.numBytes
+    var i = 0
+    while (i < n) {
+      if ((text.getByte(i) & 0x80) != 0) return false
+      i += 1
+    }
+    true
+  }
+
   def compute(text: UTF8String): UTF8String = {
+    if (isAscii(text)) return text
     val s = text.toString
     if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) text
     else UTF8String.fromString(

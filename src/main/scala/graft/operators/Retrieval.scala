@@ -87,16 +87,35 @@ object Retrieval {
     round(lit(1e6) * (idf * sat)).cast("bigint")
   }
 
-  /** Shared integer-sum + top-k tail over contribution rows. */
-  private def rankTopK(contrib: DataFrame, idCol: String,
-                       topK: Int): DataFrame = {
-    val scored = contrib.groupBy(col("q_id"), col(idCol))
+  /** Integer score sum per (query, candidate) — the scored stream BEFORE
+    * any ranking. */
+  private def scoredOf(contrib: DataFrame, idCol: String): DataFrame =
+    contrib.groupBy(col("q_id"), col(idCol))
       .agg(sum(col("c")).as("score"))
+
+  /** ONE bounded top-k window over an already-scored (q_id, id, score)
+    * stream: row_number with a LITERAL k plans as WindowGroupLimit, so
+    * each partition prunes to k rows map-side before the sort — never a
+    * full per-query rank. This is the composition point for consumers
+    * that filter or cap candidates between scoring and ranking
+    * (hard-negative mining's own-doc exclusion, diversification's
+    * per-parent cap): run the predicate on [[bm25Scores]] output, then
+    * call this with the REAL k, instead of ranking everything with
+    * topK = MaxValue and filtering after.
+    */
+  def topKOf(scored: DataFrame, idCol: String, topK: Int,
+             rankName: String = "rnk"): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(desc("score"), asc(idCol))
-    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= topK)
-      .select(col("q_id"), col("rnk"), col(idCol), col("score"))
+    scored.withColumn(rankName, row_number().over(w))
+      .filter(col(rankName) <= topK)
+      .select(col("q_id"), col(rankName), col(idCol), col("score"))
   }
+
+  /** Shared integer-sum + top-k tail over contribution rows. */
+  private def rankTopK(contrib: DataFrame, idCol: String,
+                       topK: Int): DataFrame =
+    topKOf(scoredOf(contrib, idCol), idCol, topK)
 
   /** Top-k docs per query by BM25, index built inline. `queries` supplies
     * (qIdCol, qTextCol); query term sets are broadcast against the corpus
@@ -108,7 +127,29 @@ object Retrieval {
                idCol: String, textCol: String,
                qIdCol: String, qTextCol: String,
                k1: Double = 1.2, b: Double = 0.75,
-               topK: Int = 10): DataFrame = {
+               topK: Int = 10): DataFrame =
+    rankTopK(contribOf(corpus, queries, idCol, textCol, qIdCol, qTextCol,
+      k1, b), idCol, topK)
+
+  /** Per-(query, candidate) integer BM25 scores with NO top-k window —
+    * the scored stream [[topKOf]] consumers compose over. Identical
+    * integer contributions to [[bm25TopK]] (same [[contribExpr]], same
+    * statistics), so `topKOf(bm25Scores(...), id, k)` is row-identical
+    * to `bm25TopK(..., topK = k)`.
+    */
+  def bm25Scores(corpus: DataFrame, queries: DataFrame,
+                 idCol: String, textCol: String,
+                 qIdCol: String, qTextCol: String,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    scoredOf(contribOf(corpus, queries, idCol, textCol, qIdCol, qTextCol,
+      k1, b), idCol)
+
+  /** The inline contribution stream: tf/dl/df/stats aggregates over the
+    * corpus, query-term broadcast semi-restriction, fixed-point math. */
+  private def contribOf(corpus: DataFrame, queries: DataFrame,
+                        idCol: String, textCol: String,
+                        qIdCol: String, qTextCol: String,
+                        k1: Double, b: Double): DataFrame = {
     val tf = corpus.select(col(idCol),
         explode(TextAnalysis.tokens(lower(trim(col(textCol))))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
@@ -119,12 +160,11 @@ object Retrieval {
       Seq("term"))
     val stats = corpus.agg(count(lit(1)).as("n_docs"))
       .crossJoin(dl.agg(sum(col("dl")).as("tot")))
-    val contrib = hits
+    hits
       .join(dfreq, Seq("term"))
       .join(dl, Seq(idCol))
       .crossJoin(broadcast(stats))
       .withColumn("c", contribExpr(k1, b))
-    rankTopK(contrib, idCol, topK)
   }
 
   /** The three mergeable components of a written BM25 index. */
@@ -310,7 +350,19 @@ object Retrieval {
   def bm25TopKStored(store: Bm25Store, queries: DataFrame, idCol: String,
                      qIdCol: String, qTextCol: String,
                      k1: Double = 1.2, b: Double = 0.75,
-                     topK: Int = 10): DataFrame = {
+                     topK: Int = 10): DataFrame =
+    topKOf(bm25ScoresStored(store, queries, idCol, qIdCol, qTextCol, k1, b),
+      idCol, topK)
+
+  /** [[bm25Scores]] against a store — the scored stream for filter-then-
+    * rank consumers, with the store's only-query-terms'-postings scan
+    * shape (the production spelling of hard-negative mining / diverse
+    * retrieval: candidates score off the frozen index, predicates run on
+    * the scored rows, then ONE bounded top-k window).
+    */
+  def bm25ScoresStored(store: Bm25Store, queries: DataFrame, idCol: String,
+                       qIdCol: String, qTextCol: String,
+                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val qt = queryTerms(queries, qIdCol, qTextCol)
     val qdf = store.dfreq.join(broadcast(qt.select(col("term")).distinct()),
       Seq("term"), "left_semi")
@@ -319,6 +371,6 @@ object Retrieval {
       .join(broadcast(qdf), Seq("term"))
       .crossJoin(broadcast(store.stats))
       .withColumn("c", contribExpr(k1, b))
-    rankTopK(contrib, idCol, topK)
+    scoredOf(contrib, idCol)
   }
 }

@@ -724,6 +724,97 @@ object Similarity {
     (spark.read.parquet(path), parts)
   }
 
+  /** How many coarse centroids a corpus of `n` vectors should get:
+    * C = √N clamped to [cMin, cMax]. The balance behind the square root
+    * (measured in the round-10 ScaleProbe, README feeder table): per-row
+    * ASSIGNMENT work grows ∝ C·d while per-row IN-CLUSTER candidate work
+    * in [[ivfSelfTopK]] grows ∝ nprobe·N/C — total N·(C + N/C)-ish,
+    * minimized at C ∝ √N. A FIXED codebook on a growing corpus makes
+    * Σ|members|² grow ∝ N² (the measured 125 s cliff at 10×); √N sizing
+    * holds it ∝ N^1.5. Past `cMax` the flat literal-array assignment
+    * itself becomes the bottleneck — that is the hierarchical
+    * coarse-quantizer regime, documented not coded.
+    */
+  def autoCodebookSize(n: Long, cMin: Int = 8, cMax: Int = 4096): Int =
+    math.max(cMin, math.min(cMax.toLong,
+      math.ceil(math.sqrt(math.max(n, 0L).toDouble)).toLong).toInt)
+
+  /** Auto-sized coarse codebook — the round-10 "codebook must grow with
+    * the corpus" guidance turned into code. Three bounded steps:
+    *
+    *  1. SIZE: C = [[autoCodebookSize]](count) — √N, clamped.
+    *  2. SEED: C deterministic candidates by a HASH-STRIDE over ids
+    *     (keep rows where xxhash64(id) mod ⌊N/C⌋ = 0, first C by id),
+    *     unit-normalized. Hash-striding — never "first C ids" — because
+    *     sharded/replicated corpora hand any id-prefix to one shard and
+    *     the codebook would never separate the rest.
+    *  3. SPLIT: one assignment pass; every cluster holding more than
+    *     `maxSharePct` of rows (the share audit the ScaleProbe prints)
+    *     contributes its FARTHEST member (max L2 from its seed, ties by
+    *     id) as an extra seed — the flagged hot spot is cut in two.
+    *
+    * Driver traffic is C-bounded throughout (seeds + flagged-cluster
+    * extras); the corpus is scanned twice (count fused into scan 1 when
+    * cached). Deterministic end to end: same corpus → same codebook.
+    */
+  def autoCoarseCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+                         cMin: Int = 8, cMax: Int = 4096,
+                         maxSharePct: Double = 5.0): Seq[Seq[Double]] = {
+    import graft.functions.VectorFunctions.l2_squared
+    val n = corpus.count()
+    val c = autoCodebookSize(n, cMin, cMax)
+    val unit = normalized(corpus.select(col(idCol).as("__id"),
+      col(vecCol).cast("array<double>").as("__u")), "__u")
+    val stride = math.max(1L, n / math.max(c, 1))
+    val strided = unit
+      .filter(pmod(xxhash64(col("__id")), lit(stride)) === 0)
+      .orderBy(col("__id")).limit(c)
+      .select(col("__u")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+    // hash-stride yields ~C candidates in expectation; top up from the
+    // id order if the draw came in short (tiny corpora)
+    val seeds =
+      if (strided.size >= math.min(c, n).toInt) strided
+      else unit.orderBy(col("__id")).limit(c)
+        .select(col("__u")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+    if (seeds.isEmpty) return seeds
+    val assigned = assignCentroids(unit, "__u", seeds)
+    val counts = assigned.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("m")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val flagged = counts.filter { case (_, m) =>
+      100.0 * m / math.max(n, 1L) > maxSharePct }.keys.toSeq.sorted
+    if (flagged.isEmpty) seeds
+    else {
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      val seedDf = flagged.map(cid => (cid, seeds(cid)))
+        .toDF("centroid_id", "__seed")
+      val w = Window.partitionBy(col("centroid_id"))
+        .orderBy(desc("__d"), asc("__id"))
+      val extra = assigned.filter(col("centroid_id").isInCollection(flagged))
+        .join(broadcast(seedDf), Seq("centroid_id"))
+        .withColumn("__d", l2_squared(col("__u"), col("__seed")))
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .orderBy(col("centroid_id"))
+        .select(col("__u")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+      seeds ++ extra
+    }
+  }
+
+  /** [[writeIvfStore]] with the codebook auto-sized from the corpus
+    * ([[autoCoarseCodebook]]); returns the frozen codebook — callers
+    * probe with the SAME seeds the layout was written with, the
+    * [[readVectorStore]] pairing discipline.
+    */
+  def writeIvfStoreAuto(corpus: DataFrame, idCol: String, vecCol: String,
+                        path: String, cMin: Int = 8, cMax: Int = 4096,
+                        maxSharePct: Double = 5.0): Seq[Seq[Double]] = {
+    val coarse = autoCoarseCodebook(corpus, idCol, vecCol, cMin, cMax,
+      maxSharePct)
+    writeIvfStore(corpus, idCol, vecCol, coarse, path)
+    coarse
+  }
+
   /** Physical IVF layout: the corpus written ONCE partitioned by coarse
     * centroid id (assignment on unit vectors — L2-nearest among unit
     * vectors is cosine-nearest, seeds must be unit too). With this

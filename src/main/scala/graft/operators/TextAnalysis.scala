@@ -873,8 +873,13 @@ object TextAnalysis {
     val w = Window.partitionBy(col(srcCol))
       .orderBy(col("n_tokens"), col(idCol))
     val wc = Window.partitionBy(col(srcCol))
+    // NULL text counts as 0 tokens, explicitly: Spark's ascending window
+    // sorts NULLs FIRST (rank 1 → dropped) while DuckDB sorts them LAST
+    // (kept), so an un-coalesced NULL would silently diverge the gate
+    // between engines the first time a corpus carries one
     docs.select(col(idCol), col(srcCol),
-        tokenCount(col(textCol)).cast("long").as("n_tokens"))
+        coalesce(tokenCount(col(textCol)).cast("long"), lit(0L))
+          .as("n_tokens"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .withColumn("m", count(lit(1)).over(wc))
       .filter(col("rank") > floor(lit(dropFrac) * col("m")))

@@ -152,6 +152,14 @@ object CurationProcessors {
     * recipe per index, the same way the reference runs one agent per
     * recipe. Readers are safe at any point: parquet appends are
     * task-committed files, and the gate only ever widens.
+    *
+    * Fingerprint version: the canonical form NFC-composes as of fpv=nfc
+    * ([[graft.functions.CanonicalizeKernel]]), so canonically-equivalent
+    * spellings ("café" NFC vs NFD) now share one digest. An index whose
+    * fingerprints were written by a PRE-NFC build holds digests of
+    * un-composed text — rebuild it (re-run the ingest from the source
+    * corpus) before gating new batches against it; mixing the two
+    * generations silently re-admits previously-gated decomposed docs.
     */
   object DedupGate extends Processor {
     val info: PluginInfo = PluginInfo("dedup-gate",
@@ -212,6 +220,14 @@ object CurationProcessors {
     * [[Dedup.lshIngest]] store contract) consumed by one semi-join. The
     * corpus is never re-signed. Same single-writer index contract as
     * [[DedupGate]].
+    *
+    * Coverage floor (inherited from `portableMinhash`): docs with fewer
+    * than 3 tokens produce NO shingles, hence no bands — they always
+    * pass the gate AND are never indexed, so short near-duplicates
+    * bypass it permanently. Chain a min-token `quality-filter` before
+    * this gate (as the sample curation recipe does) if sub-3-token rows
+    * can reach it; exact short copies are still caught by a preceding
+    * `dedup-gate`.
     */
   /** chunk: explode each surviving doc into overlapping token-window
     * chunk rows ([[TextAnalysis.slidingChunks]]) — the RAG front end on
@@ -237,6 +253,29 @@ object CurationProcessors {
       val size = config.getOrElse("size", 128).toString.toInt
       val stride = config.getOrElse("stride", 64).toString.toInt
       TextAnalysis.slidingChunks(df, idc, tc, size, stride)
+    }
+  }
+
+  /** normalize: Unicode NFC composition of the text column — the cleanup
+    * step that belongs FIRST in a curation chain, so every downstream
+    * token/shingle/fingerprint operator sees one spelling per logical
+    * string. The exact-dedup fingerprint already NFC-composes internally
+    * (fpv=nfc, [[graft.functions.CanonicalizeKernel]]); running this
+    * processor additionally aligns the SHINGLE/MinHash path ("café" NFC
+    * vs NFD shingle to different 64-bit hashes, so un-normalized
+    * decomposed near-dups can slip the [[NearDupGate]] banding) and the
+    * persisted text itself. Map-side codegen'd expression, ASCII rows
+    * allocation-free, schema-preserving, streaming-safe.
+    */
+  object Normalize extends Processor {
+    val info: PluginInfo = PluginInfo("normalize",
+      "Unicode NFC-compose the text column (run before gates so all spellings align)",
+      sampleConfig = """text_column: text""",
+      tags = Seq("processor", "curation"))
+
+    def process(df: DataFrame, config: Map[String, Any]): DataFrame = {
+      val tc = textCol(config)
+      df.withColumn(tc, graft.functions.NormalizeNfc(col(tc)))
     }
   }
 

@@ -94,5 +94,6 @@ object Populate {
     r.register(CurationProcessors.DedupGate)
     r.register(CurationProcessors.NearDupGate)
     r.register(CurationProcessors.Chunk)
+    r.register(CurationProcessors.Normalize)
   }
 }

@@ -1067,18 +1067,41 @@ class IvfLayoutSpec extends SparkSpec {
 class CanonicalizeSpec extends SparkSpec {
   import spark.implicits._
 
-  test("canonicalize kernel matches the regex formulation bit-for-bit") {
+  test("canonicalize kernel matches the nfc+regex formulation bit-for-bit") {
     val df = Seq(
       "  Hello\t\tWorld \r\n",
       "already canonical",
       "MiXeDCase\f\fhere",
       "",
-      "   \t  "
+      "   \t  ",
+      "Caf\u00e9 composed",
+      "Cafe\u0301 decomposed",
+      "A\u030angstro\u0308m units"
     ).toDF("text")
     val rows = df.select(
       graft.functions.CanonicalizeText(col("text")).as("fast"),
-      lower(regexp_replace(trim(col("text")), "\\s+", " ")).as("ref")).collect()
+      lower(regexp_replace(trim(
+        graft.functions.NormalizeNfc(col("text"))), "\\s+", " ")).as("ref"))
+      .collect()
     rows.foreach(r => assert(r.getString(0) == r.getString(1), r))
+  }
+
+  test("canonically-equivalent duplicates get ONE fingerprint (the NFC " +
+      "composition the round-10 exact gate provably missed)") {
+    // same logical document, NFC vs NFD spellings: pre-NFC canonicalize
+    // hashed these to DIFFERENT digests and the exact-dedup gate waved
+    // the duplicate through
+    val df = Seq(
+      (1L, "Caf\u00e9  au   lait"),      // composed e-acute
+      (2L, "cafe\u0301 au lait"),        // decomposed e + U+0301
+      (3L, "completely different text")
+    ).toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"),
+        graft.operators.TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) == fps(2L),
+      s"decomposed duplicate escaped the fingerprint: ${fps(1L)} vs ${fps(2L)}")
+    assert(fps(1L) != fps(3L))
   }
 }
 

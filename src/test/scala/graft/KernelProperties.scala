@@ -15,17 +15,20 @@ object KernelProperties extends Properties("kernels") {
 
   private val wsChars = Seq(' ', '\t', '\n', '\u000B', '\f', '\r')
   private val genText: Gen[String] = Gen.listOf(Gen.frequency(
-    6 -> Gen.alphaNumChar,
-    2 -> Gen.oneOf(wsChars),
-    1 -> Gen.oneOf('É', 'ß', 'Ω', '.', ',', '\'', '\u0001'))).map(_.mkString)
+    6 -> Gen.alphaNumChar.map(_.toString),
+    2 -> Gen.oneOf(wsChars).map(_.toString),
+    1 -> Gen.oneOf("É", "ß", "Ω", ".", ",", "'", "\u0001",
+      // decomposed sequences — NFC must recompose these
+      "e\u0301", "A\u030A", "o\u0308", "Å"))).map(_.mkString)
 
-  /** plain-Java model of trim-spaces → collapse \s+ → lowercase */
+  /** plain-Java model of NFC → trim-spaces → collapse \s+ → lowercase */
   private def canonModel(s: String): String = {
-    val spaceTrimmed = s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+    val nfc = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    val spaceTrimmed = nfc.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
     UTF8String.fromString(spaceTrimmed.replaceAll("\\s+", " ")).toLowerCase.toString
   }
 
-  property("canonicalize == trim/regex/lower model") = forAll(genText) { s =>
+  property("canonicalize == nfc/trim/regex/lower model") = forAll(genText) { s =>
     CanonicalizeKernel.compute(UTF8String.fromString(s)).toString == canonModel(s)
   }
 

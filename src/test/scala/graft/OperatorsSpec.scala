@@ -113,6 +113,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(kept == Set(2L, 3L, 4L, 5L, 6L), kept)
   }
 
+  test("adaptiveQualityGate: NULL text ranks as 0 tokens (worst), not NULL") {
+    import org.apache.spark.sql.functions._
+    def doc(n: Int) = (1 to n).map(_ => "tok").mkString(" ")
+    // Spark sorts NULLs first ascending, DuckDB last — an un-coalesced
+    // NULL n_tokens would rank 1 here in Spark but m in DuckDB. With the
+    // coalesce, the NULL doc is the 0-token WORST doc in both engines:
+    // m=4 -> rank 1 (the null doc) dropped, all real docs survive.
+    val docs = Seq(
+      (1L, "a", null.asInstanceOf[String]), (2L, "a", doc(20)),
+      (3L, "a", doc(30)), (4L, "a", doc(40))).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.adaptiveQualityGate(docs, "doc_id", "source", "text")
+      .collect()
+    assert(out.map(_.getLong(0)).toSet == Set(2L, 3L, 4L))
+    assert(out.forall(!_.isNullAt(2)), "n_tokens must never be NULL")
+  }
+
   test("CDC chunking: boundaries are content-defined — an insert only disturbs its own chunk") {
     import org.apache.spark.sql.functions._
     val rnd = new scala.util.Random(42)
@@ -3275,7 +3291,7 @@ class DiverseTopKSpec extends SparkSpec {
     assume(new java.io.File(dir).isDirectory)
     val rows = SparkEntry.queries("d_diverse_topk")(spark, dir).collect()
     val perQueryParent = rows.groupBy(r =>
-      (r.getLong(0), r.getLong(2) / 1000)).view.mapValues(_.length)
+      (r.getLong(0), r.getLong(2) >> 20)).view.mapValues(_.length)
     assert(perQueryParent.values.forall(_ <= 2), perQueryParent.toMap)
     // every query fills its 10 slots (the chunk corpus is big enough)
     rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
@@ -3286,6 +3302,44 @@ class DiverseTopKSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val diverse = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(diverse != plain, "source cap must change at least one slot")
+  }
+}
+
+class HardNegativesSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("hard negatives exclude the query doc's own chunks, fill 10 slots, " +
+      "and rank through a bounded WindowGroupLimit") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    val df = SparkEntry.queries("d_hard_negatives")(spark, dir)
+    val rows = df.collect()
+    rows.foreach { r =>
+      assert((r.getLong(2) >> 20) != r.getLong(0),
+        s"own-doc chunk ${r.getLong(2)} leaked into query ${r.getLong(0)}")
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.length == 10, s"query $q filled ${rs.length} negative slots")
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+    // the round-10 anti-shape: topK = Int.MaxValue defeated the limit
+    assert(!plan.contains("2147483647"), "rank-all window is back")
+  }
+
+  test("topKOf(bm25Scores) is row-identical to bm25TopK at the same k") {
+    val corpus = Seq(
+      (1L, "spark shuffles partitions"), (2L, "spark caches partitions"),
+      (3L, "ducks swim in ponds"), (4L, "spark spark spark shuffle"),
+      (5L, "ponds hold water")).toDF("doc_id", "text")
+    val qs = Seq((100L, "spark partitions"), (200L, "ponds")).toDF("q_id", "qt")
+    val viaTopK = Retrieval.bm25TopK(corpus, qs, "doc_id", "text",
+        "q_id", "qt", topK = 3).orderBy("q_id", "rnk").collect()
+    val viaScores = Retrieval.topKOf(
+        Retrieval.bm25Scores(corpus, qs, "doc_id", "text", "q_id", "qt"),
+        "doc_id", topK = 3).orderBy("q_id", "rnk").collect()
+    assert(viaTopK.toSeq == viaScores.toSeq)
   }
 }
 
@@ -3561,5 +3615,105 @@ class JlKernelParitySpec extends SparkSpec {
       assert(r.getSeq[Long](1) == r.getSeq[Long](2),
         s"kernel/tree mismatch at vec ${r.get(0)}")
     }
+  }
+}
+
+class AutoCodebookSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.operators.Similarity
+
+  test("autoCodebookSize is sqrt(N) clamped to [cMin, cMax]") {
+    assert(Similarity.autoCodebookSize(0) == 8)
+    assert(Similarity.autoCodebookSize(100) == 10)
+    assert(Similarity.autoCodebookSize(10000) == 100)
+    assert(Similarity.autoCodebookSize(1000000) == 1000)
+    assert(Similarity.autoCodebookSize(3) == 8)                 // floor
+    assert(Similarity.autoCodebookSize(Long.MaxValue) == 4096)  // cap
+    assert(Similarity.autoCodebookSize(100, cMin = 2, cMax = 4) == 4)
+  }
+
+  private def synth(n: Int): org.apache.spark.sql.DataFrame =
+    (0 until n).map { i =>
+      // three separated directions + a per-id wobble: clusterable but
+      // not degenerate
+      val base = i % 3
+      val v = Seq.tabulate(8)(d =>
+        (if (d == base) 10.0 else 0.0) + 0.01 * ((i * 7 + d) % 5))
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+
+  test("autoCoarseCodebook is deterministic and returns unit seeds") {
+    val docs = synth(120)
+    val a = Similarity.autoCoarseCodebook(docs, "vec_id", "embedding")
+    val b = Similarity.autoCoarseCodebook(docs, "vec_id", "embedding")
+    assert(a == b, "same corpus must freeze the same codebook")
+    assert(a.size >= 8, s"sqrt(120)=11 clamped to >=8, got ${a.size}")
+    a.foreach { s =>
+      val norm = math.sqrt(s.map(x => x * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-9, s"seed not unit: $norm")
+    }
+  }
+
+  test("share audit splits flagged hot clusters with their farthest member") {
+    val docs = synth(100)
+    // C forced to 2 on a 3-direction corpus: both clusters hold >5% of
+    // rows, so BOTH are flagged and each contributes one extra seed
+    val seeds = Similarity.autoCoarseCodebook(docs, "vec_id", "embedding",
+      cMin = 2, cMax = 2, maxSharePct = 5.0)
+    assert(seeds.size == 4, s"2 seeds + 2 splits expected, got ${seeds.size}")
+    // with a loose share bar nothing is flagged and the codebook stays C
+    val loose = Similarity.autoCoarseCodebook(docs, "vec_id", "embedding",
+      cMin = 2, cMax = 2, maxSharePct = 100.0)
+    assert(loose.size == 2, s"no split expected, got ${loose.size}")
+  }
+
+  test("writeIvfStoreAuto layout answers ivfSelfTopK with every row served") {
+    val docs = synth(90)
+    val path = java.nio.file.Files.createTempDirectory("ivfauto").toString
+    val coarse = Similarity.writeIvfStoreAuto(docs, "vec_id", "embedding",
+      path)
+    val out = Similarity.ivfSelfTopK(spark.read.parquet(path), "vec_id",
+      "embedding", k = 3, coarse = coarse, nprobe = 2)
+    val byQ = out.collect().groupBy(_.getLong(0))
+    assert(byQ.size == 90, s"every vector needs a neighbor list: ${byQ.size}")
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length <= 3 && rs.nonEmpty, s"query $q got ${rs.length}")
+    }
+    // the auto codebook must hold the share audit's own bar: no cluster
+    // above ~2x the flag threshold after splitting
+    val hist = spark.read.parquet(path).groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("m")).collect().map(_.getLong(1))
+    assert(hist.max.toDouble / hist.sum <= 0.5,
+      s"degenerate clustering: ${hist.mkString(",")}")
+  }
+}
+
+class CertificatesAtBenchSfSpec extends SparkSpec {
+  // The no_oracle sketch rows are graded through certificates; these two
+  // are cheap enough to re-assert at the BENCH SF (sf0.1), so the
+  // certificate story holds at the graded scale, not just test fixtures.
+  // Skipped cleanly when the driver testdata is absent.
+  private val benchSf = "/root/testdata/sf0.1"
+
+  test("simhash kernel parity certificate holds at sf0.1") {
+    assume(new java.io.File(benchSf).isDirectory)
+    val r = SparkEntry.queries("d_simhash_kernel_parity")(spark, benchSf)
+      .collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) > 0, "vacuous certificate: zero docs compared")
+    assert(r(0).getLong(1) == 0,
+      s"${r(0).getLong(1)} of ${r(0).getLong(0)} sketches diverge from the " +
+        "relational spelling at the bench SF")
+  }
+
+  test("HLL distinct-count certificate holds at sf0.1") {
+    assume(new java.io.File(benchSf).isDirectory)
+    val r = SparkEntry.queries("q_sketch_distinct_cert")(spark, benchSf)
+      .collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) > 0, "vacuous certificate: zero exact distincts")
+    assert(r(0).getBoolean(1),
+      s"merged HLL estimate outside the 5% band of exact=${r(0).getLong(0)}")
   }
 }

@@ -326,6 +326,67 @@ class AgentSpec extends SparkSpec {
     assert(Registries.processors.list.map(_.name).contains("chunk"))
   }
 
+  test("normalize recipe: NFC-composes text so a decomposed near-dup is gated") {
+    import spark.implicits._
+    // the same logical document planted across batches in DIFFERENT
+    // Unicode spellings: batch 1 composed (NFC), batch 2 the decomposed
+    // (NFD) near-dup with one word edited. Shingle hashes see raw bytes,
+    // so without `normalize` the NFD spelling shares NO band with the
+    // indexed original and walks through the gate; with `normalize`
+    // first, both batches collapse to one spelling and the banding
+    // catches it.
+    val composed = "café crème déjà vu résumé naïve fiancée touché " +
+      "cliché soufflé entrée purée sauté canapé protégé décor attaché " +
+      "château matinée consommé"
+    val decomposedDup = java.text.Normalizer.normalize(
+      composed.replace("matinée", "edited"), java.text.Normalizer.Form.NFD)
+    val fresh = "entirely different content about distributed query " +
+      "engines and columnar storage formats with no shared shingles"
+    // negative control: WITHOUT normalize the decomposed near-dup passes
+    locally {
+      val idx0 = Files.createTempDirectory("nfcidx0").resolve("lsh").toString
+      val g = graft.processors.CurationProcessors.NearDupGate
+      g.process(Seq((1L, composed)).toDF("doc_id", "text"),
+        Map("index_path" -> idx0)).count()
+      val kept = g.process(Seq((2L, decomposedDup)).toDF("doc_id", "text"),
+        Map("index_path" -> idx0, "update_index" -> false))
+      assert(kept.count() == 1, "NFD near-dup should slip an un-normalized gate")
+    }
+    // the recipe chain with normalize first gates it
+    val docsDir = Files.createTempDirectory("nfcdocs")
+    val idx = Files.createTempDirectory("nfcidx").resolve("lsh").toString
+    val out = Files.createTempDirectory("nfcout").resolve("kept.ndjson")
+    Seq((1L, composed)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$docsDir/batch1")
+    def recipe(batch: String) = RecipeReader.parse(
+      s"""name: nfc-neardup
+         |version: v1beta1
+         |source:
+         |  name: documents
+         |  config: {path: $docsDir/$batch}
+         |processors:
+         |  - name: normalize
+         |  - name: neardup-gate
+         |    config: {index_path: $idx}
+         |sinks:
+         |  - name: file
+         |    config: {path: $out, format: ndjson}
+         |""".stripMargin)
+    val r1 = new Agent(spark).run(recipe("batch1"))
+    assert(r1.success, r1.error)
+    assert(r1.recordCount == 1, r1)
+    Seq((2L, decomposedDup), (3L, fresh)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$docsDir/batch2")
+    val r2 = new Agent(spark).run(recipe("batch2"))
+    assert(r2.success, r2.error)
+    assert(r2.recordCount == 1, r2) // decomposed near-dup dropped
+    val lines = scala.jdk.CollectionConverters.CollectionHasAsScala(
+      Files.readAllLines(out)).asScala.toSeq
+    assert(lines.size == 1 && lines.head.contains("\"doc_id\":3"), lines)
+    Registries.populate()
+    assert(Registries.processors.list.map(_.name).contains("normalize"))
+  }
+
   test("curation index probe resolves through the Hadoop FileSystem API") {
     import spark.implicits._
     // an explicit file: URI — the java.io.File probe this replaced would

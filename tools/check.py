@@ -70,7 +70,16 @@ for name in sorted(os.listdir(out)):
                 break
     results[name] = mismatch or f"OK rows={len(a)}"
 
+twin_of = {}
+try:
+    twin_of = json.load(open(f"{out}/twin_of.json"))
+except Exception:
+    pass
+
 npass = sum(1 for v in results.values() if v.startswith("OK"))
 for k, v in sorted(results.items()):
-    print(f"{'PASS' if v.startswith('OK') else 'FAIL' if 'MISMATCH' in v or 'ERROR' in v else 'WARN':4} {k}: {v}")
-print(f"\n{npass}/{len([k for k in results if k in oracle])} oracle-checked pass, {len(results)} total")
+    tag = f" [audit: twin of {twin_of[k]}]" if k in twin_of else ""
+    print(f"{'PASS' if v.startswith('OK') else 'FAIL' if 'MISMATCH' in v or 'ERROR' in v else 'WARN':4} {k}: {v}{tag}")
+n_audit = sum(1 for k in results if k in twin_of)
+print(f"\n{npass}/{len([k for k in results if k in oracle])} oracle-checked pass, {len(results)} total"
+      f" ({len(results) - n_audit} production + {n_audit} audit)")
