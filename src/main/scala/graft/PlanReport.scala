@@ -35,13 +35,13 @@ object PlanReport {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    only.foreach { names =>
+    if (only.isDefined) {
       selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         println(s"===== $name =====")
         println(fn(spark, sfDir).queryExecution.executedPlan.toString)
       }
       spark.stop()
-      return
+      sys.exit(0)
     }
 
     val rows = selected.toSeq.sortBy(_._1).map { case (name, fn) =>

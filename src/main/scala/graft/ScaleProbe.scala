@@ -778,22 +778,33 @@ object ScaleProbe {
         docs.unpersist()
       }
     }
-    // ivfSelfTopK mutual-kNN feeder: its Σ_cluster |members|×|probers|
-    // bound is the whole 100 TB story and it DEGENERATES under cluster
-    // imbalance — a fixed-size codebook on a growing corpus makes every
-    // cluster grow ∝ N, so in-cluster candidate work grows ∝ N² even
-    // though the plan never goes cartesian. Two arms per factor:
-    //   fixed_codebook  — the 8-seed graded-query codebook on an f×
-    //                     corpus: expect SUPER-LINEAR time (the audit
-    //                     column `sumsq` = Σ|members|² names the cause).
-    //   scaled_codebook — 8·f seeds (one 8-seed family per replica), so
-    //                     per-cluster membership stays ~flat: the
-    //                     documented mitigation (codebook size must grow
-    //                     with the corpus — √N-ish in practice, linear
-    //                     here because replicas are exact).
-    // Replicas are cyclic coordinate ROTATIONS of the base embeddings
-    // (norms and within-replica geometry preserved, no cross-replica
-    // collapse), so scaled-arm seeds genuinely separate the replicas.
+    feederProbe(spark, sfDir, factor)
+    spark.stop()
+  }
+
+  /** ivfSelfTopK mutual-kNN feeder probe: its Σ_cluster
+    * |members|×|probers| bound is the whole 100 TB story and it
+    * DEGENERATES under cluster imbalance — a fixed-size codebook on a
+    * growing corpus makes every cluster grow ∝ N, so in-cluster
+    * candidate work grows ∝ N² even though the plan never goes
+    * cartesian. Three arms per factor:
+    *   fixed_codebook  — the 8-seed graded-query codebook on an f×
+    *                     corpus: expect SUPER-LINEAR time (the audit
+    *                     column `sumsq` = Σ|members|² names the cause).
+    *   scaled_codebook — 8·f seeds (one 8-seed family per replica), so
+    *                     per-cluster membership stays ~flat: the
+    *                     documented mitigation with replica knowledge.
+    *   auto_codebook   — autoCoarseCodebook's √N policy, no replica
+    *                     knowledge: sumsq should track N^1.5.
+    * Replicas are cyclic coordinate ROTATIONS of the base embeddings
+    * (norms and within-replica geometry preserved, no cross-replica
+    * collapse), so scaled-arm seeds genuinely separate the replicas.
+    * Re-runnable in isolation via `runMain graft.FeederProbe [sfDir]
+    * [factor] [arm,...]` — single-shot timings on this VM carry stall
+    * risk, so a suspicious arm gets its own clean rerun.
+    */
+  def feederProbe(spark: SparkSession, sfDir: String, factor: Int,
+                  arms: Set[String] = Set("fixed", "scaled", "auto")): Unit = {
     locally {
       val embBase = Tables(spark, sfDir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
@@ -844,32 +855,57 @@ object ScaleProbe {
       // fixed arm CLAMPS at 10x regardless of the requested factor: its
       // N² candidate volume is the finding, not a number worth minutes
       // of probe time at 30x (the scaled/auto arms carry the big factors)
-      for (f <- Seq(1, 3, math.min(factor, 10)))
-        probeArm("fixed_codebook", f, baseSeeds)
-      for (f <- Seq(1, factor, 3 * factor)) {
-        val seeds = (0 until f).flatMap(k => baseSeeds.map { s =>
-          val sh = k % dim
-          s.drop(sh) ++ s.take(sh)
-        })
-        probeArm("scaled_codebook", f, seeds)
-      }
+      if (arms("fixed"))
+        for (f <- Seq(1, 3, math.min(factor, 10)))
+          probeArm("fixed_codebook", f, baseSeeds)
+      if (arms("scaled"))
+        for (f <- Seq(1, factor, 3 * factor)) {
+          val seeds = (0 until f).flatMap(k => baseSeeds.map { s =>
+            val sh = k % dim
+            s.drop(sh) ++ s.take(sh)
+          })
+          probeArm("scaled_codebook", f, seeds)
+        }
       // auto arm: the sizing POLICY itself under probe — no replica
       // knowledge, just autoCoarseCodebook's sqrt(N) + hash-stride +
       // share-audit split on the raw f-times corpus. Expect ~N^1.5-or-
       // better time growth (per-row work ∝ sqrt(N)) and max_share_pct
       // staying low without anyone telling it the replica count.
-      for (f <- Seq(1, factor, 3 * factor)) {
-        val corpus = embCorpus(f)
-        val t0 = System.nanoTime()
-        val seeds = operators.Similarity.autoCoarseCodebook(
-          corpus, "vec_id", "embedding")
-        val sizingSec = (System.nanoTime() - t0) / 1e9
-        println(f"""{"probe":"mutual_knn_feeder_auto_sizing","factor":$f,""" +
-          f""""sec":$sizingSec%.2f,"codebook":${seeds.size}}""")
-        probeArm("auto_codebook", f, seeds)
-        corpus.unpersist()
-      }
+      if (arms("auto"))
+        for (f <- Seq(1, factor, 3 * factor)) {
+          val corpus = embCorpus(f)
+          val t0 = System.nanoTime()
+          val seeds = operators.Similarity.autoCoarseCodebook(
+            corpus, "vec_id", "embedding")
+          val sizingSec = (System.nanoTime() - t0) / 1e9
+          println(f"""{"probe":"mutual_knn_feeder_auto_sizing","factor":$f,""" +
+            f""""sec":$sizingSec%.2f,"codebook":${seeds.size}}""")
+          probeArm("auto_codebook", f, seeds)
+          corpus.unpersist()
+        }
     }
+  }
+}
+
+/** Isolated rerun of the mutual-kNN feeder arms (see
+  * [[ScaleProbe.feederProbe]]): `runMain graft.FeederProbe [sfDir]
+  * [factor] [arm,arm...]` with arms from fixed|scaled|auto.
+  */
+object FeederProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val arms = if (args.length > 2) args(2).split(",").map(_.trim).toSet
+               else Set("fixed", "scaled", "auto")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    ScaleProbe.feederProbe(spark, sfDir, factor, arms)
     spark.stop()
   }
 }
