@@ -588,8 +588,8 @@ object SparkEntry {
     def ensure(kind: String, src: String, key: String,
                build: DataFrame): DataFrame = {
       val path = layoutPath(dir, kind, "buckets=8", srcTable = src)
-      val table = new java.io.File(path).getName // graft_<kind>_<digest>
-      if (!new java.io.File(path, "_SUCCESS").exists()) {
+      val table = path.split('/').last // graft_<kind>_<digest>
+      if (!layoutReady(path)) {
         s.sql(s"DROP TABLE IF EXISTS $table")
         // coalesce(1) -> exactly one file per bucket, so the read side
         // honors the within-bucket sort and plans SMJ with no Sort; a
@@ -625,7 +625,7 @@ object SparkEntry {
     */
   private def partitionedEventsStore(s: SparkSession, dir: String): DataFrame = {
     val path = layoutPath(dir, "evday", "part=day,v1", srcTable = "events.parquet")
-    if (!new java.io.File(path, "_SUCCESS").exists())
+    if (!layoutReady(path))
       t(s, dir, "events")
         .withColumn("day", to_date(col("ts")))
         .repartition(col("day"))
@@ -946,7 +946,7 @@ object SparkEntry {
     val ms = Seq("v_ppm")
     val path = layoutPath(dir, "rollupstore",
       "dims=day,event_type|m=v_ppm|cut=mod5", "events.parquet")
-    if (!new java.io.File(path, "_SUCCESS").exists())
+    if (!layoutReady(path))
       Rollup.aggregate(ev.filter(pmod(col("event_id"), lit(5)) =!= 0),
         dims, ms).write.mode("overwrite").parquet(path)
     val stored = s.read.parquet(path)
@@ -1827,7 +1827,7 @@ object SparkEntry {
     */
   private def zorderEventsStore(s: SparkSession, dir: String): DataFrame = {
     val path = layoutPath(dir, "evz", "zorder=u8xm8,v1", srcTable = "events.parquet")
-    if (!new java.io.File(path, "_SUCCESS").exists()) {
+    if (!layoutReady(path)) {
       val ev = t(s, dir, "events")
         .select(col("event_id"), col("event_type"), col("value"),
           (col("user_id") % 256).cast("int").as("xb"),
@@ -2500,7 +2500,7 @@ object SparkEntry {
   private def fpStore(s: SparkSession, dir: String): DataFrame = {
     val path = layoutPath(dir, "fpindex", "cut=250,fpv=nfc",
       srcTable = "documents.parquet")
-    if (!new java.io.File(path, "_SUCCESS").exists())
+    if (!layoutReady(path))
       t(s, dir, "documents").filter(col("doc_id") < 250)
         .select(TextAnalysis.fingerprint(col("text")).as("fp"))
         .coalesce(8)
@@ -2804,7 +2804,7 @@ object SparkEntry {
       if (n == 0.0) v else v.map(_ / n)
     }
     val path = layoutPath(dir, "ivfstore", "coarse=first8unit")
-    if (!new java.io.File(path, "_SUCCESS").exists())
+    if (!layoutReady(path))
       Similarity.writeIvfStore(emb, "vec_id", "embedding", unitSeeds, path)
     Similarity.mutualTopK(
         Similarity.ivfSelfTopK(s.read.parquet(path), "vec_id", "embedding",
@@ -2877,7 +2877,7 @@ object SparkEntry {
     // 8-bit codes (a quarter of the float bytes), queries quantize
     // inline — row-identical to the inline spelling, same oracle
     val path = layoutPath(dir, "int8store", "scale=l2x127,parts=8")
-    if (!new java.io.File(path, "_SUCCESS").exists())
+    if (!layoutReady(path))
       Similarity.writeInt8Store(t(s, dir, "embeddings"), "vec_id",
         "embedding", path)
     Similarity.int8TopKStored(s.read.parquet(path),
@@ -3025,7 +3025,7 @@ object SparkEntry {
     val flat = Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
       "vec_id", "embedding", k = 5, centroids, nprobe = 3)
     val path = layoutPath(dir, "ivftrained", "coarse=kmeans8x5,probe=3")
-    if (!new java.io.File(path, "_SUCCESS").exists())
+    if (!layoutReady(path))
       Similarity.writeIvfStore(emb, "vec_id", "embedding", centroids, path)
     val stored = Similarity.ivfTopKStored(s.read.parquet(path),
       emb.filter(col("vec_id") < 10), "vec_id", "embedding",
@@ -3056,21 +3056,47 @@ object SparkEntry {
     * wrong centroid assignment) can never be silently reused; the old dir
     * just stops being referenced.
     */
+  /** Where ingest-time layouts live: the local tmpdir by default (the
+    * test harness), or `SPARK_GRAFT_LAYOUT_DIR` — point it at a cluster
+    * filesystem (`hdfs://...`, `s3a://...`) in a real deployment. Every
+    * path built here is resolved through the Hadoop FileSystem API
+    * ([[layoutReady]]), so URI schemes work unchanged.
+    */
+  private lazy val layoutRoot: String =
+    sys.env.getOrElse("SPARK_GRAFT_LAYOUT_DIR",
+      System.getProperty("java.io.tmpdir")).stripSuffix("/")
+
+  private def activeHadoopConf =
+    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+
+  /** `_SUCCESS` probe through the Hadoop FileSystem API — the
+    * [[graft.processors.CurationProcessors.indexExists]] discipline
+    * applied to the graded-query layout caches: a `java.io.File` probe
+    * on an HDFS/S3 layout root would miss forever and silently rebuild
+    * every layout on every query (correct results, cluster-sized waste).
+    */
+  private def layoutReady(path: String): Boolean = {
+    val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    marker.getFileSystem(activeHadoopConf).exists(marker)
+  }
+
   private def layoutPath(dir: String, kind: String, config: String,
                          srcTable: String = "embeddings.parquet"): String = {
-    val src = new java.io.File(dir, srcTable)
-    val mtime = if (src.exists()) src.lastModified().toString else "missing"
+    val src = new org.apache.hadoop.fs.Path(dir, srcTable)
+    val fs = src.getFileSystem(activeHadoopConf)
+    val mtime =
+      if (fs.exists(src)) fs.getFileStatus(src).getModificationTime.toString
+      else "missing"
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$dir|$config|$mtime".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
-    new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_${kind}_$digest").getAbsolutePath
+    s"$layoutRoot/graft_${kind}_$digest"
   }
 
   private def vectorStore(s: SparkSession, dir: String): (DataFrame, Int) = {
     val parts = 16
     val path = layoutPath(dir, "vecstore", s"parts=$parts")
-    if (!new java.io.File(path, "_SUCCESS").exists())
+    if (!layoutReady(path))
       Similarity.writeVectorStore(t(s, dir, "embeddings"), "vec_id", "embedding",
         path, parts)
     // parts comes back from the persisted layout config, not the literal
@@ -3146,7 +3172,7 @@ object SparkEntry {
       if (n == 0.0) v else v.map(_ / n)
     }
     val path = layoutPath(dir, "ivfstore", "coarse=first8unit")
-    if (!new java.io.File(path, "_SUCCESS").exists())
+    if (!layoutReady(path))
       Similarity.writeIvfStore(emb, "vec_id", "embedding", unitSeeds, path)
     Similarity.ivfTopKStored(s.read.parquet(path),
         emb.filter(col("vec_id") < 10), "vec_id", "embedding",
@@ -3176,7 +3202,7 @@ object SparkEntry {
       if (n == 0.0) v else v.map(_ / n)
     }
     val path = layoutPath(dir, "ivfmetastore", "coarse=first8unit,meta=label")
-    if (!new java.io.File(path, "_SUCCESS").exists())
+    if (!layoutReady(path))
       Similarity.writeIvfMetaStore(emb, "vec_id", "embedding",
         Seq("label"), unitSeeds, path)
     Similarity.ivfTopKStoredFiltered(s.read.parquet(path),
@@ -3228,7 +3254,7 @@ object SparkEntry {
     val codebooks = (0 until 8).map(s0 =>
       unitSeeds.map(_.slice(s0 * sub, (s0 + 1) * sub)))
     val path = layoutPath(dir, "pqstore", "m=8,k=16,coarse=first8unit")
-    if (!new java.io.File(path, "_SUCCESS").exists())
+    if (!layoutReady(path))
       Similarity.writePqStore(emb, "vec_id", "embedding",
         coarse = unitSeeds.take(8), codebooks, path)
     Similarity.ivfPqTopKStored(s.read.parquet(path),
@@ -3499,7 +3525,7 @@ object SparkEntry {
   private def dhashStore(s: SparkSession, dir: String): DataFrame = {
     val path = layoutPath(dir, "dhashindex", "cut=250",
       srcTable = "documents.parquet")
-    if (!new java.io.File(path, "_SUCCESS").exists())
+    if (!layoutReady(path))
       graft.multimodal.Multimodal.dHashes(
           imagePayloads(s, dir).filter(col("media_id") < 250))
         .coalesce(8)
@@ -4151,7 +4177,7 @@ object SparkEntry {
   private def lshStore(s: SparkSession, dir: String): DataFrame = {
     val path = layoutPath(dir, "lshindex", "k=8,b=4,cut=250",
       srcTable = "documents.parquet")
-    if (!new java.io.File(path, "_SUCCESS").exists())
+    if (!layoutReady(path))
       Dedup.portableBands(
           Dedup.portableMinhash(
             t(s, dir, "documents").filter(col("doc_id") < 250),
@@ -4183,7 +4209,7 @@ object SparkEntry {
   private def winnowStore(s: SparkSession, dir: String): DataFrame = {
     val path = layoutPath(dir, "winnowindex", "k=4,w=4,cut=250",
       srcTable = "documents.parquet")
-    if (!new java.io.File(path, "_SUCCESS").exists())
+    if (!layoutReady(path))
       Dedup.winnowFingerprints(
           t(s, dir, "documents").filter(col("doc_id") < 250),
           "doc_id", "text")
@@ -4216,7 +4242,7 @@ object SparkEntry {
       .withColumn("text", when(col("doc_id") % 31 === 0,
         concat(col("text"), lit(" rev2"))).otherwise(col("text")))
     val path = layoutPath(dir, "cardindex", "v1=%23,fpv=nfc", srcTable = "documents.parquet")
-    if (!new java.io.File(path, "_SUCCESS").exists())
+    if (!layoutReady(path))
       DataCard.cardIndex(v1, "lang", "source", "text")
         .write.mode("overwrite").parquet(path)
     val idx1 = s.read.parquet(path)
@@ -4263,7 +4289,7 @@ object SparkEntry {
     val src = t(s, dir, "lineitem")
     val path = layoutPath(dir, s"${fmt}rt", "src=lineitem,v=1",
       srcTable = "lineitem.parquet")
-    if (!new java.io.File(path, "_SUCCESS").exists())
+    if (!layoutReady(path))
       src.write.format(fmt).mode("overwrite").save(path)
     val back = s.read.format(fmt).schema(src.schema).load(path)
     back.groupBy(col("l_returnflag"))
@@ -4794,7 +4820,7 @@ object SparkEntry {
   private def nbStore(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val path = layoutPath(dir, "nbmodel", "split=even,tok=ws",
       srcTable = "documents.parquet")
-    if (!new java.io.File(s"$path/base", "_SUCCESS").exists()) {
+    if (!layoutReady(s"$path/base")) {
       val (tr, _) = nbSplit(s, dir)
       Classify.writeNbStore(tr, "doc_id", "text", "lang", path)
     }
@@ -4885,7 +4911,7 @@ object SparkEntry {
   private def cdcStore(s: SparkSession, dir: String): DataFrame = {
     val path = layoutPath(dir, "cdcindex", "k=8,mod=64,cut=250",
       srcTable = "documents.parquet")
-    if (!new java.io.File(path, "_SUCCESS").exists())
+    if (!layoutReady(path))
       TextAnalysis.cdcChunks(
           t(s, dir, "documents").filter(col("doc_id") < 250),
           "doc_id", "text")
@@ -4968,7 +4994,7 @@ object SparkEntry {
     val path = layoutPath(dir, "bm25chunks",
       "tok=ws,buckets=16,chunk=16x8,cid=shl20,v1",
       srcTable = "documents.parquet")
-    if (!new java.io.File(s"$path/stats", "_SUCCESS").exists())
+    if (!layoutReady(s"$path/stats"))
       Retrieval.writeBm25Store(chunkCidCorpus(t(s, dir, "documents")),
         "cid", "chunk_text", path)
     Retrieval.readBm25Store(s, path)
@@ -5038,7 +5064,7 @@ object SparkEntry {
     val cfg = if (cut == Long.MaxValue) "all" else cut.toString
     val path = layoutPath(dir, "bm25", s"tok=ws,buckets=16,v2,cut=$cfg",
       srcTable = "documents.parquet")
-    if (!new java.io.File(s"$path/stats", "_SUCCESS").exists())
+    if (!layoutReady(s"$path/stats"))
       Retrieval.writeBm25Store(
         t(s, dir, "documents").filter(col("doc_id") < cut),
         "doc_id", "text", path)
