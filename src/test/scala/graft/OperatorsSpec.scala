@@ -1433,6 +1433,37 @@ class RecallSpec extends SparkSpec {
     assert(stored.forall { case (a, b) => a < b })
   }
 
+  test("auto-sized codebook mutual-kNN reciprocal-pair recall vs brute force") {
+    assume(new java.io.File(dir).isDirectory)
+    // the round-11 sizing POLICY under the same recall gate as the
+    // trained codebook above: autoCoarseCodebook picks C = sqrt(N)
+    // hash-stride seeds with the share-audit split — no training pass,
+    // no replica knowledge. Recall at FIXED nprobe falls as C grows on
+    // isotropic vectors (nprobe/C of the space probed — the cost story
+    // ScaleProbe measures); this gate instead holds the PROBED FRACTION
+    // at the graded 8-seed path's 3/8 and checks the codebook's cluster
+    // QUALITY: at equal fraction, sqrt(N) hash-stride seeds must not
+    // partition worse than the 8-seed baseline.
+    val emb = Tables(spark, dir, "embeddings")
+    val seeds = Similarity.autoCoarseCodebook(emb, "vec_id", "embedding")
+    val nprobe = math.max(3, math.ceil(seeds.size * 3.0 / 8).toInt)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_auto_store").toString
+    Similarity.writeIvfStore(emb, "vec_id", "embedding", seeds, path)
+    val stored = Similarity.mutualTopK(
+        Similarity.ivfSelfTopK(spark.read.parquet(path), "vec_id",
+          "embedding", k = 5, coarse = seeds, nprobe = nprobe))
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    val truth = SparkEntry.queries("s_mutual_knn")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    val recall = truth.intersect(stored).size.toDouble / truth.size
+    assert(recall >= 0.7,
+      s"auto-codebook mutual-kNN pair recall degenerated: $recall " +
+        s"(truth ${truth.size}, stored ${stored.size}, C=${seeds.size}, " +
+        s"nprobe=$nprobe)")
+    assert(stored.forall { case (a, b) => a < b })
+  }
+
   test("Matryoshka half-dim SHORTLIST contains the full-dim top-5 (recall >= 0.9)") {
     assume(new java.io.File(dir).isDirectory)
     import org.apache.spark.sql.functions._
