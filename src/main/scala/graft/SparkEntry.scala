@@ -5041,6 +5041,32 @@ object SparkEntry {
       .orderBy(col("q_id"), col("div_rank"))
   }
 
+  private def bm25fTopKQuery(s: SparkSession, dir: String): DataFrame = {
+    // fielded retrieval (the BM25F shape): title = first 8 tokens,
+    // body = the rest, title hits weighted 2× with field-normalized tf
+    // combined BEFORE saturation — a title match outranks the same match
+    // buried mid-document, the structure-aware ranking every document
+    // search runs; whole-doc df, contributions 1e6-fixed-point like
+    // every retrieval row
+    val d = t(s, dir, "documents")
+    Retrieval.bm25fTopK(d, d.filter(col("doc_id") < 5),
+        "doc_id", "text", "doc_id", "text")
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  private def bm25PrfQuery(s: SparkSession, dir: String): DataFrame = {
+    // pseudo-relevance-feedback expansion (RM3-lite): each query's
+    // BM25 top-10 acts as implicit feedback, the 5 best NEW terms by
+    // (feedback tf × idf_micro — exact integers) join the term set, and
+    // the expanded query re-scores. Vocabulary-mismatch repair with no
+    // training pass; both ranking passes share the same corpus
+    // aggregates (identical subplans → reused exchanges)
+    val d = t(s, dir, "documents")
+    Retrieval.bm25PrfTopK(d, d.filter(col("doc_id") < 5),
+        "doc_id", "text", "doc_id", "text")
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   private def bm25TopKQuery(s: SparkSession, dir: String): DataFrame = {
     // lexical retrieval over the corpus: the first five docs play the
     // query role (doc-as-query), BM25-scored against every doc, top-10
@@ -5427,6 +5453,8 @@ object SparkEntry {
     "d_chunk_bm25" -> (chunkBm25 _),
     "d_hard_negatives" -> (hardNegatives _),
     "d_diverse_topk" -> (diverseTopK _),
+    "d_bm25f_topk" -> (bm25fTopKQuery _),
+    "d_bm25_prf" -> (bm25PrfQuery _),
     "d_bm25_topk_stored" -> (bm25TopKStoredQuery _),
     "d_bm25_incremental" -> (bm25IncrementalQuery _),
     "d_hybrid_rrf" -> (hybridRrfQuery _),
@@ -5522,6 +5550,92 @@ object SparkEntry {
   private lazy val bm25Oracle: String =
     s"""WITH $bm25Ctes
       |SELECT q_id, rnk, doc_id, score FROM r WHERE rnk <= 10
+      |ORDER BY q_id, rnk""".stripMargin
+
+  /** BM25F twin: field split by list slice (title = first 8 tokens),
+    * per-field normalized tf weight-combined before saturation, df
+    * whole-document. At most two float parts sum per (doc, term)
+    * (IEEE 2-operand addition commutes, so no summation-order hazard),
+    * then the one fixed-point rounding. */
+  private lazy val bm25fOracle: String =
+    """WITH ctk AS (
+      | SELECT doc_id,
+      |  list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |              x -> len(x) > 0) AS t
+      | FROM documents),
+      |fx AS (
+      | SELECT doc_id, 't' AS f, t[1:8] AS ft FROM ctk
+      | UNION ALL
+      | SELECT doc_id, 'b' AS f, t[9:] AS ft FROM ctk),
+      |ct AS (SELECT doc_id, f, unnest(ft) AS term FROM fx),
+      |tf AS (SELECT doc_id, f, term, count(*) AS tf FROM ct GROUP BY 1, 2, 3),
+      |dl AS (SELECT doc_id, f, CAST(sum(tf) AS BIGINT) AS dl
+      |       FROM tf GROUP BY 1, 2),
+      |nd AS (SELECT count(*) AS n_docs FROM documents),
+      |av AS (SELECT f, CAST(sum(dl) AS DOUBLE) / n_docs AS avgdl_f
+      |       FROM dl CROSS JOIN nd GROUP BY f, n_docs),
+      |dfr AS (SELECT term, count(*) AS df FROM
+      |         (SELECT DISTINCT doc_id, term FROM tf) GROUP BY 1),
+      |qt AS (SELECT DISTINCT doc_id AS q_id,
+      |  unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |         x -> len(x) > 0)) AS term
+      | FROM documents WHERE doc_id < 5),
+      |part AS (
+      | SELECT tf.doc_id, tf.term,
+      |  (CASE WHEN tf.f = 't' THEN 2.0 ELSE 1.0 END) * tf.tf /
+      |   (1.0 - 0.75 + 0.75 * (dl.dl / av.avgdl_f)) AS part
+      | FROM tf JOIN dl ON tf.doc_id = dl.doc_id AND tf.f = dl.f
+      | JOIN av ON tf.f = av.f
+      | WHERE tf.term IN (SELECT term FROM qt)),
+      |tft AS (SELECT doc_id, term, sum(part) AS tft FROM part GROUP BY 1, 2),
+      |c AS (
+      | SELECT tft.doc_id, tft.term,
+      |  CAST(round(1000000.0 * (
+      |    ln((CAST(n_docs - df AS DOUBLE) + 0.5) / (df + 0.5) + 1.0)
+      |    * (tft / (1.2 + tft)))) AS BIGINT) AS c
+      | FROM tft JOIN dfr USING (term) CROSS JOIN nd),
+      |sc AS (SELECT qt.q_id, c.doc_id, CAST(sum(c.c) AS BIGINT) AS score
+      |       FROM c JOIN qt USING (term) GROUP BY 1, 2),
+      |r AS (SELECT q_id, doc_id, score,
+      |        row_number() OVER (PARTITION BY q_id
+      |                           ORDER BY score DESC, doc_id ASC) AS rnk
+      |      FROM sc)
+      |SELECT q_id, rnk, doc_id, score FROM r WHERE rnk <= 10
+      |ORDER BY q_id, rnk""".stripMargin
+
+  /** PRF expansion twin: the shared BM25 chain ranks pass 1, the
+    * feedback top-10's term weights (fbtf × idf_micro, exact integers)
+    * mine 5 new terms per query, the widened term set re-scores on the
+    * SAME contribution CTE. */
+  private lazy val bm25PrfOracle: String =
+    s"""WITH $bm25Ctes,
+      |fb AS (SELECT q_id, doc_id FROM r WHERE rnk <= 10),
+      |idfm AS (SELECT term,
+      |   CAST(round(1000000.0 *
+      |     ln((CAST(n_docs - df AS DOUBLE) + 0.5) / (df + 0.5) + 1.0))
+      |     AS BIGINT) AS idf_micro
+      |  FROM dfr CROSS JOIN st),
+      |cand AS (SELECT fb.q_id, tf.term, CAST(sum(tf.tf) AS BIGINT) AS fbtf
+      |         FROM tf JOIN fb USING (doc_id) GROUP BY 1, 2),
+      |candw AS (SELECT c2.q_id, c2.term, c2.fbtf * i.idf_micro AS w
+      |          FROM cand c2 JOIN idfm i USING (term)
+      |          WHERE NOT EXISTS (SELECT 1 FROM qt
+      |                            WHERE qt.q_id = c2.q_id
+      |                              AND qt.term = c2.term)),
+      |expn AS (SELECT q_id, term FROM (
+      |          SELECT q_id, term,
+      |           row_number() OVER (PARTITION BY q_id
+      |                              ORDER BY w DESC, term ASC) AS rn
+      |          FROM candw) WHERE rn <= 5),
+      |qt2 AS (SELECT q_id, term FROM qt
+      |        UNION SELECT q_id, term FROM expn),
+      |sc2 AS (SELECT qt2.q_id, c.doc_id, CAST(sum(c.c) AS BIGINT) AS score
+      |        FROM c JOIN qt2 USING (term) GROUP BY 1, 2),
+      |r2 AS (SELECT q_id, doc_id, score,
+      |         row_number() OVER (PARTITION BY q_id
+      |                            ORDER BY score DESC, doc_id ASC) AS rnk
+      |       FROM sc2)
+      |SELECT q_id, rnk, doc_id, score FROM r2 WHERE rnk <= 10
       |ORDER BY q_id, rnk""".stripMargin
 
   /** Chunk-level retrieval oracle: the sliding-chunk CTE feeds the SAME
@@ -10127,6 +10241,8 @@ object SparkEntry {
     "d_chunk_bm25" -> chunkBm25Oracle,
     "d_hard_negatives" -> hardNegativesOracle,
     "d_diverse_topk" -> diverseTopKOracle,
+    "d_bm25f_topk" -> bm25fOracle,
+    "d_bm25_prf" -> bm25PrfOracle,
     "d_bm25_topk_stored" -> bm25Oracle,
     // MRR / nDCG@10 over the bm25 chain; the rank-r gains are the SAME
     // hard-coded micro-units of 1/log2(r+1) the Spark operator holds, so

@@ -167,6 +167,138 @@ object Retrieval {
       .withColumn("c", contribExpr(k1, b))
   }
 
+  /** Fielded BM25 (the BM25F shape, Robertson–Zaragoza): documents carry
+    * a TITLE field (first `titleTokens` tokens) and a BODY (the rest);
+    * term frequency is field-normalized then weight-combined BEFORE
+    * saturation —
+    *   tf̃(t,d) = Σ_f w_f · tf_f / (1 − b + b · dl_f/avgdl_f)
+    *   score(q,d) = Σ_t idf(t) · tf̃ / (k1 + tf̃)
+    * so a title hit counts ~wTitle× a body hit without double-counting
+    * saturation (summing two independent BM25 scores would). Field
+    * split is deterministic in both engines (array slice vs list
+    * slice), df stays whole-document, and each (doc, term) contribution
+    * rounds ONCE to 1e6 fixed point — the same exactness discipline as
+    * [[bm25TopK]], so the oracle replays it bit-for-bit.
+    *
+    * Scale shape identical to [[bm25TopK]]: the field tag rides the one
+    * token explode (two slices of the same materialized array), the
+    * per-(doc, field) aggregates partial-combine, avgdl is a 2-row
+    * broadcast, and only query-term rows reach the float math.
+    */
+  def bm25fTopK(corpus: DataFrame, queries: DataFrame,
+                idCol: String, textCol: String,
+                qIdCol: String, qTextCol: String,
+                titleTokens: Int = 8, wTitle: Double = 2.0,
+                wBody: Double = 1.0, k1: Double = 1.2, b: Double = 0.75,
+                topK: Int = 10): DataFrame = {
+    val tk = corpus.select(col(idCol),
+      TextAnalysis.tokens(lower(trim(col(textCol)))).as("__tk"))
+    val fielded = tk.select(col(idCol), lit("t").as("f"),
+        slice(col("__tk"), 1, titleTokens).as("__ft"))
+      .unionAll(tk.select(col(idCol), lit("b").as("f"),
+        slice(col("__tk"), lit(titleTokens + 1),
+          greatest(size(col("__tk")) - titleTokens, lit(0))).as("__ft")))
+    val tf = fielded.select(col(idCol), col("f"),
+        explode(col("__ft")).as("term"))
+      .groupBy(col(idCol), col("f"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col(idCol), col("f")).agg(sum(col("tf")).as("dl"))
+    // avgdl_f = Σ_d dl_f / n_docs over ALL docs (zero-token docs count
+    // in the denominator, the corpusStats convention)
+    val nDocs = corpus.agg(count(lit(1)).as("n_docs"))
+    val avg = dl.groupBy(col("f")).agg(sum(col("dl")).as("tot_f"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("f"), (col("tot_f").cast("double") / col("n_docs"))
+        .as("avgdl_f"))
+    // df is WHOLE-document frequency: a term counts once per doc even
+    // when it appears in both fields
+    val dfreq = tf.select(col(idCol), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qt = queries.select(col(qIdCol).as("q_id"),
+        explode(TextAnalysis.tokens(lower(trim(col(qTextCol))))).as("term"))
+      .distinct()
+    val part = tf.join(broadcast(qt.select(col("term")).distinct()),
+        Seq("term"), "left_semi")
+      .join(dl, Seq(idCol, "f"))
+      .join(broadcast(avg), Seq("f"))
+      .select(col(idCol), col("term"),
+        (when(col("f") === "t", lit(wTitle)).otherwise(lit(wBody)) *
+          col("tf") /
+          (lit(1.0 - b) + lit(b) * (col("dl") / col("avgdl_f"))))
+          .as("part"))
+    val tft = part.groupBy(col(idCol), col("term"))
+      .agg(sum(col("part")).as("tft"))
+    val idf = log(((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+      (col("df") + lit(0.5)) + lit(1.0))
+    val contrib = tft
+      .join(broadcast(qt), Seq("term"))
+      .join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("c", round(lit(1e6) *
+        (idf * (col("tft") / (lit(k1) + col("tft"))))).cast("bigint"))
+    rankTopK(contrib, idCol, topK)
+  }
+
+  /** Pseudo-relevance-feedback query expansion (the RM3-lite recipe):
+    * run BM25, take each query's top `fbDocs` documents as implicit
+    * relevance feedback, mine the `fbTerms` highest-weight NEW terms
+    * from them (weight = feedback tf × idf — both exact integers, idf in
+    * 1e6 fixed point, ties by term string), add them to the query's term
+    * set, score again. Vocabulary-mismatch repair with zero training:
+    * a query about "ducks" picks up "ponds" from what it retrieved.
+    *
+    * Scale shape: pass 1 is [[bm25TopK]]; the feedback join is
+    * |Q|·fbDocs rows against the tf stream (broadcast); term mining is
+    * one WindowGroupLimit over the per-query candidate terms; pass 2 is
+    * the same restricted scoring with a slightly larger broadcast term
+    * set. The corpus aggregates (tf/dl/df/stats) are IDENTICAL subplans
+    * in both passes, so the exchanges are built once and reused.
+    */
+  def bm25PrfTopK(corpus: DataFrame, queries: DataFrame,
+                  idCol: String, textCol: String,
+                  qIdCol: String, qTextCol: String,
+                  fbDocs: Int = 10, fbTerms: Int = 5,
+                  k1: Double = 1.2, b: Double = 0.75,
+                  topK: Int = 10): DataFrame = {
+    val tf = corpus.select(col(idCol),
+        explode(TextAnalysis.tokens(lower(trim(col(textCol))))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = corpus.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(dl.agg(sum(col("dl")).as("tot")))
+    val qt = queryTerms(queries, qIdCol, qTextCol)
+    def scoreOf(terms: DataFrame): DataFrame =
+      tf.join(broadcast(terms), Seq("term"))
+        .join(dfreq, Seq("term"))
+        .join(dl, Seq(idCol))
+        .crossJoin(broadcast(stats))
+        .withColumn("c", contribExpr(k1, b))
+        .groupBy(col("q_id"), col(idCol)).agg(sum(col("c")).as("score"))
+    // pass 1: feedback set
+    val fb = topKOf(scoreOf(qt), idCol, fbDocs)
+      .select(col("q_id"), col(idCol))
+    // expansion mining: per query, the fbTerms best new terms by
+    // (Σ feedback tf) · idf_micro — integer arithmetic end to end
+    val idfMicro = dfreq.crossJoin(broadcast(
+        corpus.agg(count(lit(1)).as("n_docs"))))
+      .select(col("term"), round(lit(1e6) *
+        log(((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0))).cast("bigint").as("idf_micro"))
+    val cand = tf.join(broadcast(fb), Seq(idCol))
+      .groupBy(col("q_id"), col("term")).agg(sum(col("tf")).as("fbtf"))
+      .join(qt, Seq("q_id", "term"), "left_anti")
+      .join(idfMicro, Seq("term"))
+      .withColumn("w", col("fbtf") * col("idf_micro"))
+    val wExp = Window.partitionBy(col("q_id"))
+      .orderBy(desc("w"), asc("term"))
+    val expansion = cand.withColumn("__rn", row_number().over(wExp))
+      .filter(col("__rn") <= fbTerms)
+      .select(col("q_id"), col("term"))
+    val qt2 = qt.unionByName(expansion).distinct()
+    topKOf(scoreOf(qt2), idCol, topK)
+  }
+
   /** The three mergeable components of a written BM25 index. */
   final case class Bm25Store(postings: DataFrame, dfreq: DataFrame,
                              stats: DataFrame)

@@ -3748,3 +3748,67 @@ class CertificatesAtBenchSfSpec extends SparkSpec {
       s"merged HLL estimate outside the 5% band of exact=${r(0).getLong(0)}")
   }
 }
+
+class Bm25FieldedSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("bm25f ranks a title hit above the same hit buried in the body") {
+    // identical length and tf; only the field differs — the 2x title
+    // weight must order A above B
+    val corpus = Seq(
+      (1L, "spark engine alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta spark engine"),
+      (3L, "unrelated words entirely different content here now today ok")
+    ).toDF("doc_id", "text")
+    val qs = Seq((100L, "spark")).toDF("q_id", "qt")
+    val r = Retrieval.bm25fTopK(corpus, qs, "doc_id", "text", "q_id", "qt")
+      .orderBy("rnk").collect()
+    assert(r.map(_.getLong(2)).take(2).toSeq == Seq(1L, 2L),
+      r.map(x => (x.getLong(2), x.getLong(3))).mkString(","))
+    assert(r(0).getLong(3) > r(1).getLong(3), "title hit must score higher")
+    assert(!r.map(_.getLong(2)).contains(3L), "non-matching doc leaked in")
+  }
+
+  test("bm25f degenerates to whole-doc RANKING when weights are equal " +
+      "and the title window covers the doc") {
+    // tf\u0303/(k1+tf\u0303) with tf\u0303 = tf/norm equals BM25's saturation up to
+    // the constant (k1+1) numerator BM25F omits \u2014 a rank-preserving
+    // scale, so the RANKINGS must coincide even though scores differ
+    val corpus = Seq(
+      (1L, "ducks swim"), (2L, "ducks ducks swim"), (3L, "cats sit")
+    ).toDF("doc_id", "text")
+    val qs = Seq((9L, "ducks")).toDF("q_id", "qt")
+    val f = Retrieval.bm25fTopK(corpus, qs, "doc_id", "text", "q_id", "qt",
+        titleTokens = 100, wTitle = 1.0, wBody = 1.0)
+      .select("q_id", "rnk", "doc_id").orderBy("rnk").collect()
+    val plain = Retrieval.bm25TopK(corpus, qs, "doc_id", "text", "q_id", "qt")
+      .select("q_id", "rnk", "doc_id").orderBy("rnk").collect()
+    assert(f.toSeq == plain.toSeq,
+      s"degenerate BM25F must rank like BM25: ${f.toSeq} vs ${plain.toSeq}")
+  }
+
+  test("prf expansion surfaces a doc sharing NO original query term") {
+    // "ducks" docs all mention ponds (heavily — fbtf must beat the
+    // high-idf singleton terms, the classic PRF weight tradeoff); doc 4
+    // is ponds-only — invisible to pass 1, reachable only through the
+    // mined expansion term
+    val corpus = Seq(
+      (1L, "ducks ponds ponds ponds swim"),
+      (2L, "ducks ponds ponds ponds swim"),
+      (3L, "ducks ponds ponds ponds swim"),
+      (4L, "ponds morning sky water light"),
+      (5L, "cars asphalt roads engine oil")
+    ).toDF("doc_id", "text")
+    val qs = Seq((100L, "ducks")).toDF("q_id", "qt")
+    val pass1 = Retrieval.bm25TopK(corpus, qs, "doc_id", "text", "q_id", "qt")
+      .collect().map(_.getLong(2)).toSet
+    assert(!pass1.contains(4L), "sanity: pass 1 cannot see the ponds doc")
+    val prf = Retrieval.bm25PrfTopK(corpus, qs, "doc_id", "text",
+        "q_id", "qt", fbDocs = 3, fbTerms = 1)
+      .collect().map(_.getLong(2)).toSet
+    assert(prf.contains(4L),
+      s"expansion must pull in the ponds-only doc: got $prf")
+    assert(!prf.contains(5L), "unrelated doc must stay out")
+  }
+}
