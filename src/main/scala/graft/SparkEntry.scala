@@ -5041,6 +5041,23 @@ object SparkEntry {
       .orderBy(col("q_id"), col("div_rank"))
   }
 
+  private def coChunkPairsQuery(s: SparkSession, dir: String): DataFrame =
+    // contrastive positives (SimCSE/Contriever co-chunks): two
+    // NON-overlapping 16-token windows of the same doc pair up for
+    // dual-encoder training — both slices come off the one token array
+    // before the explode, pure map-side, no self-join
+    TextAnalysis.coChunkPairs(t(s, dir, "documents"), "doc_id", "text",
+        size = 16, stride = 8)
+      .orderBy(col("doc_id"), col("a_chunk"))
+
+  private def fimSplitQuery(s: SparkSession, dir: String): DataFrame =
+    // fill-in-the-middle example construction: deterministic md5-derived
+    // cut points split each doc into (prefix, middle, suffix), emitted
+    // PSM — the code-LM infill preprocessing, reproducible across
+    // re-runs/re-shards because the cuts depend only on doc_id
+    TextAnalysis.fimSplit(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   private def bm25fTopKQuery(s: SparkSession, dir: String): DataFrame = {
     // fielded retrieval (the BM25F shape): title = first 8 tokens,
     // body = the rest, title hits weighted 2× with field-normalized tf
@@ -5455,6 +5472,8 @@ object SparkEntry {
     "d_diverse_topk" -> (diverseTopK _),
     "d_bm25f_topk" -> (bm25fTopKQuery _),
     "d_bm25_prf" -> (bm25PrfQuery _),
+    "d_cochunk_pairs" -> (coChunkPairsQuery _),
+    "d_fim_split" -> (fimSplitQuery _),
     "d_bm25_topk_stored" -> (bm25TopKStoredQuery _),
     "d_bm25_incremental" -> (bm25IncrementalQuery _),
     "d_hybrid_rrf" -> (hybridRrfQuery _),
@@ -10243,6 +10262,50 @@ object SparkEntry {
     "d_diverse_topk" -> diverseTopKOracle,
     "d_bm25f_topk" -> bm25fOracle,
     "d_bm25_prf" -> bm25PrfOracle,
+    // co-chunk positives: the sliding-chunk arithmetic replayed for two
+    // windows gap=2 apart (zero token overlap at 16/8)
+    "d_cochunk_pairs" ->
+      """WITH ctk AS (
+        | SELECT doc_id,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |              x -> len(x) > 0) AS t
+        | FROM documents),
+        |cnz AS (SELECT doc_id, t, len(t) AS n FROM ctk WHERE len(t) > 0),
+        |lim AS (SELECT doc_id, t, n,
+        |         (greatest(n - 16, 0) + 7) // 8 AS last FROM cnz),
+        |px AS (SELECT doc_id, t, n, unnest(range(0, last - 2 + 1)) AS a
+        |       FROM lim WHERE last >= 2)
+        |SELECT doc_id, CAST(a AS INT) AS a_chunk, CAST(a + 2 AS INT) AS b_chunk,
+        | array_to_string(t[a*8 + 1 : least(a*8 + 16, n)], ' ') AS a_text,
+        | array_to_string(t[(a+2)*8 + 1 : least((a+2)*8 + 16, n)], ' ')
+        |   AS b_text
+        |FROM px ORDER BY doc_id, a_chunk""".stripMargin,
+    // FIM splits: identical md5-slice cut arithmetic (unsigned 32-bit
+    // hex prefix, positive modulus) and inclusive list slices
+    "d_fim_split" ->
+      """WITH ctk AS (
+        | SELECT doc_id,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |              x -> len(x) > 0) AS t
+        | FROM documents),
+        |cnz AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n
+        |        FROM ctk WHERE len(t) >= 3),
+        |cuts AS (SELECT doc_id, t, n,
+        |  1 + (CAST(concat('0x',
+        |        substr(md5(CAST(doc_id AS VARCHAR) || ':f1'), 1, 8))
+        |       AS BIGINT) % (n - 2)) AS cut1
+        | FROM cnz),
+        |cuts2 AS (SELECT doc_id, t, n, cut1,
+        |  cut1 + 1 + (CAST(concat('0x',
+        |        substr(md5(CAST(doc_id AS VARCHAR) || ':f2'), 1, 8))
+        |       AS BIGINT) % (n - 1 - cut1)) AS cut2
+        | FROM cuts)
+        |SELECT doc_id, cut1, cut2,
+        | '<PRE> ' || array_to_string(t[1:cut1], ' ') ||
+        | ' <SUF> ' || array_to_string(t[cut2+1:n], ' ') || ' <MID>'
+        |   AS fim_input,
+        | array_to_string(t[cut1+1:cut2], ' ') AS fim_target
+        |FROM cuts2 ORDER BY doc_id""".stripMargin,
     "d_bm25_topk_stored" -> bm25Oracle,
     // MRR / nDCG@10 over the bm25 chain; the rank-r gains are the SAME
     // hard-coded micro-units of 1/log2(r+1) the Spark operator holds, so

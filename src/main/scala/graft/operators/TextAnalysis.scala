@@ -848,6 +848,81 @@ object TextAnalysis {
         concat_ws(" ", col("__chunk")).as("chunk_text"))
   }
 
+  /** Contrastive POSITIVE pair mining (the SimCSE/Contriever co-chunk
+    * recipe): two NON-OVERLAPPING chunks of the same document form a
+    * positive training pair for a dual encoder — same topic, disjoint
+    * surface form, no labels needed. Pairs chunk i with chunk i + `gap`
+    * where the default gap = ⌈size/stride⌉ guarantees zero token
+    * overlap. Built INSIDE the doc row (both slices come from the one
+    * materialized token array before the explode), so the operator is
+    * pure map-side — no self-join, no shuffle, the [[slidingChunks]]
+    * scale shape at any corpus size.
+    */
+  def coChunkPairs(docs: DataFrame, idCol: String, textCol: String,
+                   size: Int = 128, stride: Int = 64,
+                   gapOpt: Option[Int] = None): DataFrame = {
+    require(size >= 1 && stride >= 1 && stride <= size,
+      s"need 1 <= stride <= size; got stride=$stride size=$size")
+    val gap = gapOpt.getOrElse((size + stride - 1) / stride)
+    require(gap * stride >= size,
+      s"gap=$gap overlaps: need gap*stride >= size")
+    val sz = org.apache.spark.sql.functions.size _
+    docs.select(col(idCol), tokens(col(textCol)).as("__tk"))
+      .filter(sz(col("__tk")) > 0)
+      .withColumn("__last",
+        floor((greatest(sz(col("__tk")) - size, lit(0)) + (stride - 1))
+          / stride).cast("int"))
+      .filter(col("__last") >= gap)
+      .select(col(idCol), col("__tk"),
+        explode(sequence(lit(0), col("__last") - gap)).as("a_chunk"))
+      .withColumn("b_chunk", col("a_chunk") + gap)
+      .select(col(idCol), col("a_chunk"), col("b_chunk"),
+        concat_ws(" ", slice(col("__tk"), col("a_chunk") * stride + 1,
+          lit(size))).as("a_text"),
+        concat_ws(" ", slice(col("__tk"), col("b_chunk") * stride + 1,
+          lit(size))).as("b_text"))
+  }
+
+  /** Fill-in-the-middle training-example construction (the FIM/span-
+    * corruption preprocessing code models run at ingest): each document
+    * with >= 3 tokens splits at two DETERMINISTIC cut points into
+    * (prefix, middle, suffix), emitted in PSM order — input carries
+    * prefix and suffix around sentinel tokens, target is the middle the
+    * model learns to infill. Cut points derive from md5(doc_id) slices
+    * (the engine's portable-determinism convention — DuckDB replays the
+    * same hex arithmetic), so the SAME document always yields the SAME
+    * example: reshuffling, re-sharding, or re-running the pipeline
+    * never silently changes the training set. Pure map-side string
+    * work; the corpus never shuffles.
+    *
+    * Cut arithmetic (n = token count): cut1 = 1 + h1 mod (n-2) in
+    * [1, n-2], cut2 = cut1 + 1 + h2 mod (n-1-cut1) in [cut1+1, n-1] —
+    * all three spans are non-empty by construction.
+    */
+  def fimSplit(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sz = org.apache.spark.sql.functions.size _
+    def h(salt: String): Column =
+      conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))),
+        1, 8), 16, 10).cast("long")
+    docs.select(col(idCol), tokens(col(textCol)).as("__tk"))
+      .withColumn("__n", sz(col("__tk")).cast("long"))
+      .filter(col("__n") >= 3)
+      .withColumn("cut1", (lit(1L) + pmod(h(":f1"), col("__n") - 2))
+        .cast("long"))
+      .withColumn("cut2", (col("cut1") + 1L +
+        pmod(h(":f2"), col("__n") - 1 - col("cut1"))).cast("long"))
+      .select(col(idCol), col("cut1"), col("cut2"),
+        concat(lit("<PRE> "),
+          concat_ws(" ", slice(col("__tk"), lit(1),
+            col("cut1").cast("int"))),
+          lit(" <SUF> "),
+          concat_ws(" ", slice(col("__tk"), (col("cut2") + 1).cast("int"),
+            (col("__n") - col("cut2")).cast("int"))),
+          lit(" <MID>")).as("fim_input"),
+        concat_ws(" ", slice(col("__tk"), (col("cut1") + 1).cast("int"),
+          (col("cut2") - col("cut1")).cast("int"))).as("fim_target"))
+  }
+
   /** Per-source ADAPTIVE quality gate: each source sets its own bar —
     * drop the bottom `dropFrac` of its docs by quality rank (here: token
     * count, ties to smallest id). Absolute thresholds (a fixed

@@ -3812,3 +3812,58 @@ class Bm25FieldedSpec extends SparkSpec {
     assert(!prf.contains(5L), "unrelated doc must stay out")
   }
 }
+
+class TrainingExampleSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("co-chunk pairs never share a token position and cover every " +
+      "eligible chunk") {
+    val doc = (1 to 40).map(i => s"w$i").mkString(" ")  // 40 tokens
+    val df = Seq((7L, doc)).toDF("doc_id", "text")
+    val pairs = TextAnalysis.coChunkPairs(df, "doc_id", "text",
+      size = 16, stride = 8).collect()
+    // last chunk id = ceil((40-16)/8) = 3; gap 2 -> a in 0..1
+    assert(pairs.length == 2, pairs.mkString(","))
+    pairs.foreach { r =>
+      val a = r.getString(3).split(" ").toSet
+      val b = r.getString(4).split(" ").toSet
+      assert(a.intersect(b).isEmpty,
+        s"overlapping positive pair: ${a.intersect(b)}")
+      assert(r.getInt(2) - r.getInt(1) == 2)
+    }
+    // a doc too short for two disjoint chunks yields nothing
+    val short = Seq((8L, (1 to 20).map(i => s"s$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(TextAnalysis.coChunkPairs(short, "doc_id", "text",
+      size = 16, stride = 8).count() == 0)
+  }
+
+  test("fim split reassembles to the original token stream") {
+    val docs = Seq(
+      (1L, (1 to 30).map(i => s"t$i").mkString(" ")),
+      (2L, "exactly three tokens"),
+      (3L, "too short"),                  // < 3 tokens -> no example
+      (4L, "a b c d e f g h i j")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.fimSplit(docs, "doc_id", "text").collect()
+    assert(!out.map(_.getLong(0)).contains(3L))
+    out.foreach { r =>
+      val in = r.getString(3); val mid = r.getString(4)
+      assert(in.startsWith("<PRE> ") && in.endsWith(" <MID>") &&
+        in.contains(" <SUF> "), in)
+      val body = in.stripPrefix("<PRE> ").stripSuffix(" <MID>")
+      val Array(pre, suf) = body.split(" <SUF> ", 2)
+      val orig = docs.filter(col("doc_id") === r.getLong(0))
+        .head().getString(1).trim.split("\\s+").mkString(" ")
+      assert(Seq(pre, mid, suf).mkString(" ") == orig,
+        s"doc ${r.getLong(0)}: reassembly mismatch")
+      assert(mid.nonEmpty && pre.nonEmpty && suf.nonEmpty,
+        s"empty span in doc ${r.getLong(0)}")
+    }
+    // determinism: the same doc always cuts at the same points
+    val again = TextAnalysis.fimSplit(docs, "doc_id", "text").collect()
+    assert(out.map(_.toString).sorted.toSeq ==
+      again.map(_.toString).sorted.toSeq)
+  }
+}
