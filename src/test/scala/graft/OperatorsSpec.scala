@@ -3434,6 +3434,32 @@ class StreamingPackSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("coChunkPairs is batch-split invariant: streaming == batch mining") {
+    // positive-pair mining is stateless per doc (both slices come off
+    // the row's own token array), so the SAME operator streams in
+    // Append mode — contrastive pairs can be mined at ingest, not in a
+    // nightly batch
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    val load = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val docs = load.as[(Long, String)].collect().sortBy(_._1)
+    val mem = MemoryStream[(Long, String)]
+    val q = TextAnalysis.coChunkPairs(mem.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", size = 16, stride = 8)
+      .writeStream.format("memory").queryName("cochunk_eq")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      Seq(docs.slice(0, 137), docs.slice(137, 300), docs.slice(300, docs.length))
+        .foreach { c => mem.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+      val streamed = spark.table("cochunk_eq").collect().map(_.toSeq).toSet
+      val batch = TextAnalysis.coChunkPairs(load, "doc_id", "text",
+          size = 16, stride = 8).collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("online next-fit packing == batch packGreedy over uneven micro-batches") {
     // the stream IS the layout order: docs arrive in id order, batch
     // boundaries cut the stream at arbitrary points (137/211/152), and
