@@ -234,6 +234,19 @@ object ScaleProbe {
           operators.Retrieval.bm25TopKStored(store, queries,
             "doc_id", "doc_id", "text")
         }
+        // round-11 retrieval additions on the same replicated corpus:
+        // BM25F doubles the posting stream (two fields off one token
+        // array), PRF is two restricted scoring passes over SHARED
+        // corpus aggregates (ReusedExchange) — both expected to track
+        // bm25_inline's linear shape at a small constant factor
+        time("bm25f_inline") {
+          operators.Retrieval.bm25fTopK(docs, queries,
+            "doc_id", "text", "doc_id", "text")
+        }
+        time("bm25_prf") {
+          operators.Retrieval.bm25PrfTopK(docs, queries,
+            "doc_id", "text", "doc_id", "text")
+        }
         docs.unpersist()
       }
       queries.unpersist()
