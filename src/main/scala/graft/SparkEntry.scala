@@ -5071,6 +5071,31 @@ object SparkEntry {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** Write-once FIELDED postings for the SF dir — (id, f, term, tf,
+    * dl_f) rows term-hashed into 16 files plus the 2-row per-field
+    * stats; field weights and k1/b stay query-time knobs (nothing
+    * tunable is frozen into the layout).
+    */
+  private def bm25fStore(s: SparkSession, dir: String): Retrieval.Bm25fStore = {
+    val path = layoutPath(dir, "bm25f", "tok=ws,title=8,buckets=16,v1",
+      srcTable = "documents.parquet")
+    if (!layoutReady(s"$path/stats"))
+      Retrieval.writeBm25fStore(t(s, dir, "documents"), "doc_id", "text",
+        path, titleTokens = 8)
+    Retrieval.readBm25fStore(s, path)
+  }
+
+  private def bm25fStoredQuery(s: SparkSession, dir: String): DataFrame =
+    // the same fielded ranking as d_bm25f_topk but scoring the STORED
+    // fielded postings — identical expressions over identical integers
+    // (shared scoring tail), so row-identical to the inline build and
+    // covered by the same oracle; the query path never re-tokenizes or
+    // re-splits fields
+    Retrieval.bm25fTopKStored(bm25fStore(s, dir),
+        t(s, dir, "documents").filter(col("doc_id") < 5),
+        "doc_id", "doc_id", "text")
+      .orderBy(col("q_id"), col("rnk"))
+
   private def bm25PrfQuery(s: SparkSession, dir: String): DataFrame = {
     // pseudo-relevance-feedback expansion (RM3-lite): each query's
     // BM25 top-10 acts as implicit feedback, the 5 best NEW terms by
@@ -5471,6 +5496,7 @@ object SparkEntry {
     "d_hard_negatives" -> (hardNegatives _),
     "d_diverse_topk" -> (diverseTopK _),
     "d_bm25f_topk" -> (bm25fTopKQuery _),
+    "d_bm25f_stored" -> (bm25fStoredQuery _),
     "d_bm25_prf" -> (bm25PrfQuery _),
     "d_cochunk_pairs" -> (coChunkPairsQuery _),
     "d_fim_split" -> (fimSplitQuery _),
@@ -10261,6 +10287,9 @@ object SparkEntry {
     "d_hard_negatives" -> hardNegativesOracle,
     "d_diverse_topk" -> diverseTopKOracle,
     "d_bm25f_topk" -> bm25fOracle,
+    // the stored spelling freezes exactly the integers the inline oracle
+    // recomputes (shared scoring tail), so one oracle covers both
+    "d_bm25f_stored" -> bm25fOracle,
     "d_bm25_prf" -> bm25PrfOracle,
     // co-chunk positives: the sliding-chunk arithmetic replayed for two
     // windows gap=2 apart (zero token overlap at 16/8)

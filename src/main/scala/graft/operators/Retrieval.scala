@@ -191,6 +191,23 @@ object Retrieval {
                 titleTokens: Int = 8, wTitle: Double = 2.0,
                 wBody: Double = 1.0, k1: Double = 1.2, b: Double = 0.75,
                 topK: Int = 10): DataFrame = {
+    val store = bm25fComponents(corpus, idCol, textCol, titleTokens)
+    bm25fTopKStored(store, queries, idCol, qIdCol, qTextCol,
+      wTitle, wBody, k1, b, topK)
+  }
+
+  /** The two mergeable components of a fielded index: postings =
+    * (id, f, term, tf, dl) with dl the FIELD length, stats =
+    * (f, n_docs, tot_f) — field weights and k1/b stay query-time knobs,
+    * and whole-doc df derives from the postings (distinct (id, term)),
+    * so nothing in the layout freezes a tunable.
+    */
+  final case class Bm25fStore(postings: DataFrame, stats: DataFrame)
+
+  /** Build the fielded components inline (the [[bm25fTopK]] body). */
+  private def bm25fComponents(corpus: DataFrame, idCol: String,
+                              textCol: String,
+                              titleTokens: Int): Bm25fStore = {
     val tk = corpus.select(col(idCol),
       TextAnalysis.tokens(lower(trim(col(textCol)))).as("__tk"))
     val fielded = tk.select(col(idCol), lit("t").as("f"),
@@ -202,24 +219,59 @@ object Retrieval {
         explode(col("__ft")).as("term"))
       .groupBy(col(idCol), col("f"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy(col(idCol), col("f")).agg(sum(col("tf")).as("dl"))
-    // avgdl_f = Σ_d dl_f / n_docs over ALL docs (zero-token docs count
-    // in the denominator, the corpusStats convention)
+    val dlf = tf.groupBy(col(idCol), col("f")).agg(sum(col("tf")).as("dl"))
+    val postings = tf.join(dlf, Seq(idCol, "f"))
+      .select(col(idCol), col("f"), col("term"), col("tf"), col("dl"))
+    // avgdl_f denominator counts ALL docs (zero-token docs too, the
+    // corpusStats convention) — so stats carries n_docs alongside tot_f
     val nDocs = corpus.agg(count(lit(1)).as("n_docs"))
-    val avg = dl.groupBy(col("f")).agg(sum(col("dl")).as("tot_f"))
+    val stats = dlf.groupBy(col("f")).agg(sum(col("dl")).as("tot_f"))
       .crossJoin(broadcast(nDocs))
-      .select(col("f"), (col("tot_f").cast("double") / col("n_docs"))
-        .as("avgdl_f"))
-    // df is WHOLE-document frequency: a term counts once per doc even
-    // when it appears in both fields
-    val dfreq = tf.select(col(idCol), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .select(col("f"), col("n_docs"), col("tot_f"))
+    Bm25fStore(postings, stats)
+  }
+
+  /** Write-once fielded index: `path/postings` ((id, f, term, tf, dl)
+    * rows, term-hashed files) and `path/stats` (2 rows). The same
+    * displacement [[writeBm25Store]] gives plain BM25: every query after
+    * ingest reads only the store — no re-tokenize, no field re-split.
+    */
+  def writeBm25fStore(corpus: DataFrame, idCol: String, textCol: String,
+                      path: String, titleTokens: Int = 8,
+                      buckets: Int = 16): Unit = {
+    val c = bm25fComponents(corpus, idCol, textCol, titleTokens)
+    c.postings.repartition(buckets, col("term"))
+      .write.mode("overwrite").parquet(s"$path/postings")
+    c.stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  def readBm25fStore(spark: SparkSession, path: String): Bm25fStore =
+    Bm25fStore(spark.read.parquet(s"$path/postings"),
+      spark.read.parquet(s"$path/stats"))
+
+  /** [[bm25fTopK]] against fielded components — the SHARED scoring tail
+    * of the inline and stored spellings, so the two are row-identical by
+    * construction (the [[bm25TopKStored]] discipline).
+    */
+  def bm25fTopKStored(store: Bm25fStore, queries: DataFrame,
+                      idCol: String, qIdCol: String, qTextCol: String,
+                      wTitle: Double = 2.0, wBody: Double = 1.0,
+                      k1: Double = 1.2, b: Double = 0.75,
+                      topK: Int = 10): DataFrame = {
     val qt = queries.select(col(qIdCol).as("q_id"),
         explode(TextAnalysis.tokens(lower(trim(col(qTextCol))))).as("term"))
       .distinct()
-    val part = tf.join(broadcast(qt.select(col("term")).distinct()),
-        Seq("term"), "left_semi")
-      .join(dl, Seq(idCol, "f"))
+    val hits = store.postings.join(
+      broadcast(qt.select(col("term")).distinct()), Seq("term"), "left_semi")
+    // df is WHOLE-document frequency: a term counts once per doc even
+    // when it appears in both fields — derived from the (restricted)
+    // postings, so only query-term rows are ever counted
+    val dfreq = hits.select(col(idCol), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val avg = store.stats.select(col("f"),
+      (col("tot_f").cast("double") / col("n_docs")).as("avgdl_f"))
+    val nDocs = store.stats.select(col("n_docs")).limit(1)
+    val part = hits
       .join(broadcast(avg), Seq("f"))
       .select(col(idCol), col("term"),
         (when(col("f") === "t", lit(wTitle)).otherwise(lit(wBody)) *
@@ -232,7 +284,7 @@ object Retrieval {
       (col("df") + lit(0.5)) + lit(1.0))
     val contrib = tft
       .join(broadcast(qt), Seq("term"))
-      .join(dfreq, Seq("term"))
+      .join(broadcast(dfreq), Seq("term"))
       .crossJoin(broadcast(nDocs))
       .withColumn("c", round(lit(1e6) *
         (idf * (col("tft") / (lit(k1) + col("tft"))))).cast("bigint"))

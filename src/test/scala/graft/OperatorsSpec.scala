@@ -3814,6 +3814,23 @@ class Bm25FieldedSpec extends SparkSpec {
       s"degenerate BM25F must rank like BM25: ${f.toSeq} vs ${plain.toSeq}")
   }
 
+  test("bm25f stored spelling is row-identical to the inline build") {
+    val corpus = Seq(
+      (1L, "spark engine alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta spark engine"),
+      (3L, "spark spark unrelated words beyond the title window here x")
+    ).toDF("doc_id", "text")
+    val qs = Seq((100L, "spark engine"), (200L, "theta")).toDF("q_id", "qt")
+    val path = java.nio.file.Files.createTempDirectory("bm25fstore").toString
+    Retrieval.writeBm25fStore(corpus, "doc_id", "text", path)
+    val inline = Retrieval.bm25fTopK(corpus, qs, "doc_id", "text",
+      "q_id", "qt").orderBy("q_id", "rnk").collect()
+    val stored = Retrieval.bm25fTopKStored(Retrieval.readBm25fStore(spark, path),
+      qs, "doc_id", "q_id", "qt").orderBy("q_id", "rnk").collect()
+    assert(inline.toSeq == stored.toSeq)
+    assert(inline.nonEmpty)
+  }
+
   test("prf expansion surfaces a doc sharing NO original query term") {
     // "ducks" docs all mention ponds (heavily — fbtf must beat the
     // high-idf singleton terms, the classic PRF weight tradeoff); doc 4
