@@ -908,8 +908,17 @@ object FeederProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val factor = if (args.length > 1) args(1).toInt else 10
+    val validArms = Set("fixed", "scaled", "auto")
     val arms = if (args.length > 2) args(2).split(",").map(_.trim).toSet
-               else Set("fixed", "scaled", "auto")
+               else validArms
+    // free-form names run ZERO arms (feederProbe tests membership), so a
+    // typo like "autos" would silently measure nothing — fail loudly
+    val unknown = arms -- validArms
+    if (unknown.nonEmpty) {
+      System.err.println(s"unknown arm(s): ${unknown.mkString(", ")} — " +
+        s"valid arms: ${validArms.toSeq.sorted.mkString("|")}")
+      sys.exit(2)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")

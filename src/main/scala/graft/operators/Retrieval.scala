@@ -270,7 +270,11 @@ object Retrieval {
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val avg = store.stats.select(col("f"),
       (col("tot_f").cast("double") / col("n_docs")).as("avgdl_f"))
-    val nDocs = store.stats.select(col("n_docs")).limit(1)
+    // both field rows carry the same n_docs today, but limit(1) with no
+    // ordering would turn a future per-field divergence into silent
+    // nondeterminism — aggregate so the choice is deterministic by
+    // construction
+    val nDocs = store.stats.agg(max(col("n_docs")).as("n_docs"))
     val part = hits
       .join(broadcast(avg), Seq("f"))
       .select(col(idCol), col("term"),
@@ -317,8 +321,9 @@ object Retrieval {
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val stats = corpus.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(dl.agg(sum(col("dl")).as("tot")))
+    // corpusStats carries the coalesce(sum,0) guard: a corpus whose docs
+    // all tokenize empty must yield empty results, not NULL-total scores
+    val stats = corpusStats(corpus, tf)
     val qt = queryTerms(queries, qIdCol, qTextCol)
     def scoreOf(terms: DataFrame): DataFrame =
       tf.join(broadcast(terms), Seq("term"))

@@ -781,8 +781,11 @@ object Similarity {
     val counts = assigned.groupBy(col("centroid_id"))
       .agg(count(lit(1)).as("m")).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // single-member clusters can't split (their farthest member IS the
+    // seed, so appending it would leave two identical centroids and a
+    // permanently empty partition) — skip them
     val flagged = counts.filter { case (_, m) =>
-      100.0 * m / math.max(n, 1L) > maxSharePct }.keys.toSeq.sorted
+      m > 1 && 100.0 * m / math.max(n, 1L) > maxSharePct }.keys.toSeq.sorted
     if (flagged.isEmpty) seeds
     else {
       val spark = corpus.sparkSession
@@ -797,7 +800,12 @@ object Similarity {
         .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
         .orderBy(col("centroid_id"))
         .select(col("__u")).collect().map(_.getSeq[Double](0).toSeq).toSeq
-      seeds ++ extra
+      // a farthest member can still COINCIDE with an existing seed (e.g.
+      // duplicate vectors in the corpus) — an identical extra centroid
+      // would never win an assignment, so drop it rather than carry a
+      // dead codebook entry
+      val fresh = extra.filterNot(seeds.contains).distinct
+      seeds ++ fresh
     }
   }
 
