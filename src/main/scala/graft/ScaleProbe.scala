@@ -896,6 +896,81 @@ object ScaleProbe {
           probeArm("auto_codebook", f, seeds)
           corpus.unpersist()
         }
+      // clamped arm — the BEFORE picture of the hierarchical quantizer:
+      // the sqrt(N) policy with cMax scaled DOWN (64) so the probe hits
+      // the clamp boundary at probeable N (the production clamp's 4096
+      // needs N > 16.7M to bind — same mechanism, unreachable wall-clock
+      // on this VM). Under the clamp C pins, so sumsq = Σ|m|² must leave
+      // the N^1.5 track by exactly sqrt(N)/cMax — the departure factor
+      // the README table names per rung.
+      if (arms("clamped"))
+        for (f <- Seq(1, factor, 3 * factor)) {
+          val corpus = embCorpus(f)
+          val seeds = operators.Similarity.autoCoarseCodebook(
+            corpus, "vec_id", "embedding", cMax = 64)
+          println(f"""{"probe":"mutual_knn_feeder_clamped_sizing","factor":$f,""" +
+            s""""codebook":${seeds.size},"cmax":64}""")
+          probeArm("clamped_codebook", f, seeds)
+          corpus.unpersist()
+        }
+      // twolevel arm — the AFTER picture: autoTwoLevelCodebook keeps C
+      // tracking sqrt(N) PAST any flat clamp because assignment runs the
+      // O(2·sqrtC·d) kernel instead of C literal expressions. Per rung:
+      // sizing cost, a head-to-head assignment pass over the SAME C
+      // centroids (flat literal-array vs two-level kernel — the wall
+      // being removed, isolated from everything else), then the full
+      // feeder with sumsq/max-share audits (expect the N^1.5 track).
+      if (arms("twolevel"))
+        for (f <- Seq(1, factor, 3 * factor)) {
+          val corpus = embCorpus(f)
+          val t0 = System.nanoTime()
+          val cb = operators.Similarity.autoTwoLevelCodebook(
+            corpus, "vec_id", "embedding")
+          val sizingSec = (System.nanoTime() - t0) / 1e9
+          println(f"""{"probe":"mutual_knn_feeder_twolevel_sizing","factor":$f,""" +
+            f""""sec":$sizingSec%.2f,"codebook":${cb.size},"tops":${cb.tops.size}}""")
+          val unit = operators.Similarity.normalized(
+            corpus.select(col("vec_id"),
+              col("embedding").cast("array<double>").as("__u")), "__u")
+            .localCheckpoint()
+          // head-to-head assignment over the SAME centroids
+          val tf0 = System.nanoTime()
+          val nFlat = operators.Similarity.assignCentroids(unit, "__u", cb.flat)
+            .select(col("centroid_id")).filter(col("centroid_id") >= 0).count()
+          val flatSec = (System.nanoTime() - tf0) / 1e9
+          val t20 = System.nanoTime()
+          val n2 = unit.select(element_at(
+              graft.functions.VectorFunctions.two_level_probes(
+                col("__u"), cb.tops, cb.children, 1, 1), 1).as("g"))
+            .filter(col("g") >= 0).count()
+          val twoSec = (System.nanoTime() - t20) / 1e9
+          println(f"""{"probe":"mutual_knn_feeder_twolevel_assign","factor":$f,""" +
+            f""""rows":$n2,"flat_sec":$flatSec%.2f,"twolevel_sec":$twoSec%.2f,""" +
+            f""""c":${cb.size},"flat_rows":$nFlat}""")
+          // the full feeder through the kernel probes
+          val store = unit
+            .withColumn("centroid_id", element_at(
+              graft.functions.VectorFunctions.two_level_probes(
+                col("__u"), cb.tops, cb.children, 1, 1), 1))
+            .select(col("vec_id"),
+              col("__u").as("embedding"), col("centroid_id"))
+            .localCheckpoint()
+          val hist = store.groupBy(col("centroid_id"))
+            .agg(count(lit(1)).as("m"))
+            .agg(count(lit(1)).as("clusters"), max(col("m")).as("max_m"),
+              sum(col("m") * col("m")).as("sumsq"), sum(col("m")).as("rows"))
+            .head()
+          val tq0 = System.nanoTime()
+          val out = operators.Similarity.ivfSelfTopKTwoLevel(store, "vec_id",
+            "embedding", k = 5, cb, nprobeTop = 2, nprobe = 3).count()
+          val sec = (System.nanoTime() - tq0) / 1e9
+          val maxShare = 100.0 * hist.getLong(1) / hist.getLong(3)
+          println(f"""{"probe":"mutual_knn_feeder_twolevel","factor":$f,""" +
+            f""""sec":$sec%.2f,"rows":${hist.getLong(3)},""" +
+            f""""clusters":${hist.getLong(0)},"max_share_pct":$maxShare%.1f,""" +
+            s""""sumsq":${hist.getLong(2)},"topk_rows":$out}""")
+          store.unpersist(); unit.unpersist(); corpus.unpersist()
+        }
     }
   }
 }
@@ -908,7 +983,7 @@ object FeederProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val factor = if (args.length > 1) args(1).toInt else 10
-    val validArms = Set("fixed", "scaled", "auto")
+    val validArms = Set("fixed", "scaled", "auto", "clamped", "twolevel")
     val arms = if (args.length > 2) args(2).split(",").map(_.trim).toSet
                else validArms
     // free-form names run ZERO arms (feederProbe tests membership), so a

@@ -3181,6 +3181,49 @@ object SparkEntry {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  private def annIvf2Stored(s: SparkSession, dir: String): DataFrame = {
+    // HIERARCHICAL (two-level) stored ANN — the past-the-clamp regime of
+    // the √N codebook policy made queryable: assignment and probes visit
+    // the nearest TOPS then only their children (O(2√C·d) per row via
+    // the codegen'd TwoLevelProbes kernel), and the layout partitions by
+    // the GLOBAL child id so probe pruning stays directory pruning.
+    // PORTABLE spelling — tops = the first 3 unit vectors, children of
+    // each top = its 3 smallest-vec_id members under top assignment —
+    // so the DuckDB twin replays seeding, both assignment levels,
+    // probes, and scores exactly; the auto-sized production codebook
+    // (autoTwoLevelCodebook) is the same kernel seeded by hash-stride +
+    // share-split, recall-gated by RecallSpec and ScaleProbed blind.
+    val emb = t(s, dir, "embeddings")
+    val unit = Similarity.normalized(emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("__u")), "__u")
+    val tops = unit.filter(col("vec_id") < 3).orderBy(col("vec_id"))
+      .select(col("__u")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+    // child seeding through the SAME kernel the write/probe path uses
+    // (each top owning itself ⇒ the kernel is the flat argmin over tops)
+    val topAssigned = unit.withColumn("__top",
+      element_at(graft.functions.VectorFunctions.two_level_probes(
+        col("__u"), tops, tops.map(Seq(_)), 1, 1), 1))
+    val wKid = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__top")).orderBy(col("vec_id"))
+    val kidRows = topAssigned.withColumn("__rn", row_number().over(wKid))
+      .filter(col("__rn") <= 3)
+      .select(col("__top"), col("__rn"), col("__u"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+    val byTop = kidRows.groupBy(_._1)
+    val children = tops.indices.map(t =>
+      byTop.getOrElse(t, Array.empty[(Int, Int, Seq[Double])])
+        .sortBy(_._2).map(_._3).toSeq)
+    val cb = Similarity.TwoLevelCodebook(tops, children)
+    val path = layoutPath(dir, "ivf2store", "tops=first3unit,kids=min3id,v1")
+    if (!layoutReady(path))
+      Similarity.writeIvfStoreTwoLevel(emb, "vec_id", "embedding", cb, path)
+    Similarity.ivfTopKStoredTwoLevel(s.read.parquet(path),
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, cb, nprobeTop = 2, nprobe = 3)
+      .withColumnRenamed("rank", "rnk")
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   private def annIvfFiltered(s: SparkSession, dir: String): DataFrame = {
     // FILTERED vector search — the vector-store feature every retrieval
     // stack needs beyond plain ANN: top-k under an attribute predicate
@@ -5050,6 +5093,19 @@ object SparkEntry {
         size = 16, stride = 8)
       .orderBy(col("doc_id"), col("a_chunk"))
 
+  private def contrastiveExamplesQuery(s: SparkSession, dir: String): DataFrame =
+    // the composed dual-encoder record, end to end: anchors/positives are
+    // the co-chunk pairs of docs < 5, negatives the anchor's top-3 BM25
+    // chunks off the STORED chunk postings with the whole parent doc
+    // shift-excluded on the scored stream — (anchor, positive, mined
+    // negatives) in one graded row; streaming parity pinned in
+    // StreamingSpec (each doc depends only on itself + the frozen store)
+    Retrieval.contrastiveExamples(
+        t(s, dir, "documents").filter(col("doc_id") < 5),
+        chunkBm25Store(s, dir), "doc_id", "text",
+        size = 16, stride = 8, negK = 3, chunkIdBits = ChunkIdBits)
+      .orderBy(col("doc_id"), col("a_chunk"), col("neg_rank"))
+
   private def fimSplitQuery(s: SparkSession, dir: String): DataFrame =
     // fill-in-the-middle example construction: deterministic md5-derived
     // cut points split each doc into (prefix, middle, suffix), emitted
@@ -5076,11 +5132,14 @@ object SparkEntry {
     * stats; field weights and k1/b stay query-time knobs (nothing
     * tunable is frozen into the layout).
     */
-  private def bm25fStore(s: SparkSession, dir: String): Retrieval.Bm25fStore = {
-    val path = layoutPath(dir, "bm25f", "tok=ws,title=8,buckets=16,v1",
+  private def bm25fStore(s: SparkSession, dir: String,
+                         cut: Long = Long.MaxValue): Retrieval.Bm25fStore = {
+    val cfg = if (cut == Long.MaxValue) "all" else cut.toString
+    val path = layoutPath(dir, "bm25f", s"tok=ws,title=8,buckets=16,v1,cut=$cfg",
       srcTable = "documents.parquet")
     if (!layoutReady(s"$path/stats"))
-      Retrieval.writeBm25fStore(t(s, dir, "documents"), "doc_id", "text",
+      Retrieval.writeBm25fStore(
+        t(s, dir, "documents").filter(col("doc_id") < cut), "doc_id", "text",
         path, titleTokens = 8)
     Retrieval.readBm25fStore(s, path)
   }
@@ -5106,6 +5165,34 @@ object SparkEntry {
     val d = t(s, dir, "documents")
     Retrieval.bm25PrfTopK(d, d.filter(col("doc_id") < 5),
         "doc_id", "text", "doc_id", "text")
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  private def bm25PrfStoredQuery(s: SparkSession, dir: String): DataFrame =
+    // the same RM3-lite expansion as d_bm25_prf but EVERY stage leans on
+    // the write-once store: pass-1 ranking and pass-2 re-scoring scan
+    // only query-term postings, feedback term mining reads the postings
+    // integers (one scan, no re-tokenize), and idf comes from the stored
+    // |V|-row df table — the corpus text never loads. Row-identical to
+    // the inline build (same integers through shared expressions, pinned
+    // in RetrievalSpec), so the inline oracle grades it.
+    Retrieval.bm25PrfTopKStored(bm25Store(s, dir),
+        t(s, dir, "documents").filter(col("doc_id") < 5),
+        "doc_id", "doc_id", "text")
+      .orderBy(col("q_id"), col("rnk"))
+
+  private def bm25fIncrementalQuery(s: SparkSession, dir: String): DataFrame = {
+    // fielded incremental maintenance, graded: the FIELDED store holds
+    // docs < 250; docs >= 250 fold in by postings union + per-field
+    // stats adds + ONE corpus-level n_docs add (whole-doc df needs no
+    // merge — the layout derives it from query-restricted postings at
+    // score time). No historical re-tokenize, no field re-split; the
+    // full-corpus BM25F twin hash-checks increment ≡ rebuild.
+    val docs = t(s, dir, "documents")
+    val merged = Retrieval.bm25fApplyDelta(bm25fStore(s, dir, cut = 250),
+      docs.filter(col("doc_id") >= 250), "doc_id", "text", titleTokens = 8)
+    Retrieval.bm25fTopKStored(merged, docs.filter(col("doc_id") < 5),
+        "doc_id", "doc_id", "text")
       .orderBy(col("q_id"), col("rnk"))
   }
 
@@ -5378,6 +5465,7 @@ object SparkEntry {
     "s_ann_pq" -> (annPq _),
     "s_ann_ivfpq" -> (annIvfPq _),
     "s_ann_ivf_stored" -> (annIvfStored _),
+    "s_ann_ivf2_stored" -> (annIvf2Stored _),
     "s_ann_filtered" -> (annIvfFiltered _),
     "s_ann_ivfpq_stored" -> (annIvfPqStored _),
     "s_embed_neardup" -> (embedNearDup _),
@@ -5498,10 +5586,13 @@ object SparkEntry {
     "d_bm25f_topk" -> (bm25fTopKQuery _),
     "d_bm25f_stored" -> (bm25fStoredQuery _),
     "d_bm25_prf" -> (bm25PrfQuery _),
+    "d_bm25_prf_stored" -> (bm25PrfStoredQuery _),
     "d_cochunk_pairs" -> (coChunkPairsQuery _),
+    "d_contrastive_examples" -> (contrastiveExamplesQuery _),
     "d_fim_split" -> (fimSplitQuery _),
     "d_bm25_topk_stored" -> (bm25TopKStoredQuery _),
     "d_bm25_incremental" -> (bm25IncrementalQuery _),
+    "d_bm25f_incremental" -> (bm25fIncrementalQuery _),
     "d_hybrid_rrf" -> (hybridRrfQuery _),
     "d_winnow_fps" -> (winnowFpsQuery _),
     "d_winnow_matches" -> (winnowMatchesQuery _),
@@ -5555,7 +5646,8 @@ object SparkEntry {
     * for the doc-level rows, the chunk CTE for the chunk-level retrieval
     * row. Queries are always docs 0-4.
     */
-  private def bm25CtesOver(corpus: String): String =
+  private def bm25CtesOver(corpus: String,
+                           qtBody: String = defaultBm25Qt): String =
     s"""ct AS (
         | SELECT doc_id,
         |  unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
@@ -5567,11 +5659,7 @@ object SparkEntry {
         |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
         |st AS (SELECT count(*) AS n_docs FROM $corpus),
         |tt AS (SELECT CAST(sum(dl) AS BIGINT) AS tot FROM dl),
-        |qt AS (SELECT DISTINCT q_id, term FROM (
-        |  SELECT doc_id AS q_id,
-        |   unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
-        |          x -> len(x) > 0)) AS term
-        |  FROM documents WHERE doc_id < 5)),
+        |qt AS ($qtBody),
         |c AS (
         | SELECT tf.doc_id, tf.term,
         |  CAST(round(1000000.0 * (
@@ -5589,6 +5677,15 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY q_id
         |                     ORDER BY score DESC, doc_id ASC) AS rnk
         | FROM sc)""".stripMargin
+
+  /** The default query side of every BM25 oracle: doc-as-query term sets
+    * of the first five documents. */
+  private lazy val defaultBm25Qt: String =
+    """SELECT DISTINCT q_id, term FROM (
+      |  SELECT doc_id AS q_id,
+      |   unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |          x -> len(x) > 0)) AS term
+      |  FROM documents WHERE doc_id < 5)""".stripMargin
 
   private lazy val bm25Ctes: String = bm25CtesOver("documents")
 
@@ -5745,6 +5842,52 @@ object SparkEntry {
       |       FROM pp WHERE pr <= 2)
       |SELECT q_id, div_rank, cid, score FROM gg WHERE div_rank <= 10
       |ORDER BY q_id, div_rank""".stripMargin
+
+  /** Contrastive-example oracle: the co-chunk CTE supplies anchors and
+    * positives, the anchor windows replay as the BM25 query side over
+    * the sliding-chunk corpus (the [[bm25CtesOver]] chain with a custom
+    * qt), the parent doc is excluded on the SCORED stream (doc_id //
+    * 2^20), and ONE ranking window takes the top-3 negatives — the same
+    * filter-then-rank order as the Spark operator.
+    */
+  private lazy val contrastiveExamplesOracle: String = {
+    val anchQt =
+      """SELECT DISTINCT doc_id*1048576 + a_chunk AS q_id,
+        |   unnest(list_filter(regexp_split_to_array(lower(trim(a_text)), '\s+'),
+        |          x -> len(x) > 0)) AS term
+        |  FROM anch""".stripMargin
+    s"""WITH ctk AS (
+      | SELECT doc_id,
+      |  list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> len(x) > 0) AS t
+      | FROM documents),
+      |cnz AS (SELECT doc_id, t, len(t) AS n FROM ctk WHERE len(t) > 0),
+      |chx AS (
+      | SELECT doc_id*1048576 + k AS doc_id,
+      |        array_to_string(t[k*8 + 1 : least(k*8 + 16, n)], ' ') AS text
+      | FROM cnz, unnest(range(0, (greatest(n - 16, 0) + 7) // 8 + 1)) r(k)),
+      |lim AS (SELECT doc_id, t, n, (greatest(n - 16, 0) + 7) // 8 AS last
+      |        FROM cnz WHERE doc_id < 5),
+      |apx AS (SELECT doc_id, t, n, unnest(range(0, last - 2 + 1)) AS a
+      |        FROM lim WHERE last >= 2),
+      |anch AS (SELECT doc_id, CAST(a AS INT) AS a_chunk,
+      |  CAST(a + 2 AS INT) AS b_chunk,
+      |  array_to_string(t[a*8 + 1 : least(a*8 + 16, n)], ' ') AS a_text,
+      |  array_to_string(t[(a+2)*8 + 1 : least((a+2)*8 + 16, n)], ' ') AS b_text
+      | FROM apx),
+      |${bm25CtesOver("chx", anchQt)},
+      |neg AS (SELECT q_id, doc_id AS cid, score FROM sc
+      |        WHERE doc_id // 1048576 <> q_id // 1048576),
+      |nr AS (SELECT q_id, cid, score,
+      |        row_number() OVER (PARTITION BY q_id
+      |                           ORDER BY score DESC, cid ASC) AS neg_rank
+      |       FROM neg)
+      |SELECT anch.doc_id, anch.a_chunk, anch.b_chunk, anch.a_text,
+      | anch.b_text, nr.neg_rank, nr.cid AS neg_cid, nr.score
+      |FROM nr JOIN anch ON anch.doc_id = nr.q_id // 1048576
+      |  AND anch.a_chunk = CAST(nr.q_id % 1048576 AS INT)
+      |WHERE nr.neg_rank <= 3
+      |ORDER BY doc_id, a_chunk, neg_rank""".stripMargin
+  }
 
   /** CMS join-cardinality CTE chain up to the per-width estimate —
     * shared by the estimator row and the truth-audit row.
@@ -8272,6 +8415,70 @@ object SparkEntry {
         |      FROM rer)
         |SELECT q_id, c_id, rnk, round(sim, 4) AS sim FROM r
         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    // two-level stored ANN: the full hierarchy replayed relationally —
+    // top seeding (first 3 unit vectors), top assignment by (d, tid),
+    // per-cell child quota (3 smallest vec_ids), GLOBAL child ids by
+    // cumulative base over tops, two-level corpus assignment by (d, gid),
+    // query probes (2 tops then 3 children), exact cosine, top-5
+    "s_ann_ivf2_stored" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |u AS (SELECT vec_id, v,
+        |        CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN v
+        |             ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v))) END AS vu
+        |      FROM e),
+        |tp AS (SELECT vec_id AS tid, vu AS tvu FROM u WHERE vec_id < 3),
+        |td AS (SELECT u.vec_id, tp.tid,
+        |         list_sum(list_transform(range(1, 65),
+        |           i -> (u.vu[i] - tp.tvu[i]) * (u.vu[i] - tp.tvu[i]))) AS d
+        |       FROM u, tp),
+        |tassign AS (SELECT vec_id, tid FROM (
+        |              SELECT vec_id, tid,
+        |                row_number() OVER (PARTITION BY vec_id ORDER BY d, tid) AS rn
+        |              FROM td) WHERE rn = 1),
+        |kids AS (SELECT tid, kvid, kvu, j FROM (
+        |           SELECT t.tid, t.vec_id AS kvid, u.vu AS kvu,
+        |             row_number() OVER (PARTITION BY t.tid ORDER BY t.vec_id) AS j
+        |           FROM tassign t JOIN u ON u.vec_id = t.vec_id) WHERE j <= 3),
+        |bs AS (SELECT tid,
+        |         CAST(coalesce(sum(m) OVER (ORDER BY tid
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS base
+        |       FROM (SELECT tid, count(*) AS m FROM kids GROUP BY tid)),
+        |gk AS (SELECT k.tid, k.kvid, k.kvu, bs.base + k.j - 1 AS gid
+        |       FROM kids k JOIN bs USING (tid)),
+        |cd AS (SELECT u.vec_id, gk.gid,
+        |         list_sum(list_transform(range(1, 65),
+        |           i -> (u.vu[i] - gk.kvu[i]) * (u.vu[i] - gk.kvu[i]))) AS d
+        |       FROM u JOIN tassign USING (vec_id) JOIN gk ON gk.tid = tassign.tid),
+        |assign AS (SELECT vec_id, gid FROM (
+        |             SELECT vec_id, gid,
+        |               row_number() OVER (PARTITION BY vec_id ORDER BY d, gid) AS rn
+        |             FROM cd) WHERE rn = 1),
+        |qtop AS (SELECT vec_id AS q_id, tid FROM (
+        |           SELECT vec_id, tid,
+        |             row_number() OVER (PARTITION BY vec_id ORDER BY d, tid) AS rn
+        |           FROM td WHERE vec_id < 10) WHERE rn <= 2),
+        |qkd AS (SELECT q.q_id, gk.gid,
+        |         list_sum(list_transform(range(1, 65),
+        |           i -> (u.vu[i] - gk.kvu[i]) * (u.vu[i] - gk.kvu[i]))) AS d
+        |        FROM qtop q JOIN u ON u.vec_id = q.q_id
+        |                    JOIN gk ON gk.tid = q.tid),
+        |qprobe AS (SELECT q_id, gid FROM (
+        |             SELECT q_id, gid,
+        |               row_number() OVER (PARTITION BY q_id ORDER BY d, gid) AS rn
+        |             FROM qkd) WHERE rn <= 3),
+        |cand AS (SELECT DISTINCT qprobe.q_id, assign.vec_id AS c_id
+        |         FROM assign JOIN qprobe ON qprobe.gid = assign.gid
+        |         WHERE assign.vec_id <> qprobe.q_id),
+        |rer AS (SELECT cand.q_id, cand.c_id,
+        |          list_dot_product(q.v, c.v) /
+        |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+        |        FROM cand JOIN e q ON q.vec_id = cand.q_id
+        |                  JOIN e c ON c.vec_id = cand.c_id),
+        |r AS (SELECT q_id, c_id, sim,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
+        |      FROM rer)
+        |SELECT q_id, c_id, rnk, round(sim, 4) AS sim FROM r
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     "s_ann_ivfpq" -> ivfPqTwinSql,
     // the stored-layout composition (writePqStore codes + DPP probe
     // pruning + vector-store re-rank) is row-identical to the flat
@@ -10291,6 +10498,13 @@ object SparkEntry {
     // recomputes (shared scoring tail), so one oracle covers both
     "d_bm25f_stored" -> bm25fOracle,
     "d_bm25_prf" -> bm25PrfOracle,
+    // PRF off the store scores the same stored integers through the same
+    // shared tail (pinned row-identical in RetrievalSpec) — the inline
+    // PRF oracle grades it
+    "d_bm25_prf_stored" -> bm25PrfOracle,
+    // fielded incremental: the full-corpus BM25F twin IS the proof that
+    // merge ≡ rebuild (the d_bm25_incremental pattern, fielded)
+    "d_bm25f_incremental" -> bm25fOracle,
     // co-chunk positives: the sliding-chunk arithmetic replayed for two
     // windows gap=2 apart (zero token overlap at 16/8)
     "d_cochunk_pairs" ->
@@ -10309,6 +10523,11 @@ object SparkEntry {
         | array_to_string(t[(a+2)*8 + 1 : least((a+2)*8 + 16, n)], ' ')
         |   AS b_text
         |FROM px ORDER BY doc_id, a_chunk""".stripMargin,
+    // contrastive examples: co-chunk anchors of docs < 5 replayed as the
+    // BM25 query side over the sliding-chunk corpus, parent doc shift-
+    // excluded on the scored stream, top-3 negatives per anchor, joined
+    // back to the (a_chunk, b_chunk) positive pair
+    "d_contrastive_examples" -> contrastiveExamplesOracle,
     // FIM splits: identical md5-slice cut arithmetic (unsigned 32-bit
     // hex prefix, positive modulus) and inclusive list slices
     "d_fim_split" ->

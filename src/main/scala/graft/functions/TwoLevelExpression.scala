@@ -1,0 +1,204 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
+/** Two-level (coarse→fine) IVF probe kernel — the assignment engine of the
+  * hierarchical coarse quantizer in [[graft.operators.Similarity]].
+  *
+  * A FLAT codebook of C centroids costs O(C·d) per row to assign; the √N
+  * sizing policy therefore hits a wall once C is clamped (past C=4096 the
+  * literal-array expression itself dominates — the round-11 verdict's one
+  * uncoded scale regime). This kernel evaluates the standard two-level
+  * decomposition instead: T top-level cells, each owning its own child
+  * list; a row visits the `nprobeTop` nearest tops and only THEIR
+  * children, so per-row work is O((T + nprobeTop·C/T)·d) ≈ O(2√C·d) at
+  * T≈√C — flat-per-row growth where the flat codebook grows linearly
+  * in C. With nprobeTop=1, nprobe=1 the first element IS the two-level
+  * assignment (the ingest path); larger values give the query-side probe
+  * list.
+  *
+  * Returns the global child ids (base(t) + index within top t's list) of
+  * the `nprobe` nearest children among the `nprobeTop` nearest tops,
+  * ordered by (L2 distance, global id) ascending — strict-less insertion
+  * keeps ties on the LOWEST id, matching the flat assignment's
+  * first-minimal-index rule. Codebooks ride the expression as reference
+  * objects (never literal sub-expressions), so generated code stays one
+  * tight primitive loop regardless of C. Null or dimension-mismatched
+  * vectors yield null.
+  */
+case class TwoLevelProbes(child: Expression,
+                          tops: Seq[Seq[Double]],
+                          kids: Seq[Seq[Seq[Double]]],
+                          nprobeTop: Int,
+                          nprobe: Int) extends UnaryExpression {
+  require(tops.nonEmpty && tops.size == kids.size,
+    s"need one child list per top: ${tops.size} tops, ${kids.size} lists")
+  require(nprobeTop >= 1 && nprobe >= 1, "nprobeTop and nprobe must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<double>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "two_level_probes"
+
+  // reference-object form for eval/codegen (kept off the constructor so
+  // case-class equality stays structural on the Seq form)
+  @transient private lazy val topsArr: Array[Array[Double]] =
+    tops.map(_.toArray).toArray
+  @transient private lazy val kidsArr: Array[Array[Array[Double]]] =
+    kids.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val baseArr: Array[Int] =
+    kids.map(_.size).scanLeft(0)(_ + _).init.toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val d = topsArr(0).length
+    if (v.numElements() != d) return null
+    val x = new Array[Double](d)
+    var i = 0
+    while (i < d) { x(i) = v.getDouble(i); i += 1 }
+    // select the nprobeTop nearest tops by (dist, index), strict-less
+    val tK = math.min(nprobeTop, topsArr.length)
+    val tD = Array.fill(tK)(Double.MaxValue)
+    val tI = Array.fill(tK)(-1)
+    var t = 0
+    while (t < topsArr.length) {
+      val c = topsArr(t)
+      var acc = 0.0
+      var j = 0
+      while (j < d) { val df = x(j) - c(j); acc += df * df; j += 1 }
+      // insertion keeps earlier (lower-index) tops on ties
+      var p = tK - 1
+      if (acc < tD(p)) {
+        while (p > 0 && acc < tD(p - 1)) { tD(p) = tD(p - 1); tI(p) = tI(p - 1); p -= 1 }
+        tD(p) = acc; tI(p) = t
+      }
+      t += 1
+    }
+    // scan the chosen tops' children, keep nprobe nearest by (dist, gid)
+    val oD = Array.fill(nprobe)(Double.MaxValue)
+    val oI = Array.fill(nprobe)(-1)
+    var filled = 0
+    var s = 0
+    while (s < tK) {
+      val ti = tI(s)
+      if (ti >= 0) {
+        val kids = kidsArr(ti)
+        var k = 0
+        while (k < kids.length) {
+          val c = kids(k)
+          var acc = 0.0
+          var j = 0
+          while (j < d) { val df = x(j) - c(j); acc += df * df; j += 1 }
+          val gid = baseArr(ti) + k
+          var p = nprobe - 1
+          if (acc < oD(p) || (acc == oD(p) && oI(p) >= 0 && gid < oI(p))) {
+            while (p > 0 && (acc < oD(p - 1) ||
+                (acc == oD(p - 1) && oI(p - 1) >= 0 && gid < oI(p - 1)))) {
+              oD(p) = oD(p - 1); oI(p) = oI(p - 1); p -= 1
+            }
+            oD(p) = acc; oI(p) = gid
+            if (filled < nprobe) filled += 1
+          }
+          k += 1
+        }
+      }
+      s += 1
+    }
+    new GenericArrayData(oI.take(filled))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val topsRef = ctx.addReferenceObj("tops", topsArr, "double[][]")
+    val kidsRef = ctx.addReferenceObj("kids", kidsArr, "double[][][]")
+    val baseRef = ctx.addReferenceObj("base", baseArr, "int[]")
+    val tK = math.min(nprobeTop, topsArr.length)
+    nullSafeCodeGen(ctx, ev, v => {
+      val d = ctx.freshName("d")
+      val x = ctx.freshName("x")
+      val i = ctx.freshName("i")
+      val tD = ctx.freshName("tD")
+      val tI = ctx.freshName("tI")
+      val t = ctx.freshName("t")
+      val acc = ctx.freshName("acc")
+      val j = ctx.freshName("j")
+      val df = ctx.freshName("df")
+      val p = ctx.freshName("p")
+      val oD = ctx.freshName("oD")
+      val oI = ctx.freshName("oI")
+      val filled = ctx.freshName("filled")
+      val s = ctx.freshName("s")
+      val kids = ctx.freshName("kids")
+      val k = ctx.freshName("k")
+      val gid = ctx.freshName("gid")
+      val cent = ctx.freshName("cent")
+      val res = ctx.freshName("res")
+      s"""
+         |final int $d = $topsRef[0].length;
+         |if ($v.numElements() != $d) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final double[] $x = new double[$d];
+         |  for (int $i = 0; $i < $d; $i++) { $x[$i] = $v.getDouble($i); }
+         |  final double[] $tD = new double[$tK];
+         |  final int[] $tI = new int[$tK];
+         |  java.util.Arrays.fill($tD, Double.MAX_VALUE);
+         |  java.util.Arrays.fill($tI, -1);
+         |  for (int $t = 0; $t < $topsRef.length; $t++) {
+         |    final double[] $cent = $topsRef[$t];
+         |    double $acc = 0.0;
+         |    for (int $j = 0; $j < $d; $j++) {
+         |      final double $df = $x[$j] - $cent[$j]; $acc += $df * $df;
+         |    }
+         |    int $p = $tK - 1;
+         |    if ($acc < $tD[$p]) {
+         |      while ($p > 0 && $acc < $tD[$p - 1]) {
+         |        $tD[$p] = $tD[$p - 1]; $tI[$p] = $tI[$p - 1]; $p--;
+         |      }
+         |      $tD[$p] = $acc; $tI[$p] = $t;
+         |    }
+         |  }
+         |  final double[] $oD = new double[$nprobe];
+         |  final int[] $oI = new int[$nprobe];
+         |  java.util.Arrays.fill($oD, Double.MAX_VALUE);
+         |  java.util.Arrays.fill($oI, -1);
+         |  int $filled = 0;
+         |  for (int $s = 0; $s < $tK; $s++) {
+         |    if ($tI[$s] < 0) continue;
+         |    final double[][] $kids = $kidsRef[$tI[$s]];
+         |    for (int $k = 0; $k < $kids.length; $k++) {
+         |      final double[] $cent = $kids[$k];
+         |      double $acc = 0.0;
+         |      for (int $j = 0; $j < $d; $j++) {
+         |        final double $df = $x[$j] - $cent[$j]; $acc += $df * $df;
+         |      }
+         |      final int $gid = $baseRef[$tI[$s]] + $k;
+         |      int $p = $nprobe - 1;
+         |      if ($acc < $oD[$p] ||
+         |          ($acc == $oD[$p] && $oI[$p] >= 0 && $gid < $oI[$p])) {
+         |        while ($p > 0 && ($acc < $oD[$p - 1] ||
+         |            ($acc == $oD[$p - 1] && $oI[$p - 1] >= 0 && $gid < $oI[$p - 1]))) {
+         |          $oD[$p] = $oD[$p - 1]; $oI[$p] = $oI[$p - 1]; $p--;
+         |        }
+         |        $oD[$p] = $acc; $oI[$p] = $gid;
+         |        if ($filled < $nprobe) $filled++;
+         |      }
+         |    }
+         |  }
+         |  final int[] $res = java.util.Arrays.copyOf($oI, $filled);
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($res);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TwoLevelProbes =
+    copy(child = newChild)
+}

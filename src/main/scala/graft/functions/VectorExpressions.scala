@@ -249,6 +249,13 @@ object VectorFunctions {
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def vector_norm(a: Column): Column =
     ColumnBridge.column(VectorNorm(ColumnBridge.expression(a)))
+  /** Two-level IVF probe list (see [[TwoLevelProbes]]); with
+    * nprobeTop=1, nprobe=1 element 1 is the hierarchical ASSIGNMENT. */
+  def two_level_probes(v: Column, tops: Seq[Seq[Double]],
+                       children: Seq[Seq[Seq[Double]]],
+                       nprobeTop: Int, nprobe: Int): Column =
+    ColumnBridge.column(TwoLevelProbes(ColumnBridge.expression(v),
+      tops, children, nprobeTop, nprobe))
 
   /** Register every graft kernel for SQL + expr() use on a live session
     * (temp functions; `GraftExtensions` is the build-time equivalent).

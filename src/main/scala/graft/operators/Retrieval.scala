@@ -397,17 +397,60 @@ object Retrieval {
   def bm25ApplyDelta(store: Bm25Store, added: DataFrame, idCol: String,
                      textCol: String): Bm25Store = {
     val addP = postingsRaw(added, idCol, textCol)
+    Bm25Store(store.postings.unionByName(addP),
+      mergedDfreq(store.dfreq, addP),
+      mergedStats(store.stats, added, addP))
+  }
+
+  /** df integer adds via one full-outer merge on term — shared by the
+    * logical merge ([[bm25ApplyDelta]]) and the persisted one
+    * ([[mergeBm25StoreAt]]). */
+  private def mergedDfreq(storeDfreq: DataFrame, addP: DataFrame): DataFrame = {
     val addDf = dfreqOf(addP).withColumnRenamed("df", "__adf")
-    val mergedDf = store.dfreq.join(addDf, Seq("term"), "full_outer")
+    storeDfreq.join(addDf, Seq("term"), "full_outer")
       .select(col("term"),
         (coalesce(col("df"), lit(0L)) + coalesce(col("__adf"), lit(0L)))
           .as("df"))
+  }
+
+  /** Global stats integer adds (1-row × 1-row). */
+  private def mergedStats(storeStats: DataFrame, added: DataFrame,
+                          addP: DataFrame): DataFrame = {
     val addStats = corpusStats(added, addP)
       .withColumnRenamed("n_docs", "__an").withColumnRenamed("tot", "__at")
-    val mergedStats = store.stats.crossJoin(broadcast(addStats))
+    storeStats.crossJoin(broadcast(addStats))
       .select((col("n_docs") + col("__an")).as("n_docs"),
         (col("tot") + col("__at")).as("tot"))
-    Bm25Store(store.postings.unionByName(addP), mergedDf, mergedStats)
+  }
+
+  /** Persist [[bm25ApplyDelta]] INTO a written store — the steady-state
+    * ingest path behind the `bm25-index` recipe sink: the batch's
+    * postings APPEND as new term-hashed files (historical postings files
+    * are never read or rewritten — a term's list may span one extra file
+    * per merged batch, the price of append-only ingest), while the two
+    * SMALL components whose values change for existing keys — the
+    * |V|-row df table and the 1-row stats — are recomputed by integer
+    * adds and replaced. Both replacements materialize (localCheckpoint)
+    * BEFORE the overwrite so the write never consumes the directory it
+    * is replacing. Same arriving-batch contract (ids disjoint from the
+    * store) and SINGLE-WRITER contract as every stored index gate
+    * ([[graft.processors.CurationProcessors.DedupGate]]): parquet has no
+    * atomic read-merge-replace, so run one ingest per index; readers are
+    * safe at any point except mid-overwrite of the two small tables.
+    * Merged-on-disk ≡ rebuild-from-scratch is pinned in RetrievalSpec.
+    */
+  def mergeBm25StoreAt(spark: SparkSession, path: String, batch: DataFrame,
+                       idCol: String, textCol: String,
+                       buckets: Int = 16): Unit = {
+    val store = readBm25Store(spark, path)
+    val addP = postingsRaw(batch, idCol, textCol).localCheckpoint()
+    val newDfreq = mergedDfreq(store.dfreq, addP).localCheckpoint()
+    val newStats = mergedStats(store.stats, batch, addP).localCheckpoint()
+    addP.repartition(buckets, col("term"))
+      .write.mode("append").parquet(s"$path/postings")
+    newDfreq.repartition(math.min(buckets, 4), col("term"))
+      .write.mode("overwrite").parquet(s"$path/dfreq")
+    newStats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
   }
 
   /** [[bm25TopK]] against a store: identical scoring expressions over the
@@ -551,8 +594,17 @@ object Retrieval {
     */
   def bm25ScoresStored(store: Bm25Store, queries: DataFrame, idCol: String,
                        qIdCol: String, qTextCol: String,
-                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val qt = queryTerms(queries, qIdCol, qTextCol)
+                       k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    scoresStoredOf(store, queryTerms(queries, qIdCol, qTextCol), idCol, k1, b)
+
+  /** The stored scoring tail over an explicit (q_id, term) set — shared
+    * by [[bm25ScoresStored]] (original query terms) and
+    * [[bm25PrfTopKStored]] (both the feedback pass and the expanded
+    * pass), so every stored spelling scores identical integers through
+    * identical expressions regardless of where its term set came from.
+    */
+  private def scoresStoredOf(store: Bm25Store, qt: DataFrame, idCol: String,
+                             k1: Double, b: Double): DataFrame = {
     val qdf = store.dfreq.join(broadcast(qt.select(col("term")).distinct()),
       Seq("term"), "left_semi")
     val hits = store.postings.join(broadcast(qt), Seq("term"))
@@ -561,5 +613,136 @@ object Retrieval {
       .crossJoin(broadcast(store.stats))
       .withColumn("c", contribExpr(k1, b))
     scoredOf(contrib, idCol)
+  }
+
+  /** [[bm25PrfTopK]] against a written store — BOTH ranking passes and
+    * the expansion mining lean on the store's postings/dfreq/stats
+    * instead of rebuilding the corpus aggregates inside the query (the
+    * shared-scoring-tail discipline that makes inline and stored BM25F
+    * row-identical by construction). Row-identical to the inline PRF:
+    * the store carries the same exact integers (tf, dl, df, N, total)
+    * the inline aggregates compute, and every downstream expression is
+    * shared — pinned in RetrievalSpec, graded by the same oracle.
+    *
+    * Scale shape: pass 1 is the stored-postings scan restricted to
+    * broadcast query terms (the [[bm25TopKStored]] plan — corpus text
+    * never loads); mining joins the |Q|·fbDocs feedback set (broadcast)
+    * against ONE more postings scan to collect the feedback docs' term
+    * frequencies — the only stage that reads non-query-term postings
+    * rows, priced at one scan of an integers-only table; idf for
+    * candidate terms comes from the stored |V|-row dfreq (never
+    * recounted); pass 2 re-runs the same restricted scan with ≤ fbTerms
+    * more broadcast terms.
+    */
+  def bm25PrfTopKStored(store: Bm25Store, queries: DataFrame, idCol: String,
+                        qIdCol: String, qTextCol: String,
+                        fbDocs: Int = 10, fbTerms: Int = 5,
+                        k1: Double = 1.2, b: Double = 0.75,
+                        topK: Int = 10): DataFrame = {
+    val qt = queryTerms(queries, qIdCol, qTextCol)
+    // pass 1 off the store: feedback set
+    val fb = topKOf(scoresStoredOf(store, qt, idCol, k1, b), idCol, fbDocs)
+      .select(col("q_id"), col(idCol))
+    // expansion mining off the store: feedback tf from postings, idf from
+    // the stored df table — same integer weight (fbtf × idf_micro) and
+    // the same (w desc, term asc) tie rule as the inline spelling
+    val idfMicro = store.dfreq
+      .crossJoin(broadcast(store.stats.select(col("n_docs"))))
+      .select(col("term"), round(lit(1e6) *
+        log(((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0))).cast("bigint").as("idf_micro"))
+    val cand = store.postings.join(broadcast(fb), Seq(idCol))
+      .groupBy(col("q_id"), col("term")).agg(sum(col("tf")).as("fbtf"))
+      .join(qt, Seq("q_id", "term"), "left_anti")
+      .join(idfMicro, Seq("term"))
+      .withColumn("w", col("fbtf") * col("idf_micro"))
+    val wExp = Window.partitionBy(col("q_id"))
+      .orderBy(desc("w"), asc("term"))
+    val expansion = cand.withColumn("__rn", row_number().over(wExp))
+      .filter(col("__rn") <= fbTerms)
+      .select(col("q_id"), col("term"))
+    val qt2 = qt.unionByName(expansion).distinct()
+    // pass 2: the same stored scoring tail over the widened term set
+    topKOf(scoresStoredOf(store, qt2, idCol, k1, b), idCol, topK)
+  }
+
+  /** End-to-end dual-encoder training examples: each document's co-chunk
+    * pairs ([[TextAnalysis.coChunkPairs]] — two non-overlapping token
+    * windows, the SimCSE/Contriever positive) composed with BM25 hard
+    * negatives mined from a FROZEN chunk-postings store, own parent doc
+    * excluded — the actual (anchor, positive, negatives) record a
+    * retrieval trainer consumes, built in one operator instead of three
+    * ad-hoc joins.
+    *
+    * Chunk ids pack as id·2^chunkIdBits + chunk (the engine's cid
+    * convention), so the parent-doc exclusion is a shift compare on the
+    * SCORED stream before the ONE bounded top-negK window — never a
+    * rank-all. Scale shape: positives are pure map-side (two slices of
+    * one token array); negative mining is the [[bm25ScoresStored]] plan
+    * (anchor term sets broadcast against stored postings, corpus text
+    * never loads). Each doc's examples depend only on its own text and
+    * the frozen store, so the construction is batch-split invariant —
+    * the streaming spelling
+    * ([[graft.streaming.EventStream.streamingContrastiveExamples]]) is
+    * pinned row-identical in StreamingSpec.
+    *
+    * Returns (idCol, a_chunk, b_chunk, a_text, b_text, neg_rank,
+    * neg_cid, score).
+    */
+  def contrastiveExamples(docs: DataFrame, store: Bm25Store, idCol: String,
+                          textCol: String, size: Int = 16, stride: Int = 8,
+                          negK: Int = 3, chunkIdBits: Int = 20,
+                          storeIdCol: String = "cid",
+                          k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val pairs = TextAnalysis.coChunkPairs(docs, idCol, textCol, size, stride)
+    val anchors = pairs.select(
+      (shiftleft(col(idCol), chunkIdBits) + col("a_chunk")).as("aid"),
+      col("a_text"))
+    val scores = bm25ScoresStored(store, anchors, storeIdCol,
+        "aid", "a_text", k1, b)
+      .filter(shiftright(col(storeIdCol), chunkIdBits) =!=
+        shiftright(col("q_id"), chunkIdBits))
+    val negs = topKOf(scores, storeIdCol, negK, rankName = "neg_rank")
+    pairs.select(
+        (shiftleft(col(idCol), chunkIdBits) + col("a_chunk")).as("q_id"),
+        col(idCol), col("a_chunk"), col("b_chunk"),
+        col("a_text"), col("b_text"))
+      .join(negs, Seq("q_id"))
+      .select(col(idCol), col("a_chunk"), col("b_chunk"),
+        col("a_text"), col("b_text"),
+        col("neg_rank"), col(storeIdCol).as("neg_cid"), col("score"))
+  }
+
+  /** Fold a batch of NEW documents into a FIELDED index — the
+    * [[bm25ApplyDelta]] discipline for [[Bm25fStore]]: postings union
+    * (disjoint ids ⇒ a pure multiset add) and per-field stats integer
+    * adds; whole-doc df needs no merge step because the fielded layout
+    * derives it from the (query-restricted) postings at score time, so
+    * nothing here ever re-reads historical text or re-splits fields.
+    * Associative and batch-split invariant like every incremental gate
+    * in this engine; merged ≡ full rebuild is what the
+    * d_bm25f_incremental oracle hash-checks.
+    */
+  def bm25fApplyDelta(store: Bm25fStore, added: DataFrame, idCol: String,
+                      textCol: String, titleTokens: Int = 8): Bm25fStore = {
+    val add = bm25fComponents(added, idCol, textCol, titleTokens)
+    // n_docs is a CORPUS-level constant duplicated onto every field row
+    // (the avgdl_f denominator counts all docs) — merge it as one, never
+    // per-field: a batch with no tokens in some field (or none at all)
+    // contributes no stats row for it, but its docs still count
+    val mergedN = broadcast(
+      store.stats.agg(coalesce(max(col("n_docs")), lit(0L)).as("__sn"))
+        .crossJoin(added.agg(count(lit(1)).as("__an"))))
+    val addTot = add.stats.select(col("f"),
+      col("tot_f").as("__at"))
+    val mergedStats = store.stats.select(col("f"), col("tot_f"))
+      .join(broadcast(addTot), Seq("f"), "full_outer")
+      .select(col("f"),
+        (coalesce(col("tot_f"), lit(0L)) + coalesce(col("__at"), lit(0L)))
+          .as("tot_f"))
+      .crossJoin(mergedN)
+      .select(col("f"), (col("__sn") + col("__an")).as("n_docs"),
+        col("tot_f"))
+    Bm25fStore(store.postings.unionByName(add.postings), mergedStats)
   }
 }

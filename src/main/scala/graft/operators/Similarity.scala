@@ -823,6 +823,250 @@ object Similarity {
     coarse
   }
 
+  /** A hierarchical (two-level) coarse codebook: `tops(t)` is the
+    * top-level cell centroid, `children(t)` its fine centroids; the
+    * GLOBAL centroid id of child k of top t is `base(t) + k` — the same
+    * id space a flat codebook of `size` entries would use, so the
+    * physical layout ([[writeIvfStoreTwoLevel]]) is indistinguishable
+    * from a flat store on disk. This is the scale regime past the flat
+    * clamp ([[autoCodebookSize]]'s cMax=4096): a flat C-entry codebook
+    * costs O(C·d) per assigned row, so once C tracks √N past the clamp
+    * the assignment pass itself goes super-linear; the two-level
+    * decomposition (T≈√C tops, each owning ≈√C children) makes per-row
+    * assignment O(2√C·d) — flat-per-row growth — while sumsq = Σ|m|²
+    * keeps riding the N^1.5 track because C keeps tracking √N unclamped.
+    */
+  final case class TwoLevelCodebook(tops: Seq[Seq[Double]],
+                                    children: Seq[Seq[Seq[Double]]]) {
+    require(tops.size == children.size,
+      s"one child list per top: ${tops.size} vs ${children.size}")
+    val base: Seq[Int] = children.map(_.size).scanLeft(0)(_ + _).init
+    def size: Int = children.map(_.size).sum
+    /** All children in global-id order — the flat-codebook view. */
+    def flat: Seq[Seq[Double]] = children.flatten
+  }
+
+  /** The two-level ASSIGNMENT column: nearest top, then nearest of that
+    * top's children, as a GLOBAL child id — one codegen'd kernel pass
+    * ([[graft.functions.TwoLevelProbes]] at nprobeTop=1, nprobe=1), no
+    * join, no shuffle. Expects a unit-normalized vector column.
+    */
+  private def twoLevelAssignExpr(u: Column, cb: TwoLevelCodebook): Column =
+    element_at(graft.functions.VectorFunctions.two_level_probes(
+      u, cb.tops, cb.children, 1, 1), 1)
+
+  /** Auto-sized TWO-LEVEL coarse codebook — [[autoCoarseCodebook]]'s
+    * C = √N policy continued past the flat clamp. Four bounded steps:
+    *
+    *  1. SIZE: C = [[autoCodebookSize]](count) with a far wider clamp
+    *     (default cMax=65536 ⇒ √N sizing holds to ~4.3B vectors; past
+    *     that the child collect below — C·d doubles — should itself go
+    *     distributed). T = ⌈√C⌉ top cells, ⌈C/T⌉ children each.
+    *  2. SEED TOPS: T candidates by the same hash-stride-over-ids rule
+    *     as the flat path (shard/replica-robust), deduplicated so no
+    *     top cell can be empty (every top is a corpus vector and
+    *     re-assigns to itself once duplicates collapse).
+    *  3. SEED CHILDREN: one top-assignment pass (the kernel with the
+    *     top itself as its only child — O(T·d) per row); within each
+    *     cell the first ⌈C/T⌉ members by (xxhash64(id), id) become its
+    *     children — hash order, never id-prefix order, for the same
+    *     sharding reason as step 2. Cells smaller than the quota
+    *     contribute all their members.
+    *  4. SPLIT: one two-level assignment pass; every CHILD cluster
+    *     holding more than `maxSharePct` of rows (and more than one
+    *     member) contributes its farthest member as an extra child of
+    *     the same top — the share audit the ScaleProbe prints, applied
+    *     at the level that owns the data.
+    *
+    * Driver traffic is C-bounded throughout; the corpus is scanned
+    * twice after the count (child seeding, split audit). Deterministic:
+    * same corpus → same codebook.
+    */
+  def autoTwoLevelCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+                           cMin: Int = 8, cMax: Int = 65536,
+                           maxSharePct: Double = 5.0): TwoLevelCodebook = {
+    import graft.functions.VectorFunctions.l2_squared
+    val n = corpus.count()
+    val c = autoCodebookSize(n, cMin, cMax)
+    val tTarget = math.ceil(math.sqrt(c.toDouble)).toInt
+    val kidsPerTop = math.max(1, math.ceil(c.toDouble / tTarget).toInt)
+    val unit = normalized(corpus.select(col(idCol).as("__id"),
+      col(vecCol).cast("array<double>").as("__u")), "__u")
+    val stride = math.max(1L, n / math.max(tTarget, 1))
+    val strided = unit
+      .filter(pmod(xxhash64(col("__id")), lit(stride)) === 0)
+      .orderBy(col("__id")).limit(tTarget)
+      .select(col("__u")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val seeded =
+      if (strided.size >= math.min(tTarget.toLong, n).toInt) strided
+      else unit.orderBy(col("__id")).limit(tTarget)
+        .select(col("__u")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val tops = seeded.distinct
+    if (tops.isEmpty) return TwoLevelCodebook(Nil, Nil)
+    // step 3: top assignment (each top owning itself as the only child ⇒
+    // the kernel IS the flat argmin over tops), then per-cell hash-order
+    // child quota — the collect is ≤ C rows by construction
+    val topAssigned = unit.withColumn("__top",
+      element_at(graft.functions.VectorFunctions.two_level_probes(
+        col("__u"), tops, tops.map(Seq(_)), 1, 1), 1))
+    val wKid = Window.partitionBy(col("__top"))
+      .orderBy(xxhash64(col("__id")), col("__id"))
+    val kidRows = topAssigned.withColumn("__rn", row_number().over(wKid))
+      .filter(col("__rn") <= kidsPerTop)
+      .select(col("__top"), col("__rn"), col("__u"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+    val byTop = kidRows.groupBy(_._1)
+    val children0 = tops.indices.map(t =>
+      byTop.getOrElse(t, Array.empty[(Int, Int, Seq[Double])])
+        .sortBy(_._2).map(_._3).distinct.toSeq)
+    val cb0 = TwoLevelCodebook(tops, children0)
+    // step 4: child-level share audit + split (the autoCoarseCodebook
+    // round, one level down)
+    val assigned = unit.withColumn("centroid_id",
+      twoLevelAssignExpr(col("__u"), cb0))
+    val counts = assigned.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("m")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val flagged = counts.filter { case (_, m) =>
+      m > 1 && 100.0 * m / math.max(n, 1L) > maxSharePct }.keys.toSeq.sorted
+    if (flagged.isEmpty) cb0
+    else {
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      val gidToSeed = flagged.map { gid =>
+        val t = cb0.base.lastIndexWhere(_ <= gid)
+        (gid, t, cb0.children(t)(gid - cb0.base(t)))
+      }
+      val seedDf = gidToSeed.map { case (g, _, s) => (g, s) }
+        .toDF("centroid_id", "__seed")
+      val w = Window.partitionBy(col("centroid_id"))
+        .orderBy(desc("__d"), asc("__id"))
+      val extra = assigned.filter(col("centroid_id").isInCollection(flagged))
+        .join(broadcast(seedDf), Seq("centroid_id"))
+        .withColumn("__d", l2_squared(col("__u"), col("__seed")))
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .orderBy(col("centroid_id"))
+        .select(col("centroid_id"), col("__u")).collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
+      // append each split vector to ITS top's child list, skipping any
+      // that would duplicate an existing child of that top
+      val extrasByTop = extra.map { case (gid, v) =>
+        (cb0.base.lastIndexWhere(_ <= gid), v)
+      }.groupBy(_._1)
+      val children = tops.indices.map { t =>
+        val cur = children0(t)
+        cur ++ extrasByTop.getOrElse(t, Array.empty[(Int, Seq[Double])])
+          .map(_._2).filterNot(cur.contains).distinct
+      }
+      TwoLevelCodebook(tops, children)
+    }
+  }
+
+  /** Physical IVF layout under a TWO-LEVEL codebook: identical directory
+    * shape to [[writeIvfStore]] (`centroid_id=` partitions keyed by the
+    * GLOBAL child id), only the assignment differs — one codegen'd
+    * two-level kernel pass instead of C literal distance expressions, so
+    * ingest cost per row is O(2√C·d) however large C grows.
+    */
+  def writeIvfStoreTwoLevel(corpus: DataFrame, idCol: String, vecCol: String,
+                            cb: TwoLevelCodebook, path: String): Unit = {
+    val unit = normalized(
+      corpus.select(col(idCol), col(vecCol),
+        col(vecCol).cast("array<double>").as("__u")), "__u")
+    unit.withColumn("centroid_id", twoLevelAssignExpr(col("__u"), cb))
+      .select(col(idCol), col(vecCol), col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+  }
+
+  /** [[writeIvfStoreTwoLevel]] with the codebook auto-sized
+    * ([[autoTwoLevelCodebook]]) — the `writeIvfStoreAuto` spelling for
+    * the past-the-clamp regime; returns the frozen codebook for the
+    * probe side (the [[readVectorStore]] pairing discipline).
+    */
+  def writeIvfStoreTwoLevelAuto(corpus: DataFrame, idCol: String,
+                                vecCol: String, path: String,
+                                cMin: Int = 8, cMax: Int = 65536,
+                                maxSharePct: Double = 5.0): TwoLevelCodebook = {
+    val cb = autoTwoLevelCodebook(corpus, idCol, vecCol, cMin, cMax,
+      maxSharePct)
+    writeIvfStoreTwoLevel(corpus, idCol, vecCol, cb, path)
+    cb
+  }
+
+  /** [[ivfTopKStored]] against a two-level layout: each query's probe
+    * list is the `nprobe` nearest CHILDREN within its `nprobeTop`
+    * nearest tops (one kernel pass, broadcast with the query), the
+    * equi-join on the global child id drives the same DPP directory
+    * pruning, and the exact-cosine tail is unchanged. Returns
+    * (q_id, c_id, rank, sim); ties by candidate id.
+    */
+  def ivfTopKStoredTwoLevel(store: DataFrame, queries: DataFrame,
+                            idCol: String, vecCol: String, k: Int,
+                            cb: TwoLevelCodebook, nprobeTop: Int = 2,
+                            nprobe: Int = 3): DataFrame = {
+    import graft.functions.VectorFunctions.{dot_product, vector_norm}
+    val q = normalized(
+      queries.select(col(idCol).as("q_id"),
+        col(vecCol).cast("array<double>").as("q_vec"),
+        col(vecCol).cast("array<double>").as("__q_unit")),
+      "__q_unit")
+    val probes = graft.functions.VectorFunctions.two_level_probes(
+      col("__q_unit"), cb.tops, cb.children, nprobeTop, nprobe)
+    val qb = q.withColumn("centroid_id", explode(probes))
+      .drop("__q_unit")
+    val c = store.select(col(idCol).as("c_id"),
+        col(vecCol).cast("array<double>").as("c_vec"),
+        col("centroid_id").cast("int").as("centroid_id"))
+      .withColumn("c_norm", vector_norm(col("c_vec")))
+    val scored = c.join(broadcast(qb), Seq("centroid_id"))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("sim", try_divide(dot_product(col("q_vec"), col("c_vec")),
+        vector_norm(col("q_vec")) * col("c_norm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("rank"), round(col("sim"), 4).as("sim"))
+  }
+
+  /** [[ivfSelfTopK]] against a two-level layout — the past-the-clamp
+    * mutual-kNN feeder: every row's probe list comes from ONE map-side
+    * kernel pass (O(2√C·d), vs the flat feeder's O(C·d) literal array
+    * that IS the documented wall past cMax), the (row, probe) pairs meet
+    * the store in the same shuffle equi-join on the global child id, and
+    * the symmetrize + WindowGroupLimit tail is identical.
+    */
+  def ivfSelfTopKTwoLevel(store: DataFrame, idCol: String, vecCol: String,
+                          k: Int, cb: TwoLevelCodebook, nprobeTop: Int = 2,
+                          nprobe: Int = 3): DataFrame = {
+    import graft.functions.VectorFunctions.{dot_product, vector_norm}
+    val q = normalized(
+      store.select(col(idCol).as("q_id"),
+        col(vecCol).cast("array<double>").as("q_vec"),
+        col(vecCol).cast("array<double>").as("__q_unit")),
+      "__q_unit")
+    val probes = graft.functions.VectorFunctions.two_level_probes(
+      col("__q_unit"), cb.tops, cb.children, nprobeTop, nprobe)
+    val qb = q.withColumn("centroid_id", explode(probes))
+      .withColumn("q_norm", vector_norm(col("q_vec")))
+      .drop("__q_unit")
+    val c = store.select(col(idCol).as("c_id"),
+        col(vecCol).cast("array<double>").as("c_vec"),
+        col("centroid_id").cast("int").as("centroid_id"))
+      .withColumn("c_norm", vector_norm(col("c_vec")))
+    val scored = c.join(qb, Seq("centroid_id"))
+      .filter(col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"),
+        try_divide(dot_product(col("q_vec"), col("c_vec")),
+          col("q_norm") * col("c_norm")).as("sim"))
+    val sym = scored.unionAll(scored.select(col("c_id").as("q_id"),
+        col("q_id").as("c_id"), col("sim")))
+      .dropDuplicates("q_id", "c_id")
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("c_id"))
+    sym.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("rank"), round(col("sim"), 4).as("sim"))
+  }
+
   /** Physical IVF layout: the corpus written ONCE partitioned by coarse
     * centroid id (assignment on unit vectors — L2-nearest among unit
     * vectors is cosine-nearest, seeds must be unit too). With this

@@ -389,6 +389,57 @@ class StencilSink(poster: HttpPoster = JdkHttpPoster) extends SinkPlugin {
   }
 }
 
+/** bm25-index: terminal write of the incoming rows into the engine's
+  * stored BM25 postings layout ([[graft.operators.Retrieval.Bm25Store]])
+  * — the retrieval-index sibling of the fingerprint/LSH indexes the
+  * curation gates build, so a YAML recipe can displace index building to
+  * ingest (`documents → gates → bm25-index`, then every query scores the
+  * frozen store). First batch at an empty `index_path` builds the store;
+  * later batches FOLD IN via [[graft.operators.Retrieval.mergeBm25StoreAt]]
+  * (postings append, df/stats integer adds — historical text is never
+  * re-read), so the indexed corpus only ever widens.
+  *
+  * Concurrency contract: the index is SINGLE-WRITER, like
+  * [[graft.processors.CurationProcessors.DedupGate]] — the merge is a
+  * read-then-replace of the two small stats tables with no atomic
+  * check-and-swap on a parquet directory, so run one ingest recipe per
+  * index. Batches must carry ids DISJOINT from the store (the
+  * arriving-batch contract every incremental gate shares); chain a
+  * `dedup-gate` upstream when re-deliveries are possible.
+  */
+object Bm25IndexSink extends SinkPlugin {
+  val info: PluginInfo = PluginInfo("bm25-index",
+    "Build or incrementally extend a stored BM25 postings index from the incoming rows",
+    sampleConfig =
+      """index_path: /indexes/bm25
+        |id_column: doc_id
+        |text_column: text
+        |buckets: 16""".stripMargin,
+    tags = Seq("sink", "curation", "retrieval"))
+
+  override def validate(config: Map[String, Any]): Seq[InvalidConfigError] =
+    requireKeys(config, "index_path")
+
+  def sink(df: DataFrame, config: Map[String, Any]): Long = {
+    val spark = df.sparkSession
+    val path = config("index_path").toString
+    val idc = config.getOrElse("id_column", "doc_id").toString
+    val tc = config.getOrElse("text_column", "text").toString
+    val buckets = config.getOrElse("buckets", 16).toString.toInt
+    // one materialization serves the count and both index aggregates
+    val batch = df.localCheckpoint()
+    val n = batch.count()
+    // the stats table is written last on both paths, so its _SUCCESS
+    // marker is the store's commit signal (the indexExists discipline)
+    if (graft.processors.CurationProcessors.indexExists(spark, s"$path/stats"))
+      graft.operators.Retrieval.mergeBm25StoreAt(spark, path, batch,
+        idc, tc, buckets)
+    else
+      graft.operators.Retrieval.writeBm25Store(batch, idc, tc, path, buckets)
+    n
+  }
+}
+
 object Populate {
   def register(r: Registry[SinkPlugin]): Unit = {
     r.register(ConsoleSink)
@@ -397,5 +448,7 @@ object Populate {
     r.register(KafkaSink)
     r.register(new CompassSink())
     r.register(new StencilSink())
+    // project addition on the same SPI: retrieval-index ingest
+    r.register(Bm25IndexSink)
   }
 }

@@ -671,4 +671,25 @@ object EventStream {
         onBatch(graft.operators.Retrieval.bm25TopKStored(
           store, batch.toDF(), idCol, qIdCol, qTextCol, k1, b, topK))
     }
+
+  /** Streaming contrastive-example construction against a FROZEN chunk
+    * postings store — documents arrive as a stream, each micro-batch
+    * emits its docs' (anchor co-chunk, positive co-chunk, mined
+    * negatives) records via
+    * [[graft.operators.Retrieval.contrastiveExamples]]. Every doc's
+    * examples depend only on its own text and the static store (the
+    * [[streamingBm25TopK]] shape), so accumulated stream output is
+    * bit-equal to one batch run under ANY micro-batching — pinned in
+    * StreamingSpec.
+    */
+  def streamingContrastiveExamples(docs: DataFrame, idCol: String,
+      textCol: String, store: graft.operators.Retrieval.Bm25Store,
+      size: Int = 16, stride: Int = 8, negK: Int = 3,
+      chunkIdBits: Int = 20)(onBatch: DataFrame => Unit) =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        onBatch(graft.operators.Retrieval.contrastiveExamples(
+          batch.toDF(), store, idCol, textCol, size, stride, negK,
+          chunkIdBits))
+    }
 }

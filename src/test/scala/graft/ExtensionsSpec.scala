@@ -35,6 +35,52 @@ class VectorKernelSpec extends SparkSpec {
     assert(d == 8.0)
   }
 
+  test("two-level probe kernel: one top owning all children IS the flat argmin") {
+    // the degenerate theorem that anchors the hierarchy to the flat
+    // codebook: with a single top every child is visited, so the probe
+    // list must equal the flat (distance, index) ranking exactly
+    val kids = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(0.6, 0.8), Seq(-1.0, 0.0))
+    val df = Seq(Tuple1(Array(0.5, 0.9))).toDF("v")
+    val got = df.select(VectorFunctions.two_level_probes(col("v"),
+      Seq(Seq(0.0, 0.0)), Seq(kids), 1, 4)).collect()(0).getSeq[Int](0)
+    val flat = kids.zipWithIndex.map { case (c, i) =>
+      (c.zip(Seq(0.5, 0.9)).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+    }.sortBy(identity).map(_._2)
+    assert(got == flat, s"got $got, flat $flat")
+  }
+
+  test("two-level probe kernel: hierarchy, ties, truncation, null safety") {
+    // tops split the plane; the query's nearest top is t0, so its
+    // assignment must be a CHILD OF t0 even though t1's child is
+    // globally closer in one configuration — the approximation the
+    // recall gate prices
+    val tops = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val kids = Seq(
+      Seq(Seq(1.0, 0.0), Seq(0.9, 0.1)),  // gids 0, 1
+      Seq(Seq(0.9, 0.32)))                // gid 2 (globally nearest below)
+    val df = Seq(Tuple1(Array(0.9, 0.3))).toDF("v")
+    val assign = df.select(element_at(VectorFunctions.two_level_probes(
+      col("v"), tops, kids, 1, 1), 1)).collect()(0).getInt(0)
+    assert(assign == 1, s"nearest top is t0, so assignment must stay in t0: $assign")
+    // with both tops probed the global child order wins
+    val both = df.select(VectorFunctions.two_level_probes(
+      col("v"), tops, kids, 2, 3)).collect()(0).getSeq[Int](0)
+    assert(both == Seq(2, 1, 0), both.toString)
+    // identical children tie to the LOWEST global id
+    val dup = df.select(VectorFunctions.two_level_probes(
+      col("v"), Seq(Seq(0.0, 0.0)),
+      Seq(Seq(Seq(0.6, 0.8), Seq(0.6, 0.8))), 1, 2)).collect()(0).getSeq[Int](0)
+    assert(dup == Seq(0, 1), dup.toString)
+    // fewer children than nprobe → truncated, never padded
+    val short = df.select(VectorFunctions.two_level_probes(
+      col("v"), tops, kids, 1, 5)).collect()(0).getSeq[Int](0)
+    assert(short == Seq(1, 0), short.toString)
+    // dimension mismatch and null input yield null
+    val bad = Seq(Tuple1(Array(1.0, 2.0, 3.0))).toDF("v")
+      .select(VectorFunctions.two_level_probes(col("v"), tops, kids, 1, 1))
+    assert(bad.collect()(0).isNullAt(0))
+  }
+
   test("kernels are registered for SQL use") {
     VectorFunctions.register(spark)
     val r = spark.sql(
@@ -1655,6 +1701,41 @@ class StreamingSpec extends SparkSpec {
         .foreach { c => mem.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
       val batch = Retrieval.bm25TopKStored(store, queries,
         "doc_id", "doc_id", "text").collect().map(_.toSeq)
+      assert(batch.nonEmpty && got.toSet == batch.toSet)
+      assert(got.size == batch.length)
+    } finally q.stop()
+  }
+
+  test("streaming contrastive examples over frozen postings equal the " +
+      "batch operator, any batching") {
+    // chunk postings frozen on the sf0.001 corpus; documents stream in
+    // uneven micro-batches — accumulated (anchor, positive, negatives)
+    // records must equal one batch contrastiveExamples run (each doc's
+    // examples depend only on its own text and the static store)
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Retrieval, TextAnalysis}
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val chunks = TextAnalysis.slidingChunks(docs, "doc_id", "text",
+        size = 16, stride = 8)
+      .select((shiftleft(col("doc_id"), 20) + col("chunk_id")).as("cid"),
+        col("chunk_text"))
+    val path = java.nio.file.Files
+      .createTempDirectory("contrastream").toString
+    Retrieval.writeBm25Store(chunks, "cid", "chunk_text", path, buckets = 4)
+    val store = Retrieval.readBm25Store(spark, path)
+    val anchors = docs.filter(col("doc_id") < 5)
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    val q = EventStream.streamingContrastiveExamples(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text", store) {
+      out => got ++= out.collect().map(_.toSeq)
+    }.start()
+    try {
+      anchors.as[(Long, String)].collect().grouped(2)
+        .foreach { c => mem.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+      val batch = Retrieval.contrastiveExamples(anchors, store,
+        "doc_id", "text").collect().map(_.toSeq)
       assert(batch.nonEmpty && got.toSet == batch.toSet)
       assert(got.size == batch.length)
     } finally q.stop()

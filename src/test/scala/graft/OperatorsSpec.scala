@@ -1464,6 +1464,38 @@ class RecallSpec extends SparkSpec {
     assert(stored.forall { case (a, b) => a < b })
   }
 
+  test("two-level auto codebook mutual-kNN reciprocal-pair recall vs brute force") {
+    assume(new java.io.File(dir).isDirectory)
+    // the hierarchical sizing path under the SAME recall gate as the
+    // flat auto codebook above: autoTwoLevelCodebook seeds T = ceil(sqrt C)
+    // tops by hash-stride and quotas each cell's children, assignment
+    // and probes run through the codegen'd two-level kernel, and the
+    // probed fraction is held at the 8-seed baseline's 3/8 (nprobe over
+    // the children within half the tops) — the top-level restriction is
+    // exactly the approximation this gate prices
+    val emb = Tables(spark, dir, "embeddings")
+    val cb = Similarity.autoTwoLevelCodebook(emb, "vec_id", "embedding")
+    assert(cb.size >= 8 && cb.tops.size >= 2,
+      s"expected a real hierarchy, got ${cb.tops.size} tops / ${cb.size}")
+    val nprobeTop = math.max(2, math.ceil(cb.tops.size / 2.0).toInt)
+    val nprobe = math.max(3, math.ceil(cb.size * 3.0 / 8).toInt)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_twolevel_store").toString
+    Similarity.writeIvfStoreTwoLevel(emb, "vec_id", "embedding", cb, path)
+    val stored = Similarity.mutualTopK(
+        Similarity.ivfSelfTopKTwoLevel(spark.read.parquet(path), "vec_id",
+          "embedding", k = 5, cb, nprobeTop = nprobeTop, nprobe = nprobe))
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    val truth = SparkEntry.queries("s_mutual_knn")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    val recall = truth.intersect(stored).size.toDouble / truth.size
+    assert(recall >= 0.7,
+      s"two-level mutual-kNN pair recall degenerated: $recall " +
+        s"(truth ${truth.size}, stored ${stored.size}, C=${cb.size}, " +
+        s"T=${cb.tops.size}, nprobeTop=$nprobeTop, nprobe=$nprobe)")
+    assert(stored.forall { case (a, b) => a < b })
+  }
+
   test("Matryoshka half-dim SHORTLIST contains the full-dim top-5 (recall >= 0.9)") {
     assume(new java.io.File(dir).isDirectory)
     import org.apache.spark.sql.functions._
@@ -2049,6 +2081,38 @@ class RetrievalSpec extends SparkSpec {
     assert(rows(merged.stats) ==
       rows(Retrieval.corpusStats(docs,
         Retrieval.postingsRaw(docs, "doc_id", "text"))))
+  }
+
+  test("mergeBm25StoreAt persists a merge identical to a from-scratch store") {
+    // the bm25-index sink's steady-state path: store on disk holds docs
+    // < 250, the >= 250 batch merges IN PLACE (postings append, df/stats
+    // replaced) — re-reading the directory afterwards must equal a
+    // rebuild on the full corpus, component by component, and the stored
+    // ranking must equal the inline one
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val path = java.nio.file.Files
+      .createTempDirectory("bm25mergeat").toString
+    Retrieval.writeBm25Store(docs.filter(col("doc_id") < 250),
+      "doc_id", "text", path, buckets = 4)
+    Retrieval.mergeBm25StoreAt(spark, path,
+      docs.filter(col("doc_id") >= 250), "doc_id", "text", buckets = 4)
+    val merged = Retrieval.readBm25Store(spark, path)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(merged.postings) ==
+      rows(Retrieval.postingsRaw(docs, "doc_id", "text")))
+    assert(rows(merged.dfreq) ==
+      rows(Retrieval.dfreqOf(Retrieval.postingsRaw(docs, "doc_id", "text"))))
+    assert(rows(merged.stats) ==
+      rows(Retrieval.corpusStats(docs,
+        Retrieval.postingsRaw(docs, "doc_id", "text"))))
+    val queries = docs.filter(col("doc_id") < 5)
+    val stored = Retrieval.bm25TopKStored(merged, queries,
+      "doc_id", "doc_id", "text").collect().map(_.toSeq).toSet
+    val inline = Retrieval.bm25TopK(docs, queries,
+      "doc_id", "text", "doc_id", "text").collect().map(_.toSeq).toSet
+    assert(stored.nonEmpty && stored == inline)
   }
 }
 
@@ -3744,6 +3808,48 @@ class AutoCodebookSpec extends SparkSpec {
     assert(hist.max.toDouble / hist.sum <= 0.5,
       s"degenerate clustering: ${hist.mkString(",")}")
   }
+
+  test("autoTwoLevelCodebook is deterministic, unit-normal, and sqrt-shaped") {
+    val docs = synth(120)
+    val a = Similarity.autoTwoLevelCodebook(docs, "vec_id", "embedding")
+    val b = Similarity.autoTwoLevelCodebook(docs, "vec_id", "embedding")
+    assert(a == b, "same corpus must freeze the same codebook")
+    // C = sqrt(120) -> 11; T = ceil(sqrt 11) = 4 tops, quota 3 each
+    assert(a.tops.size >= 2 && a.tops.size <= 6, s"T=${a.tops.size}")
+    assert(a.size >= 8, s"total children ${a.size}")
+    (a.tops ++ a.flat).foreach { s =>
+      val norm = math.sqrt(s.map(x => x * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-9, s"centroid not unit: $norm")
+    }
+    // global ids are contiguous: base offsets prefix-sum the child counts
+    assert(a.base == a.children.map(_.size).scanLeft(0)(_ + _).init)
+  }
+
+  test("writeIvfStoreTwoLevelAuto layout serves every row through the kernel probes") {
+    val docs = synth(90)
+    val path = java.nio.file.Files.createTempDirectory("ivf2auto").toString
+    val cb = Similarity.writeIvfStoreTwoLevelAuto(docs, "vec_id", "embedding",
+      path)
+    val out = Similarity.ivfSelfTopKTwoLevel(spark.read.parquet(path),
+      "vec_id", "embedding", k = 3, cb, nprobeTop = 2, nprobe = 2)
+    val byQ = out.collect().groupBy(_.getLong(0))
+    assert(byQ.size == 90, s"every vector needs a neighbor list: ${byQ.size}")
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length <= 3 && rs.nonEmpty, s"query $q got ${rs.length}")
+    }
+    // stored centroid ids live in the codebook's global id space, more
+    // than one top cell is populated, and no child cluster degenerates
+    val hist = spark.read.parquet(path).groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("m")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+    assert(hist.forall { case (g, _) => g >= 0 && g < cb.size }, hist.mkString(","))
+    val topsHit = hist.map { case (g, _) =>
+      cb.base.lastIndexWhere(_ <= g) }.distinct
+    assert(topsHit.size > 1, s"hierarchy collapsed to one top: $topsHit")
+    val ms = hist.map(_._2)
+    assert(ms.max.toDouble / ms.sum <= 0.5,
+      s"degenerate clustering: ${hist.mkString(",")}")
+  }
 }
 
 class CertificatesAtBenchSfSpec extends SparkSpec {
@@ -3853,6 +3959,76 @@ class Bm25FieldedSpec extends SparkSpec {
     assert(prf.contains(4L),
       s"expansion must pull in the ponds-only doc: got $prf")
     assert(!prf.contains(5L), "unrelated doc must stay out")
+  }
+
+  test("prf stored spelling is row-identical to the inline build") {
+    // the graded shape on real data: first five sf0.001 docs as queries,
+    // both PRF passes (feedback ranking, expansion mining, re-score) off
+    // the written store must reproduce the inline spelling bit-for-bit —
+    // same integers (tf/dl/df/N/tot), same expressions, same tie rules
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val queries = docs.filter(col("doc_id") < 5)
+    val path = java.nio.file.Files
+      .createTempDirectory("bm25prfstore").toString
+    Retrieval.writeBm25Store(docs, "doc_id", "text", path, buckets = 4)
+    val store = Retrieval.readBm25Store(spark, path)
+    val inline = Retrieval.bm25PrfTopK(docs, queries,
+      "doc_id", "text", "doc_id", "text").collect().map(_.toSeq).toSet
+    val stored = Retrieval.bm25PrfTopKStored(store, queries,
+      "doc_id", "doc_id", "text").collect().map(_.toSeq).toSet
+    assert(inline.nonEmpty && inline == stored)
+  }
+
+  test("bm25fApplyDelta merges a batch to exactly the rebuilt fielded index") {
+    // store = docs < 250, batch = docs >= 250: merged postings and stats
+    // must equal a from-scratch fielded build on the full corpus, and the
+    // stored ranking over the merged components must equal the inline
+    // full-corpus ranking (the d_bm25_incremental discipline, fielded)
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val path = java.nio.file.Files
+      .createTempDirectory("bm25fdelta").toString
+    Retrieval.writeBm25fStore(docs.filter(col("doc_id") < 250),
+      "doc_id", "text", path, titleTokens = 8, buckets = 4)
+    val merged = Retrieval.bm25fApplyDelta(
+      Retrieval.readBm25fStore(spark, path),
+      docs.filter(col("doc_id") >= 250), "doc_id", "text", titleTokens = 8)
+    val fullPath = java.nio.file.Files
+      .createTempDirectory("bm25ffull").toString
+    Retrieval.writeBm25fStore(docs, "doc_id", "text", fullPath,
+      titleTokens = 8, buckets = 4)
+    val rebuilt = Retrieval.readBm25fStore(spark, fullPath)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(merged.postings) == rows(rebuilt.postings))
+    assert(rows(merged.stats) == rows(rebuilt.stats))
+    val queries = docs.filter(col("doc_id") < 5)
+    val viaMerged = Retrieval.bm25fTopKStored(merged, queries,
+      "doc_id", "doc_id", "text").collect().map(_.toSeq).toSet
+    val viaInline = Retrieval.bm25fTopK(docs, queries,
+      "doc_id", "text", "doc_id", "text").collect().map(_.toSeq).toSet
+    assert(viaMerged.nonEmpty && viaMerged == viaInline)
+  }
+
+  test("bm25fApplyDelta counts batch docs even when a field gets no tokens") {
+    // a batch of 1-token docs contributes nothing to the body field (and
+    // a zero-token doc nothing at all), but n_docs — the avgdl_f
+    // denominator — must still grow by the FULL batch size on EVERY
+    // field row, exactly as a rebuild would count them
+    val base = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma")).toDF("doc_id", "text")
+    val batch = Seq((3L, "solo"), (4L, "   ")).toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("bm25fshort").toString
+    Retrieval.writeBm25fStore(base, "doc_id", "text", path)
+    val merged = Retrieval.bm25fApplyDelta(
+      Retrieval.readBm25fStore(spark, path), batch, "doc_id", "text")
+    val got = merged.stats.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // rebuild on the combined corpus: 4 docs; title tokens 8+3+1 = 12
+    // (title window = 8), body tokens 2+0+0 = 2
+    assert(got == Set(("t", 4L, 12L), ("b", 4L, 2L)), got.toString)
   }
 }
 

@@ -100,6 +100,44 @@ class PlanAuditSpec extends SparkSpec {
       l.contains("documents.parquet") && !l.contains("LessThan(doc_id,5)")), inline)
   }
 
+  test("fielded incremental merge never re-scans the historical corpus") {
+    // the d_bm25f_incremental scale claim: the < 250 slice lives ONLY in
+    // the written fielded store, so the merged-store query's documents
+    // scans are the arriving batch (>= 250) and the 5-row query side —
+    // no historical re-tokenize, no field re-split
+    val p = plan(SparkEntry.queries("d_bm25f_incremental")(spark, dir))
+    assert(p.contains("graft_bm25f"), p)
+    assert(!p.contains("LessThan(doc_id,250)"), p)
+    assert(p.contains("GreaterThanOrEqual(doc_id,250)"), p)
+  }
+
+  test("stored PRF: both passes and the mining read postings, not corpus text") {
+    // every documents.parquet scan in the stored-PRF plan is the pushed
+    // 5-row query side; feedback tf and candidate idf come from the
+    // store's postings/dfreq integers (the inline twin re-tokenizes the
+    // whole corpus)
+    val p = plan(SparkEntry.queries("d_bm25_prf_stored")(spark, dir))
+    assert(p.contains("graft_bm25"), p)
+    val docScans = p.linesIterator.filter(_.contains("documents.parquet")).toList
+    assert(docScans.nonEmpty && docScans.forall(_.contains("LessThan(doc_id,5)")), p)
+    val inline = plan(SparkEntry.queries("d_bm25_prf")(spark, dir))
+    assert(inline.linesIterator.exists(l =>
+      l.contains("documents.parquet") && !l.contains("LessThan(doc_id,5)")), inline)
+  }
+
+  test("contrastive examples: negatives come from the store, anchors from the 5-row side") {
+    // the composed training-example row keeps the stored-index shape:
+    // chunk postings parquet supplies every negative candidate, and the
+    // only text scans are the pushed doc_id < 5 anchor side
+    val p = plan(SparkEntry.queries("d_contrastive_examples")(spark, dir))
+    assert(p.contains("graft_bm25chunks"), p)
+    val docScans = p.linesIterator.filter(_.contains("documents.parquet")).toList
+    assert(docScans.nonEmpty && docScans.forall(_.contains("LessThan(doc_id,5)")), p)
+    // the only nested-loop joins are the BM25 family's documented 1-row
+    // stats broadcasts (PLANS.md legend) — never a data-sized cross
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("bucketed fact join: per-order rollup and merge join run with zero exchanges") {
     val df = SparkEntry.queries("q_bucketed_join")(spark, dir)
     val p = plan(df)

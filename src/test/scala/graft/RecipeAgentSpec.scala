@@ -326,6 +326,50 @@ class AgentSpec extends SparkSpec {
     assert(Registries.processors.list.map(_.name).contains("chunk"))
   }
 
+  test("bm25-index recipe: builds the stored postings, merges later " +
+      "batches, and a query batch scores against it") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    val docsDir = Files.createTempDirectory("bidocs")
+    val idx = Files.createTempDirectory("biidx").resolve("bm25").toString
+    val b1 = Seq(
+      (1L, "spark engine shuffles columns fast"),
+      (2L, "ducks swim across quiet ponds daily")).toDF("doc_id", "text")
+    val b2 = Seq(
+      (3L, "ponds reflect the morning sky"),
+      (4L, "columnar storage scans fewer bytes")).toDF("doc_id", "text")
+    b1.write.mode("overwrite").parquet(s"$docsDir/batch1")
+    b2.write.mode("overwrite").parquet(s"$docsDir/batch2")
+    def recipe(batch: String) = RecipeReader.parse(
+      s"""name: bm25-ingest
+         |version: v1beta1
+         |source:
+         |  name: documents
+         |  config: {path: $docsDir/$batch}
+         |sinks:
+         |  - name: bm25-index
+         |    config: {index_path: $idx, buckets: 2}
+         |""".stripMargin)
+    val r1 = new Agent(spark).run(recipe("batch1"))
+    assert(r1.success, r1.error)
+    assert(r1.recordCount == 2, r1)
+    // second batch folds in (postings append + df/stats adds)
+    val r2 = new Agent(spark).run(recipe("batch2"))
+    assert(r2.success, r2.error)
+    // the built store answers queries exactly like an inline build on
+    // the full ingested corpus — the displaced-index contract
+    val all = b1.unionByName(b2)
+    val queries = Seq((100L, "ponds"), (200L, "spark columns")).toDF("q", "qt")
+    val stored = Retrieval.bm25TopKStored(
+      Retrieval.readBm25Store(spark, idx), queries,
+      "doc_id", "q", "qt").collect().map(_.toSeq).toSet
+    val inline = Retrieval.bm25TopK(all, queries,
+      "doc_id", "text", "q", "qt").collect().map(_.toSeq).toSet
+    assert(stored.nonEmpty && stored == inline)
+    Registries.populate()
+    assert(Registries.sinks.list.map(_.name).contains("bm25-index"))
+  }
+
   test("normalize recipe: NFC-composes text so a decomposed near-dup is gated") {
     import spark.implicits._
     // the same logical document planted across batches in DIFFERENT
