@@ -631,8 +631,10 @@ object Retrieval {
     * frequencies — the only stage that reads non-query-term postings
     * rows, priced at one scan of an integers-only table; idf for
     * candidate terms comes from the stored |V|-row dfreq (never
-    * recounted); pass 2 re-runs the same restricted scan with ≤ fbTerms
-    * more broadcast terms.
+    * recounted); pass 2 scans ONLY the ≤fbTerms expansion terms'
+    * postings and integer-adds the materialized pass-1 scores (the
+    * additive decomposition below) — original-term postings are read
+    * once per query batch, not twice.
     */
   def bm25PrfTopKStored(store: Bm25Store, queries: DataFrame, idCol: String,
                         qIdCol: String, qTextCol: String,
@@ -640,9 +642,11 @@ object Retrieval {
                         k1: Double = 1.2, b: Double = 0.75,
                         topK: Int = 10): DataFrame = {
     val qt = queryTerms(queries, qIdCol, qTextCol)
-    // pass 1 off the store: feedback set
-    val fb = topKOf(scoresStoredOf(store, qt, idCol, k1, b), idCol, fbDocs)
-      .select(col("q_id"), col(idCol))
+    // pass-1 scores, materialized ONCE (localCheckpoint): they feed the
+    // feedback ranking AND return as the query-term half of the pass-2
+    // sum below, so the original-term postings are scanned exactly once
+    val s1 = scoresStoredOf(store, qt, idCol, k1, b).localCheckpoint()
+    val fb = topKOf(s1, idCol, fbDocs).select(col("q_id"), col(idCol))
     // expansion mining off the store: feedback tf from postings, idf from
     // the stored df table — same integer weight (fbtf × idf_micro) and
     // the same (w desc, term asc) tie rule as the inline spelling
@@ -661,9 +665,23 @@ object Retrieval {
     val expansion = cand.withColumn("__rn", row_number().over(wExp))
       .filter(col("__rn") <= fbTerms)
       .select(col("q_id"), col("term"))
-    val qt2 = qt.unionByName(expansion).distinct()
-    // pass 2: the same stored scoring tail over the widened term set
-    topKOf(scoresStoredOf(store, qt2, idCol, k1, b), idCol, topK)
+    // pass 2 by ADDITIVE DECOMPOSITION: a (query, doc) score is an
+    // integer SUM of per-term contributions and the expansion terms are
+    // DISJOINT from the originals (left_anti above), so
+    // score(qt ∪ exp) = score(qt) + score(exp) exactly — the expanded
+    // pass scores ONLY the ≤fbTerms new terms' postings and integer-adds
+    // the materialized pass-1 scores, instead of re-scoring every
+    // original term. Bit-identical to scoring qt ∪ exp directly
+    // (integer addition is associative), which is what the inline
+    // spelling does and the row-identity pin checks.
+    val sExp = scoresStoredOf(store, expansion, idCol, k1, b)
+    val s2 = s1.withColumnRenamed("score", "__s1")
+      .join(sExp.withColumnRenamed("score", "__s2"),
+        Seq("q_id", idCol), "full_outer")
+      .select(col("q_id"), col(idCol),
+        (coalesce(col("__s1"), lit(0L)) + coalesce(col("__s2"), lit(0L)))
+          .as("score"))
+    topKOf(s2, idCol, topK)
   }
 
   /** End-to-end dual-encoder training examples: each document's co-chunk

@@ -993,6 +993,24 @@ object Similarity {
     cb
   }
 
+  /** [[appendIvfStore]] for a two-level layout — steady-state ingest:
+    * arrivals are kernel-assigned against the SAME frozen codebook the
+    * store was written with (O(2√C·d) per row however large C grew) and
+    * appended to their global-child-id directories; assignment depends
+    * only on the frozen codebook, so any micro-batching of an ingest
+    * stream produces identical stored rows (parity pinned like the flat
+    * path's).
+    */
+  def appendIvfStoreTwoLevel(batch: DataFrame, idCol: String, vecCol: String,
+                             cb: TwoLevelCodebook, path: String): Unit = {
+    val unit = normalized(
+      batch.select(col(idCol), col(vecCol),
+        col(vecCol).cast("array<double>").as("__u")), "__u")
+    unit.withColumn("centroid_id", twoLevelAssignExpr(col("__u"), cb))
+      .select(col(idCol), col(vecCol), col("centroid_id"))
+      .write.mode("append").partitionBy("centroid_id").parquet(path)
+  }
+
   /** [[ivfTopKStored]] against a two-level layout: each query's probe
     * list is the `nprobe` nearest CHILDREN within its `nprobeTop`
     * nearest tops (one kernel pass, broadcast with the query), the

@@ -414,7 +414,9 @@ object Bm25IndexSink extends SinkPlugin {
       """index_path: /indexes/bm25
         |id_column: doc_id
         |text_column: text
-        |buckets: 16""".stripMargin,
+        |buckets: 16
+        |# after a `chunk` processor: pack (id, chunk) into one index key
+        |# chunk_id_column: chunk_id""".stripMargin,
     tags = Seq("sink", "curation", "retrieval"))
 
   override def validate(config: Map[String, Any]): Seq[InvalidConfigError] =
@@ -426,16 +428,31 @@ object Bm25IndexSink extends SinkPlugin {
     val idc = config.getOrElse("id_column", "doc_id").toString
     val tc = config.getOrElse("text_column", "text").toString
     val buckets = config.getOrElse("buckets", 16).toString.toInt
+    // chunk-grain composition (`documents → chunk → bm25-index`): the
+    // chunk processor emits (id, chunk_id) at chunk grain; pack them
+    // into the engine's cid convention (id·2^bits + chunk, parent =
+    // cid >> bits) so the indexed key matches what hard-negative mining
+    // and chunk retrieval expect — the d_chunk_bm25 id space
+    val chunkCol = config.get("chunk_id_column").map(_.toString)
+    val bits = config.getOrElse("chunk_id_bits", 20).toString.toInt
+    val keyCol = chunkCol.map(_ => "cid").getOrElse(idc)
+    val keyed = chunkCol match {
+      case Some(cc) => df.withColumn("cid",
+        org.apache.spark.sql.functions.shiftleft(
+          org.apache.spark.sql.functions.col(idc), bits) +
+          org.apache.spark.sql.functions.col(cc))
+      case None => df
+    }
     // one materialization serves the count and both index aggregates
-    val batch = df.localCheckpoint()
+    val batch = keyed.localCheckpoint()
     val n = batch.count()
     // the stats table is written last on both paths, so its _SUCCESS
     // marker is the store's commit signal (the indexExists discipline)
     if (graft.processors.CurationProcessors.indexExists(spark, s"$path/stats"))
       graft.operators.Retrieval.mergeBm25StoreAt(spark, path, batch,
-        idc, tc, buckets)
+        keyCol, tc, buckets)
     else
-      graft.operators.Retrieval.writeBm25Store(batch, idc, tc, path, buckets)
+      graft.operators.Retrieval.writeBm25Store(batch, keyCol, tc, path, buckets)
     n
   }
 }

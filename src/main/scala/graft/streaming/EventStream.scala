@@ -268,6 +268,20 @@ object EventStream {
           batch.toDF(), idCol, vecCol, coarse, path)
     }
 
+  /** [[streamingIvfAppend]] for a TWO-LEVEL layout: identical contract
+    * (frozen codebook, per-micro-batch append, batch-split invariant),
+    * assignment through the two-level kernel so ingest stays O(2√C·d)
+    * per row at any codebook size.
+    */
+  def streamingIvfAppendTwoLevel(vectors: DataFrame, idCol: String,
+      vecCol: String, cb: graft.operators.Similarity.TwoLevelCodebook,
+      path: String) =
+    vectors.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Similarity.appendIvfStoreTwoLevel(
+          batch.toDF(), idCol, vecCol, cb, path)
+    }
+
   /** Streaming DSIR scoring against a FROZEN distribution table — the
     * [[streamingLmScore]] pattern for importance resampling: the
     * `(b, pt, pr)` integer-ppm table from

@@ -1856,6 +1856,43 @@ class StreamingSpec extends SparkSpec {
     assert(a.nonEmpty && a == topk(oneShot))
   }
 
+  test("streaming TWO-LEVEL IVF append: micro-batched ingest equals one-shot layout") {
+    // the two-level store's ingest parity, mirroring the flat pin above:
+    // kernel assignment depends only on the frozen TwoLevelCodebook, so
+    // uneven micro-batch appends must produce the same layout — and the
+    // same stored-query answers — as one write of the union
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val unitAll = Similarity.normalized(emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("__u")), "__u")
+    val tops = unitAll.filter(col("vec_id") < 3).orderBy(col("vec_id"))
+      .select(col("__u")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val cb = Similarity.TwoLevelCodebook(tops, tops.map(Seq(_)))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf2_append")
+    val streamed = tmp.resolve("streamed").toString
+    val oneShot = tmp.resolve("oneshot").toString
+    Similarity.writeIvfStoreTwoLevel(emb.filter(col("vec_id") % 3 === 0),
+      "vec_id", "embedding", cb, streamed)
+    val arrivals = emb.filter(col("vec_id") % 3 =!= 0)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = EventStream.streamingIvfAppendTwoLevel(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      cb, streamed).start()
+    try {
+      arrivals.grouped(41).foreach { c => mem.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    Similarity.writeIvfStoreTwoLevel(emb, "vec_id", "embedding", cb, oneShot)
+    def topk(path: String) = Similarity.ivfTopKStoredTwoLevel(
+        spark.read.parquet(path), emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 3, cb, nprobeTop = 2, nprobe = 2)
+      .orderBy("q_id", "rank").collect().toSeq
+    val a = topk(streamed)
+    assert(a.nonEmpty && a == topk(oneShot))
+  }
+
   test("streaming frozen-LM scoring equals the batch operator on sf0.01") {
     // the d_lm_score_frozen split: vocab trained on even doc_ids, odd
     // doc_ids scored — streamed scores must equal the batch operator's

@@ -370,6 +370,54 @@ class AgentSpec extends SparkSpec {
     assert(Registries.sinks.list.map(_.name).contains("bm25-index"))
   }
 
+  test("chunk -> bm25-index recipe: stored chunk postings match an inline " +
+      "build over the packed chunk corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, shiftleft, shiftright}
+    import graft.operators.{Retrieval, TextAnalysis}
+    val docsDir = Files.createTempDirectory("cbidocs")
+    val idx = Files.createTempDirectory("cbiidx").resolve("bm25c").toString
+    val docs = Seq(
+      (1L, (1 to 23).map(i => s"tok$i").mkString(" ")),
+      (2L, "ducks swim across quiet ponds daily and return at dusk")
+    ).toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$docsDir/b")
+    val recipe = RecipeReader.parse(
+      s"""name: chunk-index
+         |version: v1beta1
+         |source:
+         |  name: documents
+         |  config: {path: $docsDir/b}
+         |processors:
+         |  - name: chunk
+         |    config: {size: 16, stride: 8}
+         |sinks:
+         |  - name: bm25-index
+         |    config: {index_path: $idx, buckets: 2,
+         |             text_column: chunk_text, chunk_id_column: chunk_id}
+         |""".stripMargin)
+    val r = new Agent(spark).run(recipe)
+    assert(r.success, r.error)
+    assert(r.recordCount == 3, r) // 2 chunks (doc 1) + 1 (doc 2)
+    // the stored index speaks the engine's packed-cid space: scoring it
+    // equals an inline BM25 over the shifted chunk corpus
+    val chunks = TextAnalysis.slidingChunks(docs, "doc_id", "text", 16, 8)
+      .select((shiftleft(col("doc_id"), 20) + col("chunk_id")).as("cid"),
+        col("chunk_text"))
+    val queries = Seq((100L, "ponds tok9")).toDF("q", "qt")
+    val stored = Retrieval.bm25TopKStored(
+      Retrieval.readBm25Store(spark, idx), queries,
+      "cid", "q", "qt").collect().map(_.toSeq).toSet
+    val inline = Retrieval.bm25TopK(chunks, queries,
+      "cid", "chunk_text", "q", "qt").collect().map(_.toSeq).toSet
+    assert(stored.nonEmpty && stored == inline)
+    // parents recoverable from the indexed keys (the mining contract)
+    val parents = Retrieval.readBm25Store(spark, idx).postings
+      .select(shiftright(col("cid"), 20)).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(parents == Set(1L, 2L), parents.toString)
+  }
+
   test("normalize recipe: NFC-composes text so a decomposed near-dup is gated") {
     import spark.implicits._
     // the same logical document planted across batches in DIFFERENT
