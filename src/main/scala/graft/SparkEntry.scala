@@ -3224,6 +3224,37 @@ object SparkEntry {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  private def annForgetStored(s: SparkSession, dir: String): DataFrame = {
+    // right-to-erasure for the VECTOR store: tombstones (vec_id % 7 = 3)
+    // compact the centroid-partitioned layout IN PLACE — only directories
+    // holding a tombstoned row rewrite (dynamic partition overwrite),
+    // fully-emptied directories are removed, the codebook stays frozen
+    // (deletion never retrains geometry). The oracle replays REBUILD
+    // semantics — the same IVF chain over the surviving corpus with the
+    // same frozen first-8-unit codebook — so the hash match IS the proof
+    // that in-place compaction ≡ rebuild (the d_index_forget theorem,
+    // applied to the ANN layout). Idempotent across runs: a compacted
+    // store hits no tombstones and skips.
+    val emb = t(s, dir, "embeddings")
+    val seeds = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val unitSeeds = seeds.map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    val path = layoutPath(dir, "ivfforget", "coarse=first8unit,tomb=mod7eq3,v1")
+    if (!layoutReady(path))
+      Similarity.writeIvfStore(emb, "vec_id", "embedding", unitSeeds, path)
+    Similarity.forgetIvfStoreAt(s, path,
+      emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")), "vec_id")
+    Similarity.ivfTopKStored(s.read.parquet(path),
+        emb.filter(col("vec_id") < 10 && col("vec_id") % 7 =!= 3),
+        "vec_id", "embedding", k = 5, coarse = unitSeeds, nprobe = 3)
+      .withColumnRenamed("rank", "rnk")
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   private def annIvfFiltered(s: SparkSession, dir: String): DataFrame = {
     // FILTERED vector search — the vector-store feature every retrieval
     // stack needs beyond plain ANN: top-k under an attribute predicate
@@ -5466,6 +5497,7 @@ object SparkEntry {
     "s_ann_ivfpq" -> (annIvfPq _),
     "s_ann_ivf_stored" -> (annIvfStored _),
     "s_ann_ivf2_stored" -> (annIvf2Stored _),
+    "s_ann_forget_stored" -> (annForgetStored _),
     "s_ann_filtered" -> (annIvfFiltered _),
     "s_ann_ivfpq_stored" -> (annIvfPqStored _),
     "s_embed_neardup" -> (embedNearDup _),
@@ -8394,6 +8426,42 @@ object SparkEntry {
         |         list_sum(list_transform(range(1, 65),
         |           i -> (u.vu[i] - cu.cvu[i]) * (u.vu[i] - cu.cvu[i]))) AS d
         |       FROM u, cu),
+        |assign AS (SELECT vec_id, ccid FROM (
+        |             SELECT vec_id, ccid,
+        |               row_number() OVER (PARTITION BY vec_id ORDER BY d, ccid) AS rn
+        |             FROM cd) WHERE rn = 1),
+        |qprobe AS (SELECT vec_id AS q_id, ccid FROM (
+        |             SELECT vec_id, ccid,
+        |               row_number() OVER (PARTITION BY vec_id ORDER BY d, ccid) AS rn
+        |             FROM cd WHERE vec_id < 10) WHERE rn <= 3),
+        |cand AS (SELECT DISTINCT qprobe.q_id, assign.vec_id AS c_id
+        |         FROM assign JOIN qprobe ON qprobe.ccid = assign.ccid
+        |         WHERE assign.vec_id <> qprobe.q_id),
+        |rer AS (SELECT cand.q_id, cand.c_id,
+        |          list_dot_product(q.v, c.v) /
+        |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+        |        FROM cand JOIN e q ON q.vec_id = cand.q_id
+        |                  JOIN e c ON c.vec_id = cand.c_id),
+        |r AS (SELECT q_id, c_id, sim,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
+        |      FROM rer)
+        |SELECT q_id, c_id, rnk, round(sim, 4) AS sim FROM r
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    // vector-store deletion: REBUILD semantics over the surviving corpus
+    // with the SAME frozen codebook (codebook = geometry, not rows) —
+    // matching this proves in-place compaction ≡ rebuild
+    "s_ann_forget_stored" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |u AS (SELECT vec_id, v,
+        |        CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN v
+        |             ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v))) END AS vu
+        |      FROM e),
+        |cu AS (SELECT vec_id AS ccid, vu AS cvu FROM u WHERE vec_id < 8),
+        |sv AS (SELECT vec_id, vu FROM u WHERE vec_id % 7 <> 3),
+        |cd AS (SELECT sv.vec_id, cu.ccid,
+        |         list_sum(list_transform(range(1, 65),
+        |           i -> (sv.vu[i] - cu.cvu[i]) * (sv.vu[i] - cu.cvu[i]))) AS d
+        |       FROM sv, cu),
         |assign AS (SELECT vec_id, ccid FROM (
         |             SELECT vec_id, ccid,
         |               row_number() OVER (PARTITION BY vec_id ORDER BY d, ccid) AS rn

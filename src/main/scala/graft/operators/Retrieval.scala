@@ -356,6 +356,28 @@ object Retrieval {
     topKOf(scoreOf(qt2), idCol, topK)
   }
 
+  /** Persist [[bm25fApplyDelta]] INTO a written FIELDED store — the
+    * [[mergeBm25StoreAt]] discipline for [[writeBm25fStore]] layouts:
+    * the batch's fielded postings append as new term-hashed files
+    * (historical files never read or rewritten), the 2-row stats are
+    * integer-add-replaced (tot_f per field, ONE corpus-level n_docs
+    * add), and there is no df table to touch (the fielded layout derives
+    * whole-doc df from query-restricted postings at score time). Same
+    * arriving-batch + single-writer contract; merged-on-disk ≡ rebuild
+    * pinned in RetrievalSpec.
+    */
+  def mergeBm25fStoreAt(spark: SparkSession, path: String, batch: DataFrame,
+                        idCol: String, textCol: String,
+                        titleTokens: Int = 8, buckets: Int = 16): Unit = {
+    val store = readBm25fStore(spark, path)
+    val add = bm25fComponents(batch, idCol, textCol, titleTokens)
+    val newStats = mergedFieldedStats(store.stats, batch, add.stats)
+      .localCheckpoint()
+    add.postings.repartition(buckets, col("term"))
+      .write.mode("append").parquet(s"$path/postings")
+    newStats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
   /** The three mergeable components of a written BM25 index. */
   final case class Bm25Store(postings: DataFrame, dfreq: DataFrame,
                              stats: DataFrame)
@@ -744,16 +766,25 @@ object Retrieval {
   def bm25fApplyDelta(store: Bm25fStore, added: DataFrame, idCol: String,
                       textCol: String, titleTokens: Int = 8): Bm25fStore = {
     val add = bm25fComponents(added, idCol, textCol, titleTokens)
-    // n_docs is a CORPUS-level constant duplicated onto every field row
-    // (the avgdl_f denominator counts all docs) — merge it as one, never
-    // per-field: a batch with no tokens in some field (or none at all)
-    // contributes no stats row for it, but its docs still count
+    Bm25fStore(store.postings.unionByName(add.postings),
+      mergedFieldedStats(store.stats, added, add.stats))
+  }
+
+  /** Per-field tot_f integer adds + ONE corpus-level n_docs add. n_docs
+    * is a CORPUS-level constant duplicated onto every field row (the
+    * avgdl_f denominator counts all docs) — merge it as one, never
+    * per-field: a batch with no tokens in some field (or none at all)
+    * contributes no stats row for it, but its docs still count. Shared
+    * by the logical merge ([[bm25fApplyDelta]]) and the persisted one
+    * ([[mergeBm25fStoreAt]]).
+    */
+  private def mergedFieldedStats(storeStats: DataFrame, added: DataFrame,
+                                 addStats: DataFrame): DataFrame = {
     val mergedN = broadcast(
-      store.stats.agg(coalesce(max(col("n_docs")), lit(0L)).as("__sn"))
+      storeStats.agg(coalesce(max(col("n_docs")), lit(0L)).as("__sn"))
         .crossJoin(added.agg(count(lit(1)).as("__an"))))
-    val addTot = add.stats.select(col("f"),
-      col("tot_f").as("__at"))
-    val mergedStats = store.stats.select(col("f"), col("tot_f"))
+    val addTot = addStats.select(col("f"), col("tot_f").as("__at"))
+    storeStats.select(col("f"), col("tot_f"))
       .join(broadcast(addTot), Seq("f"), "full_outer")
       .select(col("f"),
         (coalesce(col("tot_f"), lit(0L)) + coalesce(col("__at"), lit(0L)))
@@ -761,6 +792,5 @@ object Retrieval {
       .crossJoin(mergedN)
       .select(col("f"), (col("__sn") + col("__an")).as("n_docs"),
         col("tot_f"))
-    Bm25fStore(store.postings.unionByName(add.postings), mergedStats)
   }
 }

@@ -1011,6 +1011,51 @@ object Similarity {
       .write.mode("append").partitionBy("centroid_id").parquet(path)
   }
 
+  /** Right-to-erasure compaction of a centroid-partitioned vector store
+    * (flat [[writeIvfStore]] or two-level [[writeIvfStoreTwoLevel]] —
+    * the layout is the same on disk), IN PLACE: only the directories
+    * that actually hold a tombstoned row are rewritten. The scan that
+    * finds them is partition-pruned to nothing extra (one semi-join of
+    * the store against the broadcast tombstone batch, centroid ids
+    * collected C-bounded), survivors of ONLY those directories rewrite
+    * via dynamic partition overwrite, and directories a deletion fully
+    * empties are removed explicitly (dynamic overwrite only replaces
+    * partitions present in the written data — zero surviving rows would
+    * silently leave the old files in place, the one hole in the
+    * overwrite protocol, closed here with a FileSystem delete). At
+    * 100 TB a deletion request therefore rewrites ~|hit directories|/C
+    * of the store and reads none of the rest. Removal ≡ rebuild on the
+    * surviving corpus (each store row derives from exactly one source
+    * vector — the [[graft.operators.Dedup.forgetDocs]] compaction
+    * theorem); `s_ann_forget_stored` hash-checks exactly that against a
+    * rebuild-semantics oracle, and the spec pins the fully-emptied-
+    * directory case. Same single-writer contract as every stored index.
+    */
+  def forgetIvfStoreAt(spark: SparkSession, path: String,
+                       tombstones: DataFrame, idCol: String): Unit = {
+    val store = spark.read.parquet(path)
+    val tomb = tombstones.select(col(idCol)).distinct()
+    val hit = store.join(broadcast(tomb), Seq(idCol), "left_semi")
+      .select(col("centroid_id").cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (hit.isEmpty) return
+    val hitRows = store.filter(col("centroid_id").isInCollection(hit))
+    val survivors = hitRows
+      .join(broadcast(tomb), Seq(idCol), "left_anti")
+      .localCheckpoint()
+    val surviveDirs = survivors.select(col("centroid_id").cast("int"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    survivors
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("centroid_id").parquet(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hit.filterNot(surviveDirs).foreach { cid =>
+      fs.delete(new org.apache.hadoop.fs.Path(path, s"centroid_id=$cid"), true)
+    }
+  }
+
   /** [[ivfTopKStored]] against a two-level layout: each query's probe
     * list is the `nprobe` nearest CHILDREN within its `nprobeTop`
     * nearest tops (one kernel pass, broadcast with the query), the

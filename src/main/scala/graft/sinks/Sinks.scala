@@ -446,13 +446,28 @@ object Bm25IndexSink extends SinkPlugin {
     // one materialization serves the count and both index aggregates
     val batch = keyed.localCheckpoint()
     val n = batch.count()
+    // fielded: true builds/extends the BM25F layout instead (title
+    // window from title_tokens; field weights stay query-time knobs)
+    val fielded = config.getOrElse("fielded", false).toString.toBoolean
+    val titleTokens = config.getOrElse("title_tokens", 8).toString.toInt
     // the stats table is written last on both paths, so its _SUCCESS
     // marker is the store's commit signal (the indexExists discipline)
-    if (graft.processors.CurationProcessors.indexExists(spark, s"$path/stats"))
-      graft.operators.Retrieval.mergeBm25StoreAt(spark, path, batch,
-        keyCol, tc, buckets)
-    else
-      graft.operators.Retrieval.writeBm25Store(batch, keyCol, tc, path, buckets)
+    val exists =
+      graft.processors.CurationProcessors.indexExists(spark, s"$path/stats")
+    (fielded, exists) match {
+      case (false, false) =>
+        graft.operators.Retrieval.writeBm25Store(batch, keyCol, tc, path,
+          buckets)
+      case (false, true) =>
+        graft.operators.Retrieval.mergeBm25StoreAt(spark, path, batch,
+          keyCol, tc, buckets)
+      case (true, false) =>
+        graft.operators.Retrieval.writeBm25fStore(batch, keyCol, tc, path,
+          titleTokens, buckets)
+      case (true, true) =>
+        graft.operators.Retrieval.mergeBm25fStoreAt(spark, path, batch,
+          keyCol, tc, titleTokens, buckets)
+    }
     n
   }
 }

@@ -3809,6 +3809,45 @@ class AutoCodebookSpec extends SparkSpec {
       s"degenerate clustering: ${hist.mkString(",")}")
   }
 
+  test("forgetIvfStoreAt compacts in place, equals a rebuild, and removes " +
+      "fully-emptied directories") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val docs = synth(60)  // 3 directions -> 3 populated clusters on basis seeds
+    val seeds = Seq(
+      Seq(1.0, 0, 0, 0, 0, 0, 0, 0),
+      Seq(0, 1.0, 0, 0, 0, 0, 0, 0),
+      Seq(0, 0, 1.0, 0, 0, 0, 0, 0))
+    val path = java.nio.file.Files.createTempDirectory("ivfforget").toString
+    Similarity.writeIvfStore(docs, "vec_id", "embedding", seeds, path)
+    val before = spark.read.parquet(path)
+    val dirs0 = before.select(col("centroid_id")).distinct().count()
+    assert(dirs0 == 3, s"want 3 populated clusters, got $dirs0")
+    // tombstone EVERY member of cluster 0 (vec_id % 3 == 0 by synth
+    // construction) plus one member of cluster 1
+    val tomb = docs.filter(col("vec_id") % 3 === 0 || col("vec_id") === 1L)
+      .select(col("vec_id"))
+    Similarity.forgetIvfStoreAt(spark, path, tomb, "vec_id")
+    val after = spark.read.parquet(path)
+    // removal ≡ rebuild on survivors with the same frozen codebook
+    val rebuildPath = java.nio.file.Files
+      .createTempDirectory("ivfforget_rb").toString
+    Similarity.writeIvfStore(docs.join(tomb, Seq("vec_id"), "left_anti"),
+      "vec_id", "embedding", seeds, rebuildPath)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("centroid_id")).collect()
+        .map(_.toSeq).toSet
+    assert(rows(after) == rows(spark.read.parquet(rebuildPath)))
+    // the fully-emptied directory is GONE on disk, not just empty-scanned
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path, "centroid_id=0")),
+      "fully-tombstoned directory must be deleted")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(path, "centroid_id=1")))
+    // idempotent: a second compaction with the same tombstones is a no-op
+    Similarity.forgetIvfStoreAt(spark, path, tomb, "vec_id")
+    assert(rows(spark.read.parquet(path)) == rows(after))
+  }
+
   test("autoTwoLevelCodebook is deterministic, unit-normal, and sqrt-shaped") {
     val docs = synth(120)
     val a = Similarity.autoTwoLevelCodebook(docs, "vec_id", "embedding")
@@ -4008,6 +4047,37 @@ class Bm25FieldedSpec extends SparkSpec {
     val viaInline = Retrieval.bm25fTopK(docs, queries,
       "doc_id", "text", "doc_id", "text").collect().map(_.toSeq).toSet
     assert(viaMerged.nonEmpty && viaMerged == viaInline)
+  }
+
+  test("mergeBm25fStoreAt persists a fielded merge identical to a rebuild") {
+    // the fielded sibling of mergeBm25StoreAt's pin: postings append +
+    // stats replacement in place, re-read equals a from-scratch fielded
+    // build — components AND the stored ranking
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val path = java.nio.file.Files
+      .createTempDirectory("bm25fmergeat").toString
+    Retrieval.writeBm25fStore(docs.filter(col("doc_id") < 250),
+      "doc_id", "text", path, titleTokens = 8, buckets = 4)
+    Retrieval.mergeBm25fStoreAt(spark, path,
+      docs.filter(col("doc_id") >= 250), "doc_id", "text",
+      titleTokens = 8, buckets = 4)
+    val merged = Retrieval.readBm25fStore(spark, path)
+    val rbPath = java.nio.file.Files
+      .createTempDirectory("bm25fmerge_rb").toString
+    Retrieval.writeBm25fStore(docs, "doc_id", "text", rbPath,
+      titleTokens = 8, buckets = 4)
+    val rebuilt = Retrieval.readBm25fStore(spark, rbPath)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(merged.postings) == rows(rebuilt.postings))
+    assert(rows(merged.stats) == rows(rebuilt.stats))
+    val queries = docs.filter(col("doc_id") < 5)
+    val a = Retrieval.bm25fTopKStored(merged, queries,
+      "doc_id", "doc_id", "text").collect().map(_.toSeq).toSet
+    val b = Retrieval.bm25fTopKStored(rebuilt, queries,
+      "doc_id", "doc_id", "text").collect().map(_.toSeq).toSet
+    assert(a.nonEmpty && a == b)
   }
 
   test("bm25fApplyDelta counts batch docs even when a field gets no tokens") {

@@ -370,6 +370,44 @@ class AgentSpec extends SparkSpec {
     assert(Registries.sinks.list.map(_.name).contains("bm25-index"))
   }
 
+  test("fielded bm25-index recipe: builds then merges a BM25F store that " +
+      "scores like an inline fielded build") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    val docsDir = Files.createTempDirectory("fbidocs")
+    val idx = Files.createTempDirectory("fbiidx").resolve("bm25f").toString
+    val b1 = Seq(
+      (1L, "spark engine alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta spark engine"))
+      .toDF("doc_id", "text")
+    val b2 = Seq(
+      (3L, "spark spark unrelated words beyond the title window here x"))
+      .toDF("doc_id", "text")
+    b1.write.mode("overwrite").parquet(s"$docsDir/batch1")
+    b2.write.mode("overwrite").parquet(s"$docsDir/batch2")
+    def recipe(batch: String) = RecipeReader.parse(
+      s"""name: bm25f-ingest
+         |version: v1beta1
+         |source:
+         |  name: documents
+         |  config: {path: $docsDir/$batch}
+         |sinks:
+         |  - name: bm25-index
+         |    config: {index_path: $idx, buckets: 2, fielded: true,
+         |             title_tokens: 8}
+         |""".stripMargin)
+    assert(new Agent(spark).run(recipe("batch1")).success)
+    assert(new Agent(spark).run(recipe("batch2")).success)
+    val all = b1.unionByName(b2)
+    val qs = Seq((100L, "spark engine"), (200L, "theta")).toDF("q", "qt")
+    val stored = Retrieval.bm25fTopKStored(
+      Retrieval.readBm25fStore(spark, idx), qs,
+      "doc_id", "q", "qt").collect().map(_.toSeq).toSet
+    val inline = Retrieval.bm25fTopK(all, qs, "doc_id", "text",
+      "q", "qt").collect().map(_.toSeq).toSet
+    assert(stored.nonEmpty && stored == inline)
+  }
+
   test("chunk -> bm25-index recipe: stored chunk postings match an inline " +
       "build over the packed chunk corpus") {
     import spark.implicits._
