@@ -247,6 +247,33 @@ object ScaleProbe {
           operators.Retrieval.bm25PrfTopK(docs, queries,
             "doc_id", "text", "doc_id", "text")
         }
+        // round-12: PRF off the store built above — the two ranking
+        // passes stay query-term-restricted (flat-ish) and the feedback
+        // mining is ONE postings scan (linear in f), so expect growth to
+        // track the postings scan, well under bm25_prf's inline rebuild
+        time("bm25_prf_stored") {
+          operators.Retrieval.bm25PrfTopKStored(store, queries,
+            "doc_id", "doc_id", "text")
+        }
+        // round-12: fielded incremental — history (even ids) frozen into
+        // a fielded store, delta (odd ids) folds in logically and the
+        // merged components serve the query; BOTH halves grow ∝ f, so
+        // expect LINEAR dominated by the delta's fielded build — the
+        // claim under probe is no super-linear term, not flatness (the
+        // graded row's plan pin already proves no historical re-scan)
+        val fPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_probe_bm25f_$f").getAbsolutePath
+        val tf = System.nanoTime()
+        operators.Retrieval.writeBm25fStore(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", fPath)
+        println(f"""{"probe":"bm25f_store_build","factor":$f,"sec":${(System.nanoTime() - tf) / 1e9}%.2f}""")
+        val fstore = operators.Retrieval.readBm25fStore(spark, fPath)
+        time("bm25f_incremental") {
+          operators.Retrieval.bm25fTopKStored(
+            operators.Retrieval.bm25fApplyDelta(fstore,
+              docs.filter(col("doc_id") % 2 === 1), "doc_id", "text"),
+            queries, "doc_id", "doc_id", "text")
+        }
         docs.unpersist()
       }
       queries.unpersist()
@@ -788,7 +815,75 @@ object ScaleProbe {
           println(f"""{"probe":"d_chunk_bm25","factor":$f,"sec":$sec%.2f,""" +
             s""""topk_rows":$n,"cand_rows":$cand}""")
         }
+        locally {
+          // round-12 composed training-example row: anchors FIXED (the
+          // co-chunk pairs of 5 docs), negatives mined off the f× chunk
+          // store — the same cand_rows = Σ df(t) driver as d_chunk_bm25
+          // (fixed anchor term set, per-term df ∝ f), so expect LINEAR;
+          // store build priced separately (ingest-time cost)
+          val chunks = operators.TextAnalysis.slidingChunks(docs,
+              "doc_id", "text", size = 16, stride = 8)
+            .select((shiftleft(col("doc_id"), 20) + col("chunk_id"))
+              .as("cid"), col("chunk_text"))
+          val cPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+            s"graft_probe_chunkstore_$f").getAbsolutePath
+          val tb = System.nanoTime()
+          operators.Retrieval.writeBm25Store(chunks, "cid", "chunk_text",
+            cPath)
+          println(f"""{"probe":"chunk_store_build","factor":$f,"sec":${(System.nanoTime() - tb) / 1e9}%.2f}""")
+          val store = operators.Retrieval.readBm25Store(spark, cPath)
+          val t0 = System.nanoTime()
+          val n = operators.Retrieval.contrastiveExamples(
+            docs.filter(col("doc_id") < 5), store, "doc_id", "text").count()
+          println(f"""{"probe":"d_contrastive_examples","factor":$f,""" +
+            f""""sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":$n}""")
+        }
         docs.unpersist()
+      }
+    }
+    // round-12 vector-store deletion probe: a FIXED 20-id tombstone
+    // batch against a growing auto-codebook IVF store. The claim under
+    // probe: compaction rewrites only the HIT directories' survivors —
+    // ~20·(N/C) = 20·√N rows at C = √N — SUB-LINEAR in store size, and
+    // the directories touched stay ≤20 while the directory count grows.
+    locally {
+      val embBase = Tables(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val dim = embBase.select(size(col("embedding"))).head.getInt(0)
+      val embN = embBase.count()
+      def rot(vec: org.apache.spark.sql.Column, k: Int) = {
+        val s = k % dim
+        if (s == 0) vec
+        else concat(slice(vec, s + 1, dim - s), slice(vec, 1, s))
+      }
+      for (f <- Seq(1, factor, 3 * factor)) {
+        val corpus = (0 until f).map(k => embBase.select(
+            (col("vec_id") + lit(k * embN)).as("vec_id"),
+            rot(col("embedding"), k).as("embedding")))
+          .reduce(_ unionAll _).localCheckpoint()
+        val seeds = operators.Similarity.autoCoarseCodebook(
+          corpus, "vec_id", "embedding")
+        val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_probe_ivfforget_$f").getAbsolutePath
+        operators.Similarity.writeIvfStore(corpus, "vec_id", "embedding",
+          seeds, path)
+        val store = spark.read.parquet(path)
+        val tomb = corpus.filter(col("vec_id") < 20).select(col("vec_id"))
+          .localCheckpoint()
+        val hitDirs = store.join(tomb, Seq("vec_id"), "left_semi")
+          .select(col("centroid_id")).distinct().count()
+        val hitRows = store.join(
+            store.join(tomb, Seq("vec_id"), "left_semi")
+              .select(col("centroid_id")).distinct(), Seq("centroid_id"),
+            "left_semi").count()
+        val total = store.count()
+        val t0 = System.nanoTime()
+        operators.Similarity.forgetIvfStoreAt(spark, path, tomb, "vec_id")
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"ivf_forget","factor":$f,"sec":$sec%.2f,""" +
+          f""""dirs_hit":$hitDirs,"dirs_total":${seeds.size},""" +
+          s""""rows_in_hit_dirs":$hitRows,"rows_total":$total}""")
+        corpus.unpersist(); tomb.unpersist()
       }
     }
     feederProbe(spark, sfDir, factor)

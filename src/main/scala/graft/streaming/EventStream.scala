@@ -268,6 +268,25 @@ object EventStream {
           batch.toDF(), idCol, vecCol, coarse, path)
     }
 
+  /** Streamed right-to-erasure for a centroid-partitioned vector store
+    * (flat or two-level layout): each tombstone micro-batch compacts the
+    * layout IN PLACE via
+    * [[graft.operators.Similarity.forgetIvfStoreAt]] — only directories
+    * holding a tombstoned row rewrite, emptied directories are removed.
+    * Removal is idempotent and commutative (an anti-join on ids), so the
+    * final layout equals ONE compaction with all tombstones under any
+    * micro-batching — pinned in StreamingSpec. Single-writer like every
+    * store-maintenance path; pair with [[streamingIvfAppend]] on
+    * separate stores, never interleaved on one.
+    */
+  def streamingIvfForget(tombstones: DataFrame, idCol: String,
+                         path: String) =
+    tombstones.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Similarity.forgetIvfStoreAt(
+          batch.sparkSession, path, batch.toDF(), idCol)
+    }
+
   /** [[streamingIvfAppend]] for a TWO-LEVEL layout: identical contract
     * (frozen codebook, per-micro-batch append, batch-split invariant),
     * assignment through the two-level kernel so ingest stays O(2√C·d)

@@ -1856,6 +1856,44 @@ class StreamingSpec extends SparkSpec {
     assert(a.nonEmpty && a == topk(oneShot))
   }
 
+  test("streaming IVF forget: micro-batched tombstones equal one-shot compaction") {
+    // the deletion mirror of the append pin: tombstones stream in over
+    // uneven micro-batches and compact the store in place; the final
+    // layout must equal ONE forgetIvfStoreAt call with every tombstone
+    // (removal is an anti-join — idempotent and commutative)
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val seeds = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val unit = seeds.map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_forget")
+    val streamed = tmp.resolve("streamed").toString
+    val oneShot = tmp.resolve("oneshot").toString
+    Similarity.writeIvfStore(emb, "vec_id", "embedding", unit, streamed)
+    Similarity.writeIvfStore(emb, "vec_id", "embedding", unit, oneShot)
+    val tombs = emb.filter(col("vec_id") % 7 === 3)
+      .select(col("vec_id")).collect().map(_.getLong(0))
+    val mem = MemoryStream[Long]
+    val q = EventStream.streamingIvfForget(
+      mem.toDF().toDF("vec_id"), "vec_id", streamed).start()
+    try {
+      tombs.grouped(13).foreach { c => mem.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    import spark.implicits._
+    Similarity.forgetIvfStoreAt(spark, oneShot,
+      tombs.toSeq.toDF("vec_id"), "vec_id")
+    def rows(path: String) = spark.read.parquet(path)
+      .select(col("vec_id"), col("centroid_id")).collect().map(_.toSeq).toSet
+    val a = rows(streamed)
+    assert(a.nonEmpty && a == rows(oneShot))
+    assert(a.size == emb.count() - tombs.length)
+  }
+
   test("streaming TWO-LEVEL IVF append: micro-batched ingest equals one-shot layout") {
     // the two-level store's ingest parity, mirroring the flat pin above:
     // kernel assignment depends only on the frozen TwoLevelCodebook, so
