@@ -34,10 +34,14 @@ case class TwoLevelProbes(child: Expression,
                           tops: Seq[Seq[Double]],
                           kids: Seq[Seq[Seq[Double]]],
                           nprobeTop: Int,
-                          nprobe: Int) extends UnaryExpression {
+                          nprobe: Int,
+                          childIds: Seq[Seq[Int]] = Nil) extends UnaryExpression {
   require(tops.nonEmpty && tops.size == kids.size,
     s"need one child list per top: ${tops.size} tops, ${kids.size} lists")
   require(nprobeTop >= 1 && nprobe >= 1, "nprobeTop and nprobe must be >= 1")
+  require(childIds.isEmpty || (childIds.size == kids.size &&
+    childIds.zip(kids).forall { case (g, k) => g.size == k.size }),
+    "childIds, when given, must mirror the child-list shape")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -54,8 +58,16 @@ case class TwoLevelProbes(child: Expression,
     tops.map(_.toArray).toArray
   @transient private lazy val kidsArr: Array[Array[Array[Double]]] =
     kids.map(_.map(_.toArray).toArray).toArray
-  @transient private lazy val baseArr: Array[Int] =
-    kids.map(_.size).scanLeft(0)(_ + _).init.toArray
+  // explicit per-child GLOBAL ids — default is the contiguous
+  // base(t)+k layout; a grown codebook (split children appended with
+  // fresh ids) passes its own so existing directories keep their names
+  @transient private lazy val gidsArr: Array[Array[Int]] =
+    if (childIds.nonEmpty) childIds.map(_.toArray).toArray
+    else {
+      val base = kids.map(_.size).scanLeft(0)(_ + _).init
+      kids.indices.map(t =>
+        Array.tabulate(kids(t).size)(k => base(t) + k)).toArray
+    }
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
@@ -97,7 +109,7 @@ case class TwoLevelProbes(child: Expression,
           var acc = 0.0
           var j = 0
           while (j < d) { val df = x(j) - c(j); acc += df * df; j += 1 }
-          val gid = baseArr(ti) + k
+          val gid = gidsArr(ti)(k)
           var p = nprobe - 1
           if (acc < oD(p) || (acc == oD(p) && oI(p) >= 0 && gid < oI(p))) {
             while (p > 0 && (acc < oD(p - 1) ||
@@ -118,7 +130,7 @@ case class TwoLevelProbes(child: Expression,
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val topsRef = ctx.addReferenceObj("tops", topsArr, "double[][]")
     val kidsRef = ctx.addReferenceObj("kids", kidsArr, "double[][][]")
-    val baseRef = ctx.addReferenceObj("base", baseArr, "int[]")
+    val gidsRef = ctx.addReferenceObj("gids", gidsArr, "int[][]")
     val tK = math.min(nprobeTop, topsArr.length)
     nullSafeCodeGen(ctx, ev, v => {
       val d = ctx.freshName("d")
@@ -179,7 +191,7 @@ case class TwoLevelProbes(child: Expression,
          |      for (int $j = 0; $j < $d; $j++) {
          |        final double $df = $x[$j] - $cent[$j]; $acc += $df * $df;
          |      }
-         |      final int $gid = $baseRef[$tI[$s]] + $k;
+         |      final int $gid = $gidsRef[$tI[$s]][$k];
          |      int $p = $nprobe - 1;
          |      if ($acc < $oD[$p] ||
          |          ($acc == $oD[$p] && $oI[$p] >= 0 && $gid < $oI[$p])) {

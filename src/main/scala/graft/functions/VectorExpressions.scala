@@ -253,9 +253,10 @@ object VectorFunctions {
     * nprobeTop=1, nprobe=1 element 1 is the hierarchical ASSIGNMENT. */
   def two_level_probes(v: Column, tops: Seq[Seq[Double]],
                        children: Seq[Seq[Seq[Double]]],
-                       nprobeTop: Int, nprobe: Int): Column =
+                       nprobeTop: Int, nprobe: Int,
+                       childIds: Seq[Seq[Int]] = Nil): Column =
     ColumnBridge.column(TwoLevelProbes(ColumnBridge.expression(v),
-      tops, children, nprobeTop, nprobe))
+      tops, children, nprobeTop, nprobe, childIds))
 
   /** Register every graft kernel for SQL + expr() use on a live session
     * (temp functions; `GraftExtensions` is the build-time equivalent).

@@ -837,11 +837,26 @@ object Similarity {
     * keeps riding the N^1.5 track because C keeps tracking √N unclamped.
     */
   final case class TwoLevelCodebook(tops: Seq[Seq[Double]],
-                                    children: Seq[Seq[Seq[Double]]]) {
+                                    children: Seq[Seq[Seq[Double]]],
+                                    childIds: Seq[Seq[Int]] = Nil) {
     require(tops.size == children.size,
       s"one child list per top: ${tops.size} vs ${children.size}")
+    require(childIds.isEmpty || (childIds.size == children.size &&
+      childIds.zip(children).forall { case (g, k) => g.size == k.size }),
+      "childIds, when given, must mirror the child-list shape")
+    /** Contiguous base offsets — meaningful only for the DEFAULT id
+      * layout (empty childIds); grown codebooks carry explicit ids. */
     val base: Seq[Int] = children.map(_.size).scanLeft(0)(_ + _).init
+    /** The global id of child k of top t — base(t)+k by default, the
+      * explicit assignment after [[splitHotChildrenAt]] growth (stable:
+      * existing directories never get renamed by a split). */
+    val gids: Seq[Seq[Int]] =
+      if (childIds.nonEmpty) childIds
+      else children.indices.map(t =>
+        Seq.tabulate(children(t).size)(k => base(t) + k))
     def size: Int = children.map(_.size).sum
+    /** First id past every allocated one — where growth allocates. */
+    def nextGid: Int = gids.flatten.foldLeft(0)((a, g) => math.max(a, g + 1))
     /** All children in global-id order — the flat-codebook view. */
     def flat: Seq[Seq[Double]] = children.flatten
   }
@@ -853,7 +868,7 @@ object Similarity {
     */
   private def twoLevelAssignExpr(u: Column, cb: TwoLevelCodebook): Column =
     element_at(graft.functions.VectorFunctions.two_level_probes(
-      u, cb.tops, cb.children, 1, 1), 1)
+      u, cb.tops, cb.children, 1, 1, cb.childIds), 1)
 
   /** Auto-sized TWO-LEVEL coarse codebook — [[autoCoarseCodebook]]'s
     * C = √N policy continued past the flat clamp. Four bounded steps:
@@ -1011,6 +1026,105 @@ object Similarity {
       .write.mode("append").partitionBy("centroid_id").parquet(path)
   }
 
+  /** GROW a two-level layout in place — the missing half of "the
+    * codebook must grow with the corpus" once appends have fattened some
+    * child clusters: every child holding more than `maxSharePct` of the
+    * store's rows (and more than one member) is SPLIT — its farthest
+    * member (max L2 from the child seed, ties by id) becomes a new child
+    * of the same top, allocated a FRESH global id past every existing
+    * one ([[TwoLevelCodebook.nextGid]]) so no existing directory is ever
+    * renamed — and ONLY the affected TOPS' directories are re-assigned
+    * and rewritten (adding a child to top t can re-home any row of t,
+    * but no row of any other top: top assignment doesn't change).
+    * Rewrite cost is therefore Σ|affected tops' rows| ≈
+    * |flagged children| · C-fraction of the store, never a full
+    * re-layout; directories a re-assignment fully empties are removed
+    * (the [[forgetIvfStoreAt]] overwrite-protocol hole, closed the same
+    * way). Returns the grown codebook — callers probe with it from then
+    * on (the frozen-codebook pairing discipline; the OLD codebook still
+    * answers queries correctly for rows it can reach, but only the
+    * grown one sees the new directories). Grown-store ≡
+    * rebuild-with-grown-codebook is pinned in spec; idempotent once no
+    * child exceeds the share bar. Single-writer like every store
+    * maintenance path.
+    */
+  def splitHotChildrenAt(spark: SparkSession, path: String, idCol: String,
+                         vecCol: String, cb: TwoLevelCodebook,
+                         maxSharePct: Double = 5.0): TwoLevelCodebook = {
+    import graft.functions.VectorFunctions.l2_squared
+    val store = spark.read.parquet(path)
+    val n = store.count()
+    val counts = store.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("m")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val gidToTk = cb.gids.zipWithIndex.flatMap { case (g, t) =>
+      g.zipWithIndex.map { case (gid, k) => gid -> (t, k) } }.toMap
+    val flagged = counts.filter { case (gid, m) =>
+      m > 1 && 100.0 * m / math.max(n, 1L) > maxSharePct &&
+        gidToTk.contains(gid) }.keys.toSeq.sorted
+    if (flagged.isEmpty) return cb
+    // farthest member per flagged child (unit-vector distance to the
+    // child seed — the autoCoarseCodebook split rule, one level down)
+    import spark.implicits._
+    val seedDf = flagged.map { gid =>
+      val (t, k) = gidToTk(gid); (gid, cb.children(t)(k)) }
+      .toDF("centroid_id", "__seed")
+    val unitHit = normalized(
+      store.filter(col("centroid_id").isInCollection(flagged))
+        .select(col(idCol).as("__id"), col("centroid_id"),
+          col(vecCol).cast("array<double>").as("__u")), "__u")
+    val w = Window.partitionBy(col("centroid_id"))
+      .orderBy(desc("__d"), asc("__id"))
+    val extras = unitHit
+      .join(broadcast(seedDf), Seq("centroid_id"))
+      .withColumn("__d", l2_squared(col("__u"), col("__seed")))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .orderBy(col("centroid_id"))
+      .select(col("centroid_id"), col("__u")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
+    // grown codebook: fresh ids allocated in flagged order, split
+    // vectors deduped against their top's existing children
+    var next = cb.nextGid
+    val byTop = extras.flatMap { case (gid, v) =>
+      val (t, _) = gidToTk(gid)
+      if (cb.children(t).contains(v)) None else Some(t -> v)
+    }.groupBy(_._1)
+    val grownChildren = cb.children.indices.map { t =>
+      cb.children(t) ++ byTop.getOrElse(t, Array.empty[(Int, Seq[Double])])
+        .map(_._2).distinct }
+    val grownIds = cb.children.indices.map { t =>
+      val added = grownChildren(t).size - cb.children(t).size
+      val fresh = (0 until added).map { i => next + i }
+      next += added
+      cb.gids(t) ++ fresh
+    }
+    val grown = TwoLevelCodebook(cb.tops, grownChildren, grownIds)
+    // rewrite ONLY the affected tops' directories under the grown
+    // codebook; every other top's assignment is untouched by definition
+    val affectedTops = byTop.keys.toSeq.sorted
+    if (affectedTops.nonEmpty) {
+      val oldGids = affectedTops.flatMap(t => cb.gids(t))
+      val rows = store.filter(col("centroid_id").isInCollection(oldGids))
+        .drop("centroid_id")
+      val unit = normalized(rows.withColumn("__u",
+        col(vecCol).cast("array<double>")), "__u")
+      val reassigned = unit
+        .withColumn("centroid_id", twoLevelAssignExpr(col("__u"), grown))
+        .drop("__u").localCheckpoint()
+      val keptDirs = reassigned.select(col("centroid_id").cast("int"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      reassigned.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("centroid_id").parquet(path)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      oldGids.filterNot(keptDirs).foreach { g =>
+        fs.delete(new org.apache.hadoop.fs.Path(path, s"centroid_id=$g"), true)
+      }
+    }
+    grown
+  }
+
   /** Right-to-erasure compaction of a centroid-partitioned vector store
     * (flat [[writeIvfStore]] or two-level [[writeIvfStoreTwoLevel]] —
     * the layout is the same on disk), IN PLACE: only the directories
@@ -1074,7 +1188,7 @@ object Similarity {
         col(vecCol).cast("array<double>").as("__q_unit")),
       "__q_unit")
     val probes = graft.functions.VectorFunctions.two_level_probes(
-      col("__q_unit"), cb.tops, cb.children, nprobeTop, nprobe)
+      col("__q_unit"), cb.tops, cb.children, nprobeTop, nprobe, cb.childIds)
     val qb = q.withColumn("centroid_id", explode(probes))
       .drop("__q_unit")
     val c = store.select(col(idCol).as("c_id"),
@@ -1108,7 +1222,7 @@ object Similarity {
         col(vecCol).cast("array<double>").as("__q_unit")),
       "__q_unit")
     val probes = graft.functions.VectorFunctions.two_level_probes(
-      col("__q_unit"), cb.tops, cb.children, nprobeTop, nprobe)
+      col("__q_unit"), cb.tops, cb.children, nprobeTop, nprobe, cb.childIds)
     val qb = q.withColumn("centroid_id", explode(probes))
       .withColumn("q_norm", vector_norm(col("q_vec")))
       .drop("__q_unit")

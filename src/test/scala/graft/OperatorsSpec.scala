@@ -3864,6 +3864,51 @@ class AutoCodebookSpec extends SparkSpec {
     assert(a.base == a.children.map(_.size).scanLeft(0)(_ + _).init)
   }
 
+  test("splitHotChildrenAt grows hot children in place with stable ids, " +
+      "equal to a rebuild under the grown codebook") {
+    import org.apache.spark.sql.functions.col
+    val docs = synth(90)  // 3 directions, 30 rows each
+    val e = (d: Int) => Seq.tabulate(8)(i => if (i == d) 1.0 else 0.0)
+    // three tops, one child each (the top itself): every child holds
+    // ~33% of rows, so ALL three get flagged and split
+    val cb = Similarity.TwoLevelCodebook(
+      Seq(e(0), e(1), e(2)), Seq(Seq(e(0)), Seq(e(1)), Seq(e(2))))
+    assert(cb.gids == Seq(Seq(0), Seq(1), Seq(2)))
+    val path = java.nio.file.Files.createTempDirectory("ivf2grow").toString
+    Similarity.writeIvfStoreTwoLevel(docs, "vec_id", "embedding", cb, path)
+    val grown = Similarity.splitHotChildrenAt(spark, path,
+      "vec_id", "embedding", cb, maxSharePct = 5.0)
+    // fresh ids allocated PAST every existing one; old ids untouched
+    assert(grown.children.map(_.size) == Seq(2, 2, 2), grown.gids.toString)
+    assert(grown.gids == Seq(Seq(0, 3), Seq(1, 4), Seq(2, 5)),
+      grown.gids.toString)
+    // the grown store equals a from-scratch layout under the grown
+    // codebook, row for row
+    val rbPath = java.nio.file.Files
+      .createTempDirectory("ivf2grow_rb").toString
+    Similarity.writeIvfStoreTwoLevel(docs, "vec_id", "embedding", grown,
+      rbPath)
+    def rows(p: String) = spark.read.parquet(p)
+      .select(col("vec_id"), col("centroid_id")).collect()
+        .map(_.toSeq).toSet
+    val after = rows(path)
+    assert(after == rows(rbPath))
+    // the split genuinely moved rows into the new directories
+    val newDirRows = spark.read.parquet(path)
+      .filter(col("centroid_id") >= 3).count()
+    assert(newDirRows > 0, "split must populate the fresh child ids")
+    // a relaxed share bar is a no-op that returns the codebook unchanged
+    val same = Similarity.splitHotChildrenAt(spark, path,
+      "vec_id", "embedding", grown, maxSharePct = 100.0)
+    assert(same == grown)
+    assert(rows(path) == after)
+    // queries against the grown layout fill their k slots
+    val out = Similarity.ivfTopKStoredTwoLevel(spark.read.parquet(path),
+      docs.filter(col("vec_id") < 3), "vec_id", "embedding", k = 3,
+      grown, nprobeTop = 2, nprobe = 3)
+    assert(out.count() == 9)
+  }
+
   test("writeIvfStoreTwoLevelAuto layout serves every row through the kernel probes") {
     val docs = synth(90)
     val path = java.nio.file.Files.createTempDirectory("ivf2auto").toString
