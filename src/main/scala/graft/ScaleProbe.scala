@@ -890,6 +890,62 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** Two-level codebook GROWTH probe (the `grow` feeder arm): build the
+    * auto two-level store at f×, then force splits with a LOW share bar
+    * and audit the rewrite scope — the claim is rewritten rows =
+    * Σ|affected tops' rows| (each affected top ≈ N/T rows), never the
+    * store; with flagged children spread over a few tops the rewrite is
+    * a T-th-fraction multiple of the store while the untouched
+    * directories never re-read.
+    */
+  def growProbe(spark: SparkSession, sfDir: String, factor: Int): Unit = {
+    val embBase = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val dim = embBase.select(size(col("embedding"))).head.getInt(0)
+    val embN = embBase.count()
+    def rot(vec: org.apache.spark.sql.Column, k: Int) = {
+      val s = k % dim
+      if (s == 0) vec
+      else concat(slice(vec, s + 1, dim - s), slice(vec, 1, s))
+    }
+    for (f <- Seq(1, factor, 3 * factor)) {
+      val corpus = (0 until f).map(k => embBase.select(
+          (col("vec_id") + lit(k * embN)).as("vec_id"),
+          rot(col("embedding"), k).as("embedding")))
+        .reduce(_ unionAll _).localCheckpoint()
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_probe_ivf2grow_$f").getAbsolutePath
+      val cb = operators.Similarity.writeIvfStoreTwoLevelAuto(
+        corpus, "vec_id", "embedding", path)
+      val store = spark.read.parquet(path)
+      val total = store.count()
+      // share bar low enough to flag the fattest few children: the
+      // auto codebook balances to ~1/C shares, so 2/C (as a pct) flags
+      // roughly the above-median-by-2x tail
+      val bar = 200.0 / cb.size
+      val t0 = System.nanoTime()
+      val grown = operators.Similarity.splitHotChildrenAt(spark, path,
+        "vec_id", "embedding", cb, maxSharePct = bar)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val added = grown.size - cb.size
+      // rewrite scope audit AFTER the fact: rows now living under the
+      // affected tops (identical count to what was rewritten — a split
+      // moves rows between a top's own directories only)
+      val affectedTops = grown.gids.indices.filter(t =>
+        grown.gids(t).size > cb.gids(t).size)
+      val affectedGids = affectedTops.flatMap(grown.gids)
+      val rewritten =
+        if (added == 0) 0L
+        else spark.read.parquet(path)
+          .filter(col("centroid_id").isInCollection(affectedGids)).count()
+      println(f"""{"probe":"ivf2_grow","factor":$f,"sec":$sec%.2f,""" +
+        f""""c_before":${cb.size},"children_added":$added,""" +
+        f""""tops_affected":${affectedTops.size},"tops_total":${cb.tops.size},""" +
+        s""""rows_rewritten":$rewritten,"rows_total":$total}""")
+      corpus.unpersist()
+    }
+  }
+
   /** ivfSelfTopK mutual-kNN feeder probe: its Σ_cluster
     * |members|×|probers| bound is the whole 100 TB story and it
     * DEGENERATES under cluster imbalance — a fixed-size codebook on a
@@ -1078,7 +1134,8 @@ object FeederProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val factor = if (args.length > 1) args(1).toInt else 10
-    val validArms = Set("fixed", "scaled", "auto", "clamped", "twolevel")
+    val validArms = Set("fixed", "scaled", "auto", "clamped", "twolevel",
+      "grow")
     val arms = if (args.length > 2) args(2).split(",").map(_.trim).toSet
                else validArms
     // free-form names run ZERO arms (feederProbe tests membership), so a
@@ -1097,7 +1154,8 @@ object FeederProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    ScaleProbe.feederProbe(spark, sfDir, factor, arms)
+    if (arms("grow")) ScaleProbe.growProbe(spark, sfDir, factor)
+    ScaleProbe.feederProbe(spark, sfDir, factor, arms - "grow")
     spark.stop()
   }
 }
