@@ -274,4 +274,79 @@ object KernelProperties extends Properties("kernels") {
         .toIntArray().toSeq
       got == cdcModel(s)
     }
+
+  /** plain-Scala model of the two-level probe kernel: nprobeTop nearest
+    * tops by (L2², top index), then the nprobe nearest children among
+    * those tops by (L2², global id) — lexicographic tuple sorts encode
+    * exactly the kernel's strict-less tie rules, and the distance folds
+    * run in the same element order, so doubles compare bit-identically.
+    */
+  private def probesModel(v: Seq[Double], tops: Seq[Seq[Double]],
+                          kids: Seq[Seq[Seq[Double]]], nt: Int, np: Int,
+                          ids: Seq[Seq[Int]]): Seq[Int] = {
+    def d2(a: Seq[Double], b: Seq[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    val gids = if (ids.nonEmpty) ids
+      else {
+        val base = kids.map(_.size).scanLeft(0)(_ + _).init
+        kids.indices.map(t => Seq.tabulate(kids(t).size)(k => base(t) + k))
+      }
+    val chosen = tops.indices.sortBy(t => (d2(v, tops(t)), t)).take(nt)
+    chosen.flatMap(t => kids(t).indices.map(k =>
+        (d2(v, kids(t)(k)), gids(t)(k))))
+      .sortBy(identity).take(np).map(_._2)
+  }
+
+  private def probesKernel(v: Seq[Double], tops: Seq[Seq[Double]],
+                           kids: Seq[Seq[Seq[Double]]], nt: Int, np: Int,
+                           ids: Seq[Seq[Int]]): Seq[Int] = {
+    val lit = org.apache.spark.sql.catalyst.expressions.Literal.create(
+      v, org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType))
+    graft.functions.TwoLevelProbes(lit, tops, kids, nt, np, ids).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toIntArray().toSeq
+  }
+
+  // small-integer coordinates make distance TIES frequent — the tie
+  // rules (lowest top index, lowest global id) are the hard part
+  private val genCodebook: Gen[(Seq[Double], Seq[Seq[Double]],
+      Seq[Seq[Seq[Double]]], Int, Int)] =
+    for {
+      d <- Gen.choose(1, 4)
+      coord = Gen.choose(-2, 2).map(_.toDouble)
+      vec = Gen.listOfN(d, coord).map(_.toSeq)
+      v <- vec
+      nTops <- Gen.choose(1, 4)
+      tops <- Gen.listOfN(nTops, vec).map(_.toSeq)
+      kids <- Gen.listOfN(nTops,
+        Gen.choose(1, 3).flatMap(m => Gen.listOfN(m, vec).map(_.toSeq)))
+        .map(_.toSeq)
+      nt <- Gen.choose(1, 5)
+      np <- Gen.choose(1, 7)
+    } yield (v, tops, kids, nt, np)
+
+  property("two-level probes == model (default contiguous ids)") =
+    forAll(genCodebook) { case (v, tops, kids, nt, np) =>
+      probesKernel(v, tops, kids, nt, np, Nil) ==
+        probesModel(v, tops, kids, nt, np, Nil)
+    }
+
+  property("two-level probes == model (explicit shuffled ids)") =
+    forAll(genCodebook, Gen.choose(0, 1000)) {
+      case ((v, tops, kids, nt, np), salt) =>
+        // distinct but non-contiguous, non-monotone global ids
+        val n = kids.map(_.size).sum
+        val perm = scala.util.Random.javaRandomToRandom(
+          new java.util.Random(salt.toLong)).shuffle((0 until n).toList)
+          .map(_ * 3 + 1)
+        var i = -1
+        val ids = kids.indices.map(t =>
+          Seq.tabulate(kids(t).size) { _ => i += 1; perm(i) })
+        probesKernel(v, tops, kids, nt, np, ids) ==
+          probesModel(v, tops, kids, nt, np, ids)
+    }
 }
