@@ -654,9 +654,18 @@ object Retrieval {
     * rows, priced at one scan of an integers-only table; idf for
     * candidate terms comes from the stored |V|-row dfreq (never
     * recounted); pass 2 scans ONLY the ≤fbTerms expansion terms'
-    * postings and integer-adds the materialized pass-1 scores (the
-    * additive decomposition below) — original-term postings are read
-    * once per query batch, not twice.
+    * postings and integer-adds the pass-1 scores (the additive
+    * decomposition below). The combine is a full-outer join on
+    * (q_id, id): both sides are aggregates ALREADY hash-partitioned on
+    * exactly those keys, so the join plans with zero added exchanges —
+    * and the duplicated pass-1 subtree is one AQE-reused shuffle stage,
+    * not a recompute. A same-JVM three-arm A/B at sf0.1 ×1/×30
+    * replication (tools/ScratchAB) ranked this spelling first at BOTH
+    * scales over (a) the same plan with an eager localCheckpoint on
+    * pass 1 (the checkpoint's extra job + block writes cost more than
+    * the stage reuse it replaces) and (b) scoring qt ∪ exp in one
+    * aggregate (re-reads every original term's postings AND re-shuffles
+    * the combined contribution stream).
     */
   def bm25PrfTopKStored(store: Bm25Store, queries: DataFrame, idCol: String,
                         qIdCol: String, qTextCol: String,
@@ -664,10 +673,12 @@ object Retrieval {
                         k1: Double = 1.2, b: Double = 0.75,
                         topK: Int = 10): DataFrame = {
     val qt = queryTerms(queries, qIdCol, qTextCol)
-    // pass-1 scores, materialized ONCE (localCheckpoint): they feed the
-    // feedback ranking AND return as the query-term half of the pass-2
-    // sum below, so the original-term postings are scanned exactly once
-    val s1 = scoresStoredOf(store, qt, idCol, k1, b).localCheckpoint()
+    // pass-1 scores feed the feedback ranking AND return as the
+    // query-term half of the pass-2 sum below. The subtree appears
+    // twice in one action DAG with identical canonical form — AQE
+    // shares the shuffle stage, so the original-term postings are
+    // read once per query batch; no eager materialization needed
+    val s1 = scoresStoredOf(store, qt, idCol, k1, b)
     val fb = topKOf(s1, idCol, fbDocs).select(col("q_id"), col(idCol))
     // expansion mining off the store: feedback tf from postings, idf from
     // the stored df table — same integer weight (fbtf × idf_micro) and
@@ -690,12 +701,12 @@ object Retrieval {
     // pass 2 by ADDITIVE DECOMPOSITION: a (query, doc) score is an
     // integer SUM of per-term contributions and the expansion terms are
     // DISJOINT from the originals (left_anti above), so
-    // score(qt ∪ exp) = score(qt) + score(exp) exactly — the expanded
-    // pass scores ONLY the ≤fbTerms new terms' postings and integer-adds
-    // the materialized pass-1 scores, instead of re-scoring every
-    // original term. Bit-identical to scoring qt ∪ exp directly
-    // (integer addition is associative), which is what the inline
-    // spelling does and the row-identity pin checks.
+    // score(qt ∪ exp) = score(qt) + score(exp) exactly — pass 2 scores
+    // ONLY the ≤fbTerms new terms' postings. The full-outer combine on
+    // (q_id, id) adds NO exchange: both aggregates already partition on
+    // those keys. Bit-identical to scoring qt ∪ exp directly (integer
+    // addition is associative), which is what the inline spelling does
+    // and the row-identity pin checks.
     val sExp = scoresStoredOf(store, expansion, idCol, k1, b)
     val s2 = s1.withColumnRenamed("score", "__s1")
       .join(sExp.withColumnRenamed("score", "__s2"),

