@@ -3181,25 +3181,18 @@ object SparkEntry {
       .orderBy(col("q_id"), col("rnk"))
   }
 
-  private def annIvf2Stored(s: SparkSession, dir: String): DataFrame = {
-    // HIERARCHICAL (two-level) stored ANN — the past-the-clamp regime of
-    // the √N codebook policy made queryable: assignment and probes visit
-    // the nearest TOPS then only their children (O(2√C·d) per row via
-    // the codegen'd TwoLevelProbes kernel), and the layout partitions by
-    // the GLOBAL child id so probe pruning stays directory pruning.
-    // PORTABLE spelling — tops = the first 3 unit vectors, children of
-    // each top = its 3 smallest-vec_id members under top assignment —
-    // so the DuckDB twin replays seeding, both assignment levels,
-    // probes, and scores exactly; the auto-sized production codebook
-    // (autoTwoLevelCodebook) is the same kernel seeded by hash-stride +
-    // share-split, recall-gated by RecallSpec and ScaleProbed blind.
-    val emb = t(s, dir, "embeddings")
+  /** The portable two-level codebook both ivf2 rows freeze: tops = the
+    * first 3 unit vectors, children of each top = its 3 smallest-vec_id
+    * members under top assignment (seeded through the SAME kernel the
+    * write/probe path uses — each top owning itself makes the kernel the
+    * flat argmin over tops). Relationally replayable, so the DuckDB twin
+    * reproduces seeding, both assignment levels, probes, and scores.
+    */
+  private def ivf2PortableCodebook(emb: DataFrame): Similarity.TwoLevelCodebook = {
     val unit = Similarity.normalized(emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("__u")), "__u")
     val tops = unit.filter(col("vec_id") < 3).orderBy(col("vec_id"))
       .select(col("__u")).collect().map(_.getSeq[Double](0).toSeq).toSeq
-    // child seeding through the SAME kernel the write/probe path uses
-    // (each top owning itself ⇒ the kernel is the flat argmin over tops)
     val topAssigned = unit.withColumn("__top",
       element_at(graft.functions.VectorFunctions.two_level_probes(
         col("__u"), tops, tops.map(Seq(_)), 1, 1), 1))
@@ -3213,13 +3206,54 @@ object SparkEntry {
     val children = tops.indices.map(t =>
       byTop.getOrElse(t, Array.empty[(Int, Int, Seq[Double])])
         .sortBy(_._2).map(_._3).toSeq)
-    val cb = Similarity.TwoLevelCodebook(tops, children)
+    Similarity.TwoLevelCodebook(tops, children)
+  }
+
+  private def annIvf2Stored(s: SparkSession, dir: String): DataFrame = {
+    // HIERARCHICAL (two-level) stored ANN — the past-the-clamp regime of
+    // the √N codebook policy made queryable: assignment and probes visit
+    // the nearest TOPS then only their children (O(2√C·d) per row via
+    // the codegen'd TwoLevelProbes kernel), and the layout partitions by
+    // the GLOBAL child id so probe pruning stays directory pruning.
+    // PORTABLE codebook spelling (ivf2PortableCodebook) so the DuckDB
+    // twin replays the full hierarchy; the auto-sized production
+    // codebook (autoTwoLevelCodebook) is the same kernel seeded by
+    // hash-stride + share-split, recall-gated by RecallSpec and
+    // ScaleProbed blind.
+    val emb = t(s, dir, "embeddings")
+    val cb = ivf2PortableCodebook(emb)
     val path = layoutPath(dir, "ivf2store", "tops=first3unit,kids=min3id,v1")
     if (!layoutReady(path))
       Similarity.writeIvfStoreTwoLevel(emb, "vec_id", "embedding", cb, path)
     Similarity.ivfTopKStoredTwoLevel(s.read.parquet(path),
         emb.filter(col("vec_id") < 10), "vec_id", "embedding",
         k = 5, cb, nprobeTop = 2, nprobe = 3)
+      .withColumnRenamed("rank", "rnk")
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  private def annIvf2Persisted(s: SparkSession, dir: String): DataFrame = {
+    // the CROSS-SESSION re-attach of the two-level store: the codebook
+    // is persisted INSIDE the layout (writeCodebookAt — the ivf-index
+    // sink's build path) and the query probes with the codebook READ
+    // BACK FROM DISK, never the in-memory object it was built from. At
+    // 100 TB this is the difference between re-attaching an index and
+    // re-scanning the corpus to re-derive its geometry (any derivation
+    // drift would silently mis-home every directory — the pairing
+    // discipline made durable). Parquet DOUBLEs round-trip bit-exact,
+    // so the reloaded probes match the built ones row for row: the
+    // s_ann_ivf2_stored oracle grades this row unchanged.
+    val emb = t(s, dir, "embeddings")
+    val path = layoutPath(dir, "ivf2persist", "tops=first3unit,kids=min3id,cbv1")
+    if (!layoutReady(s"$path/_graft_codebook")) {
+      val cb = ivf2PortableCodebook(emb)
+      Similarity.writeIvfStoreTwoLevel(emb, "vec_id", "embedding", cb, path)
+      Similarity.writeCodebookAt(s, path, cb)
+    }
+    val reloaded = Similarity.readTwoLevelCodebookAt(s, path)
+    Similarity.ivfTopKStoredTwoLevel(s.read.parquet(path),
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, reloaded, nprobeTop = 2, nprobe = 3)
       .withColumnRenamed("rank", "rnk")
       .orderBy(col("q_id"), col("rnk"))
   }
@@ -3307,16 +3341,13 @@ object SparkEntry {
       .orderBy(col("vec_id"))
   }
 
-  private def annIvfPqStored(s: SparkSession, dir: String): DataFrame = {
-    // IVF-PQ over the PHYSICAL stored layouts: the codes-only PQ index
-    // written once partitioned by coarse centroid (Similarity.writePqStore
-    // — no per-query corpus re-encode, the round-6 "index build inside
-    // the query path" cost closed), probe pruning as DPP directory
-    // pruning on that codes store, exact re-rank against the
-    // id-partitioned vector store. Same PORTABLE first-8/first-16 seed
-    // codebooks as annIvfPq, so this is hash-checked by the SAME oracle
-    // and pinned row-identical to the flat path by PlanAuditSpec.
-    val emb = t(s, dir, "embeddings")
+  /** The portable PQ geometry pair both ivfpq stored rows freeze: coarse
+    * router = first 8 unit vectors, m=8 subquantizers with k=16 centroids
+    * sliced from the first 16 unit vectors — relationally replayable, so
+    * the shared ivfPqTwinSql oracle reproduces encode, ADC, and re-rank.
+    */
+  private def pqPortableCodebooks(
+      emb: DataFrame): (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
     val seeds = emb.filter(col("vec_id") < 16).orderBy(col("vec_id"))
       .select(col("embedding").cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toSeq).toSeq
@@ -3327,13 +3358,52 @@ object SparkEntry {
     val sub = unitSeeds.head.size / 8
     val codebooks = (0 until 8).map(s0 =>
       unitSeeds.map(_.slice(s0 * sub, (s0 + 1) * sub)))
+    (unitSeeds.take(8), codebooks)
+  }
+
+  private def annIvfPqStored(s: SparkSession, dir: String): DataFrame = {
+    // IVF-PQ over the PHYSICAL stored layouts: the codes-only PQ index
+    // written once partitioned by coarse centroid (Similarity.writePqStore
+    // — no per-query corpus re-encode, the round-6 "index build inside
+    // the query path" cost closed), probe pruning as DPP directory
+    // pruning on that codes store, exact re-rank against the
+    // id-partitioned vector store. Same PORTABLE first-8/first-16 seed
+    // codebooks as annIvfPq, so this is hash-checked by the SAME oracle
+    // and pinned row-identical to the flat path by PlanAuditSpec.
+    val emb = t(s, dir, "embeddings")
+    val (coarse, codebooks) = pqPortableCodebooks(emb)
     val path = layoutPath(dir, "pqstore", "m=8,k=16,coarse=first8unit")
     if (!layoutReady(path))
       Similarity.writePqStore(emb, "vec_id", "embedding",
-        coarse = unitSeeds.take(8), codebooks, path)
+        coarse, codebooks, path)
     Similarity.ivfPqTopKStored(s.read.parquet(path),
         emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-        k = 5, coarse = unitSeeds.take(8), codebooks,
+        k = 5, coarse, codebooks,
+        vectorStore = vectorStore(s, dir), nprobe = 3, shortlist = 50)
+      .withColumnRenamed("rank", "rnk")
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  private def annIvfPqPersisted(s: SparkSession, dir: String): DataFrame = {
+    // the PQ re-attach: codes are INDEXES into the subquantizer
+    // centroids, so a PQ store is unreadable without the exact
+    // geometries that encoded it — this row persists BOTH (coarse router
+    // + m subquantizer codebooks, Similarity.writePqCodebooksAt) inside
+    // the codes layout and probes with the pair READ BACK FROM DISK.
+    // Bit-exact DOUBLE round-trip ⇒ identical ADC tables and identical
+    // re-rank, so the shared ivfPqTwinSql oracle grades it unchanged.
+    val emb = t(s, dir, "embeddings")
+    val path = layoutPath(dir, "pqpersist", "m=8,k=16,coarse=first8unit,cbv1")
+    if (!layoutReady(s"$path/_graft_codebook")) {
+      val (coarse, codebooks) = pqPortableCodebooks(emb)
+      Similarity.writePqStore(emb, "vec_id", "embedding", coarse,
+        codebooks, path)
+      Similarity.writePqCodebooksAt(s, path, coarse, codebooks)
+    }
+    val (coarse, codebooks) = Similarity.readPqCodebooksAt(s, path)
+    Similarity.ivfPqTopKStored(s.read.parquet(path),
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, coarse, codebooks,
         vectorStore = vectorStore(s, dir), nprobe = 3, shortlist = 50)
       .withColumnRenamed("rank", "rnk")
       .orderBy(col("q_id"), col("rnk"))
@@ -5497,9 +5567,11 @@ object SparkEntry {
     "s_ann_ivfpq" -> (annIvfPq _),
     "s_ann_ivf_stored" -> (annIvfStored _),
     "s_ann_ivf2_stored" -> (annIvf2Stored _),
+    "s_ann_ivf2_persisted" -> (annIvf2Persisted _),
     "s_ann_forget_stored" -> (annForgetStored _),
     "s_ann_filtered" -> (annIvfFiltered _),
     "s_ann_ivfpq_stored" -> (annIvfPqStored _),
+    "s_ann_ivfpq_persisted" -> (annIvfPqPersisted _),
     "s_embed_neardup" -> (embedNearDup _),
     "s_embed_neardup_bucketed" -> (embedNearDupBucketed _),
     "s_semdedup" -> (semDedupQuery _),
@@ -6150,6 +6222,69 @@ object SparkEntry {
     * layout) — the two Spark paths are row-identical by construction, so
     * one twin grades both.
     */
+  // two-level stored ANN twin: the full hierarchy replayed relationally
+  // (shared by the built-codebook row and the persisted-codebook re-attach
+  // row - identical frozen geometry, identical replay)
+  private val ivf2TwinSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |u AS (SELECT vec_id, v,
+      |        CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN v
+      |             ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v))) END AS vu
+      |      FROM e),
+      |tp AS (SELECT vec_id AS tid, vu AS tvu FROM u WHERE vec_id < 3),
+      |td AS (SELECT u.vec_id, tp.tid,
+      |         list_sum(list_transform(range(1, 65),
+      |           i -> (u.vu[i] - tp.tvu[i]) * (u.vu[i] - tp.tvu[i]))) AS d
+      |       FROM u, tp),
+      |tassign AS (SELECT vec_id, tid FROM (
+      |              SELECT vec_id, tid,
+      |                row_number() OVER (PARTITION BY vec_id ORDER BY d, tid) AS rn
+      |              FROM td) WHERE rn = 1),
+      |kids AS (SELECT tid, kvid, kvu, j FROM (
+      |           SELECT t.tid, t.vec_id AS kvid, u.vu AS kvu,
+      |             row_number() OVER (PARTITION BY t.tid ORDER BY t.vec_id) AS j
+      |           FROM tassign t JOIN u ON u.vec_id = t.vec_id) WHERE j <= 3),
+      |bs AS (SELECT tid,
+      |         CAST(coalesce(sum(m) OVER (ORDER BY tid
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS base
+      |       FROM (SELECT tid, count(*) AS m FROM kids GROUP BY tid)),
+      |gk AS (SELECT k.tid, k.kvid, k.kvu, bs.base + k.j - 1 AS gid
+      |       FROM kids k JOIN bs USING (tid)),
+      |cd AS (SELECT u.vec_id, gk.gid,
+      |         list_sum(list_transform(range(1, 65),
+      |           i -> (u.vu[i] - gk.kvu[i]) * (u.vu[i] - gk.kvu[i]))) AS d
+      |       FROM u JOIN tassign USING (vec_id) JOIN gk ON gk.tid = tassign.tid),
+      |assign AS (SELECT vec_id, gid FROM (
+      |             SELECT vec_id, gid,
+      |               row_number() OVER (PARTITION BY vec_id ORDER BY d, gid) AS rn
+      |             FROM cd) WHERE rn = 1),
+      |qtop AS (SELECT vec_id AS q_id, tid FROM (
+      |           SELECT vec_id, tid,
+      |             row_number() OVER (PARTITION BY vec_id ORDER BY d, tid) AS rn
+      |           FROM td WHERE vec_id < 10) WHERE rn <= 2),
+      |qkd AS (SELECT q.q_id, gk.gid,
+      |         list_sum(list_transform(range(1, 65),
+      |           i -> (u.vu[i] - gk.kvu[i]) * (u.vu[i] - gk.kvu[i]))) AS d
+      |        FROM qtop q JOIN u ON u.vec_id = q.q_id
+      |                    JOIN gk ON gk.tid = q.tid),
+      |qprobe AS (SELECT q_id, gid FROM (
+      |             SELECT q_id, gid,
+      |               row_number() OVER (PARTITION BY q_id ORDER BY d, gid) AS rn
+      |             FROM qkd) WHERE rn <= 3),
+      |cand AS (SELECT DISTINCT qprobe.q_id, assign.vec_id AS c_id
+      |         FROM assign JOIN qprobe ON qprobe.gid = assign.gid
+      |         WHERE assign.vec_id <> qprobe.q_id),
+      |rer AS (SELECT cand.q_id, cand.c_id,
+      |          list_dot_product(q.v, c.v) /
+      |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+      |        FROM cand JOIN e q ON q.vec_id = cand.q_id
+      |                  JOIN e c ON c.vec_id = cand.c_id),
+      |r AS (SELECT q_id, c_id, sim,
+      |        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
+      |      FROM rer)
+      |SELECT q_id, c_id, rnk, round(sim, 4) AS sim FROM r
+      |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
   private val ivfPqTwinSql: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |u AS (SELECT vec_id, v,
@@ -8488,70 +8623,20 @@ object SparkEntry {
     // per-cell child quota (3 smallest vec_ids), GLOBAL child ids by
     // cumulative base over tops, two-level corpus assignment by (d, gid),
     // query probes (2 tops then 3 children), exact cosine, top-5
-    "s_ann_ivf2_stored" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |u AS (SELECT vec_id, v,
-        |        CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN v
-        |             ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v))) END AS vu
-        |      FROM e),
-        |tp AS (SELECT vec_id AS tid, vu AS tvu FROM u WHERE vec_id < 3),
-        |td AS (SELECT u.vec_id, tp.tid,
-        |         list_sum(list_transform(range(1, 65),
-        |           i -> (u.vu[i] - tp.tvu[i]) * (u.vu[i] - tp.tvu[i]))) AS d
-        |       FROM u, tp),
-        |tassign AS (SELECT vec_id, tid FROM (
-        |              SELECT vec_id, tid,
-        |                row_number() OVER (PARTITION BY vec_id ORDER BY d, tid) AS rn
-        |              FROM td) WHERE rn = 1),
-        |kids AS (SELECT tid, kvid, kvu, j FROM (
-        |           SELECT t.tid, t.vec_id AS kvid, u.vu AS kvu,
-        |             row_number() OVER (PARTITION BY t.tid ORDER BY t.vec_id) AS j
-        |           FROM tassign t JOIN u ON u.vec_id = t.vec_id) WHERE j <= 3),
-        |bs AS (SELECT tid,
-        |         CAST(coalesce(sum(m) OVER (ORDER BY tid
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS base
-        |       FROM (SELECT tid, count(*) AS m FROM kids GROUP BY tid)),
-        |gk AS (SELECT k.tid, k.kvid, k.kvu, bs.base + k.j - 1 AS gid
-        |       FROM kids k JOIN bs USING (tid)),
-        |cd AS (SELECT u.vec_id, gk.gid,
-        |         list_sum(list_transform(range(1, 65),
-        |           i -> (u.vu[i] - gk.kvu[i]) * (u.vu[i] - gk.kvu[i]))) AS d
-        |       FROM u JOIN tassign USING (vec_id) JOIN gk ON gk.tid = tassign.tid),
-        |assign AS (SELECT vec_id, gid FROM (
-        |             SELECT vec_id, gid,
-        |               row_number() OVER (PARTITION BY vec_id ORDER BY d, gid) AS rn
-        |             FROM cd) WHERE rn = 1),
-        |qtop AS (SELECT vec_id AS q_id, tid FROM (
-        |           SELECT vec_id, tid,
-        |             row_number() OVER (PARTITION BY vec_id ORDER BY d, tid) AS rn
-        |           FROM td WHERE vec_id < 10) WHERE rn <= 2),
-        |qkd AS (SELECT q.q_id, gk.gid,
-        |         list_sum(list_transform(range(1, 65),
-        |           i -> (u.vu[i] - gk.kvu[i]) * (u.vu[i] - gk.kvu[i]))) AS d
-        |        FROM qtop q JOIN u ON u.vec_id = q.q_id
-        |                    JOIN gk ON gk.tid = q.tid),
-        |qprobe AS (SELECT q_id, gid FROM (
-        |             SELECT q_id, gid,
-        |               row_number() OVER (PARTITION BY q_id ORDER BY d, gid) AS rn
-        |             FROM qkd) WHERE rn <= 3),
-        |cand AS (SELECT DISTINCT qprobe.q_id, assign.vec_id AS c_id
-        |         FROM assign JOIN qprobe ON qprobe.gid = assign.gid
-        |         WHERE assign.vec_id <> qprobe.q_id),
-        |rer AS (SELECT cand.q_id, cand.c_id,
-        |          list_dot_product(q.v, c.v) /
-        |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
-        |        FROM cand JOIN e q ON q.vec_id = cand.q_id
-        |                  JOIN e c ON c.vec_id = cand.c_id),
-        |r AS (SELECT q_id, c_id, sim,
-        |        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
-        |      FROM rer)
-        |SELECT q_id, c_id, rnk, round(sim, 4) AS sim FROM r
-        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "s_ann_ivf2_stored" -> ivf2TwinSql,
+    // the persisted-codebook re-attach probes the same frozen hierarchy
+    // (parquet DOUBLEs round-trip bit-exact), so the replay grades it
+    // unchanged — what it adds is WHERE the codebook came from (disk)
+    "s_ann_ivf2_persisted" -> ivf2TwinSql,
     "s_ann_ivfpq" -> ivfPqTwinSql,
     // the stored-layout composition (writePqStore codes + DPP probe
     // pruning + vector-store re-rank) is row-identical to the flat
     // ivfPqTopK by construction — the SAME CTE twin grades both
     "s_ann_ivfpq_stored" -> ivfPqTwinSql,
+    // the persisted-codebooks re-attach decodes the same frozen
+    // geometries (bit-exact DOUBLE round-trip), so the replay grades it
+    // unchanged — what it adds is WHERE the codebooks came from (disk)
+    "s_ann_ivfpq_persisted" -> ivfPqTwinSql,
     "d_ngram_jaccard" ->
       """WITH sh AS (
         | SELECT doc_id,

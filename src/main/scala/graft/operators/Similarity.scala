@@ -1008,6 +1008,123 @@ object Similarity {
     cb
   }
 
+  /** Persist a FLAT coarse codebook INSIDE its store — the frozen-
+    * codebook pairing discipline ([[writeIvfStoreAuto]] "callers probe
+    * with the SAME seeds") made durable: without this, re-attaching a
+    * store from another session/run means re-deriving the codebook from
+    * the corpus (a full re-scan at 100 TB, and any derivation drift
+    * silently mis-homes every directory). One C·d-sized parquet at
+    * `_graft_codebook` (underscore-prefixed like `_graft_layout`, so the
+    * store's own parquet listing never sees it); doubles round-trip
+    * bit-exact through parquet's IEEE-754 DOUBLE, so a reloaded codebook
+    * assigns IDENTICALLY (pinned in spec). Written LAST by the ingest
+    * sink, so its _SUCCESS marker doubles as the store's commit signal —
+    * a crash between vector write and codebook write leaves no marker
+    * and the next build's static-overwrite rewrites the store clean.
+    */
+  def writeCodebookAt(spark: SparkSession, path: String,
+                      coarse: Seq[Seq[Double]]): Unit = {
+    import spark.implicits._
+    coarse.zipWithIndex.map { case (v, k) => ("flat", 0, k, k, v) }
+      .toDF("kind", "t", "k", "gid", "vec")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/_graft_codebook")
+  }
+
+  /** [[writeCodebookAt]] for a TWO-LEVEL codebook: tops persist as
+    * (t, k = -1), children as (t, k, gid) — gids ALWAYS explicit so a
+    * [[splitHotChildrenAt]]-grown codebook (whose ids are no longer
+    * contiguous per top) round-trips exactly.
+    */
+  def writeCodebookAt(spark: SparkSession, path: String,
+                      cb: TwoLevelCodebook): Unit = {
+    import spark.implicits._
+    val tops = cb.tops.zipWithIndex.map { case (v, t) =>
+      ("two_level", t, -1, -1, v)
+    }
+    val kids = cb.children.indices.flatMap { t =>
+      cb.children(t).indices.map(k =>
+        ("two_level", t, k, cb.gids(t)(k), cb.children(t)(k)))
+    }
+    (tops ++ kids).toDF("kind", "t", "k", "gid", "vec")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/_graft_codebook")
+  }
+
+  /** Reload a [[writeCodebookAt]] FLAT codebook. Fails loudly on a
+    * two-level file — the two layouts share directory shape but not
+    * assignment kernels, so a kind mismatch must never probe silently.
+    */
+  def readCoarseCodebookAt(spark: SparkSession,
+                           path: String): Seq[Seq[Double]] = {
+    val rows = spark.read.parquet(s"$path/_graft_codebook")
+      .select(col("kind"), col("k"), col("vec")).collect()
+    require(rows.nonEmpty && rows.forall(_.getString(0) == "flat"),
+      s"$path/_graft_codebook is not a flat codebook")
+    rows.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toSeq).toSeq
+  }
+
+  /** Reload a [[writeCodebookAt]] TWO-LEVEL codebook (explicit gids —
+    * grown codebooks reload with their stable id assignment). */
+  def readTwoLevelCodebookAt(spark: SparkSession,
+                             path: String): TwoLevelCodebook = {
+    val rows = spark.read.parquet(s"$path/_graft_codebook")
+      .select(col("kind"), col("t"), col("k"), col("gid"), col("vec"))
+      .collect()
+    require(rows.nonEmpty && rows.forall(_.getString(0) == "two_level"),
+      s"$path/_graft_codebook is not a two-level codebook")
+    val tops = rows.filter(_.getInt(2) == -1).sortBy(_.getInt(1))
+      .map(_.getSeq[Double](4).toSeq).toSeq
+    val kidRows = rows.filter(_.getInt(2) >= 0)
+      .map(r => (r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getSeq[Double](4).toSeq))
+    val byTop = kidRows.groupBy(_._1)
+    val children = tops.indices.map(t =>
+      byTop.getOrElse(t, Array.empty[(Int, Int, Int, Seq[Double])])
+        .sortBy(_._2).map(_._4).toSeq)
+    val childIds = tops.indices.map(t =>
+      byTop.getOrElse(t, Array.empty[(Int, Int, Int, Seq[Double])])
+        .sortBy(_._2).map(_._3).toSeq)
+    TwoLevelCodebook(tops, children, childIds)
+  }
+
+  /** [[writeCodebookAt]] for a PQ layout's TWO frozen geometries — the
+    * coarse router (rows t = -1) and the m subquantizer codebooks (rows
+    * t = subspace index): an IVF-PQ store is unreadable without both
+    * (codes are indexes INTO the subquantizer centroids), so re-attach
+    * must reload exactly what encoded the codes — any drift decodes
+    * every stored code against the wrong centroid table.
+    */
+  def writePqCodebooksAt(spark: SparkSession, path: String,
+                         coarse: Seq[Seq[Double]],
+                         codebooks: Seq[Seq[Seq[Double]]]): Unit = {
+    import spark.implicits._
+    val c = coarse.zipWithIndex.map { case (v, k) => ("pq", -1, k, -1, v) }
+    val q = codebooks.indices.flatMap { m =>
+      codebooks(m).indices.map(j => ("pq", m, j, -1, codebooks(m)(j)))
+    }
+    (c ++ q).toDF("kind", "t", "k", "gid", "vec")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/_graft_codebook")
+  }
+
+  /** Reload a [[writePqCodebooksAt]] pair: (coarse, subquantizers). */
+  def readPqCodebooksAt(spark: SparkSession,
+                        path: String): (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
+    val rows = spark.read.parquet(s"$path/_graft_codebook")
+      .select(col("kind"), col("t"), col("k"), col("vec")).collect()
+    require(rows.nonEmpty && rows.forall(_.getString(0) == "pq"),
+      s"$path/_graft_codebook is not a PQ codebook pair")
+    val coarse = rows.filter(_.getInt(1) == -1).sortBy(_.getInt(2))
+      .map(_.getSeq[Double](3).toSeq).toSeq
+    val sub = rows.filter(_.getInt(1) >= 0)
+      .map(r => (r.getInt(1), r.getInt(2), r.getSeq[Double](3).toSeq))
+      .groupBy(_._1)
+    val codebooks = (0 until sub.size).map(m =>
+      sub(m).sortBy(_._2).map(_._3).toSeq)
+    (coarse, codebooks)
+  }
+
   /** [[appendIvfStore]] for a two-level layout — steady-state ingest:
     * arrivals are kernel-assigned against the SAME frozen codebook the
     * store was written with (O(2√C·d) per row however large C grew) and

@@ -472,6 +472,97 @@ object Bm25IndexSink extends SinkPlugin {
   }
 }
 
+/** ivf-index: terminal write of the incoming (id, vector) rows into the
+  * engine's centroid-partitioned ANN layout — the vector-search sibling
+  * of [[Bm25IndexSink]], so a YAML recipe can displace vector-index
+  * building to ingest (`embeddings → ivf-index`, then every query probes
+  * the frozen store). First batch at an empty `index_path` auto-sizes
+  * the codebook from the data (C = √N, blind — the
+  * [[graft.operators.Similarity.autoTwoLevelCodebook]] policy) and
+  * persists it INSIDE the store
+  * ([[graft.operators.Similarity.writeCodebookAt]]); later batches
+  * reload that frozen codebook from disk and APPEND — assignment is
+  * O(2√C·d) per row against the reloaded centroids, historical
+  * directories are never read or rewritten, and any micro-batching of
+  * the ingest stream lands identical rows (the append-parity contract).
+  *
+  * `two_level: true` (default) builds the past-the-clamp hierarchical
+  * layout — on disk indistinguishable from a flat store, probes stay
+  * directory-pruned, and C tracks √N to ~4.3B vectors; `two_level:
+  * false` opts into the flat codebook (clamped at 4096 centroids — the
+  * regime where a flat literal-array assignment is still cheap).
+  * `grow: true` additionally runs one
+  * [[graft.operators.Similarity.splitHotChildrenAt]] round after each
+  * append (two-level only): children above `max_share_pct` split in
+  * place — only affected tops' directories rewrite — and the GROWN
+  * codebook is persisted back, so the index keeps the share audit's
+  * balance as the corpus widens without ever re-laying-out.
+  *
+  * Concurrency contract: SINGLE-WRITER per index, like [[Bm25IndexSink]]
+  * (append + codebook replace have no atomic check-and-swap); batches
+  * must carry ids DISJOINT from the store — chain a `dedup-gate`
+  * upstream when re-deliveries are possible. The codebook parquet is
+  * written LAST on the build path, so its _SUCCESS marker is the
+  * store's commit signal (the indexExists discipline).
+  */
+object IvfIndexSink extends SinkPlugin {
+  val info: PluginInfo = PluginInfo("ivf-index",
+    "Build or incrementally extend a centroid-partitioned ANN vector index from the incoming rows",
+    sampleConfig =
+      """index_path: /indexes/ivf
+        |id_column: vec_id
+        |vector_column: embedding
+        |two_level: true
+        |max_share_pct: 5.0
+        |# grow: true  # split hot children in place after each append""".stripMargin,
+    tags = Seq("sink", "curation", "similarity"))
+
+  override def validate(config: Map[String, Any]): Seq[InvalidConfigError] =
+    requireKeys(config, "index_path")
+
+  def sink(df: DataFrame, config: Map[String, Any]): Long = {
+    import graft.operators.Similarity
+    val spark = df.sparkSession
+    val path = config("index_path").toString
+    val idc = config.getOrElse("id_column", "vec_id").toString
+    val vc = config.getOrElse("vector_column", "embedding").toString
+    val twoLevel = config.getOrElse("two_level", true).toString.toBoolean
+    val maxShare = config.getOrElse("max_share_pct", 5.0).toString.toDouble
+    val grow = config.getOrElse("grow", false).toString.toBoolean
+    // one materialization serves the count, the codebook sizing scans,
+    // and the assignment pass
+    val batch = df.select(
+      org.apache.spark.sql.functions.col(idc),
+      org.apache.spark.sql.functions.col(vc)).localCheckpoint()
+    val n = batch.count()
+    val exists = graft.processors.CurationProcessors.indexExists(spark,
+      s"$path/_graft_codebook")
+    (twoLevel, exists) match {
+      case (true, false) =>
+        val cb = Similarity.writeIvfStoreTwoLevelAuto(batch, idc, vc, path,
+          maxSharePct = maxShare)
+        Similarity.writeCodebookAt(spark, path, cb)
+      case (true, true) =>
+        val cb = Similarity.readTwoLevelCodebookAt(spark, path)
+        Similarity.appendIvfStoreTwoLevel(batch, idc, vc, cb, path)
+        if (grow) {
+          val grown = Similarity.splitHotChildrenAt(spark, path, idc, vc,
+            cb, maxShare)
+          if (grown.size > cb.size)
+            Similarity.writeCodebookAt(spark, path, grown)
+        }
+      case (false, false) =>
+        val coarse = Similarity.writeIvfStoreAuto(batch, idc, vc, path,
+          maxSharePct = maxShare)
+        Similarity.writeCodebookAt(spark, path, coarse)
+      case (false, true) =>
+        val coarse = Similarity.readCoarseCodebookAt(spark, path)
+        Similarity.appendIvfStore(batch, idc, vc, coarse, path)
+    }
+    n
+  }
+}
+
 object Populate {
   def register(r: Registry[SinkPlugin]): Unit = {
     r.register(ConsoleSink)
@@ -480,7 +571,8 @@ object Populate {
     r.register(KafkaSink)
     r.register(new CompassSink())
     r.register(new StencilSink())
-    // project addition on the same SPI: retrieval-index ingest
+    // project additions on the same SPI: retrieval/vector index ingest
     r.register(Bm25IndexSink)
+    r.register(IvfIndexSink)
   }
 }

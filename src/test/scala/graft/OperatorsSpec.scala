@@ -3934,6 +3934,64 @@ class AutoCodebookSpec extends SparkSpec {
     assert(ms.max.toDouble / ms.sum <= 0.5,
       s"degenerate clustering: ${hist.mkString(",")}")
   }
+
+  test("persisted codebooks round-trip bit-exact and assign identically") {
+    val docs = synth(90)
+    // FLAT: write → read returns the same doubles (parquet DOUBLE is
+    // IEEE-754, no precision loss), so assignment cannot drift
+    val flatPath = java.nio.file.Files
+      .createTempDirectory("cbflat").toString
+    val coarse = Similarity.autoCoarseCodebook(docs, "vec_id", "embedding")
+    Similarity.writeCodebookAt(spark, flatPath, coarse)
+    assert(Similarity.readCoarseCodebookAt(spark, flatPath) == coarse)
+    // TWO-LEVEL, including a GROWN codebook whose gids are explicit and
+    // non-contiguous — the exact shape that must never re-derive
+    val e = (d: Int) => Seq.tabulate(8)(i => if (i == d) 1.0 else 0.0)
+    val cb = Similarity.TwoLevelCodebook(
+      Seq(e(0), e(1), e(2)), Seq(Seq(e(0)), Seq(e(1)), Seq(e(2))))
+    val storePath = java.nio.file.Files
+      .createTempDirectory("cb2lvl").toString
+    Similarity.writeIvfStoreTwoLevel(docs, "vec_id", "embedding", cb,
+      storePath)
+    val grown = Similarity.splitHotChildrenAt(spark, storePath,
+      "vec_id", "embedding", cb, maxSharePct = 5.0)
+    assert(grown.gids.flatten != grown.flat.indices.toSeq,
+      "precondition: the grown codebook must carry explicit gids")
+    Similarity.writeCodebookAt(spark, storePath, grown)
+    val back = Similarity.readTwoLevelCodebookAt(spark, storePath)
+    assert(back.tops == grown.tops)
+    assert(back.children == grown.children)
+    assert(back.gids == grown.gids)
+    // the reloaded codebook probes the grown store identically
+    val qs = docs.filter(col("vec_id") < 3)
+    val store = spark.read.parquet(storePath)
+    val a = Similarity.ivfTopKStoredTwoLevel(store, qs, "vec_id",
+      "embedding", k = 3, grown, nprobeTop = 2, nprobe = 3)
+      .collect().map(_.toSeq).toSet
+    val b = Similarity.ivfTopKStoredTwoLevel(store, qs, "vec_id",
+      "embedding", k = 3, back, nprobeTop = 2, nprobe = 3)
+      .collect().map(_.toSeq).toSet
+    assert(a.nonEmpty && a == b)
+    // kind mismatch fails loudly, never probes silently
+    intercept[IllegalArgumentException] {
+      Similarity.readCoarseCodebookAt(spark, storePath)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.readTwoLevelCodebookAt(spark, flatPath)
+    }
+    // PQ: the (coarse router, m subquantizer) PAIR round-trips — codes
+    // are indexes into these centroids, so both must reload exactly
+    val pqPath = java.nio.file.Files.createTempDirectory("cbpq").toString
+    val sub = coarse.head.size / 2
+    val books = (0 until 2).map(m =>
+      coarse.map(_.slice(m * sub, (m + 1) * sub)))
+    Similarity.writePqCodebooksAt(spark, pqPath, coarse, books)
+    val (cBack, bBack) = Similarity.readPqCodebooksAt(spark, pqPath)
+    assert(cBack == coarse && bBack == books)
+    intercept[IllegalArgumentException] {
+      Similarity.readPqCodebooksAt(spark, flatPath)
+    }
+  }
 }
 
 class CertificatesAtBenchSfSpec extends SparkSpec {

@@ -456,6 +456,72 @@ class AgentSpec extends SparkSpec {
     assert(parents == Set(1L, 2L), parents.toString)
   }
 
+  test("ivf-index recipe: builds the vector store with a persisted " +
+      "codebook, appends later batches against it, grows in place") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    val vecsDir = Files.createTempDirectory("ividocs")
+    val idx = Files.createTempDirectory("iviidx").resolve("ivf").toString
+    def vec(i: Int): Seq[Double] = {
+      val base = i % 3
+      Seq.tabulate(8)(d =>
+        (if (d == base) 10.0 else 0.0) + 0.01 * ((i * 7 + d) % 5))
+    }
+    val b1 = (0 until 60).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    val b2 = (60 until 90).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    b1.write.mode("overwrite").parquet(s"$vecsDir/batch1")
+    b2.write.mode("overwrite").parquet(s"$vecsDir/batch2")
+    def recipe(batch: String, extra: String = "") = RecipeReader.parse(
+      s"""name: ivf-ingest
+         |version: v1beta1
+         |source:
+         |  name: documents
+         |  config: {path: $vecsDir/$batch}
+         |sinks:
+         |  - name: ivf-index
+         |    config: {index_path: $idx$extra}
+         |""".stripMargin)
+    val r1 = new Agent(spark).run(recipe("batch1"))
+    assert(r1.success, r1.error)
+    assert(r1.recordCount == 60, r1)
+    // the codebook persisted INSIDE the store is the frozen one: batch 2
+    // appends against the reloaded centroids, never re-deriving
+    val cb = Similarity.readTwoLevelCodebookAt(spark, idx)
+    val r2 = new Agent(spark).run(recipe("batch2"))
+    assert(r2.success, r2.error)
+    assert(Similarity.readTwoLevelCodebookAt(spark, idx).gids == cb.gids,
+      "a plain append must not touch the persisted codebook")
+    // build(b1) + append(b2) equals a from-scratch layout of b1 ∪ b2
+    // under the SAME frozen codebook — assignment depends only on the
+    // codebook, so micro-batching cannot change the stored rows
+    val rbPath = Files.createTempDirectory("ivirb").toString
+    Similarity.writeIvfStoreTwoLevel(b1.unionByName(b2),
+      "vec_id", "embedding", cb, rbPath)
+    def rows(p: String) = spark.read.parquet(p)
+      .select(col("vec_id"), col("centroid_id")).collect()
+      .map(_.toSeq).toSet
+    assert(rows(idx) == rows(rbPath))
+    // a grow run splits any child the share audit flags, rewrites only
+    // affected tops, and persists the grown codebook back — queries with
+    // the RELOADED codebook keep answering over the regrown directories
+    val b3 = (90 until 120).map(i => (i.toLong, vec(3 * i)))
+      .toDF("vec_id", "embedding") // all one direction: concentrates a child
+    b3.write.mode("overwrite").parquet(s"$vecsDir/batch3")
+    val r3 = new Agent(spark).run(recipe("batch3", ", grow: true"))
+    assert(r3.success, r3.error)
+    val grown = Similarity.readTwoLevelCodebookAt(spark, idx)
+    assert(grown.size >= cb.size, s"${grown.size} vs ${cb.size}")
+    val out = Similarity.ivfTopKStoredTwoLevel(spark.read.parquet(idx),
+      b1.filter(col("vec_id") < 3), "vec_id", "embedding", k = 3,
+      grown, nprobeTop = 2, nprobe = 3)
+    assert(out.count() == 9)
+    Registries.populate()
+    assert(Registries.sinks.list.map(_.name).contains("ivf-index"))
+  }
+
   test("normalize recipe: NFC-composes text so a decomposed near-dup is gated") {
     import spark.implicits._
     // the same logical document planted across batches in DIFFERENT
