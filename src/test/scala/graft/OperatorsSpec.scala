@@ -3992,6 +3992,42 @@ class AutoCodebookSpec extends SparkSpec {
       Similarity.readPqCodebooksAt(spark, flatPath)
     }
   }
+
+  test("appendPqStore folds batches to exactly a write-all codes layout; " +
+      "forget composes on the codes store") {
+    val docs = synth(90)
+    val coarse = Similarity.autoCoarseCodebook(docs, "vec_id", "embedding")
+    val sub = coarse.head.size / 2
+    val books = (0 until 2).map(m =>
+      coarse.map(_.slice(m * sub, (m + 1) * sub)))
+    val b1 = docs.filter(col("vec_id") < 60)
+    val b2 = docs.filter(col("vec_id") >= 60)
+    val path = java.nio.file.Files.createTempDirectory("pqappend").toString
+    Similarity.writePqStore(b1, "vec_id", "embedding", coarse, books, path)
+    Similarity.appendPqStore(b2, "vec_id", "embedding", coarse, books, path)
+    val rbPath = java.nio.file.Files
+      .createTempDirectory("pqappend_rb").toString
+    Similarity.writePqStore(docs, "vec_id", "embedding", coarse, books,
+      rbPath)
+    def rows(p: String) = spark.read.parquet(p)
+      .select(col("vec_id"), col("pq_codes"), col("centroid_id"))
+      .collect().map(_.toSeq.map {
+        case s: scala.collection.Seq[_] => s.toList
+        case x => x
+      }).toSet
+    assert(rows(path).nonEmpty && rows(path) == rows(rbPath))
+    // deletion composes unchanged: the codes layout carries exactly the
+    // (id, centroid_id) pair forgetIvfStoreAt compacts on
+    val tomb = docs.filter(col("vec_id") % 7 === 3)
+      .select(col("vec_id"))
+    Similarity.forgetIvfStoreAt(spark, path, tomb, "vec_id")
+    val survPath = java.nio.file.Files
+      .createTempDirectory("pqappend_sv").toString
+    Similarity.writePqStore(
+      docs.filter(col("vec_id") % 7 =!= 3), "vec_id", "embedding",
+      coarse, books, survPath)
+    assert(rows(path) == rows(survPath))
+  }
 }
 
 class CertificatesAtBenchSfSpec extends SparkSpec {
