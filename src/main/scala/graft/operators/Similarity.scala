@@ -1056,6 +1056,18 @@ object Similarity {
       .parquet(s"$path/_graft_codebook")
   }
 
+  /** Which geometry a store's persisted `_graft_codebook` holds
+    * ("flat" | "two_level" | "pq") — so generic consumers (the
+    * semdedup-gate processor) can dispatch to the matching reader and
+    * probe kernel without being configured redundantly.
+    */
+  def codebookKindAt(spark: SparkSession, path: String): String = {
+    val kinds = spark.read.parquet(s"$path/_graft_codebook")
+      .select(col("kind")).distinct().collect().map(_.getString(0))
+    require(kinds.length == 1, s"ambiguous codebook kinds: ${kinds.toSeq}")
+    kinds.head
+  }
+
   /** Reload a [[writeCodebookAt]] FLAT codebook. Fails loudly on a
     * two-level file — the two layouts share directory shape but not
     * assignment kernels, so a kind mismatch must never probe silently.

@@ -279,6 +279,77 @@ object CurationProcessors {
     }
   }
 
+  /** semdedup-gate: the EMBEDDING-space near-duplicate ingest gate — the
+    * vector sibling of [[NearDupGate]] (SemDeDup at ingest): a batch row
+    * is dropped iff its nearest stored vector's cosine similarity
+    * reaches `threshold`. The index is an ivf-index sink layout (the
+    * centroid-partitioned store WITH its persisted codebook), so the
+    * probe is the stored-ANN query itself: one kernel pass assigns each
+    * batch vector its probe centroids, the equi-join DPP-prunes to
+    * probed directories, and only those candidates reach the cosine —
+    * the corpus is never re-scanned or re-assigned.
+    *
+    * Contracts mirrored from [[NearDupGate]]: decisions depend ONLY on
+    * the static index, never on other rows of the same batch (in-batch
+    * near-duplicates all survive — batch-split invariance); a missing
+    * index passes everything. The gate READS the index and never writes
+    * it — chain the `ivf-index` sink after it, which appends exactly the
+    * survivors and maintains the codebook (the processor→sink order
+    * within one recipe run keeps the single-writer contract: the batch
+    * gates against history, not against itself).
+    *
+    * Approximation floor (inherited from IVF probing, same as the graded
+    * semdedup row): a near-duplicate whose nearest neighbor lives
+    * OUTSIDE the probed centroids is missed — raise `nprobe` (and
+    * `nprobe_top` on two-level stores) to trade scan for recall; the
+    * recall gate on the auto codebook bounds this at the defaults.
+    */
+  object SemDedupGate extends Processor {
+    val info: PluginInfo = PluginInfo("semdedup-gate",
+      "Drop rows whose embedding near-duplicates the stored vector index (cosine >= threshold)",
+      sampleConfig =
+        """index_path: /indexes/ivf
+          |id_column: vec_id
+          |vector_column: embedding
+          |threshold: 0.99
+          |nprobe: 3
+          |# nprobe_top: 2  # two-level stores: tops probed per query""".stripMargin,
+      tags = Seq("processor", "curation", "similarity"))
+
+    override def validate(config: Map[String, Any]): Seq[InvalidConfigError] =
+      requireKeys(config, "index_path")
+
+    def process(df: DataFrame, config: Map[String, Any]): DataFrame = {
+      import graft.operators.Similarity
+      val spark = df.sparkSession
+      val path = config("index_path").toString
+      val idc = config.getOrElse("id_column", "vec_id").toString
+      val vc = config.getOrElse("vector_column", "embedding").toString
+      val threshold = config.getOrElse("threshold", 0.99).toString.toDouble
+      val nprobe = config.getOrElse("nprobe", 3).toString.toInt
+      val nprobeTop = config.getOrElse("nprobe_top", 2).toString.toInt
+      if (!indexExists(spark, s"$path/_graft_codebook")) return df
+      val store = spark.read.parquet(path)
+      // nearest STORED neighbor per batch row (k=1 — the max cosine is
+      // what the threshold tests), probed with the persisted geometry
+      val nn = Similarity.codebookKindAt(spark, path) match {
+        case "two_level" =>
+          Similarity.ivfTopKStoredTwoLevel(store, df, idc, vc, k = 1,
+            Similarity.readTwoLevelCodebookAt(spark, path),
+            nprobeTop = nprobeTop, nprobe = nprobe)
+        case "flat" =>
+          Similarity.ivfTopKStored(store, df, idc, vc, k = 1,
+            Similarity.readCoarseCodebookAt(spark, path), nprobe = nprobe)
+        case other =>
+          throw new IllegalArgumentException(
+            s"semdedup-gate cannot probe a '$other' codebook at $path")
+      }
+      val dropIds = nn.filter(col("sim") >= threshold)
+        .select(col("q_id").as(idc))
+      df.join(dropIds, Seq(idc), "left_anti")
+    }
+  }
+
   object NearDupGate extends Processor {
     val info: PluginInfo = PluginInfo("neardup-gate",
       "Drop rows near-duplicating the stored LSH band index; append survivors' bands",

@@ -522,6 +522,71 @@ class AgentSpec extends SparkSpec {
     assert(Registries.sinks.list.map(_.name).contains("ivf-index"))
   }
 
+  test("semdedup-gate recipe: embedding near-dups of the stored index are " +
+      "dropped, novel vectors survive and append, in-batch dups all pass") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    val vecsDir = Files.createTempDirectory("sdgdocs")
+    val idx = Files.createTempDirectory("sdgidx").resolve("ivf").toString
+    def vec(i: Int): Seq[Double] = {
+      val base = i % 3
+      Seq.tabulate(8)(d =>
+        (if (d == base) 10.0 else 0.0) + 0.01 * ((i * 7 + d) % 5))
+    }
+    val novel = Seq.tabulate(8)(d => if (d == 5) 10.0 else 0.3 * d)
+    val b1 = (0 until 60).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    // batch 2: three EXACT copies of stored vectors (cosine 1 ≥ 0.99 →
+    // gated), one novel direction, and an IN-BATCH duplicate of it —
+    // batch-split invariance says both novel rows survive (decisions
+    // depend only on the static index, never on batch peers)
+    val b2 = Seq(
+      (100L, vec(0)), (101L, vec(1)), (102L, vec(2)),
+      (103L, novel), (104L, novel)).toDF("vec_id", "embedding")
+    b1.write.mode("overwrite").parquet(s"$vecsDir/batch1")
+    b2.write.mode("overwrite").parquet(s"$vecsDir/batch2")
+    def recipe(batch: String, gated: Boolean) = RecipeReader.parse(
+      s"""name: semdedup-ingest
+         |version: v1beta1
+         |source:
+         |  name: documents
+         |  config: {path: $vecsDir/$batch}
+         |${if (gated)
+           s"""processors:
+           |  - name: semdedup-gate
+           |    config: {index_path: $idx, threshold: 0.99}""".stripMargin
+         else ""}
+         |sinks:
+         |  - name: ivf-index
+         |    config: {index_path: $idx}
+         |""".stripMargin)
+    // batch 1 through the SAME gated recipe: no index yet → everything
+    // passes (the missing-index contract) and the sink builds the store
+    val r1 = new Agent(spark).run(recipe("batch1", gated = true))
+    assert(r1.success, r1.error)
+    assert(r1.recordCount == 60, r1)
+    val r2 = new Agent(spark).run(recipe("batch2", gated = true))
+    assert(r2.success, r2.error)
+    assert(r2.recordCount == 2, r2) // 103 + 104 survive; 100-102 gated
+    val stored = spark.read.parquet(idx).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(!stored.exists(Set(100L, 101L, 102L)), stored.toString)
+    assert(Set(103L, 104L).subsetOf(stored), stored.toString)
+    assert(stored.size == 62)
+    // a re-delivery of the surviving novel vector now gates against the
+    // appended rows — the cross-batch steady state
+    val b3 = Seq((200L, novel)).toDF("vec_id", "embedding")
+    b3.write.mode("overwrite").parquet(s"$vecsDir/batch3")
+    val r3 = new Agent(spark).run(recipe("batch3", gated = true))
+    assert(r3.success, r3.error)
+    assert(r3.recordCount == 0, r3)
+    assert(!spark.read.parquet(idx).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet.contains(200L))
+    Registries.populate()
+    assert(Registries.processors.list.map(_.name).contains("semdedup-gate"))
+  }
+
   test("normalize recipe: NFC-composes text so a decomposed near-dup is gated") {
     import spark.implicits._
     // the same logical document planted across batches in DIFFERENT
