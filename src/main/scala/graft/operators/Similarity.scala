@@ -1068,27 +1068,25 @@ object Similarity {
     kinds.head
   }
 
-  /** Reload a [[writeCodebookAt]] FLAT codebook. Fails loudly on a
-    * two-level file — the two layouts share directory shape but not
-    * assignment kernels, so a kind mismatch must never probe silently.
-    */
-  def readCoarseCodebookAt(spark: SparkSession,
-                           path: String): Seq[Seq[Double]] = {
-    val rows = spark.read.parquet(s"$path/_graft_codebook")
-      .select(col("kind"), col("k"), col("vec")).collect()
-    require(rows.nonEmpty && rows.forall(_.getString(0) == "flat"),
-      s"$path/_graft_codebook is not a flat codebook")
-    rows.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toSeq).toSeq
-  }
-
-  /** Reload a [[writeCodebookAt]] TWO-LEVEL codebook (explicit gids —
-    * grown codebooks reload with their stable id assignment). */
-  def readTwoLevelCodebookAt(spark: SparkSession,
-                             path: String): TwoLevelCodebook = {
+  private def codebookRowsAt(spark: SparkSession,
+      path: String): Array[org.apache.spark.sql.Row] = {
     val rows = spark.read.parquet(s"$path/_graft_codebook")
       .select(col("kind"), col("t"), col("k"), col("gid"), col("vec"))
       .collect()
-    require(rows.nonEmpty && rows.forall(_.getString(0) == "two_level"),
+    require(rows.nonEmpty, s"$path/_graft_codebook is empty")
+    rows
+  }
+
+  private def parseCoarse(rows: Array[org.apache.spark.sql.Row],
+                          path: String): Seq[Seq[Double]] = {
+    require(rows.forall(_.getString(0) == "flat"),
+      s"$path/_graft_codebook is not a flat codebook")
+    rows.sortBy(_.getInt(2)).map(_.getSeq[Double](4).toSeq).toSeq
+  }
+
+  private def parseTwoLevel(rows: Array[org.apache.spark.sql.Row],
+                            path: String): TwoLevelCodebook = {
+    require(rows.forall(_.getString(0) == "two_level"),
       s"$path/_graft_codebook is not a two-level codebook")
     val tops = rows.filter(_.getInt(2) == -1).sortBy(_.getInt(1))
       .map(_.getSeq[Double](4).toSeq).toSeq
@@ -1103,6 +1101,38 @@ object Similarity {
       byTop.getOrElse(t, Array.empty[(Int, Int, Int, Seq[Double])])
         .sortBy(_._2).map(_._3).toSeq)
     TwoLevelCodebook(tops, children, childIds)
+  }
+
+  /** Reload a [[writeCodebookAt]] FLAT codebook. Fails loudly on a
+    * two-level file — the two layouts share directory shape but not
+    * assignment kernels, so a kind mismatch must never probe silently.
+    */
+  def readCoarseCodebookAt(spark: SparkSession,
+                           path: String): Seq[Seq[Double]] =
+    parseCoarse(codebookRowsAt(spark, path), path)
+
+  /** Reload a [[writeCodebookAt]] TWO-LEVEL codebook (explicit gids —
+    * grown codebooks reload with their stable id assignment). */
+  def readTwoLevelCodebookAt(spark: SparkSession,
+                             path: String): TwoLevelCodebook =
+    parseTwoLevel(codebookRowsAt(spark, path), path)
+
+  /** ONE-read reload for consumers that dispatch on the stored kind (the
+    * semdedup-gate): returns Left(coarse) for a flat codebook,
+    * Right(twoLevel) for a hierarchical one; throws on "pq" (a codes
+    * store has no directly-probeable geometry — decode needs the
+    * subquantizers, which is [[readPqCodebooksAt]]'s contract).
+    */
+  def readAnyCodebookAt(spark: SparkSession, path: String)
+      : Either[Seq[Seq[Double]], TwoLevelCodebook] = {
+    val rows = codebookRowsAt(spark, path)
+    rows.head.getString(0) match {
+      case "flat" => Left(parseCoarse(rows, path))
+      case "two_level" => Right(parseTwoLevel(rows, path))
+      case other => throw new IllegalArgumentException(
+        s"$path/_graft_codebook holds a '$other' codebook, which has no " +
+          "directly-probeable geometry")
+    }
   }
 
   /** [[writeCodebookAt]] for a PQ layout's TWO frozen geometries — the
@@ -1184,7 +1214,8 @@ object Similarity {
     */
   def splitHotChildrenAt(spark: SparkSession, path: String, idCol: String,
                          vecCol: String, cb: TwoLevelCodebook,
-                         maxSharePct: Double = 5.0): TwoLevelCodebook = {
+                         maxSharePct: Double = 5.0,
+                         persistTo: Option[String] = None): TwoLevelCodebook = {
     import graft.functions.VectorFunctions.l2_squared
     val store = spark.read.parquet(path)
     val n = store.count()
@@ -1233,6 +1264,15 @@ object Similarity {
       cb.gids(t) ++ fresh
     }
     val grown = TwoLevelCodebook(cb.tops, grownChildren, grownIds)
+    // persist the grown codebook BEFORE any directory rewrite: splits
+    // only ADD children (old centroids stay valid probes), so a crash
+    // after this write but before the rewrite leaves every row still
+    // reachable under the persisted codebook — rows just sit un-re-homed
+    // in their old directories until the next grow round re-audits. The
+    // reverse order (rewrite first) has an unrecoverable window: rows
+    // moved to fresh-gid directories that no persisted codebook names
+    // are invisible to every later reader.
+    persistTo.foreach(p => writeCodebookAt(spark, p, grown))
     // rewrite ONLY the affected tops' directories under the grown
     // codebook; every other top's assignment is untouched by definition
     val affectedTops = byTop.keys.toSeq.sorted
@@ -1314,7 +1354,10 @@ object Similarity {
   def ivfTopKStoredTwoLevel(store: DataFrame, queries: DataFrame,
                             idCol: String, vecCol: String, k: Int,
                             cb: TwoLevelCodebook, nprobeTop: Int = 2,
-                            nprobe: Int = 3): DataFrame = {
+                            nprobe: Int = 3,
+                            excludeSelf: Boolean = true,
+                            broadcastQueries: Boolean = true,
+                            roundSim: Boolean = true): DataFrame = {
     import graft.functions.VectorFunctions.{dot_product, vector_norm}
     val q = normalized(
       queries.select(col(idCol).as("q_id"),
@@ -1329,14 +1372,26 @@ object Similarity {
         col(vecCol).cast("array<double>").as("c_vec"),
         col("centroid_id").cast("int").as("centroid_id"))
       .withColumn("c_norm", vector_norm(col("c_vec")))
-    val scored = c.join(broadcast(qb), Seq("centroid_id"))
-      .filter(col("c_id") =!= col("q_id"))
+    // the ingest-gate knobs (semdedup-gate): excludeSelf=false keeps a
+    // re-delivered row's own stored copy as a candidate (this function's
+    // default serves self-kNN/search, where q IS in the store);
+    // broadcastQueries=false drops the hint so an unbounded batch plans
+    // as a shuffle equi-join (AQE still broadcasts small ones);
+    // roundSim=false returns the raw cosine so thresholds aren't
+    // quantized to the 4-decimal display convention
+    val joined =
+      if (broadcastQueries) c.join(broadcast(qb), Seq("centroid_id"))
+      else c.join(qb, Seq("centroid_id"))
+    val base = joined
       .withColumn("sim", try_divide(dot_product(col("q_vec"), col("c_vec")),
         vector_norm(col("q_vec")) * col("c_norm")))
+    val scored =
+      if (excludeSelf) base.filter(col("c_id") =!= col("q_id")) else base
     val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("c_id"))
+    val simOut = if (roundSim) round(col("sim"), 4) else col("sim")
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("q_id"), col("c_id"), col("rank"), round(col("sim"), 4).as("sim"))
+      .select(col("q_id"), col("c_id"), col("rank"), simOut.as("sim"))
   }
 
   /** [[ivfSelfTopK]] against a two-level layout — the past-the-clamp
@@ -1592,7 +1647,10 @@ object Similarity {
     */
   def ivfTopKStored(store: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, k: Int, coarse: Seq[Seq[Double]],
-                    nprobe: Int = 3): DataFrame = {
+                    nprobe: Int = 3,
+                    excludeSelf: Boolean = true,
+                    broadcastQueries: Boolean = true,
+                    roundSim: Boolean = true): DataFrame = {
     import graft.functions.VectorFunctions.{dot_product, l2_squared, vector_norm}
     val q = normalized(
       queries.select(col(idCol).as("q_id"),
@@ -1612,14 +1670,20 @@ object Similarity {
         col(vecCol).cast("array<double>").as("c_vec"),
         col("centroid_id").cast("int").as("centroid_id"))
       .withColumn("c_norm", vector_norm(col("c_vec")))
-    val scored = c.join(broadcast(qb), Seq("centroid_id"))
-      .filter(col("c_id") =!= col("q_id"))
+    // same ingest-gate knobs as [[ivfTopKStoredTwoLevel]] — see there
+    val joined =
+      if (broadcastQueries) c.join(broadcast(qb), Seq("centroid_id"))
+      else c.join(qb, Seq("centroid_id"))
+    val base = joined
       .withColumn("sim", try_divide(dot_product(col("q_vec"), col("c_vec")),
         vector_norm(col("q_vec")) * col("c_norm")))
+    val scored =
+      if (excludeSelf) base.filter(col("c_id") =!= col("q_id")) else base
     val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("c_id"))
+    val simOut = if (roundSim) round(col("sim"), 4) else col("sim")
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("q_id"), col("c_id"), col("rank"), round(col("sim"), 4).as("sim"))
+      .select(col("q_id"), col("c_id"), col("rank"), simOut.as("sim"))
   }
 
   /** ALL-vectors-as-queries exact-cosine IVF top-k over a [[writeIvfStore]]

@@ -282,12 +282,18 @@ object CurationProcessors {
   /** semdedup-gate: the EMBEDDING-space near-duplicate ingest gate — the
     * vector sibling of [[NearDupGate]] (SemDeDup at ingest): a batch row
     * is dropped iff its nearest stored vector's cosine similarity
-    * reaches `threshold`. The index is an ivf-index sink layout (the
-    * centroid-partitioned store WITH its persisted codebook), so the
-    * probe is the stored-ANN query itself: one kernel pass assigns each
-    * batch vector its probe centroids, the equi-join DPP-prunes to
-    * probed directories, and only those candidates reach the cosine —
-    * the corpus is never re-scanned or re-assigned.
+    * reaches `threshold` — compared on the TRUE cosine, and with
+    * self-exclusion OFF, so a re-delivered row that kept its stored id
+    * still collides with its own stored copy (the same-id re-delivery
+    * NearDupGate also gates). The index is an ivf-index sink layout
+    * (the centroid-partitioned store WITH its persisted codebook), so
+    * the probe is the stored-ANN query: one kernel pass assigns each
+    * batch vector its probe centroids and only probed-directory
+    * candidates reach the cosine — the corpus is never re-scanned or
+    * re-assigned. The batch side is NOT broadcast-hinted (an ingest
+    * batch is unbounded): the probe join plans as a shuffle equi-join,
+    * which AQE turns back into a broadcast (with directory pruning)
+    * whenever the batch is actually small.
     *
     * Contracts mirrored from [[NearDupGate]]: decisions depend ONLY on
     * the static index, never on other rows of the same batch (in-batch
@@ -332,17 +338,24 @@ object CurationProcessors {
       val store = spark.read.parquet(path)
       // nearest STORED neighbor per batch row (k=1 — the max cosine is
       // what the threshold tests), probed with the persisted geometry
-      val nn = Similarity.codebookKindAt(spark, path) match {
-        case "two_level" =>
-          Similarity.ivfTopKStoredTwoLevel(store, df, idc, vc, k = 1,
-            Similarity.readTwoLevelCodebookAt(spark, path),
-            nprobeTop = nprobeTop, nprobe = nprobe)
-        case "flat" =>
-          Similarity.ivfTopKStored(store, df, idc, vc, k = 1,
-            Similarity.readCoarseCodebookAt(spark, path), nprobe = nprobe)
-        case other =>
-          throw new IllegalArgumentException(
-            s"semdedup-gate cannot probe a '$other' codebook at $path")
+      // read ONCE and dispatched on its stored kind. Gate-specific
+      // probe knobs: excludeSelf=false so a re-delivered row that KEPT
+      // its stored id still sees its own stored copy (the self-exclusion
+      // default serves self-kNN, where every query IS in the store);
+      // broadcastQueries=false so an unbounded ingest batch plans as a
+      // shuffle equi-join instead of hitting the broadcast size wall
+      // (AQE still broadcasts small batches); roundSim=false so the
+      // threshold compares the TRUE cosine, not the 4-decimal display
+      // rounding (a 0.99995 threshold must not quantize to 1.0)
+      val nn = Similarity.readAnyCodebookAt(spark, path) match {
+        case Right(cb) =>
+          Similarity.ivfTopKStoredTwoLevel(store, df, idc, vc, k = 1, cb,
+            nprobeTop = nprobeTop, nprobe = nprobe, excludeSelf = false,
+            broadcastQueries = false, roundSim = false)
+        case Left(coarse) =>
+          Similarity.ivfTopKStored(store, df, idc, vc, k = 1, coarse,
+            nprobe = nprobe, excludeSelf = false,
+            broadcastQueries = false, roundSim = false)
       }
       val dropIds = nn.filter(col("sim") >= threshold)
         .select(col("q_id").as(idc))

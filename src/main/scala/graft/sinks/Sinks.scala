@@ -535,6 +535,10 @@ object IvfIndexSink extends SinkPlugin {
       org.apache.spark.sql.functions.col(idc),
       org.apache.spark.sql.functions.col(vc)).localCheckpoint()
     val n = batch.count()
+    // an empty batch is a no-op, not a degenerate build: auto-sizing a
+    // codebook from zero rows has no geometry to freeze (and streaming
+    // recipes deliver empty micro-batches routinely)
+    if (n == 0) return 0L
     val exists = graft.processors.CurationProcessors.indexExists(spark,
       s"$path/_graft_codebook")
     (twoLevel, exists) match {
@@ -545,12 +549,12 @@ object IvfIndexSink extends SinkPlugin {
       case (true, true) =>
         val cb = Similarity.readTwoLevelCodebookAt(spark, path)
         Similarity.appendIvfStoreTwoLevel(batch, idc, vc, cb, path)
-        if (grow) {
-          val grown = Similarity.splitHotChildrenAt(spark, path, idc, vc,
-            cb, maxShare)
-          if (grown.size > cb.size)
-            Similarity.writeCodebookAt(spark, path, grown)
-        }
+        // persistTo writes the grown codebook BEFORE the directory
+        // rewrite (inside the split op), so a crash mid-grow never
+        // leaves rows in directories no persisted codebook names
+        if (grow)
+          Similarity.splitHotChildrenAt(spark, path, idc, vc, cb, maxShare,
+            persistTo = Some(path))
       case (false, false) =>
         val coarse = Similarity.writeIvfStoreAuto(batch, idc, vc, path,
           maxSharePct = maxShare)

@@ -583,6 +583,24 @@ class AgentSpec extends SparkSpec {
     assert(r3.recordCount == 0, r3)
     assert(!spark.read.parquet(idx).select(col("vec_id"))
       .collect().map(_.getLong(0)).toSet.contains(200L))
+    // a SAME-ID re-delivery (row 103 verbatim) is gated too: the probe
+    // runs with self-exclusion OFF, so the row's own stored copy is a
+    // candidate at cosine 1 — without that knob the id-equality filter
+    // inside the ANN query would hide exactly this duplicate
+    val b4 = Seq((103L, novel)).toDF("vec_id", "embedding")
+    b4.write.mode("overwrite").parquet(s"$vecsDir/batch4")
+    val r4 = new Agent(spark).run(recipe("batch4", gated = true))
+    assert(r4.success, r4.error)
+    assert(r4.recordCount == 0, r4)
+    assert(spark.read.parquet(idx).filter(col("vec_id") === 103L).count() == 1,
+      "a gated same-id re-delivery must not double-append")
+    // an empty batch is a no-op for gate and sink alike
+    val b5 = b4.filter(col("vec_id") < 0)
+    b5.write.mode("overwrite").parquet(s"$vecsDir/batch5")
+    val r5 = new Agent(spark).run(recipe("batch5", gated = true))
+    assert(r5.success, r5.error)
+    assert(r5.recordCount == 0, r5)
+    assert(spark.read.parquet(idx).count() == 62)
     Registries.populate()
     assert(Registries.processors.list.map(_.name).contains("semdedup-gate"))
   }
