@@ -370,10 +370,17 @@ object Retrieval {
                         idCol: String, textCol: String,
                         titleTokens: Int = 8, buckets: Int = 16): Unit = {
     val store = readBm25fStore(spark, path)
-    val add = bm25fComponents(batch, idCol, textCol, titleTokens)
-    val newStats = mergedFieldedStats(store.stats, batch, add.stats)
+    // checkpoint the batch's fielded postings ONCE (the mergeBm25StoreAt
+    // discipline): the stats adds derive from the checkpointed postings
+    // (tot_f = Σ tf per field — same integers bm25fComponents.stats
+    // computes), so the batch is tokenized and field-split exactly once
+    // instead of once per write action
+    val addP = bm25fComponents(batch, idCol, textCol, titleTokens)
+      .postings.localCheckpoint()
+    val addStats = addP.groupBy(col("f")).agg(sum(col("tf")).as("tot_f"))
+    val newStats = mergedFieldedStats(store.stats, batch, addStats)
       .localCheckpoint()
-    add.postings.repartition(buckets, col("term"))
+    addP.repartition(buckets, col("term"))
       .write.mode("append").parquet(s"$path/postings")
     newStats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
   }
@@ -747,7 +754,8 @@ object Retrieval {
                           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val pairs = TextAnalysis.coChunkPairs(docs, idCol, textCol, size, stride)
     val anchors = pairs.select(
-      (shiftleft(col(idCol), chunkIdBits) + col("a_chunk")).as("aid"),
+      (shiftleft(col(idCol).cast("long"), chunkIdBits) + col("a_chunk"))
+        .as("aid"),
       col("a_text"))
     val scores = bm25ScoresStored(store, anchors, storeIdCol,
         "aid", "a_text", k1, b)
@@ -755,7 +763,8 @@ object Retrieval {
         shiftright(col("q_id"), chunkIdBits))
     val negs = topKOf(scores, storeIdCol, negK, rankName = "neg_rank")
     pairs.select(
-        (shiftleft(col(idCol), chunkIdBits) + col("a_chunk")).as("q_id"),
+        (shiftleft(col(idCol).cast("long"), chunkIdBits) + col("a_chunk"))
+          .as("q_id"),
         col(idCol), col("a_chunk"), col("b_chunk"),
         col("a_text"), col("b_text"))
       .join(negs, Seq("q_id"))

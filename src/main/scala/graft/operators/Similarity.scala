@@ -862,8 +862,19 @@ object Similarity {
     def size: Int = children.map(_.size).sum
     /** First id past every allocated one — where growth allocates. */
     def nextGid: Int = gids.flatten.foldLeft(0)((a, g) => math.max(a, g + 1))
-    /** All children in global-id order — the flat-codebook view. */
-    def flat: Seq[Seq[Double]] = children.flatten
+    /** All children in GLOBAL-ID order — the flat-codebook view, safe to
+      * index by gid. For a default-id codebook this is children.flatten;
+      * for a grown one (explicit childIds, fresh ids interleaved across
+      * tops) the sort is what keeps position == gid. Positions of gids
+      * that were never allocated (impossible today: default ids are
+      * contiguous and growth allocates densely from nextGid) would shift
+      * the mapping — hence the require. */
+    def flat: Seq[Seq[Double]] = {
+      val byGid = gids.flatten.zip(children.flatten).sortBy(_._1)
+      require(byGid.map(_._1) == byGid.indices,
+        s"flat view needs dense gids 0..${byGid.size - 1}: ${byGid.map(_._1)}")
+      byGid.map(_._2)
+    }
   }
 
   /** The two-level ASSIGNMENT column: nearest top, then nearest of that
@@ -1342,6 +1353,19 @@ object Similarity {
     hit.filterNot(surviveDirs).foreach { cid =>
       fs.delete(new org.apache.hadoop.fs.Path(path, s"centroid_id=$cid"), true)
     }
+    // erasure may legitimately cover EVERY remaining row — then the
+    // dynamic overwrite wrote no files and the deletes removed the last
+    // directory, leaving a path parquet cannot even infer a schema from
+    // (every later read or forget would throw). Park one ZERO-ROW
+    // schema-bearing file under a sentinel partition no probe can match
+    // (gids are >= 0): reads see an empty store, appends land real
+    // directories next to it, a re-run finds no tombstoned rows and
+    // no-ops.
+    val anyDirLeft = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .exists(s => s.isDirectory && s.getPath.getName.startsWith("centroid_id="))
+    if (!anyDirLeft)
+      store.limit(0).drop("centroid_id").repartition(1)
+        .write.mode("overwrite").parquet(s"$path/centroid_id=-1")
   }
 
   /** [[ivfTopKStored]] against a two-level layout: each query's probe

@@ -437,9 +437,12 @@ object Bm25IndexSink extends SinkPlugin {
     val bits = config.getOrElse("chunk_id_bits", 20).toString.toInt
     val keyCol = chunkCol.map(_ => "cid").getOrElse(idc)
     val keyed = chunkCol match {
+      // cast the id to LONG before shifting: an IntegerType id column
+      // would wrap at ids >= 2^(31-bits) (2048 at the default 20 bits),
+      // silently colliding different docs' chunk keys
       case Some(cc) => df.withColumn("cid",
         org.apache.spark.sql.functions.shiftleft(
-          org.apache.spark.sql.functions.col(idc), bits) +
+          org.apache.spark.sql.functions.col(idc).cast("long"), bits) +
           org.apache.spark.sql.functions.col(cc))
       case None => df
     }
@@ -454,21 +457,94 @@ object Bm25IndexSink extends SinkPlugin {
     // marker is the store's commit signal (the indexExists discipline)
     val exists =
       graft.processors.CurationProcessors.indexExists(spark, s"$path/stats")
+    val layoutCfg = s"fielded=$fielded,title_tokens=$titleTokens," +
+      s"buckets=$buckets,chunk_grain=${chunkCol.isDefined},chunk_bits=$bits"
     (fielded, exists) match {
       case (false, false) =>
         graft.operators.Retrieval.writeBm25Store(batch, keyCol, tc, path,
           buckets)
+        IndexProtocol.writeLayoutConfig(spark, path, layoutCfg)
       case (false, true) =>
-        graft.operators.Retrieval.mergeBm25StoreAt(spark, path, batch,
-          keyCol, tc, buckets)
+        IndexProtocol.checkLayoutConfig(spark, path, layoutCfg)
+        IndexProtocol.withMergePending(spark, path) {
+          graft.operators.Retrieval.mergeBm25StoreAt(spark, path, batch,
+            keyCol, tc, buckets)
+        }
       case (true, false) =>
         graft.operators.Retrieval.writeBm25fStore(batch, keyCol, tc, path,
           titleTokens, buckets)
+        IndexProtocol.writeLayoutConfig(spark, path, layoutCfg)
       case (true, true) =>
-        graft.operators.Retrieval.mergeBm25fStoreAt(spark, path, batch,
-          keyCol, tc, titleTokens, buckets)
+        IndexProtocol.checkLayoutConfig(spark, path, layoutCfg)
+        IndexProtocol.withMergePending(spark, path) {
+          graft.operators.Retrieval.mergeBm25fStoreAt(spark, path, batch,
+            keyCol, tc, titleTokens, buckets)
+        }
     }
     n
+  }
+}
+
+/** The two parquet-has-no-transactions mitigations shared by the index
+  * sinks. Neither makes a multi-file mutation atomic — nothing on a
+  * plain object store can — but together they turn the silent failure
+  * modes into loud ones:
+  *
+  *  - A MERGE/APPEND that died between its writes must never be
+  *    retried blindly (the postings-append half would run twice and
+  *    double every tf it carries, breaking merged ≡ rebuild with no
+  *    error). [[withMergePending]] drops a `_graft_merge_pending`
+  *    marker for the duration of the mutation; a sink invocation that
+  *    finds a stale marker REFUSES with a rebuild instruction instead
+  *    of corrupting the store. Build paths need no marker: they are
+  *    static overwrites, and their commit signal (stats/codebook
+  *    written last) means a half-built store simply rebuilds.
+  *
+  *  - A later batch run with DIFFERENT layout parameters (fielded flag,
+  *    title window, chunk grain/bits, buckets) would merge components
+  *    computed under another geometry — silently wrong scores.
+  *    [[writeLayoutConfig]] freezes the build-time parameters in the
+  *    store; [[checkLayoutConfig]] rejects a mismatched merge loudly.
+  *    Stores written before this protocol (no config file) adopt the
+  *    current batch's config on their next successful merge.
+  */
+private[sinks] object IndexProtocol {
+  private def fs(spark: org.apache.spark.sql.SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def withMergePending[A](spark: org.apache.spark.sql.SparkSession,
+                          path: String)(body: => A): A = {
+    val marker = new org.apache.hadoop.fs.Path(path, "_graft_merge_pending")
+    val f = fs(spark, path)
+    require(!f.exists(marker),
+      s"$path holds an UNFINISHED merge (stale $marker): a prior ingest " +
+        "died between its writes, so the store may carry a partial " +
+        "batch. Rebuild the index from source (delete the path and " +
+        "re-ingest) before merging more batches.")
+    f.create(marker, true).close()
+    val r = body
+    f.delete(marker, false)
+    r
+  }
+
+  def writeLayoutConfig(spark: org.apache.spark.sql.SparkSession,
+                        path: String, cfg: String): Unit = {
+    import spark.implicits._
+    Seq(cfg).toDF("cfg").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_graft_index_config")
+  }
+
+  def checkLayoutConfig(spark: org.apache.spark.sql.SparkSession,
+                        path: String, cfg: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_graft_index_config")
+    if (!fs(spark, path).exists(p)) { writeLayoutConfig(spark, path, cfg); return }
+    val stored = spark.read.parquet(s"$path/_graft_index_config")
+      .head().getString(0)
+    require(stored == cfg,
+      s"$path was built with layout ($stored) but this batch is " +
+        s"configured ($cfg) — merging mixed geometries silently corrupts " +
+        "scores. Align the recipe config or rebuild the index.")
   }
 }
 
@@ -548,20 +624,24 @@ object IvfIndexSink extends SinkPlugin {
         Similarity.writeCodebookAt(spark, path, cb)
       case (true, true) =>
         val cb = Similarity.readTwoLevelCodebookAt(spark, path)
-        Similarity.appendIvfStoreTwoLevel(batch, idc, vc, cb, path)
-        // persistTo writes the grown codebook BEFORE the directory
-        // rewrite (inside the split op), so a crash mid-grow never
-        // leaves rows in directories no persisted codebook names
-        if (grow)
-          Similarity.splitHotChildrenAt(spark, path, idc, vc, cb, maxShare,
-            persistTo = Some(path))
+        IndexProtocol.withMergePending(spark, path) {
+          Similarity.appendIvfStoreTwoLevel(batch, idc, vc, cb, path)
+          // persistTo writes the grown codebook BEFORE the directory
+          // rewrite (inside the split op), so a crash mid-grow never
+          // leaves rows in directories no persisted codebook names
+          if (grow)
+            Similarity.splitHotChildrenAt(spark, path, idc, vc, cb,
+              maxShare, persistTo = Some(path))
+        }
       case (false, false) =>
         val coarse = Similarity.writeIvfStoreAuto(batch, idc, vc, path,
           maxSharePct = maxShare)
         Similarity.writeCodebookAt(spark, path, coarse)
       case (false, true) =>
         val coarse = Similarity.readCoarseCodebookAt(spark, path)
-        Similarity.appendIvfStore(batch, idc, vc, coarse, path)
+        IndexProtocol.withMergePending(spark, path) {
+          Similarity.appendIvfStore(batch, idc, vc, coarse, path)
+        }
     }
     n
   }

@@ -3993,6 +3993,48 @@ class AutoCodebookSpec extends SparkSpec {
     }
   }
 
+  test("forgetIvfStoreAt survives erasing EVERY row: the store stays " +
+      "readable, re-forgettable, and appendable") {
+    val docs = synth(30)
+    val coarse = Similarity.autoCoarseCodebook(docs, "vec_id", "embedding")
+    val path = java.nio.file.Files
+      .createTempDirectory("ivfforget_all").toString
+    Similarity.writeIvfStore(docs, "vec_id", "embedding", coarse, path)
+    val everything = docs.select(col("vec_id"))
+    Similarity.forgetIvfStoreAt(spark, path, everything, "vec_id")
+    // without the sentinel zero-row file the next read throws 'Unable
+    // to infer schema' — the erase-all request must leave a valid store
+    assert(spark.read.parquet(path).count() == 0)
+    // idempotent: a second erase-all pass is a no-op, not a crash
+    Similarity.forgetIvfStoreAt(spark, path, everything, "vec_id")
+    assert(spark.read.parquet(path).count() == 0)
+    // the emptied store accepts appends and answers queries again
+    val fresh = synth(90).filter(col("vec_id") >= 60)
+    Similarity.appendIvfStore(fresh, "vec_id", "embedding", coarse, path)
+    val out = Similarity.ivfTopKStored(spark.read.parquet(path),
+      fresh.limit(3), "vec_id", "embedding", k = 2, coarse, nprobe = 3)
+    assert(out.count() > 0)
+  }
+
+  test("grown codebook's flat view is global-id order (position == gid)") {
+    val docs = synth(90)
+    val e = (d: Int) => Seq.tabulate(8)(i => if (i == d) 1.0 else 0.0)
+    val cb = Similarity.TwoLevelCodebook(
+      Seq(e(0), e(1), e(2)), Seq(Seq(e(0)), Seq(e(1)), Seq(e(2))))
+    val path = java.nio.file.Files
+      .createTempDirectory("ivf2flat").toString
+    Similarity.writeIvfStoreTwoLevel(docs, "vec_id", "embedding", cb, path)
+    val grown = Similarity.splitHotChildrenAt(spark, path,
+      "vec_id", "embedding", cb, maxSharePct = 5.0)
+    // gids interleave across tops after growth (0,3 / 1,4 / 2,5) — the
+    // flat view must STILL satisfy flat(gid) == the child with that gid,
+    // or any flat-indexed consumer mis-addresses every grown centroid
+    val byGid = grown.gids.flatten.zip(grown.children.flatten).toMap
+    val flat = grown.flat
+    assert(flat.size == grown.size)
+    byGid.foreach { case (g, v) => assert(flat(g) == v, s"gid $g") }
+  }
+
   test("appendPqStore folds batches to exactly a write-all codes layout; " +
       "forget composes on the codes store") {
     val docs = synth(90)

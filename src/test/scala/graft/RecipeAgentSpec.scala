@@ -872,6 +872,35 @@ class MetricsSpec extends SparkSpec {
 class SinksSpec extends SparkSpec {
   import spark.implicits._
 
+  test("bm25-index refuses merges onto a stale-pending or layout-mismatched " +
+      "store instead of corrupting it") {
+    import graft.sinks.Bm25IndexSink
+    val idx = Files.createTempDirectory("biprot").resolve("bm25").toString
+    val b1 = Seq((1L, "spark shuffles columns")).toDF("doc_id", "text")
+    val b2 = Seq((2L, "ducks swim in ponds")).toDF("doc_id", "text")
+    assert(Bm25IndexSink.sink(b1, Map("index_path" -> idx, "buckets" -> 2)) == 1L)
+    // a batch configured under a DIFFERENT layout must be rejected, not
+    // merged (fielded components under plain postings = silent garbage)
+    intercept[IllegalArgumentException] {
+      Bm25IndexSink.sink(b2,
+        Map("index_path" -> idx, "buckets" -> 2, "fielded" -> true))
+    }
+    // a stale pending marker (a prior merge died between its writes)
+    // must refuse the merge loudly — retrying would double-append
+    val marker = new org.apache.hadoop.fs.Path(idx, "_graft_merge_pending")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(marker, true).close()
+    intercept[IllegalArgumentException] {
+      Bm25IndexSink.sink(b2, Map("index_path" -> idx, "buckets" -> 2))
+    }
+    // cleared marker → the same merge goes through and clears itself
+    fs.delete(marker, false)
+    assert(Bm25IndexSink.sink(b2, Map("index_path" -> idx, "buckets" -> 2)) == 1L)
+    assert(!fs.exists(marker), "a completed merge must remove its marker")
+    assert(graft.operators.Retrieval.readBm25Store(spark, idx)
+      .postings.select("doc_id").distinct().count() == 2)
+  }
+
   private case class FakePoster(failFirst: Int) extends graft.sinks.HttpPoster {
     var calls = 0
     val bodies = scala.collection.mutable.ArrayBuffer[String]()
