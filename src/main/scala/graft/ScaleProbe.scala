@@ -16,6 +16,34 @@ import org.apache.spark.sql.functions._
   * Usage: `sbt "runMain graft.ScaleProbe [sfDir] [factor]"`.
   */
 object ScaleProbe {
+  /** The ONE definition of the replicated embedding corpus every probe
+    * arm measures against: replica k shifts ids by k·N and rotates each
+    * vector by k positions (distinct geometry per replica — no
+    * artificial exact duplicates), deterministic. Previously inlined at
+    * three sites, which risked the arms silently diverging on the
+    * corpus-construction rule and invalidating cross-arm comparisons.
+    */
+  private case class EmbReplicator(base: DataFrame, dim: Int,
+                                   corpus: Int => DataFrame)
+  private def embReplicator(spark: SparkSession,
+                            sfDir: String): EmbReplicator = {
+    val base = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val dim = base.select(size(col("embedding"))).head.getInt(0)
+    val n = base.count()
+    def rot(vec: org.apache.spark.sql.Column, k: Int) = {
+      val s = k % dim
+      if (s == 0) vec
+      else concat(slice(vec, s + 1, dim - s), slice(vec, 1, s))
+    }
+    EmbReplicator(base, dim, f =>
+      (0 until f).map(k => base.select(
+          (col("vec_id") + lit(k * n)).as("vec_id"),
+          rot(col("embedding"), k).as("embedding")))
+        .reduce(_ unionAll _).localCheckpoint())
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val factor = if (args.length > 1) args(1).toInt else 10
@@ -847,20 +875,9 @@ object ScaleProbe {
     // ~20·(N/C) = 20·√N rows at C = √N — SUB-LINEAR in store size, and
     // the directories touched stay ≤20 while the directory count grows.
     locally {
-      val embBase = Tables(spark, sfDir, "embeddings")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-      val dim = embBase.select(size(col("embedding"))).head.getInt(0)
-      val embN = embBase.count()
-      def rot(vec: org.apache.spark.sql.Column, k: Int) = {
-        val s = k % dim
-        if (s == 0) vec
-        else concat(slice(vec, s + 1, dim - s), slice(vec, 1, s))
-      }
+      val emb = embReplicator(spark, sfDir)
       for (f <- Seq(1, factor, 3 * factor)) {
-        val corpus = (0 until f).map(k => embBase.select(
-            (col("vec_id") + lit(k * embN)).as("vec_id"),
-            rot(col("embedding"), k).as("embedding")))
-          .reduce(_ unionAll _).localCheckpoint()
+        val corpus = emb.corpus(f)
         val seeds = operators.Similarity.autoCoarseCodebook(
           corpus, "vec_id", "embedding")
         val path = new java.io.File(System.getProperty("java.io.tmpdir"),
@@ -899,20 +916,9 @@ object ScaleProbe {
     * directories never re-read.
     */
   def growProbe(spark: SparkSession, sfDir: String, factor: Int): Unit = {
-    val embBase = Tables(spark, sfDir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-    val dim = embBase.select(size(col("embedding"))).head.getInt(0)
-    val embN = embBase.count()
-    def rot(vec: org.apache.spark.sql.Column, k: Int) = {
-      val s = k % dim
-      if (s == 0) vec
-      else concat(slice(vec, s + 1, dim - s), slice(vec, 1, s))
-    }
+    val emb = embReplicator(spark, sfDir)
     for (f <- Seq(1, factor, 3 * factor)) {
-      val corpus = (0 until f).map(k => embBase.select(
-          (col("vec_id") + lit(k * embN)).as("vec_id"),
-          rot(col("embedding"), k).as("embedding")))
-        .reduce(_ unionAll _).localCheckpoint()
+      val corpus = emb.corpus(f)
       val path = new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft_probe_ivf2grow_$f").getAbsolutePath
       val cb = operators.Similarity.writeIvfStoreTwoLevelAuto(
@@ -970,20 +976,10 @@ object ScaleProbe {
   def feederProbe(spark: SparkSession, sfDir: String, factor: Int,
                   arms: Set[String] = Set("fixed", "scaled", "auto")): Unit = {
     locally {
-      val embBase = Tables(spark, sfDir, "embeddings")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-      val dim = embBase.select(size(col("embedding"))).head.getInt(0)
-      val embN = embBase.count()
-      def rot(vec: org.apache.spark.sql.Column, k: Int) = {
-        val s = k % dim
-        if (s == 0) vec
-        else concat(slice(vec, s + 1, dim - s), slice(vec, 1, s))
-      }
-      def embCorpus(f: Int): DataFrame =
-        (0 until f).map(k => embBase.select(
-            (col("vec_id") + lit(k * embN)).as("vec_id"),
-            rot(col("embedding"), k).as("embedding")))
-          .reduce(_ unionAll _).localCheckpoint()
+      val emb = embReplicator(spark, sfDir)
+      val embBase = emb.base
+      val dim = emb.dim
+      def embCorpus(f: Int): DataFrame = emb.corpus(f)
       def unitSeedsOf(df: DataFrame, n: Int): Seq[Seq[Double]] =
         df.orderBy(col("vec_id")).limit(n)
           .select(col("embedding")).collect()

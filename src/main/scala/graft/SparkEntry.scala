@@ -3219,7 +3219,11 @@ object SparkEntry {
     // twin replays the full hierarchy; the auto-sized production
     // codebook (autoTwoLevelCodebook) is the same kernel seeded by
     // hash-stride + share-split, recall-gated by RecallSpec and
-    // ScaleProbed blind.
+    // ScaleProbed blind. This row DELIBERATELY re-derives the codebook
+    // per call (a full-corpus window at this row's ~0.5 s share) — it
+    // grades the built-codebook path; s_ann_ivf2_persisted is the
+    // production re-attach spelling that reads the frozen geometry from
+    // disk instead.
     val emb = t(s, dir, "embeddings")
     val cb = ivf2PortableCodebook(emb)
     val path = layoutPath(dir, "ivf2store", "tops=first3unit,kids=min3id,v1")
