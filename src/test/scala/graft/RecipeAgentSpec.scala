@@ -901,6 +901,36 @@ class SinksSpec extends SparkSpec {
       .postings.select("doc_id").distinct().count() == 2)
   }
 
+  test("ivf-index flat path builds and appends against the persisted " +
+      "codebook; a two_level run against a flat store fails loudly") {
+    import graft.sinks.IvfIndexSink
+    import graft.operators.Similarity
+    val idx = Files.createTempDirectory("iviflat").resolve("ivf").toString
+    def vec(i: Int): Seq[Double] =
+      Seq.tabulate(8)(d => (if (d == i % 3) 10.0 else 0.0) + 0.01 * (i % 5))
+    val b1 = (0 until 40).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val b2 = (40 until 60).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    assert(IvfIndexSink.sink(b1,
+      Map("index_path" -> idx, "two_level" -> false)) == 40L)
+    val coarse = Similarity.readCoarseCodebookAt(spark, idx)
+    assert(IvfIndexSink.sink(b2,
+      Map("index_path" -> idx, "two_level" -> false)) == 20L)
+    // append parity under the reloaded FLAT codebook
+    val rbPath = Files.createTempDirectory("iviflat_rb").toString
+    Similarity.writeIvfStore(b1.unionByName(b2), "vec_id", "embedding",
+      coarse, rbPath)
+    def rows(p: String) = spark.read.parquet(p)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("centroid_id"))
+      .collect().map(_.toSeq).toSet
+    assert(rows(idx) == rows(rbPath))
+    // a two_level-configured run (the default) against the flat store
+    // must fail the kind check, never probe/assign silently
+    intercept[IllegalArgumentException] {
+      IvfIndexSink.sink(b2, Map("index_path" -> idx))
+    }
+  }
+
   private case class FakePoster(failFirst: Int) extends graft.sinks.HttpPoster {
     var calls = 0
     val bodies = scala.collection.mutable.ArrayBuffer[String]()
