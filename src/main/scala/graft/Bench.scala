@@ -123,6 +123,65 @@ object Bench {
         case c if c < ' ' => "\\u%04x".format(c.toInt)
         case c => c.toString
       } + "\""
+    // ---- automatic flag-settle protocol -------------------------------
+    // Sessions on this VM swing individual rows by whole seconds (clock
+    // stalls, heap weather from 280 earlier queries); round-over-round
+    // judging used to depend on PROSE receipts of manual isolated
+    // re-runs. Automate it: any succeeded row that moved >30% AND >0.5 s
+    // against the prior local bench re-times ISOLATED at min-of-5 right
+    // here, on the same fresh-GC discipline as the main loop, and the
+    // artifact carries the receipt in a `settled` map — prior value,
+    // session value, isolated min — so a flagged row is adjudicated by
+    // the artifact itself, not by trusting a README paragraph.
+    val priorPath = sys.env.get("SPARK_GRAFT_PRIOR").orElse {
+      Option(new java.io.File(".").listFiles()).flatMap(
+        _.filter(_.getName.matches("BENCH_LOCAL_r\\d+\\.json"))
+          .sortBy(_.getName).lastOption.map(_.getPath))
+    }
+    val prior: Map[String, Double] = priorPath.flatMap { p =>
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(p)), "UTF-8")
+        val m = new org.yaml.snakeyaml.Yaml() // JSON is a YAML subset
+          .load[java.util.Map[String, Object]](txt)
+        val qs = m.get("queries").asInstanceOf[java.util.Map[String, Object]]
+        import scala.jdk.CollectionConverters._
+        Some(qs.asScala.map { case (k, v) => k -> v.toString.toDouble }.toMap)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] prior bench unreadable ($p): $e"); None }
+    }.getOrElse(Map.empty)
+    val settleReps = sys.env.getOrElse("SPARK_GRAFT_SETTLE_REPS", "5").toInt
+    val flagged =
+      if (settleReps <= 0) Seq.empty
+      else results.filterNot(_._2.failed).flatMap { case (name, r) =>
+        prior.get(name)
+          .filter(p => math.abs(r.sec - p) > 0.5 &&
+            (r.sec > 1.3 * p || r.sec < p / 1.3))
+          .map(p => (name, r.sec, p))
+      }
+    // bound the settle pass: a whole-session regression (new Spark conf,
+    // bad merge) would flag half the surface — re-timing 12 rows is
+    // plenty of signal and keeps the bench inside its wall budget
+    val (toSettle, unsettled) = flagged.splitAt(12)
+    val settled = toSettle.map { case (name, sessionSec, p) =>
+      System.gc()
+      val fn = SparkEntry.queries(name)
+      val secs = (1 to settleReps).map { _ =>
+        val t0 = System.nanoTime()
+        val s =
+          try { checksum(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+          catch { case _: Throwable => Double.NaN }
+        dropLeftoverBlocks(spark)
+        s
+      }.filterNot(_.isNaN)
+      val iso = if (secs.isEmpty) -1.0 else secs.min
+      (name, sessionSec, p, iso)
+    }
+    val settledJson = settled.map { case (name, s, p, iso) =>
+      jstr(name) + ":" + s"""{"prior":$p,"session":$s,"isolated_min5":$iso}"""
+    }.mkString("{", ",", "}")
+    val unsettledJson = unsettled.map(t => jstr(t._1)).mkString("[", ",", "]")
+    // --------------------------------------------------------------------
     val qs = results.map { case (k, r) => jstr(k) + ":" + r.sec }.mkString("{", ",", "}")
     val rows = results.map { case (k, r) => jstr(k) + ":" + r.rows }.mkString("{", ",", "}")
     val failedNames = results.collect { case (k, r) if r.failed => jstr(k) }.mkString("[", ",", "]")
@@ -141,7 +200,7 @@ object Bench {
       SparkEntry.twinOf.contains(k) }
     val headlineSec = headline.map(_._2.sec).sum
     val auditSec = audit.map(_._2.sec).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"agg":"min","headline_sec":$headlineSec,"audit_sec":$auditSec,"n_headline":${headline.size},"n_audit":${audit.size},"queries":$qs,"rows":$rows,"failed":$failedNames,"errors":$errs,"notes":$notes,"n_ok":${ok.size},"n_failed":${results.size - ok.size},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"agg":"min","headline_sec":$headlineSec,"audit_sec":$auditSec,"n_headline":${headline.size},"n_audit":${audit.size},"queries":$qs,"rows":$rows,"failed":$failedNames,"errors":$errs,"notes":$notes,"settled":$settledJson,"settle_overflow":$unsettledJson,"prior":${priorPath.map(jstr).getOrElse("null")},"n_ok":${ok.size},"n_failed":${results.size - ok.size},"sf":"$sfDir"}"""
     println(line)
     // fallback artifact: sbt prefixes stdout with "[info] ", which has
     // broken the harness's metric-line extraction before (BENCH_r03

@@ -874,6 +874,10 @@ object ScaleProbe {
     // probe: compaction rewrites only the HIT directories' survivors —
     // ~20·(N/C) = 20·√N rows at C = √N — SUB-LINEAR in store size, and
     // the directories touched stay ≤20 while the directory count grows.
+    // Round 13 adds the FINDER claim: with the id sidecar the erasure
+    // batch READS only its tombstones' id-hash sidecar directories plus
+    // the hit centroid directories (bytes_read, measured off the task
+    // input metrics) — never the store's full (id, centroid_id) columns.
     locally {
       val emb = embReplicator(spark, sfDir)
       for (f <- Seq(1, factor, 3 * factor)) {
@@ -894,12 +898,31 @@ object ScaleProbe {
               .select(col("centroid_id")).distinct(), Seq("centroid_id"),
             "left_semi").count()
         val total = store.count()
+        def duBytes(p: String): Long = {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(hp)) fs.getContentSummary(hp).getLength else 0L
+        }
+        val storeBytes = duBytes(path)
+        val sidecarBytes = duBytes(s"$path/_graft_ids")
+        val bytesRead = new java.util.concurrent.atomic.AtomicLong(0)
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (te.taskMetrics != null)
+              bytesRead.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+        }
+        spark.sparkContext.addSparkListener(listener)
         val t0 = System.nanoTime()
         operators.Similarity.forgetIvfStoreAt(spark, path, tomb, "vec_id")
         val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(1500) // listener bus drains async
+        spark.sparkContext.removeSparkListener(listener)
         println(f"""{"probe":"ivf_forget","factor":$f,"sec":$sec%.2f,""" +
           f""""dirs_hit":$hitDirs,"dirs_total":${seeds.size},""" +
-          s""""rows_in_hit_dirs":$hitRows,"rows_total":$total}""")
+          s""""rows_in_hit_dirs":$hitRows,"rows_total":$total,""" +
+          s""""bytes_read":${bytesRead.get()},"store_bytes":$storeBytes,""" +
+          s""""sidecar_bytes":$sidecarBytes}""")
         corpus.unpersist(); tomb.unpersist()
       }
     }

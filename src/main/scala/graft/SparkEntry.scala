@@ -5140,7 +5140,7 @@ object SparkEntry {
     */
   private def chunkBm25Store(s: SparkSession, dir: String): Retrieval.Bm25Store = {
     val path = layoutPath(dir, "bm25chunks",
-      "tok=ws,buckets=16,chunk=16x8,cid=shl20,v1",
+      "tok=ws,buckets=16,chunk=16x8,cid=shl20,v2",
       srcTable = "documents.parquet")
     if (!layoutReady(s"$path/stats"))
       Retrieval.writeBm25Store(chunkCidCorpus(t(s, dir, "documents")),
@@ -5240,7 +5240,7 @@ object SparkEntry {
   private def bm25fStore(s: SparkSession, dir: String,
                          cut: Long = Long.MaxValue): Retrieval.Bm25fStore = {
     val cfg = if (cut == Long.MaxValue) "all" else cut.toString
-    val path = layoutPath(dir, "bm25f", s"tok=ws,title=8,buckets=16,v1,cut=$cfg",
+    val path = layoutPath(dir, "bm25f", s"tok=ws,title=8,buckets=16,v2,cut=$cfg",
       srcTable = "documents.parquet")
     if (!layoutReady(s"$path/stats"))
       Retrieval.writeBm25fStore(
@@ -5322,7 +5322,7 @@ object SparkEntry {
   private def bm25Store(s: SparkSession, dir: String,
                         cut: Long = Long.MaxValue): Retrieval.Bm25Store = {
     val cfg = if (cut == Long.MaxValue) "all" else cut.toString
-    val path = layoutPath(dir, "bm25", s"tok=ws,buckets=16,v2,cut=$cfg",
+    val path = layoutPath(dir, "bm25", s"tok=ws,buckets=16,v3,cut=$cfg",
       srcTable = "documents.parquet")
     if (!layoutReady(s"$path/stats"))
       Retrieval.writeBm25Store(
@@ -5363,6 +5363,74 @@ object SparkEntry {
       docs.filter(col("doc_id") >= 250), "doc_id", "text")
     Retrieval.bm25TopKStored(merged, docs.filter(col("doc_id") < 5),
         "doc_id", "doc_id", "text")
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  private def bm25ForgetStored(s: SparkSession, dir: String): DataFrame = {
+    // right-to-erasure for the BM25 postings store: tombstones
+    // (doc_id % 7 = 3) compact the term-hash-bucketed layout IN PLACE —
+    // only bucket directories holding a tombstoned doc's terms rewrite
+    // (dynamic partition overwrite), df decrements by exact hit counts
+    // (terms erased to df = 0 leave the vocabulary), and n_docs/tot
+    // integer-subtract with n_docs counted against the id SIDECAR so
+    // zero-token docs decrement exactly. The oracle replays REBUILD
+    // semantics — the same BM25 chain over the surviving corpus — so the
+    // hash match IS the proof that in-place erasure ≡ rebuild (the
+    // s_ann_forget_stored theorem, applied to the postings layout).
+    // Idempotent across runs: a compacted store finds no members, no-ops.
+    val docs = t(s, dir, "documents")
+    val path = layoutPath(dir, "bm25forget",
+      "tok=ws,buckets=16,tomb=mod7eq3,v1", srcTable = "documents.parquet")
+    if (!layoutReady(s"$path/stats"))
+      Retrieval.writeBm25Store(docs, "doc_id", "text", path)
+    Retrieval.forgetBm25StoreAt(s, path,
+      docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")), "doc_id")
+    Retrieval.bm25TopKStored(Retrieval.readBm25Store(s, path),
+        docs.filter(col("doc_id") < 5 && col("doc_id") % 7 =!= 3),
+        "doc_id", "doc_id", "text")
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  private def bm25fForgetStored(s: SparkSession, dir: String): DataFrame = {
+    // the FIELDED store's erasure row: same per-directory postings
+    // compaction, per-field tot_f decrements, one corpus-level n_docs
+    // decrement; no df table exists to touch (the fielded layout derives
+    // whole-doc df at score time, so erased rows simply stop counting).
+    // Rebuild-on-survivors oracle, fielded chain.
+    val docs = t(s, dir, "documents")
+    val path = layoutPath(dir, "bm25fforget",
+      "tok=ws,title=8,buckets=16,tomb=mod7eq3,v1",
+      srcTable = "documents.parquet")
+    if (!layoutReady(s"$path/stats"))
+      Retrieval.writeBm25fStore(docs, "doc_id", "text", path,
+        titleTokens = 8)
+    Retrieval.forgetBm25fStoreAt(s, path,
+      docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")), "doc_id")
+    Retrieval.bm25fTopKStored(Retrieval.readBm25fStore(s, path),
+        docs.filter(col("doc_id") < 5 && col("doc_id") % 7 =!= 3),
+        "doc_id", "doc_id", "text")
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  private def bm25ChunkForget(s: SparkSession, dir: String): DataFrame = {
+    // chunk-grain erasure BY PARENT DOC: a GDPR request names documents,
+    // the store keys chunks (cid = doc_id·2^20 + chunk) — the parent →
+    // cid expansion reads ONLY the id sidecar (one integer per stored
+    // chunk), then the standard per-directory compaction erases every
+    // chunk of the tombstoned docs. Oracle = rebuild the chunk corpus
+    // from the surviving docs and replay the chunk-BM25 chain.
+    val d = t(s, dir, "documents")
+    val path = layoutPath(dir, "bm25chunkforget",
+      "tok=ws,buckets=16,chunk=16x8,cid=shl20,tomb=mod7eq3,v1",
+      srcTable = "documents.parquet")
+    if (!layoutReady(s"$path/stats"))
+      Retrieval.writeBm25Store(chunkCidCorpus(d), "cid", "chunk_text", path)
+    Retrieval.forgetBm25ChunkStoreAt(s, path,
+      d.filter(col("doc_id") % 7 === 3).select(col("doc_id")), "doc_id",
+      chunkIdBits = ChunkIdBits)
+    Retrieval.bm25TopKStored(Retrieval.readBm25Store(s, path),
+        d.filter(col("doc_id") < 5 && col("doc_id") % 7 =!= 3),
+        "cid", "doc_id", "text")
       .orderBy(col("q_id"), col("rnk"))
   }
 
@@ -5701,6 +5769,9 @@ object SparkEntry {
     "d_bm25_topk_stored" -> (bm25TopKStoredQuery _),
     "d_bm25_incremental" -> (bm25IncrementalQuery _),
     "d_bm25f_incremental" -> (bm25fIncrementalQuery _),
+    "d_bm25_forget_stored" -> (bm25ForgetStored _),
+    "d_bm25f_forget_stored" -> (bm25fForgetStored _),
+    "d_bm25_chunk_forget" -> (bm25ChunkForget _),
     "d_hybrid_rrf" -> (hybridRrfQuery _),
     "d_winnow_fps" -> (winnowFpsQuery _),
     "d_winnow_matches" -> (winnowMatchesQuery _),
@@ -5786,19 +5857,35 @@ object SparkEntry {
         |                     ORDER BY score DESC, doc_id ASC) AS rnk
         | FROM sc)""".stripMargin
 
-  /** The default query side of every BM25 oracle: doc-as-query term sets
-    * of the first five documents. */
-  private lazy val defaultBm25Qt: String =
+  /** Doc-as-query term sets under an arbitrary doc predicate — the
+    * query side of every BM25 oracle (forget twins restrict it to the
+    * SURVIVING query docs). */
+  private def bm25QtWhere(where: String): String =
     """SELECT DISTINCT q_id, term FROM (
       |  SELECT doc_id AS q_id,
       |   unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
       |          x -> len(x) > 0)) AS term
-      |  FROM documents WHERE doc_id < 5)""".stripMargin
+      |  FROM documents WHERE """.stripMargin + where + ")"
+
+  /** The default query side of every BM25 oracle: doc-as-query term sets
+    * of the first five documents. */
+  private lazy val defaultBm25Qt: String = bm25QtWhere("doc_id < 5")
 
   private lazy val bm25Ctes: String = bm25CtesOver("documents")
 
   private lazy val bm25Oracle: String =
     s"""WITH $bm25Ctes
+      |SELECT q_id, rnk, doc_id, score FROM r WHERE rnk <= 10
+      |ORDER BY q_id, rnk""".stripMargin
+
+  /** Forget twin: REBUILD semantics — the identical BM25 chain over the
+    * surviving corpus (docs whose id is not tombstoned), query side the
+    * surviving query docs. The hash match against the in-place-compacted
+    * store is the erasure proof. */
+  private lazy val bm25ForgetOracle: String =
+    s"""WITH ${bm25CtesOver(
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3) surv",
+        bm25QtWhere("doc_id < 5 AND doc_id % 7 <> 3"))}
       |SELECT q_id, rnk, doc_id, score FROM r WHERE rnk <= 10
       |ORDER BY q_id, rnk""".stripMargin
 
@@ -5808,11 +5895,20 @@ object SparkEntry {
     * (IEEE 2-operand addition commutes, so no summation-order hazard),
     * then the one fixed-point rounding. */
   private lazy val bm25fOracle: String =
-    """WITH ctk AS (
+    bm25fOracleOver("documents", "doc_id < 5")
+
+  /** Fielded forget twin: rebuild-on-survivors over the identical BM25F
+    * chain. */
+  private lazy val bm25fForgetOracle: String = bm25fOracleOver(
+    "(SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3) surv",
+    "doc_id < 5 AND doc_id % 7 <> 3")
+
+  private def bm25fOracleOver(corpus: String, qtWhere: String): String =
+    s"""WITH ctk AS (
       | SELECT doc_id,
-      |  list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |  list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
       |              x -> len(x) > 0) AS t
-      | FROM documents),
+      | FROM $corpus),
       |fx AS (
       | SELECT doc_id, 't' AS f, t[1:8] AS ft FROM ctk
       | UNION ALL
@@ -5821,15 +5917,12 @@ object SparkEntry {
       |tf AS (SELECT doc_id, f, term, count(*) AS tf FROM ct GROUP BY 1, 2, 3),
       |dl AS (SELECT doc_id, f, CAST(sum(tf) AS BIGINT) AS dl
       |       FROM tf GROUP BY 1, 2),
-      |nd AS (SELECT count(*) AS n_docs FROM documents),
+      |nd AS (SELECT count(*) AS n_docs FROM $corpus),
       |av AS (SELECT f, CAST(sum(dl) AS DOUBLE) / n_docs AS avgdl_f
       |       FROM dl CROSS JOIN nd GROUP BY f, n_docs),
       |dfr AS (SELECT term, count(*) AS df FROM
       |         (SELECT DISTINCT doc_id, term FROM tf) GROUP BY 1),
-      |qt AS (SELECT DISTINCT doc_id AS q_id,
-      |  unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
-      |         x -> len(x) > 0)) AS term
-      | FROM documents WHERE doc_id < 5),
+      |qt AS (${bm25QtWhere(qtWhere)}),
       |part AS (
       | SELECT tf.doc_id, tf.term,
       |  (CASE WHEN tf.f = 't' THEN 2.0 ELSE 1.0 END) * tf.tf /
@@ -5902,6 +5995,27 @@ object SparkEntry {
       |        array_to_string(t[k*8 + 1 : least(k*8 + 16, n)], ' ') AS text
       | FROM cnz, unnest(range(0, (greatest(n - 16, 0) + 7) // 8 + 1)) r(k)),
       |${bm25CtesOver("chx")}
+      |SELECT q_id, rnk, doc_id AS cid, score FROM r WHERE rnk <= 10
+      |ORDER BY q_id, rnk""".stripMargin
+
+  /** Chunk-grain forget twin: rebuild the chunk corpus from the
+    * SURVIVING docs and replay the chunk-BM25 chain — equals erasing
+    * every cid of the tombstoned parents in place, because a doc's
+    * chunks derive from its text alone (cid packing is deterministic)
+    * and erasure touches no other doc's rows.
+    */
+  private lazy val chunkBm25ForgetOracle: String =
+    s"""WITH ctk AS (
+      | SELECT doc_id,
+      |  list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> len(x) > 0) AS t
+      | FROM documents WHERE doc_id % 7 <> 3),
+      |cnz AS (SELECT doc_id, t, len(t) AS n FROM ctk WHERE len(t) > 0),
+      |chx AS (
+      | SELECT doc_id*1048576 + k AS doc_id,
+      |        array_to_string(t[k*8 + 1 : least(k*8 + 16, n)], ' ') AS text
+      | FROM cnz, unnest(range(0, (greatest(n - 16, 0) + 7) // 8 + 1)) r(k)),
+      |${bm25CtesOver("chx",
+          bm25QtWhere("doc_id < 5 AND doc_id % 7 <> 3"))}
       |SELECT q_id, rnk, doc_id AS cid, score FROM r WHERE rnk <= 10
       |ORDER BY q_id, rnk""".stripMargin
 
@@ -10762,6 +10876,11 @@ object SparkEntry {
     // increment ≡ rebuild: the merged (<250 store + >=250 delta) index
     // must hash-match the full-corpus twin exactly
     "d_bm25_incremental" -> bm25Oracle,
+    // in-place erasure ≡ rebuild on the surviving corpus (the
+    // s_ann_forget_stored theorem for the postings layouts)
+    "d_bm25_forget_stored" -> bm25ForgetOracle,
+    "d_bm25f_forget_stored" -> bm25fForgetOracle,
+    "d_bm25_chunk_forget" -> chunkBm25ForgetOracle,
     // RRF hybrid twin: the bm25 chain and the winnow chain coexist in
     // one WITH (disjoint CTE names), fused by the exact integer
     // round(1e6/(60+rnk)) contributions

@@ -42,6 +42,124 @@ object Layout {
       .saveAsTable(table)
   }
 
+  /** Replace a parquet directory by temp-write + rename — the
+    * smallest-window spelling of "overwrite this small table" available
+    * on a filesystem without transactions. A plain
+    * `write.mode("overwrite")` deletes the destination and then runs a
+    * whole write JOB into it: a crash anywhere in that job leaves the
+    * directory missing or half-written, and for stores whose commit
+    * signal is this very table's `_SUCCESS` (stats for BM25, codebook
+    * for IVF) that silently flips the next ingest onto the BUILD branch
+    * — which static-overwrites away all history. Writing the
+    * replacement BESIDE the destination first shrinks the unprotected
+    * window to one delete + one rename (rename is atomic on HDFS and
+    * local filesystems): a crash before the delete leaves the old table
+    * fully intact, after it the complete replacement sits at
+    * `dest__replacing` for loud manual recovery. Callers pre-shape the
+    * frame (coalesce/repartition) — this writes it as given.
+    */
+  def replaceDir(df: DataFrame, dest: String,
+                 partitionCols: Seq[String] = Nil): Unit = {
+    val destPath = new org.apache.hadoop.fs.Path(dest)
+    val fs = destPath.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(dest + "__replacing")
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(tmp.toString)
+    fs.delete(destPath, true)
+    require(fs.rename(tmp, destPath), s"rename $tmp -> $destPath failed")
+  }
+
+  /** Rewrite the survivors of ONLY the `hitDirs` partition directories
+    * of a `part`-partitioned parquet table, dropping every row whose
+    * `idCol` is in `tomb` — the per-directory erasure compaction shared
+    * by the BM25-family postings/sidecar forgets and the vector store's.
+    * Dynamic partition overwrite only replaces directories PRESENT in
+    * the written data, so directories a deletion fully empties are
+    * removed explicitly; if nothing at all survives, one zero-row
+    * schema-bearing file parks under a sentinel directory no real key
+    * can hash to (buckets and centroid ids are >= 0) so the path stays
+    * readable.
+    */
+  def compactPartitionedDirs(spark: org.apache.spark.sql.SparkSession,
+                             dirPath: String, part: String, rows: DataFrame,
+                             tomb: DataFrame, idCol: String,
+                             hitDirs: Seq[Int]): Unit = {
+    if (hitDirs.isEmpty) return
+    val survivors = rows.filter(col(part).isInCollection(hitDirs))
+      .join(broadcast(tomb), Seq(idCol), "left_anti").localCheckpoint()
+    val keep = survivors.select(col(part).cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    survivors.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(part).parquet(dirPath)
+    val fs = new org.apache.hadoop.fs.Path(dirPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hitDirs.filterNot(keep).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(dirPath, s"$part=$b"), true)
+    }
+    val anyLeft = fs.listStatus(new org.apache.hadoop.fs.Path(dirPath))
+      .exists(s => s.isDirectory && s.getPath.getName.startsWith(s"$part="))
+    if (!anyLeft)
+      rows.limit(0).drop(part).repartition(1)
+        .write.mode("overwrite").parquet(s"$dirPath/$part=-1")
+  }
+
+  /** The distinct `part` directory values of `hit` (collect is bounded
+    * by the table's directory count). */
+  def partitionHits(hit: DataFrame, part: String): Seq[Int] =
+    hit.select(col(part).cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+
+  private def fsOf(spark: org.apache.spark.sql.SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def pendingMarkerOf(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_graft_merge_pending")
+
+  /** The stale-marker refusal text shared by every store-mutation guard. */
+  def pendingRefusal(path: String): String =
+    s"$path holds an UNFINISHED mutation (stale ${pendingMarkerOf(path)}) " +
+      "— a prior merge/forget died between its writes, or another writer " +
+      "is running right now. The store may carry a partial mutation: " +
+      "rebuild the index from source (delete the path and re-ingest) " +
+      "before mutating it further, and run ONE writer per index."
+
+  /** Refuse loudly when a store carries the pending marker — called by
+    * consumers BEFORE they dispatch on a store's commit signal, because a
+    * crashed mutation may have destroyed that very signal.
+    */
+  def refuseIfPending(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Unit =
+    require(!fsOf(spark, path).exists(pendingMarkerOf(path)),
+      pendingRefusal(path))
+
+  /** Run a multi-write store mutation under the `_graft_merge_pending`
+    * marker, acquired ATOMICALLY: `create(overwrite = false)` is an
+    * atomic create-exclusive on HDFS (the local filesystem maps it to an
+    * exists-throw inside the same call), so two concurrent writers racing
+    * past any earlier exists() probe still serialize here — exactly one
+    * wins, the loser gets the same loud refusal as a stale-marker
+    * restart. The marker is deliberately NOT removed when `body` throws:
+    * a failed mutation may have landed some of its writes, and the marker
+    * is what makes retrying it loud instead of silently double-applying.
+    */
+  def withPendingMarker[A](spark: org.apache.spark.sql.SparkSession,
+                           path: String)(body: => A): A = {
+    val marker = pendingMarkerOf(path)
+    val f = fsOf(spark, path)
+    try f.create(marker, false).close()
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        throw new IllegalArgumentException(pendingRefusal(path))
+    }
+    val r = body
+    f.delete(marker, false)
+    r
+  }
+
   /** Morton (Z-order) interleave of two `bits`-bit non-negative dims into
     * one sort key: x in the even bit positions, y in the odd. Data sorted
     * by this key clusters rows that are close in BOTH dims into the same

@@ -240,13 +240,16 @@ object Retrieval {
                       path: String, titleTokens: Int = 8,
                       buckets: Int = 16): Unit = {
     val c = bm25fComponents(corpus, idCol, textCol, titleTokens)
-    c.postings.repartition(buckets, col("term"))
-      .write.mode("overwrite").parquet(s"$path/postings")
+    c.postings.withColumn("bucket", termBucket(buckets))
+      .repartition(buckets, col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/postings")
+    writeDocsSidecar(corpus, idCol, s"$path/docs", buckets, "overwrite")
     c.stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
   }
 
   def readBm25fStore(spark: SparkSession, path: String): Bm25fStore =
-    Bm25fStore(spark.read.parquet(s"$path/postings"),
+    Bm25fStore(spark.read.parquet(s"$path/postings").drop("bucket"),
       spark.read.parquet(s"$path/stats"))
 
   /** [[bm25fTopK]] against fielded components — the SHARED scoring tail
@@ -369,6 +372,7 @@ object Retrieval {
   def mergeBm25fStoreAt(spark: SparkSession, path: String, batch: DataFrame,
                         idCol: String, textCol: String,
                         titleTokens: Int = 8, buckets: Int = 16): Unit = {
+    requireErasableLayout(spark, path)
     val store = readBm25fStore(spark, path)
     // checkpoint the batch's fielded postings ONCE (the mergeBm25StoreAt
     // discipline): the stats adds derive from the checkpointed postings
@@ -380,18 +384,56 @@ object Retrieval {
     val addStats = addP.groupBy(col("f")).agg(sum(col("tf")).as("tot_f"))
     val newStats = mergedFieldedStats(store.stats, batch, addStats)
       .localCheckpoint()
-    addP.repartition(buckets, col("term"))
-      .write.mode("append").parquet(s"$path/postings")
-    newStats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    addP.withColumn("bucket", termBucket(buckets))
+      .repartition(buckets, col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
+    writeDocsSidecar(batch, idCol, s"$path/docs", buckets, "append")
+    // stats is the store's COMMIT SIGNAL (its _SUCCESS keys the sink's
+    // build-vs-merge dispatch): replace via temp-write + rename so the
+    // unprotected window is one delete + rename, not a whole write job
+    Layout.replaceDir(newStats.coalesce(1), s"$path/stats")
   }
 
   /** The three mergeable components of a written BM25 index. */
   final case class Bm25Store(postings: DataFrame, dfreq: DataFrame,
                              stats: DataFrame)
 
-  /** Write-once BM25 index: `path/postings` ((doc, term, tf, dl) rows,
-    * `buckets` files hashed on term so any term's posting list stays in
-    * one file), `path/dfreq` ((term, df)), `path/stats` (one row).
+  /** Directory key of a term's posting rows: `bucket = pmod(xxhash64(
+    * term), buckets)`. Making the term-hash bucket a PARTITION COLUMN
+    * (not just a file-count repartition) is what gives the store a
+    * surgical mutation grain: a merge appends files into existing bucket
+    * directories, and an erasure ([[forgetBm25StoreAt]]) rewrites only
+    * the buckets that actually hold a tombstoned doc's terms via dynamic
+    * partition overwrite — the same directory discipline as the
+    * centroid-partitioned vector store.
+    */
+  private def termBucket(buckets: Int): Column =
+    pmod(xxhash64(col("term")), lit(buckets)).cast("int")
+
+  private def idBucket(idCol: String, buckets: Int): Column =
+    pmod(xxhash64(col(idCol)), lit(buckets)).cast("int")
+
+  /** The id SIDECAR every erasable store carries (`path/docs`, one row
+    * per indexed doc, id-hash-bucketed directories): postings rows only
+    * exist for docs with >= 1 token, but n_docs counts EVERY doc (the
+    * [[corpusStats]] convention — zero-token docs still dilute avgdl),
+    * so erasure cannot learn "how many tombstoned docs were actually in
+    * the store" from postings alone. The sidecar is 1 id per row — noise
+    * next to the postings — and doubles as the membership table that
+    * makes forget idempotent and exact for ids never ingested.
+    */
+  private def writeDocsSidecar(ids: DataFrame, idCol: String, path: String,
+                               buckets: Int, mode: String): Unit =
+    ids.select(col(idCol))
+      .withColumn("dbucket", idBucket(idCol, buckets))
+      .repartition(math.min(buckets, 4), col("dbucket"))
+      .write.mode(mode).partitionBy("dbucket").parquet(path)
+
+  /** Write-once BM25 index: `path/postings` ((doc, term, tf, dl) rows in
+    * term-hash bucket DIRECTORIES so any term's posting list stays in one
+    * directory and mutations stay per-directory), `path/dfreq`
+    * ((term, df)), `path/docs` (the erasure id sidecar), `path/stats`
+    * (one row, written LAST — its _SUCCESS is the commit signal).
     * Building costs the same three aggregates as an inline query; every
     * query after reads ONLY this store, and new corpus drops merge in
     * via [[bm25ApplyDelta]] without touching historical text.
@@ -399,18 +441,28 @@ object Retrieval {
   def writeBm25Store(corpus: DataFrame, idCol: String, textCol: String,
                      path: String, buckets: Int = 16): Unit = {
     val post = postingsRaw(corpus, idCol, textCol)
-    post.repartition(buckets, col("term"))
-      .write.mode("overwrite").parquet(s"$path/postings")
+    post.withColumn("bucket", termBucket(buckets))
+      .repartition(buckets, col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/postings")
     val stored = post.sparkSession.read.parquet(s"$path/postings")
+      .drop("bucket")
     dfreqOf(stored).repartition(math.min(buckets, 4), col("term"))
       .write.mode("overwrite").parquet(s"$path/dfreq")
+    writeDocsSidecar(corpus, idCol, s"$path/docs", buckets, "overwrite")
     corpusStats(corpus, stored)
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
   }
 
-  /** Handles onto a written store. */
+  /** Handles onto a written store. The physical bucket partition column
+    * is dropped on read: it is derivable from term, and keeping the
+    * logical postings schema bucket-free is what lets the in-memory
+    * merge ([[bm25ApplyDelta]]) union stored and fresh postings
+    * directly. Pre-bucketed (v2) stores read unchanged — drop of a
+    * missing column is a no-op.
+    */
   def readBm25Store(spark: SparkSession, path: String): Bm25Store =
-    Bm25Store(spark.read.parquet(s"$path/postings"),
+    Bm25Store(spark.read.parquet(s"$path/postings").drop("bucket"),
       spark.read.parquet(s"$path/dfreq"),
       spark.read.parquet(s"$path/stats"))
 
@@ -471,15 +523,22 @@ object Retrieval {
   def mergeBm25StoreAt(spark: SparkSession, path: String, batch: DataFrame,
                        idCol: String, textCol: String,
                        buckets: Int = 16): Unit = {
+    requireErasableLayout(spark, path)
     val store = readBm25Store(spark, path)
     val addP = postingsRaw(batch, idCol, textCol).localCheckpoint()
     val newDfreq = mergedDfreq(store.dfreq, addP).localCheckpoint()
     val newStats = mergedStats(store.stats, batch, addP).localCheckpoint()
-    addP.repartition(buckets, col("term"))
-      .write.mode("append").parquet(s"$path/postings")
-    newDfreq.repartition(math.min(buckets, 4), col("term"))
-      .write.mode("overwrite").parquet(s"$path/dfreq")
-    newStats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    addP.withColumn("bucket", termBucket(buckets))
+      .repartition(buckets, col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
+    writeDocsSidecar(batch, idCol, s"$path/docs", buckets, "append")
+    // both replaced tables ride temp-write + rename ([[Layout.replaceDir]]):
+    // stats is the store's COMMIT SIGNAL (its _SUCCESS keys the sink's
+    // build-vs-merge dispatch), so a crash inside a plain overwrite would
+    // silently flip the next ingest onto the build branch
+    Layout.replaceDir(newDfreq.repartition(math.min(buckets, 4), col("term")),
+      s"$path/dfreq")
+    Layout.replaceDir(newStats.coalesce(1), s"$path/stats")
   }
 
   /** [[bm25TopK]] against a store: identical scoring expressions over the
@@ -667,7 +726,7 @@ object Retrieval {
     * exactly those keys, so the join plans with zero added exchanges —
     * and the duplicated pass-1 subtree is one AQE-reused shuffle stage,
     * not a recompute. A same-JVM three-arm A/B at sf0.1 ×1/×30
-    * replication (tools/ScratchAB) ranked this spelling first at BOTH
+    * replication (probes/ScratchAB) ranked this spelling first at BOTH
     * scales over (a) the same plan with an eager localCheckpoint on
     * pass 1 (the checkpoint's extra job + block writes cost more than
     * the stage reuse it replaces) and (b) scoring qt ∪ exp in one
@@ -812,5 +871,152 @@ object Retrieval {
       .crossJoin(mergedN)
       .select(col("f"), (col("__sn") + col("__an")).as("n_docs"),
         col("tot_f"))
+  }
+
+  /** Mutating a store that predates the erasable layout (no id sidecar,
+    * unbucketed postings files) would mix physical layouts silently —
+    * refuse with the rebuild instruction instead.
+    */
+  private def requireErasableLayout(spark: SparkSession,
+                                    path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/docs")
+    require(p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p),
+      s"$path predates the erasable store layout (no id sidecar at " +
+        s"$path/docs, postings not bucket-partitioned) — rebuild the " +
+        "index from source before merging or erasing.")
+  }
+
+  /** Per-directory erasure compaction — [[Layout.compactPartitionedDirs]],
+    * shared with the vector store's forget. */
+  private def compactDirs(spark: SparkSession, dirPath: String,
+                          part: String, rows: DataFrame, tomb: DataFrame,
+                          idCol: String, hitDirs: Seq[Int]): Unit =
+    Layout.compactPartitionedDirs(spark, dirPath, part, rows, tomb, idCol,
+      hitDirs)
+
+  private def hitDirsOf(hit: DataFrame, part: String): Seq[Int] =
+    Layout.partitionHits(hit, part)
+
+  /** Right-to-erasure for a written BM25 store, IN PLACE — the
+    * [[graft.operators.Similarity.forgetIvfStoreAt]] discipline applied
+    * to the postings layout: after this call a tombstoned doc is not
+    * retrievable by ANY stored-scoring row, and every statistic the
+    * scorer reads (df, dl mass, n_docs, total tokens) is exactly what a
+    * rebuild on the survivors would hold — forget ≡ rebuild is what the
+    * d_bm25_forget_stored oracle hash-checks.
+    *
+    * Work done per erasure batch: ONE id-column scan of the postings to
+    * locate the hit term-hash bucket directories plus the tombstoned
+    * rows' (term, tf) pairs; survivors of ONLY those directories rewrite
+    * (dynamic partition overwrite; fully-emptied directories removed);
+    * df decrements by the per-term hit-row counts via one outer join on
+    * the |V|-row table, terms whose df reaches zero LEAVE the vocabulary
+    * (a rebuilt store would not carry them); the 1-row stats
+    * integer-subtracts n_docs (counted against the id SIDECAR, so
+    * zero-token docs — postings-invisible but avgdl-relevant — decrement
+    * exactly) and total tokens; the sidecar compacts by the same
+    * per-directory rule. Ids never ingested are ignored; a re-run after
+    * completion finds no members and no-ops (idempotent).
+    *
+    * Crash safety: the whole mutation runs under the atomic
+    * `_graft_merge_pending` marker ([[Layout.withPendingMarker]]) — a
+    * forget that dies between its writes leaves the marker, and every
+    * later mutation or sink ingest refuses with the rebuild instruction
+    * instead of compounding a half-applied erasure. Single-writer like
+    * every store mutation.
+    */
+  def forgetBm25StoreAt(spark: SparkSession, path: String,
+                        tombstones: DataFrame, idCol: String): Unit = {
+    Layout.refuseIfPending(spark, path)
+    requireErasableLayout(spark, path)
+    val tomb = tombstones.select(col(idCol)).distinct()
+    val docs = spark.read.parquet(s"$path/docs")
+    val present = docs.join(broadcast(tomb), Seq(idCol), "left_semi")
+      .localCheckpoint()
+    val nDec = present.count()
+    if (nDec == 0L) return
+    Layout.withPendingMarker(spark, path) {
+      val postings = spark.read.parquet(s"$path/postings")
+      val hitP = postings.join(broadcast(tomb), Seq(idCol), "left_semi")
+        .localCheckpoint()
+      val totDec = hitP.agg(coalesce(sum(col("tf")), lit(0L)).as("t"))
+        .head().getLong(0)
+      val dfDec = hitP.groupBy(col("term")).agg(count(lit(1)).as("__dec"))
+      val newDfreq = spark.read.parquet(s"$path/dfreq")
+        .join(dfDec, Seq("term"), "left_outer")
+        .select(col("term"),
+          (col("df") - coalesce(col("__dec"), lit(0L))).as("df"))
+        .filter(col("df") > 0).localCheckpoint()
+      val newStats = spark.read.parquet(s"$path/stats")
+        .select((col("n_docs") - nDec).as("n_docs"),
+          (col("tot") - totDec).as("tot")).localCheckpoint()
+      compactDirs(spark, s"$path/postings", "bucket", postings, tomb,
+        idCol, hitDirsOf(hitP, "bucket"))
+      compactDirs(spark, s"$path/docs", "dbucket", docs, tomb,
+        idCol, hitDirsOf(present, "dbucket"))
+      Layout.replaceDir(newDfreq.repartition(4, col("term")),
+        s"$path/dfreq")
+      Layout.replaceDir(newStats.coalesce(1), s"$path/stats")
+    }
+  }
+
+  /** [[forgetBm25StoreAt]] for the FIELDED layout: same postings/sidecar
+    * compaction, per-field tot_f decrements (Σ tf of the hit rows per
+    * field) and ONE corpus-level n_docs decrement from the sidecar; no
+    * df table to touch — the fielded layout derives whole-doc df from
+    * query-restricted postings at score time, so erased rows simply stop
+    * being counted. Forget ≡ rebuild pinned by the
+    * d_bm25f_forget_stored oracle.
+    */
+  def forgetBm25fStoreAt(spark: SparkSession, path: String,
+                         tombstones: DataFrame, idCol: String): Unit = {
+    Layout.refuseIfPending(spark, path)
+    requireErasableLayout(spark, path)
+    val tomb = tombstones.select(col(idCol)).distinct()
+    val docs = spark.read.parquet(s"$path/docs")
+    val present = docs.join(broadcast(tomb), Seq(idCol), "left_semi")
+      .localCheckpoint()
+    val nDec = present.count()
+    if (nDec == 0L) return
+    Layout.withPendingMarker(spark, path) {
+      val postings = spark.read.parquet(s"$path/postings")
+      val hitP = postings.join(broadcast(tomb), Seq(idCol), "left_semi")
+        .localCheckpoint()
+      val fDec = hitP.groupBy(col("f")).agg(sum(col("tf")).as("__dec"))
+      val newStats = spark.read.parquet(s"$path/stats")
+        .join(broadcast(fDec), Seq("f"), "left_outer")
+        .select(col("f"), (col("n_docs") - nDec).as("n_docs"),
+          (col("tot_f") - coalesce(col("__dec"), lit(0L))).as("tot_f"))
+        .localCheckpoint()
+      compactDirs(spark, s"$path/postings", "bucket", postings, tomb,
+        idCol, hitDirsOf(hitP, "bucket"))
+      compactDirs(spark, s"$path/docs", "dbucket", docs, tomb,
+        idCol, hitDirsOf(present, "dbucket"))
+      Layout.replaceDir(newStats.coalesce(1), s"$path/stats")
+    }
+  }
+
+  /** Erase every CHUNK of the tombstoned parent docs from a chunk-grain
+    * BM25 store (keys are cids packed as doc_id·2^chunkIdBits + chunk —
+    * the engine's cid convention): the parent → cid expansion reads ONLY
+    * the id sidecar (one integer per stored chunk), never the postings,
+    * then delegates to [[forgetBm25StoreAt]] with the exact cid set. A
+    * GDPR request arrives doc-grained; this is the one-call spelling
+    * that makes the chunk index comply without the caller re-deriving
+    * the chunking.
+    */
+  def forgetBm25ChunkStoreAt(spark: SparkSession, path: String,
+                             docTombstones: DataFrame, docIdCol: String,
+                             storeIdCol: String = "cid",
+                             chunkIdBits: Int = 20): Unit = {
+    requireErasableLayout(spark, path)
+    val tomb = docTombstones
+      .select(col(docIdCol).cast("long").as("__parent")).distinct()
+    val cids = spark.read.parquet(s"$path/docs")
+      .select(col(storeIdCol))
+      .join(broadcast(tomb),
+        shiftright(col(storeIdCol), chunkIdBits) === col("__parent"),
+        "left_semi")
+    forgetBm25StoreAt(spark, path, cids, storeIdCol)
   }
 }

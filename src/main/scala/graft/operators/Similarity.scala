@@ -1007,6 +1007,7 @@ object Similarity {
     unit.withColumn("centroid_id", twoLevelAssignExpr(col("__u"), cb))
       .select(col(idCol), col(vecCol), col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    writeIdSidecarAt(corpus.sparkSession, path, idCol)
   }
 
   /** [[writeIvfStoreTwoLevel]] with the codebook auto-sized
@@ -1041,10 +1042,14 @@ object Similarity {
   def writeCodebookAt(spark: SparkSession, path: String,
                       coarse: Seq[Seq[Double]]): Unit = {
     import spark.implicits._
-    coarse.zipWithIndex.map { case (v, k) => ("flat", 0, k, k, v) }
-      .toDF("kind", "t", "k", "gid", "vec")
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$path/_graft_codebook")
+    // codebook replacement rides temp-write + rename: its _SUCCESS is the
+    // store's commit signal, so a crash inside a plain overwrite (on a
+    // grow round's re-persist) would flip the next ingest onto the build
+    // branch and static-overwrite away the store
+    Layout.replaceDir(
+      coarse.zipWithIndex.map { case (v, k) => ("flat", 0, k, k, v) }
+        .toDF("kind", "t", "k", "gid", "vec").coalesce(1),
+      s"$path/_graft_codebook")
   }
 
   /** [[writeCodebookAt]] for a TWO-LEVEL codebook: tops persist as
@@ -1062,9 +1067,9 @@ object Similarity {
       cb.children(t).indices.map(k =>
         ("two_level", t, k, cb.gids(t)(k), cb.children(t)(k)))
     }
-    (tops ++ kids).toDF("kind", "t", "k", "gid", "vec")
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$path/_graft_codebook")
+    Layout.replaceDir(
+      (tops ++ kids).toDF("kind", "t", "k", "gid", "vec").coalesce(1),
+      s"$path/_graft_codebook")
   }
 
   /** Which geometry a store's persisted `_graft_codebook` holds
@@ -1161,9 +1166,9 @@ object Similarity {
     val q = codebooks.indices.flatMap { m =>
       codebooks(m).indices.map(j => ("pq", m, j, -1, codebooks(m)(j)))
     }
-    (c ++ q).toDF("kind", "t", "k", "gid", "vec")
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$path/_graft_codebook")
+    Layout.replaceDir(
+      (c ++ q).toDF("kind", "t", "k", "gid", "vec").coalesce(1),
+      s"$path/_graft_codebook")
   }
 
   /** Reload a [[writePqCodebooksAt]] pair: (coarse, subquantizers). */
@@ -1196,9 +1201,12 @@ object Similarity {
     val unit = normalized(
       batch.select(col(idCol), col(vecCol),
         col(vecCol).cast("array<double>").as("__u")), "__u")
-    unit.withColumn("centroid_id", twoLevelAssignExpr(col("__u"), cb))
+    val assigned = unit
+      .withColumn("centroid_id", twoLevelAssignExpr(col("__u"), cb))
       .select(col(idCol), col(vecCol), col("centroid_id"))
-      .write.mode("append").partitionBy("centroid_id").parquet(path)
+      .localCheckpoint()
+    appendIdSidecar(assigned, idCol, path)
+    assigned.write.mode("append").partitionBy("centroid_id").parquet(path)
   }
 
   /** GROW a two-level layout in place — the missing half of "the
@@ -1306,6 +1314,23 @@ object Similarity {
       oldGids.filterNot(keptDirs).foreach { g =>
         fs.delete(new org.apache.hadoop.fs.Path(path, s"centroid_id=$g"), true)
       }
+      // erasure-sidecar maintenance: re-homed rows must keep pointing at
+      // their REAL directory, or a later forget rewrites the old one and
+      // silently leaves the row alive in the new. The remap rides the
+      // already-checkpointed reassignment; the sidecar (12 B/row)
+      // rewrites whole via temp + rename — noise next to the split's own
+      // directory rewrite.
+      if (sidecarExists(spark, path)) {
+        val remap = reassigned
+          .select(col(idCol), col("centroid_id").cast("int").as("__new"))
+        val sc = spark.read.parquet(s"$path/_graft_ids")
+        val updated = sc.join(remap, Seq(idCol), "left_outer")
+          .select(col(idCol),
+            coalesce(col("__new"), col("home")).as("home"), col("ibucket"))
+          .repartition(4, col("ibucket"))
+          .sortWithinPartitions(col("ibucket"), col(idCol))
+        Layout.replaceDir(updated, s"$path/_graft_ids", Seq("ibucket"))
+      }
     }
     grown
   }
@@ -1313,59 +1338,94 @@ object Similarity {
   /** Right-to-erasure compaction of a centroid-partitioned vector store
     * (flat [[writeIvfStore]] or two-level [[writeIvfStoreTwoLevel]] —
     * the layout is the same on disk), IN PLACE: only the directories
-    * that actually hold a tombstoned row are rewritten. The scan that
-    * finds them is partition-pruned to nothing extra (one semi-join of
-    * the store against the broadcast tombstone batch, centroid ids
-    * collected C-bounded), survivors of ONLY those directories rewrite
-    * via dynamic partition overwrite, and directories a deletion fully
-    * empties are removed explicitly (dynamic overwrite only replaces
-    * partitions present in the written data — zero surviving rows would
-    * silently leave the old files in place, the one hole in the
-    * overwrite protocol, closed here with a FileSystem delete). At
-    * 100 TB a deletion request therefore rewrites ~|hit directories|/C
-    * of the store and reads none of the rest. Removal ≡ rebuild on the
-    * surviving corpus (each store row derives from exactly one source
-    * vector — the [[graft.operators.Dedup.forgetDocs]] compaction
-    * theorem); `s_ann_forget_stored` hash-checks exactly that against a
+    * that actually hold a tombstoned row are rewritten. The FINDER reads
+    * the `_graft_ids` sidecar — only the <= |tombstones| id-hash
+    * partitions the tombstones can live in, 12 B/row — so locating the
+    * hit directories never opens the store's own files (pre-sidecar
+    * stores fall back to one (id, centroid_id) columnar semi-join);
+    * survivors of ONLY the hit directories rewrite via dynamic partition
+    * overwrite, and directories a deletion fully empties are removed
+    * explicitly (dynamic overwrite only replaces partitions present in
+    * the written data — zero surviving rows would silently leave the old
+    * files in place, the one hole in the overwrite protocol, closed here
+    * with a FileSystem delete). At 100 TB a deletion request therefore
+    * reads a sidecar sliver plus ~|hit directories|/C of the store and
+    * none of the rest. Removal ≡ rebuild on the surviving corpus (each
+    * store row derives from exactly one source vector — the
+    * [[graft.operators.Dedup.forgetDocs]] compaction theorem);
+    * `s_ann_forget_stored` hash-checks exactly that against a
     * rebuild-semantics oracle, and the spec pins the fully-emptied-
-    * directory case. Same single-writer contract as every stored index.
+    * directory case. Runs under the atomic pending marker
+    * ([[Layout.withPendingMarker]]); same single-writer contract as
+    * every stored index.
     */
   def forgetIvfStoreAt(spark: SparkSession, path: String,
                        tombstones: DataFrame, idCol: String): Unit = {
+    Layout.refuseIfPending(spark, path)
     val store = spark.read.parquet(path)
     val tomb = tombstones.select(col(idCol)).distinct()
-    val hit = store.join(broadcast(tomb), Seq(idCol), "left_semi")
-      .select(col("centroid_id").cast("int")).distinct()
-      .collect().map(_.getInt(0)).toSeq.sorted
-    if (hit.isEmpty) return
-    val hitRows = store.filter(col("centroid_id").isInCollection(hit))
-    val survivors = hitRows
-      .join(broadcast(tomb), Seq(idCol), "left_anti")
-      .localCheckpoint()
-    val surviveDirs = survivors.select(col("centroid_id").cast("int"))
-      .distinct().collect().map(_.getInt(0)).toSet
-    survivors
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("centroid_id").parquet(path)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    hit.filterNot(surviveDirs).foreach { cid =>
-      fs.delete(new org.apache.hadoop.fs.Path(path, s"centroid_id=$cid"), true)
+    // locate the hit directories via the erasure sidecar when the store
+    // carries one: tombstones can only live in their id-hash sidecar
+    // directories (<= |tombstones| of the 64, partition-pruned), so the
+    // finder reads a sliver of a 12 B/row table instead of opening every
+    // file of the store for its (id, centroid_id) columns. Pre-sidecar
+    // stores keep the legacy full columnar-scan finder.
+    val hasSidecar = sidecarExists(spark, path)
+    val hitSidecar =
+      if (hasSidecar) {
+        val tombBuckets = tomb.select(idSidecarBucket(idCol).as("ibucket"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        Some(spark.read.parquet(s"$path/_graft_ids")
+          .filter(col("ibucket").isInCollection(tombBuckets))
+          .join(broadcast(tomb), Seq(idCol), "left_semi")
+          .localCheckpoint())
+      } else None
+    val hit = hitSidecar match {
+      case Some(sc) => sc.select(col("home").cast("int")).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+      case None => store.join(broadcast(tomb), Seq(idCol), "left_semi")
+        .select(col("centroid_id").cast("int")).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
     }
-    // erasure may legitimately cover EVERY remaining row — then the
-    // dynamic overwrite wrote no files and the deletes removed the last
-    // directory, leaving a path parquet cannot even infer a schema from
-    // (every later read or forget would throw). Park one ZERO-ROW
-    // schema-bearing file under a sentinel partition no probe can match
-    // (gids are >= 0): reads see an empty store, appends land real
-    // directories next to it, a re-run finds no tombstoned rows and
-    // no-ops.
-    val anyDirLeft = fs.listStatus(new org.apache.hadoop.fs.Path(path))
-      .exists(s => s.isDirectory && s.getPath.getName.startsWith("centroid_id="))
-    if (!anyDirLeft)
-      store.limit(0).drop("centroid_id").repartition(1)
-        .write.mode("overwrite").parquet(s"$path/centroid_id=-1")
+    if (hit.isEmpty) return
+    Layout.withPendingMarker(spark, path) {
+      val hitRows = store.filter(col("centroid_id").isInCollection(hit))
+      val survivors = hitRows
+        .join(broadcast(tomb), Seq(idCol), "left_anti")
+        .localCheckpoint()
+      val surviveDirs = survivors.select(col("centroid_id").cast("int"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      survivors
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("centroid_id").parquet(path)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      hit.filterNot(surviveDirs).foreach { cid =>
+        fs.delete(new org.apache.hadoop.fs.Path(path, s"centroid_id=$cid"),
+          true)
+      }
+      // erasure may legitimately cover EVERY remaining row — then the
+      // dynamic overwrite wrote no files and the deletes removed the last
+      // directory, leaving a path parquet cannot even infer a schema from
+      // (every later read or forget would throw). Park one ZERO-ROW
+      // schema-bearing file under a sentinel partition no probe can match
+      // (gids are >= 0): reads see an empty store, appends land real
+      // directories next to it, a re-run finds no tombstoned rows and
+      // no-ops.
+      val anyDirLeft = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .exists(s => s.isDirectory &&
+          s.getPath.getName.startsWith("centroid_id="))
+      if (!anyDirLeft)
+        store.limit(0).drop("centroid_id").repartition(1)
+          .write.mode("overwrite").parquet(s"$path/centroid_id=-1")
+      // the sidecar forgets its own rows by the same per-directory rule
+      hitSidecar.foreach { sc =>
+        Layout.compactPartitionedDirs(spark, s"$path/_graft_ids", "ibucket",
+          spark.read.parquet(s"$path/_graft_ids"), tomb, idCol,
+          Layout.partitionHits(sc, "ibucket"))
+      }
+    }
   }
 
   /** [[ivfTopKStored]] against a two-level layout: each query's probe
@@ -1466,10 +1526,69 @@ object Similarity {
     * full scan — the "assignment doubles as the physical partitioning
     * key" claim made physical. Write at ingest, reuse across queries.
     */
+  /** Fixed id-hash directory count of the erasure sidecar — a constant,
+    * not a knob, so appends to any store compute the same bucket with no
+    * layout metadata to look up. */
+  private val IdSidecarBuckets = 64
+
+  private def idSidecarBucket(idCol: String): Column =
+    pmod(xxhash64(col(idCol)), lit(IdSidecarBuckets)).cast("int")
+
+  /** The ERASURE SIDECAR every centroid-partitioned store carries
+    * (`path/_graft_ids`, underscore-prefixed so the store's own parquet
+    * listing never sees it): one (id, home directory) row per stored
+    * vector, partitioned by id hash into [[IdSidecarBuckets]]
+    * directories and sorted by id within files. A right-to-erasure
+    * batch looks its tombstones up HERE — reading only the <=
+    * |tombstones| id-hash directories they can live in, each a
+    * B-th of a 12-byte-per-row table — instead of scanning (id,
+    * centroid_id) across every file of a 100 TB store (whose per-file
+    * footer reads alone dwarf the sidecar at C = √N directories). Built
+    * by READING BACK the written store (a 2-column projection — the
+    * build pays no second assignment pass); appends add the batch's
+    * rows; [[splitHotChildrenAt]] re-points re-homed rows.
+    */
+  def writeIdSidecarAt(spark: SparkSession, path: String,
+                       idCol: String): Unit = {
+    val rows = spark.read.parquet(path)
+      .select(col(idCol), col("centroid_id").cast("int").as("home"))
+      .withColumn("ibucket", idSidecarBucket(idCol))
+      .repartition(4, col("ibucket"))
+      .sortWithinPartitions(col("ibucket"), col(idCol))
+    Layout.replaceDir(rows, s"$path/_graft_ids", Seq("ibucket"))
+  }
+
+  private def sidecarExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_graft_ids")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Append the batch's (id, home) rows — ONLY when the store already
+    * carries a sidecar: appending onto a pre-sidecar store would create
+    * a PARTIAL index that silently hides the historical rows from
+    * erasure, the exact failure the sidecar exists to prevent. Written
+    * BEFORE the store append (a crash between the two leaves a sidecar
+    * row whose store row never landed — a harmless extra directory
+    * probe — never a store row erasure can't find; the sink's pending
+    * marker makes the half-applied append loud regardless).
+    */
+  private def appendIdSidecar(assigned: DataFrame, idCol: String,
+                              path: String): Unit = {
+    if (!sidecarExists(assigned.sparkSession, path)) return
+    assigned.select(col(idCol), col("centroid_id").cast("int").as("home"))
+      .withColumn("ibucket", idSidecarBucket(idCol))
+      .repartition(4, col("ibucket"))
+      .sortWithinPartitions(col("ibucket"), col(idCol))
+      .write.mode("append").partitionBy("ibucket")
+      .parquet(s"$path/_graft_ids")
+  }
+
   def writeIvfStore(corpus: DataFrame, idCol: String, vecCol: String,
-                    coarse: Seq[Seq[Double]], path: String): Unit =
+                    coarse: Seq[Seq[Double]], path: String): Unit = {
     ivfAssigned(corpus, idCol, vecCol, coarse)
       .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    writeIdSidecarAt(corpus.sparkSession, path, idCol)
+  }
 
   /** [[writeIvfStore]] carrying metadata columns alongside each vector —
     * the layout filtered vector search reads: attribute predicates land
@@ -1487,6 +1606,7 @@ object Similarity {
       .select((Seq(col(idCol), col(vecCol)) ++ metaCols.map(col) :+
         col("centroid_id")): _*)
       .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    writeIdSidecarAt(corpus.sparkSession, path, idCol)
   }
 
   /** Filtered ANN over a [[writeIvfMetaStore]] layout: PRE-filtering —
@@ -1545,9 +1665,14 @@ object Similarity {
     * [[graft.streaming.EventStream.streamingIvfAppend]]).
     */
   def appendIvfStore(batch: DataFrame, idCol: String, vecCol: String,
-                     coarse: Seq[Seq[Double]], path: String): Unit =
-    ivfAssigned(batch, idCol, vecCol, coarse)
-      .write.mode("append").partitionBy("centroid_id").parquet(path)
+                     coarse: Seq[Seq[Double]], path: String): Unit = {
+    // one materialization feeds the sidecar and the store append — the
+    // assignment kernel runs once per batch, not once per write
+    val assigned = ivfAssigned(batch, idCol, vecCol, coarse)
+      .localCheckpoint()
+    appendIdSidecar(assigned, idCol, path)
+    assigned.write.mode("append").partitionBy("centroid_id").parquet(path)
+  }
 
   private def ivfAssigned(corpus: DataFrame, idCol: String, vecCol: String,
                           coarse: Seq[Seq[Double]]): DataFrame = {
@@ -1574,9 +1699,11 @@ object Similarity {
     */
   def writePqStore(corpus: DataFrame, idCol: String, vecCol: String,
                    coarse: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
-                   path: String): Unit =
+                   path: String): Unit = {
     pqEncoded(corpus, idCol, vecCol, coarse, codebooks)
       .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    writeIdSidecarAt(corpus.sparkSession, path, idCol)
+  }
 
   /** [[appendIvfStore]] for the PQ codes layout — steady-state ingest:
     * arrivals encode against the SAME frozen geometries the store was
@@ -1591,9 +1718,12 @@ object Similarity {
     */
   def appendPqStore(batch: DataFrame, idCol: String, vecCol: String,
                     coarse: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
-                    path: String): Unit =
-    pqEncoded(batch, idCol, vecCol, coarse, codebooks)
-      .write.mode("append").partitionBy("centroid_id").parquet(path)
+                    path: String): Unit = {
+    val encoded = pqEncoded(batch, idCol, vecCol, coarse, codebooks)
+      .localCheckpoint()
+    appendIdSidecar(encoded, idCol, path)
+    encoded.write.mode("append").partitionBy("centroid_id").parquet(path)
+  }
 
   private def pqEncoded(corpus: DataFrame, idCol: String, vecCol: String,
                         coarse: Seq[Seq[Double]],

@@ -453,6 +453,10 @@ object Bm25IndexSink extends SinkPlugin {
     // window from title_tokens; field weights stay query-time knobs)
     val fielded = config.getOrElse("fielded", false).toString.toBoolean
     val titleTokens = config.getOrElse("title_tokens", 8).toString.toInt
+    // a marked store refuses BEFORE the dispatch: a crash mid-merge may
+    // have destroyed the stats _SUCCESS this dispatch keys on, and the
+    // build branch would then static-overwrite away all history
+    IndexProtocol.refuseIfMergePending(spark, path)
     // the stats table is written last on both paths, so its _SUCCESS
     // marker is the store's commit signal (the indexExists discipline)
     val exists =
@@ -465,21 +469,25 @@ object Bm25IndexSink extends SinkPlugin {
           buckets)
         IndexProtocol.writeLayoutConfig(spark, path, layoutCfg)
       case (false, true) =>
-        IndexProtocol.checkLayoutConfig(spark, path, layoutCfg)
+        val adopt = IndexProtocol.checkLayoutConfig(spark, path, layoutCfg)
         IndexProtocol.withMergePending(spark, path) {
           graft.operators.Retrieval.mergeBm25StoreAt(spark, path, batch,
             keyCol, tc, buckets)
         }
+        // pre-protocol stores adopt the batch's config only once a merge
+        // under it actually succeeded
+        if (adopt) IndexProtocol.writeLayoutConfig(spark, path, layoutCfg)
       case (true, false) =>
         graft.operators.Retrieval.writeBm25fStore(batch, keyCol, tc, path,
           titleTokens, buckets)
         IndexProtocol.writeLayoutConfig(spark, path, layoutCfg)
       case (true, true) =>
-        IndexProtocol.checkLayoutConfig(spark, path, layoutCfg)
+        val adopt = IndexProtocol.checkLayoutConfig(spark, path, layoutCfg)
         IndexProtocol.withMergePending(spark, path) {
           graft.operators.Retrieval.mergeBm25fStoreAt(spark, path, batch,
             keyCol, tc, titleTokens, buckets)
         }
+        if (adopt) IndexProtocol.writeLayoutConfig(spark, path, layoutCfg)
     }
     n
   }
@@ -513,20 +521,24 @@ private[sinks] object IndexProtocol {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** The stale-marker refusal, checked BEFORE any branch dispatch: a
+    * crash mid-merge can destroy the store's commit signal (the merge
+    * overwrites the very table whose _SUCCESS the build/merge dispatch
+    * keys on), flipping the next run onto the BUILD branch — which
+    * would static-overwrite away all history. Every sink invocation
+    * against a marked store must refuse, whichever branch it was about
+    * to take. Delegates to [[graft.operators.Layout.refuseIfPending]] —
+    * one marker protocol for every store mutation (merge, grow, forget).
+    */
+  def refuseIfMergePending(spark: org.apache.spark.sql.SparkSession,
+                           path: String): Unit =
+    graft.operators.Layout.refuseIfPending(spark, path)
+
+  /** Atomic pending-marker acquire around a merge — see
+    * [[graft.operators.Layout.withPendingMarker]]. */
   def withMergePending[A](spark: org.apache.spark.sql.SparkSession,
-                          path: String)(body: => A): A = {
-    val marker = new org.apache.hadoop.fs.Path(path, "_graft_merge_pending")
-    val f = fs(spark, path)
-    require(!f.exists(marker),
-      s"$path holds an UNFINISHED merge (stale $marker): a prior ingest " +
-        "died between its writes, so the store may carry a partial " +
-        "batch. Rebuild the index from source (delete the path and " +
-        "re-ingest) before merging more batches.")
-    f.create(marker, true).close()
-    val r = body
-    f.delete(marker, false)
-    r
-  }
+                          path: String)(body: => A): A =
+    graft.operators.Layout.withPendingMarker(spark, path)(body)
 
   def writeLayoutConfig(spark: org.apache.spark.sql.SparkSession,
                         path: String, cfg: String): Unit = {
@@ -535,16 +547,24 @@ private[sinks] object IndexProtocol {
       .write.mode("overwrite").parquet(s"$path/_graft_index_config")
   }
 
+  /** Reject a merge whose batch is configured with a different layout
+    * than the store was built with. Returns true when the store
+    * PREDATES the protocol (no config file): the caller adopts the
+    * batch's config by writing it AFTER its merge completes — stamping
+    * it up front would freeze a possibly mismatched geometry as
+    * official even when the merge refuses or dies.
+    */
   def checkLayoutConfig(spark: org.apache.spark.sql.SparkSession,
-                        path: String, cfg: String): Unit = {
+                        path: String, cfg: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(s"$path/_graft_index_config")
-    if (!fs(spark, path).exists(p)) { writeLayoutConfig(spark, path, cfg); return }
+    if (!fs(spark, path).exists(p)) return true
     val stored = spark.read.parquet(s"$path/_graft_index_config")
       .head().getString(0)
     require(stored == cfg,
       s"$path was built with layout ($stored) but this batch is " +
         s"configured ($cfg) — merging mixed geometries silently corrupts " +
         "scores. Align the recipe config or rebuild the index.")
+    false
   }
 }
 
@@ -593,8 +613,20 @@ object IvfIndexSink extends SinkPlugin {
         |# grow: true  # split hot children in place after each append""".stripMargin,
     tags = Seq("sink", "curation", "similarity"))
 
-  override def validate(config: Map[String, Any]): Seq[InvalidConfigError] =
-    requireKeys(config, "index_path")
+  override def validate(config: Map[String, Any]): Seq[InvalidConfigError] = {
+    // grow runs split rounds over the two-level hierarchy only — on the
+    // flat layout it would silently no-op, so the unsupported combination
+    // fails at recipe lint time, not as an index that quietly stops
+    // rebalancing
+    val growFlat =
+      if (config.getOrElse("grow", false).toString.toBoolean &&
+          !config.getOrElse("two_level", true).toString.toBoolean)
+        Seq(InvalidConfigError("grow",
+          "grow: true requires two_level: true (the flat layout has no " +
+            "split path — drop grow or switch to the two-level layout)"))
+      else Nil
+    requireKeys(config, "index_path") ++ growFlat
+  }
 
   def sink(df: DataFrame, config: Map[String, Any]): Long = {
     import graft.operators.Similarity
@@ -605,6 +637,8 @@ object IvfIndexSink extends SinkPlugin {
     val twoLevel = config.getOrElse("two_level", true).toString.toBoolean
     val maxShare = config.getOrElse("max_share_pct", 5.0).toString.toDouble
     val grow = config.getOrElse("grow", false).toString.toBoolean
+    require(!(grow && !twoLevel),
+      "ivf-index: grow: true requires two_level: true")
     // one materialization serves the count, the codebook sizing scans,
     // and the assignment pass
     val batch = df.select(
@@ -615,6 +649,10 @@ object IvfIndexSink extends SinkPlugin {
     // codebook from zero rows has no geometry to freeze (and streaming
     // recipes deliver empty micro-batches routinely)
     if (n == 0) return 0L
+    // marked store ⇒ refuse before the dispatch (the Bm25IndexSink
+    // rationale: a crashed merge can have destroyed the codebook commit
+    // signal this dispatch keys on)
+    IndexProtocol.refuseIfMergePending(spark, path)
     val exists = graft.processors.CurationProcessors.indexExists(spark,
       s"$path/_graft_codebook")
     (twoLevel, exists) match {

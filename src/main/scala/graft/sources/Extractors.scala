@@ -135,5 +135,9 @@ object Populate {
     r.register(MetabaseExtractor)
     r.register(OptimusExtractor)
     r.register(graft.processors.DocumentsExtractor)
+    // project additions: query-side surface of the stored retrieval
+    // indexes (the ingest sinks' missing symmetry)
+    r.register(Bm25SearchExtractor)
+    r.register(AnnSearchExtractor)
   }
 }

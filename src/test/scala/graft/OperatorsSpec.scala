@@ -1029,6 +1029,48 @@ class LayoutSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS lsh_index")
     }
   }
+
+  test("replaceDir swaps a small table by temp-write + rename") {
+    val dir = java.nio.file.Files.createTempDirectory("repl")
+      .resolve("stats").toString
+    Seq((1L, 10L)).toDF("n", "tot").write.parquet(dir)
+    Layout.replaceDir(Seq((2L, 20L)).toDF("n", "tot").coalesce(1), dir)
+    assert(spark.read.parquet(dir).collect()(0).toSeq == Seq(2L, 20L))
+    // the temp landing pad is renamed away, not left beside the table
+    val tmp = new org.apache.hadoop.fs.Path(dir + "__replacing")
+    assert(!tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(tmp))
+  }
+
+  test("the pending marker acquires atomically: concurrent writers lose " +
+      "loudly while one holds it, and win after release") {
+    val path = java.nio.file.Files.createTempDirectory("marker").toString
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val tried = new java.util.concurrent.CountDownLatch(4)
+    val losers = new java.util.concurrent.atomic.AtomicInteger(0)
+    Layout.withPendingMarker(spark, path) {
+      val ts = (1 to 4).map(_ => new Thread(() => {
+        started.await()
+        try Layout.withPendingMarker(spark, path)(())
+        catch { case _: IllegalArgumentException => losers.incrementAndGet() }
+        tried.countDown()
+      }))
+      ts.foreach(_.start()); started.countDown(); tried.await()
+      ts.foreach(_.join())
+    }
+    // create(overwrite = false) serialized them: every contender that
+    // raced the holder was refused, none slipped through
+    assert(losers.get() == 4)
+    // after the holder released, the next writer acquires cleanly
+    Layout.withPendingMarker(spark, path)(())
+    // a body that THROWS leaves the marker for loud refusal on retry
+    intercept[RuntimeException] {
+      Layout.withPendingMarker(spark, path)(throw new RuntimeException("die"))
+    }
+    intercept[IllegalArgumentException] {
+      Layout.withPendingMarker(spark, path)(())
+    }
+  }
 }
 
 class SplitsSpec extends SparkSpec {
@@ -2113,6 +2155,136 @@ class RetrievalSpec extends SparkSpec {
     val inline = Retrieval.bm25TopK(docs, queries,
       "doc_id", "text", "doc_id", "text").collect().map(_.toSeq).toSet
     assert(stored.nonEmpty && stored == inline)
+  }
+
+  private def storeRows(st: Retrieval.Bm25Store) = (
+    st.postings.collect().map(_.toSeq).toSet,
+    st.dfreq.collect().map(_.toSeq).toSet,
+    st.stats.collect().map(_.toSeq).toSet)
+
+  test("forgetBm25StoreAt compacts to exactly the rebuilt-on-survivors " +
+      "store, zero-token docs included") {
+    // corpus carries a ZERO-TOKEN doc (no postings rows, but it counts
+    // in n_docs and dilutes avgdl) — tombstoning it must decrement
+    // n_docs exactly, which only the id sidecar can know
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((900001L, "   ")).toDF("doc_id", "text"))
+    val path = java.nio.file.Files
+      .createTempDirectory("bm25forget").toString
+    Retrieval.writeBm25Store(docs, "doc_id", "text", path, buckets = 4)
+    val tomb = docs.filter(col("doc_id") % 7 === 3 ||
+      col("doc_id") === 900001L).select(col("doc_id"))
+    Retrieval.forgetBm25StoreAt(spark, path, tomb, "doc_id")
+    val survivors = docs.filter(col("doc_id") % 7 =!= 3 &&
+      col("doc_id") =!= 900001L)
+    val rbPath = java.nio.file.Files
+      .createTempDirectory("bm25forget_rb").toString
+    Retrieval.writeBm25Store(survivors, "doc_id", "text", rbPath, buckets = 4)
+    assert(storeRows(Retrieval.readBm25Store(spark, path)) ==
+      storeRows(Retrieval.readBm25Store(spark, rbPath)))
+    // a second forget with the same (and some never-ingested) ids no-ops
+    val before = storeRows(Retrieval.readBm25Store(spark, path))
+    Retrieval.forgetBm25StoreAt(spark, path,
+      tomb.unionByName(Seq(123456789L).toDF("doc_id")), "doc_id")
+    assert(storeRows(Retrieval.readBm25Store(spark, path)) == before)
+    // no marker left behind by a completed forget
+    val marker = new org.apache.hadoop.fs.Path(path, "_graft_merge_pending")
+    assert(!marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(marker))
+  }
+
+  test("forget drops fully-erased terms from the vocabulary and a fully " +
+      "erased store stays readable and mergeable") {
+    val docs = Seq((1L, "aardwolf runs"), (2L, "ducks swim"),
+      (3L, "ducks fly")).toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("bm25forgetall").toString
+    Retrieval.writeBm25Store(docs, "doc_id", "text", path, buckets = 4)
+    // doc 1 is the ONLY holder of 'aardwolf'/'runs': erasing it must
+    // remove those terms from dfreq (a rebuild would not carry them)
+    Retrieval.forgetBm25StoreAt(spark, path,
+      Seq(1L).toDF("doc_id"), "doc_id")
+    val afterOne = Retrieval.readBm25Store(spark, path)
+    assert(afterOne.dfreq.filter(col("term").isin("aardwolf", "runs"))
+      .count() == 0)
+    // erase everything: the store must stay readable (zero rows, exact
+    // zero stats), and a later merge must land on clean zeros
+    Retrieval.forgetBm25StoreAt(spark, path,
+      Seq(2L, 3L).toDF("doc_id"), "doc_id")
+    val empty = Retrieval.readBm25Store(spark, path)
+    assert(empty.postings.count() == 0 && empty.dfreq.count() == 0)
+    assert(empty.stats.collect()(0).toSeq == Seq(0L, 0L))
+    Retrieval.mergeBm25StoreAt(spark, path,
+      Seq((9L, "ducks swim")).toDF("doc_id", "text"), "doc_id", "text",
+      buckets = 4)
+    val reborn = Retrieval.readBm25Store(spark, path)
+    assert(reborn.stats.collect()(0).toSeq == Seq(1L, 2L))
+    assert(reborn.postings.count() == 2)
+  }
+
+  test("forgetBm25fStoreAt compacts the fielded store to the rebuild on " +
+      "survivors") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val path = java.nio.file.Files
+      .createTempDirectory("bm25fforget").toString
+    Retrieval.writeBm25fStore(docs, "doc_id", "text", path,
+      titleTokens = 8, buckets = 4)
+    Retrieval.forgetBm25fStoreAt(spark, path,
+      docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")), "doc_id")
+    val rbPath = java.nio.file.Files
+      .createTempDirectory("bm25fforget_rb").toString
+    Retrieval.writeBm25fStore(docs.filter(col("doc_id") % 7 =!= 3),
+      "doc_id", "text", rbPath, titleTokens = 8, buckets = 4)
+    def rows(st: Retrieval.Bm25fStore) = (
+      st.postings.collect().map(_.toSeq).toSet,
+      st.stats.collect().map(_.toSeq).toSet)
+    assert(rows(Retrieval.readBm25fStore(spark, path)) ==
+      rows(Retrieval.readBm25fStore(spark, rbPath)))
+  }
+
+  test("forgetBm25ChunkStoreAt erases every chunk of the tombstoned " +
+      "parents via the sidecar, reading no postings to find them") {
+    val bits = 20
+    val docs = Seq((1L, "a b c"), (2L, "d e f"), (3L, "g h i"))
+      .toDF("doc_id", "text")
+    // two chunks per doc, cid = doc_id·2^20 + chunk
+    val cids = docs.select(
+      (shiftleft(col("doc_id"), bits) + lit(0)).as("cid"),
+      col("text")).unionByName(docs.select(
+      (shiftleft(col("doc_id"), bits) + lit(1)).as("cid"),
+      substring(col("text"), 1, 3).as("text")))
+    val path = java.nio.file.Files
+      .createTempDirectory("bm25chunkforget").toString
+    Retrieval.writeBm25Store(cids, "cid", "text", path, buckets = 4)
+    Retrieval.forgetBm25ChunkStoreAt(spark, path,
+      Seq(2L).toDF("doc_id"), "doc_id", chunkIdBits = bits)
+    val left = Retrieval.readBm25Store(spark, path)
+    assert(left.postings.filter(shiftright(col("cid"), bits) === 2L)
+      .count() == 0)
+    assert(left.stats.collect()(0).getLong(0) == 4L) // 6 cids - doc 2's 2
+    assert(spark.read.parquet(s"$path/docs")
+      .filter(shiftright(col("cid"), bits) === 2L).count() == 0)
+  }
+
+  test("a stale pending marker refuses forget and merge loudly") {
+    val docs = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("bm25forgetmark").toString
+    Retrieval.writeBm25Store(docs, "doc_id", "text", path, buckets = 2)
+    val marker = new org.apache.hadoop.fs.Path(path, "_graft_merge_pending")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(marker, true).close()
+    intercept[IllegalArgumentException] {
+      Retrieval.forgetBm25StoreAt(spark, path,
+        Seq(1L).toDF("doc_id"), "doc_id")
+    }
+    fs.delete(marker, false)
+    Retrieval.forgetBm25StoreAt(spark, path,
+      Seq(1L).toDF("doc_id"), "doc_id")
+    assert(Retrieval.readBm25Store(spark, path).stats
+      .collect()(0).getLong(0) == 1L)
   }
 }
 
@@ -3846,6 +4018,60 @@ class AutoCodebookSpec extends SparkSpec {
     // idempotent: a second compaction with the same tombstones is a no-op
     Similarity.forgetIvfStoreAt(spark, path, tomb, "vec_id")
     assert(rows(spark.read.parquet(path)) == rows(after))
+  }
+
+  test("the erasure sidecar mirrors the store through build, append, and " +
+      "split re-homes — and forget finds hits by sidecar lookup alone") {
+    import org.apache.spark.sql.functions.col
+    def sidecarRows(p: String) = spark.read.parquet(s"$p/_graft_ids")
+      .select(col("vec_id"), col("home").cast("int")).collect()
+      .map(_.toSeq).toSet
+    def storeRows(p: String) = spark.read.parquet(p)
+      .select(col("vec_id"), col("centroid_id").cast("int")).collect()
+      .map(_.toSeq).toSet
+    val docs = synth(120)
+    val path = java.nio.file.Files.createTempDirectory("ivfsidecar").toString
+    val cb = Similarity.autoTwoLevelCodebook(docs.filter(col("vec_id") < 80),
+      "vec_id", "embedding")
+    Similarity.writeIvfStoreTwoLevel(docs.filter(col("vec_id") < 80),
+      "vec_id", "embedding", cb, path)
+    // the invariant: sidecar (id -> home) IS the store's (id ->
+    // centroid_id) projection — after build...
+    assert(sidecarRows(path) == storeRows(path))
+    // ...after a frozen-codebook append...
+    Similarity.appendIvfStoreTwoLevel(docs.filter(col("vec_id") >= 80),
+      "vec_id", "embedding", cb, path)
+    assert(sidecarRows(path) == storeRows(path))
+    // ...and after a grow round re-homes rows into fresh directories
+    val grown = Similarity.splitHotChildrenAt(spark, path, "vec_id",
+      "embedding", cb, maxSharePct = 5.0, persistTo = Some(path))
+    assert(grown.size > cb.size, "share bar must force at least one split")
+    assert(sidecarRows(path) == storeRows(path),
+      "re-homed rows must re-point their sidecar entries")
+    // forget rows INCLUDING re-homed ones: equals the rebuild on the
+    // survivors under the grown codebook, and the sidecar forgot them too
+    val tomb = docs.filter(col("vec_id") % 5 === 2).select(col("vec_id"))
+    Similarity.forgetIvfStoreAt(spark, path, tomb, "vec_id")
+    val rbPath = java.nio.file.Files
+      .createTempDirectory("ivfsidecar_rb").toString
+    Similarity.writeIvfStoreTwoLevel(
+      docs.join(tomb, Seq("vec_id"), "left_anti"), "vec_id", "embedding",
+      grown, rbPath)
+    assert(storeRows(path) == storeRows(rbPath))
+    assert(sidecarRows(path) == storeRows(path))
+    // pre-sidecar stores keep the legacy full-scan finder: drop the
+    // sidecar, forget again — still exact
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path, "_graft_ids"), true)
+    val tomb2 = docs.filter(col("vec_id") % 5 === 3).select(col("vec_id"))
+    Similarity.forgetIvfStoreAt(spark, path, tomb2, "vec_id")
+    val rb2 = java.nio.file.Files
+      .createTempDirectory("ivfsidecar_rb2").toString
+    Similarity.writeIvfStoreTwoLevel(
+      docs.join(tomb.unionByName(tomb2), Seq("vec_id"), "left_anti"),
+      "vec_id", "embedding", grown, rb2)
+    assert(storeRows(path) == storeRows(rb2))
   }
 
   test("autoTwoLevelCodebook is deterministic, unit-normal, and sqrt-shaped") {

@@ -370,6 +370,93 @@ class AgentSpec extends SparkSpec {
     assert(Registries.sinks.list.map(_.name).contains("bm25-index"))
   }
 
+  test("bm25-search recipe: queries.parquet -> bm25-search -> file matches " +
+      "bm25TopKStored row-for-row; ann-search matches the stored probe") {
+    import spark.implicits._
+    import graft.operators.{Retrieval, Similarity}
+    // index built by the INGEST recipe surface, queried by the SEARCH one
+    val dir = Files.createTempDirectory("searchsrc")
+    val idx = dir.resolve("bm25").toString
+    val docs = Seq(
+      (1L, "spark engine shuffles columns fast"),
+      (2L, "ducks swim across quiet ponds daily"),
+      (3L, "ponds reflect the morning sky"),
+      (4L, "columnar storage scans fewer bytes")).toDF("doc_id", "text")
+    Retrieval.writeBm25Store(docs, "doc_id", "text", idx, buckets = 2)
+    val queries = Seq((100L, "ponds"), (200L, "spark columns"))
+      .toDF("q_id", "text")
+    queries.write.parquet(s"$dir/queries")
+    val out = dir.resolve("ranked.ndjson")
+    val recipe = RecipeReader.parse(
+      s"""name: bm25-serve
+         |version: v1beta1
+         |source:
+         |  name: bm25-search
+         |  config:
+         |    index_path: $idx
+         |    queries_path: $dir/queries
+         |    top_k: 3
+         |sinks:
+         |  - name: file
+         |    config: {path: $out, format: ndjson}
+         |""".stripMargin)
+    val r = new Agent(spark).run(recipe)
+    assert(r.success, r.error)
+    val direct = Retrieval.bm25TopKStored(
+        Retrieval.readBm25Store(spark, idx), queries,
+        "doc_id", "q_id", "text", topK = 3)
+      .collect().map(row => (row.getLong(0), row.getInt(1), row.getLong(2),
+        row.getLong(3))).toSet
+    val sunk = scala.io.Source.fromFile(out.toFile).getLines().map { l =>
+      val m = new org.yaml.snakeyaml.Yaml().load[java.util.Map[String, Object]](l)
+      (m.get("q_id").toString.toLong, m.get("rnk").toString.toInt,
+        m.get("doc_id").toString.toLong, m.get("score").toString.toLong)
+    }.toSet
+    assert(sunk == direct && sunk.nonEmpty)
+    // ann-search over a sink-built two-level store: recipe rows equal the
+    // library probe against the reloaded codebook
+    val vidx = dir.resolve("ivf").toString
+    val vecs = (0 until 60).map(i => (i.toLong,
+      Seq.tabulate(8)(d => (if (d == i % 3) 10.0 else 0.0) + 0.01 * (i % 5))))
+      .toDF("vec_id", "embedding")
+    assert(graft.sinks.IvfIndexSink.sink(vecs,
+      Map("index_path" -> vidx)) == 60L)
+    val qv = vecs.filter(org.apache.spark.sql.functions.col("vec_id") < 3)
+    qv.write.parquet(s"$dir/qv")
+    val vout = dir.resolve("ann.ndjson")
+    val vr = new Agent(spark).run(RecipeReader.parse(
+      s"""name: ann-serve
+         |version: v1beta1
+         |source:
+         |  name: ann-search
+         |  config:
+         |    index_path: $vidx
+         |    queries_path: $dir/qv
+         |    top_k: 5
+         |    exclude_self: true
+         |sinks:
+         |  - name: file
+         |    config: {path: $vout, format: ndjson}
+         |""".stripMargin))
+    assert(vr.success, vr.error)
+    val cb = Similarity.readTwoLevelCodebookAt(spark, vidx)
+    val vdirect = Similarity.ivfTopKStoredTwoLevel(
+        spark.read.parquet(vidx), qv, "vec_id", "embedding", k = 5, cb,
+        excludeSelf = true)
+      .collect().map(row => (row.getLong(0), row.getLong(1), row.getInt(2),
+        row.getDouble(3))).toSet
+    val vsunk = scala.io.Source.fromFile(vout.toFile).getLines().map { l =>
+      val m = new org.yaml.snakeyaml.Yaml().load[java.util.Map[String, Object]](l)
+      (m.get("q_id").toString.toLong, m.get("c_id").toString.toLong,
+        m.get("rank").toString.toInt, m.get("sim").toString.toDouble)
+    }.toSet
+    assert(vsunk == vdirect && vsunk.nonEmpty)
+    // both sources are on the registry roster
+    Registries.populate()
+    assert(Registries.extractors.list.map(_.name).contains("bm25-search"))
+    assert(Registries.extractors.list.map(_.name).contains("ann-search"))
+  }
+
   test("fielded bm25-index recipe: builds then merges a BM25F store that " +
       "scores like an inline fielded build") {
     import spark.implicits._
@@ -899,6 +986,69 @@ class SinksSpec extends SparkSpec {
     assert(!fs.exists(marker), "a completed merge must remove its marker")
     assert(graft.operators.Retrieval.readBm25Store(spark, idx)
       .postings.select("doc_id").distinct().count() == 2)
+  }
+
+  test("a merge that CRASHES between postings-append and stats-write " +
+      "leaves a marked store every later ingest refuses — even though " +
+      "the crash destroyed the commit signal the dispatch keys on") {
+    import graft.sinks.Bm25IndexSink
+    val idx = Files.createTempDirectory("bicrash").resolve("bm25").toString
+    val fsPath = new org.apache.hadoop.fs.Path(idx)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Bm25IndexSink.sink(Seq((1L, "spark shuffles columns"))
+      .toDF("doc_id", "text"), Map("index_path" -> idx, "buckets" -> 2))
+    // simulate the worst-window crash: the merge appended its postings,
+    // acquired the marker, then died INSIDE the stats replacement —
+    // stats (the commit signal) is gone, marker still present
+    fs.create(new org.apache.hadoop.fs.Path(idx, "_graft_merge_pending"),
+      false).close()
+    fs.delete(new org.apache.hadoop.fs.Path(idx, "stats"), true)
+    // without the pre-dispatch refusal this run would see exists=false,
+    // take the BUILD branch, and static-overwrite away doc 1's history
+    val e = intercept[IllegalArgumentException] {
+      Bm25IndexSink.sink(Seq((2L, "ducks swim")).toDF("doc_id", "text"),
+        Map("index_path" -> idx, "buckets" -> 2))
+    }
+    assert(e.getMessage.contains("UNFINISHED"))
+    // the history is still on disk for the instructed rebuild
+    assert(spark.read.parquet(s"$idx/postings")
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 1L)
+      .count() > 0)
+    // the FIELDED path refuses the same way
+    val fidx = Files.createTempDirectory("bicrashf").resolve("bm25f").toString
+    Bm25IndexSink.sink(Seq((1L, "spark shuffles columns"))
+      .toDF("doc_id", "text"),
+      Map("index_path" -> fidx, "buckets" -> 2, "fielded" -> true))
+    val ffs = new org.apache.hadoop.fs.Path(fidx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ffs.create(new org.apache.hadoop.fs.Path(fidx, "_graft_merge_pending"),
+      false).close()
+    ffs.delete(new org.apache.hadoop.fs.Path(fidx, "stats"), true)
+    intercept[IllegalArgumentException] {
+      Bm25IndexSink.sink(Seq((2L, "ducks swim")).toDF("doc_id", "text"),
+        Map("index_path" -> fidx, "buckets" -> 2, "fielded" -> true))
+    }
+  }
+
+  test("ivf-index refuses any ingest onto a marked store before dispatch") {
+    import graft.sinks.IvfIndexSink
+    val idx = Files.createTempDirectory("ivfcrash").resolve("ivf").toString
+    val b1 = (0 until 20).map(i => (i.toLong,
+      Seq.tabulate(4)(d => if (d == i % 2) 1.0 else 0.1)))
+      .toDF("vec_id", "embedding")
+    assert(IvfIndexSink.sink(b1, Map("index_path" -> idx)) == 20L)
+    val marker = new org.apache.hadoop.fs.Path(idx, "_graft_merge_pending")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(marker, false).close()
+    // a crashed grow round may have destroyed _graft_codebook — even the
+    // would-be build branch must refuse while the marker stands
+    fs.delete(new org.apache.hadoop.fs.Path(idx, "_graft_codebook"), true)
+    intercept[IllegalArgumentException] {
+      IvfIndexSink.sink(b1, Map("index_path" -> idx))
+    }
+    // grow on the flat layout is rejected at validation time
+    assert(IvfIndexSink.validate(Map("index_path" -> idx,
+      "two_level" -> false, "grow" -> true)).nonEmpty)
   }
 
   test("ivf-index flat path builds and appends against the persisted " +
