@@ -302,6 +302,23 @@ object ScaleProbe {
               docs.filter(col("doc_id") % 2 === 1), "doc_id", "text"),
             queries, "doc_id", "doc_id", "text")
         }
+        // round-13: right-to-erasure on the postings store built above —
+        // a FIXED 20-doc tombstone batch. The claim under probe: forget
+        // never re-reads corpus TEXT (one postings id-scan + hit-bucket
+        // survivor rewrite + integer decrements on df/stats), so its
+        // cost tracks the integers-only postings table and stays well
+        // under bm25_store_build (which pays tokenize + shuffle) at
+        // every factor — erasure is a compaction, not a re-ingest.
+        locally {
+          val tomb = docs.filter(col("doc_id") < 20)
+            .select(col("doc_id")).localCheckpoint()
+          val t0 = System.nanoTime()
+          operators.Retrieval.forgetBm25StoreAt(spark, bPath, tomb, "doc_id")
+          val sec = (System.nanoTime() - t0) / 1e9
+          val left = spark.read.parquet(s"$bPath/postings").count()
+          println(f"""{"probe":"bm25_forget","factor":$f,"sec":$sec%.2f,""" +
+            s""""postings_left":$left}""")
+        }
         docs.unpersist()
       }
       queries.unpersist()

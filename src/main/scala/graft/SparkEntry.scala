@@ -5140,7 +5140,7 @@ object SparkEntry {
     */
   private def chunkBm25Store(s: SparkSession, dir: String): Retrieval.Bm25Store = {
     val path = layoutPath(dir, "bm25chunks",
-      "tok=ws,buckets=16,chunk=16x8,cid=shl20,v2",
+      "tok=ws,buckets=16,chunk=16x8,cid=shl20,v3",
       srcTable = "documents.parquet")
     if (!layoutReady(s"$path/stats"))
       Retrieval.writeBm25Store(chunkCidCorpus(t(s, dir, "documents")),
@@ -5240,7 +5240,7 @@ object SparkEntry {
   private def bm25fStore(s: SparkSession, dir: String,
                          cut: Long = Long.MaxValue): Retrieval.Bm25fStore = {
     val cfg = if (cut == Long.MaxValue) "all" else cut.toString
-    val path = layoutPath(dir, "bm25f", s"tok=ws,title=8,buckets=16,v2,cut=$cfg",
+    val path = layoutPath(dir, "bm25f", s"tok=ws,title=8,buckets=16,v3,cut=$cfg",
       srcTable = "documents.parquet")
     if (!layoutReady(s"$path/stats"))
       Retrieval.writeBm25fStore(
@@ -5322,7 +5322,7 @@ object SparkEntry {
   private def bm25Store(s: SparkSession, dir: String,
                         cut: Long = Long.MaxValue): Retrieval.Bm25Store = {
     val cfg = if (cut == Long.MaxValue) "all" else cut.toString
-    val path = layoutPath(dir, "bm25", s"tok=ws,buckets=16,v3,cut=$cfg",
+    val path = layoutPath(dir, "bm25", s"tok=ws,buckets=16,v4,cut=$cfg",
       srcTable = "documents.parquet")
     if (!layoutReady(s"$path/stats"))
       Retrieval.writeBm25Store(
@@ -5380,7 +5380,7 @@ object SparkEntry {
     // Idempotent across runs: a compacted store finds no members, no-ops.
     val docs = t(s, dir, "documents")
     val path = layoutPath(dir, "bm25forget",
-      "tok=ws,buckets=16,tomb=mod7eq3,v1", srcTable = "documents.parquet")
+      "tok=ws,buckets=16,tomb=mod7eq3,v2", srcTable = "documents.parquet")
     if (!layoutReady(s"$path/stats"))
       Retrieval.writeBm25Store(docs, "doc_id", "text", path)
     Retrieval.forgetBm25StoreAt(s, path,
@@ -5399,7 +5399,7 @@ object SparkEntry {
     // Rebuild-on-survivors oracle, fielded chain.
     val docs = t(s, dir, "documents")
     val path = layoutPath(dir, "bm25fforget",
-      "tok=ws,title=8,buckets=16,tomb=mod7eq3,v1",
+      "tok=ws,title=8,buckets=16,tomb=mod7eq3,v2",
       srcTable = "documents.parquet")
     if (!layoutReady(s"$path/stats"))
       Retrieval.writeBm25fStore(docs, "doc_id", "text", path,
@@ -5421,7 +5421,7 @@ object SparkEntry {
     // from the surviving docs and replay the chunk-BM25 chain.
     val d = t(s, dir, "documents")
     val path = layoutPath(dir, "bm25chunkforget",
-      "tok=ws,buckets=16,chunk=16x8,cid=shl20,tomb=mod7eq3,v1",
+      "tok=ws,buckets=16,chunk=16x8,cid=shl20,tomb=mod7eq3,v2",
       srcTable = "documents.parquet")
     if (!layoutReady(s"$path/stats"))
       Retrieval.writeBm25Store(chunkCidCorpus(d), "cid", "chunk_text", path)

@@ -202,7 +202,9 @@ object Retrieval {
     * and whole-doc df derives from the postings (distinct (id, term)),
     * so nothing in the layout freezes a tunable.
     */
-  final case class Bm25fStore(postings: DataFrame, stats: DataFrame)
+  final case class Bm25fStore(postings: DataFrame, stats: DataFrame,
+                              bucketed: Option[DataFrame] = None,
+                              buckets: Option[Int] = None)
 
   /** Build the fielded components inline (the [[bm25fTopK]] body). */
   private def bm25fComponents(corpus: DataFrame, idCol: String,
@@ -245,12 +247,18 @@ object Retrieval {
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/postings")
     writeDocsSidecar(corpus, idCol, s"$path/docs", buckets, "overwrite")
+    writeLayoutMeta(corpus.sparkSession, path, buckets)
     c.stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
   }
 
-  def readBm25fStore(spark: SparkSession, path: String): Bm25fStore =
-    Bm25fStore(spark.read.parquet(s"$path/postings").drop("bucket"),
-      spark.read.parquet(s"$path/stats"))
+  def readBm25fStore(spark: SparkSession, path: String): Bm25fStore = {
+    val raw = spark.read.parquet(s"$path/postings")
+    val b = readLayoutMeta(spark, path)
+      .filter(_ => raw.columns.contains("bucket"))
+    Bm25fStore(raw.drop("bucket"),
+      spark.read.parquet(s"$path/stats"),
+      bucketed = b.map(_ => raw), buckets = b)
+  }
 
   /** [[bm25fTopK]] against fielded components — the SHARED scoring tail
     * of the inline and stored spellings, so the two are row-identical by
@@ -264,8 +272,16 @@ object Retrieval {
     val qt = queries.select(col(qIdCol).as("q_id"),
         explode(TextAnalysis.tokens(lower(trim(col(qTextCol))))).as("term"))
       .distinct()
-    val hits = store.postings.join(
-      broadcast(qt.select(col("term")).distinct()), Seq("term"), "left_semi")
+    val qterms = qt.select(col("term")).distinct()
+    // directory-pruned restriction when the store exposes its bucket
+    // layout (the storedHits mechanism, fielded spelling)
+    val hits = (store.bucketed, store.buckets) match {
+      case (Some(bp), Some(nb)) =>
+        bp.join(broadcast(qterms.withColumn("bucket", termBucket(nb))),
+          Seq("bucket", "term"), "left_semi").drop("bucket")
+      case _ =>
+        store.postings.join(broadcast(qterms), Seq("term"), "left_semi")
+    }
     // df is WHOLE-document frequency: a term counts once per doc even
     // when it appears in both fields — derived from the (restricted)
     // postings, so only query-term rows are ever counted
@@ -394,9 +410,39 @@ object Retrieval {
     Layout.replaceDir(newStats.coalesce(1), s"$path/stats")
   }
 
-  /** The three mergeable components of a written BM25 index. */
+  /** The three mergeable components of a written BM25 index. A store
+    * read back from disk additionally carries `bucketed` — the postings
+    * WITH their physical bucket partition column — and the frozen bucket
+    * count, which together let the stored scoring path prune term-hash
+    * DIRECTORIES at query time ([[scoresStoredOf]]); logical merges
+    * ([[bm25ApplyDelta]]) produce plain-postings stores and score
+    * through the unpruned path.
+    */
   final case class Bm25Store(postings: DataFrame, dfreq: DataFrame,
-                             stats: DataFrame)
+                             stats: DataFrame,
+                             bucketed: Option[DataFrame] = None,
+                             buckets: Option[Int] = None)
+
+  /** Freeze the physical layout knob the query side needs (bucket
+    * count) inside the store — the vector store's `_graft_layout`
+    * discipline: deriving it any other way (listing directories) breaks
+    * on empty buckets, and asking the user to repeat it in query config
+    * invites a silent mismatch that would prune live directories.
+    */
+  private def writeLayoutMeta(spark: SparkSession, path: String,
+                              buckets: Int): Unit = {
+    import spark.implicits._
+    Seq(buckets).toDF("buckets").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_graft_layout")
+  }
+
+  private def readLayoutMeta(spark: SparkSession,
+                             path: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_graft_layout")
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      None
+    else Some(spark.read.parquet(s"$path/_graft_layout").head().getInt(0))
+  }
 
   /** Directory key of a term's posting rows: `bucket = pmod(xxhash64(
     * term), buckets)`. Making the term-hash bucket a PARTITION COLUMN
@@ -450,6 +496,7 @@ object Retrieval {
     dfreqOf(stored).repartition(math.min(buckets, 4), col("term"))
       .write.mode("overwrite").parquet(s"$path/dfreq")
     writeDocsSidecar(corpus, idCol, s"$path/docs", buckets, "overwrite")
+    writeLayoutMeta(corpus.sparkSession, path, buckets)
     corpusStats(corpus, stored)
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
   }
@@ -461,10 +508,15 @@ object Retrieval {
     * directly. Pre-bucketed (v2) stores read unchanged — drop of a
     * missing column is a no-op.
     */
-  def readBm25Store(spark: SparkSession, path: String): Bm25Store =
-    Bm25Store(spark.read.parquet(s"$path/postings").drop("bucket"),
+  def readBm25Store(spark: SparkSession, path: String): Bm25Store = {
+    val raw = spark.read.parquet(s"$path/postings")
+    val b = readLayoutMeta(spark, path)
+      .filter(_ => raw.columns.contains("bucket"))
+    Bm25Store(raw.drop("bucket"),
       spark.read.parquet(s"$path/dfreq"),
-      spark.read.parquet(s"$path/stats"))
+      spark.read.parquet(s"$path/stats"),
+      bucketed = b.map(_ => raw), buckets = b)
+  }
 
   /** Fold a batch of NEW documents (ids disjoint from the store — the
     * arriving-batch contract every incremental gate in this engine
@@ -695,13 +747,32 @@ object Retrieval {
                              k1: Double, b: Double): DataFrame = {
     val qdf = store.dfreq.join(broadcast(qt.select(col("term")).distinct()),
       Seq("term"), "left_semi")
-    val hits = store.postings.join(broadcast(qt), Seq("term"))
+    val hits = storedHits(store.bucketed, store.buckets, store.postings, qt)
     val contrib = hits
       .join(broadcast(qdf), Seq("term"))
       .crossJoin(broadcast(store.stats))
       .withColumn("c", contribExpr(k1, b))
     scoredOf(contrib, idCol)
   }
+
+  /** The query-terms ∩ postings restriction, DIRECTORY-pruned when the
+    * store exposes its physical bucket layout: the broadcast term set
+    * carries each term's bucket (the SAME xxhash64 expression the write
+    * used, so the pair join is row-identical to the term join) and the
+    * equi-join on the partition column drives dynamic partition pruning
+    * — a query touches |its terms' buckets| directories of the postings,
+    * never all of them. The ivfTopKStored centroid-probe mechanism,
+    * applied to lexical retrieval. Falls back to the plain term join for
+    * logical (merged in-memory) stores and pre-layout-meta stores.
+    */
+  private def storedHits(bucketed: Option[DataFrame], buckets: Option[Int],
+                         postings: DataFrame, qt: DataFrame): DataFrame =
+    (bucketed, buckets) match {
+      case (Some(bp), Some(nb)) =>
+        bp.join(broadcast(qt.withColumn("bucket", termBucket(nb))),
+          Seq("bucket", "term")).drop("bucket")
+      case _ => postings.join(broadcast(qt), Seq("term"))
+    }
 
   /** [[bm25PrfTopK]] against a written store — BOTH ranking passes and
     * the expansion mining lean on the store's postings/dfreq/stats

@@ -409,20 +409,56 @@ class StencilSink(poster: HttpPoster = JdkHttpPoster) extends SinkPlugin {
   */
 object Bm25IndexSink extends SinkPlugin {
   val info: PluginInfo = PluginInfo("bm25-index",
-    "Build or incrementally extend a stored BM25 postings index from the incoming rows",
+    "Build or incrementally extend a stored BM25 postings index from the incoming rows (mode: forget erases them instead)",
     sampleConfig =
       """index_path: /indexes/bm25
         |id_column: doc_id
         |text_column: text
         |buckets: 16
         |# after a `chunk` processor: pack (id, chunk) into one index key
-        |# chunk_id_column: chunk_id""".stripMargin,
+        |# chunk_id_column: chunk_id
+        |# mode: forget   # rows are TOMBSTONES: erase their ids in place""".stripMargin,
     tags = Seq("sink", "curation", "retrieval"))
 
-  override def validate(config: Map[String, Any]): Seq[InvalidConfigError] =
-    requireKeys(config, "index_path")
+  override def validate(config: Map[String, Any]): Seq[InvalidConfigError] = {
+    val badMode = config.get("mode").map(_.toString)
+      .filter(m => m != "ingest" && m != "forget")
+      .map(m => InvalidConfigError("mode", s"unsupported mode: $m"))
+    requireKeys(config, "index_path") ++ badMode
+  }
+
+  /** mode: forget — the incoming rows are TOMBSTONES (only `id_column`
+    * is read): erase them from the store in place, right-to-erasure on
+    * the recipe surface (`tombstones.parquet → bm25-index(mode:
+    * forget)`). Layout dispatch mirrors the ingest side: fielded via the
+    * config flag, chunk grain erases by PARENT doc id through the cid
+    * sidecar. Returns the tombstone count processed.
+    */
+  private def forget(df: DataFrame, config: Map[String, Any]): Long = {
+    val spark = df.sparkSession
+    val path = config("index_path").toString
+    val idc = config.getOrElse("id_column", "doc_id").toString
+    val fielded = config.getOrElse("fielded", false).toString.toBoolean
+    val chunked = config.contains("chunk_id_column") ||
+      config.getOrElse("chunk_grain", false).toString.toBoolean
+    val bits = config.getOrElse("chunk_id_bits", 20).toString.toInt
+    val tomb = df.select(org.apache.spark.sql.functions.col(idc))
+      .localCheckpoint()
+    val n = tomb.count()
+    if (n == 0) return 0L
+    if (chunked)
+      graft.operators.Retrieval.forgetBm25ChunkStoreAt(spark, path, tomb,
+        idc, chunkIdBits = bits)
+    else if (fielded)
+      graft.operators.Retrieval.forgetBm25fStoreAt(spark, path, tomb, idc)
+    else
+      graft.operators.Retrieval.forgetBm25StoreAt(spark, path, tomb, idc)
+    n
+  }
 
   def sink(df: DataFrame, config: Map[String, Any]): Long = {
+    if (config.getOrElse("mode", "ingest").toString == "forget")
+      return forget(df, config)
     val spark = df.sparkSession
     val path = config("index_path").toString
     val idc = config.getOrElse("id_column", "doc_id").toString
@@ -610,7 +646,8 @@ object IvfIndexSink extends SinkPlugin {
         |vector_column: embedding
         |two_level: true
         |max_share_pct: 5.0
-        |# grow: true  # split hot children in place after each append""".stripMargin,
+        |# grow: true     # split hot children in place after each append
+        |# mode: forget   # rows are TOMBSTONES: erase their ids in place""".stripMargin,
     tags = Seq("sink", "curation", "similarity"))
 
   override def validate(config: Map[String, Any]): Seq[InvalidConfigError] = {
@@ -625,7 +662,10 @@ object IvfIndexSink extends SinkPlugin {
           "grow: true requires two_level: true (the flat layout has no " +
             "split path — drop grow or switch to the two-level layout)"))
       else Nil
-    requireKeys(config, "index_path") ++ growFlat
+    val badMode = config.get("mode").map(_.toString)
+      .filter(m => m != "ingest" && m != "forget")
+      .map(m => InvalidConfigError("mode", s"unsupported mode: $m"))
+    requireKeys(config, "index_path") ++ growFlat ++ badMode
   }
 
   def sink(df: DataFrame, config: Map[String, Any]): Long = {
@@ -633,6 +673,16 @@ object IvfIndexSink extends SinkPlugin {
     val spark = df.sparkSession
     val path = config("index_path").toString
     val idc = config.getOrElse("id_column", "vec_id").toString
+    // mode: forget — rows are TOMBSTONES (only id_column read): erase
+    // them from the vector store in place via the sidecar-located
+    // per-directory compaction. Right-to-erasure on the recipe surface.
+    if (config.getOrElse("mode", "ingest").toString == "forget") {
+      val tomb = df.select(org.apache.spark.sql.functions.col(idc))
+        .localCheckpoint()
+      val n = tomb.count()
+      if (n > 0) Similarity.forgetIvfStoreAt(spark, path, tomb, idc)
+      return n
+    }
     val vc = config.getOrElse("vector_column", "embedding").toString
     val twoLevel = config.getOrElse("two_level", true).toString.toBoolean
     val maxShare = config.getOrElse("max_share_pct", 5.0).toString.toDouble

@@ -287,6 +287,32 @@ object EventStream {
           batch.sparkSession, path, batch.toDF(), idCol)
     }
 
+  /** [[streamingIvfForget]] for the BM25 postings stores — a GDPR
+    * tombstone feed is naturally a stream, and erasure is an anti-join
+    * (idempotent, commutative), so per-micro-batch compaction lands the
+    * same store as one batch call with every tombstone (parity pinned
+    * in StreamingSpec). `grain` selects the layout: "doc" (plain),
+    * "fielded", or "chunk" (tombstones are PARENT doc ids). Single
+    * writer per store, like every mutation path.
+    */
+  def streamingBm25Forget(tombstones: DataFrame, idCol: String,
+                          path: String, grain: String = "doc",
+                          chunkIdBits: Int = 20) =
+    tombstones.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF()
+        grain match {
+          case "doc" => graft.operators.Retrieval.forgetBm25StoreAt(
+            b.sparkSession, path, b, idCol)
+          case "fielded" => graft.operators.Retrieval.forgetBm25fStoreAt(
+            b.sparkSession, path, b, idCol)
+          case "chunk" => graft.operators.Retrieval.forgetBm25ChunkStoreAt(
+            b.sparkSession, path, b, idCol, chunkIdBits = chunkIdBits)
+          case other => throw new IllegalArgumentException(
+            s"unknown forget grain: $other (doc|fielded|chunk)")
+        }
+    }
+
   /** [[streamingIvfAppend]] for a TWO-LEVEL layout: identical contract
     * (frozen codebook, per-micro-batch append, batch-split invariant),
     * assignment through the two-level kernel so ingest stays O(2√C·d)

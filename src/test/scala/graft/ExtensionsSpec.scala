@@ -1894,6 +1894,38 @@ class StreamingSpec extends SparkSpec {
     assert(a.size == emb.count() - tombs.length)
   }
 
+  test("streaming BM25 forget: micro-batched tombstones equal one-shot " +
+      "erasure on the postings store") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Retrieval
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bm25_sforget")
+    val streamed = tmp.resolve("streamed").toString
+    val oneShot = tmp.resolve("oneshot").toString
+    Retrieval.writeBm25Store(docs, "doc_id", "text", streamed, buckets = 4)
+    Retrieval.writeBm25Store(docs, "doc_id", "text", oneShot, buckets = 4)
+    val tombs = docs.filter(col("doc_id") % 7 === 3)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val mem = MemoryStream[Long]
+    val q = EventStream.streamingBm25Forget(
+      mem.toDF().toDF("doc_id"), "doc_id", streamed).start()
+    try {
+      tombs.grouped(17).foreach { c => mem.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    import spark.implicits._
+    Retrieval.forgetBm25StoreAt(spark, oneShot,
+      tombs.toSeq.toDF("doc_id"), "doc_id")
+    def rows(p: String) = {
+      val st = Retrieval.readBm25Store(spark, p)
+      (st.postings.collect().map(_.toSeq).toSet,
+        st.dfreq.collect().map(_.toSeq).toSet,
+        st.stats.collect().map(_.toSeq).toSet)
+    }
+    val a = rows(streamed)
+    assert(a._1.nonEmpty && a == rows(oneShot))
+  }
+
   test("streaming TWO-LEVEL IVF append: micro-batched ingest equals one-shot layout") {
     // the two-level store's ingest parity, mirroring the flat pin above:
     // kernel assignment depends only on the frozen TwoLevelCodebook, so

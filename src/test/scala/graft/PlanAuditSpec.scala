@@ -87,6 +87,14 @@ class PlanAuditSpec extends SparkSpec {
   test("stored BM25 scores from postings parquet; only the query side reads text") {
     val p = plan(SparkEntry.queries("d_bm25_topk_stored")(spark, dir))
     assert(p.contains("graft_bm25"), p)
+    // round 13: the postings scan is DIRECTORY-pruned to the query
+    // terms' hash buckets — the broadcast term set carries each term's
+    // bucket and the equi-join on the partition column drives DPP, the
+    // ivfTopKStored probe mechanism applied to lexical retrieval
+    val postScan = p.linesIterator.filter(l =>
+      l.contains("graft_bm25") && l.contains("Scan")).toList
+    assert(postScan.exists(_.contains("dynamicpruning")),
+      s"postings scan not DPP-pruned:\n${postScan.mkString("\n")}")
     // every scan of documents.parquet is the 5-row query side: the
     // doc_id < 5 predicate is pushed into it, and no un-filtered corpus
     // text scan survives anywhere in the plan

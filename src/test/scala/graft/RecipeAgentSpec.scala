@@ -457,6 +457,63 @@ class AgentSpec extends SparkSpec {
     assert(Registries.extractors.list.map(_.name).contains("ann-search"))
   }
 
+  test("mode: forget on the index sinks erases tombstoned rows through the " +
+      "recipe surface, equal to a rebuild on the survivors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Retrieval
+    val dir = Files.createTempDirectory("forgetrecipe")
+    val idx = dir.resolve("bm25").toString
+    val docs = Seq(
+      (1L, "spark engine shuffles columns fast"),
+      (2L, "ducks swim across quiet ponds daily"),
+      (3L, "ponds reflect the morning sky"),
+      (4L, "columnar storage scans fewer bytes")).toDF("doc_id", "text")
+    docs.write.parquet(s"$dir/docs")
+    Seq(2L, 3L).toDF("doc_id").write.parquet(s"$dir/tomb")
+    def run(src: String, mode: String) = new Agent(spark).run(
+      RecipeReader.parse(
+        s"""name: bm25-$mode
+           |version: v1beta1
+           |source:
+           |  name: documents
+           |  config: {path: $dir/$src}
+           |sinks:
+           |  - name: bm25-index
+           |    config: {index_path: $idx, buckets: 2, mode: $mode}
+           |""".stripMargin))
+    assert(run("docs", "ingest").success)
+    val rf = run("tomb", "forget")
+    assert(rf.success, rf.error)
+    assert(rf.recordCount == 2, rf)
+    val rbPath = dir.resolve("rb").toString
+    Retrieval.writeBm25Store(docs.filter(!col("doc_id").isin(2L, 3L)),
+      "doc_id", "text", rbPath, buckets = 2)
+    def rows(p: String) = {
+      val st = Retrieval.readBm25Store(spark, p)
+      (st.postings.collect().map(_.toSeq).toSet,
+        st.dfreq.collect().map(_.toSeq).toSet,
+        st.stats.collect().map(_.toSeq).toSet)
+    }
+    assert(rows(idx) == rows(rbPath))
+    // vector-store forget through the same surface
+    val vidx = dir.resolve("ivf").toString
+    val vecs = (0 until 40).map(i => (i.toLong,
+      Seq.tabulate(8)(d => (if (d == i % 3) 10.0 else 0.0) + 0.01 * (i % 5))))
+      .toDF("vec_id", "embedding")
+    assert(graft.sinks.IvfIndexSink.sink(vecs,
+      Map("index_path" -> vidx)) == 40L)
+    assert(graft.sinks.IvfIndexSink.sink(
+      vecs.filter(col("vec_id") % 4 === 1).select(col("vec_id")),
+      Map("index_path" -> vidx, "mode" -> "forget")) == 10L)
+    assert(spark.read.parquet(vidx)
+      .filter(col("vec_id") % 4 === 1).count() == 0)
+    assert(spark.read.parquet(vidx).count() == 30)
+    // tombstones never land as vectors: mode is validated
+    assert(graft.sinks.IvfIndexSink.validate(
+      Map("index_path" -> vidx, "mode" -> "purge")).nonEmpty)
+  }
+
   test("fielded bm25-index recipe: builds then merges a BM25F store that " +
       "scores like an inline fielded build") {
     import spark.implicits._
