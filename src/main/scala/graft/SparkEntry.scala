@@ -3413,6 +3413,61 @@ object SparkEntry {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  private def annIvfPq2Stored(s: SparkSession, dir: String): DataFrame = {
+    // TWO-LEVEL IVF-PQ — the past-the-clamp PQ composition: the codes
+    // store is routed by the hierarchical quantizer (assignment and
+    // probes O(2√C·d) via the TwoLevelProbes kernel, so C tracks √N to
+    // billions of vectors) while each stored row stays 8 bytes of PQ
+    // codes; ADC shortlist + exact re-rank against the id-partitioned
+    // vector store are the flat path's verbatim. PORTABLE geometry on
+    // BOTH levels (first-3-unit tops / min-3-id children router,
+    // first-16 sliced subquantizers) so the DuckDB twin replays routing,
+    // encode, ADC, and re-rank end to end.
+    val emb = t(s, dir, "embeddings")
+    val cb = ivf2PortableCodebook(emb)
+    val (_, codebooks) = pqPortableCodebooks(emb)
+    val path = layoutPath(dir, "pq2store",
+      "m=8,k=16,tops=first3unit,kids=min3id,v1")
+    if (!layoutReady(path))
+      Similarity.writePqStoreTwoLevel(emb, "vec_id", "embedding",
+        cb, codebooks, path)
+    Similarity.ivfPqTopKStoredTwoLevel(s.read.parquet(path),
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, cb, codebooks,
+        vectorStore = vectorStore(s, dir), nprobeTop = 2, nprobe = 3,
+        shortlist = 50)
+      .withColumnRenamed("rank", "rnk")
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  private def annIvfPq2Persisted(s: SparkSession, dir: String): DataFrame = {
+    // the pq2 re-attach: BOTH frozen geometries (two-level router +
+    // subquantizers) persist INSIDE the codes layout
+    // (Similarity.writePq2CodebooksAt) and the query probes with the
+    // pair READ BACK FROM DISK — at 100 TB the difference between
+    // re-attaching a billion-vector index and re-deriving its geometry
+    // from the corpus. Bit-exact DOUBLE round-trip ⇒ identical routing,
+    // ADC, and re-rank, so the composed twin grades it unchanged.
+    val emb = t(s, dir, "embeddings")
+    val path = layoutPath(dir, "pq2persist",
+      "m=8,k=16,tops=first3unit,kids=min3id,cbv1")
+    if (!layoutReady(s"$path/_graft_pq2/subs/_graft_codebook")) {
+      val cb0 = ivf2PortableCodebook(emb)
+      val (_, cbs0) = pqPortableCodebooks(emb)
+      Similarity.writePqStoreTwoLevel(emb, "vec_id", "embedding",
+        cb0, cbs0, path)
+      Similarity.writePq2CodebooksAt(s, path, cb0, cbs0)
+    }
+    val (cb, codebooks) = Similarity.readPq2CodebooksAt(s, path)
+    Similarity.ivfPqTopKStoredTwoLevel(s.read.parquet(path),
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, cb, codebooks,
+        vectorStore = vectorStore(s, dir), nprobeTop = 2, nprobe = 3,
+        shortlist = 50)
+      .withColumnRenamed("rank", "rnk")
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   private def embedJl(s: SparkSession, dir: String): DataFrame = {
     // Johnson–Lindenstrauss sketching — the third embedding-compression
     // codec next to int8 (per-dim quantization) and PQ (codebooks):
@@ -5644,6 +5699,8 @@ object SparkEntry {
     "s_ann_filtered" -> (annIvfFiltered _),
     "s_ann_ivfpq_stored" -> (annIvfPqStored _),
     "s_ann_ivfpq_persisted" -> (annIvfPqPersisted _),
+    "s_ann_ivfpq2_stored" -> (annIvfPq2Stored _),
+    "s_ann_ivfpq2_persisted" -> (annIvfPq2Persisted _),
     "s_embed_neardup" -> (embedNearDup _),
     "s_embed_neardup_bucketed" -> (embedNearDupBucketed _),
     "s_semdedup" -> (semDedupQuery _),
@@ -6397,6 +6454,96 @@ object SparkEntry {
       |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
       |        FROM cand JOIN e q ON q.vec_id = cand.q_id
       |                  JOIN e c ON c.vec_id = cand.c_id),
+      |r AS (SELECT q_id, c_id, sim,
+      |        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
+      |      FROM rer)
+      |SELECT q_id, c_id, rnk, round(sim, 4) AS sim FROM r
+      |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
+  /** Two-level IVF-PQ twin: the ivf2TwinSql ROUTER (first-3-unit tops,
+    * min-3-id children, global ids by cumulative base) composed with the
+    * ivfPqTwinSql CODES chain (first-16 sliced subquantizers, ADC,
+    * shortlist, exact re-rank) — the flat coarse CTEs are replaced by
+    * the hierarchy, everything downstream is shared verbatim.
+    */
+  private val ivfPq2TwinSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |u AS (SELECT vec_id, v,
+      |        CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN v
+      |             ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v))) END AS vu
+      |      FROM e),
+      |tp AS (SELECT vec_id AS tid, vu AS tvu FROM u WHERE vec_id < 3),
+      |td AS (SELECT u.vec_id, tp.tid,
+      |         list_sum(list_transform(range(1, 65),
+      |           i -> (u.vu[i] - tp.tvu[i]) * (u.vu[i] - tp.tvu[i]))) AS d
+      |       FROM u, tp),
+      |tassign AS (SELECT vec_id, tid FROM (
+      |              SELECT vec_id, tid,
+      |                row_number() OVER (PARTITION BY vec_id ORDER BY d, tid) AS rn
+      |              FROM td) WHERE rn = 1),
+      |kids AS (SELECT tid, kvid, kvu, j FROM (
+      |           SELECT t.tid, t.vec_id AS kvid, u.vu AS kvu,
+      |             row_number() OVER (PARTITION BY t.tid ORDER BY t.vec_id) AS j
+      |           FROM tassign t JOIN u ON u.vec_id = t.vec_id) WHERE j <= 3),
+      |bs AS (SELECT tid,
+      |         CAST(coalesce(sum(m) OVER (ORDER BY tid
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS base
+      |       FROM (SELECT tid, count(*) AS m FROM kids GROUP BY tid)),
+      |gk AS (SELECT k.tid, k.kvid, k.kvu, bs.base + k.j - 1 AS gid
+      |       FROM kids k JOIN bs USING (tid)),
+      |gd AS (SELECT u.vec_id, gk.gid,
+      |         list_sum(list_transform(range(1, 65),
+      |           i -> (u.vu[i] - gk.kvu[i]) * (u.vu[i] - gk.kvu[i]))) AS d
+      |       FROM u JOIN tassign USING (vec_id) JOIN gk ON gk.tid = tassign.tid),
+      |assign AS (SELECT vec_id, gid FROM (
+      |             SELECT vec_id, gid,
+      |               row_number() OVER (PARTITION BY vec_id ORDER BY d, gid) AS rn
+      |             FROM gd) WHERE rn = 1),
+      |qtop AS (SELECT vec_id AS q_id, tid FROM (
+      |           SELECT vec_id, tid,
+      |             row_number() OVER (PARTITION BY vec_id ORDER BY d, tid) AS rn
+      |           FROM td WHERE vec_id < 10) WHERE rn <= 2),
+      |qkd AS (SELECT q.q_id, gk.gid,
+      |         list_sum(list_transform(range(1, 65),
+      |           i -> (u.vu[i] - gk.kvu[i]) * (u.vu[i] - gk.kvu[i]))) AS d
+      |        FROM qtop q JOIN u ON u.vec_id = q.q_id
+      |                    JOIN gk ON gk.tid = q.tid),
+      |qprobe AS (SELECT q_id, gid FROM (
+      |             SELECT q_id, gid,
+      |               row_number() OVER (PARTITION BY q_id ORDER BY d, gid) AS rn
+      |             FROM qkd) WHERE rn <= 3),
+      |sub AS (SELECT s FROM generate_series(0, 7) AS t(s)),
+      |cent AS (SELECT c.vec_id AS cid, sub.s, c.vu[sub.s*8 + 1 : sub.s*8 + 8] AS cv
+      |         FROM u c, sub WHERE c.vec_id < 16),
+      |sv AS (SELECT u.vec_id, sub.s, u.vu[sub.s*8 + 1 : sub.s*8 + 8] AS sv FROM u, sub),
+      |dist AS (SELECT sv.vec_id, sv.s, cent.cid,
+      |           list_sum(list_transform(range(1, 9),
+      |             i -> (sv.sv[i] - cent.cv[i]) * (sv.sv[i] - cent.cv[i]))) AS d
+      |         FROM sv JOIN cent ON sv.s = cent.s),
+      |code AS (SELECT vec_id, s, cid AS code FROM (
+      |           SELECT vec_id, s, cid,
+      |             row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cid) AS rn
+      |           FROM dist) WHERE rn = 1),
+      |qlut AS (SELECT q.vec_id AS q_id, dist.s, dist.cid, dist.d AS pd
+      |         FROM dist JOIN u q ON dist.vec_id = q.vec_id WHERE q.vec_id < 10),
+      |adc AS (SELECT qprobe.q_id, code.vec_id AS c_id,
+      |          list_sum(list(qlut.pd ORDER BY qlut.s)) AS adc
+      |        FROM code
+      |        JOIN assign ON assign.vec_id = code.vec_id
+      |        JOIN qprobe ON qprobe.gid = assign.gid
+      |        JOIN qlut ON qlut.s = code.s AND qlut.cid = code.code
+      |                 AND qlut.q_id = qprobe.q_id
+      |        WHERE code.vec_id <> qprobe.q_id
+      |        GROUP BY qprobe.q_id, code.vec_id),
+      |short AS (SELECT q_id, c_id FROM (
+      |            SELECT q_id, c_id,
+      |              row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS srank
+      |            FROM adc) WHERE srank <= 50),
+      |rer AS (SELECT short.q_id, short.c_id,
+      |          list_dot_product(q.v, c.v) /
+      |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+      |        FROM short JOIN u q ON q.vec_id = short.q_id
+      |                   JOIN u c ON c.vec_id = short.c_id),
       |r AS (SELECT q_id, c_id, sim,
       |        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
       |      FROM rer)
@@ -8755,6 +8902,13 @@ object SparkEntry {
     // geometries (bit-exact DOUBLE round-trip), so the replay grades it
     // unchanged — what it adds is WHERE the codebooks came from (disk)
     "s_ann_ivfpq_persisted" -> ivfPqTwinSql,
+    // hierarchy-routed codes store: the composed replay (two-level
+    // router + PQ encode/ADC/re-rank) grades the whole chain
+    "s_ann_ivfpq2_stored" -> ivfPq2TwinSql,
+    // the re-attach reloads the same frozen pair bit-exact, so the
+    // composed replay grades it unchanged — what it adds is WHERE the
+    // geometries came from (disk)
+    "s_ann_ivfpq2_persisted" -> ivfPq2TwinSql,
     "d_ngram_jaccard" ->
       """WITH sh AS (
         | SELECT doc_id,

@@ -244,6 +244,7 @@ object Retrieval {
     val c = bm25fComponents(corpus, idCol, textCol, titleTokens)
     c.postings.withColumn("bucket", termBucket(buckets))
       .repartition(buckets, col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("term"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/postings")
     writeDocsSidecar(corpus, idCol, s"$path/docs", buckets, "overwrite")
@@ -402,6 +403,7 @@ object Retrieval {
       .localCheckpoint()
     addP.withColumn("bucket", termBucket(buckets))
       .repartition(buckets, col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("term"))
       .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
     writeDocsSidecar(batch, idCol, s"$path/docs", buckets, "append")
     // stats is the store's COMMIT SIGNAL (its _SUCCESS keys the sink's
@@ -487,8 +489,13 @@ object Retrieval {
   def writeBm25Store(corpus: DataFrame, idCol: String, textCol: String,
                      path: String, buckets: Int = 16): Unit = {
     val post = postingsRaw(corpus, idCol, textCol)
+    // term-sorted within each bucket file: parquet row-group min/max on
+    // term then lets a term-restricted read skip row groups INSIDE the
+    // hit bucket too — directory pruning picks the bucket, statistics
+    // prune within it
     post.withColumn("bucket", termBucket(buckets))
       .repartition(buckets, col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("term"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/postings")
     val stored = post.sparkSession.read.parquet(s"$path/postings")
@@ -582,6 +589,7 @@ object Retrieval {
     val newStats = mergedStats(store.stats, batch, addP).localCheckpoint()
     addP.withColumn("bucket", termBucket(buckets))
       .repartition(buckets, col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("term"))
       .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
     writeDocsSidecar(batch, idCol, s"$path/docs", buckets, "append")
     // both replaced tables ride temp-write + rename ([[Layout.replaceDir]]):

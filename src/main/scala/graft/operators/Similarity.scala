@@ -1188,6 +1188,30 @@ object Similarity {
     (coarse, codebooks)
   }
 
+  /** Persist a two-level-IVF-PQ store's TWO frozen geometries inside the
+    * layout — the router hierarchy under `_graft_pq2/router` (the
+    * [[writeCodebookAt]] two-level format) and the m subquantizer
+    * codebooks under `_graft_pq2/subs` (the [[writePqCodebooksAt]]
+    * format with an empty coarse slot): codes are indexes INTO the
+    * subquantizer centroids and directories are named BY the router's
+    * global child ids, so re-attach must reload exactly what encoded
+    * the store. Deliberately NOT at `$path/_graft_codebook`: the
+    * ivf-index sink dispatches on that file, and a pq2 codes store must
+    * never look appendable-as-vectors to it.
+    */
+  def writePq2CodebooksAt(spark: SparkSession, path: String,
+                          cb: TwoLevelCodebook,
+                          codebooks: Seq[Seq[Seq[Double]]]): Unit = {
+    writeCodebookAt(spark, s"$path/_graft_pq2/router", cb)
+    writePqCodebooksAt(spark, s"$path/_graft_pq2/subs", Seq.empty, codebooks)
+  }
+
+  /** Reload a [[writePq2CodebooksAt]] pair: (router, subquantizers). */
+  def readPq2CodebooksAt(spark: SparkSession, path: String)
+      : (TwoLevelCodebook, Seq[Seq[Seq[Double]]]) =
+    (readTwoLevelCodebookAt(spark, s"$path/_graft_pq2/router"),
+      readPqCodebooksAt(spark, s"$path/_graft_pq2/subs")._2)
+
   /** [[appendIvfStore]] for a two-level layout — steady-state ingest:
     * arrivals are kernel-assigned against the SAME frozen codebook the
     * store was written with (O(2√C·d) per row however large C grew) and
@@ -1725,6 +1749,46 @@ object Similarity {
     encoded.write.mode("append").partitionBy("centroid_id").parquet(path)
   }
 
+  /** PQ codes routed by a TWO-LEVEL coarse quantizer — the
+    * past-the-clamp spelling of [[writePqStore]]: the router is the
+    * O(2√C·d) [[twoLevelAssignExpr]] kernel instead of a flat literal
+    * array, so C tracks √N to billions of vectors while each stored row
+    * stays a few bytes of codes. On disk indistinguishable from a flat
+    * codes store (partitioned by the GLOBAL child id), so DPP probe
+    * pruning and [[forgetIvfStoreAt]] compose unchanged.
+    */
+  private def pqEncodedTwoLevel(corpus: DataFrame, idCol: String,
+                                vecCol: String, cb: TwoLevelCodebook,
+                                codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val unit = normalized(
+      corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__u")),
+      "__u")
+    unit.withColumn("centroid_id", twoLevelAssignExpr(col("__u"), cb))
+      .select(col(idCol), pqCodesExpr(col("__u"), codebooks).as("pq_codes"),
+        col("centroid_id"))
+  }
+
+  def writePqStoreTwoLevel(corpus: DataFrame, idCol: String, vecCol: String,
+                           cb: TwoLevelCodebook,
+                           codebooks: Seq[Seq[Seq[Double]]],
+                           path: String): Unit = {
+    pqEncodedTwoLevel(corpus, idCol, vecCol, cb, codebooks)
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    writeIdSidecarAt(corpus.sparkSession, path, idCol)
+  }
+
+  /** [[appendPqStore]] for the two-level codes layout — frozen-geometry
+    * encode + append; batch-split invariant like every append path. */
+  def appendPqStoreTwoLevel(batch: DataFrame, idCol: String, vecCol: String,
+                            cb: TwoLevelCodebook,
+                            codebooks: Seq[Seq[Seq[Double]]],
+                            path: String): Unit = {
+    val encoded = pqEncodedTwoLevel(batch, idCol, vecCol, cb, codebooks)
+      .localCheckpoint()
+    appendIdSidecar(encoded, idCol, path)
+    encoded.write.mode("append").partitionBy("centroid_id").parquet(path)
+  }
+
   private def pqEncoded(corpus: DataFrame, idCol: String, vecCol: String,
                         coarse: Seq[Seq[Double]],
                         codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
@@ -1788,6 +1852,55 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("q_vec"))
     // the store is codes-only; `store` fills the (unused) flat-corpus slot
     // — the re-rank always reads the id-partitioned vector store here
+    rerankTopK(short, store, idCol, vecCol, k, Some(vectorStore))
+  }
+
+  /** [[ivfPqTopKStored]] routed by a TWO-LEVEL coarse quantizer (a
+    * [[writePqStoreTwoLevel]] layout): each query's probe list is the
+    * `nprobe` nearest CHILDREN within its `nprobeTop` nearest tops (one
+    * [[graft.functions.VectorFunctions.two_level_probes]] kernel pass,
+    * O(2√C·d) vs the flat router's O(C·d) literal array), the ADC table,
+    * shortlist window, and DPP-pruned exact re-rank are the flat path's
+    * verbatim. The past-the-clamp PQ composition: √N-sized codebooks AND
+    * few-bytes-per-row codes in one store.
+    */
+  def ivfPqTopKStoredTwoLevel(store: DataFrame, queries: DataFrame,
+                              idCol: String, vecCol: String, k: Int,
+                              cb: TwoLevelCodebook,
+                              codebooks: Seq[Seq[Seq[Double]]],
+                              vectorStore: (DataFrame, Int),
+                              nprobeTop: Int = 2, nprobe: Int = 3,
+                              shortlist: Int = 50): DataFrame = {
+    import graft.functions.VectorFunctions.l2_squared
+    val m = codebooks.size
+    val sub = codebooks.head.head.size
+    val q = normalized(
+      queries.select(col(idCol).as("q_id"),
+        col(vecCol).cast("array<double>").as("q_vec"),
+        col(vecCol).cast("array<double>").as("__q_unit")),
+      "__q_unit")
+    val probes = graft.functions.VectorFunctions.two_level_probes(
+      col("__q_unit"), cb.tops, cb.children, nprobeTop, nprobe, cb.childIds)
+    val lut = array((0 until m).map { s =>
+      val qs = slice(col("__q_unit"), s * sub + 1, sub)
+      array(codebooks(s).map(c =>
+        l2_squared(qs, array(c.map(lit): _*))): _*)
+    }: _*)
+    val qb = q.withColumn("q_lut", lut)
+      .withColumn("centroid_id", explode(probes))
+      .drop("__q_unit")
+    val c = store.select(col(idCol).as("c_id"), col("pq_codes"),
+      col("centroid_id").cast("int").as("centroid_id"))
+    val adc = (0 until m).map(s =>
+      element_at(element_at(col("q_lut"), s + 1),
+        element_at(col("pq_codes"), s + 1) + 1)).reduce(_ + _)
+    val scored = c.join(broadcast(qb), Seq("centroid_id"))
+      .filter(col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"), adc.as("adc"), col("q_vec"))
+    val wShort = Window.partitionBy(col("q_id")).orderBy(asc("adc"), asc("c_id"))
+    val short = scored.withColumn("srank", row_number().over(wShort))
+      .filter(col("srank") <= shortlist)
+      .select(col("q_id"), col("c_id"), col("q_vec"))
     rerankTopK(short, store, idCol, vecCol, k, Some(vectorStore))
   }
 

@@ -647,7 +647,9 @@ object IvfIndexSink extends SinkPlugin {
         |two_level: true
         |max_share_pct: 5.0
         |# grow: true     # split hot children in place after each append
-        |# mode: forget   # rows are TOMBSTONES: erase their ids in place""".stripMargin,
+        |# mode: forget   # rows are TOMBSTONES: erase their ids in place
+        |# quantize: pq   # store 8-byte PQ codes (pq_m: 8, pq_k: 16)
+        |#                # routed by the two-level hierarchy""".stripMargin,
     tags = Seq("sink", "curation", "similarity"))
 
   override def validate(config: Map[String, Any]): Seq[InvalidConfigError] = {
@@ -665,7 +667,24 @@ object IvfIndexSink extends SinkPlugin {
     val badMode = config.get("mode").map(_.toString)
       .filter(m => m != "ingest" && m != "forget")
       .map(m => InvalidConfigError("mode", s"unsupported mode: $m"))
-    requireKeys(config, "index_path") ++ growFlat ++ badMode
+    val badQuant = config.get("quantize").map(_.toString)
+      .filter(q => q != "none" && q != "pq")
+      .map(q => InvalidConfigError("quantize", s"unsupported quantize: $q"))
+    val pqConflicts =
+      if (config.getOrElse("quantize", "none").toString == "pq") {
+        val flat = config.get("two_level").map(_.toString.toBoolean)
+          .contains(false)
+        val grow = config.getOrElse("grow", false).toString.toBoolean
+        (if (flat) Seq(InvalidConfigError("two_level",
+          "quantize: pq always routes through the two-level hierarchy"))
+         else Nil) ++
+        (if (grow) Seq(InvalidConfigError("grow",
+          "grow is unsupported on a codes store (splits re-assign raw " +
+            "vectors, which PQ codes no longer carry)"))
+         else Nil)
+      } else Nil
+    requireKeys(config, "index_path") ++ growFlat ++ badMode ++ badQuant ++
+      pqConflicts
   }
 
   def sink(df: DataFrame, config: Map[String, Any]): Long = {
@@ -703,6 +722,42 @@ object IvfIndexSink extends SinkPlugin {
     // rationale: a crashed merge can have destroyed the codebook commit
     // signal this dispatch keys on)
     IndexProtocol.refuseIfMergePending(spark, path)
+    // quantize: pq — the billion-vector layout on the YAML surface: PQ
+    // codes routed by the two-level hierarchy. First batch trains the m
+    // subquantizers on a bounded deterministic sample and auto-sizes the
+    // router, persisting BOTH geometries inside the store
+    // (writePq2CodebooksAt — the commit signal); later batches reload
+    // the frozen pair and append codes. Erasure (mode: forget above)
+    // composes unchanged through the id sidecar.
+    if (config.getOrElse("quantize", "none").toString == "pq") {
+      val m = config.getOrElse("pq_m", 8).toString.toInt
+      val kk = config.getOrElse("pq_k", 16).toString.toInt
+      val exists = graft.processors.CurationProcessors.indexExists(spark,
+        s"$path/_graft_pq2/subs/_graft_codebook")
+      if (!exists) {
+        val sample = Similarity.normalized(
+            batch.select(org.apache.spark.sql.functions.col(idc),
+              org.apache.spark.sql.functions.col(vc).cast("array<double>")
+                .as("__u")), "__u")
+          .orderBy(org.apache.spark.sql.functions.xxhash64(
+            org.apache.spark.sql.functions.col(idc)),
+            org.apache.spark.sql.functions.col(idc))
+          .limit(4096).select(org.apache.spark.sql.functions.col("__u"))
+          .collect().map(_.getSeq[Double](0).toSeq).toSeq
+        val codebooks = Similarity.pqTrain(sample, m, kk)
+        val cb = Similarity.autoTwoLevelCodebook(batch, idc, vc,
+          maxSharePct = maxShare)
+        Similarity.writePqStoreTwoLevel(batch, idc, vc, cb, codebooks, path)
+        Similarity.writePq2CodebooksAt(spark, path, cb, codebooks)
+      } else {
+        val (cb, codebooks) = Similarity.readPq2CodebooksAt(spark, path)
+        IndexProtocol.withMergePending(spark, path) {
+          Similarity.appendPqStoreTwoLevel(batch, idc, vc, cb, codebooks,
+            path)
+        }
+      }
+      return n
+    }
     val exists = graft.processors.CurationProcessors.indexExists(spark,
       s"$path/_graft_codebook")
     (twoLevel, exists) match {

@@ -4074,6 +4074,37 @@ class AutoCodebookSpec extends SparkSpec {
     assert(storeRows(path) == storeRows(rb2))
   }
 
+  test("two-level PQ codes store: appends fold to exactly a write-all " +
+      "layout, and the stored query equals it after the append") {
+    import org.apache.spark.sql.functions.col
+    val docs = synth(120)
+    val first = docs.filter(col("vec_id") < 80)
+    val cb = Similarity.autoTwoLevelCodebook(first, "vec_id", "embedding")
+    // portable-ish subquantizers for the spec: first 4 rows' slices
+    val seeds = docs.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+      .select(col("embedding")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val codebooks = (0 until 4).map(s0 => seeds.map(_.slice(s0 * 2, s0 * 2 + 2)))
+    val path = java.nio.file.Files.createTempDirectory("pq2append").toString
+    Similarity.writePqStoreTwoLevel(first, "vec_id", "embedding", cb,
+      codebooks, path)
+    Similarity.appendPqStoreTwoLevel(docs.filter(col("vec_id") >= 80),
+      "vec_id", "embedding", cb, codebooks, path)
+    val rbPath = java.nio.file.Files.createTempDirectory("pq2rb").toString
+    Similarity.writePqStoreTwoLevel(docs, "vec_id", "embedding", cb,
+      codebooks, rbPath)
+    def rows(p: String) = spark.read.parquet(p)
+      .select(col("vec_id"), col("pq_codes"), col("centroid_id").cast("int"))
+      .collect().map(_.toSeq).toSet
+    assert(rows(path) == rows(rbPath))
+    // the sidecar mirrors the appended store too (erasure-ready)
+    assert(spark.read.parquet(s"$path/_graft_ids")
+      .select(col("vec_id"), col("home").cast("int")).collect()
+      .map(_.toSeq).toSet ==
+      spark.read.parquet(path)
+        .select(col("vec_id"), col("centroid_id").cast("int")).collect()
+        .map(_.toSeq).toSet)
+  }
+
   test("autoTwoLevelCodebook is deterministic, unit-normal, and sqrt-shaped") {
     val docs = synth(120)
     val a = Similarity.autoTwoLevelCodebook(docs, "vec_id", "embedding")

@@ -1108,6 +1108,43 @@ class SinksSpec extends SparkSpec {
       "two_level" -> false, "grow" -> true)).nonEmpty)
   }
 
+  test("ivf-index quantize: pq builds a two-level codes store, appends " +
+      "against the persisted geometry pair, and stays queryable + erasable") {
+    import graft.sinks.IvfIndexSink
+    import graft.operators.Similarity
+    val idx = Files.createTempDirectory("ivfpq2").resolve("pq2").toString
+    def vec(i: Int): Seq[Double] =
+      Seq.tabulate(16)(d => (if (d == i % 4) 10.0 else 0.0) + 0.01 * (i % 7))
+    val b1 = (0 until 60).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val b2 = (60 until 90).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    assert(IvfIndexSink.sink(b1, Map("index_path" -> idx,
+      "quantize" -> "pq", "pq_m" -> 4, "pq_k" -> 8)) == 60L)
+    // append reloads the frozen pair; build+append == write-all under it
+    assert(IvfIndexSink.sink(b2, Map("index_path" -> idx,
+      "quantize" -> "pq", "pq_m" -> 4, "pq_k" -> 8)) == 30L)
+    val (cb, codebooks) = Similarity.readPq2CodebooksAt(spark, idx)
+    val rbPath = Files.createTempDirectory("ivfpq2_rb").toString
+    Similarity.writePqStoreTwoLevel(b1.unionByName(b2), "vec_id",
+      "embedding", cb, codebooks, rbPath)
+    def rows(p: String) = spark.read.parquet(p)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("pq_codes"),
+        org.apache.spark.sql.functions.col("centroid_id").cast("int"))
+      .collect().map(_.toSeq).toSet
+    assert(rows(idx) == rows(rbPath))
+    // erasure composes on the codes store through the sidecar
+    assert(IvfIndexSink.sink(
+      b1.filter(org.apache.spark.sql.functions.col("vec_id") < 10)
+        .select(org.apache.spark.sql.functions.col("vec_id")),
+      Map("index_path" -> idx, "mode" -> "forget")) == 10L)
+    assert(spark.read.parquet(idx).count() == 80)
+    // conflicting knobs fail at validation
+    assert(IvfIndexSink.validate(Map("index_path" -> idx,
+      "quantize" -> "pq", "grow" -> true)).nonEmpty)
+    assert(IvfIndexSink.validate(Map("index_path" -> idx,
+      "quantize" -> "pq", "two_level" -> false)).nonEmpty)
+  }
+
   test("ivf-index flat path builds and appends against the persisted " +
       "codebook; a two_level run against a flat store fails loudly") {
     import graft.sinks.IvfIndexSink
