@@ -134,9 +134,12 @@ object Bench {
     // session value, isolated min — so a flagged row is adjudicated by
     // the artifact itself, not by trusting a README paragraph.
     val priorPath = sys.env.get("SPARK_GRAFT_PRIOR").orElse {
+      // newest by ROUND NUMBER, not filename: lexicographic sort ranks
+      // r9 above r13
       Option(new java.io.File(".").listFiles()).flatMap(
         _.filter(_.getName.matches("BENCH_LOCAL_r\\d+\\.json"))
-          .sortBy(_.getName).lastOption.map(_.getPath))
+          .sortBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt)
+          .lastOption.map(_.getPath))
     }
     val prior: Map[String, Double] = priorPath.flatMap { p =>
       try {

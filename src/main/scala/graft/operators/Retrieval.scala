@@ -396,16 +396,20 @@ object Retrieval {
     // (tot_f = Σ tf per field — same integers bm25fComponents.stats
     // computes), so the batch is tokenized and field-split exactly once
     // instead of once per write action
+    // the frozen bucket modulus wins over the parameter (the
+    // mergeBm25StoreAt rationale: mismatched moduli make merged rows
+    // invisible to the pruned query join)
+    val b = store.buckets.getOrElse(buckets)
     val addP = bm25fComponents(batch, idCol, textCol, titleTokens)
       .postings.localCheckpoint()
     val addStats = addP.groupBy(col("f")).agg(sum(col("tf")).as("tot_f"))
     val newStats = mergedFieldedStats(store.stats, batch, addStats)
       .localCheckpoint()
-    addP.withColumn("bucket", termBucket(buckets))
-      .repartition(buckets, col("bucket"))
+    addP.withColumn("bucket", termBucket(b))
+      .repartition(b, col("bucket"))
       .sortWithinPartitions(col("bucket"), col("term"))
       .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
-    writeDocsSidecar(batch, idCol, s"$path/docs", buckets, "append")
+    writeDocsSidecar(batch, idCol, s"$path/docs", b, "append")
     // stats is the store's COMMIT SIGNAL (its _SUCCESS keys the sink's
     // build-vs-merge dispatch): replace via temp-write + rename so the
     // unprotected window is one delete + rename, not a whole write job
@@ -584,14 +588,19 @@ object Retrieval {
                        buckets: Int = 16): Unit = {
     requireErasableLayout(spark, path)
     val store = readBm25Store(spark, path)
+    // the bucket modulus is FROZEN in the store (the pruned query join
+    // recomputes it per term) — appending under a different caller
+    // modulus would land rows the pruned scan can never match, so the
+    // persisted layout wins over the parameter whenever it exists
+    val b = store.buckets.getOrElse(buckets)
     val addP = postingsRaw(batch, idCol, textCol).localCheckpoint()
     val newDfreq = mergedDfreq(store.dfreq, addP).localCheckpoint()
     val newStats = mergedStats(store.stats, batch, addP).localCheckpoint()
-    addP.withColumn("bucket", termBucket(buckets))
-      .repartition(buckets, col("bucket"))
+    addP.withColumn("bucket", termBucket(b))
+      .repartition(b, col("bucket"))
       .sortWithinPartitions(col("bucket"), col("term"))
       .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
-    writeDocsSidecar(batch, idCol, s"$path/docs", buckets, "append")
+    writeDocsSidecar(batch, idCol, s"$path/docs", b, "append")
     // both replaced tables ride temp-write + rename ([[Layout.replaceDir]]):
     // stats is the store's COMMIT SIGNAL (its _SUCCESS keys the sink's
     // build-vs-merge dispatch), so a crash inside a plain overwrite would
@@ -1004,10 +1013,25 @@ object Retrieval {
     * instead of compounding a half-applied erasure. Single-writer like
     * every store mutation.
     */
+  /** Whether `path` holds the PLAIN layout (it carries a dfreq table;
+    * the fielded layout derives df at score time and has none) — the
+    * on-disk signal the erasure entry points dispatch on, checked BEFORE
+    * the pending marker is acquired: mis-dispatching a forget must fail
+    * as a loud no-op, never as a throw inside the marker that bricks an
+    * intact store.
+    */
+  def isPlainBm25StoreAt(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/dfreq")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   def forgetBm25StoreAt(spark: SparkSession, path: String,
                         tombstones: DataFrame, idCol: String): Unit = {
     Layout.refuseIfPending(spark, path)
     requireErasableLayout(spark, path)
+    require(isPlainBm25StoreAt(spark, path),
+      s"$path holds a FIELDED store (no dfreq table) — erase it with " +
+        "forgetBm25fStoreAt")
     val tomb = tombstones.select(col(idCol)).distinct()
     val docs = spark.read.parquet(s"$path/docs")
     val present = docs.join(broadcast(tomb), Seq(idCol), "left_semi")
@@ -1051,6 +1075,9 @@ object Retrieval {
                          tombstones: DataFrame, idCol: String): Unit = {
     Layout.refuseIfPending(spark, path)
     requireErasableLayout(spark, path)
+    require(!isPlainBm25StoreAt(spark, path),
+      s"$path holds a PLAIN store (it carries a dfreq table the fielded " +
+        "path would leave stale) — erase it with forgetBm25StoreAt")
     val tomb = tombstones.select(col(idCol)).distinct()
     val docs = spark.read.parquet(s"$path/docs")
     val present = docs.join(broadcast(tomb), Seq(idCol), "left_semi")
@@ -1091,11 +1118,16 @@ object Retrieval {
     requireErasableLayout(spark, path)
     val tomb = docTombstones
       .select(col(docIdCol).cast("long").as("__parent")).distinct()
+    // checkpoint the expanded cid set: the delegate broadcasts it into
+    // four separate consumers (membership count, hit-row scan, both
+    // compactions), and the lazy plan would re-scan the sidecar each
+    // time — including while the same call rewrites it
     val cids = spark.read.parquet(s"$path/docs")
       .select(col(storeIdCol))
       .join(broadcast(tomb),
         shiftright(col(storeIdCol), chunkIdBits) === col("__parent"),
         "left_semi")
+      .localCheckpoint()
     forgetBm25StoreAt(spark, path, cids, storeIdCol)
   }
 }

@@ -1225,12 +1225,9 @@ object Similarity {
     val unit = normalized(
       batch.select(col(idCol), col(vecCol),
         col(vecCol).cast("array<double>").as("__u")), "__u")
-    val assigned = unit
+    appendAssigned(unit
       .withColumn("centroid_id", twoLevelAssignExpr(col("__u"), cb))
-      .select(col(idCol), col(vecCol), col("centroid_id"))
-      .localCheckpoint()
-    appendIdSidecar(assigned, idCol, path)
-    assigned.write.mode("append").partitionBy("centroid_id").parquet(path)
+      .select(col(idCol), col(vecCol), col("centroid_id")), idCol, path)
   }
 
   /** GROW a two-level layout in place — the missing half of "the
@@ -1328,6 +1325,18 @@ object Similarity {
       val reassigned = unit
         .withColumn("centroid_id", twoLevelAssignExpr(col("__u"), grown))
         .drop("__u").localCheckpoint()
+      // erasure-sidecar maintenance, crash-ordered for safety-by-
+      // superset: APPEND the re-homed rows' new (id, home) entries
+      // BEFORE the directory rewrite. A forget treats the sidecar as a
+      // hint SET (it rewrites every directory any of an id's rows name),
+      // so duplicate entries only cost an extra directory probe — while
+      // a missing entry is a silent erasure miss. Whichever side of the
+      // rewrite a crash lands on, every row's REAL directory is listed:
+      // before ⇒ {old, new} covers the not-yet-moved row; after ⇒ it
+      // covers the moved one.
+      val maintainSidecar = sidecarExists(spark, path)
+      if (maintainSidecar)
+        appendIdSidecar(reassigned, idCol, path)
       val keptDirs = reassigned.select(col("centroid_id").cast("int"))
         .distinct().collect().map(_.getInt(0)).toSet
       reassigned.write.mode("overwrite")
@@ -1338,19 +1347,17 @@ object Similarity {
       oldGids.filterNot(keptDirs).foreach { g =>
         fs.delete(new org.apache.hadoop.fs.Path(path, s"centroid_id=$g"), true)
       }
-      // erasure-sidecar maintenance: re-homed rows must keep pointing at
-      // their REAL directory, or a later forget rewrites the old one and
-      // silently leaves the row alive in the new. The remap rides the
-      // already-checkpointed reassignment; the sidecar (12 B/row)
-      // rewrites whole via temp + rename — noise next to the split's own
-      // directory rewrite.
-      if (sidecarExists(spark, path)) {
+      // tidy pass once the rewrite is down: collapse each re-homed id
+      // back to its single (id, new home) row via temp + rename — a
+      // crash here merely leaves the safe superset in place
+      if (maintainSidecar) {
         val remap = reassigned
           .select(col(idCol), col("centroid_id").cast("int").as("__new"))
         val sc = spark.read.parquet(s"$path/_graft_ids")
         val updated = sc.join(remap, Seq(idCol), "left_outer")
           .select(col(idCol),
             coalesce(col("__new"), col("home")).as("home"), col("ibucket"))
+          .distinct()
           .repartition(4, col("ibucket"))
           .sortWithinPartitions(col("ibucket"), col(idCol))
         Layout.replaceDir(updated, s"$path/_graft_ids", Seq("ibucket"))
@@ -1597,15 +1604,28 @@ object Similarity {
     * marker makes the half-applied append loud regardless).
     */
   private def appendIdSidecar(assigned: DataFrame, idCol: String,
-                              path: String): Unit = {
-    if (!sidecarExists(assigned.sparkSession, path)) return
+                              path: String): Unit =
     assigned.select(col(idCol), col("centroid_id").cast("int").as("home"))
       .withColumn("ibucket", idSidecarBucket(idCol))
       .repartition(4, col("ibucket"))
       .sortWithinPartitions(col("ibucket"), col(idCol))
       .write.mode("append").partitionBy("ibucket")
       .parquet(s"$path/_graft_ids")
-  }
+
+  /** Shared append tail of every assigned/encoded batch: when the store
+    * carries a sidecar, ONE materialization feeds both writes (the
+    * assignment kernel runs once per batch); pre-sidecar stores skip the
+    * checkpoint entirely — its extra job + block writes exist only to
+    * share work between two consumers, and there is only one.
+    */
+  private def appendAssigned(assigned: DataFrame, idCol: String,
+                             path: String): Unit =
+    if (sidecarExists(assigned.sparkSession, path)) {
+      val a = assigned.localCheckpoint()
+      appendIdSidecar(a, idCol, path)
+      a.write.mode("append").partitionBy("centroid_id").parquet(path)
+    } else
+      assigned.write.mode("append").partitionBy("centroid_id").parquet(path)
 
   def writeIvfStore(corpus: DataFrame, idCol: String, vecCol: String,
                     coarse: Seq[Seq[Double]], path: String): Unit = {
@@ -1689,14 +1709,8 @@ object Similarity {
     * [[graft.streaming.EventStream.streamingIvfAppend]]).
     */
   def appendIvfStore(batch: DataFrame, idCol: String, vecCol: String,
-                     coarse: Seq[Seq[Double]], path: String): Unit = {
-    // one materialization feeds the sidecar and the store append — the
-    // assignment kernel runs once per batch, not once per write
-    val assigned = ivfAssigned(batch, idCol, vecCol, coarse)
-      .localCheckpoint()
-    appendIdSidecar(assigned, idCol, path)
-    assigned.write.mode("append").partitionBy("centroid_id").parquet(path)
-  }
+                     coarse: Seq[Seq[Double]], path: String): Unit =
+    appendAssigned(ivfAssigned(batch, idCol, vecCol, coarse), idCol, path)
 
   private def ivfAssigned(corpus: DataFrame, idCol: String, vecCol: String,
                           coarse: Seq[Seq[Double]]): DataFrame = {
@@ -1742,12 +1756,9 @@ object Similarity {
     */
   def appendPqStore(batch: DataFrame, idCol: String, vecCol: String,
                     coarse: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
-                    path: String): Unit = {
-    val encoded = pqEncoded(batch, idCol, vecCol, coarse, codebooks)
-      .localCheckpoint()
-    appendIdSidecar(encoded, idCol, path)
-    encoded.write.mode("append").partitionBy("centroid_id").parquet(path)
-  }
+                    path: String): Unit =
+    appendAssigned(pqEncoded(batch, idCol, vecCol, coarse, codebooks),
+      idCol, path)
 
   /** PQ codes routed by a TWO-LEVEL coarse quantizer — the
     * past-the-clamp spelling of [[writePqStore]]: the router is the
@@ -1782,12 +1793,9 @@ object Similarity {
   def appendPqStoreTwoLevel(batch: DataFrame, idCol: String, vecCol: String,
                             cb: TwoLevelCodebook,
                             codebooks: Seq[Seq[Seq[Double]]],
-                            path: String): Unit = {
-    val encoded = pqEncodedTwoLevel(batch, idCol, vecCol, cb, codebooks)
-      .localCheckpoint()
-    appendIdSidecar(encoded, idCol, path)
-    encoded.write.mode("append").partitionBy("centroid_id").parquet(path)
-  }
+                            path: String): Unit =
+    appendAssigned(pqEncodedTwoLevel(batch, idCol, vecCol, cb, codebooks),
+      idCol, path)
 
   private def pqEncoded(corpus: DataFrame, idCol: String, vecCol: String,
                         coarse: Seq[Seq[Double]],

@@ -438,10 +438,23 @@ object Bm25IndexSink extends SinkPlugin {
     val spark = df.sparkSession
     val path = config("index_path").toString
     val idc = config.getOrElse("id_column", "doc_id").toString
-    val fielded = config.getOrElse("fielded", false).toString.toBoolean
-    val chunked = config.contains("chunk_id_column") ||
-      config.getOrElse("chunk_grain", false).toString.toBoolean
-    val bits = config.getOrElse("chunk_id_bits", 20).toString.toInt
+    // layout from the STORE, never the forget recipe's config: the
+    // ingest froze fielded/chunk grain in _graft_index_config precisely
+    // so a later batch cannot mis-specify them, and a GDPR recipe is
+    // exactly such a later batch — trusting its flags would dispatch
+    // the wrong forget (loud since the layout sniff in Retrieval, but
+    // needlessly so). Fielded ⟺ no dfreq table; chunk grain and bits
+    // come from the frozen config, falling back to the recipe keys for
+    // library-built stores that carry no config file.
+    val fielded = !graft.operators.Retrieval.isPlainBm25StoreAt(spark, path)
+    val frozen = storedLayoutConfig(spark, path)
+    val chunked = frozen.map(_.contains("chunk_grain=true")).getOrElse(
+      config.contains("chunk_id_column") ||
+        config.getOrElse("chunk_grain", false).toString.toBoolean)
+    val bits = frozen.flatMap(
+        _.split(",").find(_.startsWith("chunk_bits="))
+          .map(_.stripPrefix("chunk_bits=").toInt))
+      .getOrElse(config.getOrElse("chunk_id_bits", 20).toString.toInt)
     val tomb = df.select(org.apache.spark.sql.functions.col(idc))
       .localCheckpoint()
     val n = tomb.count()
@@ -454,6 +467,15 @@ object Bm25IndexSink extends SinkPlugin {
     else
       graft.operators.Retrieval.forgetBm25StoreAt(spark, path, tomb, idc)
     n
+  }
+
+  private def storedLayoutConfig(spark: org.apache.spark.sql.SparkSession,
+                                 path: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_graft_index_config")
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      None
+    else Some(spark.read.parquet(s"$path/_graft_index_config")
+      .head().getString(0))
   }
 
   def sink(df: DataFrame, config: Map[String, Any]): Long = {
@@ -729,12 +751,23 @@ object IvfIndexSink extends SinkPlugin {
     // (writePq2CodebooksAt — the commit signal); later batches reload
     // the frozen pair and append codes. Erasure (mode: forget above)
     // composes unchanged through the id sidecar.
+    // the raw and pq2 layouts carry DISJOINT commit signals
+    // (_graft_codebook vs _graft_pq2/...), so a quantize flag flipped
+    // against an existing store would sail into the BUILD branch and
+    // static-overwrite away the history — cross-check the OTHER
+    // layout's signal before any dispatch and refuse loudly instead
+    val rawExists = graft.processors.CurationProcessors.indexExists(spark,
+      s"$path/_graft_codebook")
+    val pq2Exists = graft.processors.CurationProcessors.indexExists(spark,
+      s"$path/_graft_pq2/subs/_graft_codebook")
     if (config.getOrElse("quantize", "none").toString == "pq") {
+      require(!rawExists,
+        s"$path holds a RAW vector store — a quantize: pq batch cannot " +
+          "merge into it (codes and vectors are different layouts). " +
+          "Drop quantize or point the recipe at a fresh index_path.")
       val m = config.getOrElse("pq_m", 8).toString.toInt
       val kk = config.getOrElse("pq_k", 16).toString.toInt
-      val exists = graft.processors.CurationProcessors.indexExists(spark,
-        s"$path/_graft_pq2/subs/_graft_codebook")
-      if (!exists) {
+      if (!pq2Exists) {
         val sample = Similarity.normalized(
             batch.select(org.apache.spark.sql.functions.col(idc),
               org.apache.spark.sql.functions.col(vc).cast("array<double>")
@@ -758,9 +791,11 @@ object IvfIndexSink extends SinkPlugin {
       }
       return n
     }
-    val exists = graft.processors.CurationProcessors.indexExists(spark,
-      s"$path/_graft_codebook")
-    (twoLevel, exists) match {
+    require(!pq2Exists,
+      s"$path holds a PQ-CODES store — a raw-vector batch cannot merge " +
+        "into it. Set quantize: pq (matching the store) or point the " +
+        "recipe at a fresh index_path.")
+    (twoLevel, rawExists) match {
       case (true, false) =>
         val cb = Similarity.writeIvfStoreTwoLevelAuto(batch, idc, vc, path,
           maxSharePct = maxShare)

@@ -91,6 +91,13 @@ object Bm25SearchExtractor extends Extractor {
       .exists(dfreqPath)
     val fielded = config.get("fielded").map(_.toString.toBoolean)
       .getOrElse(!plain)
+    // prf on a fielded store must fail HERE too, not only when the
+    // fielded flag was spelled out — auto-detection silently dropping
+    // the expansion config would hand back non-expanded rankings
+    if (fielded && config.getOrElse("prf", false).toString.toBoolean)
+      throw new ConfigException(Seq(InvalidConfigError("prf",
+        s"$path holds a fielded store — prf expansion runs on the " +
+          "plain-postings layout only")))
     val idCol = config.getOrElse("id_column", "doc_id").toString
     if (fielded) {
       Retrieval.bm25fTopKStored(Retrieval.readBm25fStore(spark, path),

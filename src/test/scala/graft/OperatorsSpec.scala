@@ -2268,6 +2268,54 @@ class RetrievalSpec extends SparkSpec {
       .filter(shiftright(col("cid"), bits) === 2L).count() == 0)
   }
 
+  test("merges append under the STORE's frozen bucket modulus, so a " +
+      "mis-parameterized merge stays fully retrievable") {
+    val docs = Seq((1L, "spark shuffles"), (2L, "ducks swim"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("bm25bucketwin").toString
+    Retrieval.writeBm25Store(docs, "doc_id", "text", path, buckets = 8)
+    // caller passes the WRONG modulus — the frozen _graft_layout wins,
+    // or the pruned (bucket, term) query join would never match the
+    // merged rows
+    Retrieval.mergeBm25StoreAt(spark, path,
+      Seq((3L, "ponds reflect")).toDF("doc_id", "text"),
+      "doc_id", "text", buckets = 3)
+    val got = Retrieval.bm25TopKStored(Retrieval.readBm25Store(spark, path),
+        Seq((9L, "ponds")).toDF("q", "qt"), "doc_id", "q", "qt")
+      .collect()
+    assert(got.length == 1 && got(0).getLong(2) == 3L,
+      s"merged doc unretrievable: ${got.mkString(",")}")
+  }
+
+  test("mis-dispatched forgets fail loudly BEFORE acquiring the marker — " +
+      "an intact store is never bricked by a config mistake") {
+    val docs = Seq((1L, "spark shuffles"), (2L, "ducks swim"))
+      .toDF("doc_id", "text")
+    val plainPath = java.nio.file.Files
+      .createTempDirectory("bm25plaind").toString
+    val fieldedPath = java.nio.file.Files
+      .createTempDirectory("bm25fieldd").toString
+    Retrieval.writeBm25Store(docs, "doc_id", "text", plainPath, buckets = 2)
+    Retrieval.writeBm25fStore(docs, "doc_id", "text", fieldedPath,
+      buckets = 2)
+    intercept[IllegalArgumentException] {
+      Retrieval.forgetBm25fStoreAt(spark, plainPath,
+        Seq(1L).toDF("doc_id"), "doc_id")
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.forgetBm25StoreAt(spark, fieldedPath,
+        Seq(1L).toDF("doc_id"), "doc_id")
+    }
+    // neither mis-dispatch left a marker: the RIGHT forget still runs
+    Retrieval.forgetBm25StoreAt(spark, plainPath,
+      Seq(1L).toDF("doc_id"), "doc_id")
+    Retrieval.forgetBm25fStoreAt(spark, fieldedPath,
+      Seq(1L).toDF("doc_id"), "doc_id")
+    assert(Retrieval.readBm25Store(spark, plainPath).stats
+      .collect()(0).getLong(0) == 1L)
+  }
+
   test("a stale pending marker refuses forget and merge loudly") {
     val docs = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
     val path = java.nio.file.Files

@@ -512,6 +512,23 @@ class AgentSpec extends SparkSpec {
     // tombstones never land as vectors: mode is validated
     assert(graft.sinks.IvfIndexSink.validate(
       Map("index_path" -> vidx, "mode" -> "purge")).nonEmpty)
+    // layout is sniffed from the STORE: a forget recipe that never
+    // mentions `fielded` still erases a fielded store correctly
+    val fidx = dir.resolve("bm25f").toString
+    assert(graft.sinks.Bm25IndexSink.sink(docs, Map("index_path" -> fidx,
+      "buckets" -> 2, "fielded" -> true)) == 4L)
+    assert(graft.sinks.Bm25IndexSink.sink(
+      Seq(2L, 3L).toDF("doc_id"),
+      Map("index_path" -> fidx, "mode" -> "forget")) == 2L)
+    val fRb = dir.resolve("bm25f_rb").toString
+    Retrieval.writeBm25fStore(docs.filter(!col("doc_id").isin(2L, 3L)),
+      "doc_id", "text", fRb, buckets = 2)
+    def frows(p: String) = {
+      val st = Retrieval.readBm25fStore(spark, p)
+      (st.postings.collect().map(_.toSeq).toSet,
+        st.stats.collect().map(_.toSeq).toSet)
+    }
+    assert(frows(fidx) == frows(fRb))
   }
 
   test("fielded bm25-index recipe: builds then merges a BM25F store that " +
@@ -1143,6 +1160,18 @@ class SinksSpec extends SparkSpec {
       "quantize" -> "pq", "grow" -> true)).nonEmpty)
     assert(IvfIndexSink.validate(Map("index_path" -> idx,
       "quantize" -> "pq", "two_level" -> false)).nonEmpty)
+    // a raw-vector batch against the CODES store refuses loudly instead
+    // of static-overwriting the history (disjoint commit signals)
+    intercept[IllegalArgumentException] {
+      IvfIndexSink.sink(b2, Map("index_path" -> idx))
+    }
+    // and the reverse: quantize: pq against a raw store refuses too
+    val rawIdx = Files.createTempDirectory("ivfraw").resolve("raw").toString
+    assert(IvfIndexSink.sink(b1, Map("index_path" -> rawIdx)) == 60L)
+    intercept[IllegalArgumentException] {
+      IvfIndexSink.sink(b2, Map("index_path" -> rawIdx,
+        "quantize" -> "pq", "pq_m" -> 4, "pq_k" -> 8))
+    }
   }
 
   test("ivf-index flat path builds and appends against the persisted " +
