@@ -5489,6 +5489,19 @@ object SparkEntry {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  private def seqPackQuery(s: SparkSession, dir: String): DataFrame =
+    // pretraining sequence packing (concat-and-chunk): every doc's
+    // tokens + EOS concatenate in id order and slice into exact 64-token
+    // sequences, trailing partial dropped — the output is the packing
+    // PLAN (one row per sequence×doc span, exact integer token ranges),
+    // which is what shuffles at 100 TB while payloads stay id-keyed.
+    // The prefix sum is two-level (range buckets + broadcast offsets) —
+    // never a single-partition window; the oracle replays the global
+    // cumsum relationally and the hash match pins the decomposition.
+    Packing.packSequences(t(s, dir, "documents"),
+        "doc_id", "text", budget = 64)
+      .orderBy(col("seq_id"), col("doc_id"))
+
   private def winnowFpsQuery(s: SparkSession, dir: String): DataFrame =
     // the selected-fingerprint audit: per doc, how many winnowed
     // fingerprints survive selection (≈ 2/(w+1) of its shingles) plus the
@@ -5827,6 +5840,7 @@ object SparkEntry {
     "d_bm25_incremental" -> (bm25IncrementalQuery _),
     "d_bm25f_incremental" -> (bm25fIncrementalQuery _),
     "d_bm25_forget_stored" -> (bm25ForgetStored _),
+    "d_seq_pack" -> (seqPackQuery _),
     "d_bm25f_forget_stored" -> (bm25fForgetStored _),
     "d_bm25_chunk_forget" -> (bm25ChunkForget _),
     "d_hybrid_rrf" -> (hybridRrfQuery _),
@@ -11033,6 +11047,29 @@ object SparkEntry {
     // in-place erasure ≡ rebuild on the surviving corpus (the
     // s_ann_forget_stored theorem for the postings layouts)
     "d_bm25_forget_stored" -> bm25ForgetOracle,
+    // concat-and-chunk packing plan: global cumsum replayed relationally
+    "d_seq_pack" ->
+      """WITH tk AS (
+        | SELECT doc_id,
+        |  CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |       x -> len(x) > 0)) + 1 AS BIGINT) AS l
+        | FROM documents),
+        |nz AS (SELECT doc_id, l FROM tk WHERE l > 1),
+        |cs AS (SELECT doc_id, l,
+        |        CAST(coalesce(sum(l) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS BIGINT) AS s
+        |       FROM nz),
+        |tt AS (SELECT CAST(sum(l) AS BIGINT) AS tot FROM nz),
+        |sp AS (SELECT cs.doc_id, cs.l, cs.s, r.k AS seq_id
+        |       FROM cs, unnest(range(cs.s // 64, (cs.s + cs.l - 1) // 64 + 1)) r(k))
+        |SELECT seq_id, doc_id,
+        |  CAST(greatest(seq_id * 64 - s, 0) AS BIGINT) AS tok_start,
+        |  CAST(least((seq_id + 1) * 64 - s, l) - 1 AS BIGINT) AS tok_end,
+        |  CAST(least((seq_id + 1) * 64 - s, l) - 1
+        |       - greatest(seq_id * 64 - s, 0) + 1 AS BIGINT) AS n_tok
+        |FROM sp CROSS JOIN tt WHERE seq_id < tot // 64
+        |ORDER BY seq_id, doc_id""".stripMargin,
     "d_bm25f_forget_stored" -> bm25fForgetOracle,
     "d_bm25_chunk_forget" -> chunkBm25ForgetOracle,
     // RRF hybrid twin: the bm25 chain and the winnow chain coexist in

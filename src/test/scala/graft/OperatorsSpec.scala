@@ -1073,6 +1073,45 @@ class LayoutSpec extends SparkSpec {
   }
 }
 
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("packSequences plans exact concat-and-chunk packing, invariant to " +
+      "the prefix-sum bucketing") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val plan = Packing.packSequences(docs, "doc_id", "text", budget = 64)
+      .localCheckpoint()
+    // every kept sequence is EXACTLY full: spans sum to the budget
+    val fills = Packing.packingStats(plan).collect()
+    assert(fills.nonEmpty && fills.forall(_.getLong(2) == 64L),
+      s"unfilled sequences: ${fills.filter(_.getLong(2) != 64L).take(3).mkString}")
+    // spans never overlap and are contiguous within a doc: per doc, the
+    // union of [tok_start, tok_end] ranges is an unbroken prefix of its
+    // (tokens + EOS) stream
+    val perDoc = plan.groupBy(col("doc_id"))
+      .agg(min(col("tok_start")).as("lo"), max(col("tok_end")).as("hi"),
+        sum(col("n_tok")).as("n"))
+      .collect()
+    perDoc.foreach { r =>
+      assert(r.getLong(1) == 0L, s"doc ${r.get(0)} does not start at 0")
+      assert(r.getLong(3) == r.getLong(2) + 1,
+        s"doc ${r.get(0)} spans overlap or gap")
+    }
+    // the two-level prefix sum is bucketing-invariant: 1 bucket (the
+    // naive global window) and 7 buckets produce identical plans
+    def rows(b: Int) = Packing.packSequences(docs, "doc_id", "text",
+      budget = 64, buckets = b).collect().map(_.toSeq).toSet
+    assert(rows(1) == rows(7))
+    // zero-token docs contribute nothing — not even an EOS
+    val withEmpty = docs.unionByName(Seq((900001L, "   "))
+      .toDF("doc_id", "text"))
+    assert(Packing.packSequences(withEmpty, "doc_id", "text", budget = 64)
+      .collect().map(_.toSeq).toSet == plan.collect().map(_.toSeq).toSet)
+  }
+}
+
 class SplitsSpec extends SparkSpec {
   import spark.implicits._
   import org.apache.spark.sql.functions._
