@@ -204,16 +204,22 @@ object Bench {
     val headlineSec = headline.map(_._2.sec).sum
     val auditSec = audit.map(_._2.sec).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"agg":"min","headline_sec":$headlineSec,"audit_sec":$auditSec,"n_headline":${headline.size},"n_audit":${audit.size},"queries":$qs,"rows":$rows,"failed":$failedNames,"errors":$errs,"notes":$notes,"settled":$settledJson,"settle_overflow":$unsettledJson,"prior":${priorPath.map(jstr).getOrElse("null")},"n_ok":${ok.size},"n_failed":${results.size - ok.size},"sf":"$sfDir"}"""
-    println(line)
-    // fallback artifact: sbt prefixes stdout with "[info] ", which has
-    // broken the harness's metric-line extraction before (BENCH_r03
-    // recorded "parsed": null) — the bare line on disk survives any
-    // stdout mangling
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),
+    // fallback artifact FIRST (the bare line on disk survives any stdout
+    // mangling — sbt's "[info] " prefix broke the harness's metric-line
+    // extraction in BENCH_r03, and tail-capture truncation did in
+    // BENCH_r13); SPARK_GRAFT_BENCH_OUT redirects local runs so they
+    // never clobber the driver-session baseline artifact
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_SELF.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: java.io.IOException =>
-      System.err.println(s"[bench] could not write BENCH_SELF.json: $e") }
+      System.err.println(s"[bench] could not write $outFile: $e") }
+    // stop the session BEFORE emitting the line, so the JSON is the SOLE
+    // final stdout of the run — nothing (shutdown logging, context
+    // cleaner chatter) may print after it
     spark.stop()
+    println(line)
+    System.out.flush()
     // flag the run as a whole if any query failed (after the JSON line is out)
     if (ok.size != results.size) sys.exit(1)
   }

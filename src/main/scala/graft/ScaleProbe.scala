@@ -943,6 +943,56 @@ object ScaleProbe {
         corpus.unpersist(); tomb.unpersist()
       }
     }
+    // round-14 postings-erasure probe: a FIXED 3-doc tombstone batch
+    // against an f× BM25 store whose bucket count scales with the corpus
+    // (the production sizing rule — a frozen modulus would leave every
+    // bucket directory growing ∝ corpus). The claim under probe: with the
+    // tbuckets id sidecar the forget FINDER reads only the tombstoned
+    // docs' OWN term-hash bucket directories (plus the vocabulary-bounded
+    // df table it rewrites), never all postings — so hit buckets track
+    // the tombstones' distinct terms while the bucket count grows, and
+    // bytes_read as a fraction of store bytes FALLS at 10×/30× (the
+    // ivf_forget sidecar discipline, applied to the lexical layout).
+    locally {
+      for (f <- Seq(1, factor, 3 * factor)) {
+        val docs = corpus(f)
+        val buckets = 64 * f
+        val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_probe_bm25forget_$f").getAbsolutePath
+        operators.Retrieval.writeBm25Store(docs, "doc_id", "text", path,
+          buckets = buckets)
+        val tomb = docs.filter(col("doc_id") < 3).select(col("doc_id"))
+          .localCheckpoint()
+        val hitBuckets = spark.read.parquet(s"$path/docs")
+          .join(tomb, Seq("doc_id"), "left_semi")
+          .select(explode(col("tbuckets")).as("b")).distinct().count()
+        def duBytes(p: String): Long = {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(hp)) fs.getContentSummary(hp).getLength else 0L
+        }
+        val storeBytes = duBytes(path)
+        val postingsBytes = duBytes(s"$path/postings")
+        val bytesRead = new java.util.concurrent.atomic.AtomicLong(0)
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (te.taskMetrics != null)
+              bytesRead.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+        }
+        spark.sparkContext.addSparkListener(listener)
+        val t0 = System.nanoTime()
+        operators.Retrieval.forgetBm25StoreAt(spark, path, tomb, "doc_id")
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(1500) // listener bus drains async
+        spark.sparkContext.removeSparkListener(listener)
+        println(f"""{"probe":"bm25_forget","factor":$f,"sec":$sec%.2f,""" +
+          s""""buckets_hit":$hitBuckets,"buckets_total":$buckets,""" +
+          s""""bytes_read":${bytesRead.get()},"store_bytes":$storeBytes,""" +
+          s""""postings_bytes":$postingsBytes}""")
+        docs.unpersist(); tomb.unpersist()
+      }
+    }
     feederProbe(spark, sfDir, factor)
     spark.stop()
   }

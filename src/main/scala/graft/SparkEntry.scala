@@ -4404,23 +4404,20 @@ object SparkEntry {
         lshStore(s, dir), "doc_id", "text", k = 8, nBands = 4)
       .orderBy(col("doc_id"))
 
-  /** Stored winnowing-fingerprint index — the span-reuse gate's store:
-    * DISTINCT selected fingerprints of the historical corpus (doc_id <
-    * 250), written once per SF dir, clustered by fp so the ingest gate's
-    * semi-join co-locates ([[lshStore]]'s contract, 16 B per fp).
+  /** Stored winnowing-fingerprint index — the span-reuse gate's store,
+    * since round 14 the ERASABLE (fp, refs) refcount layout with a doc
+    * attribution sidecar ([[Dedup.writeWinnowStoreAt]]): the gate still
+    * consumes the fp column of one clustered table, but a GDPR batch can
+    * now decrement and drop what only erased docs contributed.
     */
   private def winnowStore(s: SparkSession, dir: String): DataFrame = {
-    val path = layoutPath(dir, "winnowindex", "k=4,w=4,cut=250",
+    val path = layoutPath(dir, "winnowindex", "k=4,w=4,cut=250,refs,v2",
       srcTable = "documents.parquet")
-    if (!layoutReady(path))
-      Dedup.winnowFingerprints(
-          t(s, dir, "documents").filter(col("doc_id") < 250),
-          "doc_id", "text")
-        .select(col("fp")).distinct()
-        .repartition(32, col("fp"))
-        .sortWithinPartitions(col("fp"))
-        .write.mode("overwrite").parquet(path)
-    s.read.parquet(path)
+    if (!layoutReady(s"$path/fps"))
+      Dedup.writeWinnowStoreAt(s, path,
+        t(s, dir, "documents").filter(col("doc_id") < 250),
+        "doc_id", "text")
+    Dedup.readWinnowStoreFps(s, path)
   }
 
   private def winnowIngestStored(s: SparkSession, dir: String): DataFrame =
@@ -4431,6 +4428,30 @@ object SparkEntry {
         t(s, dir, "documents").filter(col("doc_id") >= 250),
         winnowStore(s, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
+
+  private def winnowForgetStored(s: SparkSession, dir: String): DataFrame = {
+    // right-to-erasure for the plagiarism gate's stored index — the cell
+    // the DISTINCT-fp layout could not close (no doc attribution, so an
+    // erased doc's fingerprints stayed in the gate forever, rejecting
+    // future resubmissions that matched only erased content): tombstones
+    // (doc_id % 7 = 3) surface their fingerprints through the id-hash
+    // attribution sidecar, refcounts decrement by exact per-fp hit
+    // counts over ONLY the hit fp directories, and fps reaching zero
+    // LEAVE the gate. The oracle rebuilds the refcount table on the
+    // survivors — the hash match IS forget ≡ rebuild. Idempotent: a
+    // second run finds no attribution rows and no-ops.
+    val docs = t(s, dir, "documents")
+    val path = layoutPath(dir, "winnowforget",
+      "k=4,w=4,cut=250,tomb=mod7eq3,v1", srcTable = "documents.parquet")
+    if (!layoutReady(s"$path/fps"))
+      Dedup.writeWinnowStoreAt(s, path, docs.filter(col("doc_id") < 250),
+        "doc_id", "text")
+    Dedup.forgetWinnowStoreAt(s, path,
+      docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")), "doc_id")
+    Dedup.readWinnowStoreFps(s, path)
+      .select(col("fp"), col("refs"))
+      .orderBy(col("fp"))
+  }
 
   private def cardIncremental(s: SparkSession, dir: String): DataFrame = {
     // incremental data-card maintenance: v1's fingerprint-granular card
@@ -5021,13 +5042,38 @@ object SparkEntry {
     * keyed like every layout cache on dir|config|src-mtime.
     */
   private def nbStore(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val path = layoutPath(dir, "nbmodel", "split=even,tok=ws",
+    val path = layoutPath(dir, "nbmodel", "split=even,tok=ws,v2",
       srcTable = "documents.parquet")
     if (!layoutReady(s"$path/base")) {
       val (tr, _) = nbSplit(s, dir)
       Classify.writeNbStore(tr, "doc_id", "text", "lang", path)
     }
     Classify.readNbStore(s, path)
+  }
+
+  private def nbForgetStored(s: SparkSession, dir: String): DataFrame = {
+    // EXACT model unlearning — the stored-NB erasure cell: the weights
+    // are rounded functions of exact integer counts, so subtracting the
+    // tombstoned docs' own (label, term) counts and re-deriving through
+    // the shared expressions is bit-identical to retraining on the
+    // survivors, which is exactly what the oracle's SQL retrain replays.
+    // Tombstones = every 10th train doc, supplied WITH content (model
+    // forget runs before corpus erasure); membership sidecar makes
+    // re-runs no-ops. The graded row predicts the held-out half against
+    // the forgotten store.
+    val (tr, te) = nbSplit(s, dir)
+    val path = layoutPath(dir, "nbforget",
+      "split=even,tok=ws,tomb=mod10eq0,v1", srcTable = "documents.parquet")
+    if (!layoutReady(s"$path/base"))
+      Classify.writeNbStore(tr, "doc_id", "text", "lang", path)
+    Classify.forgetNbStoreAt(s, path, tr.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text", "lang")
+    val (model, base) = Classify.readNbStore(s, path)
+    Classify.nbPredict(te, model, base, "doc_id", "text")
+      .join(te.select(col("doc_id"), col("lang").as("true_lang")), "doc_id")
+      .select(col("doc_id"), col("true_lang"), col("pred"), col("score"),
+        (col("pred") === col("true_lang")).cast("bigint").as("correct"))
+      .orderBy(col("doc_id"))
   }
 
   private def nbPredictStoredQuery(s: SparkSession, dir: String): DataFrame = {
@@ -5195,7 +5241,7 @@ object SparkEntry {
     */
   private def chunkBm25Store(s: SparkSession, dir: String): Retrieval.Bm25Store = {
     val path = layoutPath(dir, "bm25chunks",
-      "tok=ws,buckets=16,chunk=16x8,cid=shl20,v3",
+      "tok=ws,buckets=16,chunk=16x8,cid=shl20,v4",
       srcTable = "documents.parquet")
     if (!layoutReady(s"$path/stats"))
       Retrieval.writeBm25Store(chunkCidCorpus(t(s, dir, "documents")),
@@ -5295,7 +5341,7 @@ object SparkEntry {
   private def bm25fStore(s: SparkSession, dir: String,
                          cut: Long = Long.MaxValue): Retrieval.Bm25fStore = {
     val cfg = if (cut == Long.MaxValue) "all" else cut.toString
-    val path = layoutPath(dir, "bm25f", s"tok=ws,title=8,buckets=16,v3,cut=$cfg",
+    val path = layoutPath(dir, "bm25f", s"tok=ws,title=8,buckets=16,v4,cut=$cfg",
       srcTable = "documents.parquet")
     if (!layoutReady(s"$path/stats"))
       Retrieval.writeBm25fStore(
@@ -5377,7 +5423,7 @@ object SparkEntry {
   private def bm25Store(s: SparkSession, dir: String,
                         cut: Long = Long.MaxValue): Retrieval.Bm25Store = {
     val cfg = if (cut == Long.MaxValue) "all" else cut.toString
-    val path = layoutPath(dir, "bm25", s"tok=ws,buckets=16,v4,cut=$cfg",
+    val path = layoutPath(dir, "bm25", s"tok=ws,buckets=16,v5,cut=$cfg",
       srcTable = "documents.parquet")
     if (!layoutReady(s"$path/stats"))
       Retrieval.writeBm25Store(
@@ -5435,7 +5481,7 @@ object SparkEntry {
     // Idempotent across runs: a compacted store finds no members, no-ops.
     val docs = t(s, dir, "documents")
     val path = layoutPath(dir, "bm25forget",
-      "tok=ws,buckets=16,tomb=mod7eq3,v2", srcTable = "documents.parquet")
+      "tok=ws,buckets=16,tomb=mod7eq3,v3", srcTable = "documents.parquet")
     if (!layoutReady(s"$path/stats"))
       Retrieval.writeBm25Store(docs, "doc_id", "text", path)
     Retrieval.forgetBm25StoreAt(s, path,
@@ -5454,7 +5500,7 @@ object SparkEntry {
     // Rebuild-on-survivors oracle, fielded chain.
     val docs = t(s, dir, "documents")
     val path = layoutPath(dir, "bm25fforget",
-      "tok=ws,title=8,buckets=16,tomb=mod7eq3,v2",
+      "tok=ws,title=8,buckets=16,tomb=mod7eq3,v3",
       srcTable = "documents.parquet")
     if (!layoutReady(s"$path/stats"))
       Retrieval.writeBm25fStore(docs, "doc_id", "text", path,
@@ -5476,7 +5522,7 @@ object SparkEntry {
     // from the surviving docs and replay the chunk-BM25 chain.
     val d = t(s, dir, "documents")
     val path = layoutPath(dir, "bm25chunkforget",
-      "tok=ws,buckets=16,chunk=16x8,cid=shl20,tomb=mod7eq3,v2",
+      "tok=ws,buckets=16,chunk=16x8,cid=shl20,tomb=mod7eq3,v3",
       srcTable = "documents.parquet")
     if (!layoutReady(s"$path/stats"))
       Retrieval.writeBm25Store(chunkCidCorpus(d), "cid", "chunk_text", path)
@@ -5814,6 +5860,7 @@ object SparkEntry {
     "d_nb_train" -> (nbTrainQuery _),
     "d_nb_predict" -> (nbPredictQuery _),
     "d_nb_predict_stored" -> (nbPredictStoredQuery _),
+    "d_nb_forget_stored" -> (nbForgetStored _),
     "d_nb_confusion" -> (nbConfusionQuery _),
     "d_source_overlap" -> (sourceOverlapQuery _),
     "d_cdc_chunks" -> (cdcChunkStatsQuery _),
@@ -5847,6 +5894,7 @@ object SparkEntry {
     "d_winnow_fps" -> (winnowFpsQuery _),
     "d_winnow_matches" -> (winnowMatchesQuery _),
     "d_winnow_ingest_stored" -> (winnowIngestStored _),
+    "d_winnow_forget_stored" -> (winnowForgetStored _),
     "d_token_hh" -> (tokenHeavyHitters _))
 
   // shared fragments of the portable-minhash oracles (must mirror
@@ -10831,6 +10879,16 @@ object SparkEntry {
         | CAST(pred = true_lang AS BIGINT) AS correct
         |FROM p WHERE rnk = 1 ORDER BY doc_id""".stripMargin,
 
+    // unlearning oracle = RETRAIN on the surviving train docs: the forget
+    // path subtracts exact integer counts and re-derives every weight, so
+    // the retrained scoring chain must match bit-for-bit — the hash match
+    // IS forget ≡ retrain
+    "d_nb_forget_stored" ->
+      s"""WITH ${nbPredictCtesFor("doc_id % 2 = 0 AND doc_id % 10 <> 0")}
+        |SELECT doc_id, true_lang, pred, CAST(score AS BIGINT) AS score,
+        | CAST(pred = true_lang AS BIGINT) AS correct
+        |FROM p WHERE rnk = 1 ORDER BY doc_id""".stripMargin,
+
     // confusion-matrix twin: the same frozen-model scoring chain, one
     // aggregate over the argmax rows
     "d_nb_confusion" ->
@@ -11132,6 +11190,17 @@ object SparkEntry {
         |  AND d.doc_id NOT IN (SELECT doc_id FROM hits)
         |ORDER BY doc_id""".stripMargin,
 
+    // erasure twin: REBUILD the refcount table on the surviving
+    // historical docs — wf is already the DISTINCT (doc, fp) set, so
+    // count(*) per fp is exactly the store's refs after decrement; the
+    // hash match IS forget ≡ rebuild (fps reaching zero are absent on
+    // both sides)
+    "d_winnow_forget_stored" ->
+      s"""WITH $winnowCtes
+        |SELECT fp, count(*) AS refs FROM wf
+        |WHERE doc_id < 250 AND doc_id % 7 <> 3
+        |GROUP BY fp ORDER BY fp""".stripMargin,
+
     // oracle = the single-pass exact heavy hitters the sketch-then-verify
     // plan provably reproduces (threshold 0.5% of N > N/257, the MG
     // completeness bound)
@@ -11190,11 +11259,11 @@ object SparkEntry {
     * round(1e6*ln(1/(tok+V))) — the exact spelling of
     * [[graft.Classify.nbModel]].
     */
-  private val nbTrainCtes: String =
-    """tr AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+  private def nbTrainCtesFor(trainWhere: String): String =
+    s"""tr AS (SELECT * FROM documents WHERE $trainWhere),
       |ntoks AS (
       | SELECT lang AS label,
-      |  unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |  unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
       |         x -> len(x) > 0)) AS term
       | FROM tr),
       |ncnt AS (SELECT label, term, count(*) AS cnt FROM ntoks GROUP BY 1, 2),
@@ -11208,6 +11277,8 @@ object SparkEntry {
       |  - CAST(round(1000000.0 * ln(1.0 / CAST(tok + v AS DOUBLE)))
       |         AS BIGINT) AS w
       | FROM ncnt JOIN ntok USING (label) CROSS JOIN nv)""".stripMargin
+
+  private val nbTrainCtes: String = nbTrainCtesFor("doc_id % 2 = 0")
 
   /** Frozen-model NB scoring chain shared by `d_nb_predict` and
     * `d_nb_confusion`: the trained-model CTEs plus held-out scoring down
@@ -11238,8 +11309,8 @@ object SparkEntry {
       |    {'start': fl[t-1], 'len': fl[t] - fl[t-1]}), x -> x.len > 0) AS segs
       |  FROM f)""".stripMargin
 
-  private lazy val nbPredictCtes: String =
-    s"""$nbTrainCtes,
+  private def nbPredictCtesFor(trainWhere: String): String =
+    s"""${nbTrainCtesFor(trainWhere)},
         |nb AS (
         | SELECT nd.label, nd.nd,
         |  CAST(round(1000000.0 * ln(CAST(nd.nd AS DOUBLE) / n.n)) AS BIGINT)
@@ -11274,6 +11345,8 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY doc_id
         |                     ORDER BY score DESC, label ASC) AS rnk
         | FROM sc)""".stripMargin
+
+  private lazy val nbPredictCtes: String = nbPredictCtesFor("doc_id % 2 = 0")
 
   /** Shared DuckDB CTE chain for the cleaning-pipeline stages (quality
     * gate `qf`, language argmax `lp`, en survivors `surv`, exact-dedup

@@ -39,15 +39,22 @@ object Classify {
 
   private val S = 1e6
 
-  /** Per-(class, term) integer weights: label, term, llr (absolute
-    * log-prob), w (lift over the unseen-term weight). Derived counts ride
-    * along for audit: cnt (term count in class), tok (class token mass).
-    */
-  def nbModel(train: DataFrame, textCol: String, labelCol: String): DataFrame = {
-    val toks = train.select(col(labelCol).as("label"),
-      explode(TextAnalysis.tokens(lower(trim(col(textCol))))).as("term"))
-    val cnt = toks.groupBy(col("label"), col("term"))
+  /** The (label, term, cnt) exact term counts everything else derives
+    * from — shared by training and unlearning so both sides are the same
+    * integers through the same expressions by construction. */
+  private def termCounts(docs: DataFrame, textCol: String,
+                         labelCol: String): DataFrame =
+    docs.select(col(labelCol).as("label"),
+        explode(TextAnalysis.tokens(lower(trim(col(textCol))))).as("term"))
+      .groupBy(col("label"), col("term"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** The model table as a pure function of the count table: weights are
+    * deterministic rounded functions of exact integers (cnt, tok = Σcnt
+    * per class, v = |distinct terms|), so ANY count table with the same
+    * integers yields bit-identical weights — the fact NB unlearning
+    * ([[forgetNbStoreAt]]) rests on. */
+  private def modelFromCounts(cnt: DataFrame): DataFrame = {
     val tok = cnt.groupBy(col("label")).agg(sum(col("cnt")).as("tok"))
     val v = cnt.agg(countDistinct(col("term")).as("v"))
     val llr = round(lit(S) *
@@ -61,18 +68,16 @@ object Classify {
       .select(col("label"), col("term"), col("cnt"), col("llr"), col("w"))
   }
 
-  /** Per-class scalars: label, prior P_c, unseen-term weight D_c (both
-    * fixed-point BIGINT), plus nd (train docs in class).
-    */
-  def nbClassBase(train: DataFrame, idCol: String, textCol: String,
-                  labelCol: String): DataFrame = {
-    val toks = train.select(col(labelCol).as("label"),
-      explode(TextAnalysis.tokens(lower(trim(col(textCol))))).as("term"))
-    val tok = toks.groupBy(col("label")).agg(count(lit(1)).as("tok"))
-    val v = toks.agg(countDistinct(col("term")).as("v"))
-    val nd = train.groupBy(col(labelCol).as("label"))
-      .agg(count(lit(1)).as("nd"))
-    val n = train.agg(count(lit(1)).as("n"))
+  /** The per-class scalars as a pure function of (counts, class doc
+    * counts): tok/v derive from the count table exactly as training
+    * derives them from the token stream (Σcnt per class ≡ token count;
+    * distinct terms identical), n = Σnd. Labels whose surviving docs
+    * carry zero tokens drop via the inner join — matching what a retrain
+    * would produce. */
+  private def baseFromCounts(cnt: DataFrame, nd: DataFrame): DataFrame = {
+    val tok = cnt.groupBy(col("label")).agg(sum(col("cnt")).as("tok"))
+    val v = cnt.agg(countDistinct(col("term")).as("v"))
+    val n = nd.agg(sum(col("nd")).as("n"))
     nd.join(tok, "label").crossJoin(broadcast(v)).crossJoin(broadcast(n))
       .select(col("label"), col("nd"),
         round(lit(S) * log(col("nd").cast("double") / col("n")))
@@ -81,18 +86,51 @@ object Classify {
           .cast("bigint").as("def_w"))
   }
 
+  /** Per-(class, term) integer weights: label, term, llr (absolute
+    * log-prob), w (lift over the unseen-term weight). Derived counts ride
+    * along for audit: cnt (term count in class), tok (class token mass).
+    */
+  def nbModel(train: DataFrame, textCol: String, labelCol: String): DataFrame =
+    modelFromCounts(termCounts(train, textCol, labelCol))
+
+  /** Per-class scalars: label, prior P_c, unseen-term weight D_c (both
+    * fixed-point BIGINT), plus nd (train docs in class). Derives through
+    * [[baseFromCounts]] so inline training and stored unlearning share
+    * the scalar expressions verbatim (n = Σnd ≡ |train| — every train
+    * doc carries a label).
+    */
+  def nbClassBase(train: DataFrame, idCol: String, textCol: String,
+                  labelCol: String): DataFrame =
+    baseFromCounts(termCounts(train, textCol, labelCol),
+      train.groupBy(col(labelCol).as("label")).agg(count(lit(1)).as("nd")))
+
+  /** Fixed id-hash directory modulus of the membership sidecar — a
+    * constant, not a knob (the erasure-sidecar rule shared with the
+    * BM25/IVF/winnow stores). */
+  private val NbDocBuckets = 16
+
   /** Write-once trained model: `path/model` ((label, term) integer
-    * weights — tiny: |V|·|classes| rows regardless of corpus size) and
-    * `path/base` (per-class scalars). Training (two tokenize aggregates
-    * over the train split) is paid once at ingest; every later
-    * prediction reads ONLY these frozen weights — the model-registry
-    * pattern for the 100 TB pipeline, where one trained classifier
-    * filters many corpus drops.
+    * weights — tiny: |V|·|classes| rows regardless of corpus size),
+    * `path/docs` (the trained-doc MEMBERSHIP sidecar — one id per train
+    * doc, id-hash-bucketed: what makes unlearning exact for ids never
+    * trained on and idempotent across re-runs), and `path/base`
+    * (per-class scalars, written LAST — its _SUCCESS is the commit
+    * signal). Training (two tokenize aggregates over the train split) is
+    * paid once at ingest; every later prediction reads ONLY the frozen
+    * weights — the model-registry pattern for the 100 TB pipeline, where
+    * one trained classifier filters many corpus drops.
     */
   def writeNbStore(train: DataFrame, idCol: String, textCol: String,
                    labelCol: String, path: String): Unit = {
     nbModel(train, textCol, labelCol)
       .coalesce(4).write.mode("overwrite").parquet(s"$path/model")
+    train.select(col(idCol))
+      .withColumn("dbucket",
+        pmod(xxhash64(col(idCol)), lit(NbDocBuckets)).cast("int"))
+      .repartition(2, col("dbucket"))
+      .sortWithinPartitions(col("dbucket"), col(idCol))
+      .write.mode("overwrite").partitionBy("dbucket")
+      .parquet(s"$path/docs")
     nbClassBase(train, idCol, textCol, labelCol)
       .coalesce(1).write.mode("overwrite").parquet(s"$path/base")
   }
@@ -103,6 +141,79 @@ object Classify {
     */
   def readNbStore(spark: SparkSession, path: String): (DataFrame, DataFrame) =
     (spark.read.parquet(s"$path/model"), spark.read.parquet(s"$path/base"))
+
+  /** EXACT unlearning of the tombstoned docs from a written NB model —
+    * the erasure-matrix cell a stored aggregate model usually cannot
+    * close, closed here because every weight is a deterministic rounded
+    * function of EXACT INTEGER COUNTS: decrement the (label, term)
+    * counts by the erased docs' own term counts (count additivity —
+    * cnt' is exactly what retraining on the survivors would count),
+    * decrement the per-class doc counts, drop rows reaching zero, and
+    * re-derive every weight from the new integers through the SHARED
+    * [[modelFromCounts]]/[[baseFromCounts]] expressions. Forget ≡
+    * retrain-on-survivors bit-for-bit — the d_nb_forget_stored oracle
+    * replays the retrain in SQL and hash-checks it.
+    *
+    * Contract: `tombDocs` carries the erased docs WITH text and label
+    * (unlearning needs the content to know what to subtract — run the
+    * model forget BEFORE erasing the docs from the corpus). Ids never
+    * trained on are ignored via the membership sidecar (one id-hash
+    * directory sliver per tombstone bucket), which also makes a re-run
+    * a no-op. Staged pending marker like every store mutation.
+    */
+  def forgetNbStoreAt(spark: SparkSession, path: String,
+                      tombDocs: DataFrame, idCol: String, textCol: String,
+                      labelCol: String): Unit = {
+    Layout.refuseIfPending(spark, path)
+    val side = spark.read.parquet(s"$path/docs")
+    val idType = side.schema(idCol).dataType
+    val tombIds = tombDocs
+      .select(expr(s"try_cast(`$idCol` AS ${idType.sql})").as(idCol))
+      .filter(col(idCol).isNotNull).distinct()
+    val tombBuckets = tombIds
+      .select(pmod(xxhash64(col(idCol)), lit(NbDocBuckets)).cast("int")
+        .as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val present = side.filter(col("dbucket").isInCollection(tombBuckets))
+      .join(broadcast(tombIds), Seq(idCol), "left_semi")
+      .localCheckpoint()
+    if (present.isEmpty) return
+    // the erased docs WITH their content, restricted to actual members;
+    // id-deduped so a twice-delivered tombstone cannot double-subtract
+    val erased = tombDocs
+      .join(broadcast(present.select(col(idCol))), Seq(idCol), "left_semi")
+      .dropDuplicates(idCol)
+      .localCheckpoint()
+    Layout.withPendingMarkerStaged(spark, path)({
+      val model = spark.read.parquet(s"$path/model")
+      val tDec = termCounts(erased, textCol, labelCol)
+        .withColumnRenamed("cnt", "__dec")
+      val newCnt = model.select(col("label"), col("term"), col("cnt"))
+        .join(tDec, Seq("label", "term"), "left_outer")
+        .select(col("label"), col("term"),
+          (col("cnt") - coalesce(col("__dec"), lit(0L))).as("cnt"))
+        .filter(col("cnt") > 0).localCheckpoint()
+      val ndDec = erased.groupBy(col(labelCol).as("label"))
+        .agg(count(lit(1)).as("__nddec"))
+      val newNd = spark.read.parquet(s"$path/base")
+        .select(col("label"), col("nd"))
+        .join(broadcast(ndDec), Seq("label"), "left_outer")
+        .select(col("label"),
+          (col("nd") - coalesce(col("__nddec"), lit(0L))).as("nd"))
+        .filter(col("nd") > 0)
+      val newModel = modelFromCounts(newCnt).localCheckpoint()
+      val newBase = baseFromCounts(newCnt, newNd).localCheckpoint()
+      val docsPlan = Layout.planCompaction(spark, s"$path/docs", "dbucket",
+        side, tombIds, idCol, Layout.partitionHits(present, "dbucket"),
+        sortCols = Seq(idCol))
+      (newModel, newBase, docsPlan)
+    }) { case (newModel, newBase, docsPlan) =>
+      Layout.replaceDir(newModel.coalesce(4), s"$path/model")
+      docsPlan.foreach(Layout.execDirRewrite(spark, _))
+      // base is the commit signal — replaced LAST
+      Layout.replaceDir(newBase.coalesce(1), s"$path/base")
+    }
+  }
 
   /** Classify `test` docs against a frozen model: one row per doc with the
     * argmax class (ties broken by label ascending) and its integer score.

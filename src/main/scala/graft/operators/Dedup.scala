@@ -1037,6 +1037,121 @@ object Dedup {
     batch.select(col(idCol)).join(hits, Seq(idCol), "left_anti")
   }
 
+  /** Fixed directory moduli of the winnow store — constants, not knobs
+    * (the [[graft.operators.Similarity]] id-sidecar rule: every later
+    * batch computes the same bucket with no layout metadata to look up).
+    * fp buckets key the REFCOUNT table (fp is an md5 hex STRING, so the
+    * hash is type-stable by construction); doc buckets key the
+    * attribution sidecar on the id hash.
+    */
+  private val WinnowFpBuckets = 32
+  private val WinnowDocBuckets = 16
+
+  private def winnowFpBucket: Column =
+    pmod(xxhash64(col("fp")), lit(WinnowFpBuckets)).cast("int")
+
+  /** The ERASABLE winnow-fingerprint store — the span-reuse (plagiarism)
+    * gate's index, with the doc attribution a bare DISTINCT-fp set
+    * cannot have:
+    *
+    *  - `path/docs`: one (id, fp) row per selected fingerprint,
+    *    id-hash-bucketed directories (`dbucket`) — the attribution
+    *    sidecar a right-to-erasure batch reads (only its tombstones'
+    *    buckets) to learn WHICH fingerprints the erased docs contributed.
+    *  - `path/fps`: (fp, refs) refcounts — refs = how many stored docs
+    *    selected fp — fp-hash-bucketed (`fbucket`), written LAST (commit
+    *    signal). The gate ([[winnowIngest]]) consumes `.select("fp")`
+    *    unchanged; refs exist so erasure can DECREMENT instead of
+    *    guessing, and fps reaching zero LEAVE the gate — a rebuilt store
+    *    would not carry them, and the gate stops rejecting resubmissions
+    *    whose only match was erased content (the GDPR obligation the
+    *    distinct-fp layout could not meet).
+    *
+    * Scale shape: winnowing runs once over the ingested docs (one
+    * explode + per-doc window min); both tables are bucketed directories
+    * so erasure mutates per-directory like every other store.
+    */
+  def writeWinnowStoreAt(spark: org.apache.spark.sql.SparkSession,
+                         path: String, docs: DataFrame, idCol: String,
+                         textCol: String, k: Int = 4, w: Int = 4): Unit = {
+    val fps = winnowFingerprints(docs, idCol, textCol, k, w)
+      .localCheckpoint()
+    fps.withColumn("dbucket",
+        pmod(xxhash64(col(idCol)), lit(WinnowDocBuckets)).cast("int"))
+      .repartition(4, col("dbucket"))
+      .sortWithinPartitions(col("dbucket"), col(idCol))
+      .write.mode("overwrite").partitionBy("dbucket")
+      .parquet(s"$path/docs")
+    fps.groupBy(col("fp")).agg(count(lit(1)).as("refs"))
+      .withColumn("fbucket", winnowFpBucket)
+      .repartition(4, col("fbucket"))
+      .sortWithinPartitions(col("fbucket"), col("fp"))
+      .write.mode("overwrite").partitionBy("fbucket")
+      .parquet(s"$path/fps")
+  }
+
+  /** The gate-facing handle onto a written winnow store: the (fp, refs)
+    * refcount table — feed `.select("fp")`-compatible consumers
+    * ([[winnowIngest]]) directly. */
+  def readWinnowStoreFps(spark: org.apache.spark.sql.SparkSession,
+                         path: String): DataFrame =
+    spark.read.parquet(s"$path/fps")
+
+  /** Right-to-erasure for the winnow store, IN PLACE: the tombstoned
+    * docs' fingerprints come off the attribution sidecar (reading only
+    * the ≤ |tombstones| id-hash directories they can live in), refcounts
+    * decrement by the per-fp hit counts via one outer join over ONLY the
+    * hit fp directories, fps at zero are dropped (the gate stops
+    * rejecting what only erased docs matched), and the sidecar compacts
+    * by the standard per-directory rule. Forget ≡ rebuild-on-survivors
+    * is what the d_winnow_forget_stored oracle hash-checks; idempotent
+    * (a second run finds no attribution rows and no-ops); staged pending
+    * marker like every store mutation. Tombstone ids cast to the
+    * sidecar's id type before hashing (the [[Similarity.forgetIvfStoreAt]]
+    * type-sensitivity rule).
+    */
+  def forgetWinnowStoreAt(spark: org.apache.spark.sql.SparkSession,
+                          path: String, tombstones: DataFrame,
+                          idCol: String): Unit = {
+    Layout.refuseIfPending(spark, path)
+    val side = spark.read.parquet(s"$path/docs")
+    val idType = side.schema(idCol).dataType
+    val tomb = tombstones
+      .select(expr(s"try_cast(`$idCol` AS ${idType.sql})").as(idCol))
+      .filter(col(idCol).isNotNull).distinct()
+    val tombBuckets = tomb
+      .select(pmod(xxhash64(col(idCol)), lit(WinnowDocBuckets)).cast("int")
+        .as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val hits = side.filter(col("dbucket").isInCollection(tombBuckets))
+      .join(broadcast(tomb), Seq(idCol), "left_semi")
+      .localCheckpoint()
+    if (hits.isEmpty) return
+    Layout.withPendingMarkerStaged(spark, path)({
+      val dec = hits.groupBy(col("fp")).agg(count(lit(1)).as("__dec"))
+      // hit fp directories recomputed from the fp STRING — md5 hex, so
+      // the hash is type-stable (no numeric-type drift possible)
+      val hitFpDirs = dec.select(winnowFpBucket.as("b")).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+      val fpsRaw = spark.read.parquet(s"$path/fps")
+      val newRows = fpsRaw.filter(col("fbucket").isInCollection(hitFpDirs))
+        .join(dec, Seq("fp"), "left_outer")
+        .select(col("fp"),
+          (col("refs") - coalesce(col("__dec"), lit(0L))).as("refs"),
+          col("fbucket"))
+        .filter(col("refs") > 0)
+      val fpsPlan = Layout.planDirRewrite(spark, s"$path/fps", "fbucket",
+        newRows, hitFpDirs, fpsRaw, sortCols = Seq("fp"))
+      val docsPlan = Layout.planCompaction(spark, s"$path/docs", "dbucket",
+        side, tomb, idCol, Layout.partitionHits(hits, "dbucket"),
+        sortCols = Seq(idCol))
+      (fpsPlan, docsPlan)
+    }) { case (fpsPlan, docsPlan) =>
+      Layout.execDirRewrite(spark, fpsPlan)
+      docsPlan.foreach(Layout.execDirRewrite(spark, _))
+    }
+  }
+
   /** Right-to-erasure index compaction: drop every index row belonging to
     * a tombstoned document. Applies uniformly to ALL the stored dedup/ANN
     * layouts in this engine — the exact-dup fingerprint index, the LSH

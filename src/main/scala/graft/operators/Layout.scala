@@ -71,40 +71,92 @@ object Layout {
     require(fs.rename(tmp, destPath), s"rename $tmp -> $destPath failed")
   }
 
+  /** A fully-prepared per-directory rewrite: the replacement rows are
+    * MATERIALIZED (localCheckpoint) at plan time, so everything that can
+    * fail for data reasons — reads, joins, spills — fails before the
+    * caller's first mutating write. [[execDirRewrite]] then only writes.
+    */
+  final case class PlannedRewrite(dirPath: String, part: String,
+                                  replacement: DataFrame, keep: Set[Int],
+                                  hitDirs: Seq[Int], schemaSrc: DataFrame)
+
+  /** Prepare a rewrite of the `hitDirs` directories of a
+    * `part`-partitioned table with `replacement` (already restricted to
+    * those directories). When `sortCols` is given the replacement is
+    * re-clustered one-task-per-directory and sorted within partitions by
+    * (part, sortCols) — preserving the write path's intra-file sort so
+    * parquet row-group min/max pruning survives the rewrite.
+    */
+  def planDirRewrite(spark: org.apache.spark.sql.SparkSession,
+                     dirPath: String, part: String, replacement: DataFrame,
+                     hitDirs: Seq[Int], schemaSrc: DataFrame,
+                     sortCols: Seq[String] = Nil): PlannedRewrite = {
+    val shaped =
+      if (sortCols.isEmpty) replacement
+      else replacement.repartition(col(part))
+        .sortWithinPartitions((part +: sortCols).map(col): _*)
+    val rows = shaped.localCheckpoint()
+    val keep = rows.select(col(part).cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    PlannedRewrite(dirPath, part, rows, keep, hitDirs, schemaSrc)
+  }
+
+  /** Plan the survivors-only erasure rewrite of the `hitDirs` directories
+    * (drop every row whose `idCol` is in `tomb`). Returns None when no
+    * directory is hit (nothing to do).
+    */
+  def planCompaction(spark: org.apache.spark.sql.SparkSession,
+                     dirPath: String, part: String, rows: DataFrame,
+                     tomb: DataFrame, idCol: String, hitDirs: Seq[Int],
+                     sortCols: Seq[String] = Nil): Option[PlannedRewrite] =
+    if (hitDirs.isEmpty) None
+    else Some(planDirRewrite(spark, dirPath, part,
+      rows.filter(col(part).isInCollection(hitDirs))
+        .join(broadcast(tomb), Seq(idCol), "left_anti"),
+      hitDirs, rows, sortCols))
+
+  /** Execute a [[PlannedRewrite]] — writes only, the prepared rows are
+    * already on local disk. Dynamic partition overwrite only replaces
+    * directories PRESENT in the written data, so directories the rewrite
+    * fully empties are removed explicitly; if nothing at all survives,
+    * one zero-row schema-bearing file parks under a sentinel directory no
+    * real key can hash to (buckets and centroid ids are >= 0) so the path
+    * stays readable.
+    */
+  def execDirRewrite(spark: org.apache.spark.sql.SparkSession,
+                     pr: PlannedRewrite): Unit = {
+    pr.replacement.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(pr.part).parquet(pr.dirPath)
+    val fs = new org.apache.hadoop.fs.Path(pr.dirPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    pr.hitDirs.filterNot(pr.keep).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(pr.dirPath, s"${pr.part}=$b"),
+        true)
+    }
+    val anyLeft = fs.listStatus(new org.apache.hadoop.fs.Path(pr.dirPath))
+      .exists(s => s.isDirectory &&
+        s.getPath.getName.startsWith(s"${pr.part}="))
+    if (!anyLeft)
+      pr.schemaSrc.limit(0).drop(pr.part).repartition(1)
+        .write.mode("overwrite").parquet(s"${pr.dirPath}/${pr.part}=-1")
+  }
+
   /** Rewrite the survivors of ONLY the `hitDirs` partition directories
     * of a `part`-partitioned parquet table, dropping every row whose
     * `idCol` is in `tomb` — the per-directory erasure compaction shared
     * by the BM25-family postings/sidecar forgets and the vector store's.
-    * Dynamic partition overwrite only replaces directories PRESENT in
-    * the written data, so directories a deletion fully empties are
-    * removed explicitly; if nothing at all survives, one zero-row
-    * schema-bearing file parks under a sentinel directory no real key
-    * can hash to (buckets and centroid ids are >= 0) so the path stays
-    * readable.
+    * One-shot spelling of [[planCompaction]] + [[execDirRewrite]]; callers
+    * running under the pending marker should plan in their PREPARE phase
+    * instead so a failed read never stands a mutation marker.
     */
   def compactPartitionedDirs(spark: org.apache.spark.sql.SparkSession,
                              dirPath: String, part: String, rows: DataFrame,
                              tomb: DataFrame, idCol: String,
-                             hitDirs: Seq[Int]): Unit = {
-    if (hitDirs.isEmpty) return
-    val survivors = rows.filter(col(part).isInCollection(hitDirs))
-      .join(broadcast(tomb), Seq(idCol), "left_anti").localCheckpoint()
-    val keep = survivors.select(col(part).cast("int")).distinct()
-      .collect().map(_.getInt(0)).toSet
-    survivors.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(part).parquet(dirPath)
-    val fs = new org.apache.hadoop.fs.Path(dirPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    hitDirs.filterNot(keep).foreach { b =>
-      fs.delete(new org.apache.hadoop.fs.Path(dirPath, s"$part=$b"), true)
-    }
-    val anyLeft = fs.listStatus(new org.apache.hadoop.fs.Path(dirPath))
-      .exists(s => s.isDirectory && s.getPath.getName.startsWith(s"$part="))
-    if (!anyLeft)
-      rows.limit(0).drop(part).repartition(1)
-        .write.mode("overwrite").parquet(s"$dirPath/$part=-1")
-  }
+                             hitDirs: Seq[Int],
+                             sortCols: Seq[String] = Nil): Unit =
+    planCompaction(spark, dirPath, part, rows, tomb, idCol, hitDirs,
+      sortCols).foreach(execDirRewrite(spark, _))
 
   /** The distinct `part` directory values of `hit` (collect is bounded
     * by the table's directory count). */
@@ -136,26 +188,77 @@ object Layout {
     require(!fsOf(spark, path).exists(pendingMarkerOf(path)),
       pendingRefusal(path))
 
-  /** Run a multi-write store mutation under the `_graft_merge_pending`
-    * marker, acquired ATOMICALLY: `create(overwrite = false)` is an
-    * atomic create-exclusive on HDFS (the local filesystem maps it to an
-    * exists-throw inside the same call), so two concurrent writers racing
+  /** Acquire the pending marker with `create(overwrite = false)`. On HDFS
+    * that is an atomic create-exclusive, so two concurrent writers racing
     * past any earlier exists() probe still serialize here — exactly one
     * wins, the loser gets the same loud refusal as a stale-marker
-    * restart. The marker is deliberately NOT removed when `body` throws:
-    * a failed mutation may have landed some of its writes, and the marker
-    * is what makes retrying it loud instead of silently double-applying.
+    * restart. On the local filesystem and several object-store connectors
+    * the call is check-then-create INSIDE one invocation — it still
+    * refuses reliably against a marker that is already down (the
+    * single-writer contract's failure mode), but it is NOT a cross-JVM
+    * lock there; run one writer per index regardless. Those filesystems
+    * may also signal an existing file with a plain IOException rather
+    * than FileAlreadyExistsException, so existence is re-checked on any
+    * IOException before deciding between refusal and propagation.
+    */
+  private def acquirePendingMarker(
+      f: org.apache.hadoop.fs.FileSystem,
+      marker: org.apache.hadoop.fs.Path, path: String): Unit =
+    try f.create(marker, false).close()
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        throw new IllegalArgumentException(pendingRefusal(path))
+      case e: java.io.IOException =>
+        if (f.exists(marker))
+          throw new IllegalArgumentException(pendingRefusal(path))
+        else throw e
+    }
+
+  /** Run a multi-write store mutation under the `_graft_merge_pending`
+    * marker (see [[acquirePendingMarker]] for the acquisition contract).
+    * The marker is deliberately NOT removed when `body` throws: a failed
+    * mutation may have landed some of its writes, and the marker is what
+    * makes retrying it loud instead of silently double-applying. Callers
+    * whose mutation has a read/compute phase before the first write
+    * should use [[withPendingMarkerStaged]] so a plan-time failure does
+    * not strand the marker on an untouched store.
     */
   def withPendingMarker[A](spark: org.apache.spark.sql.SparkSession,
                            path: String)(body: => A): A = {
     val marker = pendingMarkerOf(path)
     val f = fsOf(spark, path)
-    try f.create(marker, false).close()
-    catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-        throw new IllegalArgumentException(pendingRefusal(path))
-    }
+    acquirePendingMarker(f, marker, path)
     val r = body
+    f.delete(marker, false)
+    r
+  }
+
+  /** [[withPendingMarker]] split into PREPARE (reads, joins,
+    * localCheckpoints — everything that can fail for data reasons) and
+    * MUTATE (writes only). Both run under the marker, so the mutual
+    * exclusion covers the whole read-compute-write span — but a failure
+    * inside `prepare` DELETES the marker before rethrowing, because
+    * nothing has been written yet and leaving it would permanently brick
+    * an untouched store (a cancelled job or an OOM-killed stage during
+    * planning would otherwise force a manual rebuild for no reason). A
+    * failure inside `mutate` leaves the marker: some writes may have
+    * landed, and the loud refusal on the next mutation is the point.
+    */
+  def withPendingMarkerStaged[P, A](spark: org.apache.spark.sql.SparkSession,
+                                    path: String)(prepare: => P)(
+                                    mutate: P => A): A = {
+    val marker = pendingMarkerOf(path)
+    val f = fsOf(spark, path)
+    acquirePendingMarker(f, marker, path)
+    val p =
+      try prepare
+      catch {
+        case e: Throwable =>
+          try f.delete(marker, false)
+          catch { case del: java.io.IOException => e.addSuppressed(del) }
+          throw e
+      }
+    val r = mutate(p)
     f.delete(marker, false)
     r
   }

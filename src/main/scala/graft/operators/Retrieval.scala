@@ -247,7 +247,8 @@ object Retrieval {
       .sortWithinPartitions(col("bucket"), col("term"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/postings")
-    writeDocsSidecar(corpus, idCol, s"$path/docs", buckets, "overwrite")
+    writeDocsSidecar(corpus, idCol, s"$path/docs", buckets, "overwrite",
+      c.postings)
     writeLayoutMeta(corpus.sparkSession, path, buckets)
     c.stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
   }
@@ -390,30 +391,35 @@ object Retrieval {
                         idCol: String, textCol: String,
                         titleTokens: Int = 8, buckets: Int = 16): Unit = {
     requireErasableLayout(spark, path)
-    val store = readBm25fStore(spark, path)
-    // checkpoint the batch's fielded postings ONCE (the mergeBm25StoreAt
-    // discipline): the stats adds derive from the checkpointed postings
-    // (tot_f = Σ tf per field — same integers bm25fComponents.stats
-    // computes), so the batch is tokenized and field-split exactly once
-    // instead of once per write action
-    // the frozen bucket modulus wins over the parameter (the
-    // mergeBm25StoreAt rationale: mismatched moduli make merged rows
-    // invisible to the pruned query join)
-    val b = store.buckets.getOrElse(buckets)
-    val addP = bm25fComponents(batch, idCol, textCol, titleTokens)
-      .postings.localCheckpoint()
-    val addStats = addP.groupBy(col("f")).agg(sum(col("tf")).as("tot_f"))
-    val newStats = mergedFieldedStats(store.stats, batch, addStats)
-      .localCheckpoint()
-    addP.withColumn("bucket", termBucket(b))
-      .repartition(b, col("bucket"))
-      .sortWithinPartitions(col("bucket"), col("term"))
-      .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
-    writeDocsSidecar(batch, idCol, s"$path/docs", b, "append")
-    // stats is the store's COMMIT SIGNAL (its _SUCCESS keys the sink's
-    // build-vs-merge dispatch): replace via temp-write + rename so the
-    // unprotected window is one delete + rename, not a whole write job
-    Layout.replaceDir(newStats.coalesce(1), s"$path/stats")
+    // marker acquired internally + staged, like [[mergeBm25StoreAt]]
+    Layout.withPendingMarkerStaged(spark, path)({
+      val store = readBm25fStore(spark, path)
+      // checkpoint the batch's fielded postings ONCE (the mergeBm25StoreAt
+      // discipline): the stats adds derive from the checkpointed postings
+      // (tot_f = Σ tf per field — same integers bm25fComponents.stats
+      // computes), so the batch is tokenized and field-split exactly once
+      // instead of once per write action
+      // the frozen bucket modulus wins over the parameter (the
+      // mergeBm25StoreAt rationale: mismatched moduli make merged rows
+      // invisible to the pruned query join)
+      val b = store.buckets.getOrElse(buckets)
+      val addP = bm25fComponents(batch, idCol, textCol, titleTokens)
+        .postings.localCheckpoint()
+      val addStats = addP.groupBy(col("f")).agg(sum(col("tf")).as("tot_f"))
+      val newStats = mergedFieldedStats(store.stats, batch, addStats)
+        .localCheckpoint()
+      (b, addP, newStats)
+    }) { case (b, addP, newStats) =>
+      addP.withColumn("bucket", termBucket(b))
+        .repartition(b, col("bucket"))
+        .sortWithinPartitions(col("bucket"), col("term"))
+        .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
+      writeDocsSidecar(batch, idCol, s"$path/docs", b, "append", addP)
+      // stats is the store's COMMIT SIGNAL (its _SUCCESS keys the sink's
+      // build-vs-merge dispatch): replace via temp-write + rename so the
+      // unprotected window is one delete + rename, not a whole write job
+      Layout.replaceDir(newStats.coalesce(1), s"$path/stats")
+    }
   }
 
   /** The three mergeable components of a written BM25 index. A store
@@ -473,13 +479,33 @@ object Retrieval {
     * the store" from postings alone. The sidecar is 1 id per row — noise
     * next to the postings — and doubles as the membership table that
     * makes forget idempotent and exact for ids never ingested.
+    *
+    * Each row additionally carries `tbuckets`: the doc's DISTINCT
+    * postings-bucket list, recorded at ingest off the same batch postings
+    * being written. This is what lets the forget FINDER restrict its
+    * hit-row scan to exactly the tombstoned docs' term-hash directories
+    * instead of every postings bucket — the `_graft_ids` sidecar
+    * discipline, applied to the lexical layout (the round-13 IVF fix's
+    * missing postings half). Zero-token docs carry an empty list. Rows
+    * sort by id within files so the tombstone semi-join row-group-prunes.
     */
   private def writeDocsSidecar(ids: DataFrame, idCol: String, path: String,
-                               buckets: Int, mode: String): Unit =
+                               buckets: Int, mode: String,
+                               postings: DataFrame): Unit = {
+    val tb = postings
+      .select(col(idCol), termBucket(buckets).as("__tb"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("__tb"))).as("tbuckets"))
     ids.select(col(idCol))
+      .join(tb, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("tbuckets"),
+          array().cast("array<int>")).as("tbuckets"))
       .withColumn("dbucket", idBucket(idCol, buckets))
       .repartition(math.min(buckets, 4), col("dbucket"))
+      .sortWithinPartitions(col("dbucket"), col(idCol))
       .write.mode(mode).partitionBy("dbucket").parquet(path)
+  }
 
   /** Write-once BM25 index: `path/postings` ((doc, term, tf, dl) rows in
     * term-hash bucket DIRECTORIES so any term's posting list stays in one
@@ -506,7 +532,7 @@ object Retrieval {
       .drop("bucket")
     dfreqOf(stored).repartition(math.min(buckets, 4), col("term"))
       .write.mode("overwrite").parquet(s"$path/dfreq")
-    writeDocsSidecar(corpus, idCol, s"$path/docs", buckets, "overwrite")
+    writeDocsSidecar(corpus, idCol, s"$path/docs", buckets, "overwrite", post)
     writeLayoutMeta(corpus.sparkSession, path, buckets)
     corpusStats(corpus, stored)
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
@@ -587,27 +613,39 @@ object Retrieval {
                        idCol: String, textCol: String,
                        buckets: Int = 16): Unit = {
     requireErasableLayout(spark, path)
-    val store = readBm25Store(spark, path)
-    // the bucket modulus is FROZEN in the store (the pruned query join
-    // recomputes it per term) — appending under a different caller
-    // modulus would land rows the pruned scan can never match, so the
-    // persisted layout wins over the parameter whenever it exists
-    val b = store.buckets.getOrElse(buckets)
-    val addP = postingsRaw(batch, idCol, textCol).localCheckpoint()
-    val newDfreq = mergedDfreq(store.dfreq, addP).localCheckpoint()
-    val newStats = mergedStats(store.stats, batch, addP).localCheckpoint()
-    addP.withColumn("bucket", termBucket(b))
-      .repartition(b, col("bucket"))
-      .sortWithinPartitions(col("bucket"), col("term"))
-      .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
-    writeDocsSidecar(batch, idCol, s"$path/docs", b, "append")
-    // both replaced tables ride temp-write + rename ([[Layout.replaceDir]]):
-    // stats is the store's COMMIT SIGNAL (its _SUCCESS keys the sink's
-    // build-vs-merge dispatch), so a crash inside a plain overwrite would
-    // silently flip the next ingest onto the build branch
-    Layout.replaceDir(newDfreq.repartition(math.min(buckets, 4), col("term")),
-      s"$path/dfreq")
-    Layout.replaceDir(newStats.coalesce(1), s"$path/stats")
+    // the pending marker is acquired HERE, not by callers: a direct
+    // library merge into a store left marked by a crashed mutation must
+    // refuse exactly like the sink path does, and a crashed library merge
+    // must leave a marker for the next writer to find. Staged: the
+    // read/compute phase (all three components materialize) runs before
+    // the first write, so a plan-time failure deletes the marker and
+    // leaves the store mutable.
+    Layout.withPendingMarkerStaged(spark, path)({
+      val store = readBm25Store(spark, path)
+      // the bucket modulus is FROZEN in the store (the pruned query join
+      // recomputes it per term) — appending under a different caller
+      // modulus would land rows the pruned scan can never match, so the
+      // persisted layout wins over the parameter whenever it exists
+      val b = store.buckets.getOrElse(buckets)
+      val addP = postingsRaw(batch, idCol, textCol).localCheckpoint()
+      val newDfreq = mergedDfreq(store.dfreq, addP).localCheckpoint()
+      val newStats = mergedStats(store.stats, batch, addP).localCheckpoint()
+      (b, addP, newDfreq, newStats)
+    }) { case (b, addP, newDfreq, newStats) =>
+      addP.withColumn("bucket", termBucket(b))
+        .repartition(b, col("bucket"))
+        .sortWithinPartitions(col("bucket"), col("term"))
+        .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
+      writeDocsSidecar(batch, idCol, s"$path/docs", b, "append", addP)
+      // both replaced tables ride temp-write + rename ([[Layout.replaceDir]]):
+      // stats is the store's COMMIT SIGNAL (its _SUCCESS keys the sink's
+      // build-vs-merge dispatch), so a crash inside a plain overwrite would
+      // silently flip the next ingest onto the build branch
+      Layout.replaceDir(
+        newDfreq.repartition(math.min(buckets, 4), col("term")),
+        s"$path/dfreq")
+      Layout.replaceDir(newStats.coalesce(1), s"$path/stats")
+    }
   }
 
   /** [[bm25TopK]] against a store: identical scoring expressions over the
@@ -974,14 +1012,6 @@ object Retrieval {
         "index from source before merging or erasing.")
   }
 
-  /** Per-directory erasure compaction — [[Layout.compactPartitionedDirs]],
-    * shared with the vector store's forget. */
-  private def compactDirs(spark: SparkSession, dirPath: String,
-                          part: String, rows: DataFrame, tomb: DataFrame,
-                          idCol: String, hitDirs: Seq[Int]): Unit =
-    Layout.compactPartitionedDirs(spark, dirPath, part, rows, tomb, idCol,
-      hitDirs)
-
   private def hitDirsOf(hit: DataFrame, part: String): Seq[Int] =
     Layout.partitionHits(hit, part)
 
@@ -1025,6 +1055,26 @@ object Retrieval {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** The forget FINDER's hit-row scan, restricted to the tombstoned docs'
+    * OWN postings buckets when the id sidecar carries them (`tbuckets`,
+    * recorded at ingest): a doc's postings rows live only in its term
+    * buckets by construction, so the semi-join that locates hit rows (for
+    * df/stats decrements and the hit-directory list) reads ≤ |tombstoned
+    * docs' buckets| directories instead of every one — the `_graft_ids`
+    * sidecar discipline applied to the postings layout. The bucket list
+    * comes OFF THE JOINED SIDECAR ROWS, never recomputed from the
+    * tombstone frame (xxhash64 is type-sensitive; recomputing from an
+    * id column delivered as a different numeric type would prune the
+    * wrong directories). Pre-tbuckets stores fall back to the full scan.
+    */
+  private def prunedHitScan(postings: DataFrame,
+                            present: DataFrame): DataFrame =
+    if (present.columns.contains("tbuckets")) {
+      val tb = present.select(explode(col("tbuckets")).as("__b"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      postings.filter(col("bucket").isInCollection(tb))
+    } else postings
+
   def forgetBm25StoreAt(spark: SparkSession, path: String,
                         tombstones: DataFrame, idCol: String): Unit = {
     Layout.refuseIfPending(spark, path)
@@ -1038,9 +1088,13 @@ object Retrieval {
       .localCheckpoint()
     val nDec = present.count()
     if (nDec == 0L) return
-    Layout.withPendingMarker(spark, path) {
+    // staged: every read and survivor plan materializes BEFORE the first
+    // write — a failure in that phase releases the marker (nothing was
+    // mutated); a failure between the writes leaves it, loudly
+    Layout.withPendingMarkerStaged(spark, path)({
       val postings = spark.read.parquet(s"$path/postings")
-      val hitP = postings.join(broadcast(tomb), Seq(idCol), "left_semi")
+      val hitP = prunedHitScan(postings, present)
+        .join(broadcast(tomb), Seq(idCol), "left_semi")
         .localCheckpoint()
       val totDec = hitP.agg(coalesce(sum(col("tf")), lit(0L)).as("t"))
         .head().getLong(0)
@@ -1053,10 +1107,16 @@ object Retrieval {
       val newStats = spark.read.parquet(s"$path/stats")
         .select((col("n_docs") - nDec).as("n_docs"),
           (col("tot") - totDec).as("tot")).localCheckpoint()
-      compactDirs(spark, s"$path/postings", "bucket", postings, tomb,
-        idCol, hitDirsOf(hitP, "bucket"))
-      compactDirs(spark, s"$path/docs", "dbucket", docs, tomb,
-        idCol, hitDirsOf(present, "dbucket"))
+      val postPlan = Layout.planCompaction(spark, s"$path/postings",
+        "bucket", postings, tomb, idCol, hitDirsOf(hitP, "bucket"),
+        sortCols = Seq("term"))
+      val docsPlan = Layout.planCompaction(spark, s"$path/docs",
+        "dbucket", docs, tomb, idCol, hitDirsOf(present, "dbucket"),
+        sortCols = Seq(idCol))
+      (postPlan, docsPlan, newDfreq, newStats)
+    }) { case (postPlan, docsPlan, newDfreq, newStats) =>
+      postPlan.foreach(Layout.execDirRewrite(spark, _))
+      docsPlan.foreach(Layout.execDirRewrite(spark, _))
       Layout.replaceDir(newDfreq.repartition(4, col("term")),
         s"$path/dfreq")
       Layout.replaceDir(newStats.coalesce(1), s"$path/stats")
@@ -1084,9 +1144,11 @@ object Retrieval {
       .localCheckpoint()
     val nDec = present.count()
     if (nDec == 0L) return
-    Layout.withPendingMarker(spark, path) {
+    // staged like [[forgetBm25StoreAt]]; hit scan tbuckets-pruned the same
+    Layout.withPendingMarkerStaged(spark, path)({
       val postings = spark.read.parquet(s"$path/postings")
-      val hitP = postings.join(broadcast(tomb), Seq(idCol), "left_semi")
+      val hitP = prunedHitScan(postings, present)
+        .join(broadcast(tomb), Seq(idCol), "left_semi")
         .localCheckpoint()
       val fDec = hitP.groupBy(col("f")).agg(sum(col("tf")).as("__dec"))
       val newStats = spark.read.parquet(s"$path/stats")
@@ -1094,10 +1156,16 @@ object Retrieval {
         .select(col("f"), (col("n_docs") - nDec).as("n_docs"),
           (col("tot_f") - coalesce(col("__dec"), lit(0L))).as("tot_f"))
         .localCheckpoint()
-      compactDirs(spark, s"$path/postings", "bucket", postings, tomb,
-        idCol, hitDirsOf(hitP, "bucket"))
-      compactDirs(spark, s"$path/docs", "dbucket", docs, tomb,
-        idCol, hitDirsOf(present, "dbucket"))
+      val postPlan = Layout.planCompaction(spark, s"$path/postings",
+        "bucket", postings, tomb, idCol, hitDirsOf(hitP, "bucket"),
+        sortCols = Seq("term"))
+      val docsPlan = Layout.planCompaction(spark, s"$path/docs",
+        "dbucket", docs, tomb, idCol, hitDirsOf(present, "dbucket"),
+        sortCols = Seq(idCol))
+      (postPlan, docsPlan, newStats)
+    }) { case (postPlan, docsPlan, newStats) =>
+      postPlan.foreach(Layout.execDirRewrite(spark, _))
+      docsPlan.foreach(Layout.execDirRewrite(spark, _))
       Layout.replaceDir(newStats.coalesce(1), s"$path/stats")
     }
   }

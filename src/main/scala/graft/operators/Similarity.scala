@@ -724,6 +724,55 @@ object Similarity {
     (spark.read.parquet(path), parts)
   }
 
+  /** Append a batch into an EXISTING [[writeVectorStore]] layout — the
+    * steady-state ingest sibling the codes-store append needs alongside
+    * it (every appended code must have its exact vector reachable by the
+    * re-rank): `vs_part` derives from the PERSISTED parts (never
+    * caller-supplied), so appended rows land exactly where the probe-side
+    * pmod derivation will look for them.
+    */
+  def appendVectorStore(batch: DataFrame, idCol: String, vecCol: String,
+                        path: String): Unit = {
+    val spark = batch.sparkSession
+    val parts = spark.read.parquet(s"$path/_graft_layout").head().getInt(0)
+    batch.select(col(idCol), col(vecCol))
+      .withColumn("vs_part", pmod(col(idCol), lit(parts)).cast("int"))
+      .write.mode("append").partitionBy("vs_part").parquet(path)
+  }
+
+  /** Whether `path` holds a [[writeVectorStore]] layout (its persisted
+    * parts config is the commit signal). */
+  def vectorStoreExistsAt(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_graft_layout")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Right-to-erasure for the id-partitioned re-rank store: `vs_part` is
+    * a PURE FUNCTION of the id (pmod(id, parts)), so the hit directories
+    * derive from the tombstones directly — no sidecar needed, and the
+    * compaction reads only ≤ |tombstones| of the `parts` directories.
+    * Same staged pending-marker protocol as every store mutation;
+    * tombstone ids cast to the store's id type first (the
+    * [[forgetIvfStoreAt]] type-sensitivity rule — here a wrongly-typed id
+    * would derive the wrong directory).
+    */
+  def forgetVectorStoreAt(spark: SparkSession, path: String,
+                          tombstones: DataFrame, idCol: String): Unit = {
+    Layout.refuseIfPending(spark, path)
+    val store = spark.read.parquet(path)
+    val idType = store.schema(idCol).dataType
+    val parts = spark.read.parquet(s"$path/_graft_layout").head().getInt(0)
+    val tomb = tombstones
+      .select(expr(s"try_cast(`$idCol` AS ${idType.sql})").as(idCol))
+      .filter(col(idCol).isNotNull).distinct()
+    val hit = tomb.select(pmod(col(idCol), lit(parts)).cast("int").as("p"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    if (hit.isEmpty) return
+    Layout.withPendingMarkerStaged(spark, path)(
+      Layout.planCompaction(spark, path, "vs_part", store, tomb, idCol, hit)
+    )(_.foreach(Layout.execDirRewrite(spark, _)))
+  }
+
   /** How many coarse centroids a corpus of `n` vectors should get:
     * C = √N clamped to [cMin, cMax]. The balance behind the square root
     * (measured in the round-10 ScaleProbe, README feeder table): per-row
@@ -1072,12 +1121,19 @@ object Similarity {
       s"$path/_graft_codebook")
   }
 
-  /** Which geometry a store's persisted `_graft_codebook` holds
-    * ("flat" | "two_level" | "pq") — so generic consumers (the
-    * semdedup-gate processor) can dispatch to the matching reader and
-    * probe kernel without being configured redundantly.
+  /** Which geometry a store persists ("flat" | "two_level" | "pq" |
+    * "two_level_pq") — so generic consumers (the semdedup-gate processor,
+    * the ann-search source) can dispatch to the matching reader and probe
+    * kernel without being configured redundantly. Two-level-routed codes
+    * stores are checked FIRST off their `_graft_pq2` commit signal: they
+    * deliberately carry no `_graft_codebook` (see [[writePq2CodebooksAt]]),
+    * so reading it would throw.
     */
   def codebookKindAt(spark: SparkSession, path: String): String = {
+    val p2 = new org.apache.hadoop.fs.Path(
+      s"$path/_graft_pq2/subs/_graft_codebook")
+    if (p2.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p2))
+      return "two_level_pq"
     val kinds = spark.read.parquet(s"$path/_graft_codebook")
       .select(col("kind")).distinct().collect().map(_.getString(0))
     require(kinds.length == 1, s"ambiguous codebook kinds: ${kinds.toSeq}")
@@ -1211,6 +1267,7 @@ object Similarity {
       : (TwoLevelCodebook, Seq[Seq[Seq[Double]]]) =
     (readTwoLevelCodebookAt(spark, s"$path/_graft_pq2/router"),
       readPqCodebooksAt(spark, s"$path/_graft_pq2/subs")._2)
+
 
   /** [[appendIvfStore]] for a two-level layout — steady-state ingest:
     * arrivals are kernel-assigned against the SAME frozen codebook the
@@ -1394,7 +1451,18 @@ object Similarity {
                        tombstones: DataFrame, idCol: String): Unit = {
     Layout.refuseIfPending(spark, path)
     val store = spark.read.parquet(path)
-    val tomb = tombstones.select(col(idCol)).distinct()
+    // cast tombstone ids to the STORE's id type before anything hashes
+    // them: xxhash64 is type-sensitive (an int and a long with the same
+    // value hash differently), so a tombstone batch delivered as a
+    // different numeric type (csv inferSchema int vs parquet long) would
+    // compute the wrong sidecar buckets, prune the wrong directories, and
+    // silently no-op the erasure — a GDPR miss with no error. try_cast:
+    // an id outside the store type's range cannot be a member, and under
+    // ANSI a plain cast would abort the whole batch over it.
+    val idType = store.schema(idCol).dataType
+    val tomb = tombstones
+      .select(expr(s"try_cast(`$idCol` AS ${idType.sql})").as(idCol))
+      .filter(col(idCol).isNotNull).distinct()
     // locate the hit directories via the erasure sidecar when the store
     // carries one: tombstones can only live in their id-hash sidecar
     // directories (<= |tombstones| of the 64, partition-pruned), so the
@@ -1419,43 +1487,26 @@ object Similarity {
         .collect().map(_.getInt(0)).toSeq.sorted
     }
     if (hit.isEmpty) return
-    Layout.withPendingMarker(spark, path) {
-      val hitRows = store.filter(col("centroid_id").isInCollection(hit))
-      val survivors = hitRows
-        .join(broadcast(tomb), Seq(idCol), "left_anti")
-        .localCheckpoint()
-      val surviveDirs = survivors.select(col("centroid_id").cast("int"))
-        .distinct().collect().map(_.getInt(0)).toSet
-      survivors
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("centroid_id").parquet(path)
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      hit.filterNot(surviveDirs).foreach { cid =>
-        fs.delete(new org.apache.hadoop.fs.Path(path, s"centroid_id=$cid"),
-          true)
-      }
-      // erasure may legitimately cover EVERY remaining row — then the
-      // dynamic overwrite wrote no files and the deletes removed the last
-      // directory, leaving a path parquet cannot even infer a schema from
-      // (every later read or forget would throw). Park one ZERO-ROW
-      // schema-bearing file under a sentinel partition no probe can match
-      // (gids are >= 0): reads see an empty store, appends land real
-      // directories next to it, a re-run finds no tombstoned rows and
-      // no-ops.
-      val anyDirLeft = fs.listStatus(new org.apache.hadoop.fs.Path(path))
-        .exists(s => s.isDirectory &&
-          s.getPath.getName.startsWith("centroid_id="))
-      if (!anyDirLeft)
-        store.limit(0).drop("centroid_id").repartition(1)
-          .write.mode("overwrite").parquet(s"$path/centroid_id=-1")
-      // the sidecar forgets its own rows by the same per-directory rule
-      hitSidecar.foreach { sc =>
-        Layout.compactPartitionedDirs(spark, s"$path/_graft_ids", "ibucket",
+    // staged: survivors for the store AND the sidecar materialize before
+    // the first write — a failure there releases the marker (nothing
+    // mutated); a failure between the writes leaves it, loudly. The
+    // store-side sentinel handling (erasure may empty EVERY directory,
+    // leaving a path parquet cannot infer a schema from) lives in
+    // [[Layout.execDirRewrite]].
+    Layout.withPendingMarkerStaged(spark, path)({
+      val storePlan = Layout.planCompaction(spark, path, "centroid_id",
+        store, tomb, idCol, hit)
+      // the sidecar forgets its own rows by the same per-directory rule,
+      // sorted back to its (ibucket, id) write order
+      val sidePlan = hitSidecar.flatMap { sc =>
+        Layout.planCompaction(spark, s"$path/_graft_ids", "ibucket",
           spark.read.parquet(s"$path/_graft_ids"), tomb, idCol,
-          Layout.partitionHits(sc, "ibucket"))
+          Layout.partitionHits(sc, "ibucket"), sortCols = Seq(idCol))
       }
+      (storePlan, sidePlan)
+    }) { case (storePlan, sidePlan) =>
+      storePlan.foreach(Layout.execDirRewrite(spark, _))
+      sidePlan.foreach(Layout.execDirRewrite(spark, _))
     }
   }
 

@@ -528,10 +528,11 @@ object Bm25IndexSink extends SinkPlugin {
         IndexProtocol.writeLayoutConfig(spark, path, layoutCfg)
       case (false, true) =>
         val adopt = IndexProtocol.checkLayoutConfig(spark, path, layoutCfg)
-        IndexProtocol.withMergePending(spark, path) {
-          graft.operators.Retrieval.mergeBm25StoreAt(spark, path, batch,
-            keyCol, tc, buckets)
-        }
+        // the merge acquires the pending marker INTERNALLY (staged — a
+        // plan-time failure releases it), so direct library merges get
+        // the same protection as the sink path
+        graft.operators.Retrieval.mergeBm25StoreAt(spark, path, batch,
+          keyCol, tc, buckets)
         // pre-protocol stores adopt the batch's config only once a merge
         // under it actually succeeded
         if (adopt) IndexProtocol.writeLayoutConfig(spark, path, layoutCfg)
@@ -541,10 +542,8 @@ object Bm25IndexSink extends SinkPlugin {
         IndexProtocol.writeLayoutConfig(spark, path, layoutCfg)
       case (true, true) =>
         val adopt = IndexProtocol.checkLayoutConfig(spark, path, layoutCfg)
-        IndexProtocol.withMergePending(spark, path) {
-          graft.operators.Retrieval.mergeBm25fStoreAt(spark, path, batch,
-            keyCol, tc, titleTokens, buckets)
-        }
+        graft.operators.Retrieval.mergeBm25fStoreAt(spark, path, batch,
+          keyCol, tc, titleTokens, buckets)
         if (adopt) IndexProtocol.writeLayoutConfig(spark, path, layoutCfg)
     }
     n
@@ -671,7 +670,12 @@ object IvfIndexSink extends SinkPlugin {
         |# grow: true     # split hot children in place after each append
         |# mode: forget   # rows are TOMBSTONES: erase their ids in place
         |# quantize: pq   # store 8-byte PQ codes (pq_m: 8, pq_k: 16)
-        |#                # routed by the two-level hierarchy""".stripMargin,
+        |#                # routed by the two-level hierarchy
+        |# rerank_store_path: /indexes/ivf_vectors
+        |#                # with quantize: pq — ALSO write the exact
+        |#                # vectors id-partitioned, so ann-search can
+        |#                # re-rank the ADC shortlist (pass the same key
+        |#                # to ann-search and to mode: forget batches)""".stripMargin,
     tags = Seq("sink", "curation", "similarity"))
 
   override def validate(config: Map[String, Any]): Seq[InvalidConfigError] = {
@@ -705,8 +709,19 @@ object IvfIndexSink extends SinkPlugin {
             "vectors, which PQ codes no longer carry)"))
          else Nil)
       } else Nil
+    // the rerank store only pairs with a codes layout: a raw-vector
+    // store re-ranks against itself, so the key on a non-pq recipe is a
+    // config mistake (likely a quantize: pq line lost in an edit)
+    val rerankRaw =
+      if (config.contains("rerank_store_path") &&
+          config.getOrElse("quantize", "none").toString != "pq" &&
+          config.getOrElse("mode", "ingest").toString != "forget")
+        Seq(InvalidConfigError("rerank_store_path",
+          "rerank_store_path pairs with quantize: pq (raw-vector stores " +
+            "re-rank against their own exact vectors)"))
+      else Nil
     requireKeys(config, "index_path") ++ growFlat ++ badMode ++ badQuant ++
-      pqConflicts
+      pqConflicts ++ rerankRaw
   }
 
   def sink(df: DataFrame, config: Map[String, Any]): Long = {
@@ -721,7 +736,15 @@ object IvfIndexSink extends SinkPlugin {
       val tomb = df.select(org.apache.spark.sql.functions.col(idc))
         .localCheckpoint()
       val n = tomb.count()
-      if (n > 0) Similarity.forgetIvfStoreAt(spark, path, tomb, idc)
+      if (n > 0) {
+        Similarity.forgetIvfStoreAt(spark, path, tomb, idc)
+        // a codes store's exact-vector sidecar must forget the same ids —
+        // erasure that leaves the raw vector fetchable by every re-rank
+        // is no erasure at all
+        config.get("rerank_store_path").map(_.toString).foreach { rp =>
+          Similarity.forgetVectorStoreAt(spark, rp, tomb, idc)
+        }
+      }
       return n
     }
     val vc = config.getOrElse("vector_column", "embedding").toString
@@ -767,6 +790,11 @@ object IvfIndexSink extends SinkPlugin {
           "Drop quantize or point the recipe at a fresh index_path.")
       val m = config.getOrElse("pq_m", 8).toString.toInt
       val kk = config.getOrElse("pq_k", 16).toString.toInt
+      // rerank_store_path: write the batch's EXACT vectors into the
+      // id-partitioned re-rank layout alongside the codes — what makes
+      // the codes store queryable from ann-search (ADC shortlists must
+      // re-rank against full-precision vectors the codes no longer carry)
+      val rerank = config.get("rerank_store_path").map(_.toString)
       if (!pq2Exists) {
         val sample = Similarity.normalized(
             batch.select(org.apache.spark.sql.functions.col(idc),
@@ -781,12 +809,26 @@ object IvfIndexSink extends SinkPlugin {
         val cb = Similarity.autoTwoLevelCodebook(batch, idc, vc,
           maxSharePct = maxShare)
         Similarity.writePqStoreTwoLevel(batch, idc, vc, cb, codebooks, path)
+        rerank.foreach(rp =>
+          Similarity.writeVectorStore(batch, idc, vc, rp))
         Similarity.writePq2CodebooksAt(spark, path, cb, codebooks)
       } else {
         val (cb, codebooks) = Similarity.readPq2CodebooksAt(spark, path)
+        // a rerank store bolted on AFTER history landed would silently
+        // miss every historical vector at re-rank time — refuse; it must
+        // ride along from the first batch (or the index rebuilds)
+        rerank.foreach { rp =>
+          require(Similarity.vectorStoreExistsAt(spark, rp),
+            s"$rp is not an initialized vector store but $path already " +
+              "holds history — a rerank store started mid-stream would " +
+              "silently miss the historical vectors. Rebuild the index " +
+              "with rerank_store_path set from the first batch.")
+        }
         IndexProtocol.withMergePending(spark, path) {
           Similarity.appendPqStoreTwoLevel(batch, idc, vc, cb, codebooks,
             path)
+          rerank.foreach(rp =>
+            Similarity.appendVectorStore(batch, idc, vc, rp))
         }
       }
       return n

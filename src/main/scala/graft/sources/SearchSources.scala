@@ -119,10 +119,15 @@ object Bm25SearchExtractor extends Extractor {
   }
 }
 
-/** ann-search: probe a stored IVF vector index (flat or two-level — the
-  * persisted codebook says which) with a query vector table. Emits
-  * (q_id, c_id, rank, sim); probes ride the store's centroid-directory
-  * pruning exactly like the graded s_ann_ivf2_stored row.
+/** ann-search: probe a stored IVF vector index with a query vector table
+  * — ALL four persisted geometries dispatch off what the store carries:
+  * raw-vector stores (flat or two-level codebook) score exact cosine
+  * under centroid-directory pruning (the graded s_ann_ivf2_stored
+  * plan); PQ CODES stores (flat-routed or two-level-routed — the
+  * billion-vector layout) run the ADC shortlist over the pruned codes
+  * directories and re-rank exact against the id-partitioned vector
+  * store named by `rerank_store_path` (the graded s_ann_ivfpq2_stored
+  * plan). Emits (q_id, c_id, rank, sim).
   */
 object AnnSearchExtractor extends Extractor {
   val info: PluginInfo = PluginInfo("ann-search",
@@ -135,7 +140,13 @@ object AnnSearchExtractor extends Extractor {
         |top_k: 10
         |nprobe: 3
         |# nprobe_top: 2      # two-level stores only
-        |# exclude_self: false""".stripMargin,
+        |# exclude_self: false
+        |# PQ codes stores (ivf-index built with quantize: pq) re-rank
+        |# their ADC shortlist against exact vectors — point this at the
+        |# vector store the ingest recipe wrote via rerank_store_path.
+        |# (Codes stores always drop an id-equal candidate.)
+        |# rerank_store_path: /indexes/ivf_vectors
+        |# shortlist: 50""".stripMargin,
     tags = Seq("extractor", "similarity", "curation"))
 
   override def validate(config: Map[String, Any]): Seq[InvalidConfigError] =
@@ -149,19 +160,49 @@ object AnnSearchExtractor extends Extractor {
     val vc = config.getOrElse("vector_column", "embedding").toString
     val k = SearchConfig.int(config, "top_k", 10)
     val nprobe = SearchConfig.int(config, "nprobe", 3)
+    val nprobeTop = SearchConfig.int(config, "nprobe_top", 2)
     // external queries are usually NOT store members, so self-exclusion
     // defaults OFF (the library default serves self-kNN, where they are)
     val excludeSelf =
       config.getOrElse("exclude_self", false).toString.toBoolean
     val store = spark.read.parquet(path)
-    Similarity.readAnyCodebookAt(spark, path) match {
-      case Left(coarse) =>
-        Similarity.ivfTopKStored(store, queries, idc, vc, k, coarse,
+    // the exact-vector fetch side of a codes store's re-rank: REQUIRED
+    // for pq layouts (codes cannot re-rank themselves), rejected loudly
+    // when absent instead of returning ADC-only approximations
+    def rerankStore: (org.apache.spark.sql.DataFrame, Int) = {
+      val rp = config.getOrElse("rerank_store_path", "").toString
+      if (rp.isEmpty) throw new ConfigException(Seq(InvalidConfigError(
+        "rerank_store_path",
+        s"$path holds a PQ CODES store — the ADC shortlist re-ranks " +
+          "against exact vectors, so set rerank_store_path to the " +
+          "id-partitioned vector store written at ingest (ivf-index " +
+          "writes one when its recipe sets rerank_store_path)")))
+      Similarity.readVectorStore(spark, rp)
+    }
+    Similarity.codebookKindAt(spark, path) match {
+      case "two_level_pq" =>
+        val (cb, codebooks) = Similarity.readPq2CodebooksAt(spark, path)
+        Similarity.ivfPqTopKStoredTwoLevel(store, queries, idc, vc, k, cb,
+          codebooks, vectorStore = rerankStore, nprobeTop = nprobeTop,
+          nprobe = nprobe,
+          shortlist = SearchConfig.int(config, "shortlist", 50))
+      case "pq" =>
+        val (coarse, codebooks) = Similarity.readPqCodebooksAt(spark, path)
+        Similarity.ivfPqTopKStored(store, queries, idc, vc, k, coarse,
+          codebooks, vectorStore = rerankStore, nprobe = nprobe,
+          shortlist = SearchConfig.int(config, "shortlist", 50))
+      case "flat" =>
+        Similarity.ivfTopKStored(store, queries, idc, vc, k,
+          Similarity.readCoarseCodebookAt(spark, path),
           nprobe = nprobe, excludeSelf = excludeSelf)
-      case Right(cb) =>
-        Similarity.ivfTopKStoredTwoLevel(store, queries, idc, vc, k, cb,
-          nprobeTop = SearchConfig.int(config, "nprobe_top", 2),
-          nprobe = nprobe, excludeSelf = excludeSelf)
+      case "two_level" =>
+        Similarity.ivfTopKStoredTwoLevel(store, queries, idc, vc, k,
+          Similarity.readTwoLevelCodebookAt(spark, path),
+          nprobeTop = nprobeTop, nprobe = nprobe,
+          excludeSelf = excludeSelf)
+      case other => throw new ConfigException(Seq(InvalidConfigError(
+        "index_path", s"$path holds an unrecognized codebook kind " +
+          s"'$other' — not a probeable store")))
     }
   }
 }

@@ -1071,6 +1071,41 @@ class LayoutSpec extends SparkSpec {
       Layout.withPendingMarker(spark, path)(())
     }
   }
+
+  test("withPendingMarkerStaged releases the marker on a PREPARE failure " +
+      "(nothing written — the store stays mutable) and keeps it on a " +
+      "MUTATE failure") {
+    val path = java.nio.file.Files.createTempDirectory("staged").toString
+    // plan-time failure (cancelled job, OOM-killed stage): nothing was
+    // written, so the marker must come back off — the store is untouched
+    // and must not demand a manual rebuild
+    intercept[RuntimeException] {
+      Layout.withPendingMarkerStaged[Unit, Unit](spark, path)(
+        { throw new RuntimeException("plan-time failure") })(identity)
+    }
+    Layout.refuseIfPending(spark, path) // no throw: store stays mutable
+    Layout.withPendingMarker(spark, path)(()) // and acquirable
+    // write-phase failure: some writes may have landed — marker stays
+    intercept[RuntimeException] {
+      Layout.withPendingMarkerStaged(spark, path)(42) { _ =>
+        throw new RuntimeException("died between writes")
+      }
+    }
+    intercept[IllegalArgumentException] {
+      Layout.withPendingMarker(spark, path)(())
+    }
+    // prepare still runs UNDER the marker: a concurrent writer racing the
+    // prepare phase is excluded, not interleaved
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path, "_graft_merge_pending"),
+      false)
+    Layout.withPendingMarkerStaged(spark, path)({
+      intercept[IllegalArgumentException] {
+        Layout.withPendingMarker(spark, path)(())
+      }
+    })(_ => ())
+  }
 }
 
 class PackingSpec extends SparkSpec {
@@ -2076,6 +2111,74 @@ class ClassifySpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(inline.nonEmpty && inline == stored)
   }
+
+  test("forgetNbStoreAt unlearns tombstoned docs to EXACTLY the retrain " +
+      "on survivors — weights, scalars, and predictions bit-for-bit") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val tr = docs.filter(col("doc_id") % 2 === 0)
+    val te = docs.filter(col("doc_id") % 2 === 1)
+    val path = java.nio.file.Files.createTempDirectory("nbforget").toString
+    Classify.writeNbStore(tr, "doc_id", "text", "lang", path)
+    // tombstones arrive WITH content (the unlearning contract) — plus an
+    // id never trained on, which the membership sidecar must ignore
+    val tomb = tr.select(col("doc_id"), col("text"), col("lang"))
+      .filter(col("doc_id") % 10 === 0)
+      .unionByName(Seq((999999L, "never ingested", "en"))
+        .toDF("doc_id", "text", "lang"))
+    Classify.forgetNbStoreAt(spark, path, tomb, "doc_id", "text", "lang")
+    val (model, base) = Classify.readNbStore(spark, path)
+    val surv = tr.filter(col("doc_id") % 10 =!= 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(model) == rows(Classify.nbModel(surv, "text", "lang")))
+    assert(rows(base) ==
+      rows(Classify.nbClassBase(surv, "doc_id", "text", "lang")))
+    val predF = Classify.nbPredict(te, model, base, "doc_id", "text")
+    val predR = Classify.nbPredict(te, Classify.nbModel(surv, "text", "lang"),
+      Classify.nbClassBase(surv, "doc_id", "text", "lang"), "doc_id", "text")
+    assert(rows(predF).nonEmpty && rows(predF) == rows(predR))
+    // idempotent: re-running the same forget is a no-op (membership gone)
+    Classify.forgetNbStoreAt(spark, path, tomb, "doc_id", "text", "lang")
+    val (model2, base2) = Classify.readNbStore(spark, path)
+    assert(rows(model2) == rows(model) && rows(base2) == rows(base))
+    // no marker left behind
+    val marker = new org.apache.hadoop.fs.Path(path, "_graft_merge_pending")
+    assert(!marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(marker))
+  }
+
+  test("forgetNbStoreAt erases a whole class cleanly and refuses a marked " +
+      "store") {
+    val tr = Seq(
+      (0L, "apple banana apple cherry", "fruit"),
+      (1L, "banana banana apple", "fruit"),
+      (2L, "bolt nut bolt washer", "tool"),
+      (3L, "nut washer bolt", "tool")
+    ).toDF("doc_id", "text", "lang")
+    val path = java.nio.file.Files.createTempDirectory("nbforgetall").toString
+    Classify.writeNbStore(tr, "doc_id", "text", "lang", path)
+    // erase EVERY tool doc: the class must vanish from both tables, and
+    // the fruit weights must re-derive under the SHRUNK vocabulary
+    // (v counts surviving terms only — a stale v would shift every llr)
+    Classify.forgetNbStoreAt(spark, path,
+      tr.filter(col("lang") === "tool"), "doc_id", "text", "lang")
+    val (model, base) = Classify.readNbStore(spark, path)
+    val surv = tr.filter(col("lang") === "fruit")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(model.filter(col("label") === "tool").count() == 0)
+    assert(rows(model) == rows(Classify.nbModel(surv, "text", "lang")))
+    assert(rows(base) ==
+      rows(Classify.nbClassBase(surv, "doc_id", "text", "lang")))
+    // a marked store refuses the forget loudly
+    val marker = new org.apache.hadoop.fs.Path(path, "_graft_merge_pending")
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(marker, false).close()
+    intercept[IllegalArgumentException] {
+      Classify.forgetNbStoreAt(spark, path,
+        tr.filter(col("doc_id") === 0L), "doc_id", "text", "lang")
+    }
+  }
 }
 
 class RetrievalSpec extends SparkSpec {
@@ -2262,6 +2365,81 @@ class RetrievalSpec extends SparkSpec {
     assert(reborn.postings.count() == 2)
   }
 
+  test("the forget finder reads only the tombstoned docs' own postings " +
+      "buckets, and pre-tbuckets sidecars fall back to the full scan") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val path = java.nio.file.Files
+      .createTempDirectory("bm25tbuckets").toString
+    Retrieval.writeBm25Store(docs, "doc_id", "text", path, buckets = 8)
+    // the sidecar carries each doc's distinct postings-bucket list, and
+    // it matches what the postings actually hold for that doc
+    val side = spark.read.parquet(s"$path/docs")
+    assert(side.columns.contains("tbuckets"))
+    val fromSide = side.filter(col("doc_id") === 3L)
+      .select(explode(col("tbuckets")).as("b")).collect()
+      .map(_.getInt(0)).toSet
+    val fromPost = spark.read.parquet(s"$path/postings")
+      .filter(col("doc_id") === 3L)
+      .select(col("bucket").cast("int")).distinct().collect()
+      .map(_.getInt(0)).toSet
+    assert(fromSide == fromPost && fromSide.nonEmpty)
+    // legacy store shape: rewrite the sidecar WITHOUT tbuckets — the
+    // forget must fall back to the unpruned scan and stay exact
+    val legacy = side.drop("tbuckets").localCheckpoint()
+    legacy.write.mode("overwrite").partitionBy("dbucket")
+      .parquet(s"$path/docs")
+    val tomb = docs.filter(col("doc_id") % 7 === 3).select(col("doc_id"))
+    Retrieval.forgetBm25StoreAt(spark, path, tomb, "doc_id")
+    val rbPath = java.nio.file.Files
+      .createTempDirectory("bm25tbuckets_rb").toString
+    Retrieval.writeBm25Store(docs.filter(col("doc_id") % 7 =!= 3),
+      "doc_id", "text", rbPath, buckets = 8)
+    def pdf(p: String) = (
+      spark.read.parquet(s"$p/postings").drop("bucket").collect()
+        .map(_.toSeq).toSet,
+      spark.read.parquet(s"$p/dfreq").collect().map(_.toSeq).toSet,
+      spark.read.parquet(s"$p/stats").collect().map(_.toSeq).toSet)
+    assert(pdf(path) == pdf(rbPath))
+  }
+
+  test("a direct library merge refuses a store left marked by a crashed " +
+      "mutation, and leaves no marker itself on success") {
+    val docs = Seq((1L, "ducks swim"), (2L, "ponds shine"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("bm25mergemark").toString
+    Retrieval.writeBm25Store(docs, "doc_id", "text", path, buckets = 2)
+    val marker = new org.apache.hadoop.fs.Path(path, "_graft_merge_pending")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(marker, false).close()
+    // both merge entry points refuse WITHOUT the sink wrapper — a crashed
+    // forget's marker must stop direct library merges too
+    intercept[IllegalArgumentException] {
+      Retrieval.mergeBm25StoreAt(spark, path,
+        Seq((3L, "more ducks")).toDF("doc_id", "text"), "doc_id", "text",
+        buckets = 2)
+    }
+    val fpath = java.nio.file.Files
+      .createTempDirectory("bm25fmergemark").toString
+    Retrieval.writeBm25fStore(docs, "doc_id", "text", fpath, buckets = 2)
+    val fmarker = new org.apache.hadoop.fs.Path(fpath, "_graft_merge_pending")
+    fs.create(fmarker, false).close()
+    intercept[IllegalArgumentException] {
+      Retrieval.mergeBm25fStoreAt(spark, fpath,
+        Seq((3L, "more ducks")).toDF("doc_id", "text"), "doc_id", "text",
+        buckets = 2)
+    }
+    // cleared marker: the merge runs and releases its own marker after
+    fs.delete(marker, false)
+    Retrieval.mergeBm25StoreAt(spark, path,
+      Seq((3L, "more ducks")).toDF("doc_id", "text"), "doc_id", "text",
+      buckets = 2)
+    assert(!fs.exists(marker))
+    assert(Retrieval.readBm25Store(spark, path).stats
+      .collect()(0).getLong(0) == 3L)
+  }
+
   test("forgetBm25fStoreAt compacts the fielded store to the rebuild on " +
       "survivors") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
@@ -2446,6 +2624,59 @@ class WinnowSpec extends SparkSpec {
         "doc_id", "text").collect().map(_.getLong(0))
     }.toSet
     assert(oneByOne == survivors)
+  }
+
+  test("winnow store forget ≡ rebuild on survivors, and the gate STOPS " +
+      "rejecting resubmissions whose only match was erased content") {
+    // the GDPR obligation the distinct-fp layout could not meet: after
+    // erasing doc 1, a batch doc that plagiarizes ONLY doc 1 must pass
+    val copied = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val keeper = "nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    val hist = Seq(
+      (1L, s"one two three $copied four five six"),
+      (2L, s"seven eight nine $keeper ten eleven twelve"),
+      (3L, s"unrelated historical words entirely novel here okay then $keeper")
+    ).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("winnowstore").toString
+    Dedup.writeWinnowStoreAt(spark, path, hist, "doc_id", "text")
+    val batch = Seq((10L, s"intro words then $copied and an outro here"))
+      .toDF("doc_id", "text")
+    // pre-forget: the plagiarized span rejects the batch doc
+    assert(Dedup.winnowIngest(batch, Dedup.readWinnowStoreFps(spark, path),
+      "doc_id", "text").count() == 0)
+    // forget doc 1 — delivered as INTs (the type-drift shape) plus a
+    // never-ingested id the attribution sidecar must ignore
+    Dedup.forgetWinnowStoreAt(spark, path,
+      Seq(1, 999).toDF("doc_id")
+        .select(col("doc_id").cast("int").as("doc_id")), "doc_id")
+    // the gate passes the resubmission now
+    assert(Dedup.winnowIngest(batch, Dedup.readWinnowStoreFps(spark, path),
+        "doc_id", "text").collect().map(_.getLong(0)).toSet == Set(10L))
+    // forget ≡ rebuild, refcounts included (docs 2 and 3 SHARE the
+    // keeper span — its fps must still carry refs = 2)
+    val rbPath = java.nio.file.Files
+      .createTempDirectory("winnowstore_rb").toString
+    Dedup.writeWinnowStoreAt(spark, rbPath,
+      hist.filter(col("doc_id") =!= 1L), "doc_id", "text")
+    def rows(p: String, table: String) =
+      spark.read.parquet(s"$p/$table").collect().map(_.toSeq).toSet
+    assert(rows(path, "fps") == rows(rbPath, "fps"))
+    assert(rows(path, "docs") == rows(rbPath, "docs"))
+    assert(spark.read.parquet(s"$path/fps").filter(col("refs") === 2L)
+      .count() > 0, "shared fps must survive with decremented refcounts")
+    // idempotent re-run, and no marker left behind
+    Dedup.forgetWinnowStoreAt(spark, path, Seq(1L).toDF("doc_id"), "doc_id")
+    assert(rows(path, "fps") == rows(rbPath, "fps"))
+    val marker = new org.apache.hadoop.fs.Path(path, "_graft_merge_pending")
+    assert(!marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(marker))
+    // a marked store refuses loudly
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(marker, false).close()
+    intercept[IllegalArgumentException] {
+      Dedup.forgetWinnowStoreAt(spark, path, Seq(2L).toDF("doc_id"),
+        "doc_id")
+    }
   }
 }
 
@@ -4159,6 +4390,40 @@ class AutoCodebookSpec extends SparkSpec {
       docs.join(tomb.unionByName(tomb2), Seq("vec_id"), "left_anti"),
       "vec_id", "embedding", grown, rb2)
     assert(storeRows(path) == storeRows(rb2))
+  }
+
+  test("forgetIvfStoreAt erases exactly even when the tombstone ids arrive " +
+      "as a DIFFERENT numeric type than the store's id column") {
+    // xxhash64 is type-sensitive: an INT tombstone against a LONG store
+    // id column used to compute the wrong sidecar buckets, prune the
+    // wrong directories, and silently no-op the erasure — a GDPR miss
+    // with no error. The finder now casts to the store's id type first.
+    import org.apache.spark.sql.functions.col
+    val docs = synth(60) // vec_id is LONG
+    val seeds = Seq(
+      Seq(1.0, 0, 0, 0, 0, 0, 0, 0),
+      Seq(0, 1.0, 0, 0, 0, 0, 0, 0),
+      Seq(0, 0, 1.0, 0, 0, 0, 0, 0))
+    val path = java.nio.file.Files.createTempDirectory("ivftomtype").toString
+    Similarity.writeIvfStore(docs, "vec_id", "embedding", seeds, path)
+    // the same ids as INTs (the csv-inferSchema delivery shape)...
+    val tombInt = Seq(3, 7, 12).toDF("vec_id")
+      .select(col("vec_id").cast("int").as("vec_id"))
+    Similarity.forgetIvfStoreAt(spark, path, tombInt, "vec_id")
+    val left = spark.read.parquet(path).select(col("vec_id")).collect()
+      .map(_.getLong(0)).toSet
+    assert(!left.contains(3L) && !left.contains(7L) && !left.contains(12L),
+      s"int-typed tombstones must erase long-id store rows, left=$left")
+    // ...and the sidecar forgot them too (no phantom erasure entries)
+    val side = spark.read.parquet(s"$path/_graft_ids")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(side == left)
+    // ids outside the store type's range are harmless non-members, not
+    // an ANSI cast abort: a DOUBLE-typed frame with a fractional id
+    val tombWide = Seq(5.0, 1e18).toDF("vec_id")
+    Similarity.forgetIvfStoreAt(spark, path, tombWide, "vec_id")
+    assert(!spark.read.parquet(path).select(col("vec_id")).collect()
+      .map(_.getLong(0)).toSet.contains(5L))
   }
 
   test("two-level PQ codes store: appends fold to exactly a write-all " +

@@ -457,6 +457,89 @@ class AgentSpec extends SparkSpec {
     assert(Registries.extractors.list.map(_.name).contains("ann-search"))
   }
 
+  test("ann-search serves a quantize: pq store end to end — recipe rows " +
+      "equal ivfPqTopKStoredTwoLevel, and forget erases both layouts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    // the round-13 gap: the sink could BUILD the billion-vector layout
+    // but only Scala could query it. The composition under test: ingest
+    // recipe writes codes + rerank vectors, query recipe ranks off both.
+    val dir = Files.createTempDirectory("annpq")
+    val idx = dir.resolve("pq").toString
+    val rrk = dir.resolve("pqvec").toString
+    val vecs = (0 until 60).map(i => (i.toLong,
+      Seq.tabulate(8)(d => (if (d == i % 3) 10.0 else 0.0) + 0.01 * (i % 5))))
+      .toDF("vec_id", "embedding")
+    val cfg = Map("index_path" -> idx, "quantize" -> "pq",
+      "rerank_store_path" -> rrk, "pq_m" -> 4, "pq_k" -> 8)
+    assert(graft.sinks.IvfIndexSink.validate(cfg).isEmpty)
+    assert(graft.sinks.IvfIndexSink.sink(vecs, cfg) == 60L)
+    val qv = vecs.filter(col("vec_id") >= 57L)
+    qv.write.parquet(s"$dir/qv")
+    val out = dir.resolve("annpq.ndjson")
+    val r = new Agent(spark).run(RecipeReader.parse(
+      s"""name: ann-pq-serve
+         |version: v1beta1
+         |source:
+         |  name: ann-search
+         |  config:
+         |    index_path: $idx
+         |    queries_path: $dir/qv
+         |    rerank_store_path: $rrk
+         |    top_k: 5
+         |    shortlist: 20
+         |sinks:
+         |  - name: file
+         |    config: {path: $out, format: ndjson}
+         |""".stripMargin))
+    assert(r.success, r.error)
+    val (cb, codebooks) = Similarity.readPq2CodebooksAt(spark, idx)
+    val direct = Similarity.ivfPqTopKStoredTwoLevel(
+        spark.read.parquet(idx), qv, "vec_id", "embedding", k = 5, cb,
+        codebooks, vectorStore = Similarity.readVectorStore(spark, rrk),
+        nprobeTop = 2, nprobe = 3, shortlist = 20)
+      .collect().map(row => (row.getLong(0), row.getLong(1), row.getInt(2),
+        row.getDouble(3))).toSet
+    val sunk = scala.io.Source.fromFile(out.toFile).getLines().map { l =>
+      val m = new org.yaml.snakeyaml.Yaml().load[java.util.Map[String, Object]](l)
+      (m.get("q_id").toString.toLong, m.get("c_id").toString.toLong,
+        m.get("rank").toString.toInt, m.get("sim").toString.toDouble)
+    }.toSet
+    assert(sunk == direct && sunk.nonEmpty)
+    // a codes store WITHOUT the rerank key refuses loudly (never returns
+    // ADC-only approximations)
+    val err = intercept[Exception] {
+      graft.sources.AnnSearchExtractor.extract(spark, Map(
+        "index_path" -> idx, "queries_path" -> s"$dir/qv"))
+    }
+    assert(err.getMessage.contains("rerank_store_path"), err.getMessage)
+    // mode: forget with the same key erases BOTH layouts, and the served
+    // ranking equals the stored probe over the survivors
+    val tomb = Seq(58L).toDF("vec_id")
+    assert(graft.sinks.IvfIndexSink.sink(tomb, Map("index_path" -> idx,
+      "mode" -> "forget", "rerank_store_path" -> rrk)) == 1L)
+    assert(spark.read.parquet(idx).filter(col("vec_id") === 58L).count() == 0)
+    assert(spark.read.parquet(rrk).filter(col("vec_id") === 58L).count() == 0)
+    val served = graft.sources.AnnSearchExtractor.extract(spark, Map(
+        "index_path" -> idx, "queries_path" -> s"$dir/qv",
+        "rerank_store_path" -> rrk, "top_k" -> 5, "shortlist" -> 20))
+      .collect().map(_.toSeq)
+    assert(served.nonEmpty &&
+      !served.exists(row => row(1) == 58L),
+      "erased id must not be servable from the recipe surface")
+    // a mid-stream rerank store refuses: append a batch pointing the key
+    // at a FRESH path — it must not silently start a partial store
+    val late = intercept[IllegalArgumentException] {
+      graft.sinks.IvfIndexSink.sink(
+        Seq((100L, Seq.tabulate(8)(_ * 0.1))).toDF("vec_id", "embedding"),
+        Map("index_path" -> idx, "quantize" -> "pq",
+          "rerank_store_path" -> dir.resolve("late").toString,
+          "pq_m" -> 4, "pq_k" -> 8))
+    }
+    assert(late.getMessage.toLowerCase.contains("rebuild"), late.getMessage)
+  }
+
   test("mode: forget on the index sinks erases tombstoned rows through the " +
       "recipe surface, equal to a rebuild on the survivors") {
     import spark.implicits._
