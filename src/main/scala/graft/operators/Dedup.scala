@@ -1097,6 +1097,66 @@ object Dedup {
                          path: String): DataFrame =
     spark.read.parquet(s"$path/fps")
 
+  /** Whether `path` holds a winnow store (the fps table's _SUCCESS is
+    * the commit signal — it is written LAST on build and rewritten LAST
+    * on merge). */
+  def winnowStoreExistsAt(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/fps/_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Fold a batch of NEW documents into a written winnow store — the
+    * steady-state ingest behind the winnow-gate: the batch's (id, fp)
+    * attribution rows APPEND into their id-hash sidecar directories, and
+    * refcounts integer-add via one outer join over ONLY the batch's fp
+    * directories (new fps insert with their add count — they hash into
+    * the same hit-directory set by construction). Builds the store when
+    * `path` is empty. Refcount arithmetic is a pure multiset add, so the
+    * merge is associative/batch-split invariant and merged ≡ rebuild on
+    * the combined corpus (spec-pinned). Same arriving-batch contract as
+    * every incremental gate (ids DISJOINT from the store — chain a
+    * dedup-gate upstream when re-deliveries are possible) and the same
+    * staged single-writer marker; sidecar appends BEFORE the fps rewrite
+    * so a crash between the two refuses loudly rather than leaving an
+    * uncounted attribution row.
+    */
+  def mergeWinnowStoreAt(spark: org.apache.spark.sql.SparkSession,
+                         path: String, batch: DataFrame, idCol: String,
+                         textCol: String, k: Int = 4, w: Int = 4): Unit = {
+    if (!winnowStoreExistsAt(spark, path)) {
+      writeWinnowStoreAt(spark, path, batch, idCol, textCol, k, w)
+      return
+    }
+    Layout.withPendingMarkerStaged(spark, path)({
+      val bfps = winnowFingerprints(batch, idCol, textCol, k, w)
+        .localCheckpoint()
+      val adds = bfps.groupBy(col("fp")).agg(count(lit(1)).as("__add"))
+      val hitDirs = adds.select(winnowFpBucket.as("b")).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+      val fpsRaw = spark.read.parquet(s"$path/fps")
+      val newRows = fpsRaw.filter(col("fbucket").isInCollection(hitDirs))
+        .select(col("fp"), col("refs"))
+        .join(adds, Seq("fp"), "full_outer")
+        .select(col("fp"),
+          (coalesce(col("refs"), lit(0L)) + coalesce(col("__add"), lit(0L)))
+            .as("refs"))
+        .withColumn("fbucket", winnowFpBucket)
+      val fpsPlan = Layout.planDirRewrite(spark, s"$path/fps", "fbucket",
+        newRows, hitDirs, fpsRaw, sortCols = Seq("fp"))
+      (bfps, fpsPlan)
+    }) { case (bfps, fpsPlan) =>
+      bfps.withColumn("dbucket",
+          pmod(xxhash64(col(idCol)), lit(WinnowDocBuckets)).cast("int"))
+        .repartition(2, col("dbucket"))
+        .sortWithinPartitions(col("dbucket"), col(idCol))
+        .write.mode("append").partitionBy("dbucket")
+        .parquet(s"$path/docs")
+      // fps rewrite LAST — its _SUCCESS is the commit signal
+      Layout.execDirRewrite(spark, fpsPlan)
+    }
+  }
+
   /** Right-to-erasure for the winnow store, IN PLACE: the tombstoned
     * docs' fingerprints come off the attribution sidecar (reading only
     * the ≤ |tombstones| id-hash directories they can live in), refcounts

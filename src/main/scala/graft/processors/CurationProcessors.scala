@@ -402,6 +402,60 @@ object CurationProcessors {
       survivors
     }
   }
+
+  /** winnow-gate: the span-reuse (plagiarism) ingest gate on the recipe
+    * surface — [[Dedup.winnowIngest]] against the ERASABLE refcounted
+    * winnow store. A row is dropped iff it shares >= `min_shared`
+    * selected fingerprints with stored content (the winnowing guarantee:
+    * any copied run of w+k-1 tokens surfaces at least one shared
+    * fingerprint); by default survivors MERGE their fingerprints in
+    * (refcount adds + attribution-sidecar appends via
+    * [[Dedup.mergeWinnowStoreAt]]), so later batches gate against them
+    * and a GDPR tombstone batch (`winnow-index` sink, mode: forget) can
+    * decrement them back out. A missing store initializes from the
+    * first batch's survivors. Batch-split invariant (decisions depend
+    * only on the static index); single-writer per index like every gate.
+    */
+  object WinnowGate extends Processor {
+    val info: PluginInfo = PluginInfo("winnow-gate",
+      "Drop rows whose winnowed span fingerprints match the stored index (plagiarism gate); merge survivors' fingerprints in",
+      sampleConfig =
+        """index_path: /indexes/winnow
+          |id_column: doc_id
+          |text_column: text
+          |k: 4
+          |w: 4
+          |min_shared: 2
+          |update_index: true""".stripMargin,
+      tags = Seq("processor", "curation"))
+
+    override def validate(config: Map[String, Any]): Seq[InvalidConfigError] =
+      requireKeys(config, "index_path")
+
+    def process(df: DataFrame, config: Map[String, Any]): DataFrame = {
+      val spark = df.sparkSession
+      val tc = textCol(config)
+      val idc = config.getOrElse("id_column", "doc_id").toString
+      val path = config("index_path").toString
+      val k = config.getOrElse("k", 4).toString.toInt
+      val w = config.getOrElse("w", 4).toString.toInt
+      val minShared = config.getOrElse("min_shared", 2).toString.toInt
+      val update = config.getOrElse("update_index", true).toString.toBoolean
+      val survivorIds =
+        if (Dedup.winnowStoreExistsAt(spark, path))
+          Dedup.winnowIngest(df, Dedup.readWinnowStoreFps(spark, path),
+            idc, tc, k, w, minShared)
+        else df.select(col(idc))
+      // semi-join the verdicts back so all columns flow on; materialize
+      // before the merge so the returned frame cannot re-gate against
+      // its own newly-written fingerprints
+      val survivors = df.join(survivorIds, Seq(idc), "left_semi")
+        .localCheckpoint()
+      if (update)
+        Dedup.mergeWinnowStoreAt(spark, path, survivors, idc, tc, k, w)
+      survivors
+    }
+  }
 }
 
 /** documents: data-plane parquet source — emits the file's rows verbatim

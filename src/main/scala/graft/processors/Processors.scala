@@ -93,6 +93,7 @@ object Populate {
     r.register(CurationProcessors.LangFilter)
     r.register(CurationProcessors.DedupGate)
     r.register(CurationProcessors.NearDupGate)
+    r.register(CurationProcessors.WinnowGate)
     r.register(CurationProcessors.SemDedupGate)
     r.register(CurationProcessors.Chunk)
     r.register(CurationProcessors.Normalize)

@@ -867,6 +867,62 @@ object IvfIndexSink extends SinkPlugin {
   }
 }
 
+/** winnow-index: terminal write of the incoming rows' winnowed span
+  * fingerprints into the ERASABLE refcounted winnow store — the index
+  * half of the span-reuse (plagiarism) gate on the recipe surface. First
+  * batch at an empty `index_path` builds the (fp, refs) + attribution
+  * sidecar layout ([[graft.operators.Dedup.writeWinnowStoreAt]]); later
+  * batches MERGE (refcount adds, sidecar appends — merged ≡ rebuild
+  * spec-pinned). `mode: forget` treats the rows as TOMBSTONES (only
+  * `id_column` read): refcounts decrement through the attribution
+  * sidecar and fps at zero leave the gate
+  * ([[graft.operators.Dedup.forgetWinnowStoreAt]]) — right-to-erasure
+  * for the plagiarism gate in one YAML recipe. Same arriving-batch +
+  * single-writer contract as [[Bm25IndexSink]]; mutations run under the
+  * staged pending marker.
+  */
+object WinnowIndexSink extends SinkPlugin {
+  val info: PluginInfo = PluginInfo("winnow-index",
+    "Build or incrementally extend the refcounted span-fingerprint (plagiarism) index from the incoming rows (mode: forget erases them instead)",
+    sampleConfig =
+      """index_path: /indexes/winnow
+        |id_column: doc_id
+        |text_column: text
+        |k: 4
+        |w: 4
+        |# mode: forget   # rows are TOMBSTONES: decrement their fps in place""".stripMargin,
+    tags = Seq("sink", "curation", "dedup"))
+
+  override def validate(config: Map[String, Any]): Seq[InvalidConfigError] = {
+    val badMode = config.get("mode").map(_.toString)
+      .filter(m => m != "ingest" && m != "forget")
+      .map(m => InvalidConfigError("mode", s"unsupported mode: $m"))
+    requireKeys(config, "index_path") ++ badMode
+  }
+
+  def sink(df: DataFrame, config: Map[String, Any]): Long = {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.col
+    val spark = df.sparkSession
+    val path = config("index_path").toString
+    val idc = config.getOrElse("id_column", "doc_id").toString
+    if (config.getOrElse("mode", "ingest").toString == "forget") {
+      val tomb = df.select(col(idc)).localCheckpoint()
+      val n = tomb.count()
+      if (n > 0) Dedup.forgetWinnowStoreAt(spark, path, tomb, idc)
+      return n
+    }
+    val tc = config.getOrElse("text_column", "text").toString
+    val k = config.getOrElse("k", 4).toString.toInt
+    val w = config.getOrElse("w", 4).toString.toInt
+    val batch = df.select(col(idc), col(tc)).localCheckpoint()
+    val n = batch.count()
+    if (n == 0) return 0L
+    Dedup.mergeWinnowStoreAt(spark, path, batch, idc, tc, k, w)
+    n
+  }
+}
+
 object Populate {
   def register(r: Registry[SinkPlugin]): Unit = {
     r.register(ConsoleSink)
@@ -878,5 +934,6 @@ object Populate {
     // project additions on the same SPI: retrieval/vector index ingest
     r.register(Bm25IndexSink)
     r.register(IvfIndexSink)
+    r.register(WinnowIndexSink)
   }
 }

@@ -2678,6 +2678,37 @@ class WinnowSpec extends SparkSpec {
         "doc_id")
     }
   }
+
+  test("mergeWinnowStoreAt folds batches to exactly a write-all store, " +
+      "batch-split invariant, and forget composes after merges") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val path = java.nio.file.Files.createTempDirectory("winnowmerge").toString
+    // three arrival slices merge one at a time (first builds)
+    Dedup.mergeWinnowStoreAt(spark, path,
+      docs.filter(col("doc_id") < 150), "doc_id", "text")
+    Dedup.mergeWinnowStoreAt(spark, path,
+      docs.filter(col("doc_id") >= 150 && col("doc_id") < 300),
+      "doc_id", "text")
+    Dedup.mergeWinnowStoreAt(spark, path,
+      docs.filter(col("doc_id") >= 300), "doc_id", "text")
+    val rbPath = java.nio.file.Files
+      .createTempDirectory("winnowmerge_rb").toString
+    Dedup.writeWinnowStoreAt(spark, rbPath, docs, "doc_id", "text")
+    def rows(p: String, t: String) =
+      spark.read.parquet(s"$p/$t").collect().map(_.toSeq).toSet
+    assert(rows(path, "fps") == rows(rbPath, "fps"))
+    assert(rows(path, "docs") == rows(rbPath, "docs"))
+    // erasure composes on the merged store: forget ≡ rebuild-on-survivors
+    val tomb = docs.filter(col("doc_id") % 11 === 5).select(col("doc_id"))
+    Dedup.forgetWinnowStoreAt(spark, path, tomb, "doc_id")
+    val rb2 = java.nio.file.Files
+      .createTempDirectory("winnowmerge_rb2").toString
+    Dedup.writeWinnowStoreAt(spark, rb2,
+      docs.filter(col("doc_id") % 11 =!= 5), "doc_id", "text")
+    assert(rows(path, "fps") == rows(rb2, "fps"))
+    assert(rows(path, "docs") == rows(rb2, "docs"))
+  }
 }
 
 class HeavyHittersSpec extends SparkSpec {

@@ -457,6 +457,78 @@ class AgentSpec extends SparkSpec {
     assert(Registries.extractors.list.map(_.name).contains("ann-search"))
   }
 
+  test("winnow-gate + winnow-index recipes: the plagiarism gate gates, " +
+      "merges survivors in batch-split-invariantly, and forgets on the " +
+      "YAML surface") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Dedup
+    val dir = Files.createTempDirectory("winnowrecipe")
+    val idx = dir.resolve("winnow").toString
+    val copied = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val b1 = Seq(
+      (1L, s"one two three $copied four five six"),
+      (2L, "fresh historical words entirely novel over here okay then right"))
+      .toDF("doc_id", "text")
+    val b2 = Seq(
+      (10L, s"intro words then $copied and an outro here"), // plagiarizes 1
+      (11L, "totally novel content with new words only in this doc okay then"))
+      .toDF("doc_id", "text")
+    b1.write.parquet(s"$dir/b1"); b2.write.parquet(s"$dir/b2")
+    def recipe(batch: String, out: String) = RecipeReader.parse(
+      s"""name: winnow-ingest
+         |version: v1beta1
+         |source:
+         |  name: documents
+         |  config: {path: $dir/$batch}
+         |processors:
+         |  - name: winnow-gate
+         |    config: {index_path: $idx}
+         |sinks:
+         |  - name: file
+         |    config: {path: $dir/$out, format: ndjson}
+         |""".stripMargin)
+    val r1 = new Agent(spark).run(recipe("b1", "out1.ndjson"))
+    assert(r1.success, r1.error)
+    assert(r1.recordCount == 2, r1) // empty store: both pass and index
+    val r2 = new Agent(spark).run(recipe("b2", "out2.ndjson"))
+    assert(r2.success, r2.error)
+    assert(r2.recordCount == 1, r2) // the plagiarist is gated out
+    val out2 = scala.io.Source.fromFile(s"$dir/out2.ndjson").getLines()
+      .map(l => new org.yaml.snakeyaml.Yaml()
+        .load[java.util.Map[String, Object]](l).get("doc_id").toString.toLong)
+      .toSet
+    assert(out2 == Set(11L))
+    // merged store ≡ rebuild on everything it ingested (1, 2, 11)
+    val rb = dir.resolve("winnow_rb").toString
+    Dedup.writeWinnowStoreAt(spark, rb,
+      b1.unionByName(b2.filter(col("doc_id") === 11L)), "doc_id", "text")
+    def rows(p: String, t: String) =
+      spark.read.parquet(s"$p/$t").collect().map(_.toSeq).toSet
+    assert(rows(idx, "fps") == rows(rb, "fps"))
+    assert(rows(idx, "docs") == rows(rb, "docs"))
+    // GDPR on the same surface: tombstone doc 1 through the sink, then
+    // the previously-gated plagiarist passes a re-run
+    Seq(1L).toDF("doc_id").write.parquet(s"$dir/tomb")
+    val rf = new Agent(spark).run(RecipeReader.parse(
+      s"""name: winnow-forget
+         |version: v1beta1
+         |source:
+         |  name: documents
+         |  config: {path: $dir/tomb}
+         |sinks:
+         |  - name: winnow-index
+         |    config: {index_path: $idx, mode: forget}
+         |""".stripMargin))
+    assert(rf.success, rf.error)
+    assert(Dedup.winnowIngest(b2.filter(col("doc_id") === 10L),
+      Dedup.readWinnowStoreFps(spark, idx), "doc_id", "text")
+      .count() == 1)
+    Registries.populate()
+    assert(Registries.processors.list.map(_.name).contains("winnow-gate"))
+    assert(Registries.sinks.list.map(_.name).contains("winnow-index"))
+  }
+
   test("ann-search serves a quantize: pq store end to end — recipe rows " +
       "equal ivfPqTopKStoredTwoLevel, and forget erases both layouts") {
     import spark.implicits._
