@@ -930,6 +930,13 @@ object ScaleProbe {
               bytesRead.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
         }
         spark.sparkContext.addSparkListener(listener)
+        // event delivery is ASYNC: the store-build jobs above may still
+        // be draining through the bus when the listener attaches, and
+        // their task-end events would inflate the receipt by the build's
+        // own (scale-proportional) reads — let the queue drain, then
+        // zero the counter so only the forget's tasks count
+        Thread.sleep(2000)
+        bytesRead.set(0)
         val t0 = System.nanoTime()
         operators.Similarity.forgetIvfStoreAt(spark, path, tomb, "vec_id")
         val sec = (System.nanoTime() - t0) / 1e9
@@ -981,12 +988,16 @@ object ScaleProbe {
               bytesRead.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
         }
         spark.sparkContext.addSparkListener(listener)
+        // drain the async bus + zero, so the store build's own task-end
+        // events cannot inflate the forget's receipt (the ivf arm's rule)
+        Thread.sleep(2000)
+        bytesRead.set(0)
         val t0 = System.nanoTime()
         operators.Retrieval.forgetBm25StoreAt(spark, path, tomb, "doc_id")
         val sec = (System.nanoTime() - t0) / 1e9
         Thread.sleep(1500) // listener bus drains async
         spark.sparkContext.removeSparkListener(listener)
-        println(f"""{"probe":"bm25_forget","factor":$f,"sec":$sec%.2f,""" +
+        println(f"""{"probe":"bm25_forget_finder","factor":$f,"sec":$sec%.2f,""" +
           s""""buckets_hit":$hitBuckets,"buckets_total":$buckets,""" +
           s""""bytes_read":${bytesRead.get()},"store_bytes":$storeBytes,""" +
           s""""postings_bytes":$postingsBytes}""")

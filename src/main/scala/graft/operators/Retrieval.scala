@@ -1075,6 +1075,35 @@ object Retrieval {
       postings.filter(col("bucket").isInCollection(tb))
     } else postings
 
+  /** The tombstone MEMBERSHIP probe shared by the BM25-family forgets:
+    * tombstone ids cast to the sidecar's id type (xxhash64 is
+    * type-sensitive — a csv-int batch against a parquet-long store would
+    * otherwise derive the wrong buckets), then the sidecar read pruned
+    * to the ≤ |tombstones| id-hash directories they can live in before
+    * the semi-join. Returns (typed tomb, full sidecar frame, present
+    * rows — checkpointed).
+    */
+  private def tombPresence(spark: SparkSession, path: String,
+                           tombstones: DataFrame, idCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val docs = spark.read.parquet(s"$path/docs")
+    val idType = docs.schema(idCol).dataType
+    val tomb = tombstones
+      .select(expr(s"try_cast(`$idCol` AS ${idType.sql})").as(idCol))
+      .filter(col(idCol).isNotNull).distinct()
+    val b = readLayoutMeta(spark, path)
+    val pruned = b match {
+      case Some(nb) =>
+        val tombBuckets = tomb.select(idBucket(idCol, nb).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        docs.filter(col("dbucket").isInCollection(tombBuckets))
+      case None => docs
+    }
+    val present = pruned.join(broadcast(tomb), Seq(idCol), "left_semi")
+      .localCheckpoint()
+    (tomb, docs, present)
+  }
+
   def forgetBm25StoreAt(spark: SparkSession, path: String,
                         tombstones: DataFrame, idCol: String): Unit = {
     Layout.refuseIfPending(spark, path)
@@ -1082,10 +1111,7 @@ object Retrieval {
     require(isPlainBm25StoreAt(spark, path),
       s"$path holds a FIELDED store (no dfreq table) — erase it with " +
         "forgetBm25fStoreAt")
-    val tomb = tombstones.select(col(idCol)).distinct()
-    val docs = spark.read.parquet(s"$path/docs")
-    val present = docs.join(broadcast(tomb), Seq(idCol), "left_semi")
-      .localCheckpoint()
+    val (tomb, docs, present) = tombPresence(spark, path, tombstones, idCol)
     val nDec = present.count()
     if (nDec == 0L) return
     // staged: every read and survivor plan materializes BEFORE the first
@@ -1138,10 +1164,7 @@ object Retrieval {
     require(!isPlainBm25StoreAt(spark, path),
       s"$path holds a PLAIN store (it carries a dfreq table the fielded " +
         "path would leave stale) — erase it with forgetBm25StoreAt")
-    val tomb = tombstones.select(col(idCol)).distinct()
-    val docs = spark.read.parquet(s"$path/docs")
-    val present = docs.join(broadcast(tomb), Seq(idCol), "left_semi")
-      .localCheckpoint()
+    val (tomb, docs, present) = tombPresence(spark, path, tombstones, idCol)
     val nDec = present.count()
     if (nDec == 0L) return
     // staged like [[forgetBm25StoreAt]]; hit scan tbuckets-pruned the same

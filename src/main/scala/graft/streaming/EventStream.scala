@@ -313,6 +313,19 @@ object EventStream {
         }
     }
 
+  /** [[streamingBm25Forget]] for the refcounted winnow store: refcount
+    * decrements are integer subtractions keyed by the attribution
+    * sidecar, so per-micro-batch erasure lands the same store as one
+    * batch call with every tombstone (parity pinned in StreamingSpec).
+    */
+  def streamingWinnowForget(tombstones: DataFrame, idCol: String,
+                            path: String) =
+    tombstones.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Dedup.forgetWinnowStoreAt(
+          batch.sparkSession, path, batch.toDF(), idCol)
+    }
+
   /** [[streamingIvfAppend]] for a TWO-LEVEL layout: identical contract
     * (frozen codebook, per-micro-batch append, batch-split invariant),
     * assignment through the two-level kernel so ingest stays O(2√C·d)

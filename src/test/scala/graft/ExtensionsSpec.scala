@@ -1926,6 +1926,35 @@ class StreamingSpec extends SparkSpec {
     assert(a._1.nonEmpty && a == rows(oneShot))
   }
 
+  test("streaming winnow forget: micro-batched tombstones equal one-shot " +
+      "refcount erasure") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_winnow_sforget")
+    val streamed = tmp.resolve("streamed").toString
+    val oneShot = tmp.resolve("oneshot").toString
+    Dedup.writeWinnowStoreAt(spark, streamed, docs, "doc_id", "text")
+    Dedup.writeWinnowStoreAt(spark, oneShot, docs, "doc_id", "text")
+    val tombs = docs.filter(col("doc_id") % 7 === 3)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val mem = MemoryStream[Long]
+    val q = EventStream.streamingWinnowForget(
+      mem.toDF().toDF("doc_id"), "doc_id", streamed).start()
+    try {
+      tombs.grouped(19).foreach { c => mem.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    import spark.implicits._
+    Dedup.forgetWinnowStoreAt(spark, oneShot,
+      tombs.toSeq.toDF("doc_id"), "doc_id")
+    def rows(p: String, t: String) =
+      spark.read.parquet(s"$p/$t").collect().map(_.toSeq).toSet
+    val a = rows(streamed, "fps")
+    assert(a.nonEmpty && a == rows(oneShot, "fps"))
+    assert(rows(streamed, "docs") == rows(oneShot, "docs"))
+  }
+
   test("streaming TWO-LEVEL IVF append: micro-batched ingest equals one-shot layout") {
     // the two-level store's ingest parity, mirroring the flat pin above:
     // kernel assignment depends only on the frozen TwoLevelCodebook, so

@@ -4457,6 +4457,45 @@ class AutoCodebookSpec extends SparkSpec {
       .map(_.getLong(0)).toSet.contains(5L))
   }
 
+  test("ann-search dispatches the FLAT-routed PQ codes kind too: extractor " +
+      "rows equal ivfPqTopKStored through the rerank store") {
+    // the two_level_pq branch is e2e-pinned in RecipeAgentSpec; this
+    // covers the 'pq' kind (writePqStore + writePqCodebooksAt layouts
+    // built from the library) so every codebookKindAt arm is exercised
+    import org.apache.spark.sql.functions.col
+    val docs = synth(60)
+    val coarse = Seq(
+      Seq(1.0, 0, 0, 0, 0, 0, 0, 0),
+      Seq(0, 1.0, 0, 0, 0, 0, 0, 0),
+      Seq(0, 0, 1.0, 0, 0, 0, 0, 0))
+    val sample = Similarity.normalized(
+        docs.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("__u")), "__u")
+      .orderBy(col("vec_id")).limit(32).select(col("__u"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val codebooks = Similarity.pqTrain(sample, m = 4, k = 8)
+    val dir = java.nio.file.Files.createTempDirectory("annpqflat")
+    val idx = dir.resolve("pq").toString
+    val rrk = dir.resolve("vec").toString
+    Similarity.writePqStore(docs, "vec_id", "embedding", coarse,
+      codebooks, idx)
+    Similarity.writePqCodebooksAt(spark, idx, coarse, codebooks)
+    Similarity.writeVectorStore(docs, "vec_id", "embedding", rrk)
+    assert(Similarity.codebookKindAt(spark, idx) == "pq")
+    val queries = docs.filter(col("vec_id") < 3)
+    queries.write.parquet(s"$dir/q")
+    val served = graft.sources.AnnSearchExtractor.extract(spark, Map(
+        "index_path" -> idx, "queries_path" -> s"$dir/q",
+        "rerank_store_path" -> rrk, "top_k" -> 5, "shortlist" -> 20))
+      .collect().map(_.toSeq).toSet
+    val direct = Similarity.ivfPqTopKStored(spark.read.parquet(idx),
+        queries, "vec_id", "embedding", k = 5, coarse, codebooks,
+        vectorStore = Similarity.readVectorStore(spark, rrk),
+        nprobe = 3, shortlist = 20)
+      .collect().map(_.toSeq).toSet
+    assert(served.nonEmpty && served == direct)
+  }
+
   test("two-level PQ codes store: appends fold to exactly a write-all " +
       "layout, and the stored query equals it after the append") {
     import org.apache.spark.sql.functions.col
