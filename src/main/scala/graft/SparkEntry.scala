@@ -3426,11 +3426,7 @@ object SparkEntry {
     val emb = t(s, dir, "embeddings")
     val cb = ivf2PortableCodebook(emb)
     val (_, codebooks) = pqPortableCodebooks(emb)
-    val path = layoutPath(dir, "pq2store",
-      "m=8,k=16,tops=first3unit,kids=min3id,v1")
-    if (!layoutReady(path))
-      Similarity.writePqStoreTwoLevel(emb, "vec_id", "embedding",
-        cb, codebooks, path)
+    val path = pq2StorePath(s, dir)
     Similarity.ivfPqTopKStoredTwoLevel(s.read.parquet(path),
         emb.filter(col("vec_id") < 10), "vec_id", "embedding",
         k = 5, cb, codebooks,
@@ -3439,6 +3435,31 @@ object SparkEntry {
       .withColumnRenamed("rank", "rnk")
       .orderBy(col("q_id"), col("rnk"))
   }
+
+  /** The write-once two-level PQ codes layout for the SF dir (portable
+    * router + first-16 subquantizers) — shared by the stored-query row
+    * and the share audit. */
+  private def pq2StorePath(s: SparkSession, dir: String): String = {
+    val path = layoutPath(dir, "pq2store",
+      "m=8,k=16,tops=first3unit,kids=min3id,v1")
+    if (!layoutReady(path)) {
+      val emb = t(s, dir, "embeddings")
+      Similarity.writePqStoreTwoLevel(emb, "vec_id", "embedding",
+        ivf2PortableCodebook(emb), pqPortableCodebooks(emb)._2, path)
+    }
+    path
+  }
+
+  private def annShareAudit(s: SparkSession, dir: String): DataFrame =
+    // the operating dial behind the codes store's growth posture: codes
+    // cannot split in place (no raw vectors to re-home), so production
+    // watches per-directory share vs the balanced share and rebuilds
+    // from the rerank store past ~3× — this row IS that audit, one
+    // column-pruned aggregate over the partition column (codes never
+    // load), integer-ppm so the oracle replays the two-level routing and
+    // the division bit-for-bit
+    Similarity.storeShareAudit(s, pq2StorePath(s, dir))
+      .orderBy(col("centroid_id"))
 
   private def annIvfPq2Persisted(s: SparkSession, dir: String): DataFrame = {
     // the pq2 re-attach: BOTH frozen geometries (two-level router +
@@ -5760,6 +5781,7 @@ object SparkEntry {
     "s_ann_ivfpq_persisted" -> (annIvfPqPersisted _),
     "s_ann_ivfpq2_stored" -> (annIvfPq2Stored _),
     "s_ann_ivfpq2_persisted" -> (annIvfPq2Persisted _),
+    "s_ann_share_audit" -> (annShareAudit _),
     "s_embed_neardup" -> (embedNearDup _),
     "s_embed_neardup_bucketed" -> (embedNearDupBucketed _),
     "s_semdedup" -> (semDedupQuery _),
@@ -8971,6 +8993,51 @@ object SparkEntry {
     // composed replay grades it unchanged — what it adds is WHERE the
     // geometries came from (disk)
     "s_ann_ivfpq2_persisted" -> ivfPq2TwinSql,
+
+    // share-audit twin: the pq2 router replayed to per-directory counts,
+    // then exact integer-ppm shares (// is DuckDB's integer division,
+    // matching Spark's div)
+    "s_ann_share_audit" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |u AS (SELECT vec_id, v,
+        |        CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN v
+        |             ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v))) END AS vu
+        |      FROM e),
+        |tp AS (SELECT vec_id AS tid, vu AS tvu FROM u WHERE vec_id < 3),
+        |td AS (SELECT u.vec_id, tp.tid,
+        |         list_sum(list_transform(range(1, 65),
+        |           i -> (u.vu[i] - tp.tvu[i]) * (u.vu[i] - tp.tvu[i]))) AS d
+        |       FROM u, tp),
+        |tassign AS (SELECT vec_id, tid FROM (
+        |              SELECT vec_id, tid,
+        |                row_number() OVER (PARTITION BY vec_id ORDER BY d, tid) AS rn
+        |              FROM td) WHERE rn = 1),
+        |kids AS (SELECT tid, kvid, kvu, j FROM (
+        |           SELECT t.tid, t.vec_id AS kvid, u.vu AS kvu,
+        |             row_number() OVER (PARTITION BY t.tid ORDER BY t.vec_id) AS j
+        |           FROM tassign t JOIN u ON u.vec_id = t.vec_id) WHERE j <= 3),
+        |bs AS (SELECT tid,
+        |         CAST(coalesce(sum(m) OVER (ORDER BY tid
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS base
+        |       FROM (SELECT tid, count(*) AS m FROM kids GROUP BY tid)),
+        |gk AS (SELECT k.tid, k.kvid, k.kvu, bs.base + k.j - 1 AS gid
+        |       FROM kids k JOIN bs USING (tid)),
+        |gd AS (SELECT u.vec_id, gk.gid,
+        |         list_sum(list_transform(range(1, 65),
+        |           i -> (u.vu[i] - gk.kvu[i]) * (u.vu[i] - gk.kvu[i]))) AS d
+        |       FROM u JOIN tassign USING (vec_id) JOIN gk ON gk.tid = tassign.tid),
+        |assign AS (SELECT vec_id, gid FROM (
+        |             SELECT vec_id, gid,
+        |               row_number() OVER (PARTITION BY vec_id ORDER BY d, gid) AS rn
+        |             FROM gd) WHERE rn = 1),
+        |c AS (SELECT CAST(gid AS INTEGER) AS centroid_id, count(*) AS n_rows
+        |      FROM assign GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS tot,
+        |             count(*) AS dirs FROM c)
+        |SELECT c.centroid_id, c.n_rows,
+        |  CAST(1000000 * c.n_rows // t.tot AS BIGINT) AS share_ppm,
+        |  CAST(1000000 // t.dirs AS BIGINT) AS balanced_ppm
+        |FROM c, t ORDER BY centroid_id""".stripMargin,
     "d_ngram_jaccard" ->
       """WITH sh AS (
         | SELECT doc_id,

@@ -747,6 +747,31 @@ object Similarity {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Directory-share audit of ANY centroid-partitioned store (raw or
+    * codes): per directory its row count and share in ppm, plus the
+    * balanced share for comparison — ONE column-pruned aggregate over
+    * the partition column, no vectors or codes read. This is the
+    * operating dial the README's PQ growth posture names: a codes store
+    * cannot split in place (codes carry no raw vectors), so when
+    * `max(share) / balanced share` crosses ~3× the answer is a rebuild
+    * from the rerank vector store — this audit is how that threshold is
+    * watched in production. On raw two-level stores the same numbers say
+    * when to run [[splitHotChildrenAt]].
+    */
+  def storeShareAudit(spark: SparkSession, path: String): DataFrame = {
+    val counts = spark.read.parquet(path)
+      .groupBy(col("centroid_id").cast("int").as("centroid_id"))
+      .agg(count(lit(1)).as("n_rows"))
+    // exact integer ppm (div, never float division) so the audit is
+    // oracle-replayable bit-for-bit
+    counts.crossJoin(broadcast(
+        counts.agg(sum(col("n_rows")).as("__tot"),
+          count(lit(1)).as("__dirs"))))
+      .select(col("centroid_id"), col("n_rows"),
+        expr("1000000 * n_rows div __tot").cast("bigint").as("share_ppm"),
+        expr("1000000 div __dirs").cast("bigint").as("balanced_ppm"))
+  }
+
   /** Right-to-erasure for the id-partitioned re-rank store: `vs_part` is
     * a PURE FUNCTION of the id (pmod(id, parts)), so the hit directories
     * derive from the tombstones directly — no sidecar needed, and the
