@@ -179,7 +179,17 @@ object AnnSearchExtractor extends Extractor {
           "writes one when its recipe sets rerank_store_path)")))
       Similarity.readVectorStore(spark, rp)
     }
-    Similarity.codebookKindAt(spark, path) match {
+    val kind = Similarity.codebookKindAt(spark, path)
+    // a rerank key on a RAW store is a config mistake (raw stores
+    // re-rank against their own exact vectors) — reject loudly instead
+    // of silently ignoring it, the ivf-index sink's validate rule
+    if ((kind == "flat" || kind == "two_level") &&
+        config.contains("rerank_store_path"))
+      throw new ConfigException(Seq(InvalidConfigError("rerank_store_path",
+        s"$path holds a raw-vector store, which re-ranks against its own " +
+          "exact vectors — rerank_store_path pairs with PQ codes stores " +
+          "only")))
+    kind match {
       case "two_level_pq" =>
         val (cb, codebooks) = Similarity.readPq2CodebooksAt(spark, path)
         Similarity.ivfPqTopKStoredTwoLevel(store, queries, idc, vc, k, cb,

@@ -451,6 +451,14 @@ class AgentSpec extends SparkSpec {
         m.get("rank").toString.toInt, m.get("sim").toString.toDouble)
     }.toSet
     assert(vsunk == vdirect && vsunk.nonEmpty)
+    // a rerank key on a RAW store is rejected loudly (it pairs with PQ
+    // codes stores only — silently ignoring it would mask a config slip)
+    val rawRerank = intercept[Exception] {
+      graft.sources.AnnSearchExtractor.extract(spark, Map(
+        "index_path" -> vidx, "queries_path" -> s"$dir/qv",
+        "rerank_store_path" -> s"$dir/nowhere"))
+    }
+    assert(rawRerank.getMessage.contains("rerank_store_path"))
     // both sources are on the registry roster
     Registries.populate()
     assert(Registries.extractors.list.map(_.name).contains("bm25-search"))
