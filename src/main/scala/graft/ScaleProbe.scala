@@ -886,6 +886,19 @@ object ScaleProbe {
         docs.unpersist()
       }
     }
+    forgetProbes(spark, sfDir, factor)
+    feederProbe(spark, sfDir, factor)
+    spark.stop()
+  }
+
+  /** The two erasure receipts, standalone-runnable (graft.ForgetProbe)
+    * so the forget arms can refresh without the full probe sweep. */
+  def forgetProbes(spark: SparkSession, sfDir: String, factor: Int): Unit = {
+    def duBytes(p: String): Long = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(hp)) fs.getContentSummary(hp).getLength else 0L
+    }
     // round-12 vector-store deletion probe: a FIXED 20-id tombstone
     // batch against a growing auto-codebook IVF store. The claim under
     // probe: compaction rewrites only the HIT directories' survivors —
@@ -894,7 +907,11 @@ object ScaleProbe {
     // Round 13 adds the FINDER claim: with the id sidecar the erasure
     // batch READS only its tombstones' id-hash sidecar directories plus
     // the hit centroid directories (bytes_read, measured off the task
-    // input metrics) — never the store's full (id, centroid_id) columns.
+    // input metrics — NOTE it also counts the survivors' checkpoint
+    // blocks re-read at uncompressed size during the rewrite, so it
+    // bounds file reads from above) — never the store's full
+    // (id, centroid_id) columns. hit_dir_bytes is the deterministic
+    // on-disk size of everything the pruned scans CAN touch.
     locally {
       val emb = embReplicator(spark, sfDir)
       for (f <- Seq(1, factor, 3 * factor)) {
@@ -915,11 +932,9 @@ object ScaleProbe {
               .select(col("centroid_id")).distinct(), Seq("centroid_id"),
             "left_semi").count()
         val total = store.count()
-        def duBytes(p: String): Long = {
-          val hp = new org.apache.hadoop.fs.Path(p)
-          val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (fs.exists(hp)) fs.getContentSummary(hp).getLength else 0L
-        }
+        val hitDirBytes = store.join(tomb, Seq("vec_id"), "left_semi")
+          .select(col("centroid_id").cast("int")).distinct().collect()
+          .map(r => duBytes(s"$path/centroid_id=${r.getInt(0)}")).sum
         val storeBytes = duBytes(path)
         val sidecarBytes = duBytes(s"$path/_graft_ids")
         val bytesRead = new java.util.concurrent.atomic.AtomicLong(0)
@@ -945,7 +960,8 @@ object ScaleProbe {
         println(f"""{"probe":"ivf_forget","factor":$f,"sec":$sec%.2f,""" +
           f""""dirs_hit":$hitDirs,"dirs_total":${seeds.size},""" +
           s""""rows_in_hit_dirs":$hitRows,"rows_total":$total,""" +
-          s""""bytes_read":${bytesRead.get()},"store_bytes":$storeBytes,""" +
+          s""""hit_dir_bytes":$hitDirBytes,""" +
+          s""""task_input_bytes":${bytesRead.get()},"store_bytes":$storeBytes,""" +
           s""""sidecar_bytes":$sidecarBytes}""")
         corpus.unpersist(); tomb.unpersist()
       }
@@ -955,12 +971,38 @@ object ScaleProbe {
     // (the production sizing rule — a frozen modulus would leave every
     // bucket directory growing ∝ corpus). The claim under probe: with the
     // tbuckets id sidecar the forget FINDER reads only the tombstoned
-    // docs' OWN term-hash bucket directories (plus the vocabulary-bounded
-    // df table it rewrites), never all postings — so hit buckets track
-    // the tombstones' distinct terms while the bucket count grows, and
-    // bytes_read as a fraction of store bytes FALLS at 10×/30× (the
-    // ivf_forget sidecar discipline, applied to the lexical layout).
+    // docs' OWN term-hash bucket directories (plus the tombstones'
+    // id-hash sidecar directories and the vocabulary-bounded df table it
+    // rewrites), never all postings — so hit buckets track the
+    // tombstones' distinct terms while the bucket count grows, and the
+    // on-disk bytes the forget can touch (hit_postings_bytes +
+    // docs_hit_bytes + dfreq_bytes) FALL as a fraction of store bytes at
+    // 10×/30×. task_input_bytes is the listener total — it additionally
+    // counts the survivors' checkpoint blocks re-read at UNCOMPRESSED
+    // size (keep-set collect + rewrite write), so it is an upper bound
+    // on file reads, not comparable to the compressed store_bytes.
     locally {
+      // the synthetic test corpus has a 31-WORD vocabulary — every doc
+      // contains essentially every term, so every bucket is hit by any
+      // tombstone and byte-level postings pruning is structurally
+      // untestable on it as-is. Widen the vocabulary deterministically
+      // (suffix = id mod 211 → |V| ≈ 6.5k) to reach the regime the
+      // pruning claim addresses (|V| ≫ buckets ≫ per-doc distinct
+      // terms); per-doc term counts and the Zipf weights within each
+      // suffix class are unchanged.
+      val base0 = Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+      val base = base0.select(col("doc_id"),
+        concat_ws(" ", transform(
+          split(lower(trim(col("text"))), "\\s+"),
+          t => concat(t, lit("x"),
+            pmod(col("doc_id"), lit(211)).cast("string")))).as("text"))
+      val n = base.count()
+      val shift = ((n + 249) / 250) * 250
+      def corpus(f: Int): DataFrame =
+        (0 until f).map(k => base.select(
+            (col("doc_id") + lit(k * shift)).as("doc_id"), col("text")))
+          .reduce(_ union _).localCheckpoint()
       for (f <- Seq(1, factor, 3 * factor)) {
         val docs = corpus(f)
         val buckets = 64 * f
@@ -970,14 +1012,16 @@ object ScaleProbe {
           buckets = buckets)
         val tomb = docs.filter(col("doc_id") < 3).select(col("doc_id"))
           .localCheckpoint()
-        val hitBuckets = spark.read.parquet(s"$path/docs")
-          .join(tomb, Seq("doc_id"), "left_semi")
-          .select(explode(col("tbuckets")).as("b")).distinct().count()
-        def duBytes(p: String): Long = {
-          val hp = new org.apache.hadoop.fs.Path(p)
-          val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (fs.exists(hp)) fs.getContentSummary(hp).getLength else 0L
-        }
+        val side = spark.read.parquet(s"$path/docs")
+          .join(tomb, Seq("doc_id"), "left_semi").localCheckpoint()
+        val hitB = side.select(explode(col("tbuckets")).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        val hitPostingsBytes =
+          hitB.map(b => duBytes(s"$path/postings/bucket=$b")).sum
+        val docsHitBytes = side.select(col("dbucket").cast("int"))
+          .distinct().collect().map(_.getInt(0))
+          .map(b => duBytes(s"$path/docs/dbucket=$b")).sum
+        val dfreqBytes = duBytes(s"$path/dfreq")
         val storeBytes = duBytes(path)
         val postingsBytes = duBytes(s"$path/postings")
         val bytesRead = new java.util.concurrent.atomic.AtomicLong(0)
@@ -988,8 +1032,6 @@ object ScaleProbe {
               bytesRead.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
         }
         spark.sparkContext.addSparkListener(listener)
-        // drain the async bus + zero, so the store build's own task-end
-        // events cannot inflate the forget's receipt (the ivf arm's rule)
         Thread.sleep(2000)
         bytesRead.set(0)
         val t0 = System.nanoTime()
@@ -998,14 +1040,14 @@ object ScaleProbe {
         Thread.sleep(1500) // listener bus drains async
         spark.sparkContext.removeSparkListener(listener)
         println(f"""{"probe":"bm25_forget_finder","factor":$f,"sec":$sec%.2f,""" +
-          s""""buckets_hit":$hitBuckets,"buckets_total":$buckets,""" +
-          s""""bytes_read":${bytesRead.get()},"store_bytes":$storeBytes,""" +
-          s""""postings_bytes":$postingsBytes}""")
+          s""""buckets_hit":${hitB.size},"buckets_total":$buckets,""" +
+          s""""hit_postings_bytes":$hitPostingsBytes,""" +
+          s""""docs_hit_bytes":$docsHitBytes,"dfreq_bytes":$dfreqBytes,""" +
+          s""""task_input_bytes":${bytesRead.get()},""" +
+          s""""store_bytes":$storeBytes,"postings_bytes":$postingsBytes}""")
         docs.unpersist(); tomb.unpersist()
       }
     }
-    feederProbe(spark, sfDir, factor)
-    spark.stop()
   }
 
   /** Two-level codebook GROWTH probe (the `grow` feeder arm): build the
@@ -1253,6 +1295,27 @@ object FeederProbe {
     spark.sparkContext.setLogLevel("WARN")
     if (arms("grow")) ScaleProbe.growProbe(spark, sfDir, factor)
     ScaleProbe.feederProbe(spark, sfDir, factor, arms - "grow")
+    spark.stop()
+  }
+}
+
+/** Standalone runner for the two erasure receipts ([[ScaleProbe.forgetProbes]])
+  * — refresh the forget receipts without the full probe sweep.
+  * Usage: `runMain graft.ForgetProbe [sfDir] [factor]`.
+  */
+object ForgetProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    ScaleProbe.forgetProbes(spark, sfDir, factor)
     spark.stop()
   }
 }
