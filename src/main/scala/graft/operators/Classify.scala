@@ -142,6 +142,63 @@ object Classify {
   def readNbStore(spark: SparkSession, path: String): (DataFrame, DataFrame) =
     (spark.read.parquet(s"$path/model"), spark.read.parquet(s"$path/base"))
 
+  /** Fold a batch of NEW labeled docs into a written NB model — the
+    * ingest half of [[forgetNbStoreAt]], and exact for the same reason:
+    * every weight is a rounded function of exact integer counts, and
+    * counts ADD — merging the batch's (label, term) counts and per-class
+    * doc counts then re-deriving through the shared
+    * [[modelFromCounts]]/[[baseFromCounts]] expressions is bit-identical
+    * to retraining on the union (merged ≡ retrain, spec-pinned and
+    * graded by the retrain oracle). Builds the store when `path` is
+    * empty. Same arriving-batch contract as every incremental gate (ids
+    * DISJOINT from the store — the membership sidecar records them, so
+    * unlearning and idempotence keep working); staged single-writer
+    * marker; base replaced LAST (commit signal).
+    */
+  def mergeNbStoreAt(spark: SparkSession, path: String, batch: DataFrame,
+                     idCol: String, textCol: String,
+                     labelCol: String): Unit = {
+    val basePath = new org.apache.hadoop.fs.Path(s"$path/base/_SUCCESS")
+    val exists = basePath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(basePath)
+    if (!exists) {
+      writeNbStore(batch, idCol, textCol, labelCol, path)
+      return
+    }
+    Layout.withPendingMarkerStaged(spark, path)({
+      val model = spark.read.parquet(s"$path/model")
+      val tAdd = termCounts(batch, textCol, labelCol)
+        .withColumnRenamed("cnt", "__add")
+      val newCnt = model.select(col("label"), col("term"), col("cnt"))
+        .join(tAdd, Seq("label", "term"), "full_outer")
+        .select(col("label"), col("term"),
+          (coalesce(col("cnt"), lit(0L)) + coalesce(col("__add"), lit(0L)))
+            .as("cnt")).localCheckpoint()
+      val ndAdd = batch.groupBy(col(labelCol).as("label"))
+        .agg(count(lit(1)).as("__ndadd"))
+      val newNd = spark.read.parquet(s"$path/base")
+        .select(col("label"), col("nd"))
+        .join(broadcast(ndAdd), Seq("label"), "full_outer")
+        .select(col("label"),
+          (coalesce(col("nd"), lit(0L)) + coalesce(col("__ndadd"), lit(0L)))
+            .as("nd"))
+      val newModel = modelFromCounts(newCnt).localCheckpoint()
+      val newBase = baseFromCounts(newCnt, newNd).localCheckpoint()
+      val sideAdd = batch.select(col(idCol))
+        .withColumn("dbucket",
+          pmod(xxhash64(col(idCol)), lit(NbDocBuckets)).cast("int"))
+        .repartition(2, col("dbucket"))
+        .sortWithinPartitions(col("dbucket"), col(idCol))
+        .localCheckpoint()
+      (newModel, newBase, sideAdd)
+    }) { case (newModel, newBase, sideAdd) =>
+      Layout.replaceDir(newModel.coalesce(4), s"$path/model")
+      sideAdd.write.mode("append").partitionBy("dbucket")
+        .parquet(s"$path/docs")
+      Layout.replaceDir(newBase.coalesce(1), s"$path/base")
+    }
+  }
+
   /** EXACT unlearning of the tombstoned docs from a written NB model —
     * the erasure-matrix cell a stored aggregate model usually cannot
     * close, closed here because every weight is a deterministic rounded

@@ -1128,9 +1128,13 @@ object Dedup {
       writeWinnowStoreAt(spark, path, batch, idCol, textCol, k, w)
       return
     }
+    // a batch with no fingerprints (all docs under w+k-1 tokens, or an
+    // empty gate output) merges nothing — skip the marker round-trip
+    val bfps0 = winnowFingerprints(batch, idCol, textCol, k, w)
+      .localCheckpoint()
+    if (bfps0.isEmpty) return
     Layout.withPendingMarkerStaged(spark, path)({
-      val bfps = winnowFingerprints(batch, idCol, textCol, k, w)
-        .localCheckpoint()
+      val bfps = bfps0
       val adds = bfps.groupBy(col("fp")).agg(count(lit(1)).as("__add"))
       val hitDirs = adds.select(winnowFpBucket.as("b")).distinct()
         .collect().map(_.getInt(0)).toSeq.sorted

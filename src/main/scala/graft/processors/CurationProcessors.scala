@@ -115,6 +115,12 @@ object CurationProcessors {
         case l: java.util.List[_] =>
           scala.jdk.CollectionConverters.ListHasAsScala(l).asScala
             .map(_.toString.trim).filter(_.nonEmpty).toSeq
+        // the recipe reader converts YAML sequences to SCALA collections —
+        // falling through to toString would quietly produce the unmatched
+        // literal "List(en, de)" and the filter would drop EVERY row (a
+        // latent bug the nb-filter e2e caught)
+        case l: Iterable[_] =>
+          l.map(_.toString.trim).filter(_.nonEmpty).toSeq
         case s => s.toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       }
 
@@ -400,6 +406,55 @@ object CurationProcessors {
             Dedup.portableMinhash(survivors, idc, tc, k), idc, k, nBands)
           .write.mode("append").parquet(path)
       survivors
+    }
+  }
+
+  /** nb-filter: the TRAINED-classifier filter — the fastText/CCNet
+    * pattern where one trained model gates many corpus drops, here the
+    * stored NB model ([[graft.operators.Classify]]): each row scores
+    * against the frozen integer weights (one batch scan + two broadcast
+    * weight tables — the train split never re-reads) and survives iff
+    * its argmax label is in `allowed`. Optionally annotates the
+    * prediction instead of/next to filtering (`label_as`). Unlike the
+    * ingest gates, a MISSING model is a loud error, never a pass-through
+    * — a filter cannot train itself, and silently admitting everything
+    * is exactly the failure a gated pipeline must not have. Train/extend
+    * /unlearn the model with the `nb-index` sink.
+    */
+  object NbFilter extends Processor {
+    val info: PluginInfo = PluginInfo("nb-filter",
+      "Keep rows whose stored-NB-model predicted label is in the allowed set (trained classifier filter)",
+      sampleConfig =
+        """index_path: /models/nb
+          |id_column: doc_id
+          |text_column: text
+          |allowed: [en, de]
+          |# label_as: pred_lang   # also attach the prediction column""".stripMargin,
+      tags = Seq("processor", "curation"))
+
+    override def validate(config: Map[String, Any]): Seq[InvalidConfigError] =
+      requireKeys(config, "index_path", "allowed")
+
+    def process(df: DataFrame, config: Map[String, Any]): DataFrame = {
+      val spark = df.sparkSession
+      val path = config("index_path").toString
+      val tc = textCol(config)
+      val idc = config.getOrElse("id_column", "doc_id").toString
+      val allowed = LangFilter.allowedSet(config)
+      require(indexExists(spark, s"$path/base"),
+        s"$path holds no trained NB model (no base/_SUCCESS) — a " +
+          "classifier filter cannot pass rows unscored; train one first " +
+          "(nb-index sink) or point index_path at an existing model.")
+      val (model, base) = graft.operators.Classify.readNbStore(spark, path)
+      val pred = graft.operators.Classify
+        .nbPredict(df, model, base, idc, tc)
+        .select(col(idc), col("pred"))
+      val kept = df.join(pred, Seq(idc))
+        .filter(col("pred").isInCollection(allowed))
+      config.get("label_as").map(_.toString) match {
+        case Some(name) => kept.withColumnRenamed("pred", name)
+        case None => kept.drop("pred")
+      }
     }
   }
 

@@ -94,6 +94,7 @@ object Populate {
     r.register(CurationProcessors.DedupGate)
     r.register(CurationProcessors.NearDupGate)
     r.register(CurationProcessors.WinnowGate)
+    r.register(CurationProcessors.NbFilter)
     r.register(CurationProcessors.SemDedupGate)
     r.register(CurationProcessors.Chunk)
     r.register(CurationProcessors.Normalize)

@@ -923,6 +923,55 @@ object WinnowIndexSink extends SinkPlugin {
   }
 }
 
+/** nb-index: train or incrementally extend the stored NB classifier from
+  * the incoming LABELED rows — the model-registry half of the `nb-filter`
+  * processor, completing the trained-classifier lifecycle on the recipe
+  * surface: train (first batch builds), extend (later batches merge —
+  * count adds re-derived through the shared expressions, merged ≡
+  * retrain), and UNLEARN (`mode: forget`). Forget-mode rows must carry
+  * the erased docs' CONTENT (text + label): unlearning subtracts exactly
+  * what the doc contributed, so run the model forget BEFORE erasing the
+  * doc from the corpus. Same arriving-batch + single-writer contract as
+  * every index sink; staged pending marker; base written LAST (commit).
+  */
+object NbIndexSink extends SinkPlugin {
+  val info: PluginInfo = PluginInfo("nb-index",
+    "Train or incrementally extend the stored NB classifier from the incoming labeled rows (mode: forget unlearns them instead)",
+    sampleConfig =
+      """index_path: /models/nb
+        |id_column: doc_id
+        |text_column: text
+        |label_column: lang
+        |# mode: forget   # rows are erased TRAIN DOCS (with text+label):
+        |#                # subtract them from the model exactly""".stripMargin,
+    tags = Seq("sink", "curation", "classify"))
+
+  override def validate(config: Map[String, Any]): Seq[InvalidConfigError] = {
+    val badMode = config.get("mode").map(_.toString)
+      .filter(m => m != "ingest" && m != "forget")
+      .map(m => InvalidConfigError("mode", s"unsupported mode: $m"))
+    requireKeys(config, "index_path") ++ badMode
+  }
+
+  def sink(df: DataFrame, config: Map[String, Any]): Long = {
+    import graft.operators.Classify
+    import org.apache.spark.sql.functions.col
+    val spark = df.sparkSession
+    val path = config("index_path").toString
+    val idc = config.getOrElse("id_column", "doc_id").toString
+    val tc = config.getOrElse("text_column", "text").toString
+    val lc = config.getOrElse("label_column", "lang").toString
+    val batch = df.select(col(idc), col(tc), col(lc)).localCheckpoint()
+    val n = batch.count()
+    if (n == 0) return 0L
+    if (config.getOrElse("mode", "ingest").toString == "forget")
+      Classify.forgetNbStoreAt(spark, path, batch, idc, tc, lc)
+    else
+      Classify.mergeNbStoreAt(spark, path, batch, idc, tc, lc)
+    n
+  }
+}
+
 object Populate {
   def register(r: Registry[SinkPlugin]): Unit = {
     r.register(ConsoleSink)
@@ -935,5 +984,6 @@ object Populate {
     r.register(Bm25IndexSink)
     r.register(IvfIndexSink)
     r.register(WinnowIndexSink)
+    r.register(NbIndexSink)
   }
 }

@@ -2147,6 +2147,37 @@ class ClassifySpec extends SparkSpec {
       .exists(marker))
   }
 
+  test("mergeNbStoreAt folds labeled batches to EXACTLY the retrain on the " +
+      "union — including brand-new labels — and forget composes after") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val path = java.nio.file.Files.createTempDirectory("nbmerge").toString
+    // first slice BUILDS; the second (with labels the first may lack)
+    // merges; a third merges again — associativity through three arrivals
+    Classify.mergeNbStoreAt(spark, path,
+      docs.filter(col("doc_id") < 150), "doc_id", "text", "lang")
+    Classify.mergeNbStoreAt(spark, path,
+      docs.filter(col("doc_id") >= 150 && col("doc_id") < 350),
+      "doc_id", "text", "lang")
+    Classify.mergeNbStoreAt(spark, path,
+      docs.filter(col("doc_id") >= 350), "doc_id", "text", "lang")
+    val (model, base) = Classify.readNbStore(spark, path)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(model) == rows(Classify.nbModel(docs, "text", "lang")))
+    assert(rows(base) ==
+      rows(Classify.nbClassBase(docs, "doc_id", "text", "lang")))
+    // unlearning composes on the merged store: forget ≡ retrain on
+    // survivors (membership sidecar accumulated across the merges)
+    val tomb = docs.filter(col("doc_id") % 9 === 4)
+    Classify.forgetNbStoreAt(spark, path, tomb, "doc_id", "text", "lang")
+    val surv = docs.filter(col("doc_id") % 9 =!= 4)
+    val (m2, b2) = Classify.readNbStore(spark, path)
+    assert(rows(m2) == rows(Classify.nbModel(surv, "text", "lang")))
+    assert(rows(b2) ==
+      rows(Classify.nbClassBase(surv, "doc_id", "text", "lang")))
+  }
+
   test("forgetNbStoreAt erases a whole class cleanly and refuses a marked " +
       "store") {
     val tr = Seq(

@@ -239,6 +239,13 @@ class AgentSpec extends SparkSpec {
       .process(df, Map("allowed" -> jl))
       .select("doc_id").as[Long].collect().toSet
     assert(kept2 == Set(1L, 2L), kept2)
+    // the RECIPE READER hands processors SCALA collections — this is the
+    // spelling a real parsed `allowed: [en, de]` arrives as (falling
+    // through to toString would quietly drop every row)
+    val kept3 = graft.processors.CurationProcessors.LangFilter
+      .process(df, Map("allowed" -> List("en", "de")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept3 == Set(1L, 2L), kept3)
   }
 
   test("neardup-gate recipe: stored LSH index catches a cross-batch near-dup") {
@@ -463,6 +470,107 @@ class AgentSpec extends SparkSpec {
     Registries.populate()
     assert(Registries.extractors.list.map(_.name).contains("bm25-search"))
     assert(Registries.extractors.list.map(_.name).contains("ann-search"))
+  }
+
+  test("nb-index + nb-filter recipes: train, filter by the trained model, " +
+      "extend, and unlearn — the classifier lifecycle on the YAML surface") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Classify
+    val dir = Files.createTempDirectory("nbrecipe")
+    val mdl = dir.resolve("nb").toString
+    val train = Seq(
+      (0L, "apple banana apple cherry", "fruit"),
+      (1L, "banana banana apple", "fruit"),
+      (2L, "bolt nut bolt washer", "tool"),
+      (3L, "nut washer bolt", "tool")).toDF("doc_id", "text", "lang")
+    train.write.parquet(s"$dir/train")
+    // TRAIN via the sink recipe
+    val rt = new Agent(spark).run(RecipeReader.parse(
+      s"""name: nb-train
+         |version: v1beta1
+         |source:
+         |  name: documents
+         |  config: {path: $dir/train}
+         |sinks:
+         |  - name: nb-index
+         |    config: {index_path: $mdl}
+         |""".stripMargin))
+    assert(rt.success, rt.error)
+    // the recipe-trained model equals the library train (whatever
+    // batching the agent applied — merges are exact)
+    locally {
+      val (m0, b0) = Classify.readNbStore(spark, mdl)
+      def rws(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).toSet
+      assert(rws(m0) == rws(Classify.nbModel(train, "text", "lang")),
+        s"recipe-trained model drifted: ${rws(m0)}")
+      assert(rws(b0) ==
+        rws(Classify.nbClassBase(train, "doc_id", "text", "lang")))
+    }
+    // FILTER by the trained model: only fruit-vocabulary rows survive
+    val batch = Seq(
+      (10L, "cherry apple basket"), (11L, "bolt bolt wrench"),
+      (12L, "banana apple")).toDF("doc_id", "text")
+    batch.write.parquet(s"$dir/batch")
+    // library-level first (isolates the processor from recipe plumbing)
+    val direct = graft.processors.CurationProcessors.NbFilter.process(batch,
+        Map("index_path" -> mdl, "allowed" -> "fruit",
+          "label_as" -> "pred_lang"))
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(direct == Set((10L, "fruit"), (12L, "fruit")), s"direct=$direct")
+    val out = dir.resolve("kept.ndjson")
+    val rf = new Agent(spark).run(RecipeReader.parse(
+      s"""name: nb-filter-run
+         |version: v1beta1
+         |source:
+         |  name: documents
+         |  config: {path: $dir/batch}
+         |processors:
+         |  - name: nb-filter
+         |    config:
+         |      index_path: $mdl
+         |      allowed: [fruit]
+         |      label_as: pred_lang
+         |sinks:
+         |  - name: file
+         |    config: {path: $out, format: ndjson}
+         |""".stripMargin))
+    assert(rf.success, rf.error)
+    assert(rf.recordCount == 2, s"recipe filter kept ${rf.recordCount}: $rf")
+    val kept = scala.io.Source.fromFile(out.toFile).getLines().map { l =>
+      val m = new org.yaml.snakeyaml.Yaml().load[java.util.Map[String, Object]](l)
+      (m.get("doc_id").toString.toLong, m.get("pred_lang").toString)
+    }.toSet
+    assert(kept == Set((10L, "fruit"), (12L, "fruit")), kept)
+    // EXTEND: a later labeled batch merges — merged ≡ retrain on the union
+    val more = Seq((4L, "cherry cherry banana", "fruit"),
+      (5L, "washer washer nut", "tool")).toDF("doc_id", "text", "lang")
+    assert(graft.sinks.NbIndexSink.sink(more,
+      Map("index_path" -> mdl)) == 2L)
+    val (m1, b1) = Classify.readNbStore(spark, mdl)
+    val union = train.unionByName(more)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(m1) == rows(Classify.nbModel(union, "text", "lang")))
+    assert(rows(b1) ==
+      rows(Classify.nbClassBase(union, "doc_id", "text", "lang")))
+    // UNLEARN via the sink's forget mode (rows carry content)
+    assert(graft.sinks.NbIndexSink.sink(
+      union.filter(col("doc_id") === 4L),
+      Map("index_path" -> mdl, "mode" -> "forget")) == 1L)
+    val (m2, _) = Classify.readNbStore(spark, mdl)
+    assert(rows(m2) == rows(Classify.nbModel(
+      union.filter(col("doc_id") =!= 4L), "text", "lang")))
+    // a missing model is a LOUD error for the filter, never a pass-through
+    val miss = intercept[IllegalArgumentException] {
+      graft.processors.CurationProcessors.NbFilter.process(batch,
+        Map("index_path" -> s"$dir/nomodel", "allowed" -> "fruit"))
+    }
+    assert(miss.getMessage.contains("trained"), miss.getMessage)
+    Registries.populate()
+    assert(Registries.processors.list.map(_.name).contains("nb-filter"))
+    assert(Registries.sinks.list.map(_.name).contains("nb-index"))
   }
 
   test("winnow-gate + winnow-index recipes: the plagiarism gate gates, " +
