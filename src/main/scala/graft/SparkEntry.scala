@@ -3426,7 +3426,7 @@ object SparkEntry {
     val emb = t(s, dir, "embeddings")
     val cb = ivf2PortableCodebook(emb)
     val (_, codebooks) = pqPortableCodebooks(emb)
-    val path = pq2StorePath(s, dir)
+    val path = pq2StorePath(s, dir, geom = Some((cb, codebooks)))
     Similarity.ivfPqTopKStoredTwoLevel(s.read.parquet(path),
         emb.filter(col("vec_id") < 10), "vec_id", "embedding",
         k = 5, cb, codebooks,
@@ -3438,14 +3438,19 @@ object SparkEntry {
 
   /** The write-once two-level PQ codes layout for the SF dir (portable
     * router + first-16 subquantizers) — shared by the stored-query row
-    * and the share audit. */
-  private def pq2StorePath(s: SparkSession, dir: String): String = {
+    * and the share audit. Callers that already derived the geometry pass
+    * it in so a cold build never re-derives it. */
+  private def pq2StorePath(s: SparkSession, dir: String,
+      geom: Option[(Similarity.TwoLevelCodebook,
+        Seq[Seq[Seq[Double]]])] = None): String = {
     val path = layoutPath(dir, "pq2store",
       "m=8,k=16,tops=first3unit,kids=min3id,v1")
     if (!layoutReady(path)) {
       val emb = t(s, dir, "embeddings")
+      val (cb, books) = geom.getOrElse(
+        (ivf2PortableCodebook(emb), pqPortableCodebooks(emb)._2))
       Similarity.writePqStoreTwoLevel(emb, "vec_id", "embedding",
-        ivf2PortableCodebook(emb), pqPortableCodebooks(emb)._2, path)
+        cb, books, path)
     }
     path
   }

@@ -158,6 +158,11 @@ object Classify {
   def mergeNbStoreAt(spark: SparkSession, path: String, batch: DataFrame,
                      idCol: String, textCol: String,
                      labelCol: String): Unit = {
+    // refuse BEFORE the build-vs-merge dispatch: a crashed mutation can
+    // have destroyed the very base/_SUCCESS this dispatch keys on, and
+    // the build branch would then static-overwrite away the accumulated
+    // model with one batch — the exact failure the marker exists to stop
+    Layout.refuseIfPending(spark, path)
     val basePath = new org.apache.hadoop.fs.Path(s"$path/base/_SUCCESS")
     val exists = basePath
       .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(basePath)

@@ -1076,18 +1076,50 @@ object Dedup {
                          textCol: String, k: Int = 4, w: Int = 4): Unit = {
     val fps = winnowFingerprints(docs, idCol, textCol, k, w)
       .localCheckpoint()
+    // a zero-fingerprint corpus (every doc under w+k-1 tokens) must not
+    // build: partitionBy over zero rows writes _SUCCESS with no data
+    // files, and every later read of the "existing" store would throw
+    // unable-to-infer-schema — leave the path untouched instead (the
+    // gate's missing-store semantics keep applying, and a later batch
+    // with real fingerprints builds normally)
+    if (fps.isEmpty) return
     fps.withColumn("dbucket",
         pmod(xxhash64(col(idCol)), lit(WinnowDocBuckets)).cast("int"))
       .repartition(4, col("dbucket"))
       .sortWithinPartitions(col("dbucket"), col(idCol))
       .write.mode("overwrite").partitionBy("dbucket")
       .parquet(s"$path/docs")
+    // freeze the winnowing geometry INSIDE the store (the
+    // _graft_index_config discipline): a later batch gating or merging
+    // under different k/w would fingerprint a different shingle/window
+    // space — matching nothing and corrupting refcounts with no error
+    import spark.implicits._
+    Seq((k, w)).toDF("k", "w").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_graft_layout")
     fps.groupBy(col("fp")).agg(count(lit(1)).as("refs"))
       .withColumn("fbucket", winnowFpBucket)
       .repartition(4, col("fbucket"))
       .sortWithinPartitions(col("fbucket"), col("fp"))
       .write.mode("overwrite").partitionBy("fbucket")
       .parquet(s"$path/fps")
+  }
+
+  /** Reject a gate/merge whose (k, w) differs from what the store was
+    * built with — mixed geometries match nothing and corrupt refcounts
+    * silently. Stores written before the config existed pass (nothing to
+    * compare; they adopt on their next rebuild).
+    */
+  def requireWinnowLayout(spark: org.apache.spark.sql.SparkSession,
+                          path: String, k: Int, w: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_graft_layout")
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      return
+    val row = spark.read.parquet(s"$path/_graft_layout").head()
+    require(row.getInt(0) == k && row.getInt(1) == w,
+      s"$path was winnowed with (k=${row.getInt(0)}, w=${row.getInt(1)}) " +
+        s"but this batch is configured (k=$k, w=$w) — mixed geometries " +
+        "match nothing and silently corrupt refcounts. Align the config " +
+        "or rebuild the index.")
   }
 
   /** The gate-facing handle onto a written winnow store: the (fp, refs)
@@ -1124,10 +1156,16 @@ object Dedup {
   def mergeWinnowStoreAt(spark: org.apache.spark.sql.SparkSession,
                          path: String, batch: DataFrame, idCol: String,
                          textCol: String, k: Int = 4, w: Int = 4): Unit = {
+    // refuse BEFORE the build-vs-merge dispatch (the mergeNbStoreAt
+    // rationale: a crashed mutation may have destroyed the fps commit
+    // signal this dispatch keys on, and the build branch would
+    // static-overwrite away the accumulated refcounts)
+    Layout.refuseIfPending(spark, path)
     if (!winnowStoreExistsAt(spark, path)) {
       writeWinnowStoreAt(spark, path, batch, idCol, textCol, k, w)
       return
     }
+    requireWinnowLayout(spark, path, k, w)
     // a batch with no fingerprints (all docs under w+k-1 tokens, or an
     // empty gate output) merges nothing — skip the marker round-trip
     val bfps0 = winnowFingerprints(batch, idCol, textCol, k, w)

@@ -1069,7 +1069,14 @@ object Retrieval {
     */
   private def prunedHitScan(postings: DataFrame,
                             present: DataFrame): DataFrame =
-    if (present.columns.contains("tbuckets")) {
+    if (present.columns.contains("tbuckets") &&
+        // a MIXED sidecar (pre-tbuckets store later merged by the new
+        // code) reads legacy rows as tbuckets = NULL under the merged
+        // schema; explode would silently DROP those docs from the hit
+        // scan — erasing their stats but leaving their postings behind.
+        // Any null among the (tombstone-bounded) present rows ⇒ full
+        // scan; pruning resumes once the store is rebuilt on v5.
+        present.filter(col("tbuckets").isNull).isEmpty) {
       val tb = present.select(explode(col("tbuckets")).as("__b"))
         .distinct().collect().map(_.getInt(0)).toSeq
       postings.filter(col("bucket").isInCollection(tb))

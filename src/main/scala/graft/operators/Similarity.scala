@@ -1898,7 +1898,8 @@ object Similarity {
                       vecCol: String, k: Int, coarse: Seq[Seq[Double]],
                       codebooks: Seq[Seq[Seq[Double]]],
                       vectorStore: (DataFrame, Int), nprobe: Int = 3,
-                      shortlist: Int = 50): DataFrame = {
+                      shortlist: Int = 50,
+                      excludeSelf: Boolean = true): DataFrame = {
     import graft.functions.VectorFunctions.l2_squared
     val m = codebooks.size
     val sub = codebooks.head.head.size
@@ -1927,9 +1928,15 @@ object Similarity {
     val adc = (0 until m).map(s =>
       element_at(element_at(col("q_lut"), s + 1),
         element_at(col("pq_codes"), s + 1) + 1)).reduce(_ + _)
-    val scored = c.join(broadcast(qb), Seq("centroid_id"))
-      .filter(col("c_id") =!= col("q_id"))
-      .select(col("q_id"), col("c_id"), adc.as("adc"), col("q_vec"))
+    val joined = c.join(broadcast(qb), Seq("centroid_id"))
+    // excludeSelf = false keeps an id-equal stored candidate (external
+    // query tables with an id space independent of the store's — the
+    // ann-search source's default); true serves self-kNN, the library
+    // default (the ivfTopKStored knob, PQ spelling)
+    val scored =
+      (if (excludeSelf) joined.filter(col("c_id") =!= col("q_id"))
+       else joined)
+        .select(col("q_id"), col("c_id"), adc.as("adc"), col("q_vec"))
     val wShort = Window.partitionBy(col("q_id")).orderBy(asc("adc"), asc("c_id"))
     val short = scored.withColumn("srank", row_number().over(wShort))
       .filter(col("srank") <= shortlist)
@@ -1954,7 +1961,8 @@ object Similarity {
                               codebooks: Seq[Seq[Seq[Double]]],
                               vectorStore: (DataFrame, Int),
                               nprobeTop: Int = 2, nprobe: Int = 3,
-                              shortlist: Int = 50): DataFrame = {
+                              shortlist: Int = 50,
+                              excludeSelf: Boolean = true): DataFrame = {
     import graft.functions.VectorFunctions.l2_squared
     val m = codebooks.size
     val sub = codebooks.head.head.size
@@ -1978,9 +1986,12 @@ object Similarity {
     val adc = (0 until m).map(s =>
       element_at(element_at(col("q_lut"), s + 1),
         element_at(col("pq_codes"), s + 1) + 1)).reduce(_ + _)
-    val scored = c.join(broadcast(qb), Seq("centroid_id"))
-      .filter(col("c_id") =!= col("q_id"))
-      .select(col("q_id"), col("c_id"), adc.as("adc"), col("q_vec"))
+    val joined = c.join(broadcast(qb), Seq("centroid_id"))
+    // same excludeSelf knob as the flat PQ path — see [[ivfPqTopKStored]]
+    val scored =
+      (if (excludeSelf) joined.filter(col("c_id") =!= col("q_id"))
+       else joined)
+        .select(col("q_id"), col("c_id"), adc.as("adc"), col("q_vec"))
     val wShort = Window.partitionBy(col("q_id")).orderBy(asc("adc"), asc("c_id"))
     val short = scored.withColumn("srank", row_number().over(wShort))
       .filter(col("srank") <= shortlist)

@@ -446,14 +446,17 @@ object CurationProcessors {
           "classifier filter cannot pass rows unscored; train one first " +
           "(nb-index sink) or point index_path at an existing model.")
       val (model, base) = graft.operators.Classify.readNbStore(spark, path)
+      // internal name: an input frame may legitimately carry 'pred'
+      // already — joining a duplicate name would make the filter column
+      // ambiguous and fail valid recipes
       val pred = graft.operators.Classify
         .nbPredict(df, model, base, idc, tc)
-        .select(col(idc), col("pred"))
+        .select(col(idc), col("pred").as("__nb_pred"))
       val kept = df.join(pred, Seq(idc))
-        .filter(col("pred").isInCollection(allowed))
+        .filter(col("__nb_pred").isInCollection(allowed))
       config.get("label_as").map(_.toString) match {
-        case Some(name) => kept.withColumnRenamed("pred", name)
-        case None => kept.drop("pred")
+        case Some(name) => kept.withColumnRenamed("__nb_pred", name)
+        case None => kept.drop("__nb_pred")
       }
     }
   }
@@ -497,10 +500,14 @@ object CurationProcessors {
       val minShared = config.getOrElse("min_shared", 2).toString.toInt
       val update = config.getOrElse("update_index", true).toString.toBoolean
       val survivorIds =
-        if (Dedup.winnowStoreExistsAt(spark, path))
+        if (Dedup.winnowStoreExistsAt(spark, path)) {
+          // a k/w mismatch at QUERY time is as silent as at merge time
+          // (wrong-geometry fingerprints match nothing — every
+          // plagiarist passes) — refuse loudly against the frozen config
+          Dedup.requireWinnowLayout(spark, path, k, w)
           Dedup.winnowIngest(df, Dedup.readWinnowStoreFps(spark, path),
             idc, tc, k, w, minShared)
-        else df.select(col(idc))
+        } else df.select(col(idc))
       // semi-join the verdicts back so all columns flow on; materialize
       // before the merge so the returned frame cannot re-gate against
       // its own newly-written fingerprints

@@ -195,12 +195,14 @@ object AnnSearchExtractor extends Extractor {
         Similarity.ivfPqTopKStoredTwoLevel(store, queries, idc, vc, k, cb,
           codebooks, vectorStore = rerankStore, nprobeTop = nprobeTop,
           nprobe = nprobe,
-          shortlist = SearchConfig.int(config, "shortlist", 50))
+          shortlist = SearchConfig.int(config, "shortlist", 50),
+          excludeSelf = excludeSelf)
       case "pq" =>
         val (coarse, codebooks) = Similarity.readPqCodebooksAt(spark, path)
         Similarity.ivfPqTopKStored(store, queries, idc, vc, k, coarse,
           codebooks, vectorStore = rerankStore, nprobe = nprobe,
-          shortlist = SearchConfig.int(config, "shortlist", 50))
+          shortlist = SearchConfig.int(config, "shortlist", 50),
+          excludeSelf = excludeSelf)
       case "flat" =>
         Similarity.ivfTopKStored(store, queries, idc, vc, k,
           Similarity.readCoarseCodebookAt(spark, path),

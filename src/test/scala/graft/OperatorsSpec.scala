@@ -2201,13 +2201,19 @@ class ClassifySpec extends SparkSpec {
     assert(rows(model) == rows(Classify.nbModel(surv, "text", "lang")))
     assert(rows(base) ==
       rows(Classify.nbClassBase(surv, "doc_id", "text", "lang")))
-    // a marked store refuses the forget loudly
+    // a marked store refuses the forget loudly — and refuses the MERGE
+    // before its build-vs-merge dispatch, even when the crash destroyed
+    // the base commit signal the dispatch keys on
     val marker = new org.apache.hadoop.fs.Path(path, "_graft_merge_pending")
-    marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .create(marker, false).close()
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(marker, false).close()
     intercept[IllegalArgumentException] {
       Classify.forgetNbStoreAt(spark, path,
         tr.filter(col("doc_id") === 0L), "doc_id", "text", "lang")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(path, "base"), true)
+    intercept[IllegalArgumentException] {
+      Classify.mergeNbStoreAt(spark, path, tr, "doc_id", "text", "lang")
     }
   }
 }
@@ -2420,11 +2426,21 @@ class RetrievalSpec extends SparkSpec {
     val legacy = side.drop("tbuckets").localCheckpoint()
     legacy.write.mode("overwrite").partitionBy("dbucket")
       .parquet(s"$path/docs")
+    // ...then MERGE a batch with the NEW code: the sidecar is now MIXED
+    // (legacy rows read tbuckets = null under the merged schema).
+    // Forgetting a LEGACY doc must fall back to the full scan — pruning
+    // off the null-dropped explode would silently leave its postings
+    // behind while still decrementing n_docs
+    Retrieval.mergeBm25StoreAt(spark, path,
+      Seq((900100L, "merged ducks paddle")).toDF("doc_id", "text"),
+      "doc_id", "text", buckets = 8)
     val tomb = docs.filter(col("doc_id") % 7 === 3).select(col("doc_id"))
     Retrieval.forgetBm25StoreAt(spark, path, tomb, "doc_id")
     val rbPath = java.nio.file.Files
       .createTempDirectory("bm25tbuckets_rb").toString
-    Retrieval.writeBm25Store(docs.filter(col("doc_id") % 7 =!= 3),
+    Retrieval.writeBm25Store(
+      docs.filter(col("doc_id") % 7 =!= 3).unionByName(
+        Seq((900100L, "merged ducks paddle")).toDF("doc_id", "text")),
       "doc_id", "text", rbPath, buckets = 8)
     def pdf(p: String) = (
       spark.read.parquet(s"$p/postings").drop("bucket").collect()
@@ -2707,6 +2723,44 @@ class WinnowSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Dedup.forgetWinnowStoreAt(spark, path, Seq(2L).toDF("doc_id"),
         "doc_id")
+    }
+  }
+
+  test("winnow store guards: zero-fingerprint builds leave the path " +
+      "untouched, k/w mismatches refuse, and a marked store refuses the " +
+      "merge dispatch") {
+    val path = java.nio.file.Files.createTempDirectory("winnowguard").toString
+    // every doc under w+k-1 tokens → no fingerprints → NO store (a
+    // partitionBy of zero rows would write _SUCCESS with no data files
+    // and brick every later read)
+    val short = Seq((1L, "too few tokens"), (2L, "also short"))
+      .toDF("doc_id", "text")
+    Dedup.writeWinnowStoreAt(spark, path, short, "doc_id", "text")
+    assert(!Dedup.winnowStoreExistsAt(spark, path))
+    Dedup.mergeWinnowStoreAt(spark, path, short, "doc_id", "text")
+    assert(!Dedup.winnowStoreExistsAt(spark, path))
+    // a later batch with real fingerprints builds normally
+    val real = Seq((3L,
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    Dedup.mergeWinnowStoreAt(spark, path, real, "doc_id", "text")
+    assert(Dedup.winnowStoreExistsAt(spark, path))
+    // mixed winnowing geometry refuses loudly (merge AND gate-side check)
+    intercept[IllegalArgumentException] {
+      Dedup.mergeWinnowStoreAt(spark, path, real, "doc_id", "text",
+        k = 5, w = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.requireWinnowLayout(spark, path, k = 4, w = 8)
+    }
+    // a marked store refuses the merge BEFORE the build-vs-merge
+    // dispatch (a crashed mutation may have destroyed the fps commit
+    // signal, and the build branch would overwrite the refcounts)
+    val marker = new org.apache.hadoop.fs.Path(path, "_graft_merge_pending")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(marker, false).close()
+    intercept[IllegalArgumentException] {
+      Dedup.mergeWinnowStoreAt(spark, path, real, "doc_id", "text")
     }
   }
 
@@ -4522,9 +4576,18 @@ class AutoCodebookSpec extends SparkSpec {
     val direct = Similarity.ivfPqTopKStored(spark.read.parquet(idx),
         queries, "vec_id", "embedding", k = 5, coarse, codebooks,
         vectorStore = Similarity.readVectorStore(spark, rrk),
-        nprobe = 3, shortlist = 20)
+        nprobe = 3, shortlist = 20, excludeSelf = false)
       .collect().map(_.toSeq).toSet
     assert(served.nonEmpty && served == direct)
+    // member queries see their own stored copy (the extractor's
+    // exclude_self default is OFF); the self-kNN default still excludes
+    val self = Similarity.ivfPqTopKStored(spark.read.parquet(idx),
+        queries, "vec_id", "embedding", k = 5, coarse, codebooks,
+        vectorStore = Similarity.readVectorStore(spark, rrk),
+        nprobe = 3, shortlist = 20)
+      .collect().map(_.toSeq).toSet
+    assert(direct.exists(r => r(0) == r(1)) &&
+      !self.exists(r => r(0) == r(1)))
   }
 
   test("two-level PQ codes store: appends fold to exactly a write-all " +

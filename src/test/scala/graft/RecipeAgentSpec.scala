@@ -683,12 +683,20 @@ class AgentSpec extends SparkSpec {
          |""".stripMargin))
     assert(r.success, r.error)
     val (cb, codebooks) = Similarity.readPq2CodebooksAt(spark, idx)
+    // exclude_self defaults OFF on the recipe surface (external queries
+    // are usually not store members) — these queries ARE members, so the
+    // self hit must come back at rank 1 and the direct call matches with
+    // the same knob
     val direct = Similarity.ivfPqTopKStoredTwoLevel(
         spark.read.parquet(idx), qv, "vec_id", "embedding", k = 5, cb,
         codebooks, vectorStore = Similarity.readVectorStore(spark, rrk),
-        nprobeTop = 2, nprobe = 3, shortlist = 20)
+        nprobeTop = 2, nprobe = 3, shortlist = 20, excludeSelf = false)
       .collect().map(row => (row.getLong(0), row.getLong(1), row.getInt(2),
         row.getDouble(3))).toSet
+    // the self hit is retrievable (ids 12/27/42 carry bit-identical
+    // vectors, so rank-1 may be a lower-id exact tie — rank is not pinned)
+    assert(direct.exists(r => r._1 == 57L && r._2 == 57L),
+      "a member query must see its own stored copy")
     val sunk = scala.io.Source.fromFile(out.toFile).getLines().map { l =>
       val m = new org.yaml.snakeyaml.Yaml().load[java.util.Map[String, Object]](l)
       (m.get("q_id").toString.toLong, m.get("c_id").toString.toLong,
