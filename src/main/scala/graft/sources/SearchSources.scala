@@ -144,7 +144,6 @@ object AnnSearchExtractor extends Extractor {
         |# PQ codes stores (ivf-index built with quantize: pq) re-rank
         |# their ADC shortlist against exact vectors — point this at the
         |# vector store the ingest recipe wrote via rerank_store_path.
-        |# (Codes stores always drop an id-equal candidate.)
         |# rerank_store_path: /indexes/ivf_vectors
         |# shortlist: 50""".stripMargin,
     tags = Seq("extractor", "similarity", "curation"))
