@@ -948,14 +948,18 @@ object ScaleProbe {
         // event delivery is ASYNC: the store-build jobs above may still
         // be draining through the bus when the listener attaches, and
         // their task-end events would inflate the receipt by the build's
-        // own (scale-proportional) reads — let the queue drain, then
-        // zero the counter so only the forget's tasks count
-        Thread.sleep(2000)
+        // own (scale-proportional) reads — drain the queue
+        // DETERMINISTICALLY (waitUntilEmpty, not a fixed sleep that
+        // merely makes the race unlikely), then zero the counter so only
+        // the forget's tasks count
+        org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
         bytesRead.set(0)
         val t0 = System.nanoTime()
         operators.Similarity.forgetIvfStoreAt(spark, path, tomb, "vec_id")
         val sec = (System.nanoTime() - t0) / 1e9
-        Thread.sleep(1500) // listener bus drains async
+        // drain again so the forget's own late task-end events land
+        // before the counter is read
+        org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
         spark.sparkContext.removeSparkListener(listener)
         println(f"""{"probe":"ivf_forget","factor":$f,"sec":$sec%.2f,""" +
           f""""dirs_hit":$hitDirs,"dirs_total":${seeds.size},""" +
@@ -1032,12 +1036,13 @@ object ScaleProbe {
               bytesRead.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
         }
         spark.sparkContext.addSparkListener(listener)
-        Thread.sleep(2000)
+        // deterministic drain at both edges (see the ivf_forget arm)
+        org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
         bytesRead.set(0)
         val t0 = System.nanoTime()
         operators.Retrieval.forgetBm25StoreAt(spark, path, tomb, "doc_id")
         val sec = (System.nanoTime() - t0) / 1e9
-        Thread.sleep(1500) // listener bus drains async
+        org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
         spark.sparkContext.removeSparkListener(listener)
         println(f"""{"probe":"bm25_forget_finder","factor":$f,"sec":$sec%.2f,""" +
           s""""buckets_hit":${hitB.size},"buckets_total":$buckets,""" +

@@ -164,12 +164,25 @@ object Classify {
     // model with one batch — the exact failure the marker exists to stop
     Layout.refuseIfPending(spark, path)
     val basePath = new org.apache.hadoop.fs.Path(s"$path/base/_SUCCESS")
-    val exists = basePath
-      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(basePath)
+    val hfs = basePath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = hfs.exists(basePath)
     if (!exists) {
       writeNbStore(batch, idCol, textCol, labelCol, path)
       return
     }
+    // a committed model with NO membership sidecar predates the erasure
+    // protocol: merging onto it would CREATE a partial sidecar holding
+    // only this batch's ids, and a later forget would silently no-op on
+    // every historical train doc while the model still carries its
+    // counts — a silent unlearning miss. Refuse with a rebuild
+    // instruction instead (the requireErasableLayout posture).
+    require(hfs.exists(
+        new org.apache.hadoop.fs.Path(s"$path/docs/_SUCCESS")),
+      s"$path holds a trained NB model but no membership sidecar " +
+        "(docs/_SUCCESS) — it predates the erasure protocol, and a merge " +
+        "would leave historical train docs silently unforgettable. " +
+        "Rebuild the store from its full training corpus first.")
     Layout.withPendingMarkerStaged(spark, path)({
       val model = spark.read.parquet(s"$path/model")
       val tAdd = termCounts(batch, textCol, labelCol)

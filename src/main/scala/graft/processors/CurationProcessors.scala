@@ -455,7 +455,16 @@ object CurationProcessors {
       val kept = df.join(pred, Seq(idc))
         .filter(col("__nb_pred").isInCollection(allowed))
       config.get("label_as").map(_.toString) match {
-        case Some(name) => kept.withColumnRenamed("__nb_pred", name)
+        case Some(name) =>
+          // a rename onto an existing input column would leave TWO
+          // columns with that name — every downstream reference turns
+          // ambiguous. Refuse here (the pred-collision guard above only
+          // covers the internal join name).
+          require(!df.columns.contains(name),
+            s"nb-filter: label_as '$name' collides with an input column " +
+              "of the same name — pick a fresh name or drop/rename the " +
+              "input column upstream.")
+          kept.withColumnRenamed("__nb_pred", name)
         case None => kept.drop("__nb_pred")
       }
     }

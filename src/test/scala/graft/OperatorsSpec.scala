@@ -2178,6 +2178,35 @@ class ClassifySpec extends SparkSpec {
       rows(Classify.nbClassBase(surv, "doc_id", "text", "lang")))
   }
 
+  test("mergeNbStoreAt refuses a pre-sidecar store (base committed, no " +
+      "membership sidecar) instead of creating a partial one") {
+    // a model whose docs/ sidecar is missing predates the erasure
+    // protocol: merging onto it would record ONLY the batch's ids, and a
+    // later forget of historical train docs would silently no-op while
+    // the model still carries their counts — the merge must refuse with
+    // a rebuild instruction, leaving the store untouched
+    val tr = Seq(
+      (0L, "apple banana apple", "fruit"),
+      (1L, "bolt nut washer", "tool")).toDF("doc_id", "text", "lang")
+    val path = java.nio.file.Files.createTempDirectory("nbpresidecar").toString
+    Classify.writeNbStore(tr, "doc_id", "text", "lang", path)
+    // simulate the pre-sidecar store: remove docs/ while base stays
+    val docsP = new org.apache.hadoop.fs.Path(s"$path/docs")
+    docsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(docsP, true)
+    val before = spark.read.parquet(s"$path/model")
+      .collect().map(_.toSeq).toSet
+    val e = intercept[IllegalArgumentException] {
+      Classify.mergeNbStoreAt(spark, path,
+        Seq((2L, "cherry cherry", "fruit")).toDF("doc_id", "text", "lang"),
+        "doc_id", "text", "lang")
+    }
+    assert(e.getMessage.contains("membership sidecar"), e.getMessage)
+    val after = spark.read.parquet(s"$path/model")
+      .collect().map(_.toSeq).toSet
+    assert(after == before, "refused merge must not touch the model")
+  }
+
   test("forgetNbStoreAt erases a whole class cleanly and refuses a marked " +
       "store") {
     val tr = Seq(

@@ -519,6 +519,15 @@ class AgentSpec extends SparkSpec {
           "label_as" -> "pred_lang"))
       .collect().map(r => (r.getLong(0), r.getString(2))).toSet
     assert(direct == Set((10L, "fruit"), (12L, "fruit")), s"direct=$direct")
+    // label_as onto an EXISTING input column would leave the frame with
+    // two columns of that name (withColumnRenamed renames, it does not
+    // replace) — refused loudly instead of emitting ambiguous output
+    val collide = intercept[IllegalArgumentException] {
+      graft.processors.CurationProcessors.NbFilter.process(batch,
+        Map("index_path" -> mdl, "allowed" -> "fruit",
+          "label_as" -> "text"))
+    }
+    assert(collide.getMessage.contains("collides"), collide.getMessage)
     val out = dir.resolve("kept.ndjson")
     val rf = new Agent(spark).run(RecipeReader.parse(
       s"""name: nb-filter-run
