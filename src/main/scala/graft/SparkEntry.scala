@@ -3494,6 +3494,53 @@ object SparkEntry {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  private def annPqForgetStored(s: SparkSession, dir: String): DataFrame = {
+    // right-to-erasure for the BILLION-VECTOR layout: a pq2 codes store
+    // with its exact-vector rerank sidecar, erased through the sink's
+    // RECORDED LINKAGE — the `mode: forget` recipe names NO
+    // rerank_store_path, and the cascade still erases both layouts
+    // (the round-14 hole: a forget that omitted the key "succeeded"
+    // while every erased doc's full-precision vector stayed fetchable).
+    // Frozen portable geometry on both levels (the s_ann_ivfpq2_stored
+    // pair — deletion never retrains), so the oracle replays REBUILD
+    // semantics: the same router/encode/ADC/re-rank chain with the
+    // full-corpus geometry over the SURVIVORS only. A hash match proves
+    // in-place cascade erasure ≡ rebuild on survivors, served through
+    // the same stored-probe plan. The forget itself runs once per
+    // layout (zz marker): erasure is an ingest-side mutation, not a
+    // query-side cost.
+    val emb = t(s, dir, "embeddings")
+    val cb = ivf2PortableCodebook(emb)
+    val (_, codebooks) = pqPortableCodebooks(emb)
+    val path = layoutPath(dir, "pq2forget",
+      "m=8,k=16,tops=first3unit,kids=min3id,tomb=mod7eq3,v1")
+    val rrk = s"$path.rerank"
+    if (!layoutReady(s"$path/_graft_pq2/subs/_graft_codebook")) {
+      // the IvfIndexSink build order: vectors, codes, linkage record,
+      // codebook commit signal
+      Similarity.writeVectorStore(emb, "vec_id", "embedding", rrk)
+      Similarity.writePqStoreTwoLevel(emb, "vec_id", "embedding",
+        cb, codebooks, path)
+      Similarity.writeRerankLinkAt(s, path, Some(rrk))
+      Similarity.writePq2CodebooksAt(s, path, cb, codebooks)
+    }
+    if (!layoutReady(s"$path/_graft_zz_forgot")) {
+      graft.sinks.IvfIndexSink.sink(
+        emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")),
+        Map("index_path" -> path, "mode" -> "forget"))
+      import s.implicits._
+      Seq(1).toDF("done").coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/_graft_zz_forgot")
+    }
+    Similarity.ivfPqTopKStoredTwoLevel(s.read.parquet(path),
+        emb.filter(col("vec_id") < 10 && col("vec_id") % 7 =!= 3),
+        "vec_id", "embedding", k = 5, cb, codebooks,
+        vectorStore = Similarity.readVectorStore(s, rrk),
+        nprobeTop = 2, nprobe = 3, shortlist = 50)
+      .withColumnRenamed("rank", "rnk")
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   private def embedJl(s: SparkSession, dir: String): DataFrame = {
     // Johnson–Lindenstrauss sketching — the third embedding-compression
     // codec next to int8 (per-dim quantization) and PQ (codebooks):
@@ -5816,6 +5863,7 @@ object SparkEntry {
     "s_ann_ivfpq_persisted" -> (annIvfPqPersisted _),
     "s_ann_ivfpq2_stored" -> (annIvfPq2Stored _),
     "s_ann_ivfpq2_persisted" -> (annIvfPq2Persisted _),
+    "s_ann_pq_forget_stored" -> (annPqForgetStored _),
     "s_ann_share_audit" -> (annShareAudit _),
     "s_embed_neardup" -> (embedNearDup _),
     "s_embed_neardup_bucketed" -> (embedNearDupBucketed _),
@@ -6646,6 +6694,102 @@ object SparkEntry {
       |           FROM dist) WHERE rn = 1),
       |qlut AS (SELECT q.vec_id AS q_id, dist.s, dist.cid, dist.d AS pd
       |         FROM dist JOIN u q ON dist.vec_id = q.vec_id WHERE q.vec_id < 10),
+      |adc AS (SELECT qprobe.q_id, code.vec_id AS c_id,
+      |          list_sum(list(qlut.pd ORDER BY qlut.s)) AS adc
+      |        FROM code
+      |        JOIN assign ON assign.vec_id = code.vec_id
+      |        JOIN qprobe ON qprobe.gid = assign.gid
+      |        JOIN qlut ON qlut.s = code.s AND qlut.cid = code.code
+      |                 AND qlut.q_id = qprobe.q_id
+      |        WHERE code.vec_id <> qprobe.q_id
+      |        GROUP BY qprobe.q_id, code.vec_id),
+      |short AS (SELECT q_id, c_id FROM (
+      |            SELECT q_id, c_id,
+      |              row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS srank
+      |            FROM adc) WHERE srank <= 50),
+      |rer AS (SELECT short.q_id, short.c_id,
+      |          list_dot_product(q.v, c.v) /
+      |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+      |        FROM short JOIN u q ON q.vec_id = short.q_id
+      |                   JOIN u c ON c.vec_id = short.c_id),
+      |r AS (SELECT q_id, c_id, sim,
+      |        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
+      |      FROM rer)
+      |SELECT q_id, c_id, rnk, round(sim, 4) AS sim FROM r
+      |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
+  /** [[ivfPq2TwinSql]] with REBUILD-ON-SURVIVORS semantics for the
+    * cascade-erasure row: geometry CTEs (router tops/children, PQ
+    * subquantizer centroids) derive from the FULL corpus — the frozen
+    * build-time geometry, deletion never retrains — while the stored
+    * codes (`sv`→`code`), the corpus assignment (`gd`), and the query
+    * set restrict to survivors (vec_id % 7 <> 3). Matching this proves
+    * the linkage-driven in-place erasure of codes + rerank sidecar ≡
+    * rebuilding both layouts from the surviving corpus.
+    */
+  private val ivfPq2ForgetTwinSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |u AS (SELECT vec_id, v,
+      |        CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN v
+      |             ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v))) END AS vu
+      |      FROM e),
+      |tp AS (SELECT vec_id AS tid, vu AS tvu FROM u WHERE vec_id < 3),
+      |td AS (SELECT u.vec_id, tp.tid,
+      |         list_sum(list_transform(range(1, 65),
+      |           i -> (u.vu[i] - tp.tvu[i]) * (u.vu[i] - tp.tvu[i]))) AS d
+      |       FROM u, tp),
+      |tassign AS (SELECT vec_id, tid FROM (
+      |              SELECT vec_id, tid,
+      |                row_number() OVER (PARTITION BY vec_id ORDER BY d, tid) AS rn
+      |              FROM td) WHERE rn = 1),
+      |kids AS (SELECT tid, kvid, kvu, j FROM (
+      |           SELECT t.tid, t.vec_id AS kvid, u.vu AS kvu,
+      |             row_number() OVER (PARTITION BY t.tid ORDER BY t.vec_id) AS j
+      |           FROM tassign t JOIN u ON u.vec_id = t.vec_id) WHERE j <= 3),
+      |bs AS (SELECT tid,
+      |         CAST(coalesce(sum(m) OVER (ORDER BY tid
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS base
+      |       FROM (SELECT tid, count(*) AS m FROM kids GROUP BY tid)),
+      |gk AS (SELECT k.tid, k.kvid, k.kvu, bs.base + k.j - 1 AS gid
+      |       FROM kids k JOIN bs USING (tid)),
+      |gd AS (SELECT u.vec_id, gk.gid,
+      |         list_sum(list_transform(range(1, 65),
+      |           i -> (u.vu[i] - gk.kvu[i]) * (u.vu[i] - gk.kvu[i]))) AS d
+      |       FROM u JOIN tassign USING (vec_id) JOIN gk ON gk.tid = tassign.tid
+      |       WHERE u.vec_id % 7 <> 3),
+      |assign AS (SELECT vec_id, gid FROM (
+      |             SELECT vec_id, gid,
+      |               row_number() OVER (PARTITION BY vec_id ORDER BY d, gid) AS rn
+      |             FROM gd) WHERE rn = 1),
+      |qtop AS (SELECT vec_id AS q_id, tid FROM (
+      |           SELECT vec_id, tid,
+      |             row_number() OVER (PARTITION BY vec_id ORDER BY d, tid) AS rn
+      |           FROM td WHERE vec_id < 10 AND vec_id % 7 <> 3) WHERE rn <= 2),
+      |qkd AS (SELECT q.q_id, gk.gid,
+      |         list_sum(list_transform(range(1, 65),
+      |           i -> (u.vu[i] - gk.kvu[i]) * (u.vu[i] - gk.kvu[i]))) AS d
+      |        FROM qtop q JOIN u ON u.vec_id = q.q_id
+      |                    JOIN gk ON gk.tid = q.tid),
+      |qprobe AS (SELECT q_id, gid FROM (
+      |             SELECT q_id, gid,
+      |               row_number() OVER (PARTITION BY q_id ORDER BY d, gid) AS rn
+      |             FROM qkd) WHERE rn <= 3),
+      |sub AS (SELECT s FROM generate_series(0, 7) AS t(s)),
+      |cent AS (SELECT c.vec_id AS cid, sub.s, c.vu[sub.s*8 + 1 : sub.s*8 + 8] AS cv
+      |         FROM u c, sub WHERE c.vec_id < 16),
+      |sv AS (SELECT u.vec_id, sub.s, u.vu[sub.s*8 + 1 : sub.s*8 + 8] AS sv
+      |       FROM u, sub WHERE u.vec_id % 7 <> 3),
+      |dist AS (SELECT sv.vec_id, sv.s, cent.cid,
+      |           list_sum(list_transform(range(1, 9),
+      |             i -> (sv.sv[i] - cent.cv[i]) * (sv.sv[i] - cent.cv[i]))) AS d
+      |         FROM sv JOIN cent ON sv.s = cent.s),
+      |code AS (SELECT vec_id, s, cid AS code FROM (
+      |           SELECT vec_id, s, cid,
+      |             row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cid) AS rn
+      |           FROM dist) WHERE rn = 1),
+      |qlut AS (SELECT q.vec_id AS q_id, dist.s, dist.cid, dist.d AS pd
+      |         FROM dist JOIN u q ON dist.vec_id = q.vec_id
+      |         WHERE q.vec_id < 10 AND q.vec_id % 7 <> 3),
       |adc AS (SELECT qprobe.q_id, code.vec_id AS c_id,
       |          list_sum(list(qlut.pd ORDER BY qlut.s)) AS adc
       |        FROM code
@@ -9029,6 +9173,11 @@ object SparkEntry {
     // composed replay grades it unchanged — what it adds is WHERE the
     // geometries came from (disk)
     "s_ann_ivfpq2_persisted" -> ivfPq2TwinSql,
+    // cascade erasure on the codes layout: rebuild-on-survivors replay
+    // with the FROZEN full-corpus geometry — the s_ann_forget_stored
+    // theorem, applied to the pq2 store + its rerank sidecar erased
+    // through the recorded linkage (forget recipe names no key)
+    "s_ann_pq_forget_stored" -> ivfPq2ForgetTwinSql,
 
     // share-audit twin: the pq2 router replayed to per-directory counts,
     // then exact integer-ppm shares (// is DuckDB's integer division,

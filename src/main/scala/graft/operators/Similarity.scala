@@ -1293,6 +1293,84 @@ object Similarity {
     (readTwoLevelCodebookAt(spark, s"$path/_graft_pq2/router"),
       readPqCodebooksAt(spark, s"$path/_graft_pq2/subs")._2)
 
+  /** Persist a codes store's RERANK LINKAGE inside its `_graft_pq2`
+    * metadata at build time — the store itself records whether an
+    * exact-vector sidecar ([[writeVectorStore]]) pairs with it, and
+    * where. Written even when NO sidecar exists (an explicit
+    * empty-string row), so every mutation can tell "this store has no
+    * rerank sidecar" from "this store predates the linkage protocol":
+    * without the record, a `mode: forget` that omits the key would
+    * silently leave every erased doc's full-precision vector fetchable
+    * by any future re-rank — erasure that is no erasure. The `_graft_
+    * index_config` discipline applied to the erasure cascade.
+    */
+  def writeRerankLinkAt(spark: SparkSession, path: String,
+                        rerank: Option[String]): Unit = {
+    import spark.implicits._
+    Layout.replaceDir(Seq(rerank.getOrElse("")).toDF("rerank_path")
+      .coalesce(1), s"$path/_graft_pq2/rerank")
+  }
+
+  /** Read a codes store's recorded rerank linkage:
+    *  - `None`           — the store PREDATES the linkage protocol (no
+    *                       record; callers fall back to their explicit
+    *                       config key, documented-weaker)
+    *  - `Some(None)`     — the store records that NO rerank sidecar
+    *                       exists
+    *  - `Some(Some(p))`  — the store's exact vectors live at `p`
+    */
+  def rerankLinkAt(spark: SparkSession,
+                   path: String): Option[Option[String]] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_graft_pq2/rerank")
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      return None
+    val stored = spark.read.parquet(s"$path/_graft_pq2/rerank")
+      .head().getString(0)
+    Some(if (stored.isEmpty) None else Some(stored))
+  }
+
+  /** Resolve the EFFECTIVE rerank store for a codes-store operation from
+    * the persisted linkage and the caller's explicit key, refusing every
+    * silent-divergence combination: an explicit key that contradicts the
+    * record (either a different path, or a key on a store recorded
+    * sidecar-less) corrupts the pairing; a recorded sidecar that is
+    * unreachable must stop an erasure rather than let it "succeed" with
+    * the raw vectors still fetchable. Legacy stores (no record) pass the
+    * explicit key through unchanged — their weaker contract is the
+    * caller's documented fallback.
+    */
+  def resolveRerankLink(spark: SparkSession, path: String,
+                        explicit: Option[String]): Option[String] =
+    rerankLinkAt(spark, path) match {
+      case Some(Some(linked)) =>
+        explicit.filter(_ != linked).foreach { rp =>
+          throw new IllegalArgumentException(
+            s"$path records its exact-vector rerank sidecar at $linked " +
+              s"but this operation names $rp — a divergent pairing would " +
+              "re-rank (or erase) the wrong vectors. Drop the key (the " +
+              "store's own record wins) or fix it to match.")
+        }
+        require(vectorStoreExistsAt(spark, linked),
+          s"$path records its exact-vector rerank sidecar at $linked, " +
+            "which is not a readable vector store — refusing to proceed " +
+            "(an erasure that skips the sidecar leaves every erased " +
+            "doc's full-precision vector fetchable; a query would " +
+            "silently drop its re-rank). Restore the sidecar or rebuild " +
+            "the index.")
+        Some(linked)
+      case Some(None) =>
+        explicit.foreach { rp =>
+          throw new IllegalArgumentException(
+            s"$path records that NO rerank sidecar exists, but this " +
+              s"operation names $rp — a sidecar bolted on after history " +
+              "landed would silently miss every historical vector. " +
+              "Rebuild the index with rerank_store_path set from the " +
+              "first batch.")
+        }
+        None
+      case None => explicit
+    }
+
 
   /** [[appendIvfStore]] for a two-level layout — steady-state ingest:
     * arrivals are kernel-assigned against the SAME frozen codebook the

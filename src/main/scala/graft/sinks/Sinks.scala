@@ -674,8 +674,10 @@ object IvfIndexSink extends SinkPlugin {
         |# rerank_store_path: /indexes/ivf_vectors
         |#                # with quantize: pq — ALSO write the exact
         |#                # vectors id-partitioned, so ann-search can
-        |#                # re-rank the ADC shortlist (pass the same key
-        |#                # to ann-search and to mode: forget batches)""".stripMargin,
+        |#                # re-rank the ADC shortlist. The store RECORDS
+        |#                # this linkage: mode: forget cascades to the
+        |#                # sidecar automatically and ann-search defaults
+        |#                # to it, so later recipes may omit the key""".stripMargin,
     tags = Seq("sink", "curation", "similarity"))
 
   override def validate(config: Map[String, Any]): Seq[InvalidConfigError] = {
@@ -737,11 +739,26 @@ object IvfIndexSink extends SinkPlugin {
         .localCheckpoint()
       val n = tomb.count()
       if (n > 0) {
-        Similarity.forgetIvfStoreAt(spark, path, tomb, idc)
         // a codes store's exact-vector sidecar must forget the same ids —
         // erasure that leaves the raw vector fetchable by every re-rank
-        // is no erasure at all
-        config.get("rerank_store_path").map(_.toString).foreach { rp =>
+        // is no erasure at all. The store's own recorded linkage drives
+        // the cascade (resolveRerankLink): a forget recipe that omits the
+        // key still erases the sidecar, a key contradicting the record
+        // refuses, and a recorded-but-unreachable sidecar refuses BEFORE
+        // the codes mutate (all-or-nothing posture — "codes erased,
+        // vectors kept" must never read as success). Only stores
+        // predating the linkage record fall back to the explicit key.
+        val isPq2 = graft.processors.CurationProcessors.indexExists(spark,
+          s"$path/_graft_pq2/subs/_graft_codebook")
+        val explicit = config.get("rerank_store_path").map(_.toString)
+        val rerank =
+          if (isPq2) Similarity.resolveRerankLink(spark, path, explicit)
+          else explicit
+        // codes first, then vectors: the crash window leaves orphan
+        // vectors (never shortlisted — harmless until the re-run
+        // completes them) rather than codes whose re-rank silently drops
+        Similarity.forgetIvfStoreAt(spark, path, tomb, idc)
+        rerank.foreach { rp =>
           Similarity.forgetVectorStoreAt(spark, rp, tomb, idc)
         }
       }
@@ -808,16 +825,29 @@ object IvfIndexSink extends SinkPlugin {
         val codebooks = Similarity.pqTrain(sample, m, kk)
         val cb = Similarity.autoTwoLevelCodebook(batch, idc, vc,
           maxSharePct = maxShare)
-        Similarity.writePqStoreTwoLevel(batch, idc, vc, cb, codebooks, path)
+        // vectors BEFORE codes (orphan vectors are never shortlisted —
+        // harmless; codes whose vectors are missing silently vanish at
+        // re-rank), linkage record BEFORE the codebook commit signal —
+        // a committed store always knows whether a sidecar pairs with it
         rerank.foreach(rp =>
           Similarity.writeVectorStore(batch, idc, vc, rp))
+        Similarity.writePqStoreTwoLevel(batch, idc, vc, cb, codebooks, path)
+        Similarity.writeRerankLinkAt(spark, path, rerank)
         Similarity.writePq2CodebooksAt(spark, path, cb, codebooks)
       } else {
         val (cb, codebooks) = Similarity.readPq2CodebooksAt(spark, path)
+        // the store's recorded linkage drives the pairing: a key that
+        // contradicts the record refuses, a linked-but-unreachable
+        // sidecar refuses, and on a linked store an append may OMIT the
+        // key (the record wins) — appended vectors still land in the
+        // sidecar, so history never silently diverges from it
+        val link = Similarity.rerankLinkAt(spark, path)
+        val effRerank = Similarity.resolveRerankLink(spark, path, rerank)
+        // stores predating the linkage record keep the original guard:
         // a rerank store bolted on AFTER history landed would silently
         // miss every historical vector at re-rank time — refuse; it must
         // ride along from the first batch (or the index rebuilds)
-        rerank.foreach { rp =>
+        if (link.isEmpty) rerank.foreach { rp =>
           require(Similarity.vectorStoreExistsAt(spark, rp),
             s"$rp is not an initialized vector store but $path already " +
               "holds history — a rerank store started mid-stream would " +
@@ -825,10 +855,19 @@ object IvfIndexSink extends SinkPlugin {
               "with rerank_store_path set from the first batch.")
         }
         IndexProtocol.withMergePending(spark, path) {
+          // vectors BEFORE codes (the build-path rationale: a crash
+          // between the two must strand harmless orphan vectors, never
+          // committed codes whose exact vectors the re-rank cannot fetch)
+          effRerank.foreach(rp =>
+            Similarity.appendVectorStore(batch, idc, vc, rp))
           Similarity.appendPqStoreTwoLevel(batch, idc, vc, cb, codebooks,
             path)
-          rerank.foreach(rp =>
-            Similarity.appendVectorStore(batch, idc, vc, rp))
+          // adopt the linkage onto a pre-record store once a batch names
+          // the sidecar and the guard above proved it initialized —
+          // POSITIVE knowledge only (an append that merely omits the key
+          // must not freeze "no sidecar" for a store that may have one)
+          if (link.isEmpty && rerank.isDefined)
+            Similarity.writeRerankLinkAt(spark, path, rerank)
         }
       }
       return n

@@ -167,16 +167,26 @@ object AnnSearchExtractor extends Extractor {
     val store = spark.read.parquet(path)
     // the exact-vector fetch side of a codes store's re-rank: REQUIRED
     // for pq layouts (codes cannot re-rank themselves), rejected loudly
-    // when absent instead of returning ADC-only approximations
+    // when absent instead of returning ADC-only approximations. Stores
+    // built by ivf-index RECORD their sidecar linkage, so the key
+    // defaults from the store itself (resolveRerankLink also refuses a
+    // key contradicting the record and a recorded-but-unreachable
+    // sidecar); only pre-record stores still require it spelled out.
     def rerankStore: (org.apache.spark.sql.DataFrame, Int) = {
-      val rp = config.getOrElse("rerank_store_path", "").toString
-      if (rp.isEmpty) throw new ConfigException(Seq(InvalidConfigError(
-        "rerank_store_path",
-        s"$path holds a PQ CODES store — the ADC shortlist re-ranks " +
-          "against exact vectors, so set rerank_store_path to the " +
-          "id-partitioned vector store written at ingest (ivf-index " +
-          "writes one when its recipe sets rerank_store_path)")))
-      Similarity.readVectorStore(spark, rp)
+      val explicit = Some(config.getOrElse("rerank_store_path", "")
+        .toString).filter(_.nonEmpty)
+      Similarity.resolveRerankLink(spark, path, explicit) match {
+        case Some(rp) => Similarity.readVectorStore(spark, rp)
+        case None => throw new ConfigException(Seq(InvalidConfigError(
+          "rerank_store_path",
+          s"$path holds a PQ CODES store with no reachable exact-vector " +
+            "sidecar — the ADC shortlist re-ranks against exact vectors. " +
+            "Stores written by ivf-index with rerank_store_path record " +
+            "the linkage and need no key here; this one does not, so " +
+            "set rerank_store_path to the id-partitioned vector store " +
+            "written at ingest (or rebuild the index with the key set " +
+            "from the first batch).")))
+      }
     }
     val kind = Similarity.codebookKindAt(spark, path)
     // a rerank key on a RAW store is a config mistake (raw stores

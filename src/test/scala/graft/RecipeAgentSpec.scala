@@ -712,18 +712,31 @@ class AgentSpec extends SparkSpec {
         m.get("rank").toString.toInt, m.get("sim").toString.toDouble)
     }.toSet
     assert(sunk == direct && sunk.nonEmpty)
-    // a codes store WITHOUT the rerank key refuses loudly (never returns
-    // ADC-only approximations)
-    val err = intercept[Exception] {
+    // the store RECORDS its sidecar linkage, so a query that omits the
+    // key serves identically — the key defaults from the store itself
+    assert(Similarity.rerankLinkAt(spark, idx) == Some(Some(rrk)))
+    val defaulted = graft.sources.AnnSearchExtractor.extract(spark, Map(
+        "index_path" -> idx, "queries_path" -> s"$dir/qv",
+        "top_k" -> 5, "shortlist" -> 20))
+      .collect().map(row => (row.getLong(0), row.getLong(1), row.getInt(2),
+        row.getDouble(3))).toSet
+    assert(defaulted == direct,
+      "linkage-defaulted query must equal the explicit-key query")
+    // a key CONTRADICTING the record refuses (divergent pairing would
+    // re-rank the wrong vectors)
+    val diverge = intercept[IllegalArgumentException] {
       graft.sources.AnnSearchExtractor.extract(spark, Map(
-        "index_path" -> idx, "queries_path" -> s"$dir/qv"))
+        "index_path" -> idx, "queries_path" -> s"$dir/qv",
+        "rerank_store_path" -> dir.resolve("elsewhere").toString))
     }
-    assert(err.getMessage.contains("rerank_store_path"), err.getMessage)
-    // mode: forget with the same key erases BOTH layouts, and the served
-    // ranking equals the stored probe over the survivors
+    assert(diverge.getMessage.contains("records its exact-vector"),
+      diverge.getMessage)
+    // mode: forget WITHOUT the key erases BOTH layouts — the recorded
+    // linkage drives the cascade, closing the "forget recipe omits the
+    // key, raw vectors stay fetchable" erasure hole
     val tomb = Seq(58L).toDF("vec_id")
     assert(graft.sinks.IvfIndexSink.sink(tomb, Map("index_path" -> idx,
-      "mode" -> "forget", "rerank_store_path" -> rrk)) == 1L)
+      "mode" -> "forget")) == 1L)
     assert(spark.read.parquet(idx).filter(col("vec_id") === 58L).count() == 0)
     assert(spark.read.parquet(rrk).filter(col("vec_id") === 58L).count() == 0)
     val served = graft.sources.AnnSearchExtractor.extract(spark, Map(
@@ -733,8 +746,20 @@ class AgentSpec extends SparkSpec {
     assert(served.nonEmpty &&
       !served.exists(row => row(1) == 58L),
       "erased id must not be servable from the recipe surface")
+    // a forget naming a DIFFERENT sidecar than the record refuses, and
+    // the codes store is untouched (all-or-nothing)
+    val n59 = spark.read.parquet(idx).filter(col("vec_id") === 59L).count()
+    val fDiverge = intercept[IllegalArgumentException] {
+      graft.sinks.IvfIndexSink.sink(Seq(59L).toDF("vec_id"),
+        Map("index_path" -> idx, "mode" -> "forget",
+          "rerank_store_path" -> dir.resolve("elsewhere").toString))
+    }
+    assert(fDiverge.getMessage.contains("records its exact-vector"),
+      fDiverge.getMessage)
+    assert(spark.read.parquet(idx).filter(col("vec_id") === 59L).count()
+      == n59, "refused forget must not touch the codes")
     // a mid-stream rerank store refuses: append a batch pointing the key
-    // at a FRESH path — it must not silently start a partial store
+    // somewhere else — the record wins, never a silent partial store
     val late = intercept[IllegalArgumentException] {
       graft.sinks.IvfIndexSink.sink(
         Seq((100L, Seq.tabulate(8)(_ * 0.1))).toDF("vec_id", "embedding"),
@@ -742,7 +767,32 @@ class AgentSpec extends SparkSpec {
           "rerank_store_path" -> dir.resolve("late").toString,
           "pq_m" -> 4, "pq_k" -> 8))
     }
-    assert(late.getMessage.toLowerCase.contains("rebuild"), late.getMessage)
+    assert(late.getMessage.contains("records its exact-vector"),
+      late.getMessage)
+    // an append that OMITS the key on a linked store still appends the
+    // vectors to the recorded sidecar — history never diverges from it
+    assert(graft.sinks.IvfIndexSink.sink(
+      Seq((101L, Seq.tabulate(8)(d => 0.2 * d))).toDF("vec_id", "embedding"),
+      Map("index_path" -> idx, "quantize" -> "pq",
+        "pq_m" -> 4, "pq_k" -> 8)) == 1L)
+    assert(spark.read.parquet(idx).filter(col("vec_id") === 101L).count() == 1)
+    assert(spark.read.parquet(rrk).filter(col("vec_id") === 101L).count() == 1)
+    // a linked-but-UNREACHABLE sidecar stops erasure before the codes
+    // mutate: "codes erased, raw vectors kept" must never read as success
+    val fs2 = new org.apache.hadoop.fs.Path(rrk)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs2.rename(new org.apache.hadoop.fs.Path(rrk),
+      new org.apache.hadoop.fs.Path(s"$rrk.hidden"))
+    val gone = intercept[IllegalArgumentException] {
+      graft.sinks.IvfIndexSink.sink(Seq(59L).toDF("vec_id"),
+        Map("index_path" -> idx, "mode" -> "forget"))
+    }
+    assert(gone.getMessage.contains("not a readable vector store"),
+      gone.getMessage)
+    assert(spark.read.parquet(idx).filter(col("vec_id") === 59L).count()
+      == n59, "refused cascade must not touch the codes")
+    fs2.rename(new org.apache.hadoop.fs.Path(s"$rrk.hidden"),
+      new org.apache.hadoop.fs.Path(rrk))
   }
 
   test("mode: forget on the index sinks erases tombstoned rows through the " +
