@@ -4484,7 +4484,7 @@ object SparkEntry {
     * now decrement and drop what only erased docs contributed.
     */
   private def winnowStore(s: SparkSession, dir: String): DataFrame = {
-    val path = layoutPath(dir, "winnowindex", "k=4,w=4,cut=250,refs,v2",
+    val path = layoutPath(dir, "winnowindex", "k=4,w=4,cut=250,refs,v3",
       srcTable = "documents.parquet")
     if (!layoutReady(s"$path/fps"))
       Dedup.writeWinnowStoreAt(s, path,
@@ -4515,7 +4515,7 @@ object SparkEntry {
     // second run finds no attribution rows and no-ops.
     val docs = t(s, dir, "documents")
     val path = layoutPath(dir, "winnowforget",
-      "k=4,w=4,cut=250,tomb=mod7eq3,v1", srcTable = "documents.parquet")
+      "k=4,w=4,cut=250,tomb=mod7eq3,v2", srcTable = "documents.parquet")
     if (!layoutReady(s"$path/fps"))
       Dedup.writeWinnowStoreAt(s, path, docs.filter(col("doc_id") < 250),
         "doc_id", "text")
@@ -5115,7 +5115,7 @@ object SparkEntry {
     * keyed like every layout cache on dir|config|src-mtime.
     */
   private def nbStore(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val path = layoutPath(dir, "nbmodel", "split=even,tok=ws,v2",
+    val path = layoutPath(dir, "nbmodel", "split=even,tok=ws,v3",
       srcTable = "documents.parquet")
     if (!layoutReady(s"$path/base")) {
       val (tr, _) = nbSplit(s, dir)
@@ -5135,7 +5135,7 @@ object SparkEntry {
     // done-marker (a merge is not idempotent — the arriving-batch
     // contract — so the graded row must never re-merge a cached store).
     val (tr, te) = nbSplit(s, dir)
-    val path = layoutPath(dir, "nbmerge", "split=even,cut=300,tok=ws,v1",
+    val path = layoutPath(dir, "nbmerge", "split=even,cut=300,tok=ws,v2",
       srcTable = "documents.parquet")
     if (!layoutReady(s"$path/zz_done")) {
       import s.implicits._
@@ -5166,7 +5166,7 @@ object SparkEntry {
     // the forgotten store.
     val (tr, te) = nbSplit(s, dir)
     val path = layoutPath(dir, "nbforget",
-      "split=even,tok=ws,tomb=mod10eq0,v1", srcTable = "documents.parquet")
+      "split=even,tok=ws,tomb=mod10eq0,v2", srcTable = "documents.parquet")
     if (!layoutReady(s"$path/base"))
       Classify.writeNbStore(tr, "doc_id", "text", "lang", path)
     Classify.forgetNbStoreAt(s, path, tr.filter(col("doc_id") % 10 === 0),

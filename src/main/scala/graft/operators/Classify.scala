@@ -104,10 +104,26 @@ object Classify {
     baseFromCounts(termCounts(train, textCol, labelCol),
       train.groupBy(col(labelCol).as("label")).agg(count(lit(1)).as("nd")))
 
-  /** Fixed id-hash directory modulus of the membership sidecar — a
-    * constant, not a knob (the erasure-sidecar rule shared with the
-    * BM25/IVF/winnow stores). */
+  /** DEFAULT id-hash directory modulus of the membership sidecar. A code
+    * constant at build time, but every store FREEZES the count it was
+    * built with inside `_graft_layout` and every mutation reads it back
+    * (the [[graft.operators.Retrieval]] persisted-buckets discipline):
+    * a mutation recomputing dbucket under a CHANGED constant would probe
+    * the wrong sidecar directories of every existing store — tombstoned
+    * members would read as absent, and the forget would silently no-op
+    * while the model still carries their counts. */
   private val NbDocBuckets = 16
+
+  /** The NB store's frozen sidecar modulus, read back from
+    * `_graft_layout`. Stores written before the record existed fall back
+    * to the code default they were necessarily built under —
+    * documented-weaker: they adopt the record on their next rebuild. */
+  def nbLayoutAt(spark: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_graft_layout")
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      return NbDocBuckets
+    spark.read.parquet(s"$path/_graft_layout").head().getInt(0)
+  }
 
   /** Write-once trained model: `path/model` ((label, term) integer
     * weights — tiny: |V|·|classes| rows regardless of corpus size),
@@ -121,16 +137,23 @@ object Classify {
     * one trained classifier filters many corpus drops.
     */
   def writeNbStore(train: DataFrame, idCol: String, textCol: String,
-                   labelCol: String, path: String): Unit = {
+                   labelCol: String, path: String,
+                   docBuckets: Int = NbDocBuckets): Unit = {
+    val spark = train.sparkSession
     nbModel(train, textCol, labelCol)
       .coalesce(4).write.mode("overwrite").parquet(s"$path/model")
     train.select(col(idCol))
       .withColumn("dbucket",
-        pmod(xxhash64(col(idCol)), lit(NbDocBuckets)).cast("int"))
+        pmod(xxhash64(col(idCol)), lit(docBuckets)).cast("int"))
       .repartition(2, col("dbucket"))
       .sortWithinPartitions(col("dbucket"), col(idCol))
       .write.mode("overwrite").partitionBy("dbucket")
       .parquet(s"$path/docs")
+    // freeze the sidecar modulus INSIDE the store, before the commit
+    // signal — mutations read it back instead of trusting the constant
+    import spark.implicits._
+    Seq(docBuckets).toDF("dbuckets").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_graft_layout")
     nbClassBase(train, idCol, textCol, labelCol)
       .coalesce(1).write.mode("overwrite").parquet(s"$path/base")
   }
@@ -204,7 +227,8 @@ object Classify {
       val newBase = baseFromCounts(newCnt, newNd).localCheckpoint()
       val sideAdd = batch.select(col(idCol))
         .withColumn("dbucket",
-          pmod(xxhash64(col(idCol)), lit(NbDocBuckets)).cast("int"))
+          pmod(xxhash64(col(idCol)), lit(nbLayoutAt(spark, path)))
+            .cast("int"))
         .repartition(2, col("dbucket"))
         .sortWithinPartitions(col("dbucket"), col(idCol))
         .localCheckpoint()
@@ -246,7 +270,8 @@ object Classify {
       .select(expr(s"try_cast(`$idCol` AS ${idType.sql})").as(idCol))
       .filter(col(idCol).isNotNull).distinct()
     val tombBuckets = tombIds
-      .select(pmod(xxhash64(col(idCol)), lit(NbDocBuckets)).cast("int")
+      .select(pmod(xxhash64(col(idCol)),
+          lit(nbLayoutAt(spark, path))).cast("int")
         .as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq
     val present = side.filter(col("dbucket").isInCollection(tombBuckets))

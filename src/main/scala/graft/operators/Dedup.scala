@@ -1037,18 +1037,41 @@ object Dedup {
     batch.select(col(idCol)).join(hits, Seq(idCol), "left_anti")
   }
 
-  /** Fixed directory moduli of the winnow store — constants, not knobs
-    * (the [[graft.operators.Similarity]] id-sidecar rule: every later
-    * batch computes the same bucket with no layout metadata to look up).
-    * fp buckets key the REFCOUNT table (fp is an md5 hex STRING, so the
-    * hash is type-stable by construction); doc buckets key the
-    * attribution sidecar on the id hash.
+  /** DEFAULT directory moduli of the winnow store. These are code
+    * constants at build time, but every store FREEZES the counts it was
+    * built with inside `_graft_layout` (alongside k/w) and every later
+    * mutation reads them back from the store — the
+    * [[Retrieval.writeLayoutMeta]] discipline. Without that, raising
+    * the constant (the obvious dial when stores grow) would make every
+    * mutation recompute buckets under the NEW modulus and prune the
+    * WRONG directories of every EXISTING store: missed decrements,
+    * silent refcount corruption. fp buckets key the REFCOUNT table (fp
+    * is an md5 hex STRING, so the hash is type-stable by construction);
+    * doc buckets key the attribution sidecar on the id hash.
     */
   private val WinnowFpBuckets = 32
   private val WinnowDocBuckets = 16
 
-  private def winnowFpBucket: Column =
-    pmod(xxhash64(col("fp")), lit(WinnowFpBuckets)).cast("int")
+  private def winnowFpBucket(fpBuckets: Int): Column =
+    pmod(xxhash64(col("fp")), lit(fpBuckets)).cast("int")
+
+  /** The winnow store's frozen geometry: (k, w, fpBuckets, docBuckets),
+    * read back from `_graft_layout`. Stores written before the bucket
+    * counts were persisted (2-column layout) fall back to the code
+    * defaults they were necessarily built under — documented-weaker:
+    * they adopt the full record on their next rebuild.
+    */
+  def winnowLayoutAt(spark: org.apache.spark.sql.SparkSession,
+                     path: String): (Int, Int, Int, Int) = {
+    val df = spark.read.parquet(s"$path/_graft_layout")
+    val row = df.head()
+    if (df.columns.contains("fbuckets"))
+      (row.getInt(df.columns.indexOf("k")),
+        row.getInt(df.columns.indexOf("w")),
+        row.getInt(df.columns.indexOf("fbuckets")),
+        row.getInt(df.columns.indexOf("dbuckets")))
+    else (row.getInt(0), row.getInt(1), WinnowFpBuckets, WinnowDocBuckets)
+  }
 
   /** The ERASABLE winnow-fingerprint store — the span-reuse (plagiarism)
     * gate's index, with the doc attribution a bare DISTINCT-fp set
@@ -1073,7 +1096,9 @@ object Dedup {
     */
   def writeWinnowStoreAt(spark: org.apache.spark.sql.SparkSession,
                          path: String, docs: DataFrame, idCol: String,
-                         textCol: String, k: Int = 4, w: Int = 4): Unit = {
+                         textCol: String, k: Int = 4, w: Int = 4,
+                         fpBuckets: Int = WinnowFpBuckets,
+                         docBuckets: Int = WinnowDocBuckets): Unit = {
     val fps = winnowFingerprints(docs, idCol, textCol, k, w)
       .localCheckpoint()
     // a zero-fingerprint corpus (every doc under w+k-1 tokens) must not
@@ -1084,20 +1109,23 @@ object Dedup {
     // with real fingerprints builds normally)
     if (fps.isEmpty) return
     fps.withColumn("dbucket",
-        pmod(xxhash64(col(idCol)), lit(WinnowDocBuckets)).cast("int"))
+        pmod(xxhash64(col(idCol)), lit(docBuckets)).cast("int"))
       .repartition(4, col("dbucket"))
       .sortWithinPartitions(col("dbucket"), col(idCol))
       .write.mode("overwrite").partitionBy("dbucket")
       .parquet(s"$path/docs")
-    // freeze the winnowing geometry INSIDE the store (the
-    // _graft_index_config discipline): a later batch gating or merging
-    // under different k/w would fingerprint a different shingle/window
-    // space — matching nothing and corrupting refcounts with no error
+    // freeze the winnowing geometry AND the directory moduli INSIDE the
+    // store (the _graft_index_config discipline): a later batch gating
+    // or merging under different k/w would fingerprint a different
+    // shingle/window space — matching nothing and corrupting refcounts
+    // with no error — and a mutation recomputing buckets under a changed
+    // code constant would prune the wrong directories just as silently
     import spark.implicits._
-    Seq((k, w)).toDF("k", "w").coalesce(1)
+    Seq((k, w, fpBuckets, docBuckets))
+      .toDF("k", "w", "fbuckets", "dbuckets").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_graft_layout")
     fps.groupBy(col("fp")).agg(count(lit(1)).as("refs"))
-      .withColumn("fbucket", winnowFpBucket)
+      .withColumn("fbucket", winnowFpBucket(fpBuckets))
       .repartition(4, col("fbucket"))
       .sortWithinPartitions(col("fbucket"), col("fp"))
       .write.mode("overwrite").partitionBy("fbucket")
@@ -1166,6 +1194,9 @@ object Dedup {
       return
     }
     requireWinnowLayout(spark, path, k, w)
+    // bucket moduli come from the STORE's frozen record, never the code
+    // constants — a changed constant must not re-home existing buckets
+    val (_, _, fpB, docB) = winnowLayoutAt(spark, path)
     // a batch with no fingerprints (all docs under w+k-1 tokens, or an
     // empty gate output) merges nothing — skip the marker round-trip
     val bfps0 = winnowFingerprints(batch, idCol, textCol, k, w)
@@ -1174,7 +1205,7 @@ object Dedup {
     Layout.withPendingMarkerStaged(spark, path)({
       val bfps = bfps0
       val adds = bfps.groupBy(col("fp")).agg(count(lit(1)).as("__add"))
-      val hitDirs = adds.select(winnowFpBucket.as("b")).distinct()
+      val hitDirs = adds.select(winnowFpBucket(fpB).as("b")).distinct()
         .collect().map(_.getInt(0)).toSeq.sorted
       val fpsRaw = spark.read.parquet(s"$path/fps")
       val newRows = fpsRaw.filter(col("fbucket").isInCollection(hitDirs))
@@ -1183,13 +1214,13 @@ object Dedup {
         .select(col("fp"),
           (coalesce(col("refs"), lit(0L)) + coalesce(col("__add"), lit(0L)))
             .as("refs"))
-        .withColumn("fbucket", winnowFpBucket)
+        .withColumn("fbucket", winnowFpBucket(fpB))
       val fpsPlan = Layout.planDirRewrite(spark, s"$path/fps", "fbucket",
         newRows, hitDirs, fpsRaw, sortCols = Seq("fp"))
       (bfps, fpsPlan)
     }) { case (bfps, fpsPlan) =>
       bfps.withColumn("dbucket",
-          pmod(xxhash64(col(idCol)), lit(WinnowDocBuckets)).cast("int"))
+          pmod(xxhash64(col(idCol)), lit(docB)).cast("int"))
         .repartition(2, col("dbucket"))
         .sortWithinPartitions(col("dbucket"), col(idCol))
         .write.mode("append").partitionBy("dbucket")
@@ -1216,13 +1247,15 @@ object Dedup {
                           path: String, tombstones: DataFrame,
                           idCol: String): Unit = {
     Layout.refuseIfPending(spark, path)
+    // bucket moduli from the store's frozen record (the merge rationale)
+    val (_, _, fpB, docB) = winnowLayoutAt(spark, path)
     val side = spark.read.parquet(s"$path/docs")
     val idType = side.schema(idCol).dataType
     val tomb = tombstones
       .select(expr(s"try_cast(`$idCol` AS ${idType.sql})").as(idCol))
       .filter(col(idCol).isNotNull).distinct()
     val tombBuckets = tomb
-      .select(pmod(xxhash64(col(idCol)), lit(WinnowDocBuckets)).cast("int")
+      .select(pmod(xxhash64(col(idCol)), lit(docB)).cast("int")
         .as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq
     val hits = side.filter(col("dbucket").isInCollection(tombBuckets))
@@ -1233,7 +1266,7 @@ object Dedup {
       val dec = hits.groupBy(col("fp")).agg(count(lit(1)).as("__dec"))
       // hit fp directories recomputed from the fp STRING — md5 hex, so
       // the hash is type-stable (no numeric-type drift possible)
-      val hitFpDirs = dec.select(winnowFpBucket.as("b")).distinct()
+      val hitFpDirs = dec.select(winnowFpBucket(fpB).as("b")).distinct()
         .collect().map(_.getInt(0)).toSeq.sorted
       val fpsRaw = spark.read.parquet(s"$path/fps")
       val newRows = fpsRaw.filter(col("fbucket").isInCollection(hitFpDirs))

@@ -2178,6 +2178,35 @@ class ClassifySpec extends SparkSpec {
       rows(Classify.nbClassBase(surv, "doc_id", "text", "lang")))
   }
 
+  test("NB store mutations use the FROZEN sidecar modulus from " +
+      "_graft_layout, not the code constant") {
+    // same rule as the winnow store: a store laid down under one
+    // dbucket modulus must keep unlearning exactly after the constant
+    // changes — merge and forget read the persisted count, or the
+    // membership probe would look in the wrong directories and the
+    // forget would silently no-op while the model keeps the counts
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val path = java.nio.file.Files.createTempDirectory("nbgeom").toString
+    Classify.writeNbStore(docs.filter(col("doc_id") < 300),
+      "doc_id", "text", "lang", path, docBuckets = 4)
+    assert(Classify.nbLayoutAt(spark, path) == 4)
+    Classify.mergeNbStoreAt(spark, path,
+      docs.filter(col("doc_id") >= 300), "doc_id", "text", "lang")
+    val maxD = spark.read.parquet(s"$path/docs")
+      .agg(max(col("dbucket"))).head().getInt(0)
+    assert(maxD < 4, s"merged sidecar rows escaped the frozen modulus: $maxD")
+    val tomb = docs.filter(col("doc_id") % 9 === 4)
+    Classify.forgetNbStoreAt(spark, path, tomb, "doc_id", "text", "lang")
+    val surv = docs.filter(col("doc_id") % 9 =!= 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val (m2, b2) = Classify.readNbStore(spark, path)
+    assert(rows(m2) == rows(Classify.nbModel(surv, "text", "lang")))
+    assert(rows(b2) ==
+      rows(Classify.nbClassBase(surv, "doc_id", "text", "lang")))
+  }
+
   test("mergeNbStoreAt refuses a pre-sidecar store (base committed, no " +
       "membership sidecar) instead of creating a partial one") {
     // a model whose docs/ sidecar is missing predates the erasure
@@ -2753,6 +2782,46 @@ class WinnowSpec extends SparkSpec {
       Dedup.forgetWinnowStoreAt(spark, path, Seq(2L).toDF("doc_id"),
         "doc_id")
     }
+  }
+
+  test("winnow store mutations use the FROZEN bucket geometry from " +
+      "_graft_layout, not the code constants") {
+    // a store laid down under one directory modulus must keep pruning
+    // correctly after the code constants change (the obvious dial when
+    // stores grow): build under NON-default moduli — every mutation must
+    // read the persisted counts back, or it would prune the wrong
+    // directories (missed decrements, silent refcount corruption)
+    val copied = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val hist = Seq(
+      (1L, s"one two three $copied four five six"),
+      (2L, "totally different historical content goes here okay then right"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("winnowgeom").toString
+    Dedup.writeWinnowStoreAt(spark, path, hist, "doc_id", "text",
+      fpBuckets = 8, docBuckets = 4)
+    assert(Dedup.winnowLayoutAt(spark, path) == ((4, 4, 8, 4)))
+    // merged rows must land in the FROZEN 8/4 geometry
+    val batch = Seq((3L, s"intro words then $copied and an outro here"))
+      .toDF("doc_id", "text")
+    Dedup.mergeWinnowStoreAt(spark, path, batch, "doc_id", "text")
+    val maxF = spark.read.parquet(s"$path/fps")
+      .agg(max(col("fbucket"))).head().getInt(0)
+    val maxD = spark.read.parquet(s"$path/docs")
+      .agg(max(col("dbucket"))).head().getInt(0)
+    assert(maxF < 8 && maxD < 4, s"maxF=$maxF maxD=$maxD")
+    // erasure prunes through the frozen geometry: forget ≡ rebuild on
+    // survivors under the SAME moduli (doc 3 shares the copied span with
+    // doc 1, so its fps decrement 2 → 1 — a wrong-directory probe would
+    // miss them entirely)
+    Dedup.forgetWinnowStoreAt(spark, path, Seq(1L).toDF("doc_id"), "doc_id")
+    val rb = java.nio.file.Files.createTempDirectory("winnowgeom_rb").toString
+    Dedup.writeWinnowStoreAt(spark, rb,
+      hist.filter(col("doc_id") =!= 1L).unionByName(batch),
+      "doc_id", "text", fpBuckets = 8, docBuckets = 4)
+    def rows(p: String, table: String) =
+      spark.read.parquet(s"$p/$table").collect().map(_.toSeq).toSet
+    assert(rows(path, "fps") == rows(rb, "fps"))
+    assert(rows(path, "docs") == rows(rb, "docs"))
   }
 
   test("winnow store guards: zero-fingerprint builds leave the path " +
