@@ -326,6 +326,26 @@ object EventStream {
           batch.sparkSession, path, batch.toDF(), idCol)
     }
 
+  /** [[streamingWinnowForget]] for the stored NB model — EXACT streamed
+    * unlearning, closing the streaming-erasure symmetry across all four
+    * erasable layouts (bm25 / ivf / winnow / nb). Tombstones carry
+    * CONTENT (id, text, label — the
+    * [[graft.operators.Classify.forgetNbStoreAt]] contract: unlearning
+    * must know what to subtract, so the model forget runs before corpus
+    * erasure). Decrements are integer count subtractions re-derived
+    * through the shared weight expressions and the membership sidecar
+    * ignores re-deliveries, so ANY micro-batching of a tombstone feed
+    * lands the same retrained store as one batch call with every
+    * tombstone (parity pinned in StreamingSpec).
+    */
+  def streamingNbForget(tombDocs: DataFrame, idCol: String,
+                        textCol: String, labelCol: String, path: String) =
+    tombDocs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Classify.forgetNbStoreAt(
+          batch.sparkSession, path, batch.toDF(), idCol, textCol, labelCol)
+    }
+
   /** [[streamingIvfAppend]] for a TWO-LEVEL layout: identical contract
     * (frozen codebook, per-micro-batch append, batch-split invariant),
     * assignment through the two-level kernel so ingest stays O(2√C·d)

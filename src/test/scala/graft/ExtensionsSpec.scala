@@ -1955,6 +1955,40 @@ class StreamingSpec extends SparkSpec {
     assert(rows(streamed, "docs") == rows(oneShot, "docs"))
   }
 
+  test("streaming NB forget: micro-batched tombstones retrain to the " +
+      "one-shot unlearned store bit-for-bit") {
+    // the fourth streaming-erasure arm (bm25/ivf/winnow/nb): weights are
+    // rounded functions of exact integer counts and counts subtract, so
+    // any micro-batching of the tombstone feed must land the same model
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Classify
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nb_sforget")
+    val streamed = tmp.resolve("streamed").toString
+    val oneShot = tmp.resolve("oneshot").toString
+    Classify.writeNbStore(docs, "doc_id", "text", "lang", streamed)
+    Classify.writeNbStore(docs, "doc_id", "text", "lang", oneShot)
+    val tombs = docs.filter(col("doc_id") % 7 === 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val mem = MemoryStream[(Long, String, String)]
+    val q = EventStream.streamingNbForget(
+      mem.toDF().toDF("doc_id", "text", "lang"),
+      "doc_id", "text", "lang", streamed).start()
+    try {
+      tombs.grouped(23).foreach { c => mem.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    import spark.implicits._
+    Classify.forgetNbStoreAt(spark, oneShot,
+      tombs.toSeq.toDF("doc_id", "text", "lang"), "doc_id", "text", "lang")
+    def rows(p: String, t: String) =
+      spark.read.parquet(s"$p/$t").collect().map(_.toSeq).toSet
+    val a = rows(streamed, "model")
+    assert(a.nonEmpty && a == rows(oneShot, "model"))
+    assert(rows(streamed, "base") == rows(oneShot, "base"))
+    assert(rows(streamed, "docs") == rows(oneShot, "docs"))
+  }
+
   test("streaming TWO-LEVEL IVF append: micro-batched ingest equals one-shot layout") {
     // the two-level store's ingest parity, mirroring the flat pin above:
     // kernel assignment depends only on the frozen TwoLevelCodebook, so
