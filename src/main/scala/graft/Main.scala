@@ -100,6 +100,22 @@ object Main {
     case "gen" :: "recipe" :: name :: rest if !name.startsWith("-") =>
       main(("new" :: "recipe" :: name :: rest).toArray)
 
+    // read-only invariant audit of a persisted index layout (bm25/bm25f/
+    // chunk, ivf, pq2 codes, vector, winnow, nb) — the cheap "is this
+    // store internally consistent" answer operators need around staged
+    // mutations. Exit 1 when any invariant fails.
+    case "fsck" :: path :: Nil =>
+      val spark = session()
+      val findings =
+        try graft.operators.Fsck.audit(spark, path)
+        finally ()
+      findings.foreach { fd =>
+        val status = if (fd.ok) "OK " else "ERR"
+        println(f"$status [${fd.layout}] ${fd.check}%-28s ${fd.detail}")
+      }
+      spark.stop()
+      if (findings.exists(!_.ok)) sys.exit(1)
+
     case "version" :: Nil =>
       // keep in lockstep with `ThisBuild / version` in build.sbt
       println("graft 0.1.0 (meteor v1beta1-compatible)")
@@ -143,6 +159,7 @@ object Main {
           |  gen  <template.yaml> -o <dir> -d <data.yaml>  expand a recipe template per data entry
           |  gen recipe <name> [-e x] [-s a,b]        alias of `new recipe`
           |  new recipe <name> [-e x] [-s a,b] [-p a,b]  bootstrap a recipe (survey when flags omitted)
+          |  fsck <store-path>                        audit a persisted index's invariants (read-only)
           |  version                                  print the version""".stripMargin)
       sys.exit(2)
   }

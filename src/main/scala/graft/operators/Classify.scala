@@ -54,7 +54,7 @@ object Classify {
     * per class, v = |distinct terms|), so ANY count table with the same
     * integers yields bit-identical weights — the fact NB unlearning
     * ([[forgetNbStoreAt]]) rests on. */
-  private def modelFromCounts(cnt: DataFrame): DataFrame = {
+  private[operators] def modelFromCounts(cnt: DataFrame): DataFrame = {
     val tok = cnt.groupBy(col("label")).agg(sum(col("cnt")).as("tok"))
     val v = cnt.agg(countDistinct(col("term")).as("v"))
     val llr = round(lit(S) *
@@ -74,7 +74,7 @@ object Classify {
     * distinct terms identical), n = Σnd. Labels whose surviving docs
     * carry zero tokens drop via the inner join — matching what a retrain
     * would produce. */
-  private def baseFromCounts(cnt: DataFrame, nd: DataFrame): DataFrame = {
+  private[operators] def baseFromCounts(cnt: DataFrame, nd: DataFrame): DataFrame = {
     val tok = cnt.groupBy(col("label")).agg(sum(col("cnt")).as("tok"))
     val v = cnt.agg(countDistinct(col("term")).as("v"))
     val n = nd.agg(sum(col("nd")).as("n"))
