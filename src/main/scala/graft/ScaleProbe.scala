@@ -1053,6 +1053,110 @@ object ScaleProbe {
         docs.unpersist(); tomb.unpersist()
       }
     }
+    // round-15 winnow-erasure probe: a FIXED 3-doc tombstone batch
+    // against an f× refcounted winnow store whose directory moduli scale
+    // with the corpus (fpB = 32·f, docB = 16·f — the production sizing
+    // rule, possible because the moduli are FROZEN in _graft_layout and
+    // every mutation reads them back). The claim: the forget reads only
+    // the tombstones' own id-hash sidecar directories plus the hit fp
+    // directories their fingerprints live in — hit fp dirs track the
+    // tombstones' ~n_tokens/w selected fingerprints while the directory
+    // count grows, so the on-disk bytes the forget can touch FALL as a
+    // fraction of store bytes at 10×/30×. Widened vocabulary (suffix =
+    // id mod 211) for the same reason as the bm25 arm: with 31 distinct
+    // words every doc's shingles collide into every fp bucket.
+    locally {
+      val base0 = Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+      val base = base0.select(col("doc_id"),
+        concat_ws(" ", transform(
+          split(lower(trim(col("text"))), "\\s+"),
+          t => concat(t, lit("x"),
+            pmod(col("doc_id"), lit(211)).cast("string")))).as("text"))
+      val n = base.count()
+      val shift = ((n + 249) / 250) * 250
+      def corpus(f: Int): DataFrame =
+        (0 until f).map(k => base.select(
+            (col("doc_id") + lit(k * shift)).as("doc_id"), col("text")))
+          .reduce(_ union _).localCheckpoint()
+      for (f <- Seq(1, factor, 3 * factor)) {
+        val docs = corpus(f)
+        val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_probe_winnowforget_$f").getAbsolutePath
+        operators.Dedup.writeWinnowStoreAt(spark, path, docs,
+          "doc_id", "text", fpBuckets = 32 * f, docBuckets = 16 * f)
+        val (_, _, fpB, docB) = operators.Dedup.winnowLayoutAt(spark, path)
+        val tomb = docs.filter(col("doc_id") < 3).select(col("doc_id"))
+          .localCheckpoint()
+        // everything the pruned forget CAN touch, deterministically on
+        // disk: the tombstones' sidecar directories + their fps' dirs
+        val side = spark.read.parquet(s"$path/docs")
+        val tombDb = tomb.select(
+            pmod(xxhash64(col("doc_id")), lit(docB)).cast("int").as("b"))
+          .distinct().collect().map(_.getInt(0))
+        val hitFb = side.filter(col("dbucket").isInCollection(tombDb.toSeq))
+          .join(tomb, Seq("doc_id"), "left_semi")
+          .select(pmod(xxhash64(col("fp")), lit(fpB)).cast("int").as("b"))
+          .distinct().collect().map(_.getInt(0))
+        val docsHitBytes = tombDb.map(b => duBytes(s"$path/docs/dbucket=$b")).sum
+        val fpsHitBytes = hitFb.map(b => duBytes(s"$path/fps/fbucket=$b")).sum
+        val storeBytes = duBytes(path)
+        val fpsBytes = duBytes(s"$path/fps")
+        val t0 = System.nanoTime()
+        operators.Dedup.forgetWinnowStoreAt(spark, path, tomb, "doc_id")
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"winnow_forget","factor":$f,"sec":$sec%.2f,""" +
+          s""""fp_dirs_hit":${hitFb.length},"fp_dirs_total":$fpB,""" +
+          s""""doc_dirs_hit":${tombDb.length},"doc_dirs_total":$docB,""" +
+          s""""fps_hit_bytes":$fpsHitBytes,"docs_hit_bytes":$docsHitBytes,""" +
+          s""""fps_bytes":$fpsBytes,"store_bytes":$storeBytes}""")
+        docs.unpersist(); tomb.unpersist()
+      }
+    }
+    // round-15 NB-unlearning probe: a FIXED 3-doc tombstone batch (WITH
+    // content — the unlearning contract) against an f× trained store
+    // whose sidecar modulus scales with the corpus (docB = 16·f, frozen
+    // in _graft_layout). The claim: the membership probe reads only the
+    // tombstones' own sidecar directories, and the rewrite side is
+    // VOCABULARY-BOUNDED (model = |V|·|classes| rows, base = |classes|)
+    // regardless of corpus size — so the bytes the forget can touch fall
+    // as a fraction of the store while the sidecar grows ∝ corpus.
+    locally {
+      val base = Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      val n = base.count()
+      val shift = ((n + 249) / 250) * 250
+      def corpus(f: Int): DataFrame =
+        (0 until f).map(k => base.select(
+            (col("doc_id") + lit(k * shift)).as("doc_id"),
+            col("text"), col("lang")))
+          .reduce(_ union _).localCheckpoint()
+      for (f <- Seq(1, factor, 3 * factor)) {
+        val docs = corpus(f)
+        val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_probe_nbforget_$f").getAbsolutePath
+        operators.Classify.writeNbStore(docs, "doc_id", "text", "lang",
+          path, docBuckets = 16 * f)
+        val docB = operators.Classify.nbLayoutAt(spark, path)
+        val tomb = docs.filter(col("doc_id") < 3).localCheckpoint()
+        val tombDb = tomb.select(
+            pmod(xxhash64(col("doc_id")), lit(docB)).cast("int").as("b"))
+          .distinct().collect().map(_.getInt(0))
+        val docsHitBytes = tombDb.map(b => duBytes(s"$path/docs/dbucket=$b")).sum
+        val modelBytes = duBytes(s"$path/model")
+        val baseBytes = duBytes(s"$path/base")
+        val storeBytes = duBytes(path)
+        val t0 = System.nanoTime()
+        operators.Classify.forgetNbStoreAt(spark, path, tomb,
+          "doc_id", "text", "lang")
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"nb_forget","factor":$f,"sec":$sec%.2f,""" +
+          s""""doc_dirs_hit":${tombDb.length},"doc_dirs_total":$docB,""" +
+          s""""docs_hit_bytes":$docsHitBytes,"model_bytes":$modelBytes,""" +
+          s""""base_bytes":$baseBytes,"store_bytes":$storeBytes}""")
+        docs.unpersist(); tomb.unpersist()
+      }
+    }
   }
 
   /** Two-level codebook GROWTH probe (the `grow` feeder arm): build the
@@ -1304,7 +1408,7 @@ object FeederProbe {
   }
 }
 
-/** Standalone runner for the two erasure receipts ([[ScaleProbe.forgetProbes]])
+/** Standalone runner for the four erasure receipts ([[ScaleProbe.forgetProbes]])
   * — refresh the forget receipts without the full probe sweep.
   * Usage: `runMain graft.ForgetProbe [sfDir] [factor]`.
   */
