@@ -106,9 +106,7 @@ object Main {
     // mutations. Exit 1 when any invariant fails.
     case "fsck" :: path :: Nil =>
       val spark = session()
-      val findings =
-        try graft.operators.Fsck.audit(spark, path)
-        finally ()
+      val findings = graft.operators.Fsck.audit(spark, path)
       findings.foreach { fd =>
         val status = if (fd.ok) "OK " else "ERR"
         println(f"$status [${fd.layout}] ${fd.check}%-28s ${fd.detail}")
