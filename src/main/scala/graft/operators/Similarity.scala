@@ -895,10 +895,11 @@ object Similarity {
     */
   def writeIvfStoreAuto(corpus: DataFrame, idCol: String, vecCol: String,
                         path: String, cMin: Int = 8, cMax: Int = 4096,
-                        maxSharePct: Double = 5.0): Seq[Seq[Double]] = {
+                        maxSharePct: Double = 5.0,
+                        metaCols: Seq[String] = Nil): Seq[Seq[Double]] = {
     val coarse = autoCoarseCodebook(corpus, idCol, vecCol, cMin, cMax,
       maxSharePct)
-    writeIvfStore(corpus, idCol, vecCol, coarse, path)
+    writeIvfStore(corpus, idCol, vecCol, coarse, path, metaCols)
     coarse
   }
 
@@ -1074,14 +1075,22 @@ object Similarity {
     * ingest cost per row is O(2√C·d) however large C grows.
     */
   def writeIvfStoreTwoLevel(corpus: DataFrame, idCol: String, vecCol: String,
-                            cb: TwoLevelCodebook, path: String): Unit = {
-    val unit = normalized(
-      corpus.select(col(idCol), col(vecCol),
-        col(vecCol).cast("array<double>").as("__u")), "__u")
-    unit.withColumn("centroid_id", twoLevelAssignExpr(col("__u"), cb))
-      .select(col(idCol), col(vecCol), col("centroid_id"))
+                            cb: TwoLevelCodebook, path: String,
+                            metaCols: Seq[String] = Nil): Unit = {
+    twoLevelAssigned(corpus, idCol, vecCol, cb, metaCols)
       .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
     writeIdSidecarAt(corpus.sparkSession, path, idCol)
+  }
+
+  private def twoLevelAssigned(corpus: DataFrame, idCol: String,
+                               vecCol: String, cb: TwoLevelCodebook,
+                               metaCols: Seq[String] = Nil): DataFrame = {
+    val unit = normalized(
+      corpus.select((Seq(col(idCol), col(vecCol)) ++ metaCols.map(col) :+
+        col(vecCol).cast("array<double>").as("__u")): _*), "__u")
+    unit.withColumn("centroid_id", twoLevelAssignExpr(col("__u"), cb))
+      .select((Seq(col(idCol), col(vecCol)) ++ metaCols.map(col) :+
+        col("centroid_id")): _*)
   }
 
   /** [[writeIvfStoreTwoLevel]] with the codebook auto-sized
@@ -1092,10 +1101,11 @@ object Similarity {
   def writeIvfStoreTwoLevelAuto(corpus: DataFrame, idCol: String,
                                 vecCol: String, path: String,
                                 cMin: Int = 8, cMax: Int = 65536,
-                                maxSharePct: Double = 5.0): TwoLevelCodebook = {
+                                maxSharePct: Double = 5.0,
+                                metaCols: Seq[String] = Nil): TwoLevelCodebook = {
     val cb = autoTwoLevelCodebook(corpus, idCol, vecCol, cMin, cMax,
       maxSharePct)
-    writeIvfStoreTwoLevel(corpus, idCol, vecCol, cb, path)
+    writeIvfStoreTwoLevel(corpus, idCol, vecCol, cb, path, metaCols)
     cb
   }
 
@@ -1381,14 +1391,10 @@ object Similarity {
     * path's).
     */
   def appendIvfStoreTwoLevel(batch: DataFrame, idCol: String, vecCol: String,
-                             cb: TwoLevelCodebook, path: String): Unit = {
-    val unit = normalized(
-      batch.select(col(idCol), col(vecCol),
-        col(vecCol).cast("array<double>").as("__u")), "__u")
-    appendAssigned(unit
-      .withColumn("centroid_id", twoLevelAssignExpr(col("__u"), cb))
-      .select(col(idCol), col(vecCol), col("centroid_id")), idCol, path)
-  }
+                             cb: TwoLevelCodebook, path: String,
+                             metaCols: Seq[String] = Nil): Unit =
+    appendAssigned(twoLevelAssigned(batch, idCol, vecCol, cb, metaCols),
+      idCol, path)
 
   /** GROW a two-level layout in place — the missing half of "the
     * codebook must grow with the corpus" once appends have fattened some
@@ -1781,31 +1787,36 @@ object Similarity {
     } else
       assigned.write.mode("append").partitionBy("centroid_id").parquet(path)
 
+  /** `metaCols` (here and on every write/append below) carries metadata
+    * columns alongside each vector — the layout filtered vector search
+    * reads: attribute predicates land in the STORE SCAN (parquet-pushed,
+    * under the same centroid-directory DPP pruning), so candidates are
+    * cut by BOTH the probe set and the filter before any distance math.
+    */
   def writeIvfStore(corpus: DataFrame, idCol: String, vecCol: String,
-                    coarse: Seq[Seq[Double]], path: String): Unit = {
-    ivfAssigned(corpus, idCol, vecCol, coarse)
+                    coarse: Seq[Seq[Double]], path: String,
+                    metaCols: Seq[String] = Nil): Unit = {
+    ivfAssigned(corpus, idCol, vecCol, coarse, metaCols)
       .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
     writeIdSidecarAt(corpus.sparkSession, path, idCol)
   }
 
-  /** [[writeIvfStore]] carrying metadata columns alongside each vector —
-    * the layout filtered vector search reads: attribute predicates land
-    * in the STORE SCAN (parquet-pushed, under the same centroid-directory
-    * DPP pruning), so candidates are cut by BOTH the probe set and the
-    * filter before any distance math runs.
-    */
+  /** [[writeIvfStore]] with metadata columns — the original filtered-ANN
+    * spelling, kept as the named entry point. */
   def writeIvfMetaStore(corpus: DataFrame, idCol: String, vecCol: String,
                         metaCols: Seq[String], coarse: Seq[Seq[Double]],
-                        path: String): Unit = {
-    val unit = normalized(
-      corpus.select((Seq(col(idCol), col(vecCol)) ++ metaCols.map(col) :+
-        col(vecCol).cast("array<double>").as("__u")): _*), "__u")
-    assignCentroids(unit, "__u", coarse)
-      .select((Seq(col(idCol), col(vecCol)) ++ metaCols.map(col) :+
-        col("centroid_id")): _*)
-      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
-    writeIdSidecarAt(corpus.sparkSession, path, idCol)
-  }
+                        path: String): Unit =
+    writeIvfStore(corpus, idCol, vecCol, coarse, path, metaCols)
+
+  /** The metadata columns a written IVF store carries beyond
+    * (id, vector, centroid_id) — what an APPEND must supply so the
+    * layout stays rectangular, derived from the STORE's own schema
+    * (the frozen-geometry discipline: the store, not the recipe, is the
+    * authority on its columns). */
+  def storeMetaCols(spark: SparkSession, path: String, idCol: String,
+                    vecCol: String): Seq[String] =
+    spark.read.parquet(path).columns
+      .filterNot(Set(idCol, vecCol, "centroid_id")).toSeq
 
   /** Filtered ANN over a [[writeIvfMetaStore]] layout: PRE-filtering —
     * `candFilter` applies to store rows before scoring, so the top-k is
@@ -1863,16 +1874,20 @@ object Similarity {
     * [[graft.streaming.EventStream.streamingIvfAppend]]).
     */
   def appendIvfStore(batch: DataFrame, idCol: String, vecCol: String,
-                     coarse: Seq[Seq[Double]], path: String): Unit =
-    appendAssigned(ivfAssigned(batch, idCol, vecCol, coarse), idCol, path)
+                     coarse: Seq[Seq[Double]], path: String,
+                     metaCols: Seq[String] = Nil): Unit =
+    appendAssigned(ivfAssigned(batch, idCol, vecCol, coarse, metaCols),
+      idCol, path)
 
   private def ivfAssigned(corpus: DataFrame, idCol: String, vecCol: String,
-                          coarse: Seq[Seq[Double]]): DataFrame = {
+                          coarse: Seq[Seq[Double]],
+                          metaCols: Seq[String] = Nil): DataFrame = {
     val unit = normalized(
-      corpus.select(col(idCol), col(vecCol),
-        col(vecCol).cast("array<double>").as("__u")), "__u")
+      corpus.select((Seq(col(idCol), col(vecCol)) ++ metaCols.map(col) :+
+        col(vecCol).cast("array<double>").as("__u")): _*), "__u")
     assignCentroids(unit, "__u", coarse)
-      .select(col(idCol), col(vecCol), col("centroid_id"))
+      .select((Seq(col(idCol), col(vecCol)) ++ metaCols.map(col) :+
+        col("centroid_id")): _*)
   }
 
   /** Physical PQ layout: the codes-only index written ONCE at ingest —

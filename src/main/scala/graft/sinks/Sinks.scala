@@ -667,6 +667,11 @@ object IvfIndexSink extends SinkPlugin {
         |vector_column: embedding
         |two_level: true
         |max_share_pct: 5.0
+        |# meta_columns: [label, lang]
+        |#                # carry metadata columns alongside each vector,
+        |#                # so ann-search can PRE-filter candidates
+        |#                # (filter: "label <= 3") — raw stores only;
+        |#                # appends derive the set from the store itself
         |# grow: true     # split hot children in place after each append
         |# mode: forget   # rows are TOMBSTONES: erase their ids in place
         |# quantize: pq   # store 8-byte PQ codes (pq_m: 8, pq_k: 16)
@@ -709,6 +714,12 @@ object IvfIndexSink extends SinkPlugin {
         (if (grow) Seq(InvalidConfigError("grow",
           "grow is unsupported on a codes store (splits re-assign raw " +
             "vectors, which PQ codes no longer carry)"))
+         else Nil) ++
+        (if (config.contains("meta_columns")) Seq(InvalidConfigError(
+          "meta_columns",
+          "meta_columns pairs with raw-vector stores only (PQ codes " +
+            "rows carry no filterable attributes — drop quantize or " +
+            "drop meta_columns)"))
          else Nil)
       } else Nil
     // the rerank store only pairs with a codes layout: a raw-vector
@@ -876,15 +887,46 @@ object IvfIndexSink extends SinkPlugin {
       s"$path holds a PQ-CODES store — a raw-vector batch cannot merge " +
         "into it. Set quantize: pq (matching the store) or point the " +
         "recipe at a fresh index_path.")
+    // meta_columns: raw stores may carry filterable attribute columns so
+    // ann-search can PRE-filter candidates (`filter:`). Builds freeze the
+    // configured set into the layout; appends derive the set from the
+    // STORE's own schema (the frozen-geometry authority — a recipe must
+    // not be able to append ragged rows) and refuse a contradicting key.
+    val metaCfg: Seq[String] = config.get("meta_columns").map {
+      case l: java.util.List[_] =>
+        scala.jdk.CollectionConverters.ListHasAsScala(l).asScala
+          .map(_.toString.trim).filter(_.nonEmpty).toSeq
+      // the recipe reader hands processors SCALA collections — a
+      // toString fall-through would silently parse "List(label)"
+      case l: Iterable[_] => l.map(_.toString.trim).filter(_.nonEmpty).toSeq
+      case s => s.toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    }.getOrElse(Nil)
+    val metaEff: Seq[String] =
+      if (rawExists) {
+        val stored = Similarity.storeMetaCols(spark, path, idc, vc)
+        require(metaCfg.isEmpty || metaCfg.toSet == stored.toSet,
+          s"$path carries metadata columns [${stored.mkString(",")}] but " +
+            s"this batch is configured [${metaCfg.mkString(",")}] — ragged " +
+            "appends silently break filtered search. Align meta_columns " +
+            "with the store or drop the key (appends adopt the store's " +
+            "own set).")
+        stored
+      } else metaCfg
+    val mbatch =
+      if (metaEff.isEmpty) batch
+      else df.select((Seq(idc, vc) ++ metaEff)
+          .map(org.apache.spark.sql.functions.col): _*)
+        .localCheckpoint()
     (twoLevel, rawExists) match {
       case (true, false) =>
-        val cb = Similarity.writeIvfStoreTwoLevelAuto(batch, idc, vc, path,
-          maxSharePct = maxShare)
+        val cb = Similarity.writeIvfStoreTwoLevelAuto(mbatch, idc, vc, path,
+          maxSharePct = maxShare, metaCols = metaEff)
         Similarity.writeCodebookAt(spark, path, cb)
       case (true, true) =>
         val cb = Similarity.readTwoLevelCodebookAt(spark, path)
         IndexProtocol.withMergePending(spark, path) {
-          Similarity.appendIvfStoreTwoLevel(batch, idc, vc, cb, path)
+          Similarity.appendIvfStoreTwoLevel(mbatch, idc, vc, cb, path,
+            metaCols = metaEff)
           // persistTo writes the grown codebook BEFORE the directory
           // rewrite (inside the split op), so a crash mid-grow never
           // leaves rows in directories no persisted codebook names
@@ -893,13 +935,14 @@ object IvfIndexSink extends SinkPlugin {
               maxShare, persistTo = Some(path))
         }
       case (false, false) =>
-        val coarse = Similarity.writeIvfStoreAuto(batch, idc, vc, path,
-          maxSharePct = maxShare)
+        val coarse = Similarity.writeIvfStoreAuto(mbatch, idc, vc, path,
+          maxSharePct = maxShare, metaCols = metaEff)
         Similarity.writeCodebookAt(spark, path, coarse)
       case (false, true) =>
         val coarse = Similarity.readCoarseCodebookAt(spark, path)
         IndexProtocol.withMergePending(spark, path) {
-          Similarity.appendIvfStore(batch, idc, vc, coarse, path)
+          Similarity.appendIvfStore(mbatch, idc, vc, coarse, path,
+            metaCols = metaEff)
         }
     }
     n

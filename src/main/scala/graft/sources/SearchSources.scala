@@ -141,6 +141,13 @@ object AnnSearchExtractor extends Extractor {
         |nprobe: 3
         |# nprobe_top: 2      # two-level stores only
         |# exclude_self: false
+        |# filter: "label <= 3"
+        |#                # PRE-filter candidates by the store's metadata
+        |#                # columns (ivf-index meta_columns) — the
+        |#                # predicate reaches the parquet scan under the
+        |#                # probe-directory pruning, so every query fills
+        |#                # its k slots from VALID rows (a post-filter
+        |#                # would silently underfetch). Raw stores only.
         |# PQ codes stores (ivf-index built with quantize: pq) re-rank
         |# their ADC shortlist against exact vectors — point this at the
         |# vector store the ingest recipe wrote via rerank_store_path.
@@ -198,6 +205,23 @@ object AnnSearchExtractor extends Extractor {
         s"$path holds a raw-vector store, which re-ranks against its own " +
           "exact vectors — rerank_store_path pairs with PQ codes stores " +
           "only")))
+    // filter: PRE-filter over the store's metadata columns (ivf-index
+    // meta_columns) — applied to store rows BEFORE scoring, so top-k
+    // fills from valid candidates and the predicate lands in the
+    // parquet scan under the probe-directory pruning. Codes stores
+    // carry no filterable attributes: refuse loudly rather than return
+    // rankings that silently ignored the predicate.
+    val candFilter = Some(config.getOrElse("filter", "").toString)
+      .filter(_.nonEmpty)
+    if (candFilter.isDefined && (kind == "pq" || kind == "two_level_pq"))
+      throw new ConfigException(Seq(InvalidConfigError("filter",
+        s"$path holds a PQ CODES store — codes rows carry no filterable " +
+          "attributes, so a filtered search here would have to post-" +
+          "filter (silently underfetching). Rebuild a raw-vector index " +
+          "with meta_columns, or drop the filter.")))
+    val cStore = candFilter
+      .map(f => store.filter(org.apache.spark.sql.functions.expr(f)))
+      .getOrElse(store)
     kind match {
       case "two_level_pq" =>
         val (cb, codebooks) = Similarity.readPq2CodebooksAt(spark, path)
@@ -213,11 +237,11 @@ object AnnSearchExtractor extends Extractor {
           shortlist = SearchConfig.int(config, "shortlist", 50),
           excludeSelf = excludeSelf)
       case "flat" =>
-        Similarity.ivfTopKStored(store, queries, idc, vc, k,
+        Similarity.ivfTopKStored(cStore, queries, idc, vc, k,
           Similarity.readCoarseCodebookAt(spark, path),
           nprobe = nprobe, excludeSelf = excludeSelf)
       case "two_level" =>
-        Similarity.ivfTopKStoredTwoLevel(store, queries, idc, vc, k,
+        Similarity.ivfTopKStoredTwoLevel(cStore, queries, idc, vc, k,
           Similarity.readTwoLevelCodebookAt(spark, path),
           nprobeTop = nprobeTop, nprobe = nprobe,
           excludeSelf = excludeSelf)

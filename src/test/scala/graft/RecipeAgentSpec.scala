@@ -795,6 +795,80 @@ class AgentSpec extends SparkSpec {
       new org.apache.hadoop.fs.Path(rrk))
   }
 
+  test("filtered ANN on the YAML surface: ivf-index meta_columns + " +
+      "ann-search filter pre-filter candidates, appends adopt the " +
+      "store's own meta set, and codes stores refuse a filter") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    import graft.operators.Similarity
+    val dir = Files.createTempDirectory("annfilter")
+    val idx = dir.resolve("ivfmeta").toString
+    def vecs(from: Int, until: Int) =
+      (from until until).map(i => (i.toLong,
+        Seq.tabulate(8)(d => (if (d == i % 3) 10.0 else 0.0) + 0.01 * (i % 5)),
+        (i % 4).toLong)).toDF("vec_id", "embedding", "label")
+    // BUILD with meta_columns (two-level auto codebook)
+    val bCfg = Map("index_path" -> idx, "meta_columns" -> Seq("label"))
+    assert(graft.sinks.IvfIndexSink.validate(bCfg).isEmpty)
+    assert(graft.sinks.IvfIndexSink.sink(vecs(0, 40), bCfg) == 40L)
+    // APPEND adopts the store's own meta set — no meta_columns key
+    assert(graft.sinks.IvfIndexSink.sink(vecs(40, 60),
+      Map("index_path" -> idx)) == 20L)
+    assert(spark.read.parquet(idx).filter(col("vec_id") >= 40L)
+      .filter(col("label").isNull).count() == 0,
+      "appended rows must carry the store's meta columns")
+    // a CONTRADICTING meta set refuses (ragged appends break filtering)
+    val ragged = intercept[IllegalArgumentException] {
+      graft.sinks.IvfIndexSink.sink(
+        (100 until 102).map(i => (i.toLong,
+          Seq.tabulate(8)(_ * 0.1), "en")).toDF("vec_id", "embedding", "lang"),
+        Map("index_path" -> idx, "meta_columns" -> Seq("lang")))
+    }
+    assert(ragged.getMessage.contains("metadata columns"), ragged.getMessage)
+    // SERVE with a filter: pre-filter ≡ the library call over the
+    // filtered store frame with the persisted codebook
+    val qv = vecs(0, 3)
+    qv.write.parquet(s"$dir/qv")
+    val served = graft.sources.AnnSearchExtractor.extract(spark, Map(
+        "index_path" -> idx, "queries_path" -> s"$dir/qv",
+        "filter" -> "label <= 1", "top_k" -> 5))
+      .collect().map(_.toSeq).toSet
+    val direct = Similarity.ivfTopKStoredTwoLevel(
+        spark.read.parquet(idx).filter(expr("label <= 1")),
+        qv, "vec_id", "embedding", k = 5,
+        Similarity.readTwoLevelCodebookAt(spark, idx),
+        nprobeTop = 2, nprobe = 3, excludeSelf = false)
+      .collect().map(_.toSeq).toSet
+    assert(served.nonEmpty && served == direct)
+    // every served candidate satisfies the predicate (pre-filter, not
+    // post-filter: k slots fill from VALID rows)
+    val validIds = spark.read.parquet(idx).filter(expr("label <= 1"))
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(served.forall(row => validIds(row(1).asInstanceOf[Long])))
+    // erasure composes on a meta store (compaction carries all columns)
+    assert(graft.sinks.IvfIndexSink.sink(Seq(41L).toDF("vec_id"),
+      Map("index_path" -> idx, "mode" -> "forget")) == 1L)
+    assert(spark.read.parquet(idx).filter(col("vec_id") === 41L).count() == 0)
+    assert(spark.read.parquet(idx).filter(col("label").isNull).count() == 0)
+    // meta_columns on a codes store is a lint error; filter on a codes
+    // store refuses at query time
+    assert(graft.sinks.IvfIndexSink.validate(Map("index_path" -> idx,
+      "quantize" -> "pq", "meta_columns" -> Seq("label")))
+      .exists(_.key == "meta_columns"))
+    val pqIdx = dir.resolve("pq").toString
+    assert(graft.sinks.IvfIndexSink.sink(
+      vecs(0, 40).select(col("vec_id"), col("embedding")),
+      Map("index_path" -> pqIdx, "quantize" -> "pq",
+        "rerank_store_path" -> dir.resolve("pqv").toString,
+        "pq_m" -> 4, "pq_k" -> 8)) == 40L)
+    val pqFilter = intercept[Exception] {
+      graft.sources.AnnSearchExtractor.extract(spark, Map(
+        "index_path" -> pqIdx, "queries_path" -> s"$dir/qv",
+        "filter" -> "label <= 1"))
+    }
+    assert(pqFilter.getMessage.contains("filterable"), pqFilter.getMessage)
+  }
+
   test("mode: forget on the index sinks erases tombstoned rows through the " +
       "recipe surface, equal to a rebuild on the survivors") {
     import spark.implicits._
