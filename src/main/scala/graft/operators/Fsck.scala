@@ -232,8 +232,18 @@ object Fsck {
 
   // ------------------------------------------------------------- ivf/pq2
 
-  private def idVecCols(store: DataFrame): String =
-    store.columns.filterNot(c => c == "centroid_id" ||
+  /** The store's id column, derived from the `_graft_ids` sidecar's own
+    * schema (the column that is not home/ibucket) — the store side can't
+    * decide it alone once meta columns ride along (a non-array metadata
+    * column is indistinguishable from the id there). Falls back to the
+    * first non-array, non-centroid store column on sidecar-less stores.
+    */
+  private def idColOf(spark: SparkSession, path: String,
+                      store: DataFrame): String =
+    if (exists(spark, s"$path/_graft_ids"))
+      spark.read.parquet(s"$path/_graft_ids").columns
+        .filterNot(Set("home", "ibucket")).head
+    else store.columns.filterNot(c => c == "centroid_id" ||
       store.schema(c).dataType
         .isInstanceOf[org.apache.spark.sql.types.ArrayType]).head
 
@@ -268,7 +278,7 @@ object Fsck {
 
   private def ivfChecks(spark: SparkSession, path: String): Seq[Finding] = {
     val store = spark.read.parquet(path)
-    val idCol = idVecCols(store)
+    val idCol = idColOf(spark, path, store)
     val named = Similarity.readAnyCodebookAt(spark, path) match {
       case Left(coarse) => coarse.indices.toSet
       case Right(cb) => cb.gids.flatten.toSet
@@ -279,7 +289,7 @@ object Fsck {
 
   private def pq2Checks(spark: SparkSession, path: String): Seq[Finding] = {
     val store = spark.read.parquet(path)
-    val idCol = idVecCols(store)
+    val idCol = idColOf(spark, path, store)
     val (cb, _) = Similarity.readPq2CodebooksAt(spark, path)
     val base = dirFindings("pq2-codes", store, cb.gids.flatten.toSet) ++
       sidecarFindings(spark, path, "pq2-codes", store, idCol)

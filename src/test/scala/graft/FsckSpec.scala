@@ -139,6 +139,18 @@ class FsckSpec extends SparkSpec {
     assertFlags(path, "codebook_names_directories")
   }
 
+  test("fsck ivf: a META-carrying store audits clean (the id column " +
+      "derives from the sidecar, not guessed from the store schema)") {
+    val path = tmp("fsck_ivfmeta")
+    val vecs = (0 until 40).map(i => (i.toLong,
+      Seq.tabulate(8)(d => (if (d == i % 3) 10.0 else 0.0) + 0.01 * (i % 5)),
+      (i % 4).toLong)).toDF("vec_id", "embedding", "label")
+    assert(graft.sinks.IvfIndexSink.sink(vecs,
+      Map("index_path" -> path, "meta_columns" -> Seq("label"))) == 40L)
+    assert(Fsck.detect(spark, path) == "ivf")
+    assertClean(path)
+  }
+
   test("fsck pq2 codes: clean store passes; a code with no exact vector " +
       "in the rerank sidecar is detected, and an unreachable linkage is " +
       "detected") {
