@@ -845,6 +845,46 @@ class AgentSpec extends SparkSpec {
     val validIds = spark.read.parquet(idx).filter(expr("label <= 1"))
       .select(col("vec_id")).collect().map(_.getLong(0)).toSet
     assert(served.forall(row => validIds(row(1).asInstanceOf[Long])))
+    // the same pair END TO END through YAML (the recipe reader hands
+    // plugins SCALA collections for sequences and quoted strings for
+    // predicates — both parsing paths pinned here)
+    val idx2 = dir.resolve("ivfmeta_yaml").toString
+    vecs(0, 40).write.parquet(s"$dir/corpus")
+    val rb = new Agent(spark).run(RecipeReader.parse(
+      s"""name: ann-meta-build
+         |version: v1beta1
+         |source:
+         |  name: documents
+         |  config: {path: $dir/corpus}
+         |sinks:
+         |  - name: ivf-index
+         |    config:
+         |      index_path: $idx2
+         |      meta_columns: [label]
+         |""".stripMargin))
+    assert(rb.success, rb.error)
+    val out2 = dir.resolve("filtered.ndjson")
+    val rq = new Agent(spark).run(RecipeReader.parse(
+      s"""name: ann-meta-serve
+         |version: v1beta1
+         |source:
+         |  name: ann-search
+         |  config:
+         |    index_path: $idx2
+         |    queries_path: $dir/qv
+         |    filter: "label <= 1"
+         |    top_k: 5
+         |sinks:
+         |  - name: file
+         |    config: {path: $out2, format: ndjson}
+         |""".stripMargin))
+    assert(rq.success, rq.error)
+    val sunk2 = scala.io.Source.fromFile(out2.toFile).getLines().map { l =>
+      val m = new org.yaml.snakeyaml.Yaml().load[java.util.Map[String, Object]](l)
+      m.get("c_id").toString.toLong
+    }.toSet
+    assert(sunk2.nonEmpty && sunk2.subsetOf(validIds),
+      s"YAML-served candidates must satisfy the predicate: $sunk2")
     // erasure composes on a meta store (compaction carries all columns)
     assert(graft.sinks.IvfIndexSink.sink(Seq(41L).toDF("vec_id"),
       Map("index_path" -> idx, "mode" -> "forget")) == 1L)
