@@ -113,38 +113,56 @@ object Fsck {
     val side = spark.read.parquet(s"$path/docs")
     val idCol = side.columns
       .filterNot(Set("tbuckets", "dbucket")).head
-    val buckets = spark.read.parquet(s"$path/_graft_layout")
-      .head().getInt(0)
+    // stores predating the persisted layout / the tbuckets sidecar are
+    // DOCUMENTED-WEAKER generations (mutations fall back to full scans),
+    // not corruption — report them as legacy, never as failures
+    val buckets: Option[Int] =
+      if (exists(spark, s"$path/_graft_layout"))
+        Some(spark.read.parquet(s"$path/_graft_layout").head().getInt(0))
+      else None
     // every postings row in the directory its term hashes to, under the
     // store's FROZEN bucket count — a mis-bucketed row is invisible to
     // every pruned read and mutation
-    val misBucketed = post.filter(col("bucket") =!=
-      pmod(xxhash64(col("term")), lit(buckets)).cast("int")).count()
-    val misSide = side.filter(col("dbucket") =!=
-      pmod(xxhash64(col(idCol)), lit(buckets)).cast("int")).count()
+    val bucketChecks = buckets match {
+      case Some(b) if post.columns.contains("bucket") =>
+        Seq(
+          f(layout, "postings_bucketing",
+            post.filter(col("bucket") =!=
+              pmod(xxhash64(col("term")), lit(b)).cast("int")).count(),
+            "postings rows outside their term-hash directory"),
+          f(layout, "sidecar_bucketing",
+            side.filter(col("dbucket") =!=
+              pmod(xxhash64(col(idCol)), lit(b)).cast("int")).count(),
+            "sidecar rows outside their id-hash directory"))
+      case _ =>
+        Seq(Finding(layout, "postings_bucketing", ok = true,
+          "legacy store (no persisted _graft_layout / unbucketed " +
+            "postings) — mutations full-scan by contract; checks skipped"))
+    }
     // sidecar covers every posting doc (a doc erasure can't find is a
     // doc erasure silently skips)
     val orphans = post.select(col(idCol)).distinct()
       .join(side.select(col(idCol)), Seq(idCol), "left_anti").count()
     // tbuckets name exactly the doc's real postings directories — the
     // forget finder prunes by them, so a stale list skips live rows
-    val tbActual = post
-      .select(col(idCol), col("bucket").cast("int").as("__b"))
-      .groupBy(col(idCol))
-      .agg(sort_array(collect_set(col("__b"))).as("tbuckets"))
-    val tbStored = side.filter(size(col("tbuckets")) > 0)
-      .select(col(idCol), col("tbuckets"))
-    val tbDrift = diff(tbStored, tbActual)
+    val tbCheck =
+      if (side.columns.contains("tbuckets") && post.columns.contains("bucket")) {
+        val tbActual = post
+          .select(col(idCol), col("bucket").cast("int").as("__b"))
+          .groupBy(col(idCol))
+          .agg(sort_array(collect_set(col("__b"))).as("tbuckets"))
+        val tbStored = side.filter(size(col("tbuckets")) > 0)
+          .select(col(idCol), col("tbuckets"))
+        f(layout, "sidecar_tbuckets", diff(tbStored, tbActual),
+          "docs whose tbuckets pruning list drifted from their postings")
+      } else Finding(layout, "sidecar_tbuckets", ok = true,
+        "legacy sidecar (no tbuckets) — the forget finder full-scans " +
+          "by contract; check skipped")
     val stats = spark.read.parquet(s"$path/stats")
-    val core = Seq(
-      f(layout, "postings_bucketing", misBucketed,
-        "postings rows outside their term-hash directory"),
-      f(layout, "sidecar_bucketing", misSide,
-        "sidecar rows outside their id-hash directory"),
+    val core = bucketChecks ++ Seq(
       f(layout, "sidecar_membership", orphans,
         "posting docs missing from the id sidecar"),
-      f(layout, "sidecar_tbuckets", tbDrift,
-        "docs whose tbuckets pruning list drifted from their postings"))
+      tbCheck)
     if (fielded) {
       // stats ≡ postings aggregates per field (n_docs from the sidecar —
       // zero-token docs still dilute avgdl)

@@ -1779,13 +1779,25 @@ object Similarity {
     * share work between two consumers, and there is only one.
     */
   private def appendAssigned(assigned: DataFrame, idCol: String,
-                             path: String): Unit =
+                             path: String): Unit = {
+    // rectangularity guard at the SHARED tail, so EVERY append caller —
+    // sink, library, streaming — keeps the store's column set: an append
+    // missing a meta column writes files where that column reads as
+    // NULL, and every later filtered search silently excludes (or
+    // breaks on) exactly the appended rows. Cost: one footer read.
+    val storeCols = assigned.sparkSession.read.parquet(path).columns.toSet
+    require(assigned.columns.toSet == storeCols,
+      s"$path holds columns [${storeCols.toSeq.sorted.mkString(",")}] but " +
+        s"this append carries [${assigned.columns.sorted.mkString(",")}] — " +
+        "ragged appends silently break filtered search. Supply the " +
+        "store's own metaCols (ivf-index derives them automatically).")
     if (sidecarExists(assigned.sparkSession, path)) {
       val a = assigned.localCheckpoint()
       appendIdSidecar(a, idCol, path)
       a.write.mode("append").partitionBy("centroid_id").parquet(path)
     } else
       assigned.write.mode("append").partitionBy("centroid_id").parquet(path)
+  }
 
   /** `metaCols` (here and on every write/append below) carries metadata
     * columns alongside each vector — the layout filtered vector search

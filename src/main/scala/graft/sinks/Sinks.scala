@@ -779,13 +779,46 @@ object IvfIndexSink extends SinkPlugin {
     val twoLevel = config.getOrElse("two_level", true).toString.toBoolean
     val maxShare = config.getOrElse("max_share_pct", 5.0).toString.toDouble
     val grow = config.getOrElse("grow", false).toString.toBoolean
+    val quantizePq = config.getOrElse("quantize", "none").toString == "pq"
     require(!(grow && !twoLevel),
       "ivf-index: grow: true requires two_level: true")
+    // meta_columns: raw stores may carry filterable attribute columns so
+    // ann-search can PRE-filter candidates (`filter:`). Builds freeze the
+    // configured set into the layout; appends derive the set from the
+    // STORE's own schema (the frozen-geometry authority — a recipe must
+    // not be able to append ragged rows) and refuse a contradicting key.
+    val metaCfg: Seq[String] = config.get("meta_columns").map {
+      case l: java.util.List[_] =>
+        scala.jdk.CollectionConverters.ListHasAsScala(l).asScala
+          .map(_.toString.trim).filter(_.nonEmpty).toSeq
+      // the recipe reader hands plugins SCALA collections — a toString
+      // fall-through would silently parse "List(label)"
+      case l: Iterable[_] => l.map(_.toString.trim).filter(_.nonEmpty).toSeq
+      case s => s.toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    }.getOrElse(Nil)
+    // validate() covers recipes; direct sink() calls must refuse too —
+    // silently ignoring the meta request would be worse than the error
+    require(!(quantizePq && metaCfg.nonEmpty),
+      "ivf-index: meta_columns pairs with raw-vector stores only (PQ " +
+        "codes rows carry no filterable attributes)")
+    val metaEff: Seq[String] =
+      if (quantizePq) Nil
+      else if (graft.processors.CurationProcessors.indexExists(spark,
+          s"$path/_graft_codebook")) {
+        val stored = Similarity.storeMetaCols(spark, path, idc, vc)
+        require(metaCfg.isEmpty || metaCfg.toSet == stored.toSet,
+          s"$path carries metadata columns [${stored.mkString(",")}] but " +
+            s"this batch is configured [${metaCfg.mkString(",")}] — " +
+            "ragged appends silently break filtered search. Align " +
+            "meta_columns with the store or drop the key (appends adopt " +
+            "the store's own set).")
+        stored
+      } else metaCfg
     // one materialization serves the count, the codebook sizing scans,
-    // and the assignment pass
-    val batch = df.select(
-      org.apache.spark.sql.functions.col(idc),
-      org.apache.spark.sql.functions.col(vc)).localCheckpoint()
+    // and the assignment pass — meta columns ride IN it, so the meta
+    // path pays no second checkpoint of the vector payload
+    val batch = df.select((Seq(idc, vc) ++ metaEff)
+      .map(org.apache.spark.sql.functions.col): _*).localCheckpoint()
     val n = batch.count()
     // an empty batch is a no-op, not a degenerate build: auto-sizing a
     // codebook from zero rows has no geometry to freeze (and streaming
@@ -887,45 +920,15 @@ object IvfIndexSink extends SinkPlugin {
       s"$path holds a PQ-CODES store — a raw-vector batch cannot merge " +
         "into it. Set quantize: pq (matching the store) or point the " +
         "recipe at a fresh index_path.")
-    // meta_columns: raw stores may carry filterable attribute columns so
-    // ann-search can PRE-filter candidates (`filter:`). Builds freeze the
-    // configured set into the layout; appends derive the set from the
-    // STORE's own schema (the frozen-geometry authority — a recipe must
-    // not be able to append ragged rows) and refuse a contradicting key.
-    val metaCfg: Seq[String] = config.get("meta_columns").map {
-      case l: java.util.List[_] =>
-        scala.jdk.CollectionConverters.ListHasAsScala(l).asScala
-          .map(_.toString.trim).filter(_.nonEmpty).toSeq
-      // the recipe reader hands processors SCALA collections — a
-      // toString fall-through would silently parse "List(label)"
-      case l: Iterable[_] => l.map(_.toString.trim).filter(_.nonEmpty).toSeq
-      case s => s.toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-    }.getOrElse(Nil)
-    val metaEff: Seq[String] =
-      if (rawExists) {
-        val stored = Similarity.storeMetaCols(spark, path, idc, vc)
-        require(metaCfg.isEmpty || metaCfg.toSet == stored.toSet,
-          s"$path carries metadata columns [${stored.mkString(",")}] but " +
-            s"this batch is configured [${metaCfg.mkString(",")}] — ragged " +
-            "appends silently break filtered search. Align meta_columns " +
-            "with the store or drop the key (appends adopt the store's " +
-            "own set).")
-        stored
-      } else metaCfg
-    val mbatch =
-      if (metaEff.isEmpty) batch
-      else df.select((Seq(idc, vc) ++ metaEff)
-          .map(org.apache.spark.sql.functions.col): _*)
-        .localCheckpoint()
     (twoLevel, rawExists) match {
       case (true, false) =>
-        val cb = Similarity.writeIvfStoreTwoLevelAuto(mbatch, idc, vc, path,
+        val cb = Similarity.writeIvfStoreTwoLevelAuto(batch, idc, vc, path,
           maxSharePct = maxShare, metaCols = metaEff)
         Similarity.writeCodebookAt(spark, path, cb)
       case (true, true) =>
         val cb = Similarity.readTwoLevelCodebookAt(spark, path)
         IndexProtocol.withMergePending(spark, path) {
-          Similarity.appendIvfStoreTwoLevel(mbatch, idc, vc, cb, path,
+          Similarity.appendIvfStoreTwoLevel(batch, idc, vc, cb, path,
             metaCols = metaEff)
           // persistTo writes the grown codebook BEFORE the directory
           // rewrite (inside the split op), so a crash mid-grow never
@@ -935,13 +938,13 @@ object IvfIndexSink extends SinkPlugin {
               maxShare, persistTo = Some(path))
         }
       case (false, false) =>
-        val coarse = Similarity.writeIvfStoreAuto(mbatch, idc, vc, path,
+        val coarse = Similarity.writeIvfStoreAuto(batch, idc, vc, path,
           maxSharePct = maxShare, metaCols = metaEff)
         Similarity.writeCodebookAt(spark, path, coarse)
       case (false, true) =>
         val coarse = Similarity.readCoarseCodebookAt(spark, path)
         IndexProtocol.withMergePending(spark, path) {
-          Similarity.appendIvfStore(mbatch, idc, vc, coarse, path,
+          Similarity.appendIvfStore(batch, idc, vc, coarse, path,
             metaCols = metaEff)
         }
     }

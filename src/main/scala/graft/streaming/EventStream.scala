@@ -261,11 +261,12 @@ object EventStream {
     * query answers, pinned by the StreamingSpec parity test.
     */
   def streamingIvfAppend(vectors: DataFrame, idCol: String, vecCol: String,
-                         coarse: Seq[Seq[Double]], path: String) =
+                         coarse: Seq[Seq[Double]], path: String,
+                         metaCols: Seq[String] = Nil) =
     vectors.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         graft.operators.Similarity.appendIvfStore(
-          batch.toDF(), idCol, vecCol, coarse, path)
+          batch.toDF(), idCol, vecCol, coarse, path, metaCols)
     }
 
   /** Streamed right-to-erasure for a centroid-partitioned vector store
@@ -353,11 +354,11 @@ object EventStream {
     */
   def streamingIvfAppendTwoLevel(vectors: DataFrame, idCol: String,
       vecCol: String, cb: graft.operators.Similarity.TwoLevelCodebook,
-      path: String) =
+      path: String, metaCols: Seq[String] = Nil) =
     vectors.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         graft.operators.Similarity.appendIvfStoreTwoLevel(
-          batch.toDF(), idCol, vecCol, cb, path)
+          batch.toDF(), idCol, vecCol, cb, path, metaCols)
     }
 
   /** Streaming DSIR scoring against a FROZEN distribution table — the

@@ -16,6 +16,15 @@ import org.apache.spark.SparkContext
   * the drain and nothing else.
   */
 object ListenerDrain {
-  /** Block until every queued listener event has been dispatched. */
-  def drain(sc: SparkContext): Unit = sc.listenerBus.waitUntilEmpty()
+  /** Block until every queued listener event has been dispatched, up to
+    * two minutes. The no-arg `waitUntilEmpty()` hard-codes a 10 s bound
+    * and THROWS on a busy bus — which would abort a whole probe run
+    * where the receipt merely needed a longer drain; past the generous
+    * bound we proceed with whatever has been delivered (the counter
+    * then approximates, exactly the pre-drain behavior) rather than
+    * losing the run.
+    */
+  def drain(sc: SparkContext): Unit =
+    try sc.listenerBus.waitUntilEmpty(120000L)
+    catch { case _: java.util.concurrent.TimeoutException => () }
 }

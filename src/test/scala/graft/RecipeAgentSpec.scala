@@ -907,6 +907,24 @@ class AgentSpec extends SparkSpec {
         "filter" -> "label <= 1"))
     }
     assert(pqFilter.getMessage.contains("filterable"), pqFilter.getMessage)
+    // the rectangularity invariant holds at the SHARED append tail, not
+    // just the sink: a library/streaming append that omits the store's
+    // meta columns refuses rather than writing rows whose meta reads as
+    // NULL (invisible to every later filtered search)
+    val raggedLib = intercept[IllegalArgumentException] {
+      Similarity.appendIvfStoreTwoLevel(
+        vecs(200, 202).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding",
+        Similarity.readTwoLevelCodebookAt(spark, idx), idx)
+    }
+    assert(raggedLib.getMessage.contains("ragged appends"),
+      raggedLib.getMessage)
+    // ...and the same append WITH the store's meta set lands cleanly
+    Similarity.appendIvfStoreTwoLevel(vecs(200, 202), "vec_id",
+      "embedding", Similarity.readTwoLevelCodebookAt(spark, idx), idx,
+      metaCols = Seq("label"))
+    assert(spark.read.parquet(idx).filter(col("vec_id") === 200L)
+      .filter(col("label").isNull).count() == 0)
   }
 
   test("mode: forget on the index sinks erases tombstoned rows through the " +
