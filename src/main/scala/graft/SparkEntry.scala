@@ -4813,6 +4813,43 @@ object SparkEntry {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  private def hybridDenseSparseQuery(s: SparkSession, dir: String): DataFrame = {
+    // dense+sparse hybrid retrieval over STORED indexes — the production
+    // hybrid-search shape: the lexical leg scores the frozen BM25
+    // postings store (directory-pruned to the query terms' buckets), the
+    // dense leg probes the physical centroid-partitioned IVF layout
+    // (directory-pruned to its nprobe lists), and reciprocal-rank fusion
+    // combines the two incommensurable scores at rank level. Both stores
+    // are the SAME persisted artifacts the d_bm25_topk_stored and
+    // s_ann_ivf_stored rows grade — hybrid search here is a zero-copy
+    // composition of existing indexes, not a third one. Portable
+    // first-8-unit coarse codebook, so the DuckDB twin replays both legs
+    // and the integer fusion exactly.
+    val docs = t(s, dir, "documents")
+    val queries = docs.filter(col("doc_id") < 5)
+    val bm = Retrieval.bm25TopKStored(bm25Store(s, dir), queries,
+        "doc_id", "doc_id", "text")
+      .select(col("q_id"), col("rnk"), col("doc_id"))
+    val emb = t(s, dir, "embeddings")
+    val seeds = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val unitSeeds = seeds.map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    val path = layoutPath(dir, "ivfstore", "coarse=first8unit")
+    if (!layoutReady(path))
+      Similarity.writeIvfStore(emb, "vec_id", "embedding", unitSeeds, path)
+    val dense = Similarity.ivfTopKStored(s.read.parquet(path),
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, coarse = unitSeeds, nprobe = 3)
+      .select(col("q_id").cast("bigint").as("q_id"), col("rank").as("rnk"),
+        col("c_id").cast("bigint").as("doc_id"))
+    Retrieval.rrfFuse(Seq(bm, dense), "doc_id")
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   private def corpusClean(s: SparkSession, dir: String): DataFrame = {
     // the whole batch cleaning pipeline in ONE oracle-checked query:
     // quality gate -> language filter (en) -> exact dedup (lowest id per
@@ -5997,6 +6034,7 @@ object SparkEntry {
     "d_bm25f_forget_stored" -> (bm25fForgetStored _),
     "d_bm25_chunk_forget" -> (bm25ChunkForget _),
     "d_hybrid_rrf" -> (hybridRrfQuery _),
+    "s_hybrid_dense_sparse" -> (hybridDenseSparseQuery _),
     "d_winnow_fps" -> (winnowFpsQuery _),
     "d_winnow_matches" -> (winnowMatchesQuery _),
     "d_winnow_ingest_stored" -> (winnowIngestStored _),
@@ -11417,6 +11455,59 @@ object SparkEntry {
         | FROM wr WHERE rnk <= 10),
         |f AS (SELECT q_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro
         |      FROM u GROUP BY 1, 2),
+        |fr AS (SELECT q_id, doc_id, rrf_micro,
+        |        row_number() OVER (PARTITION BY q_id
+        |                           ORDER BY rrf_micro DESC, doc_id) AS rnk
+        |       FROM f)
+        |SELECT q_id, rnk, doc_id, rrf_micro FROM fr WHERE rnk <= 10
+        |ORDER BY q_id, rnk""".stripMargin,
+
+    // dense+sparse hybrid twin: the bm25 stored-postings chain and the
+    // stored-IVF chain (first-8-unit coarse assignment, 3 probes, exact
+    // cosine over probed members, leave-self-out) fused by the same
+    // integer RRF terms — both legs are verbatim the CTE chains their own
+    // graded rows pin, so this row grades ONLY the fusion composition
+    "s_hybrid_dense_sparse" ->
+      s"""WITH $bm25Ctes,
+        |bmr AS (SELECT q_id, doc_id, rnk FROM r WHERE rnk <= 10),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |eu AS (SELECT vec_id, v,
+        |        CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN v
+        |             ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v))) END AS vu
+        |      FROM e),
+        |cu AS (SELECT vec_id AS ccid, vu AS cvu FROM eu WHERE vec_id < 8),
+        |cd AS (SELECT eu.vec_id, cu.ccid,
+        |         list_sum(list_transform(range(1, 65),
+        |           i -> (eu.vu[i] - cu.cvu[i]) * (eu.vu[i] - cu.cvu[i]))) AS d
+        |       FROM eu, cu),
+        |assign AS (SELECT vec_id, ccid FROM (
+        |             SELECT vec_id, ccid,
+        |               row_number() OVER (PARTITION BY vec_id ORDER BY d, ccid) AS rn
+        |             FROM cd) WHERE rn = 1),
+        |qprobe AS (SELECT vec_id AS q_id, ccid FROM (
+        |             SELECT vec_id, ccid,
+        |               row_number() OVER (PARTITION BY vec_id ORDER BY d, ccid) AS rn
+        |             FROM cd WHERE vec_id < 5) WHERE rn <= 3),
+        |dcand AS (SELECT DISTINCT qprobe.q_id, assign.vec_id AS c_id
+        |          FROM assign JOIN qprobe ON qprobe.ccid = assign.ccid
+        |          WHERE assign.vec_id <> qprobe.q_id),
+        |dsim AS (SELECT dcand.q_id, dcand.c_id,
+        |           list_dot_product(q.v, c.v) /
+        |           (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+        |         FROM dcand JOIN e q ON q.vec_id = dcand.q_id
+        |                   JOIN e c ON c.vec_id = dcand.c_id),
+        |dr AS (SELECT q_id, c_id,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
+        |       FROM dsim),
+        |uall AS (
+        | SELECT q_id, doc_id,
+        |  CAST(round(1000000.0 / (60 + rnk)) AS BIGINT) AS c FROM bmr
+        | UNION ALL
+        | SELECT CAST(q_id AS BIGINT), CAST(c_id AS BIGINT),
+        |  CAST(round(1000000.0 / (60 + rnk)) AS BIGINT)
+        | FROM dr WHERE rnk <= 10),
+        |f AS (SELECT q_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro
+        |      FROM uall GROUP BY 1, 2),
         |fr AS (SELECT q_id, doc_id, rrf_micro,
         |        row_number() OVER (PARTITION BY q_id
         |                           ORDER BY rrf_micro DESC, doc_id) AS rnk

@@ -139,5 +139,6 @@ object Populate {
     // indexes (the ingest sinks' missing symmetry)
     r.register(Bm25SearchExtractor)
     r.register(AnnSearchExtractor)
+    r.register(HybridSearchExtractor)
   }
 }

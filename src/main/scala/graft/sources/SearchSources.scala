@@ -71,10 +71,16 @@ object Bm25SearchExtractor extends Extractor {
     requireKeys(config, "index_path", "queries_path") ++ badPrf
   }
 
-  def extract(spark: SparkSession, config: Map[String, Any]): DataFrame = {
+  def extract(spark: SparkSession, config: Map[String, Any]): DataFrame =
+    serve(spark, config, SearchConfig.readQueries(spark, config))
+
+  /** The extractor body over an already-loaded query table — shared with
+    * [[HybridSearchExtractor]], whose two legs rank the SAME query rows
+    * (one read, every config guard still applies per leg). */
+  private[sources] def serve(spark: SparkSession, config: Map[String, Any],
+                             queries: DataFrame): DataFrame = {
     import graft.operators.Retrieval
     val path = config("index_path").toString
-    val queries = SearchConfig.readQueries(spark, config)
     val qid = config.getOrElse("query_id_column", "q_id").toString
     val qtext = config.getOrElse("query_text_column", "text").toString
     val topK = SearchConfig.int(config, "top_k", 10)
@@ -158,10 +164,15 @@ object AnnSearchExtractor extends Extractor {
   override def validate(config: Map[String, Any]): Seq[InvalidConfigError] =
     requireKeys(config, "index_path", "queries_path")
 
-  def extract(spark: SparkSession, config: Map[String, Any]): DataFrame = {
+  def extract(spark: SparkSession, config: Map[String, Any]): DataFrame =
+    serve(spark, config, SearchConfig.readQueries(spark, config))
+
+  /** The extractor body over an already-loaded query table — shared with
+    * [[HybridSearchExtractor]] (see [[Bm25SearchExtractor.serve]]). */
+  private[sources] def serve(spark: SparkSession, config: Map[String, Any],
+                             queries: DataFrame): DataFrame = {
     import graft.operators.Similarity
     val path = config("index_path").toString
-    val queries = SearchConfig.readQueries(spark, config)
     val idc = config.getOrElse("id_column", "vec_id").toString
     val vc = config.getOrElse("vector_column", "embedding").toString
     val k = SearchConfig.int(config, "top_k", 10)
@@ -249,5 +260,79 @@ object AnnSearchExtractor extends Extractor {
         "index_path", s"$path holds an unrecognized codebook kind " +
           s"'$other' — not a probeable store")))
     }
+  }
+}
+
+/** hybrid-search: dense+sparse retrieval from one recipe — the lexical
+  * leg ranks a stored BM25 index ([[Bm25SearchExtractor]] semantics,
+  * every knob and guard included), the dense leg probes a stored IVF
+  * index ([[AnnSearchExtractor]] semantics, all four persisted
+  * geometries), and reciprocal-rank fusion combines the two
+  * incommensurable score scales at rank level. A ZERO-COPY composition
+  * of the two indexes the ingest recipes already build: no third store,
+  * one query-table read feeding both legs, fusion cost bounded by the
+  * two top-k lists. Emits (q_id, rnk, <id_column>, rrf_micro) — the
+  * graded `s_hybrid_dense_sparse` shape. The query table carries BOTH
+  * modalities of each query (its text and its embedding).
+  */
+object HybridSearchExtractor extends Extractor {
+  val info: PluginInfo = PluginInfo("hybrid-search",
+    "Fuse stored BM25 and stored IVF rankings by reciprocal rank (RRF)",
+    sampleConfig =
+      """bm25_index_path: /indexes/bm25
+        |ann_index_path: /indexes/ivf
+        |queries_path: ./queries.parquet   # columns: q_id, text, embedding
+        |query_id_column: q_id
+        |query_text_column: text
+        |vector_column: embedding
+        |id_column: doc_id     # the bm25 store's id + the fused output key
+        |# ann_id_column: vec_id  # the ivf store's id column name
+        |top_k: 10             # fused list depth
+        |leg_top_k: 10         # per-leg depth entering the fusion
+        |rrf_k0: 60
+        |# bm25 leg: k1, b, prf, fb_docs, fb_terms, fielded
+        |# ann leg: nprobe, nprobe_top, exclude_self, filter,
+        |#          rerank_store_path, shortlist""".stripMargin,
+    tags = Seq("extractor", "retrieval", "similarity", "curation"))
+
+  override def validate(config: Map[String, Any]): Seq[InvalidConfigError] =
+    requireKeys(config, "bm25_index_path", "ann_index_path", "queries_path")
+
+  private def passthrough(config: Map[String, Any],
+                          keys: String*): Map[String, Any] =
+    keys.flatMap(k => config.get(k).map(k -> _)).toMap
+
+  def extract(spark: SparkSession, config: Map[String, Any]): DataFrame = {
+    import graft.operators.Retrieval
+    val queries = SearchConfig.readQueries(spark, config)
+    val qid = config.getOrElse("query_id_column", "q_id").toString
+    val vecCol = config.getOrElse("vector_column", "embedding").toString
+    val idCol = config.getOrElse("id_column", "doc_id").toString
+    // the ivf store's own id column name — the dense leg's query frame is
+    // renamed to it so one query table serves both legs unchanged
+    val annIdc = config.getOrElse("ann_id_column", "vec_id").toString
+    val legK = SearchConfig.int(config, "leg_top_k", 10)
+    val bm = Bm25SearchExtractor.serve(spark,
+        passthrough(config, "k1", "b", "prf", "fb_docs", "fb_terms",
+          "fielded") ++ Map(
+          "index_path" -> config("bm25_index_path").toString,
+          "queries_path" -> config("queries_path").toString,
+          "query_id_column" -> qid,
+          "query_text_column" ->
+            config.getOrElse("query_text_column", "text").toString,
+          "id_column" -> idCol, "top_k" -> legK.toString), queries)
+      .select(col("q_id"), col("rnk"), col(idCol))
+    val dense = AnnSearchExtractor.serve(spark,
+        passthrough(config, "nprobe", "nprobe_top", "exclude_self",
+          "filter", "rerank_store_path", "shortlist") ++ Map(
+          "index_path" -> config("ann_index_path").toString,
+          "queries_path" -> config("queries_path").toString,
+          "id_column" -> annIdc, "vector_column" -> vecCol,
+          "top_k" -> legK.toString),
+        queries.select(col(qid).as(annIdc), col(vecCol)))
+      .select(col("q_id"), col("rank").as("rnk"), col("c_id").as(idCol))
+    Retrieval.rrfFuse(Seq(bm, dense), idCol,
+      k0 = SearchConfig.int(config, "rrf_k0", 60),
+      topK = SearchConfig.int(config, "top_k", 10))
   }
 }

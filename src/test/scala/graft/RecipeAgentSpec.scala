@@ -472,6 +472,86 @@ class AgentSpec extends SparkSpec {
     assert(Registries.extractors.list.map(_.name).contains("ann-search"))
   }
 
+  test("hybrid-search recipe: one query table, stored BM25 + stored IVF " +
+      "legs, RRF fusion row-identical to the library composition") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{Retrieval, Similarity}
+    val dir = Files.createTempDirectory("hybridsrc")
+    // one corpus, two persisted modalities over the SAME id space
+    val docs = Seq(
+      (0L, "spark engine shuffles columns fast"),
+      (1L, "ducks swim across quiet ponds daily"),
+      (2L, "ponds reflect the morning sky"),
+      (3L, "columnar storage scans fewer bytes"),
+      (4L, "quiet engine hums in the morning"),
+      (5L, "bytes stream from columnar ponds")).toDF("doc_id", "text")
+    val bidx = dir.resolve("bm25").toString
+    Retrieval.writeBm25Store(docs, "doc_id", "text", bidx, buckets = 2)
+    val vecs = (0 until 6).map(i => (i.toLong,
+        Seq.tabulate(8)(d => (if (d == i % 3) 10.0 else 0.0) + 0.01 * i)))
+      .toDF("vec_id", "embedding")
+    val vidx = dir.resolve("ivf").toString
+    assert(graft.sinks.IvfIndexSink.sink(vecs,
+      Map("index_path" -> vidx)) == 6L)
+    // each query carries BOTH modalities: its text and its embedding
+    val queries = docs.filter(col("doc_id") < 2)
+      .withColumnRenamed("doc_id", "q_id")
+      .join(vecs.withColumnRenamed("vec_id", "q_id"), Seq("q_id"))
+    queries.write.parquet(s"$dir/queries")
+    val out = dir.resolve("fused.ndjson")
+    val r = new Agent(spark).run(RecipeReader.parse(
+      s"""name: hybrid-serve
+         |version: v1beta1
+         |source:
+         |  name: hybrid-search
+         |  config:
+         |    bm25_index_path: $bidx
+         |    ann_index_path: $vidx
+         |    queries_path: $dir/queries
+         |    top_k: 5
+         |sinks:
+         |  - name: file
+         |    config: {path: $out, format: ndjson}
+         |""".stripMargin))
+    assert(r.success, r.error)
+    // the library composition the recipe must reproduce bit-for-bit:
+    // stored-postings BM25 leg + stored two-level IVF leg (the sink's
+    // auto codebook, extractor defaults: no self-exclusion) fused by RRF
+    val bmLeg = Retrieval.bm25TopKStored(
+        Retrieval.readBm25Store(spark, bidx), queries,
+        "doc_id", "q_id", "text")
+      .select(col("q_id"), col("rnk"), col("doc_id"))
+    val cb = Similarity.readTwoLevelCodebookAt(spark, vidx)
+    val dLeg = Similarity.ivfTopKStoredTwoLevel(spark.read.parquet(vidx),
+        queries.select(col("q_id").as("vec_id"), col("embedding")),
+        "vec_id", "embedding", k = 10, cb, excludeSelf = false)
+      .select(col("q_id"), col("rank").as("rnk"), col("c_id").as("doc_id"))
+    val expected = Retrieval.rrfFuse(Seq(bmLeg, dLeg), "doc_id", topK = 5)
+      .collect().map(row => (row.getLong(0), row.getInt(1), row.getLong(2),
+        row.getLong(3))).toSet
+    val sunk = scala.io.Source.fromFile(out.toFile).getLines().map { l =>
+      val m = new org.yaml.snakeyaml.Yaml().load[java.util.Map[String, Object]](l)
+      (m.get("q_id").toString.toLong, m.get("rnk").toString.toInt,
+        m.get("doc_id").toString.toLong, m.get("rrf_micro").toString.toLong)
+    }.toSet
+    assert(sunk == expected && sunk.nonEmpty)
+    // fused rows genuinely mix the two signals: some fused doc must be
+    // absent from one leg's top list (rank-only fusion, not a re-sort of
+    // either single leg)
+    val bmIds = bmLeg.collect().map(r2 => (r2.getLong(0), r2.getLong(2))).toSet
+    val dIds = dLeg.collect().map(r2 => (r2.getLong(0), r2.getLong(2))).toSet
+    assert((bmIds != dIds) && sunk.map(t => (t._1, t._3))
+      .subsetOf(bmIds ++ dIds))
+    Registries.populate()
+    assert(Registries.extractors.list.map(_.name).contains("hybrid-search"))
+    // missing either index path fails lint, not run
+    val lint = graft.sources.HybridSearchExtractor.validate(
+      Map("queries_path" -> s"$dir/queries"))
+    assert(lint.exists(_.key == "bm25_index_path") &&
+      lint.exists(_.key == "ann_index_path"))
+  }
+
   test("nb-index + nb-filter recipes: train, filter by the trained model, " +
       "extend, and unlearn — the classifier lifecycle on the YAML surface") {
     import spark.implicits._
