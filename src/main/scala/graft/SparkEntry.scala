@@ -4850,6 +4850,38 @@ object SparkEntry {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  private def hybridLinearQuery(s: SparkSession, dir: String): DataFrame = {
+    // the SCORE-level hybrid combiner over the same two stored legs as
+    // s_hybrid_dense_sparse: per-query min-max normalization inside each
+    // leg's top list, then alpha·dense + (1−alpha)·sparse (alpha = 0.5)
+    // in integer micro-units — the "alpha" fusion mode production vector
+    // stores expose next to RRF. Same zero-copy two-index composition;
+    // this row grades the normalization + convex-sum arithmetic.
+    val docs = t(s, dir, "documents")
+    val queries = docs.filter(col("doc_id") < 5)
+    val bm = Retrieval.bm25TopKStored(bm25Store(s, dir), queries,
+        "doc_id", "doc_id", "text")
+      .select(col("q_id"), col("doc_id"), col("score"))
+    val emb = t(s, dir, "embeddings")
+    val seeds = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val unitSeeds = seeds.map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    val path = layoutPath(dir, "ivfstore", "coarse=first8unit")
+    if (!layoutReady(path))
+      Similarity.writeIvfStore(emb, "vec_id", "embedding", unitSeeds, path)
+    val dense = Similarity.ivfTopKStored(s.read.parquet(path),
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, coarse = unitSeeds, nprobe = 3)
+      .select(col("q_id").cast("bigint").as("q_id"),
+        col("c_id").cast("bigint").as("doc_id"), col("sim").as("score"))
+    Retrieval.linearFuse(bm, dense, "doc_id", alpha = 0.5)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   private def corpusClean(s: SparkSession, dir: String): DataFrame = {
     // the whole batch cleaning pipeline in ONE oracle-checked query:
     // quality gate -> language filter (en) -> exact dedup (lowest id per
@@ -6035,6 +6067,7 @@ object SparkEntry {
     "d_bm25_chunk_forget" -> (bm25ChunkForget _),
     "d_hybrid_rrf" -> (hybridRrfQuery _),
     "s_hybrid_dense_sparse" -> (hybridDenseSparseQuery _),
+    "s_hybrid_linear" -> (hybridLinearQuery _),
     "d_winnow_fps" -> (winnowFpsQuery _),
     "d_winnow_matches" -> (winnowMatchesQuery _),
     "d_winnow_ingest_stored" -> (winnowIngestStored _),
@@ -6135,6 +6168,40 @@ object SparkEntry {
   private lazy val defaultBm25Qt: String = bm25QtWhere("doc_id < 5")
 
   private lazy val bm25Ctes: String = bm25CtesOver("documents")
+
+  /** The stored-IVF dense-leg CTE chain the hybrid twins share: first-8
+    * unit-vector coarse assignment, 3 probes, exact cosine over probed
+    * members, leave-self-out — verbatim the s_ann_ivf_stored chain with
+    * the 5 hybrid query vectors. Ends at dsim(q_id, c_id, sim) with sim
+    * UNROUNDED (ranking uses the raw value; consumers round where the
+    * Spark side does). */
+  private lazy val ivfDenseCtes: String =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |eu AS (SELECT vec_id, v,
+      |        CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN v
+      |             ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v))) END AS vu
+      |      FROM e),
+      |cu AS (SELECT vec_id AS ccid, vu AS cvu FROM eu WHERE vec_id < 8),
+      |cd AS (SELECT eu.vec_id, cu.ccid,
+      |         list_sum(list_transform(range(1, 65),
+      |           i -> (eu.vu[i] - cu.cvu[i]) * (eu.vu[i] - cu.cvu[i]))) AS d
+      |       FROM eu, cu),
+      |assign AS (SELECT vec_id, ccid FROM (
+      |             SELECT vec_id, ccid,
+      |               row_number() OVER (PARTITION BY vec_id ORDER BY d, ccid) AS rn
+      |             FROM cd) WHERE rn = 1),
+      |qprobe AS (SELECT vec_id AS q_id, ccid FROM (
+      |             SELECT vec_id, ccid,
+      |               row_number() OVER (PARTITION BY vec_id ORDER BY d, ccid) AS rn
+      |             FROM cd WHERE vec_id < 5) WHERE rn <= 3),
+      |dcand AS (SELECT DISTINCT qprobe.q_id, assign.vec_id AS c_id
+      |          FROM assign JOIN qprobe ON qprobe.ccid = assign.ccid
+      |          WHERE assign.vec_id <> qprobe.q_id),
+      |dsim AS (SELECT dcand.q_id, dcand.c_id,
+      |           list_dot_product(q.v, c.v) /
+      |           (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+      |         FROM dcand JOIN e q ON q.vec_id = dcand.q_id
+      |                   JOIN e c ON c.vec_id = dcand.c_id)""".stripMargin
 
   private lazy val bm25Oracle: String =
     s"""WITH $bm25Ctes
@@ -11470,32 +11537,7 @@ object SparkEntry {
     "s_hybrid_dense_sparse" ->
       s"""WITH $bm25Ctes,
         |bmr AS (SELECT q_id, doc_id, rnk FROM r WHERE rnk <= 10),
-        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |eu AS (SELECT vec_id, v,
-        |        CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN v
-        |             ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v))) END AS vu
-        |      FROM e),
-        |cu AS (SELECT vec_id AS ccid, vu AS cvu FROM eu WHERE vec_id < 8),
-        |cd AS (SELECT eu.vec_id, cu.ccid,
-        |         list_sum(list_transform(range(1, 65),
-        |           i -> (eu.vu[i] - cu.cvu[i]) * (eu.vu[i] - cu.cvu[i]))) AS d
-        |       FROM eu, cu),
-        |assign AS (SELECT vec_id, ccid FROM (
-        |             SELECT vec_id, ccid,
-        |               row_number() OVER (PARTITION BY vec_id ORDER BY d, ccid) AS rn
-        |             FROM cd) WHERE rn = 1),
-        |qprobe AS (SELECT vec_id AS q_id, ccid FROM (
-        |             SELECT vec_id, ccid,
-        |               row_number() OVER (PARTITION BY vec_id ORDER BY d, ccid) AS rn
-        |             FROM cd WHERE vec_id < 5) WHERE rn <= 3),
-        |dcand AS (SELECT DISTINCT qprobe.q_id, assign.vec_id AS c_id
-        |          FROM assign JOIN qprobe ON qprobe.ccid = assign.ccid
-        |          WHERE assign.vec_id <> qprobe.q_id),
-        |dsim AS (SELECT dcand.q_id, dcand.c_id,
-        |           list_dot_product(q.v, c.v) /
-        |           (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
-        |         FROM dcand JOIN e q ON q.vec_id = dcand.q_id
-        |                   JOIN e c ON c.vec_id = dcand.c_id),
+        |$ivfDenseCtes,
         |dr AS (SELECT q_id, c_id,
         |        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
         |       FROM dsim),
@@ -11513,6 +11555,50 @@ object SparkEntry {
         |                           ORDER BY rrf_micro DESC, doc_id) AS rnk
         |       FROM f)
         |SELECT q_id, rnk, doc_id, rrf_micro FROM fr WHERE rnk <= 10
+        |ORDER BY q_id, rnk""".stripMargin,
+
+    // linear (alpha = 0.5) hybrid twin: per-query min-max normalization
+    // inside each leg's top-10 list (all-equal list → 1.0), convex sum in
+    // doubles, ONE round to micro-units at the end — expression-for-
+    // expression the linearFuse arithmetic, so doubles agree bitwise.
+    // Dense scores enter ROUNDED to 4 decimals (the stored-probe output
+    // contract); ranking into the top-10 uses the raw sim, as Spark does.
+    "s_hybrid_linear" ->
+      s"""WITH $bm25Ctes,
+        |$ivfDenseCtes,
+        |bmn AS (SELECT q_id, doc_id,
+        |         0.5 * (CASE WHEN max(CAST(score AS DOUBLE)) OVER (PARTITION BY q_id)
+        |                        = min(CAST(score AS DOUBLE)) OVER (PARTITION BY q_id)
+        |                THEN 1.0
+        |                ELSE (CAST(score AS DOUBLE)
+        |                       - min(CAST(score AS DOUBLE)) OVER (PARTITION BY q_id)) /
+        |                     (max(CAST(score AS DOUBLE)) OVER (PARTITION BY q_id)
+        |                       - min(CAST(score AS DOUBLE)) OVER (PARTITION BY q_id))
+        |                END) AS c
+        |        FROM r WHERE rnk <= 10),
+        |den AS (SELECT q_id, c_id, round(sim, 4) AS s FROM (
+        |          SELECT q_id, c_id, sim,
+        |            row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
+        |          FROM dsim) WHERE rnk <= 10),
+        |dnn AS (SELECT q_id, c_id,
+        |         0.5 * (CASE WHEN max(s) OVER (PARTITION BY q_id)
+        |                        = min(s) OVER (PARTITION BY q_id) THEN 1.0
+        |                ELSE (s - min(s) OVER (PARTITION BY q_id)) /
+        |                     (max(s) OVER (PARTITION BY q_id)
+        |                       - min(s) OVER (PARTITION BY q_id)) END) AS c
+        |        FROM den),
+        |uall AS (
+        | SELECT q_id, doc_id, c FROM bmn
+        | UNION ALL
+        | SELECT CAST(q_id AS BIGINT), CAST(c_id AS BIGINT), c FROM dnn),
+        |f AS (SELECT q_id, doc_id,
+        |        CAST(round(1000000.0 * sum(c)) AS BIGINT) AS fused_micro
+        |      FROM uall GROUP BY 1, 2),
+        |fr AS (SELECT q_id, doc_id, fused_micro,
+        |        row_number() OVER (PARTITION BY q_id
+        |                           ORDER BY fused_micro DESC, doc_id) AS rnk
+        |       FROM f)
+        |SELECT q_id, rnk, doc_id, fused_micro FROM fr WHERE rnk <= 10
         |ORDER BY q_id, rnk""".stripMargin,
 
     "d_winnow_fps" ->

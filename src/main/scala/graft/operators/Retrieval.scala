@@ -680,6 +680,43 @@ object Retrieval {
       .select(col("q_id"), col("rnk"), col(idCol), col("rrf_micro"))
   }
 
+  /** Convex (alpha-weighted) score fusion — the other standard hybrid
+    * combiner: each leg's scores are min-max normalized to [0, 1] WITHIN
+    * its own per-query top list (scores across legs aren't commensurable;
+    * ranks-only fusion is [[rrfFuse]]), then fused as
+    * alpha·dense + (1−alpha)·sparse, reported in integer micro-units.
+    * Inputs are (q_id, idCol, score) frames — each leg's already-bounded
+    * top-k list. Conventions: a leg whose per-query list has one distinct
+    * score normalizes to 1.0 (every member is that leg's best); a
+    * candidate missing from a leg contributes 0 from it (same as RRF's
+    * missing-term rule). The per-(query, doc) sum has at most two
+    * addends, so IEEE addition order cannot perturb it and the single
+    * round-to-micro happens once at the end — bit-replayable by the SQL
+    * twin. Cost: windows and a union over |Q|·k rows per leg; the corpus
+    * is never touched.
+    */
+  def linearFuse(sparse: DataFrame, dense: DataFrame, idCol: String,
+                 alpha: Double = 0.5, topK: Int = 10): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1]: $alpha")
+    def norm(leg: DataFrame, weight: Double): DataFrame = {
+      val w = Window.partitionBy(col("q_id"))
+      leg.select(col("q_id"), col(idCol), col("score").cast("double").as("s"))
+        .withColumn("__mn", min(col("s")).over(w))
+        .withColumn("__mx", max(col("s")).over(w))
+        .select(col("q_id"), col(idCol),
+          (lit(weight) * when(col("__mx") === col("__mn"), lit(1.0))
+            .otherwise((col("s") - col("__mn")) /
+              (col("__mx") - col("__mn")))).as("c"))
+    }
+    val fused = norm(sparse, 1.0 - alpha).unionByName(norm(dense, alpha))
+      .groupBy(col("q_id"), col(idCol))
+      .agg(round(lit(1e6) * sum(col("c"))).cast("bigint").as("fused_micro"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(desc("fused_micro"), asc(idCol))
+    fused.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= topK)
+      .select(col("q_id"), col("rnk"), col(idCol), col("fused_micro"))
+  }
+
   /** Retrieval-quality evaluation (MRR, nDCG@10) over a ranked top-10
     * list — the eval harness every retrieval deployment watches next to
     * its recall audit. Relevance is label-match: a hit is relevant iff

@@ -267,17 +267,19 @@ object AnnSearchExtractor extends Extractor {
   * leg ranks a stored BM25 index ([[Bm25SearchExtractor]] semantics,
   * every knob and guard included), the dense leg probes a stored IVF
   * index ([[AnnSearchExtractor]] semantics, all four persisted
-  * geometries), and reciprocal-rank fusion combines the two
-  * incommensurable score scales at rank level. A ZERO-COPY composition
-  * of the two indexes the ingest recipes already build: no third store,
-  * one query-table read feeding both legs, fusion cost bounded by the
-  * two top-k lists. Emits (q_id, rnk, <id_column>, rrf_micro) — the
-  * graded `s_hybrid_dense_sparse` shape. The query table carries BOTH
-  * modalities of each query (its text and its embedding).
+  * geometries), and a fusion stage combines the two incommensurable
+  * score scales: `fusion: rrf` (default) at rank level, `fusion:
+  * linear` as the alpha-weighted convex sum over per-leg min-max
+  * normalized scores. A ZERO-COPY composition of the two indexes the
+  * ingest recipes already build: no third store, one query-table read
+  * feeding both legs, fusion cost bounded by the two top-k lists. Emits
+  * (q_id, rnk, <id_column>, rrf_micro|fused_micro) — the graded
+  * `s_hybrid_dense_sparse` / `s_hybrid_linear` shapes. The query table
+  * carries BOTH modalities of each query (its text and its embedding).
   */
 object HybridSearchExtractor extends Extractor {
   val info: PluginInfo = PluginInfo("hybrid-search",
-    "Fuse stored BM25 and stored IVF rankings by reciprocal rank (RRF)",
+    "Fuse stored BM25 and stored IVF rankings (RRF or alpha-linear)",
     sampleConfig =
       """bm25_index_path: /indexes/bm25
         |ann_index_path: /indexes/ivf
@@ -289,14 +291,34 @@ object HybridSearchExtractor extends Extractor {
         |# ann_id_column: vec_id  # the ivf store's id column name
         |top_k: 10             # fused list depth
         |leg_top_k: 10         # per-leg depth entering the fusion
-        |rrf_k0: 60
+        |fusion: rrf           # rrf | linear
+        |rrf_k0: 60            # rrf only
+        |# alpha: 0.5          # linear only: dense weight in [0, 1]
         |# bm25 leg: k1, b, prf, fb_docs, fb_terms, fielded
         |# ann leg: nprobe, nprobe_top, exclude_self, filter,
         |#          rerank_store_path, shortlist""".stripMargin,
     tags = Seq("extractor", "retrieval", "similarity", "curation"))
 
-  override def validate(config: Map[String, Any]): Seq[InvalidConfigError] =
-    requireKeys(config, "bm25_index_path", "ann_index_path", "queries_path")
+  override def validate(config: Map[String, Any]): Seq[InvalidConfigError] = {
+    val fusion = config.getOrElse("fusion", "rrf").toString
+    val badFusion =
+      if (fusion != "rrf" && fusion != "linear")
+        Seq(InvalidConfigError("fusion", s"unknown fusion mode '$fusion' " +
+          "— rrf or linear"))
+      else Nil
+    // a knob naming the OTHER mode is a config slip — refuse it loudly
+    // rather than silently fuse differently than the recipe reads
+    val crossed =
+      if (fusion == "rrf" && config.contains("alpha"))
+        Seq(InvalidConfigError("alpha", "alpha weights linear fusion — " +
+          "set fusion: linear or drop the key"))
+      else if (fusion == "linear" && config.contains("rrf_k0"))
+        Seq(InvalidConfigError("rrf_k0", "rrf_k0 shapes rrf fusion — " +
+          "set fusion: rrf or drop the key"))
+      else Nil
+    requireKeys(config, "bm25_index_path", "ann_index_path",
+      "queries_path") ++ badFusion ++ crossed
+  }
 
   private def passthrough(config: Map[String, Any],
                           keys: String*): Map[String, Any] =
@@ -312,6 +334,7 @@ object HybridSearchExtractor extends Extractor {
     // renamed to it so one query table serves both legs unchanged
     val annIdc = config.getOrElse("ann_id_column", "vec_id").toString
     val legK = SearchConfig.int(config, "leg_top_k", 10)
+    val topK = SearchConfig.int(config, "top_k", 10)
     val bm = Bm25SearchExtractor.serve(spark,
         passthrough(config, "k1", "b", "prf", "fb_docs", "fb_terms",
           "fielded") ++ Map(
@@ -321,7 +344,6 @@ object HybridSearchExtractor extends Extractor {
           "query_text_column" ->
             config.getOrElse("query_text_column", "text").toString,
           "id_column" -> idCol, "top_k" -> legK.toString), queries)
-      .select(col("q_id"), col("rnk"), col(idCol))
     val dense = AnnSearchExtractor.serve(spark,
         passthrough(config, "nprobe", "nprobe_top", "exclude_self",
           "filter", "rerank_store_path", "shortlist") ++ Map(
@@ -330,9 +352,21 @@ object HybridSearchExtractor extends Extractor {
           "id_column" -> annIdc, "vector_column" -> vecCol,
           "top_k" -> legK.toString),
         queries.select(col(qid).as(annIdc), col(vecCol)))
-      .select(col("q_id"), col("rank").as("rnk"), col("c_id").as(idCol))
-    Retrieval.rrfFuse(Seq(bm, dense), idCol,
-      k0 = SearchConfig.int(config, "rrf_k0", 60),
-      topK = SearchConfig.int(config, "top_k", 10))
+    config.getOrElse("fusion", "rrf").toString match {
+      case "rrf" =>
+        Retrieval.rrfFuse(Seq(
+            bm.select(col("q_id"), col("rnk"), col(idCol)),
+            dense.select(col("q_id"), col("rank").as("rnk"),
+              col("c_id").as(idCol))), idCol,
+          k0 = SearchConfig.int(config, "rrf_k0", 60), topK = topK)
+      case "linear" =>
+        Retrieval.linearFuse(
+          bm.select(col("q_id"), col(idCol), col("score")),
+          dense.select(col("q_id"), col("c_id").as(idCol),
+            col("sim").as("score")), idCol,
+          alpha = SearchConfig.dbl(config, "alpha", 0.5), topK = topK)
+      case other => throw new ConfigException(Seq(InvalidConfigError(
+        "fusion", s"unknown fusion mode '$other' — rrf or linear")))
+    }
   }
 }

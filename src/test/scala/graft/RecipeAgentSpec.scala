@@ -550,6 +550,54 @@ class AgentSpec extends SparkSpec {
       Map("queries_path" -> s"$dir/queries"))
     assert(lint.exists(_.key == "bm25_index_path") &&
       lint.exists(_.key == "ann_index_path"))
+    // linear (alpha) fusion mode: recipe rows equal the library
+    // linearFuse over the score-bearing legs
+    val lout = dir.resolve("linear.ndjson")
+    val lr = new Agent(spark).run(RecipeReader.parse(
+      s"""name: hybrid-linear
+         |version: v1beta1
+         |source:
+         |  name: hybrid-search
+         |  config:
+         |    bm25_index_path: $bidx
+         |    ann_index_path: $vidx
+         |    queries_path: $dir/queries
+         |    fusion: linear
+         |    alpha: 0.7
+         |    top_k: 5
+         |sinks:
+         |  - name: file
+         |    config: {path: $lout, format: ndjson}
+         |""".stripMargin))
+    assert(lr.success, lr.error)
+    val lExpected = Retrieval.linearFuse(
+        Retrieval.bm25TopKStored(Retrieval.readBm25Store(spark, bidx),
+          queries, "doc_id", "q_id", "text")
+          .select(col("q_id"), col("doc_id"), col("score")),
+        Similarity.ivfTopKStoredTwoLevel(spark.read.parquet(vidx),
+          queries.select(col("q_id").as("vec_id"), col("embedding")),
+          "vec_id", "embedding", k = 10, cb, excludeSelf = false)
+          .select(col("q_id"), col("c_id").as("doc_id"),
+            col("sim").as("score")),
+        "doc_id", alpha = 0.7, topK = 5)
+      .collect().map(row => (row.getLong(0), row.getInt(1), row.getLong(2),
+        row.getLong(3))).toSet
+    val lSunk = scala.io.Source.fromFile(lout.toFile).getLines().map { l =>
+      val m = new org.yaml.snakeyaml.Yaml().load[java.util.Map[String, Object]](l)
+      (m.get("q_id").toString.toLong, m.get("rnk").toString.toInt,
+        m.get("doc_id").toString.toLong, m.get("fused_micro").toString.toLong)
+    }.toSet
+    assert(lSunk == lExpected && lSunk.nonEmpty)
+    // cross-mode knobs are config slips, refused at lint
+    val crossed = graft.sources.HybridSearchExtractor.validate(Map(
+      "bm25_index_path" -> bidx, "ann_index_path" -> vidx,
+      "queries_path" -> s"$dir/queries", "alpha" -> "0.5"))
+    assert(crossed.exists(_.key == "alpha"))
+    val crossed2 = graft.sources.HybridSearchExtractor.validate(Map(
+      "bm25_index_path" -> bidx, "ann_index_path" -> vidx,
+      "queries_path" -> s"$dir/queries", "fusion" -> "linear",
+      "rrf_k0" -> "60"))
+    assert(crossed2.exists(_.key == "rrf_k0"))
   }
 
   test("nb-index + nb-filter recipes: train, filter by the trained model, " +
