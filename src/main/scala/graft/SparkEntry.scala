@@ -2795,6 +2795,21 @@ object SparkEntry {
     // and the reciprocal join exactly; the trained-codebook path is the
     // same code seeded by kmeansLocal, recall-pinned by RecallSpec vs the
     // brute-force truth (s_mutual_knn).
+    val (path, unitSeeds) = first8UnitIvfStore(s, dir)
+    Similarity.mutualTopK(
+        Similarity.ivfSelfTopK(s.read.parquet(path), "vec_id", "embedding",
+          k = 5, coarse = unitSeeds, nprobe = 3))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** The shared first-8-unit-seed IVF layout (the s_ann_ivf_stored
+    * store): ensures the physical centroid-partitioned store exists under
+    * the layout cache and returns (path, unit coarse seeds). One
+    * definition so the four rows riding this store (mutual-kNN, stored
+    * probe, both hybrid legs) can never drift apart on seed or path
+    * construction. */
+  private def first8UnitIvfStore(s: SparkSession,
+                                 dir: String): (String, Seq[Seq[Double]]) = {
     val emb = t(s, dir, "embeddings")
     val seeds = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
       .select(col("embedding").cast("array<double>"))
@@ -2806,10 +2821,7 @@ object SparkEntry {
     val path = layoutPath(dir, "ivfstore", "coarse=first8unit")
     if (!layoutReady(path))
       Similarity.writeIvfStore(emb, "vec_id", "embedding", unitSeeds, path)
-    Similarity.mutualTopK(
-        Similarity.ivfSelfTopK(s.read.parquet(path), "vec_id", "embedding",
-          k = 5, coarse = unitSeeds, nprobe = 3))
-      .orderBy(col("a"), col("b"))
+    (path, unitSeeds)
   }
 
   private def labelTermsQuery(s: SparkSession, dir: String): DataFrame = {
@@ -3163,20 +3175,10 @@ object SparkEntry {
     // first unit vectors, so assignment, probes, and scores are all
     // recomputed by the DuckDB twin; the trained-codebook path is the
     // same code with kmeansLocal seeds, gated by RecallSpec.
-    val emb = t(s, dir, "embeddings")
-    val seeds = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
-      .select(col("embedding").cast("array<double>"))
-      .collect().map(_.getSeq[Double](0).toSeq).toSeq
-    val unitSeeds = seeds.map { v =>
-      val n = math.sqrt(v.map(x => x * x).sum)
-      if (n == 0.0) v else v.map(_ / n)
-    }
-    val path = layoutPath(dir, "ivfstore", "coarse=first8unit")
-    if (!layoutReady(path))
-      Similarity.writeIvfStore(emb, "vec_id", "embedding", unitSeeds, path)
+    val (path, unitSeeds) = first8UnitIvfStore(s, dir)
     Similarity.ivfTopKStored(s.read.parquet(path),
-        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-        k = 5, coarse = unitSeeds, nprobe = 3)
+        t(s, dir, "embeddings").filter(col("vec_id") < 10), "vec_id",
+        "embedding", k = 5, coarse = unitSeeds, nprobe = 3)
       .withColumnRenamed("rank", "rnk")
       .orderBy(col("q_id"), col("rnk"))
   }
@@ -4830,24 +4832,23 @@ object SparkEntry {
     val bm = Retrieval.bm25TopKStored(bm25Store(s, dir), queries,
         "doc_id", "doc_id", "text")
       .select(col("q_id"), col("rnk"), col("doc_id"))
-    val emb = t(s, dir, "embeddings")
-    val seeds = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
-      .select(col("embedding").cast("array<double>"))
-      .collect().map(_.getSeq[Double](0).toSeq).toSeq
-    val unitSeeds = seeds.map { v =>
-      val n = math.sqrt(v.map(x => x * x).sum)
-      if (n == 0.0) v else v.map(_ / n)
-    }
-    val path = layoutPath(dir, "ivfstore", "coarse=first8unit")
-    if (!layoutReady(path))
-      Similarity.writeIvfStore(emb, "vec_id", "embedding", unitSeeds, path)
-    val dense = Similarity.ivfTopKStored(s.read.parquet(path),
-        emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-        k = 10, coarse = unitSeeds, nprobe = 3)
-      .select(col("q_id").cast("bigint").as("q_id"), col("rank").as("rnk"),
-        col("c_id").cast("bigint").as("doc_id"))
+    val dense = hybridDenseLeg(s, dir)
+      .select(col("q_id"), col("rnk"), col("doc_id"))
     Retrieval.rrfFuse(Seq(bm, dense), "doc_id")
       .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** The hybrid rows' shared dense leg: the first-8-unit stored-IVF
+    * probe over the 5 query vectors, ids cast to the documents key
+    * space. Returns (q_id, rnk, doc_id, score) — RRF uses the ranks,
+    * linear fusion the 4-decimal stored-probe scores. */
+  private def hybridDenseLeg(s: SparkSession, dir: String): DataFrame = {
+    val (path, unitSeeds) = first8UnitIvfStore(s, dir)
+    Similarity.ivfTopKStored(s.read.parquet(path),
+        t(s, dir, "embeddings").filter(col("vec_id") < 5), "vec_id",
+        "embedding", k = 10, coarse = unitSeeds, nprobe = 3)
+      .select(col("q_id").cast("bigint").as("q_id"), col("rank").as("rnk"),
+        col("c_id").cast("bigint").as("doc_id"), col("sim").as("score"))
   }
 
   private def hybridLinearQuery(s: SparkSession, dir: String): DataFrame = {
@@ -4862,22 +4863,8 @@ object SparkEntry {
     val bm = Retrieval.bm25TopKStored(bm25Store(s, dir), queries,
         "doc_id", "doc_id", "text")
       .select(col("q_id"), col("doc_id"), col("score"))
-    val emb = t(s, dir, "embeddings")
-    val seeds = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
-      .select(col("embedding").cast("array<double>"))
-      .collect().map(_.getSeq[Double](0).toSeq).toSeq
-    val unitSeeds = seeds.map { v =>
-      val n = math.sqrt(v.map(x => x * x).sum)
-      if (n == 0.0) v else v.map(_ / n)
-    }
-    val path = layoutPath(dir, "ivfstore", "coarse=first8unit")
-    if (!layoutReady(path))
-      Similarity.writeIvfStore(emb, "vec_id", "embedding", unitSeeds, path)
-    val dense = Similarity.ivfTopKStored(s.read.parquet(path),
-        emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-        k = 10, coarse = unitSeeds, nprobe = 3)
-      .select(col("q_id").cast("bigint").as("q_id"),
-        col("c_id").cast("bigint").as("doc_id"), col("sim").as("score"))
+    val dense = hybridDenseLeg(s, dir)
+      .select(col("q_id"), col("doc_id"), col("score"))
     Retrieval.linearFuse(bm, dense, "doc_id", alpha = 0.5)
       .orderBy(col("q_id"), col("rnk"))
   }

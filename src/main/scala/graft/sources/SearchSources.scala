@@ -294,7 +294,8 @@ object HybridSearchExtractor extends Extractor {
         |fusion: rrf           # rrf | linear
         |rrf_k0: 60            # rrf only
         |# alpha: 0.5          # linear only: dense weight in [0, 1]
-        |# bm25 leg: k1, b, prf, fb_docs, fb_terms, fielded
+        |# bm25 leg: k1, b, prf, fb_docs, fb_terms, fielded,
+        |#           w_title, w_body
         |# ann leg: nprobe, nprobe_top, exclude_self, filter,
         |#          rerank_store_path, shortlist""".stripMargin,
     tags = Seq("extractor", "retrieval", "similarity", "curation"))
@@ -316,9 +317,39 @@ object HybridSearchExtractor extends Extractor {
         Seq(InvalidConfigError("rrf_k0", "rrf_k0 shapes rrf fusion — " +
           "set fusion: rrf or drop the key"))
       else Nil
+    // out-of-range alpha fails HERE with the key named, not mid-run
+    // after both index scans via linearFuse's bare require
+    val badAlpha = config.get("alpha").toSeq.flatMap { a =>
+      scala.util.Try(a.toString.toDouble).toOption match {
+        case Some(v) if v >= 0.0 && v <= 1.0 => Nil
+        case Some(v) => Seq(InvalidConfigError("alpha",
+          s"dense weight must be in [0, 1]: $v"))
+        case None => Seq(InvalidConfigError("alpha",
+          s"not a number: $a"))
+      }
+    }
+    // the legs' own lint rules (e.g. bm25-search's prf-on-fielded
+    // refusal) apply to hybrid recipes at lint time too, not first at
+    // run — delegate with the hybrid keys mapped onto each leg's config
+    val legLint =
+      if (config.contains("bm25_index_path") &&
+          config.contains("ann_index_path") && config.contains("queries_path"))
+        Bm25SearchExtractor.validate(legless(config) ++ Map(
+          "index_path" -> config("bm25_index_path").toString,
+          "queries_path" -> config("queries_path").toString)) ++
+        AnnSearchExtractor.validate(legless(config) ++ Map(
+          "index_path" -> config("ann_index_path").toString,
+          "queries_path" -> config("queries_path").toString))
+      else Nil
     requireKeys(config, "bm25_index_path", "ann_index_path",
-      "queries_path") ++ badFusion ++ crossed
+      "queries_path") ++ badFusion ++ crossed ++ badAlpha ++ legLint
   }
+
+  // hybrid-only keys stripped before delegating to a leg's validate, so
+  // a leg never mistakes fusion config for one of its own knobs
+  private def legless(config: Map[String, Any]): Map[String, Any] =
+    config -- Seq("bm25_index_path", "ann_index_path", "fusion", "alpha",
+      "rrf_k0", "leg_top_k", "top_k", "id_column", "ann_id_column")
 
   private def passthrough(config: Map[String, Any],
                           keys: String*): Map[String, Any] =
@@ -337,7 +368,7 @@ object HybridSearchExtractor extends Extractor {
     val topK = SearchConfig.int(config, "top_k", 10)
     val bm = Bm25SearchExtractor.serve(spark,
         passthrough(config, "k1", "b", "prf", "fb_docs", "fb_terms",
-          "fielded") ++ Map(
+          "fielded", "w_title", "w_body") ++ Map(
           "index_path" -> config("bm25_index_path").toString,
           "queries_path" -> config("queries_path").toString,
           "query_id_column" -> qid,

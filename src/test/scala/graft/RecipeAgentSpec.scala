@@ -598,6 +598,20 @@ class AgentSpec extends SparkSpec {
       "queries_path" -> s"$dir/queries", "fusion" -> "linear",
       "rrf_k0" -> "60"))
     assert(crossed2.exists(_.key == "rrf_k0"))
+    // out-of-range alpha fails at lint with the key named, not mid-run
+    val badAlpha = graft.sources.HybridSearchExtractor.validate(Map(
+      "bm25_index_path" -> bidx, "ann_index_path" -> vidx,
+      "queries_path" -> s"$dir/queries", "fusion" -> "linear",
+      "alpha" -> "1.5"))
+    assert(badAlpha.exists(e => e.key == "alpha" &&
+      e.message.contains("[0, 1]")))
+    // leg-level lint rules reach hybrid recipes too: bm25-search's
+    // prf-on-fielded refusal fires from the hybrid validate
+    val legRule = graft.sources.HybridSearchExtractor.validate(Map(
+      "bm25_index_path" -> bidx, "ann_index_path" -> vidx,
+      "queries_path" -> s"$dir/queries", "prf" -> "true",
+      "fielded" -> "true"))
+    assert(legRule.exists(_.key == "prf"))
   }
 
   test("nb-index + nb-filter recipes: train, filter by the trained model, " +
