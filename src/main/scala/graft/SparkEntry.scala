@@ -4827,16 +4827,35 @@ object SparkEntry {
     // composition of existing indexes, not a third one. Portable
     // first-8-unit coarse codebook, so the DuckDB twin replays both legs
     // and the integer fusion exactly.
-    val docs = t(s, dir, "documents")
-    val queries = docs.filter(col("doc_id") < 5)
+    hybridFusedRanking(s, dir).orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** The RRF-fused hybrid ranking both graded consumers share (the
+    * fused-list row and its eval-harness row). */
+  private def hybridFusedRanking(s: SparkSession, dir: String): DataFrame = {
+    val queries = t(s, dir, "documents").filter(col("doc_id") < 5)
     val bm = Retrieval.bm25TopKStored(bm25Store(s, dir), queries,
         "doc_id", "doc_id", "text")
       .select(col("q_id"), col("rnk"), col("doc_id"))
     val dense = hybridDenseLeg(s, dir)
       .select(col("q_id"), col("rnk"), col("doc_id"))
     Retrieval.rrfFuse(Seq(bm, dense), "doc_id")
-      .orderBy(col("q_id"), col("rnk"))
   }
+
+  private def hybridEvalQuery(s: SparkSession, dir: String): DataFrame =
+    // MRR / nDCG@10 of the FUSED dense+sparse ranking under the same
+    // leave-self-out same-language qrels as d_retrieval_eval (which
+    // evaluates the BM25 leg alone) — the side-by-side that tells a
+    // deployment whether hybrid fusion actually lifts its lexical
+    // baseline on this corpus. Metrics integer-exact off the shared
+    // hard-coded gain table; only the |Q|·10 fused rows and one (id,
+    // lang) projection participate.
+    Retrieval.retrievalEval(
+        // 50 fused rows consumed by three eval passes — checkpoint so the
+        // two-store fusion subtree runs ONCE, not per consumer
+        hybridFusedRanking(s, dir).localCheckpoint(),
+        t(s, dir, "documents"), "doc_id", "lang")
+      .orderBy(col("q_id"))
 
   /** The hybrid rows' shared dense leg: the first-8-unit stored-IVF
     * probe over the 5 query vectors, ids cast to the documents key
@@ -6055,6 +6074,7 @@ object SparkEntry {
     "d_hybrid_rrf" -> (hybridRrfQuery _),
     "s_hybrid_dense_sparse" -> (hybridDenseSparseQuery _),
     "s_hybrid_linear" -> (hybridLinearQuery _),
+    "d_hybrid_eval" -> (hybridEvalQuery _),
     "d_winnow_fps" -> (winnowFpsQuery _),
     "d_winnow_matches" -> (winnowMatchesQuery _),
     "d_winnow_ingest_stored" -> (winnowIngestStored _),
@@ -6189,6 +6209,80 @@ object SparkEntry {
       |           (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
       |         FROM dcand JOIN e q ON q.vec_id = dcand.q_id
       |                   JOIN e c ON c.vec_id = dcand.c_id)""".stripMargin
+
+  /** The RRF fusion of the two hybrid legs (assumes $bm25Ctes and
+    * $ivfDenseCtes precede): each leg's top-10 contributes its integer
+    * RRF term, summed per (query, doc), ranked to fr(q_id, doc_id,
+    * rrf_micro, rnk). Shared by the fused-ranking twin and the hybrid
+    * eval twin. */
+  private lazy val hybridRrfCtes: String =
+    """bmr AS (SELECT q_id, doc_id, rnk FROM r WHERE rnk <= 10),
+      |dr AS (SELECT q_id, c_id,
+      |        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
+      |       FROM dsim),
+      |uall AS (
+      | SELECT q_id, doc_id,
+      |  CAST(round(1000000.0 / (60 + rnk)) AS BIGINT) AS c FROM bmr
+      | UNION ALL
+      | SELECT CAST(q_id AS BIGINT), CAST(c_id AS BIGINT),
+      |  CAST(round(1000000.0 / (60 + rnk)) AS BIGINT)
+      | FROM dr WHERE rnk <= 10),
+      |f AS (SELECT q_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro
+      |      FROM uall GROUP BY 1, 2),
+      |fr AS (SELECT q_id, doc_id, rrf_micro,
+      |        row_number() OVER (PARTITION BY q_id
+      |                           ORDER BY rrf_micro DESC, doc_id) AS rnk
+      |       FROM f)""".stripMargin
+
+  /** The MRR/nDCG@10 eval tail over a ranked CTE `rcte`(q_id, rnk,
+    * doc_id) — the d_retrieval_eval arithmetic (hard-coded micro gain
+    * table, leave-self-out lang-match relevance, integer DCG/IDCG, one
+    * nDCG division) parameterized by the ranking source so the BM25 and
+    * hybrid eval twins share it verbatim. A complete statement tail:
+    * CTEs plus the final SELECT. */
+  private def retrievalEvalSqlOver(rcte: String): String =
+    s"""g AS (SELECT * FROM (VALUES (1, 1000000), (2, 630930), (3, 500000),
+      |       (4, 430677), (5, 386853), (6, 356207), (7, 333333),
+      |       (8, 315465), (9, 301030), (10, 289065)) AS g(rnk, gain)),
+      |ql AS (SELECT doc_id AS q_id, lang AS q_lang
+      |       FROM documents WHERE doc_id < 5),
+      |j AS (
+      | SELECT $rcte.q_id, $rcte.rnk, $rcte.doc_id,
+      |  CASE WHEN d.lang = ql.q_lang AND $rcte.doc_id <> $rcte.q_id
+      |       THEN 1 ELSE 0 END AS rel,
+      |  g.gain
+      | FROM $rcte JOIN documents d ON $rcte.doc_id = d.doc_id
+      | JOIN ql ON $rcte.q_id = ql.q_id
+      | JOIN g ON $rcte.rnk = g.rnk
+      | WHERE $rcte.rnk <= 10),
+      |per AS (
+      | SELECT q_id,
+      |  CAST(sum(rel) AS BIGINT) AS n_rel_at10,
+      |  CAST(coalesce(min(CASE WHEN rel = 1 THEN rnk END), 0) AS BIGINT)
+      |    AS first_rel,
+      |  CAST(sum(CASE WHEN rel = 1 THEN gain ELSE 0 END) AS BIGINT)
+      |    AS dcg_micro
+      | FROM j GROUP BY q_id),
+      |rtot AS (
+      | SELECT ql.q_id, CAST(count(*) AS BIGINT) AS n_rel_total
+      | FROM ql JOIN documents d
+      |   ON d.lang = ql.q_lang AND d.doc_id <> ql.q_id
+      | GROUP BY ql.q_id),
+      |idcg AS (
+      | SELECT rt.q_id, CAST(sum(g.gain) AS BIGINT) AS idcg_micro
+      | FROM rtot rt JOIN g ON g.rnk <= least(rt.n_rel_total, 10)
+      | GROUP BY rt.q_id)
+      |SELECT p.q_id, rt.n_rel_total, p.n_rel_at10,
+      | CASE WHEN p.first_rel = 0 THEN 0
+      |      ELSE CAST(round(1000000.0 / p.first_rel) AS BIGINT)
+      | END AS rr_micro,
+      | p.dcg_micro, i.idcg_micro,
+      | CASE WHEN i.idcg_micro = 0 THEN 0
+      |      ELSE CAST(round(1000000 * (CAST(p.dcg_micro AS DOUBLE)
+      |             / i.idcg_micro)) AS BIGINT)
+      | END AS ndcg_ppm
+      |FROM per p JOIN rtot rt USING (q_id) JOIN idcg i USING (q_id)
+      |ORDER BY q_id""".stripMargin
 
   private lazy val bm25Oracle: String =
     s"""WITH $bm25Ctes
@@ -11411,48 +11505,15 @@ object SparkEntry {
     // DCG/IDCG are order-independent integer sums on both engines
     "d_retrieval_eval" ->
       s"""WITH $bm25Ctes,
-        |g AS (SELECT * FROM (VALUES (1, 1000000), (2, 630930), (3, 500000),
-        |       (4, 430677), (5, 386853), (6, 356207), (7, 333333),
-        |       (8, 315465), (9, 301030), (10, 289065)) AS g(rnk, gain)),
-        |ql AS (SELECT doc_id AS q_id, lang AS q_lang
-        |       FROM documents WHERE doc_id < 5),
-        |j AS (
-        | SELECT r.q_id, r.rnk, r.doc_id,
-        |  CASE WHEN d.lang = ql.q_lang AND r.doc_id <> r.q_id
-        |       THEN 1 ELSE 0 END AS rel,
-        |  g.gain
-        | FROM r JOIN documents d ON r.doc_id = d.doc_id
-        | JOIN ql ON r.q_id = ql.q_id
-        | JOIN g ON r.rnk = g.rnk
-        | WHERE r.rnk <= 10),
-        |per AS (
-        | SELECT q_id,
-        |  CAST(sum(rel) AS BIGINT) AS n_rel_at10,
-        |  CAST(coalesce(min(CASE WHEN rel = 1 THEN rnk END), 0) AS BIGINT)
-        |    AS first_rel,
-        |  CAST(sum(CASE WHEN rel = 1 THEN gain ELSE 0 END) AS BIGINT)
-        |    AS dcg_micro
-        | FROM j GROUP BY q_id),
-        |rtot AS (
-        | SELECT ql.q_id, CAST(count(*) AS BIGINT) AS n_rel_total
-        | FROM ql JOIN documents d
-        |   ON d.lang = ql.q_lang AND d.doc_id <> ql.q_id
-        | GROUP BY ql.q_id),
-        |idcg AS (
-        | SELECT rt.q_id, CAST(sum(g.gain) AS BIGINT) AS idcg_micro
-        | FROM rtot rt JOIN g ON g.rnk <= least(rt.n_rel_total, 10)
-        | GROUP BY rt.q_id)
-        |SELECT p.q_id, rt.n_rel_total, p.n_rel_at10,
-        | CASE WHEN p.first_rel = 0 THEN 0
-        |      ELSE CAST(round(1000000.0 / p.first_rel) AS BIGINT)
-        | END AS rr_micro,
-        | p.dcg_micro, i.idcg_micro,
-        | CASE WHEN i.idcg_micro = 0 THEN 0
-        |      ELSE CAST(round(1000000 * (CAST(p.dcg_micro AS DOUBLE)
-        |             / i.idcg_micro)) AS BIGINT)
-        | END AS ndcg_ppm
-        |FROM per p JOIN rtot rt USING (q_id) JOIN idcg i USING (q_id)
-        |ORDER BY q_id""".stripMargin,
+        |${retrievalEvalSqlOver("r")}""".stripMargin,
+    // the SAME eval harness pointed at the hybrid fused ranking — the
+    // side-by-side a deployment reads to decide whether dense+sparse
+    // fusion actually beats its BM25 leg on the corpus's own qrels
+    "d_hybrid_eval" ->
+      s"""WITH $bm25Ctes,
+        |$ivfDenseCtes,
+        |$hybridRrfCtes,
+        |${retrievalEvalSqlOver("fr")}""".stripMargin,
     // increment ≡ rebuild: the merged (<250 store + >=250 delta) index
     // must hash-match the full-corpus twin exactly
     "d_bm25_incremental" -> bm25Oracle,
@@ -11523,24 +11584,8 @@ object SparkEntry {
     // graded rows pin, so this row grades ONLY the fusion composition
     "s_hybrid_dense_sparse" ->
       s"""WITH $bm25Ctes,
-        |bmr AS (SELECT q_id, doc_id, rnk FROM r WHERE rnk <= 10),
         |$ivfDenseCtes,
-        |dr AS (SELECT q_id, c_id,
-        |        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
-        |       FROM dsim),
-        |uall AS (
-        | SELECT q_id, doc_id,
-        |  CAST(round(1000000.0 / (60 + rnk)) AS BIGINT) AS c FROM bmr
-        | UNION ALL
-        | SELECT CAST(q_id AS BIGINT), CAST(c_id AS BIGINT),
-        |  CAST(round(1000000.0 / (60 + rnk)) AS BIGINT)
-        | FROM dr WHERE rnk <= 10),
-        |f AS (SELECT q_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro
-        |      FROM uall GROUP BY 1, 2),
-        |fr AS (SELECT q_id, doc_id, rrf_micro,
-        |        row_number() OVER (PARTITION BY q_id
-        |                           ORDER BY rrf_micro DESC, doc_id) AS rnk
-        |       FROM f)
+        |$hybridRrfCtes
         |SELECT q_id, rnk, doc_id, rrf_micro FROM fr WHERE rnk <= 10
         |ORDER BY q_id, rnk""".stripMargin,
 
