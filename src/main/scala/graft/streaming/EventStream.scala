@@ -765,6 +765,57 @@ object EventStream {
           store, batch.toDF(), idCol, qIdCol, qTextCol, k1, b, topK))
     }
 
+  /** Streaming ANN serving against a FROZEN centroid-partitioned IVF
+    * store — query vectors arrive as a stream, each micro-batch emits its
+    * queries' exact-cosine top-k via
+    * [[graft.operators.Similarity.ivfTopKStored]] (probe pruning stays
+    * directory pruning; the store never reloads). Each query's list
+    * depends only on its own vector and the static store (the
+    * [[streamingBm25TopK]] shape), so accumulated stream output is
+    * bit-equal to one batch probe under ANY micro-batching — pinned in
+    * ExtensionsSpec. `excludeSelf` defaults OFF: streamed queries are
+    * usually not store members (the ann-search extractor convention).
+    */
+  def streamingAnnTopK(queries: DataFrame, idCol: String, vecCol: String,
+      store: DataFrame, coarse: Seq[Seq[Double]], k: Int = 10,
+      nprobe: Int = 3, excludeSelf: Boolean = false)(
+      onBatch: DataFrame => Unit) =
+    queries.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        onBatch(graft.operators.Similarity.ivfTopKStored(store,
+          batch.toDF(), idCol, vecCol, k, coarse, nprobe, excludeSelf))
+    }
+
+  /** Streaming dense+sparse hybrid serving — each query row carries BOTH
+    * modalities (its text and its vector); per micro-batch the lexical
+    * leg scores the frozen BM25 postings store, the dense leg probes the
+    * frozen IVF layout, and integer RRF fuses the two top lists (the
+    * graded s_hybrid_dense_sparse composition, served streaming). Both
+    * stores are static and each query's fused list depends only on its
+    * own row, so accumulated stream output is bit-equal to one batch
+    * fusion under ANY micro-batching — pinned in ExtensionsSpec.
+    */
+  def streamingHybridTopK(queries: DataFrame, qIdCol: String,
+      qTextCol: String, vecCol: String,
+      bm25: graft.operators.Retrieval.Bm25Store, idCol: String,
+      ivf: DataFrame, ivfIdCol: String, coarse: Seq[Seq[Double]],
+      legK: Int = 10, k0: Int = 60, topK: Int = 10, nprobe: Int = 3)(
+      onBatch: DataFrame => Unit) =
+    queries.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF()
+        val bm = graft.operators.Retrieval.bm25TopKStored(bm25, b, idCol,
+            qIdCol, qTextCol, topK = legK)
+          .select(col("q_id"), col("rnk"), col(idCol))
+        val dense = graft.operators.Similarity.ivfTopKStored(ivf,
+            b.select(col(qIdCol).as(ivfIdCol), col(vecCol)), ivfIdCol,
+            vecCol, legK, coarse, nprobe, excludeSelf = false)
+          .select(col("q_id"), col("rank").as("rnk"),
+            col("c_id").as(idCol))
+        onBatch(graft.operators.Retrieval.rrfFuse(Seq(bm, dense), idCol,
+          k0, topK))
+    }
+
   /** Streaming contrastive-example construction against a FROZEN chunk
     * postings store — documents arrive as a stream, each micro-batch
     * emits its docs' (anchor co-chunk, positive co-chunk, mined

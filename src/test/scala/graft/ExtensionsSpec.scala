@@ -1706,6 +1706,105 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ANN over a frozen IVF store equals the batch probe, " +
+      "any batching") {
+    // centroid-partitioned store frozen on the sf0.001 embeddings; 6
+    // query vectors stream in uneven micro-batches — accumulated top-5
+    // rows must equal one batch ivfTopKStored probe (each query depends
+    // only on its own vector and the static store)
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val seeds = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val unit = seeds.map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    val path = java.nio.file.Files.createTempDirectory("annstream").toString
+    Similarity.writeIvfStore(emb, "vec_id", "embedding", unit, path)
+    val store = spark.read.parquet(path)
+    val queries = emb.filter(col("vec_id") < 6)
+      .select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>"))
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val got = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    val q = EventStream.streamingAnnTopK(
+        mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        store, unit, k = 5) {
+      out => got ++= out.collect().map(_.toSeq)
+    }.start()
+    try {
+      queries.as[(Long, Seq[Double])].collect().grouped(2)
+        .foreach { c => mem.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+      val batch = Similarity.ivfTopKStored(store, queries, "vec_id",
+          "embedding", k = 5, coarse = unit, nprobe = 3,
+          excludeSelf = false)
+        .collect().map(_.toSeq)
+      assert(batch.nonEmpty && got.toSet == batch.toSet)
+      assert(got.size == batch.length)
+    } finally q.stop()
+  }
+
+  test("streaming hybrid serving over two frozen stores equals the batch " +
+      "fusion, any batching") {
+    // BM25 postings + IVF layout both frozen on the sf0.001 corpus;
+    // queries carrying BOTH modalities stream in uneven micro-batches —
+    // accumulated fused top-10 rows must equal one batch RRF composition
+    // (both stores static, each query's fusion self-contained)
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Retrieval, Similarity}
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val bpath = java.nio.file.Files
+      .createTempDirectory("hybridstream_bm").toString
+    Retrieval.writeBm25Store(docs, "doc_id", "text", bpath, buckets = 4)
+    val bm25 = Retrieval.readBm25Store(spark, bpath)
+    val seeds = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val unit = seeds.map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    val vpath = java.nio.file.Files
+      .createTempDirectory("hybridstream_ivf").toString
+    Similarity.writeIvfStore(emb, "vec_id", "embedding", unit, vpath)
+    val ivf = spark.read.parquet(vpath)
+    val queries = docs.join(emb, col("doc_id") === col("vec_id"))
+      .filter(col("doc_id") < 5)
+      .select(col("doc_id"), col("text"),
+        col("embedding").cast("array<double>"))
+    val mem = MemoryStream[(Long, String, Seq[Double])]
+    val got = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    val q = EventStream.streamingHybridTopK(
+        mem.toDF().toDF("doc_id", "text", "embedding"), "doc_id", "text",
+        "embedding", bm25, "doc_id", ivf, "vec_id", unit) {
+      out => got ++= out.collect().map(_.toSeq)
+    }.start()
+    try {
+      queries.as[(Long, String, Seq[Double])].collect().grouped(2)
+        .foreach { c => mem.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+      val bmLeg = Retrieval.bm25TopKStored(bm25, queries, "doc_id",
+          "doc_id", "text")
+        .select(col("q_id"), col("rnk"), col("doc_id"))
+      val dLeg = Similarity.ivfTopKStored(ivf,
+          queries.select(col("doc_id").as("vec_id"), col("embedding")),
+          "vec_id", "embedding", k = 10, coarse = unit, nprobe = 3,
+          excludeSelf = false)
+        .select(col("q_id"), col("rank").as("rnk"),
+          col("c_id").as("doc_id"))
+      val batch = Retrieval.rrfFuse(Seq(bmLeg, dLeg), "doc_id")
+        .collect().map(_.toSeq)
+      assert(batch.nonEmpty && got.toSet == batch.toSet)
+      assert(got.size == batch.length)
+    } finally q.stop()
+  }
+
   test("streaming contrastive examples over frozen postings equal the " +
       "batch operator, any batching") {
     // chunk postings frozen on the sf0.001 corpus; documents stream in
