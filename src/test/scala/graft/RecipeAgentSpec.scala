@@ -614,6 +614,90 @@ class AgentSpec extends SparkSpec {
     assert(legRule.exists(_.key == "prf"))
   }
 
+  test("hybrid INGEST is one corpus pass: a dual-sink recipe builds " +
+      "bm25-index + ivf-index from one cached read, and hybrid-search " +
+      "serves the pair") {
+    // the ingest half of the hybrid story needs no new plugin — the
+    // agent's fan-out broadcast caches ONE read of the two-modality
+    // corpus and each index sink selects its own columns; the serving
+    // recipe then fuses the two stores it just built
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{Retrieval, Similarity}
+    val dir = Files.createTempDirectory("hybridingest")
+    val corpus = Seq(
+      (0L, "spark engine shuffles columns fast",
+        Seq(10.0, 0.0, 0.0, 0.1)),
+      (1L, "ducks swim across quiet ponds daily",
+        Seq(0.0, 10.0, 0.0, 0.2)),
+      (2L, "ponds reflect the morning sky", Seq(0.0, 9.5, 0.5, 0.3)),
+      (3L, "columnar storage scans fewer bytes",
+        Seq(9.0, 0.0, 1.0, 0.4)),
+      (4L, "quiet engine hums in the morning", Seq(5.0, 5.0, 0.0, 0.5)),
+      (5L, "bytes stream from columnar ponds", Seq(0.5, 0.5, 9.0, 0.6)))
+      .toDF("doc_id", "text", "embedding")
+    corpus.write.parquet(s"$dir/corpus")
+    val bidx = dir.resolve("bm25").toString
+    val vidx = dir.resolve("ivf").toString
+    val r = new Agent(spark).run(RecipeReader.parse(
+      s"""name: hybrid-ingest
+         |version: v1beta1
+         |source:
+         |  name: documents
+         |  config: {path: $dir/corpus}
+         |sinks:
+         |  - name: bm25-index
+         |    config: {index_path: $bidx}
+         |  - name: ivf-index
+         |    config:
+         |      index_path: $vidx
+         |      id_column: doc_id
+         |""".stripMargin))
+    assert(r.success, r.error)
+    // both stores committed from the one run
+    assert(Retrieval.readBm25Store(spark, bidx).stats.count() > 0)
+    val cb = Similarity.readTwoLevelCodebookAt(spark, vidx)
+    assert(cb.tops.nonEmpty)
+    // and the serving recipe fuses the freshly-built pair
+    val queries = corpus.filter(col("doc_id") < 2)
+      .withColumnRenamed("doc_id", "q_id")
+    queries.write.parquet(s"$dir/queries")
+    val out = dir.resolve("fused.ndjson")
+    val sr = new Agent(spark).run(RecipeReader.parse(
+      s"""name: hybrid-serve-after-ingest
+         |version: v1beta1
+         |source:
+         |  name: hybrid-search
+         |  config:
+         |    bm25_index_path: $bidx
+         |    ann_index_path: $vidx
+         |    queries_path: $dir/queries
+         |    ann_id_column: doc_id
+         |    top_k: 5
+         |sinks:
+         |  - name: file
+         |    config: {path: $out, format: ndjson}
+         |""".stripMargin))
+    assert(sr.success, sr.error)
+    val bmLeg = Retrieval.bm25TopKStored(
+        Retrieval.readBm25Store(spark, bidx), queries,
+        "doc_id", "q_id", "text")
+      .select(col("q_id"), col("rnk"), col("doc_id"))
+    val dLeg = Similarity.ivfTopKStoredTwoLevel(spark.read.parquet(vidx),
+        queries.select(col("q_id").as("doc_id"), col("embedding")),
+        "doc_id", "embedding", k = 10, cb, excludeSelf = false)
+      .select(col("q_id"), col("rank").as("rnk"), col("c_id").as("doc_id"))
+    val expected = Retrieval.rrfFuse(Seq(bmLeg, dLeg), "doc_id", topK = 5)
+      .collect().map(row => (row.getLong(0), row.getInt(1), row.getLong(2),
+        row.getLong(3))).toSet
+    val sunk = scala.io.Source.fromFile(out.toFile).getLines().map { l =>
+      val m = new org.yaml.snakeyaml.Yaml().load[java.util.Map[String, Object]](l)
+      (m.get("q_id").toString.toLong, m.get("rnk").toString.toInt,
+        m.get("doc_id").toString.toLong, m.get("rrf_micro").toString.toLong)
+    }.toSet
+    assert(sunk == expected && sunk.nonEmpty)
+  }
+
   test("nb-index + nb-filter recipes: train, filter by the trained model, " +
       "extend, and unlearn — the classifier lifecycle on the YAML surface") {
     import spark.implicits._
