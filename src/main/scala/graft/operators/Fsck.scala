@@ -258,12 +258,10 @@ object Fsck {
     */
   private def idColOf(spark: SparkSession, path: String,
                       store: DataFrame): String =
-    if (exists(spark, s"$path/_graft_ids"))
-      spark.read.parquet(s"$path/_graft_ids").columns
-        .filterNot(Set("home", "ibucket")).head
-    else store.columns.filterNot(c => c == "centroid_id" ||
-      store.schema(c).dataType
-        .isInstanceOf[org.apache.spark.sql.types.ArrayType]).head
+    Similarity.storeIdColumnAt(spark, path).getOrElse(
+      store.columns.filterNot(c => c == "centroid_id" ||
+        store.schema(c).dataType
+          .isInstanceOf[org.apache.spark.sql.types.ArrayType]).head)
 
   private def sidecarFindings(spark: SparkSession, path: String,
                               layout: String, store: DataFrame,

@@ -1175,6 +1175,23 @@ object Similarity {
     kinds.head
   }
 
+  /** The persisted store's own id column name, read from the
+    * `_graft_ids` erasure sidecar's schema (the column that is not
+    * home/ibucket) — the store side alone can't decide it once
+    * meta_columns ride along (a non-array metadata column is
+    * indistinguishable from the id there). None on pre-sidecar stores.
+    * Lets query-side consumers (ann-search, hybrid-search, fsck)
+    * default the key from the store instead of requiring the recipe to
+    * re-spell what the layout already knows.
+    */
+  def storeIdColumnAt(spark: SparkSession, path: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_graft_ids")
+    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      spark.read.parquet(s"$path/_graft_ids").columns
+        .filterNot(Set("home", "ibucket")).headOption
+    else None
+  }
+
   private def codebookRowsAt(spark: SparkSession,
       path: String): Array[org.apache.spark.sql.Row] = {
     val rows = spark.read.parquet(s"$path/_graft_codebook")

@@ -141,7 +141,7 @@ object AnnSearchExtractor extends Extractor {
     sampleConfig =
       """index_path: /indexes/ivf
         |queries_path: ./queries.parquet   # columns: vec_id, embedding
-        |id_column: vec_id
+        |# id_column: vec_id  # defaults from the store's own record
         |vector_column: embedding
         |top_k: 10
         |nprobe: 3
@@ -173,7 +173,13 @@ object AnnSearchExtractor extends Extractor {
                              queries: DataFrame): DataFrame = {
     import graft.operators.Similarity
     val path = config("index_path").toString
-    val idc = config.getOrElse("id_column", "vec_id").toString
+    // the store RECORDS its id column (the _graft_ids sidecar schema) —
+    // default from it so the recipe need not re-spell what the layout
+    // already knows; an explicit key still wins (it also names the
+    // query table's id column), and pre-sidecar stores keep the old
+    // default
+    val idc = config.get("id_column").map(_.toString)
+      .orElse(Similarity.storeIdColumnAt(spark, path)).getOrElse("vec_id")
     val vc = config.getOrElse("vector_column", "embedding").toString
     val k = SearchConfig.int(config, "top_k", 10)
     val nprobe = SearchConfig.int(config, "nprobe", 3)
@@ -288,7 +294,8 @@ object HybridSearchExtractor extends Extractor {
         |query_text_column: text
         |vector_column: embedding
         |id_column: doc_id     # the bm25 store's id + the fused output key
-        |# ann_id_column: vec_id  # the ivf store's id column name
+        |# ann_id_column: vec_id  # the ivf store's id column name;
+        |#                        # defaults from the store's own record
         |top_k: 10             # fused list depth
         |leg_top_k: 10         # per-leg depth entering the fusion
         |fusion: rrf           # rrf | linear
@@ -362,8 +369,11 @@ object HybridSearchExtractor extends Extractor {
     val vecCol = config.getOrElse("vector_column", "embedding").toString
     val idCol = config.getOrElse("id_column", "doc_id").toString
     // the ivf store's own id column name — the dense leg's query frame is
-    // renamed to it so one query table serves both legs unchanged
-    val annIdc = config.getOrElse("ann_id_column", "vec_id").toString
+    // renamed to it so one query table serves both legs unchanged;
+    // defaults from the store's own _graft_ids sidecar record
+    val annIdc = config.get("ann_id_column").map(_.toString)
+      .getOrElse(graft.operators.Similarity.storeIdColumnAt(spark,
+        config("ann_index_path").toString).getOrElse("vec_id"))
     val legK = SearchConfig.int(config, "leg_top_k", 10)
     val topK = SearchConfig.int(config, "top_k", 10)
     val bm = Bm25SearchExtractor.serve(spark,

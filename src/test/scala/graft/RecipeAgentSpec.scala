@@ -617,7 +617,9 @@ class AgentSpec extends SparkSpec {
   test("hybrid INGEST is one corpus pass: a dual-sink recipe builds " +
       "bm25-index + ivf-index from one cached read, and hybrid-search " +
       "serves the pair") {
-    // the ingest half of the hybrid story needs no new plugin — the
+    // the ingest half of the hybrid story needs no new plugin (and the
+    // serving recipe spells NO id columns — the ann leg derives doc_id
+    // from the store's own _graft_ids record) — the
     // agent's fan-out broadcast caches ONE read of the two-modality
     // corpus and each index sink selects its own columns; the serving
     // recipe then fuses the two stores it just built
@@ -672,7 +674,6 @@ class AgentSpec extends SparkSpec {
          |    bm25_index_path: $bidx
          |    ann_index_path: $vidx
          |    queries_path: $dir/queries
-         |    ann_id_column: doc_id
          |    top_k: 5
          |sinks:
          |  - name: file
