@@ -2280,6 +2280,38 @@ class RetrievalSpec extends SparkSpec {
   import spark.implicits._
   import org.apache.spark.sql.functions._
 
+  test("linearFuse conventions: missing-leg zero, flat-list 1.0, alpha " +
+      "extremes recover the single legs") {
+    // hand-built legs over one query: sparse = {a: 10, b: 5, c: 0},
+    // dense = {b: 0.9, d: 0.9} (flat list — both members are the leg's
+    // best and normalize to 1.0)
+    val sparse = Seq((1L, "a", 10.0), (1L, "b", 5.0), (1L, "c", 0.0))
+      .toDF("q_id", "doc", "score")
+    val dense = Seq((1L, "b", 0.9), (1L, "d", 0.9))
+      .toDF("q_id", "doc", "score")
+    def fuse(alpha: Double) =
+      Retrieval.linearFuse(sparse, dense, "doc", alpha = alpha)
+        .collect().map(r => (r.getString(2), r.getInt(1), r.getLong(3)))
+        .sortBy(_._2)
+    // alpha = 0.5: a gets 0.5·1.0 = 500000; b gets 0.5·0.5 + 0.5·1.0 =
+    // 750000; c gets 0 from sparse min and nothing from dense; d gets
+    // 0.5·1.0 = 500000 → order b, a (id tie-break over d), d, c
+    assert(fuse(0.5).toSeq == Seq(("b", 1, 750000L), ("a", 2, 500000L),
+      ("d", 3, 500000L), ("c", 4, 0L)))
+    // alpha = 0: the dense leg contributes NOTHING — order is the sparse
+    // normalized ranking, dense-only docs trail at zero with id ties
+    assert(fuse(0.0).toSeq == Seq(("a", 1, 1000000L), ("b", 2, 500000L),
+      ("c", 3, 0L), ("d", 4, 0L)))
+    // alpha = 1: only the dense leg scores; its flat list normalizes to
+    // 1.0 apiece (the all-equal guard), sparse-only docs trail at zero
+    assert(fuse(1.0).toSeq == Seq(("b", 1, 1000000L), ("d", 2, 1000000L),
+      ("a", 3, 0L), ("c", 4, 0L)))
+    // out-of-range alpha refuses
+    intercept[IllegalArgumentException] {
+      Retrieval.linearFuse(sparse, dense, "doc", alpha = 1.5)
+    }
+  }
+
   private val corpus = Seq(
     (0L, "spark shuffle join"),
     (1L, "spark spark spark shuffle"),          // densest in 'spark'
