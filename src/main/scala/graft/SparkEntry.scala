@@ -21,6 +21,17 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** [[t]] with the adaptive scan-parallelism floor ([[Tables]] spread):
+    * opt-in for the few queries where a same-JVM A/B proved the extra
+    * round-robin exchange wins (heavy exact-arithmetic map work in one
+    * DAG: brute-force distance grids, positional n-gram explodes, the
+    * 27-column char histogram — evidence in OPTIMIZATION_r15.md §E2).
+    * Never use on double-summing or broadcast-cascade queries (IEEE sum
+    * order / repeated subtree recompute — both measured regressions).
+    */
+  private def tSpread(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name, spreadScan = true)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q5_region_revenue")(spark, "/root/testdata/sf0.001")
@@ -1187,7 +1198,9 @@ object SparkEntry {
     // fixed-point contract) + a derived bits-per-char view; one map-side
     // pass, no explode — the char histogram is 27 replace-length
     // expressions inside codegen
-    val hist = t(s, dir, "documents")
+    // spread: 27 replace-length expressions per row on a 1-row-group
+    // scan = single-core map wall; A/B'd -0.37 s, exact integers only
+    val hist = tSpread(s, dir, "documents")
       .select(col("doc_id"), length(col("text")).as("n_chars"),
         TextAnalysis.charHistogram(col("text")).as("__hist"))
     hist
@@ -2779,7 +2792,9 @@ object SparkEntry {
     // twin: brute-force lists feed the mutual filter. This spelling is
     // the recall yardstick for s_mutual_knn_stored (the production path)
     // — the cartesian is the price of exactness, paid only at audit SF.
-    val emb = t(s, dir, "embeddings")
+    // spread: the brute-force distance grid is pure per-pair map work off
+    // a 1-row-group scan; A/B'd at -3.4 s (OPTIMIZATION_r15.md §E2)
+    val emb = tSpread(s, dir, "embeddings")
     Similarity.mutualTopK(
         Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 5))
       .orderBy(col("a"), col("b"))
@@ -5140,14 +5155,16 @@ object SparkEntry {
     // exact duplicated-span REMOVAL — the rewrite stage d_dup_spans only
     // audits: tokens covered by any cross-doc-duplicated 3-gram are
     // dropped in place and the doc rebuilt from the survivors
-    Dedup.duplicatedSpanClean(t(s, dir, "documents"), "doc_id", "text")
+    // spread: posexploded md5 3-gram windows are the cost; A/B'd -0.7 s
+    Dedup.duplicatedSpanClean(tSpread(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
   private def dupSpans(s: SparkSession, dir: String): DataFrame =
     // per-doc duplicated-span coverage — the audit stage of exact-substring
     // dedup: which fraction of a doc's 3-gram windows (positional, repeats
     // counted) also occurs in some OTHER doc
-    Dedup.duplicatedSpanStats(t(s, dir, "documents"), "doc_id", "text")
+    // spread: same window-explode shape as d_span_clean; A/B'd -0.3 s
+    Dedup.duplicatedSpanStats(tSpread(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
   /** Trained-classifier split shared by the d_nb_* family: even doc_ids

@@ -13,7 +13,79 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+  /** (rowGroups, bytes) of a single parquet file, cached per (path, mtime)
+    * so the footer is read once per session, not once per query.
+    */
+  private val footerCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Int, Long)]
+
+  private def footerOf(spark: SparkSession, file: String): (Int, Long) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(file)
+    val fs = p.getFileSystem(conf)
+    val st = fs.getFileStatus(p)
+    footerCache.getOrElseUpdate(s"$file@${st.getModificationTime}", {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try (r.getRowGroups.size, st.getLen) finally r.close()
+    })
+  }
+
+  /** Scan-parallelism floor (spark_optimization_guide §2.5 "input skew:
+    * one huge unsplittable file ... repartition immediately after the
+    * read"): a parquet SPLIT only does work when a row-group midpoint
+    * falls inside it, so a table with fewer row groups than the session
+    * has cores runs its whole map side (tokenize, decode, vector math —
+    * the expensive part of most queries here) on that many tasks no
+    * matter how many byte-range splits are cut. When the footer says row
+    * groups < defaultParallelism, round-robin the rows across the full
+    * parallelism right after the scan; one bounded shuffle of the (small
+    * by precondition) input buys every downstream map stage the whole
+    * machine. The condition is derived from the DATA (footer row-group
+    * count vs session cores), not a local-mode constant: a 100 TB table
+    * has orders of magnitude more row groups than any cluster has slots,
+    * so this is a no-op there — exactly the guide's "fix at the source
+    * if you can; otherwise repartition after the read".
+    *
+    * OPT-IN per call site, not a default: a full-surface same-JVM A/B
+    * (probes/ScratchSpreadAll, receipts in OPTIMIZATION_r15.md §E2)
+    * showed the extra exchange LOSES on broadcast-cascade plans (the
+    * repartition recomputes inside every broadcast subtree), on
+    * aggregations over key-clustered files (round-robin destroys the
+    * locality map-side partial agg exploits — q_freq_pairs +2.1 s), and
+    * taxes every sub-second row; it WINS only where a single DAG does
+    * heavy per-row map work (brute-force distance grids, positional
+    * n-gram explodes, 27-column char histograms). It must also never
+    * wrap a query whose downstream re-aggregates DOUBLES across rows
+    * (q1_pricing_summary's checksum flipped under spread: IEEE sum order
+    * is partitioning-dependent) — opt-in sites are exact-arithmetic
+    * only. `spark.graft.scan.spread=off` is the global kill switch.
+    */
+  private def spread(spark: SparkSession, df: DataFrame,
+                     file: String): DataFrame = {
+    val mode =
+      try spark.conf.get("spark.graft.scan.spread") catch { case _: Exception => "auto" }
+    if (mode == "off") return df
+    val par = spark.sparkContext.defaultParallelism
+    val (rowGroups, bytes) = footerOf(spark, file)
+    // bytes guard: never round-robin a genuinely large single file (a
+    // misconfigured writer could emit one multi-GB row group; moving it
+    // wholesale would cost more than the parallelism buys)
+    if (rowGroups < par && bytes < par.toLong * 128L * 1024 * 1024)
+      df.repartition(par)
+    else df
+  }
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    apply(spark, dir, name, spreadScan = false)
+
+  def apply(spark: SparkSession, dir: String, name: String,
+            spreadScan: Boolean): DataFrame = {
+    val df0 = load(spark, dir, name)
+    if (spreadScan) spread(spark, df0, s"$dir/$name.parquet") else df0
+  }
+
+  private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       // events.ts has shipped as TIMESTAMP(NANOS) (no native Spark type:
       // read nanos as long, floor-truncate to micros — DuckDB's own
