@@ -210,19 +210,28 @@ object Retrieval {
                               bucketed: Option[DataFrame] = None,
                               buckets: Option[Int] = None)
 
-  /** Build the fielded components inline (the [[bm25fTopK]] body). */
+  /** Build the fielded components inline (the [[bm25fTopK]] body).
+    *
+    * Field split in ONE tokenize pass (optimization round 15): a token's
+    * field IS its position — posexplode the token array once and tag
+    * `pos < titleTokens` as title instead of unioning two slices of two
+    * separate tokenize branches. The union spelling scanned and
+    * tokenized the corpus twice per plan instance (and the inline query
+    * plan carries this subtree in several broadcast subtrees, each
+    * paying both); the positional tag produces the identical (id, f,
+    * term) multiset — first `titleTokens` tokens title, rest body —
+    * from half the scans. Same-JVM A/B on d_bm25f_topk: 4.53 s → 3.42 s
+    * min-of-4, row-identical hashes at sf0.001 and sf0.1.
+    */
   private def bm25fComponents(corpus: DataFrame, idCol: String,
                               textCol: String,
                               titleTokens: Int): Bm25fStore = {
-    val tk = corpus.select(col(idCol),
-      TextAnalysis.tokens(lower(trim(col(textCol)))).as("__tk"))
-    val fielded = tk.select(col(idCol), lit("t").as("f"),
-        slice(col("__tk"), 1, titleTokens).as("__ft"))
-      .unionAll(tk.select(col(idCol), lit("b").as("f"),
-        slice(col("__tk"), lit(titleTokens + 1),
-          greatest(size(col("__tk")) - titleTokens, lit(0))).as("__ft")))
-    val tf = fielded.select(col(idCol), col("f"),
-        explode(col("__ft")).as("term"))
+    val tf = corpus.select(col(idCol),
+        posexplode(TextAnalysis.tokens(lower(trim(col(textCol)))))
+          .as(Seq("__p", "term")))
+      .select(col(idCol),
+        when(col("__p") < titleTokens, lit("t")).otherwise(lit("b")).as("f"),
+        col("term"))
       .groupBy(col(idCol), col("f"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dlf = tf.groupBy(col(idCol), col("f")).agg(sum(col("tf")).as("dl"))
@@ -769,9 +778,18 @@ object Retrieval {
           .cast("bigint").as("first_rel"),
         sum(when(col("rel") === 1, col("gain")).otherwise(0L))
           .cast("bigint").as("dcg_micro"))
-    val rtot = langs.join(broadcast(ql),
-        col("lang") === col("q_lang") && col("doc_id") =!= col("q_id"))
-      .groupBy(col("q_id")).agg(count(lit(1)).as("n_rel_total"))
+    // relevance totals from ONE per-lang aggregate (optimization round
+    // 15): n_rel_total(q) = |{d : lang(d) = q_lang, d ≠ q}| is exactly
+    // langCount(q_lang) − 1 — q's own doc always carries q_lang by
+    // construction of ql — so the corpus-sized lang===q_lang join (a
+    // second full pass over the (id, lang) projection per eval) becomes
+    // a |langs|-row join against partial-aggregated counts. A query
+    // whose language has no OTHER doc produced no rtot row under the
+    // old inner join; the filter reproduces that drop exactly.
+    val langCounts = langs.groupBy(col("lang")).agg(count(lit(1)).as("__n"))
+    val rtot = ql.join(broadcast(langCounts), col("q_lang") === col("lang"))
+      .select(col("q_id"), (col("__n") - lit(1L)).as("n_rel_total"))
+      .filter(col("n_rel_total") >= 1)
     per.join(rtot, Seq("q_id"))
       .select(col("q_id"), col("n_rel_total"), col("n_rel_at10"),
         when(col("first_rel") === 0, 0L)
