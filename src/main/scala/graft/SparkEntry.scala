@@ -3718,16 +3718,38 @@ object SparkEntry {
     * pairs (b, b+250) land within a few dHash bits — deterministic
     * near-dups for the perceptual-hash gate.
     */
-  private def imagePayloads(s: SparkSession, dir: String): DataFrame =
-    imagePayloadsOf(s, t(s, dir, "documents").select(col("doc_id")))
+  private def imagePayloads(s: SparkSession, dir: String,
+                            spreadIds: Boolean = false): DataFrame =
+    imagePayloadsOf(s, t(s, dir, "documents").select(col("doc_id")),
+      spreadIds)
 
   /** [[imagePayloads]] over an arbitrary id frame — shared with the
     * capped-near-dup scaling probe ([[ScaleProbe]]), which replicates ids
     * beyond one SF dir while preserving the id % 250 base structure.
     */
-  private[graft] def imagePayloadsOf(s: SparkSession, ids: DataFrame): DataFrame = {
+  private[graft] def imagePayloadsOf(s: SparkSession, ids: DataFrame,
+                                     spreadIds: Boolean = false): DataFrame = {
     import s.implicits._
-    ids.select(col(ids.columns.head)).as[Long]
+    // opt-in id-frame spread before the encode mapPartitions: the
+    // fixture synthesizes a PNG per id (192 md5 calls each) and inherits
+    // the 1-row-group scan's single working task — repartitioning 8-byte
+    // id rows is free next to the encode it parallelizes, with the
+    // Tables.spread adaptive guard (no-op when the upstream already has
+    // enough partitions). OPT-IN like tSpread: the map-only consumers
+    // (m_image_dhash -0.17 s, m_image_quality -0.20 s same-JVM A/B) win;
+    // the checkpoint+join pipelines (m_image_dedup +0.51, m_image_ingest
+    // +0.76) LOSE — their downstream banded joins pay more for the
+    // scattered partitioning than the encode saves. Honors the
+    // spark.graft.scan.spread kill switch.
+    val idsOnly = ids.select(col(ids.columns.head))
+    val mode = try s.conf.get("spark.graft.scan.spread")
+      catch { case _: Exception => "auto" }
+    val par = s.sparkContext.defaultParallelism
+    val spId =
+      if (spreadIds && mode != "off" && idsOnly.rdd.getNumPartitions < par)
+        idsOnly.repartition(par)
+      else idsOnly
+    spId.as[Long]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { id =>
@@ -3750,7 +3772,8 @@ object SparkEntry {
     // image-ingest quality audit: exact integer brightness/contrast/
     // range/sharpness over the same 9x8 luminance grid as the dHash —
     // the oracle recomputes every grid cell from the planted pixels
-    graft.multimodal.Multimodal.imageQualityStats(imagePayloads(s, dir))
+    graft.multimodal.Multimodal.imageQualityStats(
+        imagePayloads(s, dir, spreadIds = true))
       .toDF().orderBy(col("media_id"))
 
   private def imageDhash(s: SparkSession, dir: String): DataFrame =
@@ -3759,7 +3782,7 @@ object SparkEntry {
     // recomputes the full bit pattern from the planting formula (bit 63
     // spelled as the two's-complement -2^63 contribution so the BIGINT
     // values agree signed)
-    graft.multimodal.Multimodal.dHashes(imagePayloads(s, dir))
+    graft.multimodal.Multimodal.dHashes(imagePayloads(s, dir, spreadIds = true))
       .orderBy(col("media_id"))
 
   private def imageNearDup(s: SparkSession, dir: String): DataFrame =
