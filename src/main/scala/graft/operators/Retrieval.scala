@@ -150,9 +150,22 @@ object Retrieval {
                         idCol: String, textCol: String,
                         qIdCol: String, qTextCol: String,
                         k1: Double, b: Double): DataFrame = {
+    // the tokenize→tf aggregate MATERIALIZES once (optimization round 16):
+    // dfreq and stats sit inside broadcast builds below, and Spark does no
+    // stage reuse across broadcast-subtree boundaries, so the un-checkpointed
+    // plan recomputed this subtree — a full corpus tokenize — once per
+    // broadcast build (d_bm25_topk planned 12 parquet scans; at 100 TB each
+    // duplicate is a full corpus pass). One checkpoint leaves exactly one
+    // tokenize plus the column-pruned n_docs count on the corpus. Same-JVM
+    // A/B min-of-5: d_bm25_topk 2.33→2.19 s, d_bm25_prf 4.11→3.21 s,
+    // row-identical hashes at sf0.001 and sf0.1 (probes/ScratchTfAB).
+    // (Round 15's E1 rejection checkpointed the POSTINGS frame — after the
+    // dl join — and routed through the stored-path expressions; the
+    // tf-level checkpoint with the unchanged scoring shape measures ahead.)
     val tf = corpus.select(col(idCol),
         explode(TextAnalysis.tokens(lower(trim(col(textCol))))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = corpus.agg(count(lit(1)).as("n_docs"))
@@ -235,12 +248,27 @@ object Retrieval {
       .groupBy(col(idCol), col("f"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dlf = tf.groupBy(col(idCol), col("f")).agg(sum(col("tf")).as("dl"))
+    // the fielded postings MATERIALIZE once (optimization round 16, the
+    // contribOf move): every consumer — the hits stream, the whole-doc
+    // dfreq inside the qmeta broadcast build, the stats build, a store
+    // write's postings/sidecar/stats actions — otherwise re-runs the
+    // tokenize + two aggregates per broadcast subtree / per action
+    // (d_bm25f_topk planned 22 parquet scans, d_bm25f_incremental 42).
+    // Same-JVM A/B min-of-5: d_bm25f_topk 3.37→3.30 s (and the rep
+    // spread tightens 3.4–6.4 → 3.3–4.4), d_bm25f_incremental flat wall
+    // locally (duplicates overlapped on idle cores) with the duplicate
+    // CPU gone; row-identical hashes at two SFs (probes/ScratchTfAB).
     val postings = tf.join(dlf, Seq(idCol, "f"))
       .select(col(idCol), col("f"), col("term"), col("tf"), col("dl"))
+      .localCheckpoint()
     // avgdl_f denominator counts ALL docs (zero-token docs too, the
-    // corpusStats convention) — so stats carries n_docs alongside tot_f
+    // corpusStats convention) — so stats carries n_docs alongside tot_f.
+    // tot_f off the materialized postings: Σ_(id,term) tf per field ==
+    // Σ_id dl_f per field (dl is Σ tf by construction) — the same
+    // integers the dlf spelling produced, and the identity the persisted
+    // merge path (mergeBm25fStoreAt's addStats) already relies on.
     val nDocs = corpus.agg(count(lit(1)).as("n_docs"))
-    val stats = dlf.groupBy(col("f")).agg(sum(col("dl")).as("tot_f"))
+    val stats = postings.groupBy(col("f")).agg(sum(col("tf")).as("tot_f"))
       .crossJoin(broadcast(nDocs))
       .select(col("f"), col("n_docs"), col("tot_f"))
     Bm25fStore(postings, stats)
@@ -354,9 +382,16 @@ object Retrieval {
                   fbDocs: Int = 10, fbTerms: Int = 5,
                   k1: Double = 1.2, b: Double = 0.75,
                   topK: Int = 10): DataFrame = {
+    // ONE materialized tokenize (optimization round 16, the contribOf
+    // move): this tf frame feeds BOTH ranking passes, the feedback term
+    // mining, dfreq (inside every pass's broadcast build) and stats —
+    // without the checkpoint the plan recomputed the corpus tokenize once
+    // per broadcast subtree (32 parquet scans in the r15 plan). Same-JVM
+    // A/B min-of-5: 4.11 s → 3.21 s, row-identical hashes at two SFs.
     val tf = corpus.select(col(idCol),
         explode(TextAnalysis.tokens(lower(trim(col(textCol))))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // corpusStats carries the coalesce(sum,0) guard: a corpus whose docs
@@ -413,17 +448,15 @@ object Retrieval {
     // marker acquired internally + staged, like [[mergeBm25StoreAt]]
     Layout.withPendingMarkerStaged(spark, path)({
       val store = readBm25fStore(spark, path)
-      // checkpoint the batch's fielded postings ONCE (the mergeBm25StoreAt
-      // discipline): the stats adds derive from the checkpointed postings
-      // (tot_f = Σ tf per field — same integers bm25fComponents.stats
-      // computes), so the batch is tokenized and field-split exactly once
-      // instead of once per write action
+      // the batch's fielded postings are checkpointed INSIDE
+      // bm25fComponents (round 16) — the stats adds derive from those
+      // materialized postings (tot_f = Σ tf per field, same integers),
+      // so the batch is tokenized and field-split exactly once per merge
       // the frozen bucket modulus wins over the parameter (the
       // mergeBm25StoreAt rationale: mismatched moduli make merged rows
       // invisible to the pruned query join)
       val b = store.buckets.getOrElse(buckets)
-      val addP = bm25fComponents(batch, idCol, textCol, titleTokens)
-        .postings.localCheckpoint()
+      val addP = bm25fComponents(batch, idCol, textCol, titleTokens).postings
       val addStats = addP.groupBy(col("f")).agg(sum(col("tf")).as("tot_f"))
       val newStats = mergedFieldedStats(store.stats, batch, addStats)
         .localCheckpoint()
@@ -585,7 +618,13 @@ object Retrieval {
     */
   def bm25ApplyDelta(store: Bm25Store, added: DataFrame, idCol: String,
                      textCol: String): Bm25Store = {
-    val addP = postingsRaw(added, idCol, textCol)
+    // the batch postings MATERIALIZE once (optimization round 16, the
+    // contribOf move): the un-checkpointed frame was recomputed — a full
+    // batch tokenize each — in the scoring stream, inside mergedDfreq's
+    // broadcast build and inside mergedStats' broadcast build
+    // (d_bm25_incremental planned 22 parquet scans). Row-identical by
+    // construction: same frame, same downstream expressions.
+    val addP = postingsRaw(added, idCol, textCol).localCheckpoint()
     Bm25Store(store.postings.unionByName(addP),
       mergedDfreq(store.dfreq, addP),
       mergedStats(store.stats, added, addP))
@@ -1034,8 +1073,14 @@ object Retrieval {
   def bm25fApplyDelta(store: Bm25fStore, added: DataFrame, idCol: String,
                       textCol: String, titleTokens: Int = 8): Bm25fStore = {
     val add = bm25fComponents(added, idCol, textCol, titleTokens)
+    // the 2-row merged stats MATERIALIZE (optimization round 16): the
+    // scoring tail consumes stats in two broadcast builds (avgdl_f,
+    // n_docs), and each un-checkpointed build re-ran the batch n_docs
+    // count — a doc_id-column scan of the whole delta — plus the tot_f
+    // aggregate (4 such scans in d_bm25f_incremental's r16 before-plan).
+    // One tiny job replaces them; integers unchanged by construction.
     Bm25fStore(store.postings.unionByName(add.postings),
-      mergedFieldedStats(store.stats, added, add.stats))
+      mergedFieldedStats(store.stats, added, add.stats).localCheckpoint())
   }
 
   /** Per-field tot_f integer adds + ONE corpus-level n_docs add. n_docs

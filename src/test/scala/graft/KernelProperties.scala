@@ -349,4 +349,23 @@ object KernelProperties extends Properties("kernels") {
         probesKernel(v, tops, kids, nt, np, ids) ==
           probesModel(v, tops, kids, nt, np, ids)
     }
+
+  /** [[graft.functions.SortedOverlapKernel]] == set-intersection size on
+    * sorted distinct string arrays (the prefixFilterJoin verify contract:
+    * callers sort_array(array_distinct(...)) both sides).
+    */
+  private val genTokenSet: Gen[Seq[String]] =
+    Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(6)),
+      Gen.oneOf("", "a", "aa", "É b", "ß", "Ω x y")))
+      .map(_.distinct.sortBy(UTF8String.fromString))
+
+  property("sorted overlap count == set intersection model") =
+    forAll(genTokenSet, genTokenSet) { (a, b) =>
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      def arr(s: Seq[String]) =
+        new GenericArrayData(s.map(UTF8String.fromString).toArray[Any])
+      graft.functions.SortedOverlapKernel.overlap(arr(a), arr(b)) ==
+        (a.toSet & b.toSet).size.toLong
+    }
 }
