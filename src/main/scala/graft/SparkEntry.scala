@@ -3742,12 +3742,16 @@ object SparkEntry {
     // scattered partitioning than the encode saves. Honors the
     // spark.graft.scan.spread kill switch.
     val idsOnly = ids.select(col(ids.columns.head))
-    val mode = try s.conf.get("spark.graft.scan.spread")
-      catch { case _: Exception => "auto" }
-    val par = s.sparkContext.defaultParallelism
+    // mode via the ONE shared gate (Tables.spreadEnabled — ADVICE r15:
+    // this site duplicated the conf parse AND probed .rdd.getNumPartitions,
+    // which forces physical planning just to read a partition count and,
+    // per Tables' own docstring, does not reflect effective parallelism
+    // for few-row-group files anyway). Opt-in callers pass fixture-scale
+    // id frames by construction, so repartition unconditionally under the
+    // flag; the kill switch still applies.
     val spId =
-      if (spreadIds && mode != "off" && idsOnly.rdd.getNumPartitions < par)
-        idsOnly.repartition(par)
+      if (spreadIds && Tables.spreadEnabled(s))
+        idsOnly.repartition(s.sparkContext.defaultParallelism)
       else idsOnly
     spId.as[Long]
       .mapPartitions { it =>

@@ -19,16 +19,34 @@ object Tables {
   private val footerCache =
     scala.collection.concurrent.TrieMap.empty[String, (Int, Long)]
 
-  private def footerOf(spark: SparkSession, file: String): (Int, Long) = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(file)
-    val fs = p.getFileSystem(conf)
-    val st = fs.getFileStatus(p)
-    footerCache.getOrElseUpdate(s"$file@${st.getModificationTime}", {
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try (r.getRowGroups.size, st.getLen) finally r.close()
-    })
+  /** None when the path is not a single readable parquet FILE (a
+    * multi-file parquet DIRECTORY is valid spark.read input but has no
+    * one footer) — the spread below must degrade to a no-op there, not
+    * throw at plan time (ADVICE r15).
+    */
+  private def footerOf(spark: SparkSession, file: String): Option[(Int, Long)] =
+    try {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(file)
+      val fs = p.getFileSystem(conf)
+      val st = fs.getFileStatus(p)
+      if (!st.isFile) None
+      else Some(footerCache.getOrElseUpdate(s"$file@${st.getModificationTime}", {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try (r.getRowGroups.size, st.getLen) finally r.close()
+      }))
+    } catch { case _: java.io.IOException | _: RuntimeException => None }
+
+  /** The ONE spread-mode gate (shared with [[SparkEntry.imagePayloadsOf]],
+    * ADVICE r15): `spark.graft.scan.spread` whitelisted to auto|off —
+    * a typo like "false" must fail loudly, not silently mean auto.
+    */
+  private[graft] def spreadEnabled(spark: SparkSession): Boolean = {
+    val v = spark.conf.get("spark.graft.scan.spread", "auto")
+    require(v == "auto" || v == "off",
+      s"spark.graft.scan.spread must be 'auto' or 'off', got '$v'")
+    v == "auto"
   }
 
   /** Scan-parallelism floor (spark_optimization_guide §2.5 "input skew:
@@ -63,17 +81,17 @@ object Tables {
     */
   private def spread(spark: SparkSession, df: DataFrame,
                      file: String): DataFrame = {
-    val mode =
-      try spark.conf.get("spark.graft.scan.spread") catch { case _: Exception => "auto" }
-    if (mode == "off") return df
+    if (!spreadEnabled(spark)) return df
     val par = spark.sparkContext.defaultParallelism
-    val (rowGroups, bytes) = footerOf(spark, file)
-    // bytes guard: never round-robin a genuinely large single file (a
-    // misconfigured writer could emit one multi-GB row group; moving it
-    // wholesale would cost more than the parallelism buys)
-    if (rowGroups < par && bytes < par.toLong * 128L * 1024 * 1024)
-      df.repartition(par)
-    else df
+    footerOf(spark, file) match {
+      // bytes guard: never round-robin a genuinely large single file (a
+      // misconfigured writer could emit one multi-GB row group; moving it
+      // wholesale would cost more than the parallelism buys)
+      case Some((rowGroups, bytes))
+        if rowGroups < par && bytes < par.toLong * 128L * 1024 * 1024 =>
+        df.repartition(par)
+      case _ => df
+    }
   }
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =

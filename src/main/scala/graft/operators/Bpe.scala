@@ -34,6 +34,18 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
+  /** Re-checkpoint cadence of [[train]]'s merge loop (ADVICE r15: the
+    * bare `r % 8` left the replay-vs-materialize tradeoff implicit).
+    * Measured at sf0.1 (optimization round 15, probes/ScratchMiscAB):
+    * replaying ≤ 8 fused map-side merge folds over the base checkpoint
+    * is cheaper than materializing each round (1.67 → 1.21 s on
+    * d_bpe_train at rounds = 6, where no re-checkpoint ever fires);
+    * the cadence bounds replay cost AND nested-HOF expression depth for
+    * larger `rounds` callers — revisit the value if a caller trains
+    * hundreds of rounds (codegen falls back on very deep expressions).
+    */
+  private val CheckpointEvery = 8
+
   /** One learned merge: `rnk`-th round chose to fuse adjacent symbols
     * (a, b), which co-occurred `c` times (word-frequency-weighted).
     */
@@ -103,7 +115,7 @@ object Bpe {
         val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += Merge(r, a, b, c)
         dict = dict.withColumn("syms", applyMerge(col("syms"), a, b))
-        if (r % 8 == 0) dict = dict.localCheckpoint()
+        if (r % CheckpointEvery == 0) dict = dict.localCheckpoint()
         r += 1
       }
     }
