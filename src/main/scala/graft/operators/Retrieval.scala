@@ -325,11 +325,6 @@ object Retrieval {
       case _ =>
         store.postings.join(broadcast(qterms), Seq("term"), "left_semi")
     }
-    // df is WHOLE-document frequency: a term counts once per doc even
-    // when it appears in both fields — derived from the (restricted)
-    // postings, so only query-term rows are ever counted
-    val dfreq = hits.select(col(idCol), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val avg = store.stats.select(col("f"),
       (col("tot_f").cast("double") / col("n_docs")).as("avgdl_f"))
     // both field rows carry the same n_docs today, but limit(1) with no
@@ -344,8 +339,22 @@ object Retrieval {
           col("tf") /
           (lit(1.0 - b) + lit(b) * (col("dl") / col("avgdl_f"))))
           .as("part"))
+    // tft MATERIALIZES once and feeds BOTH consumers (optimization round
+    // 16): the hit stream used to be consumed twice — the whole-doc dfreq
+    // aggregate inside the qmeta broadcast build AND this part/tft stream
+    // — and each pass re-ran the store scan/union + semi-join + per-row
+    // math (the two dominant ~4.4 s stages in d_bm25f_incremental's r16
+    // profile). df is DERIVED from tft: tft's (id, term) grain is exactly
+    // the distinct (id, term) pair set dfreq counted — a term occurring
+    // in both fields makes two hit rows but one tft row — so
+    // count-per-term over tft is the same whole-document frequency
+    // integer. Same-JVM A/B min-of-5 (probes/ScratchTftAB): d_bm25f_stored
+    // shape 2.21→1.76 s, incremental shape 3.73→3.40 s, every B rep under
+    // every A rep, row-identical hashes at sf0.001 and sf0.1.
     val tft = part.groupBy(col(idCol), col("term"))
       .agg(sum(col("part")).as("tft"))
+      .localCheckpoint()
+    val dfreq = tft.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val idf = log(((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
       (col("df") + lit(0.5)) + lit(1.0))
     // ONE fused broadcast on the tft stream (the scoresStoredOf move):
