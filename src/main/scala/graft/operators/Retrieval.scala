@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -34,6 +36,25 @@ import org.apache.spark.sql.functions._
   * broadcast).
   */
 object Retrieval {
+
+  /** The query-path materialization gate (optimization round 16): the
+    * inline BM25-family spellings localCheckpoint their first corpus
+    * aggregate so broadcast builds stop recomputing the tokenize (the
+    * round's O1/O3 changes). `spark.graft.retrieval.materialize = off`
+    * disables ONLY these query-path checkpoints — it exists so plan
+    * audits (PlanAuditSpec, plan dumps) can see the full lineage that a
+    * checkpoint otherwise truncates to a LogicalRDD leaf; results are
+    * identical either way, off is strictly slower, and store MUTATIONS
+    * ignore it (their staged-write protocol requires materialization
+    * before the first write — see [[mergeBm25fStoreAt]]). Whitelisted
+    * like spark.graft.scan.spread: a typo fails loudly.
+    */
+  private def maybeCkpt(df: DataFrame): DataFrame = {
+    val v = df.sparkSession.conf.get("spark.graft.retrieval.materialize", "on")
+    require(v == "on" || v == "off",
+      s"spark.graft.retrieval.materialize must be 'on' or 'off', got '$v'")
+    if (v == "off") df else df.localCheckpoint()
+  }
 
   /** Raw postings: one row per (doc, term) with term frequency `tf` and
     * document length `dl` (the doc-length join paid once here, not per
@@ -165,7 +186,7 @@ object Retrieval {
     val tf = corpus.select(col(idCol),
         explode(TextAnalysis.tokens(lower(trim(col(textCol))))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .pipe(maybeCkpt)
     val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = corpus.agg(count(lit(1)).as("n_docs"))
@@ -237,8 +258,8 @@ object Retrieval {
     * min-of-4, row-identical hashes at sf0.001 and sf0.1.
     */
   private def bm25fComponents(corpus: DataFrame, idCol: String,
-                              textCol: String,
-                              titleTokens: Int): Bm25fStore = {
+                              textCol: String, titleTokens: Int,
+                              forceMaterialize: Boolean = false): Bm25fStore = {
     val tf = corpus.select(col(idCol),
         posexplode(TextAnalysis.tokens(lower(trim(col(textCol)))))
           .as(Seq("__p", "term")))
@@ -260,7 +281,7 @@ object Retrieval {
     // CPU gone; row-identical hashes at two SFs (probes/ScratchTfAB).
     val postings = tf.join(dlf, Seq(idCol, "f"))
       .select(col(idCol), col("f"), col("term"), col("tf"), col("dl"))
-      .localCheckpoint()
+      .pipe(p => if (forceMaterialize) p.localCheckpoint() else maybeCkpt(p))
     // avgdl_f denominator counts ALL docs (zero-token docs too, the
     // corpusStats convention) — so stats carries n_docs alongside tot_f.
     // tot_f off the materialized postings: Σ_(id,term) tf per field ==
@@ -353,7 +374,7 @@ object Retrieval {
     // every A rep, row-identical hashes at sf0.001 and sf0.1.
     val tft = part.groupBy(col(idCol), col("term"))
       .agg(sum(col("part")).as("tft"))
-      .localCheckpoint()
+      .pipe(maybeCkpt)
     val dfreq = tft.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val idf = log(((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
       (col("df") + lit(0.5)) + lit(1.0))
@@ -400,7 +421,7 @@ object Retrieval {
     val tf = corpus.select(col(idCol),
         explode(TextAnalysis.tokens(lower(trim(col(textCol))))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .pipe(maybeCkpt)
     val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // corpusStats carries the coalesce(sum,0) guard: a corpus whose docs
@@ -465,7 +486,8 @@ object Retrieval {
       // mergeBm25StoreAt rationale: mismatched moduli make merged rows
       // invisible to the pruned query join)
       val b = store.buckets.getOrElse(buckets)
-      val addP = bm25fComponents(batch, idCol, textCol, titleTokens).postings
+      val addP = bm25fComponents(batch, idCol, textCol, titleTokens,
+        forceMaterialize = true).postings
       val addStats = addP.groupBy(col("f")).agg(sum(col("tf")).as("tot_f"))
       val newStats = mergedFieldedStats(store.stats, batch, addStats)
         .localCheckpoint()
@@ -593,7 +615,12 @@ object Retrieval {
       .drop("bucket")
     dfreqOf(stored).repartition(math.min(buckets, 4), col("term"))
       .write.mode("overwrite").parquet(s"$path/dfreq")
-    writeDocsSidecar(corpus, idCol, s"$path/docs", buckets, "overwrite", post)
+    // sidecar off the READ-BACK postings like dfreq/stats (optimization
+    // round 16): the un-written `post` frame re-ran the whole tokenize +
+    // aggregates per consuming action — same rows either way, one corpus
+    // tokenize per store build instead of two
+    writeDocsSidecar(corpus, idCol, s"$path/docs", buckets, "overwrite",
+      stored)
     writeLayoutMeta(corpus.sparkSession, path, buckets)
     corpusStats(corpus, stored)
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
@@ -633,7 +660,7 @@ object Retrieval {
     // broadcast build and inside mergedStats' broadcast build
     // (d_bm25_incremental planned 22 parquet scans). Row-identical by
     // construction: same frame, same downstream expressions.
-    val addP = postingsRaw(added, idCol, textCol).localCheckpoint()
+    val addP = maybeCkpt(postingsRaw(added, idCol, textCol))
     Bm25Store(store.postings.unionByName(addP),
       mergedDfreq(store.dfreq, addP),
       mergedStats(store.stats, added, addP))
@@ -1089,7 +1116,7 @@ object Retrieval {
     // aggregate (4 such scans in d_bm25f_incremental's r16 before-plan).
     // One tiny job replaces them; integers unchanged by construction.
     Bm25fStore(store.postings.unionByName(add.postings),
-      mergedFieldedStats(store.stats, added, add.stats).localCheckpoint())
+      maybeCkpt(mergedFieldedStats(store.stats, added, add.stats)))
   }
 
   /** Per-field tot_f integer adds + ONE corpus-level n_docs add. n_docs

@@ -112,11 +112,38 @@ class PlanAuditSpec extends SparkSpec {
     // the d_bm25f_incremental scale claim: the < 250 slice lives ONLY in
     // the written fielded store, so the merged-store query's documents
     // scans are the arriving batch (>= 250) and the 5-row query side —
-    // no historical re-tokenize, no field re-split
-    val p = plan(SparkEntry.queries("d_bm25f_incremental")(spark, dir))
-    assert(p.contains("graft_bm25f"), p)
-    assert(!p.contains("LessThan(doc_id,250)"), p)
-    assert(p.contains("GreaterThanOrEqual(doc_id,250)"), p)
+    // no historical re-tokenize, no field re-split. Since optimization
+    // round 16 the query path localCheckpoints its delta postings and tft
+    // frames, which truncates the DEFAULT executed plan to LogicalRDD
+    // leaves — audit the full lineage with the materialization gate OFF
+    // (results identical; the gate exists for exactly this audit).
+    spark.conf.set("spark.graft.retrieval.materialize", "off")
+    try {
+      val p = plan(SparkEntry.queries("d_bm25f_incremental")(spark, dir))
+      assert(p.contains("graft_bm25f"), p)
+      assert(!p.contains("LessThan(doc_id,250)"), p)
+      assert(p.contains("GreaterThanOrEqual(doc_id,250)"), p)
+    } finally spark.conf.unset("spark.graft.retrieval.materialize")
+    // and the default (materialized) plan still carries no historical
+    // scan anywhere — the checkpointed frames were built from the store
+    // plus the arriving batch only
+    val pd = plan(SparkEntry.queries("d_bm25f_incremental")(spark, dir))
+    assert(!pd.contains("LessThan(doc_id,250)"), pd)
+  }
+
+  test("fielded stored scoring keeps its DPP-pruned postings scan") {
+    // round 16 moved the fielded hit stream inside a tft checkpoint, so
+    // the DEFAULT executed plan no longer shows the store scan (PLANS.md
+    // lost the DPP-PRUNED flag on bm25f rows) — assert under the audit
+    // gate that the directory pruning still drives the scan
+    spark.conf.set("spark.graft.retrieval.materialize", "off")
+    try {
+      val p = plan(SparkEntry.queries("d_bm25f_stored")(spark, dir))
+      val postScan = p.linesIterator.filter(l =>
+        l.contains("graft_bm25f") && l.contains("Scan")).toList
+      assert(postScan.exists(_.contains("dynamicpruning")),
+        s"fielded postings scan not DPP-pruned:\n${postScan.mkString("\n")}")
+    } finally spark.conf.unset("spark.graft.retrieval.materialize")
   }
 
   test("stored PRF: both passes and the mining read postings, not corpus text") {
